@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level helpers shared across the engine.
+  *
+  * Everything here is built from codegen'd Catalyst expressions (no Scala
+  * UDFs), so whole-stage codegen stays intact at 100 TB scale. `tryCast`
+  * exists because Spark 4 defaults to ANSI mode, where a bad string cast
+  * THROWS; the reference pipeline (pre-ANSI) yields NULL on bad input
+  * (bronze_processor.py:54,112 relies on it). TRY-mode cast restores the
+  * reference semantics regardless of the session's ansi setting.
+  */
+package object functions {
+
+  /** `CAST(... AS dt)` in TRY evaluation mode: NULL on failure, never throws. */
+  def tryCast(c: Column, dt: DataType): Column =
+    toColumn(Cast(toExpression(c), dt, None, EvalMode.TRY))
+
+  def tryCastInt(c: Column): Column = tryCast(c, IntegerType)
+  def tryCastDouble(c: Column): Column = tryCast(c, DoubleType)
+
+  /** Dot product of two equal-length numeric array columns, computed in
+    * Double. Codegen-friendly (zip_with + aggregate are Catalyst
+    * higher-order functions; no UDF, no row-by-row JVM boxing).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm of a numeric array column, in Double. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  /** Cosine similarity of two numeric array columns, in Double.
+    * NULL if either vector has zero norm.
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val d = dotProduct(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n =!= 0.0, d / n)
+  }
+
+  /** Whitespace tokenization that never yields empty tokens (unlike
+    * split-on-single-space). Shared by dedup + text analysis so shingles
+    * and token counts agree across operators.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles of a token array: array of space-joined n-grams.
+    * Documents shorter than n yield an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          array_join(slice(toks, i + 1, lit(n)), " "))),
+      s => s.isNotNull)
+}

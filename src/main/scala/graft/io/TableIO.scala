@@ -1,0 +1,50 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Partitioned lakehouse table read/write, format-abstracted.
+  *
+  * The reference persists Delta with optimizeWrite/autoCompact
+  * (bronze_processor.py:126-142 etc.); Delta jars are not in the offline
+  * jar set, so Parquet is the default sink — hive-style partition layout
+  * and partition pruning are identical. The Delta write options map to:
+  * repartition on the partition columns before the write (one output file
+  * per partition per shuffle-partition, bounded small-file count) + AQE
+  * coalescing, which Spark 4 enables by default.
+  */
+object TableIO {
+
+  def read(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
+
+  /** Dynamic partition-column selection exactly like
+    * gold_processor.py:246-251: [year,month] if both present, else [year],
+    * else unpartitioned.
+    */
+  def goldPartitionColumns(df: DataFrame): Seq[String] =
+    if (df.columns.contains("year") && df.columns.contains("month")) Seq("year", "month")
+    else if (df.columns.contains("year")) Seq("year")
+    else Seq.empty
+
+  def write(df: DataFrame, path: String,
+            partitionBy: Seq[String] = Seq.empty,
+            format: String = "parquet",
+            mode: String = "overwrite",
+            compactPerPartition: Boolean = true): Unit = {
+    val arranged =
+      if (partitionBy.nonEmpty && compactPerPartition)
+        // Co-locate rows of each hive partition: bounds output files to
+        // ~one per (partition value) instead of (tasks × partitions).
+        df.repartition(partitionBy.map(col): _*)
+      else df
+    val writer = arranged.write.format(format).mode(mode)
+    val partitioned =
+      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    partitioned.save(path)
+  }
+
+  /** notebooks/04_gold_processing.py:148-155 — coalesced parquet export. */
+  def exportParquet(df: DataFrame, path: String, numFiles: Int = 1): Unit =
+    df.coalesce(numFiles).write.mode("overwrite").parquet(path)
+}
