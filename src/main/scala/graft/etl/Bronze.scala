@@ -37,11 +37,11 @@ object Bronze {
   def readDly(spark: SparkSession, paths: Seq[String],
               startYear: Option[Int] = None, endYear: Option[Int] = None): DataFrame = {
     val raw = spark.read.text(paths: _*)
-    val ranged = (startYear, endYear) match {
-      case (Some(s), Some(e)) =>
-        raw.filter(tryCastInt(substring(col("value"), 12, 4)).between(s, e))
-      case _ => raw
-    }
+    val lineYear = tryCastInt(substring(col("value"), 12, 4))
+    val ranged = Seq(
+      startYear.map(s => lineYear >= s),
+      endYear.map(e => lineYear <= e)
+    ).flatten.reduceOption(_ && _).map(raw.filter).getOrElse(raw)
     parseDly(ranged)
   }
 

@@ -29,21 +29,28 @@ object GhcnIngest {
     Files.createDirectories(dir)
     val target = dir.resolve(filename)
     if (Files.exists(target) && !force) return target
+    // Download to a temp file and move atomically, so a failed re-download
+    // (force=true) never destroys a pre-existing good cached file, and no
+    // reader ever observes a partial file.
+    val tmp = Files.createTempFile(dir, s".$filename.", ".part")
     try {
       val client = HttpClient.newBuilder()
         .followRedirects(HttpClient.Redirect.NORMAL).build()
       val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
-      if (resp.statusCode() / 100 != 2)
-        throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
       Using.resource(resp.body()) { in =>
-        Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+        if (resp.statusCode() / 100 != 2)
+          throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
+        Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+      }
+      try Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
       }
       target
-    } catch {
-      case e: Throwable =>
-        Files.deleteIfExists(target)
-        throw e
+    } finally {
+      Files.deleteIfExists(tmp)
     }
   }
 

@@ -34,9 +34,16 @@ object TableIO {
             compactPerPartition: Boolean = true): Unit = {
     val arranged =
       if (partitionBy.nonEmpty && compactPerPartition)
-        // Co-locate rows of each hive partition: bounds output files to
-        // ~one per (partition value) instead of (tasks × partitions).
-        df.repartition(partitionBy.map(col): _*)
+        // Co-locate rows of each hive partition so the writer doesn't emit
+        // (tasks × partitions) small files — but do it with AQE's rebalance
+        // instead of a bare repartition(cols): repartition(year,month) caps
+        // write parallelism at the distinct-partition-value count and funnels
+        // each hot month through ONE task (the 100 TB scale-killer). The
+        // rebalance hint clusters by the partition columns AND lets AQE split
+        // oversized shuffle partitions across tasks / coalesce tiny ones
+        // (spark.sql.adaptive.optimizeSkewsInRebalancePartitions, on by
+        // default), so a skewed month fans out instead of OOMing one task.
+        df.hint("rebalance", partitionBy: _*)
       else df
     val writer = arranged.write.format(format).mode(mode)
     val partitioned =

@@ -61,9 +61,11 @@ class GoldSpec extends SparkSpec {
     // sample stddev of TMAX {10,20,40,50}: mean 30, var (400+100+100+400)/3
     val expected = math.sqrt(1000.0 / 3.0)
     assert(math.abs(one.getAs[Double]("tmax_stddev") - expected) < 1e-9)
-    // Station TWO has one TMAX=30.0 (>20) and no PRCP → Hot + Dry (NULL→Dry)
+    // Station TWO has TMAX but no TMIN, so normal_temp = avg((TMAX+TMIN)/2)
+    // is NULL → otherwise-bucket "Cold" (gold_processor.py:167-172); no PRCP
+    // → normal_precip NULL → "Dry". The NULL routing is the load-bearing quirk.
     val two = summaries.filter(col("ID") === "USC00090002").collect()(0)
-    assert(two.getAs[String]("climate_zone") === "Hot")
+    assert(two.getAs[String]("climate_zone") === "Cold")
     assert(two.getAs[String]("precipitation_regime") === "Dry")
   }
 
