@@ -1,0 +1,513 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Driver-contract queries covering every relational operator family of
+  * SURVEY.md §2 over the synthetic TPC-H-ish testdata, each with an ANSI-SQL
+  * oracle the driver runs in DuckDB.
+  *
+  * Determinism discipline (the driver hash-compares values):
+  *   - every query ends in a total ORDER BY over non-null keys (and the
+  *     oracle carries the same ORDER BY), so row order can never diverge;
+  *   - sums/avgs of 2-decimal money doubles go through DECIMAL(18,2) and
+  *     back to double, which is EXACT in both engines — no accumulation-
+  *     order noise between Spark's partial aggregates and DuckDB;
+  *   - sums of integral-valued doubles (quantities) stay plain double:
+  *     integer-valued double addition is exact below 2^53 in any order;
+  *   - only genuinely irrational outputs (stddev, interpolated percentiles)
+  *     are rounded, coarse enough that cross-engine float noise (≤1e-9)
+  *     cannot straddle a rounding boundary;
+  *   - integer-ish derived columns are cast to Long on the Spark side and
+  *     BIGINT in the oracle (DuckDB's sum(int)→HUGEINT and year()→BIGINT
+  *     would otherwise mismatch the schema).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as a
+    * timestamp (PARQUET_TYPE_ILLEGAL) — read it as raw nanos-since-epoch
+    * (LongType). Ordering by the raw long is identical to ordering by the
+    * timestamp, and [[tsDate]] derives the UTC calendar date from it, so
+    * every downstream use matches DuckDB's native TIMESTAMP_NS handling.
+    */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** UTC date of a nanos-since-epoch long column named ts. */
+  private val tsDate: Column =
+    to_date(timestamp_seconds(expr("ts DIV 1000000000")))
+
+  /** Exact money sum: through DECIMAL(18,2), back to double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact money average: exact decimal sum / non-null count. */
+  private def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Oracle-side spellings of the same two patterns. */
+  private def oSum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  private def oAvg(x: String) = s"${oSum(x)} / count($x)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P4/S10: fixed-width round-trip — build a fixed-width line with
+    // lpad/rpad/concat, parse it back with literal-offset substring+trim+cast
+    // (the .dly/stations parse shape, SURVEY §2.2 P1 / §2.1 S10).
+    "q01_fixed_width" -> ((s, dir) => {
+      val line = concat(
+        lpad(col("o_orderkey").cast("string"), 12, "0"),
+        rpad(col("o_orderpriority"), 16, " "),
+        lpad(year(col("o_orderdate")).cast("string"), 4, "0"))
+      t(s, dir, "orders")
+        .select(line.as("line"))
+        .select(
+          substring(col("line"), 1, 12).cast(LongType).as("okey"),
+          trim(substring(col("line"), 13, 16)).as("priority"),
+          substring(col("line"), 29, 4).cast(LongType).as("yr"))
+        .groupBy("priority", "yr")
+        .agg(count(lit(1)).as("cnt"), min("okey").as("min_key"), max("okey").as("max_key"))
+        .orderBy("priority", "yr")
+    }),
+
+    // P2: substring with a COMPUTED offset (Column.substr(Column, Column)) —
+    // the bronze per-day slice primitive (bronze_processor.py:98-119).
+    "q02_computed_substr" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          col("text").substr((col("doc_id") % 7 + 1).cast("int"), lit(12)).as("frag"))
+        .withColumn("frag_len", length(col("frag")).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
+    // P3: NULL-on-bad-cast (try_cast) — ANSI-safe reference semantics
+    // (bronze_processor.py:54,112); plus regexp extraction.
+    "q03_try_cast" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          graft.functions.tryCast(regexp_extract(col("props"), "[0-9]+", 0), LongType).as("k"),
+          graft.functions.tryCast(col("event_type"), LongType).as("bad"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).as("sum_k"),
+          sum(when(col("bad").isNull, 1).otherwise(0)).as("bad_nulls"))
+        .orderBy("event_type")
+    }),
+
+    // P6/P7/P8/P9: CASE WHEN chain + isin + between + null predicate
+    // (silver_processor.py:52-70, gold_processor.py:167-178).
+    "q04_case_buckets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          when(col("l_quantity") >= 40, "high")
+            .when(col("l_quantity") >= 20, "mid")
+            .when(col("l_returnflag").isin("A", "R"), "returned_low")
+            .otherwise("low").as("bucket"),
+          col("l_discount").between(0.02, 0.06).as("mid_discount"),
+          nullif(col("l_tax"), lit(0.0)).as("tax_or_null"),
+          col("l_quantity"))
+        .groupBy("bucket", "mid_discount")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty"),
+          sum(when(col("tax_or_null").isNull, 1).otherwise(0)).as("zero_tax_cnt"))
+        .orderBy("bucket", "mid_discount")
+    }),
+
+    // G1+P5: explode(sequence(1,31)) day generator + date assembly with
+    // try_to_date culling Feb-30-style slots (bronze_processor.py:67-96).
+    "q05_date_explode" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"))
+        .withColumn("day", explode(sequence(lit(1), lit(31))))
+        .withColumn("d", try_to_date(
+          concat(col("y").cast("string"),
+            lpad(col("m").cast("string"), 2, "0"),
+            lpad(col("day").cast("string"), 2, "0")), "yyyyMMdd"))
+        .groupBy("y", "m")
+        .agg(count(lit(1)).as("n_slots"),
+          count(col("d")).as("n_valid"),
+          sum(when(col("d").isNull, 1).otherwise(0)).as("n_invalid"))
+        .orderBy("y", "m")
+    }),
+
+    // A1: pivot with an explicit value list (silver_processor.py:79-84);
+    // missing (user,type) combos stay NULL exactly like Spark's pivot.
+    "q06_pivot_events" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "signup", "error", "purchase"))
+        .agg(count(lit(1)))
+        .orderBy("user_id")
+    }),
+
+    // A2/A3: wide multi-aggregate with conditional day-counts and
+    // countDistinct (gold_processor.py:49-135).
+    "q07_agg_wide" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(when(col("l_quantity") > 45, 1).otherwise(0)).as("big_qty_cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A4: sample stddev + countDistinct per group (gold_processor.py:137-164).
+    "q08_stddev_yearly" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).cast(LongType).as("y"))
+        .agg(round(stddev(col("l_extendedprice")), 2).as("std_price"),
+          round(stddev(col("l_quantity")), 4).as("std_qty"),
+          countDistinct(month(col("l_shipdate"))).as("n_months"),
+          count(lit(1)).as("cnt"))
+        .orderBy("y")
+    }),
+
+    // A6/A7: global min/max/avg single-row aggregate
+    // (bronze_processor.py:152-155, silver_processor.py:166-170).
+    "q09_global_stats" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        to_date(min(col("o_orderdate"))).as("min_date"),
+        to_date(max(col("o_orderdate"))).as("max_date"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        davg(col("o_totalprice")).as("avg_price"),
+        count(lit(1)).as("cnt"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+    }),
+
+    // A9+O2: frequency table with descending count sort
+    // (notebooks/05_data_validation.py:43).
+    "q10_freq_desc" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("event_type"))
+    }),
+
+    // A10: lineage cardinality — distinct (key, date) pair count
+    // (notebooks/05_data_validation.py:179-180).
+    "q11_lineage_pairs" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), tsDate.as("d"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("pair_cnt"))
+    }),
+
+    // A11: describe()-shape summary stats (notebooks/05:64,98).
+    "q12_describe_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(col("l_quantity")).as("qty_count"),
+        (sum("l_quantity") / count("l_quantity")).as("qty_mean"),
+        round(stddev(col("l_quantity")), 4).as("qty_std"),
+        min("l_quantity").as("qty_min"),
+        max("l_quantity").as("qty_max"),
+        davg(col("l_extendedprice")).as("price_mean"),
+        round(stddev(col("l_extendedprice")), 2).as("price_std"),
+        min("l_extendedprice").as("price_min"),
+        max("l_extendedprice").as("price_max"))
+    }),
+
+    // A12: quantile IQR outlier bounds then outlier count
+    // (data_validator.py:99-115; exact percentile so the oracle can match).
+    "q13_iqr_outliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val q = li.agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
+      li.crossJoin(q)
+        .agg(round(first(col("q1")), 2).as("q1_r"),
+          round(first(col("q3")), 2).as("q3_r"),
+          sum(when(
+            col("l_extendedprice") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+            col("l_extendedprice") > col("q3") + (col("q3") - col("q1")) * 1.5,
+            1).otherwise(0)).as("n_outliers"))
+    }),
+
+    // W1: lag over (partition, order) — row semantics (gold_processor.py:185-193).
+    "q14_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("event_id")
+    }),
+
+    // W2: rolling 7-ROW frame sum/avg (gold_processor.py:195-199), exact via
+    // decimal window sum / frame row count.
+    "q15_window_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, 0)
+      events(s, dir)
+        .select(col("event_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType).as("roll_sum"),
+          (sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)).as("roll_avg"))
+        .orderBy("event_id")
+    }),
+
+    // O1/O3/O4: global sort + limit + offset pagination (spark_utils.py:59-84).
+    "q16_topk_offset" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .offset(50).limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // U1: position-based dup-preserving union (bronze_processor.py:35-38).
+    "q17_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 150000)
+      val urgent = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      hi.union(urgent)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // U2: set-difference lineage — keys present upstream but not downstream
+    // (notebooks/05_data_validation.py:183-187).
+    // Non-trivial difference: customers who never placed a high-value order.
+    "q18_except_lineage" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+
+    // P13/P14: projection + distinct (bronze_processor.py:151-156).
+    "q19_distinct_proj" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          month(col("l_shipdate")).cast(LongType).as("m"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus", "m")
+    }),
+
+    // J1: left equi-join with an explicitly broadcast dimension
+    // (silver_processor.py:116-119).
+    "q20_join_enrich" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("<none>")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"),
+          davg(col("c_acctbal")).as("avg_acctbal"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("segment")
+    }),
+
+    // J2: join back to an aggregate of the same input (anomaly vs normals,
+    // gold_processor.py:211-225).
+    "q21_anomaly_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val normals = o.groupBy("o_custkey")
+        .agg(davg(col("o_totalprice")).as("cust_avg"))
+      o.join(normals, Seq("o_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") - col("cust_avg")).as("anomaly"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_fixed_width" ->
+      """WITH lines AS (
+        |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+        |      || rpad(o_orderpriority, 16, ' ')
+        |      || lpad(CAST(year(o_orderdate) AS VARCHAR), 4, '0') AS line
+        |  FROM orders),
+        |parsed AS (
+        |  SELECT CAST(substring(line, 1, 12) AS BIGINT) AS okey,
+        |         trim(substring(line, 13, 16)) AS priority,
+        |         CAST(substring(line, 29, 4) AS BIGINT) AS yr
+        |  FROM lines)
+        |SELECT priority, yr, CAST(count(*) AS BIGINT) AS cnt,
+        |       min(okey) AS min_key, max(okey) AS max_key
+        |FROM parsed GROUP BY priority, yr ORDER BY priority, yr""".stripMargin,
+
+    "q02_computed_substr" ->
+      """SELECT doc_id,
+        |       substring(text, CAST(doc_id % 7 + 1 AS INT), 12) AS frag,
+        |       CAST(length(substring(text, CAST(doc_id % 7 + 1 AS INT), 12)) AS BIGINT) AS frag_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q03_try_cast" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(sum(CASE WHEN TRY_CAST(event_type AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_nulls
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q04_case_buckets" ->
+      """SELECT CASE WHEN l_quantity >= 40 THEN 'high'
+        |            WHEN l_quantity >= 20 THEN 'mid'
+        |            WHEN l_returnflag IN ('A','R') THEN 'returned_low'
+        |            ELSE 'low' END AS bucket,
+        |       l_discount BETWEEN 0.02 AND 0.06 AS mid_discount,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CASE WHEN nullif(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zero_tax_cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY bucket, mid_discount""".stripMargin,
+
+    "q05_date_explode" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(count(*) AS BIGINT) AS n_slots,
+        |       CAST(count(CAST(try_strptime(
+        |           CAST(year(o_orderdate) AS VARCHAR)
+        |           || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
+        |           || lpad(CAST(g.day AS VARCHAR), 2, '0'), '%Y%m%d') AS DATE)) AS BIGINT) AS n_valid,
+        |       CAST(sum(CASE WHEN try_strptime(
+        |           CAST(year(o_orderdate) AS VARCHAR)
+        |           || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
+        |           || lpad(CAST(g.day AS VARCHAR), 2, '0'), '%Y%m%d') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+        |FROM orders CROSS JOIN generate_series(1, 31) AS g(day)
+        |GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "q06_pivot_events" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view",
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q07_agg_wide" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       sum(l_quantity) AS sum_qty,
+         |       ${oSum("l_extendedprice")} AS sum_price,
+         |       ${oAvg("l_extendedprice")} AS avg_price,
+         |       ${oAvg("l_discount")} AS avg_disc,
+         |       min(l_extendedprice) AS min_price,
+         |       max(l_extendedprice) AS max_price,
+         |       CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |       CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_cnt
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q08_stddev_yearly" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+        |       round(stddev_samp(l_extendedprice), 2) AS std_price,
+        |       round(stddev_samp(l_quantity), 4) AS std_qty,
+        |       CAST(count(DISTINCT month(l_shipdate)) AS BIGINT) AS n_months,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY y""".stripMargin,
+
+    "q09_global_stats" ->
+      s"""SELECT CAST(min(o_orderdate) AS DATE) AS min_date,
+         |       CAST(max(o_orderdate) AS DATE) AS max_date,
+         |       min(o_totalprice) AS min_price,
+         |       max(o_totalprice) AS max_price,
+         |       ${oAvg("o_totalprice")} AS avg_price,
+         |       CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         |FROM orders""".stripMargin,
+
+    "q10_freq_desc" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,
+
+    "q11_lineage_pairs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS pair_cnt FROM (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2)""".stripMargin,
+
+    "q12_describe_stats" ->
+      s"""SELECT CAST(count(l_quantity) AS BIGINT) AS qty_count,
+         |       sum(l_quantity) / count(l_quantity) AS qty_mean,
+         |       round(stddev_samp(l_quantity), 4) AS qty_std,
+         |       min(l_quantity) AS qty_min,
+         |       max(l_quantity) AS qty_max,
+         |       ${oAvg("l_extendedprice")} AS price_mean,
+         |       round(stddev_samp(l_extendedprice), 2) AS price_std,
+         |       min(l_extendedprice) AS price_min,
+         |       max(l_extendedprice) AS price_max
+         |FROM lineitem""".stripMargin,
+
+    "q13_iqr_outliers" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |         quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem)
+        |SELECT round(q.q1, 2) AS q1_r, round(q.q3, 2) AS q3_r,
+        |       CAST(sum(CASE WHEN l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
+        |                       OR l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem CROSS JOIN q GROUP BY q.q1, q.q3""".stripMargin,
+
+    "q14_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       value - lag(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q15_window_rolling" ->
+      """SELECT event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         / count(*) OVER w AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q16_topk_offset" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100 OFFSET 50""".stripMargin,
+
+    "q17_union_all" ->
+      s"""WITH u AS (
+         |  SELECT * FROM orders WHERE o_totalprice > 150000
+         |  UNION ALL
+         |  SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+         |       ${oSum("o_totalprice")} AS sum_price
+         |FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q18_except_lineage" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q19_distinct_proj" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus,
+        |       CAST(month(l_shipdate) AS BIGINT) AS m
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus, m""".stripMargin,
+
+    "q20_join_enrich" ->
+      s"""SELECT coalesce(c_mktsegment, '<none>') AS segment,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${oSum("o_totalprice")} AS revenue,
+         |       ${oAvg("c_acctbal")} AS avg_acctbal,
+         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q21_anomaly_join" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |       o_totalprice - n.cust_avg AS anomaly
+         |FROM orders
+         |LEFT JOIN (SELECT o_custkey, ${oAvg("o_totalprice")} AS cust_avg
+         |           FROM orders GROUP BY o_custkey) n USING (o_custkey)
+         |ORDER BY o_orderkey""".stripMargin
+  )
+}

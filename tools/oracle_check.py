@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json entry in DuckDB over the sfDir parquet tables,
+loads the matching Spark parquet dump, sorts columns by name and rows by
+all columns, and compares values exactly. Reports per-query
+rows/schema/values status plus max float deviation so rounding patterns
+can be tuned before the driver ever runs.
+
+Tooling only (duckdb/pyarrow are driver-side utilities, not library deps).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            oracle = con.execute(sql)
+            ocols = [d[0] for d in oracle.description]
+            orows = oracle.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        try:
+            spark = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = [d[0] for d in spark.description]
+            srows = spark.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing/unreadable: {e}")
+            failures += 1
+            continue
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: columns differ: oracle={sorted(ocols)} "
+                  f"spark={sorted(scols)}")
+            failures += 1
+            continue
+        operm = [ocols.index(c) for c in sorted(ocols)]
+        sperm = [scols.index(c) for c in sorted(scols)]
+        o = sorted([tuple(norm(r[i]) for i in operm) for r in orows],
+                   key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+        s = sorted([tuple(norm(r[i]) for i in sperm) for r in srows],
+                   key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+        if len(o) != len(s):
+            print(f"FAIL {name}: row count oracle={len(o)} spark={len(s)}")
+            failures += 1
+            continue
+        bad = None
+        max_float_dev = 0.0
+        n_diff = 0
+        for ro, rs in zip(o, s):
+            if ro == rs:
+                continue
+            for vo, vs in zip(ro, rs):
+                if vo == vs:
+                    continue
+                if isinstance(vo, float) and isinstance(vs, float):
+                    max_float_dev = max(max_float_dev, abs(vo - vs))
+                n_diff += 1
+                if bad is None:
+                    bad = (ro, rs)
+        if bad is None:
+            print(f"PASS {name}: {len(s)} rows")
+        else:
+            print(f"FAIL {name}: {n_diff} differing values over {len(s)} rows; "
+                  f"max_float_dev={max_float_dev:.3e}")
+            print(f"  first diff oracle={bad[0]}")
+            print(f"             spark ={bad[1]}")
+            failures += 1
+    print(f"== {len(oracles) - failures}/{len(oracles)} queries match ==")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
