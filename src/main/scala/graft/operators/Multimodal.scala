@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus partition-batched
+  * decode/feature-extract.
+  *
+  * The Spark-side shape is the real thing — binary column + metadata
+  * struct, per-partition batched processing via `mapPartitions` over a
+  * typed Dataset (the Scala analogue of mapInPandas: one iterator per
+  * partition, records streamed, no per-row task overhead) — while the
+  * actual media DECODE step is a clearly-marked deterministic STUB
+  * (`decodeStub`): the container has no image/audio codecs, so the stub
+  * stands where libjpeg/ffmpeg would be wired on a real cluster.
+  *
+  * Scale notes: payload bytes stay in the `content` column and are never
+  * collected; feature extraction is a narrow per-partition pass, so the
+  * operator scales with input splits like any scan→project pipeline. Keep
+  * `spark.sql.files.maxPartitionBytes` sized so a partition of payloads
+  * fits executor memory.
+  */
+object Multimodal {
+
+  /** One media record as carried through the pipeline. */
+  case class MediaRecord(doc_id: Long, kind: String, content: Array[Byte])
+
+  /** Extracted features: fixed-width vector + provenance metadata. */
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+                           checksum: String, features: Array[Double])
+
+  /** Attach a binary payload column + metadata. In production the payload
+    * is the raw media file bytes; here the document text stands in as the
+    * payload so the plumbing is exercised end-to-end with real data.
+    */
+  def attachBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      lit("text/plain").as("kind"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes"),
+        md5(encode(col(textCol), "UTF-8")).as("checksum")).as("meta"))
+
+  /** STUB — media decode. A real deployment decodes image/audio frames
+    * here (libjpeg/ffmpeg are not in this container). The stub is
+    * deterministic in the payload bytes so the downstream plumbing is
+    * fully testable: an 8-bucket byte histogram, normalized.
+    */
+  private[operators] def decodeStub(content: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](8)
+    var i = 0
+    while (i < content.length) {
+      hist((content(i) & 0xff) >> 5) += 1.0
+      i += 1
+    }
+    val n = math.max(content.length, 1).toDouble
+    hist.map(_ / n)
+  }
+
+  /** Partition-batched feature extraction: the mapInPandas-shaped pass.
+    * One iterator per partition; each record is decoded (stub) and
+    * reduced to a fixed-width feature vector.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      batch.map { rec =>
+        val sum = digest.digest(rec.content).map("%02x".format(_)).mkString
+        digest.reset()
+        MediaFeatures(rec.doc_id, rec.kind, rec.content.length.toLong,
+          sum, decodeStub(rec.content))
+      }
+    }
+  }
+
+  /** DataFrame-level convenience: docs → binary payloads → features. */
+  def docFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val media = attachBinary(docs, idCol, textCol)
+      .select("doc_id", "kind", "content").as[MediaRecord]
+    extractFeatures(media).toDF()
+  }
+}

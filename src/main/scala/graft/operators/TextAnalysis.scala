@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst expressions (no UDFs), so the
+  * whole module runs inside whole-stage codegen and distributes trivially —
+  * each operator is a narrow per-row projection, no shuffle, which is the
+  * shape you want over 100 TB of documents.
+  *
+  * Hashes use a PORTABLE polynomial fold (not xxhash64/murmur) so the
+  * driver's DuckDB oracle can reproduce them bit-for-bit; see
+  * [[polyHash]].
+  */
+object TextAnalysis {
+
+  val HashMod = 1000000007L
+  val SimHashBits = 16
+
+  /** Character array of a string with empty slots removed. Spark's
+    * `split(c, "")` keeps a trailing empty string (Pattern.split with
+    * limit -1), which DuckDB's char split does not — filtering empties
+    * makes the two engines agree.
+    */
+  private def chars(c: Column): Column =
+    filter(split(c, ""), ch => length(ch) > 0)
+
+  /** Portable rolling/polynomial string hash:
+    * fold (acc * 31 + codepoint) % mod over the characters.
+    * Unlike xxhash64/murmur3 this is reproducible in any SQL engine with
+    * higher-order list functions, which is what makes fingerprint/simhash
+    * operators oracle-checkable.
+    */
+  def polyHash(c: Column, mod: Long = HashMod): Column =
+    aggregate(
+      transform(chars(c), ch => ascii(ch).cast(LongType)),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % mod)
+
+  /** Whitespace tokens (shared with dedup so shingles and counts agree). */
+  def tokens(text: Column): Column = graft.functions.tokens(text)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword segmentation count: runs of letters, runs of digits,
+    * or single other non-space chars — the standard pre-tokenizer regex
+    * shape; a cheap proxy for LLM token counts at corpus scale.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+  /** Fraction of tokens that are (English) stopwords; NULL for empty text. */
+  def stopwordRatio(text: Column): Column = {
+    val tk = tokens(text)
+    val sw = array(EnStopwords.map(lit): _*)
+    when(size(tk) > 0,
+      size(filter(tk, t => array_contains(sw, t))).cast(DoubleType) / size(tk))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+
+  /** Composite quality score in [0,1]: length saturation, token-count
+    * saturation, and non-punctuation ratio, averaged. All-rational
+    * arithmetic (no irrational ops) so it is exactly reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
+    val wordScore = least(size(tokens(text)).cast(DoubleType) / 100.0, lit(1.0))
+    val punctRatio = punctCount(text).cast(DoubleType) /
+      greatest(length(text).cast(DoubleType), lit(1.0))
+    (lenScore + wordScore + (lit(1.0) - punctRatio)) / 3.0
+  }
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "una", "por"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans"))
+
+  /** Marker-token hit count for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(m, t))).cast(LongType)
+  }
+
+  /** Heuristic language ID: argmax of marker hits with fixed priority
+    * order on ties, "und" (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: portable rolling hash of the whole text. */
+  def fingerprint(text: Column): Column = polyHash(text)
+
+  /** SimHash over whitespace tokens, [[SimHashBits]] bits: per-token
+    * portable hash → per-bit ±1 votes → sign. Near-duplicate documents
+    * differ in few tokens, so their simhashes sit within a small Hamming
+    * distance — banding the bits (see Dedup.simhashPairs) finds candidate
+    * pairs with zero cartesian products.
+    */
+  def simHash(text: Column): Column = {
+    val hs = transform(tokens(text), t => pmod(polyHash(t), lit(1L << SimHashBits)))
+    // bit j of h, via exact double division (h < 2^16, 2^j exact): portable.
+    def bits(h: Column): Column =
+      transform(sequence(lit(0), lit(SimHashBits - 1)),
+        j => pmod(floor(h.cast(DoubleType) / pow(lit(2.0), j.cast(DoubleType)))
+          .cast(LongType), lit(2L)))
+    val votes = aggregate(hs, array_repeat(lit(0L), SimHashBits),
+      (acc, h) => zip_with(acc, bits(h), (a, b) => a + b * 2L - 1L))
+    val powers = array((0 until SimHashBits).map(j => lit(1L << j)): _*)
+    aggregate(zip_with(votes, powers, (v, w) => when(v > 0, w).otherwise(0L)),
+      lit(0L), (a, b) => a + b)
+  }
+}

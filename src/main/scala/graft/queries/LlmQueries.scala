@@ -1,11 +1,310 @@
 package graft.queries
 
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** LLM-data-pipeline queries (dedup / similarity / text analysis /
-  * multimodal) — populated alongside graft.operators.
+/** LLM-data-pipeline queries: dedup (exact / n-gram Jaccard / MinHash-LSH /
+  * SimHash / embedding), similarity search (brute-force + IVF), text
+  * analysis, and multimodal metadata — each driver-verified against a
+  * DuckDB oracle.
+  *
+  * Oracle strategy per algorithm class:
+  *   - exact operators (exact dedup, n-gram Jaccard, brute-force top-k,
+  *     text stats): the oracle recomputes the same exact answer in SQL;
+  *   - MinHash-LSH: the oracle is the EXACT all-pairs Jaccard answer — the
+  *     engine's banded-LSH candidates + exact verification must therefore
+  *     achieve total recall at the threshold (k=64, r=4 at J≥0.5 planted
+  *     pairs: miss probability < 1e-20);
+  *   - SimHash / IVF: deterministic approximations whose oracle reproduces
+  *     the SAME algorithm via portable arithmetic (polynomial hashes, list
+  *     folds), so approximate results are still hash-checkable.
   */
 object LlmQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def queriesSubset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < 20)
+
+  private def strideCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.strideCentroids(t(s, dir, "embeddings"), "vec_id", "embedding", 25)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup stats per source (hash-groupBy dedup shape).
+    "q22_dedup_exact" -> ((s, dir) => {
+      Dedup.exactStats(t(s, dir, "documents"), col("text"), col("source"))
+        .orderBy("source")
+    }),
+
+    // Exact bigram-Jaccard near-dup pairs via inverted-index join.
+    "q23_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, threshold = 0.6).orderBy("i", "j")
+    }),
+
+    // MinHash-LSH candidates + exact-Jaccard verification (trigrams).
+    "q24_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5).orderBy("i", "j")
+    }),
+
+    // SimHash banding (16-bit portable simhash, 4-nibble bands).
+    "q25_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 2).orderBy("i", "j")
+    }),
+
+    // Text quality metrics (token counts, subword counts, ratios, score).
+    "q26_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subtokens"),
+        TextAnalysis.punctCount(col("text")).as("punct_cnt"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic vs the labeled lang: confusion counts.
+    "q27_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Document fingerprints: portable rolling hash + 16-bit simhash.
+    "q28_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-5 for the 20-vector query set.
+    "q29_embed_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(queriesSubset(s, dir), t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5).orderBy("qid", "rank")
+    }),
+
+    // IVF top-5 (20 stride centroids, nProbe=5) — the ANN scale path.
+    "q30_embed_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(queriesSubset(s, dir), t(s, dir, "embeddings"),
+        strideCentroids(s, dir), "vec_id", "embedding", k = 5, nProbe = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // Embedding near-dup pairs within IVF cells.
+    "q31_embed_dup" -> ((s, dir) => {
+      Dedup.embeddingDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        strideCentroids(s, dir), threshold = 0.3).orderBy("i", "j")
+    }),
+
+    // Multimodal payload metadata (binary column plumbing).
+    "q32_multimodal_meta" -> ((s, dir) => {
+      Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("kind"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  /** Portable polynomial hash of a string expression (matches
+    * TextAnalysis.polyHash).
+    */
+  private def oPolyHash(x: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($x, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
+
+  /** Whitespace tokens (matches graft.functions.tokens). */
+  private val oToks =
+    """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+
+  /** Exact n-gram Jaccard pairs ≥ threshold (ground truth for q23/q24). */
+  private def oJaccardPairs(n: Int, theta: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $oToks AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(tk) - ${n - 2}),
+       |      i -> list_aggregate(tk[i:i+${n - 1}], 'string_agg', ' ')))) AS s
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i, j, CAST(c AS BIGINT) AS common,
+       |         CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sizes si ON si.doc_id = i
+       |  JOIN sizes sj ON sj.doc_id = j)
+       |SELECT i, j, common, jaccard FROM jac
+       |WHERE jaccard >= $theta ORDER BY i, j""".stripMargin
+
+  /** Per-doc 16-bit simhash (matches TextAnalysis.simHash). */
+  private val oSimhash =
+    s"""simhash AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(16), j -> CASE WHEN v[j+1] > 0
+       |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
+       |      (a, b) -> a + b) AS sig
+       |  FROM (
+       |    SELECT doc_id, list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT),0,0,0,0,0,0,0,0,0,0,0,0,0,0,0],
+       |        list_transform(hs, hv -> list_transform(range(16),
+       |          j -> CAST(floor(hv / pow(2, j)) AS BIGINT) % 2))),
+       |      (acc, b) -> list_transform(range(16), j -> acc[j+1] + 2*b[j+1] - 1)) AS v
+       |    FROM (
+       |      SELECT doc_id, list_transform($oToks,
+       |        t -> ${oPolyHash("t")} % 65536) AS hs
+       |      FROM documents)))""".stripMargin
+
+  /** DOUBLE[] embeddings with norms (matches graft.functions fold order). */
+  private val oNorms =
+    """norms AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)),
+      |              (a, b) -> a + b)) AS nrm
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
+
+  private def oCos(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(64),
+       |  i -> $a.v[i+1] * $b.v[i+1])), (x, y) -> x + y) / ($a.nrm * $b.nrm)""".stripMargin
+
+  /** IVF cell assignment: nearest of the 20 stride centroids. */
+  private val oCells =
+    s"""centroids AS (
+       |  SELECT vec_id // 25 AS cid, v, nrm FROM norms WHERE vec_id % 25 = 0),
+       |cells AS (
+       |  SELECT vec_id AS id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${oCos("e", "c")} DESC, c.cid) AS rn
+       |    FROM norms e CROSS JOIN centroids c)
+       |  WHERE rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q23_dedup_ngram" -> oJaccardPairs(2, 0.6),
+
+    "q24_dedup_minhash" -> oJaccardPairs(3, 0.5),
+
+    "q25_dedup_simhash" ->
+      s"""WITH toksrc AS (SELECT doc_id, text FROM documents),
+         |$oSimhash
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         |ORDER BY i, j""".stripMargin,
+
+    "q26_text_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |         CAST(len($oToks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($oToks,
+         |           t -> list_contains(['the','a','an','of','to','and','in','is','on','for'], t))) AS BIGINT) AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens,
+         |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS punct_cnt
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_subtokens, punct_cnt,
+         |       CASE WHEN n_tokens > 0
+         |            THEN CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+         |       (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |        + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |        + (1.0 - CAST(punct_cnt AS DOUBLE)
+         |                 / greatest(CAST(length(text) AS DOUBLE), 1.0))) / 3.0 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q27_lang_id" ->
+      s"""WITH scores AS (
+         |  SELECT lang,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['the','and','of','to','in','is'], t))) AS BIGINT) AS s_en,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS BIGINT) AS s_de,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['el','la','los','que','una','por'], t))) AS BIGINT) AS s_es,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['le','les','des','est','une','dans'], t))) AS BIGINT) AS s_fr
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |         CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |              WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |              WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |              WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+         |              ELSE 'und' END AS predicted
+         |  FROM scores)
+         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q28_fingerprint" ->
+      s"""WITH $oSimhash
+         |SELECT d.doc_id, ${oPolyHash("d.text")} AS fp, s.sig AS simhash
+         |FROM documents d JOIN simhash s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q29_embed_topk" ->
+      s"""WITH $oNorms,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCos("q", "c")} AS cos
+         |  FROM norms q JOIN norms c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, nid, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q30_embed_ann_ivf" ->
+      s"""WITH $oNorms,
+         |$oCells,
+         |probed AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.vec_id AS qid, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${oCos("q", "c")} DESC, c.cid) AS pr
+         |    FROM norms q CROSS JOIN centroids c
+         |    WHERE q.vec_id < 20)
+         |  WHERE pr <= 5),
+         |ranked AS (
+         |  SELECT p.qid, n.vec_id AS nid, ${oCos("q", "n")} AS cos,
+         |         row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY ${oCos("q", "n")} DESC, n.vec_id) AS rank
+         |  FROM probed p
+         |  JOIN cells ON cells.cell = p.cell
+         |  JOIN norms n ON n.vec_id = cells.id
+         |  JOIN norms q ON q.vec_id = p.qid
+         |  WHERE n.vec_id <> p.qid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q31_embed_dup" ->
+      s"""WITH $oNorms,
+         |$oCells
+         |SELECT a.id AS i, b.id AS j, ${oCos("na", "nb")} AS cos
+         |FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+         |JOIN norms na ON na.vec_id = a.id
+         |JOIN norms nb ON nb.vec_id = b.id
+         |WHERE ${oCos("na", "nb")} >= 0.3
+         |ORDER BY i, j""".stripMargin,
+
+    "q32_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }
