@@ -56,16 +56,72 @@ final class GhcnPipeline(spark: SparkSession, cfg: GhcnConfig = GhcnConfig()) {
     } finally silver.unpersist()
   }
 
-  /** Read-only validation pass over the persisted layers — the reference's
-    * notebook 05 invariants as a report map.
+  /** Read-only validation pass over the persisted layers — the full
+    * notebook-05 report (notebooks/05_data_validation.py:20-265): schema
+    * conformance, per-layer counts and distinct stations, element frequency,
+    * completeness, anomaly counts, month/year coverage, cross-layer lineage
+    * (expected silver rows + station drift), partition footprint, and
+    * rule-based recommendations. Counts that the reference derives with
+    * separate actions are folded into single aggregate passes per layer.
     */
   def validationReport(): Map[String, Any] = {
-    val silver = TableIO.read(spark, cfg.storage.silverPath, cfg.sinkFormat)
-    val completeness = Validator.completeness(silver)
-    val schemaOk = Validator.validateSchema(silver, graft.core.GhcnSchemas.SilverSchema)
-    Map(
-      "silver_rows" -> silver.count(),
-      "schema_valid" -> schemaOk,
-      "completeness" -> completeness)
+    import org.apache.spark.sql.functions._
+    val bronze = TableIO.read(spark, cfg.storage.bronzePath, cfg.sinkFormat)
+    // Footprint BEFORE caching: once the path is cached, every read of it —
+    // even a fresh one — resolves to an InMemoryRelation through cache
+    // substitution, and Dataset.inputFiles finds no file relation in the
+    // optimized plan (returns empty).
+    val silverFootprint =
+      Validator.partitionFootprint(TableIO.read(spark, cfg.storage.silverPath, cfg.sinkFormat))
+    val silver = TableIO.read(spark, cfg.storage.silverPath, cfg.sinkFormat).cache()
+    try {
+      val monthly = TableIO.read(spark,
+        s"${cfg.storage.goldPath}/monthly_climate", cfg.sinkFormat)
+
+      val bronzeStats = Validator.globalStats(bronze, Seq("year"))
+      val silverStats = Validator.globalStats(silver, Seq("DATE"),
+        avgCols = Seq("data_quality_score"))
+      val completeness = Validator.completeness(silver)
+      val anomalies = Validator.anomalyCounts(silver)
+      val bronzeFootprint = Validator.partitionFootprint(bronze)
+      val bronzePartitions = bronzeFootprint("n_files").asInstanceOf[Long]
+      val actualYears = (bronzeStats.get("min_year"), bronzeStats.get("max_year"))
+
+      Map(
+        "schema_validation" -> Map(
+          "bronze_schema" -> Validator.validateSchema(bronze, graft.core.GhcnSchemas.BronzeSchema),
+          "silver_schema" -> Validator.validateSchema(silver, graft.core.GhcnSchemas.SilverSchema)),
+        "data_quality" -> (Map(
+          "bronze_records" -> bronze.count(),
+          "bronze_stations" -> bronze.select("ID").distinct().count(),
+          "bronze_year_range" -> actualYears,
+          "bronze_missing_values" -> bronze.filter(col("VALUE").isNull).count(),
+          "silver_records" -> silver.count(),
+          "silver_stations" -> silver.select("ID").distinct().count(),
+          "silver_date_range" -> (silverStats.get("min_DATE"), silverStats.get("max_DATE")),
+          "avg_quality_score" -> silverStats.get("avg_data_quality_score"),
+          "monthly_records" -> monthly.count()) ++ anomalies),
+        "element_distribution" ->
+          Validator.frequencyTable(bronze, "ELEMENT").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap,
+        "completeness" -> completeness,
+        "coverage" -> Map(
+          "months_covered" -> monthly.select("month").distinct().count(),
+          "years_covered" -> monthly.select("year").distinct().count(),
+          "monthly_agg_issues" ->
+            monthly.filter(col("min_temp") > col("max_temp")).count()),
+        "lineage" -> Map(
+          "expected_silver_records" -> Validator.lineageCardinality(bronze),
+          "stations_lost_bronze_to_silver" ->
+            Validator.stationDrift(bronze, silver).count()),
+        "performance" -> Map(
+          "bronze_partitions" -> bronzePartitions,
+          "silver_partitions" -> silverFootprint("n_files"),
+          "monthly_partitions" -> Validator.partitionFootprint(monthly)("n_files")),
+        "recommendations" -> Validator.recommendations(
+          anomalies("temperature_anomalies"),
+          anomalies("temperature_inconsistent"),
+          completeness, bronzePartitions))
+    } finally silver.unpersist()
   }
 }

@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different words entirely here now"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  // ------------------------------------------------------------- text ops
+
+  test("polyHash matches the reference fold and is order-sensitive") {
+    val r = docs.limit(1)
+      .select(TextAnalysis.polyHash(lit("hello")).as("h"),
+        TextAnalysis.polyHash(lit("olleh")).as("h2"))
+      .collect()(0)
+    // fold (acc*31 + codepoint) % 1000000007 over h,e,l,l,o
+    assert(r.getAs[Long]("h") === 99162322L)
+    assert(r.getAs[Long]("h") !== r.getAs[Long]("h2"))
+  }
+
+  test("token / subword / punct counts and quality score") {
+    val r = docs.filter($"doc_id" === 0)
+      .select(
+        TextAnalysis.tokenCount($"text").as("tc"),
+        TextAnalysis.subwordCount($"text").as("sc"),
+        TextAnalysis.punctCount($"text").as("pc"),
+        TextAnalysis.stopwordRatio($"text").as("sr"),
+        TextAnalysis.qualityScore($"text").as("q"))
+      .collect()(0)
+    assert(r.getAs[Long]("tc") === 9)
+    assert(r.getAs[Long]("sc") === 9) // all-letter words, no punct
+    assert(r.getAs[Long]("pc") === 0)
+    assert(math.abs(r.getAs[Double]("sr") - 2.0 / 9) < 1e-15) // 2× "the"
+    val q = r.getAs[Double]("q")
+    assert(q > 0 && q <= 1.0)
+  }
+
+  test("langId picks the marker-dominant language, und when none") {
+    val r = Seq(
+      (1L, "the fox is going to the market and back"),
+      (2L, "der hund und die katze das ist gut"),
+      (3L, "xyzzy plugh")
+    ).toDF("id", "text")
+      .select($"id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) === "en")
+    assert(r(2L) === "de")
+    assert(r(3L) === "und")
+  }
+
+  test("simHash: near-identical texts land within small hamming distance") {
+    val sigs = docs.select($"doc_id", TextAnalysis.simHash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(3L)) // exact dup → identical signature
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(2L)))
+    sigs.values.foreach(s => assert(s >= 0 && s < (1L << 16)))
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  test("exactStats and exactDedup") {
+    val stats = Dedup.exactStats(docs, $"text").collect()(0)
+    assert(stats.getAs[Long]("n_docs") === 5)
+    assert(stats.getAs[Long]("n_distinct") === 4)
+    assert(stats.getAs[Long]("n_dup_docs") === 1)
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 1L, 2L, 4L)) // 3 dropped (dup of 0, higher id)
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair exactly, no self/reverse pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect()
+    val keys = pairs.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    // 0-1 share 7 of 8+8 bigrams (J=7/9), 0-3 identical (J=1), 1-3 same as 0-1.
+    assert(keys === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("i") < r.getAs[Long]("j"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+    val exact = pairs.find(r => r.getAs[Long]("i") == 0 && r.getAs[Long]("j") == 3).get
+    assert(exact.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("minhashLshPairs agrees with exact ngram pairs on planted dups") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("simhashPairs: exact dups at hamming 0; plan has no cartesian product") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val collected = pairs.collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"), r.getAs[Long]("hamming")))
+    assert(collected.contains((0L, 3L, 0L)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"simhash dedup must join on nibble bands, not cross-join:\n$plan")
+  }
+
+  // ----------------------------------------------------------- similarity
+
+  private lazy val vecs: DataFrame = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (25L, Array(0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top.length === 2)
+    assert(top(0).getAs[Long]("nid") === 1L) // cos ≈ 0.994
+    assert(top(1).getAs[Long]("nid") === 25L) // cos ≈ 0.707
+    assert(top(0).getAs[Double]("cos") > top(1).getAs[Double]("cos"))
+  }
+
+  test("ivfTopK with full probe coverage equals brute force") {
+    val centroids = Similarity.strideCentroids(vecs, "vec_id", "embedding", 25)
+    // 2 centroids (ids 0, 25); probing both cells = exact search.
+    val ivf = Similarity.ivfTopK(vecs.filter($"vec_id" === 2), vecs, centroids,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+      .select("rank", "nid").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 2), vecs,
+      "vec_id", "embedding", k = 3)
+      .select("rank", "nid").as[(Long, Long)].collect().toSet
+    assert(ivf === bf)
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  test("multimodal: binary payload metadata + partition-batched features") {
+    val media = Multimodal.attachBinary(docs, "doc_id", "text")
+    val m0 = media.filter($"doc_id" === 0).collect()(0)
+    assert(m0.getAs[String]("kind") === "text/plain")
+    val meta = m0.getStruct(m0.fieldIndex("meta"))
+    assert(meta.getAs[Long]("n_bytes") === 43L)
+    assert(meta.getAs[String]("checksum").length === 32)
+
+    val feats = Multimodal.docFeatures(docs, "doc_id", "text")
+    val f0 = feats.filter($"doc_id" === 0).collect()(0)
+    assert(f0.getAs[Long]("n_bytes") === 43L)
+    assert(f0.getAs[String]("checksum") === meta.getAs[String]("checksum"))
+    val hist = f0.getSeq[Double](f0.fieldIndex("features"))
+    assert(hist.length === 8)
+    assert(math.abs(hist.sum - 1.0) < 1e-9) // normalized histogram
+    // deterministic: same payload → same features
+    val f3 = feats.filter($"doc_id" === 3).collect()(0)
+    assert(f3.getSeq[Double](f3.fieldIndex("features")) === hist)
+  }
+}
