@@ -48,20 +48,31 @@ object Dedup {
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(graft.functions.shingles(graft.functions.tokens(text), n))
 
-  /** docs ⇒ (id, shingle) exploded long table — the inverted-index side. */
+  /** docs ⇒ (id, shingle-hash) exploded table — the inverted-index side.
+    * Shingles are hashed to longs AT THE SOURCE: every downstream shuffle
+    * (doc-frequency agg, prefix join, band join) then moves 8-byte keys
+    * instead of n-gram strings, and set intersections compare longs.
+    * xxhash64 collisions are the usual negligible 2^-64-scale caveat.
+    */
   private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
                                n: Int): DataFrame =
     docs.select(col(idCol).as("__id"),
-      explode(shingleSet(col(textCol), n)).as("__sh"))
+      explode(hashedShingleSet(col(textCol), n)).as("__sh"))
+
+  /** Distinct shingle-hash array per doc (same hashing as above). */
+  private def hashedShingleSet(text: Column, n: Int): Column =
+    array_distinct(transform(shingleSet(text, n), s => xxhash64(s)))
 
   /** Exact Jaccard for candidate pairs carried as (i, j) against per-doc
-    * distinct shingle arrays: |A∩B| / (|A|+|B|-|A∩B|), int-exact then one
-    * double division (bit-identical in any engine).
+    * distinct shingle-hash arrays: |A∩B| / (|A|+|B|-|A∩B|), int-exact then
+    * one double division (bit-identical in any engine). The per-doc sets
+    * table is tiny relative to the candidate stream (8 bytes × set size ×
+    * docs), so AQE turns both joins into broadcast joins when it fits.
     */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
                             textCol: String, n: Int, threshold: Double): DataFrame = {
     val sets = docs.select(col(idCol).as("__vid"),
-      shingleSet(col(textCol), n).as("__set"))
+      hashedShingleSet(col(textCol), n).as("__set"))
     cands
       .join(sets.select(col("__vid").as("i"), col("__set").as("__si")), "i")
       .join(sets.select(col("__vid").as("j"), col("__set").as("__sj")), "j")
@@ -74,18 +85,50 @@ object Dedup {
 
   // ------------------------------------------------- n-gram Jaccard (exact)
 
-  /** Exact n-gram-Jaccard near-duplicate pairs via inverted-index join:
-    * docs sharing ≥1 shingle are candidates (equi-join on the shingle —
-    * shuffle by shingle, never all-pairs), then exact verification.
-    * At 100 TB add prefix filtering (only the rarest few shingles per doc
-    * as index keys) to cap the candidate fan-out; semantics identical.
+  /** Exact n-gram-Jaccard near-duplicate pairs via PREFIX-FILTERED
+    * inverted-index join (AllPairs/PPJoin-style), then exact verification.
+    *
+    * Naive inverted indexing joins every pair of docs once per shared
+    * shingle — over a skewed vocabulary (frequent shingles shared by most
+    * docs) that degenerates toward all-pairs × multiplicity. Prefix
+    * filtering restores the bound while staying EXACT:
+    *   - shingles get a global total order by (document frequency asc,
+    *     shingle asc) — rarest first;
+    *   - a doc with set size s only indexes its first
+    *     p = s - ceil(t*s) + 1 shingles in that order: any pair with
+    *     J >= t has overlap >= ceil(t * max(|A|,|B|)), so skipping the
+    *     last ceil(t*s)-1 shingles of each side cannot skip ALL common
+    *     shingles — prefixes of a qualifying pair must intersect;
+    *   - a length filter (t*|A| <= |B| <= |A|/t, necessary for J >= t)
+    *     prunes the rest before verification.
+    * Frequent shingles sort LAST, so they fall out of prefixes — the join
+    * keys that remain are the rare, selective ones.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val ex = explodedShingles(docs, idCol, textCol, n)
-    val cands = ex.select(col("__id").as("i"), col("__sh"))
-      .join(ex.select(col("__id").as("j"), col("__sh")), "__sh")
-      .filter(col("i") < col("j"))
+    val docFreq = ex.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val sized = ex.withColumn("__size", count(lit(1)).over(Window.partitionBy("__id")))
+    val rankW = Window.partitionBy("__id").orderBy(col("__df"), col("__sh"))
+    val prefix = sized
+      .join(docFreq, "__sh")
+      .withColumn("__rn", row_number().over(rankW))
+      .filter(col("__rn") <= col("__size") - ceil(col("__size") * threshold) + 1)
+      .select(col("__id"), col("__sh"), col("__size"), col("__rn"))
+    // Positional filter (PPJoin): a common prefix element at positions
+    // (rn_i, rn_j) caps the total overlap at min(size-rn) + 1 remaining
+    // elements; J >= t needs overlap >= t/(1+t)·(|A|+|B|). Rows failing the
+    // cap can't certify the pair — and a qualifying pair's FIRST common
+    // element always passes, so dropping failing rows loses nothing.
+    val cands = prefix.select(col("__id").as("i"), col("__sh"),
+      col("__size").as("__szi"), col("__rn").as("__rni"))
+      .join(prefix.select(col("__id").as("j"), col("__sh"),
+        col("__size").as("__szj"), col("__rn").as("__rnj")), "__sh")
+      .filter(col("i") < col("j") &&
+        col("__szj") >= col("__szi") * threshold &&
+        col("__szj") <= col("__szi") / threshold &&
+        least(col("__szi") - col("__rni"), col("__szj") - col("__rnj")) + 1 >=
+          ceil((col("__szi") + col("__szj")) * (threshold / (1 + threshold))))
       .select("i", "j").distinct()
     verifyJaccard(cands, docs, idCol, textCol, n, threshold)
   }
@@ -151,21 +194,22 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** SimHash near-duplicate pairs: 16-bit portable simhash, banded into 4
-    * nibbles. Any pair within Hamming distance ≤ 3 shares ≥1 identical
-    * nibble (pigeonhole), so the nibble equi-join has TOTAL recall for
+  /** SimHash near-duplicate pairs: portable simhash banded into 4 equal
+    * bit-groups. Any pair within Hamming distance ≤ 3 shares ≥1 identical
+    * band (pigeonhole), so the band equi-join has TOTAL recall for
     * maxHamming ≤ 3 — this is exact, not probabilistic, dedup.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 2): DataFrame = {
-    require(maxHamming <= 3, "4 nibble bands only guarantee recall for hamming <= 3")
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    val bandWidth = 1L << (TextAnalysis.SimHashBits / 4)
     val withSig = docs.select(col(idCol).as("__id"),
       TextAnalysis.simHash(col(textCol)).as("__sig"))
     val nibbles = withSig.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          pmod(floor(col("__sig").cast(DoubleType) / math.pow(16.0, b)).cast(LongType),
-            lit(16L)).as("nib"))): _*)).as("__b"))
+          pmod(floor(col("__sig").cast(DoubleType) / math.pow(bandWidth.toDouble, b)).cast(LongType),
+            lit(bandWidth)).as("nib"))): _*)).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band").as("band"), col("__b.nib").as("nib"))
     nibbles.select(col("__id").as("i"), col("__sig").as("__si"), col("band"), col("nib"))
       .join(nibbles.select(col("__id").as("j"), col("__sig").as("__sj"), col("band"), col("nib")),
@@ -189,13 +233,18 @@ object Dedup {
   def embeddingDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, threshold: Double): DataFrame = {
     val cells = Similarity.ivfAssign(vectors, idCol, vecCol, centroids)
-    val sides = cells.join(vectors.select(col(idCol).as("__cid"), col(vecCol).as("__v")),
+    // Norms once per row; each candidate pair then costs one dot fold.
+    // dot/(ni*nj) is the same arithmetic as cosineSimilarity, so scores
+    // stay bit-identical to the oracle.
+    val sides = cells.join(vectors.select(col(idCol).as("__cid"), col(vecCol).as("__v"),
+      graft.functions.l2Norm(col(vecCol)).as("__n")),
       col("id") === col("__cid"))
-      .select(col("id"), col("cell"), col("__v"))
-    sides.select(col("id").as("i"), col("cell"), col("__v").as("__vi"))
-      .join(sides.select(col("id").as("j"), col("cell"), col("__v").as("__vj")), "cell")
+      .select(col("id"), col("cell"), col("__v"), col("__n"))
+    sides.select(col("id").as("i"), col("cell"), col("__v").as("__vi"), col("__n").as("__ni"))
+      .join(sides.select(col("id").as("j"), col("cell"), col("__v").as("__vj"), col("__n").as("__nj")), "cell")
       .filter(col("i") < col("j"))
-      .withColumn("cos", graft.functions.cosineSimilarity(col("__vi"), col("__vj")))
+      .withColumn("cos", when(col("__ni") * col("__nj") =!= 0.0,
+        graft.functions.dotProduct(col("__vi"), col("__vj")) / (col("__ni") * col("__nj"))))
       .filter(col("cos") >= threshold)
       .select("i", "j", "cos")
   }

@@ -15,12 +15,25 @@ import org.apache.spark.sql.functions._
   * ~|cells|/nProbe. Both are deterministic (ties broken by id), which keeps
   * every result oracle-checkable.
   *
-  * Cosine arithmetic is a sequential left-fold over the array (see
-  * graft.functions.dotProduct) — float×float products are exact in double
-  * and the fold order matches DuckDB's list_reduce, so scores reproduce
-  * bit-for-bit cross-engine.
+  * Performance: norms are computed ONCE PER ROW and carried as a scalar
+  * column, so each scored pair costs a single dot-product fold (the naive
+  * cosine recomputes both norms per pair — 3× the array traversals).
+  * The arithmetic per pair — dot(a,b) / (||a||·||b||), left-fold order —
+  * is unchanged, so scores stay bit-identical to the DuckDB oracle.
+  * Cell assignment is a map-side-combinable max_by aggregate, not a
+  * row_number window (no per-id sort shuffle).
   */
 object Similarity {
+
+  /** cosine from a precomputed-norm pair; NULL when either norm is 0. */
+  private def cosFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na * nb =!= 0.0, graft.functions.dotProduct(a, b) / (na * nb))
+
+  /** (renamedId, vec, norm) projection — norm computed once per row. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       idAs: String, vecAs: String, nrmAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      graft.functions.l2Norm(col(vecCol)).as(nrmAs))
 
   /** Exact cosine top-k: broadcast the (small) query set against the
     * corpus, score every pair, keep k per query by (cos desc, id asc).
@@ -28,30 +41,34 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+    val q = withNorm(queries, idCol, vecCol, "qid", "__qv", "__qn")
+    val c = withNorm(corpus, idCol, vecCol, "nid", "__cv", "__cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", graft.functions.cosineSimilarity(col("__qv"), col("__cv")))
+      .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
 
-  /** Assign every vector to its nearest centroid (cos desc, centroid id
-    * tie-break). Centroids are broadcast; output is (id, cell).
+  /** Assign every vector to its nearest centroid (max cos, centroid id
+    * tie-break). Centroids are broadcast; the argmax is a max_by hash
+    * aggregate — partial aggregation runs map-side, so the only shuffle
+    * carries one pre-reduced row per (vector × partition), not the full
+    * vector×centroid cross product.
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
-    val c = centroids.select(col("cid"), col("cvec"))
-    val scored = vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(c))
-      .withColumn("__cos", graft.functions.cosineSimilarity(col("__v"), col("cvec")))
-    val w = Window.partitionBy("id").orderBy(desc("__cos"), col("cid"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("cid").as("cell"))
+    val v = withNorm(vectors, idCol, vecCol, "id", "__v", "__vn")
+    val c = centroids.select(col("cid"), col("cvec"),
+      graft.functions.l2Norm(col("cvec")).as("__cn"))
+    v.crossJoin(broadcast(c))
+      .withColumn("__cos", cosFromNorms(col("__v"), col("cvec"), col("__vn"), col("__cn")))
+      .groupBy("id")
+      // max_by with a (cos, -cid) struct: max cosine, ties to the SMALLEST
+      // centroid id — same choice as rank-1 of ORDER BY cos DESC, cid.
+      .agg(max_by(col("cid"), struct(col("__cos"), (-col("cid")).as("__neg"))).as("cell"))
   }
 
   /** Centroid table from the corpus itself: every `stride`-th vector.
@@ -71,19 +88,21 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val cells = ivfAssign(corpus, idCol, vecCol, centroids)
-    val corpusCells = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+    val corpusCells = withNorm(corpus, idCol, vecCol, "nid", "__cv", "__cn")
       .join(cells.withColumnRenamed("id", "nid"), "nid")
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val q = withNorm(queries, idCol, vecCol, "qid", "__qv", "__qn")
+    val cn = centroids.select(col("cid"), col("cvec"),
+      graft.functions.l2Norm(col("cvec")).as("__ccn"))
     val probeW = Window.partitionBy("qid").orderBy(desc("__pcos"), col("cid"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("__pcos", graft.functions.cosineSimilarity(col("__qv"), col("cvec")))
+    val probed = q.crossJoin(broadcast(cn))
+      .withColumn("__pcos", cosFromNorms(col("__qv"), col("cvec"), col("__qn"), col("__ccn")))
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nProbe)
-      .select(col("qid"), col("__qv"), col("cid").as("cell"))
+      .select(col("qid"), col("__qv"), col("__qn"), col("cid").as("cell"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("nid"))
     probed.join(corpusCells, "cell")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", graft.functions.cosineSimilarity(col("__qv"), col("__cv")))
+      .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))

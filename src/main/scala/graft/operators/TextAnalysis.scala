@@ -20,7 +20,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object TextAnalysis {
 
   val HashMod = 1000000007L
-  val SimHashBits = 16
+
+  /** 28 bits: wide enough that random doc pairs rarely collide within
+    * small Hamming distance (16 bits over a small vocabulary put ~12% of
+    * all pairs within distance 2, blowing up the candidate join), while
+    * staying under the ~30 bits of entropy one polyHash provides and
+    * splitting evenly into 4 bands of 7 for the banded pair join.
+    */
+  val SimHashBits = 28
 
   /** Character array of a string with empty slots removed. Spark's
     * `split(c, "")` keeps a trailing empty string (Pattern.split with

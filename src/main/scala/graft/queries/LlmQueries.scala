@@ -151,23 +151,29 @@ object LlmQueries {
        |SELECT i, j, common, jaccard FROM jac
        |WHERE jaccard >= $theta ORDER BY i, j""".stripMargin
 
-  /** Per-doc 16-bit simhash (matches TextAnalysis.simHash). */
-  private val oSimhash =
+  /** Per-doc simhash, width = TextAnalysis.SimHashBits (matches
+    * TextAnalysis.simHash).
+    */
+  private val oSimhash = {
+    val bits = TextAnalysis.SimHashBits
+    val mod = 1L << bits
+    val zeros = ("CAST(0 AS BIGINT)" +: Seq.fill(bits - 1)("0")).mkString("[", ",", "]")
     s"""simhash AS (
        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(16), j -> CASE WHEN v[j+1] > 0
+       |      list_transform(range($bits), j -> CASE WHEN v[j+1] > 0
        |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
        |      (a, b) -> a + b) AS sig
        |  FROM (
        |    SELECT doc_id, list_reduce(
-       |      list_prepend([CAST(0 AS BIGINT),0,0,0,0,0,0,0,0,0,0,0,0,0,0,0],
-       |        list_transform(hs, hv -> list_transform(range(16),
+       |      list_prepend($zeros,
+       |        list_transform(hs, hv -> list_transform(range($bits),
        |          j -> CAST(floor(hv / pow(2, j)) AS BIGINT) % 2))),
-       |      (acc, b) -> list_transform(range(16), j -> acc[j+1] + 2*b[j+1] - 1)) AS v
+       |      (acc, b) -> list_transform(range($bits), j -> acc[j+1] + 2*b[j+1] - 1)) AS v
        |    FROM (
        |      SELECT doc_id, list_transform($oToks,
-       |        t -> ${oPolyHash("t")} % 65536) AS hs
+       |        t -> ${oPolyHash("t")} % $mod) AS hs
        |      FROM documents)))""".stripMargin
+  }
 
   /** DOUBLE[] embeddings with norms (matches graft.functions fold order). */
   private val oNorms =

@@ -63,7 +63,8 @@ class OperatorsSpec extends SparkSpec {
     assert(sigs(0L) === sigs(3L)) // exact dup → identical signature
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(2L)))
-    sigs.values.foreach(s => assert(s >= 0 && s < (1L << 16)))
+    sigs.values.foreach(s =>
+      assert(s >= 0 && s < (1L << TextAnalysis.SimHashBits)))
   }
 
   // ---------------------------------------------------------------- dedup
