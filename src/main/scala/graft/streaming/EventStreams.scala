@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events-table shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference pipeline is batch-only full-refresh (SURVEY.md §2.10) —
+  * this module is the forward-looking streaming surface of the engine:
+  * the same transforms compose on a batch DataFrame or a readStream
+  * DataFrame (Structured Streaming's unified model), so a user can run the
+  * batch pipeline today and switch the source to a stream without
+  * rewriting queries.
+  *
+  * Scale notes: every operator here is keyed (event_type / user_id), so
+  * state is hash-partitioned across executors by the shuffle; watermarks
+  * bound state size (late data beyond the watermark is dropped, windows
+  * close and evict), which is what keeps indefinite streams at bounded
+  * memory on a 1000-executor cluster.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts + value sums per event type, with a
+    * watermark bounding state: readStream → withWatermark → window agg.
+    */
+  def windowedTypeCounts(events: DataFrame,
+                         watermark: String = "10 minutes",
+                         windowLength: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Session windows per user: built-in session_window with an inactivity
+    * gap — sessions close (and emit) once the watermark passes the gap.
+    */
+  def userSessions(events: DataFrame,
+                   watermark: String = "10 minutes",
+                   gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** One event as consumed by the stateful operators. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Per-user running state carried between micro-batches. */
+  case class UserState(n_events: Long, total_value: Double, n_errors: Long)
+
+  /** Emitted update after each micro-batch touch of a user. */
+  case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
+                        n_errors: Long, error_rate: Double)
+
+  /** Custom keyed state via mapGroupsWithState: a per-user running
+    * profile (event count, value total, error rate) updated every
+    * micro-batch — the KeyValueGroupedDataset escape hatch for semantics
+    * the built-in windowed aggregations can't express.
+    *
+    * `idleTimeout = Some(duration)` evicts idle users via a
+    * processing-time timeout, bounding state on indefinite streams.
+    * CAUTION: processing-time timeouts make the engine schedule continuous
+    * no-data micro-batches to fire them, so a timeout-enabled query never
+    * quiesces (StreamingQuery.processAllAvailable will not settle) — turn
+    * it on for long-running production streams, leave it off for
+    * drain-and-check usage.
+    */
+  def runningUserProfile(events: Dataset[Event],
+                         idleTimeout: Option[String] = None): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserUpdate](timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          if (idleTimeout.isDefined && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserUpdate(userId, s.n_events, s.total_value, s.n_errors,
+              if (s.n_events > 0) s.n_errors.toDouble / s.n_events else 0.0)
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0, 0L))
+            val evs = batch.toSeq
+            val next = UserState(
+              prev.n_events + evs.size,
+              prev.total_value + evs.map(_.value).sum,
+              prev.n_errors + evs.count(_.event_type == "error"))
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            UserUpdate(userId, next.n_events, next.total_value, next.n_errors,
+              if (next.n_events > 0) next.n_errors.toDouble / next.n_events else 0.0)
+          }
+      }
+  }
+
+  /** Wire a streaming DataFrame of events to a sink: transforms →
+    * writeStream with checkpointing. Returns the started query.
+    */
+  def startWindowedCounts(events: DataFrame, checkpointDir: String,
+                          queryName: String = "windowed_type_counts") =
+    windowedTypeCounts(events)
+      .writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

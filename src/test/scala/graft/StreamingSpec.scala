@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedTypeCounts aggregates tumbling event-time windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedTypeCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wtc").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "click", 2.0),
+        Event(3, ts(2), 1, "error", 5.0),
+        Event(4, ts(7), 1, "click", 3.0))
+      query.processAllAvailable()
+      val rows = spark.table("wtc")
+        .select("window_start", "event_type", "cnt", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(0), "error", 1L, 5.0),
+        (ts(5), "click", 1L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("userSessions closes sessions on the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.userSessions(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sessions").start()
+    try {
+      // user 1: events at 10:00 and 10:02 (one session), then 10:20 (a new
+      // session after >5 min of inactivity).
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(2), 1, "view", 1.0),
+        Event(3, ts(20), 1, "click", 1.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .filter($"user_id" === 1).orderBy("session_start").collect()
+      assert(sessions.length === 2)
+      assert(sessions(0).getAs[Long]("n_events") === 2)
+      assert(sessions(1).getAs[Long]("n_events") === 1)
+    } finally query.stop()
+  }
+
+  test("runningUserProfile keeps per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.runningUserProfile(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("profiles").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 2.0), Event(2, ts(1), 7, "error", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(3, ts(2), 7, "click", 3.0))
+      query.processAllAvailable()
+      val last = spark.table("profiles").filter($"user_id" === 7)
+        .orderBy(desc("n_events")).collect()(0)
+      // State carried across batches: 3 events total, 1 error.
+      assert(last.getAs[Long]("n_events") === 3)
+      assert(math.abs(last.getAs[Double]("total_value") - 6.0) < 1e-12)
+      assert(last.getAs[Long]("n_errors") === 1)
+      assert(math.abs(last.getAs[Double]("error_rate") - 1.0 / 3) < 1e-12)
+    } finally query.stop()
+  }
+
+  test("the same windowed transform runs in BATCH mode (unified model)") {
+    val batch = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(7), 1, "click", 2.0)).toDF()
+    val out = EventStreams.windowedTypeCounts(batch)
+      .orderBy("window_start").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("cnt")).toSeq === Seq(1L, 1L))
+  }
+}
