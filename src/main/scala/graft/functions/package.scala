@@ -48,6 +48,19 @@ package object functions {
     when(n =!= 0.0, d / n)
   }
 
+  /** Native codegen'd dot product for FLOAT arrays (the embedding hot
+    * path): same element order and widening as [[dotProduct]] — results
+    * are bit-identical — but compiled to a primitive loop instead of an
+    * interpreted higher-order-function fold.
+    */
+  def dotProductF(a: Column, b: Column): Column =
+    toColumn(graft.expressions.DotProductFloat(toExpression(a), toExpression(b)))
+
+  /** L2 norm of a float array via the native dot product: sqrt of the
+    * same sequential squares-sum [[l2Norm]] computes.
+    */
+  def l2NormF(a: Column): Column = sqrt(dotProductF(a, a))
+
   /** Whitespace tokenization that never yields empty tokens (unlike
     * split-on-single-space). Shared by dedup + text analysis so shingles
     * and token counts agree across operators.

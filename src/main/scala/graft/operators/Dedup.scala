@@ -237,14 +237,14 @@ object Dedup {
     // dot/(ni*nj) is the same arithmetic as cosineSimilarity, so scores
     // stay bit-identical to the oracle.
     val sides = cells.join(vectors.select(col(idCol).as("__cid"), col(vecCol).as("__v"),
-      graft.functions.l2Norm(col(vecCol)).as("__n")),
+      graft.functions.l2NormF(col(vecCol)).as("__n")),
       col("id") === col("__cid"))
       .select(col("id"), col("cell"), col("__v"), col("__n"))
     sides.select(col("id").as("i"), col("cell"), col("__v").as("__vi"), col("__n").as("__ni"))
       .join(sides.select(col("id").as("j"), col("cell"), col("__v").as("__vj"), col("__n").as("__nj")), "cell")
       .filter(col("i") < col("j"))
       .withColumn("cos", when(col("__ni") * col("__nj") =!= 0.0,
-        graft.functions.dotProduct(col("__vi"), col("__vj")) / (col("__ni") * col("__nj"))))
+        graft.functions.dotProductF(col("__vi"), col("__vj")) / (col("__ni") * col("__nj"))))
       .filter(col("cos") >= threshold)
       .select("i", "j", "cos")
   }

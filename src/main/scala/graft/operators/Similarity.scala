@@ -27,13 +27,13 @@ object Similarity {
 
   /** cosine from a precomputed-norm pair; NULL when either norm is 0. */
   private def cosFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    when(na * nb =!= 0.0, graft.functions.dotProduct(a, b) / (na * nb))
+    when(na * nb =!= 0.0, graft.functions.dotProductF(a, b) / (na * nb))
 
   /** (renamedId, vec, norm) projection — norm computed once per row. */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
                        idAs: String, vecAs: String, nrmAs: String): DataFrame =
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-      graft.functions.l2Norm(col(vecCol)).as(nrmAs))
+      graft.functions.l2NormF(col(vecCol)).as(nrmAs))
 
   /** Exact cosine top-k: broadcast the (small) query set against the
     * corpus, score every pair, keep k per query by (cos desc, id asc).
@@ -62,7 +62,7 @@ object Similarity {
                 centroids: DataFrame): DataFrame = {
     val v = withNorm(vectors, idCol, vecCol, "id", "__v", "__vn")
     val c = centroids.select(col("cid"), col("cvec"),
-      graft.functions.l2Norm(col("cvec")).as("__cn"))
+      graft.functions.l2NormF(col("cvec")).as("__cn"))
     v.crossJoin(broadcast(c))
       .withColumn("__cos", cosFromNorms(col("__v"), col("cvec"), col("__vn"), col("__cn")))
       .groupBy("id")
@@ -92,7 +92,7 @@ object Similarity {
       .join(cells.withColumnRenamed("id", "nid"), "nid")
     val q = withNorm(queries, idCol, vecCol, "qid", "__qv", "__qn")
     val cn = centroids.select(col("cid"), col("cvec"),
-      graft.functions.l2Norm(col("cvec")).as("__ccn"))
+      graft.functions.l2NormF(col("cvec")).as("__ccn"))
     val probeW = Window.partitionBy("qid").orderBy(desc("__pcos"), col("cid"))
     val probed = q.crossJoin(broadcast(cn))
       .withColumn("__pcos", cosFromNorms(col("__qv"), col("cvec"), col("__qn"), col("__ccn")))

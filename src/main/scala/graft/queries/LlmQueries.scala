@@ -109,6 +109,14 @@ object LlmQueries {
         strideCentroids(s, dir), threshold = 0.3).orderBy("i", "j")
     }),
 
+    // Corpus token frequencies: explode tokens → count → top-k.
+    "q33_token_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("token")).limit(50)
+    }),
+
     // Multimodal payload metadata (binary column plumbing).
     "q32_multimodal_meta" -> ((s, dir) => {
       Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text")
@@ -311,6 +319,11 @@ object LlmQueries {
          |JOIN norms nb ON nb.vec_id = b.id
          |WHERE ${oCos("na", "nb")} >= 0.3
          |ORDER BY i, j""".stripMargin,
+
+    "q33_token_freq" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT unnest($oToks) AS token FROM documents)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
 
     "q32_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS kind,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pairs = Seq(
+    (1L, Array(1.0f, 2.5f, -3.0f), Array(0.5f, -1.0f, 2.0f)),
+    (2L, Array(0.1f, 0.2f, 0.3f), Array(0.4f, 0.5f, 0.6f)),
+    (3L, Array.empty[Float], Array.empty[Float])
+  ).toDF("id", "a", "b")
+
+  test("native dot product is bit-identical to the HOF fold") {
+    val both = pairs.select(
+      graft.functions.dotProductF($"a", $"b").as("native"),
+      graft.functions.dotProduct($"a", $"b").as("hof"),
+      graft.functions.l2NormF($"a").as("native_norm"),
+      graft.functions.l2Norm($"a").as("hof_norm")).collect()
+    both.foreach { r =>
+      // exact bit equality, not tolerance — the whole point is oracle parity
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("mismatched lengths and null inputs yield NULL") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(1.0f))),
+      (None, Some(Array(1.0f))),
+      (Some(Array(1.0f)), None)
+    ).toDF("a", "b")
+      .select(graft.functions.dotProductF($"a", $"b").as("d"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("wrong input type fails analysis, not execution") {
+    val bad = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.dotProductF($"a", $"b")).collect()
+    }
+    assert(e.getMessage.contains("ARRAY<FLOAT>") ||
+      e.getMessage.toLowerCase.contains("datatype mismatch"))
+  }
+
+  test("expression works in both codegen and interpreted mode") {
+    val expected = 1.0f * 0.5f + 2.5f * -1.0f + -3.0f * 2.0f
+    val viaCodegen = pairs.filter($"id" === 1)
+      .select(graft.functions.dotProductF($"a", $"b")).collect()(0).getDouble(0)
+    assert(math.abs(viaCodegen - expected.toDouble) < 1e-6)
+    // interpreted path: eval through catalyst literals
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val expr = graft.expressions.DotProductFloat(
+      Literal.create(Array(1.0f, 2.5f, -3.0f), ArrayType(FloatType, false)),
+      Literal.create(Array(0.5f, -1.0f, 2.0f), ArrayType(FloatType, false)))
+    val interpreted = expr.eval(null).asInstanceOf[Double]
+    assert(java.lang.Double.doubleToLongBits(interpreted) ===
+      java.lang.Double.doubleToLongBits(viaCodegen))
+  }
+}
