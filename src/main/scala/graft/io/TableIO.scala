@@ -54,4 +54,19 @@ object TableIO {
   /** notebooks/04_gold_processing.py:148-155 — coalesced parquet export. */
   def exportParquet(df: DataFrame, path: String, numFiles: Int = 1): Unit =
     df.coalesce(numFiles).write.mode("overwrite").parquet(path)
+
+  /** Bucketed managed table write: pre-shuffles data into `numBuckets` by
+    * `bucketCols` ONCE at write time, so every later equi-join or
+    * aggregation on those columns reads co-located buckets and skips its
+    * shuffle entirely — the standard amortization for fact tables joined
+    * repeatedly on the same key at 100 TB. Requires a metastore table
+    * (bucket metadata lives in the catalog), hence saveAsTable.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, format: String = "parquet",
+                    mode: String = "overwrite"): Unit =
+    df.write.format(format).mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution has heavy hitters.
+  *
+  * AQE's skew-join splitting (on by default) handles most sort-merge skew
+  * at runtime; explicit salting remains the tool when (a) the skewed side
+  * feeds a broadcast-ineligible join AND the hot keys are known/computable,
+  * or (b) an aggregation hot-keys a single reducer. Salting trades one
+  * extra column + a small-side replication factor for even task sizes:
+  * the big side scatters each row to (key, salt ∈ [0,S)), the small side
+  * replicates each row S times, and the join key becomes (key, salt) — a
+  * hot key's rows now spread across S reducers instead of one.
+  */
+object Skew {
+
+  /** Inner/left equi-join with the LEFT side salted and the RIGHT side
+    * replicated `saltFactor` times. Semantics identical to
+    * `left.join(right, keys, joinType)` for 1:N joins (each left row still
+    * meets each matching right row exactly once).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    // Deterministic salt: hash of the whole left row modulo S — spreads a
+    // hot key's rows evenly without an RNG (reproducible plans, and no
+    // rand() re-evaluation hazards under retries).
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(saltFactor.toLong)))
+    val replicated = right
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial-aggregate on (keys, salt),
+    * then final-aggregate on keys. Use for aggregates that are
+    * associative+commutative (sum/count/min/max) when one group dominates.
+    * (Spark's hash aggregate already does map-side partials; the explicit
+    * salt matters when the FINAL reduce of one group exceeds a single
+    * task — e.g. collect-heavy or high-cardinality-payload aggs.)
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(saltFactor.toLong)))
+    salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+}

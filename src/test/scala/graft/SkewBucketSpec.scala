@@ -1,0 +1,58 @@
+package graft
+
+import graft.io.TableIO
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class SkewBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin matches the plain join result") {
+    val facts = Seq((1, 10.0), (1, 20.0), (1, 30.0), (2, 5.0), (3, 1.0))
+      .toDF("k", "v")
+    val dim = Seq((1, "hot"), (2, "warm"), (4, "unused")).toDF("k", "name")
+    val plain = facts.join(dim, Seq("k"), "inner")
+      .select("k", "v", "name").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val salted = Skew.saltedJoin(facts, dim, Seq("k"), saltFactor = 4)
+      .select("k", "v", "name").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(salted === plain)
+    // left join keeps unmatched left rows exactly once
+    val leftPlain = facts.join(dim, Seq("k"), "left").count()
+    val leftSalted = Skew.saltedJoin(facts, dim, Seq("k"), 4, "left").count()
+    assert(leftSalted === leftPlain)
+  }
+
+  test("saltedSum equals plain sum per key") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "cold" else "hot", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSum(df, Seq("k"), "v", saltFactor = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val a = (1 to 1000).map(i => (i.toLong % 100, i.toDouble)).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong % 100, i * 2.0)).toDF("k", "vb")
+    TableIO.writeBucketed(a, "bucketed_a", Seq("k"), numBuckets = 8)
+    TableIO.writeBucketed(b, "bucketed_b", Seq("k"), numBuckets = 8)
+    // disable auto-broadcast so the test can't pass vacuously via BHJ
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      // a real shuffle-join shape, but co-located buckets: no exchange
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+}
