@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Symmetric int8 quantization for embedding columns — the standard
+  * 4× storage/bandwidth reduction before shipping vectors to an ANN
+  * index or training shards.
+  *
+  * Per-vector scheme: scale = 127 / max|x|; q_i = clamp(round(x_i·scale)).
+  * Everything is rational arithmetic over exact inputs (floats widened to
+  * double), expressed with explicit floor(x+0.5) rounding so any SQL
+  * engine reproduces the integers bit-for-bit — which keeps quantization
+  * oracle-checkable like every other operator here. All narrow per-row
+  * projections: no shuffle, scales like a scan.
+  */
+object Quantization {
+
+  /** max |x_i| of a float-array column, as double (sequential fold). */
+  def maxAbs(v: Column): Column =
+    aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+
+  /** round-half-up via floor(x+0.5): identical in any engine (Spark's
+    * round() uses BigDecimal HALF_UP which can disagree with C-family
+    * rounding in representation corner cases; floor is floor everywhere).
+    */
+  private def rhu(x: Column): Column = floor(x + 0.5).cast(LongType)
+
+  /** int8 codes (as long array for portability) for one vector. */
+  def quantize(v: Column): Column = {
+    val scale = lit(127.0) / maxAbs(v)
+    transform(v, x =>
+      greatest(lit(-127L), least(lit(127L), rhu(x.cast(DoubleType) * scale))))
+  }
+
+  /** Reconstruction error: mean squared difference between original and
+    * dequantized values (sequential fold, deterministic).
+    */
+  def quantizationMse(v: Column): Column = {
+    val scale = lit(127.0) / maxAbs(v)
+    val sq = zip_with(v, quantize(v),
+      (x, q) => {
+        val diff = x.cast(DoubleType) - q.cast(DoubleType) / scale
+        diff * diff
+      })
+    aggregate(sq, lit(0.0), (acc, e) => acc + e) / size(sq)
+  }
+}

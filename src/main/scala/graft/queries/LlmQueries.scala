@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Quantization, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -124,6 +124,27 @@ object LlmQueries {
           col("meta.n_bytes").as("n_bytes"),
           col("meta.checksum").as("checksum"))
         .orderBy("doc_id")
+    }),
+
+    // int8 embedding quantization: per-vector scale, codes, exact MSE.
+    "q34_embed_quantize" -> ((s, dir) => {
+      val q = Quantization.quantize(col("embedding"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        Quantization.maxAbs(col("embedding")).as("max_abs"),
+        element_at(q, 1).as("q1"),
+        element_at(q, 2).as("q2"),
+        element_at(q, 3).as("q3"),
+        Quantization.quantizationMse(col("embedding")).as("mse"))
+        .orderBy("vec_id")
+    }),
+
+    // Deterministic stratified sample: exact per-language fractions,
+    // reproducible (hash-ordered, no rand()).
+    "q35_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 0.2)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
     })
   )
 
@@ -324,6 +345,35 @@ object LlmQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt
          |FROM (SELECT unnest($oToks) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    "q34_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |         list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+        |                     (a, b) -> greatest(a, b)) AS mx
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, mx,
+        |         list_transform(v, x -> greatest(-127, least(127,
+        |           CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)))) AS qv
+        |  FROM m)
+        |SELECT vec_id, mx AS max_abs, qv[1] AS q1, qv[2] AS q2, qv[3] AS q3,
+        |       list_reduce(list_prepend(0.0, list_transform(range(len(v)),
+        |         i -> (v[i+1] - qv[i+1] / (127.0 / mx)) * (v[i+1] - qv[i+1] / (127.0 / mx)))),
+        |         (a, b) -> a + b) / len(v) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q35_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ((doc_id * 2654435761) % 4294967296) % 1000000, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM ranked
+        |WHERE rn <= ceil(n * 0.2)
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "q32_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS kind,

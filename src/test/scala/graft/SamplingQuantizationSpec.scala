@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.{Quantization, Sampling}
+import org.apache.spark.sql.functions._
+
+class SamplingQuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantize: codes bounded, extremes hit ±127, mse small") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 1.0f))).toDF("id", "v")
+    val r = df.select(
+      Quantization.maxAbs($"v").as("mx"),
+      Quantization.quantize($"v").as("q"),
+      Quantization.quantizationMse($"v").as("mse")).collect()(0)
+    assert(r.getAs[Double]("mx") === 1.0)
+    val q = r.getSeq[Long](r.fieldIndex("q"))
+    assert(q === Seq(64L, -127L, 32L, 127L)) // 0.5*127=63.5 → half-up 64
+    assert(q.forall(c => c >= -127 && c <= 127))
+    assert(r.getAs[Double]("mse") < 1e-4)
+  }
+
+  test("deterministicSample is reproducible and roughly proportional") {
+    val df = spark.range(0, 10000).toDF("id")
+    val s1 = Sampling.deterministicSample(df, "id", 10).as[Long].collect().sorted
+    val s2 = Sampling.deterministicSample(df, "id", 10).as[Long].collect().sorted
+    assert(s1 === s2)
+    assert(s1.length > 500 && s1.length < 1500)
+  }
+
+  test("stratifiedSample: exact ceil(fraction*n) per stratum, reproducible") {
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 30) "a" else "b"))
+      .toDF("id", "s")
+    val sample = Sampling.stratifiedSample(df, "s", "id", 0.2)
+    val counts = sample.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") === 6) // ceil(30*0.2)
+    assert(counts("b") === 14) // ceil(70*0.2)
+    val again = Sampling.stratifiedSample(df, "s", "id", 0.2)
+      .select("id").as[Long].collect().sorted
+    assert(again === sample.select("id").as[Long].collect().sorted)
+  }
+}
