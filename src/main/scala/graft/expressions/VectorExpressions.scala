@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native dot product of two float-array columns.
   *
@@ -71,6 +71,79 @@ case class DotProductFloat(left: Expression, right: Expression)
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection size of two SORTED, DISTINCT long arrays via a codegen'd
+  * two-pointer merge — O(|A|+|B|) with zero allocation, replacing
+  * `size(array_intersect(a, b))`, which builds a hash set per evaluation.
+  * This is the verification kernel of the Jaccard dedup operators: it runs
+  * once per candidate PAIR (millions of times per job), which is exactly
+  * where a per-row hash-set allocation hurts.
+  *
+  * Callers must pre-sort with array_sort (once per document, not per
+  * pair). Results equal size(array_intersect) for distinct inputs, so
+  * oracle semantics are unchanged.
+  */
+case class IntersectCountSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"IntersectCountSortedLong expects two ARRAY<BIGINT> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(leftValue: Any, rightValue: Any): Any = {
+    val a = leftValue.asInstanceOf[ArrayData]
+    val b = rightValue.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long ${ev.value}Cnt = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.value}Cnt++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ${ev.value}Cnt;
        """.stripMargin
     })
 

@@ -61,6 +61,13 @@ package object functions {
     */
   def l2NormF(a: Column): Column = sqrt(dotProductF(a, a))
 
+  /** Intersection size of two SORTED DISTINCT long arrays — codegen'd
+    * two-pointer merge, equal to `size(array_intersect(a, b))` for such
+    * inputs without the per-evaluation hash set.
+    */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    toColumn(graft.expressions.IntersectCountSortedLong(toExpression(a), toExpression(b)))
+
   /** Whitespace tokenization that never yields empty tokens (unlike
     * split-on-single-space). Shared by dedup + text analysis so shingles
     * and token counts agree across operators.

@@ -71,12 +71,16 @@ object Dedup {
     */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
                             textCol: String, n: Int, threshold: Double): DataFrame = {
+    // Sorted once per DOC so the per-PAIR intersection (the part that runs
+    // millions of times) is a codegen'd two-pointer merge instead of a
+    // hash-set build per evaluation.
     val sets = docs.select(col(idCol).as("__vid"),
-      hashedShingleSet(col(textCol), n).as("__set"))
+      array_sort(hashedShingleSet(col(textCol), n)).as("__set"))
     cands
       .join(sets.select(col("__vid").as("i"), col("__set").as("__si")), "i")
       .join(sets.select(col("__vid").as("j"), col("__set").as("__sj")), "j")
-      .withColumn("common", size(array_intersect(col("__si"), col("__sj"))).cast(LongType))
+      .withColumn("common",
+        graft.functions.intersectCountSorted(col("__si"), col("__sj")))
       .withColumn("jaccard", col("common").cast(DoubleType) /
         (size(col("__si")) + size(col("__sj")) - col("common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)

@@ -45,6 +45,26 @@ class VectorExpressionsSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("datatype mismatch"))
   }
 
+  test("intersectCountSorted equals size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 7L), Array(3L, 4L, 5L, 9L)),
+      (Array(1L, 2L), Array(3L, 4L)),
+      (Array.empty[Long], Array(1L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L))
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.intersectCountSorted($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).cast("long").as("generic")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // interpreted path agrees with codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = graft.expressions.IntersectCountSortedLong(
+      Literal.create(Array(1L, 3L, 5L, 7L), ArrayType(LongType, false)),
+      Literal.create(Array(3L, 4L, 5L, 9L), ArrayType(LongType, false)))
+    assert(e.eval(null) === 2L)
+  }
+
   test("expression works in both codegen and interpreted mode") {
     val expected = 1.0f * 0.5f + 2.5f * -1.0f + -3.0f * 2.0f
     val viaCodegen = pairs.filter($"id" === 1)
