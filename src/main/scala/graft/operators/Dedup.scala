@@ -32,9 +32,12 @@ object Dedup {
         countDistinct(text).as("n_distinct"),
         (count(lit(1)) - countDistinct(text)).as("n_dup_docs"))
 
-  /** Keep the lowest-id row per exact text value. Shuffles once by text
-    * (hash of the full string — at scale, substitute md5(text) as the
-    * shuffle key to bound key width).
+  /** Keep the lowest-id row per exact text value. One shuffle, partitioned
+    * by the text column. (Shuffle partitioning hashes the key per row
+    * rather than shipping it separately, so substituting a digest for the
+    * text as the window key would not reduce wire volume — the rows move
+    * either way; for multi-MB payloads the lever is projecting the payload
+    * OUT before dedup and joining it back by id.)
     */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
