@@ -49,7 +49,7 @@ object Multimodal {
     * deterministic in the payload bytes so the downstream plumbing is
     * fully testable: an 8-bucket byte histogram, normalized.
     */
-  private[operators] def decodeStub(content: Array[Byte]): Array[Double] = {
+  private[graft] def decodeStub(content: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
     var i = 0
     while (i < content.length) {
@@ -58,6 +58,43 @@ object Multimodal {
     }
     val n = math.max(content.length, 1).toDouble
     hist.map(_ / n)
+  }
+
+  /** STUB — "resize": rebin the 8-bucket histogram to `buckets` (stands
+    * where an image resize kernel would run; deterministic in the input).
+    */
+  private[graft] def resizeStub(features: Array[Double], buckets: Int): Array[Double] = {
+    val out = new Array[Double](buckets)
+    var i = 0
+    while (i < features.length) {
+      out(i * buckets / features.length) += features(i)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB — "frame sampling": every `stride`-th fixed-size chunk of the
+    * payload (stands where video frame extraction would run). Returns the
+    * sampled chunks re-concatenated; deterministic in the input.
+    */
+  private[graft] def frameSampleStub(content: Array[Byte], frameSize: Int,
+                                         stride: Int): Array[Byte] = {
+    require(frameSize > 0 && stride > 0)
+    content.grouped(frameSize).zipWithIndex
+      .collect { case (frame, idx) if idx % stride == 0 => frame }
+      .flatten.toArray
+  }
+
+  /** Partition-batched frame sampling over the binary payload column —
+    * same mapPartitions shape as [[extractFeatures]]; output payloads are
+    * the sampled frames only (the shuffle-volume reduction a video
+    * pipeline does before heavier per-frame work).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int,
+                   stride: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(rec =>
+      rec.copy(content = frameSampleStub(rec.content, frameSize, stride))))
   }
 
   /** Partition-batched feature extraction: the mapInPandas-shaped pass.

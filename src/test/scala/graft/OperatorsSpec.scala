@@ -165,4 +165,23 @@ class OperatorsSpec extends SparkSpec {
     val f3 = feats.filter($"doc_id" === 3).collect()(0)
     assert(f3.getSeq[Double](f3.fieldIndex("features")) === hist)
   }
+
+  test("multimodal: resize rebin preserves mass; frame sampling keeps every k-th chunk") {
+    val rebinned = Multimodal.resizeStub(Array(0.1, 0.2, 0.3, 0.4, 0.0, 0.0, 0.0, 0.0), 4)
+    assert(rebinned.length === 4)
+    assert(math.abs(rebinned.sum - 1.0) < 1e-12)
+    rebinned.toSeq.zip(Seq(0.3, 0.7, 0.0, 0.0)).foreach { case (a, e) =>
+      assert(math.abs(a - e) < 1e-12)
+    }
+
+    val payload = (0 until 10).map(_.toByte).toArray
+    val sampled = Multimodal.frameSampleStub(payload, frameSize = 2, stride = 2)
+    assert(sampled.toSeq === Seq[Byte](0, 1, 4, 5, 8, 9)) // frames 0, 2, 4
+
+    val media = Multimodal.attachBinary(docs, "doc_id", "text")
+      .select("doc_id", "kind", "content").as[Multimodal.MediaRecord]
+    val out = Multimodal.sampleFrames(media, frameSize = 4, stride = 2).collect()
+    assert(out.length === docs.count())
+    out.foreach(r => assert(r.content.length <= 4 * ((43 / 4) / 2 + 2)))
+  }
 }
