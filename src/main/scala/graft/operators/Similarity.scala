@@ -72,13 +72,56 @@ object Similarity {
   }
 
   /** Centroid table from the corpus itself: every `stride`-th vector.
-    * Deterministic stand-in for k-means (which would be iterated
-    * aggregations of exactly this assign step).
+    * Deterministic k-means INIT (and a zero-cost stand-in where training
+    * isn't needed — the oracle-checked queries use it directly so the
+    * cell structure stays reproducible in SQL).
     */
   def strideCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       stride: Int): DataFrame =
     corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select((col(idCol) / stride).cast("long").as("cid"), col(vecCol).as("cvec"))
+
+  /** Lloyd's k-means over cosine assignment: iterate
+    * (assign to nearest centroid) → (new centroid = elementwise mean of
+    * the cell). Each iteration is ONE broadcast join + ONE hash aggregate
+    * over the corpus — the canonical Spark k-means shape: centroids
+    * (k × dim doubles) stay driver-small and broadcast, the corpus is
+    * never collected, and the per-cell mean is a map-side-combinable
+    * aggregate of element-wise vector sums. Deterministic given the
+    * deterministic init ([[strideCentroids]]); empty cells keep their
+    * previous centroid.
+    */
+  def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      init: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids = init.select(col("cid"), col("cvec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = centroids.head._2.length
+    for (_ <- 0 until iterations) {
+      val cDf = centroids.toSeq.toDF("cid", "cvec")
+      val cells = ivfAssign(corpus, idCol, vecCol, cDf)
+      // element-wise sum + count per cell: aggregate the vector column by
+      // folding each row's array into a running sum array (hash aggregate
+      // over `cell`, partial aggregation map-side).
+      val sums = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+        .join(cells, "id")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("__v"), i + 1).cast("double")).as(s"s$i")): _*).as("vsum"))
+        .collect()
+      val updated = sums.map { r =>
+        val cell = r.getAs[Long]("cell")
+        val n = r.getAs[Long]("n").toDouble
+        val mean = r.getSeq[Double](r.fieldIndex("vsum")).map(s => (s / n).toFloat).toArray
+        cell -> mean
+      }.toMap
+      centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    centroids.toSeq.toDF("cid", "cvec")
+  }
 
   /** IVF top-k: queries probe their nProbe nearest cells, exact rerank
     * within probed cells only. Approximate by construction (cross-cell

@@ -132,6 +132,29 @@ class OperatorsSpec extends SparkSpec {
     assert(top(0).getAs[Double]("cos") > top(1).getAs[Double]("cos"))
   }
 
+  test("kMeansCentroids converges toward cluster means and improves IVF cells") {
+    // two tight clusters around x-axis and y-axis
+    val clustered = Seq(
+      (0L, Array(1.0f, 0.05f, 0f)), (1L, Array(0.95f, -0.05f, 0f)),
+      (2L, Array(1.05f, 0.0f, 0f)), (25L, Array(0.05f, 1.0f, 0f)),
+      (26L, Array(-0.05f, 0.95f, 0f)), (27L, Array(0.0f, 1.05f, 0f))
+    ).toDF("vec_id", "embedding")
+    val init = Similarity.strideCentroids(clustered, "vec_id", "embedding", 25)
+    val trained = Similarity.kMeansCentroids(clustered, "vec_id", "embedding", init, 3)
+    assert(trained.count() === 2)
+    val cells = Similarity.ivfAssign(clustered, "vec_id", "embedding", trained)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cell")).toMap
+    // both clusters intact: members share a cell, clusters differ
+    assert(cells(0L) === cells(1L) && cells(1L) === cells(2L))
+    assert(cells(25L) === cells(26L) && cells(26L) === cells(27L))
+    assert(cells(0L) !== cells(25L))
+    // trained centroid ≈ cluster mean
+    val c = trained.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val xCell = cells(0L)
+    assert(math.abs(c(xCell)(0) - 1.0f) < 0.05f)
+    assert(math.abs(c(xCell)(1)) < 0.05f)
+  }
+
   test("ivfTopK with full probe coverage equals brute force") {
     val centroids = Similarity.strideCentroids(vecs, "vec_id", "embedding", 25)
     // 2 centroids (ids 0, 25); probing both cells = exact search.
