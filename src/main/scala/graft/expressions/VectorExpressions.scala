@@ -1,10 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native dot product of two float-array columns.
   *
@@ -90,6 +91,176 @@ case class DotProductFloat(left: Expression, right: Expression)
   * pair). Results equal size(array_intersect) for distinct inputs, so
   * oracle semantics are unchanged.
   */
+/** Single-pass kernel behind [[NgramHashSet]] (object methods compile to
+  * static forwarders, so generated code can call it directly).
+  */
+object NgramHash {
+
+  /** FNV-1a 64-bit over UTF-16 code units — a stable 64-bit token hash
+    * with no allocation.
+    */
+  private def tokenHash(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h = (h ^ s.charAt(i)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct, SORTED hashes of the word n-grams of `text`: tokenize on
+    * whitespace runs, hash tokens, combine each n-window with a rolling
+    * mix, sort + dedupe in place. Equality of n-grams ⇒ equality of
+    * hashes; the reverse holds modulo 64-bit collisions (the same caveat
+    * as hashing shingle strings).
+    */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    // token boundaries
+    var tokenHashes = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == tokenHashes.length) {
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
+        }
+        tokenHashes(nTok) = tokenHash(s, start, i)
+        nTok += 1
+      }
+    }
+    val nGrams = nTok - n + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val grams = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      var h = 0L
+      var k = 0
+      while (k < n) {
+        h = h * 0x9e3779b185ebca87L + tokenHashes(g + k)
+        k += 1
+      }
+      grams(g) = h
+      g += 1
+    }
+    java.util.Arrays.sort(grams)
+    // in-place dedupe of the sorted array
+    var out = 0
+    var r = 0
+    while (r < nGrams) {
+      if (r == 0 || grams(r) != grams(r - 1)) { grams(out) = grams(r); out += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(grams, out))
+  }
+}
+
+/** Kernel behind [[SimHashNative]]: must reproduce EXACTLY the portable
+  * arithmetic of TextAnalysis.simHash (and its DuckDB oracle): per token,
+  * fold (acc*31 + codepoint) % 1000000007 over the characters, reduce
+  * modulo 2^bits, vote ±1 per bit, emit the sign bits. Characters are
+  * UTF-16 units here vs first-codepoint `ascii()` in the HOF/SQL version —
+  * identical for ASCII and BMP text (the hash is only defined portably for
+  * those anyway).
+  */
+object SimHashKernel {
+  def compute(text: UTF8String, bits: Int): Long = {
+    val s = text.toString
+    val votes = new Array[Int](bits)
+    val mod = 1L << bits
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      var h = 0L
+      var inTok = false
+      while (i < len && !Character.isWhitespace(s.charAt(i))) {
+        h = (h * 31 + s.charAt(i)) % 1000000007L
+        inTok = true
+        i += 1
+      }
+      if (inTok) {
+        val hm = h % mod
+        var j = 0
+        while (j < bits) {
+          if (((hm >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}
+
+/** SimHash of a string column in one compiled pass — same value as the
+  * HOF composition in TextAnalysis.simHash, which walks interpreted
+  * nested lambdas per token and dominated the simhash dedup benchmark.
+  */
+case class SimHashNative(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 62)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"SimHashNative expects a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.compute(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHashKernel.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct sorted word-n-gram hashes of a string column in ONE compiled
+  * pass. The equivalent composition of built-ins —
+  * array_sort(array_distinct(transform(shingles(tokens(text)), xxhash64)))
+  * — walks five interpreted higher-order functions per row and dominated
+  * the dedup benchmarks; this expression is the same set semantics as a
+  * tight loop. Output is sorted, so it feeds
+  * [[IntersectCountSortedLong]] directly.
+  */
+case class NgramHashSet(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"NgramHashSet expects a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHash.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.NgramHash.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class IntersectCountSortedLong(left: Expression, right: Expression)
     extends BinaryExpression {
 

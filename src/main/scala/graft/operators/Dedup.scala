@@ -62,9 +62,14 @@ object Dedup {
     docs.select(col(idCol).as("__id"),
       explode(hashedShingleSet(col(textCol), n)).as("__sh"))
 
-  /** Distinct shingle-hash array per doc (same hashing as above). */
-  private def hashedShingleSet(text: Column, n: Int): Column =
-    array_distinct(transform(shingleSet(text, n), s => xxhash64(s)))
+  /** Distinct SORTED shingle-hash array per doc — one compiled pass
+    * (expressions/NgramHashSet) instead of five interpreted HOFs; set
+    * semantics identical to hashing the string shingles.
+    */
+  private def hashedShingleSet(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.NgramHashSet(toExpression(text), n))
+  }
 
   /** Exact Jaccard for candidate pairs carried as (i, j) against per-doc
     * distinct shingle-hash arrays: |A∩B| / (|A|+|B|-|A∩B|), int-exact then
@@ -74,11 +79,11 @@ object Dedup {
     */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
                             textCol: String, n: Int, threshold: Double): DataFrame = {
-    // Sorted once per DOC so the per-PAIR intersection (the part that runs
-    // millions of times) is a codegen'd two-pointer merge instead of a
-    // hash-set build per evaluation.
+    // hashedShingleSet is already sorted, so the per-PAIR intersection
+    // (the part that runs millions of times) is a codegen'd two-pointer
+    // merge instead of a hash-set build per evaluation.
     val sets = docs.select(col(idCol).as("__vid"),
-      array_sort(hashedShingleSet(col(textCol), n)).as("__set"))
+      hashedShingleSet(col(textCol), n).as("__set"))
     cands
       .join(sets.select(col("__vid").as("i"), col("__set").as("__si")), "i")
       .join(sets.select(col("__vid").as("j"), col("__set").as("__sj")), "j")
@@ -122,6 +127,10 @@ object Dedup {
       .withColumn("__rn", row_number().over(rankW))
       .filter(col("__rn") <= col("__size") - ceil(col("__size") * threshold) + 1)
       .select(col("__id"), col("__sh"), col("__size"), col("__rn"))
+      // cached: both sides of the self-join read this — Spark does not
+      // reuse the exchange across differently-aliased sides, so without
+      // the cache the whole explode→df→rank pipeline runs twice
+      .cache()
     // Positional filter (PPJoin): a common prefix element at positions
     // (rn_i, rn_j) caps the total overlap at min(size-rn) + 1 remaining
     // elements; J >= t needs overlap >= t/(1+t)·(|A|+|B|). Rows failing the
@@ -190,7 +199,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.5,
                       numHashes: Int = 64, bandRows: Int = 4): DataFrame = {
-    val bands = minhashBands(docs, idCol, textCol, n, numHashes, bandRows)
+    // cached: self-joined below; without it the signature aggregate (the
+    // expensive stage) executes once per join side
+    val bands = minhashBands(docs, idCol, textCol, n, numHashes, bandRows).cache()
     val cands = bands.select(col("__id").as("i"), col("band"), col("bandKey"))
       .join(bands.select(col("__id").as("j"), col("band"), col("bandKey")),
         Seq("band", "bandKey"))
@@ -218,6 +229,7 @@ object Dedup {
           pmod(floor(col("__sig").cast(DoubleType) / math.pow(bandWidth.toDouble, b)).cast(LongType),
             lit(bandWidth)).as("nib"))): _*)).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band").as("band"), col("__b.nib").as("nib"))
+      .cache() // self-joined below; avoids computing signatures twice
     nibbles.select(col("__id").as("i"), col("__sig").as("__si"), col("band"), col("nib"))
       .join(nibbles.select(col("__id").as("j"), col("__sig").as("__sj"), col("band"), col("nib")),
         Seq("band", "nib"))

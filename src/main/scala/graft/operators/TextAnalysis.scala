@@ -121,10 +121,23 @@ object TextAnalysis {
     * differ in few tokens, so their simhashes sit within a small Hamming
     * distance — banding the bits (see Dedup.simhashPairs) finds candidate
     * pairs with zero cartesian products.
+    *
+    * Computed by a native compiled kernel (expressions/SimHashNative)
+    * that reproduces the portable arithmetic exactly — the HOF
+    * composition it replaces ([[simHashHof]]) walks interpreted nested
+    * lambdas per token.
     */
   def simHash(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.SimHashNative(toExpression(text), SimHashBits))
+  }
+
+  /** Reference HOF formulation of [[simHash]] — kept (and tested) as the
+    * executable specification the native kernel must match.
+    */
+  def simHashHof(text: Column): Column = {
     val hs = transform(tokens(text), t => pmod(polyHash(t), lit(1L << SimHashBits)))
-    // bit j of h, via exact double division (h < 2^16, 2^j exact): portable.
+    // bit j of h, via exact double division (h < 2^28, 2^j exact): portable.
     def bits(h: Column): Column =
       transform(sequence(lit(0), lit(SimHashBits - 1)),
         j => pmod(floor(h.cast(DoubleType) / pow(lit(2.0), j.cast(DoubleType)))

@@ -45,14 +45,16 @@ object LlmQueries {
     }),
 
     // MinHash-LSH candidates + exact-Jaccard verification (trigrams).
-    // 16 bands × 6 rows: near-dup pairs (J≈0.99 here) collide w.p. ~1 while
-    // background pairs (J<0.1 on this corpus) almost never do — selectivity
-    // is what keeps the candidate set linear-ish. With a corpus whose pair
-    // similarities crowd the threshold, widen recall with more/shorter
-    // bands at the cost of more candidates.
+    // 8 bands × 6 rows: near-dup pairs (J≈0.99 here) collide w.p.
+    // 1-(1-0.99^6)^8 ≈ 1-6e-10 while background pairs (J<0.1 on this
+    // corpus) almost never do — band selectivity keeps the candidate set
+    // linear-ish, and 48 hash exprs keep the signature aggregate's
+    // generated code compact (codegen compile time grows with agg width).
+    // With a corpus whose pair similarities crowd the threshold, widen
+    // recall with more/shorter bands at the cost of more candidates.
     "q24_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, numHashes = 96, bandRows = 6).orderBy("i", "j")
+        n = 3, threshold = 0.5, numHashes = 48, bandRows = 6).orderBy("i", "j")
     }),
 
     // SimHash banding (16-bit portable simhash, 4-nibble bands).

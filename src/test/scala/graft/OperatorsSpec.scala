@@ -57,6 +57,13 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L) === "und")
   }
 
+  test("native simHash equals the HOF executable specification") {
+    val both = docs.select(
+      TextAnalysis.simHash($"text").as("native"),
+      TextAnalysis.simHashHof($"text").as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("simHash: near-identical texts land within small hamming distance") {
     val sigs = docs.select($"doc_id", TextAnalysis.simHash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
