@@ -141,6 +141,18 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // One Lloyd's k-means iteration over the embeddings (train centroids,
+    // reassign, count cells) — the oracle replicates the full iteration in
+    // SQL including the float rounding of the updated centroids.
+    "q37_kmeans_cells" -> ((s, dir) => {
+      val corpus = t(s, dir, "embeddings")
+      val trained = Similarity.kMeansCentroids(corpus, "vec_id", "embedding",
+        strideCentroids(s, dir), iterations = 1)
+      Similarity.ivfAssign(corpus, "vec_id", "embedding", trained)
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .orderBy("cell")
+    }),
+
     // Deterministic stratified sample: exact per-language fractions,
     // reproducible (hash-ordered, no rand()).
     "q35_stratified_sample" -> ((s, dir) => {
@@ -365,6 +377,36 @@ object LlmQueries {
         |         i -> (v[i+1] - qv[i+1] / (127.0 / mx)) * (v[i+1] - qv[i+1] / (127.0 / mx)))),
         |         (a, b) -> a + b) / len(v) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q37_kmeans_cells" ->
+      s"""WITH $oNorms,
+         |$oCells,
+         |grouped AS (
+         |  SELECT cells.cell, count(*) AS n, list(norms.v) AS vs
+         |  FROM cells JOIN norms ON norms.vec_id = cells.id
+         |  GROUP BY cells.cell),
+         |trained AS (
+         |  SELECT c0.cid,
+         |         CASE WHEN g.cell IS NULL THEN CAST(c0.v AS REAL[])
+         |              ELSE list_transform(range(64), j ->
+         |                CAST(list_reduce(list_prepend(0.0,
+         |                       list_transform(g.vs, x -> x[j+1])), (a, b) -> a + b)
+         |                     / g.n AS REAL)) END AS cvec
+         |  FROM centroids c0 LEFT JOIN grouped g ON g.cell = c0.cid),
+         |tn AS (
+         |  SELECT cid, CAST(cvec AS DOUBLE[]) AS v,
+         |         sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(CAST(cvec AS DOUBLE[]), x -> x*x)), (a, b) -> a + b)) AS nrm
+         |  FROM trained),
+         |assign1 AS (
+         |  SELECT vec_id AS id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${oCos("e", "c")} DESC, c.cid) AS rn
+         |    FROM norms e CROSS JOIN tn c)
+         |  WHERE rn = 1)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+         |FROM assign1 GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q35_stratified_sample" ->
       """WITH ranked AS (

@@ -310,6 +310,21 @@ object RelationalQueries {
         .orderBy("segment")
     }),
 
+    // Skew-mitigated join: salted equi-join (operators/Skew) — semantics
+    // identical to the plain join, so the oracle is plain SQL; the salt
+    // only changes the physical key distribution.
+    "q36_salted_join" -> ((s, dir) => {
+      val right = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(
+        t(s, dir, "lineitem"), right, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // J2: join back to an aggregate of the same input (anomaly vs normals,
     // gold_processor.py:211-225).
     "q21_anomaly_join" -> ((s, dir) => {
@@ -501,6 +516,13 @@ object RelationalQueries {
          |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
          |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q36_salted_join" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+         |       sum(l_quantity) AS sum_qty,
+         |       ${oSum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q21_anomaly_join" ->
       s"""SELECT o_orderkey, o_custkey,
