@@ -325,6 +325,21 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Sessionization via session_window (the streaming operator, batch
+    // mode): 5-minute inactivity gap over second-truncated event times.
+    // Oracle: the classic gaps-and-islands formulation.
+    "q38_sessionize" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("user_id"), col("value"),
+          timestamp_seconds(expr("ts DIV 1000000000")).as("t"))
+        .groupBy(session_window(col("t"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // J2: join back to an aggregate of the same input (anomaly vs normals,
     // gold_processor.py:211-225).
     "q21_anomaly_join" -> ((s, dir) => {
@@ -523,6 +538,28 @@ object RelationalQueries {
          |       ${oSum("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q38_sessionize" ->
+      s"""WITH ts AS (
+         |  SELECT user_id, value,
+         |         epoch_ns(ts) // 1000000000 AS t_s
+         |  FROM events),
+         |marked AS (
+         |  SELECT user_id, value, t_s,
+         |         CASE WHEN t_s - lag(t_s) OVER w >= 300
+         |              OR lag(t_s) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+         |  FROM ts
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY t_s)),
+         |sessions AS (
+         |  SELECT user_id, value, t_s,
+         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY t_s
+         |           ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id, min(t_s) AS session_start,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${oSum("value")} AS session_value
+         |FROM sessions GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
 
     "q21_anomaly_join" ->
       s"""SELECT o_orderkey, o_custkey,
