@@ -12,9 +12,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM (codegen compiler, shuffle machinery) and the parquet
     // footers once, so per-query times measure the queries, not startup.
+    // events needs the nanos conf BEFORE its footer is read (its ts column
+    // is TIMESTAMP(NANOS), illegal to the reader otherwise).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").schema
       catch { case _: Throwable => }
     }

@@ -66,40 +66,47 @@ final class GhcnPipeline(spark: SparkSession, cfg: GhcnConfig = GhcnConfig()) {
     */
   def validationReport(): Map[String, Any] = {
     import org.apache.spark.sql.functions._
-    val bronze = TableIO.read(spark, cfg.storage.bronzePath, cfg.sinkFormat)
-    // Footprint BEFORE caching: once the path is cached, every read of it —
+    // Footprints BEFORE caching: once a path is cached, every read of it —
     // even a fresh one — resolves to an InMemoryRelation through cache
     // substitution, and Dataset.inputFiles finds no file relation in the
     // optimized plan (returns empty).
+    val bronzeFootprint =
+      Validator.partitionFootprint(TableIO.read(spark, cfg.storage.bronzePath, cfg.sinkFormat))
     val silverFootprint =
       Validator.partitionFootprint(TableIO.read(spark, cfg.storage.silverPath, cfg.sinkFormat))
+    val bronze = TableIO.read(spark, cfg.storage.bronzePath, cfg.sinkFormat).cache()
     val silver = TableIO.read(spark, cfg.storage.silverPath, cfg.sinkFormat).cache()
     try {
       val monthly = TableIO.read(spark,
         s"${cfg.storage.goldPath}/monthly_climate", cfg.sinkFormat)
 
-      val bronzeStats = Validator.globalStats(bronze, Seq("year"))
+      // One aggregate pass for the bronze scalar stats (the reference runs
+      // one action per metric — notebooks/05:37-46).
+      val bronzeRow = bronze.agg(
+        count(lit(1)).as("records"),
+        countDistinct(col("ID")).as("stations"),
+        min("year").as("min_year"), max("year").as("max_year"),
+        sum(when(col("VALUE").isNull, 1L).otherwise(0L)).as("missing")).collect()(0)
       val silverStats = Validator.globalStats(silver, Seq("DATE"),
         avgCols = Seq("data_quality_score"))
       val completeness = Validator.completeness(silver)
       val anomalies = Validator.anomalyCounts(silver)
-      val bronzeFootprint = Validator.partitionFootprint(bronze)
       val bronzePartitions = bronzeFootprint("n_files").asInstanceOf[Long]
-      val actualYears = (bronzeStats.get("min_year"), bronzeStats.get("max_year"))
 
       Map(
         "schema_validation" -> Map(
           "bronze_schema" -> Validator.validateSchema(bronze, graft.core.GhcnSchemas.BronzeSchema),
           "silver_schema" -> Validator.validateSchema(silver, graft.core.GhcnSchemas.SilverSchema)),
         "data_quality" -> (Map(
-          "bronze_records" -> bronze.count(),
-          "bronze_stations" -> bronze.select("ID").distinct().count(),
-          "bronze_year_range" -> actualYears,
-          "bronze_missing_values" -> bronze.filter(col("VALUE").isNull).count(),
+          "bronze_records" -> bronzeRow.getAs[Long]("records"),
+          "bronze_stations" -> bronzeRow.getAs[Long]("stations"),
+          "bronze_year_range" ->
+            (bronzeRow.getAs[Int]("min_year"), bronzeRow.getAs[Int]("max_year")),
+          "bronze_missing_values" -> bronzeRow.getAs[Long]("missing"),
           "silver_records" -> silver.count(),
           "silver_stations" -> silver.select("ID").distinct().count(),
-          "silver_date_range" -> (silverStats.get("min_DATE"), silverStats.get("max_DATE")),
-          "avg_quality_score" -> silverStats.get("avg_data_quality_score"),
+          "silver_date_range" -> (silverStats("min_DATE"), silverStats("max_DATE")),
+          "avg_quality_score" -> silverStats("avg_data_quality_score"),
           "monthly_records" -> monthly.count()) ++ anomalies),
         "element_distribution" ->
           Validator.frequencyTable(bronze, "ELEMENT").collect()
@@ -122,6 +129,9 @@ final class GhcnPipeline(spark: SparkSession, cfg: GhcnConfig = GhcnConfig()) {
           anomalies("temperature_anomalies"),
           anomalies("temperature_inconsistent"),
           completeness, bronzePartitions))
-    } finally silver.unpersist()
+    } finally {
+      silver.unpersist()
+      bronze.unpersist()
+    }
   }
 }

@@ -25,6 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  /** Can yield NULL for mismatched lengths / null elements even when both
+    * children are non-nullable — without this override the non-nullable
+    * codegen branch would emit an assignment to a `false` literal.
+    */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true
@@ -80,17 +86,6 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Intersection size of two SORTED, DISTINCT long arrays via a codegen'd
-  * two-pointer merge — O(|A|+|B|) with zero allocation, replacing
-  * `size(array_intersect(a, b))`, which builds a hash set per evaluation.
-  * This is the verification kernel of the Jaccard dedup operators: it runs
-  * once per candidate PAIR (millions of times per job), which is exactly
-  * where a per-row hash-set allocation hurts.
-  *
-  * Callers must pre-sort with array_sort (once per document, not per
-  * pair). Results equal size(array_intersect) for distinct inputs, so
-  * oracle semantics are unchanged.
-  */
 /** Single-pass kernel behind [[NgramHashSet]] (object methods compile to
   * static forwarders, so generated code can call it directly).
   */
@@ -123,9 +118,9 @@ object NgramHash {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && KernelWhitespace.is(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !KernelWhitespace.is(s.charAt(i))) i += 1
       if (i > start) {
         if (nTok == tokenHashes.length) {
           tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
@@ -160,6 +155,18 @@ object NgramHash {
   }
 }
 
+
+/** Shared by the string kernels: Java regex `\\s` semantics (ASCII
+  * whitespace only) — the kernels must tokenize EXACTLY like
+  * graft.functions.tokens (split on `\\s+`) and the DuckDB oracles
+  * (string_split_regex '\\s+'); Character.isWhitespace also matches
+  * U+2028/U+0085 etc. and would silently diverge on such input.
+  */
+private[expressions] object KernelWhitespace {
+  def is(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}
+
 /** Kernel behind [[SimHashNative]]: must reproduce EXACTLY the portable
   * arithmetic of TextAnalysis.simHash (and its DuckDB oracle): per token,
   * fold (acc*31 + codepoint) % 1000000007 over the characters, reduce
@@ -176,10 +183,10 @@ object SimHashKernel {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && KernelWhitespace.is(s.charAt(i))) i += 1
       var h = 0L
       var inTok = false
-      while (i < len && !Character.isWhitespace(s.charAt(i))) {
+      while (i < len && !KernelWhitespace.is(s.charAt(i))) {
         h = (h * 31 + s.charAt(i)) % 1000000007L
         inTok = true
         i += 1
@@ -261,6 +268,18 @@ case class NgramHashSet(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Intersection size of two SORTED, DISTINCT long arrays via a codegen'd
+  * two-pointer merge — O(|A|+|B|) with zero allocation, replacing
+  * `size(array_intersect(a, b))`, which builds a hash set per evaluation.
+  * This is the verification kernel of the Jaccard dedup operators: it runs
+  * once per candidate PAIR (millions of times per job), which is exactly
+  * where a per-row hash-set allocation hurts.
+  *
+  * Inputs must be pre-sorted (once per document, not per pair) —
+  * NgramHashSet emits sorted arrays directly. Results equal
+  * size(array_intersect) for distinct inputs, so oracle semantics are
+  * unchanged.
+  */
 case class IntersectCountSortedLong(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *     narrow projection after the join.
   *   - Signatures are per-document projections (narrow, codegen'd); the
   *     only shuffles are the candidate-join ones.
+  *
+  * Cache note: the pair operators cache their signature tables because
+  * Spark does not reuse exchanges across differently-aliased self-join
+  * sides; the entries stay in the session cache (LRU-evicted) after the
+  * query — long-lived applications calling these repeatedly should
+  * spark.catalog.clearCache() between corpora or wrap calls with their
+  * own persist/unpersist discipline.
   */
 object Dedup {
 

@@ -57,7 +57,7 @@ object LlmQueries {
         n = 3, threshold = 0.5, numHashes = 48, bandRows = 6).orderBy("i", "j")
     }),
 
-    // SimHash banding (16-bit portable simhash, 4-nibble bands).
+    // SimHash banding (portable simhash, 4 equal bit-bands).
     "q25_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 2).orderBy("i", "j")
@@ -83,7 +83,7 @@ object LlmQueries {
         .orderBy("lang", "predicted")
     }),
 
-    // Document fingerprints: portable rolling hash + 16-bit simhash.
+    // Document fingerprints: portable rolling hash + simhash.
     "q28_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),

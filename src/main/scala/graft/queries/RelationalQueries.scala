@@ -40,9 +40,14 @@ object RelationalQueries {
     s.read.parquet(s"$dir/events.parquet")
   }
 
-  /** UTC date of a nanos-since-epoch long column named ts. */
+  /** Calendar date of a nanos-since-epoch long column named ts, derived
+    * from the epoch-DAY integer — independent of the session time zone
+    * (to_date(timestamp_seconds(...)) would resolve in the session TZ and
+    * silently diverge from DuckDB's naive CAST(ts AS DATE) in any session
+    * not pinned to UTC).
+    */
   private val tsDate: Column =
-    to_date(timestamp_seconds(expr("ts DIV 1000000000")))
+    date_from_unix_date(expr("ts DIV 86400000000000").cast("int"))
 
   /** Exact money sum: through DECIMAL(18,2), back to double. */
   private def dsum(c: Column): Column =

@@ -64,6 +64,23 @@ class OperatorsSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("kernels tokenize with regex-\\s semantics, incl. Unicode whitespace edge") {
+    // U+2028 is Character.isWhitespace but NOT regex \s — the kernels must
+    // treat it as a NON-separator exactly like tokens()/the SQL oracles.
+    val tricky = Seq((1L, "a b c\td"), (2L, "xy z")).toDF("doc_id", "text")
+    val sims = tricky.select(
+      TextAnalysis.simHash($"text").as("native"),
+      TextAnalysis.simHashHof($"text").as("hof")).collect()
+    sims.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // n-gram pairs go through NgramHashSet — identical texts must still be
+    // identical sets regardless of the odd character
+    val pairs = Dedup.ngramJaccardPairs(
+      tricky.union(tricky.withColumn("doc_id", $"doc_id" + 10)),
+      "doc_id", "text", n = 2, threshold = 0.9).collect()
+    assert(pairs.exists(r => r.getAs[Long]("i") == 1 && r.getAs[Long]("j") == 11 &&
+      r.getAs[Double]("jaccard") == 1.0))
+  }
+
   test("simHash: near-identical texts land within small hamming distance") {
     val sigs = docs.select($"doc_id", TextAnalysis.simHash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
