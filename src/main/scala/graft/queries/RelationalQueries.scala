@@ -551,7 +551,10 @@ object RelationalQueries {
          |  FROM events),
          |marked AS (
          |  SELECT user_id, value, t_s,
-         |         CASE WHEN t_s - lag(t_s) OVER w >= 300
+         |         -- strictly greater: session_window treats an event at
+         |         -- EXACTLY last+gap as still in-session (touching windows
+         |         -- merge), surfaced by two exact-300s pairs at sf0.1
+         |         CASE WHEN t_s - lag(t_s) OVER w > 300
          |              OR lag(t_s) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
          |  FROM ts
          |  WINDOW w AS (PARTITION BY user_id ORDER BY t_s)),
