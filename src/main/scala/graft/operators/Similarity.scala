@@ -123,6 +123,69 @@ object Similarity {
     centroids.toSeq.toDF("cid", "cvec")
   }
 
+  /** Deterministic ±1 random hyperplanes for sign-LSH, derived from a
+    * seeded LCG — reproducible across runs/retries like everything else
+    * here. Returned as one literal column of `planes` arrays (dim-sized),
+    * embedded in the plan (planes × dim ints — driver-small).
+    */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    Seq.fill(numPlanes)(Array.fill(dim)(if (next() >= 0) 1.0 else -1.0))
+  }
+
+  /** (id, band, bandKey) sign-LSH bucket table: bit j = sign(v·h_j),
+    * bits grouped into bands of `bandBits`. Vectors with small angles
+    * agree on many bits, so they collide in ≥1 band w.h.p. — the bucket
+    * join is the candidate generator, shuffled by (band, bandKey), never
+    * all-pairs.
+    */
+  def hyperplaneBands(vectors: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, numPlanes: Int, bandBits: Int,
+                      seed: Long = 42L): DataFrame = {
+    require(numPlanes % bandBits == 0)
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bitCols = planes.zipWithIndex.map { case (h, j) =>
+      val dot = (0 until dim).map(i =>
+        element_at(col(vecCol), i + 1).cast("double") * h(i)).reduce(_ + _)
+      when(dot >= 0, lit(1L << (j % bandBits))).otherwise(0L).as(s"__b$j")
+    }
+    val withBits = vectors.select(col(idCol).as("id") +: bitCols: _*)
+    val numBands = numPlanes / bandBits
+    val bands = (0 until numBands).map { b =>
+      val key = (0 until bandBits).map(r => col(s"__b${b * bandBits + r}")).reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bandKey"))
+    }
+    withBits.select(col("id"), explode(array(bands: _*)).as("__s"))
+      .select(col("id"), col("__s.band").as("band"), col("__s.bandKey").as("bandKey"))
+  }
+
+  /** Sign-LSH top-k: bucket-join candidates (vectors sharing ≥1 LSH band
+    * with the query), exact cosine rerank within candidates. The
+    * LSH-bucketed alternative to [[ivfTopK]]: probabilistic recall
+    * (tunable via planes/bandBits — more, shorter bands ⇒ higher recall,
+    * more candidates) instead of IVF's deterministic cell restriction.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int,
+              numPlanes: Int = 64, bandBits: Int = 8): DataFrame = {
+    val cBands = hyperplaneBands(corpus, idCol, vecCol, dim, numPlanes, bandBits)
+      .withColumnRenamed("id", "nid")
+    val qBands = hyperplaneBands(queries, idCol, vecCol, dim, numPlanes, bandBits)
+      .withColumnRenamed("id", "qid")
+    val cands = qBands.join(cBands, Seq("band", "bandKey"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val q = withNorm(queries, idCol, vecCol, "qid", "__qv", "__qn")
+    val c = withNorm(corpus, idCol, vecCol, "nid", "__cv", "__cn")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("nid"))
+    cands.join(broadcast(q), "qid").join(c, "nid")
+      .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
+  }
+
   /** IVF top-k: queries probe their nProbe nearest cells, exact rerank
     * within probed cells only. Approximate by construction (cross-cell
     * neighbors are unreachable) but fully deterministic, so results are
