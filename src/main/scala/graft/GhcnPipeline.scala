@@ -80,15 +80,21 @@ final class GhcnPipeline(spark: SparkSession, cfg: GhcnConfig = GhcnConfig()) {
       val monthly = TableIO.read(spark,
         s"${cfg.storage.goldPath}/monthly_climate", cfg.sinkFormat)
 
-      // One aggregate pass for the bronze scalar stats (the reference runs
-      // one action per metric — notebooks/05:37-46).
+      // One aggregate pass per layer for the scalar stats (the reference
+      // runs one action per metric — notebooks/05:37-46). Station counts
+      // use countDistinct (NULL-ignoring) consistently on BOTH layers; a
+      // NULL ID cannot arise from the fixed-width parse, and if one ever
+      // did, both layers would skip it identically.
       val bronzeRow = bronze.agg(
         count(lit(1)).as("records"),
         countDistinct(col("ID")).as("stations"),
         min("year").as("min_year"), max("year").as("max_year"),
         sum(when(col("VALUE").isNull, 1L).otherwise(0L)).as("missing")).collect()(0)
-      val silverStats = Validator.globalStats(silver, Seq("DATE"),
-        avgCols = Seq("data_quality_score"))
+      val silverRow = silver.agg(
+        count(lit(1)).as("records"),
+        countDistinct(col("ID")).as("stations"),
+        min("DATE").as("min_date"), max("DATE").as("max_date"),
+        avg("data_quality_score").as("avg_q")).collect()(0)
       val completeness = Validator.completeness(silver)
       val anomalies = Validator.anomalyCounts(silver)
       val bronzePartitions = bronzeFootprint("n_files").asInstanceOf[Long]
@@ -103,10 +109,11 @@ final class GhcnPipeline(spark: SparkSession, cfg: GhcnConfig = GhcnConfig()) {
           "bronze_year_range" ->
             (bronzeRow.getAs[Int]("min_year"), bronzeRow.getAs[Int]("max_year")),
           "bronze_missing_values" -> bronzeRow.getAs[Long]("missing"),
-          "silver_records" -> silver.count(),
-          "silver_stations" -> silver.select("ID").distinct().count(),
-          "silver_date_range" -> (silverStats("min_DATE"), silverStats("max_DATE")),
-          "avg_quality_score" -> silverStats("avg_data_quality_score"),
+          "silver_records" -> silverRow.getAs[Long]("records"),
+          "silver_stations" -> silverRow.getAs[Long]("stations"),
+          "silver_date_range" ->
+            (silverRow.getAs[java.sql.Date]("min_date"), silverRow.getAs[java.sql.Date]("max_date")),
+          "avg_quality_score" -> silverRow.getAs[Double]("avg_q"),
           "monthly_records" -> monthly.count()) ++ anomalies),
         "element_distribution" ->
           Validator.frequencyTable(bronze, "ELEMENT").collect()

@@ -156,15 +156,16 @@ object NgramHash {
 }
 
 
-/** Shared by the string kernels: Java regex `\\s` semantics (ASCII
-  * whitespace only) — the kernels must tokenize EXACTLY like
-  * graft.functions.tokens (split on `\\s+`) and the DuckDB oracles
-  * (string_split_regex '\\s+'); Character.isWhitespace also matches
-  * U+2028/U+0085 etc. and would silently diverge on such input.
+/** Shared by the string kernels: the EXPLICIT whitespace class
+  * [ \t\n\f\r] used by graft.functions.tokens — the least common
+  * denominator of Java regex \s (which adds U+000B) and RE2/DuckDB \s
+  * (which does not), so kernels, HOFs, and the SQL oracles all tokenize
+  * identically. Character.isWhitespace would additionally match
+  * U+2028/U+0085 and diverge from all of them.
   */
 private[expressions] object KernelWhitespace {
   def is(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 }
 
 /** Kernel behind [[SimHashNative]]: must reproduce EXACTLY the portable

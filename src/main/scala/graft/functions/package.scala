@@ -71,9 +71,14 @@ package object functions {
   /** Whitespace tokenization that never yields empty tokens (unlike
     * split-on-single-space). Shared by dedup + text analysis so shingles
     * and token counts agree across operators.
+    *
+    * The whitespace class is EXPLICIT ([ \t\n\f\r]) rather than \s:
+    * Java's \s includes U+000B (vertical tab) but RE2's — and therefore
+    * the DuckDB oracles' — does not, so \s would silently diverge between
+    * engines on VT input.
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    filter(split(text, "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
 
   /** Word n-gram shingles of a token array: array of space-joined n-grams.
     * Documents shorter than n yield an empty array.

@@ -128,10 +128,10 @@ object Similarity {
     * here. Returned as one literal column of `planes` arrays (dim-sized),
     * embedded in the plan (planes × dim ints — driver-small).
     */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Float]] = {
     var s = seed
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
-    Seq.fill(numPlanes)(Array.fill(dim)(if (next() >= 0) 1.0 else -1.0))
+    Seq.fill(numPlanes)(Array.fill(dim)(if (next() >= 0) 1.0f else -1.0f))
   }
 
   /** (id, band, bandKey) sign-LSH bucket table: bit j = sign(v·h_j),
@@ -145,9 +145,11 @@ object Similarity {
                       seed: Long = 42L): DataFrame = {
     require(numPlanes % bandBits == 0)
     val planes = hyperplanes(numPlanes, dim, seed)
+    // One compiled dot product per plane against a literal float array —
+    // NOT a dim-term element_at Add-chain, which would materialize
+    // planes×dim expression nodes per row and blow up codegen.
     val bitCols = planes.zipWithIndex.map { case (h, j) =>
-      val dot = (0 until dim).map(i =>
-        element_at(col(vecCol), i + 1).cast("double") * h(i)).reduce(_ + _)
+      val dot = graft.functions.dotProductF(col(vecCol), typedlit(h))
       when(dot >= 0, lit(1L << (j % bandBits))).otherwise(0L).as(s"__b$j")
     }
     val withBits = vectors.select(col(idCol).as("id") +: bitCols: _*)

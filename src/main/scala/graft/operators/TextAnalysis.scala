@@ -59,7 +59,7 @@ object TextAnalysis {
     * shape; a cheap proxy for LLM token counts at corpus scale.
     */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
       .cast(LongType)
 
   val EnStopwords: Seq[String] =
@@ -75,7 +75,7 @@ object TextAnalysis {
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast(LongType)
+    size(regexp_extract_all(text, lit("[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0))).cast(LongType)
 
   /** Composite quality score in [0,1]: length saturation, token-count
     * saturation, and non-punctuation ratio, averaged. All-rational

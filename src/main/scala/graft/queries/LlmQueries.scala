@@ -273,8 +273,8 @@ object LlmQueries {
          |         CAST(len($oToks) AS BIGINT) AS n_tokens,
          |         CAST(len(list_filter($oToks,
          |           t -> list_contains(['the','a','an','of','to','and','in','is','on','for'], t))) AS BIGINT) AS n_stop,
-         |         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens,
-         |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS punct_cnt
+         |         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS BIGINT) AS n_subtokens,
+         |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS BIGINT) AS punct_cnt
          |  FROM documents)
          |SELECT doc_id, n_tokens, n_subtokens, punct_cnt,
          |       CASE WHEN n_tokens > 0
