@@ -65,6 +65,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.eval(null) === 2L)
   }
 
+  test("string kernels handle edge inputs: empty, whitespace-only, short docs") {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    def ngrams(text: String, n: Int): Seq[Long] = {
+      val df = Seq(Tuple1(text)).toDF("t")
+        .select(toColumn(graft.expressions.NgramHashSet(toExpression($"t"), n)).as("g"))
+      val r = df.collect()(0)
+      r.getSeq[Long](0)
+    }
+    assert(ngrams("", 2).isEmpty)
+    assert(ngrams("   \t  ", 2).isEmpty)
+    assert(ngrams("solo", 2).isEmpty) // fewer tokens than n
+    assert(ngrams("solo", 1).length === 1)
+    assert(ngrams("a b", 2).length === 1)
+    assert(ngrams("a b a b", 2).toSet.size === 2) // distinct: (a b), (b a)
+    // sorted ascending (feeds the merge-intersect kernel)
+    val g = ngrams("w x y z q r s t u v", 3)
+    assert(g === g.sorted)
+
+    val sims = Seq((1L, ""), (2L, " \t "), (3L, "one"))
+      .toDF("id", "t")
+      .select($"id", graft.operators.TextAnalysis.simHash($"t").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) === 0L) // no tokens → all votes 0 → sign bits 0
+    assert(sims(2L) === 0L)
+    assert(sims(3L) !== 0L)
+  }
+
   test("expression works in both codegen and interpreted mode") {
     val expected = 1.0f * 0.5f + 2.5f * -1.0f + -3.0f * 2.0f
     val viaCodegen = pairs.filter($"id" === 1)
