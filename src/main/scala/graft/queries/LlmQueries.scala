@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *     text stats): the oracle recomputes the same exact answer in SQL;
   *   - MinHash-LSH: the oracle is the EXACT all-pairs Jaccard answer — the
   *     engine's banded-LSH candidates + exact verification must therefore
-  *     achieve total recall at the threshold (k=64, r=4 at J≥0.5 planted
-  *     pairs: miss probability < 1e-20);
+  *     achieve total recall on the qualifying pairs (8 bands × 6 rows at
+  *     the planted J≈0.99 pairs: miss probability ≈ 6e-10);
   *   - SimHash / IVF: deterministic approximations whose oracle reproduces
   *     the SAME algorithm via portable arithmetic (polynomial hashes, list
   *     folds), so approximate results are still hash-checkable.
