@@ -23,7 +23,10 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // scoped: operator-internal signature caches are unpersisted after
+      // each query's action, so queries don't inflate each other's memory.
+      try { graft.operators.CacheScope.scoped(fn(spark, sfDir).count()) }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

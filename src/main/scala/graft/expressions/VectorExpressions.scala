@@ -269,6 +269,84 @@ case class NgramHashSet(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Kernel behind [[MarkerCounts]]: tokenize ONCE on the explicit
+  * whitespace class and count, per marker list, how many tokens are
+  * members. Token/marker equality is code-point equality, same as the
+  * `array_contains(markers, token)` comparison in the HOF spec
+  * (TextAnalysis.langScore) and the DuckDB `list_contains` oracle.
+  *
+  * Marker lists are tiny (a handful of stopwords per language), so the
+  * membership test is a length-gated linear scan with zero per-token
+  * allocation — no substring, no hash set.
+  */
+object MarkerCountKernel {
+  def compute(text: UTF8String, markers: Array[Array[String]]): ArrayData = {
+    val s = text.toString
+    val nLists = markers.length
+    val counts = new Array[Long](nLists)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && KernelWhitespace.is(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !KernelWhitespace.is(s.charAt(i))) i += 1
+      if (i > start) {
+        val tokLen = i - start
+        var l = 0
+        while (l < nLists) {
+          val ms = markers(l)
+          var m = 0
+          var hit = false
+          while (m < ms.length && !hit) {
+            val w = ms(m)
+            if (w.length == tokLen && s.regionMatches(start, w, 0, tokLen)) hit = true
+            m += 1
+          }
+          if (hit) counts(l) += 1
+          l += 1
+        }
+      }
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+/** Per-language marker-token hit counts of a string column in ONE compiled
+  * tokenize pass. The HOF spec it replaces (4× `filter(tokens(text),
+  * array_contains(...))`) re-tokenizes the text once per language through
+  * interpreted lambdas and dominated the lang-id benchmark. Output order
+  * follows the `markers` list order.
+  */
+case class MarkerCounts(child: Expression, markers: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  require(markers.nonEmpty && markers.forall(_.nonEmpty))
+
+  @transient private lazy val markerArr: Array[Array[String]] =
+    markers.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"MarkerCounts expects a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MarkerCountKernel.compute(input.asInstanceOf[UTF8String], markerArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markers", markerArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MarkerCountKernel.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intersection size of two SORTED, DISTINCT long arrays via a codegen'd
   * two-pointer merge — O(|A|+|B|) with zero allocation, replacing
   * `size(array_intersect(a, b))`, which builds a hash set per evaluation.

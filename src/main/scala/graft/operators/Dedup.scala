@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Cache note: the pair operators cache their signature tables because
   * Spark does not reuse exchanges across differently-aliased self-join
-  * sides; the entries stay in the session cache (LRU-evicted) after the
-  * query — long-lived applications calling these repeatedly should
-  * spark.catalog.clearCache() between corpora or wrap calls with their
-  * own persist/unpersist discipline.
+  * sides. Caches are registered through [[CacheScope.track]]: callers that
+  * consume the result eagerly should wrap build-and-consume in
+  * `CacheScope.scoped { ... }`, which unpersists them afterwards (Verify
+  * and Bench do); outside a scope the entries stay in the session cache
+  * (LRU-evicted) as before.
   */
 object Dedup {
 
@@ -52,22 +53,45 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[exactDedup]] for LARGE payloads: the window in exactDedup ships the
+    * full row (payload included) through the dedup shuffle AND back. Here
+    * only (id, md5(payload)) rides the shuffle; the surviving ids then
+    * join back to the original rows, so multi-MB documents cross the wire
+    * once (the id join) instead of twice. Output equals [[exactDedup]]
+    * modulo md5 collisions (2^-128-scale caveat, standard for
+    * content-digest dedup).
+    */
+  def exactDedupByDigest(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    val keep = docs.select(col(idCol), md5(col(textCol).cast("binary")).as("__digest"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   // ----------------------------------------------------- shingle helpers
 
   /** Distinct word n-gram shingles of a text column. */
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(graft.functions.shingles(graft.functions.tokens(text), n))
 
-  /** docs ⇒ (id, shingle-hash) exploded table — the inverted-index side.
+  /** (__id, __set, __size) per-doc signature table — sorted distinct
+    * shingle hashes plus the set size, computed in ONE kernel pass.
     * Shingles are hashed to longs AT THE SOURCE: every downstream shuffle
     * (doc-frequency agg, prefix join, band join) then moves 8-byte keys
     * instead of n-gram strings, and set intersections compare longs.
     * xxhash64 collisions are the usual negligible 2^-64-scale caveat.
+    * The set SIZE rides along from the array — deriving it later with a
+    * `count() over (partition by __id)` window would re-shuffle and
+    * re-sort the whole exploded table just to recover a number the array
+    * already knows.
     */
-  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
-                               n: Int): DataFrame =
-    docs.select(col(idCol).as("__id"),
-      explode(hashedShingleSet(col(textCol), n)).as("__sh"))
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val set = hashedShingleSet(col(textCol), n)
+    docs.select(col(idCol).as("__id"), set.as("__set"), size(set).as("__size"))
+  }
 
   /** Distinct SORTED shingle-hash array per doc — one compiled pass
     * (expressions/NgramHashSet) instead of five interpreted HOFs; set
@@ -78,22 +102,24 @@ object Dedup {
     toColumn(graft.expressions.NgramHashSet(toExpression(text), n))
   }
 
-  /** Exact Jaccard for candidate pairs carried as (i, j) against per-doc
-    * distinct shingle-hash arrays: |A∩B| / (|A|+|B|-|A∩B|), int-exact then
-    * one double division (bit-identical in any engine). The per-doc sets
-    * table is tiny relative to the candidate stream (8 bytes × set size ×
-    * docs), so AQE turns both joins into broadcast joins when it fits.
+  /** Exact Jaccard for candidate pairs carried as (i, j) against the
+    * CACHED per-doc signature table ([[shingleSets]] — no recomputation of
+    * the shingle kernel per join side): |A∩B| / (|A|+|B|-|A∩B|), int-exact
+    * then one double division (bit-identical in any engine). The joins are
+    * left as shuffle joins ON PURPOSE: at bench scale AQE turns them into
+    * broadcasts (the sets table is KBs), while at 100 TB the sets table is
+    * one row per document — NOT broadcastable — and the shuffle join on the
+    * candidate ids is the only shape that survives; a hard `broadcast()`
+    * hint here would be a scale bug.
     */
-  private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
-                            textCol: String, n: Int, threshold: Double): DataFrame = {
-    // hashedShingleSet is already sorted, so the per-PAIR intersection
-    // (the part that runs millions of times) is a codegen'd two-pointer
-    // merge instead of a hash-set build per evaluation.
-    val sets = docs.select(col(idCol).as("__vid"),
-      hashedShingleSet(col(textCol), n).as("__set"))
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame = {
+    // __set is already sorted, so the per-PAIR intersection (the part that
+    // runs millions of times) is a codegen'd two-pointer merge instead of
+    // a hash-set build per evaluation.
     cands
-      .join(sets.select(col("__vid").as("i"), col("__set").as("__si")), "i")
-      .join(sets.select(col("__vid").as("j"), col("__set").as("__sj")), "j")
+      .join(sets.select(col("__id").as("i"), col("__set").as("__si")), "i")
+      .join(sets.select(col("__id").as("j"), col("__set").as("__sj")), "j")
       .withColumn("common",
         graft.functions.intersectCountSorted(col("__si"), col("__sj")))
       .withColumn("jaccard", col("common").cast(DoubleType) /
@@ -125,11 +151,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val ex = explodedShingles(docs, idCol, textCol, n)
+    // cached: read by the exploded index below AND by both verify joins —
+    // three scans of one narrow kernel projection.
+    val sets = CacheScope.track(shingleSets(docs, idCol, textCol, n))
+    val ex = sets.select(col("__id"), col("__size"), explode(col("__set")).as("__sh"))
     val docFreq = ex.groupBy("__sh").agg(count(lit(1)).as("__df"))
-    val sized = ex.withColumn("__size", count(lit(1)).over(Window.partitionBy("__id")))
     val rankW = Window.partitionBy("__id").orderBy(col("__df"), col("__sh"))
-    val prefix = sized
+    val prefix = ex
       .join(docFreq, "__sh")
       .withColumn("__rn", row_number().over(rankW))
       .filter(col("__rn") <= col("__size") - ceil(col("__size") * threshold) + 1)
@@ -137,7 +165,7 @@ object Dedup {
       // cached: both sides of the self-join read this — Spark does not
       // reuse the exchange across differently-aliased sides, so without
       // the cache the whole explode→df→rank pipeline runs twice
-      .cache()
+      .transform(CacheScope.track)
     // Positional filter (PPJoin): a common prefix element at positions
     // (rn_i, rn_j) caps the total overlap at min(size-rn) + 1 remaining
     // elements; J >= t needs overlap >= t/(1+t)·(|A|+|B|). Rows failing the
@@ -153,7 +181,7 @@ object Dedup {
         least(col("__szi") - col("__rni"), col("__szj") - col("__rnj")) + 1 >=
           ceil((col("__szi") + col("__szj")) * (threshold / (1 + threshold))))
       .select("i", "j").distinct()
-    verifyJaccard(cands, docs, idCol, textCol, n, threshold)
+    verifyJaccard(cands, sets, threshold)
   }
 
   // ------------------------------------------------------- MinHash + LSH
@@ -179,8 +207,12 @@ object Dedup {
     * (band, bandKey) — no cartesian product anywhere.
     */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, numHashes: Int, bandRows: Int): DataFrame = {
-    val ex = explodedShingles(docs, idCol, textCol, n)
+                   n: Int, numHashes: Int, bandRows: Int): DataFrame =
+    minhashBandsOf(shingleSets(docs, idCol, textCol, n), numHashes, bandRows)
+
+  private def minhashBandsOf(sets: DataFrame, numHashes: Int,
+                             bandRows: Int): DataFrame = {
+    val ex = sets.select(col("__id"), explode(col("__set")).as("__sh"))
       .withColumn("__h", pmod(xxhash64(col("__sh")), lit(MinhashP)))
     val ps = perms(numHashes)
     val aggExprs = ps.zipWithIndex.map { case ((a, b), i) =>
@@ -206,15 +238,18 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.5,
                       numHashes: Int = 64, bandRows: Int = 4): DataFrame = {
+    // cached: the signature kernel feeds both the band table and the two
+    // verify joins
+    val sets = CacheScope.track(shingleSets(docs, idCol, textCol, n))
     // cached: self-joined below; without it the signature aggregate (the
     // expensive stage) executes once per join side
-    val bands = minhashBands(docs, idCol, textCol, n, numHashes, bandRows).cache()
+    val bands = CacheScope.track(minhashBandsOf(sets, numHashes, bandRows))
     val cands = bands.select(col("__id").as("i"), col("band"), col("bandKey"))
       .join(bands.select(col("__id").as("j"), col("band"), col("bandKey")),
         Seq("band", "bandKey"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
-    verifyJaccard(cands, docs, idCol, textCol, n, threshold)
+    verifyJaccard(cands, sets, threshold)
   }
 
   // ------------------------------------------------------------- SimHash
@@ -236,7 +271,7 @@ object Dedup {
           pmod(floor(col("__sig").cast(DoubleType) / math.pow(bandWidth.toDouble, b)).cast(LongType),
             lit(bandWidth)).as("nib"))): _*)).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band").as("band"), col("__b.nib").as("nib"))
-      .cache() // self-joined below; avoids computing signatures twice
+      .transform(CacheScope.track) // self-joined below; avoids computing signatures twice
     nibbles.select(col("__id").as("i"), col("__sig").as("__si"), col("band"), col("nib"))
       .join(nibbles.select(col("__id").as("j"), col("__sig").as("__sj"), col("band"), col("nib")),
         Seq("band", "nib"))

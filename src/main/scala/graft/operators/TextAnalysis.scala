@@ -96,16 +96,46 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "que", "una", "por"),
     "fr" -> Seq("le", "les", "des", "est", "une", "dans"))
 
-  /** Marker-token hit count for one language. */
+  /** Marker-token hit count for one language. Kept (and tested) as the
+    * executable specification of one [[markerCounts]] slot; the hot path
+    * uses the compiled kernel, which tokenizes once for ALL languages.
+    */
   def langScore(text: Column, markers: Seq[String]): Column = {
     val m = array(markers.map(lit): _*)
     size(filter(tokens(text), t => array_contains(m, t))).cast(LongType)
   }
 
+  /** Per-language marker hit counts (array, [[LangMarkers]] order) in one
+    * compiled tokenize pass — expressions/MarkerCounts. The HOF
+    * composition it replaces re-tokenized the text once per language
+    * through interpreted lambdas (~7× slower end-to-end on the lang-id
+    * benchmark, same pattern as the SimHash/NgramHashSet kernels).
+    */
+  def markerCounts(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.MarkerCounts(toExpression(text), LangMarkers.map(_._2)))
+  }
+
   /** Heuristic language ID: argmax of marker hits with fixed priority
-    * order on ties, "und" (undetermined) when nothing matches.
+    * order on ties, "und" (undetermined) when nothing matches. The
+    * repeated `markerCounts` subtrees collapse to one evaluation under
+    * whole-stage codegen's subexpression elimination.
     */
   def langId(text: Column): Column = {
+    val counts = markerCounts(text)
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lang).otherwise(acc)
+    }
+  }
+
+  /** Reference HOF formulation of [[langId]] — the executable spec the
+    * compiled kernel must match (asserted in OperatorsSpec).
+    */
+  def langIdHof(text: Column): Column = {
     val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>

@@ -57,6 +57,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L) === "und")
   }
 
+  test("native langId (MarkerCounts kernel) equals the HOF executable spec") {
+    val corpus = docs.union(Seq(
+      (10L, "der hund und die katze das ist nicht gut"),
+      (11L, "el que la los una por cosas"),
+      (12L, "le chat est dans les des une maison"),
+      (13L, "the der el le"), // 1 hit everywhere → tie, priority order
+      (14L, ""), (15L, "   \t\n  "), (16L, "the and of") // odd whitespace
+    ).toDF("doc_id", "text"))
+    val both = corpus.select(
+      TextAnalysis.langId($"text").as("native"),
+      TextAnalysis.langIdHof($"text").as("hof"),
+      TextAnalysis.markerCounts($"text").as("counts"),
+      TextAnalysis.langScore($"text", TextAnalysis.LangMarkers.head._2).as("s_en"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(r.getSeq[Long](2).length === 4)
+      assert(r.getSeq[Long](2).head === r.getLong(3)) // slot 0 == langScore(en)
+    }
+  }
+
   test("native simHash equals the HOF executable specification") {
     val both = docs.select(
       TextAnalysis.simHash($"text").as("native"),
@@ -101,6 +122,38 @@ class OperatorsSpec extends SparkSpec {
     val kept = Dedup.exactDedup(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(0L, 1L, 2L, 4L)) // 3 dropped (dup of 0, higher id)
+  }
+
+  test("exactDedupByDigest equals exactDedup (payload off the dedup shuffle)") {
+    val byDigest = Dedup.exactDedupByDigest(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val direct = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(byDigest === direct)
+    // the dedup window runs over (doc_id, digest) only — the text payload
+    // must not appear below the row_number window in the plan
+    val qe = Dedup.exactDedupByDigest(docs, "text", "doc_id").queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!w.child.output.exists(_.name == "text"),
+        s"payload column must be projected out before the dedup window:\n$w")
+    }
+  }
+
+  test("CacheScope.scoped unpersists operator caches after the action") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    graft.operators.CacheScope.scoped {
+      val n = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 2, threshold = 0.5).count()
+      assert(n > 0)
+      // inside the scope the signature caches are live
+      assert(sc.getPersistentRDDs.keySet.diff(before).nonEmpty)
+    }
+    assert(sc.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "signature caches must be unpersisted when the scope closes")
   }
 
   test("ngramJaccardPairs finds the near-dup pair exactly, no self/reverse pairs") {
