@@ -170,11 +170,12 @@ private[expressions] object KernelWhitespace {
 
 /** Kernel behind [[SimHashNative]]: must reproduce EXACTLY the portable
   * arithmetic of TextAnalysis.simHash (and its DuckDB oracle): per token,
-  * fold (acc*31 + codepoint) % 1000000007 over the characters, reduce
-  * modulo 2^bits, vote ±1 per bit, emit the sign bits. Characters are
-  * UTF-16 units here vs first-codepoint `ascii()` in the HOF/SQL version —
-  * identical for ASCII and BMP text (the hash is only defined portably for
-  * those anyway).
+  * fold (acc*31 + codepoint) % 1000000007 over the CODE POINTS, reduce
+  * modulo 2^bits, vote ±1 per bit, emit the sign bits. Iteration is by
+  * code point (surrogate pairs consumed whole), matching the HOF spec's
+  * per-character `ascii()` — folding UTF-16 units instead would silently
+  * diverge on astral text (emoji, rare CJK); locked by the astral case in
+  * OperatorsSpec.
   */
 object SimHashKernel {
   def compute(text: UTF8String, bits: Int): Long = {
@@ -188,9 +189,10 @@ object SimHashKernel {
       var h = 0L
       var inTok = false
       while (i < len && !KernelWhitespace.is(s.charAt(i))) {
-        h = (h * 31 + s.charAt(i)) % 1000000007L
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % 1000000007L
         inTok = true
-        i += 1
+        i += Character.charCount(cp)
       }
       if (inTok) {
         val hm = h % mod

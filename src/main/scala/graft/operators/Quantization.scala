@@ -28,15 +28,25 @@ object Quantization {
     */
   private def rhu(x: Column): Column = floor(x + 0.5).cast(LongType)
 
-  /** int8 codes (as long array for portability) for one vector. */
+  /** int8 codes (as long array for portability) for one vector.
+    *
+    * Zero-max guard: an all-zero vector (padding rows are routine
+    * production input) has maxAbs=0 → scale=Inf → 0·Inf=NaN, and
+    * floor(NaN) THROWS under Spark 4's default ANSI cast. Such a vector
+    * quantizes to all-zero codes by definition, so that case is made
+    * explicit (and mirrored in the q34 oracle).
+    */
   def quantize(v: Column): Column = {
     val scale = lit(127.0) / maxAbs(v)
-    transform(v, x =>
-      greatest(lit(-127L), least(lit(127L), rhu(x.cast(DoubleType) * scale))))
+    when(maxAbs(v) === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x =>
+        greatest(lit(-127L), least(lit(127L), rhu(x.cast(DoubleType) * scale)))))
   }
 
   /** Reconstruction error: mean squared difference between original and
-    * dequantized values (sequential fold, deterministic).
+    * dequantized values (sequential fold, deterministic). NULL for a
+    * zero-max vector — reconstruction error is undefined when no scale
+    * exists (and 0/0 would be engine-dependent NaN handling).
     */
   def quantizationMse(v: Column): Column = {
     val scale = lit(127.0) / maxAbs(v)
@@ -45,6 +55,7 @@ object Quantization {
         val diff = x.cast(DoubleType) - q.cast(DoubleType) / scale
         diff * diff
       })
-    aggregate(sq, lit(0.0), (acc, e) => acc + e) / size(sq)
+    when(maxAbs(v) =!= 0.0,
+      aggregate(sq, lit(0.0), (acc, e) => acc + e) / size(sq))
   }
 }

@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Portable pseudo-random mixer of an integer key: Knuth multiplicative
-    * hashing in 32-bit space — (key·2654435761) mod 2^32, then mod the
-    * bucket count. Plain long arithmetic (no overflow below 2^63 for
-    * key < 2^31), reproducible in any SQL engine.
+    * hashing in 32-bit space — (key mod 2^31)·2654435761 mod 2^32, then
+    * mod the bucket count. The key is reduced to 31 bits BEFORE the
+    * multiply: ids beyond 2^31 are routine at 100 TB scale, and an
+    * unreduced key ≥ ~3.5e9 overflows signed 64-bit — an ANSI runtime
+    * error (or, ANSI off, a silent wrap diverging from the documented
+    * scheme). After reduction the product is < 2^31·2^32 < 2^63, so the
+    * arithmetic is exact plain-long everywhere — reproducible in any SQL
+    * engine (`((key % 2147483648) * 2654435761) % 4294967296`).
     */
   def hashBucket(key: Column, buckets: Int): Column =
-    pmod(pmod(key.cast("long") * 2654435761L, lit(4294967296L)), lit(buckets.toLong))
+    pmod(pmod(pmod(key.cast("long"), lit(2147483648L)) * 2654435761L,
+      lit(4294967296L)), lit(buckets.toLong))
 
   /** Deterministic p% sample: keep rows whose hash bucket < pct. */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame = {

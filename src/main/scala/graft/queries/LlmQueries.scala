@@ -369,13 +369,16 @@ object LlmQueries {
         |  FROM e),
         |q AS (
         |  SELECT vec_id, v, mx,
-        |         list_transform(v, x -> greatest(-127, least(127,
-        |           CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)))) AS qv
+        |         CASE WHEN mx = 0
+        |              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> greatest(-127, least(127,
+        |                CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)))) END AS qv
         |  FROM m)
         |SELECT vec_id, mx AS max_abs, qv[1] AS q1, qv[2] AS q2, qv[3] AS q3,
-        |       list_reduce(list_prepend(0.0, list_transform(range(len(v)),
-        |         i -> (v[i+1] - qv[i+1] / (127.0 / mx)) * (v[i+1] - qv[i+1] / (127.0 / mx)))),
-        |         (a, b) -> a + b) / len(v) AS mse
+        |       CASE WHEN mx = 0 THEN NULL
+        |            ELSE list_reduce(list_prepend(0.0, list_transform(range(len(v)),
+        |              i -> (v[i+1] - qv[i+1] / (127.0 / mx)) * (v[i+1] - qv[i+1] / (127.0 / mx)))),
+        |              (a, b) -> a + b) / len(v) END AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "q37_kmeans_cells" ->
@@ -412,7 +415,7 @@ object LlmQueries {
       """WITH ranked AS (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang
-        |           ORDER BY ((doc_id * 2654435761) % 4294967296) % 1000000, doc_id) AS rn,
+        |           ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000, doc_id) AS rn,
         |         count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |SELECT doc_id, lang FROM ranked

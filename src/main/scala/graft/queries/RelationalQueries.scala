@@ -226,17 +226,21 @@ object RelationalQueries {
 
     // A12: quantile IQR outlier bounds then outlier count
     // (data_validator.py:99-115; exact percentile so the oracle can match).
+    // Fences are snapped to a 1e-6 grid on BOTH engines before the
+    // comparison: Spark percentile() and DuckDB quantile_cont interpolate
+    // with the same formula but can differ by ~1 ulp, and a data point
+    // lying exactly on an unrounded fence could flip the count.
     "q13_iqr_outliers" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val q = li.agg(
         percentile(col("l_extendedprice"), lit(0.25)).as("q1"),
         percentile(col("l_extendedprice"), lit(0.75)).as("q3"))
+      val lo = round(col("q1") - (col("q3") - col("q1")) * 1.5, 6)
+      val hi = round(col("q3") + (col("q3") - col("q1")) * 1.5, 6)
       li.crossJoin(q)
         .agg(round(first(col("q1")), 2).as("q1_r"),
           round(first(col("q3")), 2).as("q3_r"),
-          sum(when(
-            col("l_extendedprice") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
-            col("l_extendedprice") > col("q3") + (col("q3") - col("q1")) * 1.5,
+          sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
             1).otherwise(0)).as("n_outliers"))
     }),
 
@@ -479,8 +483,8 @@ object RelationalQueries {
         |         quantile_cont(l_extendedprice, 0.75) AS q3
         |  FROM lineitem)
         |SELECT round(q.q1, 2) AS q1_r, round(q.q3, 2) AS q3_r,
-        |       CAST(sum(CASE WHEN l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
-        |                       OR l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
+        |       CAST(sum(CASE WHEN l_extendedprice < round(q.q1 - (q.q3 - q.q1) * 1.5, 6)
+        |                       OR l_extendedprice > round(q.q3 + (q.q3 - q.q1) * 1.5, 6)
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM lineitem CROSS JOIN q GROUP BY q.q1, q.q3""".stripMargin,
 

@@ -102,6 +102,22 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("native simHash matches HOF spec on astral (non-BMP) text") {
+    // surrogate-pair code points: the kernel must fold the CODE POINT,
+    // not the two UTF-16 units, to agree with split+ascii (and the
+    // DuckDB oracle) on emoji / astral CJK input.
+    val astral = Seq(
+      (1L, "hello 😀 world"), // 😀 U+1F600
+      (2L, "😀😁 mixed ascii"), // two emoji in one token
+      (3L, "𤭢𤭢"), // 𤭢 U+24B62 twice, single token
+      (4L, "plain ascii only")
+    ).toDF("doc_id", "text")
+    val rows = astral.select(
+      TextAnalysis.simHash($"text").as("native"),
+      TextAnalysis.simHashHof($"text").as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("simHash: near-identical texts land within small hamming distance") {
     val sigs = docs.select($"doc_id", TextAnalysis.simHash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

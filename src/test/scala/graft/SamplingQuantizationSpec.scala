@@ -19,6 +19,35 @@ class SamplingQuantizationSpec extends SparkSpec {
     assert(r.getAs[Double]("mse") < 1e-4)
   }
 
+  test("quantize: all-zero vector yields zero codes and NULL mse (no ANSI throw)") {
+    val df = Seq((1L, Array(0.0f, 0.0f, 0.0f)), (2L, Array(0.5f, -0.5f, 0.0f)))
+      .toDF("id", "v")
+    val rows = df.select($"id",
+      Quantization.quantize($"v").as("q"),
+      Quantization.quantizationMse($"v").as("mse"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1) === Seq(0L, 0L, 0L))
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).getSeq[Long](1) === Seq(127L, -127L, 0L))
+    assert(!rows(1).isNullAt(2))
+  }
+
+  test("hashBucket: keys beyond 2^31 neither overflow nor throw, stay reduced") {
+    // ids at 100TB scale routinely exceed 2^31; the unreduced multiply
+    // overflowed signed 64-bit (ANSI: runtime error) for keys >= ~3.5e9.
+    val df = Seq(0L, 1L, 2147483647L, 2147483648L, 5000000000L,
+      Long.MaxValue).toDF("id")
+    val buckets = df.select($"id", Sampling.hashBucket($"id", 100).as("b")).collect()
+    buckets.foreach { r =>
+      val b = r.getLong(1)
+      assert(b >= 0 && b < 100, s"bucket $b out of range for key ${r.getLong(0)}")
+    }
+    // reduction semantics: key and key mod 2^31 land in the same bucket
+    val pair = df.filter($"id".isin(2147483648L, 0L))
+      .select(Sampling.hashBucket($"id", 100)).as[Long].collect()
+    assert(pair.toSet.size === 1)
+  }
+
   test("deterministicSample is reproducible and roughly proportional") {
     val df = spark.range(0, 10000).toDF("id")
     val s1 = Sampling.deterministicSample(df, "id", 10).as[Long].collect().sorted
