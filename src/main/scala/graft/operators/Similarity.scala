@@ -127,8 +127,11 @@ object Similarity {
     * seeded LCG — reproducible across runs/retries like everything else
     * here. Returned as one literal column of `planes` arrays (dim-sized),
     * embedded in the plan (planes × dim ints — driver-small).
+    * `private[graft]` so the q39 oracle generator can embed the SAME
+    * planes as SQL literals (±1 values are exact in any numeric type,
+    * which is what makes sign-LSH oracle-checkable).
     */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Float]] = {
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Float]] = {
     var s = seed
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
     Seq.fill(numPlanes)(Array.fill(dim)(if (next() >= 0) 1.0f else -1.0f))

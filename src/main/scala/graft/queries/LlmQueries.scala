@@ -28,6 +28,13 @@ object LlmQueries {
   private def queriesSubset(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").filter(col("vec_id") < 20)
 
+  /** q39 sign-LSH shape: 16 planes, 4-bit bands (seed 42 — lshTopK's
+    * default). Small on purpose: the plane matrix rides in the oracle SQL
+    * as literals.
+    */
+  private val LshPlanes = 16
+  private val LshBandBits = 4
+
   private def strideCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.strideCentroids(t(s, dir, "embeddings"), "vec_id", "embedding", 25)
 
@@ -102,6 +109,17 @@ object LlmQueries {
     "q30_embed_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(queriesSubset(s, dir), t(s, dir, "embeddings"),
         strideCentroids(s, dir), "vec_id", "embedding", k = 5, nProbe = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // Sign-LSH (hyperplane) top-5 — the LSH-bucketed ANN alternative.
+    // 16 seeded ±1 hyperplanes in 4 bands × 4 bits; the oracle re-derives
+    // the SAME banded candidates from the same plane literals (±1 dot
+    // products are exact in both engines), then the same exact rerank.
+    "q39_embed_ann_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(queriesSubset(s, dir), t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, k = 5,
+        numPlanes = LshPlanes, bandBits = LshBandBits)
         .orderBy("qid", "rank")
     }),
 
