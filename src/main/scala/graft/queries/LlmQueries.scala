@@ -177,6 +177,24 @@ object LlmQueries {
       Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 0.2)
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
+    }),
+
+    // Exact dedup for LARGE payloads: only (id, digest) rides the dedup
+    // shuffle, payloads join back by id — the 100 TB exact-dedup path.
+    "q40_dedup_digest" -> ((s, dir) => {
+      Dedup.exactDedupByDigest(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal mapPartitions feature extraction (decode stub = 8-bucket
+    // byte histogram), features unpacked to scalar columns so the compare
+    // avoids cross-engine array-hash semantics.
+    "q41_multimodal_features" -> ((s, dir) => {
+      val f = Multimodal.docFeatures(t(s, dir, "documents"), "doc_id", "text")
+      val cols = Seq(col("doc_id"), col("kind"), col("n_bytes"), col("checksum")) ++
+        (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i"))
+      f.select(cols: _*).orderBy("doc_id")
     })
   )
 
@@ -265,7 +283,91 @@ object LlmQueries {
        |    FROM norms e CROSS JOIN centroids c)
        |  WHERE rn = 1)""".stripMargin
 
+  /** q39 oracle: re-derives the sign-LSH band keys from the SAME ±1
+    * hyperplanes the engine uses ([[Similarity.hyperplanes]](16, 64, 42) —
+    * embedded here as VALUES literals), then the same banded candidate
+    * join + exact cosine rerank. ±1·x products and the left-fold double
+    * sums are bit-identical across engines, so even the sign decisions at
+    * dot≈0 agree exactly.
+    */
+  private def oLsh: String = {
+    val planes = Similarity.hyperplanes(LshPlanes, 64, 42L)
+    val planeRows = planes.zipWithIndex.map { case (h, j) =>
+      val arr = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"($j, ${1L << (j % LshBandBits)}, $arr)"
+    }.mkString(",\n  ")
+    s"""WITH $oNorms,
+       |planes(j, bitval, h) AS (VALUES
+       |  $planeRows),
+       |bits AS (
+       |  SELECT n.vec_id, p.j,
+       |         CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64),
+       |                i -> n.v[i+1] * p.h[i+1])), (x, y) -> x + y) >= 0
+       |              THEN p.bitval ELSE 0 END AS bit
+       |  FROM norms n CROSS JOIN planes p),
+       |bands AS (
+       |  SELECT vec_id, j // $LshBandBits AS band, CAST(sum(bit) AS BIGINT) AS bandKey
+       |  FROM bits GROUP BY vec_id, j // $LshBandBits),
+       |cands AS (
+       |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nid
+       |  FROM bands qb JOIN bands cb
+       |    ON qb.band = cb.band AND qb.bandKey = cb.bandKey
+       |  WHERE qb.vec_id < 20 AND qb.vec_id <> cb.vec_id),
+       |ranked AS (
+       |  SELECT cd.qid, cd.nid, ${oCos("q", "c")} AS cos,
+       |         row_number() OVER (PARTITION BY cd.qid
+       |           ORDER BY ${oCos("q", "c")} DESC, cd.nid) AS rank
+       |  FROM cands cd
+       |  JOIN norms q ON q.vec_id = cd.qid
+       |  JOIN norms c ON c.vec_id = cd.nid)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** q41 oracle: rebuilds decodeStub's 8-bucket byte histogram in SQL by
+    * expanding each code point to its UTF-8 bytes (1-4 per char — astral
+    * included), then count/len per bucket as exact double division.
+    */
+  private val oMultimodalFeatures: String = {
+    val cp = "ascii(c)"
+    s"""WITH bytes AS (
+       |  SELECT doc_id, text,
+       |    flatten(list_transform(
+       |      list_filter(string_split(text, ''), c -> c <> ''),
+       |      c -> CASE
+       |        WHEN $cp < 128 THEN [$cp]
+       |        WHEN $cp < 2048 THEN [192 + $cp // 64, 128 + $cp % 64]
+       |        WHEN $cp < 65536 THEN [224 + $cp // 4096,
+       |          128 + ($cp // 64) % 64, 128 + $cp % 64]
+       |        ELSE [240 + $cp // 262144, 128 + ($cp // 4096) % 64,
+       |          128 + ($cp // 64) % 64, 128 + $cp % 64]
+       |      END)) AS bs
+       |  FROM documents),
+       |hist AS (
+       |  SELECT doc_id, text, bs,
+       |    list_transform(range(8),
+       |      k -> CAST(len(list_filter(bs, b -> b // 32 = k)) AS DOUBLE)
+       |           / greatest(len(bs), 1)) AS f
+       |  FROM bytes)
+       |SELECT doc_id, 'text/plain' AS kind,
+       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |       md5(text) AS checksum,
+       |       f[1] AS f0, f[2] AS f1, f[3] AS f2, f[4] AS f3,
+       |       f[5] AS f4, f[6] AS f5, f[7] AS f6, f[8] AS f7
+       |FROM hist ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q39_embed_ann_lsh" -> oLsh,
+
+    "q40_dedup_digest" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q41_multimodal_features" -> oMultimodalFeatures,
     "q22_dedup_exact" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
