@@ -28,7 +28,10 @@ object Quantization {
     */
   private def rhu(x: Column): Column = floor(x + 0.5).cast(LongType)
 
-  /** int8 codes (as long array for portability) for one vector.
+  /** int8 codes (as long array for portability) for one vector, given a
+    * PRECOMPUTED maxAbs column — pass `maxAbs(v)` materialized once (e.g.
+    * via `withColumn`) so the per-row array fold runs once, not once per
+    * consumer; [[quantize]] is the self-contained convenience.
     *
     * Zero-max guard: an all-zero vector (padding rows are routine
     * production input) has maxAbs=0 → scale=Inf → 0·Inf=NaN, and
@@ -36,26 +39,35 @@ object Quantization {
     * quantizes to all-zero codes by definition, so that case is made
     * explicit (and mirrored in the q34 oracle).
     */
-  def quantize(v: Column): Column = {
-    val scale = lit(127.0) / maxAbs(v)
-    when(maxAbs(v) === 0.0, transform(v, _ => lit(0L)))
+  def quantizeScaled(v: Column, mx: Column): Column = {
+    val scale = lit(127.0) / mx
+    when(mx === 0.0, transform(v, _ => lit(0L)))
       .otherwise(transform(v, x =>
         greatest(lit(-127L), least(lit(127L), rhu(x.cast(DoubleType) * scale)))))
   }
 
+  def quantize(v: Column): Column = quantizeScaled(v, maxAbs(v))
+
   /** Reconstruction error: mean squared difference between original and
-    * dequantized values (sequential fold, deterministic). NULL for a
-    * zero-max vector — reconstruction error is undefined when no scale
-    * exists (and 0/0 would be engine-dependent NaN handling).
+    * dequantized values (sequential fold, deterministic), given a
+    * precomputed maxAbs and the quantized codes (share the materialized
+    * codes column with other consumers — don't re-quantize per metric).
+    * NULL for a zero-max vector — reconstruction error is undefined when
+    * no scale exists (and 0/0 would be engine-dependent NaN handling).
     */
-  def quantizationMse(v: Column): Column = {
-    val scale = lit(127.0) / maxAbs(v)
-    val sq = zip_with(v, quantize(v),
+  def quantizationMseScaled(v: Column, mx: Column, codes: Column): Column = {
+    val scale = lit(127.0) / mx
+    val sq = zip_with(v, codes,
       (x, q) => {
         val diff = x.cast(DoubleType) - q.cast(DoubleType) / scale
         diff * diff
       })
-    when(maxAbs(v) =!= 0.0,
+    when(mx =!= 0.0,
       aggregate(sq, lit(0.0), (acc, e) => acc + e) / size(sq))
+  }
+
+  def quantizationMse(v: Column): Column = {
+    val mx = maxAbs(v)
+    quantizationMseScaled(v, mx, quantizeScaled(v, mx))
   }
 }

@@ -35,19 +35,54 @@ object Sampling {
   }
 
   /** Deterministic stratified sample: exactly ceil(fraction·|stratum|)
-    * rows per stratum, chosen by the hash order (hash asc, key asc) — a
-    * total order, so the selection is unique and reproducible. One
-    * shuffle by stratum (the rank window).
+    * rows per stratum, chosen by the (hash bucket asc, key asc) total
+    * order — unique and reproducible.
+    *
+    * Scale shape: a rank window partitioned by stratum would funnel each
+    * stratum through ONE task (a ~5-language 100 TB corpus ⇒ ~20 TB sorted
+    * by a single task — the scale-killer this replaces). Instead:
+    *   1. histogram pass — count rows per (stratum, bucket): a hash
+    *      aggregate with map-side partials, output ≤ strata × 1e6 rows
+    *      REGARDLESS of corpus size;
+    *   2. cumulate the histogram per stratum (window over the driver-small
+    *      histogram, not the data) to find each stratum's boundary bucket
+    *      B — the bucket where the running count reaches the target
+    *      t = ceil(fraction·n) — and the residual r = rows of B still
+    *      needed after all buckets < B are taken whole;
+    *   3. broadcast-join the per-stratum (B, r) thresholds back: rows with
+    *      bucket < B pass with NO sort at all; only rows of the single
+    *      boundary bucket (~n/1e6 of the stratum) are ranked by key, in a
+    *      window partitioned by (stratum, bucket) — each partition is one
+    *      bucket of one stratum, so no task ever sees a whole stratum.
+    * Output is row-for-row identical to the rank-window formulation.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
                        fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1)
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashBucket(col(keyCol), 1000000), col(keyCol))
-    val cw = Window.partitionBy(col(stratumCol))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(cw))
-      .filter(col("__rn") <= ceil(col("__n") * fraction))
-      .drop("__rn", "__n")
+    val buckets = 1000000
+    val withB = df.withColumn("__bkt", hashBucket(col(keyCol), buckets))
+    val hist = withB.groupBy(col(stratumCol), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(stratumCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__t",
+        ceil(sum(col("__c")).over(Window.partitionBy(col(stratumCol))) * fraction))
+    val bound = cum.filter(col("__cum") >= col("__t"))
+      .groupBy(col(stratumCol).as("__st"))
+      .agg(min(col("__bkt")).as("__B"),
+        min_by(col("__t") - (col("__cum") - col("__c")), col("__bkt")).as("__r"))
+    // null-safe stratum match: a NULL stratum is a regular group here,
+    // exactly as it was a regular window partition before.
+    val joined = withB.join(broadcast(bound), col(stratumCol) <=> col("__st"))
+    val below = joined.filter(col("__bkt") < col("__B"))
+    val wBoundary = Window.partitionBy(col(stratumCol), col("__bkt"))
+      .orderBy(col(keyCol))
+    val atBoundary = joined.filter(col("__bkt") === col("__B"))
+      .withColumn("__rn", row_number().over(wBoundary))
+      .filter(col("__rn") <= col("__r"))
+      .drop("__rn")
+    below.unionByName(atBoundary).drop("__st", "__bkt", "__B", "__r")
   }
 }

@@ -147,15 +147,21 @@ object LlmQueries {
     }),
 
     // int8 embedding quantization: per-vector scale, codes, exact MSE.
+    // max_abs and the code array are materialized ONCE as columns; every
+    // consumer (elements, mse) references the attribute instead of
+    // re-running the array folds per use.
     "q34_embed_quantize" -> ((s, dir) => {
-      val q = Quantization.quantize(col("embedding"))
-      t(s, dir, "embeddings").select(
-        col("vec_id"),
-        Quantization.maxAbs(col("embedding")).as("max_abs"),
-        element_at(q, 1).as("q1"),
-        element_at(q, 2).as("q2"),
-        element_at(q, 3).as("q3"),
-        Quantization.quantizationMse(col("embedding")).as("mse"))
+      t(s, dir, "embeddings")
+        .withColumn("max_abs", Quantization.maxAbs(col("embedding")))
+        .withColumn("__q", Quantization.quantizeScaled(col("embedding"), col("max_abs")))
+        .select(
+          col("vec_id"),
+          col("max_abs"),
+          element_at(col("__q"), 1).as("q1"),
+          element_at(col("__q"), 2).as("q2"),
+          element_at(col("__q"), 3).as("q3"),
+          Quantization.quantizationMseScaled(col("embedding"), col("max_abs"),
+            col("__q")).as("mse"))
         .orderBy("vec_id")
     }),
 

@@ -68,4 +68,43 @@ class SamplingQuantizationSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(again === sample.select("id").as[Long].collect().sorted)
   }
+
+  test("stratifiedSample matches the rank-window formulation row-for-row") {
+    // the two-pass threshold design must reproduce the old semantics
+    // exactly: rank by (hashBucket asc, key asc), keep rank <= ceil(f*n)
+    val df = (1 to 997).map(i => (i.toLong, s"s${i % 7}")).toDF("id", "s")
+    for (f <- Seq(0.1, 0.25, 0.5, 1.0)) {
+      val got = Sampling.stratifiedSample(df, "s", "id", f)
+        .select("id").as[Long].collect().sorted
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"s")
+        .orderBy(Sampling.hashBucket($"id", 1000000), $"id")
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy($"s")
+      val want = df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(cw))
+        .filter($"__rn" <= ceil($"__n" * f))
+        .select("id").as[Long].collect().sorted
+      assert(got === want, s"fraction $f")
+    }
+  }
+
+  test("stratifiedSample plan: no raw-data window partitioned by stratum alone") {
+    // the scale contract: any single-column (stratum-only) window must sit
+    // over the per-(stratum,bucket) HISTOGRAM aggregate, never over the
+    // raw rows — a raw-data per-stratum window funnels each stratum
+    // through one task (~20 TB sorts at 100 TB scale).
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 30) "a" else "b"))
+      .toDF("id", "s")
+    val qe = Sampling.stratifiedSample(df, "s", "id", 0.2).queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val overAggregate = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(w.partitionSpec.size >= 2 || overAggregate,
+        s"stratum-only window over raw data:\n$w")
+    }
+  }
 }
