@@ -154,18 +154,32 @@ object Dedup {
     // cached: read by the exploded index below AND by both verify joins —
     // three scans of one narrow kernel projection.
     val sets = CacheScope.track(shingleSets(docs, idCol, textCol, n))
-    val ex = sets.select(col("__id"), col("__size"), explode(col("__set")).as("__sh"))
+    val ex = sets.select(col("__id"), explode(col("__set")).as("__sh"))
     val docFreq = ex.groupBy("__sh").agg(count(lit(1)).as("__df"))
-    val rankW = Window.partitionBy("__id").orderBy(col("__df"), col("__sh"))
-    val prefix = ex
-      .join(docFreq, "__sh")
-      .withColumn("__rn", row_number().over(rankW))
-      .filter(col("__rn") <= col("__size") - ceil(col("__size") * threshold) + 1)
-      .select(col("__id"), col("__sh"), col("__size"), col("__rn"))
+    // Per-doc prefix WITHOUT a rank window: the global (df asc, sh asc)
+    // rank of a shingle WITHIN its doc is just its position in the doc's
+    // own sorted (df, sh) array — so re-aggregate the df-joined index per
+    // doc, sort each doc's array, and slice the prefix. A hash aggregate
+    // (map-side partials, no sort phase) replaces the former
+    // shuffle+SORT of the whole exploded index, and per-doc array sorts
+    // are each ~|set| elements. The slice happens BEFORE the cache, so
+    // the cached table is one compact row per doc (prefix only), not the
+    // full exploded index.
+    val ranked = ex.join(docFreq, "__sh")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__r"))
+      .select(col("__id"), size(col("__r")).as("__size"),
+        slice(col("__r"), lit(1),
+          (size(col("__r")) - ceil(size(col("__r")) * threshold) + 1)
+            .cast("int")).as("__p"))
       // cached: both sides of the self-join read this — Spark does not
       // reuse the exchange across differently-aliased sides, so without
-      // the cache the whole explode→df→rank pipeline runs twice
+      // the cache the whole explode→df→prefix pipeline runs twice
       .transform(CacheScope.track)
+    val prefix = ranked
+      .select(col("__id"), col("__size"), posexplode(col("__p")).as(Seq("__pos", "__e")))
+      .select(col("__id"), col("__e.__sh").as("__sh"), col("__size"),
+        (col("__pos") + 1).as("__rn"))
     // Positional filter (PPJoin): a common prefix element at positions
     // (rn_i, rn_j) caps the total overlap at min(size-rn) + 1 remaining
     // elements; J >= t needs overlap >= t/(1+t)·(|A|+|B|). Rows failing the
