@@ -77,6 +77,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("userSessions matches the oracle-verified q38 batch sessionization") {
+    // Locks the streaming surface to the hash-verified batch semantics:
+    // the same gap and second-truncation, over the real events table,
+    // must yield the same session boundaries and aggregates as
+    // q38_sessionize (whose gaps-and-islands oracle is hash-checked by
+    // the driver) — including the exact-300s boundary merge behavior.
+    val dir = "/root/testdata/sf0.001"
+    val q38 = graft.queries.RelationalQueries.queries("q38_sessionize")(spark, dir)
+      .collect()
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("value"),
+        timestamp_seconds(expr("ts DIV 1000000000")).as("ts"))
+    val sessions = EventStreams.userSessions(ev, gap = "5 minutes")
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(sessions.length === q38.length)
+    sessions.zip(q38).foreach { case (s, o) =>
+      assert(s.getAs[Long]("user_id") === o.getAs[Long]("user_id"))
+      assert(s.getAs[Long]("session_start") === o.getAs[Long]("session_start"))
+      assert(s.getAs[Long]("n_events") === o.getAs[Long]("n_events"))
+      // q38 sums through DECIMAL(18,2) (oracle-exact); the streaming
+      // surface uses the plain double sum — equal up to fp association.
+      assert(math.abs(s.getAs[Double]("session_value") -
+        o.getAs[Double]("session_value")) < 1e-6)
+    }
+  }
+
   test("the same windowed transform runs in BATCH mode (unified model)") {
     val batch = Seq(
       Event(1, ts(0), 1, "click", 1.0),
