@@ -41,10 +41,13 @@ object Bench {
     }
     val ok = results.collect { case (n, Some(s)) => n -> s }
     val failed = results.collect { case (n, None) => n }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // ms precision keeps the one-line JSON comfortably inside log-tail
+    // windows (full nanosecond doubles pushed it near truncation).
+    def r(v: Double): Double = math.round(v * 10000) / 10000.0
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
