@@ -143,6 +143,53 @@ object TextAnalysis {
     }
   }
 
+  /** Newline-split lines of a document. Both engines keep trailing empty
+    * segments for a literal separator split, so counts agree exactly.
+    */
+  def docLines(text: Column): Column = split(text, "\n")
+
+  /** Duplicate-line count (lines minus distinct lines) — the classic
+    * repeated-boilerplate signal in web-corpus quality filtering.
+    */
+  def dupLineCount(text: Column): Column =
+    (size(docLines(text)) - size(array_distinct(docLines(text)))).cast(LongType)
+
+  /** Highest occurrence count of any single word n-gram within the
+    * document — the "most repeated n-gram" numerator of Gopher-style
+    * repetition filters. Computed per row (sort the doc's shingles, take
+    * the longest equal-neighbor run) so the operator stays a narrow
+    * projection: no explode, no shuffle — at 100 TB the repetition filter
+    * runs at scan speed like the other quality metrics.
+    */
+  def maxNgramRepeat(text: Column, n: Int): Column = {
+    val sorted = array_sort(graft.functions.shingles(tokens(text), n))
+    val init = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val folded = aggregate(sorted, init, (acc, x) => {
+      val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+        .otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"))
+    })
+    folded.getField("best")
+  }
+
+  /** PII-ish pattern counts. The patterns stay inside the regex subset
+    * where Java (Spark) and RE2 (DuckDB/production scanners) provably
+    * agree — explicit character classes and bounded/greedy quantifiers,
+    * no alternation ambiguity, no backrefs — so counts are
+    * oracle-checkable and portable to any enforcement engine.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val LongDigitPattern = "[0-9]{9,}"
+
+  private def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
+  def emailCount(text: Column): Column = patternCount(text, EmailPattern)
+  def ipv4Count(text: Column): Column = patternCount(text, Ipv4Pattern)
+  def longDigitCount(text: Column): Column = patternCount(text, LongDigitPattern)
+
   /** Document fingerprint: portable rolling hash of the whole text. */
   def fingerprint(text: Column): Column = polyHash(text)
 

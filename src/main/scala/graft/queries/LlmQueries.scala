@@ -201,6 +201,33 @@ object LlmQueries {
       val cols = Seq(col("doc_id"), col("kind"), col("n_bytes"), col("checksum")) ++
         (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i"))
       f.select(cols: _*).orderBy("doc_id")
+    }),
+
+    // Repetition metrics (Gopher-style quality rule): duplicate lines +
+    // most-repeated-bigram ratio, all per-row narrow projections.
+    "q42_repetition" -> ((s, dir) => {
+      val bi = graft.functions.shingles(TextAnalysis.tokens(col("text")), 2)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.docLines(col("text"))).cast("long").as("n_lines"),
+        TextAnalysis.dupLineCount(col("text")).as("n_dup_lines"),
+        size(bi).cast("long").as("n_bigrams"),
+        TextAnalysis.maxNgramRepeat(col("text"), 2).as("top_bigram_cnt"),
+        when(size(bi) > 0,
+          TextAnalysis.maxNgramRepeat(col("text"), 2).cast("double") / size(bi))
+          .as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // PII-ish pattern counts (emails / IPv4 / long digit runs) — the
+    // pre-training scrub pass, regexes held to the Java∩RE2 subset.
+    "q43_pii_scan" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.emailCount(col("text")).as("n_emails"),
+        TextAnalysis.ipv4Count(col("text")).as("n_ipv4"),
+        TextAnalysis.longDigitCount(col("text")).as("n_long_digits"))
+        .orderBy("doc_id")
     })
   )
 
@@ -374,6 +401,35 @@ object LlmQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q41_multimodal_features" -> oMultimodalFeatures,
+
+    "q42_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, $oToks AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS b
+         |  FROM toks),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top FROM (
+         |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       CAST(len(string_split(t.text, chr(10))) AS BIGINT) AS n_lines,
+         |       CAST(len(string_split(t.text, chr(10)))
+         |            - len(list_distinct(string_split(t.text, chr(10)))) AS BIGINT) AS n_dup_lines,
+         |       CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(coalesce(top.top, 0) AS BIGINT) AS top_bigram_cnt,
+         |       CASE WHEN len(tk) > 1
+         |            THEN CAST(top.top AS DOUBLE) / (len(tk) - 1) END AS rep_ratio
+         |FROM toks t LEFT JOIN top ON top.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q43_pii_scan" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |       CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_long_digits
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_dedup_exact" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,

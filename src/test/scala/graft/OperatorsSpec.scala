@@ -300,4 +300,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out.length === docs.count())
     out.foreach(r => assert(r.content.length <= 4 * ((43 / 4) / 2 + 2)))
   }
+
+  test("repetition metrics: duplicate lines and most-repeated bigram") {
+    val df = Seq(
+      (1L, "a b\na b\nc d"),          // dup line; bigrams: "a b","b a","a b","b c","c d"
+      (2L, "x y x y x y"),            // "x y"×3, "y x"×2
+      (3L, "solo"),                   // no bigrams
+      (4L, "")                        // empty
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+      TextAnalysis.dupLineCount($"text").as("dl"),
+      TextAnalysis.maxNgramRepeat($"text", 2).as("top"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 1 && r(0).getLong(2) === 2)
+    assert(r(1).getLong(1) === 0 && r(1).getLong(2) === 3)
+    assert(r(2).getLong(2) === 0)
+    assert(r(3).getLong(1) === 0 && r(3).getLong(2) === 0)
+  }
+
+  test("PII counts: emails, IPv4, long digit runs") {
+    val df = Seq(
+      (1L, "mail a.b%c@ex-ample.co.uk and x@y.io; ip 10.0.0.1, id 123456789012"),
+      (2L, "no pii here"),
+      (3L, "dots 1.2.3.4.5 short@x.a 12345678")  // 1 ipv4 (greedy leftmost), no email (1-char TLD), digits<9
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+      TextAnalysis.emailCount($"text").as("e"),
+      TextAnalysis.ipv4Count($"text").as("i"),
+      TextAnalysis.longDigitCount($"text").as("d"))
+      .orderBy("doc_id").collect()
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) === ((2L, 1L, 1L)))
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) === ((0L, 0L, 0L)))
+    assert((r(2).getLong(1), r(2).getLong(2), r(2).getLong(3)) === ((0L, 1L, 0L)))
+  }
 }

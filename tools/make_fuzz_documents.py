@@ -21,6 +21,13 @@ texts = [
     "a" * 600,                                       # long single token
     ("tok " * 200).strip(),                          # 200 tokens
     "x\ty\nz\fw\rv",                                 # every whitespace kind
+    # PII / repetition adversaria (q42/q43 cross-engine parity)
+    "mail a.b%c@ex-ample.co.uk and x@y.io; ip 10.0.0.1, id 123456789012",
+    "dots 1.2.3.4.5 short@x.a run 12345678 then 999999999",
+    "a@b@c.com 256.300.1.2 +-_%@tld.xyz",            # regex corner cases
+    "dup line\ndup line\ndup line\nuniq",
+    "x y x y x y x y x y",                           # heavy bigram repetition
+    "line\n\n\nline\n",                              # empty lines + trailing \n
 ]
 vocab = ["alpha", "beta", "gamma", "the", "and", "déjà", "中文", "42", "x!"]
 while len(texts) < 60:
