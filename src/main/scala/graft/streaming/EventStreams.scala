@@ -107,14 +107,22 @@ object EventStreams {
 
   /** Wire a streaming DataFrame of events to a sink: transforms →
     * writeStream with checkpointing. Returns the started query.
+    *
+    * `format`/`options` select the production sink ("parquet"/"kafka"/
+    * "delta" with their paths etc.); the "memory" default is the
+    * demo/test harness — a memory sink accumulates results on the driver
+    * and is NOT a production target.
     */
   def startWindowedCounts(events: DataFrame, checkpointDir: String,
-                          queryName: String = "windowed_type_counts") =
+                          queryName: String = "windowed_type_counts",
+                          format: String = "memory",
+                          options: Map[String, String] = Map.empty) =
     windowedTypeCounts(events)
       .writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
-      .format("memory")
+      .format(format)
+      .options(options)
       .option("checkpointLocation", checkpointDir)
       .start()
 }
