@@ -349,6 +349,40 @@ object RelationalQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // Backward as-of join (union+window, no inequality join): each event
+    // picks up the latest PRECEDING error of its user — the "state at
+    // event time" lookup. Right side pre-aggregated per (user, second) so
+    // the as-of match is unique.
+    "q44_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000000000").as("t"), col("event_type"), col("value"))
+      val err = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "t").agg(max("value").as("err_value"))
+        .withColumn("err_t", col("t"))
+      graft.operators.AsofJoin.asofBackward(
+        ev.drop("event_type", "value"), err,
+        Seq("user_id"), "t", Seq("err_t", "err_value"))
+        .select("event_id", "user_id", "t", "err_t", "err_value")
+        .orderBy("event_id")
+    }),
+
+    // Range join via coarse-bucket overlay (equi-join on the bucket, then
+    // exact BETWEEN refine — no BroadcastNestedLoopJoin): lineitems
+    // shipped inside week-long windows anchored at a sparse order subset.
+    "q45_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").as("iv_id"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 6)
+      val pts = t(s, dir, "lineitem").select(col("l_quantity"),
+        unix_date(col("l_shipdate").cast("date")).cast("long").as("p"))
+      graft.operators.RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi",
+        bucketWidth = 7)
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy("iv_id")
+    }),
+
     // J2: join back to an aggregate of the same input (anomaly vs normals,
     // gold_processor.py:211-225).
     "q21_anomaly_join" -> ((s, dir) => {
@@ -572,6 +606,34 @@ object RelationalQueries {
          |       ${oSum("value")} AS session_value
          |FROM sessions GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+
+    "q44_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t,
+        |         event_type, value
+        |  FROM events),
+        |err AS (
+        |  SELECT user_id, t, max(value) AS err_value
+        |  FROM ev WHERE event_type = 'error' GROUP BY user_id, t)
+        |SELECT e.event_id, e.user_id, e.t, err.t AS err_t, err.err_value
+        |FROM ev e ASOF LEFT JOIN err
+        |  ON e.user_id = err.user_id AND e.t >= err.t
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q45_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey AS iv_id,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 6 AS hi
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |pts AS (
+        |  SELECT l_quantity,
+        |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS p
+        |  FROM lineitem)
+        |SELECT iv_id, CAST(count(*) AS BIGINT) AS cnt,
+        |       sum(l_quantity) AS sum_qty
+        |FROM iv JOIN pts ON p BETWEEN lo AND hi
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
 
     "q21_anomaly_join" ->
       s"""SELECT o_orderkey, o_custkey,
