@@ -228,6 +228,24 @@ object LlmQueries {
         TextAnalysis.ipv4Count(col("text")).as("n_ipv4"),
         TextAnalysis.longDigitCount(col("text")).as("n_long_digits"))
         .orderBy("doc_id")
+    }),
+
+    // KMV bottom-k distinct sketch per source (bounded-state custom
+    // aggregate over the portable hash) vs the exact distinct count —
+    // estimate AND sketch content are oracle-checked.
+    "q46_kmv_sketch" -> ((s, dir) => {
+      val k = 32
+      t(s, dir, "documents")
+        .select(col("source"), TextAnalysis.fingerprint(col("text")).as("__h"))
+        .groupBy("source")
+        .agg(graft.operators.Sketch.bottomKHashes(col("__h"), k).as("__sk"),
+          countDistinct(col("__h")).as("n_distinct_hash"))
+        .select(col("source"), col("n_distinct_hash"),
+          size(col("__sk")).cast("long").as("sk_size"),
+          when(size(col("__sk")) >= k, element_at(col("__sk"), k)).as("h_k"),
+          graft.operators.Sketch.kmvDistinctEstimate(col("__sk"), k,
+            TextAnalysis.HashMod).as("est"))
+        .orderBy("source")
     })
   )
 
@@ -401,6 +419,21 @@ object LlmQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q41_multimodal_features" -> oMultimodalFeatures,
+
+    "q46_kmv_sketch" ->
+      s"""WITH h AS (
+         |  SELECT source, ${oPolyHash("text")} AS hv FROM documents),
+         |agg AS (
+         |  SELECT source,
+         |         CAST(count(DISTINCT hv) AS BIGINT) AS n_distinct_hash,
+         |         list_sort(list(DISTINCT hv))[1:32] AS sk
+         |  FROM h GROUP BY source)
+         |SELECT source, n_distinct_hash,
+         |       CAST(len(sk) AS BIGINT) AS sk_size,
+         |       sk[32] AS h_k,
+         |       CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
+         |            ELSE 31.0 * 1000000007 / sk[32] END AS est
+         |FROM agg ORDER BY source""".stripMargin,
 
     "q42_repetition" ->
       s"""WITH toks AS (

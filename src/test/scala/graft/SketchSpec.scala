@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Sketch
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bottomKHashes keeps the k smallest DISTINCT values, ascending") {
+    // duplicates collapse; values stream in shuffled order across 8
+    // partitions so partial buffers must merge (serialize path included)
+    val vals = (1L to 100L).flatMap(v => Seq(v, v)) // every value twice
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(vals), 8)
+      .toDF("v").withColumn("g", lit("all"))
+    val sk = df.groupBy("g").agg(Sketch.bottomKHashes($"v", 10).as("sk"))
+      .select("sk").as[Seq[Long]].collect()(0)
+    assert(sk === (1L to 10L))
+  }
+
+  test("bottomKHashes with fewer than k distinct values returns them all") {
+    val df = Seq(5L, 3L, 5L, 3L, 9L).toDF("v").withColumn("g", lit(1))
+    val sk = df.groupBy("g").agg(Sketch.bottomKHashes($"v", 10).as("sk"))
+      .select("sk").as[Seq[Long]].collect()(0)
+    assert(sk === Seq(3L, 5L, 9L))
+  }
+
+  test("bottomKHashes skips nulls and is order/partitioning-invariant") {
+    val df = Seq(Some(4L), None, Some(2L), Some(8L), None).toDF("v")
+      .withColumn("g", lit(1))
+    val a = df.repartition(1).groupBy("g")
+      .agg(Sketch.bottomKHashes($"v", 2).as("sk")).select("sk").as[Seq[Long]].collect()(0)
+    val b = df.repartition(5).groupBy("g")
+      .agg(Sketch.bottomKHashes($"v", 2).as("sk")).select("sk").as[Seq[Long]].collect()(0)
+    assert(a === Seq(2L, 4L) && b === Seq(2L, 4L))
+  }
+
+  test("kmvDistinctEstimate: exact below k, (k-1)M/h_k at k") {
+    val k = 4
+    val m = 1000L
+    // sketch full: h_k = 40 → est = 3*1000/40 = 75.0
+    val full = Seq((1, Seq(10L, 20L, 30L, 40L))).toDF("g", "sk")
+    val estF = full.select(Sketch.kmvDistinctEstimate($"sk", k, m)).as[Double].collect()(0)
+    assert(estF === 75.0)
+    // sketch short: exact size
+    val short = Seq((1, Seq(10L, 20L))).toDF("g", "sk")
+    val estS = short.select(Sketch.kmvDistinctEstimate($"sk", k, m)).as[Double].collect()(0)
+    assert(estS === 2.0)
+  }
+
+  test("KMV estimate lands near the true distinct count on uniform hashes") {
+    // 5000 distinct keys through the portable mixer; k=64 → relative
+    // error ~1/sqrt(k-1) ≈ 13%; assert a loose 3-sigma-ish band
+    val df = spark.range(0, 5000).toDF("id").withColumn("g", lit(1))
+      .withColumn("h", graft.operators.Sampling.hashBucket($"id", 1000000))
+    val k = 64
+    val est = df.groupBy("g")
+      .agg(Sketch.bottomKHashes($"h", k).as("sk"))
+      .select(Sketch.kmvDistinctEstimate($"sk", k, 1000000L)).as[Double].collect()(0)
+    assert(est > 2500 && est < 10000, s"estimate $est too far from 5000")
+  }
+}
