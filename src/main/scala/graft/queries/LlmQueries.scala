@@ -246,6 +246,28 @@ object LlmQueries {
           graft.operators.Sketch.kmvDistinctEstimate(col("__sk"), k,
             TextAnalysis.HashMod).as("est"))
         .orderBy("source")
+    }),
+
+    // Near-dup PAIRS → dedup CLUSTERS: connected components (min-label
+    // propagation + pointer jumping) over the SimHash pair graph; every
+    // doc labeled with its cluster id, cluster size, and whether it is
+    // the canonical (min-id) survivor a dedup pass keeps.
+    "q47_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2)
+      graft.operators.Components.dedupClusters(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: trigram-shingle overlap of every corpus
+    // doc against a (broadcast) benchmark slice — corpus never shuffles.
+    "q48_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      graft.operators.Decontaminate.benchmarkOverlap(
+        docs, "doc_id", "text", bench, "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy("doc_id")
     })
   )
 
@@ -434,6 +456,58 @@ object LlmQueries {
          |       CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
          |            ELSE 31.0 * 1000000007 / sk[32] END AS est
          |FROM agg ORDER BY source""".stripMargin,
+
+    // Sequential ground truth for the parallel CC fixpoint: a recursive
+    // CTE floods every doc id across the (symmetrized) SimHash pair graph;
+    // min over the reached set IS the component-min label.
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE toksrc AS (SELECT doc_id, text FROM documents),
+         |$oSimhash,
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |lab AS (SELECT node AS doc_id, min(comp) AS component
+         |        FROM reach GROUP BY node),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM lab GROUP BY component)
+         |SELECT l.doc_id, l.component, s.n_members,
+         |       CAST(l.doc_id = l.component AS BIGINT) AS is_canonical
+         |FROM lab l JOIN sz s USING (component)
+         |ORDER BY l.doc_id""".stripMargin,
+
+    "q48_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $oToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> list_aggregate(tk[i:i+2], 'string_agg', ' ')))) AS s
+         |  FROM toks),
+         |bench AS (SELECT doc_id AS bid, s FROM sh WHERE doc_id % 50 = 0),
+         |bsz AS (SELECT bid, count(*) AS bn FROM bench GROUP BY bid),
+         |hits AS (
+         |  SELECT a.doc_id, b.bid, count(*) AS c
+         |  FROM sh a JOIN bench b ON a.s = b.s GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT h.doc_id, h.bid, h.c,
+         |         CAST(h.c AS DOUBLE) / bsz.bn AS frac,
+         |         row_number() OVER (PARTITION BY h.doc_id
+         |           ORDER BY CAST(h.c AS DOUBLE) / bsz.bn DESC, h.bid) AS rn
+         |  FROM hits h JOIN bsz USING (bid))
+         |SELECT d.doc_id, s.bid AS bench_id,
+         |       CAST(coalesce(s.c, 0) AS BIGINT) AS common,
+         |       coalesce(s.frac, 0.0) AS frac,
+         |       CAST(coalesce(s.frac, 0.0) >= 0.5 AS BIGINT) AS contaminated
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q42_repetition" ->
       s"""WITH toks AS (

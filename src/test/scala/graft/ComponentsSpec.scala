@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] =
+    Components.connectedComponents(
+      spark.sparkContext.parallelize(edges, parts).toDF("i", "j"), "i", "j")
+      .as[(Long, Long)].collect().toMap
+
+  test("long chain collapses to the min id (pointer jumping across diameter)") {
+    // 0-1-2-...-40: diameter 40 must converge well inside maxRounds via
+    // log-step jumping
+    val edges = (0L until 40L).map(k => (k, k + 1))
+    val got = cc(edges)
+    assert(got.size === 41 && got.values.forall(_ == 0L))
+  }
+
+  test("separate components get separate min labels; self/parallel edges ignored") {
+    val edges = Seq((5L, 3L), (3L, 5L), (5L, 5L), (3L, 9L), // comp 3
+      (20L, 21L), (21L, 20L)) // comp 20
+    val got = cc(edges)
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("result is partitioning-invariant") {
+    val edges = Seq((1L, 7L), (7L, 2L), (9L, 4L), (4L, 1L), (100L, 50L))
+    assert(cc(edges, parts = 1) === cc(edges, parts = 7))
+  }
+
+  test("pseudo-random graph matches sequential union-find") {
+    // deterministic LCG edge set over 60 nodes
+    var s = 12345L
+    def next(n: Int): Long = { s = s * 6364136223846793005L + 1442695040888963407L; math.floorMod(s >>> 16, n) }
+    val edges = (0 until 55).map(_ => (next(60), next(60))).filter(e => e._1 != e._2)
+
+    // sequential union-find ground truth
+    val parent = Array.tabulate(60L.toInt)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val expected = inEdges.map(n => n -> {
+      // component min = min node id with same root
+      val r = find(n.toInt)
+      inEdges.filter(m => find(m.toInt) == r).min
+    }).toMap
+
+    assert(cc(edges) === expected)
+  }
+
+  test("dedupClusters labels every row, singletons self-canonical") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (3L, 5L)).toDF("i", "j")
+    val got = Components.dedupClusters(docs, "doc_id", pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 3L, 1L), // cluster {1,3,5}, canonical
+      (2L, 2L, 1L, 1L), // singleton
+      (3L, 1L, 3L, 0L),
+      (4L, 4L, 1L, 1L),
+      (5L, 1L, 3L, 0L)))
+  }
+
+  test("empty edge list yields empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Components.connectedComponents(empty, "i", "j").count() === 0L)
+  }
+}
