@@ -11,42 +11,121 @@ import org.apache.spark.storage.StorageLevel
   * what a training-data pipeline actually acts on: keep the representative,
   * drop the rest.
   *
-  * Algorithm: iterative min-label propagation with pointer jumping.
-  *   - propagate: along every edge, a node offers its current component
-  *     label to its neighbor; each node keeps the MIN of its own label and
-  *     all offers. The min aggregate is map-side combinable, so a
-  *     high-degree node (a 10M-member duplicate cluster at 100 TB) reduces
-  *     its offers inside each map task instead of funneling them through
-  *     one reducer — degree skew is absorbed by partial aggregation.
-  *   - jump: label(u) <- label(label(u)) (one self-join). Pointer jumping
-  *     halves the remaining path length each round, so convergence takes
-  *     O(log diameter) rounds instead of O(diameter) — a 1M-long duplicate
-  *     chain converges in ~20 rounds.
+  * Two-phase hybrid, each phase covering the other's weak case:
   *
-  * Per round: two shuffles (edge join + min agg) and one label self-join,
-  * all keyed by node id — no cartesian products, nothing driver-side except
-  * one scalar per round.
+  * 1. **Star contraction** (one pass over the full adjacency): every node
+  *    labels itself min(self, neighbors) — a map-side-combinable hash
+  *    aggregate, so a 10M-member duplicate cluster reduces its offers
+  *    inside map tasks instead of funneling one reducer — then every edge
+  *    is rewritten through the labels and only label-crossing edges
+  *    survive. The dense near-clique graphs dedup actually produces
+  *    collapse here: a clique becomes a point. The full edge set is
+  *    scanned O(1) times total — a propagate-until-fixpoint loop over it
+  *    would re-scan every edge every round (measured 2× slower at 589k
+  *    bench edges, and the gap grows with density).
   *
-  * Convergence test: labels only ever DECREASE, so the Decimal sum of all
-  * labels is a strictly decreasing measure until fixpoint — one cheap
-  * scalar aggregate per round replaces a full previous-vs-current anti-join
-  * (Decimal(38) keeps the sum exact for any realistic id range; a double
-  * sum could miss a single-node change at 1e15 scale).
+  * 2. **Min-label propagation with pointer jumping** on the contracted
+  *    remnant: per round, each node takes the min label across its edges
+  *    (combinable agg again), then label(u) <- label(label(u)) halves the
+  *    remaining pointer depth, giving O(log diameter) rounds — the
+  *    guarantee plain contraction lacks (a long chain shrinks by ONE node
+  *    per contraction, but is exactly the shape jumping eats). The
+  *    remnant is a fraction of the input (every labeled star collapsed),
+  *    so full-scan-per-round is cheap where it runs.
   *
-  * Each round's labels are `localCheckpoint`ed: an iterative self-joining
-  * DataFrame otherwise doubles its logical plan every round (analysis cost
-  * grows exponentially) — checkpointing truncates the lineage to the
-  * materialized result. On a multi-executor cluster a production job would
-  * point `spark.checkpoint.dir` at reliable storage and use `checkpoint()`
-  * instead (localCheckpoint blocks are lost with an executor); same plan
-  * shape either way.
+  * Convergence test (phase 2): labels only ever DECREASE, so the Decimal
+  * sum of all labels is a strictly decreasing measure until fixpoint —
+  * one scalar aggregate per round instead of a previous-vs-current
+  * anti-join (Decimal(38) stays exact where a double sum could miss a
+  * single-node change at 1e15 id scale).
   *
-  * Determinism: the fixpoint is the component-min labeling — a pure
-  * function of the edge SET, independent of partitioning, merge order, or
-  * round count. That is what makes a parallel graph algorithm
-  * oracle-checkable against a sequential engine.
+  * Iterative outputs are `localCheckpoint`ed: an iterative self-joining
+  * DataFrame otherwise doubles its logical plan every round (analysis
+  * cost grows exponentially) — checkpointing truncates lineage to the
+  * materialized result. On a multi-executor cluster a production job
+  * would point `spark.checkpoint.dir` at reliable storage and use
+  * `checkpoint()` instead (localCheckpoint blocks are lost with an
+  * executor); same plan shape either way.
+  *
+  * Determinism: the result is the component-min labeling — a pure
+  * function of the edge SET, independent of partitioning, merge order,
+  * or round count (every intermediate label is the min over a subset of
+  * its component; composition bottoms out at the component min). That is
+  * what makes a parallel log-round graph algorithm oracle-checkable
+  * against a sequential recursive-CTE engine.
   */
 object Components {
+
+  /** label(u) = min(u, min neighbor): one combinable hash aggregate. */
+  private def starMin(g: DataFrame): DataFrame =
+    g.groupBy(col("u"))
+      .agg(min(col("v")).as("__mn"))
+      .select(col("u").as("node"), least(col("u"), col("__mn")).as("comp"))
+
+  /** Edges relabeled through `m` (checkpointed, so the two lookups don't
+    * recompute anything), self-loops dropped, deduped — the distinct is
+    * what makes the remnant SHRINK: a contracted clique is thousands of
+    * copies of the same few super-edges.
+    */
+  private def contract(g: DataFrame, m: DataFrame): DataFrame =
+    g.join(m.select(col("node").as("__nu"), col("comp").as("__cu")),
+        col("u") === col("__nu"))
+      .join(m.select(col("node").as("__nv"), col("comp").as("__cv")),
+        col("v") === col("__nv"))
+      .select(col("__cu").as("u"), col("__cv").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** comp' = m(comp) where defined, else comp. */
+  private def applyMap(base: DataFrame, m: DataFrame): DataFrame =
+    base.join(m.select(col("node").as("__n"), col("comp").as("__c")),
+        base("comp") === col("__n"), "left")
+      .select(base("node").as("node"),
+        coalesce(col("__c"), base("comp")).as("comp"))
+
+  private def labelSum(l: DataFrame): java.math.BigDecimal = {
+    val d = l.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    if (d == null) java.math.BigDecimal.ZERO else d
+  }
+
+  /** Phase 2: propagate+jump until fixpoint over a (small, checkpointed)
+    * symmetric edge set; returns the component-min (node, comp) labeling
+    * of the nodes appearing in `g`.
+    */
+  private def propagateToFixpoint(g: DataFrame, maxRounds: Int,
+                                  dbg: (String, Long) => Unit): DataFrame = {
+    var labels = starMin(g).localCheckpoint()
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = labels.isEmpty
+    while (!converged) {
+      val tr = System.nanoTime()
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds")
+      // fresh aliases on BOTH union branches: `offers` derives from
+      // `labels`, so without re-aliasing the branches share attribute ids
+      // and Union's constraint rewrite trips over the self-reference
+      val offers = g.join(labels, g("u") === labels("node"))
+        .select(col("v").as("node"), col("comp").as("comp"))
+      // persisted for the pointer-jump self-join: Spark does not reuse
+      // the exchange across differently-aliased self-join sides, so an
+      // uncached `merged` would run the whole propagate pipeline twice
+      val merged = labels.select(col("node").as("node"), col("comp").as("comp"))
+        .union(offers)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val jumped = applyMap(merged, merged).localCheckpoint()
+      merged.unpersist()
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = jumped
+      round += 1
+      dbg(s"remnant round$round", tr)
+    }
+    labels
+  }
 
   /** (id, component) for every node that appears in `edges`; `component`
     * is the smallest node id reachable from `id`. Nodes absent from the
@@ -55,52 +134,32 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxRounds: Int = 50): DataFrame = {
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def dbg(label: String, t0: Long): Unit = if (debug)
+      println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    // Persist the one-directional edges BEFORE symmetrizing: the union's
+    // two branches would otherwise each evaluate the upstream pair
+    // generation (a dedup candidate pipeline is the typical input —
+    // running it twice doubled q47's cost before this cache).
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
-    // Symmetrize + drop self-loops/parallel edges once; every round scans
-    // this table, so it is persisted for the loop and released after.
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Symmetrized adjacency — scanned exactly twice (star-merge +
+    // contraction), persisted for those two passes and released. No dedup
+    // pass: the min aggregate is idempotent, parallel edges just repeat
+    // an offer that map-side combine collapses.
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = sym.select(col("u").as("node")).distinct()
-        .select(col("node"), col("node").as("comp"))
-        .localCheckpoint()
-
-      def labelSum(l: DataFrame): java.math.BigDecimal = {
-        val d = l.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
-        if (d == null) java.math.BigDecimal.ZERO else d
-      }
-
-      var prevSum = labelSum(labels)
-      var round = 0
-      var converged = labels.isEmpty
-      while (!converged) {
-        if (round >= maxRounds)
-          throw new IllegalStateException(
-            s"connectedComponents did not converge in $maxRounds rounds")
-        // fresh aliases on BOTH union branches: `offers` derives from
-        // `labels`, so without re-aliasing the two branches share
-        // attribute ids and Union's constraint rewrite trips over the
-        // self-reference
-        val offers = sym.join(labels, sym("u") === labels("node"))
-          .select(col("v").as("node"), col("comp").as("comp"))
-        val merged = labels.select(col("node").as("node"), col("comp").as("comp"))
-          .union(offers)
-          .groupBy("node").agg(min("comp").as("comp"))
-        val jumped = merged.as("a")
-          .join(merged.select(col("node").as("__c"), col("comp").as("__cc")).as("b"),
-            col("a.comp") === col("b.__c"), "left")
-          .select(col("a.node").as("node"),
-            coalesce(col("__cc"), col("a.comp")).as("comp"))
-          .localCheckpoint()
-        val s = labelSum(jumped)
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-        labels = jumped
-        round += 1
-      }
+      val t0 = System.nanoTime()
+      val m0 = starMin(sym).localCheckpoint()
+      e.unpersist()
+      val remnant = contract(sym, m0).localCheckpoint()
+      dbg("star-merge + contract", t0)
+      val labels =
+        if (remnant.isEmpty) m0
+        else applyMap(m0, propagateToFixpoint(remnant, maxRounds, dbg))
       labels.select(col("node").as("id"), col("comp").as("component"))
     } finally sym.unpersist()
   }
