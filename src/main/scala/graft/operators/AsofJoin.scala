@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * is bounded by rows per key (like every per-entity window here). For a
   * key whose history exceeds a task, pre-bucket the time axis and as-of
   * join bucket-by-bucket carrying boundary state.
+  *
+  * NULL handling: rows with a NULL `timeCol` are dropped from BOTH sides
+  * before the union — a NULL time has no position on the as-of axis, and
+  * because NULLs sort first in the window order they would otherwise
+  * bleed a right row's values into every left row of its key. NULLs in
+  * `valueCols` are fine: the right side's values ride as ONE struct (a
+  * right row's struct is non-null even when all its fields are), so the
+  * carried values always come from a single right row and a genuine NULL
+  * field is carried as NULL rather than skipped for an older row's value.
   */
 object AsofJoin {
 
@@ -41,27 +50,33 @@ object AsofJoin {
     val payload = left.columns.filterNot(c => keyCols.contains(c) || c == timeCol)
     require(valueCols.intersect(left.columns).isEmpty,
       s"value columns ${valueCols.intersect(left.columns).mkString(",")} collide with left columns")
-    val rTypes = valueCols.map(c => c -> right.schema(c).dataType).toMap
+    val rvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
     val pTypes = payload.map(c => c -> left.schema(c).dataType).toMap
-    // common shape: keys ++ time ++ side ++ left payload ++ right values.
+    // common shape: keys ++ time ++ side ++ left payload ++ ONE struct of
+    // right values (non-null for every right row, so `last(ignoreNulls)`
+    // carries whole rows — never stitches fields from different rows).
     // Right rows sort BEFORE left rows at equal time, so `<=` matches.
-    val lNorm = left.select(
+    val lNorm = left.filter(col(timeCol).isNotNull).select(
       keyCols.map(col) ++ Seq(col(timeCol), lit(1).as("__side")) ++
-        payload.map(col) ++
-        valueCols.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
-    val rNorm = right.select(
+        payload.map(col) :+ lit(null).cast(rvType).as("__rv"): _*)
+    val rNorm = right.filter(col(timeCol).isNotNull).select(
       keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__side")) ++
-        payload.map(c => lit(null).cast(pTypes(c)).as(c)) ++
-        valueCols.map(col): _*)
+        payload.map(c => lit(null).cast(pTypes(c)).as(c)) :+
+        struct(valueCols.map(col): _*).as("__rv"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lNorm.unionByName(rNorm)
       .select(
         keyCols.map(col) ++ Seq(col(timeCol), col("__side")) ++
-          payload.map(col) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+          payload.map(col) :+
+          last(col("__rv"), ignoreNulls = true).over(w).as("__rv"): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(
+        keyCols.map(col) ++ Seq(col(timeCol)) ++
+          payload.map(col) ++
+          valueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 }

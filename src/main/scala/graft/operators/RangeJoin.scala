@@ -35,7 +35,12 @@ object RangeJoin {
     // silently mis-bucket.
     def fdiv(x: org.apache.spark.sql.Column) =
       (x.cast("long") - pmod(x.cast("long"), lit(bucketWidth))).as("__m")
+    // Malformed intervals cost nothing: hi < lo would still explode
+    // (sequence auto-steps -1) into descending buckets whose rows only
+    // die at the BETWEEN refine — reject them (and NULL bounds) up front.
     val iv = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
       .withColumn("__mlo", fdiv(col(loCol)))
       .withColumn("__mhi", fdiv(col(hiCol)))
       .withColumn("__b", explode(sequence(

@@ -207,15 +207,20 @@ object LlmQueries {
     // most-repeated-bigram ratio, all per-row narrow projections.
     "q42_repetition" -> ((s, dir) => {
       val bi = graft.functions.shingles(TextAnalysis.tokens(col("text")), 2)
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        size(TextAnalysis.docLines(col("text"))).cast("long").as("n_lines"),
-        TextAnalysis.dupLineCount(col("text")).as("n_dup_lines"),
-        size(bi).cast("long").as("n_bigrams"),
-        TextAnalysis.maxNgramRepeat(col("text"), 2).as("top_bigram_cnt"),
-        when(size(bi) > 0,
-          TextAnalysis.maxNgramRepeat(col("text"), 2).cast("double") / size(bi))
-          .as("rep_ratio"))
+      // materialize the sort+fold ONCE (it's an array_sort plus an
+      // interpreted aggregate over all bigrams) and reference the
+      // attribute from both output columns — same single-pass discipline
+      // as q34's max_abs.
+      t(s, dir, "documents")
+        .withColumn("top_bigram_cnt", TextAnalysis.maxNgramRepeat(col("text"), 2))
+        .select(
+          col("doc_id"),
+          size(TextAnalysis.docLines(col("text"))).cast("long").as("n_lines"),
+          TextAnalysis.dupLineCount(col("text")).as("n_dup_lines"),
+          size(bi).cast("long").as("n_bigrams"),
+          col("top_bigram_cnt"),
+          when(size(bi) > 0, col("top_bigram_cnt").cast("double") / size(bi))
+            .as("rep_ratio"))
         .orderBy("doc_id")
     }),
 

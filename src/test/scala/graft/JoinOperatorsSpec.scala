@@ -32,6 +32,35 @@ class JoinOperatorsSpec extends SparkSpec {
     assert(out.toSeq === Seq(7L, 7L))
   }
 
+  test("asofBackward: NULL value fields carry as NULL from ONE right row") {
+    // right t=20 has v1=NULL: per-column last(ignoreNulls) would skip it
+    // and stitch v1 from t=10 with v2 from t=20 — the struct carry must
+    // keep both fields from the t=20 row.
+    val left = Seq((1L, 25L, 0L)).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, 10L, Option("old1"), Option("old2")),
+      (1L, 20L, None: Option[String], Option("new2"))
+    ).toDF("k", "t", "v1", "v2")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", Seq("v1", "v2"))
+      .select("v1", "v2").collect()
+    assert(out.length === 1)
+    assert(Option(out(0).getAs[String]("v1")) === None)
+    assert(out(0).getAs[String]("v2") === "new2")
+  }
+
+  test("asofBackward: NULL-time rows are dropped from both sides") {
+    val left = Seq((1L, Option(15L), "a"), (1L, None: Option[Long], "b"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, Option(10L), 1L), (1L, None: Option[Long], 99L))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", Seq("v"))
+      .collect()
+    // NULL-time left row vanishes; NULL-time right row never matches
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("payload") === "a")
+    assert(out(0).getAs[Long]("v") === 1L)
+  }
+
   test("pointInInterval: inclusive bounds, cross-bucket spans, no dups") {
     val intervals = Seq(
       (1L, 0L, 9L),    // spans buckets 0-1 at width 5
@@ -43,6 +72,18 @@ class JoinOperatorsSpec extends SparkSpec {
       .select("iv_id", "p").as[(Long, Long)].collect().sorted
     // p=0,5,9 in iv 1; p=5 in iv 2; nothing else — and each pair ONCE
     assert(out.toSeq === Seq((1L, 0L), (1L, 5L), (1L, 9L), (2L, 5L)))
+  }
+
+  test("pointInInterval: inverted and NULL-bound intervals are rejected up front") {
+    val intervals = Seq(
+      (1L, Option(9L), Option(0L)),  // hi < lo: would explode descending buckets
+      (2L, None: Option[Long], Option(5L)),
+      (3L, Option(0L), Option(9L))
+    ).toDF("iv_id", "lo", "hi")
+    val points = Seq(0L, 5L, 9L).toDF("p")
+    val out = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 5L)
+      .select("iv_id", "p").as[(Long, Long)].collect().sorted
+    assert(out.toSeq === Seq((3L, 0L), (3L, 5L), (3L, 9L)))
   }
 
   test("pointInInterval: negative and >2^53 coordinates bucket exactly") {

@@ -34,6 +34,17 @@ class SketchSpec extends SparkSpec {
     assert(a === Seq(2L, 4L) && b === Seq(2L, 4L))
   }
 
+  test("bottomKHashes rejects a non-long child at analysis time") {
+    // ExpectsInputTypes turns misuse into an AnalysisException instead of
+    // a mid-job ClassCastException in update()'s asInstanceOf[Long].
+    val df = Seq("a", "b").toDF("s").withColumn("g", lit(1))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(Sketch.bottomKHashes($"s", 4).as("sk")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bigint") ||
+      e.getMessage.toLowerCase.contains("long"))
+  }
+
   test("kmvDistinctEstimate: exact below k, (k-1)M/h_k at k") {
     val k = 4
     val m = 1000L
