@@ -307,13 +307,11 @@ object Dedup {
     */
   def embeddingDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, threshold: Double): DataFrame = {
-    val cells = Similarity.ivfAssign(vectors, idCol, vecCol, centroids)
     // Norms once per row; each candidate pair then costs one dot fold.
     // dot/(ni*nj) is the same arithmetic as cosineSimilarity, so scores
-    // stay bit-identical to the oracle.
-    val sides = cells.join(vectors.select(col(idCol).as("__cid"), col(vecCol).as("__v"),
-      graft.functions.l2NormF(col(vecCol)).as("__n")),
-      col("id") === col("__cid"))
+    // stay bit-identical to the oracle. Cell assignment is a map-only
+    // projection (Similarity.assigned), so no join back by id.
+    val sides = Similarity.assigned(vectors, idCol, vecCol, centroids)
       .select(col("id"), col("cell"), col("__v"), col("__n"))
     sides.select(col("id").as("i"), col("cell"), col("__v").as("__vi"), col("__n").as("__ni"))
       .join(sides.select(col("id").as("j"), col("cell"), col("__v").as("__vj"), col("__n").as("__nj")), "cell")

@@ -52,24 +52,58 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
 
+  /** One collected centroid: id, vector, and its l2NormF norm (evaluated
+    * ONCE through the same Spark expression the per-row path used, so the
+    * embedded literal is bit-identical to what an in-plan norm would be).
+    */
+  private case class Centroid(cid: Long, vec: Array[Float], norm: Double)
+
+  /** Centroids are k × dim — driver-small BY DESIGN (kMeansCentroids
+    * already collects them every iteration), so pull them once and embed
+    * them as plan literals. That turns cell assignment into a map-only
+    * projection: the former shape (crossJoin ×k → max_by hash aggregate →
+    * join the cells back by id in every caller) paid a k× row blowup plus
+    * two shuffles for what is per-row arithmetic against constants.
+    */
+  private def collectCentroids(centroids: DataFrame): Seq[Centroid] =
+    centroids.select(col("cid").cast("long"), col("cvec"),
+      graft.functions.l2NormF(col("cvec")))
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .toSeq
+
+  /** argmax-cosine cell as a scalar Column over (vec, norm) attributes.
+    * Exactly replicates `max_by(cid, struct(cos, -cid))`: elements are
+    * (cos, -cid) structs, array_max uses the same interpreted ordering
+    * (NULL cos sorts smallest; cos ties fall to -cid, i.e. the SMALLEST
+    * centroid id), and the winning cell is recovered from the -cid field.
+    */
+  private def cellExpr(vec: Column, vnorm: Column, cs: Seq[Centroid]): Column = {
+    val elems = cs.map { c =>
+      struct(
+        cosFromNorms(vec, typedlit(c.vec), vnorm, lit(c.norm)).as("c"),
+        lit(-c.cid).as("n"))
+    }
+    -array_max(array(elems: _*)).getField("n")
+  }
+
+  /** (id, __v, __n, cell) — the shared map-only assignment projection.
+    * Norm and cell land in separate Projects so the norm fold runs once
+    * per row (cellExpr references it k times; CollapseProject keeps
+    * non-cheap exprs with multiple uses un-inlined).
+    */
+  private[operators] def assigned(vectors: DataFrame, idCol: String, vecCol: String,
+                                  centroids: DataFrame): DataFrame =
+    withNorm(vectors, idCol, vecCol, "id", "__v", "__n")
+      .withColumn("cell", cellExpr(col("__v"), col("__n"), collectCentroids(centroids)))
+
   /** Assign every vector to its nearest centroid (max cos, centroid id
-    * tie-break). Centroids are broadcast; the argmax is a max_by hash
-    * aggregate — partial aggregation runs map-side, so the only shuffle
-    * carries one pre-reduced row per (vector × partition), not the full
-    * vector×centroid cross product.
+    * tie-break — NULL cell only if every cosine is NULL-normed). Map-only:
+    * no shuffle, no join; see [[assigned]].
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame): DataFrame = {
-    val v = withNorm(vectors, idCol, vecCol, "id", "__v", "__vn")
-    val c = centroids.select(col("cid"), col("cvec"),
-      graft.functions.l2NormF(col("cvec")).as("__cn"))
-    v.crossJoin(broadcast(c))
-      .withColumn("__cos", cosFromNorms(col("__v"), col("cvec"), col("__vn"), col("__cn")))
-      .groupBy("id")
-      // max_by with a (cos, -cid) struct: max cosine, ties to the SMALLEST
-      // centroid id — same choice as rank-1 of ORDER BY cos DESC, cid.
-      .agg(max_by(col("cid"), struct(col("__cos"), (-col("cid")).as("__neg"))).as("cell"))
-  }
+                centroids: DataFrame): DataFrame =
+    assigned(vectors, idCol, vecCol, centroids).select("id", "cell")
 
   /** Centroid table from the corpus itself: every `stride`-th vector.
     * Deterministic k-means INIT (and a zero-cost stand-in where training
@@ -101,12 +135,11 @@ object Similarity {
     val dim = centroids.head._2.length
     for (_ <- 0 until iterations) {
       val cDf = centroids.toSeq.toDF("cid", "cvec")
-      val cells = ivfAssign(corpus, idCol, vecCol, cDf)
       // element-wise sum + count per cell: aggregate the vector column by
       // folding each row's array into a running sum array (hash aggregate
-      // over `cell`, partial aggregation map-side).
-      val sums = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
-        .join(cells, "id")
+      // over `cell`, partial aggregation map-side). Assignment is a
+      // projection on the same rows, so no corpus self-join by id.
+      val sums = assigned(corpus, idCol, vecCol, cDf)
         .groupBy("cell")
         .agg(count(lit(1)).as("n"),
           array((0 until dim).map(i =>
@@ -198,9 +231,9 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val cells = ivfAssign(corpus, idCol, vecCol, centroids)
-    val corpusCells = withNorm(corpus, idCol, vecCol, "nid", "__cv", "__cn")
-      .join(cells.withColumnRenamed("id", "nid"), "nid")
+    val corpusCells = assigned(corpus, idCol, vecCol, centroids)
+      .select(col("id").as("nid"), col("__v").as("__cv"),
+        col("__n").as("__cn"), col("cell"))
     val q = withNorm(queries, idCol, vecCol, "qid", "__qv", "__qn")
     val cn = centroids.select(col("cid"), col("cvec"),
       graft.functions.l2NormF(col("cvec")).as("__ccn"))
