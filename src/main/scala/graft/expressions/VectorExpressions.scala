@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -421,4 +422,114 @@ case class IntersectCountSortedLong(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Kernel behind [[NearestCentroidCell]]: argmax-cosine over a centroid
+  * matrix held as plain JVM arrays. Must replicate BIT-FOR-BIT the
+  * composition it replaces — per centroid (ascending cid)
+  * `when(norm*cn =!= 0.0, dotF(v, cvec) / (norm*cn))`, then
+  * `max_by(cid, struct(cos, -cid))`: dot is the left-to-right
+  * float→double widening fold of [[DotProductFloat]]; a NULL cosine
+  * (zero denominator, length mismatch, null element) is skipped exactly
+  * as it sorts below every value; ties keep the SMALLEST cid (strict `>`
+  * over ascending cids); Double.compare makes NaN the largest value,
+  * matching Spark's double ordering; and the all-NULL row falls back to
+  * the smallest cid (the struct ordering's -cid tie-break).
+  */
+object NearestCentroidKernel {
+  def compute(vec: ArrayData, norm: Double, cids: Array[Long],
+              cents: Array[Array[Float]], norms: Array[Double]): Long = {
+    val n = vec.numElements()
+    var hasNull = false
+    var j = 0
+    while (j < n && !hasNull) { if (vec.isNullAt(j)) hasNull = true else j += 1 }
+    var best = 0.0
+    var bestCid = cids(0)
+    var found = false
+    if (!hasNull) {
+      var i = 0
+      while (i < cids.length) {
+        val c = cents(i)
+        val denom = norm * norms(i)
+        if (denom != 0.0 && c.length == n) {
+          var dot = 0.0
+          var k = 0
+          while (k < n) { dot += vec.getFloat(k).toDouble * c(k).toDouble; k += 1 }
+          val cos = dot / denom
+          if (!found || java.lang.Double.compare(cos, best) > 0) {
+            best = cos; bestCid = cids(i); found = true
+          }
+        }
+        i += 1
+      }
+    }
+    bestCid
+  }
+}
+
+/** Nearest-centroid cell id for an embedding column — the IVF hot kernel.
+  *
+  * The composed form (k cosine expressions + greatest + a cid when-chain)
+  * embeds the centroid VALUES in the generated source, so every k-means
+  * iteration — new centroids — recompiles codegen from scratch; here the
+  * matrix rides as a reference object and the generated source depends on
+  * nothing but the expression shape (codegen cache hit across
+  * iterations), with one fused pass per row and zero allocation.
+  *
+  * NULL inputs yield the smallest cid, not NULL — the exact behavior of
+  * the max_by composition this replaces (see [[NearestCentroidKernel]]),
+  * which is why this expression is NOT null-intolerant.
+  */
+case class NearestCentroidCell(vec: Expression, norm: Expression,
+                               cids: Array[Long], cents: Array[Array[Float]],
+                               norms: Array[Double])
+    extends BinaryExpression {
+
+  require(cids.nonEmpty && cids.length == cents.length && cids.length == norms.length)
+  require((1 until cids.length).forall(i => cids(i - 1) < cids(i)),
+    "cids must be strictly ascending (ties resolve to the smallest cid)")
+
+  override def left: Expression = vec
+  override def right: Expression = norm
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, norm.dataType) match {
+    case (ArrayType(FloatType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (v, n) => TypeCheckResult.TypeCheckFailure(
+      s"NearestCentroidCell expects (ARRAY<FLOAT>, DOUBLE), got " +
+        s"(${v.simpleString}, ${n.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    val nv = norm.eval(input)
+    if (v == null || nv == null) cids(0)
+    else NearestCentroidKernel.compute(v.asInstanceOf[ArrayData],
+      nv.asInstanceOf[Double], cids, cents, norms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    val vEv = vec.genCode(ctx)
+    val nEv = norm.genCode(ctx)
+    ev.copy(
+      code = vEv.code + nEv.code +
+        code"""
+          |long ${ev.value} = (${vEv.isNull} || ${nEv.isNull})
+          |  ? $cidsRef[0]
+          |  : graft.expressions.NearestCentroidKernel.compute(
+          |      ${vEv.value}, ${nEv.value}, $cidsRef, $centsRef, $normsRef);
+          """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(vec = newLeft, norm = newRight)
 }

@@ -56,6 +56,17 @@ package object functions {
   def dotProductF(a: Column, b: Column): Column =
     toColumn(graft.expressions.DotProductFloat(toExpression(a), toExpression(b)))
 
+  /** FLOAT-array literal backed by UnsafeArrayData. `typedlit` wraps the
+    * values as a GenericArrayData of BOXED floats, so every getFloat in a
+    * kernel loop unboxes a java.lang.Float — against a 64-dim literal per
+    * centroid/hyperplane that was the hot path's dominant cost. The unsafe
+    * layout reads primitives directly.
+    */
+  def litFloatArray(values: Array[Float]): Column =
+    toColumn(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(values),
+      ArrayType(FloatType, containsNull = false)))
+
   /** L2 norm of a float array via the native dot product: sqrt of the
     * same sequential squares-sum [[l2Norm]] computes.
     */

@@ -72,30 +72,25 @@ object Similarity {
       .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       .toSeq
 
-  /** argmax-cosine cell as a scalar Column over (vec, norm) attributes.
-    * Exactly replicates `max_by(cid, struct(cos, -cid))`: elements are
-    * (cos, -cid) structs, array_max uses the same interpreted ordering
-    * (NULL cos sorts smallest; cos ties fall to -cid, i.e. the SMALLEST
-    * centroid id), and the winning cell is recovered from the -cid field.
-    */
-  private def cellExpr(vec: Column, vnorm: Column, cs: Seq[Centroid]): Column = {
-    val elems = cs.map { c =>
-      struct(
-        cosFromNorms(vec, typedlit(c.vec), vnorm, lit(c.norm)).as("c"),
-        lit(-c.cid).as("n"))
-    }
-    -array_max(array(elems: _*)).getField("n")
-  }
-
   /** (id, __v, __n, cell) — the shared map-only assignment projection.
-    * Norm and cell land in separate Projects so the norm fold runs once
-    * per row (cellExpr references it k times; CollapseProject keeps
-    * non-cheap exprs with multiple uses un-inlined).
+    * The argmax is ONE fused kernel expression
+    * ([[graft.expressions.NearestCentroidCell]]): the centroid matrix
+    * rides as a codegen reference object, so k-means iterations (new
+    * centroid values every round) reuse the compiled code instead of
+    * recompiling, and each row costs one pass with zero allocation.
+    * Semantics are bit-for-bit `max_by(cid, struct(cos, -cid))` — see the
+    * kernel's doc.
     */
   private[operators] def assigned(vectors: DataFrame, idCol: String, vecCol: String,
-                                  centroids: DataFrame): DataFrame =
+                                  centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val cs = collectCentroids(centroids).sortBy(_.cid)
+    require(cs.nonEmpty, "centroids must be non-empty")
     withNorm(vectors, idCol, vecCol, "id", "__v", "__n")
-      .withColumn("cell", cellExpr(col("__v"), col("__n"), collectCentroids(centroids)))
+      .withColumn("cell", toColumn(graft.expressions.NearestCentroidCell(
+        toExpression(col("__v")), toExpression(col("__n")),
+        cs.map(_.cid).toArray, cs.map(_.vec).toArray, cs.map(_.norm).toArray)))
+  }
 
   /** Assign every vector to its nearest centroid (max cos, centroid id
     * tie-break — NULL cell only if every cosine is NULL-normed). Map-only:
@@ -185,7 +180,7 @@ object Similarity {
     // NOT a dim-term element_at Add-chain, which would materialize
     // planes×dim expression nodes per row and blow up codegen.
     val bitCols = planes.zipWithIndex.map { case (h, j) =>
-      val dot = graft.functions.dotProductF(col(vecCol), typedlit(h))
+      val dot = graft.functions.dotProductF(col(vecCol), graft.functions.litFloatArray(h))
       when(dot >= 0, lit(1L << (j % bandBits))).otherwise(0L).as(s"__b$j")
     }
     val withBits = vectors.select(col(idCol).as("id") +: bitCols: _*)

@@ -107,4 +107,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(interpreted) ===
       java.lang.Double.doubleToLongBits(viaCodegen))
   }
+
+  test("NearestCentroidCell matches max_by(cid, struct(cos, -cid)) semantics") {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    import org.apache.spark.sql.functions.col
+    def cellOf(vecs: Seq[(Long, Seq[Float])], cents: Seq[(Long, Array[Float])]): Map[Long, Long] = {
+      val df = vecs.toDF("id", "v")
+        .withColumn("__n", graft.functions.l2NormF(col("v")))
+      val cids = cents.map(_._1).toArray
+      val mat = cents.map(_._2).toArray
+      val norms = cents.map(c => math.sqrt(c._2.map(x => x.toDouble * x).sum)).toArray
+      df.select(col("id"), toColumn(graft.expressions.NearestCentroidCell(
+          toExpression(col("v")), toExpression(col("__n")), cids, mat, norms)).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val cents = Seq(
+      0L -> Array(1.0f, 0.0f),
+      1L -> Array(0.0f, 1.0f),
+      2L -> Array(1.0f, 0.0f)) // duplicate of 0: tie must resolve to cid 0
+    val out = cellOf(Seq(
+      (10L, Seq(2.0f, 0.1f)),  // nearest x-axis → tie between 0 and 2 → 0
+      (11L, Seq(0.1f, 3.0f)),  // nearest y-axis → 1
+      (12L, Seq(0.0f, 0.0f))), // zero norm: every cosine NULL → smallest cid
+      cents)
+    assert(out === Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+    // interpreted eval agrees with the codegen'd path
+    val expr = graft.expressions.NearestCentroidCell(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.1f, 3.0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        math.sqrt(0.1 * 0.1 + 9.0)),
+      Array(0L, 1L, 2L), Seq(cents(0)._2, cents(1)._2, cents(2)._2).toArray,
+      Array(1.0, 1.0, 1.0))
+    assert(expr.eval(null) === 1L)
+  }
 }
