@@ -59,6 +59,38 @@ object Sampling {
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
                        fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1)
+    sampleByFraction(df, stratumCol, keyCol, lit(fraction))
+  }
+
+  /** Deterministic MIXTURE sample: like [[stratifiedSample]] but with a
+    * per-stratum fraction — the training-mixture primitive ("50% web,
+    * 25% books, 10% code, default 5%") that turns corpus proportions into
+    * dataset proportions reproducibly. Strata absent from `fractions`
+    * (including a NULL stratum) use `defaultFraction`; a fraction of 0
+    * drops the stratum. Same scale-safe histogram plan as
+    * [[stratifiedSample]] — per-stratum work never funnels into one task.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                    fractions: Map[String, Double],
+                    defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    // when-chain, not a map literal: element_at on a missing map key
+    // THROWS under ANSI mode, and the handful of strata stay plan-side
+    // constants either way.
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (s, f)) =>
+      when(col(stratumCol) === lit(s), lit(f)).otherwise(acc)
+    }
+    sampleByFraction(df, stratumCol, keyCol, frac)
+  }
+
+  /** Shared core: keep ceil(fraction·|stratum|) rows per stratum by the
+    * (hash bucket asc, key asc) total order, where `fraction` is any
+    * expression of the stratum column (constant for stratifiedSample,
+    * lookup for mixtureSample).
+    */
+  private def sampleByFraction(df: DataFrame, stratumCol: String, keyCol: String,
+                               fraction: org.apache.spark.sql.Column): DataFrame = {
     val buckets = 1000000
     val withB = df.withColumn("__bkt", hashBucket(col(keyCol), buckets))
     val hist = withB.groupBy(col(stratumCol), col("__bkt"))
@@ -69,6 +101,7 @@ object Sampling {
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__t",
         ceil(sum(col("__c")).over(Window.partitionBy(col(stratumCol))) * fraction))
+      .filter(col("__t") > 0)
     val bound = cum.filter(col("__cum") >= col("__t"))
       .groupBy(col(stratumCol).as("__st"))
       .agg(min(col("__bkt")).as("__B"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Quantization, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LineDedup, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -273,6 +273,42 @@ object LlmQueries {
         docs, "doc_id", "text", bench, "doc_id", "text",
         n = 3, threshold = 0.5)
         .orderBy("doc_id")
+    }),
+
+    // Corpus-wide duplicate-line removal (CCNet-style), keep-first,
+    // reassembled per doc. The synthetic docs are single-line, so tokens
+    // are re-delimited to lines — which makes every repeated WORD a hot
+    // dedup key and stresses exactly the map-side-combine skew path.
+    "q49_line_dedup" -> ((s, dir) => {
+      val lined = t(s, dir, "documents")
+        .select(col("doc_id"), translate(col("text"), " ", "\n").as("text"))
+      LineDedup.dedupLines(lined, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Training-mixture sampling: per-language fractions, deterministic
+    // and exact per stratum (scale-safe histogram plan, like q35).
+    "q50_mixture_sample" -> ((s, dir) => {
+      Sampling.mixtureSample(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), defaultFraction = 0.05)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")
+    }),
+
+    // Sequence packing: token offsets + context-window shard ids over 8
+    // independent concatenated streams.
+    "q51_token_shards" -> ((s, dir) => {
+      val sized = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.tokenShards(sized, "doc_id", "n_tokens",
+        contextLen = 2048, streams = 8).orderBy("doc_id")
+    }),
+
+    // Per-group top-k curation (two-phase salted rank — no whole-group
+    // single-task sort), longest 5 docs per language.
+    "q52_topk_per_group" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      TopK.topKPerGroup(scored, "lang", "n_tokens", "doc_id", k = 5, salts = 8)
+        .orderBy("lang", "rank")
     })
   )
 
@@ -720,6 +756,70 @@ object LlmQueries {
       """SELECT doc_id, 'text/plain' AS kind,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // first corpus-wide occurrence = min packed (doc_id, pos); winner rows
+    // reconstructed from the packed min, reassembled in position order.
+    "q49_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, chr(10))) AS line,
+        |         unnest(range(len(string_split(text, chr(10))))) AS pos
+        |  FROM docs),
+        |w AS (
+        |  SELECT line, min(doc_id * 1000000 + pos) AS ord FROM lines GROUP BY line),
+        |winners AS (
+        |  SELECT ord // 1000000 AS doc_id, ord % 1000000 AS pos, line FROM w),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        |  FROM winners GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(r.text_dedup, '') AS text_dedup
+        |FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q50_mixture_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM ranked
+        |WHERE rn <= ceil(n * (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |                      WHEN 'fr' THEN 0.1 ELSE 0.05 END))
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "q51_token_shards" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, CAST(len($oToks) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_tokens,
+         |         (((doc_id % 2147483648) * 2654435761) % 4294967296) % 8 AS stream
+         |  FROM sized),
+         |c AS (
+         |  SELECT doc_id, n_tokens, stream,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id)
+         |              - n_tokens AS BIGINT) AS "offset"
+         |  FROM s)
+         |SELECT doc_id, n_tokens, stream, "offset", "offset" // 2048 AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q52_topk_per_group" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, CAST(len($oToks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, lang, n_tokens, rank FROM r
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
   )
 }
