@@ -24,11 +24,16 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    // Deterministic salt: hash of the whole left row modulo S — spreads a
-    // hot key's rows evenly without an RNG (reproducible plans, and no
-    // rand() re-evaluation hazards under retries).
+    // The JOIN RESULT is invariant to the salt values: whatever salt a
+    // left row carries in [0,S), it meets exactly the one replica of each
+    // matching right row with that salt — so the salt needs an even
+    // spread, not determinism or row content. Round-robin off the row id
+    // gives a perfect spread AND keeps the scan narrow: the previous
+    // whole-row hash (xxhash64 of struct(all columns)) forced the scan to
+    // read EVERY column just to compute the salt — column pruning gone,
+    // which at 100 TB costs more than the skew it fixes.
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(saltFactor.toLong)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val replicated = right
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
@@ -44,8 +49,10 @@ object Skew {
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
                 saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // Same reasoning as saltedJoin: a sum is salt-invariant, so the salt
+    // is round-robin — not a whole-row hash that would defeat pruning.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(saltFactor.toLong)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__partial"))
