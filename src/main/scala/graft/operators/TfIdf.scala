@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term weighting over a tokenized corpus — the relevance /
+  * keyword-extraction primitive of a text pipeline.
+  *
+  * The idf here is the RATIONAL variant idf = (N+1)/(df+1) rather than
+  * its logarithm: IEEE division is exactly rounded, so scores are
+  * bit-identical across engines (a requirement of the DuckDB oracle
+  * gate), while `ln` carries no such guarantee — libm and the JVM may
+  * round the last ulp differently, and with small-integer tf/df pairs
+  * (2·ln 4 vs 4·ln 2) even the RANKING can flip on an ulp. The rational
+  * idf is strictly monotone in df, so per-document term ordering for a
+  * fixed tf matches the classic formula; swap in `log(...)` when exact
+  * cross-engine parity is not needed.
+  *
+  * Plan shape: token explode → (term, doc) hash aggregate → per-term df
+  * aggregate (both map-side combinable) → broadcast-sized join of the
+  * per-term stats back onto the per-doc-term rows. No window over the
+  * corpus; the only per-doc work is the final rank over that doc's own
+  * terms (bounded by document vocabulary).
+  */
+object TfIdf {
+
+  /** Per-(document, term) weights with an in-document rank.
+    *
+    * @return (idCol, term, tf, df, tfidf, rank): tf = occurrences of term
+    *         in doc, df = docs containing term, tfidf = tf·(N+1)/(df+1)
+    *         (N = total docs), rank = position of the term within its doc
+    *         by (tfidf desc, term asc).
+    */
+  def termWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(graft.functions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), col("term"))
+    tf.join(df, "term")
+      .withColumn("tfidf",
+        col("tf").cast("double") * (n + 1).toDouble / (col("df") + 1))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+}

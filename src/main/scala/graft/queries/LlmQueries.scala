@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, LineDedup, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis, TopK}
+import graft.operators.{Dedup, ExactQuantiles, InvertedIndex, LineDedup, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis, TfIdf, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,27 @@ object LlmQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       TopK.topKPerGroup(scored, "lang", "n_tokens", "doc_id", k = 5, salts = 8)
         .orderBy("lang", "rank")
+    }),
+
+    // TF-IDF keyword extraction: top-3 terms per doc by the rational-idf
+    // weight (log-free so scores are bit-portable across engines).
+    "q53_tfidf" -> ((s, dir) => {
+      TfIdf.termWeights(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("rank") <= 3).orderBy("doc_id", "rank")
+    }),
+
+    // Inverted index: per-term df / total tf / bounded posting list
+    // (TopK-composed prefix — no unbounded collect per term).
+    "q54_posting_lists" -> ((s, dir) => {
+      InvertedIndex.postingLists(t(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 10).orderBy("term")
+    }),
+
+    // Exact per-language median doc length via the histogram-cumulate
+    // plan — no per-group row sort.
+    "q55_group_median" -> ((s, dir) => {
+      ExactQuantiles.medianByGroup(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("lang")
     })
   )
 
@@ -820,6 +841,52 @@ object LlmQueries {
          |           ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT doc_id, lang, n_tokens, rank FROM r
-         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q53_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($oToks) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         |         CAST(tf.tf AS DOUBLE) * (nn.n + 1) / (dfx.df + 1) AS tfidf
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN nn),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS BIGINT) AS rank FROM sc)
+         |SELECT doc_id, term, tf, df, tfidf, rank FROM r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q54_posting_lists" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($oToks) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+         |  FROM tf GROUP BY 1),
+         |top AS (
+         |  SELECT term, doc_id,
+         |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |  FROM tf),
+         |p AS (
+         |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |  FROM top WHERE rn <= 10 GROUP BY term)
+         |SELECT term, df, total_tf, postings
+         |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    "q55_group_median" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT lang, CAST(min(n) AS BIGINT) AS n, min(v) AS median
+        |FROM cum WHERE cum * 2 >= n GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{LineDedup, Packing, Sampling, TopK}
+import graft.operators.{ExactQuantiles, InvertedIndex, LineDedup, Packing, Sampling, TfIdf, TopK}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,5 +84,47 @@ class CorpusOpsSpec extends SparkSpec {
       .select("g", "rank", "id", "score")
     assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
     assert(out.count() === 28)
+  }
+
+  test("termWeights: tf/df counts and rational-idf ranking") {
+    val docs = Seq(
+      (1L, "a a b"),   // tf(a)=2, tf(b)=1
+      (2L, "b c"),
+      (3L, "c c c")
+    ).toDF("doc_id", "text")
+    val out = TfIdf.termWeights(docs, "doc_id", "text")
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    // N=3; df: a=1, b=2, c=2 → idf: a=2.0, b=4/3, c=4/3
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3, r._4, r._5)).toSeq ===
+      Seq(("a", 2L, 1L, 4.0), ("b", 1L, 2L, 4.0 / 3)))
+    // doc 3: c with tf 3 → 3*4/3 = 4.0
+    assert(out.filter(_._1 == 3L).map(r => (r._2, r._5, r._6)).toSeq ===
+      Seq(("c", 4.0, 1L)))
+    // doc 1 tie (both 4.0... no: a=4.0, b=1.333) → a ranks 1
+    assert(out.filter(_._1 == 1L).map(_._6).toSeq === Seq(1L, 2L))
+  }
+
+  test("postingLists: bounded ascending postings, unbounded stats") {
+    val docs = (1L to 30L).map(i => (i, if (i % 2 == 0) "x x" else "x y"))
+      .toDF("doc_id", "text")
+    val out = InvertedIndex.postingLists(docs, "doc_id", "text", maxPostings = 5)
+      .orderBy("term")
+      .as[(String, Long, Long, String)].collect()
+    // x: in all 30 docs (tf 2 in evens, 1 in odds → total 45); postings = 5 smallest
+    assert(out(0) === (("x", 30L, 45L, "1,2,3,4,5")))
+    // y: 15 odd docs, tf 1 → postings 1,3,5,7,9
+    assert(out(1) === (("y", 15L, 15L, "1,3,5,7,9")))
+  }
+
+  test("medianByGroup: lower median from the histogram, no per-group sort") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),   // even: lower median = 2
+      ("b", 10L), ("b", 20L), ("b", 20L),           // odd: median = 20
+      ("c", 7L)
+    ).toDF("g", "v")
+    val out = ExactQuantiles.medianByGroup(df, "g", "v")
+      .orderBy("g").as[(String, Long, Long)].collect()
+    assert(out === Array(("a", 4L, 2L), ("b", 3L, 20L), ("c", 1L, 7L)))
   }
 }
