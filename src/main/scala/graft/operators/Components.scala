@@ -146,22 +146,23 @@ object Components {
       .filter(col("u") =!= col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Symmetrized adjacency — scanned exactly twice (star-merge +
-    // contraction), persisted for those two passes and released. No dedup
-    // pass: the min aggregate is idempotent, parallel edges just repeat
-    // an offer that map-side combine collapses.
+    // contraction), but NOT persisted: it is a union of two projections
+    // of the cached one-directional edges, so each scan is two cheap
+    // cache reads, where persisting it would write (and hold) a second,
+    // 2×-sized copy of the edge set just to save those reads. No dedup
+    // pass either: the min aggregate is idempotent, parallel edges just
+    // repeat an offer that map-side combine collapses.
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val t0 = System.nanoTime()
       val m0 = starMin(sym).localCheckpoint()
-      e.unpersist()
       val remnant = contract(sym, m0).localCheckpoint()
       dbg("star-merge + contract", t0)
       val labels =
         if (remnant.isEmpty) m0
         else applyMap(m0, propagateToFixpoint(remnant, maxRounds, dbg))
       labels.select(col("node").as("id"), col("comp").as("component"))
-    } finally sym.unpersist()
+    } finally e.unpersist()
   }
 
   /** Cluster assignment for a full table: every row of `df` labeled with
