@@ -117,6 +117,14 @@ object Dedup {
     // __set is already sorted, so the per-PAIR intersection (the part that
     // runs millions of times) is a codegen'd two-pointer merge instead of
     // a hash-set build per evaluation.
+    //
+    // `cands` may carry DUPLICATE (i, j) rows — candidate generators emit
+    // one row per shared band / prefix element, and deduplicating millions
+    // of candidates BEFORE verification costs a full extra shuffle of the
+    // candidate table. Verifying the duplicates instead is a few extra
+    // codegen'd merge passes, and the distinct here runs over only the
+    // rows that SURVIVE the threshold — a tiny table (common and jaccard
+    // are functions of (i, j), so this distinct equals a pair distinct).
     cands
       .join(sets.select(col("__id").as("i"), col("__set").as("__si")), "i")
       .join(sets.select(col("__id").as("j"), col("__set").as("__sj")), "j")
@@ -126,6 +134,7 @@ object Dedup {
         (size(col("__si")) + size(col("__sj")) - col("common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("common"), col("jaccard"))
+      .distinct()
   }
 
   // ------------------------------------------------- n-gram Jaccard (exact)
@@ -194,7 +203,7 @@ object Dedup {
         col("__szj") <= col("__szi") / threshold &&
         least(col("__szi") - col("__rni"), col("__szj") - col("__rnj")) + 1 >=
           ceil((col("__szi") + col("__szj")) * (threshold / (1 + threshold))))
-      .select("i", "j").distinct()
+      .select("i", "j")
     verifyJaccard(cands, sets, threshold)
   }
 
@@ -262,7 +271,7 @@ object Dedup {
       .join(bands.select(col("__id").as("j"), col("band"), col("bandKey")),
         Seq("band", "bandKey"))
       .filter(col("i") < col("j"))
-      .select("i", "j").distinct()
+      .select("i", "j")
     verifyJaccard(cands, sets, threshold)
   }
 
@@ -274,7 +283,19 @@ object Dedup {
     * maxHamming ≤ 3 — this is exact, not probabilistic, dedup.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 2): DataFrame = {
+                   maxHamming: Int = 2): DataFrame =
+    simhashMatches(docs, idCol, textCol, maxHamming).distinct()
+
+  /** [[simhashPairs]] WITHOUT the final pair-distinct: a pair within
+    * Hamming distance appears once per band it collides in (1–4 rows).
+    * This is the right input for consumers that tolerate parallel edges —
+    * connected components' min-aggregate is idempotent — where paying a
+    * full shuffle of the collision table just to deduplicate it first
+    * would be wasted work. The Hamming filter runs BEFORE any shuffle, so
+    * only qualifying pairs leave the band join.
+    */
+  def simhashMatches(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
     val bandWidth = 1L << (TextAnalysis.SimHashBits / 4)
     val withSig = docs.select(col(idCol).as("__id"),
@@ -292,7 +313,6 @@ object Dedup {
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"),
         bit_count(col("__si").bitwiseXOR(col("__sj"))).cast(LongType).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -259,7 +259,9 @@ object LlmQueries {
     // the canonical (min-id) survivor a dedup pass keeps.
     "q47_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2)
+      // simhashMatches, not simhashPairs: CC's min-aggregate absorbs the
+      // per-band duplicate edges, so the pair-distinct shuffle is skipped.
+      val pairs = Dedup.simhashMatches(docs, "doc_id", "text", maxHamming = 2)
       graft.operators.Components.dedupClusters(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }),
