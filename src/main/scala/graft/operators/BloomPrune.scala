@@ -43,20 +43,34 @@ object BloomPrune {
       toExpression(bloom), toExpression(xxhash64(key))))
   }
 
+  /** The serialized Bloom filter of `build`'s `buildKey` values — one
+    * aggregated row pulled to the driver (KBs–MBs; the same bytes Spark's
+    * runtime row-level filtering ships as a scalar subquery). NULL when
+    * `build` is empty.
+    */
+  def bloomFilterFor(build: DataFrame, buildKey: String,
+                     expectedItems: Long): Array[Byte] =
+    build.agg(bloomAgg(col(buildKey), expectedItems).as("__bloom"))
+      .head.getAs[Array[Byte]](0)
+
   /** `probe` reduced to rows whose `probeKey` MIGHT appear among `build`'s
     * `buildKey` values: a superset of the semi-join (bloom false-positive
     * rate ~`1%` at the default sizing), with NULL keys dropped (they can
-    * never equi-join). One broadcast of a one-row filter table; zero
-    * shuffle of the probe side.
+    * never equi-join).
+    *
+    * The filter bytes are computed EAGERLY (one action over the build
+    * side) and inlined as a literal: `might_contain` requires a constant
+    * or scalar-subquery bloom argument, so a lazily-joined one-row table
+    * does not analyze. The driver round-trip moves exactly the filter —
+    * what a scalar subquery would move anyway — and the probe side is
+    * then filtered inside its scan stage with zero shuffle.
     */
   def bloomSemiFilter(probe: DataFrame, probeKey: String,
                       build: DataFrame, buildKey: String,
                       expectedItems: Long): DataFrame = {
-    val bloom = broadcast(
-      build.agg(bloomAgg(col(buildKey), expectedItems).as("__bloom")))
-    probe.join(bloom)
-      .filter(mightContain(col("__bloom"), col(probeKey)))
-      .drop("__bloom")
+    val bytes = bloomFilterFor(build, buildKey, expectedItems)
+    if (bytes == null) probe.filter(lit(false)) // empty build: nothing joins
+    else probe.filter(mightContain(lit(bytes), col(probeKey)))
   }
 
   /** Inner equi-join with bloom-pruned probe side — result identical to

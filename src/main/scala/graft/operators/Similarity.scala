@@ -246,4 +246,26 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
+
+  /** Recall@k of an approximate neighbor table against the exact one: per
+    * query, the fraction of `exact`'s ids that `approx` also returned.
+    * The evaluation harness for choosing IVF/LSH parameters — run it on a
+    * sampled query set, not the full corpus.
+    *
+    * Both inputs are (qidCol, idCol, ...) top-k tables. One equi-join on
+    * (query, neighbor) + one tiny aggregate; every exact query id appears
+    * in the output even at zero hits (left join).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, qidCol: String,
+                idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val e = exact.select(col(qidCol).as("qid"), col(idCol).as("__nid"))
+    val a = approx.select(col(qidCol).as("qid"), col(idCol).as("__nid"),
+      lit(1L).as("__hit"))
+    e.join(a, Seq("qid", "__nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits").cast("double") / k).as(s"recall_at_$k"))
+  }
 }

@@ -332,6 +332,32 @@ object LlmQueries {
     "q55_group_median" -> ((s, dir) => {
       ExactQuantiles.medianByGroup(t(s, dir, "documents"), "lang", "n_chars")
         .orderBy("lang")
+    }),
+
+    // Fixed-width length histogram (250-char buckets, clamped overflow
+    // bucket): the profiling pass before choosing length filters.
+    "q59_histogram" -> ((s, dir) => {
+      graft.operators.Profiling.histogram(t(s, dir, "documents"),
+        col("n_chars"), width = 250, maxBucket = 15).orderBy("bucket")
+    }),
+
+    // ANN evaluation: recall@5 of the IVF path (q30) against the exact
+    // brute-force baseline (q29), per query.
+    "q60_ann_recall" -> ((s, dir) => {
+      val exact = Similarity.bruteForceTopK(queriesSubset(s, dir),
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      val approx = Similarity.ivfTopK(queriesSubset(s, dir),
+        t(s, dir, "embeddings"), strideCentroids(s, dir),
+        "vec_id", "embedding", k = 5, nProbe = 5)
+      Similarity.recallAtK(exact, approx, "qid", "nid", k = 5).orderBy("qid")
+    }),
+
+    // Context-window chunking: 500-char chunks with 100-char overlap;
+    // rows carry offsets + md5 so chunk identity shuffles, not payload.
+    "q62_chunking" -> ((s, dir) => {
+      graft.operators.Chunking.fixedChunks(t(s, dir, "documents"),
+        "doc_id", "text", size = 500, overlap = 100)
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -889,6 +915,61 @@ object LlmQueries {
         |         sum(c) OVER (PARTITION BY lang) AS n
         |  FROM h)
         |SELECT lang, CAST(min(n) AS BIGINT) AS n, min(v) AS median
-        |FROM cum WHERE cum * 2 >= n GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM cum WHERE cum * 2 >= n GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q59_histogram" ->
+      """SELECT CAST(least(15, n_chars // 250) AS BIGINT) AS bucket,
+        |       CAST(least(15, n_chars // 250) * 250 AS BIGINT) AS lo,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(n_chars) AS min_v, max(n_chars) AS max_v
+        |FROM documents GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    // Recall@5 of the q30 IVF CTEs against the q29 brute-force CTEs —
+    // both re-derived here verbatim so the metric is self-contained.
+    "q60_ann_recall" ->
+      s"""WITH $oNorms,
+         |$oCells,
+         |bscored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCos("q", "c")} AS cos
+         |  FROM norms q JOIN norms c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |branked AS (
+         |  SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM bscored),
+         |brute AS (SELECT qid, nid FROM branked WHERE rank <= 5),
+         |probed AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.vec_id AS qid, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${oCos("q", "c")} DESC, c.cid) AS pr
+         |    FROM norms q CROSS JOIN centroids c
+         |    WHERE q.vec_id < 20)
+         |  WHERE pr <= 5),
+         |iranked AS (
+         |  SELECT p.qid, n.vec_id AS nid,
+         |         row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY ${oCos("q", "n")} DESC, n.vec_id) AS rank
+         |  FROM probed p
+         |  JOIN cells ON cells.cell = p.cell
+         |  JOIN norms n ON n.vec_id = cells.id
+         |  JOIN norms q ON q.vec_id = p.qid
+         |  WHERE n.vec_id <> p.qid),
+         |ivf AS (SELECT qid, nid FROM iranked WHERE rank <= 5)
+         |SELECT b.qid, CAST(count(i.nid) AS BIGINT) AS hits,
+         |       CAST(count(i.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.nid = b.nid
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
+
+    "q62_chunking" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, greatest(len(text), 1), 400)) AS start
+        |  FROM documents)
+        |SELECT doc_id, CAST((start - 1) // 400 AS BIGINT) AS chunk_idx,
+        |       CAST(start AS BIGINT) AS start,
+        |       CAST(len(substr(text, start, 500)) AS BIGINT) AS chunk_len,
+        |       md5(substr(text, start, 500)) AS checksum
+        |FROM starts WHERE start <= len(text)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

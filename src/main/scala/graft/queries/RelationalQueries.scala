@@ -393,6 +393,63 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           (col("o_totalprice") - col("cust_avg")).as("anomaly"))
         .orderBy("o_orderkey")
+    }),
+
+    // Changelog compaction: latest event per (user, type) via ONE hash
+    // aggregate (max over a (version, payload) struct) — the upsert/merge
+    // primitive, with no per-key sort window anywhere.
+    "q56_upsert_latest" -> ((s, dir) => {
+      // µs-truncated version: DuckDB's parquet reader truncates
+      // TIMESTAMP_NS to µs, so compare (and order) at µs precision.
+      graft.operators.Merge.latestByKey(
+        events(s, dir).select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"), col("event_id"), col("value")),
+        keys = Seq("user_id", "event_type"), versionCols = Seq("ts_us", "event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Bloom-pruned join: lineitem rows are filtered by a broadcast Bloom
+    // filter of the urgent-order keys BEFORE the join shuffle; false
+    // positives die in the join, so the result equals the plain join.
+    "q57_bloom_semijoin" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.operators.BloomPrune.bloomPrunedJoin(
+        t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 20000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Snapshot diff (CDC shape): two deterministic order-table versions —
+    // keys % 4 = 0 only in the new snapshot, % 4 = 1 only in the old,
+    // % 3 = 0 repriced — full-outer join, unchanged keys dropped.
+    "q58_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val oldSnap = orders.filter(pmod(col("o_orderkey"), lit(4)) =!= 0)
+      val newSnap = orders.filter(pmod(col("o_orderkey"), lit(4)) =!= 1)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      graft.operators.Cdc.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Per-group z-score normalization via aggregate-then-join (NO window
+    // over the group): moments are exact integer-valued sums, so the
+    // scores are bit-reproducible against the SQL oracle.
+    "q61_group_zscore" -> ((s, dir) => {
+      graft.operators.Normalize.zscoreByGroup(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_returnflag"), col("z"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -641,6 +698,57 @@ object RelationalQueries {
          |FROM orders
          |LEFT JOIN (SELECT o_custkey, ${oAvg("o_totalprice")} AS cust_avg
          |           FROM orders GROUP BY o_custkey) n USING (o_custkey)
-         |ORDER BY o_orderkey""".stripMargin
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q56_upsert_latest" ->
+      """SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+        |       event_id, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // The bloom prune is physical-only: the oracle is the PLAIN join.
+    "q57_bloom_semijoin" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+         |       sum(l_quantity) AS sum_qty,
+         |       ${oSum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q58_snapshot_diff" ->
+      """WITH snap_a AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0),
+        |snap_b AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 <> 1),
+        |d AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |         CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |              WHEN b.o_orderkey IS NULL THEN 'removed'
+        |              WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |                THEN 'changed'
+        |              ELSE 'unchanged' END AS change,
+        |         a.o_totalprice AS old_o_totalprice,
+        |         b.o_totalprice AS new_o_totalprice
+        |  FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey)
+        |SELECT * FROM d WHERE change <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q61_group_zscore" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, sum(l_quantity) AS s,
+        |         sum(l_quantity * l_quantity) AS ss,
+        |         count(l_quantity) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l.l_returnflag,
+        |       CASE WHEN n > 1 THEN (l_quantity - s / n)
+        |              / sqrt((ss - s * s / n) / (n - 1)) END AS z
+        |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.{BloomPrune, Cdc, Chunking, Merge, Normalize, Profiling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the round-5 pipeline operators: changelog compaction
+  * (Merge), snapshot diff (Cdc), histogram profiling, per-group z-score,
+  * fixed chunking, and ANN recall evaluation.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- Merge
+
+  test("latestByKey keeps the greatest version per key") {
+    val log = Seq(
+      ("a", 1L, 10L, "v1"), ("a", 3L, 11L, "v3"), ("a", 2L, 12L, "v2"),
+      ("b", 5L, 13L, "w5")).toDF("k", "ver", "seq", "payload")
+    val out = Merge.latestByKey(log, Seq("k"), Seq("ver", "seq"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSeq ===
+      Seq(("a", 3L, "v3"), ("b", 5L, "w5")))
+  }
+
+  test("latestByKey breaks version ties by the later version column") {
+    val log = Seq(("a", 1L, 10L, "lo"), ("a", 1L, 20L, "hi"))
+      .toDF("k", "ver", "seq", "payload")
+    val out = Merge.latestByKey(log, Seq("k"), Seq("ver", "seq")).collect()
+    assert(out.length === 1 && out.head.getString(3) === "hi")
+  }
+
+  test("upsert overrides base rows and appends new keys") {
+    val base = Seq(("a", 1L, "old"), ("b", 1L, "keep")).toDF("k", "ver", "v")
+    val updates = Seq(("a", 2L, "new"), ("c", 1L, "add")).toDF("k", "ver", "v")
+    val out = Merge.upsert(base, updates, Seq("k"), Seq("ver"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ===
+      Seq(("a", "new"), ("b", "keep"), ("c", "add")))
+  }
+
+  test("latestByKey plan is a hash aggregate, not a window sort") {
+    val log = Seq(("a", 1L, "x")).toDF("k", "ver", "v")
+    val plan = Merge.latestByKey(log, Seq("k"), Seq("ver"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
+  }
+
+  // --------------------------------------------------------------- Cdc
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "price")
+    val b = Seq((2L, 20.0), (3L, 33.0), (4L, 40.0)).toDF("id", "price")
+    val out = Cdc.snapshotDiff(a, b, Seq("id"), Seq("price"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+    val changed = out(1)
+    assert(changed.getDouble(2) === 30.0 && changed.getDouble(3) === 33.0)
+  }
+
+  test("snapshotDiff is null-safe on compare columns") {
+    val a = Seq((1L, Some(1.0)), (2L, None), (3L, None))
+      .toDF("id", "price")
+    val b = Seq((1L, None), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "price")
+    val out = Cdc.snapshotDiff(a, b, Seq("id"), Seq("price"))
+      .orderBy("id").collect()
+    // NULL vs NULL (id 2) is unchanged; value↔NULL flips are changed.
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "changed"), (3L, "changed")))
+  }
+
+  // --------------------------------------------------------- Profiling
+
+  test("histogram buckets, clamps overflow, and tracks min/max") {
+    val df = Seq(0L, 5L, 10L, 19L, 25L, 999L).toDF("v")
+    val out = Profiling.histogram(df, col("v"), width = 10, maxBucket = 2)
+      .orderBy("bucket").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ===
+      Seq((0L, 0L, 2L, 0L, 5L), (1L, 10L, 2L, 10L, 19L),
+        (2L, 20L, 2L, 25L, 999L)))
+  }
+
+  // --------------------------------------------------------- Normalize
+
+  test("zscoreByGroup normalizes within each group; n=1 group is NULL") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("solo", 7.0))
+      .toDF("grp", "x")
+    val out = Normalize.zscoreByGroup(df, Seq("grp"), "x")
+      .orderBy("grp", "x").collect()
+    val zs = out.filter(_.getString(0) == "g").map(_.getDouble(2))
+    assert(math.abs(zs(0) + 1.0) < 1e-12 && math.abs(zs(1)) < 1e-12 &&
+      math.abs(zs(2) - 1.0) < 1e-12)
+    assert(out.filter(_.getString(0) == "solo").head.isNullAt(2))
+  }
+
+  test("zscoreByGroup plan has no Window operator") {
+    val df = Seq(("g", 1.0)).toDF("grp", "x")
+    val plan = Normalize.zscoreByGroup(df, Seq("grp"), "x")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
+  }
+
+  // ---------------------------------------------------------- Chunking
+
+  test("fixedChunks covers the text with the right starts and lengths") {
+    val df = Seq((1L, "a" * 950), (2L, "xy"), (3L, "")).toDF("id", "text")
+    val out = Chunking.fixedChunks(df, "id", "text", size = 500, overlap = 100)
+      .orderBy("id", "chunk_idx").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // stride 400: starts 1, 401, 801; last chunk truncated to 150 chars
+    assert(doc1 === Seq((0L, 1L, 500L), (1L, 401L, 500L), (2L, 801L, 150L)))
+    val doc2 = out.filter(_.getLong(0) == 2L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(doc2 === Seq((0L, 1L, 2L)))
+    assert(!out.exists(_.getLong(0) == 3L), "empty text must yield no chunks")
+  }
+
+  test("fixedChunks consecutive chunks overlap by `overlap` characters") {
+    val text = (0 until 900).map(i => ('a' + i % 26).toChar).mkString
+    val df = Seq((1L, text)).toDF("id", "text")
+    val chunks = Chunking.fixedChunks(df, "id", "text", size = 500, overlap = 100)
+      .orderBy("chunk_idx").collect()
+    // stride 400 over 900 chars: chunks at 1, 401, 801 — adjacent chunks
+    // share 100 characters, the final one holds the 100-char tail.
+    assert(chunks.map(_.getLong(2)).toSeq === Seq(1L, 401L, 801L))
+    assert(chunks.map(_.getLong(3)).toSeq === Seq(500L, 500L, 100L))
+  }
+
+  // ------------------------------------------------------- BloomPrune
+
+  test("bloomSemiFilter never drops a matching key; empty build drops all") {
+    val probe = (1L to 200L).toDF("k")
+    val build = Seq(3L, 50L, 199L).toDF("bk")
+    val kept = BloomPrune.bloomSemiFilter(probe, "k", build, "bk", 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(3L, 50L, 199L).subsetOf(kept), "bloom lost a true match")
+    val none = BloomPrune.bloomSemiFilter(probe, "k",
+      build.filter(col("bk") < 0), "bk", 100L)
+    assert(none.count() === 0L)
+  }
+
+  test("bloomPrunedJoin equals the plain join") {
+    val probe = (1L to 500L).toDF("k")
+    val build = Seq(7L, 8L, 480L).toDF("bk")
+    val got = BloomPrune.bloomPrunedJoin(probe, "k", build, "bk", 100L)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(7L, 8L, 480L))
+  }
+
+  // -------------------------------------------------------- recallAtK
+
+  test("recallAtK counts per-query overlap, keeping zero-hit queries") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L))
+      .toDF("qid", "nid")
+    val out = Similarity.recallAtK(exact, approx, "qid", "nid", k = 2)
+      .orderBy("qid").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
+  }
+}
