@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the engine's compiled kernel expressions, registered
+  * through the public [[SparkSessionExtensions]] hook — the extension
+  * path (SparkSessionExtensions → FunctionRegistry) for making the
+  * library usable from PURE SQL, not just the Scala API:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  *   spark.sql("SELECT graft_simhash(text) FROM docs")
+  * }}}
+  *
+  * or on an already-built session: `GraftExtensions.register(spark)`.
+  *
+  * Registered functions (same codegen'd expressions the Scala operators
+  * use — a SQL user gets the identical plan):
+  *   - `graft_dot_f(a, b)`      — float-array dot product (embedding hot path)
+  *   - `graft_simhash(s)`       — 28-bit portable SimHash over tokens
+  *   - `graft_ngram_hash_set(s, n)` — sorted distinct xxhash64 word-n-gram set
+  *   - `graft_intersect_count_sorted(a, b)` — two-pointer |A∩B| of sorted long arrays
+  *   - `graft_bottomk(x, k)`    — bottom-k distinct longs (KMV sketch state, aggregate)
+  *
+  * Arity/argument errors surface at ANALYSIS time (the builders validate
+  * literal parameters), matching built-in function ergonomics.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INT literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.plans.GraftExtensions", null, name, usage, "")
+
+  private def arity(fn: String, n: Int)(es: Seq[Expression]): Seq[Expression] = {
+    require(es.length == n, s"$fn expects $n arguments, got ${es.length}")
+    es
+  }
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions'
+    * injectFunction shape; shared by the extension hook and [[register]].
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot_f"),
+      info("graft_dot_f", "graft_dot_f(a, b) - dot product of two FLOAT arrays"),
+      es => { val Seq(a, b) = arity("graft_dot_f", 2)(es)
+        graft.expressions.DotProductFloat(a, b) }),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(s) - 28-bit portable simhash"),
+      es => { val Seq(s) = arity("graft_simhash", 1)(es)
+        graft.expressions.SimHashNative(s, graft.operators.TextAnalysis.SimHashBits) }),
+    (FunctionIdentifier("graft_ngram_hash_set"),
+      info("graft_ngram_hash_set",
+        "graft_ngram_hash_set(s, n) - sorted distinct xxhash64 hashes of word n-grams"),
+      es => { val Seq(s, n) = arity("graft_ngram_hash_set", 2)(es)
+        graft.expressions.NgramHashSet(s, litInt(n, "graft_ngram_hash_set", "n")) }),
+    (FunctionIdentifier("graft_intersect_count_sorted"),
+      info("graft_intersect_count_sorted",
+        "graft_intersect_count_sorted(a, b) - |A∩B| of sorted distinct LONG arrays"),
+      es => { val Seq(a, b) = arity("graft_intersect_count_sorted", 2)(es)
+        graft.expressions.IntersectCountSortedLong(a, b) }),
+    (FunctionIdentifier("graft_bottomk"),
+      info("graft_bottomk",
+        "graft_bottomk(x, k) - aggregate: the k smallest distinct LONG values, ascending"),
+      es => { val Seq(x, k) = arity("graft_bottomk", 2)(es)
+        graft.expressions.BottomKLongs(x, litInt(k, "graft_bottomk", "k")) }))
+
+  /** Register on a live session (the non-config path — e.g. notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, fi, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
+    }
+}

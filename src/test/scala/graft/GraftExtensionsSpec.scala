@@ -1,0 +1,53 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.AnalysisException
+
+/** The SQL function surface: every registered kernel must be callable
+  * from spark.sql and agree with the Scala-API operators it mirrors.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("graft_dot_f matches the Scala-API dot product") {
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val sql = spark.sql("SELECT graft_dot_f(a, b) AS d FROM vecs")
+      .head.getDouble(0)
+    assert(sql === 32.0)
+  }
+
+  test("graft_simhash / graft_ngram_hash_set / intersect agree with operators") {
+    Seq((1L, "the quick brown fox"), (2L, "the quick brown cat"))
+      .toDF("id", "text").createOrReplaceTempView("docs")
+    val viaSql = spark.sql(
+      """SELECT a.id AS i, b.id AS j,
+        |  graft_intersect_count_sorted(graft_ngram_hash_set(a.text, 2),
+        |                               graft_ngram_hash_set(b.text, 2)) AS common,
+        |  graft_simhash(a.text) AS sig
+        |FROM docs a JOIN docs b ON a.id < b.id""".stripMargin).head
+    // bigrams: {the quick, quick brown, brown fox|cat} — 2 shared
+    assert(viaSql.getLong(2) === 2L)
+    val viaApi = Seq("the quick brown fox").toDF("text")
+      .select(graft.operators.TextAnalysis.simHash($"text")).head.getLong(0)
+    assert(viaSql.getLong(3) === viaApi)
+  }
+
+  test("graft_bottomk aggregates the k smallest distinct values") {
+    Seq(5L, 1L, 9L, 1L, 3L, 7L).toDF("x").createOrReplaceTempView("xs")
+    val got = spark.sql("SELECT graft_bottomk(x, 3) AS bk FROM xs")
+      .head.getSeq[Long](0)
+    assert(got === Seq(1L, 3L, 5L))
+  }
+
+  test("literal-parameter misuse fails at analysis time") {
+    Seq(1L).toDF("x").createOrReplaceTempView("one")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bottomk(x, x) FROM one").collect()
+    }
+    assert(e.isInstanceOf[AnalysisException] ||
+      e.getMessage.contains("INT literal"))
+  }
+}
