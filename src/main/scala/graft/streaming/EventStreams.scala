@@ -51,6 +51,25 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup with BOUNDED state: duplicates of a key are
+    * dropped as long as they arrive within the event-time watermark; the
+    * key's dedup state is evicted once the watermark passes it. This is
+    * the streaming twin of the batch exact-dedup family — the operator an
+    * ingest stream runs so re-delivered events (at-least-once sources,
+    * crawler retries) never reach the corpus twice.
+    *
+    * Unlike a plain `dropDuplicates` on a stream (whose state grows with
+    * every key ever seen — unbounded on an indefinite stream),
+    * `dropDuplicatesWithinWatermark` holds only the keys newer than the
+    * watermark: state is O(keys per watermark window) per executor,
+    * hash-partitioned by key.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One event as consumed by the stateful operators. */
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)

@@ -107,6 +107,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupWithinWatermark drops re-delivered events, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupWithinWatermark(input.toDF(), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deduped").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0), // same-batch duplicate
+        Event(2, ts(1), 2, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(1, ts(2), 1, "click", 1.0)) // cross-batch redelivery
+      query.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L), s"got $ids")
+    } finally query.stop()
+  }
+
   test("the same windowed transform runs in BATCH mode (unified model)") {
     val batch = Seq(
       Event(1, ts(0), 1, "click", 1.0),
