@@ -28,6 +28,13 @@ texts = [
     "dup line\ndup line\ndup line\nuniq",
     "x y x y x y x y x y",                           # heavy bigram repetition
     "line\n\n\nline\n",                              # empty lines + trailing \n
+    # Astral-plane adversaria (code-point vs UTF-16 unit indexing:
+    # substr/length/chunking/simhash/byte-histogram parity)
+    "emoji 😀😀 mix 🚀 end",
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕞𝕒𝕥𝕙 𝒮𝒸𝓇𝒾𝓅𝓉 letters",
+    "💯" * 450,                                      # long astral run (chunk boundary)
+    "flags 🇺🇳 🇪🇺 and zwj 👩‍🚀 sequence",
+    "mixed 中文 😀 ascii λ δ 𝓍",
 ]
 vocab = ["alpha", "beta", "gamma", "the", "and", "déjà", "中文", "42", "x!"]
 while len(texts) < 60:
