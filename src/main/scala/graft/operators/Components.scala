@@ -170,6 +170,25 @@ object Components {
     * pair), the cluster size, and whether it is the canonical (min-id)
     * representative — the row a dedup pass keeps.
     */
+  /** The corpus AFTER near-dup removal: rows of `df` whose id is its
+    * cluster's canonical (min-id) representative — singletons survive by
+    * definition. The end-to-end "dedup this corpus" API: pairs → clusters
+    * → keep one per cluster, in one call.
+    *
+    * Cheaper than filtering [[dedupClusters]]: non-canonical ids are
+    * exactly the component-labeled nodes with id ≠ label, so one
+    * left-anti join drops them — no cluster-size aggregate, and `df`'s
+    * payload is never joined against the full labeling, only against the
+    * (smaller) drop list.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                    iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val losers = connectedComponents(pairs, iCol, jCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                     iCol: String = "i", jCol: String = "j"): DataFrame = {
     val comps = connectedComponents(pairs, iCol, jCol)

@@ -36,4 +36,40 @@ object ExactQuantiles {
       .groupBy(col(groupCol))
       .agg(min(col("__n")).as("n"), min(col(valueCol)).as("median"))
   }
+
+  /** Winsorize (clip) `valueCol` per group at the exact rational
+    * [loNum/den, hiNum/den] quantiles — the outlier-capping pass a
+    * pipeline runs before scoring, kept integer-exact (lower-quantile
+    * semantics: smallest v with cum·den ≥ n·num), so no interpolation and
+    * no cross-engine float noise.
+    *
+    * Same histogram-cumulate plan as [[medianByGroup]] — the window runs
+    * over per-group DISTINCT VALUES, never rows — followed by one join
+    * back (AQE-broadcast when groups are few) and a per-row clamp.
+    *
+    * @return `df` plus `<valueCol>_clipped`
+    */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                       loNum: Int, hiNum: Int, den: Int): DataFrame = {
+    require(den > 0 && loNum >= 0 && hiNum <= den && loNum <= hiNum,
+      "need 0 <= loNum <= hiNum <= den")
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    val qs = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__cum") * den >= col("__n") * loNum, col(valueCol)))
+          .as("__qlo"),
+        min(when(col("__cum") * den >= col("__n") * hiNum, col(valueCol)))
+          .as("__qhi"))
+    df.join(qs, groupCol)
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol), col("__qlo")), col("__qhi")))
+      .drop("__qlo", "__qhi")
+  }
 }

@@ -358,6 +358,26 @@ object LlmQueries {
       graft.operators.Chunking.fixedChunks(t(s, dir, "documents"),
         "doc_id", "text", size = 500, overlap = 100)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // End-to-end corpus dedup: SimHash pairs → connected components →
+    // keep the canonical (min-id) doc per cluster, one anti-join.
+    "q63_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashMatches(docs, "doc_id", "text", maxHamming = 2)
+      graft.operators.Components.keepCanonical(docs, "doc_id", pairs)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Exact per-language winsorization of doc lengths at [10%, 90%] —
+    // integer-exact rational quantiles via the histogram-cumulate plan.
+    "q64_winsorize" -> ((s, dir) => {
+      graft.operators.ExactQuantiles.winsorizeByGroup(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", loNum = 1, hiNum = 9, den = 10)
+        .select("doc_id", "lang", "n_chars", "n_chars_clipped")
+        .orderBy("doc_id")
     })
   )
 
@@ -959,6 +979,45 @@ object LlmQueries {
          |       CAST(count(i.nid) AS DOUBLE) / 5 AS recall_at_5
          |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.nid = b.nid
          |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
+
+    // q47's recursive-CTE labeling, reduced to the canonical survivors.
+    "q63_dedup_corpus" ->
+      s"""WITH RECURSIVE toksrc AS (SELECT doc_id, text FROM documents),
+         |$oSimhash,
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |lab AS (SELECT node AS doc_id, min(comp) AS component
+         |        FROM reach GROUP BY node)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN lab ON lab.doc_id = d.doc_id
+         |WHERE lab.doc_id = lab.component
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q64_winsorize" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |qs AS (
+        |  SELECT lang,
+        |         min(CASE WHEN cum * 10 >= n * 1 THEN v END) AS qlo,
+        |         min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS qhi
+        |  FROM cum GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        |       least(greatest(n_chars, qlo), qhi) AS n_chars_clipped
+        |FROM documents d JOIN qs ON d.lang = qs.lang
+        |ORDER BY doc_id""".stripMargin,
 
     "q62_chunking" ->
       """WITH starts AS (

@@ -150,6 +150,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Seq(7L, 8L, 480L))
   }
 
+  // ------------------------------------------------ ExactQuantiles.winsorize
+
+  test("winsorizeByGroup clips at exact rational quantiles per group") {
+    val df = (1L to 10L).map(v => ("g", v)).toDF("grp", "x")
+    val out = graft.operators.ExactQuantiles
+      .winsorizeByGroup(df, "grp", "x", loNum = 2, hiNum = 8, den = 10)
+      .orderBy("x").collect()
+    // q20 = smallest v with cum*10 >= 10*2 → 2; q80 → 8.
+    assert(out.map(_.getLong(2)).toSeq ===
+      Seq(2L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 8L, 8L))
+  }
+
+  // ----------------------------------------------- Components.keepCanonical
+
+  test("keepCanonical drops every non-minimal cluster member") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val pairs = Seq((2L, 3L), (3L, 5L), (4L, 9L)).toDF("i", "j")
+    val out = graft.operators.Components.keepCanonical(docs, "id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // clusters {2,3,5} → keep 2; {4,9} → keep 4; singleton 1 survives.
+    assert(out === Seq(1L, 2L, 4L))
+  }
+
   // -------------------------------------------------------- recallAtK
 
   test("recallAtK counts per-query overlap, keeping zero-hit queries") {
