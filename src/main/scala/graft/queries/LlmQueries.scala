@@ -378,6 +378,26 @@ object LlmQueries {
         "lang", "n_chars", loNum = 1, hiNum = 9, den = 10)
         .select("doc_id", "lang", "n_chars", "n_chars_clipped")
         .orderBy("doc_id")
+    }),
+
+    // Corpus-repeated span coverage (the linear-time exact-substring-dedup
+    // proxy): fraction of each doc's tokens covered by trigram windows
+    // that occur in >= 2 distinct documents.
+    "q65_span_coverage" -> ((s, dir) => {
+      graft.operators.Spans.repeatedSpanCoverage(
+        t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Order-insensitive table fingerprint (migration verification): the
+    // full checksum is an exact Decimal(38,0); the gate projects it
+    // modulo 10^15 so both engines emit a plain BIGINT.
+    "q67_table_checksum" -> ((s, dir) => {
+      graft.operators.Profiling.tableChecksum(t(s, dir, "documents"),
+        col("doc_id"), col("lang"), col("source"), col("text"))
+        .select(col("n_rows"),
+          (col("checksum") % lit(1000000000000000L)).cast("long")
+            .as("checksum_mod"))
     })
   )
 
@@ -1029,6 +1049,40 @@ object LlmQueries {
         |       CAST(len(substr(text, start, 500)) AS BIGINT) AS chunk_len,
         |       md5(substr(text, start, 500)) AS checksum
         |FROM starts WHERE start <= len(text)
-        |ORDER BY doc_id, chunk_idx""".stripMargin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Trigram spans repeated across >= 2 docs; covered = union of the
+    // 3-token windows (distinct positions), mirroring Spans'
+    // posexplode-position arithmetic with 1-based list slices.
+    "q65_span_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> {'pos': i - 1,
+         |            'gram': list_aggregate(tk[i:i+2], 'string_agg', ' ')})) AS u
+         |    FROM toks)),
+         |rep AS (
+         |  SELECT gram FROM grams GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT cp) AS covered FROM (
+         |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 3)) AS cp
+         |    FROM grams g JOIN rep USING (gram))
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+         |       CASE WHEN len(t.tk) > 0
+         |            THEN CAST(coalesce(c.covered, 0) AS DOUBLE) / len(t.tk)
+         |            ELSE 0.0 END AS coverage
+         |FROM toks t LEFT JOIN cov c USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q67_table_checksum" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(${oPolyHash(
+               "md5(concat_ws(chr(1), doc_id, lang, source, text))")})
+         |         % 1000000000000000 AS BIGINT) AS checksum_mod
+         |FROM documents""".stripMargin
   )
 }

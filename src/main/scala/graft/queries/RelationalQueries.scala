@@ -450,6 +450,16 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
           col("l_returnflag"), col("z"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Z-order curve values (multi-dimensional data-layout clustering):
+    // pure bit-interleave arithmetic, reproduced literally in the oracle.
+    "q66_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.operators.Layout.zValue(16, col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy("z", "l_partkey", "l_suppkey")
+        .limit(200)
     })
   )
 
@@ -749,6 +759,18 @@ object RelationalQueries {
         |       CASE WHEN n > 1 THEN (l_quantity - s / n)
         |              / sqrt((ss - s * s / n) / (n - 1)) END AS z
         |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q66_zorder" -> {
+      // The same bit-interleave Layout.zValue(16, x, y) emits: bit b of x
+      // at output bit 2b, bit b of y at 2b+1.
+      val z = (0 until 16).flatMap { b =>
+        Seq(s"(((CAST(l_partkey AS BIGINT) >> $b) & 1) << ${2 * b})",
+          s"(((CAST(l_suppkey AS BIGINT) >> $b) & 1) << ${2 * b + 1})")
+      }.mkString(" | ")
+      s"""SELECT l_partkey, l_suppkey, ($z) AS z
+         |FROM lineitem
+         |ORDER BY z, l_partkey, l_suppkey LIMIT 200""".stripMargin
+    }
   )
 }

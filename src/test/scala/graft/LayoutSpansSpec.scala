@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Layout, Profiling, Spans}
+import org.apache.spark.sql.functions._
+
+/** Z-order layout, repeated-span coverage, and the table checksum. */
+class LayoutSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ Layout
+
+  test("zValue interleaves bits: x=3,y=1 at 2 bits → 0b0111") {
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.zValue(2, col("x"), col("y")).as("z"))
+      .head.getLong(0)
+    assert(z === 7L)
+  }
+
+  test("zValue places bit b of col i at position b*k+i (3 columns)") {
+    // x=1 (bit0 → out bit 0), y=1 (bit0 → out bit 1), w=2 (bit1 → out bit 5)
+    val z = Seq((1L, 1L, 2L)).toDF("x", "y", "w")
+      .select(Layout.zValue(2, col("x"), col("y"), col("w")).as("z"))
+      .head.getLong(0)
+    assert(z === (1L | 2L | 32L))
+  }
+
+  test("clusterByZ preserves rows and yields the requested partition count") {
+    val grid = for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val out = Layout.clusterByZ(df, 4, 4, col("x"), col("y"))
+    assert(out.rdd.getNumPartitions === 4)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === grid.sorted)
+  }
+
+  test("clusterByZ partitions bound both dimensions (quadrant locality)") {
+    // 16×16 grid into 4 z-ranges: every partition's bounding box must be
+    // far tighter than a 1-D sort's full-width stripes in the other dim.
+    val grid = for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong)
+    val boxes = Layout.clusterByZ(grid.toDF("x", "y"), 4, 4, col("x"), col("y"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .collect()
+    assert(boxes.nonEmpty)
+    // A contiguous quarter of the 4-bit z-curve stays inside one 8×8
+    // quadrant plus at most a straddled boundary; both extents < 16 means
+    // parquet min/max stats prune on EITHER column, the layout's point.
+    boxes.foreach { r =>
+      assert(r.getLong(1) <= 8, s"x extent too wide: $r")
+      assert(r.getLong(2) <= 8, s"y extent too wide: $r")
+    }
+  }
+
+  test("zValue rejects bit budgets that overflow a long") {
+    intercept[IllegalArgumentException] {
+      Layout.zValue(32, col("x"), col("y"))
+    }
+  }
+
+  // ------------------------------------------------------------- Spans
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("repeatedSpanCoverage marks positions under shared trigrams only") {
+    val out = Spans.repeatedSpanCoverage(
+      docs(1L -> "a b c d e", 2L -> "x b c d y", 3L -> "zz qq"),
+      "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // "b c d" is the only trigram in ≥2 docs; it covers token positions
+    // 1..3 in both docs. Doc 3 is too short for any trigram.
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 5L, 3L), (2L, 5L, 3L), (3L, 2L, 0L)))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(0.6, 0.6, 0.0))
+  }
+
+  test("repeatedSpanCoverage unions overlapping windows exactly") {
+    val out = Spans.repeatedSpanCoverage(
+      docs(1L -> "a b c d", 2L -> "a b c d"), "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // Windows "a b c" and "b c d" overlap on positions 1-2: coverage is
+    // the union (4 tokens), not 2×3 window-size sums.
+    out.foreach { r =>
+      assert(r.getLong(2) === 4L)
+      assert(r.getDouble(3) === 1.0)
+    }
+  }
+
+  test("repeatedSpanCoverage ignores within-doc repeats (distinct docs)") {
+    val out = Spans.repeatedSpanCoverage(
+      docs(1L -> "p q r p q r", 2L -> "unrelated words here entirely"),
+      "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // "p q r" repeats inside doc 1 only — df counts DISTINCT docs, so
+    // nothing qualifies.
+    assert(out.forall(_.getLong(2) === 0L))
+  }
+
+  // ---------------------------------------------------------- checksum
+
+  test("tableChecksum is order- and partitioning-insensitive") {
+    val df = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "s1", "s2")
+    val cols = Seq(col("id"), col("s1"), col("s2"))
+    val base = Profiling.tableChecksum(df, cols: _*).head
+    val shuffled = Profiling.tableChecksum(
+      df.orderBy(desc("id")).repartition(7), cols: _*).head
+    assert(base.getLong(0) === 3L)
+    assert(base.getDecimal(1) === shuffled.getDecimal(1))
+  }
+
+  test("tableChecksum detects a single-row change") {
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b = Seq((1L, "a"), (2L, "B")).toDF("id", "s")
+    val ca = Profiling.tableChecksum(a, col("id"), col("s")).head.getDecimal(1)
+    val cb = Profiling.tableChecksum(b, col("id"), col("s")).head.getDecimal(1)
+    assert(ca !== cb)
+  }
+}
