@@ -105,15 +105,11 @@ object NgramHash {
     h
   }
 
-  /** Distinct, SORTED hashes of the word n-grams of `text`: tokenize on
-    * whitespace runs, hash tokens, combine each n-window with a rolling
-    * mix, sort + dedupe in place. Equality of n-grams ⇒ equality of
-    * hashes; the reverse holds modulo 64-bit collisions (the same caveat
-    * as hashing shingle strings).
+  /** Per-token FNV-1a hashes of `s` in token order (whitespace-run
+    * tokenization, identical to graft.functions.tokens); second slot is
+    * the token count (the returned array may be over-allocated).
     */
-  def compute(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
-    // token boundaries
+  private def tokenize(s: String): (Array[Long], Int) = {
     var tokenHashes = new Array[Long](16)
     var nTok = 0
     var i = 0
@@ -130,8 +126,17 @@ object NgramHash {
         nTok += 1
       }
     }
+    (tokenHashes, nTok)
+  }
+
+  /** Rolling-mix hashes of the n-windows of `tokenHashes`, in WINDOW
+    * ORDER (element g is the hash of the n-gram starting at token g) —
+    * the positional, non-deduped form the span-coverage operator needs
+    * (position = array index). Empty when the doc has < n tokens.
+    */
+  private def gramSeq(tokenHashes: Array[Long], nTok: Int, n: Int): Array[Long] = {
     val nGrams = nTok - n + 1
-    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    if (nGrams <= 0) return Array.emptyLongArray
     val grams = new Array[Long](nGrams)
     var g = 0
     while (g < nGrams) {
@@ -144,6 +149,20 @@ object NgramHash {
       grams(g) = h
       g += 1
     }
+    grams
+  }
+
+  /** Distinct, SORTED hashes of the word n-grams of `text`: tokenize on
+    * whitespace runs, hash tokens, combine each n-window with a rolling
+    * mix, sort + dedupe in place. Equality of n-grams ⇒ equality of
+    * hashes; the reverse holds modulo 64-bit collisions (the same caveat
+    * as hashing shingle strings).
+    */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val (tokenHashes, nTok) = tokenize(text.toString)
+    val grams = gramSeq(tokenHashes, nTok, n)
+    val nGrams = grams.length
+    if (nGrams == 0) return new GenericArrayData(Array.emptyLongArray)
     java.util.Arrays.sort(grams)
     // in-place dedupe of the sorted array
     var out = 0
@@ -153,6 +172,36 @@ object NgramHash {
       r += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(grams, out))
+  }
+
+  /** Positional variant of [[compute]]: the NON-deduped, UNSORTED gram
+    * hash sequence, one element per n-window in token order — the start
+    * position of gram i is i itself, so callers recover (position, gram)
+    * with a plain posexplode instead of carrying a struct. Hash function
+    * and tokenization are byte-identical to [[compute]], so a gram's
+    * hash agrees between the set and seq forms.
+    */
+  def computeSeq(text: UTF8String, n: Int): ArrayData = {
+    val (tokenHashes, nTok) = tokenize(text.toString)
+    new GenericArrayData(gramSeq(tokenHashes, nTok, n))
+  }
+
+  /** Token count under the same explicit-whitespace tokenization — a
+    * scan-only loop (no hashing, no allocation), equal by construction
+    * to size(graft.functions.tokens(text)).
+    */
+  def countTokens(text: UTF8String): Long = {
+    val s = text.toString
+    var nTok = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && KernelWhitespace.is(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !KernelWhitespace.is(s.charAt(i))) i += 1
+      if (i > start) nTok += 1
+    }
+    nTok
   }
 }
 
@@ -267,6 +316,64 @@ case class NgramHashSet(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.NgramHash.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** POSITIONAL word-n-gram hashes of a string column in one compiled
+  * pass: element i is the hash of the n-gram starting at token i (non-
+  * deduped, unsorted — [[NgramHashSet]]'s sibling for operators that
+  * need WHERE a gram occurs, not just whether). Replaces the interpreted
+  * shingles() HOF in the span-coverage hot path, and moves the gram join
+  * key from a space-joined STRING to an 8-byte LONG — at 100 TB the
+  * df-filter shuffle carries fixed-width keys instead of re-materialized
+  * text.
+  */
+case class NgramHashSeq(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"NgramHashSeq expects a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHash.computeSeq(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.NgramHash.computeSeq($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Token count of a string column in one compiled scan — equal by
+  * construction to size(graft.functions.tokens(text)) (same explicit
+  * whitespace class) without materializing the token array or walking
+  * the interpreted split+filter HOF pair.
+  */
+case class TokenCountNative(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"TokenCountNative expects a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHash.countTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.NgramHash.countTokens($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

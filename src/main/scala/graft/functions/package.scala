@@ -91,6 +91,21 @@ package object functions {
   def tokens(text: Column): Column =
     filter(split(text, "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
 
+  /** Positional word-n-gram hashes of a string column (element i = hash
+    * of the n-gram starting at token i): the compiled one-pass equivalent
+    * of transform(shingles(tokens(text), n), xxhash64-like), for hot
+    * paths that need gram POSITIONS (span coverage). See
+    * [[graft.expressions.NgramHashSeq]].
+    */
+  def ngramHashSeq(text: Column, n: Int): Column =
+    toColumn(graft.expressions.NgramHashSeq(toExpression(text), n))
+
+  /** Compiled token count: same value as size(tokens(text)) without the
+    * interpreted split+filter pair or the intermediate array.
+    */
+  def tokenCountNative(text: Column): Column =
+    toColumn(graft.expressions.TokenCountNative(toExpression(text)))
+
   /** Word n-gram shingles of a token array: array of space-joined n-grams.
     * Documents shorter than n yield an empty array.
     */

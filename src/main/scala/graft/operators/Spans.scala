@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Corpus-level repeated-span detection — the distributed proxy for
   * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
@@ -13,11 +13,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * boilerplate") or as the candidate stage before span-level excision.
   *
   * Scale shape:
-  *   - shingling is a per-row projection (narrow);
-  *   - the n-gram document-frequency table is one hash aggregate keyed by
-  *     the gram (map-side combine collapses within-doc repeats early);
-  *   - marking repeated grams is an equi-join gram→{df}: the aggregate
-  *     side has ONE row per distinct gram, so the join fans out nothing;
+  *   - shingling is ONE compiled pass per row (expressions/NgramHashSeq —
+  *     positional gram hashes; position = array index), not five
+  *     interpreted HOFs, and grams travel as 8-byte longs, not strings;
+  *   - the repeated-gram filter is a plain min/max hash aggregate keyed by
+  *     the gram — fully map-side combinable, so a boilerplate trigram
+  *     present in a billion documents reduces to one (gram, min, max) row
+  *     per map task instead of funneling a billion (gram, doc) rows
+  *     through the gram's single reducer (the fate of the former
+  *     countDistinct plan, whose phase-2 distinct aggregate delivers one
+  *     row per distinct doc to one task — the classic hot-key skew this
+  *     operator exists to survive);
+  *   - marking repeated grams is an equi-join gram→{}: the aggregate side
+  *     has ONE row per distinct repeated gram, so the join fans out
+  *     nothing;
   *   - coverage is a per-doc distinct-position count — partitioned by
   *     doc id, bounded by document length.
   * No pairwise comparisons anywhere: unlike the O(pairs) Jaccard path,
@@ -35,26 +44,42 @@ object Spans {
     *
     * Overlapping repeated windows are unioned exactly (distinct positions,
     * not window-count × n), so coverage is a true fraction in [0, 1].
+    * Gram identity is a 64-bit hash (same caveat as every hashed-shingle
+    * operator: distinct grams collide with probability ~2^-64).
     */
   def repeatedSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1, "n-gram order must be >= 1")
     require(minDocs >= 2, "a span repeated in < 2 docs is not a duplicate")
-    val toks = graft.functions.tokens(col(textCol))
-    // One row per doc with its shingle array: read twice (gram explode +
-    // the per-doc spine that keeps zero-coverage docs in the output), so
-    // tracked in the session cache — scoped callers unpersist it.
+    // One row per doc with its positional gram-hash array: read twice
+    // (gram explode + the per-doc spine that keeps zero-coverage docs in
+    // the output), so tracked in the session cache — scoped callers
+    // unpersist it. Both columns are single compiled passes over text.
     val base = CacheScope.track(
-      docs.select(col(idCol).as("__id"), size(toks).cast(LongType).as("n_tokens"),
-        graft.functions.shingles(toks, n).as("__g")))
-    // posexplode index == start-token index: shingles() preserves one
-    // entry per window in order, so __pos is the 0-based token offset.
+      docs.select(col(idCol).as("__id"),
+        graft.functions.tokenCountNative(col(textCol)).as("n_tokens"),
+        graft.functions.ngramHashSeq(col(textCol), n).as("__g")))
+    // posexplode index == start-token index: NgramHashSeq emits one entry
+    // per window in order, so __pos is the 0-based token offset.
     val grams = base.select(col("__id"),
       posexplode(col("__g")).as(Seq("__pos", "__gram")))
-    val repeated = grams.groupBy("__gram")
-      .agg(countDistinct(col("__id")).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select("__gram")
+    // "gram occurs in >= minDocs DISTINCT docs" without a distinct
+    // aggregate. minDocs=2 (the overwhelming default) needs only
+    // min(id) != max(id) — min/max combine map-side, so the hot gram's
+    // reducer receives one partial per map task, never one row per doc.
+    // General minDocs: dedupe (gram, id) FIRST — that shuffle is keyed by
+    // the PAIR, so a hot gram's rows spread across all reducers by doc id
+    // — then count per gram (counts combine map-side again). Two shuffles,
+    // both skew-free; still no per-gram distinct funnel.
+    val repeated = (if (minDocs == 2) {
+      grams.groupBy("__gram")
+        .agg(min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
+        .filter(col("__lo") =!= col("__hi"))
+    } else {
+      grams.select("__gram", "__id").distinct()
+        .groupBy("__gram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= minDocs)
+    }).select("__gram")
     val covered = grams.join(repeated, "__gram")
       .select(col("__id"),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__cp"))

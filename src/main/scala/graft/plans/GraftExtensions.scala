@@ -22,6 +22,8 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_dot_f(a, b)`      — float-array dot product (embedding hot path)
   *   - `graft_simhash(s)`       — 28-bit portable SimHash over tokens
   *   - `graft_ngram_hash_set(s, n)` — sorted distinct xxhash64 word-n-gram set
+  *   - `graft_ngram_hash_seq(s, n)` — positional word-n-gram hashes (index = start token)
+  *   - `graft_token_count(s)`   — compiled whitespace token count
   *   - `graft_intersect_count_sorted(a, b)` — two-pointer |A∩B| of sorted long arrays
   *   - `graft_bottomk(x, k)`    — bottom-k distinct longs (KMV sketch state, aggregate)
   *
@@ -67,6 +69,16 @@ object GraftExtensions {
         "graft_ngram_hash_set(s, n) - sorted distinct xxhash64 hashes of word n-grams"),
       es => { val Seq(s, n) = arity("graft_ngram_hash_set", 2)(es)
         graft.expressions.NgramHashSet(s, litInt(n, "graft_ngram_hash_set", "n")) }),
+    (FunctionIdentifier("graft_ngram_hash_seq"),
+      info("graft_ngram_hash_seq",
+        "graft_ngram_hash_seq(s, n) - positional word-n-gram hashes (element i = gram starting at token i)"),
+      es => { val Seq(s, n) = arity("graft_ngram_hash_seq", 2)(es)
+        graft.expressions.NgramHashSeq(s, litInt(n, "graft_ngram_hash_seq", "n")) }),
+    (FunctionIdentifier("graft_token_count"),
+      info("graft_token_count",
+        "graft_token_count(s) - whitespace token count (compiled, = size of tokens)"),
+      es => { val Seq(s) = arity("graft_token_count", 1)(es)
+        graft.expressions.TokenCountNative(s) }),
     (FunctionIdentifier("graft_intersect_count_sorted"),
       info("graft_intersect_count_sorted",
         "graft_intersect_count_sorted(a, b) - |A∩B| of sorted distinct LONG arrays"),

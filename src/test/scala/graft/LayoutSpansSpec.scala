@@ -96,6 +96,27 @@ class LayoutSpansSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) === 0L))
   }
 
+  test("repeatedSpanCoverage general minDocs path counts distinct docs") {
+    // "b c d" occurs in 3 docs, "a b c" in 2 — minDocs=3 keeps only the
+    // former, covering positions 1..3 of docs 1-2 and 0..2 of doc 3.
+    val out = Spans.repeatedSpanCoverage(
+      docs(1L -> "a b c d", 2L -> "a b c d e", 3L -> "b c d z"),
+      "doc_id", "text", n = 3, minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(3L, 3L, 3L))
+  }
+
+  test("repeatedSpanCoverage plans no distinct aggregate on the gram key") {
+    // The df-filter must stay a plain min/max hash aggregate: a
+    // count(distinct doc) keyed by the gram funnels every (hot gram, doc)
+    // row through one reducer — the 100 TB boilerplate-trigram skew this
+    // operator exists to avoid.
+    val plan = Spans.repeatedSpanCoverage(
+      docs(1L -> "a b c d", 2L -> "a b c d"), "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("distinct __id"), plan)
+  }
+
   // ---------------------------------------------------------- checksum
 
   test("tableChecksum is order- and partitioning-insensitive") {

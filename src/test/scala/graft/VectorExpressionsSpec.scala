@@ -92,6 +92,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(sims(3L) !== 0L)
   }
 
+  test("NgramHashSeq is the positional form of NgramHashSet; TokenCountNative = size(tokens)") {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val docs = Seq((1L, "a b c d e"), (2L, "a b a b"), (3L, ""),
+      (4L, " \t\n "), (5L, "solo"), (6L, "x  y\tz")).toDF("id", "t")
+    val n = 2
+    val rows = docs.select($"id",
+      graft.functions.ngramHashSeq($"t", n).as("seq"),
+      toColumn(graft.expressions.NgramHashSet(toExpression($"t"), n)).as("set"),
+      graft.functions.tokenCountNative($"t").as("cnt"),
+      size(graft.functions.tokens($"t")).cast("long").as("hof_cnt")).collect()
+    rows.foreach { r =>
+      val seq = r.getSeq[Long](1)
+      val set = r.getSeq[Long](2)
+      // the seq deduped+sorted IS the set (same tokenization + hash)
+      assert(seq.distinct.sorted === set, s"id=${r.getLong(0)}")
+      // positional: one entry per window, count = max(0, tokens - n + 1)
+      assert(seq.length === math.max(0L, r.getLong(3) - n + 1),
+        s"id=${r.getLong(0)}")
+      assert(r.getLong(3) === r.getLong(4), s"id=${r.getLong(0)}")
+    }
+    // order is positional, not sorted: "a b a b" has windows
+    // (a b), (b a), (a b) — first and third equal, middle different
+    val ababSeq = rows.find(_.getLong(0) == 2L).get.getSeq[Long](1)
+    assert(ababSeq.length === 3)
+    assert(ababSeq(0) === ababSeq(2))
+    assert(ababSeq(0) !== ababSeq(1))
+  }
+
   test("expression works in both codegen and interpreted mode") {
     val expected = 1.0f * 0.5f + 2.5f * -1.0f + -3.0f * 2.0f
     val viaCodegen = pairs.filter($"id" === 1)
