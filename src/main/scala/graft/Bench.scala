@@ -21,21 +21,32 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").schema
       catch { case _: Throwable => }
     }
-    // Best-of-2 per query: a single-shot run conflates codegen/JIT latency
-    // and GC pauses with the query (round-3 showed ±3s swings on 1s
-    // queries); the better of two runs is a stable steady-state measure.
-    // A query that throws is EXCLUDED from the total and listed in
-    // "failed" — folding a failure's elapsed time in would let a broken
-    // query shrink the headline number.
+    // Best-of-2 per query, with the two runs taken as INTERLEAVED
+    // end-to-end passes over the whole suite rather than back-to-back
+    // repeats: a single-shot run conflates codegen/JIT latency and GC
+    // pauses with the query, and back-to-back repeats share whatever GC /
+    // compilation storm is in flight at that moment — round 6's
+    // identical-code control still showed 3× per-query swings under
+    // back-to-back best-of-2. Separating a query's two samples by a full
+    // pass (~30s) decorrelates them, so the per-query minimum approaches
+    // the steady-state time and deltas across rounds become attributable.
+    // A query that throws in a pass contributes no sample from that pass;
+    // a query that throws in BOTH is EXCLUDED from the total and listed
+    // in "failed" — folding a failure's elapsed time in would let a
+    // broken query shrink the headline number.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try { graft.operators.CacheScope.scoped(fn(spark, sfDir).count()); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val best = (once(fn), once(fn)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case (a, b) => a.orElse(b) // one failure: keep the run that finished
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Seq[(String, Option[Double])] =
+      named.map { case (name, fn) => name -> once(fn) }
+    val (p1, p2) = (pass(), pass())
+    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
+      val best = (a, b) match {
+        case (Some(x), Some(y)) => Some(math.min(x, y))
+        case _ => a.orElse(b) // one failed pass: keep the run that finished
       }
       name -> best
     }

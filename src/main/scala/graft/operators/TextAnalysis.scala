@@ -52,7 +52,11 @@ object TextAnalysis {
   /** Whitespace tokens (shared with dedup so shingles and counts agree). */
   def tokens(text: Column): Column = graft.functions.tokens(text)
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+  /** Compiled token count (expressions/TokenCountNative): same value as
+    * size(tokens(text)) — the kernel scans the same explicit whitespace
+    * class — without materializing the token array per row.
+    */
+  def tokenCount(text: Column): Column = graft.functions.tokenCountNative(text)
 
   /** BPE-ish subword segmentation count: runs of letters, runs of digits,
     * or single other non-space chars — the standard pre-tokenizer regex

@@ -334,6 +334,22 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Skew-mitigated aggregation: two-phase salted sum (operators/Skew) —
+    // partials on (key, salt), final on key, so one dominant group's
+    // final reduce spreads across salt buckets. Result is salt-invariant,
+    // so the oracle is the plain GROUP BY; the value goes through
+    // DECIMAL(18,2) on both sides so the two-phase summation order
+    // cannot produce a float drift vs DuckDB's single-phase sum.
+    "q68_salted_agg" -> ((s, dir) => {
+      val in = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      graft.operators.Skew.saltedSum(in, Seq("l_returnflag"), "qty", saltFactor = 8)
+        .select(col("l_returnflag"),
+          col("sum_qty").cast(DoubleType).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Sessionization via session_window (the streaming operator, batch
     // mode): 5-minute inactivity gap over second-truncated event times.
     // Oracle: the classic gaps-and-islands formulation.
@@ -648,6 +664,10 @@ object RelationalQueries {
          |       ${oSum("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q68_salted_agg" ->
+      s"""SELECT l_returnflag, ${oSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q38_sessionize" ->
       s"""WITH ts AS (

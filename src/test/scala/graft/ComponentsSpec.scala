@@ -68,6 +68,40 @@ class ComponentsSpec extends SparkSpec {
       (5L, 1L, 3L, 0L)))
   }
 
+  test("propagate rounds schedule no extra checkpoint-fill job (lazy localCheckpoint)") {
+    // The eager localCheckpoint form ends each round's materialization
+    // with a count() job — a full extra pass over the just-persisted
+    // partitions whose only effect is filling blocks the convergence
+    // probe reads next. The lazy form drops exactly that job per round
+    // (AQE still materializes the shuffle stages inside the checkpoint
+    // call, so the rest of the job profile is unchanged). Lock it with a
+    // job-count ceiling on a fixed input: the 16-chain converges in 4
+    // propagate rounds; the eager form measured 7-8 jobs above the lazy
+    // form's 53-55 here, so a ceiling of lazy+4 fails a reintroduction
+    // while absorbing AQE's run-to-run wobble (+-1 observed).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val chain = (0L until 16L).map(i => (i, i + 1))
+    cc(chain) // warm: footer reads, codegen, broadcast machinery
+    def settled(): Int = {
+      var prev = -1; var cur = jobs.get
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val before = settled()
+      assert(cc(chain) === (0L to 16L).map(_ -> 0L).toMap)
+      val after = settled()
+      assert(after - before <= 59, s"CC on a 16-chain scheduled ${after - before} jobs " +
+        "(> ceiling 59): did a per-round eager checkpoint fill come back?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("empty edge list yields empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("i", "j")
     assert(Components.connectedComponents(empty, "i", "j").count() === 0L)
