@@ -263,6 +263,60 @@ object SimHashKernel {
   }
 }
 
+/** Kernel behind [[PolyHashNative]]: the PORTABLE polynomial hash —
+  * fold (acc*31 + codepoint) % mod over the CODE POINTS of the whole
+  * string (no tokenization; whitespace folds like any character) —
+  * reproducing TextAnalysis.polyHash's HOF arithmetic exactly:
+  * acc < mod = 1e9+7 keeps acc*31 + cp well inside a long, so the
+  * per-step modulo sequence is identical. Surrogate pairs are consumed
+  * whole (codePointAt + charCount), matching Java-regex `split(c, "")`
+  * which never splits within a pair; locked by the astral parity spec.
+  */
+object PolyHashKernel {
+  def compute(text: UTF8String, mod: Long): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Portable polynomial hash of a string column in one compiled pass —
+  * same value as the interpreted chars-transform-aggregate composition
+  * (kept as the executable spec in TextAnalysis.polyHashHof). This is
+  * the hash under document fingerprints, KMV sketch entries, and the
+  * table checksum — per-row, every-byte work at 100 TB, exactly where
+  * an interpreted per-character lambda walk hurts most.
+  */
+case class PolyHashNative(child: Expression, mod: Long) extends UnaryExpression {
+
+  require(mod > 0, "modulus must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"PolyHashNative expects a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashKernel.compute(input.asInstanceOf[UTF8String], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PolyHashKernel.compute($c, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SimHash of a string column in one compiled pass — same value as the
   * HOF composition in TextAnalysis.simHash, which walks interpreted
   * nested lambdas per token and dominated the simhash dedup benchmark.

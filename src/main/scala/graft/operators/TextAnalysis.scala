@@ -41,9 +41,23 @@ object TextAnalysis {
     * fold (acc * 31 + codepoint) % mod over the characters.
     * Unlike xxhash64/murmur3 this is reproducible in any SQL engine with
     * higher-order list functions, which is what makes fingerprint/simhash
-    * operators oracle-checkable.
+    * operators oracle-checkable. Computed by a compiled kernel
+    * (expressions/PolyHashNative) — this hash runs per row over every
+    * byte under fingerprints, KMV sketches, and table checksums, so the
+    * interpreted per-character lambda walk ([[polyHashHof]], kept as the
+    * executable spec) is exactly the wrong place to spend 100 TB.
     */
-  def polyHash(c: Column, mod: Long = HashMod): Column =
+  def polyHash(c: Column, mod: Long = HashMod): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.PolyHashNative(toExpression(c), mod))
+  }
+
+  /** Reference HOF formulation of [[polyHash]] — kept (and tested) as
+    * the executable specification the native kernel must match, and as
+    * the documentation of how any engine with higher-order list
+    * functions reproduces the hash.
+    */
+  private[graft] def polyHashHof(c: Column, mod: Long = HashMod): Column =
     aggregate(
       transform(chars(c), ch => ascii(ch).cast(LongType)),
       lit(0L),

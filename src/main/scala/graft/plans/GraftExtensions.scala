@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.IntegerType
   * use — a SQL user gets the identical plan):
   *   - `graft_dot_f(a, b)`      — float-array dot product (embedding hot path)
   *   - `graft_simhash(s)`       — 28-bit portable SimHash over tokens
+  *   - `graft_polyhash(s)`      — portable polynomial hash mod 1e9+7
   *   - `graft_ngram_hash_set(s, n)` — sorted distinct xxhash64 word-n-gram set
   *   - `graft_ngram_hash_seq(s, n)` — positional word-n-gram hashes (index = start token)
   *   - `graft_token_count(s)`   — compiled whitespace token count
@@ -64,6 +65,11 @@ object GraftExtensions {
       info("graft_simhash", "graft_simhash(s) - 28-bit portable simhash"),
       es => { val Seq(s) = arity("graft_simhash", 1)(es)
         graft.expressions.SimHashNative(s, graft.operators.TextAnalysis.SimHashBits) }),
+    (FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash",
+        "graft_polyhash(s) - portable polynomial code-point hash mod 1e9+7"),
+      es => { val Seq(s) = arity("graft_polyhash", 1)(es)
+        graft.expressions.PolyHashNative(s, graft.operators.TextAnalysis.HashMod) }),
     (FunctionIdentifier("graft_ngram_hash_set"),
       info("graft_ngram_hash_set",
         "graft_ngram_hash_set(s, n) - sorted distinct xxhash64 hashes of word n-grams"),

@@ -120,6 +120,30 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(ababSeq(0) !== ababSeq(1))
   }
 
+  test("PolyHashNative is bit-identical to the HOF spec (incl. astral/CJK/whitespace)") {
+    val texts = Seq("", " ", "abc", "the quick brown fox",
+      "café naïve über", "中文 分词 测试", "emoji 😀😀 mix 🚀 end",
+      "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕞𝕒𝕥𝕙", "💯" * 40, "x\ty\nz\fw\rv", "a" * 600,
+      "flags 🇺🇳 🇪🇺 and zwj 👩‍🚀 sequence")
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id",
+        graft.operators.TextAnalysis.polyHash($"t").as("native"),
+        graft.operators.TextAnalysis.polyHashHof($"t").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"id=${r.getLong(0)}")
+    }
+    // interpreted path agrees with codegen (eval through a literal)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.expressions.PolyHashNative(
+      Literal.create("emoji 😀 x", org.apache.spark.sql.types.StringType),
+      graft.operators.TextAnalysis.HashMod)
+    val viaDf = Seq(Tuple1("emoji 😀 x")).toDF("t")
+      .select(graft.operators.TextAnalysis.polyHash($"t")).collect()(0).getLong(0)
+    assert(e.eval(null) === viaDf)
+  }
+
   test("expression works in both codegen and interpreted mode") {
     val expected = 1.0f * 0.5f + 2.5f * -1.0f + -3.0f * 2.0f
     val viaCodegen = pairs.filter($"id" === 1)
