@@ -35,6 +35,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getLong(3) === viaApi)
   }
 
+  test("graft_polyhash / graft_token_count / graft_ngram_hash_seq agree with operators") {
+    Seq((1L, "the quick brown fox"), (2L, "emoji 😀 mix"))
+      .toDF("id", "text").createOrReplaceTempView("tdocs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_polyhash(text) AS ph, graft_token_count(text) AS tc,
+        |       graft_ngram_hash_seq(text, 2) AS seq
+        |FROM tdocs ORDER BY id""".stripMargin).collect()
+    val viaApi = Seq((1L, "the quick brown fox"), (2L, "emoji 😀 mix"))
+      .toDF("id", "text")
+      .select($"id",
+        graft.operators.TextAnalysis.polyHash($"text").as("ph"),
+        graft.functions.tokenCountNative($"text").as("tc"),
+        graft.functions.ngramHashSeq($"text", 2).as("seq"))
+      .orderBy("id").collect()
+    viaSql.zip(viaApi).foreach { case (s, a) =>
+      assert(s.getLong(1) === a.getLong(1))
+      assert(s.getLong(2) === a.getLong(2))
+      assert(s.getSeq[Long](3) === a.getSeq[Long](3))
+    }
+  }
+
   test("graft_bottomk aggregates the k smallest distinct values") {
     Seq(5L, 1L, 9L, 1L, 3L, 7L).toDF("x").createOrReplaceTempView("xs")
     val got = spark.sql("SELECT graft_bottomk(x, 3) AS bk FROM xs")
