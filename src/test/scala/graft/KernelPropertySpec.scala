@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property-style parity tests for the compiled string kernels: on a
+  * seeded stream of adversarial random strings (mixed ASCII / CJK /
+  * astral code points / every whitespace kind / degenerate repeats),
+  * each kernel must agree bit-for-bit with the interpreted HOF
+  * formulation it replaced. The HOFs ARE the executable spec — they are
+  * what the DuckDB oracles mirror — so kernel↔HOF equality on arbitrary
+  * input is what licenses swapping kernels into oracle-gated paths.
+  * (Seeded hand-rolled generation, same rationale as BronzePropertySpec:
+  * the scalatest↔scalacheck bridge is not in the offline cache.)
+  */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Random string from an alphabet that stresses every edge the kernels
+    * care about: the explicit whitespace class, multi-space runs, astral
+    * pairs (😀 💯), combining ZWJ sequences, CJK, and single-letter
+    * tokens that collide into repeated grams.
+    */
+  private def genTexts(n: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val atoms = Seq(
+      "a", "b", "ab", "the", "42", "x!", "é", "ß", "中", "文", "λ",
+      "😀", "💯", "🚀", "👩‍🚀", "𝔘", "𝓍",
+      " ", "  ", "\t", "\n", "\f", "\r", " \t ", "")
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    }
+  }
+
+  test("kernels equal their HOF specs on seeded adversarial strings") {
+    val texts = genTexts(300, seed = 20260812L)
+    val n = 3
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id",
+        graft.functions.tokenCountNative($"t").as("tc_k"),
+        size(graft.functions.tokens($"t")).cast("long").as("tc_h"),
+        graft.functions.ngramHashSeq($"t", n).as("seq"),
+        toColumn(graft.expressions.NgramHashSet(toExpression($"t"), n)).as("set"),
+        graft.operators.TextAnalysis.polyHash($"t").as("ph_k"),
+        graft.operators.TextAnalysis.polyHashHof($"t").as("ph_h"),
+        graft.operators.TextAnalysis.simHash($"t").as("sh_k"),
+        graft.operators.TextAnalysis.simHashHof($"t").as("sh_h"))
+      .collect()
+    assert(rows.length === texts.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === r.getLong(2), s"tokenCount mismatch id=$id")
+      val seq = r.getSeq[Long](3)
+      assert(seq.distinct.sorted === r.getSeq[Long](4), s"ngram seq/set id=$id")
+      assert(seq.length === math.max(0L, r.getLong(1) - n + 1), s"ngram count id=$id")
+      assert(r.getLong(5) === r.getLong(6), s"polyHash mismatch id=$id")
+      assert(r.getLong(7) === r.getLong(8), s"simHash mismatch id=$id")
+    }
+  }
+}
