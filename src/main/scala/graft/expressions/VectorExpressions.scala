@@ -228,7 +228,15 @@ private[expressions] object KernelWhitespace {
   * OperatorsSpec.
   */
 object SimHashKernel {
-  def compute(text: UTF8String, bits: Int): Long = {
+  def compute(text: UTF8String, bits: Int): Long = compute(text, bits, 31L)
+
+  /** Generalized over the token-hash multiplier: multipliers 31 and 37
+    * give two (effectively independent) portable simhashes whose
+    * concatenation is the 2×bits-wide signature behind
+    * Dedup.simhashMatchesWide — the scale configuration whose band key
+    * space is wide enough for 100 TB candidate buckets.
+    */
+  def compute(text: UTF8String, bits: Int, mult: Long): Long = {
     val s = text.toString
     val votes = new Array[Int](bits)
     val mod = 1L << bits
@@ -240,7 +248,7 @@ object SimHashKernel {
       var inTok = false
       while (i < len && !KernelWhitespace.is(s.charAt(i))) {
         val cp = s.codePointAt(i)
-        h = (h * 31 + cp) % 1000000007L
+        h = (h * mult + cp) % 1000000007L
         inTok = true
         i += Character.charCount(cp)
       }
@@ -321,9 +329,11 @@ case class PolyHashNative(child: Expression, mod: Long) extends UnaryExpression 
   * HOF composition in TextAnalysis.simHash, which walks interpreted
   * nested lambdas per token and dominated the simhash dedup benchmark.
   */
-case class SimHashNative(child: Expression, bits: Int) extends UnaryExpression {
+case class SimHashNative(child: Expression, bits: Int, mult: Long = 31L)
+    extends UnaryExpression {
 
   require(bits >= 1 && bits <= 62)
+  require(mult > 0)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -335,10 +345,11 @@ case class SimHashNative(child: Expression, bits: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    SimHashKernel.compute(input.asInstanceOf[UTF8String], bits)
+    SimHashKernel.compute(input.asInstanceOf[UTF8String], bits, mult)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHashKernel.compute($c, $bits)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.SimHashKernel.compute($c, $bits, ${mult}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -300,11 +300,52 @@ object Dedup {
     val bandWidth = 1L << (TextAnalysis.SimHashBits / 4)
     val withSig = docs.select(col(idCol).as("__id"),
       TextAnalysis.simHash(col(textCol)).as("__sig"))
+    bandedHammingPairs(withSig, b =>
+      pmod(floor(col("__sig").cast(DoubleType) / math.pow(bandWidth.toDouble, b)).cast(LongType),
+        lit(bandWidth)), maxHamming)
+  }
+
+  /** SCALE-wide variant of [[simhashPairs]]: 56-bit signature
+    * (TextAnalysis.simHashWide — two independent portable 28-bit
+    * simhashes), 4 bands × 14 bits. Band-key cardinality is the scale
+    * limit of simhash banding: 28 bits / 4 bands = 2^7 = 128 distinct
+    * values per band, i.e. 512 candidate buckets TOTAL — at corpus scale
+    * every bucket holds N/512 docs and the within-bucket join goes
+    * quadratic (the ~11× max-task skew in SHUFFLE_AUDIT.md is this,
+    * already visible at sf0.1). 14-bit bands give 2^14 = 16,384 values
+    * per band — 128× more buckets, same total-recall pigeonhole
+    * guarantee for hamming ≤ 3 over the wider signature. Same portable
+    * arithmetic, so the DuckDB oracle reproduces it (q69).
+    */
+  def simhashPairsWide(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 2): DataFrame =
+    simhashMatchesWide(docs, idCol, textCol, maxHamming).distinct()
+
+  /** [[simhashPairsWide]] without the pair-distinct (parallel-edge
+    * tolerant consumers — same contract as [[simhashMatches]]).
+    */
+  def simhashMatchesWide(docs: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    val bandBits = TextAnalysis.SimHashBits / 2 // 14: 56 wide bits / 4 bands
+    val withSig = docs.select(col(idCol).as("__id"),
+      TextAnalysis.simHashWide(col(textCol)).as("__sig"))
+    // integer shift+mask, NOT the double-division trick: a 56-bit value
+    // is outside double's 2^53 exact range
+    bandedHammingPairs(withSig, b =>
+      shiftrightunsigned(col("__sig"), bandBits * b)
+        .bitwiseAND(lit((1L << bandBits) - 1)), maxHamming)
+  }
+
+  /** Shared banded-LSH self-join: explode (band, nib(band)) per doc,
+    * equi-join on (band, nib), verify Hamming ≤ maxHamming BEFORE
+    * anything else shuffles. `nib` builds band b's key from `__sig`.
+    */
+  private def bandedHammingPairs(withSig: DataFrame, nib: Int => Column,
+                                 maxHamming: Int): DataFrame = {
     val nibbles = withSig.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          pmod(floor(col("__sig").cast(DoubleType) / math.pow(bandWidth.toDouble, b)).cast(LongType),
-            lit(bandWidth)).as("nib"))): _*)).as("__b"))
+        struct(lit(b).as("band"), nib(b).as("nib"))): _*)).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band").as("band"), col("__b.nib").as("nib"))
       .transform(CacheScope.track) // self-joined below; avoids computing signatures twice
     nibbles.select(col("__id").as("i"), col("__sig").as("__si"), col("band"), col("nib"))

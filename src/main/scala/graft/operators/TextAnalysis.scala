@@ -57,11 +57,12 @@ object TextAnalysis {
     * the documentation of how any engine with higher-order list
     * functions reproduces the hash.
     */
-  private[graft] def polyHashHof(c: Column, mod: Long = HashMod): Column =
+  private[graft] def polyHashHof(c: Column, mod: Long = HashMod,
+                                 mult: Long = 31L): Column =
     aggregate(
       transform(chars(c), ch => ascii(ch).cast(LongType)),
       lit(0L),
-      (acc, x) => (acc * 31L + x) % mod)
+      (acc, x) => (acc * mult + x) % mod)
 
   /** Whitespace tokens (shared with dedup so shingles and counts agree). */
   def tokens(text: Column): Column = graft.functions.tokens(text)
@@ -222,16 +223,47 @@ object TextAnalysis {
     * composition it replaces ([[simHashHof]]) walks interpreted nested
     * lambdas per token.
     */
-  def simHash(text: Column): Column = {
+  def simHash(text: Column): Column = simHashWith(text, 31L)
+
+  /** [[simHash]] generalized over the token-hash multiplier: different
+    * multipliers give (effectively) independent simhashes over the same
+    * tokens — the building block of [[simHashWide]].
+    */
+  def simHashWith(text: Column, mult: Long): Column = {
     import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
-    toColumn(graft.expressions.SimHashNative(toExpression(text), SimHashBits))
+    toColumn(graft.expressions.SimHashNative(toExpression(text), SimHashBits, mult))
   }
+
+  /** Second multiplier for the wide signature — like 31, a small prime;
+    * the two polynomial hash families are effectively independent.
+    */
+  val WideMult = 37L
+
+  /** 2×[[SimHashBits]]-bit (56-bit) simhash: two independent portable
+    * simhashes concatenated (multipliers 31 and 37; each bit's vote
+    * comes from an independent per-token hash bit, so Hamming distance
+    * behaves as standard simhash over 56 bits). This is the SCALE
+    * configuration: banding 28 bits four ways yields 2^7 = 128 distinct
+    * values per band — at corpus scale every band bucket goes quadratic.
+    * 56 bits give 2^14 per band (see Dedup.simhashMatchesWide). Still
+    * fully portable: any engine that reproduces [[simHash]] reproduces
+    * this with one extra multiplier.
+    */
+  def simHashWide(text: Column): Column =
+    simHashWith(text, 31L) + simHashWith(text, WideMult) * lit(1L << SimHashBits)
 
   /** Reference HOF formulation of [[simHash]] — kept (and tested) as the
     * executable specification the native kernel must match.
     */
-  def simHashHof(text: Column): Column = {
-    val hs = transform(tokens(text), t => pmod(polyHash(t), lit(1L << SimHashBits)))
+  def simHashHof(text: Column): Column = simHashHofWith(text, 31L)
+
+  /** HOF spec generalized over the token-hash multiplier (the
+    * [[simHashWith]] counterpart, and the documentation of how an
+    * oracle engine derives the wide signature's halves).
+    */
+  def simHashHofWith(text: Column, mult: Long): Column = {
+    val hs = transform(tokens(text),
+      t => pmod(polyHashHof(t, mult = mult), lit(1L << SimHashBits)))
     // bit j of h, via exact double division (h < 2^28, 2^j exact): portable.
     def bits(h: Column): Column =
       transform(sequence(lit(0), lit(SimHashBits - 1)),

@@ -70,6 +70,16 @@ object LlmQueries {
         maxHamming = 2).orderBy("i", "j")
     }),
 
+    // Wide (56-bit) SimHash banding — the scale configuration: 14-bit
+    // bands (16,384 values each) where the 28-bit signature's 7-bit
+    // bands (128 values) go quadratic per bucket at corpus scale. Total
+    // recall for hamming <= 3 holds identically, so the oracle is again
+    // brute-force all-pairs Hamming over the (two-multiplier) signature.
+    "q69_dedup_simhash_wide" -> ((s, dir) => {
+      Dedup.simhashPairsWide(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 2).orderBy("i", "j")
+    }),
+
     // Text quality metrics (token counts, subword counts, ratios, score).
     "q26_text_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -406,10 +416,15 @@ object LlmQueries {
   /** Portable polynomial hash of a string expression (matches
     * TextAnalysis.polyHash).
     */
-  private def oPolyHash(x: String): String =
+  private def oPolyHash(x: String): String = oPolyHashM(x, 31)
+
+  /** [[oPolyHash]] with an explicit multiplier (31 = the standard hash;
+    * 37 = the wide simhash's second family — TextAnalysis.WideMult).
+    */
+  private def oPolyHashM(x: String, mult: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($x, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |  (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
+       |  (a, c) -> (a * $mult + c) % 1000000007)""".stripMargin
 
   /** Whitespace tokens (matches graft.functions.tokens). */
   private val oToks =
@@ -441,11 +456,16 @@ object LlmQueries {
   /** Per-doc simhash, width = TextAnalysis.SimHashBits (matches
     * TextAnalysis.simHash).
     */
-  private val oSimhash = {
+  private val oSimhash = oSimhashCte("simhash", 31)
+
+  /** Named simhash CTE with an explicit token-hash multiplier (matches
+    * TextAnalysis.simHashWith; 31 + 37 compose the wide signature).
+    */
+  private def oSimhashCte(name: String, mult: Int): String = {
     val bits = TextAnalysis.SimHashBits
     val mod = 1L << bits
     val zeros = ("CAST(0 AS BIGINT)" +: Seq.fill(bits - 1)("0")).mkString("[", ",", "]")
-    s"""simhash AS (
+    s"""$name AS (
        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(range($bits), j -> CASE WHEN v[j+1] > 0
        |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
@@ -458,7 +478,7 @@ object LlmQueries {
        |      (acc, b) -> list_transform(range($bits), j -> acc[j+1] + 2*b[j+1] - 1)) AS v
        |    FROM (
        |      SELECT doc_id, list_transform($oToks,
-       |        t -> ${oPolyHash("t")} % $mod) AS hs
+       |        t -> ${oPolyHashM("t", mult)} % $mod) AS hs
        |      FROM documents)))""".stripMargin
   }
 
@@ -683,6 +703,21 @@ object LlmQueries {
          |SELECT a.doc_id AS i, b.doc_id AS j,
          |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         |ORDER BY i, j""".stripMargin,
+
+    // Wide signature = sig31 + sig37 * 2^28 (both halves < 2^28, so the
+    // BIGINT concatenation is exact); banding guarantees total recall
+    // for hamming <= 3, so all-pairs Hamming is again the ground truth.
+    "q69_dedup_simhash_wide" ->
+      s"""WITH ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id))
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM wide a JOIN wide b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 2
          |ORDER BY i, j""".stripMargin,
 

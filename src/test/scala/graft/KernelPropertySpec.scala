@@ -46,7 +46,9 @@ class KernelPropertySpec extends SparkSpec {
         graft.operators.TextAnalysis.polyHash($"t").as("ph_k"),
         graft.operators.TextAnalysis.polyHashHof($"t").as("ph_h"),
         graft.operators.TextAnalysis.simHash($"t").as("sh_k"),
-        graft.operators.TextAnalysis.simHashHof($"t").as("sh_h"))
+        graft.operators.TextAnalysis.simHashHof($"t").as("sh_h"),
+        graft.operators.TextAnalysis.simHashWith($"t", 37L).as("sh37_k"),
+        graft.operators.TextAnalysis.simHashHofWith($"t", 37L).as("sh37_h"))
       .collect()
     assert(rows.length === texts.length)
     rows.foreach { r =>
@@ -57,6 +59,7 @@ class KernelPropertySpec extends SparkSpec {
       assert(seq.length === math.max(0L, r.getLong(1) - n + 1), s"ngram count id=$id")
       assert(r.getLong(5) === r.getLong(6), s"polyHash mismatch id=$id")
       assert(r.getLong(7) === r.getLong(8), s"simHash mismatch id=$id")
+      assert(r.getLong(9) === r.getLong(10), s"simHash mult=37 mismatch id=$id")
     }
   }
 }

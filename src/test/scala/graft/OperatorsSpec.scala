@@ -205,6 +205,30 @@ class OperatorsSpec extends SparkSpec {
       s"simhash dedup must join on nibble bands, not cross-join:\n$plan")
   }
 
+  test("simhashPairsWide equals brute-force Hamming over the wide signature") {
+    // Total recall for hamming <= 3 means band-join output == all-pairs
+    // ground truth — assert that equality directly on the fixture corpus.
+    val wide = Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("hamming"))).toSet
+    val sigs = docs.select($"doc_id",
+      graft.operators.TextAnalysis.simHashWide($"text").as("sig"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    assert(wide === brute)
+    // exact dup pair from the fixture still lands at hamming 0
+    assert(wide.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L))
+    // the wide signature really uses the upper half: some fixture sig
+    // must exceed 28 bits (else the second multiplier added nothing)
+    assert(sigs.map(_._2).exists(_ >= (1L << 28)))
+    val plan = Dedup.simhashPairsWide(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   // ----------------------------------------------------------- similarity
 
   private lazy val vecs: DataFrame = Seq(
