@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators over a document stream (doc_id, ts, text) — the
+  * corpus-side twin of [[EventStreams]]: what an INGEST stream runs so
+  * near-duplicate documents are flagged against the recent corpus as
+  * they arrive, instead of waiting for the next batch dedup sweep.
+  */
+object CorpusStreams {
+
+  /** One streamed document. */
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** A banded document row (one per band). */
+  case class BandedDoc(band: Int, nib: Long, doc_id: Long, ts: Timestamp, sig: Long)
+
+  /** Candidate match: `j` arrived after (or within the same batch,
+    * later in event time than) `i`, within Hamming `hamming`. As with
+    * the batch `Dedup.simhashMatches`, a pair colliding in several
+    * bands emits one row per band — consumers that need distinct pairs
+    * deduplicate downstream (min-aggregates absorb parallel edges).
+    */
+  case class Match(i: Long, j: Long, hamming: Long)
+
+  /** Per-(band, nib) bucket state: (doc_id, sig, ts millis), newest first. */
+  case class BucketState(entries: List[(Long, Long, Long)])
+
+  /** Streaming near-duplicate candidate matches — streaming twin of
+    * `Dedup.simhashMatchesWide`, same signature and banding (56-bit wide
+    * simhash, 4 × 14-bit bands; total recall for hamming ≤ 3 among docs
+    * co-resident in state).
+    *
+    * Every arriving doc is checked against the docs seen in its band
+    * buckets within the WATERMARK horizon, then remembered. State is
+    * bounded on three axes, all load-bearing on an indefinite stream:
+    *   - keyed by (band, nib): hash-partitioned across executors —
+    *     16,384 values per band spread hot boilerplate buckets;
+    *   - event-time watermark: entries older than the horizon are
+    *     filtered on every touch, and an idle bucket's state is REMOVED
+    *     by an event-time timeout once the watermark passes its newest
+    *     entry + horizon (no tombstones for buckets never touched again);
+    *   - `maxPerBucket` caps a pathological bucket (the newest entries
+    *     win — a documented recall trade, not an OOM).
+    *
+    * At-least-once sources: a re-delivered doc_id never matches itself
+    * and is not re-registered, so exact re-delivery emits nothing.
+    */
+  def nearDupMatches(docs: Dataset[Doc], maxHamming: Int = 2,
+                     watermark: String = "10 minutes",
+                     maxPerBucket: Int = 1024): Dataset[Match] = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    require(maxPerBucket > 0)
+    import docs.sparkSession.implicits._
+    val bandBits = TextAnalysis.SimHashBits / 2
+    val banded = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        TextAnalysis.simHashWide(col("text")).as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), bandBits * b)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("nib"))): _*)).as("__b"))
+      .select(col("__b.band").as("band"), col("__b.nib").as("nib"),
+        col("doc_id"), col("ts"), col("sig"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.nib))
+      .flatMapGroupsWithState[BucketState, Match](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed newest entry + horizon: every entry is
+            // already unmatchable, drop the bucket entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            val horizon = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_._3 >= horizon)
+            val out = List.newBuilder[Match]
+            // deterministic in-batch order: event time, then id —
+            // micro-batch iterator order is not a contract
+            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              if (!entries.exists(_._1 == d.doc_id)) {
+                entries.foreach { case (pid, psig, _) =>
+                  val h = java.lang.Long.bitCount(psig ^ d.sig)
+                  if (h <= maxHamming) out += Match(pid, d.doc_id, h.toLong)
+                }
+                entries = ((d.doc_id, d.sig, d.ts.getTime) :: entries)
+                  .take(maxPerBucket)
+              }
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(BucketState(entries))
+              // evict once nothing in the bucket can match anymore
+              state.setTimeoutTimestamp(entries.map(_._3).max, watermark)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}
