@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** WARC (Web ARChive, ISO 28500) ingestion — the raw wire format of web
+  * crawls (Common Crawl ships WARC), i.e. the very front of an LLM
+  * training-data pipeline.
+  *
+  * The reader is DataFrame-native and SPLITTABLE: the text source's
+  * `lineSep` option makes "\r\n\r\nWARC/1.0\r\n" (blank line + version
+  * line — the inter-record boundary) the record delimiter, so a WARC
+  * file splits across executors at record boundaries exactly like any
+  * line-delimited format — no custom InputFormat, no RDD code, and the
+  * per-record parse is a narrow whole-stage-codegen projection
+  * (substring_index / regexp_extract). The classic caveat applies
+  * unchanged from JSONL: .gz WARC shards are not splittable — one shard,
+  * one task — so shard size IS the parallelism knob (Common Crawl's ~1 GB
+  * shards exist for exactly this reason).
+  *
+  * Header grammar parsed here is the minimal load-bearing subset:
+  * WARC-Type, WARC-Target-URI, WARC-Record-ID, Content-Length, and for
+  * response records the HTTP status + payload. Everything else rides
+  * along in the raw header block for downstream access.
+  */
+object WarcSource {
+
+  /** Inter-record boundary: two CRLF closing the previous payload, then
+    * the next record's version line.
+    */
+  private val RecordSep = "\r\n\r\nWARC/1.0\r\n"
+
+  private val BlankLine = "\r\n\r\n"
+
+  /** Everything after the first blank line of `rec` ("" when none). */
+  private def afterBlankLine(rec: Column): Column =
+    when(instr(rec, BlankLine) > 0,
+      rec.substr(instr(rec, BlankLine) + lit(4), lit(Int.MaxValue)))
+      .otherwise(lit(""))
+
+  /** One row per WARC record: (record_type, record_id, target_uri,
+    * content_length, headers, content). `headers` is the raw WARC header
+    * block; `content` is everything after the header/content blank line
+    * (for response records: the full HTTP message).
+    */
+  def readRecords(spark: SparkSession, path: String): DataFrame = {
+    // The first record of a file still carries its leading
+    // "WARC/1.0\r\n" (no preceding separator to eat it); records after a
+    // split boundary start directly with header lines. Normalize once.
+    val rec = regexp_replace(col("value"), "^WARC/1\\.0\\r\\n", "")
+    val headers = substring_index(col("__rec"), BlankLine, 1)
+    def header(name: String) = {
+      val m = regexp_extract(col("__headers"), "(?m)^" + name + ": *(.*?)\\r?$", 1)
+      when(m =!= "", m) // absent header → NULL, not empty string
+    }
+    spark.read.option("lineSep", RecordSep).text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(rec.as("__rec"))
+      .withColumn("__headers", headers)
+      .select(
+        header("WARC-Type").as("record_type"),
+        header("WARC-Record-ID").as("record_id"),
+        header("WARC-Target-URI").as("target_uri"),
+        graft.functions.tryCast(header("Content-Length"), LongType)
+          .as("content_length"),
+        col("__headers").as("headers"),
+        // the two CRLF after the payload are record FRAMING (ISO 28500),
+        // not payload — mid-file they are eaten by the record delimiter,
+        // but the file's final record still carries them
+        regexp_replace(afterBlankLine(col("__rec")), "\\r\\n\\r\\n$", "")
+          .as("content"))
+  }
+
+  /** Response records only, with the HTTP envelope split off: adds
+    * `http_status` (NULL when the payload is not an HTTP message) and
+    * `body` (payload after the HTTP headers — the HTML).
+    */
+  def responses(records: DataFrame): DataFrame =
+    records.filter(col("record_type") === "response")
+      .withColumn("http_status",
+        graft.functions.tryCast(
+          regexp_extract(col("content"), "^HTTP/[0-9.]+ +([0-9]{3})", 1),
+          LongType))
+      .withColumn("body", afterBlankLine(col("content")))
+
+  /** Map crawl responses onto the engine's documents contract:
+    * deterministic doc_id (portable hash of the record id — stable
+    * across re-reads, unlike monotonically_increasing_id), body as text,
+    * URI as source. The entry point from raw crawl to every dedup /
+    * quality / analysis operator in the library.
+    */
+  def toDocuments(responses: DataFrame): DataFrame =
+    responses.select(
+      graft.operators.TextAnalysis.polyHash(col("record_id")).as("doc_id"),
+      col("body").as("text"),
+      lit(null).cast("string").as("lang"),
+      col("target_uri").as("source"),
+      length(col("body")).cast("long").as("n_chars"))
+}
