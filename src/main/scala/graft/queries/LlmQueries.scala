@@ -380,6 +380,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q63 on the SCALE configuration: wide (56-bit) simhash pairs →
+    // connected components → canonical survivors. Same pipeline a
+    // 100 TB run would execute — the wide bands keep candidate buckets
+    // sub-quadratic (SHUFFLE_AUDIT.md: 24× less candidate traffic than
+    // the 28-bit demo on the same corpus).
+    "q70_dedup_corpus_wide" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashMatchesWide(docs, "doc_id", "text", maxHamming = 2)
+      graft.operators.Components.keepCanonical(docs, "doc_id", pairs)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Exact per-language winsorization of doc lengths at [10%, 90%] —
     // integer-exact rational quantiles via the histogram-cumulate plan.
     "q64_winsorize" -> ((s, dir) => {
@@ -1042,6 +1055,30 @@ object LlmQueries {
          |pairs AS (
          |  SELECT a.doc_id AS i, b.doc_id AS j
          |  FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |lab AS (SELECT node AS doc_id, min(comp) AS component
+         |        FROM reach GROUP BY node)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN lab ON lab.doc_id = d.doc_id
+         |WHERE lab.doc_id = lab.component
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q63's recursive-CTE labeling over the WIDE pair graph.
+    "q70_dedup_corpus_wide" ->
+      s"""WITH RECURSIVE ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
          |edges AS (SELECT i AS u, j AS v FROM pairs
          |          UNION ALL SELECT j, i FROM pairs),
