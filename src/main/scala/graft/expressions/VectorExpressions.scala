@@ -269,6 +269,85 @@ object SimHashKernel {
     }
     sig
   }
+
+  /** Both multiplier families in ONE tokenization pass: the wide
+    * signature sigA + sigB·2^bits, bit-identical to
+    * compute(text,bits,multA) + compute(text,bits,multB)·2^bits but
+    * half the per-row cost — the wide dedup signature is per-row
+    * every-byte work, exactly where a second full scan of the text
+    * multiplies at corpus scale. Requires 2·bits ≤ 62.
+    */
+  def computeWide(text: UTF8String, bits: Int,
+                  multA: Long, multB: Long): Long = {
+    val s = text.toString
+    val votesA = new Array[Int](bits)
+    val votesB = new Array[Int](bits)
+    val mod = 1L << bits
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && KernelWhitespace.is(s.charAt(i))) i += 1
+      var ha = 0L
+      var hb = 0L
+      var inTok = false
+      while (i < len && !KernelWhitespace.is(s.charAt(i))) {
+        val cp = s.codePointAt(i)
+        ha = (ha * multA + cp) % 1000000007L
+        hb = (hb * multB + cp) % 1000000007L
+        inTok = true
+        i += Character.charCount(cp)
+      }
+      if (inTok) {
+        val hma = ha % mod
+        val hmb = hb % mod
+        var j = 0
+        while (j < bits) {
+          if (((hma >> j) & 1L) == 1L) votesA(j) += 1 else votesA(j) -= 1
+          if (((hmb >> j) & 1L) == 1L) votesB(j) += 1 else votesB(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (votesA(j) > 0) sig |= 1L << j
+      if (votesB(j) > 0) sig |= 1L << (bits + j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Wide (2×bits) simhash of a string column in one compiled pass — the
+  * fused form of simHashWith(multA) + simHashWith(multB)·2^bits (see
+  * [[SimHashKernel.computeWide]]).
+  */
+case class SimHashWideNative(child: Expression, bits: Int,
+                             multA: Long = 31L, multB: Long = 37L)
+    extends UnaryExpression {
+
+  require(bits >= 1 && 2 * bits <= 62)
+  require(multA > 0 && multB > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"SimHashWideNative expects a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.computeWide(input.asInstanceOf[UTF8String], bits, multA, multB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.SimHashKernel.computeWide($c, $bits, ${multA}L, ${multB}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Kernel behind [[PolyHashNative]]: the PORTABLE polynomial hash —

@@ -52,6 +52,26 @@ object CorpusJsonl {
       .json(path)
   }
 
+  /** The materialized parse, split once: the SAFE front-door for
+    * callers that touch both splits or run column-pruned queries
+    * (counts/audits) — every shape that trips Spark's corrupt-only
+    * analyzer check on a raw scan works on these frames, because the
+    * parse is persisted before splitting. Call `unpersist()` when done;
+    * at corpus scale, prefer writing the parse to a bronze table and
+    * splitting from the written copy (one read of the raw JSONL total).
+    */
+  case class ParsedCorpus(parsed: DataFrame) {
+    def wellFormed: DataFrame = CorpusJsonl.wellFormed(parsed)
+    def quarantined: DataFrame = CorpusJsonl.quarantined(parsed)
+    def unpersist(): Unit = { parsed.unpersist(); () }
+  }
+
+  /** [[read]] + persist, wrapped as [[ParsedCorpus]]. */
+  def readSplit(spark: SparkSession, path: String,
+                schema: StructType = DocumentsSchema): ParsedCorpus =
+    ParsedCorpus(read(spark, path, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Parsed rows only (quarantine column dropped).
     *
     * Same analyzer caveat as [[quarantined]], in disguise: a row-COUNT

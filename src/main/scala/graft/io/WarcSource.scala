@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.LongType
   * training-data pipeline.
   *
   * The reader is DataFrame-native and SPLITTABLE: the text source's
-  * `lineSep` option makes "\r\n\r\nWARC/1.0\r\n" (blank line + version
-  * line — the inter-record boundary) the record delimiter, so a WARC
+  * `lineSep` option makes "\r\n\r\nWARC/" (blank line + version-line
+  * prefix — the inter-record boundary) the record delimiter, so a WARC
   * file splits across executors at record boundaries exactly like any
   * line-delimited format — no custom InputFormat, no RDD code, and the
   * per-record parse is a narrow whole-stage-codegen projection
@@ -21,15 +21,29 @@ import org.apache.spark.sql.types.LongType
   *
   * Header grammar parsed here is the minimal load-bearing subset:
   * WARC-Type, WARC-Target-URI, WARC-Record-ID, Content-Length, and for
-  * response records the HTTP status + payload. Everything else rides
-  * along in the raw header block for downstream access.
+  * response records the HTTP status + payload (header names matched
+  * case-insensitively — ISO 28500 does not mandate casing). Everything
+  * else rides along in the raw header block for downstream access.
+  *
+  * KNOWN LIMIT of delimiter framing: a payload that itself contains the
+  * literal record boundary (blank line + "WARC/" version line — e.g. a
+  * crawled page ABOUT the WARC format, or a .warc served as text) is
+  * split at that point: the real record's content truncates there and
+  * the remainder surfaces as a phantom record with NULL headers.
+  * Exact framing needs Content-Length-driven segmentation, which is not
+  * expressible as a splittable DataFrame scan — the standard trade
+  * every delimiter-based WARC reader makes. Phantom records are
+  * identifiable (record_id IS NULL) and filterable; Content-Length is
+  * carried so downstream can audit (length(content) vs content_length).
   */
 object WarcSource {
 
   /** Inter-record boundary: two CRLF closing the previous payload, then
-    * the next record's version line.
+    * the next record's version line. The version NUMBER is left out of
+    * the delimiter so WARC/1.0 and WARC/1.1 (ISO 28500:2017 — wget,
+    * warcio) both split; the version remnant is stripped per record.
     */
-  private val RecordSep = "\r\n\r\nWARC/1.0\r\n"
+  private val RecordSep = "\r\n\r\nWARC/"
 
   private val BlankLine = "\r\n\r\n"
 
@@ -45,13 +59,14 @@ object WarcSource {
     * (for response records: the full HTTP message).
     */
   def readRecords(spark: SparkSession, path: String): DataFrame = {
-    // The first record of a file still carries its leading
-    // "WARC/1.0\r\n" (no preceding separator to eat it); records after a
-    // split boundary start directly with header lines. Normalize once.
-    val rec = regexp_replace(col("value"), "^WARC/1\\.0\\r\\n", "")
+    // The first record of a file still carries its full version line
+    // "WARC/x.y\r\n" (no preceding separator to eat it); later records
+    // start with the version REMNANT ("1.0\r\n" — the delimiter ate
+    // "WARC/"). Normalize both shapes once.
+    val rec = regexp_replace(col("value"), "^(WARC/)?[0-9]+\\.[0-9]+\\r\\n", "")
     val headers = substring_index(col("__rec"), BlankLine, 1)
     def header(name: String) = {
-      val m = regexp_extract(col("__headers"), "(?m)^" + name + ": *(.*?)\\r?$", 1)
+      val m = regexp_extract(col("__headers"), "(?mi)^" + name + ": *(.*?)\\r?$", 1)
       when(m =!= "", m) // absent header → NULL, not empty string
     }
     spark.read.option("lineSep", RecordSep).text(path)
@@ -85,14 +100,18 @@ object WarcSource {
       .withColumn("body", afterBlankLine(col("content")))
 
   /** Map crawl responses onto the engine's documents contract:
-    * deterministic doc_id (portable hash of the record id — stable
+    * deterministic doc_id (64-bit hash of the record id — stable
     * across re-reads, unlike monotonically_increasing_id), body as text,
     * URI as source. The entry point from raw crawl to every dedup /
     * quality / analysis operator in the library.
     */
   def toDocuments(responses: DataFrame): DataFrame =
     responses.select(
-      graft.operators.TextAnalysis.polyHash(col("record_id")).as("doc_id"),
+      // xxhash64, NOT the portable 30-bit polyHash: doc_id is corpus
+      // IDENTITY (every dedup/cluster operator keys on it), and a 2^30
+      // space birthday-collides by ~100k records — a 64-bit space holds
+      // to billions. Still deterministic across re-reads of the crawl.
+      xxhash64(col("record_id")).as("doc_id"),
       col("body").as("text"),
       lit(null).cast("string").as("lang"),
       col("target_uri").as("source"),

@@ -324,17 +324,25 @@ object Dedup {
   /** [[simhashPairsWide]] without the pair-distinct (parallel-edge
     * tolerant consumers — same contract as [[simhashMatches]]).
     */
+  /** Band width of the wide signature: 56 bits / 4 bands. */
+  private[graft] val WideBandBits = TextAnalysis.SimHashBits / 2
+
+  /** Band b's key of a wide signature — integer shift+mask, NOT the
+    * double-division trick: a 56-bit value is outside double's 2^53
+    * exact range. SHARED with the streaming twin
+    * (streaming/CorpusStreams) so batch and stream can never band
+    * differently.
+    */
+  private[graft] def wideBandNib(sig: Column, b: Int): Column =
+    shiftrightunsigned(sig, WideBandBits * b)
+      .bitwiseAND(lit((1L << WideBandBits) - 1))
+
   def simhashMatchesWide(docs: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
-    val bandBits = TextAnalysis.SimHashBits / 2 // 14: 56 wide bits / 4 bands
     val withSig = docs.select(col(idCol).as("__id"),
       TextAnalysis.simHashWide(col(textCol)).as("__sig"))
-    // integer shift+mask, NOT the double-division trick: a 56-bit value
-    // is outside double's 2^53 exact range
-    bandedHammingPairs(withSig, b =>
-      shiftrightunsigned(col("__sig"), bandBits * b)
-        .bitwiseAND(lit((1L << bandBits) - 1)), maxHamming)
+    bandedHammingPairs(withSig, b => wideBandNib(col("__sig"), b), maxHamming)
   }
 
   /** Shared banded-LSH self-join: explode (band, nib(band)) per doc,

@@ -248,9 +248,17 @@ object TextAnalysis {
     * 56 bits give 2^14 per band (see Dedup.simhashMatchesWide). Still
     * fully portable: any engine that reproduces [[simHash]] reproduces
     * this with one extra multiplier.
+    *
+    * Computed by the FUSED kernel (one tokenization pass folding both
+    * multiplier families — expressions/SimHashWideNative), bit-identical
+    * to `simHashWith(31) + simHashWith(37) * 2^28` at half the per-row
+    * cost (locked by KernelPropertySpec).
     */
-  def simHashWide(text: Column): Column =
-    simHashWith(text, 31L) + simHashWith(text, WideMult) * lit(1L << SimHashBits)
+  def simHashWide(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.SimHashWideNative(
+      toExpression(text), SimHashBits, 31L, WideMult))
+  }
 
   /** Reference HOF formulation of [[simHash]] — kept (and tested) as the
     * executable specification the native kernel must match.

@@ -57,7 +57,6 @@ object CorpusStreams {
     require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
     require(maxPerBucket > 0)
     import docs.sparkSession.implicits._
-    val bandBits = TextAnalysis.SimHashBits / 2
     val banded = docs
       .withWatermark("ts", watermark)
       .select(col("doc_id"), col("ts"),
@@ -65,8 +64,9 @@ object CorpusStreams {
       .select(col("doc_id"), col("ts"), col("sig"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("sig"), bandBits * b)
-              .bitwiseAND(lit((1L << bandBits) - 1)).as("nib"))): _*)).as("__b"))
+            // same band derivation as the batch operator, by
+            // construction (shared helper)
+            graft.operators.Dedup.wideBandNib(col("sig"), b).as("nib"))): _*)).as("__b"))
       .select(col("__b.band").as("band"), col("__b.nib").as("nib"),
         col("doc_id"), col("ts"), col("sig"))
       .as[BandedDoc]

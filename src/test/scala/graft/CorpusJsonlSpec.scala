@@ -56,9 +56,12 @@ class CorpusJsonlSpec extends SparkSpec {
         CorpusJsonl.wellFormed(raw).count()
       }
       assert(e.getMessage.contains("corrupt"))
-      val cached = CorpusJsonl.read(spark, path).cache()
-      try assert(CorpusJsonl.wellFormed(cached).count() === 1L)
-      finally { cached.unpersist(); () }
+      // readSplit is the safe front-door: parse persisted before split
+      val split = CorpusJsonl.readSplit(spark, path)
+      try {
+        assert(split.wellFormed.count() === 1L)
+        assert(split.quarantined.count() === 0L)
+      } finally split.unpersist()
     }
   }
 

@@ -48,7 +48,11 @@ class KernelPropertySpec extends SparkSpec {
         graft.operators.TextAnalysis.simHash($"t").as("sh_k"),
         graft.operators.TextAnalysis.simHashHof($"t").as("sh_h"),
         graft.operators.TextAnalysis.simHashWith($"t", 37L).as("sh37_k"),
-        graft.operators.TextAnalysis.simHashHofWith($"t", 37L).as("sh37_h"))
+        graft.operators.TextAnalysis.simHashHofWith($"t", 37L).as("sh37_h"),
+        graft.operators.TextAnalysis.simHashWide($"t").as("wide_fused"),
+        (graft.operators.TextAnalysis.simHashWith($"t", 31L) +
+          graft.operators.TextAnalysis.simHashWith($"t", 37L) *
+            lit(1L << graft.operators.TextAnalysis.SimHashBits)).as("wide_composed"))
       .collect()
     assert(rows.length === texts.length)
     rows.foreach { r =>
@@ -60,6 +64,8 @@ class KernelPropertySpec extends SparkSpec {
       assert(r.getLong(5) === r.getLong(6), s"polyHash mismatch id=$id")
       assert(r.getLong(7) === r.getLong(8), s"simHash mismatch id=$id")
       assert(r.getLong(9) === r.getLong(10), s"simHash mult=37 mismatch id=$id")
+      assert(r.getLong(11) === r.getLong(12),
+        s"fused wide simhash != composed halves id=$id")
     }
   }
 }

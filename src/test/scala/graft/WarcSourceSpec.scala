@@ -59,6 +59,28 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("WARC/1.1 files and lower-cased headers parse identically") {
+    // ISO 28500:2017 bumps the version line (wget/warcio emit 1.1) and
+    // does not mandate header casing — both must parse like 1.0.
+    val warc11 =
+      ("WARC/1.1\r\n" +
+        "warc-type: response\r\n" +
+        "warc-record-id: <urn:uuid:eee>\r\n" +
+        "WARC-Target-URI: http://example.com/v11\r\n" +
+        s"content-length: ${httpOk.length}\r\n" +
+        "\r\n" + httpOk + "\r\n\r\n") * 2
+    withWarc(warc11) { path =>
+      val recs = WarcSource.readRecords(spark, path).collect()
+      assert(recs.length === 2)
+      recs.foreach { r =>
+        assert(r.getAs[String]("record_type") === "response")
+        assert(r.getAs[String]("record_id") === "<urn:uuid:eee>")
+        assert(r.getAs[Long]("content_length") === httpOk.length.toLong)
+        assert(r.getAs[String]("content") === httpOk)
+      }
+    }
+  }
+
   test("responses extracts HTTP status and body; toDocuments lands on the corpus contract") {
     val warc =
       warcRecord("response", "bbb", Some("http://example.com/"), httpOk) +
