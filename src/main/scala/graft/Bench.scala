@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // STATIC conf (must be set at session creation): the generated-class
+      // cache defaults to 100 entries, and one pass over the ~70-query
+      // suite compiles far more codegen units than that — by the next
+      // pass a query's classes may be evicted, so a sample pays Janino
+      // recompilation (tens of ms per unit) on top of the query. Sized
+      // so no eviction happens within a bench run; measured r7→r8
+      // same-code deltas of 2–4× on untouched queries traced to this
+      // plus pass-to-pass variance (see min-of-3 below).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM (codegen compiler, shuffle machinery) and the parquet
@@ -21,19 +30,24 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").schema
       catch { case _: Throwable => }
     }
-    // Best-of-2 per query, with the two runs taken as INTERLEAVED
+    // Best-of-3 per query, the three runs taken as INTERLEAVED
     // end-to-end passes over the whole suite rather than back-to-back
     // repeats: a single-shot run conflates codegen/JIT latency and GC
     // pauses with the query, and back-to-back repeats share whatever GC /
     // compilation storm is in flight at that moment — round 6's
     // identical-code control still showed 3× per-query swings under
-    // back-to-back best-of-2. Separating a query's two samples by a full
-    // pass (~30s) decorrelates them, so the per-query minimum approaches
+    // back-to-back best-of-2. Separating a query's samples by a full
+    // pass (~20s) decorrelates them, so the per-query minimum approaches
     // the steady-state time and deltas across rounds become attributable.
+    // THREE passes, not two: round 8's same-code control showed 16/70
+    // queries still moving >1.5× between two-pass runs — with ~20% odds
+    // of a slow sample per pass, best-of-2 leaves ~4% of queries with no
+    // clean sample, best-of-3 under 1% (and the raised codegen cache
+    // above removes the systematic recompile component).
     // A query that throws in a pass contributes no sample from that pass;
-    // a query that throws in BOTH is EXCLUDED from the total and listed
-    // in "failed" — folding a failure's elapsed time in would let a
-    // broken query shrink the headline number.
+    // a query that throws in ALL passes is EXCLUDED from the total and
+    // listed in "failed" — folding a failure's elapsed time in would let
+    // a broken query shrink the headline number.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try { graft.operators.CacheScope.scoped(fn(spark, sfDir).count()); Some((System.nanoTime() - t0) / 1e9) }
@@ -42,13 +56,11 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(): Seq[(String, Option[Double])] =
       named.map { case (name, fn) => name -> once(fn) }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
-      val best = (a, b) match {
-        case (Some(x), Some(y)) => Some(math.min(x, y))
-        case _ => a.orElse(b) // one failed pass: keep the run that finished
-      }
-      name -> best
+    val passes = Seq(pass(), pass(), pass())
+    val results = named.map(_._1).zipWithIndex.map { case (name, i) =>
+      val samples = passes.flatMap(p => p(i)._2)
+      // min over the passes that finished; None only when every pass threw
+      name -> (if (samples.isEmpty) None else Some(samples.min))
     }
     val ok = results.collect { case (n, Some(s)) => n -> s }
     val failed = results.collect { case (n, None) => n }
