@@ -230,13 +230,21 @@ private[expressions] object KernelWhitespace {
 object SimHashKernel {
   def compute(text: UTF8String, bits: Int): Long = compute(text, bits, 31L)
 
-  /** Generalized over the token-hash multiplier: multipliers 31 and 37
-    * give two (effectively independent) portable simhashes whose
-    * concatenation is the 2×bits-wide signature behind
-    * Dedup.simhashMatchesWide — the scale configuration whose band key
-    * space is wide enough for 100 TB candidate buckets.
+  def compute(text: UTF8String, bits: Int, mult: Long): Long =
+    compute(text, bits, mult, 0L)
+
+  /** Generalized over the token-hash multiplier and the fold's INITIAL
+    * accumulator (`seed`): multipliers 31 and 37 give two (effectively
+    * independent) portable simhashes whose concatenation is the
+    * 2×bits-wide signature behind Dedup.simhashMatchesWide — the scale
+    * configuration whose band key space is wide enough for 100 TB
+    * candidate buckets. The seed is what makes the families independent
+    * on SINGLE-CHARACTER tokens: with both folds starting at 0,
+    * (0·31+cp)%p == (0·37+cp)%p — every 1-char token votes identically
+    * in both families; a nonzero seed for one family breaks the tie
+    * ((seed·mult+cp) differs from cp for any cp).
     */
-  def compute(text: UTF8String, bits: Int, mult: Long): Long = {
+  def compute(text: UTF8String, bits: Int, mult: Long, seed: Long): Long = {
     val s = text.toString
     val votes = new Array[Int](bits)
     val mod = 1L << bits
@@ -244,7 +252,7 @@ object SimHashKernel {
     val len = s.length
     while (i < len) {
       while (i < len && KernelWhitespace.is(s.charAt(i))) i += 1
-      var h = 0L
+      var h = seed
       var inTok = false
       while (i < len && !KernelWhitespace.is(s.charAt(i))) {
         val cp = s.codePointAt(i)
@@ -272,13 +280,15 @@ object SimHashKernel {
 
   /** Both multiplier families in ONE tokenization pass: the wide
     * signature sigA + sigB·2^bits, bit-identical to
-    * compute(text,bits,multA) + compute(text,bits,multB)·2^bits but
-    * half the per-row cost — the wide dedup signature is per-row
+    * compute(text,bits,multA,0) + compute(text,bits,multB,seedB)·2^bits
+    * but half the per-row cost — the wide dedup signature is per-row
     * every-byte work, exactly where a second full scan of the text
-    * multiplies at corpus scale. Requires 2·bits ≤ 62.
+    * multiplies at corpus scale. Requires 2·bits ≤ 62. `seedB` is the
+    * B-family fold seed (see [[compute]] — a nonzero seed decorrelates
+    * the families on 1-char tokens).
     */
   def computeWide(text: UTF8String, bits: Int,
-                  multA: Long, multB: Long): Long = {
+                  multA: Long, multB: Long, seedB: Long): Long = {
     val s = text.toString
     val votesA = new Array[Int](bits)
     val votesB = new Array[Int](bits)
@@ -288,7 +298,7 @@ object SimHashKernel {
     while (i < len) {
       while (i < len && KernelWhitespace.is(s.charAt(i))) i += 1
       var ha = 0L
-      var hb = 0L
+      var hb = seedB
       var inTok = false
       while (i < len && !KernelWhitespace.is(s.charAt(i))) {
         val cp = s.codePointAt(i)
@@ -324,11 +334,13 @@ object SimHashKernel {
   * [[SimHashKernel.computeWide]]).
   */
 case class SimHashWideNative(child: Expression, bits: Int,
-                             multA: Long = 31L, multB: Long = 37L)
+                             multA: Long = 31L, multB: Long = 37L,
+                             seedB: Long = 1L)
     extends UnaryExpression {
 
   require(bits >= 1 && 2 * bits <= 62)
   require(multA > 0 && multB > 0)
+  require(seedB >= 0)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -340,11 +352,11 @@ case class SimHashWideNative(child: Expression, bits: Int,
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    SimHashKernel.computeWide(input.asInstanceOf[UTF8String], bits, multA, multB)
+    SimHashKernel.computeWide(input.asInstanceOf[UTF8String], bits, multA, multB, seedB)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.expressions.SimHashKernel.computeWide($c, $bits, ${multA}L, ${multB}L)")
+      c => s"graft.expressions.SimHashKernel.computeWide($c, $bits, ${multA}L, ${multB}L, ${seedB}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -408,11 +420,13 @@ case class PolyHashNative(child: Expression, mod: Long) extends UnaryExpression 
   * HOF composition in TextAnalysis.simHash, which walks interpreted
   * nested lambdas per token and dominated the simhash dedup benchmark.
   */
-case class SimHashNative(child: Expression, bits: Int, mult: Long = 31L)
+case class SimHashNative(child: Expression, bits: Int, mult: Long = 31L,
+                         seed: Long = 0L)
     extends UnaryExpression {
 
   require(bits >= 1 && bits <= 62)
   require(mult > 0)
+  require(seed >= 0)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -424,11 +438,11 @@ case class SimHashNative(child: Expression, bits: Int, mult: Long = 31L)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    SimHashKernel.compute(input.asInstanceOf[UTF8String], bits, mult)
+    SimHashKernel.compute(input.asInstanceOf[UTF8String], bits, mult, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.expressions.SimHashKernel.compute($c, $bits, ${mult}L)")
+      c => s"graft.expressions.SimHashKernel.compute($c, $bits, ${mult}L, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -34,7 +34,14 @@ import org.apache.spark.sql.types.LongType
   * expressible as a splittable DataFrame scan — the standard trade
   * every delimiter-based WARC reader makes. Phantom records are
   * identifiable (record_id IS NULL) and filterable; Content-Length is
-  * carried so downstream can audit (length(content) vs content_length).
+  * carried so downstream can audit — see [[framingAudit]]. The audit
+  * compares BYTE counts (octet_length of the re-encoded content), not
+  * character counts: WARC Content-Length is octets, and length() on a
+  * non-ASCII payload undercounts. Underlying assumption, shared by the
+  * whole reader: the scan DECODES the file as UTF-8 text, so a binary
+  * payload (gzip, images) survives only as lossily-decoded text — this
+  * reader is for text crawls; binary payloads need a byte-oriented
+  * (non-splittable or offset-indexed) ingest.
   */
 object WarcSource {
 
@@ -85,6 +92,37 @@ object WarcSource {
         // but the file's final record still carries them
         regexp_replace(afterBlankLine(col("__rec")), "\\r\\n\\r\\n$", "")
           .as("content"))
+  }
+
+  /** Framing health of a [[readRecords]] scan, ONE row of counts — the
+    * audit a crawl ingest runs before trusting delimiter framing:
+    *   - `phantom`: rows with NULL record_id — payload fragments split
+    *     off by an embedded record boundary (drop, and count against
+    *     `truncated`'s source records);
+    *   - `truncated`: declared Content-Length exceeds the payload's
+    *     byte count — the tail was eaten by an embedded boundary;
+    *   - `inflated`: payload bytes exceed the declaration (malformed
+    *     writer, or a boundary string inside the HEADER block);
+    *   - `undeclared`: no parseable Content-Length to audit against;
+    *   - `clean`: identified, declared, and byte-exact.
+    * Comparisons are in OCTETS (octet_length re-encodes the decoded
+    * string to UTF-8), matching the header's unit — `length()` counts
+    * CHARACTERS and disagrees on any non-ASCII payload. Byte-exactness
+    * therefore also assumes the shard is UTF-8 on disk (see the class
+    * doc's decoding caveat): a latin-1 shard audits as truncated/
+    * inflated noise rather than silently passing.
+    */
+  def framingAudit(records: DataFrame): DataFrame = {
+    val declared = col("content_length")
+    val actual = octet_length(col("content")).cast(LongType)
+    val identified = col("record_id").isNotNull
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    records.agg(
+      cnt(!identified).as("phantom"),
+      cnt(identified && declared.isNotNull && actual < declared).as("truncated"),
+      cnt(identified && declared.isNotNull && actual > declared).as("inflated"),
+      cnt(identified && declared.isNull).as("undeclared"),
+      cnt(identified && declared.isNotNull && actual === declared).as("clean"))
   }
 
   /** Response records only, with the HTTP envelope split off: adds

@@ -93,7 +93,8 @@ object Components {
     * of the nodes appearing in `g`.
     */
   private def propagateToFixpoint(g: DataFrame, maxRounds: Int,
-                                  dbg: (String, Long) => Unit): DataFrame = {
+                                  dbg: (String, Long) => Unit,
+                                  eagerControl: Boolean = false): DataFrame = {
     // LAZY localCheckpoint throughout the loop. Under AQE the checkpoint
     // call still materializes the plan's shuffle stages (execute() on an
     // adaptive plan runs its query stages), so laziness does NOT defer
@@ -104,7 +105,11 @@ object Components {
     // label-sum probe becomes the first reader of the checkpointed
     // blocks instead (measured on a 16-chain: ~61 → ~53 scheduler jobs;
     // the saving scales with rounds × partitions on a real cluster).
-    var labels = starMin(g).localCheckpoint(eager = false)
+    // `eagerControl` reinstates the eager form — NEVER set in production;
+    // it exists so ComponentsSpec can assert lazy < eager on measured
+    // job counts in the same JVM instead of pinning a brittle absolute
+    // ceiling to one Spark version's scheduler behavior.
+    var labels = starMin(g).localCheckpoint(eager = eagerControl)
     var prevSum = labelSum(labels) // materializes the checkpoint
     var round = 0
     var converged = labels.isEmpty // reads the checkpointed blocks
@@ -125,7 +130,7 @@ object Components {
         .union(offers)
         .groupBy("node").agg(min("comp").as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val jumped = applyMap(merged, merged).localCheckpoint(eager = false)
+      val jumped = applyMap(merged, merged).localCheckpoint(eager = eagerControl)
       val s = labelSum(jumped) // ONE action: checkpoint fill + probe
       // unpersist AFTER the sum: it is the job that materializes
       // `jumped`; dropping `merged` first would recompute it twice there
@@ -145,7 +150,16 @@ object Components {
     * with component = own id, typically via a left join + coalesce).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 50): DataFrame = {
+                          maxRounds: Int = 50): DataFrame =
+    connectedComponentsImpl(edges, srcCol, dstCol, maxRounds,
+      eagerControl = false)
+
+  /** [[connectedComponents]] with the checkpoint-mode control exposed —
+    * test-only (see `eagerControl` on [[propagateToFixpoint]]).
+    */
+  private[graft] def connectedComponentsImpl(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int, eagerControl: Boolean): DataFrame = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     def dbg(label: String, t0: Long): Unit = if (debug)
       println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -172,7 +186,8 @@ object Components {
       dbg("star-merge + contract", t0)
       val labels =
         if (remnant.isEmpty) m0
-        else applyMap(m0, propagateToFixpoint(remnant, maxRounds, dbg))
+        else applyMap(m0,
+          propagateToFixpoint(remnant, maxRounds, dbg, eagerControl))
       labels.select(col("node").as("id"), col("comp").as("component"))
     } finally e.unpersist()
   }

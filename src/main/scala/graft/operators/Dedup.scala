@@ -321,9 +321,6 @@ object Dedup {
                        maxHamming: Int = 2): DataFrame =
     simhashMatchesWide(docs, idCol, textCol, maxHamming).distinct()
 
-  /** [[simhashPairsWide]] without the pair-distinct (parallel-edge
-    * tolerant consumers — same contract as [[simhashMatches]]).
-    */
   /** Band width of the wide signature: 56 bits / 4 bands. */
   private[graft] val WideBandBits = TextAnalysis.SimHashBits / 2
 
@@ -337,6 +334,9 @@ object Dedup {
     shiftrightunsigned(sig, WideBandBits * b)
       .bitwiseAND(lit((1L << WideBandBits) - 1))
 
+  /** [[simhashPairsWide]] without the pair-distinct (parallel-edge
+    * tolerant consumers — same contract as [[simhashMatches]]).
+    */
   def simhashMatchesWide(docs: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")

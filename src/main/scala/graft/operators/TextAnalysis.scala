@@ -58,10 +58,10 @@ object TextAnalysis {
     * functions reproduces the hash.
     */
   private[graft] def polyHashHof(c: Column, mod: Long = HashMod,
-                                 mult: Long = 31L): Column =
+                                 mult: Long = 31L, seed: Long = 0L): Column =
     aggregate(
       transform(chars(c), ch => ascii(ch).cast(LongType)),
-      lit(0L),
+      lit(seed),
       (acc, x) => (acc * mult + x) % mod)
 
   /** Whitespace tokens (shared with dedup so shingles and counts agree). */
@@ -225,39 +225,51 @@ object TextAnalysis {
     */
   def simHash(text: Column): Column = simHashWith(text, 31L)
 
-  /** [[simHash]] generalized over the token-hash multiplier: different
-    * multipliers give (effectively) independent simhashes over the same
-    * tokens — the building block of [[simHashWide]].
+  /** [[simHash]] generalized over the token-hash multiplier and fold
+    * seed: different (multiplier, seed) pairs give (effectively)
+    * independent simhashes over the same tokens — the building block of
+    * [[simHashWide]].
     */
-  def simHashWith(text: Column, mult: Long): Column = {
+  def simHashWith(text: Column, mult: Long, seed: Long = 0L): Column = {
     import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
-    toColumn(graft.expressions.SimHashNative(toExpression(text), SimHashBits, mult))
+    toColumn(graft.expressions.SimHashNative(toExpression(text), SimHashBits, mult, seed))
   }
 
-  /** Second multiplier for the wide signature — like 31, a small prime;
-    * the two polynomial hash families are effectively independent.
-    */
+  /** Second multiplier for the wide signature — like 31, a small prime. */
   val WideMult = 37L
 
+  /** Fold seed of the wide signature's second family. Nonzero and
+    * load-bearing: with both folds seeded 0, every SINGLE-CHARACTER
+    * token hashes identically in both families ((0·31+cp)%p ==
+    * (0·37+cp)%p), so 1-char-token-heavy text (CJK split by char,
+    * code, tables) correlates the two 28-bit halves and their band
+    * buckets stop spreading. Seeding family B at 1 makes its first fold
+    * (37+cp)%p ≠ cp — the families decorrelate on every token length.
+    * Recall is untouched either way (the banding pigeonhole needs no
+    * independence); this is about candidate-bucket PRECISION at scale.
+    */
+  val WideSeed = 1L
+
   /** 2×[[SimHashBits]]-bit (56-bit) simhash: two independent portable
-    * simhashes concatenated (multipliers 31 and 37; each bit's vote
-    * comes from an independent per-token hash bit, so Hamming distance
-    * behaves as standard simhash over 56 bits). This is the SCALE
-    * configuration: banding 28 bits four ways yields 2^7 = 128 distinct
-    * values per band — at corpus scale every band bucket goes quadratic.
-    * 56 bits give 2^14 per band (see Dedup.simhashMatchesWide). Still
-    * fully portable: any engine that reproduces [[simHash]] reproduces
-    * this with one extra multiplier.
+    * simhashes concatenated (multiplier 31 seeded 0, and [[WideMult]]
+    * seeded [[WideSeed]]; each bit's vote comes from an independent
+    * per-token hash bit, so Hamming distance behaves as standard simhash
+    * over 56 bits). This is the SCALE configuration: banding 28 bits
+    * four ways yields 2^7 = 128 distinct values per band — at corpus
+    * scale every band bucket goes quadratic. 56 bits give 2^14 per band
+    * (see Dedup.simhashMatchesWide). Still fully portable: any engine
+    * that reproduces [[simHash]] reproduces this with one extra
+    * (multiplier, seed) pair.
     *
     * Computed by the FUSED kernel (one tokenization pass folding both
     * multiplier families — expressions/SimHashWideNative), bit-identical
-    * to `simHashWith(31) + simHashWith(37) * 2^28` at half the per-row
-    * cost (locked by KernelPropertySpec).
+    * to `simHashWith(31) + simHashWith(37, seed=1) * 2^28` at half the
+    * per-row cost (locked by KernelPropertySpec).
     */
   def simHashWide(text: Column): Column = {
     import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
     toColumn(graft.expressions.SimHashWideNative(
-      toExpression(text), SimHashBits, 31L, WideMult))
+      toExpression(text), SimHashBits, 31L, WideMult, WideSeed))
   }
 
   /** Reference HOF formulation of [[simHash]] — kept (and tested) as the
@@ -265,13 +277,13 @@ object TextAnalysis {
     */
   def simHashHof(text: Column): Column = simHashHofWith(text, 31L)
 
-  /** HOF spec generalized over the token-hash multiplier (the
-    * [[simHashWith]] counterpart, and the documentation of how an
+  /** HOF spec generalized over the token-hash multiplier and fold seed
+    * (the [[simHashWith]] counterpart, and the documentation of how an
     * oracle engine derives the wide signature's halves).
     */
-  def simHashHofWith(text: Column, mult: Long): Column = {
+  def simHashHofWith(text: Column, mult: Long, seed: Long = 0L): Column = {
     val hs = transform(tokens(text),
-      t => pmod(polyHashHof(t, mult = mult), lit(1L << SimHashBits)))
+      t => pmod(polyHashHof(t, mult = mult, seed = seed), lit(1L << SimHashBits)))
     // bit j of h, via exact double division (h < 2^28, 2^j exact): portable.
     def bits(h: Column): Column =
       transform(sequence(lit(0), lit(SimHashBits - 1)),

@@ -18,21 +18,36 @@ import org.apache.spark.sql.functions._
   * cross-engine parity is not needed.
   *
   * Plan shape: token explode → (term, doc) hash aggregate → per-term df
-  * aggregate (both map-side combinable) → broadcast-sized join of the
-  * per-term stats back onto the per-doc-term rows. No window over the
-  * corpus; the only per-doc work is the final rank over that doc's own
-  * terms (bounded by document vocabulary).
+  * aggregate (both map-side combinable) → join of the per-term stats
+  * back onto the per-doc-term rows. No window over the corpus; the only
+  * per-doc work is the final rank over that doc's own terms (bounded by
+  * document vocabulary).
+  *
+  * The join-back is the operator's one scale decision. Keyed by term,
+  * it shuffles every (doc, term) row, and a Zipfian vocabulary funnels
+  * the hot terms ("the", boilerplate) into few reducers — a shuffle
+  * join survives that only because AQE splits skewed partitions at
+  * runtime (it does; see SCALE.md). When the DISTINCT vocabulary is
+  * broadcast-sized — true for any single-language corpus, whose
+  * vocabulary grows ~O(√N) (Heaps' law) while (doc, term) rows grow
+  * linearly — `broadcastVocab` sidesteps the question entirely: the
+  * per-term stats broadcast to every task and the dominant (doc, term)
+  * side never shuffles for the join at all, skew included.
   */
 object TfIdf {
 
   /** Per-(document, term) weights with an in-document rank.
     *
+    * @param broadcastVocab broadcast the per-term df stats to the
+    *        join-back (see object doc) — set when the corpus vocabulary
+    *        fits the broadcast threshold; identical values either way.
     * @return (idCol, term, tf, df, tfidf, rank): tf = occurrences of term
     *         in doc, df = docs containing term, tfidf = tf·(N+1)/(df+1)
     *         (N = total docs), rank = position of the term within its doc
     *         by (tfidf desc, term asc).
     */
-  def termWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def termWeights(docs: DataFrame, idCol: String, textCol: String,
+                  broadcastVocab: Boolean = false): DataFrame = {
     val n = docs.count()
     val tf = docs
       .select(col(idCol), explode(graft.functions.tokens(col(textCol))).as("term"))
@@ -40,7 +55,7 @@ object TfIdf {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), col("term"))
-    tf.join(df, "term")
+    tf.join(if (broadcastVocab) broadcast(df) else df, "term")
       .withColumn("tfidf",
         col("tf").cast("double") * (n + 1).toDouble / (col("df") + 1))
       .withColumn("rank", row_number().over(w).cast("long"))

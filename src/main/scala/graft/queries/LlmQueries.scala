@@ -326,7 +326,11 @@ object LlmQueries {
     // TF-IDF keyword extraction: top-3 terms per doc by the rational-idf
     // weight (log-free so scores are bit-portable across engines).
     "q53_tfidf" -> ((s, dir) => {
-      TfIdf.termWeights(t(s, dir, "documents"), "doc_id", "text")
+      // broadcastVocab: the distinct vocabulary is orders of magnitude
+      // smaller than the (doc, term) rows (Heaps' law), so the df stats
+      // broadcast and the dominant side never shuffles for the join-back
+      TfIdf.termWeights(t(s, dir, "documents"), "doc_id", "text",
+        broadcastVocab = true)
         .filter(col("rank") <= 3).orderBy("doc_id", "rank")
     }),
 
@@ -431,11 +435,13 @@ object LlmQueries {
     */
   private def oPolyHash(x: String): String = oPolyHashM(x, 31)
 
-  /** [[oPolyHash]] with an explicit multiplier (31 = the standard hash;
-    * 37 = the wide simhash's second family — TextAnalysis.WideMult).
+  /** [[oPolyHash]] with an explicit multiplier and fold seed (31/0 =
+    * the standard hash; 37/1 = the wide simhash's second family —
+    * TextAnalysis.WideMult/WideSeed: the nonzero seed decorrelates the
+    * families on single-character tokens).
     */
-  private def oPolyHashM(x: String, mult: Int): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+  private def oPolyHashM(x: String, mult: Int, seed: Int = 0): String =
+    s"""list_reduce(list_prepend(CAST($seed AS BIGINT),
        |  list_transform(string_split($x, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (a, c) -> (a * $mult + c) % 1000000007)""".stripMargin
 
@@ -471,10 +477,11 @@ object LlmQueries {
     */
   private val oSimhash = oSimhashCte("simhash", 31)
 
-  /** Named simhash CTE with an explicit token-hash multiplier (matches
-    * TextAnalysis.simHashWith; 31 + 37 compose the wide signature).
+  /** Named simhash CTE with an explicit token-hash multiplier and fold
+    * seed (matches TextAnalysis.simHashWith; 31/0 + 37/1 compose the
+    * wide signature).
     */
-  private def oSimhashCte(name: String, mult: Int): String = {
+  private def oSimhashCte(name: String, mult: Int, seed: Int = 0): String = {
     val bits = TextAnalysis.SimHashBits
     val mod = 1L << bits
     val zeros = ("CAST(0 AS BIGINT)" +: Seq.fill(bits - 1)("0")).mkString("[", ",", "]")
@@ -491,7 +498,7 @@ object LlmQueries {
        |      (acc, b) -> list_transform(range($bits), j -> acc[j+1] + 2*b[j+1] - 1)) AS v
        |    FROM (
        |      SELECT doc_id, list_transform($oToks,
-       |        t -> ${oPolyHashM("t", mult)} % $mod) AS hs
+       |        t -> ${oPolyHashM("t", mult, seed)} % $mod) AS hs
        |      FROM documents)))""".stripMargin
   }
 
@@ -720,11 +727,12 @@ object LlmQueries {
          |ORDER BY i, j""".stripMargin,
 
     // Wide signature = sig31 + sig37 * 2^28 (both halves < 2^28, so the
-    // BIGINT concatenation is exact); banding guarantees total recall
-    // for hamming <= 3, so all-pairs Hamming is again the ground truth.
+    // BIGINT concatenation is exact; the 37-family folds from seed 1 —
+    // TextAnalysis.WideSeed); banding guarantees total recall for
+    // hamming <= 3, so all-pairs Hamming is again the ground truth.
     "q69_dedup_simhash_wide" ->
       s"""WITH ${oSimhashCte("sh31", 31)},
-         |${oSimhashCte("sh37", 37)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
          |wide AS (
          |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
          |  FROM sh31 a JOIN sh37 b USING (doc_id))
@@ -1072,7 +1080,7 @@ object LlmQueries {
     // q63's recursive-CTE labeling over the WIDE pair graph.
     "q70_dedup_corpus_wide" ->
       s"""WITH RECURSIVE ${oSimhashCte("sh31", 31)},
-         |${oSimhashCte("sh37", 37)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
          |wide AS (
          |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
          |  FROM sh31 a JOIN sh37 b USING (doc_id)),

@@ -100,8 +100,21 @@ object CorpusStreams {
             if (entries.isEmpty) state.remove()
             else {
               state.update(BucketState(entries))
-              // evict once nothing in the bucket can match anymore
-              state.setTimeoutTimestamp(entries.map(_._3).max, watermark)
+              // Evict once nothing in the bucket can match anymore. The
+              // natural anchor (newest entry) is kept >= the watermark by
+              // the horizon filter above, and Spark 4.1.2 rejects only a
+              // timeout STRICTLY below the watermark (GroupStateImpl
+              // compares with `<`), so the bare anchor can never throw —
+              // verified against the shipped bytecode, and a zero-
+              // duration anchor==watermark state update is exercised by
+              // StreamingSpec. The max() is defensive: the API contract
+              // is documented as "cannot be earlier", and a future Spark
+              // tightening `<` to `<=` would otherwise surface as a
+              // stream-thread crash on zero/sub-millisecond horizons.
+              // Entries survive `horizon + duration` either way — the
+              // clamp shifts eviction by at most 1 ms.
+              state.setTimeoutTimestamp(
+                math.max(entries.map(_._3).max, horizon + 1L), watermark)
             }
             out.result().iterator
           }

@@ -93,4 +93,48 @@ class CorpusJsonlSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("interchange gate: real documents table -> JSONL -> back, checksum-equal; corrupt line quarantines") {
+    // The operational claim behind the JSONL source: a corpus can leave
+    // the engine as interchange shards and come back BIT-EQUAL as a
+    // multiset — verified with the engine's own migration fingerprint
+    // (Profiling.tableChecksum), the same check a real 100 TB export
+    // would run on both sides. Plus the robustness half: one garbage
+    // line dropped into the shard directory lands in quarantine without
+    // touching the checksum of the well-formed split.
+    import org.apache.spark.sql.functions.col
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cols = src.columns.toSeq.map(col)
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+      val r = graft.operators.Profiling.tableChecksum(df, cols: _*).collect()(0)
+      (r.getAs[Long]("n_rows"), r.getAs[java.math.BigDecimal]("checksum"))
+    }
+    val dir = Files.createTempDirectory("graft-jsonl-gate").toFile
+    val out = new java.io.File(dir, "export").getAbsolutePath
+    try {
+      CorpusJsonl.write(src, out)
+      val clean = CorpusJsonl.readSplit(spark, out)
+      try {
+        assert(fp(clean.wellFormed) === fp(src),
+          "JSONL round-trip of the documents table must be checksum-identical")
+        assert(clean.quarantined.count() === 0L)
+      } finally clean.unpersist()
+      // drop a malformed shard line into the directory (upstream writer
+      // crash, partial upload) — it must quarantine, not corrupt
+      val w = new java.io.PrintWriter(new java.io.File(out, "zz-broken.json"), "UTF-8")
+      try w.println("""{"doc_id": 99999, "text": "unterminated""") finally w.close()
+      val dirty = CorpusJsonl.readSplit(spark, out)
+      try {
+        assert(dirty.quarantined.count() === 1L)
+        assert(fp(dirty.wellFormed) === fp(src),
+          "a quarantined line must not perturb the well-formed split")
+      } finally dirty.unpersist()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

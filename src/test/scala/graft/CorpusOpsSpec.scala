@@ -105,6 +105,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).map(_._6).toSeq === Seq(1L, 2L))
   }
 
+  test("termWeights broadcastVocab: identical values, broadcast join-back plan") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "b c"), (3L, "c c c"), (4L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val shuffled = TfIdf.termWeights(docs, "doc_id", "text")
+    val bcast = TfIdf.termWeights(docs, "doc_id", "text", broadcastVocab = true)
+    // bit-identical output: the fast path may change the plan, never a value
+    assert(bcast.except(shuffled).isEmpty && shuffled.except(bcast).isEmpty)
+    // and it really is the broadcast plan (the df side under the hint is
+    // post-aggregate, so the hint must survive analysis onto the join)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"broadcastVocab did not produce a broadcast join-back:\n$plan")
+  }
+
   test("postingLists: bounded ascending postings, unbounded stats") {
     val docs = (1L to 30L).map(i => (i, if (i % 2 == 0) "x x" else "x y"))
       .toDF("doc_id", "text")

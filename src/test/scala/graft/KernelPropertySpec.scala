@@ -47,11 +47,14 @@ class KernelPropertySpec extends SparkSpec {
         graft.operators.TextAnalysis.polyHashHof($"t").as("ph_h"),
         graft.operators.TextAnalysis.simHash($"t").as("sh_k"),
         graft.operators.TextAnalysis.simHashHof($"t").as("sh_h"),
-        graft.operators.TextAnalysis.simHashWith($"t", 37L).as("sh37_k"),
-        graft.operators.TextAnalysis.simHashHofWith($"t", 37L).as("sh37_h"),
+        graft.operators.TextAnalysis.simHashWith($"t", 37L,
+          graft.operators.TextAnalysis.WideSeed).as("sh37_k"),
+        graft.operators.TextAnalysis.simHashHofWith($"t", 37L,
+          graft.operators.TextAnalysis.WideSeed).as("sh37_h"),
         graft.operators.TextAnalysis.simHashWide($"t").as("wide_fused"),
         (graft.operators.TextAnalysis.simHashWith($"t", 31L) +
-          graft.operators.TextAnalysis.simHashWith($"t", 37L) *
+          graft.operators.TextAnalysis.simHashWith($"t", 37L,
+            graft.operators.TextAnalysis.WideSeed) *
             lit(1L << graft.operators.TextAnalysis.SimHashBits)).as("wide_composed"))
       .collect()
     assert(rows.length === texts.length)
@@ -67,5 +70,29 @@ class KernelPropertySpec extends SparkSpec {
       assert(r.getLong(11) === r.getLong(12),
         s"fused wide simhash != composed halves id=$id")
     }
+  }
+
+  test("wide simhash halves decorrelate on single-character tokens") {
+    // With both families seeded 0, a 1-char token hashes identically
+    // under any multiplier ((0*31+cp)%p == (0*37+cp)%p), so 1-char-token
+    // text produced IDENTICAL halves — band buckets stopped spreading on
+    // CJK-split/code-heavy corpora. WideSeed breaks the tie; lock it.
+    val oneCharTokens = "a b c 中 文 x 1 2 ."
+    val bits = graft.operators.TextAnalysis.SimHashBits
+    val r = Seq(oneCharTokens).toDF("t")
+      .select(graft.operators.TextAnalysis.simHashWide($"t").as("wide"),
+        graft.operators.TextAnalysis.simHashWith($"t", 37L).as("unseeded37"),
+        graft.operators.TextAnalysis.simHash($"t").as("sh31"))
+      .head()
+    val lower = r.getLong(0) & ((1L << bits) - 1)
+    val upper = r.getLong(0) >>> bits
+    assert(lower === r.getLong(2)) // family A is the standard simhash
+    // the OLD behavior (seed 0): family B collapses onto family A here
+    assert(r.getLong(1) === r.getLong(2),
+      "precondition lost: 1-char tokens no longer collide at seed 0 — " +
+        "the WideSeed rationale (and this test) needs revisiting")
+    // the fix: the seeded family must not mirror family A on this text
+    assert(upper !== lower,
+      "wide halves identical on 1-char tokens: WideSeed regressed to 0?")
   }
 }

@@ -113,6 +113,99 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("nearDupMatches equals batch simhashMatchesWide on a seeded random corpus") {
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    // Seeded generator (same rationale as KernelPropertySpec): base docs
+    // from a small vocabulary plus 1-token-mutated variants, so the
+    // corpus is dense in near-dups at assorted Hamming distances —
+    // hand-picked fixtures only ever test the distances someone thought
+    // of. All timestamps sit inside one watermark horizon, so the batch
+    // operator over the same rows is the exact expected match set.
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (texts.length < 30) {
+      val base = (0 until (8 + rnd.nextInt(6)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      texts += base
+      val nVariants = rnd.nextInt(3)
+      for (_ <- 0 until nVariants if texts.length < 30) {
+        val toks = base.split(" ")
+        toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+        texts += toks.mkString(" ")
+      }
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => Doc(i.toLong, ts(i), t) }
+    val expected = graft.operators.Dedup.simhashMatchesWide(
+      texts.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "seeded corpus produced no near-dups — regenerate")
+    val input = MemoryStream[Doc]
+    val query = CorpusStreams.nearDupMatches(input.toDS(),
+      maxHamming = 3, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndm_rand").start()
+    try {
+      // arrival in event-time order split across three micro-batches:
+      // earlier doc_id always arrives first, so streaming (i, j) pair
+      // orientation matches the batch i < j convention
+      docs.grouped(11).foreach { chunk =>
+        input.addData(chunk.toSeq); query.processAllAvailable()
+      }
+      val got = spark.table("ndm_rand").as[(Long, Long, Long)].collect().toSet
+      assert(got === expected,
+        s"stream/batch divergence: extra=${got -- expected} missing=${expected -- got}")
+    } finally query.stop()
+  }
+
+  test("nearDupMatches survives a zero watermark horizon (anchor==watermark edge)") {
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    // With duration 0 the eviction anchor (newest retained entry) lands
+    // exactly ON the watermark when a RE-DELIVERED doc_id touches the
+    // bucket: a fresh doc would itself become the newest entry strictly
+    // above the watermark, but a re-delivery skips registration, so the
+    // state update runs while the newest entry sits at the previous
+    // batch's event-time high. Spark 4.1.2 accepts timeout == watermark
+    // (GroupStateImpl rejects strictly-earlier only) and the clamp keeps
+    // that true even if the check ever tightens; this test drives the
+    // edge and locks the deterministic zero-horizon semantics around it:
+    // an entry older than the (zero-depth) horizon ages out, after which
+    // a late re-delivery of the same doc_id re-registers it fresh.
+    val dupText = "omega psi chi phi upsilon tau sigma rho"
+    val input = MemoryStream[Doc]
+    val query = CorpusStreams.nearDupMatches(input.toDS(),
+      maxHamming = 3, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndm_zero").start()
+    try {
+      input.addData(Doc(1L, ts(0), dupText))
+      query.processAllAvailable()
+      // watermark propagation lags a batch (measured): ts(0) is the live
+      // watermark in the SECOND data batch, where this re-delivery skips
+      // registration and the bucket updates with anchor == watermark
+      input.addData(Doc(1L, ts(1), dupText))
+      query.processAllAvailable()
+      // by now the ts(0) entry is beyond the zero-depth horizon: this
+      // re-delivery finds the bucket aged out and re-registers at ts(2)
+      input.addData(Doc(1L, ts(2), dupText))
+      query.processAllAvailable()
+      // the re-registered copy is the newest co-resident entry: a real
+      // duplicate arriving inside the (1-batch-lagged) horizon matches it
+      input.addData(Doc(2L, ts(3), dupText))
+      query.processAllAvailable()
+      val got = spark.table("ndm_zero").as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L, 0L)),
+        s"zero-horizon semantics changed: $got")
+    } finally query.stop()
+  }
+
   test("nearDupMatches forgets documents beyond the watermark horizon") {
     import graft.streaming.CorpusStreams
     import graft.streaming.CorpusStreams.Doc

@@ -113,4 +113,99 @@ class WarcSourceSpec extends SparkSpec {
         again.map(_.getAs[Long]("doc_id")).toSeq)
     }
   }
+
+  test("framingAudit classifies phantom/truncated/inflated/undeclared/clean in octets") {
+    // The audit must count BYTES (Content-Length's unit), not characters:
+    // the non-ASCII record below is clean only under octet semantics.
+    val nonAscii = "héllo wörld — ünïcode ⚡" // chars < UTF-8 bytes
+    val boundaryPayload = "before the boundary\r\n\r\nWARC/1.0\r\nafter it"
+    val declared = boundaryPayload.getBytes(StandardCharsets.UTF_8).length
+    val warc =
+      warcRecord("response", "clean-ascii", Some("http://a/"), httpOk) +
+        warcRecord("response", "clean-utf8", Some("http://b/"), nonAscii) +
+        // embedded record boundary: truncates here, remainder = phantom
+        warcRecord("response", "split-me", Some("http://c/"), boundaryPayload) +
+        // no Content-Length header at all
+        ("WARC/1.0\r\n" +
+          "WARC-Type: response\r\n" +
+          "WARC-Record-ID: <urn:uuid:nolen>\r\n" +
+          "\r\nshort\r\n\r\n") +
+        // declared length smaller than the actual payload
+        ("WARC/1.0\r\n" +
+          "WARC-Type: response\r\n" +
+          "WARC-Record-ID: <urn:uuid:liar>\r\n" +
+          "Content-Length: 3\r\n" +
+          "\r\nmuch longer than three\r\n\r\n")
+    withWarc(warc) { path =>
+      val audit = WarcSource.framingAudit(WarcSource.readRecords(spark, path))
+        .collect()(0)
+      assert(audit.getAs[Long]("phantom") === 1L,
+        "the post-boundary remnant must surface as one phantom")
+      assert(audit.getAs[Long]("truncated") === 1L,
+        s"split-me declares $declared bytes but was cut at the boundary")
+      assert(audit.getAs[Long]("inflated") === 1L)
+      assert(audit.getAs[Long]("undeclared") === 1L)
+      assert(audit.getAs[Long]("clean") === 2L,
+        "ascii AND utf-8 records are byte-exact — char counting would flag the utf-8 one")
+    }
+  }
+
+  test("golden path: WARC crawl -> documents -> wide near-dup dedup survivors") {
+    import graft.operators.{Components, Dedup}
+    import org.apache.spark.sql.functions.col
+    // A miniature crawl with every hazard the pipeline must survive:
+    // exact dups across URIs, a near-dup (one token changed), an
+    // unrelated page, a too-short page (quality-filtered), a request
+    // record (not a response), and a payload containing the record
+    // boundary (phantom + truncation).
+    val dupText = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val nearDup = "the quick brown fox jumps over the lazy cat and runs far away home"
+    val unrelated = "completely different page speaking about parquet shuffles and broadcast joins"
+    val warc =
+      warcRecord("response", "d1", Some("http://site/a"), s"HTTP/1.1 200 OK\r\n\r\n$dupText") +
+        warcRecord("response", "d2", Some("http://site/b"), s"HTTP/1.1 200 OK\r\n\r\n$dupText") +
+        warcRecord("response", "d3", Some("http://site/c"), s"HTTP/1.1 200 OK\r\n\r\n$nearDup") +
+        warcRecord("response", "d4", Some("http://site/d"), s"HTTP/1.1 200 OK\r\n\r\n$unrelated") +
+        warcRecord("response", "d5", Some("http://site/tiny"), "HTTP/1.1 200 OK\r\n\r\nok") +
+        warcRecord("request", "d6", Some("http://site/a"), "GET /a HTTP/1.1") +
+        warcRecord("response", "d7", Some("http://site/evil"),
+          "HTTP/1.1 200 OK\r\n\r\npayload embedding a boundary\r\n\r\nWARC/1.0\r\nnot a real record")
+    withWarc(warc) { path =>
+      val records = WarcSource.readRecords(spark, path)
+      // the documented ingest order: audit, then drop phantoms
+      val audit = WarcSource.framingAudit(records).collect()(0)
+      assert(audit.getAs[Long]("phantom") === 1L)
+      val real = records.filter(col("record_id").isNotNull)
+      val docs = WarcSource.toDocuments(WarcSource.responses(real))
+      // quality gate drops the 2-char page (and the truncated d7 body
+      // survives it here — realistic: truncation is not a quality signal)
+      val quality = docs.filter(col("n_chars") >= 25)
+      val pairs = Dedup.simhashMatchesWide(quality, "doc_id", "text", maxHamming = 3)
+      val survivors = Components.keepCanonical(quality, "doc_id", pairs)
+        .select("source", "doc_id").collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id")).toMap
+      // ground truth from the same signatures: which of a/b/c cluster?
+      val sigs = quality.select(col("doc_id"),
+        graft.operators.TextAnalysis.simHashWide(col("text")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ids = quality.select("source", "doc_id").collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id")).toMap
+      val abc = Seq("http://site/a", "http://site/b", "http://site/c").map(ids)
+      val clustered = abc.combinations(2).filter { case Seq(x, y) =>
+        java.lang.Long.bitCount(sigs(x) ^ sigs(y)) <= 3
+      }.flatten.toSet
+      // exact dups a/b always cluster (hamming 0): exactly one survives
+      assert(clustered.contains(ids("http://site/a")) &&
+        clustered.contains(ids("http://site/b")))
+      val expectedSurvivors =
+        quality.select("doc_id").collect().map(_.getLong(0)).toSet --
+          (clustered - clustered.min)
+      assert(survivors.values.toSet === expectedSurvivors)
+      // the unrelated page and the truncated-but-unique page survive
+      assert(survivors.contains("http://site/d"))
+      assert(survivors.contains("http://site/evil"))
+      // the tiny page died to quality, not dedup
+      assert(!survivors.contains("http://site/tiny"))
+    }
+  }
 }
