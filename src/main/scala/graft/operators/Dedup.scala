@@ -345,25 +345,105 @@ object Dedup {
     bandedHammingPairs(withSig, b => wideBandNib(col("__sig"), b), maxHamming)
   }
 
-  /** Shared banded-LSH self-join: explode (band, nib(band)) per doc,
-    * equi-join on (band, nib), verify Hamming ≤ maxHamming BEFORE
-    * anything else shuffles. `nib` builds band b's key from `__sig`.
+  // --------------------------------------- incremental (batch-vs-corpus)
+
+  /** The persisted wide-signature table `(id, sig)` of a corpus — what a
+    * production pipeline stores so the NEXT ingest batch can dedup
+    * against the corpus without touching corpus text again (16 bytes/doc:
+    * a 100-billion-doc corpus's signature table is ~1.6 TB, scan-able in
+    * seconds where re-signaturing 100 TB of text is not). Feed it to
+    * [[simhashMatchesWideIncremental]]; refresh it per increment by
+    * appending the new batch's signatures.
     */
-  private def bandedHammingPairs(withSig: DataFrame, nib: Int => Column,
-                                 maxHamming: Int): DataFrame = {
-    val nibbles = withSig.select(col("__id"), col("__sig"),
+  def wideSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextAnalysis.simHashWide(col(textCol)).as("sig"))
+
+  /** Incremental near-dup matching — the shape a production corpus
+    * actually runs: match an arriving batch against the EXISTING corpus
+    * via its signature table, plus within the batch itself, without
+    * re-pairing the corpus (whose own pairs were already resolved in
+    * earlier increments). Same banding, radius bound, and parallel-edge
+    * contract as [[simhashMatchesWide]]; output rows are
+    * (i, j, hamming) with cross pairs oriented i = existing id,
+    * j = new id — under monotonically growing doc ids the min-id
+    * canonical of any cluster therefore stays the ALREADY-KEPT corpus
+    * doc, so survivors are stable across increments.
+    *
+    * Scale shape: the batch side is banded fresh (4 rows/doc); the
+    * corpus side bands its signature TABLE — at scale, store the table
+    * bucketed by (band, nib) so this join co-locates without a corpus
+    * shuffle ([[graft.operators.Skew.writeBucketed]] is the writer). The
+    * join output is Hamming-filtered before anything else shuffles, and
+    * an exact id re-delivery (same id in both sides) emits nothing.
+    *
+    * @param existingSigs `(id, sig)` as produced by [[wideSignatures]];
+    *        ids should be disjoint from the batch's (re-deliveries are
+    *        tolerated, matching the streaming twin's contract).
+    */
+  def simhashMatchesWideIncremental(newDocs: DataFrame, idCol: String,
+                                    textCol: String, existingSigs: DataFrame,
+                                    maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    val nib = (b: Int) => wideBandNib(col("__sig"), b)
+    val newBands = explodeBands(
+      newDocs.select(col(idCol).as("__id"),
+        TextAnalysis.simHashWide(col(textCol)).as("__sig")), nib)
+      .transform(CacheScope.track) // consumed by the cross join AND the within self-join
+    val oldBands = explodeBands(
+      existingSigs.select(col("id").as("__id"), col("sig").as("__sig")), nib)
+    val cross = oldBands
+      .select(col("__id").as("i"), col("__sig").as("__si"), col("band"), col("nib"))
+      .join(newBands.select(col("__id").as("j"), col("__sig").as("__sj"),
+        col("band"), col("nib")), Seq("band", "nib"))
+      .filter(col("i") =!= col("j")) // id re-delivery never self-matches
+      .select(col("i"), col("j"),
+        bit_count(col("__si").bitwiseXOR(col("__sj"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    cross.union(pairsFromBands(newBands, maxHamming))
+  }
+
+  /** [[simhashMatchesWideIncremental]] with the pair-distinct (cf.
+    * [[simhashPairsWide]]) — one row per qualifying pair.
+    */
+  def simhashPairsWideIncremental(newDocs: DataFrame, idCol: String,
+                                  textCol: String, existingSigs: DataFrame,
+                                  maxHamming: Int = 2): DataFrame =
+    simhashMatchesWideIncremental(newDocs, idCol, textCol, existingSigs,
+      maxHamming).distinct()
+
+  /** (__id, __sig) → one row per (band, nib) — the exploded banded form
+    * every banded-LSH join consumes. `nib` builds band b's key from
+    * `__sig`.
+    */
+  private def explodeBands(sigs: DataFrame, nib: Int => Column): DataFrame =
+    sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), nib(b).as("nib"))): _*)).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band").as("band"), col("__b.nib").as("nib"))
-      .transform(CacheScope.track) // self-joined below; avoids computing signatures twice
-    nibbles.select(col("__id").as("i"), col("__sig").as("__si"), col("band"), col("nib"))
-      .join(nibbles.select(col("__id").as("j"), col("__sig").as("__sj"), col("band"), col("nib")),
+
+  /** Banded pairs (i < j) from an exploded banded frame, Hamming-verified
+    * BEFORE anything else shuffles.
+    */
+  private def pairsFromBands(bands: DataFrame, maxHamming: Int): DataFrame =
+    bands.select(col("__id").as("i"), col("__sig").as("__si"), col("band"), col("nib"))
+      .join(bands.select(col("__id").as("j"), col("__sig").as("__sj"), col("band"), col("nib")),
         Seq("band", "nib"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"),
         bit_count(col("__si").bitwiseXOR(col("__sj"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-  }
+
+  /** Shared banded-LSH self-join: explode (band, nib(band)) per doc,
+    * equi-join on (band, nib), verify Hamming ≤ maxHamming BEFORE
+    * anything else shuffles.
+    */
+  private def bandedHammingPairs(withSig: DataFrame, nib: Int => Column,
+                                 maxHamming: Int): DataFrame =
+    pairsFromBands(
+      explodeBands(withSig, nib)
+        .transform(CacheScope.track), // self-joined; avoids computing signatures twice
+      maxHamming)
 
   // ------------------------------------------- embedding-cosine near-dup
 

@@ -397,6 +397,21 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental dedup — the production increment shape: an arriving
+    // batch (doc_id % 7 = 0 here) matched against the EXISTING corpus
+    // via its persisted signature table plus within itself, without
+    // re-pairing the corpus. Cross pairs orient (existing, new) so the
+    // min-id canonical stays the already-kept corpus doc.
+    "q71_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = Dedup.wideSignatures(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+      Dedup.simhashPairsWideIncremental(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        existing, maxHamming = 2)
+        .orderBy("i", "j")
+    }),
+
     // Exact per-language winsorization of doc lengths at [10%, 90%] —
     // integer-exact rational quantiles via the histogram-cumulate plan.
     "q64_winsorize" -> ((s, dir) => {
@@ -1076,6 +1091,28 @@ object LlmQueries {
          |FROM documents d JOIN lab ON lab.doc_id = d.doc_id
          |WHERE lab.doc_id = lab.component
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Incremental matches: cross pairs (existing -> new) keep the
+    // (i = existing, j = new) orientation; within-batch pairs are the
+    // usual i < j. The two sets are disjoint by membership, so UNION ALL.
+    "q71_dedup_incremental" ->
+      s"""WITH ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |newb AS (SELECT * FROM wide WHERE doc_id % 7 = 0),
+         |oldb AS (SELECT * FROM wide WHERE doc_id % 7 <> 0)
+         |SELECT i, j, hamming FROM (
+         |  SELECT o.doc_id AS i, n.doc_id AS j,
+         |         CAST(bit_count(xor(o.sig, n.sig)) AS BIGINT) AS hamming
+         |  FROM oldb o JOIN newb n ON bit_count(xor(o.sig, n.sig)) <= 2
+         |  UNION ALL
+         |  SELECT a.doc_id AS i, b.doc_id AS j,
+         |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM newb a JOIN newb b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2)
+         |ORDER BY i, j""".stripMargin,
 
     // q63's recursive-CTE labeling over the WIDE pair graph.
     "q70_dedup_corpus_wide" ->

@@ -229,6 +229,42 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("simhashPairsWideIncremental: cross+within ground truth, corpus never re-paired") {
+    // Split the fixture: odd ids are the existing corpus (known only by
+    // signature table), even ids arrive as the new batch.
+    val existingDocs = docs.filter($"doc_id" % 2 === 1)
+    val newDocs = docs.filter($"doc_id" % 2 === 0)
+    val sigTable = Dedup.wideSignatures(existingDocs, "doc_id", "text")
+    val got = Dedup.simhashPairsWideIncremental(newDocs, "doc_id", "text",
+      sigTable, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("hamming"))).toSet
+    // brute-force ground truth over the same signatures
+    val sigs = docs.select($"doc_id",
+      graft.operators.TextAnalysis.simHashWide($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val newIds = newDocs.select("doc_id").as[Long].collect().toSet
+    val oldIds = sigs.keySet -- newIds
+    val cross = for {
+      i <- oldIds; j <- newIds
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+    } yield (i, j, h.toLong)
+    val within = for {
+      i <- newIds; j <- newIds if i < j
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+    } yield (i, j, h.toLong)
+    assert(got === (cross ++ within))
+    // no existing-vs-existing pair may appear (the corpus was already
+    // resolved in earlier increments — re-pairing it is the cost this
+    // operator exists to avoid)
+    assert(!got.exists(p => oldIds.contains(p._1) && oldIds.contains(p._2)))
+    // an exact id re-delivery emits nothing for itself
+    val redelivered = Dedup.simhashPairsWideIncremental(
+      existingDocs.limit(1), "doc_id", "text", sigTable, maxHamming = 3)
+      .filter($"i" === $"j").count()
+    assert(redelivered === 0L)
+  }
+
   // ----------------------------------------------------------- similarity
 
   private lazy val vecs: DataFrame = Seq(
