@@ -366,9 +366,17 @@ object Dedup {
     * earlier increments). Same banding, radius bound, and parallel-edge
     * contract as [[simhashMatchesWide]]; output rows are
     * (i, j, hamming) with cross pairs oriented i = existing id,
-    * j = new id — under monotonically growing doc ids the min-id
-    * canonical of any cluster therefore stays the ALREADY-KEPT corpus
-    * doc, so survivors are stable across increments.
+    * j = new id.
+    *
+    * Composition: feed the pairs to `Components.keepCanonical(newDocs,
+    * …)` — over the BATCH, not the batch∪corpus union. With
+    * monotonically growing doc ids, any pair-component touching the
+    * corpus has an old doc as its min, so every batch member of that
+    * component drops (including transitive bridges with no direct old
+    * edge), and corpus survivors are IMMUTABLE by construction — running
+    * keepCanonical over the union instead would let a batch doc that
+    * bridges two previously-distinct corpus clusters retroactively
+    * revoke one of their (already published) canonicals.
     *
     * Scale shape: the batch side is banded fresh (4 rows/doc); the
     * corpus side bands its signature TABLE — at scale, store the table

@@ -265,6 +265,77 @@ class OperatorsSpec extends SparkSpec {
     assert(redelivered === 0L)
   }
 
+  test("incremental dedup end-to-end contract on a seeded random corpus") {
+    // The documented composition (keepCanonical over the BATCH, old
+    // survivors immutable by construction), locked on a generated
+    // corpus: after processing increment 2 against increment 1's
+    // survivors,
+    //   (a) every new doc whose pair-component touches a kept old doc
+    //       is dropped — including transitive bridges with no direct
+    //       old edge,
+    //   (b) among kept new docs, no direct near-dup pair survives,
+    //   (c) a new doc with no near-dup among survivors or batch peers
+    //       is kept (dedup must not over-drop).
+    import graft.operators.Components
+    val rnd = new scala.util.Random(424242L)
+    val vocab = Vector("data", "spark", "shuffle", "broadcast", "join",
+      "parquet", "column", "row", "batch", "stream", "token", "corpus")
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (texts.length < 40) {
+      val base = (0 until (7 + rnd.nextInt(5)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      texts += base
+      if (rnd.nextBoolean() && texts.length < 40) {
+        val toks = base.split(" ")
+        toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+        texts += toks.mkString(" ")
+      }
+    }
+    val all = texts.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val inc1 = all.filter($"doc_id" < 20)
+    val inc2 = all.filter($"doc_id" >= 20)
+    // increment 1: full dedup among itself
+    val kept1 = Components.keepCanonical(inc1, "doc_id",
+      Dedup.simhashMatchesWide(inc1, "doc_id", "text", maxHamming = 3))
+    val kept1Ids = kept1.select("doc_id").as[Long].collect().toSet
+    // increment 2: match against increment 1's SURVIVOR signature
+    // table, then keepCanonical over the BATCH only
+    val pairs2 = Dedup.simhashMatchesWideIncremental(inc2, "doc_id", "text",
+      Dedup.wideSignatures(kept1, "doc_id", "text"), maxHamming = 3)
+    val keptNew = Components.keepCanonical(inc2, "doc_id", pairs2)
+      .select("doc_id").as[Long].collect().toSet
+    // ground truth: components over the SAME pair set, via signatures
+    val sigs = all.select($"doc_id",
+      TextAnalysis.simHashWide($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def near(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    val newIds = (20L until texts.length.toLong).toSet
+    // brute-force union-find over cross+within edges
+    val nodes = (kept1Ids ++ newIds).toSeq.sorted
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (o <- kept1Ids; n <- newIds if near(o, n)) union(o, n)
+    for (a <- newIds; b <- newIds if a < b && near(a, b)) union(a, b)
+    val expectedKeptNew = newIds.filter(n => find(n) == n)
+    assert(keptNew === expectedKeptNew,
+      s"extra=${keptNew -- expectedKeptNew} missing=${expectedKeptNew -- keptNew}")
+    // (a) no kept new doc shares a component with a kept old doc
+    assert(keptNew.forall(n => !kept1Ids.contains(find(n))))
+    // (b) no direct near-dup pair among kept new docs
+    for (a <- keptNew; b <- keptNew if a < b)
+      assert(!near(a, b), s"kept new docs $a and $b are direct near-dups")
+    // (c) sanity against over-dropping: isolated new docs survive
+    val isolated = newIds.filter(n =>
+      !kept1Ids.exists(o => near(o, n)) && !newIds.exists(m => m != n && near(m, n)))
+    assert(isolated.subsetOf(keptNew))
+    assert(isolated.nonEmpty, "seeded corpus produced no isolated docs — regenerate")
+  }
+
   // ----------------------------------------------------------- similarity
 
   private lazy val vecs: DataFrame = Seq(
