@@ -334,6 +334,15 @@ object LlmQueries {
         .filter(col("rank") <= 3).orderBy("doc_id", "rank")
     }),
 
+    // BM25 (rational-idf variant — log-free so scores hash-match across
+    // engines; see TfIdf.bm25). Length-saturated term weighting is the
+    // production retrieval scorer; top-3 terms per doc like q53.
+    "q72_bm25" -> ((s, dir) => {
+      TfIdf.bm25(t(s, dir, "documents"), "doc_id", "text",
+        broadcastVocab = true)
+        .filter(col("rank") <= 3).orderBy("doc_id", "rank")
+    }),
+
     // Inverted index: per-term df / total tf / bounded posting list
     // (TopK-composed prefix — no unbounded collect per term).
     "q54_posting_lists" -> ((s, dir) => {
@@ -998,6 +1007,39 @@ object LlmQueries {
          |    ORDER BY tfidf DESC, term) AS BIGINT) AS rank FROM sc)
          |SELECT doc_id, term, tf, df, tfidf, rank FROM r
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25, parenthesization mirrored op-for-op against TfIdf.bm25 so
+    // every IEEE rounding step coincides. Constants are CAST to DOUBLE:
+    // DuckDB parses bare decimal literals as DECIMAL, whose arithmetic
+    // rounds differently.
+    "q72_bm25" -> {
+      val k1p1 = "CAST(2.2 AS DOUBLE)" // k1 + 1
+      val k1 = "CAST(1.2 AS DOUBLE)"
+      val oneMinusB = "CAST(0.25 AS DOUBLE)" // 1 - b
+      val bC = "CAST(0.75 AS DOUBLE)"
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($oToks) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |ad AS (SELECT CAST((SELECT coalesce(sum(tf), 0) FROM tf) AS DOUBLE)
+         |              / (SELECT n FROM nn) AS avgdl),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df, dls.dl,
+         |         (CAST(nn.n + 1 AS DOUBLE) / (dfx.df + 1)) *
+         |           (CAST(tf.tf AS DOUBLE) * $k1p1) /
+         |           (CAST(tf.tf AS DOUBLE) +
+         |            $k1 * ($oneMinusB + ($bC * dls.dl) / ad.avgdl)) AS bm25
+         |  FROM tf JOIN dfx USING (term) JOIN dls USING (doc_id)
+         |  CROSS JOIN nn CROSS JOIN ad),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY bm25 DESC, term) AS BIGINT) AS rank FROM sc)
+         |SELECT doc_id, term, tf, df, dl, bm25, rank FROM r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+    },
 
     "q54_posting_lists" ->
       s"""WITH tf AS (

@@ -105,6 +105,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).map(_._6).toSeq === Seq(1L, 2L))
   }
 
+  test("bm25: saturated scores match the IEEE-exact reference computation") {
+    val docs = Seq(
+      (1L, "a a b"),   // dl 3
+      (2L, "b c"),     // dl 2
+      (3L, "c c c")    // dl 3
+    ).toDF("doc_id", "text")
+    val out = TfIdf.bm25(docs, "doc_id", "text")
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Long, Double, Long)].collect()
+    // reference computation with the same double ops in the same order
+    val (k1, b) = (1.2, 0.75)
+    val n = 3L
+    val avgdl = 8L.toDouble / n
+    def ref(tf: Long, df: Long, dl: Long): Double =
+      ((n + 1).toDouble / (df + 1)) * (tf.toDouble * (k1 + 1)) /
+        (tf.toDouble + k1 * ((1 - b) + (b * dl) / avgdl))
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq === Seq(
+      (1L, "a", 2L, 1L, 3L), (1L, "b", 1L, 2L, 3L),
+      (2L, "b", 1L, 2L, 2L), (2L, "c", 1L, 2L, 2L),
+      (3L, "c", 3L, 2L, 3L)))
+    out.foreach { r =>
+      assert(r._6 === ref(r._3, r._4, r._5),
+        s"bm25 drifted from the exact reference at doc ${r._1} term ${r._2}")
+    }
+    // saturation: tf's contribution is bounded — doc 3's tf=3 scores
+    // LESS than 3x doc 2's tf=1 for the same term/df (shorter doc too)
+    val c3 = out.find(r => r._1 == 3L && r._2 == "c").get._6
+    val c2 = out.find(r => r._1 == 2L && r._2 == "c").get._6
+    assert(c3 < 3 * c2, "tf saturation lost: keyword stuffing pays linearly")
+    // within doc 2, equal bm25 ties (same tf/df/dl) break by term asc
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq === Seq("b", "c"))
+  }
+
   test("termWeights broadcastVocab: identical values, broadcast join-back plan") {
     val docs = Seq(
       (1L, "a a b"), (2L, "b c"), (3L, "c c c"), (4L, "a b c d e")
