@@ -37,6 +37,70 @@ object ExactQuantiles {
       .agg(min(col("__n")).as("n"), min(col(valueCol)).as("median"))
   }
 
+  /** Exact per-group quantiles at a LIST of rational targets in one pass:
+    * the histogram-cumulate plan of [[medianByGroup]], with one
+    * conditional-min per requested quantile read off the same cumulated
+    * histogram (lower-quantile semantics: smallest v with cum·den ≥
+    * n·num — integer-exact, no interpolation, no cross-engine float
+    * noise). Adding a quantile adds one aggregate expression, not a pass.
+    *
+    * @param qs (label, num, den) triples, 0 ≤ num ≤ den; each yields an
+    *           output column `label`.
+    * @return (groupCol, n, labels…)
+    */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                       qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach { case (_, num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"need 0 <= $num <= $den") }
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    val reads = qs.map { case (label, num, den) =>
+      min(when(col("__cum") * den >= col("__n") * num, col(valueCol))).as(label)
+    }
+    hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+      .groupBy(col(groupCol))
+      .agg(min(col("__n")).as("n"), reads: _*)
+  }
+
+  /** Assign every row its per-group quantile BUCKET in 1..k (the
+    * length-decile / curriculum-bucketing primitive) without sorting any
+    * group's rows: bucket(v) = ⌈cum(v)·k / n⌉ where cum(v) = rows ≤ v in
+    * the group — computed on the histogram and joined back by
+    * (group, value). Integer-exact: ⌈a/b⌉ = (a−1) div b + 1 (cum ≥ 1
+    * always, and cum·k at 100 TB — 1e12 rows × k≤1000 — stays far below
+    * 2^63, with no float rounding anywhere).
+    *
+    * Unlike `ntile()`, which splits TIES across buckets by nondeterministic
+    * row order, equal values here always share a bucket (the highest one
+    * their cumulative count reaches) — reproducible across runs, engines,
+    * and partitionings, at the cost of unequal bucket sizes under heavy
+    * ties. The join back is keyed by (group, value): bounded by distinct
+    * values, AQE broadcasts it when small.
+    *
+    * @return `df` plus `<valueCol>_bucket`
+    */
+  def valueNtile(df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    val buckets = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+      .select(col(groupCol), col(valueCol),
+        expr(s"CAST((__cum * $k - 1) DIV __n AS BIGINT) + 1")
+          .as(s"${valueCol}_bucket"))
+    df.join(buckets, Seq(groupCol, valueCol))
+  }
+
   /** Winsorize (clip) `valueCol` per group at the exact rational
     * [loNum/den, hiNum/den] quantiles — the outlier-capping pass a
     * pipeline runs before scoring, kept integer-exact (lower-quantile

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouping-sets aggregation (ROLLUP / CUBE) the scale-safe way.
+  *
+  * Spark's built-in `df.rollup(dims)` plans an `Expand` that replicates
+  * EVERY input row once per grouping set before the aggregate — a
+  * d-dimension rollup pushes (d+1)× the raw scan into the hash-aggregate,
+  * and a cube 2^d×. At 100 TB that multiplier lands on the most expensive
+  * stage of the whole job. But the aggregates a profiling rollup wants
+  * (count / sum / min / max, avg derived) are DECOMPOSABLE: the coarser
+  * levels are exactly re-aggregations of the finest level. So: aggregate
+  * the raw data ONCE at the finest grain — map-side combinable, output
+  * bounded by the finest-grain cardinality, not the row count — then run
+  * the cascade on aggregate rows. The raw scan is touched once; every
+  * further level is arithmetic on a table of at most |dim1×…×dimd| rows.
+  *
+  * Output matches the built-in semantics: one row per group per level,
+  * aggregated-away dims NULL, and a `gid` column with Spark's
+  * `grouping_id()` bit pattern (leftmost dim = highest bit; bit set = dim
+  * aggregated away) to disambiguate a rollup NULL from a data NULL.
+  */
+object GroupingSets {
+
+  private val aggCols = Seq("n", "sum_v", "min_v", "max_v")
+
+  /** Finest-grain aggregate: one pass over the raw data. */
+  private def finest(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+
+  /** Re-aggregate a finer level down to `keep` dims; dropped dims become
+    * typed NULLs so the levels union cleanly. Decomposability: count
+    * re-aggregates as SUM of counts; sum as sum, min as min, max as max.
+    */
+  private def reagg(finer: DataFrame, dims: Seq[String], keep: Set[String]): DataFrame = {
+    val kept = dims.filter(keep)
+    val grouped =
+      if (kept.isEmpty) finer.groupBy()
+      else finer.groupBy(kept.map(col): _*)
+    val agg = grouped.agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+      min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+    val cols = dims.map { d =>
+      if (keep(d)) col(d)
+      else lit(null).cast(finer.schema(d).dataType).as(d)
+    } ++ aggCols.map(col)
+    agg.select(cols: _*)
+  }
+
+  private def gid(dims: Seq[String], keep: Set[String]): Long =
+    dims.foldLeft(0L)((acc, d) => (acc << 1) | (if (keep(d)) 0L else 1L))
+
+  private def assemble(df: DataFrame, dims: Seq[String], valueCol: String,
+                       sets: Seq[Set[String]]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val l0 = CacheScope.track(finest(df, dims, valueCol))
+    val levels = sets.map { keep =>
+      val lvl =
+        if (keep == dims.toSet) l0.select((dims.map(col) ++ aggCols.map(col)): _*)
+        else reagg(l0, dims, keep)
+      lvl.withColumn("gid", lit(gid(dims, keep)))
+    }
+    levels.reduce(_.unionByName(_))
+  }
+
+  /** ROLLUP(dims): the d+1 prefix levels — (d1..dd), (d1..dd-1), …, ().
+    *
+    * @return (dims…, n, sum_v, min_v, max_v, gid)
+    */
+  def rollup(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
+    assemble(df, dims, valueCol,
+      (dims.length to 0 by -1).map(i => dims.take(i).toSet))
+
+  /** CUBE(dims): all 2^d subsets. Every subset re-aggregates the one
+    * finest-grain table (cheapest possible parent would save a little on
+    * deep lattices; at profiling dimensionality — d ≤ 4 or so — every
+    * parent is already tiny and the single cached L0 keeps lineage flat).
+    */
+  def cube(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame = {
+    val subsets = dims.toSet.subsets().toSeq
+    assemble(df, dims, valueCol, subsets)
+  }
+}

@@ -449,6 +449,40 @@ object LlmQueries {
         .select(col("n_rows"),
           (col("checksum") % lit(1000000000000000L)).cast("long")
             .as("checksum_mod"))
+    }),
+
+    // Corpus profiling rollup over (lang, source) — grouping sets WITHOUT
+    // the Expand multiplier: the raw scan is aggregated once at the
+    // finest grain, coarser levels re-aggregate that small table
+    // (GroupingSets scaladoc). gid carries Spark's grouping_id bit
+    // pattern so a rollup NULL is distinguishable from a data NULL.
+    "q73_rollup_stats" -> ((s, dir) => {
+      graft.operators.GroupingSets.rollup(
+        t(s, dir, "documents"), Seq("lang", "source"), "n_chars")
+        .orderBy(col("gid"), col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
+    }),
+
+    // Per-language length quartiles in ONE histogram pass — exact
+    // lower-quantile semantics (no interpolation), one conditional-min
+    // per quantile.
+    "q74_group_quantiles" -> ((s, dir) => {
+      graft.operators.ExactQuantiles.quantilesByGroup(
+        t(s, dir, "documents"), "lang", "n_chars",
+        Seq(("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4)))
+        .orderBy("lang")
+    }),
+
+    // Per-language length DECILE assignment for every doc — the
+    // curriculum/length-bucketing primitive; tie-stable (equal lengths
+    // share a bucket), no per-group row sort, no nondeterministic
+    // ntile() row-order splits.
+    "q75_length_buckets" -> ((s, dir) => {
+      graft.operators.ExactQuantiles.valueNtile(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", k = 10)
+        .select("doc_id", "lang", "n_chars", "n_chars_bucket")
+        .orderBy("doc_id")
     })
   )
 
@@ -1242,6 +1276,47 @@ object LlmQueries {
          |       CAST(sum(${oPolyHash(
                "md5(concat_ws(chr(1), doc_id, lang, source, text))")})
          |         % 1000000000000000 AS BIGINT) AS checksum_mod
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // ROLLUP via DuckDB's native grouping sets; GROUPING(lang, source)
+    // emits the same bit pattern as Spark's grouping_id (leftmost dim =
+    // highest bit). NULLS FIRST mirrors Spark's asc_nulls_first.
+    "q73_rollup_stats" ->
+      """SELECT lang, source,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |       min(n_chars) AS min_v, max(n_chars) AS max_v,
+        |       CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "q74_group_quantiles" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT lang, CAST(min(n) AS BIGINT) AS n,
+        |       min(CASE WHEN cum * 4 >= n * 1 THEN v END) AS p25,
+        |       min(CASE WHEN cum * 4 >= n * 2 THEN v END) AS p50,
+        |       min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75
+        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // bucket = ceil(cum*k/n) = (cum*k - 1) // n + 1 — integer-exact in
+    // both engines.
+    "q75_length_buckets" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |b AS (
+        |  SELECT lang, v,
+        |         CAST((sum(c) OVER (PARTITION BY lang ORDER BY v) * 10 - 1)
+        |              // (sum(c) OVER (PARTITION BY lang)) + 1 AS BIGINT)
+        |           AS n_chars_bucket
+        |  FROM h)
+        |SELECT doc_id, d.lang, n_chars, n_chars_bucket
+        |FROM documents d JOIN b ON d.lang = b.lang AND d.n_chars = b.v
+        |ORDER BY doc_id""".stripMargin
   )
 }

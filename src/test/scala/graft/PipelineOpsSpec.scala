@@ -185,4 +185,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
       Seq((1L, 1L, 0.5), (2L, 0L, 0.0)))
   }
+
+  // ------------------------------------------------------- GroupingSets
+
+  test("rollup cascade matches Spark's built-in Expand rollup exactly") {
+    val df = Seq(
+      ("en", "web", 10L), ("en", "web", 20L), ("en", "book", 5L),
+      ("de", "web", 7L), (null: String, "web", 3L) // data NULL vs rollup NULL
+    ).toDF("lang", "source", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .sortBy(_.toString).toSeq
+    val ours = graft.operators.GroupingSets.rollup(df, Seq("lang", "source"), "v")
+    val builtin = df.rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        grouping_id().as("gid"))
+    assert(canon(ours) === canon(builtin))
+    // the data-NULL lang row at gid=0 coexists with rollup NULLs at gid>0
+    assert(ours.filter(col("gid") === 0 && col("lang").isNull).count() === 1)
+  }
+
+  test("cube cascade matches Spark's built-in cube on all 2^d subsets") {
+    val df = Seq(("en", "web", 1L), ("de", "book", 2L), ("en", "book", 4L))
+      .toDF("lang", "source", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .sortBy(_.toString).toSeq
+    val ours = graft.operators.GroupingSets.cube(df, Seq("lang", "source"), "v")
+    val builtin = df.cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        grouping_id().as("gid"))
+    assert(canon(ours) === canon(builtin))
+  }
+
+  // -------------------------------------------- ExactQuantiles (multi/ntile)
+
+  test("quantilesByGroup reads all targets off one histogram pass") {
+    val df = ((1L to 10L).map(v => ("a", v)) ++ Seq(("b", 5L), ("b", 5L)))
+      .toDF("g", "v")
+    val out = graft.operators.ExactQuantiles
+      .quantilesByGroup(df, "g", "v",
+        Seq(("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4)))
+      .orderBy("g").collect()
+    // group a (1..10): smallest v with cum*4 >= 10*num → 3, 5, 8
+    // group b (5,5): every target reads 5
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ===
+      Seq(("a", 10L, 3L, 5L, 8L), ("b", 2L, 5L, 5L, 5L)))
+  }
+
+  test("valueNtile: tie-stable per-group buckets spanning 1..k") {
+    val df = ((1L to 8L).map(v => ("a", v)) ++ Seq(("b", 9L), ("b", 9L), ("b", 1L)))
+      .toDF("g", "v")
+    val out = graft.operators.ExactQuantiles.valueNtile(df, "g", "v", k = 4)
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a: 8 rows into quartiles of 2 — bucket = ceil(cum*4/8)
+    assert(out.filter(_._1 == "a").map(_._3) ===
+      Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
+    // b: v=1 cum=1 → ceil(4/3)=2... bucket math: (1*4-1)/3+1 = 2;
+    // ties at v=9 share bucket (3*4-1)/3+1 = 4
+    assert(out.filter(_._1 == "b").map(_._3) === Seq(2L, 4L, 4L))
+  }
 }
