@@ -798,3 +798,105 @@ case class NearestCentroidCell(vec: Expression, norm: Expression,
                                                  newRight: Expression): Expression =
     copy(vec = newLeft, norm = newRight)
 }
+
+/** Kernel behind [[PqEncode]]: per-block argmin-L2 codes. Must replicate
+  * BIT-FOR-BIT the HOF composition `Pq.encodeHof` (the executable spec):
+  * per block, per centroid, the squared distance is the LEFT-TO-RIGHT
+  * fold of (double(x) − double(c))² — float→double widening is exact,
+  * subtraction and multiplication are one IEEE rounding each, and the
+  * running sum starts at 0.0 (0.0 + d² == d², so DuckDB's init-free
+  * list_reduce agrees) — and ties keep the SMALLEST code (strict `<`
+  * over ascending codes, the same first-position-of-min the HOF's
+  * array_position picks).
+  */
+object PqEncodeKernel {
+  /** @return codes array, or null for a null element / length mismatch. */
+  def compute(vec: ArrayData, cents: Array[Array[Array[Float]]]): GenericArrayData = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    val n = vec.numElements()
+    if (n != m * sub) return null
+    var j = 0
+    while (j < n) { if (vec.isNullAt(j)) return null; j += 1 }
+    val codes = new Array[Long](m)
+    var b = 0
+    while (b < m) {
+      val block = cents(b)
+      var best = 0.0
+      var bestCode = 0
+      var c = 0
+      while (c < block.length) {
+        val cent = block(c)
+        var dist = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = vec.getFloat(b * sub + i).toDouble - cent(i).toDouble
+          dist += d * d
+          i += 1
+        }
+        if (c == 0 || java.lang.Double.compare(dist, best) < 0) {
+          best = dist; bestCode = c
+        }
+        c += 1
+      }
+      codes(b) = bestCode.toLong
+      b += 1
+    }
+    new GenericArrayData(codes)
+  }
+}
+
+/** Product-quantization codes for an embedding column — the hot kernel of
+  * a compressed 100 TB vector store (m bytes per vector instead of 4·dim).
+  *
+  * One fused pass per row over all m sub-blocks; the codebook
+  * (m × k × dim/m floats) rides as a codegen reference object, so
+  * codebook retraining reuses compiled code exactly like
+  * [[NearestCentroidCell]]. Codes are the centroid INDICES 0..k−1 per
+  * block (compact by construction — ADC distance tables index by them).
+  */
+case class PqEncode(vec: Expression, cents: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  require(cents.nonEmpty && cents.forall(_.nonEmpty), "need m>=1 blocks, k>=1 codes")
+  require(cents.forall(b => b.forall(_.length == cents(0)(0).length)),
+    "all centroids must share the sub-block dimension")
+  require(cents.forall(_.length == cents(0).length),
+    "all blocks must share the code count k")
+
+  override def child: Expression = vec
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case v => TypeCheckResult.TypeCheckFailure(
+      s"PqEncode expects ARRAY<FLOAT>, got ${v.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) null
+    else PqEncodeKernel.compute(v.asInstanceOf[ArrayData], cents)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][][]")
+    val vEv = vec.genCode(ctx)
+    ev.copy(code = vEv.code +
+      code"""
+        |boolean ${ev.isNull} = true;
+        |org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        |if (!${vEv.isNull}) {
+        |  ${ev.value} = graft.expressions.PqEncodeKernel.compute(
+        |      ${vEv.value}, $centsRef);
+        |  ${ev.isNull} = (${ev.value} == null);
+        |}
+        """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(vec = newChild)
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the compressed representation a 100 TB vector
+  * store actually serves ANN from: each dim-D float vector (4·D bytes)
+  * becomes m small integer codes (one byte each at k ≤ 256), a 32× size
+  * reduction at D=64/m=8, and queries run against the codes via
+  * asymmetric distance computation (ADC) — one m-lookup table sum per
+  * candidate instead of a D-wide float scan.
+  *
+  * Spark shapes, per step:
+  *  - codebooks are m × k × (D/m) floats — driver-small BY CONSTRUCTION
+  *    (the whole point is k ≤ 256), so they ride into [[encode]] as a
+  *    codegen reference object (one fused map-only pass, no join, no
+  *    shuffle — the [[graft.expressions.PqEncode]] kernel).
+  *  - [[refineCodebooks]] (per-block Lloyd / L2) is one map-side
+  *    combinable aggregate per iteration over (block, code) keys —
+  *    m·k groups regardless of corpus size.
+  *  - [[adcTopK]] scans CODES, not vectors: the query's distance table
+  *    (m·k doubles) is a plan literal; per row one m-step fold; global
+  *    top-k via TakeOrderedAndProject (per-partition heads, no full
+  *    sort, nothing wide ever shuffles).
+  *
+  * Codebook DataFrame contract: (block INT 0..m−1, code LONG 0..k−1,
+  * cvec ARRAY<FLOAT> of length D/m) — codes compact per block, because
+  * ADC tables index by them.
+  */
+object Pq {
+
+  /** Deterministic codebook init from the corpus itself: the first k
+    * vectors by id, sliced per block (code = id). The zero-cost stand-in
+    * where training isn't needed — oracle-checked queries use it
+    * directly so codes stay reproducible in SQL; [[refineCodebooks]]
+    * turns it into trained codebooks.
+    */
+  def firstKCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, k: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, "dim must divide into m equal blocks")
+    val sub = dim / m
+    corpus.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("code"), col(vecCol).as("__v"))
+      .select(explode(sequence(lit(0), lit(m - 1))).as("block"),
+        col("code"), col("__v"))
+      .select(col("block"), col("code"),
+        slice(col("__v"), col("block") * sub + 1, lit(sub)).as("cvec"))
+  }
+
+  /** (m × k × sub) array from the codebook table; validates compactness. */
+  private[operators] def collectCodebooks(codebooks: DataFrame): Array[Array[Array[Float]]] = {
+    val rows = codebooks.select(col("block").cast("int"), col("code").cast("long"),
+      col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, "empty codebook")
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val sub = rows.head._3.length
+    val out = Array.ofDim[Array[Float]](m, k.toInt)
+    rows.foreach { case (b, c, v) =>
+      require(v.length == sub, "all centroids must share the sub-dimension")
+      out(b)(c.toInt) = v
+    }
+    require(out.forall(_.forall(_ != null)),
+      s"codebook must be compact: all (block < $m, code < $k) present")
+    out
+  }
+
+  /** PQ codes per vector — map-only, fused kernel pass ([[graft.expressions.PqEncode]]).
+    * NULL codes for a malformed vector (null element / length ≠ D).
+    */
+  def encode(vectors: DataFrame, idCol: String, vecCol: String,
+             codebooks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val cb = collectCodebooks(codebooks)
+    vectors.select(col(idCol),
+      toColumn(graft.expressions.PqEncode(toExpression(col(vecCol)), cb))
+        .as("codes"))
+  }
+
+  /** Executable spec for [[encode]] in pure catalyst HOFs, bit-identical
+    * on well-formed vectors (the kernel's doc spells out the fold-order
+    * contract): per block, squared L2 against each centroid literal as a
+    * left-to-right `aggregate` fold of (double(x)−double(c))², argmin as
+    * first-position-of-min. Interpreted lambdas — k·D work per row with
+    * no codegen — which is why the kernel exists; this form is the
+    * oracle-shaped definition the property suite holds it to.
+    */
+  def encodeHof(vectors: DataFrame, idCol: String, vecCol: String,
+                codebooks: DataFrame): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val codes = array((0 until m).map { b =>
+      val sl = slice(col(vecCol), b * sub + 1, sub)
+      val dists = array(cb(b).indices.map { c =>
+        val cent = typedlit(cb(b)(c).toSeq)
+        aggregate(
+          zip_with(sl, cent, (x, cc) =>
+            (x.cast("double") - cc.cast("double")) *
+              (x.cast("double") - cc.cast("double"))),
+          lit(0.0), (acc, d) => acc + d)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("long")
+    }: _*)
+    vectors.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Per-block Lloyd refinement under L2 — PQ's standard training loop.
+    * Each iteration: encode (map-only) → per-(block, code) elementwise
+    * mean of the assigned sub-vectors — ONE hash aggregate with map-side
+    * partials over m·k groups, corpus never collected, codebooks stay
+    * driver-small. Empty cells keep their previous centroid.
+    */
+  def refineCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                      codebooks: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val sub = cb(0)(0).length
+    for (_ <- 0 until iterations) {
+      val cbDf = cbToDf(spark, cb)
+      val sums = encode(corpus, idCol, vecCol, cbDf)
+        .filter(col("codes").isNotNull)
+        .select(col(idCol), posexplode(col("codes")).as(Seq("block", "code")))
+        .join(corpus.select(col(idCol), col(vecCol).as("__v")), idCol)
+        .groupBy(col("block"), col("code"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until sub).map(i =>
+            sum(element_at(col("__v"),
+              col("block") * sub + i + 1).cast("double")).as(s"s$i")): _*)
+            .as("vsum"))
+        .collect()
+      val next = cb.map(_.clone())
+      sums.foreach { r =>
+        val b = r.getAs[Int]("block")
+        val c = r.getAs[Long]("code").toInt
+        val n = r.getAs[Long]("n").toDouble
+        next(b)(c) = r.getSeq[Double](r.fieldIndex("vsum"))
+          .map(s => (s / n).toFloat).toArray
+      }
+      cb = next
+    }
+    cbToDf(spark, cb)
+  }
+
+  private def cbToDf(spark: org.apache.spark.sql.SparkSession,
+                     cb: Array[Array[Array[Float]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (block, b) =>
+      block.zipWithIndex.map { case (cent, c) => (b, c.toLong, cent.toSeq) }
+    }.toSeq.toDF("block", "code", "cvec")
+  }
+
+  /** The query-side ADC distance table: D[b·k + c] = ‖q_b − c_{b,c}‖²,
+    * same fold order as the encode kernel so oracle SQL can reproduce
+    * every double bit.
+    */
+  private[operators] def adcTable(query: Array[Float],
+                                  cb: Array[Array[Array[Float]]]): Array[Double] = {
+    val m = cb.length
+    val k = cb(0).length
+    val sub = cb(0)(0).length
+    require(query.length == m * sub, "query dimension must match codebook")
+    val table = new Array[Double](m * k)
+    for (b <- 0 until m; c <- 0 until k) {
+      var dist = 0.0
+      var i = 0
+      while (i < sub) {
+        val d = query(b * sub + i).toDouble - cb(b)(c)(i).toDouble
+        dist += d * d
+        i += 1
+      }
+      table(b * k + c) = dist
+    }
+    table
+  }
+
+  /** Approximate top-k by ADC: encode once (or reuse a persisted codes
+    * table via `precomputedCodes`), then per row fold m table lookups —
+    * the scan touches codes only, never the float vectors. Distances are
+    * the exact L2² between the query and each vector's RECONSTRUCTION
+    * (sum of its assigned centroids) — the standard PQ approximation.
+    *
+    * @return (idCol, adist) — top `topK` by (adist asc, id asc).
+    */
+  def adcTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], codebooks: DataFrame, topK: Int,
+              precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    require(topK > 0)
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val k = cb(0).length
+    val table = typedlit(adcTable(query, cb).toSeq)
+    val codes = precomputedCodes.getOrElse(encode(vectors, idCol, vecCol, codebooks))
+    codes
+      .filter(col("codes").isNotNull)
+      .withColumn("adist",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, b) => b * k + c),
+          lit(0.0),
+          (acc, i) => acc + element_at(table, (i + 1).cast("int"))))
+      .select(col(idCol), col("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
+}

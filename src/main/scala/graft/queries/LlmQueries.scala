@@ -483,6 +483,33 @@ object LlmQueries {
         "lang", "n_chars", k = 10)
         .select("doc_id", "lang", "n_chars", "n_chars_bucket")
         .orderBy("doc_id")
+    }),
+
+    // Product-quantization codes (8 blocks × 16 codes over dim 64): the
+    // compressed vector-store representation — encode is one fused
+    // map-only kernel pass, codebook from the deterministic first-k init
+    // so the SQL oracle re-derives every code.
+    "q76_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.operators.Pq.firstKCodebooks(
+        emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      graft.operators.Pq.encode(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("block", "code")))
+        .select(col("vec_id"), col("block").cast("long").as("block"), col("code"))
+        .orderBy("vec_id", "block")
+    }),
+
+    // ADC top-k over the PQ codes: the query's m×k distance table is a
+    // plan literal; candidates are scanned as CODES (m longs), never as
+    // float vectors. Distances = exact L2² to each vector's
+    // reconstruction, bit-identical in the oracle by mirrored fold order.
+    "q77_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.operators.Pq.firstKCodebooks(
+        emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      graft.operators.Pq.adcTopK(emb, "vec_id", "embedding", q, cb, topK = 100)
     })
   )
 
@@ -1317,6 +1344,63 @@ object LlmQueries {
         |  FROM h)
         |SELECT doc_id, d.lang, n_chars, n_chars_bucket
         |FROM documents d JOIN b ON d.lang = b.lang AND d.n_chars = b.v
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // PQ codes: per (vector, block) argmin-L2 against the first-16
+    // codebook, squared distance as an init-free left fold (list_reduce's
+    // first-element init equals the kernel's 0.0 + d² start bit-for-bit);
+    // ties to the smallest code via (dist, code) ordering.
+    "q76_pq_codes" ->
+      s"""WITH cb AS (
+         |  SELECT b.b AS block, e.vec_id AS code,
+         |         e.embedding[b.b*8+1 : b.b*8+8] AS cvec
+         |  FROM embeddings e, (SELECT unnest(generate_series(0, 7)) AS b) b
+         |  WHERE e.vec_id < 16),
+         |d AS (
+         |  SELECT v.vec_id, cb.block, cb.code,
+         |         list_reduce(list_transform(generate_series(1, 8), i ->
+         |           (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))
+         |           * (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))),
+         |           (a, x) -> a + x) AS dist
+         |  FROM embeddings v CROSS JOIN cb),
+         |r AS (
+         |  SELECT vec_id, block, code,
+         |         row_number() OVER (PARTITION BY vec_id, block
+         |                            ORDER BY dist, code) AS rn
+         |  FROM d)
+         |SELECT vec_id, CAST(block AS BIGINT) AS block, code
+         |FROM r WHERE rn = 1 ORDER BY vec_id, block""".stripMargin,
+
+    // ADC: per-block distance table for the vec_id=0 query, summed over
+    // each vector's codes in block order (list(ORDER BY block) +
+    // init-free fold = the Spark aggregate's 0.0-seeded left fold).
+    "q77_pq_adc" ->
+      s"""WITH cb AS (
+         |  SELECT b.b AS block, e.vec_id AS code,
+         |         e.embedding[b.b*8+1 : b.b*8+8] AS cvec
+         |  FROM embeddings e, (SELECT unnest(generate_series(0, 7)) AS b) b
+         |  WHERE e.vec_id < 16),
+         |d AS (
+         |  SELECT v.vec_id, cb.block, cb.code,
+         |         list_reduce(list_transform(generate_series(1, 8), i ->
+         |           (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))
+         |           * (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))),
+         |           (a, x) -> a + x) AS dist
+         |  FROM embeddings v CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, block, code FROM (
+         |    SELECT vec_id, block, code,
+         |           row_number() OVER (PARTITION BY vec_id, block
+         |                              ORDER BY dist, code) AS rn
+         |    FROM d) WHERE rn = 1),
+         |dt AS (
+         |  SELECT dd.block, dd.code, dd.dist FROM d dd WHERE dd.vec_id = 0),
+         |s AS (
+         |  SELECT c.vec_id,
+         |         list_reduce(list(dt.dist ORDER BY c.block), (a, x) -> a + x)
+         |           AS adist
+         |  FROM codes c JOIN dt ON dt.block = c.block AND dt.code = c.code
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, adist FROM s ORDER BY adist, vec_id LIMIT 100""".stripMargin
   )
 }

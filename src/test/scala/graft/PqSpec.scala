@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.functions._
+
+/** Product quantization: kernel↔HOF parity, tie/NULL semantics, ADC
+  * distance correctness, and the per-block Lloyd refinement step.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cbDf(cb: Seq[(Int, Long, Seq[Float])]) =
+    cb.toDF("block", "code", "cvec")
+
+  // 2 blocks × 2 codes over dim 4
+  private val cb22 = cbDf(Seq(
+    (0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(1.0f, 1.0f)),
+    (1, 0L, Seq(0.0f, 1.0f)), (1, 1L, Seq(1.0f, 0.0f))))
+
+  test("encode picks the argmin-L2 code per block") {
+    val vs = Seq(
+      (1L, Seq(0.1f, 0.2f, 0.9f, 0.1f)), // block0 → 0, block1 → 1
+      (2L, Seq(0.8f, 0.9f, 0.1f, 0.8f))  // block0 → 1, block1 → 0
+    ).toDF("id", "v")
+    val out = Pq.encode(vs, "id", "v", cb22)
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(out === Seq((1L, Seq(0L, 1L)), (2L, Seq(1L, 0L))))
+  }
+
+  test("encode is bit-identical to the HOF executable spec on seeded vectors") {
+    val rnd = new scala.util.Random(20260812)
+    val dim = 8
+    val vs = (0L until 64L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextFloat() - 0.5f) * 10f))).toDF("id", "v")
+    val cb = cbDf((for (b <- 0 until 4; c <- 0L until 4L) yield
+      (b, c, Seq.fill(2)((rnd.nextFloat() - 0.5f) * 10f))))
+    val kern = Pq.encode(vs, "id", "v", cb).orderBy("id")
+      .as[(Long, Seq[Long])].collect()
+    val hof = Pq.encodeHof(vs, "id", "v", cb).orderBy("id")
+      .as[(Long, Seq[Long])].collect()
+    assert(kern === hof)
+  }
+
+  test("ties resolve to the smallest code; malformed vectors yield NULL codes") {
+    val dup = cbDf(Seq(
+      (0, 0L, Seq(1.0f, 1.0f)), (0, 1L, Seq(1.0f, 1.0f)))) // identical centroids
+    val vs = Seq((1L, Seq(3.0f, 4.0f))).toDF("id", "v")
+    assert(Pq.encode(vs, "id", "v", dup).head.getSeq[Long](1) === Seq(0L))
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v") // dim 3 ≠ 2
+    assert(Pq.encode(bad, "id", "v", dup).head.isNullAt(1))
+  }
+
+  test("adcTopK distances are the exact query-to-reconstruction L2^2") {
+    val vs = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 1.0f)), // codes (0,0): recon (0,0,0,1)
+      (2L, Seq(1.0f, 1.0f, 1.0f, 0.0f))  // codes (1,1): recon (1,1,1,0)
+    ).toDF("id", "v")
+    val q = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    val out = Pq.adcTopK(vs, "id", "v", q, cb22, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // d(q, recon1) = 0; d(q, recon2) = 1+1+1+1 = 4
+    assert(out === Seq((1L, 0.0), (2L, 4.0)))
+  }
+
+  test("adcTopK breaks distance ties by id ascending and honors topK") {
+    val vs = Seq(
+      (5L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 1.0f)), // same codes as 5 → same adist
+      (9L, Seq(1.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("id", "v")
+    val q = Array(0.0f, 0.0f, 0.0f, 1.0f)
+    val out = Pq.adcTopK(vs, "id", "v", q, cb22, topK = 2).collect()
+      .map(_.getLong(0)).toSeq
+    assert(out === Seq(3L, 5L))
+  }
+
+  test("refineCodebooks moves centroids to assigned sub-vector means; empty cells persist") {
+    // one block, two codes; three vectors cluster near (0,0) and (10,10)
+    val cb = cbDf(Seq((0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(10.0f, 10.0f))))
+    val vs = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(3.0f, 1.0f)), (3L, Seq(11.0f, 9.0f))
+    ).toDF("id", "v")
+    val refined = Pq.refineCodebooks(vs, "id", "v", cb, iterations = 1)
+      .orderBy("code").as[(Int, Long, Seq[Float])].collect()
+    assert(refined(0)._3 === Seq(2.0f, 1.0f))   // mean of (1,1),(3,1)
+    assert(refined(1)._3 === Seq(11.0f, 9.0f))  // mean of the single member
+    // empty cell: push both centroids far away except one
+    val cbE = cbDf(Seq((0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(99.0f, 99.0f))))
+    val one = Seq((1L, Seq(1.0f, 1.0f))).toDF("id", "v")
+    val refE = Pq.refineCodebooks(one, "id", "v", cbE, iterations = 1)
+      .orderBy("code").as[(Int, Long, Seq[Float])].collect()
+    assert(refE(0)._3 === Seq(1.0f, 1.0f))
+    assert(refE(1)._3 === Seq(99.0f, 99.0f)) // untouched — no members
+  }
+
+  test("firstKCodebooks slices the first k vectors per block, code = id") {
+    val vs = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Seq(5.0f, 6.0f, 7.0f, 8.0f)),
+      (7L, Seq(9.0f, 9.0f, 9.0f, 9.0f))).toDF("id", "v")
+    val cb = Pq.firstKCodebooks(vs, "id", "v", m = 2, k = 2, dim = 4)
+      .orderBy("block", "code").as[(Int, Long, Seq[Float])].collect()
+    assert(cb === Seq(
+      (0, 0L, Seq(1.0f, 2.0f)), (0, 1L, Seq(5.0f, 6.0f)),
+      (1, 0L, Seq(3.0f, 4.0f)), (1, 1L, Seq(7.0f, 8.0f))))
+  }
+}
