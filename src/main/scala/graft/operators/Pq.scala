@@ -178,6 +178,69 @@ object Pq {
     table
   }
 
+  /** IVF-PQ: coarse cell pruning composed with ADC ranking — the
+    * production index shape (a FAISS IVF,PQ analogue). The corpus is
+    * assigned to cells by the SAME map-only cosine kernel as the IVF-Flat
+    * tier ([[Similarity.ivfAssign]]); the query probes its nProbe best
+    * cells (a driver-side argmax over k centroids — centroids are
+    * driver-small by design, and the cosine here replicates the in-plan
+    * arithmetic bit-for-bit: exact float→double widening, left-to-right
+    * dot fold, correctly-rounded sqrt — so the oracle re-derives the
+    * probe set); only candidates in probed cells are encoded and
+    * ADC-ranked. Corpus-side cost per query ≈ nProbe/|cells| of the
+    * codes scan; nothing wide ever shuffles.
+    *
+    * Honest divergence from classic IVFPQ: same-metric residual encoding
+    * is replaced by raw-vector codes under the library's cosine coarse
+    * tier — the compression and pruning scale shape is identical, and
+    * every step stays SQL-derivable for the oracle gate.
+    *
+    * @return (idCol, cell, adist) — top `topK` by (adist asc, id asc).
+    */
+  def ivfAdcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                 query: Array[Float], centroids: DataFrame, codebooks: DataFrame,
+                 nProbe: Int, topK: Int, excludeId: Option[Long] = None): DataFrame = {
+    require(nProbe > 0 && topK > 0)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qNorm = math.sqrt(dot(query, query))
+    val probed = centroids.select(col("cid").cast("long"), col("cvec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .flatMap { case (cid, c) =>
+        val denom = qNorm * math.sqrt(dot(c, c))
+        if (denom == 0.0 || c.length != query.length) None
+        else Some(cid -> (dot(query, c) / denom))
+      }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(nProbe).map(_._1)
+    require(probed.nonEmpty, "no probeable cells (all centroids zero-norm?)")
+    val cand = Similarity.assigned(corpus, idCol, vecCol, centroids)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id").as(idCol), col("__v").as(vecCol), col("cell"))
+    val kept = excludeId.fold(cand)(x => cand.filter(col(idCol) =!= x))
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val k = cb(0).length
+    val table = typedlit(adcTable(query, cb).toSeq)
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    kept
+      .withColumn("codes",
+        toColumn(graft.expressions.PqEncode(toExpression(col(vecCol)), cb)))
+      .filter(col("codes").isNotNull)
+      .withColumn("adist",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, b) => b * k + c),
+          lit(0.0),
+          (acc, i) => acc + element_at(table, (i + 1).cast("int"))))
+      .select(col(idCol), col("cell"), col("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
+
   /** Approximate top-k by ADC: encode once (or reuse a persisted codes
     * table via `precomputedCodes`), then per row fold m table lookups —
     * the scan touches codes only, never the float vectors. Distances are

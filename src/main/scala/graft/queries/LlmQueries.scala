@@ -510,6 +510,20 @@ object LlmQueries {
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head.getSeq[Float](0).toArray
       graft.operators.Pq.adcTopK(emb, "vec_id", "embedding", q, cb, topK = 100)
+    }),
+
+    // IVF-PQ composed: cosine cell pruning (5 of 20 cells probed) + ADC
+    // ranking of only the candidates in probed cells — the production
+    // index shape; candidate scan cost ≈ nProbe/|cells| of the corpus.
+    "q78_pq_ivf_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.operators.Pq.firstKCodebooks(
+        emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      graft.operators.Pq.ivfAdcTopK(emb, "vec_id", "embedding", q,
+        strideCentroids(s, dir), cb, nProbe = 5, topK = 50,
+        excludeId = Some(0L))
     })
   )
 
@@ -1401,6 +1415,55 @@ object LlmQueries {
          |           AS adist
          |  FROM codes c JOIN dt ON dt.block = c.block AND dt.code = c.code
          |  GROUP BY c.vec_id)
-         |SELECT vec_id, adist FROM s ORDER BY adist, vec_id LIMIT 100""".stripMargin
+         |SELECT vec_id, adist FROM s ORDER BY adist, vec_id LIMIT 100""".stripMargin,
+
+    // IVF-PQ: probe = top-5 cells by cosine to the vec_id=0 query (the
+    // driver-side selection replicates this arithmetic bit-for-bit),
+    // candidates = corpus rows in probed cells, ranked by the same ADC
+    // fold as q77.
+    "q78_pq_ivf_adc" ->
+      s"""WITH $oNorms,
+         |$oCells,
+         |probe AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cid AS cell,
+         |           row_number() OVER (ORDER BY ${oCos("q", "c")} DESC, c.cid) AS pr
+         |    FROM norms q CROSS JOIN centroids c
+         |    WHERE q.vec_id = 0)
+         |  WHERE pr <= 5),
+         |cand AS (
+         |  SELECT id, cell FROM cells
+         |  WHERE cell IN (SELECT cell FROM probe) AND id <> 0),
+         |cb AS (
+         |  SELECT b.b AS block, e.vec_id AS code,
+         |         e.embedding[b.b*8+1 : b.b*8+8] AS cvec
+         |  FROM embeddings e, (SELECT unnest(generate_series(0, 7)) AS b) b
+         |  WHERE e.vec_id < 16),
+         |d AS (
+         |  SELECT v.vec_id, cb.block, cb.code,
+         |         list_reduce(list_transform(generate_series(1, 8), i ->
+         |           (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))
+         |           * (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))),
+         |           (a, x) -> a + x) AS dist
+         |  FROM embeddings v CROSS JOIN cb
+         |  WHERE v.vec_id = 0 OR v.vec_id IN (SELECT id FROM cand)),
+         |codes AS (
+         |  SELECT vec_id, block, code FROM (
+         |    SELECT vec_id, block, code,
+         |           row_number() OVER (PARTITION BY vec_id, block
+         |                              ORDER BY dist, code) AS rn
+         |    FROM d) WHERE rn = 1),
+         |dt AS (
+         |  SELECT dd.block, dd.code, dd.dist FROM d dd WHERE dd.vec_id = 0),
+         |s AS (
+         |  SELECT c.vec_id,
+         |         list_reduce(list(dt.dist ORDER BY c.block), (a, x) -> a + x)
+         |           AS adist
+         |  FROM codes c JOIN dt ON dt.block = c.block AND dt.code = c.code
+         |  WHERE c.vec_id IN (SELECT id FROM cand)
+         |  GROUP BY c.vec_id)
+         |SELECT s.vec_id, cand.cell, s.adist
+         |FROM s JOIN cand ON cand.id = s.vec_id
+         |ORDER BY s.adist, s.vec_id LIMIT 50""".stripMargin
   )
 }

@@ -93,6 +93,28 @@ class PqSpec extends SparkSpec {
     assert(refE(1)._3 === Seq(99.0f, 99.0f)) // untouched — no members
   }
 
+  test("ivfAdcTopK prunes to probed cells before ADC ranking") {
+    // centroids on the x/y axes; vectors 1,2 near x, 3 near y
+    val cents = Seq(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 1.0f))).toDF("cid", "cvec")
+    val vs = Seq(
+      (1L, Seq(2.0f, 0.1f, 2.0f, 0.1f)),
+      (2L, Seq(3.0f, 0.0f, 3.0f, 0.0f)),
+      (3L, Seq(0.1f, 2.0f, 0.1f, 2.0f))).toDF("id", "v")
+    val q = Array(1.0f, 0.0f, 1.0f, 0.0f)
+    val out = Pq.ivfAdcTopK(vs, "id", "v", q, cents, cb22,
+      nProbe = 1, topK = 10)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // nProbe=1 probes the x cell (cid 0) only: vector 3 is pruned out
+    assert(got.map(_._1).sorted === Seq(1L, 2L))
+    assert(got.forall(_._2 == 0L))
+    // excludeId drops the query's own row
+    val excl = Pq.ivfAdcTopK(vs, "id", "v", q, cents, cb22,
+      nProbe = 1, topK = 10, excludeId = Some(1L))
+    assert(excl.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("firstKCodebooks slices the first k vectors per block, code = id") {
     val vs = Seq(
       (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
