@@ -93,4 +93,58 @@ object Spans {
             col("n_tokens").cast(DoubleType))
           .otherwise(lit(0.0)).as("coverage"))
   }
+
+  /** Span EXCISION — the second half of exact-substring dedup: remove
+    * from every document the token positions covered by corpus-repeated
+    * n-gram windows (the positions [[repeatedSpanCoverage]] counts), and
+    * reconstruct the cleaned text from the kept tokens.
+    *
+    * Scale shape on top of the coverage plan: the covered-position SET
+    * per doc is one collect_set aggregate keyed by doc id (state bounded
+    * by document length), joined back to the cached (id, tokens) spine —
+    * the corpus text crosses that one id-keyed shuffle as compact token
+    * arrays, once; excision itself is an ARRAY-side lambda
+    * (filter-by-index + array_join), not a token-row explode, so no
+    * per-token rows ever aggregate back into documents.
+    *
+    * @return (idCol, n_tokens, n_removed, cleaned) — cleaned is the
+    *         kept tokens joined by single spaces (the tokenizer's
+    *         whitespace normalization applies; "" when everything was
+    *         repeated or the doc was empty).
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    require(minDocs >= 2, "a span repeated in < 2 docs is not a duplicate")
+    val base = CacheScope.track(
+      docs.select(col(idCol).as("__id"),
+        graft.functions.tokens(col(textCol)).as("__tk"),
+        graft.functions.ngramHashSeq(col(textCol), n).as("__g")))
+    val grams = base.select(col("__id"),
+      posexplode(col("__g")).as(Seq("__pos", "__gram")))
+    // same skew-free repeated-gram test as repeatedSpanCoverage (min≠max
+    // for the default, pair-distinct then count for general minDocs)
+    val repeated =
+      if (minDocs == 2)
+        grams.groupBy("__gram")
+          .agg(min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
+          .filter(col("__lo") =!= col("__hi")).select("__gram")
+      else
+        grams.select("__gram", "__id").distinct()
+          .groupBy("__gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") >= minDocs).select("__gram")
+    val covSets = grams.join(repeated, "__gram")
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__cp"))
+      .groupBy("__id").agg(collect_set(col("__cp")).as("__cps"))
+    base.join(covSets, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cps")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          filter(col("__tk"), (_, i) =>
+            not(array_contains(
+              coalesce(col("__cps"), typedlit(Seq.empty[Int])), i))),
+          " ").as("cleaned"))
+  }
 }

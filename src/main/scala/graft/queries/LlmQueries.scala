@@ -524,6 +524,15 @@ object LlmQueries {
       graft.operators.Pq.ivfAdcTopK(emb, "vec_id", "embedding", q,
         strideCentroids(s, dir), cb, nProbe = 5, topK = 50,
         excludeId = Some(0L))
+    }),
+
+    // Repeated-span EXCISION (the second half of exact-substring dedup):
+    // remove every token position covered by a corpus-repeated trigram,
+    // reconstruct cleaned text from the kept tokens.
+    "q79_span_removal" -> ((s, dir) => {
+      graft.operators.Spans.removeRepeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -1464,6 +1473,37 @@ object LlmQueries {
          |  GROUP BY c.vec_id)
          |SELECT s.vec_id, cand.cell, s.adist
          |FROM s JOIN cand ON cand.id = s.vec_id
-         |ORDER BY s.adist, s.vec_id LIMIT 50""".stripMargin
+         |ORDER BY s.adist, s.vec_id LIMIT 50""".stripMargin,
+
+    // Span excision: q65's repeated-gram/covered-position derivation
+    // (string grams stand in for the engine's 64-bit gram hashes —
+    // identical repetition structure absent collisions), then excision as
+    // a filter-by-index over the token list (DuckDB lambda indexes are
+    // 1-based; covered positions 0-based).
+    "q79_span_removal" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> {'pos': i - 1,
+         |            'gram': list_aggregate(tk[i:i+2], 'string_agg', ' ')})) AS u
+         |    FROM toks)),
+         |rep AS (
+         |  SELECT gram FROM grams GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT doc_id, list(DISTINCT cp) AS cps, count(DISTINCT cp) AS ncov
+         |  FROM (
+         |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 3)) AS cp
+         |    FROM grams g JOIN rep USING (gram))
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(c.ncov, 0) AS BIGINT) AS n_removed,
+         |       coalesce(list_aggregate(
+         |         list_filter(t.tk, (x, i) -> NOT list_contains(
+         |           coalesce(c.cps, CAST([] AS BIGINT[])), i - 1)),
+         |         'string_agg', ' '), '') AS cleaned
+         |FROM toks t LEFT JOIN cov c USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -117,6 +117,36 @@ class LayoutSpansSpec extends SparkSpec {
     assert(!plan.contains("distinct __id"), plan)
   }
 
+  test("removeRepeatedSpans excises covered tokens and rebuilds the text") {
+    val out = Spans.removeRepeatedSpans(
+      docs(1L -> "a b c d e", 2L -> "x b c d y", 3L -> "zz qq"),
+      "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // "b c d" covers positions 1..3 in docs 1 and 2; doc 3 untouched.
+    assert(out.toSeq === Seq(
+      (1L, 5L, 3L, "a e"), (2L, 5L, 3L, "x y"), (3L, 2L, 0L, "zz qq")))
+  }
+
+  test("removeRepeatedSpans: full coverage yields empty cleaned text") {
+    val out = Spans.removeRepeatedSpans(
+      docs(1L -> "a b c d", 2L -> "a b c d"), "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getLong(2) === 4L)
+      assert(r.getString(3) === "")
+    }
+  }
+
+  test("removeRepeatedSpans n_removed agrees with repeatedSpanCoverage") {
+    val d = docs(1L -> "p q r s t u", 2L -> "q r s x p q r", 3L -> "r s t u p")
+    val cov = Spans.repeatedSpanCoverage(d, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val rem = Spans.removeRepeatedSpans(d, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(cov.toSeq === rem.toSeq)
+  }
+
   // ---------------------------------------------------------- checksum
 
   test("tableChecksum is order- and partitioning-insensitive") {
