@@ -533,6 +533,20 @@ object LlmQueries {
       graft.operators.Spans.removeRepeatedSpans(
         t(s, dir, "documents"), "doc_id", "text", n = 3)
         .orderBy("doc_id")
+    }),
+
+    // Contiguous global ordinals + equal shards in (n_chars, doc_id)
+    // order — histogram-offset plan, no global-window funnel; bucket =
+    // 250-char ranges of the leading order column (order-aligned by
+    // construction).
+    "q80_global_ids" -> ((s, dir) => {
+      graft.operators.GlobalIds.shardByOrder(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        bucket = expr("n_chars DIV 250"),
+        order = Seq(col("n_chars"), col("doc_id")),
+        shardSize = 64)
+        .select("doc_id", "n_chars", "gid", "shard")
+        .orderBy("doc_id")
     })
   )
 
@@ -1504,6 +1518,16 @@ object LlmQueries {
          |           coalesce(c.cps, CAST([] AS BIGINT[])), i - 1)),
          |         'string_agg', ' '), '') AS cleaned
          |FROM toks t LEFT JOIN cov c USING (doc_id)
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // The contiguous-ordinal contract IS the plain global row_number —
+    // the operator exists to compute it without the single-task window.
+    "q80_global_ids" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+        |            AS BIGINT) AS gid,
+        |       CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 64
+        |            AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

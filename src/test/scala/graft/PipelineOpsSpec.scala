@@ -238,6 +238,37 @@ class PipelineOpsSpec extends SparkSpec {
       Seq(("a", 10L, 3L, 5L, 8L), ("b", 2L, 5L, 5L, 5L)))
   }
 
+  // ---------------------------------------------------------- GlobalIds
+
+  test("contiguousIds equals the global row_number, without its plan") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 300L).map(id => (id, rnd.nextInt(50).toLong))
+      .toDF("id", "v")
+    val ours = graft.operators.GlobalIds.contiguousIds(
+      df, expr("v DIV 8"), Seq(col("v"), col("id")))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val naive = df.withColumn("gid",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"), col("id"))) - 1).cast("long"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ours.toSeq === naive.toSeq)
+    // and the corpus-facing window is bucket-partitioned, not global
+    val plan = graft.operators.GlobalIds.contiguousIds(
+      df, expr("v DIV 8"), Seq(col("v"), col("id")))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(__b"), plan)
+  }
+
+  test("shardByOrder yields equal consecutive shards (last one ragged)") {
+    val df = (0L until 100L).map(id => (id, id * 3 % 41)).toDF("id", "v")
+    val out = graft.operators.GlobalIds.shardByOrder(
+      df, expr("v DIV 5"), Seq(col("v"), col("id")), shardSize = 32)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.forall { case (gid, shard) => shard == gid / 32 })
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes === Map(0L -> 32, 1L -> 32, 2L -> 32, 3L -> 4))
+  }
+
   test("valueNtile: tie-stable per-group buckets spanning 1..k") {
     val df = ((1L to 8L).map(v => ("a", v)) ++ Seq(("b", 9L), ("b", 9L), ("b", 1L)))
       .toDF("g", "v")
