@@ -52,6 +52,37 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cos"))
   }
 
+  /** Hard-negative mining — the contrastive-training data primitive: for
+    * each query vector, the top-k most-similar corpus vectors whose LABEL
+    * DIFFERS (same-label neighbors are positives; the near-boundary
+    * negatives are the ones worth training on). Same broadcast-query-set
+    * shape as [[bruteForceTopK]] — the label inequality filters before
+    * the rank window, so per-query window state stays k-bounded at any
+    * corpus size; swap the corpus side for IVF-probed candidates (q30's
+    * plan) when the query set outgrows the broadcast threshold.
+    *
+    * @return (qid, q_label, rank, nid, n_label, cos)
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    // withNorm plus the label carried in the same projection — no
+    // join-back (a nid-keyed self-join would shuffle the corpus twice)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      graft.functions.l2NormF(col(vecCol)).as("__qn"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"),
+      graft.functions.l2NormF(col(vecCol)).as("__cn"),
+      col(labelCol).as("n_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid") && col("q_label") =!= col("n_label"))
+      .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("q_label"), col("rank").cast("long").as("rank"),
+        col("nid"), col("n_label"), col("cos"))
+  }
+
   /** One collected centroid: id, vector, and its l2NormF norm (evaluated
     * ONCE through the same Spark expression the per-row path used, so the
     * embedded literal is bit-identical to what an in-plan norm would be).

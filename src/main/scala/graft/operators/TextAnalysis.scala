@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -211,6 +211,48 @@ object TextAnalysis {
 
   /** Document fingerprint: portable rolling hash of the whole text. */
   def fingerprint(text: Column): Column = polyHash(text)
+
+  /** C4/Gopher-style composite filter verdict: one map-only pass emitting
+    * a reasons BITMASK (0 ⇒ keep) so a pipeline can both filter AND
+    * report per-reason drop rates from the same scan —
+    *   bit 1  too short          (n_tokens < minTokens)
+    *   bit 2  low quality score  (quality < minQuality)
+    *   bit 4  duplicate lines    (n_dup_lines · dupDen > n_lines · dupNum)
+    *   bit 8  n-gram repetition  (top_bigram · repDen > n_bigrams · repNum)
+    *   bit 16 PII-heavy          (emails + long digit runs > maxPii)
+    * Ratio thresholds are RATIONAL (num/den integer cross-multiplication,
+    * like the exact-quantile operators) so the gate never compares
+    * computed doubles against decimal literals; the quality threshold
+    * compares against [[qualityScore]], which is bit-identical
+    * cross-engine (q26), so that comparison is portable too.
+    *
+    * Every metric is a narrow projection over the row's own text — the
+    * gate runs at scan speed, nothing shuffles.
+    *
+    * @return (idCol, reasons, keep)
+    */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 10, minQuality: Double = 0.5,
+                  dupNum: Int = 1, dupDen: Int = 5,
+                  repNum: Int = 1, repDen: Int = 5,
+                  maxPii: Long = 3): DataFrame = {
+    val text = col(textCol)
+    docs
+      .withColumn("__nt", tokenCount(text))
+      .withColumn("__q", qualityScore(text))
+      .withColumn("__nl", size(docLines(text)).cast(LongType))
+      .withColumn("__dl", dupLineCount(text))
+      .withColumn("__nb", greatest(col("__nt") - 1, lit(0L)))
+      .withColumn("__top", maxNgramRepeat(text, 2))
+      .withColumn("__pii", emailCount(text) + longDigitCount(text))
+      .select(col(idCol),
+        (when(col("__nt") < minTokens, 1L).otherwise(0L) +
+          when(col("__q") < minQuality, 2L).otherwise(0L) +
+          when(col("__dl") * dupDen > col("__nl") * dupNum, 4L).otherwise(0L) +
+          when(col("__top") * repDen > col("__nb") * repNum, 8L).otherwise(0L) +
+          when(col("__pii") > maxPii, 16L).otherwise(0L)).as("reasons"))
+      .withColumn("keep", col("reasons") === 0L)
+  }
 
   /** SimHash over whitespace tokens, [[SimHashBits]] bits: per-token
     * portable hash → per-bit ±1 votes → sign. Near-duplicate documents

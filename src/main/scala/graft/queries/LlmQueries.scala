@@ -547,6 +547,23 @@ object LlmQueries {
         shardSize = 64)
         .select("doc_id", "n_chars", "gid", "shard")
         .orderBy("doc_id")
+    }),
+
+    // Composite C4/Gopher-style quality gate: one scan-speed pass emits a
+    // per-reason bitmask (0 = keep) so filtering and per-reason drop-rate
+    // reporting share the scan.
+    "q81_quality_gate" -> ((s, dir) => {
+      TextAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Hard-negative mining: top-5 most-similar DIFFERENT-label neighbors
+    // per query vector — the contrastive-training pair generator.
+    "q82_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("qid", "rank")
     })
   )
 
@@ -1528,6 +1545,64 @@ object LlmQueries {
         |            AS BIGINT) AS gid,
         |       CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 64
         |            AS BIGINT) AS shard
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Quality gate: the q26 quality formula + q42 repetition counts +
+    // q43 PII counts, folded into the same rational-threshold bitmask.
+    "q81_quality_gate" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text, $oToks AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS b
+         |  FROM m),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top FROM (
+         |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |f AS (
+         |  SELECT m.doc_id,
+         |         CAST(len(tk) AS BIGINT) AS nt,
+         |         (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |          + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+         |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS DOUBLE)
+         |                   / greatest(CAST(length(text) AS DOUBLE), 1.0))) / 3.0 AS q,
+         |         CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+         |         CAST(len(string_split(text, chr(10)))
+         |              - len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS dl,
+         |         CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS nb,
+         |         CAST(coalesce(top.top, 0) AS BIGINT) AS tb,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |              + len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS pii
+         |  FROM m LEFT JOIN top ON top.doc_id = m.doc_id),
+         |v AS (
+         |  SELECT doc_id,
+         |         CAST((CASE WHEN nt < 10 THEN 1 ELSE 0 END)
+         |            + (CASE WHEN q < 0.5 THEN 2 ELSE 0 END)
+         |            + (CASE WHEN dl * 5 > nl * 1 THEN 4 ELSE 0 END)
+         |            + (CASE WHEN tb * 5 > nb * 1 THEN 8 ELSE 0 END)
+         |            + (CASE WHEN pii > 3 THEN 16 ELSE 0 END) AS BIGINT) AS reasons
+         |  FROM f)
+         |SELECT doc_id, reasons, reasons = 0 AS keep
+         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Hard negatives: q29's scoring with the label-inequality filter
+    // before ranking.
+    "q82_hard_negatives" ->
+      s"""WITH $oNorms,
+         |lab AS (
+         |  SELECT n.vec_id, n.v, n.nrm, e.label
+         |  FROM norms n JOIN embeddings e USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.label AS q_label,
+         |         c.vec_id AS nid, c.label AS n_label, ${oCos("q", "c")} AS cos
+         |  FROM lab q JOIN lab c
+         |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.label <> c.label),
+         |ranked AS (
+         |  SELECT qid, q_label, nid, n_label, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, q_label, CAST(rank AS BIGINT) AS rank, nid, n_label, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

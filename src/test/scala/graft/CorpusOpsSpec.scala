@@ -138,6 +138,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).map(_._2).toSeq === Seq("b", "c"))
   }
 
+  test("qualityGate sets exactly the violated reason bits") {
+    val good = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 " * 10).trim
+    val docs = Seq(
+      (1L, good),                              // clean → keep
+      (2L, "tiny doc"),                        // bit 1 short (+2: low quality)
+      (3L, good + "\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL\nL"), // bit 4 dup lines
+      (4L, ("spam spam " * 40).trim + " " + good),  // bit 8 repetition
+      (5L, good + " a@b.co c@d.co e@f.co g@h.co 123456789123")  // bit 16 pii
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .qualityGate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out(0) === ((1L, 0L, true)))
+    assert((out(1)._2 & 1L) === 1L && !out(1)._3)
+    assert((out(2)._2 & 4L) === 4L)
+    assert((out(3)._2 & 8L) === 8L)
+    assert((out(4)._2 & 16L) === 16L)
+  }
+
+  test("hardNegatives ranks only different-label neighbors") {
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.99f, 0.1f), 1),  // same label — never a negative
+      (2L, Seq(0.9f, 0.2f), 2),
+      (3L, Seq(0.0f, 1.0f), 2),
+      (4L, Seq(-1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.hardNegatives(
+      vs.filter(col("vec_id") === 0), vs, "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(3), r.getInt(4)))
+    // closest different-label first: 2 (cos≈0.976), then 3 (0), then 4 (-1)
+    assert(out.toSeq === Seq((2L, 2), (3L, 2), (4L, 3)))
+  }
+
   test("termWeights broadcastVocab: identical values, broadcast join-back plan") {
     val docs = Seq(
       (1L, "a a b"), (2L, "b c"), (3L, "c c c"), (4L, "a b c d e")
