@@ -124,6 +124,40 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream INTERVAL join — the attribution shape: each `right`
+    * event (a click) joins the `left` events (impressions) of the same
+    * key whose timestamp precedes it by at most `within`. Works
+    * identically on batch DataFrames (unified model), which is what the
+    * parity test locks.
+    *
+    * Scale/state mechanics, the part that matters on an indefinite
+    * stream: BOTH sides are watermarked and the join condition contains
+    * an explicit event-time range, so Structured Streaming derives a
+    * state-eviction bound for each side — a buffered left row is dropped
+    * once the right watermark passes `l_ts + within`; without the range
+    * condition stream-stream inner join state grows forever. State is
+    * hash-partitioned by the join key, so skew follows the key
+    * distribution (salt upstream for a pathological hot key).
+    *
+    * @return (key, l_id, l_ts, l_type, r_id, r_ts, r_type)
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String = "user_id",
+                   watermark: String = "10 minutes",
+                   within: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("key"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("r_key"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"), col("event_type").as("r_type"))
+    l.join(r,
+      col("key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select("key", "l_id", "l_ts", "l_type", "r_id", "r_ts", "r_type")
+  }
+
   /** Wire a streaming DataFrame of events to a sink: transforms →
     * writeStream with checkpointing. Returns the started query.
     *

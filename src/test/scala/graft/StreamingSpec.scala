@@ -291,4 +291,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.length === 2)
     assert(out.map(_.getAs[Long]("cnt")).toSeq === Seq(1L, 1L))
   }
+
+  test("intervalJoin: stream-stream attribution equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = Seq(
+      Event(1, ts(0), 1, "imp", 0.0),
+      Event(2, ts(2), 1, "imp", 0.0),
+      Event(3, ts(0), 2, "imp", 0.0),
+      Event(4, ts(30), 1, "imp", 0.0))
+    val clicks = Seq(
+      Event(101, ts(3), 1, "click", 1.0),   // joins imp 1 (3m) and 2 (1m)
+      Event(102, ts(8), 1, "click", 1.0),   // joins imp 2 at 6m? NO — > 5m
+      Event(103, ts(1), 2, "click", 1.0),   // joins imp 3
+      Event(104, ts(31), 1, "click", 1.0))  // joins imp 4 only (late window)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val expected = canon(EventStreams.intervalJoin(
+      impressions.toDF(), clicks.toDF()))
+    // sanity on the fixture itself: the >5m click matches nothing
+    assert(expected === Seq((1L, 1L, 101L), (1L, 2L, 101L), (1L, 4L, 104L),
+      (2L, 3L, 103L)))
+    val li = MemoryStream[Event]
+    val ri = MemoryStream[Event]
+    val query = EventStreams.intervalJoin(li.toDF(), ri.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij").start()
+    try {
+      // split across micro-batches so join state must buffer and evict
+      li.addData(impressions.take(3): _*)
+      ri.addData(clicks.take(2): _*)
+      query.processAllAvailable()
+      li.addData(impressions.drop(3): _*)
+      ri.addData(clicks.drop(2): _*)
+      query.processAllAvailable()
+      assert(canon(spark.table("ij")) === expected)
+    } finally query.stop()
+  }
 }
