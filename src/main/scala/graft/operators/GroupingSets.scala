@@ -74,6 +74,56 @@ object GroupingSets {
     assemble(df, dims, valueCol,
       (dims.length to 0 by -1).map(i => dims.take(i).toSet))
 
+  /** ROLLUP carrying a DISTINCT-count estimate through the cascade — the
+    * answer to the scaladoc caveat above: exact distinct counts are not
+    * decomposable (distinct(A ∪ B) ≠ f(distinct A, distinct B)), but the
+    * KMV bottom-k sketch IS exactly mergeable —
+    * bottomk(A ∪ B) = bottomk(bottomk(A) ⧺ bottomk(B)) — so the cascade
+    * stays one raw-data pass: the finest level aggregates the bounded
+    * sketch ([[Sketch.bottomKHashes]], k longs per group), and every
+    * coarser level merges child sketches with plain array ops
+    * (flatten → distinct → sort → first k) over collect_list state
+    * bounded by child-group count × k. The merge is EXACT (not just
+    * approximately composable): cascaded sketches are bit-identical to
+    * sketches computed from raw data per level, which is what lets the
+    * oracle derive every level directly.
+    *
+    * @return (dims…, gid, sk_size, h_k, est) — per q46's estimator,
+    *         est is exact below k distinct and (k−1)·M/h_k beyond.
+    */
+  def rollupDistinctKmv(df: DataFrame, dims: Seq[String], hashCol: String,
+                        k: Int, hashMod: Long): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val l0 = CacheScope.track(
+      df.groupBy(dims.map(col): _*)
+        .agg(Sketch.bottomKHashes(col(hashCol), k).as("sk")))
+    val sets = (dims.length to 0 by -1).map(i => dims.take(i).toSet)
+    val levels = sets.map { keep =>
+      val lvl =
+        if (keep == dims.toSet)
+          l0.select((dims.map(col) :+ col("sk")): _*)
+        else {
+          val kept = dims.filter(keep)
+          val grouped =
+            if (kept.isEmpty) l0.groupBy()
+            else l0.groupBy(kept.map(col): _*)
+          val merged = grouped.agg(
+            slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+              1, k).as("sk"))
+          merged.select((dims.map { d =>
+            if (keep(d)) col(d)
+            else lit(null).cast(l0.schema(d).dataType).as(d)
+          } :+ col("sk")): _*)
+        }
+      lvl.withColumn("gid", lit(gid(dims, keep)))
+    }
+    levels.reduce(_.unionByName(_))
+      .select((dims.map(col) :+ col("gid") :+
+        size(col("sk")).cast("long").as("sk_size") :+
+        when(size(col("sk")) >= k, element_at(col("sk"), k)).as("h_k") :+
+        Sketch.kmvDistinctEstimate(col("sk"), k, hashMod).as("est")): _*)
+  }
+
   /** CUBE(dims): all 2^d subsets. Every subset re-aggregates the one
     * finest-grain table (cheapest possible parent would save a little on
     * deep lattices; at profiling dimensionality — d ≤ 4 or so — every

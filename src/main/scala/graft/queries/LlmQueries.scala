@@ -557,6 +557,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Distinct-text estimates through the rollup cascade: KMV bottom-k
+    // is exactly mergeable where exact distinct is not decomposable, so
+    // the grouping-sets profile keeps its one-raw-pass shape even for
+    // distinct counts.
+    "q83_rollup_distinct" -> ((s, dir) => {
+      graft.operators.GroupingSets.rollupDistinctKmv(
+        t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            TextAnalysis.fingerprint(col("text")).as("__h")),
+        Seq("lang", "source"), "__h", k = 32, hashMod = TextAnalysis.HashMod)
+        .orderBy(col("gid"), col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
+    }),
+
     // Hard-negative mining: top-5 most-similar DIFFERENT-label neighbors
     // per query vector — the contrastive-training pair generator.
     "q82_hard_negatives" -> ((s, dir) => {
@@ -1603,6 +1617,23 @@ object LlmQueries {
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          |  FROM scored)
          |SELECT qid, q_label, CAST(rank AS BIGINT) AS rank, nid, n_label, cos
-         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // KMV per rollup level, derived from raw data per level — legal
+    // because cascaded bottom-k merges are EXACT, not approximate.
+    "q83_rollup_distinct" ->
+      s"""WITH h AS (
+         |  SELECT lang, source, ${oPolyHash("text")} AS hv FROM documents),
+         |agg AS (
+         |  SELECT lang, source,
+         |         CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+         |         list_sort(list(DISTINCT hv))[1:32] AS sk
+         |  FROM h GROUP BY ROLLUP (lang, source))
+         |SELECT lang, source, gid,
+         |       CAST(len(sk) AS BIGINT) AS sk_size,
+         |       sk[32] AS h_k,
+         |       CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
+         |            ELSE 31.0 * 1000000007 / sk[32] END AS est
+         |FROM agg ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
   )
 }

@@ -222,6 +222,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(canon(ours) === canon(builtin))
   }
 
+  test("rollupDistinctKmv: cascaded sketches equal direct per-level sketches") {
+    val rnd = new scala.util.Random(99)
+    val df = (1 to 400).map { _ =>
+      val lang = s"l${rnd.nextInt(3)}"
+      val src = s"s${rnd.nextInt(4)}"
+      (lang, src, rnd.nextInt(60).toLong) // hashes with plenty of cross-group dups
+    }.toDF("lang", "source", "h")
+    val k = 8
+    val out = graft.operators.GroupingSets
+      .rollupDistinctKmv(df, Seq("lang", "source"), "h", k, hashMod = 1000000007L)
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getDouble(5)))
+      .sortBy(_.toString)
+    // direct reference: per level, bottom-k of the raw distinct hashes
+    def direct(keep: Set[String], gidVal: Long) = {
+      val grouped = df.collect()
+        .map(r => (if (keep("lang")) Option(r.getString(0)) else None,
+          if (keep("source")) Option(r.getString(1)) else None, r.getLong(2)))
+        .groupBy(t => (t._1, t._2))
+      grouped.map { case ((l, s), rows) =>
+        val sk = rows.map(_._3).distinct.sorted.take(k)
+        val hk = if (sk.length >= k) sk(k - 1) else -1L
+        val est = if (sk.length < k) sk.length.toDouble
+          else (k - 1).toDouble * 1000000007L / sk(k - 1)
+        (l, s, gidVal, sk.length.toLong, hk, est)
+      }.toSeq
+    }
+    val expected = (direct(Set("lang", "source"), 0L) ++
+      direct(Set("lang"), 1L) ++ direct(Set(), 3L)).sortBy(_.toString)
+    assert(out.toSeq === expected)
+  }
+
   // -------------------------------------------- ExactQuantiles (multi/ntile)
 
   test("quantilesByGroup reads all targets off one histogram pass") {
