@@ -571,6 +571,27 @@ object LlmQueries {
           col("source").asc_nulls_first)
     }),
 
+    // The whole corpus pipeline as ONE lazy plan: quality gate → wide
+    // near-dup dedup over kept docs → canonical survivors → contiguous
+    // ordinals + shards. Each stage is an already-gated operator; the
+    // composition is what a production run executes.
+    "q84_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.join(
+        TextAnalysis.qualityGate(docs, "doc_id", "text")
+          .filter(col("keep")).select("doc_id"),
+        "doc_id")
+      val pairs = Dedup.simhashMatchesWide(kept, "doc_id", "text", maxHamming = 2)
+      val surv = graft.operators.Components.keepCanonical(kept, "doc_id", pairs)
+      graft.operators.GlobalIds.shardByOrder(
+        surv.select("doc_id", "lang", "source", "n_chars"),
+        bucket = expr("n_chars DIV 250"),
+        order = Seq(col("n_chars"), col("doc_id")),
+        shardSize = 64)
+        .select("doc_id", "lang", "source", "n_chars", "gid", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Hard-negative mining: top-5 most-similar DIFFERENT-label neighbors
     // per query vector — the contrastive-training pair generator.
     "q82_hard_negatives" -> ((s, dir) => {
@@ -601,6 +622,45 @@ object LlmQueries {
   /** Whitespace tokens (matches graft.functions.tokens). */
   private val oToks =
     """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+
+  /** The q81 quality-gate verdict as a reusable CTE chain ending in
+    * `verdict(doc_id, reasons)` — q84 re-runs the same gate in front of its
+    * dedup stage.
+    */
+  private val oGateCtes =
+    s"""m AS (
+       |  SELECT doc_id, text, $oToks AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> tk[i] || ' ' || tk[i+1])) AS b
+       |  FROM m),
+       |top AS (
+       |  SELECT doc_id, max(c) AS top FROM (
+       |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |f AS (
+       |  SELECT m.doc_id,
+       |         CAST(len(tk) AS BIGINT) AS nt,
+       |         (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       |          + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+       |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS DOUBLE)
+       |                   / greatest(CAST(length(text) AS DOUBLE), 1.0))) / 3.0 AS q,
+       |         CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+       |         CAST(len(string_split(text, chr(10)))
+       |              - len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS dl,
+       |         CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS nb,
+       |         CAST(coalesce(top.top, 0) AS BIGINT) AS tb,
+       |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       |              + len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS pii
+       |  FROM m LEFT JOIN top ON top.doc_id = m.doc_id),
+       |verdict AS (
+       |  SELECT doc_id,
+       |         CAST((CASE WHEN nt < 10 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN q < 0.5 THEN 2 ELSE 0 END)
+       |            + (CASE WHEN dl * 5 > nl * 1 THEN 4 ELSE 0 END)
+       |            + (CASE WHEN tb * 5 > nb * 1 THEN 8 ELSE 0 END)
+       |            + (CASE WHEN pii > 3 THEN 16 ELSE 0 END) AS BIGINT) AS reasons
+       |  FROM f)""".stripMargin
 
   /** Exact n-gram Jaccard pairs ≥ threshold (ground truth for q23/q24). */
   private def oJaccardPairs(n: Int, theta: Double): String =
@@ -634,7 +694,8 @@ object LlmQueries {
     * seed (matches TextAnalysis.simHashWith; 31/0 + 37/1 compose the
     * wide signature).
     */
-  private def oSimhashCte(name: String, mult: Int, seed: Int = 0): String = {
+  private def oSimhashCte(name: String, mult: Int, seed: Int = 0,
+                          src: String = "documents"): String = {
     val bits = TextAnalysis.SimHashBits
     val mod = 1L << bits
     val zeros = ("CAST(0 AS BIGINT)" +: Seq.fill(bits - 1)("0")).mkString("[", ",", "]")
@@ -652,7 +713,7 @@ object LlmQueries {
        |    FROM (
        |      SELECT doc_id, list_transform($oToks,
        |        t -> ${oPolyHashM("t", mult, seed)} % $mod) AS hs
-       |      FROM documents)))""".stripMargin
+       |      FROM $src)))""".stripMargin
   }
 
   /** DOUBLE[] embeddings with norms (matches graft.functions fold order). */
@@ -1564,41 +1625,48 @@ object LlmQueries {
     // Quality gate: the q26 quality formula + q42 repetition counts +
     // q43 PII counts, folded into the same rational-threshold bitmask.
     "q81_quality_gate" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, text, $oToks AS tk FROM documents),
-         |bg AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-         |    i -> tk[i] || ' ' || tk[i+1])) AS b
-         |  FROM m),
-         |top AS (
-         |  SELECT doc_id, max(c) AS top FROM (
-         |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
-         |  GROUP BY doc_id),
-         |f AS (
-         |  SELECT m.doc_id,
-         |         CAST(len(tk) AS BIGINT) AS nt,
-         |         (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-         |          + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
-         |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS DOUBLE)
-         |                   / greatest(CAST(length(text) AS DOUBLE), 1.0))) / 3.0 AS q,
-         |         CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
-         |         CAST(len(string_split(text, chr(10)))
-         |              - len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS dl,
-         |         CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS nb,
-         |         CAST(coalesce(top.top, 0) AS BIGINT) AS tb,
-         |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-         |              + len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS pii
-         |  FROM m LEFT JOIN top ON top.doc_id = m.doc_id),
-         |v AS (
-         |  SELECT doc_id,
-         |         CAST((CASE WHEN nt < 10 THEN 1 ELSE 0 END)
-         |            + (CASE WHEN q < 0.5 THEN 2 ELSE 0 END)
-         |            + (CASE WHEN dl * 5 > nl * 1 THEN 4 ELSE 0 END)
-         |            + (CASE WHEN tb * 5 > nb * 1 THEN 8 ELSE 0 END)
-         |            + (CASE WHEN pii > 3 THEN 16 ELSE 0 END) AS BIGINT) AS reasons
-         |  FROM f)
+      s"""WITH $oGateCtes
          |SELECT doc_id, reasons, reasons = 0 AS keep
-         |FROM v ORDER BY doc_id""".stripMargin,
+         |FROM verdict ORDER BY doc_id""".stripMargin,
+
+    // End-to-end corpus pipeline: the q81 gate in front of the q70 wide
+    // dedup (signatures computed over KEPT docs only), survivors
+    // ordinal-ed and sharded per q80. One recursive-CTE chain — every
+    // stage is the already-verified derivation scoped to the previous
+    // stage's output.
+    "q84_corpus_pipeline" ->
+      s"""WITH RECURSIVE $oGateCtes,
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text
+         |  FROM documents d JOIN verdict USING (doc_id)
+         |  WHERE verdict.reasons = 0),
+         |${oSimhashCte("sh31", 31, src = "kept")},
+         |${oSimhashCte("sh37", 37, seed = 1, src = "kept")},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT doc_id, doc_id FROM kept
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |lab AS (SELECT node AS doc_id, min(comp) AS component
+         |        FROM reach GROUP BY node),
+         |surv AS (
+         |  SELECT k.doc_id, k.lang, k.source, k.n_chars
+         |  FROM kept k JOIN lab ON lab.doc_id = k.doc_id
+         |  WHERE lab.doc_id = lab.component)
+         |SELECT doc_id, lang, source, n_chars,
+         |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+         |            AS BIGINT) AS gid,
+         |       CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 64
+         |            AS BIGINT) AS shard
+         |FROM surv ORDER BY doc_id""".stripMargin,
 
     // Hard negatives: q29's scoring with the label-inequality filter
     // before ranking.
