@@ -577,10 +577,13 @@ object LlmQueries {
     // composition is what a production run executes.
     "q84_corpus_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val kept = docs.join(
-        TextAnalysis.qualityGate(docs, "doc_id", "text")
-          .filter(col("keep")).select("doc_id"),
-        "doc_id")
+      // gate and filter in ONE pass (keepInputCols — a verdict join-back
+      // would re-run the metric set through a self-join), and cache:
+      // `kept` feeds the signature stage, the survivor anti-join, and
+      // CC's iterative actions.
+      val kept = graft.operators.CacheScope.track(
+        TextAnalysis.qualityGate(docs, "doc_id", "text", keepInputCols = true)
+          .filter(col("keep")).drop("reasons", "keep"))
       val pairs = Dedup.simhashMatchesWide(kept, "doc_id", "text", maxHamming = 2)
       val surv = graft.operators.Components.keepCanonical(kept, "doc_id", pairs)
       graft.operators.GlobalIds.shardByOrder(

@@ -211,4 +211,53 @@ class CorpusOpsSpec extends SparkSpec {
       .orderBy("g").as[(String, Long, Long)].collect()
     assert(out === Array(("a", 4L, 2L), ("b", 3L, 20L), ("c", 1L, 7L)))
   }
+
+  test("pipeline composition invariants hold on a seeded random corpus") {
+    // the q84 chain on generated docs: gate -> wide dedup -> survivors ->
+    // ordinals. Invariants, not golden values: survivor set ⊆ kept set,
+    // survivors are exactly the cluster minima of the kept pair graph,
+    // gids are a permutation of 0..N-1 contiguous, shards consecutive.
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc() = Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+    val base = (0L until 60L).map(i => (i, doc()))
+    // inject near-dup pairs: doc 100+i = doc i with one token changed
+    val dups = (0L until 10L).map { i =>
+      val toks = base(i.toInt)._2.split(" ")
+      toks(toks.length / 2) = "changed"
+      (100L + i, toks.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val gate = graft.operators.TextAnalysis.qualityGate(docs, "doc_id", "text")
+    val keptIds = gate.filter(col("keep")).select("doc_id")
+      .as[Long].collect().toSet
+    val kept = docs.join(gate.filter(col("keep")).select("doc_id"), "doc_id")
+    val pairs = graft.operators.Dedup.simhashMatchesWide(kept, "doc_id", "text", maxHamming = 2)
+      .select("i", "j").as[(Long, Long)].collect()
+    val surv = graft.operators.Components.keepCanonical(kept, "doc_id",
+      graft.operators.Dedup.simhashMatchesWide(kept, "doc_id", "text", maxHamming = 2))
+    val out = graft.operators.GlobalIds.contiguousIds(
+      surv.select("doc_id", "n_chars"),
+      expr("n_chars DIV 50"), Seq(col("n_chars"), col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val survIds = out.map(_._1).toSet
+    assert(survIds.subsetOf(keptIds), "survivors must pass the gate")
+    // reference survivors: union-find over the pair graph, keep minima
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expectSurv = keptIds.filter(id => find(id) == id)
+    assert(survIds === expectSurv)
+    // ordinals: contiguous 0..N-1
+    assert(out.map(_._2).sorted.toSeq === (0L until out.length.toLong))
+  }
 }

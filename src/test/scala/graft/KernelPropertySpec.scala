@@ -55,7 +55,9 @@ class KernelPropertySpec extends SparkSpec {
         (graft.operators.TextAnalysis.simHashWith($"t", 31L) +
           graft.operators.TextAnalysis.simHashWith($"t", 37L,
             graft.operators.TextAnalysis.WideSeed) *
-            lit(1L << graft.operators.TextAnalysis.SimHashBits)).as("wide_composed"))
+            lit(1L << graft.operators.TextAnalysis.SimHashBits)).as("wide_composed"),
+        graft.operators.TextAnalysis.maxNgramRepeat($"t", 2).as("rep_k"),
+        graft.operators.TextAnalysis.maxNgramRepeatSpec($"t", 2).as("rep_h"))
       .collect()
     assert(rows.length === texts.length)
     rows.foreach { r =>
@@ -69,6 +71,7 @@ class KernelPropertySpec extends SparkSpec {
       assert(r.getLong(9) === r.getLong(10), s"simHash mult=37 mismatch id=$id")
       assert(r.getLong(11) === r.getLong(12),
         s"fused wide simhash != composed halves id=$id")
+      assert(r.getLong(13) === r.getLong(14), s"maxNgramRepeat mismatch id=$id")
     }
   }
 
