@@ -247,9 +247,10 @@ object TextAnalysis {
     *
     * @param keepInputCols true ⇒ retain every input column alongside
     *        (reasons, keep), so a pipeline filters in the SAME pass —
-    *        gating by joining the verdict back to the source would
-    *        re-evaluate the whole metric set through a self-join for
-    *        nothing (measured 8.9s vs 2.4s on the q84 chain at sf0.1).
+    *        gating by joining the verdict back to the source re-runs
+    *        the whole metric set through a self-join (measured ~1s
+    *        slower on the q84 chain's gate stage at sf0.1, and at 100 TB
+    *        it doubles the most expensive scan of the pipeline).
     * @return (idCol, reasons, keep) — or all input columns + (reasons,
     *         keep) with `keepInputCols`.
     */

@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_ngram_hash_seq(s, n)` — positional word-n-gram hashes (index = start token)
   *   - `graft_token_count(s)`   — compiled whitespace token count
   *   - `graft_intersect_count_sorted(a, b)` — two-pointer |A∩B| of sorted long arrays
+  *   - `graft_max_equal_run(a)` — longest equal-neighbor run in a sorted long array
   *   - `graft_bottomk(x, k)`    — bottom-k distinct longs (KMV sketch state, aggregate)
   *
   * Arity/argument errors surface at ANALYSIS time (the builders validate
@@ -90,6 +91,11 @@ object GraftExtensions {
         "graft_intersect_count_sorted(a, b) - |A∩B| of sorted distinct LONG arrays"),
       es => { val Seq(a, b) = arity("graft_intersect_count_sorted", 2)(es)
         graft.expressions.IntersectCountSortedLong(a, b) }),
+    (FunctionIdentifier("graft_max_equal_run"),
+      info("graft_max_equal_run",
+        "graft_max_equal_run(a) - longest equal-neighbor run in a SORTED LONG array (max multiplicity)"),
+      es => { val Seq(a) = arity("graft_max_equal_run", 1)(es)
+        graft.expressions.MaxEqualRunLongs(a) }),
     (FunctionIdentifier("graft_bottomk"),
       info("graft_bottomk",
         "graft_bottomk(x, k) - aggregate: the k smallest distinct LONG values, ascending"),

@@ -63,6 +63,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got === Seq(1L, 3L, 5L))
   }
 
+  test("graft_max_equal_run scans the max multiplicity of a sorted array") {
+    val got = spark.sql(
+      "SELECT graft_max_equal_run(array_sort(array(3L, 1L, 3L, 2L, 3L, 1L)))")
+      .head.getLong(0)
+    assert(got === 3L)
+    assert(spark.sql(
+      "SELECT graft_max_equal_run(CAST(array() AS ARRAY<BIGINT>))")
+      .head.getLong(0) === 0L)
+    // composes with the gram kernel into the SQL form of maxNgramRepeat
+    Seq("p q r p q r p q").toDF("t").createOrReplaceTempView("docs_rep")
+    val rep = spark.sql(
+      """SELECT graft_max_equal_run(array_sort(graft_ngram_hash_seq(t, 2)))
+        |FROM docs_rep""".stripMargin).head.getLong(0)
+    assert(rep === 3L) // "p q" occurs 3x
+  }
+
   test("literal-parameter misuse fails at analysis time") {
     Seq(1L).toDF("x").createOrReplaceTempView("one")
     val e = intercept[Exception] {
