@@ -81,7 +81,10 @@ object ExactQuantiles {
     * their cumulative count reaches) — reproducible across runs, engines,
     * and partitionings, at the cost of unequal bucket sizes under heavy
     * ties. The join back is keyed by (group, value): bounded by distinct
-    * values, AQE broadcasts it when small.
+    * values, AQE broadcasts it when small. Rows with a NULL value are
+    * DROPPED (the equi-join back cannot match them and a NULL has no
+    * defined quantile bucket) — filter or impute first if they must
+    * survive.
     *
     * @return `df` plus `<valueCol>_bucket`
     */

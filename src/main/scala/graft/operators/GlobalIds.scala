@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   *      histogram operator here documents) and add the offset.
   *
   * CONTRACT: `bucket` must be monotone non-decreasing along `order`
-  * (every row of bucket b sorts before every row of bucket b+1) and
-  * `order` must be a total order. Both hold trivially for the canonical
-  * use — bucket = fixed-width ranges of the leading numeric order
-  * column, ties broken by id.
+  * (every row of bucket b sorts before every row of bucket b+1), must
+  * be non-NULL (a NULL bucket drops its rows at the offset equi-join —
+  * coalesce the bucket expression if the order key is nullable), and
+  * `order` must be a total order. All hold trivially for the canonical
+  * use — bucket = fixed-width ranges of the leading non-null numeric
+  * order column, ties broken by id. Bucket cardinality bounds the
+  * broadcast offset table — size the width so buckets number in the
+  * thousands-to-millions, not billions.
   */
 object GlobalIds {
 

@@ -81,12 +81,15 @@ object GroupingSets {
     * bottomk(A ∪ B) = bottomk(bottomk(A) ⧺ bottomk(B)) — so the cascade
     * stays one raw-data pass: the finest level aggregates the bounded
     * sketch ([[Sketch.bottomKHashes]], k longs per group), and every
-    * coarser level merges child sketches with plain array ops
-    * (flatten → distinct → sort → first k) over collect_list state
-    * bounded by child-group count × k. The merge is EXACT (not just
-    * approximately composable): cascaded sketches are bit-identical to
-    * sketches computed from raw data per level, which is what lets the
-    * oracle derive every level directly.
+    * coarser level EXPLODES the child sketches and re-runs the same
+    * bounded aggregate — k-long state per group with map-side partials,
+    * so even the grand-total merge never buffers more than k values per
+    * task (a collect_list-of-child-sketches merge would funnel
+    * |finest groups| × k longs into the () level's single buffer — the
+    * exact unbounded-state shape this operator family exists to avoid).
+    * The merge is EXACT (not just approximately composable): cascaded
+    * sketches are bit-identical to sketches computed from raw data per
+    * level, which is what lets the oracle derive every level directly.
     *
     * @return (dims…, gid, sk_size, h_k, est) — per q46's estimator,
     *         est is exact below k distinct and (k−1)·M/h_k beyond.
@@ -104,12 +107,13 @@ object GroupingSets {
           l0.select((dims.map(col) :+ col("sk")): _*)
         else {
           val kept = dims.filter(keep)
+          val exploded = l0.select((kept.map(col) :+
+            explode(col("sk")).as("__h")): _*)
           val grouped =
-            if (kept.isEmpty) l0.groupBy()
-            else l0.groupBy(kept.map(col): _*)
+            if (kept.isEmpty) exploded.groupBy()
+            else exploded.groupBy(kept.map(col): _*)
           val merged = grouped.agg(
-            slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
-              1, k).as("sk"))
+            Sketch.bottomKHashes(col("__h"), k).as("sk"))
           merged.select((dims.map { d =>
             if (keep(d)) col(d)
             else lit(null).cast(l0.schema(d).dataType).as(d)
