@@ -74,6 +74,21 @@ class PqSpec extends SparkSpec {
     assert(out === Seq(3L, 5L))
   }
 
+  test("adcTopK with precomputedCodes equals the encode-inline path") {
+    val vs = Seq(
+      (1L, Seq(0.2f, 0.1f, 0.9f, 0.8f)),
+      (2L, Seq(0.7f, 0.6f, 0.1f, 0.2f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 1.0f))).toDF("id", "v")
+    val q = Array(0.1f, 0.1f, 0.9f, 0.9f)
+    val inline = Pq.adcTopK(vs, "id", "v", q, cb22, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val codes = Pq.encode(vs, "id", "v", cb22) // the persisted codes table
+    val reused = Pq.adcTopK(vs, "id", "v", q, cb22, topK = 3,
+      precomputedCodes = Some(codes))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inline === reused)
+  }
+
   test("refineCodebooks moves centroids to assigned sub-vector means; empty cells persist") {
     // one block, two codes; three vectors cluster near (0,0) and (10,10)
     val cb = cbDf(Seq((0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(10.0f, 10.0f))))
