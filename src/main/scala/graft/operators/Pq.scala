@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization — the compressed representation a 100 TB vector
@@ -176,6 +177,47 @@ object Pq {
       table(b * k + c) = dist
     }
     table
+  }
+
+  /** Multi-query ADC top-k: all queries' distance tables ride as ONE
+    * flat plan literal (nq × m × k doubles — a 20-query 8×16 codebook is
+    * 2,560 doubles), candidates explode once per query and fold m
+    * lookups each — the codes table is still scanned ONCE for the whole
+    * query batch. Per-(candidate, query) distance is the same
+    * block-ordered left fold as [[adcTopK]], so results are
+    * deterministic and oracle-derivable. Queries beyond literal-size
+    * comfort (~thousands) should batch or fall back to a broadcast-join
+    * formulation.
+    *
+    * @return (qid, rank, nid, adist) — rank per qid by (adist asc, nid
+    *         asc), rank ≤ k.
+    */
+  def adcTopKMulti(vectors: DataFrame, idCol: String, vecCol: String,
+                   queries: Seq[(Long, Array[Float])], codebooks: DataFrame,
+                   k: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(queries.nonEmpty && k > 0)
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val kk = cb(0).length
+    val qs = queries.sortBy(_._1)
+    val table = typedlit(qs.flatMap { case (_, qv) => adcTable(qv, cb) })
+    val qids = typedlit(qs.map(_._1))
+    val codes = encode(vectors, idCol, vecCol, codebooks)
+      .filter(col("codes").isNotNull)
+      .select(col(idCol), col("codes"),
+        posexplode(qids).as(Seq("__qi", "qid")))
+    val flatIdx = zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+      (c, b) => b * kk + c)
+    val scored = codes
+      .withColumn("adist",
+        aggregate(flatIdx, lit(0.0), (acc, i) =>
+          acc + element_at(table,
+            (col("__qi") * (m * kk) + i + 1).cast("int"))))
+    val kept = if (excludeSelf) scored.filter(col("qid") =!= col(idCol)) else scored
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col(idCol))
+    kept.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("nid"), col("adist"))
   }
 
   /** IVF-PQ: coarse cell pruning composed with ADC ranking — the

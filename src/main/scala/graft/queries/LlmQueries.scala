@@ -571,6 +571,22 @@ object LlmQueries {
           col("source").asc_nulls_first)
     }),
 
+    // PQ quality measured, not asserted: ADC recall@5 against the exact
+    // cosine baseline (q60's harness) — multi-query ADC scans the codes
+    // table ONCE for the whole 20-query batch.
+    "q85_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.operators.Pq.firstKCodebooks(
+        emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      val exact = Similarity.bruteForceTopK(queriesSubset(s, dir), emb,
+        "vec_id", "embedding", k = 5)
+      val qs = queriesSubset(s, dir).select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      val approx = graft.operators.Pq.adcTopKMulti(
+        emb, "vec_id", "embedding", qs, cb, k = 5)
+      Similarity.recallAtK(exact, approx, "qid", "nid", k = 5).orderBy("qid")
+    }),
+
     // The whole corpus pipeline as ONE lazy plan: quality gate → wide
     // near-dup dedup over kept docs → canonical survivors → contiguous
     // ordinals + shards. Each stage is an already-gated operator; the
@@ -1689,6 +1705,56 @@ object LlmQueries {
          |  FROM scored)
          |SELECT qid, q_label, CAST(rank AS BIGINT) AS rank, nid, n_label, cos
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // PQ recall vs the exact baseline: brute CTE from q60, ADC ranks
+    // from the q76/q77 derivation with the distance table extended per
+    // query (d rows where vec_id < 20 ARE the per-query tables).
+    "q85_pq_recall" ->
+      s"""WITH $oNorms,
+         |bscored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCos("q", "c")} AS cos
+         |  FROM norms q JOIN norms c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |brute AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |    FROM bscored) WHERE rank <= 5),
+         |cb AS (
+         |  SELECT b.b AS block, e.vec_id AS code,
+         |         e.embedding[b.b*8+1 : b.b*8+8] AS cvec
+         |  FROM embeddings e, (SELECT unnest(generate_series(0, 7)) AS b) b
+         |  WHERE e.vec_id < 16),
+         |d AS (
+         |  SELECT v.vec_id, cb.block, cb.code,
+         |         list_reduce(list_transform(generate_series(1, 8), i ->
+         |           (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))
+         |           * (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))),
+         |           (a, x) -> a + x) AS dist
+         |  FROM embeddings v CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, block, code FROM (
+         |    SELECT vec_id, block, code,
+         |           row_number() OVER (PARTITION BY vec_id, block
+         |                              ORDER BY dist, code) AS rn
+         |    FROM d) WHERE rn = 1),
+         |dt AS (
+         |  SELECT vec_id AS qid, block, code, dist FROM d WHERE vec_id < 20),
+         |pqs AS (
+         |  SELECT dt.qid, c.vec_id AS nid,
+         |         list_reduce(list(dt.dist ORDER BY c.block), (a, x) -> a + x)
+         |           AS adist
+         |  FROM codes c JOIN dt ON dt.block = c.block AND dt.code = c.code
+         |  WHERE c.vec_id <> dt.qid
+         |  GROUP BY dt.qid, c.vec_id),
+         |pq AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+         |    FROM pqs) WHERE rank <= 5)
+         |SELECT b.qid, CAST(count(p.nid) AS BIGINT) AS hits,
+         |       CAST(count(p.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM brute b LEFT JOIN pq p ON p.qid = b.qid AND p.nid = b.nid
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
 
     // KMV per rollup level, derived from raw data per level — legal
     // because cascaded bottom-k merges are EXACT, not approximate.

@@ -89,6 +89,24 @@ class PqSpec extends SparkSpec {
     assert(inline === reused)
   }
 
+  test("adcTopKMulti equals per-query adcTopK over the batch") {
+    val rnd = new scala.util.Random(11)
+    val vs = (0L until 20L).map(i =>
+      (i, Seq.fill(4)((rnd.nextFloat() - 0.5f) * 4f))).toDF("id", "v")
+    val queries = Seq(
+      3L -> Array(0.5f, 0.5f, -0.5f, -0.5f),
+      7L -> Array(-1.0f, 0.2f, 0.3f, 0.9f))
+    val multi = Pq.adcTopKMulti(vs, "id", "v", queries, cb22, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val single = queries.flatMap { case (qid, qv) =>
+      Pq.adcTopK(vs.filter(col("id") =!= qid), "id", "v", qv, cb22, topK = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(multi === single)
+  }
+
   test("refineCodebooks moves centroids to assigned sub-vector means; empty cells persist") {
     // one block, two codes; three vectors cluster near (0,0) and (10,10)
     val cb = cbDf(Seq((0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(10.0f, 10.0f))))
