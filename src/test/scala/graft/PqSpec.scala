@@ -148,6 +148,48 @@ class PqSpec extends SparkSpec {
     assert(excl.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("Lloyd training reduces total quantization error on clustered data") {
+    // 4 tight clusters in 4-D; first-k init picks 4 near-identical
+    // vectors from cluster 0, so training must spread the codebook out.
+    val rnd = new scala.util.Random(31337)
+    val centers = Seq(
+      Array(5f, 5f, 0f, 0f), Array(-5f, 5f, 0f, 0f),
+      Array(0f, 0f, 5f, -5f), Array(0f, 0f, -5f, -5f))
+    val vs = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }.toDF("id", "v")
+    // degenerate init: all 4 codes sit on cluster 0 (tiny offsets keep
+    // them distinct) — training must migrate three of them out
+    val init = cbDf((0 until 4).map(c =>
+      (0, c.toLong, centers(0).map(x => x + 0.01f * c).toSeq)))
+    def totalErr(cb: org.apache.spark.sql.DataFrame): Double = {
+      // reconstruction error: per-vector min squared distance to any code
+      val cents = cb.orderBy("code").collect()
+        .map(_.getSeq[Float](2).toArray)
+      vs.collect().map { r =>
+        val v = r.getSeq[Float](1).toArray
+        cents.map { cent =>
+          v.zip(cent).map { case (x, c) =>
+            val d = x.toDouble - c.toDouble; d * d
+          }.sum
+        }.min
+      }.sum
+    }
+    val trained = Pq.refineCodebooks(vs, "id", "v", init, iterations = 4)
+    val (e0, e1) = (totalErr(init), totalErr(trained))
+    // Lloyd guarantees monotone improvement, not a global optimum: from
+    // this degenerate init it lands in the classic local minimum where
+    // one migrated code serves several far clusters (k-means++-style
+    // reseeding would be needed to split further). 2x is the robust
+    // floor; measured ~3x.
+    assert(e1 < e0 / 2,
+      s"training did not reduce quantization error: err $e0 -> $e1")
+    // and it must never get WORSE round over round
+    val once = Pq.refineCodebooks(vs, "id", "v", init, iterations = 1)
+    assert(totalErr(once) >= e1 - 1e-9 && totalErr(once) <= e0)
+  }
+
   test("firstKCodebooks slices the first k vectors per block, code = id") {
     val vs = Seq(
       (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
