@@ -48,19 +48,54 @@ object Bench {
     // a query that throws in ALL passes is EXCLUDED from the total and
     // listed in "failed" — folding a failure's elapsed time in would let
     // a broken query shrink the headline number.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // Queries whose advertised work is a pure projection: under the
+    // default count() action Catalyst prunes the computed columns away
+    // (EliminateSorts drops their ORDER BY too), so count() would bench
+    // an empty scan, not the operator (SCALE.md, "q81↔q84 gap"). For
+    // these, the action is a single hash-agg checksum over every output
+    // column — forces full evaluation, still returns one driver-side row.
+    val checksumQueries = Set(
+      "q26_text_quality", "q28_fingerprint", "q34_embed_quantize",
+      "q42_repetition", "q43_pii_scan", "q62_chunking", "q81_quality_gate")
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      import org.apache.spark.sql.functions.{col, expr, xxhash64}
       val t0 = System.nanoTime()
-      try { graft.operators.CacheScope.scoped(fn(spark, sfDir).count()); Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
+      try {
+        graft.operators.CacheScope.scoped {
+          val df = fn(spark, sfDir)
+          if (checksumQueries(name))
+            // bit_xor, not sum: summing 64-bit hashes overflows under
+            // ANSI mode; xor is closed over Long and order-insensitive.
+            df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+              .agg(expr("bit_xor(__h)")).collect()
+          else df.count()
+        }
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Seq[(String, Option[Double])] =
-      named.map { case (name, fn) => name -> once(fn) }
-    val passes = Seq(pass(), pass(), pass())
-    val results = named.map(_._1).zipWithIndex.map { case (name, i) =>
-      val samples = passes.flatMap(p => p(i)._2)
-      // min over the passes that finished; None only when every pass threw
-      name -> (if (samples.isEmpty) None else Some(samples.min))
+    def pass(sel: String => Boolean): Map[String, Option[Double]] =
+      named.filter(p => sel(p._1))
+        .map { case (name, fn) => name -> once(name, fn) }.toMap
+    val passes = Seq(pass(_ => true), pass(_ => true), pass(_ => true))
+    def minOf(ps: Seq[Map[String, Option[Double]]], name: String): Option[Double] = {
+      val samples = ps.flatMap(_.get(name).flatten)
+      if (samples.isEmpty) None else Some(samples.min)
+    }
+    // Queries at ≥1s get two EXTRA interleaved passes (5 samples total):
+    // round 8's same-code control showed best-of-3 still moving 30–47%
+    // on the ≥1s band, and these queries are where cross-round deltas
+    // must be attributable. The extra passes cost ~2× the ≥1s subtotal —
+    // cheap relative to the suite — and keep the decorrelation property
+    // (full-subset separation between samples, not back-to-back repeats).
+    val slow: Set[String] = named.map(_._1)
+      .filter(n => minOf(passes, n).exists(_ >= 1.0)).toSet
+    val extraPasses =
+      if (slow.isEmpty) Seq.empty
+      else Seq(pass(slow), pass(slow))
+    val results = named.map { case (name, _) =>
+      name -> minOf(passes ++ extraPasses, name)
     }
     val ok = results.collect { case (n, Some(s)) => n -> s }
     val failed = results.collect { case (n, None) => n }
@@ -69,8 +104,15 @@ object Bench {
     def r(v: Double): Double = math.round(v * 10000) / 10000.0
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cs = checksumQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    // "value" sits at the END of the object: the driver's log-tail window
+    // keeps the END of long lines, and round 8's front-truncation lost
+    // the headline number exactly because value led the line. A second
+    // minimal total-only line is emitted LAST as a belt-and-braces parse
+    // target — short enough that no tail window can cut it.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","checksum_action":$cs,"queries":$qs,"failed":$fs,"value":${r(total)}}""")
+    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size}}""")
     spark.stop()
   }
 }

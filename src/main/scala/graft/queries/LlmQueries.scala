@@ -1231,7 +1231,7 @@ object LlmQueries {
          |    SELECT doc_id, unnest($oToks) AS term FROM documents)
          |  GROUP BY 1, 2),
          |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
          |nn AS (SELECT count(*) AS n FROM documents),
          |ad AS (SELECT CAST((SELECT coalesce(sum(tf), 0) FROM tf) AS DOUBLE)
          |              / (SELECT n FROM nn) AS avgdl),

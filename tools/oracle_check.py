@@ -9,6 +9,16 @@ all columns, and compares values exactly. Reports per-query
 rows/schema/values status plus max float deviation so rounding patterns
 can be tuned before the driver ever runs.
 
+Type-strict (round 9): before comparing values, the DuckDB result's
+Arrow schema is compared column-by-column against the Spark parquet
+Arrow schema. This catches the class of divergence that burned q72 in
+round 8 — DuckDB sum(BIGINT) returns HUGEINT (arrow decimal128) while
+Spark emits BIGINT (int64); Python-normalized values are identical, so
+a value-only compare is blind to it, but the driver's type-sensitive
+hash is not. A small equivalence map covers representation-only
+differences that the driver's hash demonstrably tolerates (string vs
+large_string).
+
 Tooling only (duckdb/pyarrow are driver-side utilities, not library deps).
 """
 import json
@@ -19,6 +29,30 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def type_class(t):
+    """Collapse an Arrow type to the class the driver's hash sees.
+
+    string/large_string (and their list variants) are the same wire
+    value; everything else compares by exact Arrow type string, so
+    int64 vs decimal128(38,0) (the q72 HUGEINT burn) is a mismatch.
+    """
+    s = str(t)
+    return s.replace("large_string", "string")
+
+
+def schema_mismatches(oracle_schema, spark_schema):
+    """Per-column type diffs between oracle and Spark Arrow schemas."""
+    stypes = {f.name: f.type for f in spark_schema}
+    diffs = []
+    for f in oracle_schema:
+        st = stypes.get(f.name)
+        if st is None:
+            continue  # column-set diff is reported separately
+        if type_class(f.type) != type_class(st):
+            diffs.append((f.name, str(f.type), str(st)))
+    return diffs
 
 
 def norm(v):
@@ -39,18 +73,19 @@ def main(sf_dir, out_dir):
     for name in sorted(oracles):
         sql = oracles[name]
         try:
-            oracle = con.execute(sql)
-            ocols = [d[0] for d in oracle.description]
-            orows = oracle.fetchall()
+            otab = con.execute(sql).fetch_arrow_table()
+            ocols = otab.column_names
+            orows = [tuple(r.values()) for r in otab.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             failures += 1
             continue
         try:
-            spark = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols = [d[0] for d in spark.description]
-            srows = spark.fetchall()
+            stab = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            ).fetch_arrow_table()
+            scols = stab.column_names
+            srows = [tuple(r.values()) for r in stab.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: spark output missing/unreadable: {e}")
             failures += 1
@@ -58,6 +93,13 @@ def main(sf_dir, out_dir):
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: columns differ: oracle={sorted(ocols)} "
                   f"spark={sorted(scols)}")
+            failures += 1
+            continue
+        tdiffs = schema_mismatches(otab.schema, stab.schema)
+        if tdiffs:
+            det = "; ".join(f"{c}: oracle={ot} spark={st}"
+                            for c, ot, st in tdiffs)
+            print(f"FAIL {name}: result TYPES differ ({det})")
             failures += 1
             continue
         operm = [ocols.index(c) for c in sorted(ocols)]
