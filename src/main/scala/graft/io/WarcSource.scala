@@ -116,7 +116,11 @@ object WarcSource {
     val declared = col("content_length")
     val actual = octet_length(col("content")).cast(LongType)
     val identified = col("record_id").isNotNull
-    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    // count(when(...)), not sum(when/otherwise): sum over ZERO rows is
+    // NULL, so an empty scan would audit as all-NULL counts where a
+    // "one row of counts" consumer comparing to 0 expects zeros. count
+    // of a null-gated expression is 0 on empty input by definition.
+    def cnt(c: Column) = count(when(c, 1L))
     records.agg(
       cnt(!identified).as("phantom"),
       cnt(identified && declared.isNotNull && actual < declared).as("truncated"),

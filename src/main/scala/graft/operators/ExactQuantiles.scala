@@ -81,10 +81,14 @@ object ExactQuantiles {
     * their cumulative count reaches) — reproducible across runs, engines,
     * and partitionings, at the cost of unequal bucket sizes under heavy
     * ties. The join back is keyed by (group, value): bounded by distinct
-    * values, AQE broadcasts it when small. Rows with a NULL value are
-    * DROPPED (the equi-join back cannot match them and a NULL has no
-    * defined quantile bucket) — filter or impute first if they must
-    * survive.
+    * values, AQE broadcasts it when small. Rows with a NULL value OR a
+    * NULL group key are DROPPED — the equi-join back cannot match either
+    * (a NULL value has no defined quantile bucket; a NULL group is
+    * likewise excluded, matching the ANSI-equality join a SQL consumer
+    * would write) — filter or impute first if they must survive. If NULL
+    * groups should bucket among themselves, join null-safely on the group
+    * key (`<=>`) — deliberately NOT the default, to keep the operator's
+    * semantics aligned with its cross-engine SQL oracle (q75).
     *
     * @return `df` plus `<valueCol>_bucket`
     */

@@ -107,8 +107,15 @@ object GroupingSets {
           l0.select((dims.map(col) :+ col("sk")): _*)
         else {
           val kept = dims.filter(keep)
+          // explode_OUTER, not explode: a group whose sketch is empty
+          // (all-NULL hashCol) must still reach the coarser levels — plain
+          // explode drops its rows entirely, so the finest level would
+          // emit it with sk_size=0 while every coarser level lost it. The
+          // null __h the outer variant emits for empty sketches is ignored
+          // by BottomKLongs.update (null-skipping aggregate), so the merge
+          // still produces the correct (empty) sketch for such groups.
           val exploded = l0.select((kept.map(col) :+
-            explode(col("sk")).as("__h")): _*)
+            explode_outer(col("sk")).as("__h")): _*)
           val grouped =
             if (kept.isEmpty) exploded.groupBy()
             else exploded.groupBy(kept.map(col): _*)

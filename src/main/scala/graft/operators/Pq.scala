@@ -71,12 +71,24 @@ object Pq {
     * NULL codes for a malformed vector (null element / length ≠ D).
     */
   def encode(vectors: DataFrame, idCol: String, vecCol: String,
-             codebooks: DataFrame): DataFrame = {
+             codebooks: DataFrame): DataFrame =
+    encodeWith(vectors, idCol, vecCol, codebooks, Nil)
+
+  /** [[encode]] carrying extra columns through the map-only pass —
+    * consumers that need both codes and source columns (Lloyd training
+    * needs the vector itself) get them from ONE projection instead of
+    * encoding and joining back by id. At scale that join is an id-keyed
+    * shuffle of the full vector payload per use; carrying the column is
+    * free (same scan, same kernel, wider rows only until the next
+    * aggregate prunes them).
+    */
+  def encodeWith(vectors: DataFrame, idCol: String, vecCol: String,
+                 codebooks: DataFrame, carryCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
     val cb = collectCodebooks(codebooks)
-    vectors.select(col(idCol),
+    vectors.select((col(idCol) +: carryCols.map(col) :+
       toColumn(graft.expressions.PqEncode(toExpression(col(vecCol)), cb))
-        .as("codes"))
+        .as("codes")): _*)
   }
 
   /** Executable spec for [[encode]] in pure catalyst HOFs, bit-identical
@@ -108,9 +120,10 @@ object Pq {
   }
 
   /** Per-block Lloyd refinement under L2 — PQ's standard training loop.
-    * Each iteration: encode (map-only) → per-(block, code) elementwise
-    * mean of the assigned sub-vectors — ONE hash aggregate with map-side
-    * partials over m·k groups, corpus never collected, codebooks stay
+    * Each iteration: one corpus pass ([[lloydSums]]: encode carrying the
+    * vector, no join) → per-(block, code) elementwise mean of the
+    * assigned sub-vectors — ONE hash aggregate with map-side partials
+    * over m·k groups, corpus never collected, codebooks stay
     * driver-small. Empty cells keep their previous centroid.
     */
   def refineCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
@@ -123,17 +136,7 @@ object Pq {
     val sub = cb(0)(0).length
     for (_ <- 0 until iterations) {
       val cbDf = cbToDf(spark, cb)
-      val sums = encode(corpus, idCol, vecCol, cbDf)
-        .filter(col("codes").isNotNull)
-        .select(col(idCol), posexplode(col("codes")).as(Seq("block", "code")))
-        .join(corpus.select(col(idCol), col(vecCol).as("__v")), idCol)
-        .groupBy(col("block"), col("code"))
-        .agg(count(lit(1)).as("n"),
-          array((0 until sub).map(i =>
-            sum(element_at(col("__v"),
-              col("block") * sub + i + 1).cast("double")).as(s"s$i")): _*)
-            .as("vsum"))
-        .collect()
+      val sums = lloydSums(corpus, idCol, vecCol, cbDf, sub).collect()
       val next = cb.map(_.clone())
       sums.foreach { r =>
         val b = r.getAs[Int]("block")
@@ -146,6 +149,30 @@ object Pq {
     }
     cbToDf(spark, cb)
   }
+
+  /** One Lloyd iteration's per-(block, code) sufficient statistics —
+    * count and elementwise sub-vector sum. The vector column rides
+    * THROUGH the encode projection ([[encodeWith]]) so the plan is
+    * scan → kernel → posexplode → partial agg → m·k-group exchange:
+    * no join anywhere, and the only shuffle is m·k aggregate rows
+    * (round 8's shape joined the codes back to the corpus by id — an
+    * id-keyed shuffle of the full vector payload per iteration, the
+    * dominant training cost at corpus scale; PqSpec pins the no-join
+    * plan so it cannot regress).
+    */
+  private[graft] def lloydSums(corpus: DataFrame, idCol: String,
+                                   vecCol: String, codebooks: DataFrame,
+                                   sub: Int): DataFrame =
+    encodeWith(corpus, idCol, vecCol, codebooks, Seq(vecCol))
+      .filter(col("codes").isNotNull)
+      .select(col(vecCol).as("__v"),
+        posexplode(col("codes")).as(Seq("block", "code")))
+      .groupBy(col("block"), col("code"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until sub).map(i =>
+          sum(element_at(col("__v"),
+            col("block") * sub + i + 1).cast("double")).as(s"s$i")): _*)
+          .as("vsum"))
 
   private def cbToDf(spark: org.apache.spark.sql.SparkSession,
                      cb: Array[Array[Array[Float]]]): DataFrame = {
@@ -179,40 +206,75 @@ object Pq {
     table
   }
 
-  /** Multi-query ADC top-k: all queries' distance tables ride as ONE
-    * flat plan literal (nq × m × k doubles — a 20-query 8×16 codebook is
-    * 2,560 doubles), candidates explode once per query and fold m
-    * lookups each — the codes table is still scanned ONCE for the whole
-    * query batch. Per-(candidate, query) distance is the same
-    * block-ordered left fold as [[adcTopK]], so results are
-    * deterministic and oracle-derivable. Queries beyond literal-size
-    * comfort (~thousands) should batch or fall back to a broadcast-join
-    * formulation.
+  /** Multi-query ADC top-k: the codes table is scanned ONCE for the
+    * whole query batch, each candidate scored against every query by an
+    * m-lookup fold into that query's distance table. Two physically
+    * different plans, same results:
+    *
+    *  - **literal path** (small batches): all tables ride as ONE flat
+    *    plan literal (nq × m × k doubles — a 20-query 8×16 codebook is
+    *    2,560 doubles), candidates posexplode the qid literal and index
+    *    the flat table by __qi·(m·k)+i. Zero joins, but the literal is
+    *    compiled into the plan, so it only suits batches up to
+    *    `literalLimit` table entries.
+    *  - **broadcast path** (nq·m·k > literalLimit): per-query tables
+    *    become a driver-built nq-row relation, broadcast and
+    *    cross-joined to the codes scan (BroadcastNestedLoopJoin with an
+    *    nq-row build side — the candidate×query fan-out is the SAME
+    *    row multiplication the literal path's posexplode performs), and
+    *    the fold indexes the row's own table array. No plan-size limit;
+    *    tables ship once per executor instead of inside the codegen'd
+    *    plan.
+    *
+    * Per-(candidate, query) distance is the same block-ordered left fold
+    * as [[adcTopK]] in both paths, so results are deterministic,
+    * path-independent (PqSpec pins literal ≡ broadcast on the same
+    * batch) and oracle-derivable.
     *
     * @return (qid, rank, nid, adist) — rank per qid by (adist asc, nid
     *         asc), rank ≤ k.
     */
   def adcTopKMulti(vectors: DataFrame, idCol: String, vecCol: String,
                    queries: Seq[(Long, Array[Float])], codebooks: DataFrame,
-                   k: Int, excludeSelf: Boolean = true): DataFrame = {
+                   k: Int, excludeSelf: Boolean = true,
+                   literalLimit: Int = 1 << 16): DataFrame = {
     require(queries.nonEmpty && k > 0)
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate qids: each would produce duplicated, nondeterministically" +
+        " interleaved result rows — dedupe the batch first")
     val cb = collectCodebooks(codebooks)
     val m = cb.length
     val kk = cb(0).length
+    val entries = queries.length.toLong * m * kk
+    require(entries < Int.MaxValue,
+      s"nq*m*k = $entries overflows the flat-table index space")
     val qs = queries.sortBy(_._1)
-    val table = typedlit(qs.flatMap { case (_, qv) => adcTable(qv, cb) })
-    val qids = typedlit(qs.map(_._1))
     val codes = encode(vectors, idCol, vecCol, codebooks)
       .filter(col("codes").isNotNull)
-      .select(col(idCol), col("codes"),
-        posexplode(qids).as(Seq("__qi", "qid")))
     val flatIdx = zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
       (c, b) => b * kk + c)
-    val scored = codes
-      .withColumn("adist",
-        aggregate(flatIdx, lit(0.0), (acc, i) =>
-          acc + element_at(table,
-            (col("__qi") * (m * kk) + i + 1).cast("int"))))
+    val scored =
+      if (entries <= literalLimit) {
+        val table = typedlit(qs.flatMap { case (_, qv) => adcTable(qv, cb) })
+        val qids = typedlit(qs.map(_._1))
+        codes
+          .select(col(idCol), col("codes"),
+            posexplode(qids).as(Seq("__qi", "qid")))
+          .withColumn("adist",
+            aggregate(flatIdx, lit(0.0), (acc, i) =>
+              acc + element_at(table,
+                (col("__qi") * (m * kk) + i + 1).cast("int"))))
+      } else {
+        val spark = vectors.sparkSession
+        import spark.implicits._
+        val qdf = qs.map { case (qid, qv) => (qid, adcTable(qv, cb).toSeq) }
+          .toDF("qid", "__qtable")
+        codes
+          .crossJoin(broadcast(qdf))
+          .withColumn("adist",
+            aggregate(flatIdx, lit(0.0), (acc, i) =>
+              acc + element_at(col("__qtable"), (i + 1).cast("int"))))
+      }
     val kept = if (excludeSelf) scored.filter(col("qid") =!= col(idCol)) else scored
     val w = Window.partitionBy("qid").orderBy(col("adist"), col(idCol))
     kept.withColumn("rank", row_number().over(w).cast("long"))

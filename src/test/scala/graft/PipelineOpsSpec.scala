@@ -255,6 +255,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq === expected)
   }
 
+  test("rollupDistinctKmv: empty-sketch group survives coarser levels") {
+    // l0's hashes are all NULL → its finest sketch is empty. Every level
+    // must still emit the l0 groups (sk_size=0), not just the finest —
+    // plain explode() would drop them from the coarser re-aggregations.
+    val df = Seq(
+      ("l0", "s0", None: Option[Long]), ("l0", "s1", None: Option[Long]),
+      ("l1", "s0", Some(7L)), ("l1", "s0", Some(9L)))
+      .toDF("lang", "source", "h")
+    val out = graft.operators.GroupingSets
+      .rollupDistinctKmv(df, Seq("lang", "source"), "h", k = 4,
+        hashMod = 1000000007L)
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(_.toString).toSeq
+    val expected = Seq(
+      (Some("l0"), Some("s0"), 0L, 0L), (Some("l0"), Some("s1"), 0L, 0L),
+      (Some("l1"), Some("s0"), 0L, 2L),
+      (Some("l0"), None, 1L, 0L), (Some("l1"), None, 1L, 2L),
+      (None, None, 3L, 2L)).sortBy(_.toString)
+    assert(out === expected)
+  }
+
   // -------------------------------------------- ExactQuantiles (multi/ntile)
 
   test("quantilesByGroup reads all targets off one histogram pass") {

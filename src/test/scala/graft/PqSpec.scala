@@ -107,6 +107,43 @@ class PqSpec extends SparkSpec {
     assert(multi === single)
   }
 
+  test("adcTopKMulti broadcast fallback equals the literal path at nq >= 1000") {
+    val rnd = new scala.util.Random(23)
+    val vs = (0L until 30L).map(i =>
+      (i, Seq.fill(4)((rnd.nextFloat() - 0.5f) * 4f))).toDF("id", "v")
+    // qids start at 1000 so excludeSelf never bites (corpus ids < 30)
+    val queries = (0 until 1000).map(i =>
+      (1000L + i) -> Array.fill(4)((rnd.nextFloat() - 0.5f) * 4f))
+    def run(limit: Int) =
+      Pq.adcTopKMulti(vs, "id", "v", queries, cb22, k = 3,
+        literalLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val viaBroadcast = run(limit = 1) // forces the fallback
+    val viaLiteral = run(limit = Int.MaxValue) // nq*m*k = 4000 fits
+    assert(viaBroadcast === viaLiteral)
+    assert(viaBroadcast.map(_._1).distinct.length === 1000)
+  }
+
+  test("adcTopKMulti rejects duplicate qids and index-space overflow") {
+    val vs = Seq((0L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val q = Array(0.0f, 0.0f, 0.0f, 0.0f)
+    intercept[IllegalArgumentException] {
+      Pq.adcTopKMulti(vs, "id", "v", Seq(1L -> q, 1L -> q), cb22, k = 1)
+    }
+  }
+
+  test("lloydSums trains with no join in the plan (encode carries the vector)") {
+    val cb = cbDf(Seq((0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(10.0f, 10.0f))))
+    val vs = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(11.0f, 9.0f))).toDF("id", "v")
+    val plan = Pq.lloydSums(vs, "id", "v", cb, sub = 2)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty,
+      s"Lloyd sufficient-statistics pass must not join the corpus to itself:\n$plan")
+  }
+
   test("refineCodebooks moves centroids to assigned sub-vector means; empty cells persist") {
     // one block, two codes; three vectors cluster near (0,0) and (10,10)
     val cb = cbDf(Seq((0, 0L, Seq(0.0f, 0.0f)), (0, 1L, Seq(10.0f, 10.0f))))

@@ -150,6 +150,19 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("framingAudit returns zeros, not NULLs, on an empty scan") {
+    // sum() over zero rows is NULL; the audit must coalesce to 0 so a
+    // consumer comparing counts to 0 on an empty shard sees real zeros.
+    withWarc("") { path =>
+      val audit = WarcSource.framingAudit(WarcSource.readRecords(spark, path))
+        .collect()(0)
+      Seq("phantom", "truncated", "inflated", "undeclared", "clean").foreach { c =>
+        assert(!audit.isNullAt(audit.fieldIndex(c)), s"$c must not be NULL")
+        assert(audit.getAs[Long](c) === 0L)
+      }
+    }
+  }
+
   test("golden path: WARC crawl -> documents -> wide near-dup dedup survivors") {
     import graft.operators.{Components, Dedup}
     import org.apache.spark.sql.functions.col
