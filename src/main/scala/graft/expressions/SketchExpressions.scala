@@ -4,9 +4,9 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 
 /** Bottom-k distinct longs — the KMV (k-minimum-values) sketch state.
   *
@@ -98,4 +98,99 @@ case class BottomKLongs(child: Expression, k: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def withNewChildInternal(newChild: Expression): BottomKLongs =
     copy(child = newChild)
+}
+
+/** Bottom-k distinct (hash, value) PAIRS by (hash asc, value asc) — the
+  * deterministic uniform-sample sketch behind
+  * [[graft.operators.Sketch.sampledQuantiles]].
+  *
+  * Same bounded-state / merge-order-free discipline as [[BottomKLongs]]
+  * (≤ k pairs per group buffer, associative union-then-trim merge, result
+  * a function of the input SET only), but the sketch carries a VALUE
+  * alongside the ordering hash: with a uniform key hash, the k kept pairs
+  * are a uniform random-but-reproducible sample of the group's rows, and
+  * any order statistic of the sampled values estimates the group's — the
+  * bounded-state answer for quantiles over UNBOUNDED-cardinality columns,
+  * where the exact histogram pass (ExactQuantiles) has nothing bounded to
+  * histogram on. Cross-engine: an oracle re-derives the identical sample
+  * as the k smallest DISTINCT (hash, value) rows — no RNG anywhere.
+  *
+  * Output: array<struct<h: long, v: long>> ascending by (h, v).
+  */
+case class BottomKLongPairs(left: Expression, right: Expression, k: Int,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]]
+  with BinaryLike[Expression] with ExpectsInputTypes {
+
+  require(k > 0, "k must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] =
+    new java.util.TreeSet[(Long, Long)](Ordering.Tuple2(Ordering.Long, Ordering.Long))
+
+  override def update(buf: java.util.TreeSet[(Long, Long)],
+                      input: InternalRow): java.util.TreeSet[(Long, Long)] = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null) {
+      buf.add((h.asInstanceOf[Long], v.asInstanceOf[Long]))
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[(Long, Long)],
+                     b2: java.util.TreeSet[(Long, Long)]): java.util.TreeSet[(Long, Long)] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      b1.add(it.next())
+      if (b1.size > k) b1.pollLast()
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator() // ascending (h, v)
+    var i = 0
+    while (it.hasNext) {
+      val (h, v) = it.next()
+      arr(i) = InternalRow(h, v)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (h, v) = it.next(); bb.putLong(h); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val s = new java.util.TreeSet[(Long, Long)](
+      Ordering.Tuple2(Ordering.Long, Ordering.Long))
+    var i = 0
+    while (i < n) { s.add((bb.getLong, bb.getLong)); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKLongPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKLongPairs =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("v", LongType, nullable = false))), containsNull = false)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BottomKLongPairs =
+    copy(left = newLeft, right = newRight)
 }

@@ -90,7 +90,55 @@ object Sampling {
     * lookup for mixtureSample).
     */
   private def sampleByFraction(df: DataFrame, stratumCol: String, keyCol: String,
-                               fraction: org.apache.spark.sql.Column): DataFrame = {
+                               fraction: org.apache.spark.sql.Column): DataFrame =
+    sampleByTarget(df, stratumCol, keyCol, total => ceil(total * fraction))
+
+  /** Temperature-weighted EXACT-quota sampling across strata — the
+    * data-mixture primitive that turns raw corpus proportions into a
+    * sampled dataset of (up to) `totalTarget` rows where stratum s gets
+    * ⌊totalTarget · √n_s / Σ√n⌋ rows (α = 1/2 temperature flattening:
+    * big sources are down-weighted relative to their size, small sources
+    * up-weighted — the standard multilingual/multi-source rebalancing
+    * move). Unlike [[mixtureSample]] (per-stratum RATES), quotas here are
+    * exact COUNTS derived from the corpus's own per-stratum sizes.
+    *
+    * Determinism & the oracle gate: per-stratum counts are driver-side
+    * (one bounded aggregate — strata are metadata-scale), √ is a
+    * correctly-rounded IEEE op in any engine, and the weight
+    * normalization folds the √-weights in STRATUM-SORTED order
+    * (NULLS FIRST, then ascending) from a 0.0 seed — the one
+    * float-sum in the operator, pinned to a defined order so DuckDB's
+    * `list_reduce(list_prepend(0.0, list(w ORDER BY stratum)))`
+    * reproduces it bit-for-bit. Row selection per stratum is the same
+    * (hash-bucket asc, key asc) total order as [[stratifiedSample]],
+    * through the same histogram plan — no per-stratum sort funnel.
+    *
+    * A quota larger than the stratum takes the whole stratum.
+    */
+  def temperatureQuota(df: DataFrame, stratumCol: String, keyCol: String,
+                       totalTarget: Long): DataFrame = {
+    require(totalTarget > 0, "need a positive total target")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1))
+      .sortBy { case (s, _) => (s.isDefined, s.getOrElse("")) } // NULLS FIRST
+    val denom = counts.foldLeft(0.0)((acc, c) => acc + math.sqrt(c._2.toDouble))
+    val quotas = counts.map { case (s, n) =>
+      s -> math.floor(totalTarget.toDouble * math.sqrt(n.toDouble) / denom).toLong
+    }
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+      val matches = s.fold(col(stratumCol).isNull)(v => col(stratumCol) === lit(v))
+      when(matches, lit(q)).otherwise(acc)
+    }
+    sampleByTarget(df, stratumCol, keyCol, total => least(quota, total))
+  }
+
+  /** Shared scale-safe core: keep the first `targetOf(|stratum|)` rows
+    * per stratum under the (hash bucket asc, key asc) total order, via
+    * the histogram-threshold plan documented on [[stratifiedSample]].
+    */
+  private def sampleByTarget(df: DataFrame, stratumCol: String, keyCol: String,
+                             targetOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val buckets = 1000000
     val withB = df.withColumn("__bkt", hashBucket(col(keyCol), buckets))
     val hist = withB.groupBy(col(stratumCol), col("__bkt"))
@@ -100,7 +148,7 @@ object Sampling {
     val cum = hist
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__t",
-        ceil(sum(col("__c")).over(Window.partitionBy(col(stratumCol))) * fraction))
+        targetOf(sum(col("__c")).over(Window.partitionBy(col(stratumCol)))))
       .filter(col("__t") > 0)
     val bound = cum.filter(col("__cum") >= col("__t"))
       .groupBy(col(stratumCol).as("__st"))

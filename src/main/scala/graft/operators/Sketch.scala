@@ -35,4 +35,61 @@ object Sketch {
     when(size(sketch) < k, size(sketch).cast(DoubleType))
       .otherwise(lit((k - 1).toDouble * hashMod) /
         element_at(sketch, k).cast(DoubleType))
+
+  /** Approximate per-group quantiles from a bounded, DETERMINISTIC
+    * uniform sample — the quantile path for UNBOUNDED-cardinality value
+    * columns, where [[ExactQuantiles]]'s histogram pass has nothing
+    * bounded to aggregate on (its per-group state is the distinct-value
+    * count; fine for lengths and scores, unbounded for raw measures).
+    *
+    * Plan: ONE map-side-combinable aggregate over the raw data — per
+    * group, the exact row count plus a [[graft.expressions.BottomKLongPairs]]
+    * sketch keyed by the portable hash of `keyCol` (k pairs of state, any
+    * group size); quantiles are then order statistics of the ≤k sampled
+    * values, computed on the sketch array with integer-exact lower-
+    * quantile ranks (rank = ⌈sz·num/den⌉, q74's convention). With a
+    * uniform key hash this is a uniform sample, so the usual
+    * O(1/√k) quantile-estimate error applies — and the sample is
+    * REPRODUCIBLE: no RNG, no sampleBy seed, the same rows are chosen by
+    * every engine (the oracle re-derives them as the k smallest distinct
+    * (hash, value) pairs).
+    *
+    * `quantiles` entries are (outputName, num, den) with 1 ≤ num ≤ den.
+    * Rows with a NULL value or key are excluded from the sample (the
+    * exact count `n` still includes them).
+    *
+    * @return (groupCol, n, sample_size, quantile columns…)
+    */
+  def sampledQuantiles(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                       valueCol: String, keyCol: String, k: Int,
+                       quantiles: Seq[(String, Int, Int)]): org.apache.spark.sql.DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall { case (_, num, den) => num >= 1 && num <= den },
+      "quantile ranks must satisfy 1 <= num <= den")
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    // polyHash alone is NOT sample-grade: it is length-ordered (short
+    // keys hash small) and near-monotone on shared prefixes, so bottom-k
+    // would select short/consecutive keys, not a uniform subset. The
+    // Knuth multiplicative mix on top (the [[Sampling.hashBucket]]
+    // constant) scatters consecutive hashes across the space while
+    // staying a one-line portable formula the oracle reproduces.
+    // (polyHash < 2^31, so the pre-multiply reduction is an identity and
+    // the product stays below 2^63.)
+    val h = pmod(pmod(TextAnalysis.polyHash(col(keyCol).cast("string")),
+      lit(2147483648L)) * 2654435761L, lit(4294967296L))
+    val sk = toColumn(graft.expressions.BottomKLongPairs(
+      toExpression(h), toExpression(col(valueCol).cast("long")), k)
+      .toAggregateExpression())
+    val qCols = quantiles.map { case (name, num, den) =>
+      when(col("sample_size") > 0,
+        expr(s"element_at(__vals, CAST((sample_size * $num - 1) DIV $den + 1 AS INT))"))
+        .as(name)
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sk.as("__sk"))
+      .withColumn("sample_size", size(col("__sk")).cast("long"))
+      .withColumn("__vals",
+        array_sort(transform(col("__sk"), p => p.getField("v"))))
+      .select((col(groupCol) +: col("n") +: col("sample_size") +: qCols): _*)
+  }
 }

@@ -574,6 +574,46 @@ object LlmQueries {
     // PQ quality measured, not asserted: ADC recall@5 against the exact
     // cosine baseline (q60's harness) — multi-query ADC scans the codes
     // table ONCE for the whole 20-query batch.
+    // CUBE profile without Expand: all four (lang, source) grouping sets
+    // re-aggregated from the one cached finest-grain table — completes
+    // the grouping-sets family's oracle gates (rollup = q73, KMV cascade
+    // = q83).
+    "q86_cube_stats" -> ((s, dir) => {
+      graft.operators.GroupingSets.cube(
+        t(s, dir, "documents"), Seq("lang", "source"), "n_chars")
+        .orderBy(col("gid"), col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
+    }),
+
+    // Corpus n-gram familiarity (perplexity proxy, rational form): mean
+    // corpus bigram frequency + OOV-complement per doc — integer
+    // sufficient statistics, two final divisions, cross-engine exact.
+    "q87_ngram_familiarity" -> ((s, dir) => {
+      graft.operators.NgramLm.familiarity(
+        t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-weighted (α=1/2) EXACT quota sampling across sources —
+    // corpus-derived mixture counts, not caller-supplied rates (q50's
+    // mixtureSample is the rate-based sibling).
+    "q88_temperature_sample" -> ((s, dir) => {
+      Sampling.temperatureQuota(
+        t(s, dir, "documents"), "source", "doc_id", totalTarget = 600)
+        .select("doc_id", "source").orderBy("source", "doc_id")
+    }),
+
+    // Approximate per-language length quantiles from the bounded
+    // deterministic bottom-k-by-hash sample — the unbounded-cardinality
+    // quantile path (q74's exact histogram is the bounded-cardinality
+    // one); sample and estimates reproduced exactly by the oracle.
+    "q89_sampled_quantiles" -> ((s, dir) => {
+      graft.operators.Sketch.sampledQuantiles(
+        t(s, dir, "documents"), "lang", "n_chars", "doc_id", k = 64,
+        Seq(("p50", 1, 2), ("p90", 9, 10)))
+        .orderBy("lang")
+    }),
+
     "q85_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cb = graft.operators.Pq.firstKCodebooks(
@@ -1463,6 +1503,94 @@ object LlmQueries {
         |       min(n_chars) AS min_v, max(n_chars) AS max_v,
         |       CAST(GROUPING(lang, source) AS BIGINT) AS gid
         |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // Bigram extraction mirrors q42's oracle pattern; the stats join
+    // preserves occurrence multiplicity exactly as the engine's
+    // gram-keyed join does. Ratios are single divisions of exact BIGINTs.
+    "q87_ngram_familiarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $oToks AS tk FROM documents),
+         |dg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |  FROM toks),
+         |cc AS (SELECT gram, count(*) AS cnt FROM dg GROUP BY 1),
+         |st AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(cnt) AS BIGINT) AS sum_freq,
+         |         CAST(count(CASE WHEN cnt >= 2 THEN 1 END) AS BIGINT) AS n_known
+         |  FROM dg JOIN cc USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(st.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |       coalesce(st.sum_freq, CAST(0 AS BIGINT)) AS sum_freq,
+         |       coalesce(st.n_known, CAST(0 AS BIGINT)) AS n_known,
+         |       CASE WHEN st.n_grams > 0
+         |            THEN CAST(st.sum_freq AS DOUBLE) / st.n_grams END AS familiarity,
+         |       CASE WHEN st.n_grams > 0
+         |            THEN CAST(st.n_known AS DOUBLE) / st.n_grams END AS known_ratio
+         |FROM documents d LEFT JOIN st USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Quota derivation mirrors the operator bit-for-bit: sqrt weights,
+    // denominator folded from a 0.0 seed in stratum-sorted order
+    // (NULLS FIRST — sources here are non-null, but the order contract
+    // is part of the operator's doc), floor of the IEEE product/quotient;
+    // row selection is q35's (Knuth hash bucket, key) total order.
+    "q88_temperature_sample" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM cnt),
+        |d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(w ORDER BY source NULLS FIRST)), (a, b) -> a + b) AS denom
+        |      FROM w),
+        |q AS (SELECT source, n,
+        |        CAST(floor(CAST(600 AS DOUBLE) * w / denom) AS BIGINT) AS quota
+        |      FROM w CROSS JOIN d),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000, doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source FROM ranked r JOIN q USING (source)
+        |WHERE r.rn <= least(q.quota, q.n)
+        |ORDER BY r.source, r.doc_id""".stripMargin,
+
+    // The sample IS the k smallest DISTINCT (hash, value) pairs per
+    // group — the sketch aggregate's set semantics — and quantiles are
+    // q74's integer-exact lower-rank convention on the sampled values.
+    "q89_sampled_quantiles" ->
+      s"""WITH h AS (
+         |  SELECT lang, n_chars,
+         |         (((${oPolyHash("CAST(doc_id AS VARCHAR)")}
+         |           % 2147483648) * 2654435761) % 4294967296) AS hv
+         |  FROM documents),
+         |ds AS (SELECT DISTINCT lang, hv, n_chars FROM h),
+         |rk AS (
+         |  SELECT lang, hv, n_chars,
+         |         row_number() OVER (PARTITION BY lang ORDER BY hv, n_chars) AS rn
+         |  FROM ds),
+         |sk AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS sample_size,
+         |         list(n_chars ORDER BY n_chars) AS vals
+         |  FROM rk WHERE rn <= 64 GROUP BY 1),
+         |nn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1)
+         |SELECT nn.lang, nn.n, sk.sample_size,
+         |       CASE WHEN sample_size > 0
+         |            THEN vals[CAST((sample_size * 1 - 1) // 2 + 1 AS INT)] END AS p50,
+         |       CASE WHEN sample_size > 0
+         |            THEN vals[CAST((sample_size * 9 - 1) // 10 + 1 AS INT)] END AS p90
+         |FROM nn JOIN sk USING (lang)
+         |ORDER BY nn.lang""".stripMargin,
+
+    // Same gid convention as q73 (GROUPING bit: leftmost dim = MSB, set
+    // when the dim is aggregated away) over all 2^2 subsets.
+    "q86_cube_stats" ->
+      """SELECT lang, source,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |       min(n_chars) AS min_v, max(n_chars) AS max_v,
+        |       CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE (lang, source)
         |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
     "q74_group_quantiles" ->

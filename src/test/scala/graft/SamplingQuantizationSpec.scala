@@ -69,6 +69,30 @@ class SamplingQuantizationSpec extends SparkSpec {
     assert(again === sample.select("id").as[Long].collect().sorted)
   }
 
+  test("temperatureQuota: sqrt-weighted exact quotas, oversized quota takes all") {
+    // strata sizes 400 / 100 / 4: sqrt weights 20 / 10 / 2, denom 32.
+    // target 64 → quotas floor(64*20/32)=40, floor(64*10/32)=20,
+    // floor(64*2/32)=4 (= whole stratum c).
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (1001 to 1100).map(i => (i.toLong, "b")) ++
+      (2001 to 2004).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val out = Sampling.temperatureQuota(df, "s", "id", totalTarget = 64)
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 40L, "b" -> 20L, "c" -> 4L))
+    // reproducible and a subset chosen by the (hash bucket, key) order
+    val again = Sampling.temperatureQuota(df, "s", "id", totalTarget = 64)
+      .select("id").as[Long].collect().sorted
+    assert(again === out.select("id").as[Long].collect().sorted)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"s")
+      .orderBy(Sampling.hashBucket($"id", 1000000), $"id")
+    val ref = df.withColumn("rn", row_number().over(w))
+      .filter(($"s" === "a" && $"rn" <= 40) || ($"s" === "b" && $"rn" <= 20) ||
+        ($"s" === "c" && $"rn" <= 4))
+      .select("id").as[Long].collect().sorted
+    assert(again === ref)
+  }
+
   test("stratifiedSample matches the rank-window formulation row-for-row") {
     // the two-pass threshold design must reproduce the old semantics
     // exactly: rank by (hashBucket asc, key asc), keep rank <= ceil(f*n)

@@ -58,6 +58,47 @@ class SketchSpec extends SparkSpec {
     assert(estS === 2.0)
   }
 
+  test("sampledQuantiles: sample == population when k covers the group; exact ranks") {
+    // group a: 10 values, k=16 ≥ 10 → the "sample" is the whole group and
+    // the lower-quantile ranks are exact: p50 = rank ceil(10/2)=5, p90 =
+    // rank ceil(9)=9
+    val df = ((1L to 10L).map(v => ("a", v, v + 100)) ++
+      Seq(("b", 7L, 201L), ("b", 7L, 202L))).toDF("g", "v", "key")
+    val out = Sketch.sampledQuantiles(df, "g", "v", "key", k = 16,
+      Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) === (("a", 10L, 10L, 5L, 9L)))
+    assert(out(1) === (("b", 2L, 2L, 7L, 7L)))
+  }
+
+  test("sampledQuantiles is partitioning-invariant and bounded at k") {
+    val rows = (1L to 500L).map(v => ("g", v * 3 % 997, v))
+    val a = Sketch.sampledQuantiles(
+      rows.toDF("g", "v", "key").repartition(1), "g", "v", "key", k = 32,
+      Seq(("p50", 1, 2))).collect()(0)
+    val b = Sketch.sampledQuantiles(
+      rows.toDF("g", "v", "key").repartition(16), "g", "v", "key", k = 32,
+      Seq(("p50", 1, 2))).collect()(0)
+    assert(a.getLong(1) === 500L)
+    assert(a.getLong(2) === 32L) // sample bounded at k
+    assert(a.toSeq === b.toSeq) // merge order cannot change the sketch
+    // a uniform 32-sample median of 1..996-ish values lands mid-range
+    assert(a.getLong(3) > 100L && a.getLong(3) < 900L)
+  }
+
+  test("BottomKLongPairs collapses duplicate (hash, value) pairs") {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val df = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L))
+      .toDF("h", "v").withColumn("g", lit(1))
+    val sk = df.groupBy("g").agg(
+      toColumn(graft.expressions.BottomKLongPairs(
+        toExpression($"h"), toExpression($"v"), 10).toAggregateExpression())
+        .as("sk"))
+      .select("sk").as[Seq[(Long, Long)]].collect()(0)
+    assert(sk === Seq((1L, 10L), (1L, 20L), (2L, 10L)))
+  }
+
   test("KMV estimate lands near the true distinct count on uniform hashes") {
     // 5000 distinct keys through the portable mixer; k=64 → relative
     // error ~1/sqrt(k-1) ≈ 13%; assert a loose 3-sigma-ish band
