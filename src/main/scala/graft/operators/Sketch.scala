@@ -36,6 +36,73 @@ object Sketch {
       .otherwise(lit((k - 1).toDouble * hashMod) /
         element_at(sketch, k).cast(DoubleType))
 
+  // --- Count-min sketch -------------------------------------------------
+
+  /** Carter–Wegman row hashes over the portable base hash: row j maps an
+    * item to bucket ((a_j·polyHash(item) + b_j) mod p) mod w. Affine-
+    * mod-prime on a shared base hash gives the pairwise-independence-ish
+    * spread CMS rows need while staying a one-line portable formula
+    * (base-hash collisions add estimator error but never break the
+    * overestimate guarantee — colliding items just pool their counts,
+    * and the whole construction stays deterministic for the oracle).
+    */
+  private val CmsP = 1000000007L
+  private[operators] val CmsA = Seq(48271L, 69621L, 40692L)
+  private[operators] val CmsB = Seq(11L, 13L, 17L)
+
+  private def cmsBucket(h0: Column, row: Column, d: Int, w: Int): Column = {
+    val a = element_at(typedlit(CmsA.take(d)), (row + 1).cast("int"))
+    val b = element_at(typedlit(CmsB.take(d)), (row + 1).cast("int"))
+    (a * h0 + b) % CmsP % w
+  }
+
+  /** Count-min sketch TABLE over an item column: d×w bucket counts —
+    * frequency estimation whose state is d·w longs REGARDLESS of item
+    * cardinality (the exact frequency table — q33's shape — is
+    * |vocab|-sized; at web-corpus vocabularies that is itself a big-data
+    * problem, and un-mergeable across shards without another shuffle).
+    * The CMS table is a plain aggregate: per row j, bucket h_j(item),
+    * count(*) — map-side combinable, and two shards' tables MERGE BY
+    * ADDITION, which is what makes it the streaming/incremental
+    * frequency companion. Overestimates only: est(x) ≥ true(x), with
+    * ε ≈ e/w relative mass error at the usual d = ln(1/δ) rows.
+    *
+    * @return (row INT 0..d−1, bucket LONG 0..w−1, cnt LONG)
+    */
+  def countMinTable(df: org.apache.spark.sql.DataFrame, itemCol: String,
+                    d: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    require(d >= 1 && d <= CmsA.length, s"1 <= d <= ${CmsA.length}")
+    require(w >= 2, "need w >= 2 buckets")
+    val h0 = TextAnalysis.polyHash(col(itemCol))
+    df.select(h0.as("__h0"),
+      explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("row"), cmsBucket(col("__h0"), col("row"), d, w).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinTable]]: per probe item, the MIN
+    * over the d rows of its bucket's count (missing bucket = 0). The
+    * sketch is broadcast (d·w rows by construction), so lookups are a
+    * map-side join against the probe set — no shuffle proportional to
+    * either corpus or vocabulary.
+    *
+    * @return probes' columns plus `est`
+    */
+  def cmsEstimate(sketch: org.apache.spark.sql.DataFrame,
+                  probes: org.apache.spark.sql.DataFrame, itemCol: String,
+                  d: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    require(d >= 1 && d <= CmsA.length, s"1 <= d <= ${CmsA.length}")
+    val h0 = TextAnalysis.polyHash(col(itemCol))
+    probes
+      .withColumn("__h0", h0)
+      .withColumn("row", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket", cmsBucket(col("__h0"), col("row"), d, w))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .withColumn("__cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
+      .agg(min(col("__cnt")).as("est"))
+  }
+
   /** Approximate per-group quantiles from a bounded, DETERMINISTIC
     * uniform sample — the quantile path for UNBOUNDED-cardinality value
     * columns, where [[ExactQuantiles]]'s histogram pass has nothing

@@ -614,6 +614,20 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // Count-min frequency estimation: the d×w bounded-state companion to
+    // q33's exact |vocab|-sized frequency table — sketch built in one
+    // aggregate pass, exact top-20 probed against it (est ≥ exact, both
+    // integer-exact and oracle-reproduced).
+    "q90_cms_token_freq" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sketch = graft.operators.Sketch.countMinTable(toks, "token", d = 3, w = 256)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("token")).limit(20)
+      graft.operators.Sketch.cmsEstimate(sketch, top, "token", d = 3, w = 256)
+        .orderBy(desc("exact_cnt"), col("token"))
+    }),
+
     "q85_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cb = graft.operators.Pq.firstKCodebooks(
@@ -1581,6 +1595,27 @@ object LlmQueries {
          |            THEN vals[CAST((sample_size * 9 - 1) // 10 + 1 AS INT)] END AS p90
          |FROM nn JOIN sk USING (lang)
          |ORDER BY nn.lang""".stripMargin,
+
+    // CMS table from the exact counts (sum of cnt into buckets ≡ the
+    // engine's count over occurrences); same Carter–Wegman row constants;
+    // min over rows with missing-bucket→0 on both sides.
+    "q90_cms_token_freq" ->
+      s"""WITH tok AS (SELECT unnest($oToks) AS token FROM documents),
+         |cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |h AS (SELECT token, cnt, ${oPolyHash("token")} AS h0 FROM cnts),
+         |rows(j, a, b) AS (VALUES (0, 48271, 11), (1, 69621, 13), (2, 40692, 17)),
+         |cms AS (
+         |  SELECT r.j AS rj, ((r.a * h.h0 + r.b) % 1000000007) % 256 AS bucket,
+         |         CAST(sum(h.cnt) AS BIGINT) AS bcnt
+         |  FROM h CROSS JOIN rows r GROUP BY 1, 2),
+         |top AS (SELECT token, cnt, h0 FROM h ORDER BY cnt DESC, token LIMIT 20)
+         |SELECT t.token, t.cnt AS exact_cnt,
+         |       CAST(min(coalesce(c.bcnt, 0)) AS BIGINT) AS est
+         |FROM top t CROSS JOIN rows r
+         |LEFT JOIN cms c ON c.rj = r.j
+         |  AND c.bucket = ((r.a * t.h0 + r.b) % 1000000007) % 256
+         |GROUP BY 1, 2
+         |ORDER BY exact_cnt DESC, token""".stripMargin,
 
     // Same gid convention as q73 (GROUPING bit: leftmost dim = MSB, set
     // when the dim is aggregated away) over all 2^2 subsets.

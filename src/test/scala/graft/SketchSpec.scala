@@ -99,6 +99,38 @@ class SketchSpec extends SparkSpec {
     assert(sk === Seq((1L, 10L), (1L, 20L), (2L, 10L)))
   }
 
+  test("count-min: overestimates only, exact when buckets are collision-free") {
+    val items = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = items.toDF("tok")
+    val sketch = Sketch.countMinTable(df, "tok", d = 3, w = 256)
+    // table shape: d rows' buckets, total count preserved per row
+    val perRow = sketch.groupBy("row").agg(sum("cnt").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow === Map(0 -> 9L, 1 -> 9L, 2 -> 9L))
+    val probes = Seq(("alpha", 5L), ("beta", 3L), ("gamma", 1L), ("absent", 0L))
+      .toDF("tok", "truth")
+    val est = Sketch.cmsEstimate(sketch, probes, "tok", d = 3, w = 256)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    est.foreach { case (tok, (truth, e)) =>
+      assert(e >= truth, s"$tok: CMS must never underestimate")
+    }
+    // 3 distinct tokens in 256 buckets: whp collision-free per row → exact
+    assert(est("alpha") === ((5L, 5L)))
+    assert(est("absent")._2 >= 0L)
+  }
+
+  test("count-min tables merge by addition") {
+    val a = Seq("x", "x", "y").toDF("tok")
+    val b = Seq("x", "z").toDF("tok")
+    val merged = Sketch.countMinTable(a, "tok", d = 2, w = 64)
+      .unionByName(Sketch.countMinTable(b, "tok", d = 2, w = 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val direct = Sketch.countMinTable(a.unionByName(b), "tok", d = 2, w = 64)
+    val canon = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(merged) === canon(direct))
+  }
+
   test("KMV estimate lands near the true distinct count on uniform hashes") {
     // 5000 distinct keys through the portable mixer; k=64 → relative
     // error ~1/sqrt(k-1) ≈ 13%; assert a loose 3-sigma-ish band
