@@ -216,20 +216,29 @@ object LlmQueries {
     // Repetition metrics (Gopher-style quality rule): duplicate lines +
     // most-repeated-bigram ratio, all per-row narrow projections.
     "q42_repetition" -> ((s, dir) => {
-      val bi = graft.functions.shingles(TextAnalysis.tokens(col("text")), 2)
-      // materialize the sort+fold ONCE (it's an array_sort plus an
-      // interpreted aggregate over all bigrams) and reference the
-      // attribute from both output columns — same single-pass discipline
-      // as q34's max_abs.
+      // Every metric is computed ONCE as a materialized column and
+      // referenced by attribute. In particular n_bigrams is token-count
+      // ARITHMETIC (greatest(|tokens|-1, 0) — qualityGate's __nb
+      // pattern and the oracle's own formula), never size(shingles):
+      // building the string-bigram array through the interpreted HOF
+      // chain just to take its length was ~6s of this query's 7s at
+      // sf0.1 under the materializing bench action (three size(bi)
+      // references, each an interpreted shingle pass per row).
       t(s, dir, "documents")
         .withColumn("top_bigram_cnt", TextAnalysis.maxNgramRepeat(col("text"), 2))
+        .withColumn("__lines", TextAnalysis.docLines(col("text")))
+        .withColumn("n_bigrams",
+          greatest(size(TextAnalysis.tokens(col("text"))) - 1, lit(0))
+            .cast("long"))
         .select(
           col("doc_id"),
-          size(TextAnalysis.docLines(col("text"))).cast("long").as("n_lines"),
-          TextAnalysis.dupLineCount(col("text")).as("n_dup_lines"),
-          size(bi).cast("long").as("n_bigrams"),
+          size(col("__lines")).cast("long").as("n_lines"),
+          (size(col("__lines")) - size(array_distinct(col("__lines"))))
+            .cast("long").as("n_dup_lines"),
+          col("n_bigrams"),
           col("top_bigram_cnt"),
-          when(size(bi) > 0, col("top_bigram_cnt").cast("double") / size(bi))
+          when(col("n_bigrams") > 0,
+            col("top_bigram_cnt").cast("double") / col("n_bigrams"))
             .as("rep_ratio"))
         .orderBy("doc_id")
     }),
