@@ -50,7 +50,7 @@ object Sketch {
   private[operators] val CmsA = Seq(48271L, 69621L, 40692L)
   private[operators] val CmsB = Seq(11L, 13L, 17L)
 
-  private def cmsBucket(h0: Column, row: Column, d: Int, w: Int): Column = {
+  private[graft] def cmsBucket(h0: Column, row: Column, d: Int, w: Int): Column = {
     val a = element_at(typedlit(CmsA.take(d)), (row + 1).cast("int"))
     val b = element_at(typedlit(CmsB.take(d)), (row + 1).cast("int"))
     (a * h0 + b) % CmsP % w

@@ -120,4 +120,40 @@ object CorpusStreams {
           }
       }
   }
+
+  /** Windowed token-frequency COUNT-MIN over the document stream —
+    * streaming twin of [[graft.operators.Sketch.countMinTable]], and the
+    * reason that sketch merges by addition: per event-time window the
+    * streaming aggregate keeps d·w counters, REGARDLESS of how many
+    * distinct tokens the stream carries — an exact windowed token count
+    * would hold |window vocabulary| keys of state (unbounded on a web
+    * stream), while this state is a constant a streaming heavy-hitter /
+    * trending-terms monitor can hold forever. Same Carter–Wegman bucket
+    * formula as the batch table, so a window's sketch rows are
+    * BIT-IDENTICAL to `countMinTable` over that window's batch slice
+    * (parity test-locked), and [[graft.operators.Sketch.cmsEstimate]]
+    * probes them unchanged.
+    *
+    * The watermark bounds window state lifetime the usual way; append
+    * mode emits each window's final sketch once the watermark passes.
+    *
+    * @return streaming (window_start, row, bucket, cnt)
+    */
+  def windowedTokenCountMin(docs: org.apache.spark.sql.DataFrame,
+                            textCol: String, tsCol: String, d: Int, w: Int,
+                            windowDur: String, watermark: String): org.apache.spark.sql.DataFrame = {
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("__token"))
+      .select(col(tsCol),
+        TextAnalysis.polyHash(col("__token")).as("__h0"))
+      .select(col(tsCol), col("__h0"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .groupBy(window(col(tsCol), windowDur).as("__win"), col("row"),
+        graft.operators.Sketch.cmsBucket(col("__h0"), col("row"), d, w)
+          .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("__win.start").as("window_start"), col("row"),
+        col("bucket"), col("cnt"))
+  }
 }

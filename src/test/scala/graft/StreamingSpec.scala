@@ -328,4 +328,39 @@ class StreamingSpec extends SparkSpec {
       assert(canon(spark.table("ij")) === expected)
     } finally query.stop()
   }
+
+  test("windowedTokenCountMin: per-window sketch equals the batch countMinTable") {
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1, ts(0), "alpha beta alpha"),
+      Doc(2, ts(3), "beta gamma"),
+      Doc(3, ts(12), "alpha alpha"), // second window
+      Doc(4, ts(14), "delta"))
+    val input = MemoryStream[Doc]
+    val query = CorpusStreams.windowedTokenCountMin(
+      input.toDF(), "text", "ts", d = 3, w = 64,
+      windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wcm").start()
+    try {
+      input.addData(docs.take(2): _*) // split across micro-batches:
+      query.processAllAvailable()     // sketch counters must re-aggregate
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("wcm").collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch reference: countMinTable over each window's slice of docs
+      val expected = Seq(ts(0) -> docs.take(2), ts(10) -> docs.drop(2))
+        .flatMap { case (w0, slice) =>
+          val toks = slice.toDF()
+            .select(explode(graft.operators.TextAnalysis.tokens($"text")).as("token"))
+          graft.operators.Sketch.countMinTable(toks, "token", d = 3, w = 64)
+            .collect().map(r => (w0, r.getInt(0), r.getLong(1), r.getLong(2)))
+        }.toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
 }
