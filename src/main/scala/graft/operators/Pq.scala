@@ -353,6 +353,46 @@ object Pq {
     *
     * @return (idCol, adist) — top `topK` by (adist asc, id asc).
     */
+  /** Two-stage PQ serving: ADC SHORTLIST then EXACT rerank — the
+    * standard compressed-index query shape (FAISS's refine step). Stage
+    * 1 is [[adcTopK]] over codes only (the cheap, compressed scan,
+    * shortlist ≫ topK to absorb quantization error); stage 2 fetches
+    * ONLY the shortlisted rows' float vectors via a broadcast semi-join
+    * (`shortlist` ids — never a second full-corpus materialization;
+    * the vector scan prunes to the joined rows) and re-scores them with
+    * the exact squared L2, fixing any ADC-induced rank inversions
+    * inside the shortlist. Cost at scale: one codes scan + `shortlist`
+    * exact distances — the refine stage's interpreted fold runs on
+    * `shortlist` rows, not the corpus.
+    *
+    * Exact distances are the direct left-to-right (q_i − v_i)² fold
+    * from a 0.0 seed — the same portable form every oracle mirrors.
+    *
+    * @return (idCol, adist, dist) — top `topK` by (exact dist asc,
+    *         id asc); `adist` retained so consumers can see the
+    *         reranking delta.
+    */
+  def adcRerankTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                    query: Array[Float], codebooks: DataFrame,
+                    shortlist: Int, topK: Int,
+                    precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    require(topK > 0 && shortlist >= topK, "need shortlist >= topK > 0")
+    val short = adcTopK(vectors, idCol, vecCol, query, codebooks,
+      shortlist, precomputedCodes)
+    val qlit = typedlit(query.toSeq)
+    vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(short), Seq(idCol))
+      .withColumn("dist",
+        aggregate(
+          zip_with(qlit, col(vecCol), (a, b) =>
+            (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, d) => acc + d))
+      .select(col(idCol), col("adist"), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
+
   def adcTopK(vectors: DataFrame, idCol: String, vecCol: String,
               query: Array[Float], codebooks: DataFrame, topK: Int,
               precomputedCodes: Option[DataFrame] = None): DataFrame = {

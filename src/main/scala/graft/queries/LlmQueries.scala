@@ -521,6 +521,19 @@ object LlmQueries {
       graft.operators.Pq.adcTopK(emb, "vec_id", "embedding", q, cb, topK = 100)
     }),
 
+    // Two-stage serving: ADC top-100 shortlist from the codes scan, then
+    // exact-L2 rerank of just those 100 vectors → top-10 (the FAISS
+    // refine shape; adist kept so the reranking delta is visible).
+    "q91_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.operators.Pq.firstKCodebooks(
+        emb, "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      graft.operators.Pq.adcRerankTopK(emb, "vec_id", "embedding", q, cb,
+        shortlist = 100, topK = 10)
+    }),
+
     // IVF-PQ composed: cosine cell pruning (5 of 20 cells probed) + ADC
     // ranking of only the candidates in probed cells — the production
     // index shape; candidate scan cost ≈ nProbe/|cells| of the corpus.
@@ -1722,6 +1735,49 @@ object LlmQueries {
          |  FROM codes c JOIN dt ON dt.block = c.block AND dt.code = c.code
          |  GROUP BY c.vec_id)
          |SELECT vec_id, adist FROM s ORDER BY adist, vec_id LIMIT 100""".stripMargin,
+
+    // q77's ADC pipeline verbatim through the shortlist, then the exact
+    // (q_i − v_i)² fold (0.0-seeded ≡ list_prepend) over the 100
+    // shortlisted vectors only.
+    "q91_pq_rerank" ->
+      s"""WITH cb AS (
+         |  SELECT b.b AS block, e.vec_id AS code,
+         |         e.embedding[b.b*8+1 : b.b*8+8] AS cvec
+         |  FROM embeddings e, (SELECT unnest(generate_series(0, 7)) AS b) b
+         |  WHERE e.vec_id < 16),
+         |d AS (
+         |  SELECT v.vec_id, cb.block, cb.code,
+         |         list_reduce(list_transform(generate_series(1, 8), i ->
+         |           (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))
+         |           * (CAST(v.embedding[cb.block*8+i] AS DOUBLE) - CAST(cb.cvec[i] AS DOUBLE))),
+         |           (a, x) -> a + x) AS dist
+         |  FROM embeddings v CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, block, code FROM (
+         |    SELECT vec_id, block, code,
+         |           row_number() OVER (PARTITION BY vec_id, block
+         |                              ORDER BY dist, code) AS rn
+         |    FROM d) WHERE rn = 1),
+         |dt AS (
+         |  SELECT dd.block, dd.code, dd.dist FROM d dd WHERE dd.vec_id = 0),
+         |s AS (
+         |  SELECT c.vec_id,
+         |         list_reduce(list(dt.dist ORDER BY c.block), (a, x) -> a + x)
+         |           AS adist
+         |  FROM codes c JOIN dt ON dt.block = c.block AND dt.code = c.code
+         |  GROUP BY c.vec_id),
+         |short AS (SELECT vec_id, adist FROM s ORDER BY adist, vec_id LIMIT 100),
+         |rr AS (
+         |  SELECT sh.vec_id, sh.adist,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(generate_series(1, 64), i ->
+         |             (CAST(q.embedding[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))
+         |             * (CAST(q.embedding[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE)))),
+         |           (a, x) -> a + x) AS dist
+         |  FROM short sh
+         |  JOIN embeddings v ON v.vec_id = sh.vec_id
+         |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+         |SELECT vec_id, adist, dist FROM rr ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
     // IVF-PQ: probe = top-5 cells by cosine to the vec_id=0 query (the
     // driver-side selection replicates this arithmetic bit-for-bit),

@@ -107,6 +107,32 @@ class PqSpec extends SparkSpec {
     assert(multi === single)
   }
 
+  test("adcRerankTopK: exact rerank fixes ADC rank inversions within the shortlist") {
+    val rnd = new scala.util.Random(31)
+    val vs = (0L until 40L).map(i =>
+      (i, Seq.fill(4)((rnd.nextFloat() - 0.5f) * 4f))).toDF("id", "v")
+    val q = Array(0.3f, -0.2f, 0.8f, -0.6f)
+    // shortlist = whole corpus → stage 2 IS the exact ranking
+    val reranked = Pq.adcRerankTopK(vs, "id", "v", q, cb22,
+      shortlist = 40, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    def exactD(v: Seq[Float]): Double = {
+      var s = 0.0
+      v.indices.foreach { i =>
+        val d = q(i).toDouble - v(i).toDouble; s += d * d }
+      s
+    }
+    val expected = vs.collect().map(r => (r.getLong(0), exactD(r.getSeq[Float](1))))
+      .sortBy { case (id, dd) => (dd, id) }.take(5).toSeq
+    assert(reranked.toSeq === expected)
+    // exact order must differ from raw ADC order somewhere in the top-5
+    // (otherwise this test wouldn't witness the rerank doing anything)
+    val adcOrder = Pq.adcTopK(vs, "id", "v", q, cb22, topK = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(adcOrder !== expected.map(_._1),
+      "seed produced identical ADC/exact top-5; pick another seed")
+  }
+
   test("adcTopKMulti broadcast fallback equals the literal path at nq >= 1000") {
     val rnd = new scala.util.Random(23)
     val vs = (0L until 30L).map(i =>
