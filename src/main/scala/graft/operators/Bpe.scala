@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE merge training — learn the byte-pair-encoding merge list from the
+  * corpus itself (the tokenizer-training step of an LLM data pipeline;
+  * [[TextAnalysis.subwordCount]] counts with a fixed BPE-ish regex, this
+  * learns the data-driven merge table a real tokenizer is built from).
+  *
+  * Scale shape — the standard production trick, made explicit: the
+  * corpus is touched ONCE (a word-frequency aggregate); every training
+  * iteration then runs on the DISTINCT-WORD table weighted by counts —
+  * vocabulary-bounded (tens of millions of rows for a web corpus), not
+  * corpus-bounded (trillions of tokens). Per merge step: one pair-count
+  * aggregate (map-side combinable; adjacent pairs explode from each
+  * word's own symbol array), one driver-side argmax row (the chosen
+  * pair IS the model — driver-small by construction), one map-only
+  * symbol-array rewrite. Each step's word table is cached and the
+  * previous unpersisted, so lineage stays flat across iterations.
+  *
+  * Determinism: ties on pair frequency break by (left, right) binary
+  * string order; the merge REWRITE is a greedy left-to-right fold
+  * (replace-last-accumulator-element form) — both reproduced verbatim
+  * by the DuckDB oracle's unrolled CTE stages, so the learned merge
+  * list is cross-engine exact. Divergence from canonical BPE: no
+  * end-of-word marker symbol (merges never span words either way), and
+  * characters are code points, not bytes — documented, not load-bearing
+  * for the merge-learning shape.
+  */
+object Bpe {
+
+  /** The learned merge list: `numMerges` rounds of
+    * most-frequent-adjacent-pair, greedily applied between rounds.
+    * Stops early if no pair remains (all words fused to one symbol).
+    *
+    * @return (step INT 1.., lhs, rhs, freq) — freq is the pair's
+    *         occurrence-weighted frequency at selection time.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "need numMerges >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = CacheScope.track(
+      docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"), split(col("w"), "").as("syms")))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val pairs = words
+        .select(col("cnt"), explode(
+          zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+      val best = pairs.orderBy(desc("freq"), col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, f) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, f))
+        // greedy left-to-right merge: if the accumulator's LAST symbol is
+        // l and the incoming symbol is r, fuse them (replace-last form —
+        // non-overlapping by construction; get() returns NULL on the
+        // empty accumulator, so the first symbol always appends).
+        val prev = words
+        words = CacheScope.track(prev.select(col("cnt"),
+          aggregate(col("syms"), typedlit(Seq.empty[String]),
+            (acc, s) =>
+              when(get(acc, size(acc) - 1) === lit(l) && s === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(s)))).as("syms")))
+        words.count() // materialize before dropping the parent cache
+        prev.unpersist(blocking = false)
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "lhs", "rhs", "freq")
+  }
+}

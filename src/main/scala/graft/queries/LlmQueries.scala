@@ -521,6 +521,14 @@ object LlmQueries {
       graft.operators.Pq.adcTopK(emb, "vec_id", "embedding", q, cb, topK = 100)
     }),
 
+    // BPE merge training on the corpus: 8 most-frequent-pair rounds over
+    // the distinct-word table — the tokenizer-training step; merge list
+    // is cross-engine exact (tie-break + greedy rewrite mirrored).
+    "q92_bpe_merges" -> ((s, dir) => {
+      graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text",
+        numMerges = 8).orderBy("step")
+    }),
+
     // Two-stage serving: ADC top-100 shortlist from the codes scan, then
     // exact-L2 rerank of just those 100 vectors → top-10 (the FAISS
     // refine shape; adist kept so the reranking delta is visible).
@@ -717,6 +725,45 @@ object LlmQueries {
   /** Whitespace tokens (matches graft.functions.tokens). */
   private val oToks =
     """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+
+  /** Unrolled BPE training oracle (one CTE trio per merge step) —
+    * mirrors [[graft.operators.Bpe.trainMerges]]: pair counts from each
+    * word's own symbol list, argmax by (freq DESC, l, r), greedy
+    * left-to-right replace-last merge fold. The fold wraps symbols as
+    * single-item lists so DuckDB's init-free list_reduce carries a LIST
+    * accumulator; its first-element init equals the engine's
+    * empty-accumulator start (the first symbol can never merge).
+    */
+  private def oBpe(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH s0 AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+              |  FROM (SELECT unnest($oToks) AS w FROM documents)
+              |  GROUP BY w),
+              |""".stripMargin
+    for (s <- 1 to numMerges) {
+      sb ++= s"""p$s AS (
+                |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS freq
+                |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                |          i -> [syms[i], syms[i+1]])) AS pr
+                |        FROM s${s - 1})
+                |  GROUP BY 1, 2),
+                |b$s AS (SELECT l, r, freq FROM p$s ORDER BY freq DESC, l, r LIMIT 1),
+                |s$s AS (
+                |  SELECT cnt, list_reduce(list_transform(syms, x -> [x]),
+                |    (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
+                |                     THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+                |                     ELSE list_append(acc, e[1]) END) AS syms
+                |  FROM s${s - 1} CROSS JOIN b$s b),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
+    sb ++= "\n"
+    sb ++= (1 to numMerges)
+      .map(s => s"SELECT CAST($s AS INT) AS step, l AS lhs, r AS rhs, freq FROM b$s")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    sb.result()
+  }
 
   /** The q81 quality-gate verdict as a reusable CTE chain ending in
     * `verdict(doc_id, reasons)` — q84 re-runs the same gate in front of its
@@ -1735,6 +1782,8 @@ object LlmQueries {
          |  FROM codes c JOIN dt ON dt.block = c.block AND dt.code = c.code
          |  GROUP BY c.vec_id)
          |SELECT vec_id, adist FROM s ORDER BY adist, vec_id LIMIT 100""".stripMargin,
+
+    "q92_bpe_merges" -> oBpe(8),
 
     // q77's ADC pipeline verbatim through the shortlist, then the exact
     // (q_i − v_i)² fold (0.0-seeded ≡ list_prepend) over the 100

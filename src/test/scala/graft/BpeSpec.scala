@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainMerges learns most-frequent pairs with deterministic tie-breaks") {
+    // corpus: "abab" x2, "ab" x3, "cd" x1
+    // chars: a,b pairs — (a,b): 2*2+3 = 7; (b,a): 2*1 = 2; (c,d): 1
+    val docs = Seq((1L, "abab abab ab"), (2L, "ab ab cd")).toDF("id", "text")
+    val out = Bpe.trainMerges(docs, "text", numMerges = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // step 1: (a,b) freq 7 → words become [ab,ab]x2, [ab]x3, [c,d]
+    assert(out(0) === ((1, "a", "b", 7L)))
+    // step 2: pairs now (ab,ab): 2, (c,d): 1 → (ab,ab)
+    assert(out(1) === ((2, "ab", "ab", 2L)))
+    // step 3: only (c,d) remains
+    assert(out(2) === ((3, "c", "d", 1L)))
+  }
+
+  test("trainMerges greedy rewrite is non-overlapping left-to-right") {
+    // "aaa": pairs (a,a) freq 2; after merging, word is [aa, a] — so the
+    // next round sees (aa, a) once, not (a, aa)
+    val docs = Seq((1L, "aaa")).toDF("id", "text")
+    val out = Bpe.trainMerges(docs, "text", numMerges = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) === ((1, "a", "a", 2L)))
+    assert(out(1) === ((2, "aa", "a", 1L)))
+  }
+
+  test("trainMerges stops early when no pairs remain") {
+    val docs = Seq((1L, "ab ab")).toDF("id", "text")
+    val out = Bpe.trainMerges(docs, "text", numMerges = 10).collect()
+    // step 1 fuses ab; single-symbol words have no pairs → 1 merge only
+    assert(out.length === 1)
+  }
+
+  test("tie on frequency breaks by (lhs, rhs) binary order") {
+    // (a,b) and (b,c) both appear once ("abc"): max freq ties at 1 —
+    // chosen pair must be (a,b), the smaller (l, r)
+    val docs = Seq((1L, "abc")).toDF("id", "text")
+    val out = Bpe.trainMerges(docs, "text", numMerges = 1).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(out.head === (("a", "b")))
+  }
+}
