@@ -48,6 +48,10 @@ object Bpe {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    // the parent of `words` stays cached until the NEXT argmax action has
+    // materialized `words` itself (the pair aggregate consumes it) — no
+    // extra count() job per iteration just to swap caches
+    var grandparent: Option[DataFrame] = None
     while (step <= numMerges && !exhausted) {
       val pairs = words
         .select(col("cnt"), explode(
@@ -58,6 +62,7 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("freq"))
       val best = pairs.orderBy(desc("freq"), col("l"), col("r")).limit(1).collect()
+      grandparent.foreach(_.unpersist(blocking = false)) // words is now cached
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, f) =
@@ -67,15 +72,13 @@ object Bpe {
         // l and the incoming symbol is r, fuse them (replace-last form —
         // non-overlapping by construction; get() returns NULL on the
         // empty accumulator, so the first symbol always appends).
-        val prev = words
-        words = CacheScope.track(prev.select(col("cnt"),
+        grandparent = Some(words)
+        words = CacheScope.track(words.select(col("cnt"),
           aggregate(col("syms"), typedlit(Seq.empty[String]),
             (acc, s) =>
               when(get(acc, size(acc) - 1) === lit(l) && s === lit(r),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
                 .otherwise(concat(acc, array(s)))).as("syms")))
-        words.count() // materialize before dropping the parent cache
-        prev.unpersist(blocking = false)
         step += 1
       }
     }
