@@ -38,9 +38,32 @@ object Bpe {
     *         occurrence-weighted frequency at selection time.
     */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    require(numMerges >= 1, "need numMerges >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    trainState(docs, textCol, numMerges)._1
+      .toDF("step", "lhs", "rhs", "freq")
+  }
+
+  /** The learned SUBWORD VOCABULARY: train `numMerges` rounds, then
+    * count every symbol of the final segmentation weighted by word
+    * frequency — the (subword, corpus frequency) table a tokenizer
+    * ships with. Same vocabulary-bounded cost as [[trainMerges]] plus
+    * one symbol-explode aggregate over the final word table.
+    *
+    * @return (subword, freq) — freq is occurrence-weighted.
+    */
+  def subwordVocab(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val words = trainState(docs, textCol, numMerges)._2
+    words.select(col("cnt"), explode(col("syms")).as("subword"))
+      .groupBy("subword").agg(sum(col("cnt")).as("freq"))
+  }
+
+  /** Training loop core: (merge list, final cached word table
+    * (cnt, syms)).
+    */
+  private def trainState(docs: DataFrame, textCol: String,
+                         numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(numMerges >= 1, "need numMerges >= 1")
     var words = CacheScope.track(
       docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -82,6 +105,6 @@ object Bpe {
         step += 1
       }
     }
-    merges.result().toDF("step", "lhs", "rhs", "freq")
+    (merges.result(), words)
   }
 }

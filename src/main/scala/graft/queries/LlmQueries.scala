@@ -529,6 +529,13 @@ object LlmQueries {
         numMerges = 8).orderBy("step")
     }),
 
+    // The learned subword vocabulary after those 8 merges — train +
+    // apply, the table a tokenizer ships with.
+    "q93_bpe_vocab" -> ((s, dir) => {
+      graft.operators.Bpe.subwordVocab(t(s, dir, "documents"), "text",
+        numMerges = 8).orderBy(desc("freq"), col("subword"))
+    }),
+
     // Two-stage serving: ADC top-100 shortlist from the codes scan, then
     // exact-L2 rerank of just those 100 vectors → top-10 (the FAISS
     // refine shape; adist kept so the reranking delta is visible).
@@ -734,7 +741,20 @@ object LlmQueries {
     * accumulator; its first-element init equals the engine's
     * empty-accumulator start (the first symbol can never merge).
     */
-  private def oBpe(numMerges: Int): String = {
+  private def oBpe(numMerges: Int): String =
+    oBpeCtes(numMerges) + "\n" + (1 to numMerges)
+      .map(s => s"SELECT CAST($s AS INT) AS step, l AS lhs, r AS rhs, freq FROM b$s")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** q93: the subword vocabulary read off the final segmentation. */
+  private def oBpeVocab(numMerges: Int): String =
+    oBpeCtes(numMerges) +
+      s"""
+         |SELECT subword, CAST(sum(cnt) AS BIGINT) AS freq
+         |FROM (SELECT cnt, unnest(syms) AS subword FROM s$numMerges)
+         |GROUP BY 1 ORDER BY freq DESC, subword""".stripMargin
+
+  private def oBpeCtes(numMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH s0 AS (
               |  SELECT CAST(count(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
@@ -758,10 +778,6 @@ object LlmQueries {
                 |""".stripMargin
     }
     sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
-    sb ++= "\n"
-    sb ++= (1 to numMerges)
-      .map(s => s"SELECT CAST($s AS INT) AS step, l AS lhs, r AS rhs, freq FROM b$s")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
     sb.result()
   }
 
@@ -1784,6 +1800,7 @@ object LlmQueries {
          |SELECT vec_id, adist FROM s ORDER BY adist, vec_id LIMIT 100""".stripMargin,
 
     "q92_bpe_merges" -> oBpe(8),
+    "q93_bpe_vocab" -> oBpeVocab(8),
 
     // q77's ADC pipeline verbatim through the shortlist, then the exact
     // (q_i − v_i)² fold (0.0-seeded ≡ list_prepend) over the 100

@@ -31,6 +31,15 @@ class BpeSpec extends SparkSpec {
     assert(out(1) === ((2, "aa", "a", 1L)))
   }
 
+  test("subwordVocab counts final-segmentation symbols weighted by word freq") {
+    // after merge (a,b): abab→[ab,ab], ab→[ab], cd→[c,d]
+    val docs = Seq((1L, "abab abab ab"), (2L, "ab ab cd")).toDF("id", "text")
+    val out = Bpe.subwordVocab(docs, "text", numMerges = 1)
+      .orderBy(org.apache.spark.sql.functions.desc("freq"), $"subword")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("ab", 7L), ("c", 1L), ("d", 1L)))
+  }
+
   test("trainMerges stops early when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("id", "text")
     val out = Bpe.trainMerges(docs, "text", numMerges = 10).collect()
