@@ -37,6 +37,38 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Windowed DISTINCT-USER estimates via the KMV sketch — bounded
+    * streaming state where exact `approx/count distinct` per window
+    * would hold one entry per distinct user: the
+    * [[graft.operators.Sketch.bottomKHashes]] aggregate keeps k longs
+    * per (window, type) group no matter how many users stream through,
+    * and its buffer is mergeable, so micro-batch partials fold into the
+    * state store exactly like a sum. The user-id hash is the same
+    * portable Knuth mix as [[graft.operators.Sampling.hashBucket]]'s
+    * constant (raw ids are NOT uniform — monotone ids would make the
+    * bottom-k the FIRST users, not a sample), with the KMV estimate
+    * read off the sketch at emit.
+    *
+    * @return streaming (window_start, event_type, sk_size, est)
+    */
+  def windowedDistinctUsers(events: DataFrame,
+                            watermark: String = "10 minutes",
+                            windowLength: String = "5 minutes",
+                            k: Int = 64): DataFrame = {
+    val hashMod = 4294967296L
+    val h = pmod(pmod(col("user_id"), lit(2147483648L)) * 2654435761L,
+      lit(hashMod))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), h.as("__h"))
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(graft.operators.Sketch.bottomKHashes(col("__h"), k).as("__sk"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        size(col("__sk")).cast("long").as("sk_size"),
+        graft.operators.Sketch.kmvDistinctEstimate(col("__sk"), k, hashMod)
+          .as("est"))
+  }
+
   /** Session windows per user: built-in session_window with an inactivity
     * gap — sessions close (and emit) once the watermark passes the gap.
     */

@@ -329,6 +329,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedDistinctUsers: KMV state across micro-batches, exact below k") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedDistinctUsers(input.toDF(),
+      "10 minutes", "10 minutes", k = 8)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wdu").start()
+    try {
+      // users 1,2,3 click in window 0 — user 2 twice, split across batches
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(3, ts(2), 2, "click", 1.0), // re-observed user merges into state
+        Event(4, ts(3), 3, "click", 1.0),
+        Event(5, ts(12), 7, "view", 1.0)) // second window
+      query.processAllAvailable()
+      val rows = spark.table("wdu").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // below k the estimate is the exact distinct count
+      assert(rows === Set(
+        (ts(0), "click", 3L, 3.0),
+        (ts(10), "view", 1L, 1.0)))
+    } finally query.stop()
+  }
+
   test("windowedTokenCountMin: per-window sketch equals the batch countMinTable") {
     import graft.streaming.CorpusStreams
     import graft.streaming.CorpusStreams.Doc
