@@ -255,6 +255,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq === expected)
   }
 
+  test("rollup/cube plans contain no Expand (the operator's reason to exist)") {
+    val df = Seq(("en", "web", 3L), ("de", "book", 5L)).toDF("lang", "source", "v")
+    for (plan <- Seq(
+      graft.operators.GroupingSets.rollup(df, Seq("lang", "source"), "v"),
+      graft.operators.GroupingSets.cube(df, Seq("lang", "source"), "v"))) {
+      val expands = plan.queryExecution.optimizedPlan.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e }
+      assert(expands.isEmpty,
+        "the cascade must re-aggregate the finest grain, never Expand the raw scan")
+    }
+    // the built-in formulation DOES Expand — the guard is meaningful
+    val builtin = df.cube($"lang", $"source").agg(count(lit(1)))
+      .queryExecution.optimizedPlan.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e }
+    assert(builtin.nonEmpty)
+  }
+
   test("rollupDistinctKmv: empty-sketch group survives coarser levels") {
     // l0's hashes are all NULL → its finest sketch is empty. Every level
     // must still emit the l0 groups (sk_size=0), not just the finest —

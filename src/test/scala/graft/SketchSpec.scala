@@ -119,6 +119,19 @@ class SketchSpec extends SparkSpec {
     assert(est("absent")._2 >= 0L)
   }
 
+  test("cmsEstimate probes via a broadcast join (sketch never shuffles probes)") {
+    val sketch = Sketch.countMinTable(Seq("x", "y").toDF("tok"), "tok", d = 2, w = 64)
+    val probes = Seq(("x", 1L)).toDF("tok", "truth")
+    // stringified: AQE's AdaptiveSparkPlanExec root hides children from
+    // a typed collect over the physical tree
+    val plan = Sketch.cmsEstimate(sketch, probes, "tok", d = 2, w = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the d*w-row sketch must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe rows must never shuffle for the lookup:\n$plan")
+  }
+
   test("count-min tables merge by addition") {
     val a = Seq("x", "x", "y").toDF("tok")
     val b = Seq("x", "z").toDF("tok")
