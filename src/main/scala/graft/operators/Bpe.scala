@@ -58,8 +58,37 @@ object Bpe {
       .groupBy("subword").agg(sum(col("cnt")).as("freq"))
   }
 
+  /** Per-document token counts under the learned tokenizer — THE budget
+    * metric context-window packing runs on (whitespace/regex token
+    * counts only approximate it). Train `numMerges` rounds, then join
+    * each document's words to the final segmentation's per-word symbol
+    * count: one explode + one shuffle join on the word key + one
+    * map-side-combinable per-doc sum. The word table is
+    * vocabulary-bounded, so at scale the join broadcasts or
+    * bucket-co-locates; the corpus is touched twice total (training's
+    * frequency pass + this tokenize pass), never per merge round.
+    *
+    * @return (idCol, n_words, n_bpe_tokens) — documents with no tokens
+    *         keep zero counts.
+    */
+  def bpeTokenCount(docs: DataFrame, idCol: String, textCol: String,
+                    numMerges: Int): DataFrame = {
+    val words = trainState(docs, textCol, numMerges)._2
+    val docWords = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val stats = docWords
+      .join(words.select(col("w"), size(col("syms")).cast("long").as("__nt")), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_bpe_tokens"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** Training loop core: (merge list, final cached word table
-    * (cnt, syms)).
+    * (w, cnt, syms)).
     */
   private def trainState(docs: DataFrame, textCol: String,
                          numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
@@ -67,7 +96,7 @@ object Bpe {
     var words = CacheScope.track(
       docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"), split(col("w"), "").as("syms")))
+        .select(col("w"), col("cnt"), split(col("w"), "").as("syms")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -96,7 +125,7 @@ object Bpe {
         // non-overlapping by construction; get() returns NULL on the
         // empty accumulator, so the first symbol always appends).
         grandparent = Some(words)
-        words = CacheScope.track(words.select(col("cnt"),
+        words = CacheScope.track(words.select(col("w"), col("cnt"),
           aggregate(col("syms"), typedlit(Seq.empty[String]),
             (acc, s) =>
               when(get(acc, size(acc) - 1) === lit(l) && s === lit(r),

@@ -536,6 +536,13 @@ object LlmQueries {
         numMerges = 8).orderBy(desc("freq"), col("subword"))
     }),
 
+    // Per-doc token counts under that learned tokenizer — the packing
+    // budget metric (train once, tokenize by word-key join).
+    "q94_bpe_doc_tokens" -> ((s, dir) => {
+      graft.operators.Bpe.bpeTokenCount(t(s, dir, "documents"), "doc_id",
+        "text", numMerges = 8).orderBy("doc_id")
+    }),
+
     // Two-stage serving: ADC top-100 shortlist from the codes scan, then
     // exact-L2 rerank of just those 100 vectors → top-10 (the FAISS
     // refine shape; adist kept so the reranking delta is visible).
@@ -754,10 +761,27 @@ object LlmQueries {
          |FROM (SELECT cnt, unnest(syms) AS subword FROM s$numMerges)
          |GROUP BY 1 ORDER BY freq DESC, subword""".stripMargin
 
+  /** q94: per-doc BPE token counts off the same final segmentation. */
+  private def oBpeDocTokens(numMerges: Int): String =
+    oBpeCtes(numMerges) +
+      s"""
+         |, wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM s$numMerges),
+         |dw AS (
+         |  SELECT doc_id, unnest($oToks) AS w FROM documents),
+         |st AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN wl USING (w) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(st.n_words, CAST(0 AS BIGINT)) AS n_words,
+         |       coalesce(st.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN st USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+
   private def oBpeCtes(numMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH s0 AS (
-              |  SELECT CAST(count(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+              |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
               |  FROM (SELECT unnest($oToks) AS w FROM documents)
               |  GROUP BY w),
               |""".stripMargin
@@ -770,7 +794,7 @@ object LlmQueries {
                 |  GROUP BY 1, 2),
                 |b$s AS (SELECT l, r, freq FROM p$s ORDER BY freq DESC, l, r LIMIT 1),
                 |s$s AS (
-                |  SELECT cnt, list_reduce(list_transform(syms, x -> [x]),
+                |  SELECT w, cnt, list_reduce(list_transform(syms, x -> [x]),
                 |    (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
                 |                     THEN list_append(acc[1:len(acc)-1], b.l || b.r)
                 |                     ELSE list_append(acc, e[1]) END) AS syms
@@ -1801,6 +1825,7 @@ object LlmQueries {
 
     "q92_bpe_merges" -> oBpe(8),
     "q93_bpe_vocab" -> oBpeVocab(8),
+    "q94_bpe_doc_tokens" -> oBpeDocTokens(8),
 
     // q77's ADC pipeline verbatim through the shortlist, then the exact
     // (q_i − v_i)² fold (0.0-seeded ≡ list_prepend) over the 100

@@ -40,6 +40,17 @@ class BpeSpec extends SparkSpec {
     assert(out === Seq(("ab", 7L), ("c", 1L), ("d", 1L)))
   }
 
+  test("bpeTokenCount: per-doc counts under the learned segmentation") {
+    // after merge (a,b): abab→2 subwords, ab→1, cd stays [c,d]→2
+    val docs = Seq((1L, "abab abab ab"), (2L, "ab ab cd"), (3L, "")).toDF("id", "text")
+    val out = Bpe.bpeTokenCount(docs, "id", "text", numMerges = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out(0) === ((1L, 3L, 5L))) // abab(2) + abab(2) + ab(1)
+    assert(out(1) === ((2L, 3L, 4L))) // ab(1) + ab(1) + cd(2)
+    assert(out(2) === ((3L, 0L, 0L))) // empty doc survives with zeros
+  }
+
   test("trainMerges stops early when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("id", "text")
     val out = Bpe.trainMerges(docs, "text", numMerges = 10).collect()
