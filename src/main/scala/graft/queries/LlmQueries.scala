@@ -543,6 +543,22 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // The SAMPLING-side composed pipeline (q84's dedup-side sibling):
+    // temperature-quota sample → per-doc BPE token counts under the
+    // corpus-trained tokenizer → context-window packing of the sampled
+    // docs, as one lazy plan — what a mixture-construction run executes.
+    "q95_sample_pack_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sampled = Sampling.temperatureQuota(docs, "source", "doc_id",
+        totalTarget = 600)
+      val counts = graft.operators.Bpe.bpeTokenCount(docs, "doc_id", "text",
+        numMerges = 8)
+      val sized = sampled.select("doc_id")
+        .join(counts.select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+      Packing.tokenShards(sized, "doc_id", "n_bpe_tokens",
+        contextLen = 2048, streams = 8).orderBy("doc_id")
+    }),
+
     // Two-stage serving: ADC top-100 shortlist from the codes scan, then
     // exact-L2 rerank of just those 100 vectors → top-10 (the FAISS
     // refine shape; adist kept so the reranking delta is visible).
@@ -777,6 +793,51 @@ object LlmQueries {
          |       coalesce(st.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
          |FROM documents d LEFT JOIN st USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+
+  /** q95: quota sample (q88's CTEs, q-prefixed to avoid name capture) →
+    * per-doc BPE token counts (q94's CTEs) → q51's packing shape over
+    * the sampled docs only.
+    */
+  private def oSamplePack(numMerges: Int): String =
+    oBpeCtes(numMerges) +
+      s"""
+         |, wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM s$numMerges),
+         |dw AS (
+         |  SELECT doc_id, unnest($oToks) AS w FROM documents),
+         |st AS (
+         |  SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN wl USING (w) GROUP BY 1),
+         |qcnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |qw AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM qcnt),
+         |qd AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list(wt ORDER BY source NULLS FIRST)), (a, b) -> a + b) AS denom
+         |       FROM qw),
+         |qq AS (SELECT source, n,
+         |         CAST(floor(CAST(600 AS DOUBLE) * wt / denom) AS BIGINT) AS quota
+         |       FROM qw CROSS JOIN qd),
+         |qranked AS (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000, doc_id) AS rn
+         |  FROM documents),
+         |samp AS (
+         |  SELECT r.doc_id FROM qranked r JOIN qq USING (source)
+         |  WHERE r.rn <= least(qq.quota, qq.n)),
+         |sized AS (
+         |  SELECT d.doc_id, coalesce(st.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+         |  FROM documents d LEFT JOIN st USING (doc_id)
+         |  WHERE d.doc_id IN (SELECT doc_id FROM samp)),
+         |ss AS (
+         |  SELECT doc_id, n_bpe_tokens,
+         |         (((doc_id % 2147483648) * 2654435761) % 4294967296) % 8 AS stream
+         |  FROM sized),
+         |cpk AS (
+         |  SELECT doc_id, n_bpe_tokens, stream,
+         |         CAST(sum(n_bpe_tokens) OVER (PARTITION BY stream ORDER BY doc_id)
+         |              - n_bpe_tokens AS BIGINT) AS "offset"
+         |  FROM ss)
+         |SELECT doc_id, n_bpe_tokens, stream, "offset", "offset" // 2048 AS shard
+         |FROM cpk ORDER BY doc_id""".stripMargin
 
   private def oBpeCtes(numMerges: Int): String = {
     val sb = new StringBuilder
@@ -1826,6 +1887,7 @@ object LlmQueries {
     "q92_bpe_merges" -> oBpe(8),
     "q93_bpe_vocab" -> oBpeVocab(8),
     "q94_bpe_doc_tokens" -> oBpeDocTokens(8),
+    "q95_sample_pack_pipeline" -> oSamplePack(8),
 
     // q77's ADC pipeline verbatim through the shortlist, then the exact
     // (q_i − v_i)² fold (0.0-seeded ≡ list_prepend) over the 100
