@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_intersect_count_sorted(a, b)` — two-pointer |A∩B| of sorted long arrays
   *   - `graft_max_equal_run(a)` — longest equal-neighbor run in a sorted long array
   *   - `graft_bottomk(x, k)`    — bottom-k distinct longs (KMV sketch state, aggregate)
+  *   - `graft_bottomk_pairs(h, v, k)` — bottom-k distinct (h, v) long pairs (sample sketch, aggregate)
   *
   * Arity/argument errors surface at ANALYSIS time (the builders validate
   * literal parameters), matching built-in function ergonomics.
@@ -100,7 +101,12 @@ object GraftExtensions {
       info("graft_bottomk",
         "graft_bottomk(x, k) - aggregate: the k smallest distinct LONG values, ascending"),
       es => { val Seq(x, k) = arity("graft_bottomk", 2)(es)
-        graft.expressions.BottomKLongs(x, litInt(k, "graft_bottomk", "k")) }))
+        graft.expressions.BottomKLongs(x, litInt(k, "graft_bottomk", "k")) }),
+    (FunctionIdentifier("graft_bottomk_pairs"),
+      info("graft_bottomk_pairs",
+        "graft_bottomk_pairs(h, v, k) - aggregate: the k smallest distinct (h, v) LONG pairs by (h, v), ascending (deterministic-sample sketch)"),
+      es => { val Seq(h, v, k) = arity("graft_bottomk_pairs", 3)(es)
+        graft.expressions.BottomKLongPairs(h, v, litInt(k, "graft_bottomk_pairs", "k")) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

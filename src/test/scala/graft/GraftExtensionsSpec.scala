@@ -63,6 +63,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got === Seq(1L, 3L, 5L))
   }
 
+  test("graft_bottomk_pairs aggregates the k smallest distinct (h, v) pairs") {
+    Seq((3L, 30L), (1L, 10L), (1L, 10L), (1L, 5L), (2L, 20L))
+      .toDF("h", "v").createOrReplaceTempView("hv")
+    val got = spark.sql("SELECT graft_bottomk_pairs(h, v, 3) AS sk FROM hv")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Seq((1L, 5L), (1L, 10L), (2L, 20L)))
+  }
+
   test("graft_max_equal_run scans the max multiplicity of a sorted array") {
     val got = spark.sql(
       "SELECT graft_max_equal_run(array_sort(array(3L, 1L, 3L, 2L, 3L, 1L)))")
