@@ -21,6 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
+  /** `df` plus columns (median, mad, `out`) where `out` =
+    * (value − groupMedian) / groupMAD — the ROBUST z-score: mean/stddev
+    * normalization ([[zscoreByGroup]]) is itself dragged by the outliers
+    * a quality pipeline is trying to flag (one 10 MB boilerplate doc
+    * shifts its language's mean AND inflates the stddev that was
+    * supposed to expose it), while median and median-absolute-deviation
+    * have a 50% breakdown point. NULL when the group's MAD is 0 (more
+    * than half the group shares one value — no spread to normalize by).
+    *
+    * Plan: [[ExactQuantiles.medianByGroup]] twice — once over values,
+    * once over |value − median| after a group-bounded broadcast join —
+    * then one join back. Both medians are the exact histogram-cumulate
+    * shape (state bounded by distinct values, no per-group row sort);
+    * for integer inputs median and MAD are exact LONGs and the z is one
+    * rational division — cross-engine bit-exact (q96).
+    */
+  def robustZscoreByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                          out: String = "rz"): DataFrame = {
+    val med = ExactQuantiles.medianByGroup(df, groupCol, valueCol)
+      .select(col(groupCol), col("median"))
+    val dev = df.join(med, Seq(groupCol))
+      .select(col(groupCol), abs(col(valueCol) - col("median")).as("__dev"))
+    val mad = ExactQuantiles.medianByGroup(dev, groupCol, "__dev")
+      .select(col(groupCol), col("median").as("mad"))
+    df.join(med, Seq(groupCol))
+      .join(mad, Seq(groupCol))
+      .withColumn(out,
+        when(col("mad") > 0,
+          (col(valueCol) - col("median")).cast("double") / col("mad")))
+  }
+
   /** `df` plus column `out` = (value − groupMean) / groupSampleStddev,
     * NULL when the group has fewer than two rows (stddev undefined).
     */

@@ -543,6 +543,17 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // Robust (median/MAD) per-language length z-scores — the
+    // outlier-immune normalization (q61's mean/stddev sibling drags
+    // under the very outliers a quality pass wants to flag).
+    "q96_robust_zscore" -> ((s, dir) => {
+      graft.operators.Normalize.robustZscoreByGroup(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars")
+        .select("doc_id", "lang", "n_chars", "median", "mad", "rz")
+        .orderBy("doc_id")
+    }),
+
     // The SAMPLING-side composed pipeline (q84's dedup-side sibling):
     // temperature-quota sample → per-doc BPE token counts under the
     // corpus-trained tokenizer → context-window packing of the sampled
@@ -1491,6 +1502,34 @@ object LlmQueries {
          |  FROM top WHERE rn <= 10 GROUP BY term)
          |SELECT term, df, total_tf, postings
          |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // Both medians are q55's histogram-cumulate CTE shape; rz is one
+    // rational division of exact longs.
+    "q96_robust_zscore" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT lang, min(v) AS median FROM cum WHERE cum * 2 >= n GROUP BY lang),
+        |h2 AS (
+        |  SELECT d.lang, abs(d.n_chars - m.median) AS v, count(*) AS c
+        |  FROM documents d JOIN med m USING (lang) GROUP BY 1, 2),
+        |cum2 AS (
+        |  SELECT lang, v,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h2),
+        |mad AS (
+        |  SELECT lang, min(v) AS mad FROM cum2 WHERE cum * 2 >= n GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, med.median, mad.mad,
+        |       CASE WHEN mad.mad > 0
+        |            THEN CAST(d.n_chars - med.median AS DOUBLE) / mad.mad END AS rz
+        |FROM documents d JOIN med USING (lang) JOIN mad USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q55_group_median" ->
       """WITH h AS (

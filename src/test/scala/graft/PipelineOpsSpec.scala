@@ -255,6 +255,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq === expected)
   }
 
+  test("robustZscoreByGroup: exact median/MAD, NULL rz for spread-free groups") {
+    val df = ((1L to 9L).map(v => ("a", v)) ++ Seq(("b", 7L), ("b", 7L), ("b", 7L)))
+      .toDF("g", "v")
+    val out = graft.operators.Normalize.robustZscoreByGroup(df, "g", "v")
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // a: median 5 (lower-median of 1..9), devs 0..4 each ≤2x → MAD 2
+    val a9 = out.filter(_._1 == "a").last
+    assert(a9 === (("a", 9L, 5L, 2L, Some(2.0))))
+    assert(out.count(_._1 == "a") === 9)
+    // b: constant group → MAD 0 → rz NULL, median still defined
+    assert(out.filter(_._1 == "b").forall(t => t._3 == 7L && t._4 == 0L && t._5.isEmpty))
+  }
+
   test("rollup/cube plans contain no Expand (the operator's reason to exist)") {
     val df = Seq(("en", "web", 3L), ("de", "book", 5L)).toDF("lang", "source", "v")
     for (plan <- Seq(
