@@ -121,6 +121,42 @@ object CorpusStreams {
       }
   }
 
+  /** Windowed per-language LENGTH-QUANTILE estimates from the
+    * deterministic bottom-k sample — streaming twin of
+    * [[graft.operators.Sketch.sampledQuantiles]]: per (window, lang)
+    * the state is the k-pair [[graft.expressions.BottomKLongPairs]]
+    * buffer plus a count, regardless of how many documents the window
+    * sees — the drift monitor a corpus-ingest stream runs (exact
+    * windowed quantiles would buffer every distinct length). The
+    * sample key is the Knuth-mixed portable hash of doc_id, identical
+    * to the batch operator, so a window's (sample, estimates) equal
+    * the batch `sampledQuantiles` over that window's slice.
+    *
+    * @return streaming (window_start, lang, n, sample_size, p50)
+    */
+  def windowedLengthQuantiles(docs: org.apache.spark.sql.DataFrame,
+                              langCol: String, textCol: String, tsCol: String,
+                              k: Int, windowDur: String, watermark: String,
+                              idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    val h = pmod(pmod(TextAnalysis.polyHash(col(idCol).cast("string")),
+      lit(2147483648L)) * 2654435761L, lit(4294967296L))
+    val sk = toColumn(graft.expressions.BottomKLongPairs(
+      toExpression(h), toExpression(length(col(textCol)).cast("long")), k)
+      .toAggregateExpression())
+    docs.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("__win"), col(langCol))
+      .agg(count(lit(1)).as("n"), sk.as("__sk"))
+      .withColumn("sample_size", size(col("__sk")).cast("long"))
+      .withColumn("__vals",
+        array_sort(transform(col("__sk"), p => p.getField("v"))))
+      .select(col("__win.start").as("window_start"), col(langCol), col("n"),
+        col("sample_size"),
+        when(col("sample_size") > 0,
+          expr("element_at(__vals, CAST((sample_size * 1 - 1) DIV 2 + 1 AS INT))"))
+          .as("p50"))
+  }
+
   /** Windowed token-frequency COUNT-MIN over the document stream —
     * streaming twin of [[graft.operators.Sketch.countMinTable]], and the
     * reason that sketch merges by addition: per event-time window the

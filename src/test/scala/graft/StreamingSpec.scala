@@ -6,6 +6,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+case class LangDoc(doc_id: Long, ts: java.sql.Timestamp, lang: String, text: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -354,6 +356,37 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Set(
         (ts(0), "click", 3L, 3.0),
         (ts(10), "view", 1L, 1.0)))
+    } finally query.stop()
+  }
+
+  test("windowedLengthQuantiles: per-window sample equals batch sampledQuantiles") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0 until 12).map(i =>
+      LangDoc(i.toLong, ts(i % 8), if (i % 2 == 0) "en" else "de", "x" * (10 + i)))
+    val input = MemoryStream[LangDoc]
+    val query = CorpusStreams.windowedLengthQuantiles(input.toDF(),
+      "lang", "text", "ts", k = 4, windowDur = "10 minutes",
+      watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wlq").start()
+    try {
+      input.addData(docs.take(5): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(5): _*)
+      query.processAllAvailable()
+      val got = spark.table("wlq").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // batch reference: sampledQuantiles over the one window's slice,
+      // keyed the same way (all docs fall in the 10:00 window)
+      val batch = graft.operators.Sketch.sampledQuantiles(
+        docs.toDF().withColumn("len", length($"text").cast("long")),
+        "lang", "len", "doc_id", k = 4, Seq(("p50", 1, 2)))
+        .collect()
+        .map(r => (ts(0), r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === batch)
     } finally query.stop()
   }
 
