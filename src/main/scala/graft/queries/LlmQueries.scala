@@ -543,6 +543,26 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // Dedup-tier quality MEASURED, not asserted (q85's discipline for
+    // the dedup family): wide-simhash recall against the exact J≥0.6
+    // bigram-Jaccard ground truth, plus the candidate-volume price.
+    "q97_dedup_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = graft.operators.CacheScope.track(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.6)
+          .select("i", "j"))
+      val approx = graft.operators.CacheScope.track(
+        Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 3)
+          .select("i", "j"))
+      val hit = exact.join(approx, Seq("i", "j"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_approx"), col("n_hit"),
+          when(col("n_exact") > 0,
+            col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }),
+
     // Robust (median/MAD) per-language length z-scores — the
     // outlier-immune normalization (q61's mean/stddev sibling drags
     // under the very outliers a quality pass wants to flag).
@@ -917,8 +937,12 @@ object LlmQueries {
        |  FROM f)""".stripMargin
 
   /** Exact n-gram Jaccard pairs ≥ threshold (ground truth for q23/q24). */
-  private def oJaccardPairs(n: Int, theta: Double): String =
-    s"""WITH toks AS (
+  /** Exact all-pairs n-gram-Jaccard CTE chain ending in
+    * `jac(i, j, common, jaccard)` — shared by the q23 gate and the q97
+    * recall harness.
+    */
+  private def oJaccardCtes(n: Int): String =
+    s"""toks AS (
        |  SELECT doc_id, $oToks AS tk FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(
@@ -935,7 +959,10 @@ object LlmQueries {
        |         CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) AS jaccard
        |  FROM inter
        |  JOIN sizes si ON si.doc_id = i
-       |  JOIN sizes sj ON sj.doc_id = j)
+       |  JOIN sizes sj ON sj.doc_id = j)""".stripMargin
+
+  private def oJaccardPairs(n: Int, theta: Double): String =
+    s"""WITH ${oJaccardCtes(n)}
        |SELECT i, j, common, jaccard FROM jac
        |WHERE jaccard >= $theta ORDER BY i, j""".stripMargin
 
@@ -1502,6 +1529,29 @@ object LlmQueries {
          |  FROM top WHERE rn <= 10 GROUP BY term)
          |SELECT term, df, total_tf, postings
          |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // Exact side = q23's CTEs; approx side = q69's wide-simhash pairs at
+    // hamming ≤ 3 (all-pairs form — the banded operator has total recall
+    // there by pigeonhole, the equivalence q69 itself gates).
+    "q97_dedup_recall" ->
+      s"""WITH ${oJaccardCtes(2)},
+         |exact AS (SELECT i, j FROM jac WHERE jaccard >= 0.6),
+         |${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |approx AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |hit AS (SELECT i, j FROM exact INTERSECT SELECT i, j FROM approx)
+         |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+         |       CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+         |       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |       CASE WHEN (SELECT count(*) FROM exact) > 0
+         |            THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |                 / (SELECT count(*) FROM exact) END AS recall""".stripMargin,
 
     // Both medians are q55's histogram-cumulate CTE shape; rz is one
     // rational division of exact longs.
