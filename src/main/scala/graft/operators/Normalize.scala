@@ -29,6 +29,10 @@ object Normalize {
     * supposed to expose it), while median and median-absolute-deviation
     * have a 50% breakdown point. NULL when the group's MAD is 0 (more
     * than half the group shares one value — no spread to normalize by).
+    * Rows with a NULL group key are DROPPED by the equi-joins back —
+    * matching the ANSI-equality join a SQL consumer (and the q96
+    * oracle) writes; filter or impute first if they must survive
+    * (valueNtile's convention).
     *
     * Plan: [[ExactQuantiles.medianByGroup]] twice — once over values,
     * once over |value − median| after a group-bounded broadcast join —

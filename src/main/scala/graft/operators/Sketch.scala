@@ -92,6 +92,11 @@ object Sketch {
                   probes: org.apache.spark.sql.DataFrame, itemCol: String,
                   d: Int, w: Int): org.apache.spark.sql.DataFrame = {
     require(d >= 1 && d <= CmsA.length, s"1 <= d <= ${CmsA.length}")
+    val reserved = Set("row", "bucket", "cnt", "est", "__h0", "__cnt")
+    val clash = probes.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"probe columns ${clash.mkString(", ")} collide with the lookup's " +
+        "internal/output names - rename them first")
     val h0 = TextAnalysis.polyHash(col(itemCol))
     probes
       .withColumn("__h0", h0)
