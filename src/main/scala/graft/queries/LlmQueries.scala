@@ -543,6 +543,26 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // Model-based quality filtering: a linear classifier over the q26
+    // feature set, served via LinearModel.applyModel — the gated output
+    // is the LINEAR score z (sigmoid is monotone; exp() is libm-
+    // dependent and must not cross a hash gate). Weights are literals
+    // here so the serving path is oracle-exact; training is unit-gated
+    // (LinearModelSpec) because GD's exp/log can't hash-match.
+    "q98_quality_classifier" -> ((s, dir) => {
+      val feats = t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("f_tokens"),
+        TextAnalysis.punctCount(col("text")).cast("double").as("f_punct"),
+        coalesce(TextAnalysis.stopwordRatio(col("text")), lit(0.0)).as("f_stop"),
+        TextAnalysis.qualityScore(col("text")).as("f_quality"))
+      graft.operators.LinearModel.applyModel(feats,
+        Seq("f_tokens", "f_punct", "f_stop", "f_quality"),
+        graft.operators.LinearModel.Model(
+          Array(0.02, -0.15, -5.0, 3.0), -3.2))
+        .select("doc_id", "z", "predicted").orderBy("doc_id")
+    }),
+
     // Dedup-tier quality MEASURED, not asserted (q85's discipline for
     // the dedup family): wide-simhash recall against the exact J≥0.6
     // bigram-Jaccard ground truth, plus the candidate-volume price.
@@ -1529,6 +1549,43 @@ object LlmQueries {
          |  FROM top WHERE rn <= 10 GROUP BY term)
          |SELECT term, df, total_tf, postings
          |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // Mirrors LinearModel.score's contract exactly: left-to-right fold
+    // seeded at 0.0, bias last, every decimal literal CAST AS DOUBLE
+    // (DuckDB parses bare decimals as DECIMAL — SCALE.md IEEE parity).
+    // Features are the q26 expressions verbatim.
+    "q98_quality_classifier" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |         CAST(len($oToks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter($oToks,
+         |           t -> list_contains(['the','a','an','of','to','and','in','is','on','for'], t))) AS BIGINT) AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS BIGINT) AS punct_cnt
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |         CAST(n_tokens AS DOUBLE) AS f_tokens,
+         |         CAST(punct_cnt AS DOUBLE) AS f_punct,
+         |         COALESCE(CASE WHEN n_tokens > 0
+         |                       THEN CAST(n_stop AS DOUBLE) / n_tokens END,
+         |                  CAST(0.0 AS DOUBLE)) AS f_stop,
+         |         (least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |          + least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |          + (CAST(1.0 AS DOUBLE) - CAST(punct_cnt AS DOUBLE)
+         |                 / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))) / CAST(3.0 AS DOUBLE) AS f_quality
+         |  FROM m),
+         |s AS (
+         |  SELECT doc_id,
+         |         ((((CAST(0.0 AS DOUBLE)
+         |             + (f_tokens * CAST(0.02 AS DOUBLE)))
+         |             + (f_punct * CAST(-0.15 AS DOUBLE)))
+         |             + (f_stop * CAST(-5.0 AS DOUBLE)))
+         |             + (f_quality * CAST(3.0 AS DOUBLE)))
+         |           + CAST(-3.2 AS DOUBLE) AS z
+         |  FROM f)
+         |SELECT doc_id, z,
+         |       CASE WHEN z > CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END AS predicted
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     // Exact side = q23's CTEs; approx side = q69's wide-simhash pairs at
     // hamming ≤ 3 (all-pairs form — the banded operator has total recall
