@@ -34,6 +34,30 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
 
+  /** Deterministic train/val/test split — the holdout assignment every
+    * training run needs, as a pure projection over the same Knuth
+    * bucket [[hashBucket]] uses everywhere else. Percentage bands over
+    * 100 buckets: bucket < trainPct → "train", < trainPct+valPct →
+    * "val", rest → "test". Properties that matter at corpus scale:
+    * membership is a function of the KEY alone (stable under
+    * re-partitioning, re-runs, incremental appends — a doc never
+    * migrates between splits as the corpus grows), no shuffle, no RNG,
+    * and the same expression evaluates identically in any SQL engine
+    * (the q99 oracle runs it verbatim). Contamination note: key on the
+    * DEDUP-cluster representative (or URL), not the row id, if near-dups
+    * must not straddle train/test.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, trainPct: Int, valPct: Int,
+                splitCol: String = "split"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: $trainPct/$valPct")
+    val b = hashBucket(col(keyCol), 100)
+    df.withColumn(splitCol,
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic stratified sample: exactly ceil(fraction·|stratum|)
     * rows per stratum, chosen by the (hash bucket asc, key asc) total
     * order — unique and reproducible.

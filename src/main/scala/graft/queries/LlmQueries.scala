@@ -543,6 +543,15 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // Deterministic 80/10/10 train/val/test assignment keyed on doc_id —
+    // stable under re-runs and corpus growth (membership is a function
+    // of the key alone, never of partitioning or RNG state).
+    "q99_hash_split" -> ((s, dir) => {
+      Sampling.hashSplit(t(s, dir, "documents").select("doc_id"),
+        "doc_id", trainPct = 80, valPct = 10)
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+
     // Model-based quality filtering: a linear classifier over the q26
     // feature set, served via LinearModel.applyModel — the gated output
     // is the LINEAR score z (sigmoid is monotone; exp() is libm-
@@ -1549,6 +1558,19 @@ object LlmQueries {
          |  FROM top WHERE rn <= 10 GROUP BY term)
          |SELECT term, df, total_tf, postings
          |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // The Knuth-bucket arithmetic verbatim (q35's hash), banded by
+    // cumulative percentage.
+    "q99_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bkt
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN bkt < 80 THEN 'train'
+        |            WHEN bkt < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // Mirrors LinearModel.score's contract exactly: left-to-right fold
     // seeded at 0.0, bias last, every decimal literal CAST AS DOUBLE

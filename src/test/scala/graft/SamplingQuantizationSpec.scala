@@ -56,6 +56,27 @@ class SamplingQuantizationSpec extends SparkSpec {
     assert(s1.length > 500 && s1.length < 1500)
   }
 
+  test("hashSplit: exhaustive bands, stable under repartition, agrees with deterministicSample") {
+    val df = spark.range(0, 5000).toDF("id")
+    val split = Sampling.hashSplit(df, "id", trainPct = 80, valPct = 10)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 5000L)
+    assert(counts("train") > 3500 && counts("val") < 1000)
+    // Membership is a function of the key alone — repartitioning must
+    // not move a single row between splits.
+    val a = split.orderBy("id").select("split").as[String].collect()
+    val b = Sampling.hashSplit(df.repartition(13), "id", 80, 10)
+      .orderBy("id").select("split").as[String].collect()
+    assert(a === b)
+    // train band == deterministicSample at the same pct (same buckets).
+    val train = split.filter($"split" === "train").select("id").as[Long].collect().sorted
+    val det = Sampling.deterministicSample(df, "id", 80).select("id").as[Long].collect().sorted
+    assert(train === det)
+    intercept[IllegalArgumentException](Sampling.hashSplit(df, "id", 80, 30))
+  }
+
   test("stratifiedSample: exact ceil(fraction*n) per stratum, reproducible") {
     val df = (1 to 100).map(i => (i.toLong, if (i <= 30) "a" else "b"))
       .toDF("id", "s")
