@@ -121,6 +121,100 @@ object CorpusStreams {
       }
   }
 
+  /** Continuous corpus ingest — the streaming half of incremental dedup
+    * ([[graft.operators.Dedup.simhashPairsWideIncremental]], q71). Each
+    * micro-batch of (doc_id, ts, text):
+    *   1. drops exact-id re-deliveries (within the batch and against the
+    *      persisted signature store — the at-least-once-source guard);
+    *   2. near-dup matches against the corpus signatures AND within
+    *      itself — the corpus is never re-paired;
+    *   3. survivor-selects by connected components over the batch's
+    *      pairs: a batch doc in a component touching the existing corpus
+    *      drops (near-dup chains collapse transitively, the q63/q70
+    *      semantics; the corpus side is immutable), a pure-batch
+    *      component keeps its min-id representative;
+    *   4. commits the survivors' documents and their signatures.
+    *
+    * State lives in TABLES, not stream state: the signature store (one
+    * long per corpus doc) is all the loop carries forward, so a restart
+    * resumes from the store alone and stream-state size is zero.
+    * Idempotency, two layers: (a) both sinks partition by a
+    * (run tag, batch id) key with dynamic partition overwrite, so a
+    * within-run retry replaces its own partition instead of appending
+    * twice (batchId alone would clobber older runs — a fresh checkpoint
+    * restarts it at 0); (b) the exact-id guard makes cross-restart
+    * replays doc-idempotent — a replayed already-committed doc is in the
+    * signature store and drops before pairing. Residual window: a crash
+    * BETWEEN the corpus and signature commits replayed under a new run
+    * tag can duplicate that one batch's corpus rows; a transactional
+    * table format closes it. At 100 TB, store the signature table bucketed
+    * ([[graft.io.TableIO.writeBucketed]]) so the exact-id anti-join and
+    * the band join read co-located buckets; the per-batch work is
+    * proportional to the BATCH (batch bands × matching corpus buckets),
+    * never the corpus.
+    */
+  def incrementalIngest(docs: org.apache.spark.sql.DataFrame,
+                        sigDir: String, corpusDir: String,
+                        checkpointDir: String, maxHamming: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        ingestBatch(batch, s"$runTag-$batchId", sigDir, corpusDir, maxHamming)
+      }
+      .start()
+  }
+
+  /** One [[incrementalIngest]] micro-batch, also callable on a plain
+    * batch frame (the batch/stream parity the specs lock).
+    */
+  private[graft] def ingestBatch(batch: org.apache.spark.sql.DataFrame,
+                                 batchTag: String, sigDir: String,
+                                 corpusDir: String, maxHamming: Int): Unit = {
+    import graft.operators.{Components, Dedup}
+    val spark = batch.sparkSession
+    // Explicit schema (an empty store must not hit inference), and an
+    // existence probe: before the first commit the store doesn't exist
+    // at all, which reads as "no corpus yet", not an error.
+    val sigPath = new org.apache.hadoop.fs.Path(sigDir)
+    val sigFs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigs =
+      if (sigFs.exists(sigPath))
+        spark.read.schema("id LONG, sig LONG, batch_id STRING")
+          .parquet(sigDir).select("id", "sig")
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("id LONG, sig LONG"))
+    val fresh = batch.dropDuplicates("doc_id")
+      .join(sigs.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .persist()
+    val pairs = Dedup.simhashPairsWideIncremental(
+      fresh, "doc_id", "text", sigs, maxHamming)
+    val comps = Components.connectedComponents(pairs, "i", "j")
+    val tainted = comps.join(sigs.select("id"), Seq("id"), "left_semi")
+      .select("component").distinct()
+    val losers = comps.join(tainted, Seq("component"), "left_semi")
+      .select("id")
+      .union(comps.filter(col("id") =!= col("component")).select("id"))
+      .distinct()
+    val survivors = fresh.join(losers.withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_anti").persist()
+    // Materialize before the first commit so the signature write reads
+    // the cache, not a sigDir re-scan racing its own output.
+    survivors.count()
+    survivors.withColumn("batch_id", lit(batchTag))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(corpusDir)
+    Dedup.wideSignatures(survivors, "doc_id", "text")
+      .withColumn("batch_id", lit(batchTag))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(sigDir)
+    survivors.unpersist()
+    fresh.unpersist()
+    ()
+  }
+
   /** Windowed per-language LENGTH-QUANTILE estimates from the
     * deterministic bottom-k sample — streaming twin of
     * [[graft.operators.Sketch.sampledQuantiles]]: per (window, lang)

@@ -424,4 +424,54 @@ class StreamingSpec extends SparkSpec {
       assert(got === expected)
     } finally query.stop()
   }
+
+  test("incrementalIngest: table-backed dedup loop — cross-batch, exact-id, CC survivors") {
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ingest").toString
+    val (sigDir, corpusDir, ckpt) =
+      (s"$base/sigs", s"$base/corpus", s"$base/ckpt")
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val uniq3 = "completely unrelated words appear here entirely different"
+    val uniq5 = "another disjoint document carrying its own vocabulary tokens"
+    val input = MemoryStream[Doc]
+    val query = CorpusStreams.incrementalIngest(input.toDF(), sigDir,
+      corpusDir, ckpt, maxHamming = 3)
+    try {
+      // batch 0: 1 and 2 are exact dups (keep min id 1), 3 unique
+      input.addData(Doc(1L, ts(0), dup), Doc(2L, ts(1), dup), Doc(3L, ts(2), uniq3))
+      query.processAllAvailable()
+      val c0 = spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().sorted
+      assert(c0.toSeq === Seq(1L, 3L))
+      // batch 1: 4 dups doc 1 ACROSS batches (matched via the signature
+      // store, corpus never re-paired); 1 is an exact-id re-delivery
+      // (dropped before pairing); 5 and 6 are intra-batch dups (keep 5)
+      input.addData(Doc(4L, ts(3), dup), Doc(1L, ts(4), dup),
+        Doc(5L, ts(5), uniq5), Doc(6L, ts(6), uniq5))
+      query.processAllAvailable()
+      val c1 = spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().sorted
+      assert(c1.toSeq === Seq(1L, 3L, 5L))
+      // the signature store tracks exactly the survivors, with the same
+      // wide signatures the batch operator computes
+      val sigs = spark.read.parquet(sigDir).select("id", "sig")
+        .as[(Long, Long)].collect().toMap
+      val expected = Seq(1L -> dup, 3L -> uniq3, 5L -> uniq5).toDF("doc_id", "text")
+        .select($"doc_id", graft.operators.TextAnalysis.simHashWide($"text").as("sig"))
+        .as[(Long, Long)].collect().toMap
+      assert(sigs === expected)
+    } finally query.stop()
+    // restart from the STORE alone (fresh checkpoint): re-deliveries and
+    // near-dups of committed docs still drop — no stream state needed
+    val input2 = MemoryStream[Doc]
+    val query2 = CorpusStreams.incrementalIngest(input2.toDF(), sigDir,
+      corpusDir, s"$base/ckpt2", maxHamming = 3)
+    try {
+      input2.addData(Doc(7L, ts(7), dup), Doc(3L, ts(8), uniq3),
+        Doc(8L, ts(9), "yet another brand new never seen text body"))
+      query2.processAllAvailable()
+      val c2 = spark.read.parquet(corpusDir).select("doc_id").as[Long].collect().sorted
+      assert(c2.toSeq === Seq(1L, 3L, 5L, 8L))
+    } finally query2.stop()
+  }
 }
