@@ -543,6 +543,19 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // SemDeDup (Abbas et al.): semantic dedup in EMBEDDING space —
+    // cluster-scoped cosine near-dup pairs (q31's candidate shape: the
+    // cell equi-join keeps candidates sub-quadratic, no all-pairs) →
+    // connected components → keep each cluster's min-id representative.
+    // The embedding-side sibling of the q63/q70 text-tier corpus dedup.
+    "q100_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+        strideCentroids(s, dir), threshold = 0.3)
+      graft.operators.Components.keepCanonical(emb, "vec_id", pairs)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // Deterministic 80/10/10 train/val/test assignment keyed on doc_id —
     // stable under re-runs and corpus growth (membership is a function
     // of the key alone, never of partitioning or RNG state).
@@ -1558,6 +1571,28 @@ object LlmQueries {
          |  FROM top WHERE rn <= 10 GROUP BY term)
          |SELECT term, df, total_tf, postings
          |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // q31's pair CTEs + q47's recursive-CC labeling, survivors = nodes
+    // that are their own component label.
+    "q100_semantic_dedup" ->
+      s"""WITH RECURSIVE $oNorms,
+         |$oCells,
+         |pairs AS (
+         |  SELECT a.id AS i, b.id AS j
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+         |  JOIN norms na ON na.vec_id = a.id
+         |  JOIN norms nb ON nb.vec_id = b.id
+         |  WHERE ${oCos("na", "nb")} >= 0.3),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |lab AS (SELECT node AS vec_id, min(comp) AS component
+         |        FROM reach GROUP BY node)
+         |SELECT vec_id FROM lab WHERE vec_id = component
+         |ORDER BY vec_id""".stripMargin,
 
     // The Knuth-bucket arithmetic verbatim (q35's hash), banded by
     // cumulative percentage.
