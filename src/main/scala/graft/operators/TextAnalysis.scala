@@ -225,6 +225,25 @@ object TextAnalysis {
   def ipv4Count(text: Column): Column = patternCount(text, Ipv4Pattern)
   def longDigitCount(text: Column): Column = patternCount(text, LongDigitPattern)
 
+  /** PII redaction — the ENFORCEMENT half of the q43 scan: each match
+    * of the same three portable patterns is replaced with a typed
+    * placeholder, emails first (an address may contain digit runs the
+    * later passes would otherwise shred mid-token), then IPv4 (octets
+    * are 1–3 digits, so the digit-run pass can't touch a dotted quad
+    * anyway), then long digit runs. Placeholders contain no digits or
+    * '@', so a pass can never manufacture a match for a later one, and
+    * the scan counts over the redacted text are zero by construction
+    * (the q101 gate asserts exactly that). Pure projection — scales
+    * like a scan; same Java↔RE2-agreeing regex subset as the counts,
+    * so any SQL engine reproduces the rewritten text byte-for-byte.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+        lit(Ipv4Pattern), lit("<IP>")),
+      lit(LongDigitPattern), lit("<DIGITS>"))
+
   /** Document fingerprint: portable rolling hash of the whole text. */
   def fingerprint(text: Column): Column = polyHash(text)
 

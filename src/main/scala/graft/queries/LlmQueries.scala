@@ -543,6 +543,21 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // PII redaction (q43's enforcement half): rewritten text plus the
+    // residual scan counts, zero by construction. The driver fixture
+    // carries no PII (the gate there checks the identity path byte-for-
+    // byte); the fuzz corpus (tools/make_fuzz_documents.py) carries the
+    // adversarial emails/IPs/digit-runs that exercise the rewrites.
+    "q101_pii_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("redacted", TextAnalysis.piiRedact(col("text")))
+        .select(col("doc_id"), col("redacted"),
+          TextAnalysis.emailCount(col("redacted")).as("n_emails_after"),
+          TextAnalysis.ipv4Count(col("redacted")).as("n_ipv4_after"),
+          TextAnalysis.longDigitCount(col("redacted")).as("n_long_digits_after"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al.): semantic dedup in EMBEDDING space —
     // cluster-scoped cosine near-dup pairs (q31's candidate shape: the
     // cell equi-join keeps candidates sub-quadratic, no all-pairs) →
@@ -1571,6 +1586,24 @@ object LlmQueries {
          |  FROM top WHERE rn <= 10 GROUP BY term)
          |SELECT term, df, total_tf, postings
          |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // Same patterns and email→ip→digits pass order as piiRedact; the
+    // 'g' flag makes DuckDB replace every match like Spark does.
+    "q101_pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(text,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |           '[0-9]{9,}', '<DIGITS>', 'g') AS redacted
+        |  FROM documents)
+        |SELECT doc_id, redacted,
+        |       CAST(len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails_after,
+        |       CAST(len(regexp_extract_all(redacted, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4_after,
+        |       CAST(len(regexp_extract_all(redacted, '[0-9]{9,}')) AS BIGINT) AS n_long_digits_after
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // q31's pair CTEs + q47's recursive-CC labeling, survivors = nodes
     // that are their own component label.

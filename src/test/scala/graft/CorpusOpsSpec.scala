@@ -7,6 +7,26 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("piiRedact rewrites every match in pass order and scans to zero residuals") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "mail a.b%c@ex-ample.co.uk and x@y.io; ip 10.0.0.1, id 123456789012"),
+      (2L, "dots 1.2.3.4.5 short@x.a run 12345678 then 999999999"),
+      (3L, "no pii here at all")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.piiRedact($"text").as("r"))
+      .orderBy("id").as[(Long, String)].collect().map(_._2)
+    assert(out(0) === "mail <EMAIL> and <EMAIL>; ip <IP>, id <DIGITS>")
+    // leftmost quad of the 5-dotted run; sub-threshold @/digit stay put
+    assert(out(1) === "dots <IP>.5 short@x.a run 12345678 then <DIGITS>")
+    assert(out(2) === "no pii here at all")
+    val residual = df.select(TextAnalysis.piiRedact($"text").as("r"))
+      .select((graft.operators.TextAnalysis.emailCount($"r")
+        + graft.operators.TextAnalysis.ipv4Count($"r")
+        + graft.operators.TextAnalysis.longDigitCount($"r")).as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(residual === 0L)
+  }
+
   test("dedupLines keeps first (doc, pos) occurrence and reassembles in order") {
     val docs = Seq(
       (1L, "alpha\nbeta\nalpha"), // in-doc dup: second alpha dies
