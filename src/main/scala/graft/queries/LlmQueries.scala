@@ -543,6 +543,34 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // The gate DISTILLED into the linear model (production's fastText
+    // recipe: heuristic rules label, a cheap classifier generalizes):
+    // weights below were learned by graft.tools.TrainDistill (300
+    // iters, lr 1.0, L2 1e-4) against q81's gate labels on the sf0.01
+    // documents — deterministic GD, reproducible by re-running it.
+    // The gated output is the gate↔classifier confusion matrix: the
+    // agreement a curation team actually reviews (98.4% here). One
+    // pass: keepInputCols fuses gate metrics and features into the
+    // same scan (no self-join), the q84 discipline.
+    "q102_gate_distill" -> ((s, dir) => {
+      val gated = TextAnalysis.qualityGate(t(s, dir, "documents"),
+        "doc_id", "text", keepInputCols = true)
+      val feats = gated.select(
+        col("doc_id"), col("keep"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("f_tokens"),
+        TextAnalysis.punctCount(col("text")).cast("double").as("f_punct"),
+        coalesce(TextAnalysis.stopwordRatio(col("text")), lit(0.0)).as("f_stop"),
+        TextAnalysis.qualityScore(col("text")).as("f_quality"))
+      graft.operators.LinearModel.applyModel(feats,
+        Seq("f_tokens", "f_punct", "f_stop", "f_quality"),
+        graft.operators.LinearModel.Model(
+          Array(0.10338513290120002, 0.0, 2.561121689531541,
+            15.712607333411997), -10.389739811106871))
+        .groupBy(col("keep").cast("int").as("gate_keep"), col("predicted"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("gate_keep", "predicted")
+    }),
+
     // PII redaction (q43's enforcement half): rewritten text plus the
     // residual scan counts, zero by construction. The driver fixture
     // carries no PII (the gate there checks the identity path byte-for-
@@ -1586,6 +1614,45 @@ object LlmQueries {
          |  FROM top WHERE rn <= 10 GROUP BY term)
          |SELECT term, df, total_tf, postings
          |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // q81's gate CTEs (verdict) + q98's feature/score shape under the
+    // distilled literals, joined into confusion counts.
+    "q102_gate_distill" ->
+      s"""WITH $oGateCtes,
+         |feat AS (
+         |  SELECT doc_id,
+         |         CAST(len(tk) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(tk,
+         |           t -> list_contains(['the','a','an','of','to','and','in','is','on','for'], t))) AS BIGINT) AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS BIGINT) AS punct_cnt,
+         |         text
+         |  FROM m),
+         |fx AS (
+         |  SELECT doc_id,
+         |         CAST(n_tokens AS DOUBLE) AS f_tokens,
+         |         CAST(punct_cnt AS DOUBLE) AS f_punct,
+         |         COALESCE(CASE WHEN n_tokens > 0
+         |                       THEN CAST(n_stop AS DOUBLE) / n_tokens END,
+         |                  CAST(0.0 AS DOUBLE)) AS f_stop,
+         |         (least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |          + least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |          + (CAST(1.0 AS DOUBLE) - CAST(punct_cnt AS DOUBLE)
+         |                 / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))) / CAST(3.0 AS DOUBLE) AS f_quality
+         |  FROM feat),
+         |sx AS (
+         |  SELECT doc_id,
+         |         ((((CAST(0.0 AS DOUBLE)
+         |             + (f_tokens * CAST(0.10338513290120002 AS DOUBLE)))
+         |             + (f_punct * CAST(0.0 AS DOUBLE)))
+         |             + (f_stop * CAST(2.561121689531541 AS DOUBLE)))
+         |             + (f_quality * CAST(15.712607333411997 AS DOUBLE)))
+         |           + CAST(-10.389739811106871 AS DOUBLE) AS z
+         |  FROM fx)
+         |SELECT CAST(CASE WHEN v.reasons = 0 THEN 1 ELSE 0 END AS INT) AS gate_keep,
+         |       CASE WHEN sx.z > CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END AS predicted,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM sx JOIN verdict v USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same patterns and email→ip→digits pass order as piiRedact; the
     // 'g' flag makes DuckDB replace every match like Spark does.
