@@ -49,12 +49,42 @@ object ExactQuantiles {
     * @return (groupCol, n, labels…)
     */
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
-                       qs: Seq[(String, Int, Int)]): DataFrame = {
+                       qs: Seq[(String, Int, Int)]): DataFrame =
+    quantilesCore(
+      df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c")),
+      groupCol, valueCol, qs)
+
+  /** [[quantilesByGroup]] with each row counted `weightCol` times — the
+    * budget statistic: with weight = token count and value = length,
+    * p50 is the length L such that half the group's TOKENS sit in rows
+    * with value ≤ L (where the unweighted p50 says half the DOCS do) —
+    * what a packing/budget plan actually allocates by. Weights must be
+    * non-negative integers so the cumulative arithmetic stays
+    * integer-exact like the unweighted operator; NULL-weight rows are
+    * excluded (no defined mass), matching the SQL a consumer writes.
+    * Same plan, same scale shape: the histogram is one hash aggregate
+    * bounded by distinct (group, value), windows run over histogram
+    * rows, never data rows.
+    *
+    * @return (groupCol, n, labels…) — n is the group's total WEIGHT.
+    */
+  def weightedQuantilesByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String, weightCol: String,
+                               qs: Seq[(String, Int, Int)]): DataFrame =
+    quantilesCore(
+      df.filter(col(weightCol).isNotNull)
+        .groupBy(col(groupCol), col(valueCol))
+        .agg(sum(col(weightCol)).cast(org.apache.spark.sql.types.LongType)
+          .as("__c")),
+      groupCol, valueCol, qs)
+
+  /** Shared cumulate-and-read tail over a (group, value, __c) histogram. */
+  private def quantilesCore(hist: DataFrame, groupCol: String,
+                            valueCol: String,
+                            qs: Seq[(String, Int, Int)]): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     qs.foreach { case (_, num, den) =>
       require(den > 0 && num >= 0 && num <= den, s"need 0 <= $num <= $den") }
-    val hist = df.groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(col(groupCol))

@@ -543,6 +543,19 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // TOKEN-weighted length quantiles per language (q74's weighted
+    // sibling): p50 is the length where half the group's TOKEN MASS
+    // sits — the statistic a packing/budget plan allocates by, where
+    // q74's unweighted p50 answers "half the docs".
+    "q103_weighted_quantiles" -> ((s, dir) => {
+      graft.operators.ExactQuantiles.weightedQuantilesByGroup(
+        t(s, dir, "documents").select(col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("w")),
+        "lang", "n_chars", "w",
+        Seq(("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4)))
+        .orderBy("lang")
+    }),
+
     // The gate DISTILLED into the linear model (production's fastText
     // recipe: heuristic rules label, a cheap classifier generalizes):
     // weights below were learned by graft.tools.TrainDistill (300
@@ -1614,6 +1627,24 @@ object LlmQueries {
          |  FROM top WHERE rn <= 10 GROUP BY term)
          |SELECT term, df, total_tf, postings
          |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // q74's histogram-cumulate shape with c = sum(token count) instead
+    // of count(*).
+    "q103_weighted_quantiles" ->
+      s"""WITH h AS (
+         |  SELECT lang, n_chars AS v,
+         |         CAST(sum(CAST(len($oToks) AS BIGINT)) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, v,
+         |         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         |         sum(c) OVER (PARTITION BY lang) AS n
+         |  FROM h)
+         |SELECT lang, CAST(min(n) AS BIGINT) AS n,
+         |       min(CASE WHEN cum * 4 >= n * 1 THEN v END) AS p25,
+         |       min(CASE WHEN cum * 4 >= n * 2 THEN v END) AS p50,
+         |       min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75
+         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q81's gate CTEs (verdict) + q98's feature/score shape under the
     // distilled literals, joined into confusion counts.

@@ -7,6 +7,29 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("weightedQuantilesByGroup: weight-mass quantiles, weight 1 degenerates to unweighted") {
+    // group g: values 10/20/30 at weights 2/3/5 — cumulative mass
+    // 2, 5, 10 of 10, so p25 reads 20 (2·4 < 10·1) where the
+    // unweighted p25 reads 10, and p50 stays 20 (5·4 ≥ 10·2 exactly).
+    val df = Seq(("g", 10L, Some(2L)), ("g", 20L, Some(3L)), ("g", 30L, Some(5L)),
+      ("h", 5L, Some(2L)), ("h", 7L, None: Option[Long]))
+      .toDF("grp", "v", "w")
+    val qs = Seq(("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4))
+    val wq = ExactQuantiles.weightedQuantilesByGroup(df, "grp", "v", "w", qs)
+      .orderBy("grp").collect()
+    assert(wq(0).getLong(1) === 10L) // n = total weight of g
+    assert((wq(0).getLong(2), wq(0).getLong(3), wq(0).getLong(4)) === ((20L, 20L, 30L)))
+    // NULL-weight row carries no mass: group h is all-10 at weight 2
+    assert(wq(1).getLong(1) === 2L)
+    assert(wq(1).getLong(2) === 5L)
+    val ones = ExactQuantiles.weightedQuantilesByGroup(
+      df.withColumn("w1", lit(1L)), "grp", "v", "w1", qs)
+      .orderBy("grp").collect()
+    val plain = ExactQuantiles.quantilesByGroup(df, "grp", "v", qs)
+      .orderBy("grp").collect()
+    assert(ones.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+  }
+
   test("piiRedact rewrites every match in pass order and scans to zero residuals") {
     import graft.operators.TextAnalysis
     val df = Seq(
