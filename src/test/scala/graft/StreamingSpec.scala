@@ -294,6 +294,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cnt")).toSeq === Seq(1L, 1L))
   }
 
+  test("stateless curation chain (gate -> redact -> classify -> split) streams unchanged") {
+    // Every stage is a pure projection, so the SAME transform function
+    // applies to a stream — batch/stream outputs must match row-for-row.
+    import graft.operators.{LinearModel, Sampling, TextAnalysis}
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    def curate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val gated = TextAnalysis.qualityGate(df, "doc_id", "text",
+        keepInputCols = true)
+        .withColumn("redacted", TextAnalysis.piiRedact(col("text")))
+        .withColumn("f_tokens", TextAnalysis.tokenCount(col("text")).cast("double"))
+        .withColumn("f_quality", TextAnalysis.qualityScore(col("text")))
+      Sampling.hashSplit(
+        LinearModel.applyModel(gated, Seq("f_tokens", "f_quality"),
+          LinearModel.Model(Array(0.05, 2.0), -2.5)),
+        "doc_id", trainPct = 80, valPct = 10)
+        .select("doc_id", "keep", "redacted", "z", "predicted", "split")
+    }
+    val docs = Seq(
+      Doc(1L, ts(0), "the quick brown fox jumps over the lazy dog and friends"),
+      Doc(2L, ts(1), "short"),
+      Doc(3L, ts(2), "mail someone@example.com about the 1234567890 invoice today"))
+    val input = MemoryStream[Doc]
+    val query = curate(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("curated").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("curated").orderBy("doc_id").collect().map(_.toSeq)
+      val batch = curate(docs.toDF()).orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(batch(2).contains("mail <EMAIL> about the <DIGITS> invoice today"))
+    } finally query.stop()
+  }
+
   test("intervalJoin: stream-stream attribution equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = Seq(
