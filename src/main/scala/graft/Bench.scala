@@ -56,7 +56,8 @@ object Bench {
     // column — forces full evaluation, still returns one driver-side row.
     val checksumQueries = Set(
       "q26_text_quality", "q28_fingerprint", "q34_embed_quantize",
-      "q42_repetition", "q43_pii_scan", "q62_chunking", "q81_quality_gate")
+      "q42_repetition", "q43_pii_scan", "q62_chunking", "q81_quality_gate",
+      "q98_quality_classifier", "q99_hash_split", "q101_pii_redact")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}
