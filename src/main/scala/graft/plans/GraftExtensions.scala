@@ -30,6 +30,12 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_bottomk(x, k)`    — bottom-k distinct longs (KMV sketch state, aggregate)
   *   - `graft_bottomk_pairs(h, v, k)` — bottom-k distinct (h, v) long pairs (sample sketch, aggregate)
   *
+  * Curation functions (composed from built-in expressions — the same
+  * trees the Scala operators build, so plans and results are identical):
+  *   - `graft_pii_redact(s)`    — email→IPv4→digit-run typed-placeholder rewrite
+  *   - `graft_quality_score(s)` — the [0,1] rational text-quality score
+  *   - `graft_hash_bucket(key, n)` — portable Knuth bucket (sampling/split hash)
+  *
   * Arity/argument errors surface at ANALYSIS time (the builders validate
   * literal parameters), matching built-in function ergonomics.
   */
@@ -106,7 +112,26 @@ object GraftExtensions {
       info("graft_bottomk_pairs",
         "graft_bottomk_pairs(h, v, k) - aggregate: the k smallest distinct (h, v) LONG pairs by (h, v), ascending (deterministic-sample sketch)"),
       es => { val Seq(h, v, k) = arity("graft_bottomk_pairs", 3)(es)
-        graft.expressions.BottomKLongPairs(h, v, litInt(k, "graft_bottomk_pairs", "k")) }))
+        graft.expressions.BottomKLongPairs(h, v, litInt(k, "graft_bottomk_pairs", "k")) }),
+    (FunctionIdentifier("graft_pii_redact"),
+      info("graft_pii_redact",
+        "graft_pii_redact(s) - replace emails/IPv4/long digit runs with typed placeholders"),
+      es => { val Seq(s) = arity("graft_pii_redact", 1)(es)
+        import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
+        toCatalystTree(graft.operators.TextAnalysis.piiRedact(toColumn(s))) }),
+    (FunctionIdentifier("graft_quality_score"),
+      info("graft_quality_score",
+        "graft_quality_score(s) - composite [0,1] text-quality score (rational arithmetic)"),
+      es => { val Seq(s) = arity("graft_quality_score", 1)(es)
+        import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
+        toCatalystTree(graft.operators.TextAnalysis.qualityScore(toColumn(s))) }),
+    (FunctionIdentifier("graft_hash_bucket"),
+      info("graft_hash_bucket",
+        "graft_hash_bucket(key, n) - portable Knuth bucket in [0, n) (deterministic sampling/split hash)"),
+      es => { val Seq(k, n) = arity("graft_hash_bucket", 2)(es)
+        import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
+        toCatalystTree(graft.operators.Sampling.hashBucket(toColumn(k),
+          litInt(n, "graft_hash_bucket", "n"))) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

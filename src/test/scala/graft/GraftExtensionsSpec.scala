@@ -88,6 +88,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rep === 3L) // "p q" occurs 3x
   }
 
+  test("curation functions agree with the Scala operators from pure SQL") {
+    import graft.operators.{Sampling, TextAnalysis}
+    Seq((1L, "mail x@y.io id 123456789 ip 10.0.0.1 and the rest of the words"))
+      .toDF("id", "text").createOrReplaceTempView("cur")
+    val sql = spark.sql(
+      """SELECT graft_pii_redact(text) AS r, graft_quality_score(text) AS q,
+        |       graft_hash_bucket(id, 100) AS b FROM cur""".stripMargin).head()
+    assert(sql.getString(0) === "mail <EMAIL> id <DIGITS> ip <IP> and the rest of the words")
+    val api = spark.table("cur").select(
+      TextAnalysis.qualityScore(org.apache.spark.sql.functions.col("text")),
+      Sampling.hashBucket(org.apache.spark.sql.functions.col("id"), 100)).head()
+    assert(sql.getDouble(1) === api.getDouble(0))
+    assert(sql.getLong(2) === api.getLong(1))
+  }
+
   test("literal-parameter misuse fails at analysis time") {
     Seq(1L).toDF("x").createOrReplaceTempView("one")
     val e = intercept[Exception] {
