@@ -543,6 +543,24 @@ object LlmQueries {
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
+    // Deterministic EPOCH SHUFFLE: ordinals + shards in Knuth-hash
+    // order — the seed-stable corpus shuffle a training run replays
+    // (same manifest on any engine, any partitioning, any retry; no
+    // rand()). Same histogram-offset plan as q80: the hash is the sort
+    // key, its top bits the histogram bucket, so no global-window
+    // funnel — the shuffle of a 100 TB corpus costs a bucket histogram
+    // plus per-bucket local sorts.
+    "q104_epoch_shuffle" -> ((s, dir) => {
+      val h = pmod(pmod(col("doc_id").cast("long"), lit(2147483648L))
+        * 2654435761L, lit(4294967296L))
+      graft.operators.GlobalIds.shardByOrder(
+        t(s, dir, "documents").select("doc_id").withColumn("h", h),
+        bucket = expr("h DIV 4194304"), // 1024 buckets over the 2^32 hash space
+        order = Seq(col("h"), col("doc_id")),
+        shardSize = 64)
+        .select("doc_id", "gid", "shard").orderBy("doc_id")
+    }),
+
     // TOKEN-weighted length quantiles per language (q74's weighted
     // sibling): p50 is the length where half the group's TOKEN MASS
     // sits — the statistic a packing/budget plan allocates by, where
@@ -1627,6 +1645,20 @@ object LlmQueries {
          |  FROM top WHERE rn <= 10 GROUP BY term)
          |SELECT term, df, total_tf, postings
          |FROM stats JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // q80's ordinal arithmetic with the q35 Knuth hash as the total
+    // order.
+    "q104_epoch_shuffle" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         (((doc_id % 2147483648) * 2654435761) % 4294967296) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+        |            AS BIGINT) AS gid,
+        |       CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 64
+        |            AS BIGINT) AS shard
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // q74's histogram-cumulate shape with c = sum(token count) instead
     // of count(*).
