@@ -476,6 +476,38 @@ object RelationalQueries {
           graft.operators.Layout.zValue(16, col("l_partkey"), col("l_suppkey")).as("z"))
         .orderBy("z", "l_partkey", "l_suppkey")
         .limit(200)
+    }),
+
+    // Fixed-point PageRank (operators/PageRank.scala) over a sparse
+    // derived graph: customer → its top-3 suppliers by exact DECIMAL
+    // revenue, supplier → top-3 parts, part → top-3 customers (additive
+    // offsets keep the three id spaces disjoint, and the revenue ranks
+    // give cycles through all three layers). All rank arithmetic is
+    // BIGINT in 1e-12 units, so the 8-round power iteration is
+    // bit-identical under any partitioning — which is what lets a
+    // parallel graph algorithm hash-match a sequential SQL engine.
+    "q105_pagerank" -> ((s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"),
+          col("l_partkey").as("p"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("rev"))
+      // Group sizes here are bounded by DIMENSION cardinality (suppliers/
+      // parts/customers a key can pair with), not corpus rows, so a plain
+      // window is safe — TopK.topKPerGroup is the salted form for
+      // corpus-sized groups. Ties break on exact decimals, then the key.
+      def top3(a: String, b: String, aOff: Long, bOff: Long): DataFrame = {
+        val w = Window.partitionBy(col(a)).orderBy(desc("rv"), col(b))
+        j.groupBy(col(a), col(b)).agg(sum(col("rev")).as("rv"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .select((col(a) + lit(aOff)).cast(LongType).as("src"),
+            (col(b) + lit(bOff)).cast(LongType).as("dst"))
+      }
+      val edges = top3("c", "sp", 0L, 10000000L)
+        .unionAll(top3("sp", "p", 10000000L, 20000000L))
+        .unionAll(top3("p", "c", 20000000L, 0L))
+      graft.operators.PageRank.pageRank(edges, "src", "dst", iterations = 8)
+        .orderBy("node")
     })
   )
 
@@ -791,6 +823,73 @@ object RelationalQueries {
       s"""SELECT l_partkey, l_suppkey, ($z) AS z
          |FROM lineitem
          |ORDER BY z, l_partkey, l_suppkey LIMIT 200""".stripMargin
-    }
+    },
+
+    "q105_pagerank" -> oPagerank(iters = 8)
   )
+
+  /** q105's oracle: PageRank's fixed-point iteration unrolled as chained
+    * CTEs. Standard SQL recursion cannot reference the recursive table
+    * twice per step (the contribution sum AND the dangling sum both read
+    * the previous ranks), so the fixed round count is spelled out — which
+    * also mirrors the operator's "T rounds" determinism contract. Every
+    * step is BIGINT floor arithmetic (`//` == Spark's DIV on non-negative
+    * values), so both engines compute identical units at every round.
+    * Multiply-referenced CTEs are MATERIALIZED: DuckDB 1.0 inlines CTEs
+    * per reference, and each round reads the previous one 3× — inlined,
+    * the base scans multiply by 3^rounds and exhaust file handles.
+    */
+  private def oPagerank(iters: Int): String = {
+    val head =
+      """WITH j AS MATERIALIZED (
+        |  SELECT o_custkey AS c, l_suppkey AS sp, l_partkey AS p,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cs AS (SELECT c, sp, sum(rev) AS rv FROM j GROUP BY 1, 2),
+        |sp2 AS (SELECT sp, p, sum(rev) AS rv FROM j GROUP BY 1, 2),
+        |pc AS (SELECT p, c, sum(rev) AS rv FROM j GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT CAST(c AS BIGINT) AS src,
+        |         10000000 + CAST(sp AS BIGINT) AS dst
+        |  FROM (SELECT c, sp, row_number() OVER (PARTITION BY c
+        |          ORDER BY rv DESC, sp) AS rk FROM cs)
+        |  WHERE rk <= 3
+        |  UNION ALL
+        |  SELECT 10000000 + CAST(sp AS BIGINT), 20000000 + CAST(p AS BIGINT)
+        |  FROM (SELECT sp, p, row_number() OVER (PARTITION BY sp
+        |          ORDER BY rv DESC, p) AS rk FROM sp2)
+        |  WHERE rk <= 3
+        |  UNION ALL
+        |  SELECT 20000000 + CAST(p AS BIGINT), CAST(c AS BIGINT)
+        |  FROM (SELECT p, c, row_number() OVER (PARTITION BY p
+        |          ORDER BY rv DESC, c) AS rk FROM pc)
+        |  WHERE rk <= 3),
+        |od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |cnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |p0 AS MATERIALIZED (
+        |  SELECT n.node, coalesce(od.odeg, CAST(0 AS BIGINT)) AS odeg,
+        |         (SELECT 1000000000000 // n FROM cnt) AS pr
+        |  FROM nodes n LEFT JOIN od ON n.node = od.src)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node, CAST(sum(pp.pr // pp.odeg) AS BIGINT) AS cb
+         |  FROM e JOIN p${k - 1} pp ON e.src = pp.node GROUP BY 1),
+         |d$k AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+         |        FROM p${k - 1} WHERE odeg = 0),
+         |p$k AS MATERIALIZED (
+         |  SELECT pp.node, pp.odeg,
+         |         ((3 * 1000000000000) // (20 * nn.n))
+         |           + (17 * (coalesce(cb.cb, CAST(0 AS BIGINT))
+         |                    + (dd.dang // nn.n))) // 20 AS pr
+         |  FROM p${k - 1} pp
+         |  LEFT JOIN c$k cb ON pp.node = cb.node
+         |  CROSS JOIN d$k dd CROSS JOIN cnt nn)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT node, pr AS pr_fixed,
+         |       CAST(pr AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS pr
+         |FROM p$iters ORDER BY node""".stripMargin
+  }
 }
