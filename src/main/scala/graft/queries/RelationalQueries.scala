@@ -478,38 +478,57 @@ object RelationalQueries {
         .limit(200)
     }),
 
-    // Fixed-point PageRank (operators/PageRank.scala) over a sparse
-    // derived graph: customer → its top-3 suppliers by exact DECIMAL
-    // revenue, supplier → top-3 parts, part → top-3 customers (additive
-    // offsets keep the three id spaces disjoint, and the revenue ranks
-    // give cycles through all three layers). All rank arithmetic is
+    // Fixed-point PageRank (operators/PageRank.scala) over the sparse
+    // derived purchase graph ([[purchaseGraph]]). All rank arithmetic is
     // BIGINT in 1e-12 units, so the 8-round power iteration is
     // bit-identical under any partitioning — which is what lets a
     // parallel graph algorithm hash-match a sequential SQL engine.
     "q105_pagerank" -> ((s, dir) => {
-      val j = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"),
-          col("l_partkey").as("p"),
-          col("l_extendedprice").cast(DecimalType(18, 2)).as("rev"))
-      // Group sizes here are bounded by DIMENSION cardinality (suppliers/
-      // parts/customers a key can pair with), not corpus rows, so a plain
-      // window is safe — TopK.topKPerGroup is the salted form for
-      // corpus-sized groups. Ties break on exact decimals, then the key.
-      def top3(a: String, b: String, aOff: Long, bOff: Long): DataFrame = {
-        val w = Window.partitionBy(col(a)).orderBy(desc("rv"), col(b))
-        j.groupBy(col(a), col(b)).agg(sum(col("rev")).as("rv"))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-          .select((col(a) + lit(aOff)).cast(LongType).as("src"),
-            (col(b) + lit(bOff)).cast(LongType).as("dst"))
-      }
-      val edges = top3("c", "sp", 0L, 10000000L)
-        .unionAll(top3("sp", "p", 10000000L, 20000000L))
-        .unionAll(top3("p", "c", 20000000L, 0L))
-      graft.operators.PageRank.pageRank(edges, "src", "dst", iterations = 8)
+      graft.operators.PageRank.pageRank(purchaseGraph(s, dir), "src", "dst",
+        iterations = 8)
+        .orderBy("node")
+    }),
+
+    // Degree-ordered triangle counting + local clustering coefficient
+    // (operators/Triangles.scala) over the same purchase graph, read as
+    // undirected: a tripartite triangle is a closed c→s→p→c affinity
+    // loop (the customer's top supplier stocks a part whose top buyers
+    // include that customer). Exact integer counts; the coefficient is a
+    // small-integer ratio, so the double division is bit-portable.
+    "q106_triangles" -> ((s, dir) => {
+      graft.operators.Triangles.triangleCounts(purchaseGraph(s, dir),
+        "src", "dst")
         .orderBy("node")
     })
   )
+
+  /** Sparse shared graph for q105/q106: customer → its top-3 suppliers by
+    * exact DECIMAL revenue, supplier → top-3 parts, part → top-3
+    * customers. Additive offsets keep the three id spaces disjoint, and
+    * the revenue ranks give cycles through all three layers. Group sizes
+    * in the rank windows are bounded by DIMENSION cardinality (the
+    * suppliers/parts/customers a key can pair with), not corpus rows, so
+    * plain windows are safe — TopK.topKPerGroup is the salted form for
+    * corpus-sized groups. Ties break on exact decimals, then the key, so
+    * the edge SET is deterministic and oracle-reproducible.
+    */
+  private def purchaseGraph(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"),
+        col("l_partkey").as("p"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("rev"))
+    def top3(a: String, b: String, aOff: Long, bOff: Long): DataFrame = {
+      val w = Window.partitionBy(col(a)).orderBy(desc("rv"), col(b))
+      j.groupBy(col(a), col(b)).agg(sum(col("rev")).as("rv"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select((col(a) + lit(aOff)).cast(LongType).as("src"),
+          (col(b) + lit(bOff)).cast(LongType).as("dst"))
+    }
+    top3("c", "sp", 0L, 10000000L)
+      .unionAll(top3("sp", "p", 10000000L, 20000000L))
+      .unionAll(top3("p", "c", 20000000L, 0L))
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_fixed_width" ->
@@ -825,7 +844,49 @@ object RelationalQueries {
          |ORDER BY z, l_partkey, l_suppkey LIMIT 200""".stripMargin
     },
 
-    "q105_pagerank" -> oPagerank(iters = 8)
+    "q105_pagerank" -> oPagerank(iters = 8),
+
+    "q106_triangles" ->
+      // Mirrors operators/Triangles.scala step-for-step: canonical
+      // undirected simple edges, (deg, id)-ranked orientation, wedges at
+      // the low corner, closure by the oriented (b, c) edge. All-integer
+      // counts; the coefficient is the same small-int double ratio.
+      s"""WITH $oPurchaseEdges,
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM e WHERE src <> dst),
+         |deg AS MATERIALIZED (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+         |  GROUP BY 1),
+         |ori AS MATERIALIZED (
+         |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS lo,
+         |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS hi,
+         |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dhi
+         |  FROM (SELECT und.u, und.v, d1.deg AS du, d2.deg AS dv
+         |        FROM und JOIN deg d1 ON und.u = d1.node
+         |                 JOIN deg d2 ON und.v = d2.node)),
+         |tris AS MATERIALIZED (
+         |  SELECT o1.lo, o1.hi AS b, o2.hi AS c
+         |  FROM ori o1
+         |  JOIN ori o2 ON o1.lo = o2.lo
+         |   AND (o1.dhi < o2.dhi OR (o1.dhi = o2.dhi AND o1.hi < o2.hi))
+         |  JOIN ori o3 ON o3.lo = o1.hi AND o3.hi = o2.hi),
+         |pern AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT lo AS node FROM tris
+         |    UNION ALL SELECT b FROM tris
+         |    UNION ALL SELECT c FROM tris)
+         |  GROUP BY 1)
+         |SELECT d.node, d.deg AS degree,
+         |       coalesce(p.tri, CAST(0 AS BIGINT)) AS triangles,
+         |       (d.deg * (d.deg - 1)) // 2 AS wedges,
+         |       CASE WHEN d.deg >= 2
+         |            THEN CAST(coalesce(p.tri, 0) AS DOUBLE)
+         |                 / CAST((d.deg * (d.deg - 1)) // 2 AS DOUBLE)
+         |       END AS clustering
+         |FROM deg d LEFT JOIN pern p ON d.node = p.node
+         |ORDER BY d.node""".stripMargin
   )
 
   /** q105's oracle: PageRank's fixed-point iteration unrolled as chained
@@ -839,38 +900,46 @@ object RelationalQueries {
     * per reference, and each round reads the previous one 3× — inlined,
     * the base scans multiply by 3^rounds and exhaust file handles.
     */
+  /** The purchase-graph edge list as oracle CTEs (ends with `e`) —
+    * [[purchaseGraph]]'s SQL twin, shared by the q105 and q106 oracles.
+    * A def, not a val: `oracles` above interpolates it during object
+    * init, before a later-declared val would be assigned.
+    */
+  private def oPurchaseEdges: String =
+    """j AS MATERIALIZED (
+      |  SELECT o_custkey AS c, l_suppkey AS sp, l_partkey AS p,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |cs AS (SELECT c, sp, sum(rev) AS rv FROM j GROUP BY 1, 2),
+      |sp2 AS (SELECT sp, p, sum(rev) AS rv FROM j GROUP BY 1, 2),
+      |pc AS (SELECT p, c, sum(rev) AS rv FROM j GROUP BY 1, 2),
+      |e AS MATERIALIZED (
+      |  SELECT CAST(c AS BIGINT) AS src,
+      |         10000000 + CAST(sp AS BIGINT) AS dst
+      |  FROM (SELECT c, sp, row_number() OVER (PARTITION BY c
+      |          ORDER BY rv DESC, sp) AS rk FROM cs)
+      |  WHERE rk <= 3
+      |  UNION ALL
+      |  SELECT 10000000 + CAST(sp AS BIGINT), 20000000 + CAST(p AS BIGINT)
+      |  FROM (SELECT sp, p, row_number() OVER (PARTITION BY sp
+      |          ORDER BY rv DESC, p) AS rk FROM sp2)
+      |  WHERE rk <= 3
+      |  UNION ALL
+      |  SELECT 20000000 + CAST(p AS BIGINT), CAST(c AS BIGINT)
+      |  FROM (SELECT p, c, row_number() OVER (PARTITION BY p
+      |          ORDER BY rv DESC, c) AS rk FROM pc)
+      |  WHERE rk <= 3)""".stripMargin
+
   private def oPagerank(iters: Int): String = {
     val head =
-      """WITH j AS MATERIALIZED (
-        |  SELECT o_custkey AS c, l_suppkey AS sp, l_partkey AS p,
-        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |cs AS (SELECT c, sp, sum(rev) AS rv FROM j GROUP BY 1, 2),
-        |sp2 AS (SELECT sp, p, sum(rev) AS rv FROM j GROUP BY 1, 2),
-        |pc AS (SELECT p, c, sum(rev) AS rv FROM j GROUP BY 1, 2),
-        |e AS MATERIALIZED (
-        |  SELECT CAST(c AS BIGINT) AS src,
-        |         10000000 + CAST(sp AS BIGINT) AS dst
-        |  FROM (SELECT c, sp, row_number() OVER (PARTITION BY c
-        |          ORDER BY rv DESC, sp) AS rk FROM cs)
-        |  WHERE rk <= 3
-        |  UNION ALL
-        |  SELECT 10000000 + CAST(sp AS BIGINT), 20000000 + CAST(p AS BIGINT)
-        |  FROM (SELECT sp, p, row_number() OVER (PARTITION BY sp
-        |          ORDER BY rv DESC, p) AS rk FROM sp2)
-        |  WHERE rk <= 3
-        |  UNION ALL
-        |  SELECT 20000000 + CAST(p AS BIGINT), CAST(c AS BIGINT)
-        |  FROM (SELECT p, c, row_number() OVER (PARTITION BY p
-        |          ORDER BY rv DESC, c) AS rk FROM pc)
-        |  WHERE rk <= 3),
-        |od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY 1),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |cnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |p0 AS MATERIALIZED (
-        |  SELECT n.node, coalesce(od.odeg, CAST(0 AS BIGINT)) AS odeg,
-        |         (SELECT 1000000000000 // n FROM cnt) AS pr
-        |  FROM nodes n LEFT JOIN od ON n.node = od.src)""".stripMargin
+      s"""WITH $oPurchaseEdges,
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |cnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |p0 AS MATERIALIZED (
+         |  SELECT n.node, coalesce(od.odeg, CAST(0 AS BIGINT)) AS odeg,
+         |         (SELECT 1000000000000 // n FROM cnt) AS pr
+         |  FROM nodes n LEFT JOIN od ON n.node = od.src)""".stripMargin
     val steps = (1 to iters).map { k =>
       s"""c$k AS (
          |  SELECT e.dst AS node, CAST(sum(pp.pr // pp.odeg) AS BIGINT) AS cb
