@@ -561,6 +561,24 @@ object LlmQueries {
         .select("doc_id", "gid", "shard").orderBy("doc_id")
     }),
 
+    // Near-dup GRAPH triage: triangle structure of the wide-tier SimHash
+    // pair graph (q69's edges) separates cohesive duplicate communities
+    // (clique-like — triangles close) from hub/template artifacts (a
+    // boilerplate page pairing with everything — wedges without
+    // triangles). The role labels use INTEGER comparisons only
+    // (2·tri vs wedges), so the gate never rides a float threshold.
+    "q107_dup_graph_triage" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairsWide(t(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 2)
+      graft.operators.Triangles.triangleCounts(pairs, "i", "j")
+        .withColumn("role",
+          when(col("degree") === 1, "leaf")
+            .when(col("triangles") === 0, "acyclic")
+            .when(col("triangles") * 2 >= col("wedges"), "cohesive")
+            .otherwise("mixed"))
+        .orderBy("node")
+    }),
+
     // TOKEN-weighted length quantiles per language (q74's weighted
     // sibling): p50 is the length where half the group's TOKEN MASS
     // sits — the statistic a packing/budget plan allocates by, where
@@ -1659,6 +1677,27 @@ object LlmQueries {
         |       CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 64
         |            AS BIGINT) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q107_dup_graph_triage" ->
+      // q69's brute-force wide-SimHash pair oracle feeding the shared
+      // triangle CTE chain (RelationalQueries.oTriangleCtes); the role
+      // gate compares integers only.
+      s"""WITH ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pg AS MATERIALIZED (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |${RelationalQueries.oTriangleCtes("pg")}
+         |SELECT node, degree, triangles, wedges, clustering,
+         |       CASE WHEN degree = 1 THEN 'leaf'
+         |            WHEN triangles = 0 THEN 'acyclic'
+         |            WHEN triangles * 2 >= wedges THEN 'cohesive'
+         |            ELSE 'mixed' END AS role
+         |FROM tstats ORDER BY node""".stripMargin,
 
     // q74's histogram-cumulate shape with c = sum(token count) instead
     // of count(*).

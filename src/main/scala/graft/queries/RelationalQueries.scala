@@ -847,47 +847,56 @@ object RelationalQueries {
     "q105_pagerank" -> oPagerank(iters = 8),
 
     "q106_triangles" ->
-      // Mirrors operators/Triangles.scala step-for-step: canonical
-      // undirected simple edges, (deg, id)-ranked orientation, wedges at
-      // the low corner, closure by the oriented (b, c) edge. All-integer
-      // counts; the coefficient is the same small-int double ratio.
       s"""WITH $oPurchaseEdges,
-         |und AS MATERIALIZED (
-         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |  FROM e WHERE src <> dst),
-         |deg AS MATERIALIZED (
-         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-         |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
-         |  GROUP BY 1),
-         |ori AS MATERIALIZED (
-         |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS lo,
-         |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS hi,
-         |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dhi
-         |  FROM (SELECT und.u, und.v, d1.deg AS du, d2.deg AS dv
-         |        FROM und JOIN deg d1 ON und.u = d1.node
-         |                 JOIN deg d2 ON und.v = d2.node)),
-         |tris AS MATERIALIZED (
-         |  SELECT o1.lo, o1.hi AS b, o2.hi AS c
-         |  FROM ori o1
-         |  JOIN ori o2 ON o1.lo = o2.lo
-         |   AND (o1.dhi < o2.dhi OR (o1.dhi = o2.dhi AND o1.hi < o2.hi))
-         |  JOIN ori o3 ON o3.lo = o1.hi AND o3.hi = o2.hi),
-         |pern AS (
-         |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
-         |    SELECT lo AS node FROM tris
-         |    UNION ALL SELECT b FROM tris
-         |    UNION ALL SELECT c FROM tris)
-         |  GROUP BY 1)
-         |SELECT d.node, d.deg AS degree,
-         |       coalesce(p.tri, CAST(0 AS BIGINT)) AS triangles,
-         |       (d.deg * (d.deg - 1)) // 2 AS wedges,
-         |       CASE WHEN d.deg >= 2
-         |            THEN CAST(coalesce(p.tri, 0) AS DOUBLE)
-         |                 / CAST((d.deg * (d.deg - 1)) // 2 AS DOUBLE)
-         |       END AS clustering
-         |FROM deg d LEFT JOIN pern p ON d.node = p.node
-         |ORDER BY d.node""".stripMargin
+         |${oTriangleCtes("e")}
+         |SELECT node, degree, triangles, wedges, clustering
+         |FROM tstats ORDER BY node""".stripMargin
   )
+
+  /** Triangle-count oracle CTE chain over an edge relation exposing
+    * `src`/`dst` — mirrors operators/Triangles.scala step-for-step:
+    * canonical undirected simple edges, (deg, id)-ranked orientation,
+    * wedges at the low corner, closure by the oriented (b, c) edge.
+    * All-integer counts; the coefficient is a small-int double ratio.
+    * Ends with `tstats(node, degree, triangles, wedges, clustering)`;
+    * the caller writes the final SELECT. Shared with LlmQueries' q107.
+    */
+  private[queries] def oTriangleCtes(rel: String): String =
+    s"""und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM $rel WHERE src <> dst),
+       |deg AS MATERIALIZED (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY 1),
+       |ori AS MATERIALIZED (
+       |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS lo,
+       |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS hi,
+       |         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dhi
+       |  FROM (SELECT und.u, und.v, d1.deg AS du, d2.deg AS dv
+       |        FROM und JOIN deg d1 ON und.u = d1.node
+       |                 JOIN deg d2 ON und.v = d2.node)),
+       |tris AS MATERIALIZED (
+       |  SELECT o1.lo, o1.hi AS b, o2.hi AS c
+       |  FROM ori o1
+       |  JOIN ori o2 ON o1.lo = o2.lo
+       |   AND (o1.dhi < o2.dhi OR (o1.dhi = o2.dhi AND o1.hi < o2.hi))
+       |  JOIN ori o3 ON o3.lo = o1.hi AND o3.hi = o2.hi),
+       |pern AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+       |    SELECT lo AS node FROM tris
+       |    UNION ALL SELECT b FROM tris
+       |    UNION ALL SELECT c FROM tris)
+       |  GROUP BY 1),
+       |tstats AS (
+       |  SELECT d.node, d.deg AS degree,
+       |         coalesce(p.tri, CAST(0 AS BIGINT)) AS triangles,
+       |         (d.deg * (d.deg - 1)) // 2 AS wedges,
+       |         CASE WHEN d.deg >= 2
+       |              THEN CAST(coalesce(p.tri, 0) AS DOUBLE)
+       |                   / CAST((d.deg * (d.deg - 1)) // 2 AS DOUBLE)
+       |         END AS clustering
+       |  FROM deg d LEFT JOIN pern p ON d.node = p.node)""".stripMargin
 
   /** q105's oracle: PageRank's fixed-point iteration unrolled as chained
     * CTEs. Standard SQL recursion cannot reference the recursive table
