@@ -499,6 +499,18 @@ object RelationalQueries {
       graft.operators.Triangles.triangleCounts(purchaseGraph(s, dir),
         "src", "dst")
         .orderBy("node")
+    }),
+
+    // 4-core of the purchase graph (operators/KCore.scala). Every node
+    // has out-degree 3 by construction, so k=4 is the first level where
+    // peeling bites: only nodes that are also POPULAR (chosen by others'
+    // top-3 lists) survive, and their tendrils cascade away — measured
+    // fixpoint depth 3 at sf0.01, well inside the 8-round contract the
+    // oracle unrolls (extra rounds are no-ops; peeling is idempotent).
+    "q108_kcore" -> ((s, dir) => {
+      graft.operators.KCore.kCore(purchaseGraph(s, dir), "src", "dst",
+        k = 4, rounds = 8)
+        .orderBy("node")
     })
   )
 
@@ -846,6 +858,8 @@ object RelationalQueries {
 
     "q105_pagerank" -> oPagerank(iters = 8),
 
+    "q108_kcore" -> oKcore(k = 4, rounds = 8),
+
     "q106_triangles" ->
       s"""WITH $oPurchaseEdges,
          |${oTriangleCtes("e")}
@@ -938,6 +952,34 @@ object RelationalQueries {
       |  FROM (SELECT p, c, row_number() OVER (PARTITION BY p
       |          ORDER BY rv DESC, c) AS rk FROM pc)
       |  WHERE rk <= 3)""".stripMargin
+
+  /** q108's oracle: synchronous k-core peeling unrolled round by round —
+    * the operator's fixed-`rounds` contract made literal. Each round is
+    * a HAVING-filtered degree count and an edge semi-filter, all exact
+    * integers; rounds beyond the fixpoint re-produce the same relation.
+    */
+  private def oKcore(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH $oPurchaseEdges,
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM e WHERE src <> dst)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""kp$r AS MATERIALIZED (
+         |  SELECT node FROM (SELECT u AS node FROM e${r - 1}
+         |                    UNION ALL SELECT v FROM e${r - 1})
+         |  GROUP BY 1 HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT node FROM kp$r)
+         |    AND v IN (SELECT node FROM kp$r))""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY 1 ORDER BY node""".stripMargin
+  }
 
   private def oPagerank(iters: Int): String = {
     val head =
