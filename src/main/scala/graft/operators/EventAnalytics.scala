@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Ordered-funnel and cohort-retention analysis over an event stream —
+  * the two classic event-OLAP operators (product analytics' bread and
+  * butter) on the engine's integer-time discipline: timestamps stay
+  * nanos-since-epoch longs end to end, so every derived statistic is
+  * exact integer arithmetic a SQL oracle reproduces bit-for-bit.
+  *
+  * **Funnel** ([[funnel]]): for an ordered stage list (A → B → C), a
+  * user reaches stage i at the EARLIEST event of stage i's type that
+  * is strictly after their stage-(i−1) reach time and within `windowNs`
+  * of their stage-1 time. Implemented as one combinable min-aggregate
+  * per stage — stage i's pass filters events to the stage type, joins
+  * the (shrinking) reached-set of stage i−1 on the user key, and takes
+  * `min(ts)` per user:
+  *   - each pass is map-side combinable (min), keyed by user — no
+  *     per-user event sorting, no window funnel;
+  *   - the reached-set is one row per surviving user (bounded by users,
+  *     not events) and only SHRINKS down the funnel, so at corpus scale
+  *     later passes join against an ever-smaller build side (AQE
+  *     broadcasts it as soon as it fits);
+  *   - k stages cost k filtered passes over the (cached) event scan —
+  *     the alternative single-pass form needs per-user sorted event
+  *     arrays (a corpus-wide sort + collect_list); k passes of
+  *     combinable min beat that for small k, and funnels are small-k
+  *     by nature.
+  *
+  * **Retention** ([[retentionCohorts]]): users cohorted by first-ever
+  * activity (epoch-day), activity bucketed into `bucketDays`-day
+  * offsets from the cohort day; output counts DISTINCT active users per
+  * (cohort bucket, offset bucket). Two combinable aggregates and one
+  * user-keyed join; every derived value is integer floor-division of
+  * epoch-day ints, deliberately independent of session time zone.
+  */
+object EventAnalytics {
+
+  /** @param events   event table
+    * @param userCol  user/entity key column
+    * @param tsCol    event time, nanos-since-epoch LONG
+    * @param stageCol event-type column matched against `stages`
+    * @param stages   ordered funnel stage values (≥ 1)
+    * @param windowNs max `ts − t1` for stages past the first; 0 or
+    *                 negative disables the window
+    * @return one row per (user, reached stage):
+    *         (user, stage_idx LONG 1-based, stage STRING,
+    *          ts LONG reach time, t1 LONG stage-1 reach time)
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             stageCol: String, stages: Seq[String],
+             windowNs: Long = 0L): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(userCol).as("__u"),
+      col(tsCol).cast(LongType).as("__ts"), col(stageCol).as("__st"))
+      .filter(col("__u").isNotNull && col("__ts").isNotNull)
+
+    var reached = ev.filter(col("__st") === stages.head)
+      .groupBy("__u").agg(min(col("__ts")).as("__t"))
+      .select(col("__u"), col("__t"), col("__t").as("__t1"))
+    val out = Seq.newBuilder[DataFrame]
+    out += reached.select(col("__u").as(userCol), lit(1L).as("stage_idx"),
+      lit(stages.head).as("stage"), col("__t").as("ts"), col("__t1").as("t1"))
+
+    for (i <- 2 to stages.size) {
+      val inWindow =
+        if (windowNs > 0L) col("__ts") <= col("__t1") + lit(windowNs)
+        else lit(true)
+      reached = ev.filter(col("__st") === stages(i - 1))
+        .join(reached.select(col("__u"), col("__t").as("__tp"), col("__t1")), "__u")
+        .filter(col("__ts") > col("__tp") && inWindow)
+        .groupBy(col("__u"), col("__t1")).agg(min(col("__ts")).as("__t"))
+        .select(col("__u"), col("__t"), col("__t1"))
+      out += reached.select(col("__u").as(userCol), lit(i.toLong).as("stage_idx"),
+        lit(stages(i - 1)).as("stage"), col("__t").as("ts"), col("__t1").as("t1"))
+    }
+    out.result().reduce(_ unionAll _)
+  }
+
+  /** @param events     event table
+    * @param userCol    user/entity key column
+    * @param tsCol      event time, nanos-since-epoch LONG
+    * @param bucketDays cohort/offset bucket width in days (e.g. 7)
+    * @return (cohort LONG = epoch-day of first activity DIV bucketDays,
+    *          offset LONG = (epoch-day − cohort epoch-day) DIV bucketDays,
+    *          users LONG = distinct active users) — offset 0 row counts
+    *         the cohort's size
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       bucketDays: Int): DataFrame = {
+    require(bucketDays >= 1)
+    val dayNs = 86400000000000L
+    val ev = events.select(col(userCol).as("__u"),
+      expr(s"CAST(${tsCol} AS BIGINT) DIV $dayNs").as("__day"))
+      .filter(col("__u").isNotNull && col("__day").isNotNull)
+    val first = ev.groupBy("__u").agg(min(col("__day")).as("__d0"))
+    ev.join(first, "__u")
+      .select(col("__u"),
+        expr(s"__d0 DIV $bucketDays").as("cohort"),
+        expr(s"(__day - __d0) DIV $bucketDays").as("offset"))
+      .distinct()
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("users"))
+  }
+}

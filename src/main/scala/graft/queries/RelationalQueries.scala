@@ -511,6 +511,32 @@ object RelationalQueries {
       graft.operators.KCore.kCore(purchaseGraph(s, dir), "src", "dst",
         k = 4, rounds = 8)
         .orderBy("node")
+    }),
+
+    // Ordered funnel view → click → purchase within 24h of the first
+    // view (operators/EventAnalytics.scala): per-stage reach counts and
+    // average lag. Lags are floored to whole SECONDS per user before
+    // summing — the ns sums would pass 2^53 and double-round differently
+    // per engine; second-sums stay exact integers.
+    "q109_funnel" -> ((s, dir) => {
+      graft.operators.EventAnalytics.funnel(events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowNs = 86400000000000L)
+        .withColumn("lag_s", expr("(ts - t1) DIV 1000000000"))
+        .groupBy("stage_idx", "stage")
+        .agg(count(lit(1)).as("users"),
+          (sum(col("lag_s")).cast(DoubleType) / count(lit(1))).as("avg_lag_s"))
+        .orderBy("stage_idx")
+    }),
+
+    // Weekly cohort retention (operators/EventAnalytics.scala): users
+    // cohorted by first-activity epoch-day, activity bucketed into
+    // 7-day offsets — all integer DIV arithmetic on epoch days, time
+    // zone independent by construction.
+    "q110_retention" -> ((s, dir) => {
+      graft.operators.EventAnalytics.retentionCohorts(events(s, dir),
+        "user_id", "ts", bucketDays = 7)
+        .orderBy("cohort", "offset")
     })
   )
 
@@ -859,6 +885,48 @@ object RelationalQueries {
     "q105_pagerank" -> oPagerank(iters = 8),
 
     "q108_kcore" -> oKcore(k = 4, rounds = 8),
+
+    "q109_funnel" ->
+      // One CTE per stage, each the same "earliest valid event after the
+      // previous reach, within the window of t1" min-aggregate the
+      // operator runs; lags floor to whole seconds before summing so the
+      // averages divide identical exact integers.
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) AS ns, event_type FROM events),
+        |s1 AS MATERIALIZED (
+        |  SELECT user_id, min(ns) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS MATERIALIZED (
+        |  SELECT e.user_id, s1.t1, min(e.ns) AS t2
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ns > s1.t1
+        |    AND e.ns <= s1.t1 + 86400000000000
+        |  GROUP BY 1, 2),
+        |s3 AS MATERIALIZED (
+        |  SELECT e.user_id, s2.t1, min(e.ns) AS t3
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ns > s2.t2
+        |    AND e.ns <= s2.t1 + 86400000000000
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, t1 AS ts, t1 FROM s1
+        |  UNION ALL SELECT 2, 'click', t2, t1 FROM s2
+        |  UNION ALL SELECT 3, 'purchase', t3, t1 FROM s3)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        |       CAST(count(*) AS BIGINT) AS users,
+        |       CAST(CAST(sum((ts - t1) // 1000000000) AS BIGINT) AS DOUBLE)
+        |         / count(*) AS avg_lag_s
+        |FROM st GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin,
+
+    "q110_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT ev.user_id, f.d0 // 7 AS cohort,
+        |         (ev.day - f.d0) // 7 AS "offset"
+        |  FROM ev JOIN f ON ev.user_id = f.user_id)
+        |SELECT cohort, "offset", CAST(count(*) AS BIGINT) AS users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
 
     "q106_triangles" ->
       s"""WITH $oPurchaseEdges,

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fun(ev: Seq[(Long, Long, String)], stages: Seq[String],
+                  window: Long = 0L): Map[(Long, Long), (String, Long, Long)] =
+    EventAnalytics.funnel(
+      ev.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", stages, window)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+
+  private val stages = Seq("view", "click", "buy")
+
+  test("stages must be reached strictly in order, earliest-valid-event wins") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+      (2L, 5L, "click"), (2L, 10L, "view"), // click precedes view: depth 1
+      (3L, 10L, "view"), (3L, 12L, "buy"), (3L, 15L, "click"), // buy too early
+      (1L, 8L, "view"), (1L, 9L, "click")) // user 1 re-anchors to view@8
+    val got = fun(ev, stages)
+    assert(got((1L, 1L)) === (("view", 8L, 8L)))
+    assert(got((1L, 2L)) === (("click", 9L, 8L)))
+    assert(got((1L, 3L)) === (("buy", 30L, 8L)))
+    assert(got((2L, 1L)) === (("view", 10L, 10L)))
+    assert(!got.contains((2L, 2L)))
+    assert(got((3L, 2L)) === (("click", 15L, 10L)))
+    assert(!got.contains((3L, 3L)), "buy before click must not count")
+  }
+
+  test("window is measured from stage 1, inclusive at the boundary") {
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 100L, "click"),   // exactly at t1+window
+      (2L, 0L, "view"), (2L, 101L, "click"))   // one past
+    val got = fun(ev, Seq("view", "click"), window = 100L)
+    assert(got.contains((1L, 2L)) && !got.contains((2L, 2L)))
+  }
+
+  test("same-timestamp events do not chain (strictly-after contract)") {
+    val got = fun(Seq((1L, 10L, "view"), (1L, 10L, "click")), Seq("view", "click"))
+    assert(got.contains((1L, 1L)) && !got.contains((1L, 2L)))
+  }
+
+  test("retention cohorts bucket by first-activity day, distinct per offset") {
+    val day = 86400000000000L
+    val ev = Seq(
+      (1L, 0L * day), (1L, 0L * day + 5), (1L, 8L * day),  // cohort 0: offsets 0,1
+      (2L, 7L * day), (2L, 13L * day),                     // cohort 1: offsets 0,0
+      (3L, 1L * day), (3L, 20L * day))                     // cohort 0: offsets 0,2
+    val got = EventAnalytics.retentionCohorts(
+      ev.toDF("user_id", "ts"), "user_id", "ts", bucketDays = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+}
