@@ -561,6 +561,29 @@ object LlmQueries {
         .select("doc_id", "gid", "shard").orderBy("doc_id")
     }),
 
+    // HyperLogLog pre-dedup distinct-TEXT cardinality per language
+    // (operators/Sketch.scala hllRegisterTable): the third distinct-count
+    // path next to exact (q19) and KMV (q46) — 2^b small-int registers
+    // per group, mergeable by elementwise max. b=4 keeps this corpus's
+    // per-group cardinality above the 2.5·m small-range threshold, so
+    // the RAW estimate (the libm-free, oracle-exact one) is the operative
+    // regime; registers, zero-count and the exact count ship together,
+    // so the gate pins the sketch content bit-for-bit and accuracy is
+    // measured, not asserted.
+    "q111_hll_distinct" -> ((s, dir) => {
+      val items = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), col("text").as("t"))
+      val regs = graft.operators.Sketch.hllRegisterTable(items, "lang", "t", b = 4)
+      val exact = items.groupBy("lang").agg(countDistinct(col("t")).as("n_exact"))
+      regs.join(exact, "lang")
+        .select(col("lang"), col("regs"),
+          expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)").as("v_zero"),
+          graft.operators.Sketch.hllEstimate("regs", b = 4).as("est"),
+          col("n_exact"))
+        .orderBy("lang")
+    }),
+
     // Near-dup GRAPH triage: triangle structure of the wide-tier SimHash
     // pair graph (q69's edges) separates cohesive duplicate communities
     // (clique-like — triangles close) from hub/template artifacts (a
@@ -1677,6 +1700,48 @@ object LlmQueries {
         |       CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 64
         |            AS BIGINT) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q111_hll_distinct" ->
+      // Mirrors hllRegisterTable / hllEstimate step-for-step: the
+      // Murmur2-style 31-bit finalizer as portable xor/shift/multiply
+      // lines, rank via length(bin()) (no log2), the harmonic sum as
+      // exact powers of two (shift, not pow), and the alpha*m^2 numerator
+      // as an exact exponent scaling of CAST(0.709 AS DOUBLE).
+      s"""WITH tok AS (
+         |  SELECT lang, text AS t FROM documents WHERE text IS NOT NULL),
+         |h0 AS (SELECT lang, ${oPolyHash("t")} AS h FROM tok),
+         |hm AS (
+         |  SELECT lang, xor(e, e >> 16) AS hv FROM (
+         |    SELECT lang, (xor(b, b >> 13) * 1103515245) % 2147483648 AS e
+         |    FROM (
+         |      SELECT lang, (xor(h, h >> 15) * 1540483477) % 2147483648 AS b
+         |      FROM h0))),
+         |br AS (
+         |  SELECT lang, hv % 16 AS bucket,
+         |         CASE WHEN hv // 16 = 0 THEN 28
+         |              ELSE 28 - length(bin(hv // 16)) END AS rnk
+         |  FROM hm),
+         |mx AS (SELECT lang, bucket, CAST(max(rnk) AS BIGINT) AS reg
+         |       FROM br GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT l.lang, gs.b AS bucket, coalesce(mx.reg, CAST(0 AS BIGINT)) AS reg
+         |  FROM (SELECT DISTINCT lang FROM tok) l
+         |  CROSS JOIN (SELECT unnest(range(16)) AS b) gs
+         |  LEFT JOIN mx ON mx.lang = l.lang AND mx.bucket = gs.b),
+         |regs AS (SELECT lang, list(reg ORDER BY bucket) AS regs
+         |         FROM dense GROUP BY 1),
+         |ex AS (SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS n_exact
+         |       FROM tok GROUP BY 1)
+         |SELECT r.lang, r.regs,
+         |       CAST(len(list_filter(r.regs, x -> x = 0)) AS BIGINT) AS v_zero,
+         |       (CAST(0.673 AS DOUBLE) * 256)
+         |         / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(r.regs, x -> CAST(1.0 AS DOUBLE)
+         |               / CAST((CAST(1 AS BIGINT) << x) AS DOUBLE))),
+         |             (a, x) -> a + x) AS est,
+         |       ex.n_exact
+         |FROM regs r JOIN ex ON r.lang = ex.lang
+         |ORDER BY r.lang""".stripMargin,
 
     "q107_dup_graph_triage" ->
       // q69's brute-force wide-SimHash pair oracle feeding the shared

@@ -155,4 +155,55 @@ class SketchSpec extends SparkSpec {
       .select(Sketch.kmvDistinctEstimate($"sk", k, 1000000L)).as[Double].collect()(0)
     assert(est > 2500 && est < 10000, s"estimate $est too far from 5000")
   }
+
+  // --- HLL --------------------------------------------------------------
+
+  private def hllOf(items: Seq[String], parts: Int = 4): Seq[Long] =
+    Sketch.hllRegisterTable(
+      spark.sparkContext.parallelize(items, parts).toDF("item")
+        .withColumn("g", lit("all")),
+      "g", "item", b = 6)
+      .select("regs").as[Seq[Long]].collect()(0)
+
+  test("hllRegisterTable matches a sequential reference, dense 64 registers") {
+    val items = (1 to 500).map(i => s"tok$i")
+    val mod = 1000000007L
+    def ph(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c) % mod)
+    def mix(h0: Long): Long = {
+      val a = h0 ^ (h0 >> 15)
+      val b = (a * 1540483477L) % 2147483648L
+      val d = b ^ (b >> 13)
+      val e = (d * 1103515245L) % 2147483648L
+      e ^ (e >> 16)
+    }
+    val ref = Array.fill(64)(0L)
+    items.distinct.foreach { s =>
+      val h = mix(ph(s))
+      val v = h / 64; val bk = (h % 64).toInt
+      val rnk = if (v == 0) 26L else 26L - java.lang.Long.toBinaryString(v).length
+      if (rnk > ref(bk)) ref(bk) = rnk
+    }
+    val got = hllOf(items ++ items) // duplicates must not change registers
+    assert(got.length === 64 && got === ref.toSeq)
+  }
+
+  test("hllMerge(regs(A), regs(B)) equals regs(A union B); partitioning-invariant") {
+    val a = (1 to 300).map(i => s"a$i")
+    val b = (200 to 600).map(i => s"a$i") // overlapping
+    val ra = hllOf(a); val rb = hllOf(b, parts = 7)
+    val merged = spark.sql("select 1").select(
+      Sketch.hllMerge(typedlit(ra), typedlit(rb)).as("m"))
+      .as[Seq[Long]].collect()(0)
+    assert(merged === hllOf(a ++ b))
+    assert(hllOf(a, parts = 1) === hllOf(a, parts = 13))
+  }
+
+  test("hllEstimate lands near the true distinct count") {
+    val items = (1 to 5000).map(i => s"w$i-x")
+    val est = Sketch.hllRegisterTable(
+      items.toDF("item").withColumn("g", lit(1)), "g", "item", b = 6)
+      .select(Sketch.hllEstimate("regs", b = 6)).as[Double].collect()(0)
+    // m=64 → ~13% theoretical σ, widened for the weak portable hash
+    assert(est > 2500 && est < 10000, s"estimate $est too far from 5000")
+  }
 }
