@@ -82,11 +82,17 @@ object PageRank {
     require(scale <= (Long.MaxValue / math.max(dampNum, 1L)),
       "dampNum*scale must stay inside Long")
 
+    // The edge SET is materialized FIRST: odeg, the degree-annotated
+    // join input, and the node table all branch off it, and without the
+    // checkpoint each branch re-runs the caller's (often expensive)
+    // edge-derivation plan — measured 2× the total shuffle of the
+    // equivalent single-derivation plan on q105's purchase graph.
     val e0 = edges
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .localCheckpoint(eager = true)
 
     // Static per-iteration join input: (src, dst, odeg), partitioned by
     // the join key and materialized once. odeg > 0 for every row here by
@@ -103,7 +109,10 @@ object PageRank {
       .select(col("node"), coalesce(col("odeg"), lit(0L)).as("odeg"))
       .localCheckpoint(eager = true)
     val n = nd.count()
-    require(n > 0, "pageRank over an empty graph")
+    if (n == 0L) // empty graph → empty result, like Triangles/KCore
+      return edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("node"), lit(0L).as("pr_fixed"),
+          lit(0.0).as("pr")).limit(0)
 
     val base = ((dampDen - dampNum) * scale) / (dampDen * n)
     var pr = nd.withColumn("pr", lit(scale / n))

@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *     sbt -batch "runMain graft.tools.ShuffleAudit" 2>/dev/null | grep '^|'
   * Output: one markdown table row per query (paste into SHUFFLE_AUDIT.md).
+  * Set SPARK_GRAFT_ONLY=q105_pagerank,q106_triangles to audit a subset
+  * (A/B plan experiments without the full ~6 min sweep).
   */
 object ShuffleAudit {
 
@@ -67,7 +69,11 @@ object ShuffleAudit {
 
     println("| query | input MB | shuffle write MB | shuffle read MB | max task read MB | spill MB | rows |")
     println("|---|---|---|---|---|---|---|")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       settle()
       Seq(shufWrite, shufRead, spillMem, spillDisk, input, maxTaskRead)
         .foreach(_.set(0L))

@@ -76,6 +76,15 @@ class PageRankSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("empty graph yields an empty result with the contract schema") {
+    import org.apache.spark.sql.functions.lit
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+      .unionAll(Seq((1L, 2L)).toDF("u", "v").filter(lit(false)))
+    val got = PageRank.pageRank(empty, "u", "v", iterations = 3)
+    assert(got.columns.toSeq === Seq("node", "pr_fixed", "pr"))
+    assert(got.count() === 0L)
+  }
+
   test("uniform rank on a symmetric cycle; NULL endpoints dropped") {
     val ring = Seq((10L, 11L), (11L, 12L), (12L, 10L))
     val withNull = spark.sparkContext.parallelize(ring, 2).toDF("u", "v")
