@@ -453,6 +453,48 @@ object Dedup {
         .transform(CacheScope.track), // self-joined; avoids computing signatures twice
       maxHamming)
 
+  // ------------------------------------------- edit-distance verification
+
+  /** Near-dup pairs with an EDIT-DISTANCE verification tier on top of the
+    * wide-SimHash candidates: signature Hamming says "similar token
+    * multiset"; bounded Levenshtein over a normalized prefix window says
+    * "similar actual text" — the second check is what separates true
+    * near-copies from topically-similar-but-distinct documents (same
+    * vocabulary, different prose), the false-positive class resemblance
+    * tiers admit. Output: one row per candidate pair that passes BOTH
+    * gates — (i, j, hamming, edits), i < j.
+    *
+    * Scale shape: candidates come from [[simhashPairsWide]] (banded
+    * equi-join, sub-quadratic); the verify step is two id-keyed equi
+    * joins fetching each side's window (pairs ⋈ docs — the pair side is
+    * orders of magnitude smaller than the corpus after banding) and a
+    * per-pair kernel bounded by window² — with the THRESHOLDED
+    * Levenshtein (Spark's 3-arg form) the kernel early-exits at
+    * O(window·maxEdits) via the Ukkonen band, so the verify cost per
+    * pair is fixed and small no matter how long the documents are. The
+    * window is [[TextAnalysis.asciiWindow]] — codepoint-truncated then
+    * ASCII-folded, which both bounds the kernel and makes the distance
+    * bit-portable across engines (byte-counting and codepoint-counting
+    * implementations agree on pure ASCII).
+    */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 2, maxEdits: Int = 40,
+                        window: Int = 160): DataFrame = {
+    require(maxEdits >= 0 && window > 0, "need maxEdits >= 0 and window > 0")
+    val pairs = simhashPairsWide(docs, idCol, textCol, maxHamming)
+    val win = docs.select(col(idCol).as("__wid"),
+      TextAnalysis.asciiWindow(col(textCol), window).as("__w"))
+    pairs
+      .join(win.select(col("__wid").as("i"), col("__w").as("__wi")), "i")
+      .join(win.select(col("__wid").as("j"), col("__w").as("__wj")), "j")
+      // 3-arg levenshtein returns -1 when the distance exceeds the
+      // threshold (and stops computing there) — keep qualifying pairs.
+      .withColumn("edits",
+        levenshtein(col("__wi"), col("__wj"), maxEdits).cast(LongType))
+      .filter(col("edits") >= 0L)
+      .select("i", "j", "hamming", "edits")
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Embedding near-duplicate pairs restricted to IVF cells: vectors are

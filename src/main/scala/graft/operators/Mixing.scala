@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted interleave — the data-MIXING primitive of a
+  * training pipeline: given per-source integer weights (say web:7
+  * books:2 code:1), produce one global ordering in which every prefix
+  * holds the sources in (almost exactly) the target proportions. Batch
+  * composition then follows for free: consecutive fixed-size slices of
+  * the ordering ARE the mixed batches, so the mixture needs no runtime
+  * sampler, is identical across re-runs, and is auditable row by row —
+  * the same motivation as the epoch shuffle (q104), applied to the
+  * source axis instead of the order axis.
+  *
+  * The schedule is the classic rate-monotonic / virtual-time interleave
+  * (weighted fair queuing with integer virtual time): source s's r-th
+  * document (r = 1, 2, …) gets virtual deadline
+  *
+  *   key(s, r) = r · (L / w_s)        L = lcm of all weights
+  *
+  * and rows are ordered by (key, source). Each source advances at rate
+  * w_s per L virtual-time units, so in any prefix of n rows source s
+  * holds n·w_s/W ± O(1) slots (W = Σ w) — the spec asserts the measured
+  * deviation bound. All arithmetic is exact integers (L/w_s divides
+  * evenly by construction of lcm), so the ordering is a pure function of
+  * the input SET — bit-identical under any partitioning and
+  * hash-checkable against a sequential engine.
+  *
+  * Scale shape: NO per-source global window and NO global-ordered
+  * window over data rows. Per-source ranks come from
+  * [[GlobalIds.contiguousIdsByGroup]] (histogram offsets; the only
+  * per-source window runs over histogram rows) and the final positions
+  * from [[GlobalIds.contiguousIds]] over key buckets (uniform by
+  * construction: key density is W/L rows per virtual-time unit, so
+  * fixed-width key buckets hold a fixed expected row count — the
+  * histogram contract's ideal case). Sources absent from `weights` are
+  * EXCLUDED from the mix (weight 0 = drop), mirroring how a mixture
+  * config whitelists its sources.
+  */
+object Mixing {
+
+  private def lcm(a: Long, b: Long): Long = {
+    @annotation.tailrec def gcd(x: Long, y: Long): Long =
+      if (y == 0) x else gcd(y, x % y)
+    a / gcd(a, b) * b
+  }
+
+  /** @param docs      input rows
+    * @param sourceCol source/domain column (non-NULL for mixed rows;
+    *                  NULL or unmapped sources are excluded)
+    * @param orderBucket coarse histogram bucket aligned with `order`
+    *                  within each source (see [[GlobalIds]] contract),
+    *                  e.g. `floor(col("doc_id") / 1000)`
+    * @param order     total order within each source (the per-source
+    *                  document sequence; pre-shuffle upstream — e.g.
+    *                  with the q104 epoch shuffle — for a randomized mix)
+    * @param weights   positive integer weight per source value
+    * @param keyBucketRows approximate rows per position-histogram bucket
+    * @return input columns + `mix_key` (LONG virtual deadline) +
+    *         `position` (LONG, contiguous 0..N−1 in mixture order)
+    */
+  def weightedInterleave(docs: DataFrame, sourceCol: String,
+                         orderBucket: Column, order: Seq[Column],
+                         weights: Map[String, Long],
+                         keyBucketRows: Long = 4096L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    require(keyBucketRows > 0, "keyBucketRows must be positive")
+    val bigL = weights.values.reduce(lcm)
+    val totalW = weights.values.sum
+    // stride per source as a small broadcast dimension (plan-stable for
+    // any source cardinality, unlike an unbounded CASE WHEN chain)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val strides = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, bigL / w) }
+      .toDF(sourceCol, "__stride")
+    val ranked = GlobalIds.contiguousIdsByGroup(
+      docs.join(broadcast(strides), sourceCol), col(sourceCol), orderBucket,
+      order, idName = "__r")
+    // key = (r+1) * stride; r+1 <= |source| and stride <= L, both well
+    // inside Long for any real mixture config (L is an lcm of SMALL
+    // config weights; a pathological weight set overflows loudly in
+    // lcm/multiplication, not silently).
+    val keyed = ranked
+      .withColumn("mix_key", (col("__r") + 1L) * col("__stride"))
+      .drop("__r", "__stride")
+    // Uniform key density W/L rows per unit: bucket width in virtual
+    // time that targets ~keyBucketRows rows per bucket.
+    val width = math.max(1L, keyBucketRows * bigL / totalW)
+    // integer DIV, not `/`: mix_key is exact-integer territory past 2^53
+    GlobalIds.contiguousIds(keyed, expr(s"mix_key DIV $width"),
+      Seq(col("mix_key"), col(sourceCol)), idName = "position")
+  }
+}

@@ -382,4 +382,18 @@ object TextAnalysis {
     aggregate(zip_with(votes, powers, (v, w) => when(v > 0, w).otherwise(0L)),
       lit(0L), (a, b) => a + b)
   }
+
+  /** ASCII-folded prefix window: the first `n` CODEPOINTS with every
+    * non-printable-ASCII codepoint replaced by `?`. This is the
+    * normalization that makes character-level edit distance portable
+    * across engines: Spark's `levenshtein` counts codepoints while e.g.
+    * DuckDB's counts BYTES, and the two agree only on pure ASCII — one
+    * substitution symbol per folded codepoint keeps alignment exact
+    * (both regex engines are codepoint-aware, so an astral char folds to
+    * ONE `?` in both). Truncation runs BEFORE folding (substring is
+    * codepoint-based in both engines) and bounds the O(n·d) edit-verify
+    * kernel per pair regardless of document length.
+    */
+  def asciiWindow(text: Column, n: Int): Column =
+    regexp_replace(substring(text, 1, n), "[^\\x20-\\x7E]", "?")
 }

@@ -561,6 +561,32 @@ object LlmQueries {
         .select("doc_id", "gid", "shard").orderBy("doc_id")
     }),
 
+    // Edit-distance VERIFICATION tier on the wide-SimHash candidates:
+    // signature Hamming admits topically-similar docs (same vocabulary,
+    // different prose); bounded Levenshtein over the ASCII-folded
+    // 160-codepoint window keeps only true near-copies. The window fold
+    // is what makes the distance portable (DuckDB's levenshtein counts
+    // BYTES, Spark's counts codepoints; they agree on pure ASCII).
+    "q112_dedup_edit_verify" -> ((s, dir) => {
+      Dedup.editVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 2, maxEdits = 40, window = 160).orderBy("i", "j")
+    }),
+
+    // Deterministic weighted INTERLEAVE (data mixing): one global order
+    // where every prefix holds en:de:es:fr at 5:2:2:1 (zh excluded —
+    // mixture configs whitelist their sources). Virtual-deadline keys,
+    // exact integers, no global or per-source data window (histogram
+    // ordinals both times) — consecutive slices of `position` ARE the
+    // mixed training batches.
+    "q113_weighted_mix" -> ((s, dir) => {
+      graft.operators.Mixing.weightedInterleave(
+        t(s, dir, "documents"), "lang",
+        orderBucket = expr("doc_id DIV 500"), order = Seq(col("doc_id")),
+        weights = Map("en" -> 5L, "de" -> 2L, "es" -> 2L, "fr" -> 1L))
+        .select(col("position"), col("doc_id"), col("lang"), col("mix_key"))
+        .orderBy("position")
+    }),
+
     // HyperLogLog pre-dedup distinct-TEXT cardinality per language
     // (operators/Sketch.scala hllRegisterTable): the third distinct-count
     // path next to exact (q19) and KMV (q46) — 2^b small-int registers
@@ -1700,6 +1726,54 @@ object LlmQueries {
         |       CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 64
         |            AS BIGINT) AS shard
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q112_dedup_edit_verify" ->
+      // q69's brute-force wide-signature pair set (banding is
+      // total-recall at hamming <= 3, so all-pairs IS the candidate
+      // set), then the same ASCII-folded 160-codepoint window and the
+      // same threshold — plain levenshtein here (DuckDB has no
+      // thresholded form); the WHERE reproduces the -1 gate. The fold's
+      // 'g' flag matters: DuckDB regexp_replace is first-match-only
+      // without it, Spark's replaces all matches always.
+      s"""WITH ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j,
+         |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |w AS (
+         |  SELECT doc_id,
+         |         regexp_replace(substring(text, 1, 160),
+         |                        '[^\\x20-\\x7E]', '?', 'g') AS w
+         |  FROM documents)
+         |SELECT p.i, p.j, p.hamming,
+         |       CAST(levenshtein(wi.w, wj.w) AS BIGINT) AS edits
+         |FROM pairs p
+         |JOIN w wi ON p.i = wi.doc_id
+         |JOIN w wj ON p.j = wj.doc_id
+         |WHERE levenshtein(wi.w, wj.w) <= 40
+         |ORDER BY i, j""".stripMargin,
+
+    "q113_weighted_mix" ->
+      // Same virtual-deadline arithmetic: L = lcm(5,2,2,1) = 10,
+      // stride = L // w, key = rank * stride, order (key, lang). The
+      // inner join on the weight VALUES is the whitelist (zh drops).
+      // All integers — `//`, never `/` (DuckDB int `/` yields DOUBLE).
+      """WITH wts(lang, wt) AS (
+        |  VALUES ('en', 5), ('de', 2), ('es', 2), ('fr', 1)),
+        |r AS (
+        |  SELECT d.doc_id, d.lang,
+        |         row_number() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rn,
+        |         10 // wt AS stride
+        |  FROM documents d JOIN wts ON d.lang = wts.lang)
+        |SELECT CAST(row_number() OVER (ORDER BY rn * stride, lang) - 1
+        |            AS BIGINT) AS position,
+        |       doc_id, lang, CAST(rn * stride AS BIGINT) AS mix_key
+        |FROM r ORDER BY position""".stripMargin,
 
     "q111_hll_distinct" ->
       // Mirrors hllRegisterTable / hllEstimate step-for-step: the

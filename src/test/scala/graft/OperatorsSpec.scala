@@ -229,6 +229,52 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("editVerifiedPairs: edit gate separates near-copies from token anagrams") {
+    // doc 10/11: true near-copy (last word substituted — hamming 1 on
+    // the wide signature, verified against the portable-hash reference,
+    // and few edits). doc 12: the SAME TOKEN MULTISET as 10, reordered —
+    // simhash is order-blind so the signature pair survives at hamming
+    // 0, and only the edit gate can reject it.
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+      + "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi").split(" ")
+    val d = Seq(
+      (10L, (base :+ "omega").mkString(" ")),
+      (11L, (base :+ "word").mkString(" ")),
+      (12L, (base :+ "omega").reverse.mkString(" "))
+    ).toDF("doc_id", "text")
+    val all = Dedup.editVerifiedPairs(d, "doc_id", "text",
+      maxHamming = 3, maxEdits = 100, window = 160)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("edits"))).toSet
+    assert(all.exists(p => p._1 == 10L && p._2 == 11L && p._3 <= 6L))
+    val anagram = all.find(p => p._1 == 10L && p._2 == 12L)
+    assert(anagram.nonEmpty && anagram.get._3 > 20L,
+      s"anagram pair should need many edits: $anagram")
+    val tight = Dedup.editVerifiedPairs(d, "doc_id", "text",
+      maxHamming = 3, maxEdits = 6, window = 160)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(tight === Set((10L, 11L)), s"tight gate kept: $tight")
+  }
+
+  test("editVerifiedPairs: window bounds the comparison; non-ASCII folds to one '?'") {
+    // Identical 200-char prefixes, divergent tails: inside a 160-window
+    // the pair is 0 edits regardless of the tails.
+    val prefix = Seq.fill(20)("same prefix words").mkString(" ").take(200)
+    val d = Seq(
+      (20L, prefix + " tail one ends here"),
+      (21L, prefix + " a completely different ending altogether")
+    ).toDF("doc_id", "text")
+    val p = Dedup.editVerifiedPairs(d, "doc_id", "text",
+      maxHamming = 3, maxEdits = 10, window = 160).collect()
+    assert(p.length === 1 && p.head.getAs[Long]("edits") === 0L)
+    // Astral and accented codepoints each fold to ONE '?': the folded
+    // pair differs by exactly the one substituted token's characters.
+    val win = d.sparkSession.range(1).select(
+      TextAnalysis.asciiWindow(lit("café 😀 ok"), 160).as("w"))
+      .as[String].head()
+    assert(win === "caf? ? ok")
+  }
+
   test("simhashPairsWideIncremental: cross+within ground truth, corpus never re-paired") {
     // Split the fixture: odd ids are the existing corpus (known only by
     // signature table), even ids arrive as the new batch.
