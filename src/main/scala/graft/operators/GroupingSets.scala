@@ -144,4 +144,27 @@ object GroupingSets {
     val subsets = dims.toSet.subsets().toSeq
     assemble(df, dims, valueCol, subsets)
   }
+
+  /** GROUPING SETS(sets): exactly the listed subsets of `dims` — the
+    * general form ROLLUP and CUBE are sugar for, for reports that want,
+    * say, (lang, source), (lang), (source) but NOT the grand total.
+    * Same one-raw-pass cascade: whether the finest grain itself is
+    * requested or not, it is computed once (bounded by dim-combination
+    * cardinality) and every requested set re-aggregates it — the raw
+    * 100 TB scan still happens exactly once, vs the built-in's Expand
+    * replicating every row |sets| times. Duplicate sets are rejected
+    * (they would silently double rows in the union), and every set must
+    * draw from `dims` so gid bits and NULL typing stay well-defined.
+    */
+  def groupingSets(df: DataFrame, dims: Seq[String], valueCol: String,
+                   sets: Seq[Seq[String]]): DataFrame = {
+    require(sets.nonEmpty, "need at least one grouping set")
+    val asSets = sets.map(_.toSet)
+    require(asSets.distinct.length == asSets.length,
+      "duplicate grouping sets would duplicate their rows in the union")
+    asSets.foreach { s =>
+      require(s.subsetOf(dims.toSet), s"set $s not drawn from dims $dims")
+    }
+    assemble(df, dims, valueCol, asSets)
+  }
 }

@@ -946,6 +946,31 @@ object LlmQueries {
       Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb,
         "vec_id", "embedding", "label", k = 5)
         .orderBy("qid", "rank")
+    }),
+
+    // Exact heavy hitters with bounded state: Misra-Gries candidates
+    // (k=255 counters, superset-guaranteed above 1/256 share) + exact
+    // recount of the <=255 candidates — tokens holding >=0.5% of the
+    // corpus, never materializing the full token frequency table. The
+    // sketch itself is deliberately NOT oracle-gated (its weights are
+    // partitioning-dependent); the composition is exact.
+    "q115_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      graft.operators.HeavyHitters.exactTopShare(
+        toks, "token", k = 255, num = 1L, denom = 200L)
+    }),
+
+    // Explicit GROUPING SETS — the general form q73/q86 are sugar for:
+    // the two marginals WITHOUT the grand total or the finest grain,
+    // still one raw-data pass (the cascade re-aggregates the cached
+    // finest table; no Expand, no second scan).
+    "q114_grouping_sets" -> ((s, dir) => {
+      graft.operators.GroupingSets.groupingSets(
+        t(s, dir, "documents"), Seq("lang", "source"), "n_chars",
+        sets = Seq(Seq("lang"), Seq("source")))
+        .orderBy(col("gid"), col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
     })
   )
 
@@ -2696,6 +2721,29 @@ object LlmQueries {
          |       sk[32] AS h_k,
          |       CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
          |            ELSE 31.0 * 1000000007 / sk[32] END AS est
-         |FROM agg ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+         |FROM agg ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // The recount IS the oracle: plain GROUP BY ... HAVING share. The
+    // engine's sketch pass only proposes candidates; the guarantee
+    // (threshold 1/200 > 1/(k+1) = 1/256) makes both sides exact.
+    "q115_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($oToks) AS token FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+         |SELECT token AS item, CAST(count(*) AS BIGINT) AS cnt, nn.n
+         |FROM tok CROSS JOIN nn
+         |GROUP BY 1, nn.n
+         |HAVING count(*) * 200 >= nn.n * 1
+         |ORDER BY cnt DESC, item""".stripMargin,
+
+    // Same gid convention as q73/q86 (GROUPING bits, leftmost dim = MSB)
+    // over exactly the two requested marginals.
+    "q114_grouping_sets" ->
+      """SELECT lang, source,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |       min(n_chars) AS min_v, max(n_chars) AS max_v,
+        |       CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source))
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
   )
 }

@@ -222,6 +222,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(canon(ours) === canon(builtin))
   }
 
+  test("groupingSets matches built-in GROUPING SETS; rejects dup/foreign sets") {
+    val df = Seq(("en", "web", 1L), ("de", "book", 2L), ("en", "book", 4L))
+      .toDF("lang", "source", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .sortBy(_.toString).toSeq
+    val ours = graft.operators.GroupingSets.groupingSets(
+      df, Seq("lang", "source"), "v", Seq(Seq("lang"), Seq("source")))
+    df.createOrReplaceTempView("gs_t")
+    val builtin = spark.sql(
+      """SELECT lang, source, count(1) AS n, sum(v) AS sum_v,
+        |  min(v) AS min_v, max(v) AS max_v, grouping_id() AS gid
+        |FROM gs_t GROUP BY GROUPING SETS ((lang), (source))""".stripMargin)
+    assert(canon(ours) === canon(builtin))
+    val noExpand = ours.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e }
+    assert(noExpand.isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.operators.GroupingSets.groupingSets(
+        df, Seq("lang", "source"), "v", Seq(Seq("lang"), Seq("lang")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.GroupingSets.groupingSets(
+        df, Seq("lang", "source"), "v", Seq(Seq("nope")))
+    }
+  }
+
   test("rollupDistinctKmv: cascaded sketches equal direct per-level sketches") {
     val rnd = new scala.util.Random(99)
     val df = (1 to 400).map { _ =>

@@ -206,4 +206,43 @@ class SketchSpec extends SparkSpec {
     // m=64 → ~13% theoretical σ, widened for the weak portable hash
     assert(est > 2500 && est < 10000, s"estimate $est too far from 5000")
   }
+
+  test("mgSummary: every item above n/(k+1) present; weights undercount by <= n/(k+1)") {
+    // 3 heavy items among a long tail, shuffled across 8 partitions so
+    // partial summaries must merge (serialize path included)
+    val heavy = Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++ Seq.fill(120)("gamma")
+    val tail = (1 to 380).map(i => s"t$i")
+    val items = new scala.util.Random(7).shuffle(heavy ++ tail) // n = 1000
+    val k = 9 // guarantee floor n/(k+1) = 100
+    val df = spark.sparkContext.parallelize(items, 8).toDF("item")
+    val mg = df.agg(graft.operators.HeavyHitters.mgSummary(col("item"), k).as("mg"))
+      .selectExpr("inline(mg)").as[(String, Long)].collect().toMap
+    assert(mg.size <= k)
+    for ((it, true_) <- Seq("alpha" -> 300L, "beta" -> 200L, "gamma" -> 120L)) {
+      assert(mg.contains(it), s"$it above the n/(k+1) floor must survive")
+      assert(mg(it) <= true_ && mg(it) >= true_ - 1000L / (k + 1))
+    }
+  }
+
+  test("exactTopShare: exact counts, exact threshold, guarantee enforced") {
+    val items = Seq.fill(50)("hot") ++ Seq.fill(10)("warm") ++ (1 to 40).map(i => s"c$i")
+    val df = spark.sparkContext.parallelize(
+      new scala.util.Random(3).shuffle(items), 4).toDF("tok")
+    // n = 100; share 10% -> {hot, warm}; k=31 satisfies 1/10 > 1/32
+    val out = graft.operators.HeavyHitters
+      .exactTopShare(df, "tok", k = 31, num = 1L, denom = 10L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("hot", 50L, 100L), ("warm", 10L, 100L)))
+    // threshold at the guarantee boundary is rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      graft.operators.HeavyHitters.exactTopShare(df, "tok", k = 9, num = 1L, denom = 10L)
+    }
+  }
+
+  test("exactTopShare: empty/all-NULL input yields an empty typed result") {
+    val df = Seq[Option[String]](None, None).toDF("tok")
+    val out = graft.operators.HeavyHitters.exactTopShare(df, "tok", 31, 1L, 10L)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("item", "cnt", "n"))
+  }
 }
