@@ -66,4 +66,60 @@ object LineDedup {
         coalesce(col("__kept"), lit(0L)).as("n_kept"),
         coalesce(col("__text"), lit("")).as("text_dedup"))
   }
+
+  /** Boilerplate removal by DOCUMENT FREQUENCY — the CCNet/C4 companion
+    * pass to [[dedupLines]] with the opposite keep rule: a line present
+    * in at least num/denom of all documents (nav bars, cookie banners,
+    * license footers) is boilerplate, and EVERY occurrence is removed —
+    * including the first, which dedupLines would keep.
+    *
+    * Scale shape:
+    *   - Document frequency is `count(distinct doc)` per line value —
+    *     partial-distinct aggregates, so a line on a billion pages
+    *     collapses per map task before either shuffle, and the result is
+    *     bounded by DISTINCT lines, not occurrences.
+    *   - The doc total enters the threshold as a broadcast one-row cross
+    *     join (no driver collect; the whole operator is one plan).
+    *   - The boilerplate list is explicitly `broadcast()` into a
+    *     LEFT ANTI join: by construction it has at most
+    *     total_line_occurrences·denom/(num·n_docs) entries (each needs
+    *     ≥ num·n_docs/denom occurrences), and the broadcast is what keeps
+    *     the anti-join skew-proof — every probe task drops its own copies
+    *     of a hot line locally instead of shuffling a billion copies of
+    *     "Accept cookies" to one reducer. For thresholds low enough that
+    *     the list outgrows a broadcast, pre-filter with
+    *     [[BloomPrune]] and salt the residual join; this operator keeps
+    *     the high-threshold (genuinely-boilerplate) regime.
+    *
+    * @return one row per input document: (idCol, n_lines, n_kept,
+    *         text_clean) — surviving lines in original order; a document
+    *         that was pure boilerplate keeps n_kept = 0, text_clean = "".
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        num: Long, denom: Long): DataFrame = {
+    require(num > 0 && denom > 0 && num <= denom,
+      "doc-frequency threshold must be a fraction in (0, 1]")
+    val lines = docs.select(col(idCol), posexplode(split(col(textCol), "\n"))
+      .as(Seq("__pos", "__line")))
+    val total = docs.agg(count(lit(1)).as("__ndocs"))
+    val docFreq = lines.select(col("__line"), col(idCol))
+      .groupBy("__line")
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val boiler = docFreq.crossJoin(broadcast(total))
+      .filter(col("__df") * denom >= col("__ndocs") * num)
+      .select("__line")
+    val kept = lines.join(broadcast(boiler), Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol).as("__id"))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          "\n").as("__text"))
+    docs.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("__kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__text"), lit("")).as("text_clean"))
+  }
 }

@@ -948,6 +948,18 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Boilerplate removal by document frequency (CCNet/C4 pass): lines
+    // present in >=40% of documents are removed EVERYWHERE (q49's
+    // keep-first sibling keeps first occurrences). Same word->line
+    // re-delimiting as q49, so hot stopword lines stress the
+    // broadcast-anti-join skew path.
+    "q116_boilerplate" -> ((s, dir) => {
+      val lined = t(s, dir, "documents")
+        .select(col("doc_id"), translate(col("text"), " ", "\n").as("text"))
+      LineDedup.removeBoilerplate(lined, "doc_id", "text", num = 2L, denom = 5L)
+        .orderBy("doc_id")
+    }),
+
     // Exact heavy hitters with bounded state: Misra-Gries candidates
     // (k=255 counters, superset-guaranteed above 1/256 share) + exact
     // recount of the <=255 candidates — tokens holding >=0.5% of the
@@ -2722,6 +2734,31 @@ object LlmQueries {
          |       CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
          |            ELSE 31.0 * 1000000007 / sk[32] END AS est
          |FROM agg ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "q116_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, chr(10))) AS line,
+        |         unnest(range(len(string_split(text, chr(10))))) AS pos
+        |  FROM docs),
+        |nn AS (SELECT count(*) AS ndocs FROM docs),
+        |boiler AS (
+        |  SELECT line FROM lines CROSS JOIN nn
+        |  GROUP BY line, ndocs
+        |  HAVING count(DISTINCT doc_id) * 5 >= ndocs * 2),
+        |kept AS (SELECT l.* FROM lines l ANTI JOIN boiler b USING (line)),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(r.text_clean, '') AS text_clean
+        |FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The recount IS the oracle: plain GROUP BY ... HAVING share. The
     // engine's sketch pass only proposes candidates; the guarantee

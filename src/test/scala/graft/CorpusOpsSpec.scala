@@ -75,6 +75,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert((1L until 200L).forall(kept(_) === 1L))
   }
 
+  test("removeBoilerplate drops every occurrence above the doc-freq threshold") {
+    val docs = Seq(
+      (1L, "footer\nalpha\nfooter"), // footer in 3/4 docs → all copies die
+      (2L, "footer\nbeta"),
+      (3L, "footer\ngamma\nbeta"),   // beta in 2/4 = 50% → dies at 50% too
+      (4L, "delta")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.removeBoilerplate(docs, "doc_id", "text", 1L, 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (1L, 3L, 1L, "alpha"),
+      (2L, 2L, 0L, ""),      // pure boilerplate document
+      (3L, 3L, 1L, "gamma"),
+      (4L, 1L, 1L, "delta")))
+    // threshold above every doc-freq removes nothing (in-doc dups kept too)
+    val loose = LineDedup.removeBoilerplate(docs, "doc_id", "text", 9L, 10L)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(loose.map(_._4).toSeq ===
+      Seq("footer\nalpha\nfooter", "footer\nbeta", "footer\ngamma\nbeta", "delta"))
+  }
+
   test("mixtureSample: exact ceil(f*n) per stratum, default fraction, zero drops") {
     val df = (1L to 300L).map(i =>
       (i, if (i <= 100) "a" else if (i <= 200) "b" else "c")).toDF("k", "s")
