@@ -948,6 +948,34 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // URL canonicalization + registrable domain (web-corpus curation).
+    // The corpus has no URL column, so URLs are SYNTHESIZED
+    // deterministically from doc_id in BOTH engines (multimodal-stub
+    // precedent: fake input, real operator) — six shapes covering
+    // fragments, default ports, utm params, uppercase hosts, multi-part
+    // public suffixes, and trailing slashes. Domain counts come back via
+    // a broadcast join of the tiny domain aggregate, not a window.
+    "q117_url_canon" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"), expr(
+        """CASE doc_id % 6
+          |  WHEN 0 THEN concat('https://News.Example.COM/articles/', doc_id)
+          |  WHEN 1 THEN concat('https://blog.example.co.uk:443/post?id=', doc_id, '&utm_source=feed')
+          |  WHEN 2 THEN concat('http://shop.example.com:80/item/', doc_id, '#reviews')
+          |  WHEN 3 THEN concat('https://example.org/?utm_campaign=x&page=', doc_id)
+          |  WHEN 4 THEN concat('http://www.data.example.com.au/set/', doc_id, '/')
+          |  ELSE concat('https://CDN.example.net/asset/', doc_id, '?v=1#top')
+          |END""".stripMargin).as("url"))
+      val canon = synth.select(col("doc_id"),
+        graft.operators.UrlOps.normalizeUrl(col("url")).as("url_norm"))
+        .withColumn("host", graft.operators.UrlOps.host(col("url_norm")))
+        .withColumn("domain",
+          graft.operators.UrlOps.registrableDomain(col("host")))
+      val perDomain = canon.groupBy("domain").agg(count(lit(1)).as("n_domain"))
+      canon.join(broadcast(perDomain), "domain")
+        .select("doc_id", "url_norm", "host", "domain", "n_domain")
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate removal by document frequency (CCNet/C4 pass): lines
     // present in >=40% of documents are removed EVERYWHERE (q49's
     // keep-first sibling keeps first occurrences). Same word->line
@@ -2734,6 +2762,63 @@ object LlmQueries {
          |       CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
          |            ELSE 31.0 * 1000000007 / sk[32] END AS est
          |FROM agg ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // Mirrors UrlOps step-for-step: same regexes (RE2-safe — no
+    // lookahead; unmatched optional groups substitute empty in both
+    // engines), 'g' flag where Spark's regexp_replace is implicitly
+    // global, same PSL-lite label logic via list slicing.
+    "q117_url_canon" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN concat('https://News.Example.COM/articles/', doc_id)
+        |      WHEN 1 THEN concat('https://blog.example.co.uk:443/post?id=', doc_id, '&utm_source=feed')
+        |      WHEN 2 THEN concat('http://shop.example.com:80/item/', doc_id, '#reviews')
+        |      WHEN 3 THEN concat('https://example.org/?utm_campaign=x&page=', doc_id)
+        |      WHEN 4 THEN concat('http://www.data.example.com.au/set/', doc_id, '/')
+        |      ELSE concat('https://CDN.example.net/asset/', doc_id, '?v=1#top')
+        |    END AS url
+        |  FROM documents),
+        |steps AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS s2
+        |  FROM synth),
+        |ported AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(s2, '^(http://[^/?#]*):80([/?#].*)?$', '\1\2'),
+        |      '^(https://[^/?#]*):443([/?#].*)?$', '\1\2') AS s3
+        |  FROM steps),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(s3, '&utm_[^&#]*', '', 'g'),
+        |          '\?utm_[^&#]*&', '?'),
+        |        '\?utm_[^&#]*$', ''),
+        |      '/+$', '') AS url_norm,
+        |    lower(regexp_extract(s3, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host
+        |  FROM ported),
+        |bare AS (
+        |  SELECT doc_id, url_norm, host,
+        |         regexp_replace(host, ':[0-9]+$', '') AS h FROM cleaned),
+        |dom AS (
+        |  SELECT doc_id, url_norm, host,
+        |    CASE WHEN len(string_split(h, '.')) <= 2 THEN h
+        |         WHEN array_to_string(string_split(h, '.')[-2:], '.') IN
+        |              ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp',
+        |               'com.au','net.au','org.au','com.br','com.cn','com.mx',
+        |               'co.in','co.nz','co.za')
+        |         THEN array_to_string(string_split(h, '.')[-3:], '.')
+        |         ELSE array_to_string(string_split(h, '.')[-2:], '.') END AS domain
+        |  FROM bare)
+        |SELECT doc_id, url_norm, host, domain,
+        |       CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain
+        |FROM dom ORDER BY doc_id""".stripMargin,
 
     "q116_boilerplate" ->
       """WITH docs AS (

@@ -75,6 +75,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert((1L until 200L).forall(kept(_) === 1L))
   }
 
+  test("UrlOps: canonicalization steps and PSL-lite registrable domain") {
+    val cases = Seq(
+      // fragment + uppercase host + case-preserved path
+      ("https://News.Example.COM/Articles/X#frag",
+        "https://news.example.com/Articles/X", "example.com"),
+      // default https port + trailing utm param
+      ("https://blog.example.co.uk:443/post?id=1&utm_source=f",
+        "https://blog.example.co.uk/post?id=1", "example.co.uk"),
+      // default http port kept path; non-default port preserved below
+      ("http://shop.example.com:80/item/2", "http://shop.example.com/item/2", "example.com"),
+      ("http://shop.example.com:8080/item/2", "http://shop.example.com:8080/item/2", "example.com"),
+      // utm leading the query, another param follows
+      ("https://example.org/?utm_campaign=x&page=3", "https://example.org/?page=3", "example.org"),
+      // utm as the sole query: the '?' disappears with it
+      ("https://example.org/a?utm_campaign=x", "https://example.org/a", "example.org"),
+      // multi-part suffix + trailing slash
+      ("http://www.data.example.com.au/set/4/", "http://www.data.example.com.au/set/4", "example.com.au"),
+      // bare two-label host passes through
+      ("https://localhost.dev/x", "https://localhost.dev/x", "localhost.dev"))
+    val df = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        graft.operators.UrlOps.normalizeUrl(col("url")).as("norm"))
+      .withColumn("host", graft.operators.UrlOps.host(col("norm")))
+      .withColumn("dom", graft.operators.UrlOps.registrableDomain(col("host")))
+    val out = df.select("url", "norm", "dom").as[(String, String, String)]
+      .collect().toSeq
+    assert(out === cases.map(c => (c._1, c._2, c._3)))
+  }
+
   test("removeBoilerplate drops every occurrence above the doc-freq threshold") {
     val docs = Seq(
       (1L, "footer\nalpha\nfooter"), // footer in 3/4 docs → all copies die
