@@ -537,6 +537,18 @@ object RelationalQueries {
       graft.operators.EventAnalytics.retentionCohorts(events(s, dir),
         "user_id", "ts", bucketDays = 7)
         .orderBy("cohort", "offset")
+    }),
+
+    // Per-group OLS trend (operators/Regression.scala): quantity drift
+    // over ship date per return flag. Integer sufficient statistics
+    // (x centered to days since 2000-01-01 per the operator's overflow
+    // contract), doubles only in the mirrored final arithmetic.
+    "q118_group_trend" -> ((s, dir) => {
+      graft.operators.Regression.trendByGroup(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        xCol = (unix_date(col("l_shipdate").cast("date")) - 10957L).cast(LongType),
+        yCol = col("l_quantity").cast(LongType))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -932,7 +944,39 @@ object RelationalQueries {
       s"""WITH $oPurchaseEdges,
          |${oTriangleCtes("e")}
          |SELECT node, degree, triangles, wedges, clustering
-         |FROM tstats ORDER BY node""".stripMargin
+         |FROM tstats ORDER BY node""".stripMargin,
+
+    // Same integer sufficient statistics, same fixed double tail as
+    // Regression.trendByGroup — never regr_slope/corr, whose float
+    // accumulation is merge-order-dependent.
+    "q118_group_trend" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         date_diff('day', DATE '2000-01-01', CAST(l_shipdate AS DATE)) AS x,
+        |         CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n * sxx - sx * sx != 0
+        |       THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx != 0
+        |       THEN (CAST(sy AS DOUBLE) -
+        |             (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |              CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+        |            CAST(n AS DOUBLE) END AS intercept,
+        |  CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+        |       THEN (CAST(n * sxy - sx * sy AS DOUBLE) *
+        |             CAST(n * sxy - sx * sy AS DOUBLE)) /
+        |            (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |             CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin
   )
 
   /** Triangle-count oracle CTE chain over an edge relation exposing

@@ -55,4 +55,26 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
   }
+
+  test("trendByGroup: exact OLS, degenerate groups NULL, matches regr_slope") {
+    import org.apache.spark.sql.functions._
+    val df = (Seq(("up", 0L, 1L), ("up", 1L, 3L), ("up", 2L, 5L)) ++ // slope 2, r2 1
+      Seq(("flatx", 4L, 1L), ("flatx", 4L, 9L)) ++                   // constant x
+      Seq(("flaty", 1L, 6L), ("flaty", 2L, 6L), ("flaty", 9L, 6L)))  // constant y
+      .toDF("g", "x", "y")
+    val out = graft.operators.Regression
+      .trendByGroup(df, Seq("g"), col("x"), col("y"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out(0) === (("flatx", 2L, None, None, None)))
+    assert(out(1) === (("flaty", 3L, Some(0.0), Some(6.0), None)))
+    assert(out(2) === (("up", 3L, Some(2.0), Some(1.0), Some(1.0))))
+    // non-degenerate slope agrees with Spark's own float-moment regr_slope
+    val builtin = df.filter(col("g") === "up")
+      .agg(expr("regr_slope(y, x)")).head().getDouble(0)
+    assert(math.abs(builtin - 2.0) < 1e-12)
+  }
 }
