@@ -539,6 +539,85 @@ object RelationalQueries {
         .orderBy("cohort", "offset")
     }),
 
+    // INTERSECT + semi/anti joins — the set-op family's missing gates
+    // next to q17 (UNION ALL) and q18 (EXCEPT). Per nation: customers
+    // whose key set has BOTH urgent and finished orders (INTERSECT
+    // feeding a LEFT SEMI join) vs customers with NEITHER (LEFT ANTI
+    // against the distinct union). The key sets are order-key
+    // projections — orders of magnitude under the customer table — so
+    // both probes broadcast.
+    "q121_set_membership" -> ((s, dir) => {
+      val ords = t(s, dir, "orders")
+      val urgent = ords.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val fstat = ords.filter(col("o_orderstatus") === "F")
+        .select("o_custkey")
+      val both = urgent.intersect(fstat)
+      val either = urgent.union(fstat).distinct()
+      val cust = t(s, dir, "customer")
+      val nBoth = cust
+        .join(broadcast(both), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey").cast(LongType).as("nation"))
+        .agg(count(lit(1)).as("n_both"))
+      val nNeither = cust
+        .join(broadcast(either), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast(LongType).as("nation"))
+        .agg(count(lit(1)).as("n_neither"))
+      nBoth.join(nNeither, Seq("nation"), "full_outer")
+        .select(col("nation"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          coalesce(col("n_neither"), lit(0L)).as("n_neither"))
+        .orderBy("nation")
+    }),
+
+    // Unpivot/melt — the inverse of q06's pivot: four measure columns to
+    // (measure, val) rows via Spark's native unpivot (an Expand; the 4x
+    // fanout IS the operator's semantics, unlike the grouping-sets case
+    // where the cascade avoids it). Values pass through untouched, so
+    // doubles are bit-stable.
+    "q120_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(500)) === 0)
+        .select(col("l_orderkey").as("okey"),
+          col("l_linenumber").cast(LongType).as("line"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"),
+          col("l_tax").as("tax"))
+        .unpivot(Array(col("okey"), col("line")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "val")
+        .orderBy("okey", "line", "measure")
+    }),
+
+    // Distribution-window showcase: rank / percent_rank / cume_dist /
+    // nth_value over one total order, plus a 7-DAY RANGE-frame running
+    // revenue (the ROWS-frame q15's calendar sibling — a range frame
+    // covers gaps and same-day ties by VALUE, which row frames cannot).
+    // Money sums go through DECIMAL(18,2) per the object-doc discipline;
+    // percent_rank/cume_dist are single exact divisions of rank counts.
+    // Both windows share the partition key, so one shuffle feeds both
+    // sorts.
+    "q119_window_suite" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+        .select(col("o_orderpriority").as("prio"),
+          col("o_orderkey").as("okey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price_d"),
+          unix_date(col("o_orderdate").cast("date")).cast(LongType).as("day"))
+      val wv = Window.partitionBy("prio").orderBy(col("price_d"), col("okey"))
+      val wr = Window.partitionBy("prio").orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      o.select(col("prio"), col("okey"),
+          col("price_d").cast(DoubleType).as("price"),
+          rank().over(wv).cast(LongType).as("rnk"),
+          percent_rank().over(wv).as("pr"),
+          cume_dist().over(wv).as("cd"),
+          nth_value(col("okey"), 3).over(wv).as("third_key"),
+          sum(col("price_d")).over(wr).cast(DoubleType).as("rev7"))
+        .orderBy("prio", "rnk")
+    }),
+
     // Per-group OLS trend (operators/Regression.scala): quantity drift
     // over ship date per return flag. Integer sufficient statistics
     // (x centered to days since 2000-01-01 per the operator's overflow
@@ -945,6 +1024,59 @@ object RelationalQueries {
          |${oTriangleCtes("e")}
          |SELECT node, degree, triangles, wedges, clustering
          |FROM tstats ORDER BY node""".stripMargin,
+
+    // INTERSECT for the both-set, UNION (distinct) for the either-set,
+    // IN / NOT IN as the semi/anti twins.
+    "q121_set_membership" ->
+      """WITH urgent AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |fstat AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |both_k AS (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM fstat),
+        |either_k AS (SELECT o_custkey FROM urgent UNION SELECT o_custkey FROM fstat),
+        |nb AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |  FROM customer WHERE c_custkey IN (SELECT o_custkey FROM both_k)
+        |  GROUP BY 1),
+        |nn AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |         CAST(count(*) AS BIGINT) AS n_neither
+        |  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM either_k)
+        |  GROUP BY 1)
+        |SELECT coalesce(nb.nation, nn.nation) AS nation,
+        |       coalesce(n_both, 0) AS n_both,
+        |       coalesce(n_neither, 0) AS n_neither
+        |FROM nb FULL JOIN nn ON nb.nation = nn.nation
+        |ORDER BY nation""".stripMargin,
+
+    "q120_unpivot" ->
+      """SELECT okey, line, measure, val FROM (
+        |  SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line,
+        |         l_quantity AS quantity, l_extendedprice AS extendedprice,
+        |         l_discount AS discount, l_tax AS tax
+        |  FROM lineitem WHERE l_orderkey % 500 = 0)
+        |UNPIVOT (val FOR measure IN (quantity, extendedprice, discount, tax))
+        |ORDER BY okey, line, measure""".stripMargin,
+
+    // Same named window for the distribution functions (default
+    // cumulative frame; the unique (price_d, okey) order makes RANGE vs
+    // ROWS moot), RANGE 6 PRECEDING on epoch-day for the revenue frame.
+    "q119_window_suite" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey AS okey,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price_d,
+        |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        |  FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT prio, okey, CAST(price_d AS DOUBLE) AS price,
+        |       CAST(rank() OVER wv AS BIGINT) AS rnk,
+        |       percent_rank() OVER wv AS pr,
+        |       cume_dist() OVER wv AS cd,
+        |       nth_value(okey, 3) OVER wv AS third_key,
+        |       CAST(sum(price_d) OVER (PARTITION BY prio ORDER BY day
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
+        |FROM o
+        |WINDOW wv AS (PARTITION BY prio ORDER BY price_d, okey)
+        |ORDER BY prio, rnk""".stripMargin,
 
     // Same integer sufficient statistics, same fixed double tail as
     // Regression.trendByGroup — never regr_slope/corr, whose float
