@@ -57,7 +57,12 @@ object Bench {
     val checksumQueries = Set(
       "q26_text_quality", "q28_fingerprint", "q34_embed_quantize",
       "q42_repetition", "q43_pii_scan", "q62_chunking", "q81_quality_gate",
-      "q98_quality_classifier", "q99_hash_split", "q101_pii_redact")
+      "q98_quality_classifier", "q99_hash_split", "q101_pii_redact",
+      // round-9 additions whose payload columns count() would prune:
+      // q116's rebuilt text, q117's regex canonicalization, q119's
+      // window columns, q120's unpivoted values
+      "q116_boilerplate", "q117_url_canon", "q119_window_suite",
+      "q120_unpivot")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}

@@ -299,4 +299,66 @@ object Similarity {
       .select(col("qid"), col("hits"),
         (col("hits").cast("double") / k).as(s"recall_at_$k"))
   }
+
+  /** Margin-based bitext mining (the CCMatrix/LASER parallel-corpus
+    * miner): candidate pair (s, t) is scored not by raw cosine — which
+    * rewards "hubness" vectors similar to everything — but by the RATIO
+    * of the pair's cosine to the mean of each side's top-k neighborhood:
+    *
+    *   margin(s, t) = cos(s, t) / ((avgTopK(s→T) + avgTopK(t→S)) / 2)
+    *
+    * Each source keeps its best-margin target, thresholded; margin > 1
+    * means "closer than either side's typical neighbor".
+    *
+    * Scale/determinism shape:
+    *   - ONE scored pass (broadcast source set × target corpus) is
+    *     cached and feeds all three uses — pairs, s-side neighborhoods,
+    *     t-side neighborhoods — so vectors are dotted exactly once;
+    *   - the top-k means fold a rank-SORTED collected array (≤ k values
+    *     per side, bounded window state), not a float sum() whose
+    *     partial-merge order varies — bit-stable cross-engine;
+    *   - margins are a mirrored scalar tail on the cos values the q29
+    *     oracle already reproduces exactly.
+    * For query sets beyond the broadcast threshold, swap the scored pass
+    * for the IVF-probed candidate plan (q30) — the margin tail is
+    * unchanged.
+    *
+    * @return (sid, tid, cos, margin) — best target per source with
+    *         margin ≥ threshold, ordered by sid
+    */
+  def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
+                   vecCol: String, k: Int, threshold: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val s = withNorm(src, idCol, vecCol, "sid", "__sv", "__sn")
+    val t = withNorm(tgt, idCol, vecCol, "tid", "__tv", "__tn")
+    val scored = CacheScope.track(
+      t.crossJoin(broadcast(s))
+        .withColumn("cos",
+          cosFromNorms(col("__sv"), col("__tv"), col("__sn"), col("__tn")))
+        .select("sid", "tid", "cos"))
+    // mean of the top-k cos per side, folded in rank order so the double
+    // sum has ONE defined association order on both engines
+    def topKMean(part: String, other: String, outCol: String) = {
+      val w = Window.partitionBy(part).orderBy(desc("cos"), col(other))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .groupBy(part)
+        .agg({
+          val sorted = array_sort(collect_list(struct(col("__rn"), col("cos"))))
+          (aggregate(transform(sorted, x => x.getField("cos")),
+            lit(0.0), (acc, x) => acc + x) /
+            size(sorted).cast("double")).as(outCol)
+        })
+    }
+    val sAvg = topKMean("sid", "tid", "s_avg")
+    val tAvg = topKMean("tid", "sid", "t_avg")
+    val withMargin = scored
+      .join(broadcast(sAvg), "sid")
+      .join(broadcast(tAvg), "tid")
+      .withColumn("margin", col("cos") / ((col("s_avg") + col("t_avg")) / 2.0))
+    val w = Window.partitionBy("sid").orderBy(desc("margin"), col("tid"))
+    withMargin.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 && col("margin") >= threshold)
+      .select(col("sid"), col("tid"), col("cos"), col("margin"))
+  }
 }

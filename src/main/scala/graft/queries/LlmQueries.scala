@@ -948,6 +948,20 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Margin-based bitext mining (CCMatrix/LASER): best-margin label-1
+    // partner per label-0 vector, margin = cos over the mean of both
+    // sides' top-4 neighborhoods — the hubness-corrected parallel-pair
+    // miner. One cached scored pass feeds pairs and both neighborhood
+    // aggregates; top-k means fold rank-sorted arrays so the double sums
+    // associate identically cross-engine.
+    "q122_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMining(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+        "vec_id", "embedding", k = 4, threshold = 1.0)
+        .orderBy("sid")
+    }),
+
     // URL canonicalization + registrable domain (web-corpus curation).
     // The corpus has no URL column, so URLs are SYNTHESIZED
     // deterministically from doc_id in BOTH engines (multimodal-stub
@@ -2762,6 +2776,44 @@ object LlmQueries {
          |       CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
          |            ELSE 31.0 * 1000000007 / sk[32] END AS est
          |FROM agg ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // Same cosine fold as q29's oracle; neighborhood means via
+    // list(cos ORDER BY rn) + the same left fold; margin and the final
+    // argmax mirrored op-for-op.
+    "q122_bitext_margin" ->
+      s"""WITH $oNorms,
+         |srcn AS (
+         |  SELECT n.vec_id AS sid, n.v, n.nrm FROM norms n
+         |  JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label = 0),
+         |tgtn AS (
+         |  SELECT n.vec_id AS tid, n.v, n.nrm FROM norms n
+         |  JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label = 1),
+         |scored AS (
+         |  SELECT s.sid, t.tid, ${oCos("s", "t")} AS cos
+         |  FROM srcn s CROSS JOIN tgtn t),
+         |savg AS (
+         |  SELECT sid, list_reduce(list_prepend(0.0, l), (x, y) -> x + y)
+         |           / len(l) AS s_avg
+         |  FROM (SELECT sid, list(cos ORDER BY rn) AS l FROM (
+         |          SELECT sid, cos, row_number() OVER (PARTITION BY sid
+         |            ORDER BY cos DESC, tid) AS rn FROM scored)
+         |        WHERE rn <= 4 GROUP BY sid)),
+         |tavg AS (
+         |  SELECT tid, list_reduce(list_prepend(0.0, l), (x, y) -> x + y)
+         |           / len(l) AS t_avg
+         |  FROM (SELECT tid, list(cos ORDER BY rn) AS l FROM (
+         |          SELECT tid, cos, row_number() OVER (PARTITION BY tid
+         |            ORDER BY cos DESC, sid) AS rn FROM scored)
+         |        WHERE rn <= 4 GROUP BY tid)),
+         |m AS (
+         |  SELECT sc.sid, sc.tid, sc.cos,
+         |         sc.cos / ((sa.s_avg + ta.t_avg) / 2.0) AS margin
+         |  FROM scored sc JOIN savg sa USING (sid) JOIN tavg ta USING (tid)),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY sid
+         |    ORDER BY margin DESC, tid) AS rk FROM m)
+         |SELECT sid, tid, cos, margin FROM r
+         |WHERE rk = 1 AND margin >= 1.0 ORDER BY sid""".stripMargin,
 
     // Mirrors UrlOps step-for-step: same regexes (RE2-safe — no
     // lookahead; unmatched optional groups substitute empty in both

@@ -42,4 +42,26 @@ class LshAnnSpec extends SparkSpec {
       s"($recallWide < $recall)")
     assert(recallWide >= 0.6, s"recallWide=$recallWide")
   }
+
+  test("marginMining: hubness-corrected winners, one row per surviving source") {
+    // s0 aligns with t0, s1 with t1; t2 is a "hub" moderately close to
+    // both sources — raw cosine never prefers it here, and the margin
+    // ratio demotes it further (its own strong neighborhood inflates the
+    // denominator). k=1 makes the expected margins hand-computable.
+    val src = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Array(1f, 0.1f)), (11L, Array(0.1f, 1f)),
+      (12L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginMining(src, tgt, "vec_id", "embedding",
+      k = 1, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((0L, 10L), (1L, 11L)))
+    // best-pair margin is exactly cos/((cos+cos)/2) = 1.0 at k=1 when the
+    // pair is both sides' top neighbor
+    out.foreach { case (_, _, m) => assert(math.abs(m - 1.0) < 1e-12) }
+    // a 1.0+epsilon threshold filters everything: no pair beats its own
+    // neighborhood at k=1
+    assert(Similarity.marginMining(src, tgt, "vec_id", "embedding",
+      k = 1, threshold = 1.0000001).count() === 0)
+  }
 }
