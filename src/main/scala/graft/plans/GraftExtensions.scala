@@ -131,7 +131,31 @@ object GraftExtensions {
       es => { val Seq(k, n) = arity("graft_hash_bucket", 2)(es)
         import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
         toCatalystTree(graft.operators.Sampling.hashBucket(toColumn(k),
-          litInt(n, "graft_hash_bucket", "n"))) }))
+          litInt(n, "graft_hash_bucket", "n"))) }),
+    (FunctionIdentifier("graft_url_normalize"),
+      info("graft_url_normalize",
+        "graft_url_normalize(url) - canonical URL: fragment/default-port/utm_*/trailing-slash stripped, scheme+host lowercased"),
+      es => { val Seq(u) = arity("graft_url_normalize", 1)(es)
+        import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
+        toCatalystTree(graft.operators.UrlOps.normalizeUrl(toColumn(u))) }),
+    (FunctionIdentifier("graft_url_host"),
+      info("graft_url_host",
+        "graft_url_host(url) - lowercased host[:port] of a URL ('' when unparseable)"),
+      es => { val Seq(u) = arity("graft_url_host", 1)(es)
+        import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
+        toCatalystTree(graft.operators.UrlOps.host(toColumn(u))) }),
+    (FunctionIdentifier("graft_url_domain"),
+      info("graft_url_domain",
+        "graft_url_domain(host) - PSL-lite registrable domain (sld.tld, or third.sld.tld for known multi-part suffixes)"),
+      es => { val Seq(h) = arity("graft_url_domain", 1)(es)
+        import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
+        toCatalystTree(graft.operators.UrlOps.registrableDomain(toColumn(h))) }),
+    (FunctionIdentifier("graft_mg_topk"),
+      info("graft_mg_topk",
+        "graft_mg_topk(item, k) - aggregate: Misra-Gries frequent-items summary, array<struct<item,w>> by (w desc, item); candidate SUPERSET above n/(k+1) - recount for exact counts"),
+      es => { val Seq(item, k) = arity("graft_mg_topk", 2)(es)
+        graft.expressions.MisraGriesStrings(item,
+          litInt(k, "graft_mg_topk", "k")) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

@@ -111,4 +111,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.isInstanceOf[AnalysisException] ||
       e.getMessage.contains("INT literal"))
   }
+
+  test("url and heavy-hitter functions agree with the Scala operators") {
+    Seq("https://Blog.Example.CO.UK:443/p?id=1&utm_source=f#x")
+      .toDF("url").createOrReplaceTempView("urls")
+    val row = spark.sql(
+      """SELECT graft_url_normalize(url) AS n, graft_url_host(graft_url_normalize(url)) AS h,
+        |       graft_url_domain(graft_url_host(url)) AS d FROM urls""".stripMargin).head()
+    assert(row.getString(0) === "https://blog.example.co.uk/p?id=1")
+    assert(row.getString(1) === "blog.example.co.uk")
+    assert(row.getString(2) === "example.co.uk")
+    Seq("a", "a", "a", "b", "c").toDF("t").createOrReplaceTempView("mg_t")
+    val mg = spark.sql("SELECT graft_mg_topk(t, 2) FROM mg_t")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.head.getString(0) === "a" && mg.head.getLong(1) >= 2L)
+  }
 }
