@@ -286,4 +286,33 @@ object CorpusStreams {
       .select(col("__win.start").as("window_start"), col("row"),
         col("bucket"), col("cnt"))
   }
+
+  /** Windowed heavy-hitter CANDIDATES over the token stream — streaming
+    * twin of [[graft.operators.HeavyHitters.mgSummary]], and the second
+    * bounded-state trending-terms path next to [[windowedTokenCountMin]]:
+    * where the CMS twin answers point lookups ("how often was X?"), the
+    * Misra–Gries twin answers enumeration ("WHICH tokens are hot?") with
+    * ≤ k counters of state per window, token count plus n alongside.
+    *
+    * The summary keeps its superset guarantee (every item above
+    * n/(k+1) per window is present) across micro-batch re-aggregation —
+    * the merge is the same error-additive operation the batch partials
+    * use. Its WEIGHTS stay batch-boundary-dependent (documented at the
+    * aggregate), so unlike the CMS twin there is no bit-parity lock with
+    * the batch sketch — downstream consumers recount candidates exactly
+    * (the q115 composition) per window.
+    *
+    * @return streaming (window_start, n, mg: array<struct<item, w>>)
+    */
+  def windowedHeavyHitterCandidates(docs: org.apache.spark.sql.DataFrame,
+                                    textCol: String, tsCol: String, k: Int,
+                                    windowDur: String, watermark: String): org.apache.spark.sql.DataFrame = {
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("__token"))
+      .groupBy(window(col(tsCol), windowDur).as("__win"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.HeavyHitters.mgSummary(col("__token"), k).as("mg"))
+      .select(col("__win.start").as("window_start"), col("n"), col("mg"))
+  }
 }

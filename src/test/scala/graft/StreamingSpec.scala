@@ -460,6 +460,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedHeavyHitterCandidates: per-window superset guarantee across micro-batches") {
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    // window 1: "hot" holds 6 of 12 tokens (> n/(k+1) = 3 at k=3), split
+    // across two micro-batches so partial summaries must merge;
+    // window 2: a different dominant token
+    val docs = Seq(
+      Doc(1, ts(0), "hot hot hot cold warm mild"),
+      Doc(2, ts(3), "hot hot hot cool damp dry"),
+      Doc(3, ts(12), "ice ice ice ice fire"))
+    val input = MemoryStream[Doc]
+    val query = CorpusStreams.windowedHeavyHitterCandidates(
+      input.toDF(), "text", "ts", k = 3,
+      windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("whh").start()
+    try {
+      input.addData(docs.take(1): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(1): _*)
+      query.processAllAvailable()
+      val byStart = spark.table("whh").collect()
+        .map(r => r.getTimestamp(0) -> ((r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2).map(_.getString(0)).toSet))).toMap
+      assert(byStart(ts(0))._1 === 12L)
+      assert(byStart(ts(0))._2.contains("hot"), "item above n/(k+1) must survive")
+      assert(byStart(ts(0))._2.size <= 3)
+      assert(byStart(ts(10)) === ((5L, byStart(ts(10))._2)))
+      assert(byStart(ts(10))._2.contains("ice"))
+    } finally query.stop()
+  }
+
   test("incrementalIngest: table-backed dedup loop — cross-batch, exact-id, CC survivors") {
     import graft.streaming.CorpusStreams
     import graft.streaming.CorpusStreams.Doc
