@@ -65,4 +65,48 @@ object Decontaminate {
         (coalesce(col("__m.f"), lit(0.0)) >= threshold).cast("long")
           .as("contaminated"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * [[benchmarkOverlap]] for the leakage n-gram scrubbing misses:
+    * paraphrased or translated benchmark items share no shingles but sit
+    * next to the benchmark in embedding space. Flag = max cosine against
+    * ANY benchmark vector ≥ threshold.
+    *
+    * Same asymmetry, same shape: the benchmark embedding set is MBs by
+    * definition, so it broadcasts, and the corpus side is one map pass —
+    * score k·|benchmark| dot products per corpus vector, keep the
+    * argmax as a combinable struct-max. No corpus shuffle, no window;
+    * the only aggregate is per-corpus-id over its own |benchmark| scored
+    * rows. Dot/norm arithmetic is the q29 kernel, so cosines (and the
+    * threshold comparison on them) are oracle-exact.
+    *
+    * @return (idCol, bench_id, cos, contaminated) — bench_id NULL and
+    *         cos 0.0 when the benchmark side is empty
+    */
+  def semanticOverlap(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      benchmark: DataFrame, benchId: String, benchVec: String,
+                      threshold: Double): DataFrame = {
+    val b = broadcast(benchmark.select(col(benchId).as("__bid"),
+      col(benchVec).as("__bv"),
+      graft.functions.l2NormF(col(benchVec)).as("__bn")))
+    val scored = corpus
+      .select(col(corpusId).as("__id"), col(corpusVec).as("__cv"),
+        graft.functions.l2NormF(col(corpusVec)).as("__cn"))
+      .crossJoin(b)
+      .withColumn("__cos",
+        when(col("__cn") * col("__bn") =!= 0.0,
+          graft.functions.dotProductF(col("__cv"), col("__bv")) /
+            (col("__cn") * col("__bn"))))
+      .filter(col("__cos").isNotNull)
+    val best = scored.groupBy("__id")
+      .agg(max(struct(col("__cos").as("c"), (-col("__bid")).as("nb"),
+        col("__bid").as("bid"))).as("__m"))
+    corpus.select(col(corpusId))
+      .join(best, col(corpusId) === col("__id"), "left")
+      .select(col(corpusId),
+        col("__m.bid").as("bench_id"),
+        coalesce(col("__m.c"), lit(0.0)).as("cos"),
+        (coalesce(col("__m.c"), lit(0.0)) >= threshold).cast("long")
+          .as("contaminated"))
+  }
 }

@@ -948,6 +948,20 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Semantic decontamination: the embedding-space sibling of q48 for
+    // the leakage n-gram scrubbing misses (paraphrase/translation).
+    // Label-9 vectors stand in as the benchmark (broadcast); every other
+    // vector gets its max benchmark cosine and a >= 0.35 flag, argmax as
+    // a combinable struct-max (no window).
+    "q123_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Decontaminate.semanticOverlap(
+        emb.filter(col("label") =!= 9), "vec_id", "embedding",
+        emb.filter(col("label") === 9), "vec_id", "embedding",
+        threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // Margin-based bitext mining (CCMatrix/LASER): best-margin label-1
     // partner per label-0 vector, margin = cos over the mean of both
     // sides' top-4 neighborhoods — the hubness-corrected parallel-pair
@@ -2776,6 +2790,30 @@ object LlmQueries {
          |       CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS DOUBLE)
          |            ELSE 31.0 * 1000000007 / sk[32] END AS est
          |FROM agg ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // q29's cosine fold; the struct-max argmax mirrors as
+    // row_number() ORDER BY cos DESC, bid ASC.
+    "q123_semantic_decontaminate" ->
+      s"""WITH $oNorms,
+         |bench AS (
+         |  SELECT n.vec_id AS bid, n.v, n.nrm FROM norms n
+         |  JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label = 9),
+         |corp AS (
+         |  SELECT n.vec_id AS cid, n.v, n.nrm FROM norms n
+         |  JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label != 9),
+         |scored AS (
+         |  SELECT c.cid, b.bid, ${oCos("c", "b")} AS cos
+         |  FROM corp c CROSS JOIN bench b),
+         |best AS (
+         |  SELECT cid, bid, cos FROM (
+         |    SELECT cid, bid, cos, row_number() OVER (PARTITION BY cid
+         |      ORDER BY cos DESC, bid) AS rn FROM scored)
+         |  WHERE rn = 1)
+         |SELECT c.cid AS vec_id, best.bid AS bench_id,
+         |       coalesce(best.cos, 0.0) AS cos,
+         |       CAST(coalesce(best.cos, 0.0) >= 0.35 AS BIGINT) AS contaminated
+         |FROM corp c LEFT JOIN best ON c.cid = best.cid
+         |ORDER BY vec_id""".stripMargin,
 
     // Same cosine fold as q29's oracle; neighborhood means via
     // list(cos ORDER BY rn) + the same left fold; margin and the final

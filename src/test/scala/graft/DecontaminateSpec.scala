@@ -50,4 +50,29 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast join for the benchmark index, got:\n$plan")
   }
+
+  test("semanticOverlap: argmax benchmark cosine, threshold flag, empty benchmark") {
+    import org.apache.spark.sql.functions._
+    // c0 points at b100 exactly (cos 1), c1 is orthogonal to both benches
+    val corpus = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, Array(1f, 0f, 0f)), (101L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Decontaminate.semanticOverlap(
+      corpus, "vec_id", "embedding", bench, "vec_id", "embedding", 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out(0) === ((0L, 100L, 1.0, 1L)))
+    assert(out(1)._2 === 100L || out(1)._2 === 101L) // cos 0 ties -> smallest bid
+    assert(out(1)._3 === 0.0 && out(1)._4 === 0L)
+    // tie at cos 0 resolves to the smallest benchmark id
+    assert(out(1)._2 === 100L)
+    // empty benchmark: every doc unflagged with NULL bench_id
+    val none = graft.operators.Decontaminate.semanticOverlap(
+      corpus, "vec_id", "embedding", bench.filter(col("vec_id") < 0),
+      "vec_id", "embedding", 0.9)
+      .orderBy("vec_id").collect()
+    assert(none.length === 2)
+    assert(none.forall(r => r.isNullAt(1) && r.getDouble(2) === 0.0 && r.getLong(3) === 0L))
+  }
 }
