@@ -44,4 +44,43 @@ object Cdc {
       .select(keys.map(col) ++ (col("change") +:
         valueCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c")))): _*)
   }
+
+  /** SCD type-2 dimension builder: collapse a change-event history into
+    * versioned validity intervals — one row per (key, consecutive run of
+    * an attribute value) with [valid_from, valid_to) bounds, version
+    * numbers, and a current flag. The standard warehouse shape for
+    * "what was this entity's attribute AT time t" joins (pair it with
+    * [[AsofJoin]] on the serving side).
+    *
+    * Consecutive duplicates are dropped FIRST (an event restating the
+    * current value opens no new version), then valid_to = next change's
+    * timestamp, NULL on the open (current) version.
+    *
+    * Scale shape: two per-KEY windows (lag to find change points, lead
+    * over the surviving change points for interval ends) — state bounded
+    * by one entity's history, partition-parallel across keys; no global
+    * window anywhere. Deterministic: ordering is (ts, ord) with `ordCol`
+    * a unique tiebreaker, so same-timestamp events have one defined
+    * order in any engine.
+    *
+    * @param tsCol  integer timestamp column (e.g. epoch nanos)
+    * @param ordCol unique per-row tiebreaker (e.g. event id)
+    * @return (keyCol, version, attrCol, valid_from, valid_to, is_current)
+    */
+  def scd2(changes: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, ordCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val changePoints = changes
+      .select(col(keyCol), col(attrCol), col(tsCol), col(ordCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    changePoints
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("version"), col(attrCol),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("long").as("is_current"))
+  }
 }

@@ -618,6 +618,21 @@ object RelationalQueries {
         .orderBy("prio", "rnk")
     }),
 
+    // SCD type-2 builder (operators/Cdc.scala): each user's event_type
+    // history collapsed into versioned [valid_from, valid_to) intervals,
+    // consecutive restatements opening no version. Per-key windows only;
+    // (ts, event_id) is a total order so same-timestamp events are
+    // stable. Timestamps are floored to MICROSECONDS on both sides —
+    // DuckDB's epoch extraction is µs-granular, and ordering at a finer
+    // grain than the oracle can see would let sub-µs ties resolve
+    // differently per engine.
+    "q124_scd2" -> ((s, dir) => {
+      graft.operators.Cdc.scd2(
+        events(s, dir).withColumn("ts", expr("ts DIV 1000")),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "version")
+    }),
+
     // Per-group OLS trend (operators/Regression.scala): quantity drift
     // over ship date per return flag. Integer sufficient statistics
     // (x centered to days since 2000-01-01 per the operator's overflow
@@ -1057,6 +1072,24 @@ object RelationalQueries {
         |  FROM lineitem WHERE l_orderkey % 500 = 0)
         |UNPIVOT (val FOR measure IN (quantity, extendedprice, discount, tax))
         |ORDER BY okey, line, measure""".stripMargin,
+
+    "q124_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts, event_id
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS prev
+        |    FROM ev)
+        |  WHERE prev IS NULL OR prev != event_type)
+        |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+        |       event_type, ts AS valid_from, lead(ts) OVER w AS valid_to,
+        |       CAST(lead(ts) OVER w IS NULL AS BIGINT) AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     // Same named window for the distribution functions (default
     // cumulative frame; the unique (price_d, okey) order makes RANGE vs

@@ -77,4 +77,25 @@ class EventAnalyticsSpec extends SparkSpec {
       .agg(expr("regr_slope(y, x)")).head().getDouble(0)
     assert(math.abs(builtin - 2.0) < 1e-12)
   }
+
+  test("scd2: consecutive restatements collapse, intervals abut, last version open") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, 10L, 100L, "bronze"), (1L, 20L, 101L, "bronze"), // restatement
+      (1L, 30L, 102L, "gold"), (1L, 40L, 103L, "bronze"),   // back again
+      (2L, 10L, 104L, "gold"),
+      (3L, 10L, 105L, "a"), (3L, 10L, 106L, "b")            // same-ts tiebreak
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val out = graft.operators.Cdc.scd2(ev, "user_id", "tier", "ts", "event_id")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "bronze", 10L, Some(30L), 0L),
+      (1L, 2L, "gold", 30L, Some(40L), 0L),
+      (1L, 3L, "bronze", 40L, None, 1L),
+      (2L, 1L, "gold", 10L, None, 1L),
+      (3L, 1L, "a", 10L, Some(10L), 0L), // event_id orders the same-ts pair
+      (3L, 2L, "b", 10L, None, 1L)))
+  }
 }
