@@ -618,6 +618,19 @@ object RelationalQueries {
         .orderBy("prio", "rnk")
     }),
 
+    // Distribution shape per group (operators/Profiling.momentsByGroup):
+    // mean/variance/skewness/excess-kurtosis from exact BIGINT power
+    // sums with a mirrored double tail — the moment profile a curation
+    // pipeline reads before choosing winsorize/z-score bounds. Built-in
+    // skewness()/kurtosis() float moments are merge-order-dependent and
+    // can't hash-gate.
+    "q125_moments" -> ((s, dir) => {
+      graft.operators.Profiling.momentsByGroup(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity").cast(LongType))
+        .orderBy("l_returnflag")
+    }),
+
     // SCD type-2 builder (operators/Cdc.scala): each user's event_type
     // history collapsed into versioned [valid_from, valid_to) intervals,
     // consecutive restatements opening no version. Per-key windows only;
@@ -1072,6 +1085,37 @@ object RelationalQueries {
         |  FROM lineitem WHERE l_orderkey % 500 = 0)
         |UNPIVOT (val FOR measure IN (quantity, extendedprice, discount, tax))
         |ORDER BY okey, line, measure""".stripMargin,
+
+    // Exact integer power sums; the double tail mirrors momentsByGroup
+    // token-for-token (left-assoc +/-, left-assoc products, sqrt never
+    // pow — pow's libm varies across engines, sqrt is IEEE-exact).
+    "q125_moments" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS s1, CAST(sum(y*y) AS BIGINT) AS s2,
+        |         CAST(sum(y*y*y) AS BIGINT) AS s3,
+        |         CAST(sum(y*y*y*y) AS BIGINT) AS s4
+        |  FROM b GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+        |         CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+        |  FROM s),
+        |m AS (
+        |  SELECT l_returnflag, n, d1 / nd AS mean,
+        |         d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+        |         d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)
+        |           + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+        |         d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)
+        |           + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+        |           - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+        |  FROM d)
+        |SELECT l_returnflag, n, mean, m2 AS variance,
+        |       CASE WHEN m2 != 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+        |       CASE WHEN m2 != 0.0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q124_scd2" ->
       """WITH ev AS (

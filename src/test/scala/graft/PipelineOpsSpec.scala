@@ -398,4 +398,30 @@ class PipelineOpsSpec extends SparkSpec {
     // ties at v=9 share bucket (3*4-1)/3+1 = 4
     assert(out.filter(_._1 == "b").map(_._3) === Seq(2L, 4L, 4L))
   }
+
+  test("momentsByGroup: exact moments, NULL shape stats for constant groups") {
+    val df = (Seq.fill(1)(("sym", 1L)) ++ Seq(("sym", 2L), ("sym", 3L)) ++
+      Seq(("skewed", 0L), ("skewed", 0L), ("skewed", 0L), ("skewed", 4L)) ++
+      Seq(("flat", 7L), ("flat", 7L))).toDF("g", "y")
+    val out = graft.operators.Profiling.momentsByGroup(df, Seq("g"), col("y"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val flat = out(0); val skewed = out(1); val sym = out(2)
+    // constant group: variance 0, shape stats NULL
+    assert(flat === (("flat", 2L, 7.0, 0.0, None, None)))
+    // symmetric 1,2,3: mean 2, var 2/3, skew 0, excess kurtosis -1.5
+    assert(sym._3 === 2.0 && math.abs(sym._4 - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(sym._5.get) < 1e-12 && math.abs(sym._6.get + 1.5) < 1e-12)
+    // 0,0,0,4: mean 1, m2 3, m3 = 16-12+2... hand: E[y]=1, m2=(3*1+9)/4=3,
+    // m3=(3*(-1)^3+27)/4=6, skew=6/(3*sqrt(3)); m4=(3*1+81)/4=21, kurt=21/9-3
+    assert(skewed._3 === 1.0 && skewed._4 === 3.0)
+    assert(math.abs(skewed._5.get - 6.0 / (3.0 * math.sqrt(3.0))) < 1e-12)
+    assert(math.abs(skewed._6.get - (21.0 / 9.0 - 3.0)) < 1e-12)
+    // population skewness agrees with Spark's float-moment builtin
+    val builtin = df.filter(col("g") === "skewed").agg(expr("skewness(y)"))
+      .head().getDouble(0)
+    assert(math.abs(builtin - skewed._5.get) < 1e-9)
+  }
 }
