@@ -207,6 +207,86 @@ object Dedup {
     verifyJaccard(cands, sets, threshold)
   }
 
+  // ------------------------------------------- n-gram containment (exact)
+
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric sibling of
+    * [[ngramJaccardPairs]]: emit (i, j) when C(i→j) = |S_i∩S_j| / |S_i|
+    * ≥ threshold, i.e. doc i's shingles are mostly PRESENT IN doc j.
+    * This is the quote/excerpt/copy-with-additions detector Jaccard
+    * misses: a paragraph quoted inside a 100× longer article has
+    * containment ≈ 1 but Jaccard ≈ 0.01, so no symmetric threshold
+    * finds it. Output is directional — (i, j) and (j, i) both appear
+    * only when the docs are mutual near-subsets (near-equal sets).
+    *
+    * Exact-complete candidate generation, adapted from the prefix
+    * filter: overlap ≥ ceil(t·|S_i|) is required, so the CONTAINED side
+    * may index only its first |S_i| − ceil(t·|S_i|) + 1 shingles in the
+    * global (df asc, sh asc) order — skipping the last ceil(t·|S_i|)−1
+    * cannot skip all ≥ ceil(t·|S_i|) common elements. The CONTAINER
+    * side has no such bound (its extra shingles are free), so it must
+    * index its FULL set — the asymmetry's structural price. Two
+    * pre-verify filters stay exact: |S_j| ≥ ceil(t·|S_i|) (overlap
+    * can't exceed |S_j|), and the positional cap
+    * min(|S_i|−rn_i, |S_j|−rn_j) + 1 ≥ ceil(t·|S_i|) (a qualifying
+    * pair's FIRST common element in the global order passes it).
+    *
+    * Scale shape: one equi-join on shingle hash between the probe
+    * prefixes and the full index — no cartesian product. The full
+    * index does post frequent shingles (unlike the Jaccard join, where
+    * they fall out of both prefixes), but a join row materializes only
+    * when a frequent shingle also appears in some probe PREFIX, and
+    * prefixes are rare-first by construction — the df-order does the
+    * skew work from the probe side. The cached ranked table carries
+    * each doc's full sorted (df, sh) array (the index side needs every
+    * element), unlike the Jaccard path's prefix-only cache.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must be in (0, 1]")
+    val sets = CacheScope.track(shingleSets(docs, idCol, textCol, n))
+    val ex = sets.select(col("__id"), explode(col("__set")).as("__sh"))
+    val docFreq = ex.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    // Full per-doc (df, sh)-sorted array — cached because the probe
+    // prefix AND the full index both explode it (Spark does not reuse
+    // the exchange across differently-aliased self-join sides).
+    val ranked = ex.join(docFreq, "__sh")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__r"))
+      .select(col("__id"), size(col("__r")).as("__size"), col("__r"))
+      .transform(CacheScope.track)
+    val probe = ranked
+      .select(col("__id"), col("__size"),
+        posexplode(slice(col("__r"), lit(1),
+          (col("__size") - ceil(col("__size") * threshold) + 1).cast("int")))
+          .as(Seq("__pos", "__e")))
+      .select(col("__id").as("i"), col("__e.__sh").as("__sh"),
+        col("__size").as("__szi"), (col("__pos") + 1).as("__rni"))
+    val index = ranked
+      .select(col("__id"), col("__size"),
+        posexplode(col("__r")).as(Seq("__pos", "__e")))
+      .select(col("__id").as("j"), col("__e.__sh").as("__sh"),
+        col("__size").as("__szj"), (col("__pos") + 1).as("__rnj"))
+    val cands = probe.join(index, "__sh")
+      .filter(col("i") =!= col("j") &&
+        col("__szj") >= ceil(col("__szi") * threshold) &&
+        least(col("__szi") - col("__rni"), col("__szj") - col("__rnj")) + 1 >=
+          ceil(col("__szi") * threshold))
+      .select("i", "j")
+    // Verification mirrors verifyJaccard but divides by |S_i| only —
+    // int-exact intersection, one double division, direction preserved.
+    cands
+      .join(sets.select(col("__id").as("i"), col("__set").as("__si")), "i")
+      .join(sets.select(col("__id").as("j"), col("__set").as("__sj")), "j")
+      .withColumn("common",
+        graft.functions.intersectCountSorted(col("__si"), col("__sj")))
+      .withColumn("containment",
+        col("common").cast(DoubleType) / size(col("__si")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("i"), col("j"), col("common"), col("containment"))
+      .distinct()
+  }
+
   // ------------------------------------------------------- MinHash + LSH
 
   /** MinHash signature columns: k universal-hash permutations

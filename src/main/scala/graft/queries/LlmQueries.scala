@@ -51,6 +51,15 @@ object LlmQueries {
         n = 2, threshold = 0.6).orderBy("i", "j")
     }),
 
+    // Asymmetric n-gram CONTAINMENT pairs (quote/excerpt detection):
+    // |S_i∩S_j|/|S_i| >= 0.8 — the directional near-subset relation a
+    // symmetric Jaccard threshold cannot see. Probe prefixes against a
+    // full inverted index; exact verification on the cached sets.
+    "q126_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, threshold = 0.8).orderBy("i", "j")
+    }),
+
     // MinHash-LSH candidates + exact-Jaccard verification (trigrams).
     // 8 bands × 6 rows: near-dup pairs (J≈0.99 here) collide w.p.
     // 1-(1-0.99^6)^8 ≈ 1-6e-10 while background pairs (J<0.1 on this
@@ -1242,6 +1251,30 @@ object LlmQueries {
        |SELECT i, j, common, jaccard FROM jac
        |WHERE jaccard >= $theta ORDER BY i, j""".stripMargin
 
+  /** Exact all-pairs n-gram containment |S_i∩S_j|/|S_i| ≥ theta —
+    * DIRECTIONAL (both orientations join, i != j), denominator is the
+    * contained side's set size only. Ground truth for q126: the prefix
+    * filter is exact-complete, so the brute-force join equals it.
+    */
+  private def oContainmentPairs(n: Int, theta: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $oToks AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(tk) - ${n - 2}),
+       |      i -> list_aggregate(tk[i:i+${n - 1}], 'string_agg', ' ')))) AS s
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, CAST(c AS BIGINT) AS common,
+       |       CAST(c AS DOUBLE) / CAST(si.n AS DOUBLE) AS containment
+       |FROM inter JOIN sizes si ON si.doc_id = i
+       |WHERE CAST(c AS DOUBLE) / CAST(si.n AS DOUBLE) >= $theta
+       |ORDER BY i, j""".stripMargin
+
   /** Per-doc simhash, width = TextAnalysis.SimHashBits (matches
     * TextAnalysis.simHash).
     */
@@ -1485,6 +1518,8 @@ object LlmQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q23_dedup_ngram" -> oJaccardPairs(2, 0.6),
+
+    "q126_containment" -> oContainmentPairs(2, 0.8),
 
     "q24_dedup_minhash" -> oJaccardPairs(3, 0.5),
 

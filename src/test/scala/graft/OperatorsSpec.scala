@@ -187,6 +187,26 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("containmentPairs is directional: quote found, container not flagged") {
+    val quoteDocs = Seq(
+      (10L, "alpha beta gamma delta"), // 3 bigrams, all inside 11
+      (11L, "intro words alpha beta gamma delta outro tail end"), // 8 bigrams
+      (12L, "completely unrelated content sits here"),
+      (13L, "alpha beta gamma delta") // exact dup of 10
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(quoteDocs, "doc_id", "text",
+      n = 2, threshold = 0.8).collect()
+    val keys = pairs.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+      r.getAs[Double]("containment"))).toSet
+    // 10 in 11 (3/3), mutual exact 10<->13; 11 in 10 is 3/8 — absent.
+    assert(keys === Set((10L, 11L, 1.0), (13L, 11L, 1.0),
+      (10L, 13L, 1.0), (13L, 10L, 1.0)))
+    // brute-force cross-check on the ngram sets the operator builds
+    val exact = Dedup.ngramJaccardPairs(quoteDocs, "doc_id", "text",
+      n = 2, threshold = 0.99).select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact === Set((10L, 13L))) // Jaccard sees only the exact dup
+  }
+
   test("minhashLshPairs agrees with exact ngram pairs on planted dups") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
       .select("i", "j").as[(Long, Long)].collect().toSet
