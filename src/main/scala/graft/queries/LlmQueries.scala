@@ -382,6 +382,30 @@ object LlmQueries {
         col("n_chars"), width = 250, maxBucket = 15).orderBy("bucket")
     }),
 
+    // Seeded ±1 random projection (Johnson–Lindenstrauss) 64→16 dims:
+    // map-only, sign matrix as plan literals, bit-exact double fold.
+    "q127_random_projection" -> ((s, dir) => {
+      graft.operators.Projection.randomProject(t(s, dir, "embeddings"),
+        "embedding", dOut = 16, seed = 7L, dIn = 64)
+        .select(col("vec_id"), col("proj")).orderBy("vec_id")
+    }),
+
+    // Recall@5 of brute-force top-k IN PROJECTED SPACE (q127's 16-dim
+    // signs) vs the exact 64-dim baseline — measures what the 4× scoring
+    // speedup costs, the q60/q85 harness pattern. On this near-isotropic
+    // synthetic corpus the measured recall is LOW (~0.15 mean): JL
+    // preserves distances, not the razor-thin cosine margins of uniform
+    // random vectors — exactly the corpus property the harness exists to
+    // expose before anyone ships a projection dim.
+    "q128_projection_recall" -> ((s, dir) => {
+      val exact = Similarity.bruteForceTopK(queriesSubset(s, dir),
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      val approx = graft.operators.Projection.projectedTopK(
+        queriesSubset(s, dir), t(s, dir, "embeddings"), "vec_id",
+        "embedding", dOut = 16, seed = 7L, dIn = 64, k = 5)
+      Similarity.recallAtK(exact, approx, "qid", "nid", k = 5).orderBy("qid")
+    }),
+
     // ANN evaluation: recall@5 of the IVF path (q30) against the exact
     // brute-force baseline (q29), per query.
     "q60_ann_recall" -> ((s, dir) => {
@@ -1330,6 +1354,38 @@ object LlmQueries {
        |    FROM norms e CROSS JOIN centroids c)
        |  WHERE rn = 1)""".stripMargin
 
+  /** q127/q128 sign matrix as VALUES rows — the SAME driver-generated
+    * ±1 rows the engine's plan literals carry
+    * ([[graft.operators.Projection.signMatrix]](7, 16, 64)), so both
+    * engines fold identical products in identical order.
+    */
+  private def oSignRows(seed: Long, dOut: Int, dIn: Int): String =
+    graft.operators.Projection.signMatrix(seed, dOut, dIn).zipWithIndex
+      .map { case (r, j) =>
+        val arr = r.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"($j, $arr)"
+      }.mkString(",\n  ")
+
+  /** Projection CTEs shared by q127/q128: per-(vec, j) coordinate
+    * `pj` = fold(v · signs_j) / sqrt(dOut), then the ordered 16-dim
+    * list per vec. Mirrors [[graft.operators.Projection.randomProject]]
+    * token-for-token (double widen, array-order fold, one division).
+    */
+  private def oProjCtes: String =
+    s"""signs(j, s) AS (VALUES
+       |  ${oSignRows(7L, 16, 64)}),
+       |pcoord AS (
+       |  SELECT e.vec_id, sg.j,
+       |         list_reduce(list_prepend(0.0, list_transform(range(64),
+       |           i -> e.v[i+1] * sg.s[i+1])), (x, y) -> x + y)
+       |           / sqrt(16.0) AS pj
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings) e CROSS JOIN signs sg),
+       |pvec AS (
+       |  SELECT vec_id, list(pj ORDER BY j) AS pv
+       |  FROM pcoord GROUP BY vec_id)""".stripMargin
+
   /** q39 oracle: re-derives the sign-LSH band keys from the SAME ±1
     * hyperplanes the engine uses ([[Similarity.hyperplanes]](16, 64, 42) —
     * embedded here as VALUES literals), then the same banded candidate
@@ -2181,6 +2237,46 @@ object LlmQueries {
         |       CAST(count(*) AS BIGINT) AS n,
         |       min(n_chars) AS min_v, max(n_chars) AS max_v
         |FROM documents GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    "q127_random_projection" ->
+      s"""WITH $oProjCtes
+         |SELECT vec_id, pv AS proj FROM pvec ORDER BY vec_id""".stripMargin,
+
+    // Recall@5 of projected-space top-k against the exact 64-dim brute
+    // force — projection CTEs + the q60 recall-join shape.
+    "q128_projection_recall" ->
+      s"""WITH $oNorms,
+         |$oProjCtes,
+         |bscored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCos("q", "c")} AS cos
+         |  FROM norms q JOIN norms c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |branked AS (
+         |  SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM bscored),
+         |brute AS (SELECT qid, nid FROM branked WHERE rank <= 5),
+         |pnorm AS (
+         |  SELECT vec_id, pv,
+         |         sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(pv, x -> x*x)), (a, b) -> a + b)) AS pn
+         |  FROM pvec),
+         |pscored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |         CASE WHEN q.pn * c.pn != 0 THEN
+         |           list_reduce(list_prepend(0.0, list_transform(range(16),
+         |             i -> q.pv[i+1] * c.pv[i+1])), (x, y) -> x + y)
+         |             / (q.pn * c.pn)
+         |         END AS pcos
+         |  FROM pnorm q JOIN pnorm c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |pranked AS (
+         |  SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, nid) AS rank
+         |  FROM pscored),
+         |papprox AS (SELECT qid, nid FROM pranked WHERE rank <= 5)
+         |SELECT b.qid, CAST(count(p.nid) AS BIGINT) AS hits,
+         |       CAST(count(p.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM brute b LEFT JOIN papprox p ON p.qid = b.qid AND p.nid = b.nid
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
 
     // Recall@5 of the q30 IVF CTEs against the q29 brute-force CTEs —
     // both re-derived here verbatim so the metric is self-contained.

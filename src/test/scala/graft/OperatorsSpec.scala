@@ -207,6 +207,43 @@ class OperatorsSpec extends SparkSpec {
     assert(exact === Set((10L, 13L))) // Jaccard sees only the exact dup
   }
 
+  test("randomProject: hand-checked fold, deterministic signs, dup vectors collide") {
+    import graft.operators.Projection
+    val signs = Projection.signMatrix(7L, 16, 64)
+    assert(signs.flatten.forall(v => v == 1.0f || v == -1.0f))
+    assert(signs.map(_.toSeq).toSeq === Projection.signMatrix(7L, 16, 64).map(_.toSeq).toSeq)
+    val v = Array.tabulate(64)(i => (i % 5 - 2).toFloat * 0.25f)
+    val vecs = Seq((1L, v), (2L, v), (3L, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Projection.randomProject(vecs, "embedding", 16, 7L, 64)
+      .orderBy("vec_id").select("proj").as[Seq[Double]].collect()
+    // manual left fold per coordinate, same order and widening
+    val expect = signs.map { row =>
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += v(i).toDouble * row(i).toDouble; i += 1 }
+      acc / math.sqrt(16.0)
+    }.toSeq
+    assert(out(0) === expect)
+    assert(out(0) === out(1)) // identical inputs -> identical projections
+    assert(out(0).length === 16)
+  }
+
+  test("projectedTopK: exact-dup vector is the projected rank-1 neighbor") {
+    import graft.operators.Projection
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val far = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val corpus = Seq((0L, base), (1L, base), (2L, far),
+      (3L, Array.tabulate(64)(i => far(i) * 0.9f + 0.1f)))
+      .toDF("vec_id", "embedding")
+    val top = Projection.projectedTopK(
+      corpus.filter($"vec_id" === 0), corpus, "vec_id", "embedding",
+      dOut = 16, seed = 7L, dIn = 64, k = 2).collect()
+    val r1 = top.find(_.getAs[Long]("rank") == 1L).get
+    assert(r1.getAs[Long]("nid") === 1L) // identical vector: pcos = 1
+    assert(math.abs(r1.getAs[Double]("pcos") - 1.0) < 1e-12)
+  }
+
   test("minhashLshPairs agrees with exact ngram pairs on planted dups") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
       .select("i", "j").as[(Long, Long)].collect().toSet
