@@ -78,11 +78,28 @@ object Profiling {
   def momentsByGroup(df: DataFrame, groupCols: Seq[String], yCol: Column): DataFrame = {
     val stats = df.select(groupCols.map(col) :+ yCol.as("__y"): _*)
       .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        sum(col("__y")).as("s1"),
-        sum(col("__y") * col("__y")).as("s2"),
-        sum(col("__y") * col("__y") * col("__y")).as("s3"),
-        sum(col("__y") * col("__y") * col("__y") * col("__y")).as("s4"))
+      .agg(momentSumAggs.head, momentSumAggs.tail: _*)
+    stats.select(groupCols.map(col) ++ momentFinishCols: _*)
+  }
+
+  /** The five power-sum aggregate expressions (n, s1..s4) over an input
+    * column `__y` — exposed so the STREAMING twin can attach them to a
+    * windowed groupBy (the sums are plain LONG sums: map-side
+    * combinable in batch, state-store mergeable in streaming — the same
+    * property, which is why the twin is exact).
+    */
+  private[graft] def momentSumAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(col("__y")).as("s1"),
+    sum(col("__y") * col("__y")).as("s2"),
+    sum(col("__y") * col("__y") * col("__y")).as("s3"),
+    sum(col("__y") * col("__y") * col("__y") * col("__y")).as("s4"))
+
+  /** The mirrored double tail finishing (n, s1..s4) into
+    * (n, mean, variance, skewness, kurtosis) — fixed association, sqrt
+    * never pow.
+    */
+  private[graft] def momentFinishCols: Seq[Column] = {
     val nD = col("n").cast("double")
     val (s1, s2, s3, s4) = (col("s1").cast("double"), col("s2").cast("double"),
       col("s3").cast("double"), col("s4").cast("double"))
@@ -91,10 +108,10 @@ object Profiling {
     val m3 = s3 / nD - lit(3.0) * mean * (s2 / nD) + lit(2.0) * mean * mean * mean
     val m4 = s4 / nD - lit(4.0) * mean * (s3 / nD) +
       lit(6.0) * mean * mean * (s2 / nD) - lit(3.0) * mean * mean * mean * mean
-    stats.select(groupCols.map(col) ++ Seq(col("n"),
+    Seq(col("n"),
       mean.as("mean"),
       m2.as("variance"),
       when(m2 =!= 0.0, m3 / (m2 * sqrt(m2))).as("skewness"),
-      when(m2 =!= 0.0, m4 / (m2 * m2) - 3.0).as("kurtosis")): _*)
+      when(m2 =!= 0.0, m4 / (m2 * m2) - 3.0).as("kurtosis"))
   }
 }

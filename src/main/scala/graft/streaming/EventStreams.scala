@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -36,6 +36,33 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Windowed distribution moments — the streaming twin of
+    * [[graft.operators.Profiling.momentsByGroup]]: per (tumbling
+    * window, event type), mean/variance/skewness/kurtosis from exact
+    * BIGINT power sums. The state per open group is FIVE longs (n,
+    * s1..s4) — plain sums, so micro-batch partials merge into the state
+    * store exactly like a count, and the emitted moments are
+    * bit-identical to the batch operator on the same rows (parity
+    * locked in StreamingSpec). The metric is integerized the
+    * [[windowedDistinctUsers]] way: streams carry value scales
+    * (cents, ms) rather than floats, keeping the sums order-free.
+    *
+    * @param yCol integer-valued LONG expression over the event row
+    * @return streaming (window_start, event_type, n, mean, variance,
+    *         skewness, kurtosis)
+    */
+  def windowedMoments(events: DataFrame, yCol: Column,
+                      watermark: String = "10 minutes",
+                      windowLength: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), yCol.as("__y"))
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(graft.operators.Profiling.momentSumAggs.head,
+        graft.operators.Profiling.momentSumAggs.tail: _*)
+      .select(Seq(col("window.start").as("window_start"), col("event_type")) ++
+        graft.operators.Profiling.momentFinishCols: _*)
 
   /** Windowed DISTINCT-USER estimates via the KMV sketch — bounded
     * streaming state where exact `approx/count distinct` per window

@@ -394,6 +394,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedMoments: split-batch moments equal the batch operator exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "click", 2.0),
+      Event(3, ts(2), 3, "click", 3.0), // sym 1,2,3 -> skew 0, kurt -1.5
+      Event(4, ts(3), 1, "view", 7.0),
+      Event(5, ts(4), 2, "view", 7.0), // constant group -> NULL shape
+      Event(6, ts(12), 1, "click", 4.0)) // second window
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedMoments(input.toDF(),
+      col("value").cast("long"), "10 minutes", "10 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wmo").start()
+    try {
+      input.addData(events.take(2): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(2): _*) // sums merge across micro-batches
+      query.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getDouble(5))
+      }.toSet
+      val got = canon(spark.table("wmo")
+        .withColumn("g", concat_ws("|", date_format(col("window_start"), "mm"),
+          col("event_type")))
+        .select("g", "n", "mean", "variance", "skewness", "kurtosis"))
+      // batch reference on the same rows, keyed (window-minute, type)
+      val batch = graft.operators.Profiling.momentsByGroup(
+        events.toDF().withColumn("g", concat_ws("|",
+          date_format(window(col("ts"), "10 minutes")("start"), "mm"),
+          col("event_type"))),
+        Seq("g"), col("value").cast("long"))
+      assert(got === canon(batch.select("g", "n", "mean", "variance",
+        "skewness", "kurtosis")))
+      // spot: the symmetric click window
+      val sym = got.find(_._1 == "00|click").get
+      assert(sym._2 === 3L && sym._3 === 2.0 && sym._5 === 0.0 &&
+        math.abs(sym._6.asInstanceOf[Double] + 1.5) < 1e-12)
+      assert(got.find(_._1 == "00|view").get._5 === null)
+    } finally query.stop()
+  }
+
   test("windowedLengthQuantiles: per-window sample equals batch sampledQuantiles") {
     import graft.streaming.CorpusStreams
     implicit val sqlCtx = spark.sqlContext
