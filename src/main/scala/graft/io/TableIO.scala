@@ -69,4 +69,30 @@ object TableIO {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  /** The events table with `ts` normalized to nanos-since-epoch Long.
+    *
+    * Two on-disk layouts exist for events.ts: parquet TIMESTAMP(NANOS),
+    * which Spark 4 cannot read as a timestamp (PARQUET_TYPE_ILLEGAL) and
+    * is instead surfaced as a raw Long via
+    * spark.sql.legacy.parquet.nanosAsLong; and TIMESTAMP(MICROS), which
+    * arrives as TIMESTAMP_NTZ. Both normalize to the same
+    * nanos-since-epoch BIGINT here, so every downstream consumer — and
+    * every DuckDB oracle, which spells the same value `epoch_ns(ts)` —
+    * is layout-independent. The NTZ wall clock is interpreted as UTC,
+    * matching DuckDB's naive-timestamp semantics; all session builders in
+    * this library pin spark.sql.session.timeZone=UTC so the NTZ→LTZ cast
+    * below cannot drift with the host zone.
+    */
+  def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
+  }
 }

@@ -29,16 +29,14 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as a
-    * timestamp (PARQUET_TYPE_ILLEGAL) — read it as raw nanos-since-epoch
-    * (LongType). Ordering by the raw long is identical to ordering by the
-    * timestamp, and [[tsDate]] derives the UTC calendar date from it, so
-    * every downstream use matches DuckDB's native TIMESTAMP_NS handling.
+  /** events with ts as nanos-since-epoch Long regardless of the on-disk
+    * timestamp layout — see [[graft.io.TableIO.eventsNanos]]. Ordering by
+    * the raw long is identical to ordering by the timestamp, and
+    * [[tsDate]] derives the UTC calendar date from it, so every
+    * downstream use matches DuckDB's `epoch_ns(ts)` handling.
     */
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  private[queries] def events(s: SparkSession, dir: String): DataFrame =
+    graft.io.TableIO.eventsNanos(s, dir)
 
   /** Calendar date of a nanos-since-epoch long column named ts, derived
     * from the epoch-DAY integer — independent of the session time zone

@@ -13,6 +13,7 @@ object TrainDistill {
     val spark = SparkSession.builder()
       .master("local[8]").appName("train-distill")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

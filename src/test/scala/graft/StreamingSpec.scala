@@ -243,7 +243,7 @@ class StreamingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val q38 = graft.queries.RelationalQueries.queries("q38_sessionize")(spark, dir)
       .collect()
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.io.TableIO.eventsNanos(spark, dir)
       .select(col("user_id"), col("value"),
         timestamp_seconds(expr("ts DIV 1000000000")).as("ts"))
     val sessions = EventStreams.userSessions(ev, gap = "5 minutes")
