@@ -406,6 +406,15 @@ object LlmQueries {
       Similarity.recallAtK(exact, approx, "qid", "nid", k = 5).orderBy("qid")
     }),
 
+    // Winnowing (MOSS) fingerprints: per-doc windowed min-hash selection
+    // over the positional 3-gram hash sequence, rightmost tie-break —
+    // the ~w/2×-smaller near-dup index with the coverage guarantee.
+    "q129_winnow_fingerprints" -> ((s, dir) => {
+      graft.operators.Winnow.fingerprints(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 8)
+        .orderBy("doc_id", "pos")
+    }),
+
     // ANN evaluation: recall@5 of the IVF path (q30) against the exact
     // brute-force baseline (q29), per query.
     "q60_ann_recall" -> ((s, dir) => {
@@ -2277,6 +2286,30 @@ object LlmQueries {
          |       CAST(count(p.nid) AS DOUBLE) / 5 AS recall_at_5
          |FROM brute b LEFT JOIN papprox p ON p.qid = b.qid AND p.nid = b.nid
          |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
+
+    // Winnowing: q65's positional-gram CTE, polyHash per gram, packed
+    // (mod−h)·2^32+pos key so the windowed max IS (min hash, rightmost
+    // pos), full windows only, distinct decode.
+    "q129_winnow_fingerprints" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> {'pos': i - 1,
+         |            'gram': list_aggregate(tk[i:i+2], 'string_agg', ' ')})) AS u
+         |    FROM toks)),
+         |keys AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |         (1000000007 - ${oPolyHash("gram")}) * 4294967296 + pos AS k
+         |  FROM grams),
+         |wins AS (
+         |  SELECT doc_id, pos,
+         |         max(k) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wk
+         |  FROM keys)
+         |SELECT DISTINCT doc_id, wk % 4294967296 AS pos,
+         |       1000000007 - wk // 4294967296 AS fp
+         |FROM wins WHERE pos >= 7 ORDER BY doc_id, pos""".stripMargin,
 
     // Recall@5 of the q30 IVF CTEs against the q29 brute-force CTEs —
     // both re-derived here verbatim so the metric is self-contained.
