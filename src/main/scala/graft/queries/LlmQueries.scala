@@ -415,6 +415,16 @@ object LlmQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // Sorted-neighborhood blocking (merge/purge): rank by 32-char text
+    // prefix via the histogram-offset global ordinal, pair within 8
+    // ranks through the adjacent-block join, exact-Jaccard verify.
+    "q130_sorted_neighborhood" -> ((s, dir) => {
+      graft.operators.Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        w = 8, n = 2, threshold = 0.6)
+        .orderBy("i", "j")
+    }),
+
     // ANN evaluation: recall@5 of the IVF path (q30) against the exact
     // brute-force baseline (q29), per query.
     "q60_ann_recall" -> ((s, dir) => {
@@ -2310,6 +2320,23 @@ object LlmQueries {
          |SELECT DISTINCT doc_id, wk % 4294967296 AS pos,
          |       1000000007 - wk // 4294967296 AS fp
          |FROM wins WHERE pos >= 7 ORDER BY doc_id, pos""".stripMargin,
+
+    // Sorted neighborhood: rank by (prefix, id), pairs within 7 ranks,
+    // then the shared exact-Jaccard CTEs. NULLS FIRST pins DuckDB's
+    // default-last NULL order to Spark's default-first.
+    "q130_sorted_neighborhood" ->
+      s"""WITH ${oJaccardCtes(2)},
+         |ranked AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY substr(text, 1, 32) NULLS FIRST, doc_id) - 1 AS r
+         |  FROM documents),
+         |cand AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS i,
+         |         greatest(a.doc_id, b.doc_id) AS j
+         |  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 7)
+         |SELECT c.i, c.j, jac.common, jac.jaccard
+         |FROM cand c JOIN jac ON jac.i = c.i AND jac.j = c.j
+         |WHERE jac.jaccard >= 0.6 ORDER BY c.i, c.j""".stripMargin,
 
     // Recall@5 of the q30 IVF CTEs against the q29 brute-force CTEs —
     // both re-derived here verbatim so the metric is self-contained.

@@ -130,6 +130,25 @@ class OperatorsSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- dedup
 
+  test("sortedNeighborhoodPairs: prefix-sorted near-dups within the window") {
+    // 32-char prefix order, ties by id: 2, 4, 0, 1, 3 (docs 0/1/3 share
+    // the first 32 chars). w=3 ⇒ rank distance ≤ 2 covers all three
+    // near-dup pairs; only they survive Jaccard ≥ 0.5.
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      w = 3, n = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("sortedNeighborhoodPairs: window bounds the candidate budget") {
+    // w=2 ⇒ only ADJACENT ranks pair: (0,3) sits at rank distance 2 and
+    // must be missed — the documented O(N·w) blocking trade-off.
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      w = 2, n = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(pairs === Set((0L, 1L), (1L, 3L)))
+  }
+
   test("exactStats and exactDedup") {
     val stats = Dedup.exactStats(docs, $"text").collect()(0)
     assert(stats.getAs[Long]("n_docs") === 5)

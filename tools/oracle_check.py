@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [q1,q2,...]
 
 Runs each oracle_sql.json entry in DuckDB over the sfDir parquet tables,
 loads the matching Spark parquet dump, sorts columns by name and rows by
@@ -63,12 +63,14 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     failures = 0
     for name in sorted(oracles):
         sql = oracles[name]
@@ -139,4 +141,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional 3rd arg: comma-separated query-name filter (local
+    # iteration on a partial Verify dump — the driver runs the full set).
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
