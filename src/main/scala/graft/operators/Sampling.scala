@@ -157,6 +157,51 @@ object Sampling {
     sampleByTarget(df, stratumCol, keyCol, total => least(quota, total))
   }
 
+  /** Distribution-MATCHING resample: keep the LARGEST deterministic
+    * subsample whose stratum proportions follow `targetWeights` (relative
+    * weights — only ratios matter), the data-mixing move for reshaping a
+    * skewed corpus onto a prescribed language/source mix without
+    * oversampling anything.
+    *
+    * Exact-count formulation: scale C = min over weighted strata of
+    * n_s / t_s (the tightest stratum binds), quota_s = ⌊C · t_s⌋ — so
+    * every stratum's kept count is proportional to its target weight,
+    * at least one stratum is kept (nearly) whole, and no stratum is
+    * asked for more rows than it has. Corner cases are part of the
+    * contract: a stratum absent from `targetWeights` (or with weight 0,
+    * or NULL) is DROPPED — matching a distribution means discarding mass
+    * outside it — and a TARGET stratum absent from the corpus drives
+    * C to 0 and empties the result: the requested distribution is
+    * unreachable without it, and silently renormalizing would hide that.
+    *
+    * Per-stratum counts are driver-side (one bounded aggregate — strata
+    * are metadata-scale); both engines derive C and the quotas with the
+    * same IEEE double divisions/multiplications, so the DuckDB oracle
+    * (q131) reproduces the floors bit-for-bit even when a quota lands on
+    * an ulp boundary. Row selection is the shared (hash-bucket asc, key
+    * asc) histogram-threshold plan — no per-stratum sort funnel.
+    */
+  def matchDistribution(df: DataFrame, stratumCol: String, keyCol: String,
+                        targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.nonEmpty, "need at least one target stratum")
+    require(targetWeights.values.forall(v => v >= 0.0 && !v.isNaN && !v.isInfinity),
+      "target weights must be finite and non-negative")
+    require(targetWeights.values.exists(_ > 0.0), "need a positive weight")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+    val c = targetWeights.collect { case (s, t) if t > 0 =>
+      counts.getOrElse(Some(s), 0L).toDouble / t
+    }.min
+    val quotas = targetWeights.toSeq.collect { case (s, t) if t > 0 =>
+      s -> math.floor(c * t).toLong
+    }
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+      when(col(stratumCol) === lit(s), lit(q)).otherwise(acc)
+    }
+    sampleByTarget(df, stratumCol, keyCol, total => least(quota, total))
+  }
+
   /** Shared scale-safe core: keep the first `targetOf(|stratum|)` rows
     * per stratum under the (hash bucket asc, key asc) total order, via
     * the histogram-threshold plan documented on [[stratifiedSample]].

@@ -929,6 +929,17 @@ object LlmQueries {
         .select("doc_id", "source").orderBy("source", "doc_id")
     }),
 
+    // Distribution-matching resample onto a prescribed language mix
+    // (en 40% / four others 15% each): the largest subsample whose
+    // proportions follow the target — the tightest stratum binds.
+    "q131_match_distribution" -> ((s, dir) => {
+      Sampling.matchDistribution(
+        t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+            "fr" -> 0.15, "zh" -> 0.15))
+        .select("doc_id", "lang").orderBy("lang", "doc_id")
+    }),
+
     // Approximate per-language length quantiles from the bounded
     // deterministic bottom-k-by-hash sample — the unbounded-cardinality
     // quantile path (q74's exact histogram is the bounded-cardinality
@@ -2566,6 +2577,28 @@ object LlmQueries {
         |SELECT r.doc_id, r.source FROM ranked r JOIN q USING (source)
         |WHERE r.rn <= least(q.quota, q.n)
         |ORDER BY r.source, r.doc_id""".stripMargin,
+
+    // Distribution matching: C = min(n_s/t_s) over the weighted strata
+    // (LEFT JOIN keeps corpus-absent targets at n=0 so an unreachable
+    // mix empties the result), quotas ⌊C·t_s⌋, q88's hash-order pick.
+    "q131_match_distribution" ->
+      """WITH tgt(s, t) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+        |                          ('fr', 0.15), ('zh', 0.15)),
+        |cnt AS (SELECT lang AS s, CAST(count(*) AS BIGINT) AS n
+        |        FROM documents GROUP BY 1),
+        |c AS (SELECT min(CAST(coalesce(cnt.n, 0) AS DOUBLE) / t) AS c
+        |      FROM tgt LEFT JOIN cnt USING (s) WHERE t > 0),
+        |q AS (SELECT s, CAST(floor(c.c * t) AS BIGINT) AS quota
+        |      FROM tgt CROSS JOIN c WHERE t > 0),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000, doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang
+        |FROM ranked r JOIN q ON q.s = r.lang JOIN cnt ON cnt.s = r.lang
+        |WHERE r.rn <= least(q.quota, cnt.n)
+        |ORDER BY r.lang, r.doc_id""".stripMargin,
 
     // The sample IS the k smallest DISTINCT (hash, value) pairs per
     // group — the sketch aggregate's set semantics — and quantiles are

@@ -114,6 +114,30 @@ class SamplingQuantizationSpec extends SparkSpec {
     assert(again === ref)
   }
 
+  test("matchDistribution: proportional quotas, tightest stratum binds") {
+    // sizes 400 / 100 / 4 with weights 2 / 1 / 1: C = min(200, 100, 4)
+    // = 4 → quotas 8 / 4 / 4; result proportions equal the weights.
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (1001 to 1100).map(i => (i.toLong, "b")) ++
+      (2001 to 2004).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val out = Sampling.matchDistribution(df, "s", "id",
+      Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 8L, "b" -> 4L, "c" -> 4L))
+  }
+
+  test("matchDistribution: unweighted strata drop; missing target empties") {
+    val df = ((1 to 40).map(i => (i.toLong, "a")) ++
+      (101 to 120).map(i => (i.toLong, "b"))).toDF("id", "s")
+    val dropped = Sampling.matchDistribution(df, "s", "id", Map("a" -> 1.0))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped === Map("a" -> 40L)) // b has no weight → gone
+    // target stratum absent from corpus → unreachable distribution → empty
+    assert(Sampling.matchDistribution(df, "s", "id",
+      Map("a" -> 1.0, "zz" -> 1.0)).count() === 0L)
+  }
+
   test("stratifiedSample matches the rank-window formulation row-for-row") {
     // the two-pass threshold design must reproduce the old semantics
     // exactly: rank by (hashBucket asc, key asc), keep rank <= ceil(f*n)
