@@ -511,6 +511,18 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Synchronous label-propagation communities (operators/LabelProp
+    // .scala) over the same purchase graph: 4 rounds of neighbor-label
+    // mode with min-label ties — dense affinity neighborhoods, where
+    // connected components (q47's machinery) would lump everything
+    // reachable into one piece. Exact integer votes; the fixed-round
+    // synchronous contract is what the oracle unrolls literally.
+    "q132_label_prop" -> ((s, dir) => {
+      graft.operators.LabelProp.labelPropagation(purchaseGraph(s, dir),
+        "src", "dst", rounds = 4)
+        .orderBy("node")
+    }),
+
     // Ordered funnel view → click → purchase within 24h of the first
     // view (operators/EventAnalytics.scala): per-stage reach counts and
     // average lag. Lags are floored to whole SECONDS per user before
@@ -1002,6 +1014,7 @@ object RelationalQueries {
     "q105_pagerank" -> oPagerank(iters = 8),
 
     "q108_kcore" -> oKcore(k = 4, rounds = 8),
+    "q132_label_prop" -> oLabelProp(rounds = 4),
 
     "q109_funnel" ->
       // One CTE per stage, each the same "earliest valid event after the
@@ -1271,6 +1284,38 @@ object RelationalQueries {
       |  FROM (SELECT p, c, row_number() OVER (PARTITION BY p
       |          ORDER BY rv DESC, c) AS rk FROM pc)
       |  WHERE rk <= 3)""".stripMargin
+
+  /** q132's oracle: synchronous LPA unrolled round by round. Each round
+    * counts neighbor labels and takes the (count DESC, label ASC)
+    * argmax per node via row_number — the operator's `min_by` over the
+    * lexicographic (-count, label) struct, spelled relationally.
+    */
+  private def oLabelProp(rounds: Int): String = {
+    val head =
+      s"""WITH $oPurchaseEdges,
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM e WHERE src <> dst),
+         |adj AS MATERIALIZED (
+         |  SELECT u AS node, v AS nbr FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT node, node AS label FROM adj)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""m$r AS (
+         |  SELECT a.node, l.label, count(*) AS cnt
+         |  FROM adj a JOIN l${r - 1} l ON a.nbr = l.node
+         |  GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (PARTITION BY node
+         |      ORDER BY cnt DESC, label) AS rk FROM m$r)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+  }
 
   /** q108's oracle: synchronous k-core peeling unrolled round by round —
     * the operator's fixed-`rounds` contract made literal. Each round is
