@@ -36,6 +36,54 @@ object Sketch {
       .otherwise(lit((k - 1).toDouble * hashMod) /
         element_at(sketch, k).cast(DoubleType))
 
+  /** Theta-sketch-style SET ALGEBRA on KMV sketches (Dasgupta et al.,
+    * "Theta Sketch Framework"): estimate union / intersection / Jaccard
+    * between every pair of groups from their bottom-k sketches alone —
+    * the cross-slice overlap estimator ("how much of source A is also in
+    * source B?") that answers dedup/contamination sizing questions at
+    * 100 TB WITHOUT ever joining the corpora: the pair computation runs
+    * on |G|² k-long arrays, metadata scale.
+    *
+    * Per pair: θ = min over both sketches of (h_k when the sketch is
+    * full, M otherwise — the sketch's retention threshold); each side's
+    * entries < θ are a uniform distinct-hash sample of that set below θ,
+    * so |sample| · M/θ estimates the set-op cardinality, with the
+    * intersection counted by the sorted-merge kernel on the filtered
+    * (still sorted) arrays. When neither sketch is full, θ = M and every
+    * "estimate" is EXACT — the same graceful-exactness contract as
+    * [[kmvDistinctEstimate]]. Counts stay ≤ 2k so n·M sits far below
+    * 2^53: the doubles are all-rational and cross-engine exact (oracle
+    * q133).
+    *
+    * @param sketches one row per group: (`groupCol`, `sketchCol`) where
+    *                 the sketch is a [[bottomKHashes]](k) array
+    * @return (i, j) for every unordered group pair i < j, with theta,
+    *         exact sample counts and the three estimates
+    */
+  def thetaSetOps(sketches: org.apache.spark.sql.DataFrame, groupCol: String,
+                  sketchCol: String, k: Int, hashMod: Long): org.apache.spark.sql.DataFrame = {
+    require(k >= 2)
+    def thetaOf(s: Column): Column =
+      when(size(s) >= k, element_at(s, k)).otherwise(lit(hashMod))
+    val a = sketches.select(col(groupCol).as("i"), col(sketchCol).as("__sa"))
+    val b = sketches.select(col(groupCol).as("j"), col(sketchCol).as("__sb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("theta", least(thetaOf(col("__sa")), thetaOf(col("__sb"))))
+      .withColumn("__af", filter(col("__sa"), x => x < col("theta")))
+      .withColumn("__bf", filter(col("__sb"), x => x < col("theta")))
+      .withColumn("n_inter",
+        graft.functions.intersectCountSorted(col("__af"), col("__bf")).cast("long"))
+      .withColumn("n_union",
+        (size(col("__af")) + size(col("__bf"))).cast("long") - col("n_inter"))
+      .select(col("i"), col("j"), col("theta"), col("n_union"), col("n_inter"),
+        (col("n_union").cast(DoubleType) * hashMod.toDouble /
+          col("theta").cast(DoubleType)).as("union_est"),
+        (col("n_inter").cast(DoubleType) * hashMod.toDouble /
+          col("theta").cast(DoubleType)).as("inter_est"),
+        when(col("n_union") > 0, col("n_inter").cast(DoubleType) /
+          col("n_union").cast(DoubleType)).otherwise(lit(0.0)).as("jaccard_est"))
+  }
+
   // --- Count-min sketch -------------------------------------------------
 
   /** Carter–Wegman row hashes over the portable base hash: row j maps an

@@ -929,6 +929,22 @@ object LlmQueries {
         .select("doc_id", "source").orderBy("source", "doc_id")
     }),
 
+    // Theta-sketch set algebra: per-source token-vocabulary KMV
+    // sketches (k=32, full at this corpus), then pairwise union /
+    // intersection / Jaccard ESTIMATES from the sketches alone — the
+    // cross-slice overlap sizing that never joins the corpora.
+    "q133_theta_setops" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.tokens(col("text"))).as("tok"))
+        .select(col("source"), TextAnalysis.polyHash(col("tok")).as("__h"))
+      val sk = toks.groupBy("source")
+        .agg(graft.operators.Sketch.bottomKHashes(col("__h"), 32).as("__sk"))
+      graft.operators.Sketch.thetaSetOps(sk, "source", "__sk",
+        k = 32, hashMod = TextAnalysis.HashMod)
+        .orderBy("i", "j")
+    }),
+
     // Distribution-matching resample onto a prescribed language mix
     // (en 40% / four others 15% each): the largest subsample whose
     // proportions follow the target — the tightest stratum binds.
@@ -2577,6 +2593,46 @@ object LlmQueries {
         |SELECT r.doc_id, r.source FROM ranked r JOIN q USING (source)
         |WHERE r.rn <= least(q.quota, q.n)
         |ORDER BY r.source, r.doc_id""".stripMargin,
+
+    // Theta set ops: per-source bottom-32 distinct token hashes, pair
+    // θ = min of the two retention thresholds (k-th min when full, M
+    // otherwise), counts over entries < θ, estimates n·M/θ.
+    "q133_theta_setops" ->
+      s"""WITH h AS (
+         |  SELECT source, ${oPolyHash("t")} AS hv FROM (
+         |    SELECT source, unnest($oToks) AS t FROM documents)),
+         |d AS (SELECT DISTINCT source, hv FROM h),
+         |rk AS (SELECT source, hv, row_number() OVER (PARTITION BY source
+         |         ORDER BY hv) AS rn FROM d),
+         |sk AS MATERIALIZED (SELECT source, hv FROM rk WHERE rn <= 32),
+         |th AS (SELECT source, CASE WHEN count(*) >= 32 THEN max(hv)
+         |                           ELSE 1000000007 END AS theta
+         |       FROM sk GROUP BY 1),
+         |p AS (SELECT a.source AS i, b.source AS j,
+         |             least(a.theta, b.theta) AS theta
+         |      FROM th a JOIN th b ON a.source < b.source),
+         |un AS (SELECT i, j, count(*) AS nu FROM (
+         |         SELECT p.i, p.j, s.hv FROM p
+         |         JOIN sk s ON s.source = p.i AND s.hv < p.theta
+         |         UNION
+         |         SELECT p.i, p.j, s.hv FROM p
+         |         JOIN sk s ON s.source = p.j AND s.hv < p.theta)
+         |       GROUP BY 1, 2),
+         |inr AS (SELECT p.i, p.j, count(*) AS ni FROM p
+         |        JOIN sk a ON a.source = p.i AND a.hv < p.theta
+         |        JOIN sk b ON b.source = p.j AND b.hv = a.hv
+         |        GROUP BY 1, 2)
+         |SELECT p.i, p.j, p.theta,
+         |       CAST(coalesce(un.nu, 0) AS BIGINT) AS n_union,
+         |       CAST(coalesce(inr.ni, 0) AS BIGINT) AS n_inter,
+         |       coalesce(un.nu, 0) * CAST(1000000007 AS DOUBLE) / p.theta AS union_est,
+         |       coalesce(inr.ni, 0) * CAST(1000000007 AS DOUBLE) / p.theta AS inter_est,
+         |       CASE WHEN coalesce(un.nu, 0) > 0
+         |            THEN CAST(coalesce(inr.ni, 0) AS DOUBLE) / un.nu
+         |            ELSE 0.0 END AS jaccard_est
+         |FROM p LEFT JOIN un ON un.i = p.i AND un.j = p.j
+         |       LEFT JOIN inr ON inr.i = p.i AND inr.j = p.j
+         |ORDER BY p.i, p.j""".stripMargin,
 
     // Distribution matching: C = min(n_s/t_s) over the weighted strata
     // (LEFT JOIN keeps corpus-absent targets at n=0 so an unreachable

@@ -165,6 +165,39 @@ class SketchSpec extends SparkSpec {
       "g", "item", b = 6)
       .select("regs").as[Seq[Long]].collect()(0)
 
+  test("thetaSetOps: exact set algebra when neither sketch is full") {
+    val M = graft.operators.TextAnalysis.HashMod
+    val df = (Seq(10L, 20L, 30L).map(("a", _)) ++
+      Seq(20L, 30L, 40L, 50L).map(("b", _))).toDF("g", "h")
+    val sk = df.groupBy("g").agg(Sketch.bottomKHashes($"h", 32).as("sk"))
+    val r = Sketch.thetaSetOps(sk, "g", "sk", k = 32, hashMod = M).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert((row.getAs[String]("i"), row.getAs[String]("j")) === ("a", "b"))
+    assert(row.getAs[Long]("theta") === M) // not full → exact
+    assert(row.getAs[Long]("n_union") === 5L)
+    assert(row.getAs[Long]("n_inter") === 2L)
+    assert(row.getAs[Double]("union_est") === 5.0)
+    assert(row.getAs[Double]("inter_est") === 2.0)
+    assert(row.getAs[Double]("jaccard_est") === 0.4)
+  }
+
+  test("thetaSetOps: full sketches estimate overlap within KMV error") {
+    val M = graft.operators.TextAnalysis.HashMod
+    def hv(i: Long) = (i * 2654435761L) % M
+    // |A|=5000, |B|=5000, |A∩B|=2500, |A∪B|=7500
+    val df = ((1L to 5000L).map(i => ("a", hv(i))) ++
+      (2501L to 7500L).map(i => ("b", hv(i)))).toDF("g", "h")
+    val sk = df.groupBy("g").agg(Sketch.bottomKHashes($"h", 256).as("sk"))
+    val row = Sketch.thetaSetOps(sk, "g", "sk", k = 256, hashMod = M)
+      .collect()(0)
+    assert(math.abs(row.getAs[Double]("union_est") - 7500.0) < 1500,
+      s"union_est=${row.getAs[Double]("union_est")}")
+    assert(math.abs(row.getAs[Double]("inter_est") - 2500.0) < 750,
+      s"inter_est=${row.getAs[Double]("inter_est")}")
+    assert(math.abs(row.getAs[Double]("jaccard_est") - 1.0 / 3) < 0.1)
+  }
+
   test("hllRegisterTable matches a sequential reference, dense 64 registers") {
     val items = (1 to 500).map(i => s"tok$i")
     val mod = 1000000007L
