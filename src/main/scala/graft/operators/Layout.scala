@@ -50,4 +50,39 @@ object Layout {
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  // ----------------------------------------------------- rendezvous (HRW)
+
+  private val HrwP = 1000000007L
+
+  /** Per-shard affine coefficients over the shared prime — one
+    * deterministic LCG stream, so the same literals reach both the plan
+    * and the generated DuckDB oracle (the [[Dedup]] permutation pattern).
+    */
+  private[graft] def hrwCoeffs(n: Int): Seq[(Long, Long)] = {
+    var s = 88172645463325252L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; 1L + math.abs(s % (HrwP - 1)) }
+    Seq.fill(n)((next(), next()))
+  }
+
+  /** Rendezvous (highest-random-weight) shard of a STRING key over `n`
+    * shards: shard s scores (a_s·h + b_s) mod p on the key's portable
+    * hash; the key goes to the highest score (smallest shard id on
+    * ties). The property mod-N sharding lacks and manifest-driven
+    * corpora need: growing n → n+1 moves ONLY the keys won by the new
+    * shard — an expected 1/(n+1) of the data — while every other key
+    * keeps its shard, so a resize re-writes one new shard instead of
+    * reshuffling the corpus. Pure per-row arithmetic over an n-entry
+    * literal score array (no shuffle, no lookup table); n is
+    * plan-literal scale (≤ 1024), the usual shard-count regime.
+    */
+  def rendezvousShard(key: Column, n: Int): Column = {
+    require(n >= 1 && n <= 1024, "shard count must be in [1, 1024]")
+    val hk = TextAnalysis.polyHash(key)
+    val scores = array(hrwCoeffs(n).map { case (a, b) =>
+      (hk * lit(a) + lit(b)) % lit(HrwP)
+    }: _*)
+    // first position of the max ⇒ smallest shard id wins ties
+    (array_position(scores, array_max(scores)) - 1L).cast("int")
+  }
 }

@@ -929,6 +929,18 @@ object LlmQueries {
         .select("doc_id", "source").orderBy("source", "doc_id")
     }),
 
+    // Rendezvous (HRW) sharding at two shard counts: the resize
+    // demonstration — every doc whose shard8 ≠ shard9 moved to the NEW
+    // shard 8, ~1/9 of the corpus, nothing else relocated.
+    "q134_rendezvous_shards" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.Layout.rendezvousShard(
+          col("doc_id").cast("string"), 8).as("shard8"),
+        graft.operators.Layout.rendezvousShard(
+          col("doc_id").cast("string"), 9).as("shard9"))
+        .orderBy("doc_id")
+    }),
+
     // Theta-sketch set algebra: per-source token-vocabulary KMV
     // sketches (k=32, full at this corpus), then pairwise union /
     // intersection / Jaccard ESTIMATES from the sketches alone — the
@@ -2593,6 +2605,31 @@ object LlmQueries {
         |SELECT r.doc_id, r.source FROM ranked r JOIN q USING (source)
         |WHERE r.rn <= least(q.quota, q.n)
         |ORDER BY r.source, r.doc_id""".stripMargin,
+
+    // HRW: per-shard affine scores over the shared key hash, argmax by
+    // (score DESC, shard ASC); coefficient literals come from the SAME
+    // Scala stream that parameterized the plan (Layout.hrwCoeffs).
+    "q134_rendezvous_shards" -> {
+      def shardCtes(n: Int, t: String): String = {
+        val vals = graft.operators.Layout.hrwCoeffs(n).zipWithIndex
+          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+        s"""c$t(s, a, b) AS (VALUES $vals),
+           |r$t AS (
+           |  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY (hk * a + b) % 1000000007 DESC, s) AS rk
+           |  FROM hsh CROSS JOIN c$t),
+           |s$t AS (SELECT doc_id, CAST(s AS INT) AS shard$t FROM r$t
+           |        WHERE rk = 1)""".stripMargin
+      }
+      s"""WITH hsh AS (
+         |  SELECT doc_id, ${oPolyHash("CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |${shardCtes(8, "8")},
+         |${shardCtes(9, "9")}
+         |SELECT h.doc_id, s8.shard8, s9.shard9
+         |FROM hsh h JOIN s8 USING (doc_id) JOIN s9 USING (doc_id)
+         |ORDER BY h.doc_id""".stripMargin
+    },
 
     // Theta set ops: per-source bottom-32 distinct token hashes, pair
     // θ = min of the two retention thresholds (k-th min when full, M

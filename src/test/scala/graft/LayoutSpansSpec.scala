@@ -9,6 +9,22 @@ class LayoutSpansSpec extends SparkSpec {
 
   // ------------------------------------------------------------ Layout
 
+  test("rendezvousShard: balanced, and a resize moves only winners of the new shard") {
+    val keys = (1 to 10000).map(i => s"key$i").toDF("k")
+    val both = keys.select(
+      Layout.rendezvousShard(col("k"), 8).as("s8"),
+      Layout.rendezvousShard(col("k"), 9).as("s9")).collect()
+    // shard 0..7 each get roughly 1/8 of the keys
+    val byShard = both.groupBy(_.getInt(0)).map { case (s, rs) => s -> rs.length }
+    assert(byShard.keySet === (0 until 8).toSet)
+    byShard.values.foreach(c => assert(c > 800 && c < 1700, s"imbalance: $byShard"))
+    // minimal disruption: a key that moves moves TO the new shard only
+    val moved = both.filter(r => r.getInt(0) != r.getInt(1))
+    moved.foreach(r => assert(r.getInt(1) === 8))
+    // expected move fraction 1/9 ≈ 11%
+    assert(moved.length > 500 && moved.length < 1800, s"moved=${moved.length}")
+  }
+
   test("zValue interleaves bits: x=3,y=1 at 2 bits → 0b0111") {
     val z = Seq((3L, 1L)).toDF("x", "y")
       .select(Layout.zValue(2, col("x"), col("y")).as("z"))
