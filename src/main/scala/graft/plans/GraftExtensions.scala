@@ -155,7 +155,14 @@ object GraftExtensions {
         "graft_mg_topk(item, k) - aggregate: Misra-Gries frequent-items summary, array<struct<item,w>> by (w desc, item); candidate SUPERSET above n/(k+1) - recount for exact counts"),
       es => { val Seq(item, k) = arity("graft_mg_topk", 2)(es)
         graft.expressions.MisraGriesStrings(item,
-          litInt(k, "graft_mg_topk", "k")) }))
+          litInt(k, "graft_mg_topk", "k")) }),
+    (FunctionIdentifier("graft_rendezvous_shard"),
+      info("graft_rendezvous_shard",
+        "graft_rendezvous_shard(key, n) - HRW shard in [0, n): resize n->n+1 moves only the new shard's winners"),
+      es => { val Seq(k, n) = arity("graft_rendezvous_shard", 2)(es)
+        import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
+        toCatalystTree(graft.operators.Layout.rendezvousShard(toColumn(k),
+          litInt(n, "graft_rendezvous_shard", "n"))) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

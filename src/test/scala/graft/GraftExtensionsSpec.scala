@@ -126,4 +126,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(mg.head.getString(0) === "a" && mg.head.getLong(1) >= 2L)
   }
+
+  test("graft_rendezvous_shard agrees with the Scala operator") {
+    import org.apache.spark.sql.functions.col
+    val keys = (1 to 50).map(i => s"k$i").toDF("k")
+    keys.createOrReplaceTempView("hrw_t")
+    val sql = spark.sql(
+      "SELECT k, graft_rendezvous_shard(k, 8) AS s FROM hrw_t ORDER BY k")
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val api = keys.select(col("k"),
+      graft.operators.Layout.rendezvousShard(col("k"), 8).as("s"))
+      .orderBy("k").collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(sql === api)
+    assert(sql.map(_._2).forall(s => s >= 0 && s < 8))
+  }
 }
