@@ -22,8 +22,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM (codegen compiler, shuffle machinery) and the parquet
     // footers once, so per-query times measure the queries, not startup.
-    // events needs the nanos conf BEFORE its footer is read (its ts column
-    // is TIMESTAMP(NANOS), illegal to the reader otherwise).
+    // The nanos conf is set BEFORE any events footer is read: harmless on
+    // the TIMESTAMP(MICROS) layout, required on TIMESTAMP(NANOS) (see
+    // TableIO.eventsNanos — both layouts normalize downstream).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",

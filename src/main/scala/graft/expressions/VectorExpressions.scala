@@ -479,6 +479,90 @@ case class NgramHashSet(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[NgramHashSeq]]'s PORTABLE sibling: positional polyHash of each
+  * word n-gram — element i equals
+  * `polyHash(array_join(slice(tokens, i+1, n), ' '))` bit-for-bit
+  * (code-POINT fold, single joining spaces) without materializing any
+  * gram string: token boundaries are found once and each gram folds the
+  * original text's code points in place. For operators whose gram
+  * hashes SURFACE in oracle-gated output (winnowing fingerprints) and
+  * therefore cannot use the engine-internal FNV mix above.
+  */
+object PolyGramHash {
+
+  def computeSeq(text: UTF8String, n: Int, mod: Long): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && KernelWhitespace.is(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !KernelWhitespace.is(s.charAt(i))) i += 1
+      if (i > start) {
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = start
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    val nGrams = nTok - n + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val grams = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      var h = 0L
+      var t = g
+      while (t < g + n) {
+        if (t > g) h = (h * 31 + 32) % mod // the joining space
+        var j = starts(t)
+        while (j < ends(t)) {
+          val cp = s.codePointAt(j)
+          h = (h * 31 + cp) % mod
+          j += Character.charCount(cp)
+        }
+        t += 1
+      }
+      grams(g) = h
+      g += 1
+    }
+    new GenericArrayData(grams)
+  }
+}
+
+/** Positional portable gram hashes ([[PolyGramHash]]): the compiled
+  * equivalent of `transform(shingles(tokens(s), n), g -> polyHash(g))`.
+  */
+case class PolyGramHashSeq(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"PolyGramHashSeq expects a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PolyGramHash.computeSeq(input.asInstanceOf[UTF8String], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.PolyGramHash.computeSeq($c, $n, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** POSITIONAL word-n-gram hashes of a string column in one compiled
   * pass: element i is the hash of the n-gram starting at token i (non-
   * deduped, unsorted — [[NgramHashSet]]'s sibling for operators that

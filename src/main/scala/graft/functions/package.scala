@@ -100,6 +100,15 @@ package object functions {
   def ngramHashSeq(text: Column, n: Int): Column =
     toColumn(graft.expressions.NgramHashSeq(toExpression(text), n))
 
+  /** Positional PORTABLE gram hashes: element i =
+    * polyHash(array_join(slice(tokens, i+1, n), " ")) without building
+    * gram strings — for operators whose gram hashes surface in
+    * oracle-gated output (see expressions/PolyGramHash).
+    */
+  def polyGramHashSeq(text: Column, n: Int,
+                      mod: Long = 1000000007L /* = TextAnalysis.HashMod */): Column =
+    toColumn(graft.expressions.PolyGramHashSeq(toExpression(text), n, mod))
+
   /** Compiled token count: same value as size(tokens(text)) without the
     * interpreted split+filter pair or the intermediate array.
     */

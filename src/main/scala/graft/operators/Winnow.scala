@@ -58,14 +58,14 @@ object Winnow {
     require(n >= 1, "gram size must be >= 1")
     require(w >= 1, "window must be >= 1")
     val mod = TextAnalysis.HashMod
-    val grams = docs.select(
+    // compiled positional gram hashes — no gram STRINGS are ever built
+    // (expressions/PolyGramHash; bit-equal to hashing the joined
+    // shingles, which WinnowSpec re-derives as the executable spec)
+    val hashed = docs.select(
       col(idCol),
-      posexplode(graft.functions.shingles(
-        graft.functions.tokens(col(textCol)), n)).as(Seq("pos", "gram")))
-    val hashed = grams.select(
-      col(idCol),
-      col("pos").cast("long").as("pos"),
-      TextAnalysis.polyHash(col("gram")).as("h"))
+      posexplode(graft.functions.polyGramHashSeq(col(textCol), n, mod))
+        .as(Seq("pos", "h")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("h"))
     val packed = (lit(mod) - col("h")) * lit(PosCap) + col("pos")
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)

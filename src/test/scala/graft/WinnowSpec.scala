@@ -78,6 +78,24 @@ class WinnowSpec extends SparkSpec {
     assert((fps(1L) & fps(5L)).nonEmpty)
   }
 
+  test("PolyGramHashSeq kernel equals the shingle-join HOF spec (incl. astral)") {
+    import org.apache.spark.sql.functions._
+    val texts = docs.select($"text")
+      .union(Seq("hello 😀 world again 𤭢𤭢 end", "  padded   runs\tand\nlines  ",
+        "one", "").toDF("text"))
+    for (n <- Seq(1, 2, 3)) {
+      val rows = texts.select(
+        graft.functions.polyGramHashSeq($"text", n).as("k"),
+        transform(
+          graft.functions.shingles(graft.functions.tokens($"text"), n),
+          g => graft.operators.TextAnalysis.polyHash(g)).as("h"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n")
+      }
+    }
+  }
+
   test("density is near 2/(w+1) on hash-random grams") {
     val n = 2; val w = 7
     val long = (1 to 2000).map(i => s"tok${i * 2654435761L % 100003}").mkString(" ")
