@@ -130,8 +130,15 @@ object Dedup {
       .join(sets.select(col("__id").as("j"), col("__set").as("__sj")), "j")
       .withColumn("common",
         graft.functions.intersectCountSorted(col("__si"), col("__sj")))
-      .withColumn("jaccard", col("common").cast(DoubleType) /
-        (size(col("__si")) + size(col("__sj")) - col("common")).cast(DoubleType))
+      .withColumn("__u",
+        (size(col("__si")) + size(col("__sj"))).cast(DoubleType) - col("common"))
+      // |A∪B| = 0 (two sub-n-token docs): Jaccard is UNDEFINED — drop the
+      // pair rather than divide by zero (ANSI throws). Shingle-driven
+      // candidate generators never emit such pairs; sortedNeighborhood
+      // pairs ANY adjacent docs, so the guard bites only there — and the
+      // oracles' inter-join drops the same pairs by construction.
+      .filter(col("__u") > 0)
+      .withColumn("jaccard", col("common").cast(DoubleType) / col("__u"))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("common"), col("jaccard"))
       .distinct()

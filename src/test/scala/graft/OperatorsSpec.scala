@@ -140,6 +140,19 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("sortedNeighborhoodPairs: sub-n-token docs pair without throwing") {
+    // two empty and one 1-token doc sort adjacent; their shingle sets
+    // are empty, |A∪B| = 0 — the pair must DROP (Jaccard undefined),
+    // not divide by zero under ANSI.
+    val weird = Seq((1L, ""), (2L, ""), (3L, "x"),
+      (4L, "the quick brown fox"), (5L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(weird, "doc_id", "text",
+      w = 5, n = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(pairs === Set((4L, 5L)))
+  }
+
   test("sortedNeighborhoodPairs: window bounds the candidate budget") {
     // w=2 ⇒ only ADJACENT ranks pair: (0,3) sits at rank distance 2 and
     // must be missed — the documented O(N·w) blocking trade-off.
