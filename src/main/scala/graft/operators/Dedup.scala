@@ -346,6 +346,41 @@ object Dedup {
     verifyJaccard(cands, sets, threshold)
   }
 
+  // ------------------------------------------------------- winnow index
+
+  /** Near-dup pairs from a WINNOWED inverted index ([[Winnow]], q129):
+    * candidates are doc pairs sharing ≥1 selected fingerprint, then the
+    * usual exact-Jaccard verification. The same join shape as full
+    * shingle posting lists but over a ~w/2×-smaller index (winnowing's
+    * 2/(w+1) density), at the documented floor: only pairs sharing a run
+    * of ≥ w+n−1 tokens are GUARANTEED a common fingerprint, so this is
+    * the long-quote/plagiarism detector — [[ngramJaccardPairs]] stays
+    * the exact-threshold path.
+    *
+    * `maxDf` drops stop-fingerprints (selected from > maxDf documents)
+    * before the self-join — the standard index-side guard that keeps a
+    * boilerplate gram from generating quadratic candidates; the df
+    * count is one combinable aggregate over the (already small)
+    * fingerprint table.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, w: Int, threshold: Double,
+                  maxDf: Int = 100): DataFrame = {
+    require(maxDf >= 2, "maxDf < 2 would drop every shareable fingerprint")
+    val sets = CacheScope.track(shingleSets(docs, idCol, textCol, n))
+    val fps = CacheScope.track(
+      Winnow.fingerprints(docs, idCol, textCol, n, w)
+        .select(col(idCol).as("__id"), col("fp")).distinct())
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val indexed = fps.join(keep, "fp")
+    val cands = indexed.select(col("__id").as("i"), col("fp"))
+      .join(indexed.select(col("__id").as("j"), col("fp")), "fp")
+      .filter(col("i") < col("j"))
+      .select("i", "j")
+    verifyJaccard(cands, sets, threshold)
+  }
+
   // ------------------------------------------------------- MinHash + LSH
 
   /** MinHash signature columns: k universal-hash permutations

@@ -415,6 +415,16 @@ object LlmQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // Winnow-indexed near-dup pairs: candidates share a selected
+    // fingerprint (the ~w/2×-smaller index of q129), stop-fingerprints
+    // df-capped, exact-Jaccard verified — the long-quote detector.
+    "q135_winnow_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.winnowPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        n = 3, w = 8, threshold = 0.5, maxDf = 100)
+        .orderBy("i", "j")
+    }),
+
     // Sorted-neighborhood blocking (merge/purge): rank by 32-char text
     // prefix via the histogram-offset global ordinal, pair within 8
     // ranks through the adjacent-block join, exact-Jaccard verify.
@@ -2359,6 +2369,38 @@ object LlmQueries {
          |SELECT DISTINCT doc_id, wk % 4294967296 AS pos,
          |       1000000007 - wk // 4294967296 AS fp
          |FROM wins WHERE pos >= 7 ORDER BY doc_id, pos""".stripMargin,
+
+    // Winnow pairs: q129's selection CTEs (toks shared with the
+    // verification CTEs), df-capped fingerprint self-join, q23's exact
+    // Jaccard.
+    "q135_winnow_pairs" ->
+      s"""WITH ${oJaccardCtes(3)},
+         |grams AS (
+         |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> {'pos': i - 1,
+         |            'gram': list_aggregate(tk[i:i+2], 'string_agg', ' ')})) AS u
+         |    FROM toks)),
+         |keys AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |         (1000000007 - ${oPolyHash("gram")}) * 4294967296 + pos AS k
+         |  FROM grams),
+         |wins AS (
+         |  SELECT doc_id, pos,
+         |         max(k) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wk
+         |  FROM keys),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, 1000000007 - wk // 4294967296 AS fp
+         |  FROM wins WHERE pos >= 7),
+         |keep AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 100),
+         |cd AS (
+         |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM sel a JOIN keep USING (fp)
+         |  JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+         |SELECT c.i, c.j, jac.common, jac.jaccard
+         |FROM cd c JOIN jac ON jac.i = c.i AND jac.j = c.j
+         |WHERE jac.jaccard >= 0.5 ORDER BY c.i, c.j""".stripMargin,
 
     // Sorted neighborhood: rank by (prefix, id), pairs within 7 ranks,
     // then the shared exact-Jaccard CTEs. NULLS FIRST pins DuckDB's

@@ -162,6 +162,18 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (1L, 3L)))
   }
 
+  test("winnowPairs: shared long runs are found through the winnow index") {
+    // docs 0/1/3 share the 8-token run "the quick ... lazy"; with
+    // w+n-1 = 4+3-1 = 6 ≤ 8 the coverage guarantee forces a shared
+    // fingerprint for each pair, and verification keeps all three.
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+      n = 3, w = 4, threshold = 0.5)
+      .collect().map(r => ((r.getAs[Long]("i"), r.getAs[Long]("j")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs.keySet === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(pairs((0L, 3L)) === 1.0) // exact dup
+  }
+
   test("exactStats and exactDedup") {
     val stats = Dedup.exactStats(docs, $"text").collect()(0)
     assert(stats.getAs[Long]("n_docs") === 5)
