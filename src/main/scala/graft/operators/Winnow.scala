@@ -48,6 +48,36 @@ object Winnow {
   /** Positions pack into the low 32 bits of the selection key. */
   val PosCap: Long = 1L << 32
 
+  /** ROW-LOCAL winnowing: the whole selection as one array expression —
+    * `array<struct<pos,fp>>` per document, sorted by position, equal
+    * row-for-row to exploding [[fingerprints]] (parity locked by
+    * WinnowSpec). A pure projection: NO shuffle (the window variant's
+    * only exchange disappears) and therefore STATELESS-STREAMING
+    * compatible — winnowing slots into the append-mode curation chain
+    * like any other per-doc metric (StreamingSpec). Trade-off, stated
+    * honestly: the interpreted transform/slice/array_max walk is
+    * O(G·w) per row and slower per byte than the compiled window plan,
+    * and the whole fingerprint set materializes in one row — prefer
+    * [[fingerprints]] for batch corpora, this for streams and for
+    * pipelines that want fingerprints as a document column.
+    */
+  def fingerprintArray(text: Column, n: Int = 3, w: Int = 8): Column = {
+    require(n >= 1, "gram size must be >= 1")
+    require(w >= 1, "window must be >= 1")
+    val mod = TextAnalysis.HashMod
+    val hs = graft.functions.polyGramHashSeq(text, n)
+    val keys = transform(hs, (h, i) => (lit(mod) - h) * lit(PosCap) + i.cast("long"))
+    // window ending at 0-based gram e covers e-w+1..e = 1-based start e-(w-2)
+    val sel = transform(sequence(lit(w - 1), size(hs) - 1),
+      e => array_max(slice(keys, e - lit(w - 2), lit(w))))
+    val fps = transform(array_distinct(sel),
+      k => struct(k.bitwiseAND(lit(0xFFFFFFFFL)).as("pos"),
+        (lit(mod) - shiftright(k, 32)).as("fp")))
+    // the guard also keeps sequence() from going descending on short docs
+    when(size(hs) >= w, array_sort(fps))
+      .otherwise(array().cast("array<struct<pos:bigint,fp:bigint>>"))
+  }
+
   /** Distinct winnowed fingerprints per document: (idCol, pos, fp) with
     * `pos` the gram position (0-based) and `fp` the gram's polyHash.
     * Documents with fewer than `n + w − 1` tokens (no full window) emit

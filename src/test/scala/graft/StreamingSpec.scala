@@ -329,6 +329,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("winnow fingerprints stream statelessly (row-local variant)") {
+    // fingerprintArray is a pure projection, so winnowing joins the
+    // stateless curation chain: batch/stream outputs match row-for-row.
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    def winnowed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.operators.Winnow.fingerprintArray(col("text"), n = 2, w = 3)
+          .as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          expr("aggregate(fps, 0L, (a, x) -> a ^ x.fp)").as("fp_xor"))
+    val docs = Seq(
+      Doc(1L, ts(0), "the quick brown fox jumps over the lazy dog and friends"),
+      Doc(2L, ts(1), "short doc"),
+      Doc(3L, ts(2), "the quick brown fox jumps over the lazy dog and friends"))
+    val input = MemoryStream[Doc]
+    val query = winnowed(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("winnowed").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("winnowed").orderBy("doc_id").collect().map(_.toSeq)
+      val batch = winnowed(docs.toDF()).orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(batch(0).drop(1) === batch(2).drop(1)) // same text → same fps
+      assert(batch(1)(1) === 0)     // sub-(w+n−1)-token doc → none
+    } finally query.stop()
+  }
+
   test("intervalJoin: stream-stream attribution equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val impressions = Seq(

@@ -96,6 +96,19 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("fingerprintArray (row-local) equals the window-plan fingerprints") {
+    import org.apache.spark.sql.functions._
+    for ((n, w) <- Seq((3, 4), (2, 7), (3, 8))) {
+      val inline = docs.select($"doc_id",
+        explode(Winnow.fingerprintArray($"text", n, w)).as("e"))
+        .select($"doc_id", $"e.pos", $"e.fp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val windowed = Winnow.fingerprints(docs, "doc_id", "text", n, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(inline === windowed, s"n=$n w=$w")
+    }
+  }
+
   test("density is near 2/(w+1) on hash-random grams") {
     val n = 2; val w = 7
     val long = (1 to 2000).map(i => s"tok${i * 2654435761L % 100003}").mkString(" ")
