@@ -162,7 +162,15 @@ object GraftExtensions {
       es => { val Seq(k, n) = arity("graft_rendezvous_shard", 2)(es)
         import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
         toCatalystTree(graft.operators.Layout.rendezvousShard(toColumn(k),
-          litInt(n, "graft_rendezvous_shard", "n"))) }))
+          litInt(n, "graft_rendezvous_shard", "n"))) }),
+    (FunctionIdentifier("graft_winnow_fps"),
+      info("graft_winnow_fps",
+        "graft_winnow_fps(s, n, w) - MOSS winnowing fingerprints of word n-grams, array<struct<pos,fp>> sorted by pos (row-local, stateless)"),
+      es => { val Seq(s, n, w) = arity("graft_winnow_fps", 3)(es)
+        import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
+        toCatalystTree(graft.operators.Winnow.fingerprintArray(toColumn(s),
+          litInt(n, "graft_winnow_fps", "n"),
+          litInt(w, "graft_winnow_fps", "w"))) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

@@ -127,6 +127,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(mg.head.getString(0) === "a" && mg.head.getLong(1) >= 2L)
   }
 
+  test("graft_winnow_fps agrees with the Scala operator") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq("the quick brown fox jumps over the lazy dog and friends",
+      "too short").toDF("text")
+    docs.createOrReplaceTempView("wfp_t")
+    val sql = spark.sql(
+      "SELECT graft_winnow_fps(text, 2, 3) AS f FROM wfp_t").collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1))))
+    val api = docs.select(
+      graft.operators.Winnow.fingerprintArray(col("text"), 2, 3).as("f"))
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1))))
+    assert(sql.toSeq === api.toSeq)
+    assert(sql(0).nonEmpty)
+  }
+
   test("graft_rendezvous_shard agrees with the Scala operator") {
     import org.apache.spark.sql.functions.col
     val keys = (1 to 50).map(i => s"k$i").toDF("k")
