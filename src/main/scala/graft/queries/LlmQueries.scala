@@ -1140,6 +1140,23 @@ object LlmQueries {
         sets = Seq(Seq("lang"), Seq("source")))
         .orderBy(col("gid"), col("lang").asc_nulls_first,
           col("source").asc_nulls_first)
+    }),
+
+    // Hybrid-retrieval RRF fusion: the dense arm (q29's exact cosine,
+    // top-10) and a lexical arm (distinct-token overlap, top-10) fused
+    // by reciprocal-rank score 1/(60+rank) — the calibration-free hybrid
+    // combiner. doc_id and vec_id share the 0..N id space by testdata
+    // construction, so the two arms rank the same corpus.
+    "q136_rrf_fusion" -> ((s, dir) => {
+      val dense = Similarity.bruteForceTopK(
+        queriesSubset(s, dir), t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 10)
+      val lex = graft.operators.Fusion.tokenOverlapTopK(
+        t(s, dir, "documents").filter(col("doc_id") < 20),
+        t(s, dir, "documents"), "doc_id", "text", k = 10)
+      graft.operators.Fusion.rrf(
+        Seq("dense" -> dense, "lex" -> lex), c = 60, topK = 5)
+        .orderBy("qid", "rank")
     })
   )
 
@@ -3315,6 +3332,51 @@ object LlmQueries {
         |       min(n_chars) AS min_v, max(n_chars) AS max_v,
         |       CAST(GROUPING(lang, source) AS BIGINT) AS gid
         |FROM documents GROUP BY GROUPING SETS ((lang), (source))
-        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // RRF: dense arm = q29's cosine CTEs at k=10; lexical arm =
+    // distinct-token overlap at k=10; fused score mirrors the engine's
+    // fixed fold (0.0 + dense term + lexical term — each one
+    // exactly-rounded division, so doubles match bit-for-bit).
+    "q136_rrf_fusion" ->
+      s"""WITH $oNorms,
+         |dsc AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCos("q", "c")} AS cos
+         |  FROM norms q JOIN norms c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |dr AS (
+         |  SELECT * FROM (
+         |    SELECT qid, nid,
+         |           CAST(row_number() OVER (PARTITION BY qid
+         |             ORDER BY cos DESC, nid) AS BIGINT) AS rank
+         |    FROM dsc) WHERE rank <= 10),
+         |qt AS (SELECT DISTINCT doc_id AS qid, unnest($oToks) AS t
+         |       FROM documents WHERE doc_id < 20),
+         |dt AS (SELECT DISTINCT doc_id AS nid, unnest($oToks) AS t
+         |       FROM documents),
+         |ov AS (
+         |  SELECT qt.qid, dt.nid, CAST(count(*) AS BIGINT) AS overlap
+         |  FROM qt JOIN dt ON qt.t = dt.t AND qt.qid <> dt.nid
+         |  GROUP BY 1, 2),
+         |lr AS (
+         |  SELECT * FROM (
+         |    SELECT qid, nid,
+         |           CAST(row_number() OVER (PARTITION BY qid
+         |             ORDER BY overlap DESC, nid) AS BIGINT) AS rank
+         |    FROM ov) WHERE rank <= 10),
+         |fused AS (
+         |  SELECT coalesce(d.qid, l.qid) AS qid, coalesce(d.nid, l.nid) AS nid,
+         |         d.rank AS r_dense, l.rank AS r_lex,
+         |         0.0 + (CASE WHEN d.rank IS NOT NULL
+         |                     THEN 1.0 / (60.0 + d.rank) ELSE 0.0 END)
+         |             + (CASE WHEN l.rank IS NOT NULL
+         |                     THEN 1.0 / (60.0 + l.rank) ELSE 0.0 END) AS score
+         |  FROM dr d FULL OUTER JOIN lr l ON d.qid = l.qid AND d.nid = l.nid)
+         |SELECT * FROM (
+         |  SELECT qid,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, nid) AS BIGINT) AS rank,
+         |         nid, score, r_dense, r_lex
+         |  FROM fused)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

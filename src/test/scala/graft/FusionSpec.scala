@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Fusion
+import org.apache.spark.sql.functions._
+
+class FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def arm(rows: (Long, Long, Long)*) =
+    rows.toDF("qid", "nid", "rank")
+
+  test("rrf fuses two arms by reciprocal-rank score with nid tie-break") {
+    // arm A ranks (1,2,3); arm B ranks (3,2,9): dual-arm docs 3
+    // (1/63+1/61) and 2 (1/62+1/62) out-score every single-arm doc, and
+    // 3's asymmetric ranks edge out 2's symmetric ones (convexity of
+    // 1/(c+r)).
+    val a = arm((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+    val b = arm((1L, 3L, 1L), (1L, 2L, 2L), (1L, 9L, 3L))
+    val fused = Fusion.rrf(Seq("a" -> a, "b" -> b), c = 60, topK = 10)
+      .orderBy("rank").collect()
+    assert(fused.map(_.getLong(2)).take(2).toSeq == Seq(3L, 2L))
+    val top = fused.head
+    assert(math.abs(top.getDouble(3) - (1.0 / 63 + 1.0 / 61)) < 1e-15)
+    // doc 1 (A-only, rank 1) and doc 3 (A rank 3 + B rank 1) both carry
+    // their per-arm ranks; absent arms are NULL.
+    val d1 = fused.find(_.getLong(2) == 1L).get
+    assert(d1.getLong(4) == 1L && d1.isNullAt(5))
+  }
+
+  test("rrf equal-score ties break by ascending nid") {
+    // two docs seen only by arm A at ranks 1 and 1 for different queries
+    // can't tie; construct a same-query tie: docs 5 and 7 both rank 4 in
+    // exactly one arm each -> equal score, nid order decides.
+    val a = arm((1L, 5L, 4L))
+    val b = arm((1L, 7L, 4L))
+    val fused = Fusion.rrf(Seq("a" -> a, "b" -> b), c = 60, topK = 2)
+      .orderBy("rank").collect()
+    assert(fused.map(_.getLong(2)).toSeq == Seq(5L, 7L))
+  }
+
+  test("tokenOverlapTopK counts distinct shared tokens, excludes self") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta beta delta"),
+      (2L, "alpha zeta"),
+      (3L, "omega psi")).toDF("doc_id", "text")
+    val top = Fusion.tokenOverlapTopK(
+      docs.filter(col("doc_id") === 0), docs, "doc_id", "text", k = 5)
+      .orderBy("rank").collect()
+    // doc 1 shares {alpha, beta} (beta repetition not double-counted),
+    // doc 2 shares {alpha}; doc 3 shares nothing and must be absent.
+    assert(top.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("rrf rejects duplicate arm names") {
+    val a = arm((1L, 1L, 1L))
+    intercept[IllegalArgumentException] {
+      Fusion.rrf(Seq("a" -> a, "a" -> a), topK = 1)
+    }
+  }
+}
