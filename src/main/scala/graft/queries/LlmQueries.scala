@@ -1157,6 +1157,19 @@ object LlmQueries {
       graft.operators.Fusion.rrf(
         Seq("dense" -> dense, "lex" -> lex), c = 60, topK = 5)
         .orderBy("qid", "rank")
+    }),
+
+    // Privacy release gate: k-anonymity / l-diversity audit of the
+    // corpus metadata sidecar — QI = (lang, 200-char length bucket),
+    // sensitive attribute = source. Groups an attacker could narrow
+    // below 5 candidates, or whose source takes < 3 distinct values,
+    // fail their flag.
+    "q137_k_anonymity" -> ((s, dir) => {
+      graft.operators.Privacy.kAnonymityAudit(
+        t(s, dir, "documents")
+          .withColumn("len_bucket", expr("n_chars DIV 200")),
+        Seq("lang", "len_bucket"), "source", k = 5, l = 3)
+        .orderBy("lang", "len_bucket")
     })
   )
 
@@ -3377,6 +3390,17 @@ object LlmQueries {
          |           ORDER BY score DESC, nid) AS BIGINT) AS rank,
          |         nid, score, r_dense, r_lex
          |  FROM fused)
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // k-anonymity: plain GROUP BY over the QI tuple; flags compare the
+    // exact integer counts against k=5 / l=3.
+    "q137_k_anonymity" ->
+      """SELECT lang, n_chars // 200 AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS group_size,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+        |       count(*) >= 5 AS k_anonymous,
+        |       count(DISTINCT source) >= 3 AS l_diverse
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY lang, len_bucket""".stripMargin
   )
 }
