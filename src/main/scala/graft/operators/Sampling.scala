@@ -235,4 +235,62 @@ object Sampling {
       .drop("__rn")
     below.unionByName(atBoundary).drop("__st", "__bkt", "__B", "__r")
   }
+
+  /** The un-bucketed 32-bit Knuth mix ([[hashBucket]] without the final
+    * bucket reduction): a deterministic stand-in for U{0..2^32-1}.
+    */
+  private def hash32(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(2147483648L)) * 2654435761L,
+      lit(4294967296L))
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007):
+    * weighted-WITHOUT-replacement top-k with an unbiased per-item total
+    * estimator — the subset-sum sketch for weighted corpora (sample docs
+    * ∝ token count, estimate any subpopulation's token mass from the
+    * sample alone). Each row gets priority w·M/(h+1) where h is the
+    * deterministic 32-bit mix of its key (so u=(h+1)/M ∈ (0,1] plays the
+    * uniform draw); the k largest priorities are the sample, τ = the
+    * (k+1)-th priority, and est_weight = max(w, τ) is unbiased for w
+    * (Σ est over the sample estimates Σ w over the corpus; exact when
+    * the corpus has ≤ k rows, where τ = 0).
+    *
+    * Determinism: priority = (w·M)/(h+1) is computed as two
+    * exactly-rounded double ops on exactly-represented operands (the
+    * product w·M is exact while w < 2^21; past that the multiply is
+    * still correctly rounded), so priorities — and hence the sample —
+    * are bit-identical across engines and re-runs; rank ties break by
+    * key.
+    *
+    * Scale shape: scoring is a map-only projection; the global top-(k+1)
+    * plans as TakeOrderedAndProject (per-partition partial top-k, no
+    * full sort, no single-reducer funnel); everything after the limit
+    * operates on k+1 rows. Zero-weight rows are excluded up front (they
+    * can never be sampled — priority 0).
+    *
+    * @param weightCol non-negative integer weights (token counts, bytes)
+    * @return (keyCol, weightCol, rank, priority, est_weight), rank ≤ k
+    *         by (priority DESC, key ASC)
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0)
+    val M = 4294967296L
+    val scored = df
+      .filter(col(weightCol) > 0)
+      .select(col(keyCol), col(weightCol),
+        (col(weightCol).cast("double") * M.toDouble /
+          (hash32(col(keyCol)) + lit(1L)).cast("double")).as("priority"))
+    val top = scored.orderBy(desc("priority"), col(keyCol)).limit(k + 1)
+    // k+1 rows from here on: the unpartitioned window is bounded by
+    // construction, not a corpus-wide funnel.
+    val w = Window.orderBy(desc("priority"), col(keyCol))
+    val ranked = top.withColumn("__rk", row_number().over(w))
+    val tau = ranked.filter(col("__rk") === k + 1)
+      .agg(coalesce(min("priority"), lit(0.0)).as("__tau"))
+    ranked.filter(col("__rk") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col(keyCol), col(weightCol),
+        col("__rk").cast("long").as("rank"), col("priority"),
+        greatest(col(weightCol).cast("double"), col("__tau")).as("est_weight"))
+  }
 }

@@ -1170,6 +1170,15 @@ object LlmQueries {
           .withColumn("len_bucket", expr("n_chars DIV 200")),
         Seq("lang", "len_bucket"), "source", k = 5, l = 3)
         .orderBy("lang", "len_bucket")
+    }),
+
+    // Priority sampling: 40 docs weighted by n_chars, without
+    // replacement, with the unbiased max(w, tau) total estimator — the
+    // weighted subset-sum sketch (sample inclusion ∝ size, any slice's
+    // character mass estimable from the sample alone).
+    "q138_priority_sample" -> ((s, dir) => {
+      Sampling.prioritySample(t(s, dir, "documents"), "doc_id", "n_chars",
+        k = 40).orderBy("rank")
     })
   )
 
@@ -3401,6 +3410,26 @@ object LlmQueries {
         |       count(*) >= 5 AS k_anonymous,
         |       count(DISTINCT source) >= 3 AS l_diverse
         |FROM documents GROUP BY 1, 2
-        |ORDER BY lang, len_bucket""".stripMargin
+        |ORDER BY lang, len_bucket""".stripMargin,
+
+    // Priority sampling: the engine's exact arithmetic — priority =
+    // (w·2^32)/(h+1) with h the Knuth 32-bit mix, τ = the 41st
+    // priority (0 when absent), est = max(w, τ).
+    "q138_priority_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(n_chars AS DOUBLE) * 4294967296 /
+        |           CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1 AS DOUBLE) AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |rk AS (
+        |  SELECT doc_id, n_chars, priority,
+        |         row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |  FROM h),
+        |tau AS (
+        |  SELECT coalesce(min(priority), 0.0) AS tau FROM rk WHERE rn = 41)
+        |SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rank, priority,
+        |       greatest(CAST(n_chars AS DOUBLE), tau.tau) AS est_weight
+        |FROM rk CROSS JOIN tau
+        |WHERE rn <= 40 ORDER BY rank""".stripMargin
   )
 }

@@ -176,4 +176,32 @@ class SamplingQuantizationSpec extends SparkSpec {
         s"stratum-only window over raw data:\n$w")
     }
   }
+
+  test("prioritySample: k largest priorities, tau threshold, est = max(w, tau)") {
+    val df = (0L until 30L).map(i => (i, (i % 7 + 1) * 10)).toDF("id", "w")
+    val got = Sampling.prioritySample(df, "id", "w", k = 5)
+      .orderBy("rank").collect()
+    // replicate the arithmetic exactly
+    def pri(id: Long, w: Long): Double =
+      w.toDouble * 4294967296.0 / ((((id % 2147483648L) * 2654435761L) % 4294967296L) + 1).toDouble
+    val all = (0L until 30L).map(i => (i, (i % 7 + 1) * 10L))
+      .map { case (i, w) => (i, w, pri(i, w)) }
+      .sortBy { case (i, _, p) => (-p, i) }
+    val tau = all(5)._3
+    assert(got.map(_.getLong(0)).toSeq == all.take(5).map(_._1))
+    assert(got.map(_.getDouble(3)).toSeq == all.take(5).map(_._3))
+    assert(got.map(_.getDouble(4)).toSeq ==
+      all.take(5).map { case (_, w, _) => math.max(w.toDouble, tau) })
+    // every sampled priority clears the threshold
+    assert(got.forall(_.getDouble(3) >= tau))
+  }
+
+  test("prioritySample: corpus smaller than k is exact (tau=0, est=w)") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 0L)).toDF("id", "w")
+    val got = Sampling.prioritySample(df, "id", "w", k = 5)
+      .orderBy("id").collect()
+    // zero-weight row excluded; survivors estimate their own weight
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.map(r => r.getDouble(4)).toSeq == Seq(10.0, 20.0))
+  }
 }
