@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -84,5 +85,47 @@ object Layout {
     }: _*)
     // first position of the max ⇒ smallest shard id wins ties
     (array_position(scores, array_max(scores)) - 1L).cast("int")
+  }
+
+  /** Compaction planning — the small-files maintenance pass: assign each
+    * item (file, document, row-group) to an output bin so every bin
+    * holds ~`target` units of `sizeCol`, preserving the within-group
+    * order (locality: sort keys, time ranges, and z-cluster prefixes
+    * stay contiguous through the rewrite). The greedy sequential rule —
+    * an item opens a new bin when the space BEFORE it reaches the next
+    * target boundary, i.e. bin = ⌊(cumsum − size) / target⌋ — is
+    * deterministic, order-respecting, and closed-form over a running
+    * sum, so the whole plan is ONE cumulative-sum window per group plus
+    * a projection: no driver loop, no iterative packing, no item ever
+    * compared to more than its prefix sum. Bins can exceed `target`
+    * only by their LAST item (the classic ≤ 2× bound when items are
+    * ≤ target; an oversized single item gets its own overflowing bin).
+    *
+    * Scale shape: one window partitioned by `groupCol` ordered by
+    * `orderCol` — the same per-group running-sum shape as sessionize;
+    * state is a single long per partition stream. At 100 TB the items
+    * are FILES (billions at most), not rows, so even a skewed group's
+    * window stream is metadata-sized. Integer-exact below 2^63 total
+    * size per group.
+    *
+    * @return input + (bin, bin_pos): bin is 0-based per group, bin_pos
+    *         the 1-based position within the bin.
+    */
+  def compactionPlan(df: DataFrame, groupCol: String, orderCol: String,
+                     sizeCol: String, target: Long): DataFrame = {
+    require(target > 0)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = df
+      .withColumn("__cum", sum(col(sizeCol).cast("long")).over(w))
+      // integer DIV, not floor(double /): exact past 2^53 of cumulative
+      // size (the GlobalIds shard-label precedent)
+      .withColumn("bin",
+        expr(s"(__cum - CAST($sizeCol AS BIGINT)) DIV $target"))
+    val wBin = Window.partitionBy(col(groupCol), col("bin"))
+      .orderBy(col(orderCol))
+    binned
+      .withColumn("bin_pos", row_number().over(wBin).cast("long"))
+      .drop("__cum")
   }
 }

@@ -1179,6 +1179,23 @@ object LlmQueries {
     "q138_priority_sample" -> ((s, dir) => {
       Sampling.prioritySample(t(s, dir, "documents"), "doc_id", "n_chars",
         k = 40).orderBy("rank")
+    }),
+
+    // Compaction planning: pack each source's documents (doc_id order
+    // preserved — locality survives the rewrite) into ~4000-char output
+    // bins via the one-window running-sum rule; per-bin totals audited
+    // by re-aggregation in the same plan.
+    "q139_compaction_plan" -> ((s, dir) => {
+      val plan = graft.operators.Layout.compactionPlan(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", target = 4000L)
+      val binTotals = plan.groupBy("source", "bin")
+        .agg(sum("n_chars").as("bin_chars"),
+          count(lit(1)).as("bin_docs"))
+      plan.join(binTotals, Seq("source", "bin"))
+        .select("source", "bin", "bin_pos", "doc_id", "n_chars",
+          "bin_chars", "bin_docs")
+        .orderBy("source", "bin", "bin_pos")
     })
   )
 
@@ -3430,6 +3447,32 @@ object LlmQueries {
         |SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rank, priority,
         |       greatest(CAST(n_chars AS DOUBLE), tau.tau) AS est_weight
         |FROM rk CROSS JOIN tau
-        |WHERE rn <= 40 ORDER BY rank""".stripMargin
+        |WHERE rn <= 40 ORDER BY rank""".stripMargin,
+
+    // Compaction: bin = (cumsum − size) // target per source in doc_id
+    // order; totals re-aggregated per (source, bin).
+    "q139_compaction_plan" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(cum - n_chars AS BIGINT) // 4000 AS bin
+        |  FROM c),
+        |p AS (
+        |  SELECT source, bin, doc_id, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source, bin
+        |           ORDER BY doc_id) AS BIGINT) AS bin_pos
+        |  FROM b),
+        |t AS (
+        |  SELECT source, bin, CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+        |         CAST(count(*) AS BIGINT) AS bin_docs
+        |  FROM b GROUP BY 1, 2)
+        |SELECT p.source, p.bin, p.bin_pos, p.doc_id, p.n_chars,
+        |       t.bin_chars, t.bin_docs
+        |FROM p JOIN t USING (source, bin)
+        |ORDER BY p.source, p.bin, p.bin_pos""".stripMargin
   )
 }

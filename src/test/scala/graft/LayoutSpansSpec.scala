@@ -183,4 +183,32 @@ class LayoutSpansSpec extends SparkSpec {
     val cb = Profiling.tableChecksum(b, col("id"), col("s")).head.getDecimal(1)
     assert(ca !== cb)
   }
+
+  test("compactionPlan: greedy sequential bins, order preserved, last-item overflow only") {
+    import spark.implicits._
+    // sizes within one group: 3,4,5,9,2 with target 6 →
+    // cum:  3 7 12 21 23 ; bin = (cum−size)/6: 0 0 1 2 3
+    val df = Seq(("g", 1L, 3L), ("g", 2L, 4L), ("g", 3L, 5L),
+      ("g", 4L, 9L), ("g", 5L, 2L)).toDF("grp", "ord", "sz")
+    val plan = Layout.compactionPlan(df, "grp", "ord", "sz", target = 6L)
+      .orderBy("ord").collect()
+    assert(plan.map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 1L, 1L), (4L, 2L, 1L), (5L, 3L, 1L)))
+    // bins are contiguous runs: within a bin, positions count 1..n
+    val byBin = plan.groupBy(_.getLong(3)).view.mapValues(_.map(_.getLong(4)).sorted.toSeq)
+    assert(byBin.forall { case (_, ps) => ps == (1L to ps.length) })
+  }
+
+  test("compactionPlan: groups bin independently") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 7L), ("b", 1L, 7L), ("a", 2L, 5L), ("b", 2L, 5L))
+      .toDF("grp", "ord", "sz")
+    val plan = Layout.compactionPlan(df, "grp", "ord", "sz", target = 6L)
+      .orderBy("grp", "ord").collect()
+    // each group restarts at bin 0 (the 7 overflows it); the next item
+    // starts at offset 7 ≥ 6 → bin 1 — cumulative state never crosses
+    // group boundaries
+    assert(plan.map(r => (r.getString(0), r.getLong(3))).toSeq ==
+      Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)))
+  }
 }
