@@ -114,4 +114,60 @@ object Profiling {
       when(m2 =!= 0.0, m3 / (m2 * sqrt(m2))).as("skewness"),
       when(m2 =!= 0.0, m4 / (m2 * m2) - 3.0).as("kurtosis"))
   }
+
+  /** Distribution drift between two slices of one table (yesterday's
+    * snapshot vs today's batch, reference corpus vs candidate mix): the
+    * categorical total-variation distance TVD = ½·Σ|p_b − q_b| over the
+    * `binCol` histogram, plus per-bin shares and the exact integer
+    * numerator |n_ref·M − n_batch·N| each bin contributes. The corpus-
+    * monitoring gate: TVD is the fraction of probability mass that must
+    * move to turn one mix into the other — alert when a new crawl batch
+    * drifts from the blessed language/source/length profile.
+    *
+    * Exactness: the per-bin numerator is DECIMAL(38,0) integer
+    * arithmetic (n·M products overflow BIGINT once both slices pass
+    * ~3e9 rows — routine at corpus scale); doubles appear only as
+    * single exactly-rounded casts/divisions in a fixed expression
+    * order, so every emitted double is bit-reproducible cross-engine.
+    * No float is ever aggregated: the TVD numerator is summed as
+    * DECIMAL, divided once.
+    *
+    * Scale shape: ONE count-aggregate pass over the corpus keyed by
+    * bin (conditional counts — the slice column never forces a second
+    * scan), then arithmetic on |bins| rows; the totals row is a
+    * broadcast cross join. NULL bins form a regular group.
+    *
+    * @param inRef boolean column: true → reference slice, false → batch
+    * @return per bin: (binCol, n_ref, n_batch, share_ref, share_batch,
+    *         tvd_num DECIMAL(38,0), tvd DOUBLE) — tvd constant across
+    *         rows (the audit's headline), NULL if either slice is empty
+    */
+  def distributionDrift(df: DataFrame, binCol: String, inRef: Column): DataFrame = {
+    val hist = df.groupBy(col(binCol))
+      .agg(count(when(inRef, 1L)).as("n_ref"),
+        count(when(!inRef, 1L)).as("n_batch"))
+    val d38 = DecimalType(38, 0)
+    val totals = hist.agg(
+      sum("n_ref").cast(LongType).as("__N"),
+      sum("n_batch").cast(LongType).as("__M"))
+    val perBin = hist.crossJoin(broadcast(totals))
+      .withColumn("tvd_num",
+        abs(col("n_ref").cast(d38) * col("__M").cast(d38) -
+          col("n_batch").cast(d38) * col("__N").cast(d38)).cast(d38))
+    val tvdTotal = perBin.agg(sum("tvd_num").cast(d38).as("__num"),
+      min("__N").as("__N"), min("__M").as("__M"))
+      .withColumn("tvd",
+        when(col("__N") > 0 && col("__M") > 0,
+          col("__num").cast("double") /
+            (lit(2.0) * col("__N").cast("double") * col("__M").cast("double"))))
+      .select("tvd")
+    perBin.crossJoin(broadcast(tvdTotal))
+      .select(col(binCol),
+        col("n_ref"), col("n_batch"),
+        when(col("__N") > 0, col("n_ref").cast("double") / col("__N").cast("double"))
+          .as("share_ref"),
+        when(col("__M") > 0, col("n_batch").cast("double") / col("__M").cast("double"))
+          .as("share_batch"),
+        col("tvd_num"), col("tvd"))
+  }
 }

@@ -1196,6 +1196,17 @@ object LlmQueries {
         .select("source", "bin", "bin_pos", "doc_id", "n_chars",
           "bin_chars", "bin_docs")
         .orderBy("source", "bin", "bin_pos")
+    }),
+
+    // Distribution drift audit: language-mix total-variation distance
+    // between the first corpus half (the blessed reference) and the
+    // second (the incoming batch) — ½·Σ|p−q| with an exact DECIMAL
+    // numerator, the monitoring gate that catches a crawl whose mix
+    // wanders off the training recipe.
+    "q140_drift_audit" -> ((s, dir) => {
+      graft.operators.Profiling.distributionDrift(
+        t(s, dir, "documents"), "lang", col("doc_id") < 250)
+        .orderBy("lang")
     })
   )
 
@@ -3473,6 +3484,38 @@ object LlmQueries {
         |SELECT p.source, p.bin, p.bin_pos, p.doc_id, p.n_chars,
         |       t.bin_chars, t.bin_docs
         |FROM p JOIN t USING (source, bin)
-        |ORDER BY p.source, p.bin, p.bin_pos""".stripMargin
+        |ORDER BY p.source, p.bin, p.bin_pos""".stripMargin,
+
+    // Drift: per-bin conditional counts, HUGEINT (=DECIMAL(38,0))
+    // cross products for the exact TVD numerator, one double division
+    // at the end in the engine's operand order.
+    "q140_drift_audit" ->
+      """WITH hist AS (
+        |  SELECT lang,
+        |         CAST(count(*) FILTER (WHERE doc_id < 250) AS BIGINT) AS n_ref,
+        |         CAST(count(*) FILTER (WHERE doc_id >= 250) AS BIGINT) AS n_batch
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_ref) AS BIGINT) AS n,
+        |         CAST(sum(n_batch) AS BIGINT) AS m FROM hist),
+        |pb AS (
+        |  SELECT h.lang, h.n_ref, h.n_batch, t.n, t.m,
+        |         abs(CAST(h.n_ref AS HUGEINT) * t.m -
+        |             CAST(h.n_batch AS HUGEINT) * t.n) AS tvd_num
+        |  FROM hist h CROSS JOIN tot t),
+        |tv AS (
+        |  SELECT CASE WHEN min(n) > 0 AND min(m) > 0 THEN
+        |           CAST(sum(tvd_num) AS DOUBLE) /
+        |             (2.0 * CAST(min(n) AS DOUBLE) * CAST(min(m) AS DOUBLE))
+        |         END AS tvd
+        |  FROM pb)
+        |SELECT pb.lang, pb.n_ref, pb.n_batch,
+        |       CASE WHEN pb.n > 0
+        |            THEN CAST(pb.n_ref AS DOUBLE) / CAST(pb.n AS DOUBLE) END AS share_ref,
+        |       CASE WHEN pb.m > 0
+        |            THEN CAST(pb.n_batch AS DOUBLE) / CAST(pb.m AS DOUBLE) END AS share_batch,
+        |       pb.tvd_num, tv.tvd
+        |FROM pb CROSS JOIN tv
+        |ORDER BY pb.lang""".stripMargin
   )
 }

@@ -211,4 +211,28 @@ class LayoutSpansSpec extends SparkSpec {
     assert(plan.map(r => (r.getString(0), r.getLong(3))).toSeq ==
       Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)))
   }
+
+  test("distributionDrift: exact TVD numerators, headline 0.5 on a mirrored mix") {
+    import spark.implicits._
+    // ref: 3×A 1×B; batch: 1×A 3×B → per-bin |n_ref·M − n_batch·N| = 8,
+    // TVD = 16/(2·4·4) = 0.5
+    val df = (Seq.fill(3)(("A", true)) ++ Seq(("B", true)) ++
+      Seq(("A", false)) ++ Seq.fill(3)(("B", false)))
+      .toDF("bin", "is_ref")
+    val got = Profiling.distributionDrift(df, "bin", col("is_ref"))
+      .orderBy("bin").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("A", 3L, 1L), ("B", 1L, 3L)))
+    assert(got.map(_.getDecimal(5).longValueExact()).toSeq == Seq(8L, 8L))
+    assert(got.forall(_.getDouble(6) == 0.5))
+    assert(got.head.getDouble(3) == 0.75 && got.head.getDouble(4) == 0.25)
+  }
+
+  test("distributionDrift: empty slice yields NULL tvd, not a division blowup") {
+    import spark.implicits._
+    val df = Seq(("A", true), ("B", true)).toDF("bin", "is_ref")
+    val got = Profiling.distributionDrift(df, "bin", col("is_ref")).collect()
+    assert(got.forall(_.isNullAt(6)) && got.forall(_.isNullAt(4)))
+    assert(got.forall(!_.isNullAt(3)))
+  }
 }
