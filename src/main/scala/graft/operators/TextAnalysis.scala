@@ -64,6 +64,36 @@ object TextAnalysis {
       lit(seed),
       (acc, x) => (acc * mult + x) % mod)
 
+  /** Unicode NFC normalization (compiled kernel,
+    * expressions/NfcNormalizeNative): canonical composition so "é" as
+    * U+00E9 and as "e"+U+0301 hash identically everywhere downstream.
+    */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+    toColumn(graft.expressions.NfcNormalizeNative(toExpression(c)))
+  }
+
+  /** Canonical text for dedup/fingerprinting — the normalization pass a
+    * crawl corpus needs BEFORE any hash sees it: NFC composition, then
+    * whitespace-run collapse to one space (explicit class
+    * `[ \t\n\r\f\x0B]` — NOT `\s`, whose membership differs between
+    * regex engines: Java counts VT, RE2 does not), then removal of the
+    * remaining control/format characters (zero-widths, ZWJ, BOM — the
+    * invisible bytes that split exact-dup groups), then trim. Pure
+    * NFC + built-in regexp/trim composition: whole-stage codegen'd,
+    * reproducible in any engine with RE2-compatible classes (the q141
+    * oracle runs the same three steps in DuckDB).
+    *
+    * Deliberately does NOT lowercase: case is meaning-bearing for
+    * quality signals (q26's ALL-CAPS ratio) and lowercase tables are
+    * the one Unicode area where engines disagree (locale-sensitive
+    * mappings); case-fold downstream if a use case wants it.
+    */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(c), "[ \\t\\n\\r\\f\\x0B]+", " "),
+      "[\\p{Cc}\\p{Cf}]", ""))
+
   /** Whitespace tokens (shared with dedup so shingles and counts agree). */
   def tokens(text: Column): Column = graft.functions.tokens(text)
 

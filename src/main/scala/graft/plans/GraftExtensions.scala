@@ -170,7 +170,17 @@ object GraftExtensions {
         import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
         toCatalystTree(graft.operators.Winnow.fingerprintArray(toColumn(s),
           litInt(n, "graft_winnow_fps", "n"),
-          litInt(w, "graft_winnow_fps", "w"))) }))
+          litInt(w, "graft_winnow_fps", "w"))) }),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC canonical composition (compiled)"),
+      es => { val Seq(s) = arity("graft_nfc", 1)(es)
+        graft.expressions.NfcNormalizeNative(s) }),
+    (FunctionIdentifier("graft_canonical_text"),
+      info("graft_canonical_text",
+        "graft_canonical_text(s) - dedup canonical form: NFC, whitespace-run collapse, control/format strip, trim"),
+      es => { val Seq(s) = arity("graft_canonical_text", 1)(es)
+        import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
+        toCatalystTree(graft.operators.TextAnalysis.canonicalize(toColumn(s))) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

@@ -1207,6 +1207,28 @@ object LlmQueries {
       graft.operators.Profiling.distributionDrift(
         t(s, dir, "documents"), "lang", col("doc_id") < 250)
         .orderBy("lang")
+    }),
+
+    // Canonical text normalization (NFC + whitespace collapse + control/
+    // format strip + trim) — exercised on a synthetically-dirtied prefix
+    // (combining acute that NFC must compose, zero-width space and ZWJ
+    // that the format-strip must remove, tab/multi-space/VT runs the
+    // collapse must fold) so the gate tests the rewrite, not the ASCII
+    // no-op.
+    "q141_canonical_text" -> ((s, dir) => {
+      // "Cafe"+combining-acute (NFC must compose), zero-width space
+      // and ZWJ (format-strip must remove), tab/VT/multi-space runs
+      // (collapse must fold) -- explicit escapes, mirrored in the
+      // oracle literal.
+      val dirty = concat(
+        lit("Cafe\u0301\u200b  du\tmonde \u000b zw\u200dj: "),
+        col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("raw"))
+        .select(col("doc_id"),
+          TextAnalysis.canonicalize(col("raw")).as("canon"),
+          (col("raw") =!= TextAnalysis.canonicalize(col("raw"))).as("changed"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3516,6 +3538,25 @@ object LlmQueries {
         |            THEN CAST(pb.n_batch AS DOUBLE) / CAST(pb.m AS DOUBLE) END AS share_batch,
         |       pb.tvd_num, tv.tvd
         |FROM pb CROSS JOIN tv
-        |ORDER BY pb.lang""".stripMargin
+        |ORDER BY pb.lang""".stripMargin,
+
+    // Canonicalization: utf8proc NFC (stability-policy-identical to the
+    // JDK tables), then the same two RE2 passes and trim; the dirty
+    // prefix is rebuilt from chr() codepoints so both engines see
+    // byte-identical input.
+    "q141_canonical_text" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         'Cafe' || chr(769) || chr(8203) || '  du' || chr(9) ||
+        |         'monde ' || chr(11) || ' zw' || chr(8205) || 'j: ' || text AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, raw,
+        |         trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        |           '[ \t\n\r\f\x0B]+', ' ', 'g'),
+        |           '[\p{Cc}\p{Cf}]', '', 'g')) AS canon
+        |  FROM raw)
+        |SELECT doc_id, canon, raw <> canon AS changed
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }
