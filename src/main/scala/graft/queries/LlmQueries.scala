@@ -1229,8 +1229,45 @@ object LlmQueries {
           TextAnalysis.canonicalize(col("raw")).as("canon"),
           (col("raw") =!= TextAnalysis.canonicalize(col("raw"))).as("changed"))
         .orderBy("doc_id")
+    }),
+
+    // Weak supervision: three rule labeling functions (length band,
+    // 'the' presence, lexical diversity) -> per-doc majority-vote
+    // consensus label with tallies; ties and all-abstain stay NULL
+    // (unlabeled).
+    "q142_weak_labels" -> ((s, dir) => {
+      graft.operators.Supervision.majorityVote(
+        weakLfs(t(s, dir, "documents")),
+        Seq("lf_len", "lf_the", "lf_div"))
+        .orderBy("doc_id")
+    }),
+
+    // The LF audit table over the same vote: coverage / agreement /
+    // conflict per labeling function vs the q142 consensus — which
+    // heuristic to fix first.
+    "q143_lf_stats" -> ((s, dir) => {
+      val voted = graft.operators.Supervision.majorityVote(
+        weakLfs(t(s, dir, "documents")),
+        Seq("lf_len", "lf_the", "lf_div"))
+      graft.operators.Supervision.lfStats(
+        voted, Seq("lf_len", "lf_the", "lf_div"))
+        .orderBy("lf")
     })
   )
+
+  /** q142/q143's labeling functions: 1/0/NULL(abstain) rule votes from
+    * integer-exact text signals.
+    */
+  private def weakLfs(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"),
+      when(col("n_chars") >= 300, 1).when(col("n_chars") < 120, 0)
+        .as("lf_len"),
+      when(array_contains(toks, "the"), 1).otherwise(0).as("lf_the"),
+      when(size(toks) > 0,
+        when(size(array_distinct(toks)) * 2 >= size(toks), 1).otherwise(0))
+        .as("lf_div"))
+  }
 
   // ------------------------------------------------------------ oracles
 
@@ -1252,6 +1289,18 @@ object LlmQueries {
   /** Whitespace tokens (matches graft.functions.tokens). */
   private val oToks =
     """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+
+  /** q142/q143's labeling functions (mirrors [[weakLfs]]). */
+  private val oWeakLfs =
+    s"""lf AS (
+       |  SELECT doc_id,
+       |         CASE WHEN n_chars >= 300 THEN 1
+       |              WHEN n_chars < 120 THEN 0 END AS lf_len,
+       |         CASE WHEN list_contains($oToks, 'the') THEN 1 ELSE 0 END AS lf_the,
+       |         CASE WHEN len($oToks) > 0 THEN
+       |           CASE WHEN len(list_distinct($oToks)) * 2 >= len($oToks)
+       |                THEN 1 ELSE 0 END END AS lf_div
+       |  FROM documents)""".stripMargin
 
   /** Unrolled BPE training oracle (one CTE trio per merge step) —
     * mirrors [[graft.operators.Bpe.trainMerges]]: pair counts from each
@@ -3557,6 +3606,55 @@ object LlmQueries {
         |           '[\p{Cc}\p{Cf}]', '', 'g')) AS canon
         |  FROM raw)
         |SELECT doc_id, canon, raw <> canon AS changed
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Majority vote: fixed-order CASE tallies over the three LF votes.
+    "q142_weak_labels" ->
+      s"""WITH $oWeakLfs,
+         |v AS (
+         |  SELECT doc_id, lf_len, lf_the, lf_div,
+         |         CAST((CASE WHEN lf_len = 1 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN lf_the = 1 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN lf_div = 1 THEN 1 ELSE 0 END) AS BIGINT) AS votes_pos,
+         |         CAST((CASE WHEN lf_len = 0 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN lf_the = 0 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN lf_div = 0 THEN 1 ELSE 0 END) AS BIGINT) AS votes_neg
+         |  FROM lf)
+         |SELECT doc_id, lf_len, lf_the, lf_div, votes_pos, votes_neg,
+         |       CASE WHEN votes_pos > votes_neg THEN 1
+         |            WHEN votes_neg > votes_pos THEN 0 END AS label,
+         |       (votes_pos = 0 OR votes_neg = 0) AND votes_pos + votes_neg > 0 AS unanimous
+         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // LF audit: unpivot the votes, join each back to the consensus.
+    "q143_lf_stats" ->
+      s"""WITH $oWeakLfs,
+         |v AS (
+         |  SELECT doc_id, lf_len, lf_the, lf_div,
+         |         (CASE WHEN lf_len = 1 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN lf_the = 1 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN lf_div = 1 THEN 1 ELSE 0 END) AS vp,
+         |         (CASE WHEN lf_len = 0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN lf_the = 0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN lf_div = 0 THEN 1 ELSE 0 END) AS vn
+         |  FROM lf),
+         |lab AS (
+         |  SELECT doc_id, lf_len, lf_the, lf_div,
+         |         CASE WHEN vp > vn THEN 1 WHEN vn > vp THEN 0 END AS label
+         |  FROM v),
+         |up AS (
+         |  SELECT 'lf_len' AS lf, lf_len AS vote, label FROM lab
+         |  UNION ALL
+         |  SELECT 'lf_the' AS lf, lf_the AS vote, label FROM lab
+         |  UNION ALL
+         |  SELECT 'lf_div' AS lf, lf_div AS vote, label FROM lab)
+         |SELECT lf, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(vote) AS BIGINT) AS coverage,
+         |       CAST(count(*) FILTER (WHERE vote = label) AS BIGINT) AS agree,
+         |       CAST(count(*) FILTER (WHERE vote IS NOT NULL AND label IS NOT NULL
+         |                               AND vote <> label) AS BIGINT) AS conflict,
+         |       CAST(count(*) FILTER (WHERE vote IS NOT NULL AND label IS NULL)
+         |            AS BIGINT) AS no_consensus
+         |FROM up GROUP BY lf ORDER BY lf""".stripMargin
   )
 }
