@@ -1252,6 +1252,22 @@ object LlmQueries {
       graft.operators.Supervision.lfStats(
         voted, Seq("lf_len", "lf_the", "lf_div"))
         .orderBy("lf")
+    }),
+
+    // Golden-record survivorship: entity-resolution blocks (first-2-token
+    // prefix fingerprint — multi-member on this corpus, so the policies
+    // actually arbitrate) collapse to one consolidated row each —
+    // deterministic MODE (count desc, value asc) for lang/source, max
+    // for n_chars, min doc_id as the stable representative.
+    "q144_golden_record" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val clustered = t(s, dir, "documents")
+        .withColumn("ckey",
+          TextAnalysis.polyHash(concat_ws(" ", slice(toks, 1, 2))))
+      graft.operators.Merge.goldenRecord(
+        clustered, "ckey", "doc_id",
+        modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"))
+        .orderBy("rep_id")
     })
   )
 
@@ -3655,6 +3671,30 @@ object LlmQueries {
          |                               AND vote <> label) AS BIGINT) AS conflict,
          |       CAST(count(*) FILTER (WHERE vote IS NOT NULL AND label IS NULL)
          |            AS BIGINT) AS no_consensus
-         |FROM up GROUP BY lf ORDER BY lf""".stripMargin
+         |FROM up GROUP BY lf ORDER BY lf""".stripMargin,
+
+    // Survivorship: per-cluster counts + deterministic mode joins.
+    "q144_golden_record" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         ${oPolyHash("array_to_string(list_slice(" + oToks + ", 1, 2), ' ')")} AS ckey
+         |  FROM documents),
+         |base AS (
+         |  SELECT ckey, CAST(count(*) AS BIGINT) AS n_members,
+         |         min(doc_id) AS rep_id, max(n_chars) AS n_chars
+         |  FROM h GROUP BY 1),
+         |lc AS (SELECT ckey, lang, count(*) AS cnt FROM h
+         |       WHERE lang IS NOT NULL GROUP BY 1, 2),
+         |lb AS (SELECT ckey, max(cnt) AS best FROM lc GROUP BY 1),
+         |lw AS (SELECT lc.ckey, min(lc.lang) AS lang FROM lc
+         |       JOIN lb ON lc.ckey = lb.ckey AND lc.cnt = lb.best GROUP BY 1),
+         |sc AS (SELECT ckey, source, count(*) AS cnt FROM h
+         |       WHERE source IS NOT NULL GROUP BY 1, 2),
+         |sb AS (SELECT ckey, max(cnt) AS best FROM sc GROUP BY 1),
+         |sw AS (SELECT sc.ckey, min(sc.source) AS source FROM sc
+         |       JOIN sb ON sc.ckey = sb.ckey AND sc.cnt = sb.best GROUP BY 1)
+         |SELECT b.ckey, b.n_members, b.rep_id, b.n_chars, lw.lang, sw.source
+         |FROM base b LEFT JOIN lw USING (ckey) LEFT JOIN sw USING (ckey)
+         |ORDER BY b.rep_id""".stripMargin
   )
 }

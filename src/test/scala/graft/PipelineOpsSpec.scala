@@ -424,4 +424,27 @@ class PipelineOpsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(builtin - skewed._5.get) < 1e-9)
   }
+
+  test("goldenRecord: deterministic mode, max policy, null-blind consolidation") {
+    import spark.implicits._
+    val df = Seq(
+      // cluster 10: lang 2-2 TIE (en/de) and source 2-2 TIE (a/b) —
+      // both resolve to the smallest value; sizes 5,9,7,1 → max 9
+      (10L, 1L, Some("en"), Some("b"), 5L),
+      (10L, 2L, Some("en"), Some("a"), 9L),
+      (10L, 3L, Some("de"), Some("a"), 7L),
+      (10L, 4L, Some("de"), Some("b"), 1L),
+      // cluster 20: all-NULL lang stays NULL; singleton source survives
+      (20L, 7L, None, Some("c"), 3L)
+    ).toDF("ck", "id", "lang", "source", "sz")
+    val got = Merge.goldenRecord(df, "ck", "id",
+      modeCols = Seq("lang", "source"), maxCols = Seq("sz"))
+      .orderBy("ck").collect()
+    val rows = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), Option(r.getString(4)), Option(r.getString(5)))).toSeq
+    // cluster 10: lang 2-2 tie en/de → 'de' (smallest); source 2-2 tie → 'a'
+    assert(rows == Seq(
+      (10L, 4L, 1L, 9L, Some("de"), Some("a")),
+      (20L, 1L, 7L, 3L, None, Some("c"))))
+  }
 }
