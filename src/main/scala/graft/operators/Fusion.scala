@@ -97,4 +97,37 @@ object Fusion {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("overlap"), col("rank"))
   }
+
+  /** The rerank stage of retrieve-then-rerank: score an already-bounded
+    * candidate list (qid, nid) with the EXACT cosine and keep the top-k
+    * per query — fused/approximate arms propose, the precise scorer
+    * disposes. Candidates are ≤ Σ k_arm per query by construction, so
+    * they ride as the BROADCAST side of both id joins against the vector
+    * table (the corpus streams, nothing shuffles by candidate), and the
+    * per-query rank window sees only the candidate handful. Cosine is
+    * the library-standard left fold (same bits as every other cosine
+    * here), NULL on zero norms — those candidates drop before ranking.
+    *
+    * @return (qid, rank, nid, cos), rank by (cos DESC, nid ASC), ≤ k
+    */
+  def exactRerank(candidates: DataFrame, vectors: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val v = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      graft.functions.l2NormF(col(vecCol)).as("__n"))
+    val cand = candidates.select("qid", "nid")
+    val scored = v.select(col("__id").as("qid"), col("__v").as("__qv"), col("__n").as("__qn"))
+      .join(broadcast(cand), Seq("qid"))
+      .join(v.select(col("__id").as("nid"), col("__v").as("__cv"), col("__n").as("__cn")),
+        Seq("nid"))
+      .withColumn("cos",
+        when(col("__qn") * col("__cn") =!= 0.0,
+          graft.functions.dotProductF(col("__qv"), col("__cv")) /
+            (col("__qn") * col("__cn"))))
+      .filter(col("cos").isNotNull)
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
 }

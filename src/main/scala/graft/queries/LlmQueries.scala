@@ -1268,6 +1268,24 @@ object LlmQueries {
         clustered, "ckey", "doc_id",
         modeCols = Seq("lang", "source"), maxCols = Seq("n_chars"))
         .orderBy("rep_id")
+    }),
+
+    // Retrieve-then-rerank, composed end-to-end as ONE lazy plan: the
+    // q136 arms (dense cosine + lexical overlap, top-10 each) fuse by
+    // RRF to 8 candidates, which the exact cosine reranks to a final
+    // top-5 — approximate arms propose, the precise scorer disposes.
+    "q145_retrieve_rerank" -> ((s, dir) => {
+      val dense = Similarity.bruteForceTopK(
+        queriesSubset(s, dir), t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 10)
+      val lex = graft.operators.Fusion.tokenOverlapTopK(
+        t(s, dir, "documents").filter(col("doc_id") < 20),
+        t(s, dir, "documents"), "doc_id", "text", k = 10)
+      val fused = graft.operators.Fusion.rrf(
+        Seq("dense" -> dense, "lex" -> lex), c = 60, topK = 8)
+      graft.operators.Fusion.exactRerank(
+        fused, t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rank")
     })
   )
 
@@ -1305,6 +1323,44 @@ object LlmQueries {
   /** Whitespace tokens (matches graft.functions.tokens). */
   private val oToks =
     """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+
+  /** q136/q145's shared fusion CTEs: dense cosine arm (top-10), lexical
+    * distinct-token-overlap arm (top-10), full-outer RRF `fused` table
+    * with the engine's fixed-fold score.
+    */
+  private def oRrfCtes: String =
+    s"""$oNorms,
+       |dsc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCos("q", "c")} AS cos
+       |  FROM norms q JOIN norms c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |dr AS (
+       |  SELECT * FROM (
+       |    SELECT qid, nid,
+       |           CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |    FROM dsc) WHERE rank <= 10),
+       |qt AS (SELECT DISTINCT doc_id AS qid, unnest($oToks) AS t
+       |       FROM documents WHERE doc_id < 20),
+       |dt AS (SELECT DISTINCT doc_id AS nid, unnest($oToks) AS t
+       |       FROM documents),
+       |ov AS (
+       |  SELECT qt.qid, dt.nid, CAST(count(*) AS BIGINT) AS overlap
+       |  FROM qt JOIN dt ON qt.t = dt.t AND qt.qid <> dt.nid
+       |  GROUP BY 1, 2),
+       |lr AS (
+       |  SELECT * FROM (
+       |    SELECT qid, nid,
+       |           CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY overlap DESC, nid) AS BIGINT) AS rank
+       |    FROM ov) WHERE rank <= 10),
+       |fused AS (
+       |  SELECT coalesce(d.qid, l.qid) AS qid, coalesce(d.nid, l.nid) AS nid,
+       |         d.rank AS r_dense, l.rank AS r_lex,
+       |         0.0 + (CASE WHEN d.rank IS NOT NULL
+       |                     THEN 1.0 / (60.0 + d.rank) ELSE 0.0 END)
+       |             + (CASE WHEN l.rank IS NOT NULL
+       |                     THEN 1.0 / (60.0 + l.rank) ELSE 0.0 END) AS score
+       |  FROM dr d FULL OUTER JOIN lr l ON d.qid = l.qid AND d.nid = l.nid)""".stripMargin
 
   /** q142/q143's labeling functions (mirrors [[weakLfs]]). */
   private val oWeakLfs =
@@ -3476,44 +3532,37 @@ object LlmQueries {
     // fixed fold (0.0 + dense term + lexical term — each one
     // exactly-rounded division, so doubles match bit-for-bit).
     "q136_rrf_fusion" ->
-      s"""WITH $oNorms,
-         |dsc AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCos("q", "c")} AS cos
-         |  FROM norms q JOIN norms c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
-         |dr AS (
-         |  SELECT * FROM (
-         |    SELECT qid, nid,
-         |           CAST(row_number() OVER (PARTITION BY qid
-         |             ORDER BY cos DESC, nid) AS BIGINT) AS rank
-         |    FROM dsc) WHERE rank <= 10),
-         |qt AS (SELECT DISTINCT doc_id AS qid, unnest($oToks) AS t
-         |       FROM documents WHERE doc_id < 20),
-         |dt AS (SELECT DISTINCT doc_id AS nid, unnest($oToks) AS t
-         |       FROM documents),
-         |ov AS (
-         |  SELECT qt.qid, dt.nid, CAST(count(*) AS BIGINT) AS overlap
-         |  FROM qt JOIN dt ON qt.t = dt.t AND qt.qid <> dt.nid
-         |  GROUP BY 1, 2),
-         |lr AS (
-         |  SELECT * FROM (
-         |    SELECT qid, nid,
-         |           CAST(row_number() OVER (PARTITION BY qid
-         |             ORDER BY overlap DESC, nid) AS BIGINT) AS rank
-         |    FROM ov) WHERE rank <= 10),
-         |fused AS (
-         |  SELECT coalesce(d.qid, l.qid) AS qid, coalesce(d.nid, l.nid) AS nid,
-         |         d.rank AS r_dense, l.rank AS r_lex,
-         |         0.0 + (CASE WHEN d.rank IS NOT NULL
-         |                     THEN 1.0 / (60.0 + d.rank) ELSE 0.0 END)
-         |             + (CASE WHEN l.rank IS NOT NULL
-         |                     THEN 1.0 / (60.0 + l.rank) ELSE 0.0 END) AS score
-         |  FROM dr d FULL OUTER JOIN lr l ON d.qid = l.qid AND d.nid = l.nid)
+      s"""WITH $oRrfCtes
          |SELECT * FROM (
          |  SELECT qid,
          |         CAST(row_number() OVER (PARTITION BY qid
          |           ORDER BY score DESC, nid) AS BIGINT) AS rank,
          |         nid, score, r_dense, r_lex
          |  FROM fused)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // Retrieve-then-rerank: the q136 fusion CTEs cut at 8, re-scored by
+    // the exact cosine fold (zero-norm candidates drop), final top-5.
+    "q145_retrieve_rerank" ->
+      s"""WITH $oRrfCtes,
+         |fr AS (
+         |  SELECT * FROM (
+         |    SELECT qid, nid,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, nid) AS frank
+         |    FROM fused) WHERE frank <= 8),
+         |rr AS (
+         |  SELECT f.qid, f.nid, ${oCos("q", "c")} AS cos
+         |  FROM fr f
+         |  JOIN norms q ON q.vec_id = f.qid
+         |  JOIN norms c ON c.vec_id = f.nid
+         |  WHERE q.nrm * c.nrm <> 0)
+         |SELECT * FROM (
+         |  SELECT qid,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, nid) AS BIGINT) AS rank,
+         |         nid, cos
+         |  FROM rr)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // k-anonymity: plain GROUP BY over the QI tuple; flags compare the

@@ -59,4 +59,20 @@ class FusionSpec extends SparkSpec {
       Fusion.rrf(Seq("a" -> a, "a" -> a), topK = 1)
     }
   }
+
+  test("exactRerank: candidate set re-scored by exact cosine, zero-norm drops") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),   // query
+      (1L, Array(1f, 0f)),   // cos 1
+      (2L, Array(0f, 1f)),   // cos 0
+      (3L, Array(1f, 1f)),   // cos ~0.707
+      (4L, Array(0f, 0f))    // zero norm → dropped
+    ).toDF("id", "vec")
+    // candidate order deliberately disagrees with cosine order
+    val cand = Seq((0L, 2L), (0L, 3L), (0L, 1L), (0L, 4L)).toDF("qid", "nid")
+    val got = Fusion.exactRerank(cand, vecs, "id", "vec", k = 10)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L))
+    assert(got.head.getDouble(3) == 1.0)
+  }
 }
