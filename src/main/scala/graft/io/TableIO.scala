@@ -15,8 +15,18 @@ import org.apache.spark.sql.functions.col
   */
 object TableIO {
 
-  def read(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
-    spark.read.format(format).load(path)
+  /** @param schema explicit read schema — REQUIRED for untyped formats
+    *                (csv/json) where inference would both cost an extra
+    *                pass over 100 TB and produce drift-prone types;
+    *                columnar formats (parquet/orc) carry their own.
+    * @param options format options (e.g. csv multiLine/quote/escape)
+    */
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+           schema: Option[org.apache.spark.sql.types.StructType] = None,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schema.fold(r)(r.schema).load(path)
+  }
 
   /** Dynamic partition-column selection exactly like
     * gold_processor.py:246-251: [year,month] if both present, else [year],
@@ -31,7 +41,8 @@ object TableIO {
             partitionBy: Seq[String] = Seq.empty,
             format: String = "parquet",
             mode: String = "overwrite",
-            compactPerPartition: Boolean = true): Unit = {
+            compactPerPartition: Boolean = true,
+            options: Map[String, String] = Map.empty): Unit = {
     val arranged =
       if (partitionBy.nonEmpty && compactPerPartition)
         // Co-locate rows of each hive partition so the writer doesn't emit
@@ -45,7 +56,7 @@ object TableIO {
         // default), so a skewed month fans out instead of OOMing one task.
         df.hint("rebalance", partitionBy: _*)
       else df
-    val writer = arranged.write.format(format).mode(mode)
+    val writer = arranged.write.format(format).mode(mode).options(options)
     val partitioned =
       if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
     partitioned.save(path)

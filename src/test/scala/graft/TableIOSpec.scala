@@ -35,4 +35,44 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.goldPartitionColumns(df.drop("month")) === Seq("year"))
     assert(TableIO.goldPartitionColumns(df.select("x")) === Seq.empty)
   }
+
+  test("orc round-trip: partitioned write/read is value-identical to parquet") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    TableIO.write(df, s"$dir/orc", partitionBy = Seq("lang"), format = "orc")
+    TableIO.write(df, s"$dir/pq", partitionBy = Seq("lang"), format = "parquet")
+    def ck(path: String, fmt: String) =
+      Profiling.tableChecksum(TableIO.read(spark, path, fmt),
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .head.getDecimal(1)
+    assert(ck(s"$dir/orc", "orc") === ck(s"$dir/pq", "parquet"))
+  }
+
+  test("csv round-trip with explicit schema survives newlines and quotes") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, "plain text"),
+      (2L, "embedded \"quotes\" and, commas"),
+      (3L, "multi\nline\ntext"),
+      (4L, "")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    TableIO.write(df, s"$dir/csv", format = "csv",
+      options = Map("header" -> "true", "quoteAll" -> "true", "escape" -> "\""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val back = TableIO.read(spark, s"$dir/csv", "csv", Some(schema),
+      Map("header" -> "true", "multiLine" -> "true", "escape" -> "\""))
+    // CSV cannot distinguish empty string from NULL on read — normalize
+    // both sides the way a real ingest contract would (coalesce to '')
+    def ck(d: org.apache.spark.sql.DataFrame) =
+      Profiling.tableChecksum(
+        d.select(col("id"), org.apache.spark.sql.functions.coalesce(col("text"),
+          org.apache.spark.sql.functions.lit("")).as("text")),
+        col("id"), col("text")).head.getDecimal(1)
+    assert(ck(back) === ck(df))
+  }
 }
