@@ -96,6 +96,58 @@ object EventStreams {
           .as("est"))
   }
 
+  /** Windowed distribution-drift monitor — the streaming twin of
+    * [[graft.operators.Profiling.distributionDrift]], against a FIXED
+    * reference mix: per tumbling window, the event-type distribution's
+    * total-variation distance from literal reference weights. The alert
+    * that fires while a bad deploy is still skewing traffic, not in
+    * tomorrow's batch audit.
+    *
+    * Shape constraint that matters: streaming allows ONE stateful
+    * aggregation, so the usual histogram→totals two-pass TVD is
+    * restructured as a single groupBy(window) whose per-bin counts are
+    * conditional aggregates over the ENUMERATED reference bins (the
+    * reference mix is a literal — enumerable by definition), plus an
+    * `other` bucket for types outside it (reference weight 0). The TVD
+    * is then a row-local fixed-order integer fold over those columns —
+    * numerator Σ_b |c_b·W − w_b·n| in exact longs, ONE double division
+    * at emit — so state per open window is |bins|+2 longs and the value
+    * is bit-identical to the same expression over the same rows in
+    * batch (parity locked in StreamingSpec).
+    *
+    * @param refWeights (bin, integer weight) reference mix, e.g.
+    *                   ("click",60),("view",30),("buy",10)
+    * @return streaming (window_start, n, n_<bin>..., n_other, tvd)
+    */
+  def windowedDriftVsReference(events: DataFrame,
+                               refWeights: Seq[(String, Long)],
+                               watermark: String = "10 minutes",
+                               windowLength: String = "5 minutes"): DataFrame = {
+    require(refWeights.nonEmpty && refWeights.forall(_._2 >= 0))
+    require(refWeights.map(_._1).distinct.length == refWeights.length)
+    val wTot = refWeights.map(_._2).sum
+    require(wTot > 0, "reference weights must not all be zero")
+    val bins = refWeights.map(_._1)
+    val cnts = refWeights.map { case (b, _) =>
+      count(when(col("event_type") === b, 1L)).as(s"n_$b")
+    }
+    val other = count(when(!col("event_type").isInCollection(bins) ||
+      col("event_type").isNull, 1L)).as("n_other")
+    val agg = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(cnts.head, (cnts.tail :+ other :+ count(lit(1)).as("n")): _*)
+    val num = refWeights.map { case (b, w) =>
+      abs(col(s"n_$b") * wTot - lit(w) * col("n"))
+    }.reduce(_ + _) + abs(col("n_other") * wTot)
+    agg.select(Seq(col("window.start").as("window_start"), col("n")) ++
+      bins.map(b => col(s"n_$b")) ++ Seq(col("n_other"),
+        when(col("n") > 0,
+          num.cast("double") /
+            (lit(2.0) * col("n").cast("double") * lit(wTot.toDouble)))
+          .as("tvd")): _*)
+  }
+
   /** Session windows per user: built-in session_window with an inactivity
     * gap — sessions close (and emit) once the watermark passes the gap.
     */

@@ -615,4 +615,45 @@ class StreamingSpec extends SparkSpec {
       assert(c2.toSeq === Seq(1L, 3L, 5L, 8L))
     } finally query2.stop()
   }
+
+  test("windowedDriftVsReference: exact TVD per window, merged across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference mix click:view = 3:1 (W=4)
+    val ref = Seq(("click", 3L), ("view", 1L))
+    // window 1: 3 click + 1 view = exact match → TVD 0
+    // window 2: 1 click + 2 view + 1 other →
+    //   num = |1·4−3·4| + |2·4−1·4| + |1·4| = 8+4+4 = 16; TVD = 16/(2·4·4) = 0.5
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 0), Event(2, ts(1), 1, "click", 0),
+      Event(3, ts(2), 1, "click", 0), Event(4, ts(3), 1, "view", 0),
+      Event(5, ts(11), 1, "click", 0), Event(6, ts(12), 1, "view", 0),
+      Event(7, ts(13), 1, "view", 0), Event(8, ts(14), 1, "scroll", 0))
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedDriftVsReference(input.toDF(), ref,
+      "10 minutes", "10 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wdr").start()
+    try {
+      input.addData(events.take(3): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(3): _*) // counts merge across micro-batches
+      query.processAllAvailable()
+      val rows = spark.table("wdr")
+        .select("window_start", "n", "n_click", "n_view", "n_other", "tvd")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      assert(rows === Set(
+        (ts(0), 4L, 3L, 1L, 0L, 0.0),
+        (ts(10), 4L, 1L, 2L, 1L, 0.5)))
+      // batch parity: the same expression over the same rows
+      val batch = EventStreams.windowedDriftVsReference(
+        events.toDF(), ref, "10 minutes", "10 minutes")
+        .select("window_start", "n", "n_click", "n_view", "n_other", "tvd")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      assert(batch === rows)
+    } finally query.stop()
+  }
 }
