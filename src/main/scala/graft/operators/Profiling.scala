@@ -115,6 +115,56 @@ object Profiling {
       when(m2 =!= 0.0, m4 / (m2 * m2) - 3.0).as("kurtosis"))
   }
 
+  /** One-row corpus datasheet — the "dataset card" headline numbers a
+    * release ships with (Gebru et al., Datasheets for Datasets):
+    * volume (docs/tokens/chars), diversity (distinct langs/sources),
+    * hygiene (exact-dup docs, short docs, PII-bearing docs), and mean
+    * length — ALL computed in one aggregate pass over one projection
+    * (each per-doc signal is a scan-side expression; no joins, no
+    * second scan; the only exact-distinct state is langs/sources/text
+    * hashes, which Spark plans as two-phase distinct aggregates).
+    *
+    * The dup counter dedups on the text FINGERPRINT (polyHash), not the
+    * text: the distinct-aggregate state then holds 8-byte hashes, never
+    * document bodies — the difference between a metadata-sized report
+    * and shuffling the corpus. mean_chars is one exactly-rounded
+    * division of exact BIGINTs.
+    *
+    * @param lenChars per-doc character count expression — pass the
+    *                 corpus's materialized length column (`n_chars`)
+    *                 rather than `length(text)`: engines disagree on
+    *                 astral-plane lengths (UTF-16 units vs codepoints),
+    *                 and a datasheet must not depend on which engine
+    *                 measured it.
+    * @return one row: (n_docs, n_tokens, n_chars, n_langs, n_sources,
+    *         exact_dup_docs, short_docs, pii_docs, mean_chars)
+    */
+  def datasheet(docs: DataFrame, textCol: String, langCol: String,
+                sourceCol: String, lenChars: Column,
+                shortBelowChars: Long = 120L): DataFrame = {
+    val text = col(textCol)
+    val perDoc = docs.select(
+      text,
+      col(langCol).as("__lang"), col(sourceCol).as("__source"),
+      graft.operators.TextAnalysis.tokenCount(text).as("__ntok"),
+      lenChars.cast(LongType).as("__nchr"),
+      graft.operators.TextAnalysis.polyHash(text).as("__fp"),
+      (graft.operators.TextAnalysis.emailCount(text) +
+        graft.operators.TextAnalysis.ipv4Count(text) > 0).as("__pii"))
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum("__ntok").cast(LongType).as("n_tokens"),
+      sum("__nchr").cast(LongType).as("n_chars"),
+      countDistinct(col("__lang")).as("n_langs"),
+      countDistinct(col("__source")).as("n_sources"),
+      (count(lit(1)) - countDistinct(col("__fp"))).as("exact_dup_docs"),
+      count(when(col("__nchr") < shortBelowChars, 1L)).as("short_docs"),
+      count(when(col("__pii"), 1L)).as("pii_docs"))
+      .withColumn("mean_chars",
+        when(col("n_docs") > 0,
+          col("n_chars").cast("double") / col("n_docs").cast("double")))
+  }
+
   /** Distribution drift between two slices of one table (yesterday's
     * snapshot vs today's batch, reference corpus vs candidate mix): the
     * categorical total-variation distance TVD = ½·Σ|p_b − q_b| over the

@@ -1286,6 +1286,15 @@ object LlmQueries {
       graft.operators.Fusion.exactRerank(
         fused, t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("qid", "rank")
+    }),
+
+    // One-row corpus datasheet (the dataset-card headline numbers):
+    // volume, diversity, hygiene (dups / short docs / PII) in a single
+    // aggregate pass — the release artifact every corpus ships with.
+    "q146_datasheet" -> ((s, dir) => {
+      graft.operators.Profiling.datasheet(
+        t(s, dir, "documents"), "text", "lang", "source",
+        lenChars = col("n_chars"))
     })
   )
 
@@ -3744,6 +3753,29 @@ object LlmQueries {
          |       JOIN sb ON sc.ckey = sb.ckey AND sc.cnt = sb.best GROUP BY 1)
          |SELECT b.ckey, b.n_members, b.rep_id, b.n_chars, lw.lang, sw.source
          |FROM base b LEFT JOIN lw USING (ckey) LEFT JOIN sw USING (ckey)
-         |ORDER BY b.rep_id""".stripMargin
+         |ORDER BY b.rep_id""".stripMargin,
+
+    // Datasheet: one aggregate over one scan-side projection; the dup
+    // counter dedups on the polyHash fingerprint exactly as the engine.
+    "q146_datasheet" ->
+      s"""WITH d AS (
+         |  SELECT lang, source, n_chars,
+         |         CAST(len($oToks) AS BIGINT) AS ntok,
+         |         ${oPolyHash("text")} AS fp,
+         |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+         |         len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) > 0 AS pii
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS exact_dup_docs,
+         |       CAST(count(*) FILTER (WHERE n_chars < 120) AS BIGINT) AS short_docs,
+         |       CAST(count(*) FILTER (WHERE pii) AS BIGINT) AS pii_docs,
+         |       CASE WHEN count(*) > 0 THEN
+         |         CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |       END AS mean_chars
+         |FROM d""".stripMargin
   )
 }

@@ -228,6 +228,23 @@ class LayoutSpansSpec extends SparkSpec {
     assert(got.head.getDouble(3) == 0.75 && got.head.getDouble(4) == 0.25)
   }
 
+  test("datasheet: one-row card with volume, diversity, and hygiene counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world", "en", "a", 11L),
+      (2L, "hello world", "en", "b", 11L),             // exact dup of 1
+      (3L, "short", "de", "a", 5L),                    // short
+      (4L, "mail me at x@y.io today", "en", "a", 23L)  // PII
+    ).toDF("id", "text", "lang", "source", "n_chars")
+    val r = Profiling.datasheet(docs, "text", "lang", "source",
+      lenChars = col("n_chars"), shortBelowChars = 10L).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 10L, 50L))
+    assert((r.getLong(3), r.getLong(4)) == (2L, 2L))      // langs, sources
+    assert(r.getLong(5) == 1L)                            // one dup doc
+    assert(r.getLong(6) == 1L && r.getLong(7) == 1L)      // short, pii
+    assert(r.getDouble(8) == 12.5)
+  }
+
   test("distributionDrift: empty slice yields NULL tvd, not a division blowup") {
     import spark.implicits._
     val df = Seq(("A", true), ("B", true)).toDF("bin", "is_ref")
