@@ -165,6 +165,44 @@ object Profiling {
           col("n_chars").cast("double") / col("n_docs").cast("double")))
   }
 
+  /** Leave-one-out ablation report — the data-valuation baseline: for
+    * each group (source, domain, crawl snapshot), how would the corpus
+    * mean of an integer metric move if the group were REMOVED? Additive
+    * metrics make the answer closed-form from per-group sums — no
+    * retraining, no N re-scans: mean_without_g = (S − s_g)/(N − n_g)
+    * from ONE aggregate pass over the corpus — so the report costs one
+    * groupBy regardless of group count. This ranks sources by marginal
+    * contribution (the first question of any mixture re-weighting),
+    * which is why it belongs next to [[datasheet]] in the release kit.
+    *
+    * Exactness: sums and counts are exact BIGINTs; every emitted mean
+    * is one exactly-rounded division — nothing float is ever aggregated.
+    *
+    * @param metric integer-valued per-row metric (a 0/1 gate bit, a
+    *               token count) — additive, else LOO is not closed-form
+    * @return per group: (groupCol, n_rows, metric_sum, mean_in,
+    *         mean_overall, mean_without, delta) — delta = mean_overall −
+    *         mean_without (> 0 ⇒ the group lifts the corpus metric);
+    *         mean_without NULL for a group that IS the whole corpus
+    */
+  def leaveOneOutMeans(df: DataFrame, groupCol: String, metric: Column): DataFrame = {
+    val per = df.select(col(groupCol), metric.cast(LongType).as("__m"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum("__m").cast(LongType).as("metric_sum"))
+    val tot = per.agg(sum("n_rows").cast(LongType).as("__N"),
+      sum("metric_sum").cast(LongType).as("__S"))
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_rows"), col("metric_sum"),
+        (col("metric_sum").cast("double") / col("n_rows").cast("double"))
+          .as("mean_in"),
+        (col("__S").cast("double") / col("__N").cast("double"))
+          .as("mean_overall"),
+        when(col("__N") > col("n_rows"),
+          (col("__S") - col("metric_sum")).cast("double") /
+            (col("__N") - col("n_rows")).cast("double")).as("mean_without"))
+      .withColumn("delta", col("mean_overall") - col("mean_without"))
+  }
+
   /** Distribution drift between two slices of one table (yesterday's
     * snapshot vs today's batch, reference corpus vs candidate mix): the
     * categorical total-variation distance TVD = ½·Σ|p_b − q_b| over the

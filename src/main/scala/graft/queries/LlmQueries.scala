@@ -1295,6 +1295,18 @@ object LlmQueries {
       graft.operators.Profiling.datasheet(
         t(s, dir, "documents"), "text", "lang", "source",
         lenChars = col("n_chars"))
+    }),
+
+    // Source-ablation report (leave-one-out data valuation): per source,
+    // the corpus quality-gate pass rate with and without it — the
+    // closed-form ranking that decides which source a mixture re-weight
+    // cuts first. Metric = the q81 composite gate's keep bit.
+    "q147_source_ablation" -> ((s, dir) => {
+      val gated = TextAnalysis.qualityGate(
+        t(s, dir, "documents"), "doc_id", "text", keepInputCols = true)
+      graft.operators.Profiling.leaveOneOutMeans(
+        gated, "source", col("keep").cast("long"))
+        .orderBy("source")
     })
   )
 
@@ -3776,6 +3788,30 @@ object LlmQueries {
          |       CASE WHEN count(*) > 0 THEN
          |         CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |       END AS mean_chars
-         |FROM d""".stripMargin
+         |FROM d""".stripMargin,
+
+    // LOO ablation: per-source gate-pass sums off the q81 verdict CTEs,
+    // closed-form means; delta recomputes the same two divisions and
+    // subtracts (identical operands → identical double bits).
+    "q147_source_ablation" ->
+      s"""WITH $oGateCtes,
+         |per AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(CASE WHEN v.reasons = 0 THEN 1 ELSE 0 END) AS BIGINT) AS metric_sum
+         |  FROM verdict v JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_rows) AS BIGINT) AS n,
+         |         CAST(sum(metric_sum) AS BIGINT) AS s FROM per)
+         |SELECT p.source, p.n_rows, p.metric_sum,
+         |       CAST(p.metric_sum AS DOUBLE) / CAST(p.n_rows AS DOUBLE) AS mean_in,
+         |       CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_overall,
+         |       CASE WHEN t.n > p.n_rows THEN
+         |         CAST(t.s - p.metric_sum AS DOUBLE) /
+         |         CAST(t.n - p.n_rows AS DOUBLE) END AS mean_without,
+         |       CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) -
+         |         (CASE WHEN t.n > p.n_rows THEN
+         |            CAST(t.s - p.metric_sum AS DOUBLE) /
+         |            CAST(t.n - p.n_rows AS DOUBLE) END) AS delta
+         |FROM per p CROSS JOIN tot t ORDER BY p.source""".stripMargin
   )
 }

@@ -245,6 +245,27 @@ class LayoutSpansSpec extends SparkSpec {
     assert(r.getDouble(8) == 12.5)
   }
 
+  test("leaveOneOutMeans: closed-form LOO deltas from one pass") {
+    import spark.implicits._
+    // source a: 2 of 3 pass; source b: 0 of 1 → overall 2/4
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 0L), ("b", 0L))
+      .toDF("src", "pass")
+    val got = Profiling.leaveOneOutMeans(df, "src", col("pass"))
+      .orderBy("src").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L)
+    assert(a.getDouble(4) == 0.5 && a.getDouble(5) == 0.0)
+    assert(a.getDouble(6) == 0.5)   // removing a drops the corpus to 0
+    assert(b.getDouble(5) == 2.0 / 3 && b.getDouble(6) == 0.5 - 2.0 / 3)
+  }
+
+  test("leaveOneOutMeans: a group that is the whole corpus has NULL mean_without") {
+    import spark.implicits._
+    val df = Seq(("only", 1L), ("only", 0L)).toDF("src", "pass")
+    val got = Profiling.leaveOneOutMeans(df, "src", col("pass")).head
+    assert(got.isNullAt(5) && got.isNullAt(6))
+  }
+
   test("distributionDrift: empty slice yields NULL tvd, not a division blowup") {
     import spark.implicits._
     val df = Seq(("A", true), ("B", true)).toDF("bin", "is_ref")
