@@ -97,6 +97,42 @@ object TextAnalysis {
   /** Whitespace tokens (shared with dedup so shingles and counts agree). */
   def tokens(text: Column): Column = graft.functions.tokens(text)
 
+  /** Sentence count: non-blank fragments between [.!?] runs — the crude
+    * segmentation every readability formula is defined over.
+    */
+  def sentenceCount(text: Column): Column =
+    size(filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)).cast(LongType)
+
+  /** Syllable proxy: vowel-group runs, the standard heuristic. Both
+    * cases are in the class rather than lowercasing first — lowercase
+    * tables are engine-divergent for exotic code points (U+0130), and a
+    * divergent lowercase could manufacture a vowel.
+    */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[aeiouyAEIOUY]+"), lit(0))).cast(LongType)
+
+  /** Flesch–Kincaid grade level per document — the length-and-density
+    * readability screen (a standard quality signal next to q26's
+    * ratios): 0.39·(words/sentence) + 11.8·(syllables/word) − 15.59,
+    * NULL when the text has no sentences or no words. Pure projection
+    * (three counts + fixed-order double arithmetic over exact integer
+    * operands) — scan-speed, codegen'd, bit-reproducible cross-engine.
+    *
+    * @return (idCol, n_sentences, n_words, n_syllables, fk_grade)
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    docs.select(col(idCol),
+      sentenceCount(text).as("n_sentences"),
+      tokenCount(text).as("n_words"),
+      syllableCount(text).as("n_syllables"))
+      .withColumn("fk_grade",
+        when(col("n_sentences") > 0 && col("n_words") > 0,
+          lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+            lit(15.59)))
+  }
+
   /** Compiled token count (expressions/TokenCountNative): same value as
     * size(tokens(text)) — the kernel scans the same explicit whitespace
     * class — without materializing the token array per row.

@@ -1307,6 +1307,34 @@ object LlmQueries {
       graft.operators.Profiling.leaveOneOutMeans(
         gated, "source", col("keep").cast("long"))
         .orderBy("source")
+    }),
+
+    // LM-familiarity curriculum, composed as ONE plan: q87's corpus
+    // familiarity → centi-integerized (bounded-cardinality histogram
+    // key) → q75's tie-stable quartile buckets → q35's deterministic
+    // 25% per-doc hash sample. The curriculum manifest a staged
+    // training run reads.
+    "q148_curriculum_sample" -> ((s, dir) => {
+      val fam = graft.operators.NgramLm.familiarity(
+        t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .filter(col("familiarity").isNotNull)
+        .select(col("doc_id"), col("familiarity"),
+          floor(col("familiarity") * 100).cast("long").as("fam_centi"))
+        .withColumn("__all", lit(1))
+      val bucketed = graft.operators.ExactQuantiles.valueNtile(
+        fam, "__all", "fam_centi", k = 4)
+      Sampling.deterministicSample(bucketed, "doc_id", pct = 25)
+        .select(col("doc_id"), col("familiarity"), col("fam_centi"),
+          col("fam_centi_bucket").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // Flesch-Kincaid readability screen: grade level from exact
+    // sentence/word/vowel-run counts — the length-and-density quality
+    // signal beside q26's ratios.
+    "q149_readability" -> ((s, dir) => {
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -3812,6 +3840,58 @@ object LlmQueries {
          |         (CASE WHEN t.n > p.n_rows THEN
          |            CAST(t.s - p.metric_sum AS DOUBLE) /
          |            CAST(t.n - p.n_rows AS DOUBLE) END) AS delta
-         |FROM per p CROSS JOIN tot t ORDER BY p.source""".stripMargin
+         |FROM per p CROSS JOIN tot t ORDER BY p.source""".stripMargin,
+
+    // Curriculum: q87's familiarity CTEs → floor(×100) integer key →
+    // q75's histogram-cumsum bucket rule (k=4, single group) → q35's
+    // Knuth-bucket 25% pick.
+    "q148_curriculum_sample" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $oToks AS tk FROM documents),
+         |dg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |  FROM toks),
+         |cc AS (SELECT gram, count(*) AS cnt FROM dg GROUP BY 1),
+         |st AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(cnt) AS BIGINT) AS sum_freq
+         |  FROM dg JOIN cc USING (gram) GROUP BY 1),
+         |fam AS (
+         |  SELECT doc_id,
+         |         CAST(sum_freq AS DOUBLE) / n_grams AS familiarity,
+         |         CAST(floor((CAST(sum_freq AS DOUBLE) / n_grams) * 100)
+         |              AS BIGINT) AS fam_centi
+         |  FROM st WHERE n_grams > 0),
+         |hb AS (SELECT fam_centi AS v, count(*) AS c FROM fam GROUP BY 1),
+         |b AS (
+         |  SELECT v,
+         |         CAST((sum(c) OVER (ORDER BY v) * 4 - 1)
+         |              // (sum(c) OVER ()) + 1 AS BIGINT) AS bucket
+         |  FROM hb)
+         |SELECT f.doc_id, f.familiarity, f.fam_centi, b.bucket
+         |FROM fam f JOIN b ON f.fam_centi = b.v
+         |WHERE (((f.doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 25
+         |ORDER BY f.doc_id""".stripMargin,
+
+    // Readability: the same three counts and the same fixed-order FK
+    // arithmetic ((0.39·w/s + 11.8·syl/w) − 15.59).
+    "q149_readability" ->
+      s"""SELECT doc_id,
+         |       CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+         |            s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+         |       CAST(len($oToks) AS BIGINT) AS n_words,
+         |       CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables,
+         |       CASE WHEN len(list_filter(string_split_regex(text, '[.!?]+'),
+         |                    s -> len(trim(s)) > 0)) > 0
+         |                 AND len($oToks) > 0 THEN
+         |         0.39 * (CAST(len($oToks) AS DOUBLE) /
+         |                 CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+         |                      s -> len(trim(s)) > 0)) AS DOUBLE)) +
+         |         11.8 * (CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS DOUBLE) /
+         |                 CAST(len($oToks) AS DOUBLE)) -
+         |         15.59
+         |       END AS fk_grade
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -43,6 +43,25 @@ class TextNormSpec extends SparkSpec {
     assert(distinct == 1L)
   }
 
+  test("readability: FK grade from exact counts, NULL without sentences") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "no terminator here"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    // 2 sentences, 6 words, syllable runs: e,a,a,e,o,a (6)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == (2L, 6L, 6L))
+    assert(math.abs(r1.getDouble(4) -
+      (0.39 * 3.0 + 11.8 * 1.0 - 15.59)) < 1e-12)
+    // no sentence terminator → the whole text is one sentence fragment
+    assert(got(1).getLong(1) == 1L && !got(1).isNullAt(4))
+    // empty text → no sentences, no words → NULL grade
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(4))
+  }
+
   test("graft_nfc and graft_canonical_text are SQL-callable") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
