@@ -361,4 +361,51 @@ object Similarity {
       .filter(col("__rk") === 1 && col("margin") >= threshold)
       .select(col("sid"), col("tid"), col("cos"), col("margin"))
   }
+
+  /** Contrastive training triplets (anchor, positive, negative):
+    * positives come in as a mined pair list (near-dup pairs, bitext
+    * pairs, click pairs); negatives are drawn by BUCKETED deterministic
+    * sampling — the corpus is hashed once into `buckets` buckets, each
+    * bucket keeps its two smallest-hash members as representatives, and
+    * an anchor takes its hash bucket's first representative that is
+    * neither itself nor its positive (the second covers the collision;
+    * the rare bucket holding exactly {anchor, positive} yields no
+    * triplet and is dropped). This is the RANDOM-negative generator —
+    * [[hardNegatives]] is the similarity-aware sibling; real recipes mix
+    * both.
+    *
+    * Scale shape: one corpus pass shuffled by bucket key (top-2 rank
+    * window, per-group state of two rows), then the 2·buckets-row rep
+    * table broadcasts into a map-side join against the pair list — the
+    * pair stream never shuffles, and "random" choice is a pure function
+    * of the anchor id (reproducible across runs/engines, stable under
+    * repartitioning — the sampling contract everything else here obeys).
+    *
+    * @param pairs (i, j) positive pairs — i is the anchor
+    * @return (anchor, positive, negative)
+    */
+  def contrastiveTriplets(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                          buckets: Int = 64): DataFrame = {
+    require(buckets > 0)
+    val reps = corpus.select(col(idCol).as("__rid"))
+      .withColumn("__b", Sampling.hashBucket(col("__rid"), buckets))
+      .withColumn("__h", Sampling.hashBucket(col("__rid"), 1000000))
+    val top2 = reps
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__b").orderBy(col("__h"), col("__rid"))))
+      .filter(col("__rk") <= 2)
+    val r1 = top2.filter(col("__rk") === 1).select(col("__b"), col("__rid").as("__r1"))
+    val r2 = top2.filter(col("__rk") === 2).select(col("__b"), col("__rid").as("__r2"))
+    pairs.select(col("i").as("anchor"), col("j").as("positive"))
+      .withColumn("__b", Sampling.hashBucket(col("anchor"), buckets))
+      .join(broadcast(r1), Seq("__b"), "left")
+      .join(broadcast(r2), Seq("__b"), "left")
+      .withColumn("negative",
+        when(col("__r1") =!= col("anchor") && col("__r1") =!= col("positive"),
+          col("__r1"))
+          .when(col("__r2") =!= col("anchor") && col("__r2") =!= col("positive"),
+            col("__r2")))
+      .filter(col("negative").isNotNull)
+      .select("anchor", "positive", "negative")
+  }
 }

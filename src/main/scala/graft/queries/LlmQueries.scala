@@ -1335,6 +1335,19 @@ object LlmQueries {
     "q149_readability" -> ((s, dir) => {
       TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // Contrastive triplets: q31's embedding near-dup pairs as positives,
+    // negatives by bucketed deterministic sampling (pure function of the
+    // anchor id) — the (anchor, positive, negative) training rows an
+    // embedding model consumes.
+    "q150_triplets" -> ((s, dir) => {
+      val pairs = Dedup.embeddingDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        strideCentroids(s, dir), threshold = 0.3)
+      Similarity.contrastiveTriplets(
+        pairs, t(s, dir, "embeddings"), "vec_id", buckets = 64)
+        .orderBy("anchor", "positive")
     })
   )
 
@@ -3892,6 +3905,40 @@ object LlmQueries {
          |                 CAST(len($oToks) AS DOUBLE)) -
          |         15.59
          |       END AS fk_grade
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Triplets: q31's pair CTEs as positives; reps = per-bucket top-2 by
+    // (Knuth hash, id); negative = first non-colliding rep.
+    "q150_triplets" ->
+      s"""WITH $oNorms,
+         |$oCells,
+         |p AS (
+         |  SELECT a.id AS anchor, b.id AS positive
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+         |  JOIN norms na ON na.vec_id = a.id
+         |  JOIN norms nb ON nb.vec_id = b.id
+         |  WHERE ${oCos("na", "nb")} >= 0.3),
+         |rep AS (
+         |  SELECT vec_id,
+         |         (((vec_id % 2147483648) * 2654435761) % 4294967296) % 64 AS b,
+         |         (((vec_id % 2147483648) * 2654435761) % 4294967296) % 1000000 AS h
+         |  FROM embeddings),
+         |rk AS (
+         |  SELECT b, vec_id,
+         |         row_number() OVER (PARTITION BY b ORDER BY h, vec_id) AS rk
+         |  FROM rep),
+         |r1 AS (SELECT b, vec_id AS r1 FROM rk WHERE rk = 1),
+         |r2 AS (SELECT b, vec_id AS r2 FROM rk WHERE rk = 2),
+         |t AS (
+         |  SELECT p.anchor, p.positive,
+         |         CASE WHEN r1.r1 <> p.anchor AND r1.r1 <> p.positive THEN r1.r1
+         |              WHEN r2.r2 <> p.anchor AND r2.r2 <> p.positive THEN r2.r2
+         |         END AS negative
+         |  FROM p
+         |  LEFT JOIN r1 ON r1.b = (((p.anchor % 2147483648) * 2654435761) % 4294967296) % 64
+         |  LEFT JOIN r2 ON r2.b = (((p.anchor % 2147483648) * 2654435761) % 4294967296) % 64)
+         |SELECT anchor, positive, negative FROM t
+         |WHERE negative IS NOT NULL
+         |ORDER BY anchor, positive""".stripMargin
   )
 }

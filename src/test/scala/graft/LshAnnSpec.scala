@@ -64,4 +64,25 @@ class LshAnnSpec extends SparkSpec {
     assert(Similarity.marginMining(src, tgt, "vec_id", "embedding",
       k = 1, threshold = 1.0000001).count() === 0)
   }
+
+  test("contrastiveTriplets: valid, deterministic, collision-safe negatives") {
+    import spark.implicits._
+    val corpus = (0L until 20L).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((0L, 1L), (2L, 3L), (4L, 5L)).toDF("i", "j")
+    def run() = Similarity.contrastiveTriplets(pairs, corpus, "id", buckets = 4)
+      .orderBy("anchor").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val t1 = run()
+    // every pair got a negative distinct from both members
+    assert(t1.map(x => (x._1, x._2)) == Seq((0L, 1L), (2L, 3L), (4L, 5L)))
+    assert(t1.forall { case (a, p, n) => n != a && n != p })
+    // pure function of the inputs: identical on re-run
+    assert(run() == t1)
+    // 2-doc corpus whose only bucket reps are exactly {anchor, positive}
+    // → no triplet rather than a degenerate one
+    val tiny = Seq(Tuple1(0L), Tuple1(1L)).toDF("id")
+    val deg = Similarity.contrastiveTriplets(
+      Seq((0L, 1L)).toDF("i", "j"), tiny, "id", buckets = 1)
+    assert(deg.count() == 0L)
+  }
 }
