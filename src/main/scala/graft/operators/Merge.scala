@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Changelog compaction / upsert-merge: keep the latest version of each
@@ -87,5 +87,52 @@ object Merge {
         .agg(min(col(c)).as(c))
       acc.join(winner, Seq(clusterCol), "left")
     }
+  }
+
+  /** Incremental aggregate maintenance — apply a signed changelog to a
+    * materialized (count, sums…) aggregate WITHOUT recomputing the base:
+    * new_agg = old_agg ⊎ agg(delta), where deletes contribute with sign
+    * −1. This is the 100 TB answer to "a 10 GB batch arrived, refresh the
+    * per-source stats": work proportional to |delta| + |groups|, never to
+    * the corpus. Correct for any commutative-group aggregate (counts,
+    * sums — NOT min/max, which are not subtractable; maintain those with
+    * a recompute or a monoid sketch instead).
+    *
+    * Groups whose maintained count reaches 0 are DROPPED, matching what
+    * a full recompute over the post-delta state would produce (a
+    * recompute never emits an empty group). A count driven negative —
+    * a delete for a row the base never had — is a changelog-integrity
+    * bug; it also drops (count <= 0), keeping the operator idempotent
+    * under at-least-once delete delivery of rows already gone.
+    *
+    * Scale shape: one hash aggregate over the delta (map-side combine to
+    * |groups| rows), one |groups|-row union + re-aggregate with the old
+    * snapshot. The old aggregate is read, never shuffled wider than its
+    * own group count.
+    *
+    * @param oldAgg  prior snapshot: (keys…, n, sumCols…)
+    * @param delta   changelog rows: (keys…, sign ∈ {+1,−1}, valueCols…)
+    * @param keys    group-key column names
+    * @param sign    ±1 Column on `delta`
+    * @param sums    (aggColName → delta value Column) in `oldAgg`'s
+    *                sum-column order
+    * @return same shape as `oldAgg`, equal to a full recompute over
+    *         base ∖ deletes ∪ inserts
+    */
+  def applyAggDelta(oldAgg: DataFrame, delta: DataFrame, keys: Seq[String],
+                    sign: Column,
+                    sums: Seq[(String, Column)]): DataFrame = {
+    val deltaAgg = delta
+      .select(keys.map(col) ++ (sign.cast("long").as("n") +: sums.map {
+        case (n, v) => (sign * v).as(n)
+      }): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
+    oldAgg.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
+      .filter(col("n") > 0L)
   }
 }

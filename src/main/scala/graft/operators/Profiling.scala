@@ -258,4 +258,53 @@ object Profiling {
           .as("share_batch"),
         col("tvd_num"), col("tvd"))
   }
+
+  /** Per-shard column statistics — the file-skipping manifest a lakehouse
+    * table format (Delta/Iceberg stats, parquet row-group metadata) keeps
+    * per data file: min/max/null-count/NDV of a pruning column per shard.
+    * At 100 TB the fastest scan is the one that never opens the file —
+    * this manifest is what makes that decision; it is built in ONE hash
+    * aggregate whose shuffle is |shards| rows of five scalars.
+    *
+    * @param shard pruning-unit id expression (file id, partition id,
+    *              bucket — anything the storage layout groups rows by)
+    * @param value the column predicates will be pruned on
+    * @return (shard, n_rows, n_null, min_v, max_v, ndv) — min/max over
+    *         non-NULL values, NULL for all-NULL shards; ndv exact
+    */
+  def shardStats(df: DataFrame, shard: Column, value: Column): DataFrame =
+    df.select(shard.as("shard"), value.as("__v"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("__v").isNull, 1L)).as("n_null"),
+        min(col("__v")).as("min_v"),
+        max(col("__v")).as("max_v"),
+        count_distinct(col("__v")).as("ndv"))
+
+  /** Pruning simulation for `value BETWEEN lo AND hi` against a
+    * [[shardStats]] manifest: which shards CANNOT contain a match
+    * (max_v < lo, min_v > hi, or all-NULL) and what fraction of rows the
+    * scan therefore skips. One row out; the per-shard verdict column is
+    * the plan a scan scheduler would execute.
+    *
+    * The verdict is conservative exactly like real zone maps: a
+    * "scanned" shard may still contain zero matches — the simulation
+    * reports the I/O bound, not the selectivity.
+    */
+  def pruneSimulation(stats: DataFrame, lo: Column, hi: Column): DataFrame = {
+    val prunable = col("max_v") < lo || col("min_v") > hi ||
+      col("min_v").isNull
+    stats
+      .withColumn("__pruned", when(prunable, 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("__pruned")).as("n_pruned"),
+        sum(when(col("__pruned") === 1L, col("n_rows")).otherwise(0L))
+          .as("rows_skipped"),
+        sum(col("n_rows")).as("rows_total"))
+      .select(col("n_shards"), col("n_pruned"),
+        (col("n_shards") - col("n_pruned")).as("n_scanned"),
+        col("rows_skipped"), col("rows_total"),
+        (col("rows_skipped").cast("double") /
+          col("rows_total").cast("double")).as("skip_ratio"))
+  }
 }

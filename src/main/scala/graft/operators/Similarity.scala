@@ -300,6 +300,38 @@ object Similarity {
         (col("hits").cast("double") / k).as(s"recall_at_$k"))
   }
 
+  /** Mean reciprocal rank of the first RELEVANT hit per query — the
+    * retrieval-eval headline beside [[recallAtK]]'s coverage number.
+    *
+    * Determinism discipline: reciprocal ranks are FIXED-POINT BIGINTs
+    * (10⁹ div rank — same convention as [[Valuation.knnShapley]]), so
+    * the mean is an exact integer sum with one final division; no
+    * float-accumulation order anywhere, hash-checkable cross-engine.
+    * Queries with NO relevant hit in their list contribute 0 (the
+    * standard MRR convention), counted in `n_queries`.
+    *
+    * Scale shape: one min-aggregate by query (map-side combinable; the
+    * ranked input is already top-k-bounded per query), then one global
+    * one-row aggregate.
+    *
+    * @param ranked   per-query ranked results: (qidCol, rankCol 1-based,
+    *                 relevance rows pre-joined)
+    * @param relevant boolean Column on `ranked`
+    * @return one row: (n_queries, mrr_num, mrr) with
+    *         mrr = mrr_num / (10⁹ · n_queries)
+    */
+  def mrrFixedPoint(ranked: DataFrame, qidCol: String, rankCol: String,
+                    relevant: Column): DataFrame = {
+    val Scale = 1000000000L
+    ranked.groupBy(col(qidCol))
+      .agg(min(when(relevant, col(rankCol))).as("__first"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce(expr(s"${Scale}L div __first"), lit(0L))).as("mrr_num"))
+      .select(col("n_queries"), col("mrr_num"),
+        (col("mrr_num").cast("double") /
+          (col("n_queries") * Scale).cast("double")).as("mrr"))
+  }
+
   /** Margin-based bitext mining (the CCMatrix/LASER parallel-corpus
     * miner): candidate pair (s, t) is scored not by raw cosine — which
     * rewards "hubness" vectors similar to everything — but by the RATIO

@@ -1348,6 +1348,98 @@ object LlmQueries {
       Similarity.contrastiveTriplets(
         pairs, t(s, dir, "embeddings"), "vec_id", buckets = 64)
         .orderBy("anchor", "positive")
+    }),
+
+    // Closed-form KNN-Shapley data valuation (Jia et al. VLDB'19): every
+    // training vector's exact Shapley value for a 5-NN classifier over a
+    // 10-point labeled probe set — the per-EXAMPLE refinement of q147's
+    // per-source leave-one-out. Fixed-point reciprocals (10⁹ div rank)
+    // keep the suffix sums integer-exact cross-engine.
+    "q151_knn_shapley" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Valuation.knnShapley(
+        emb.filter(col("vec_id") < 10), emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("vec_id")
+    }),
+
+    // Calendar densification + LOCF gap-fill of per-user daily series —
+    // the reference domain's "fill the missing station-days" shape on the
+    // events table: one row per (user, day) across each user's span, the
+    // last observation carried with its staleness age.
+    "q152_gapfill_locf" -> ((s, dir) => {
+      val daily = t(s, dir, "events").filter(col("user_id") < 20)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(col("value")).as("v"))
+      graft.operators.Timeseries.densifyLocf(daily, "user_id", "day", "v")
+        .orderBy("user_id", "day")
+    }),
+
+    // Chi-squared vocabulary selection against the language label — the
+    // dimension-pruning pass before training a bag-of-words classifier
+    // (q98's family). Rational statistic: exact BIGINT cells, one final
+    // division; ties at the top-k boundary break textually.
+    "q153_chi2_tokens" -> ((s, dir) => {
+      graft.operators.FeatureSelect.chiSquaredTokens(
+        t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", minDf = 5L, topK = 25)
+    }),
+
+    // Zone-map manifest: per-shard min/max/null/NDV stats of the order
+    // date under a month-clustered layout — the file-skipping metadata a
+    // lakehouse table keeps, built in one |shards|-row aggregate.
+    "q154_shard_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Profiling.shardStats(o,
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long"),
+        to_date(col("o_orderdate")))
+        .orderBy("shard")
+    }),
+
+    // Pruning simulation over the q154 manifest: how much of the table a
+    // one-month date predicate never reads. The I/O-bound answer file
+    // skipping gives at 100 TB — scan cost ∝ shards whose [min,max]
+    // intersects the predicate, not table size.
+    "q155_prune_sim" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val stats = graft.operators.Profiling.shardStats(o,
+        year(col("o_orderdate")) * 12 + month(col("o_orderdate")),
+        to_date(col("o_orderdate")))
+      graft.operators.Profiling.pruneSimulation(stats,
+        lit("1995-03-01").cast("date"), lit("1995-03-31").cast("date"))
+    }),
+
+    // Incremental aggregate maintenance: a signed changelog (deletes of
+    // every 5th base order, inserts of the held-out keys) applied to a
+    // materialized per-priority (count, cents-sum) aggregate. The oracle
+    // recomputes from scratch over the post-delta state — gating that
+    // delta maintenance ≡ recompute while touching only |delta| rows.
+    "q156_incr_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val base = orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      val oldAgg = base.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents).as("sv"))
+      val delta = base.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("sign", lit(-1L))
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("sign", lit(1L)))
+      graft.operators.Merge.applyAggDelta(oldAgg, delta,
+        Seq("o_orderpriority"), col("sign"), Seq("sv" -> cents))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Retrieval-eval MRR over q29's exact top-10 with same-label
+    // relevance — fixed-point reciprocal ranks (10⁹ div r), so the mean
+    // is an exact integer sum with one final division.
+    "q157_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ranked = Similarity.bruteForceTopK(queriesSubset(s, dir), emb,
+        "vec_id", "embedding", k = 10)
+        .join(emb.select(col("vec_id").as("qid"), col("label").as("__ql")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("label").as("__nl")), "nid")
+      Similarity.mrrFixedPoint(ranked, "qid", "rank",
+        col("__ql") === col("__nl"))
     })
   )
 
@@ -3939,6 +4031,162 @@ object LlmQueries {
          |  LEFT JOIN r2 ON r2.b = (((p.anchor % 2147483648) * 2654435761) % 4294967296) % 64)
          |SELECT anchor, positive, negative FROM t
          |WHERE negative IS NOT NULL
-         |ORDER BY anchor, positive""".stripMargin
+         |ORDER BY anchor, positive""".stripMargin,
+
+    // KNN-Shapley: q29's cosine fold ranks train per test; δ_j with
+    // 10⁹ div max(j,K) fixed-point reciprocals; s_j = suffix window sum
+    // (BIGINT, order-free); mean over the 10 test points.
+    "q151_knn_shapley" ->
+      s"""WITH $oNorms,
+         |lab AS (
+         |  SELECT n.vec_id, n.v, n.nrm, e.label
+         |  FROM norms n JOIN embeddings e USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |         ${oCos("q", "c")} AS cos,
+         |         CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS ind
+         |  FROM lab q JOIN lab c ON q.vec_id < 10 AND c.vec_id >= 10),
+         |ranked AS (
+         |  SELECT qid, nid, ind,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+         |  FROM scored),
+         |deltas AS (
+         |  SELECT qid, nid, r,
+         |         (ind - coalesce(lead(ind) OVER (PARTITION BY qid ORDER BY r), 0)) *
+         |           (1000000000 // greatest(r, 5)) AS d
+         |  FROM ranked),
+         |sfx AS (
+         |  SELECT qid, nid,
+         |         sum(d) OVER (PARTITION BY qid ORDER BY r DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+         |  FROM deltas)
+         |SELECT nid AS vec_id, CAST(count(*) AS BIGINT) AS n_tests,
+         |       CAST(sum(s) AS BIGINT) AS shap_num,
+         |       CAST(sum(s) AS DOUBLE) /
+         |         CAST(count(*) * 1000000000 AS DOUBLE) AS shapley
+         |FROM sfx GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Gap-fill: generate_series calendar per user span, LEFT JOIN the
+    // daily max, last_value IGNORE NULLS carry + staleness age.
+    "q152_gapfill_locf" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS v
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |         FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (
+        |  SELECT c.user_id, c.day, d.v
+        |  FROM cal c LEFT JOIN daily d
+        |    ON c.user_id = d.user_id AND c.day = d.day)
+        |SELECT user_id, day, v,
+        |       last_value(v IGNORE NULLS) OVER w AS v_filled,
+        |       CAST(day - last_value(CASE WHEN v IS NOT NULL THEN day END
+        |         IGNORE NULLS) OVER w AS BIGINT) AS days_since_obs
+        |FROM j
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
+
+    // Chi-squared: exact BIGINT 2×2 cells per token (presence, df >= 5),
+    // the same left-assoc double tail, top-25 by (chi2 DESC, token).
+    "q153_chi2_tokens" ->
+      s"""WITH lab AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |         list_distinct($oToks) AS tk
+         |  FROM documents),
+         |tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+         |               CAST(sum(1 - y) AS BIGINT) AS n0 FROM lab),
+         |cells AS (
+         |  SELECT token, CAST(sum(y) AS BIGINT) AS n11,
+         |         CAST(sum(1 - y) AS BIGINT) AS n01
+         |  FROM (SELECT y, unnest(tk) AS token FROM lab)
+         |  GROUP BY 1 HAVING CAST(sum(y) AS BIGINT) + CAST(sum(1 - y) AS BIGINT) >= 5),
+         |f AS (
+         |  SELECT token, n11, n1 - n11 AS n10, n01, n0 - n01 AS n00,
+         |         n1 + n0 AS nn
+         |  FROM cells CROSS JOIN tot)
+         |SELECT token, n11, n10, n01, n00,
+         |       CAST(nn AS DOUBLE) * CAST(n11 * n00 - n10 * n01 AS DOUBLE) *
+         |         CAST(n11 * n00 - n10 * n01 AS DOUBLE) /
+         |         (CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE) *
+         |          CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)) AS chi2
+         |FROM f
+         |WHERE CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE) *
+         |      CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE) <> 0
+         |ORDER BY chi2 DESC, token LIMIT 25""".stripMargin,
+
+    // Zone-map manifest: month-shard stats of the order date.
+    "q154_shard_stats" ->
+      """SELECT year(o_orderdate) * 12 + month(o_orderdate) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_null,
+        |       min(CAST(o_orderdate AS DATE)) AS min_v,
+        |       max(CAST(o_orderdate AS DATE)) AS max_v,
+        |       CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS ndv
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Prune simulation: shards whose [min,max] misses 1995-03 are
+    // skipped; one summary row.
+    "q155_prune_sim" ->
+      """WITH st AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS shard,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         min(CAST(o_orderdate AS DATE)) AS min_v,
+        |         max(CAST(o_orderdate AS DATE)) AS max_v
+        |  FROM orders GROUP BY 1),
+        |v AS (
+        |  SELECT n_rows,
+        |         CASE WHEN max_v < DATE '1995-03-01' OR min_v > DATE '1995-03-31'
+        |                   OR min_v IS NULL THEN 1 ELSE 0 END AS pruned
+        |  FROM st)
+        |SELECT CAST(count(*) AS BIGINT) AS n_shards,
+        |       CAST(sum(pruned) AS BIGINT) AS n_pruned,
+        |       CAST(count(*) - sum(pruned) AS BIGINT) AS n_scanned,
+        |       CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+        |         AS rows_skipped,
+        |       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |       CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END) AS DOUBLE) /
+        |         CAST(sum(n_rows) AS DOUBLE) AS skip_ratio
+        |FROM v""".stripMargin,
+
+    // Incremental agg ≡ recompute over base ∖ deletes ∪ inserts.
+    "q156_incr_agg" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS sv
+        |FROM orders
+        |WHERE (o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0)
+        |   OR o_orderkey % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MRR: q29's top-10 CTEs + labels; first same-label rank per query,
+    // 10⁹ div r fixed point, no-hit queries contribute 0.
+    "q157_mrr" ->
+      s"""WITH $oNorms,
+         |lab AS (
+         |  SELECT n.vec_id, n.v, n.nrm, e.label
+         |  FROM norms n JOIN embeddings e USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid,
+         |         c.label AS nl, ${oCos("q", "c")} AS cos
+         |  FROM lab q JOIN lab c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, ql, nl,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored),
+         |firsts AS (
+         |  SELECT qid, min(CASE WHEN ql = nl THEN rank END) AS f
+         |  FROM ranked WHERE rank <= 10 GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(coalesce(1000000000 // f, 0)) AS BIGINT) AS mrr_num,
+         |       CAST(sum(coalesce(1000000000 // f, 0)) AS DOUBLE) /
+         |         CAST(count(*) * 1000000000 AS DOUBLE) AS mrr
+         |FROM firsts""".stripMargin
   )
 }
