@@ -64,7 +64,12 @@ object Bench {
       // q116's rebuilt text, q117's regex canonicalization, q119's
       // window columns, q120's unpivoted values
       "q116_boilerplate", "q117_url_canon", "q119_window_suite",
-      "q120_unpivot")
+      "q120_unpivot",
+      // q151's suffix-sum/shapley columns, q152's fill/age windows, and
+      // q154's min/max/ndv stats are all projections a count() would
+      // prune to a bare scan/group — checksum them.
+      "q151_knn_shapley", "q152_gapfill_locf", "q154_shard_stats",
+      "q158_embed_dim_stats")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-DIMENSION embedding distribution statistics — the embedding-QA /
+  * whitening-prep pass: dead dimensions (≈0 variance), scale drift
+  * between dimensions, and the (mean, std) pairs a standardization or
+  * PCA step consumes. One row out per dimension.
+  *
+  * Determinism discipline: a float groupBy-sum's partial-merge order
+  * varies with partitioning, so sums here are POWER-OF-TWO fixed point:
+  * `floor(v · 2²⁰)` and `floor(v² · 2²⁰)` are EXACT integer images of
+  * each element (a float times 2²⁰ is exact in double arithmetic — the
+  * mantissa is untouched; floor then truncates sub-2⁻²⁰ mass), summed
+  * as BIGINTs — order-free — with doubles reappearing only in the
+  * final mirrored closed form. Resolution is a stated 2⁻²⁰ per term,
+  * not a hidden summation-order hazard.
+  *
+  * Overflow contract (documented like [[Regression]]): |v| ≤ B keeps a
+  * dimension's |Σ floor(v·2²⁰)| under ~n·B·2²⁰ — with unit-norm-ish
+  * embeddings (B ≤ 1) that is 2⁶³ at ~8·10¹² rows; larger magnitudes
+  * scale the bound down linearly (B² for the square sums).
+  *
+  * Scale shape: posexplode fans each row into `dim` (pos, val) pairs —
+  * the same volume any per-dimension pass must touch — and ONE hash
+  * aggregate by position combines map-side to `dim` rows of three
+  * BIGINTs per task. No window, no collect, shuffle = `dim` rows.
+  */
+object EmbeddingStats {
+
+  private val Scale = 1048576L // 2^20
+
+  /** @param df     corpus with an Array[Float] column
+    * @param vecCol embedding column name
+    * @return (dim, n, sum_fixed, sumsq_fixed, mean, variance, std) —
+    *         mean/variance from the exact fixed-point sums (population
+    *         variance, ≥ 0 clamped against rounding), one double
+    *         division each
+    */
+  def dimensionStats(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col("__v").cast("double")
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(v * Scale).cast("long").as("__f"),
+        floor(v * v * Scale).cast("long").as("__f2"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__f")).as("sum_fixed"),
+        sum(col("__f2")).as("sumsq_fixed"))
+      .select(col("dim"), col("n"), col("sum_fixed"), col("sumsq_fixed"),
+        (col("sum_fixed").cast("double") /
+          (col("n") * Scale).cast("double")).as("mean"),
+        greatest(lit(0.0),
+          (col("n").cast("double") * col("sumsq_fixed").cast("double") -
+            col("sum_fixed").cast("double") * col("sum_fixed").cast("double") / Scale) /
+            (col("n").cast("double") * col("n").cast("double") * Scale))
+          .as("variance"))
+      .withColumn("std", sqrt(col("variance")))
+      .orderBy("dim")
+  }
+}

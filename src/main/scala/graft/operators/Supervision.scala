@@ -67,4 +67,51 @@ object Supervision {
       count(when(col("vote").isNotNull && col("label").isNull, 1L))
         .as("no_consensus"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters (two annotators, a heuristic vs a gold label, two model
+    * versions): the annotation-QA headline that raw accuracy overstates
+    * whenever the label distribution is skewed.
+    *
+    * Rational form (the [[FeatureSelect]] discipline — no libm): with
+    * observed-agreement count A = Σ_c n_cc and expected-agreement
+    * numerator E = Σ_c row_c·col_c,
+    *
+    *   κ = (p_o − p_e) / (1 − p_e) = (N·A − E) / (N² − E)
+    *
+    * — every term an exact BIGINT, one final double division, so the
+    * statistic is bit-identical cross-engine. Exact while N² ≤ 2⁶³
+    * (~3·10⁹ rows per audit; sample beyond — annotation audits are
+    * sampled anyway). Perfect chance agreement (N² = E, constant
+    * raters) yields NULL.
+    *
+    * Scale shape: one hash aggregate keyed by the (a, b) pair —
+    * |classes|² rows — then driver-free arithmetic over that tiny
+    * contingency table; rows with a NULL rating on either side are
+    * excluded (unrated items carry no agreement information).
+    *
+    * @return one row: (n, agree, expected_num, po, kappa)
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val rows = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__ra"))
+    val cols = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__rb"))
+    val e = rows.join(cols, Seq("__k"), "inner")
+      .agg(coalesce(sum(col("__ra") * col("__rb")), lit(0L)).as("expected_num"))
+    val agg = cells.agg(
+      sum(col("__c")).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0L))
+        .as("agree"))
+    agg.crossJoin(e).select(
+      col("n"), col("agree"), col("expected_num"),
+      (col("agree").cast("double") / col("n").cast("double")).as("po"),
+      when(col("n") * col("n") =!= col("expected_num"),
+        (col("n") * col("agree") - col("expected_num")).cast("double") /
+          (col("n") * col("n") - col("expected_num")).cast("double"))
+        .as("kappa"))
+  }
 }

@@ -1440,6 +1440,23 @@ object LlmQueries {
         .join(emb.select(col("vec_id").as("nid"), col("label").as("__nl")), "nid")
       Similarity.mrrFixedPoint(ranked, "qid", "rank",
         col("__ql") === col("__nl"))
+    }),
+
+    // Per-dimension embedding distribution stats — the embedding-QA /
+    // whitening-prep table (dead dims, scale drift, mean/std pairs).
+    // Power-of-2 fixed-point sums (floor(v·2²⁰) — float·2²⁰ is EXACT in
+    // double) make the aggregate order-free BIGINT arithmetic.
+    "q158_embed_dim_stats" -> ((s, dir) => {
+      graft.operators.EmbeddingStats.dimensionStats(
+        t(s, dir, "embeddings"), "embedding")
+    }),
+
+    // Cohen's kappa between the q27 language-ID heuristic and the
+    // labeled lang — chance-corrected annotator agreement in rational
+    // form (exact BIGINT contingency terms, one division).
+    "q159_kappa" -> ((s, dir) => {
+      graft.operators.Supervision.cohenKappa(t(s, dir, "documents"),
+        TextAnalysis.langId(col("text")), col("lang"))
     })
   )
 
@@ -4187,6 +4204,71 @@ object LlmQueries {
          |       CAST(sum(coalesce(1000000000 // f, 0)) AS BIGINT) AS mrr_num,
          |       CAST(sum(coalesce(1000000000 // f, 0)) AS DOUBLE) /
          |         CAST(count(*) * 1000000000 AS DOUBLE) AS mrr
-         |FROM firsts""".stripMargin
+         |FROM firsts""".stripMargin,
+
+    // Per-dimension stats: floor(v·2²⁰)/floor(v²·2²⁰) exact BIGINT sums,
+    // the same mirrored double tail as the engine.
+    "q158_embed_dim_stats" ->
+      """WITH ev AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |px AS (
+        |  SELECT t.i AS dim, v[t.i + 1] AS x FROM ev, range(64) t(i)),
+        |fx AS (
+        |  SELECT dim, CAST(floor(x * 1048576) AS BIGINT) AS f,
+        |         CAST(floor(x * x * 1048576) AS BIGINT) AS f2
+        |  FROM px),
+        |agg AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(f) AS BIGINT) AS sum_fixed,
+        |         CAST(sum(f2) AS BIGINT) AS sumsq_fixed
+        |  FROM fx GROUP BY 1)
+        |SELECT dim, n, sum_fixed, sumsq_fixed,
+        |       CAST(sum_fixed AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS mean,
+        |       greatest(0.0,
+        |         (CAST(n AS DOUBLE) * CAST(sumsq_fixed AS DOUBLE) -
+        |          CAST(sum_fixed AS DOUBLE) * CAST(sum_fixed AS DOUBLE) / 1048576) /
+        |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1048576)) AS variance,
+        |       sqrt(greatest(0.0,
+        |         (CAST(n AS DOUBLE) * CAST(sumsq_fixed AS DOUBLE) -
+        |          CAST(sum_fixed AS DOUBLE) * CAST(sum_fixed AS DOUBLE) / 1048576) /
+        |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1048576))) AS std
+        |FROM agg ORDER BY dim""".stripMargin,
+
+    // Kappa: q27's pred CTE → contingency cells → rational closed form.
+    "q159_kappa" ->
+      s"""WITH scores AS (
+         |  SELECT lang,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['the','and','of','to','in','is'], t))) AS BIGINT) AS s_en,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS BIGINT) AS s_de,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['el','la','los','que','una','por'], t))) AS BIGINT) AS s_es,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['le','les','des','est','une','dans'], t))) AS BIGINT) AS s_fr
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |         CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |              WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |              WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |              WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+         |              ELSE 'und' END AS predicted
+         |  FROM scores),
+         |cells AS (
+         |  SELECT predicted AS a, lang AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM pred WHERE predicted IS NOT NULL AND lang IS NOT NULL
+         |  GROUP BY 1, 2),
+         |rs AS (SELECT a AS k, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         |cs AS (SELECT b AS k, CAST(sum(c) AS BIGINT) AS rb FROM cells GROUP BY 1),
+         |e AS (
+         |  SELECT coalesce(CAST(sum(ra * rb) AS BIGINT), 0) AS expected_num
+         |  FROM rs JOIN cs USING (k)),
+         |a AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |         coalesce(CAST(sum(CASE WHEN a = b THEN c END) AS BIGINT), 0) AS agree
+         |  FROM cells)
+         |SELECT n, agree, expected_num,
+         |       CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |       CASE WHEN n * n <> expected_num THEN
+         |         CAST(n * agree - expected_num AS DOUBLE) /
+         |         CAST(n * n - expected_num AS DOUBLE) END AS kappa
+         |FROM a CROSS JOIN e""".stripMargin
   )
 }

@@ -43,4 +43,42 @@ class SupervisionSpec extends SparkSpec {
       ("b", 5L, 2L, 1L, 0L, 1L),
       ("c", 5L, 2L, 1L, 1L, 0L)))
   }
+
+  test("cohenKappa matches the textbook worked example") {
+    import org.apache.spark.sql.functions.col
+    // classic 2×2 example: a=yes,b=yes 20; yes,no 5; no,yes 10; no,no 15
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val df = rows.toDF("r1", "r2")
+    val out = Supervision.cohenKappa(df, col("r1"), col("r2")).head
+    assert(out.getAs[Long]("n") === 50L)
+    assert(out.getAs[Long]("agree") === 35L)
+    // E = row_y·col_y + row_n·col_n = 25·30 + 25·20 = 1250
+    assert(out.getAs[Long]("expected_num") === 1250L)
+    assert(out.getAs[Double]("po") === 0.7)
+    // κ = (50·35 − 1250)/(2500 − 1250) = 500/1250 = 0.4
+    assert(out.getAs[Double]("kappa") === 0.4)
+  }
+
+  test("cohenKappa: NULL ratings are excluded; constant raters yield NULL kappa") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some("a"), Some("a")), (Some("a"), None), (None, Some("a")),
+      (Some("a"), Some("a"))
+    ).toDF("r1", "r2")
+    val out = Supervision.cohenKappa(df, col("r1"), col("r2")).head
+    assert(out.getAs[Long]("n") === 2L) // only fully-rated rows
+    assert(out.getAs[Double]("po") === 1.0)
+    assert(out.isNullAt(out.fieldIndex("kappa"))) // N² == E: chance-perfect
+  }
+
+  test("cohenKappa is multi-class (3 labels) and rational-exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("z", "z"), ("z", "x"))
+    val out = Supervision.cohenKappa(rows.toDF("r1", "r2"),
+      col("r1"), col("r2")).head
+    // rows: x2,y1,z2; cols: x2,y2,z1 → E = 4+2+2 = 8; A = 3, N = 5
+    assert(out.getAs[Long]("expected_num") === 8L)
+    assert(out.getAs[Double]("kappa") === (5.0 * 3 - 8) / (25.0 - 8))
+  }
 }
