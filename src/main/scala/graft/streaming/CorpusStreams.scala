@@ -315,4 +315,81 @@ object CorpusStreams {
         graft.operators.HeavyHitters.mgSummary(col("__token"), k).as("mg"))
       .select(col("__win.start").as("window_start"), col("n"), col("mg"))
   }
+
+  /** Continuously-maintained aggregate snapshot — the streaming half of
+    * [[graft.operators.Merge.applyAggDelta]] (q156): each micro-batch of
+    * SIGNED changelog rows (sign ∈ {+1,−1} inserts/deletes) is folded
+    * into a persisted (keys…, n, sums…) snapshot table; per-batch work
+    * is ∝ |batch| + |groups|, the corpus is never re-read. The
+    * incremental-MV loop a 100 TB stats table runs under CDC ingest.
+    *
+    * State lives in the snapshot TABLE (the [[incrementalIngest]]
+    * discipline, zero stream state): commits are parquet partitions
+    * `commit=<batchId>`, and each batch merges the delta onto the
+    * LATEST COMMIT STRICTLY BELOW ITS OWN ID — so a failed batch's
+    * partial partition is both invisible to the retry (which re-merges
+    * onto the predecessor) and replaced by it via dynamic partition
+    * overwrite: exactly-once snapshots on an at-least-once source.
+    * Restarts must reuse the checkpoint (batch ids continue); a fresh
+    * checkpoint needs a fresh `aggDir` — same contract as
+    * [[incrementalIngest]]'s run-tag caveat. Old commits accumulate for
+    * time travel until a retention sweep drops them (out of scope here).
+    *
+    * Metric columns follow applyAggDelta's contract: subtractable
+    * BIGINTs (counts/sums — min/max need recompute or a sketch).
+    *
+    * @param sums (snapshot column name → changelog source column name)
+    */
+  def maintainedAgg(changes: org.apache.spark.sql.DataFrame, aggDir: String,
+                    checkpointDir: String, keys: Seq[String],
+                    signCol: String, sums: Seq[(String, String)])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        maintainBatch(batch, batchId, aggDir, keys, signCol, sums)
+      }
+      .start()
+
+  /** One [[maintainedAgg]] micro-batch (also callable on a plain batch
+    * frame — the batch/stream parity the spec locks).
+    */
+  private[graft] def maintainBatch(batch: org.apache.spark.sql.DataFrame,
+                                   batchId: Long, aggDir: String,
+                                   keys: Seq[String], signCol: String,
+                                   sums: Seq[(String, String)]): Unit = {
+    val spark = batch.sparkSession
+    val aggPath = new org.apache.hadoop.fs.Path(aggDir)
+    val fs = aggPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keyFields = batch.select(keys.map(col): _*).schema.fields
+    val snapSchema = org.apache.spark.sql.types.StructType(
+      keyFields ++ (("n" +: sums.map(_._1)).map(n =>
+        org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.LongType))))
+    val old =
+      if (fs.exists(aggPath)) {
+        val all = spark.read.schema(snapSchema.add("commit",
+          org.apache.spark.sql.types.LongType)).parquet(aggDir)
+          .filter(col("commit") < batchId)
+        val latest = all.agg(max(col("commit"))).head.get(0)
+        if (latest == null)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
+        else all.filter(col("commit") === latest.asInstanceOf[Long])
+          .drop("commit")
+      } else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapSchema)
+    val merged = graft.operators.Merge.applyAggDelta(
+      old, batch, keys, col(signCol), sums.map { case (n, c) => n -> col(c) })
+      .persist()
+    // Materialize before the commit: the write must read the cache, not
+    // re-scan aggDir while its own output partition is appearing.
+    merged.count()
+    merged.withColumn("commit", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("commit").parquet(aggDir)
+    merged.unpersist()
+    ()
+  }
 }

@@ -656,4 +656,46 @@ class StreamingSpec extends SparkSpec {
       assert(batch === rows)
     } finally query.stop()
   }
+
+  test("maintainedAgg: table-backed snapshot loop — merge ≡ recompute, retries idempotent") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("magg").toString
+    val (aggDir, ckpt) = (s"$base/agg", s"$base/ckpt")
+    def latest(): Map[String, (Long, Long)] = {
+      // plain read: partition inference types small commit ids as INT
+      val all = spark.read.parquet(aggDir)
+        .withColumn("commit", $"commit".cast("long"))
+      val top = all.agg(org.apache.spark.sql.functions.max("commit")).head.getLong(0)
+      all.filter($"commit" === top).collect()
+        .map(r => r.getAs[String]("k") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("sv"))).toMap
+    }
+    val input = MemoryStream[(String, Long, Long)]
+    val query = CorpusStreams.maintainedAgg(input.toDF()
+      .toDF("k", "v", "sign"), aggDir, ckpt, Seq("k"), "sign",
+      Seq("sv" -> "v"))
+    try {
+      // batch 0: pure inserts
+      input.addData(("a", 10L, 1L), ("a", 20L, 1L), ("b", 5L, 1L))
+      query.processAllAvailable()
+      assert(latest() === Map("a" -> (2L, 30L), "b" -> (1L, 5L)))
+      // batch 1: delete one 'a' row, drop 'b' to zero (group vanishes),
+      // insert a new key
+      input.addData(("a", 10L, -1L), ("b", 5L, -1L), ("c", 7L, 1L))
+      query.processAllAvailable()
+      assert(latest() === Map("a" -> (1L, 20L), "c" -> (1L, 7L)))
+    } finally query.stop()
+    // retry idempotency: re-running a batch id merges onto its
+    // PREDECESSOR commit and overwrites its own partition — same result
+    val replay = Seq(("a", 10L, -1L), ("b", 5L, -1L), ("c", 7L, 1L))
+      .toDF("k", "v", "sign")
+    CorpusStreams.maintainBatch(replay, 1L, aggDir, Seq("k"), "sign",
+      Seq("sv" -> "v"))
+    assert(latest() === Map("a" -> (1L, 20L), "c" -> (1L, 7L)))
+    // time travel: commit 0's snapshot is still readable
+    val c0 = spark.read.parquet(aggDir).filter($"commit" === 0L).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("sv")).toMap
+    assert(c0 === Map("a" -> 30L, "b" -> 5L))
+  }
 }
