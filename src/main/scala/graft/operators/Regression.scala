@@ -62,4 +62,87 @@ object Regression {
     stats.select(groupCols.map(col) ++ Seq(col("n"),
       slope.as("slope"), intercept.as("intercept"), r2.as("r2")): _*)
   }
+
+  /** Per-group Pearson correlation from the same exact BIGINT sufficient
+    * statistics as [[trendByGroup]] (and with its centering/overflow
+    * contract):
+    *
+    *   r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * — integer numerator and radicand terms, one sqrt (IEEE
+    * exactly-rounded, engine-independent), one division. NULL when
+    * either variable is constant (zero variance carries no direction).
+    * Scale shape: ONE combinable hash aggregate; shuffle = |groups|
+    * rows of six longs.
+    */
+  def corrByGroup(df: DataFrame, groupCols: Seq[String],
+                  xCol: Column, yCol: Column): DataFrame = {
+    val stats = sufficientStats(df, groupCols, xCol, yCol)
+    stats.select(groupCols.map(col) ++ Seq(col("n"),
+      corrFromStats(stats).as("corr")): _*)
+  }
+
+  /** Per-group Spearman rank correlation — Pearson over AVERAGE ranks,
+    * the tie-correct textbook definition — computed without sorting any
+    * group's rows: per (group, value) histograms give each distinct
+    * value's DOUBLED average rank as an exact BIGINT,
+    *
+    *   rank2(v) = 2·cum(v) − cnt(v) + 1   (cum = rows ≤ v in the group)
+    *
+    * (doubling clears the ±0.5 tie fractions; Pearson is scale-
+    * invariant, and the oracle mirrors the identical ×2 arithmetic, so
+    * nothing floats until the final closed form). Rows join their ranks
+    * back by (group, value) — the [[ExactQuantiles]] histogram-offset
+    * discipline: the only window runs over histogram rows (bounded by
+    * distinct values), never corpus rows, and the join keys are
+    * AQE-broadcastable when value cardinality is small.
+    *
+    * NULL x or y rows are dropped first (a NULL has no rank; both
+    * variables must be present for a paired rank). Overflow: rank2 ≤ 2n,
+    * so n·Σ(rank2²) ≤ 8n⁴ — exact to ~10⁴ rows per group beyond 2⁶³…
+    * more precisely n ≤ ~3·10⁴ per group for full BIGINT exactness;
+    * sample larger groups (rank correlation stabilizes fast).
+    *
+    * @return (groupCols…, n, spearman)
+    */
+  def spearmanByGroup(df: DataFrame, groupCols: Seq[String],
+                      xCol: Column, yCol: Column): DataFrame = {
+    val base = df
+      .select(groupCols.map(col) ++ Seq(xCol.as("__x"), yCol.as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rank2(valueCol: String, as: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+      base.groupBy(groupCols.map(col) :+ col(valueCol): _*)
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .select(groupCols.map(col) ++ Seq(col(valueCol),
+          (lit(2L) * col("__cum") - col("__c") + 1L).as(as)): _*)
+    }
+    val withRanks = base
+      .join(rank2("__x", "__rx"), groupCols :+ "__x")
+      .join(rank2("__y", "__ry"), groupCols :+ "__y")
+    val stats = sufficientStats(withRanks, groupCols, col("__rx"), col("__ry"))
+    stats.select(groupCols.map(col) ++ Seq(col("n"),
+      corrFromStats(stats).as("spearman")): _*)
+  }
+
+  private def sufficientStats(df: DataFrame, groupCols: Seq[String],
+                              xCol: Column, yCol: Column): DataFrame =
+    df.select(groupCols.map(col) ++ Seq(xCol.as("__sx"), yCol.as("__sy")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__sx")).as("sx"), sum(col("__sy")).as("sy"),
+        sum(col("__sx") * col("__sy")).as("sxy"),
+        sum(col("__sx") * col("__sx")).as("sxx"),
+        sum(col("__sy") * col("__sy")).as("syy"))
+
+  private def corrFromStats(stats: DataFrame): Column = {
+    val num = stats("n") * col("sxy") - col("sx") * col("sy")
+    val dx = stats("n") * col("sxx") - col("sx") * col("sx")
+    val dy = stats("n") * col("syy") - col("sy") * col("sy")
+    when(dx =!= 0L && dy =!= 0L,
+      num.cast(DoubleType) /
+        sqrt(dx.cast(DoubleType) * dy.cast(DoubleType)))
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Cooccur, Regression}
+import org.apache.spark.sql.functions._
+
+/** Skip-gram co-occurrence pairs and exact Pearson/Spearman correlation. */
+class CooccurCorrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- Cooccur
+
+  test("skipgramPairs window=1: adjacent pairs, both directions") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Cooccur.skipgramPairs(docs, "doc_id", "text",
+      window = 1, minCount = 1L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set(("a", "b", 1L), ("b", "a", 1L),
+      ("b", "c", 1L), ("c", "b", 1L)))
+  }
+
+  test("skipgramPairs window=2 reaches across one token; long docs stay 2w-bounded") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Cooccur.skipgramPairs(docs, "doc_id", "text",
+      window = 2, minCount = 1L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.contains(("a", "c")) && out.contains(("c", "a")))
+    assert(out.size === 6)
+  }
+
+  test("skipgramPairs counts repeats, applies minCount and deterministic topK") {
+    val docs = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+    // adjacent: (x,y)×2 fwd + (y,x)×2 fwd → directional x→y 4, y→x 4
+    val all = Cooccur.skipgramPairs(docs, "doc_id", "text",
+      window = 1, minCount = 1L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(all === Set(("x", "y", 4L), ("y", "x", 4L)))
+    val top1 = Cooccur.skipgramPairs(docs, "doc_id", "text",
+      window = 1, minCount = 1L, topK = 1).collect()
+    assert(top1.length === 1 && top1.head.getString(0) === "x") // tie → center asc
+  }
+
+  test("skipgramPairs never crosses document boundaries") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = Cooccur.skipgramPairs(docs, "doc_id", "text",
+      window = 5, minCount = 1L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!out.contains(("b", "c")) && !out.contains(("a", "d")))
+  }
+
+  // ------------------------------------------------- Pearson / Spearman
+
+  test("corrByGroup: exact ±1 on linear data, NULL on constant variables") {
+    val df = Seq(
+      ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),
+      ("dn", 1L, 9L), ("dn", 2L, 6L), ("dn", 3L, 3L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L)
+    ).toDF("g", "x", "y")
+    val out = Regression.corrByGroup(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(out("up") === Some(1.0))
+    assert(out("dn") === Some(-1.0))
+    assert(out("flat") === None)
+  }
+
+  test("spearmanByGroup: 1.0 on any monotonic map; matches hand-ranked ties") {
+    // monotonic nonlinear: spearman 1, pearson < 1
+    val mono = Seq.tabulate(6)(i => ("m", i.toLong, i.toLong * i * i))
+      .toDF("g", "x", "y")
+    val sp = Regression.spearmanByGroup(mono, Seq("g"), col("x"), col("y"))
+      .head.getDouble(2)
+    assert(sp === 1.0)
+    val pe = Regression.corrByGroup(mono, Seq("g"), col("x"), col("y"))
+      .head.getDouble(2)
+    assert(pe < 1.0)
+    // ties: x = (1,2,2,3), y = (10,20,20,40): avg ranks
+    // x: 1, 2.5, 2.5, 4 ; y: 1, 2.5, 2.5, 4 → perfectly rank-aligned
+    val tied = Seq(("t", 1L, 10L), ("t", 2L, 20L), ("t", 2L, 20L), ("t", 3L, 40L))
+      .toDF("g", "x", "y")
+    assert(Regression.spearmanByGroup(tied, Seq("g"), col("x"), col("y"))
+      .head.getDouble(2) === 1.0)
+    // hand example with a swap: x=(1,2,3,4), y=(1,2,4,3)
+    val swap = Seq(("s", 1L, 1L), ("s", 2L, 2L), ("s", 3L, 4L), ("s", 4L, 3L))
+      .toDF("g", "x", "y")
+    // no ties → classic 1 − 6Σd²/(n(n²−1)) = 1 − 6·2/60 = 0.8
+    assert(Regression.spearmanByGroup(swap, Seq("g"), col("x"), col("y"))
+      .head.getDouble(2) === 0.8)
+  }
+
+  test("spearmanByGroup drops rows with a NULL on either side") {
+    val df = Seq(
+      ("g", Some(1L), Some(1L)), ("g", Some(2L), Some(2L)),
+      ("g", None, Some(9L)), ("g", Some(9L), None), ("g", Some(3L), Some(3L))
+    ).toDF("g", "x", "y")
+    val r = Regression.spearmanByGroup(df, Seq("g"), col("x"), col("y")).head
+    assert(r.getLong(1) === 3L && r.getDouble(2) === 1.0)
+  }
+}
