@@ -117,11 +117,26 @@ package object functions {
 
   /** Word n-gram shingles of a token array: array of space-joined n-grams.
     * Documents shorter than n yield an empty array.
+    *
+    * The input is BOUND ONCE via `transform(array(toks), t -> …)` before
+    * any per-gram work: a higher-order function re-evaluates every
+    * non-lambda subexpression of its body PER ELEMENT, so the obvious
+    * `transform(toks, (_, i) -> … size(toks) … slice(toks, …))` form
+    * re-runs the whole upstream token expression (regex split + filter)
+    * for every gram — O(L²) per document, measured ~10× on the q148
+    * corpus-familiarity plan at sf0.1. Binding `toks` to a lambda
+    * variable makes the inner references O(1) value lookups; callers can
+    * keep writing `shingles(tokens(text), n)` without the trap.
     */
   def shingles(toks: Column, n: Int): Column =
-    filter(
-      transform(toks, (_, i) =>
-        when(i <= size(toks) - n,
-          array_join(slice(toks, i + 1, lit(n)), " "))),
-      s => s.isNotNull)
+    element_at(
+      transform(array(toks), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)), i =>
+            array_join(slice(t, i, lit(n)), " ")))
+          // short arrays → empty (old filter semantics); NULL input
+          // stays NULL (size(NULL) fails the when, isNotNull gates the
+          // empty-array fallback)
+          .otherwise(when(t.isNotNull, array().cast("array<string>")))),
+      1)
 }

@@ -150,12 +150,19 @@ object TextAnalysis {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
 
-  /** Fraction of tokens that are (English) stopwords; NULL for empty text. */
+  /** Fraction of tokens that are (English) stopwords; NULL for empty text.
+    * The token array is bound once (`transform(array(…), tk -> …)`) so
+    * the three uses cost one tokenization, not three — the
+    * [[graft.functions.shingles]] binding discipline.
+    */
   def stopwordRatio(text: Column): Column = {
-    val tk = tokens(text)
     val sw = array(EnStopwords.map(lit): _*)
-    when(size(tk) > 0,
-      size(filter(tk, t => array_contains(sw, t))).cast(DoubleType) / size(tk))
+    element_at(
+      transform(array(tokens(text)), tk =>
+        when(size(tk) > 0,
+          size(filter(tk, t => array_contains(sw, t))).cast(DoubleType) /
+            size(tk))),
+      1)
   }
 
   /** Punctuation character count. */

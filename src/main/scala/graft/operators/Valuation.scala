@@ -33,13 +33,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: |pairs| = |test|·|train| — the test probe set must be
   * broadcast-small (same contract as [[Similarity.bruteForceTopK]]'s
-  * query side; a handful of thousands). Train-side work is one broadcast
-  * join (no corpus shuffle), one rank window partitioned by test id
-  * (state = one pass over that test's pair list), and one BIGINT hash
-  * aggregate by train id — map-side combinable, shuffle bounded by
-  * |train| rows of three longs. Σ|δ_j|·10⁹ ≤ 2·10⁹·H_N keeps the
-  * per-test suffix sums below ~10²·10⁹ even at N = 10⁸, and the final
-  * per-train sum below 2⁶³ for any test set smaller than ~10⁸ points.
+  * query side; hundreds to thousands, the sizes the valuation
+  * literature uses). The corpus TABLE is never shuffled (broadcast
+  * join), but the scored PAIR stream is: the rank window hashes
+  * |test|·|train| rows across |test| reducer keys (the rank and
+  * suffix-sum windows share that one exchange/sort — same partitioning
+  * and ordering), so wire volume is ∝ |test|·|train| and reducer
+  * parallelism is capped at |test|. The final aggregate by train id is
+  * map-side combinable — |train| rows of three longs on the wire.
+  * Σ|δ_j|·10⁹ ≤ 2·10⁹·H_N keeps the per-test suffix sums below
+  * ~10²·10⁹ even at N = 10⁸, and the final per-train sum below 2⁶³ for
+  * any test set smaller than ~10⁸ points.
   *
   * @param test     broadcast-small labeled probe set (disjoint from train)
   * @param train    labeled training corpus

@@ -1457,6 +1457,39 @@ object LlmQueries {
     "q159_kappa" -> ((s, dir) => {
       graft.operators.Supervision.cohenKappa(t(s, dir, "documents"),
         TextAnalysis.langId(col("text")), col("lang"))
+    }),
+
+    // Skip-gram co-occurrence tensor (±2 window): the word2vec/GloVe
+    // training-pair counts. Probe-offset equi-join — fan-out hard-capped
+    // at 2·window per token, never the L² of a doc-keyed self-join.
+    "q160_skipgram" -> ((s, dir) => {
+      graft.operators.Cooccur.skipgramPairs(t(s, dir, "documents"),
+        "doc_id", "text", window = 2, minCount = 5L, topK = 50)
+    }),
+
+    // Exact per-group Pearson correlation (quantity vs price-in-k$) from
+    // BIGINT sufficient statistics — corr()'s float-moment accumulation
+    // is partition-order-dependent and can't face a hash gate.
+    "q161_corr" -> ((s, dir) => {
+      graft.operators.Regression.corrByGroup(t(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        floor(col("l_quantity") + 0.5).cast("long"),
+        floor(col("l_extendedprice") / 1000 + 0.5).cast("long"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Spearman rank correlation (quantity vs discount-cents, heavy
+    // ties) over a 5% deterministic order-key sample — rank2 ≤ 2n keeps
+    // the BIGINT sums exact per the operator's documented n-bound, and
+    // rank correlation stabilizes at sample sizes far below it.
+    "q162_spearman" -> ((s, dir) => {
+      val sampled = Sampling.deterministicSample(
+        t(s, dir, "lineitem"), "l_orderkey", pct = 5)
+      graft.operators.Regression.spearmanByGroup(sampled,
+        Seq("l_returnflag"),
+        floor(col("l_quantity") + 0.5).cast("long"),
+        floor(col("l_discount") * 100 + 0.5).cast("long"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -4269,6 +4302,88 @@ object LlmQueries {
          |       CASE WHEN n * n <> expected_num THEN
          |         CAST(n * agree - expected_num AS DOUBLE) /
          |         CAST(n * n - expected_num AS DOUBLE) END AS kappa
-         |FROM a CROSS JOIN e""".stripMargin
+         |FROM a CROSS JOIN e""".stripMargin,
+
+    // Skip-gram: positional tokens via range lateral, ±2 band, both
+    // directions, count floor, deterministic top-50.
+    "q160_skipgram" ->
+      s"""WITH toksl AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |toku AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |    i -> struct_pack(pos := i, w := tk[i]))) AS s
+         |  FROM toksl),
+         |tok AS (SELECT doc_id, s.pos AS pos, s.w AS w FROM toku),
+         |fwd AS (
+         |  SELECT a.w AS lw, b.w AS rw
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |    AND b.pos > a.pos AND b.pos <= a.pos + 2),
+         |dir AS (
+         |  SELECT lw AS center, rw AS context FROM fwd
+         |  UNION ALL
+         |  SELECT rw AS center, lw AS context FROM fwd)
+         |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+         |FROM dir GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY cnt DESC, center, context LIMIT 50""".stripMargin,
+
+    // Pearson from exact BIGINT sufficient stats, mirrored closed form.
+    "q161_corr" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice / 1000 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM v GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+        |         CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |              CAST(n * syy - sy * sy AS DOUBLE)) END AS corr
+        |FROM st ORDER BY l_returnflag""".stripMargin,
+
+    // Spearman: histogram-cumsum doubled average ranks (2·cum − cnt + 1)
+    // joined back per value, then the q161 closed form over ranks.
+    "q162_spearman" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE (((l_orderkey % 2147483648) * 2654435761) % 4294967296) % 100 < 5
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |hx AS (
+        |  SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+        |rx AS (
+        |  SELECT g, x,
+        |         2 * sum(c) OVER (PARTITION BY g ORDER BY x) - c + 1 AS rx
+        |  FROM hx),
+        |hy AS (
+        |  SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+        |ry AS (
+        |  SELECT g, y,
+        |         2 * sum(c) OVER (PARTITION BY g ORDER BY y) - c + 1 AS ry
+        |  FROM hy),
+        |rk AS (
+        |  SELECT b.g, CAST(rx.rx AS BIGINT) AS x, CAST(ry.ry AS BIGINT) AS y
+        |  FROM base b JOIN rx ON b.g = rx.g AND b.x = rx.x
+        |              JOIN ry ON b.g = ry.g AND b.y = ry.y),
+        |st AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM rk GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        |       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+        |         CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |              CAST(n * syy - sy * sy AS DOUBLE)) END AS spearman
+        |FROM st ORDER BY l_returnflag""".stripMargin
   )
 }
