@@ -69,7 +69,11 @@ object Bench {
       // q154's min/max/ndv stats are all projections a count() would
       // prune to a bare scan/group — checksum them.
       "q151_knn_shapley", "q152_gapfill_locf", "q154_shard_stats",
-      "q158_embed_dim_stats")
+      "q158_embed_dim_stats",
+      // q87: count() eliminates its unique-key left join (Catalyst join
+      // elimination), benching a bare scan — checksum forces the
+      // familiarity aggregate it advertises.
+      "q87_ngram_familiarity")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}
