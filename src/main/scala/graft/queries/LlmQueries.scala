@@ -1368,8 +1368,14 @@ object LlmQueries {
     // events table: one row per (user, day) across each user's span, the
     // last observation carried with its staleness age.
     "q152_gapfill_locf" -> ((s, dir) => {
-      val daily = t(s, dir, "events").filter(col("user_id") < 20)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      // layout-independent events read (TIMESTAMP(NANOS) parquet cannot
+      // be read as a timestamp — the TableIO.eventsNanos caveat), with
+      // the UTC epoch-day date derivation every events query here uses.
+      val daily = RelationalQueries.events(s, dir)
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"),
+          date_from_unix_date(expr("ts DIV 86400000000000").cast("int"))
+            .as("day"))
         .agg(max(col("value")).as("v"))
       graft.operators.Timeseries.densifyLocf(daily, "user_id", "day", "v")
         .orderBy("user_id", "day")
@@ -1490,6 +1496,16 @@ object LlmQueries {
         floor(col("l_quantity") + 0.5).cast("long"),
         floor(col("l_discount") * 100 + 0.5).cast("long"))
         .orderBy("l_returnflag")
+    }),
+
+    // Cross-source quantile normalization of document length onto the
+    // src0 reference distribution — the batch-effect corrector that
+    // makes one threshold mean the same thing corpus-wide. Mapping rule
+    // is cross-multiplied BIGINTs (no division, no float).
+    "q163_quantile_norm" -> ((s, dir) => {
+      graft.operators.QuantileNormalize.toReference(
+        t(s, dir, "documents"), "source", col("n_chars"), "src0")
+        .orderBy("source", "v")
     })
   )
 
@@ -4120,7 +4136,10 @@ object LlmQueries {
     // daily max, last_value IGNORE NULLS carry + staleness age.
     "q152_gapfill_locf" ->
       """WITH daily AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS v
+        |  SELECT user_id,
+        |         DATE '1970-01-01' +
+        |           CAST(epoch_ns(ts) // 86400000000000 AS INTEGER) AS day,
+        |         max(value) AS v
         |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
         |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
         |         FROM daily GROUP BY 1),
@@ -4384,6 +4403,37 @@ object LlmQueries {
         |         CAST(n * sxy - sx * sy AS DOUBLE) /
         |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |              CAST(n * syy - sy * sy AS DOUBLE)) END AS spearman
-        |FROM st ORDER BY l_returnflag""".stripMargin
+        |FROM st ORDER BY l_returnflag""".stripMargin,
+
+    // Quantile normalization: per-source histograms + doubled mid-ranks,
+    // reference lookup by cross-multiplied cumulative shares, min
+    // qualifying reference value.
+    "q163_quantile_norm" ->
+      """WITH base AS (
+        |  SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |hist AS (
+        |  SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT source, v, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+        |           AS BIGINT) AS cum
+        |  FROM hist),
+        |r2 AS (
+        |  SELECT source, v, cnt, cum,
+        |         CAST(2 * cum - cnt + 1 AS BIGINT) AS rank2 FROM ranked),
+        |tot AS (
+        |  SELECT source, CAST(max(cum) AS BIGINT) AS n_src
+        |  FROM ranked GROUP BY 1),
+        |rh AS (
+        |  SELECT v AS rv, CAST(2 * cum AS BIGINT) AS rcum2
+        |  FROM ranked WHERE source = 'src0'),
+        |rt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_ref
+        |  FROM base WHERE source = 'src0')
+        |SELECT r.source, r.v, r.cnt AS n_rows, r.rank2, min(rh.rv) AS mapped
+        |FROM r2 r JOIN tot USING (source) CROSS JOIN rt
+        |LEFT JOIN rh ON rh.rcum2 * tot.n_src >= r.rank2 * rt.n_ref
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
   )
 }
