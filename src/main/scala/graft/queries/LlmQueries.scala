@@ -1506,6 +1506,21 @@ object LlmQueries {
       graft.operators.QuantileNormalize.toReference(
         t(s, dir, "documents"), "source", col("n_chars"), "src0")
         .orderBy("source", "v")
+    }),
+
+    // Luhn checksum audit over a 16-digit account-identifier column
+    // (zero-padded order keys): the mod-10 validity gate card-number
+    // PII detection applies before treating a digit run as sensitive
+    // (~10% of arbitrary identifiers pass). Row-local integer fold.
+    "q164_luhn_audit" -> ((s, dir) => {
+      val acct = lpad(col("o_orderkey").cast("string"), 16, "0")
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          graft.operators.Privacy.luhnValid(acct).as("__v"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("__v"), 1L)).as("n_luhn_valid"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -4434,6 +4449,27 @@ object LlmQueries {
         |SELECT r.source, r.v, r.cnt AS n_rows, r.rank2, min(rh.rv) AS mapped
         |FROM r2 r JOIN tot USING (source) CROSS JOIN rt
         |LEFT JOIN rh ON rh.rcum2 * tot.n_src >= r.rank2 * rt.n_ref
-        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+
+    // Luhn: same reversed-string mod-10 fold over the padded key.
+    "q164_luhn_audit" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |         reverse(lpad(CAST(o_orderkey AS VARCHAR), 16, '0')) AS r
+        |  FROM orders),
+        |v AS (
+        |  SELECT o_orderpriority,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, len(r) + 1),
+        |             i -> CAST(CASE WHEN i % 2 = 1 THEN ascii(r[i]) - 48
+        |                  WHEN (ascii(r[i]) - 48) * 2 > 9
+        |                    THEN (ascii(r[i]) - 48) * 2 - 9
+        |                  ELSE (ascii(r[i]) - 48) * 2 END AS BIGINT))),
+        |           (a, b) -> a + b) % 10 = 0 AS ok
+        |  FROM c)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_luhn_valid
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -30,4 +30,34 @@ class PrivacySpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(0L, 1L, 2L, 4L, 5L))
   }
+
+  test("luhnValid matches the reference mod-10 algorithm") {
+    def refLuhn(s: String): Boolean = s.nonEmpty && {
+      s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 0) d else { val t = d * 2; if (t > 9) t - 9 else t }
+      }.sum % 10 == 0
+    }
+    val cands = Seq(
+      "4111111111111111", // canonical Luhn-valid test number
+      "4111111111111112", "79927398713", "79927398710",
+      "0000000000000000", "18", "1", "0")
+    val out = cands.toDF("d")
+      .select($"d", Privacy.luhnValid($"d").as("v")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cands.foreach(c => assert(out(c) === refLuhn(c), s"candidate $c"))
+    assert(out("4111111111111111"))
+    assert(!out("4111111111111112"))
+  }
+
+  test("luhnValid: exactly one check digit validates any prefix; empty false, NULL null") {
+    val variants = (0 to 9).map(d => s"12345678901234$d")
+    val valid = variants.toDF("d")
+      .select(Privacy.luhnValid($"d").as("v")).collect().count(_.getBoolean(0))
+    assert(valid === 1)
+    val edge = Seq(Some(""), None: Option[String]).toDF("d")
+      .select(Privacy.luhnValid($"d").as("v")).collect()
+    assert(edge(0).getBoolean(0) === false)
+    assert(edge(1).isNullAt(0))
+  }
 }
