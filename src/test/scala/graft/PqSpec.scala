@@ -264,4 +264,26 @@ class PqSpec extends SparkSpec {
       (0, 0L, Seq(1.0f, 2.0f)), (0, 1L, Seq(5.0f, 6.0f)),
       (1, 0L, Seq(3.0f, 4.0f)), (1, 1L, Seq(7.0f, 8.0f))))
   }
+
+  test("trained codebooks persist through parquet and serve identically (train once, serve later)") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(4)(rnd.nextFloat()))).toDF("id", "v")
+    val trained = Pq.refineCodebooks(corpus, "id", "v",
+      Pq.firstKCodebooks(corpus, "id", "v", m = 2, k = 4, dim = 4),
+      iterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pqcb").toString
+    graft.io.TableIO.write(trained, s"$dir/codebooks")
+    val reloaded = graft.io.TableIO.read(spark, s"$dir/codebooks")
+    val q = Array(0.3f, 0.7f, 0.2f, 0.9f)
+    val a = Pq.adcTopK(corpus, "id", "v", q, trained, topK = 5)
+      .collect().map(_.toSeq).toSeq
+    val b = Pq.adcTopK(corpus, "id", "v", q, reloaded, topK = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // the float centroids themselves survive bit-exactly
+    val rt = reloaded.orderBy("block", "code").as[(Int, Long, Seq[Float])].collect()
+    val or = trained.orderBy("block", "code").as[(Int, Long, Seq[Float])].collect()
+    assert(rt === or)
+  }
 }
