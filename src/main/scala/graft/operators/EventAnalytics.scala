@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -103,5 +104,52 @@ object EventAnalytics {
       .distinct()
       .groupBy("cohort", "offset")
       .agg(count(lit(1)).as("users"))
+  }
+
+  /** Interval-union coverage per key — merge overlapping/touching
+    * [start, end) intervals and report how much of the timeline each key
+    * actually covers: the classic sweep for session dwell time, license/
+    * validity windows, and sensor uptime, where naively summing
+    * durations double-counts overlaps.
+    *
+    * Sweep shape (one pass, no self-join): intervals sort per key by
+    * (start, end); an interval starts a NEW merged segment iff its start
+    * exceeds the running max end of all EARLIER intervals (strictly —
+    * touching intervals [1,5),[5,9) merge); the running count of those
+    * flags is the segment id, and per-(key, segment) min/max close the
+    * merge. Window state is one value (running max / running sum), so a
+    * key's cost is its own interval count — the O(n log n) sweep, never
+    * the O(n²) overlap self-join. Integer (epoch-unit LONG) bounds in,
+    * exact integer coverage out — hash-exact cross-engine.
+    *
+    * Rows with NULL bounds or end ≤ start are dropped (no extent).
+    *
+    * @return (keyCol, n_intervals, n_segments, covered, span) — `covered`
+    *         = Σ merged lengths, `span` = max end − min start
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String,
+                       start: Column, end: Column): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), start.as("__s"), end.as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__e") > col("__s"))
+    val order = Seq(col("__s"), col("__e"))
+    val wPrev = Window.partitionBy("__k").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("__k").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = base
+      .withColumn("__pmax", max(col("__e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__seg", sum(col("__new")).over(wRun))
+    seg.groupBy(col("__k"), col("__seg"))
+      .agg(count(lit(1)).as("__n"), min(col("__s")).as("__ss"),
+        max(col("__e")).as("__se"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_segments"),
+        sum(col("__se") - col("__ss")).as("covered"),
+        (max(col("__se")) - min(col("__ss"))).as("span"))
   }
 }

@@ -1521,6 +1521,18 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"),
           count(when(col("__v"), 1L)).as("n_luhn_valid"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Interval-union coverage: per-user merged activity windows (event
+    // second → event second + 60 + ⌊|value|⌋), the dwell-time sweep that
+    // naive duration sums double-count. One window pass per key, no
+    // overlap self-join; integer seconds end to end.
+    "q165_interval_union" -> ((s, dir) => {
+      val secs = expr("ts DIV 1000000000")
+      graft.operators.EventAnalytics.intervalCoverage(
+        RelationalQueries.events(s, dir), "user_id",
+        secs, secs + lit(60L) + floor(abs(col("value"))).cast("long"))
+        .orderBy("user_id")
     })
   )
 
@@ -4470,6 +4482,40 @@ object LlmQueries {
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_luhn_valid
-        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Interval union: the same sweep — running max of prior ends flags
+    // new segments, running flag-sum numbers them, per-segment min/max
+    // close the merge.
+    "q165_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s,
+        |         epoch_ns(ts) // 1000000000 + 60 +
+        |           CAST(floor(abs(value)) AS BIGINT) AS e
+        |  FROM events),
+        |f AS (
+        |  SELECT * FROM iv
+        |  WHERE s IS NOT NULL AND e IS NOT NULL AND e > s),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |         CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS seg
+        |  FROM m),
+        |sg AS (
+        |  SELECT user_id, seg, CAST(count(*) AS BIGINT) AS n,
+        |         min(s) AS ss, max(e) AS se
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |       CAST(count(*) AS BIGINT) AS n_segments,
+        |       CAST(sum(se - ss) AS BIGINT) AS covered,
+        |       CAST(max(se) - min(ss) AS BIGINT) AS span
+        |FROM sg GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

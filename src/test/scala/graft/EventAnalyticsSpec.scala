@@ -98,4 +98,36 @@ class EventAnalyticsSpec extends SparkSpec {
       (3L, 1L, "a", 10L, Some(10L), 0L), // event_id orders the same-ts pair
       (3L, 2L, "b", 10L, None, 1L)))
   }
+
+  test("intervalCoverage merges overlaps and touching intervals, splits on gaps") {
+    import org.apache.spark.sql.functions.col
+    val iv = Seq(
+      // key a: [1,5) [3,7) overlap → [1,7); [7,9) touches → merges;
+      //        [20,25) gap → new segment. covered 8+5=13, span 24
+      ("a", 1L, 5L), ("a", 3L, 7L), ("a", 7L, 9L), ("a", 20L, 25L),
+      // key b: nested [0,100) ⊃ [10,20) → one segment of 100
+      ("b", 0L, 100L), ("b", 10L, 20L),
+      // key c: degenerate rows dropped
+      ("c", 5L, 5L), ("c", 9L, 4L), ("c", 1L, 2L)
+    ).toDF("k", "s", "e")
+    val out = graft.operators.EventAnalytics
+      .intervalCoverage(iv, "k", col("s"), col("e"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("a", 4L, 2L, 13L, 24L),
+      ("b", 2L, 1L, 100L, 100L),
+      ("c", 1L, 1L, 1L, 1L)))
+  }
+
+  test("intervalCoverage: an interval inside the running union never splits a segment") {
+    import org.apache.spark.sql.functions.col
+    // [0,10) then [2,3) (ends before running max): still one segment
+    val iv = Seq(("k", 0L, 10L), ("k", 2L, 3L), ("k", 4L, 12L))
+      .toDF("k", "s", "e")
+    val out = graft.operators.EventAnalytics
+      .intervalCoverage(iv, "k", col("s"), col("e")).head
+    assert(out.getLong(2) === 1L && out.getLong(3) === 12L)
+  }
 }
