@@ -39,6 +39,16 @@ class CooccurCorrSpec extends SparkSpec {
     assert(top1.length === 1 && top1.head.getString(0) === "x") // tie → center asc
   }
 
+  test("skipgramPairs plan joins on exact (doc, pos) — no cartesian, no doc-only key") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Cooccur.skipgramPairs(docs, "doc_id", "text",
+      window = 2, minCount = 1L, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join leaked:\n$plan")
+  }
+
   test("skipgramPairs never crosses document boundaries") {
     val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
     val out = Cooccur.skipgramPairs(docs, "doc_id", "text",

@@ -48,6 +48,16 @@ class QuantileNormalizeSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(4)))
   }
 
+  test("plan shape: reference lookup broadcasts (no sort-merge on the non-equi join)") {
+    val df = (Seq(1L, 2L, 3L).map(("ref", _)) ++ Seq(5L).map(("s", _)))
+      .toDF("source", "v")
+    val plan = QuantileNormalize.toReference(df, "source", col("v"), "ref")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"reference lookup must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+  }
+
   test("normalization is monotone within each source") {
     val df = (Seq(1L, 4L, 9L, 16L, 25L).map(("ref", _)) ++
       Seq(3L, 1L, 7L, 2L, 12L, 5L, 30L).map(("s", _))).toDF("source", "v")

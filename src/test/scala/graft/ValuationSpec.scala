@@ -67,6 +67,17 @@ class ValuationSpec extends SparkSpec {
     assert(math.abs(total - vFull) < 1e-6)
   }
 
+  test("plan shape: the test probe set broadcasts — the corpus table is never shuffled into the join") {
+    val test = Seq(emb(100L, 0.0, 1)).toDF("vec_id", "embedding", "label")
+    val train = Seq(emb(0L, 0.1, 1), emb(1L, 0.2, 0))
+      .toDF("vec_id", "embedding", "label")
+    val plan = Valuation.knnShapley(test, train, "vec_id", "embedding",
+      "label", k = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"probe set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join leaked:\n$plan")
+  }
+
   test("multi-test valuation averages per-test contributions") {
     // two identical test points must yield the same value as one
     val labels = Seq(1, 0, 1)
