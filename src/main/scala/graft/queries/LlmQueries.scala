@@ -1533,6 +1533,34 @@ object LlmQueries {
         RelationalQueries.events(s, dir), "user_id",
         secs, secs + lit(60L) + floor(abs(col("value"))).cast("long"))
         .orderBy("user_id")
+    }),
+
+    // Release-audit pipeline, composed as ONE plan: q81's quality gate →
+    // q140's TVD drift of the SURVIVING corpus's source mix against the
+    // full corpus → a one-row release verdict (counts, keep rate, mix
+    // drift, boolean gate). The "should this snapshot ship" check a
+    // release pipeline runs after filtering — a gate that silently
+    // guts one source shows up as TVD before it ships.
+    "q166_release_audit" -> ((s, dir) => {
+      val gated = graft.operators.CacheScope.track(
+        TextAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text",
+          keepInputCols = true))
+      val tagged = gated.select(col("source"), lit(true).as("__ref"))
+        .unionAll(gated.filter(col("keep"))
+          .select(col("source"), lit(false).as("__ref")))
+      val tvd = graft.operators.Profiling
+        .distributionDrift(tagged, "source", col("__ref"))
+        .agg(min(col("tvd")).as("tvd")) // constant across rows
+      val counts = gated.agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1L)).as("n_kept"))
+      counts.crossJoin(tvd).select(
+        col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"),
+        col("tvd"),
+        (col("tvd") <= 0.05 &&
+          col("n_kept").cast("double") / col("n_docs").cast("double") >= 0.25)
+          .as("release_ok"))
     })
   )
 
@@ -4516,6 +4544,35 @@ object LlmQueries {
         |       CAST(count(*) AS BIGINT) AS n_segments,
         |       CAST(sum(se - ss) AS BIGINT) AS covered,
         |       CAST(max(se) - min(ss) AS BIGINT) AS span
-        |FROM sg GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Release audit: gate CTEs → per-source (all, kept) histogram →
+    // q140's exact-numerator TVD → one verdict row.
+    "q166_release_audit" ->
+      s"""WITH $oGateCtes,
+         |k AS (
+         |  SELECT d.source,
+         |         CASE WHEN v.reasons = 0 THEN 1 ELSE 0 END AS kept
+         |  FROM verdict v JOIN documents d USING (doc_id)),
+         |hist AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_ref,
+         |         CAST(sum(kept) AS BIGINT) AS n_batch
+         |  FROM k GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_ref) AS BIGINT) AS n,
+         |         CAST(sum(n_batch) AS BIGINT) AS m FROM hist),
+         |tv AS (
+         |  SELECT CASE WHEN min(t.n) > 0 AND min(t.m) > 0 THEN
+         |           CAST(sum(abs(CAST(h.n_ref AS HUGEINT) * t.m -
+         |                        CAST(h.n_batch AS HUGEINT) * t.n)) AS DOUBLE) /
+         |             (2.0 * CAST(min(t.n) AS DOUBLE) * CAST(min(t.m) AS DOUBLE))
+         |         END AS tvd
+         |  FROM hist h CROSS JOIN tot t)
+         |SELECT t.n AS n_docs, t.m AS n_kept,
+         |       CAST(t.m AS DOUBLE) / CAST(t.n AS DOUBLE) AS keep_rate,
+         |       tv.tvd,
+         |       (tv.tvd <= 0.05 AND
+         |        CAST(t.m AS DOUBLE) / CAST(t.n AS DOUBLE) >= 0.25) AS release_ok
+         |FROM tot t CROSS JOIN tv""".stripMargin
   )
 }
