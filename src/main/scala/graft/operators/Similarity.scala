@@ -332,6 +332,48 @@ object Similarity {
           (col("n_queries") * Scale).cast("double")).as("mrr"))
   }
 
+  /** Fixed-point log2 discounts for nDCG ranks 1..k — computed ONCE at
+    * plan-build time on the driver (`round(10⁹/log₂(r+1))`), so the
+    * irrational log never executes inside either engine: both the plan
+    * and the SQL oracle carry the same k literal BIGINTs.
+    */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e9 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Per-query nDCG@k with binary relevance — the position-weighted
+    * retrieval-eval headline beside [[recallAtK]] and [[mrrFixedPoint]].
+    *
+    * DCG numerators are exact BIGINT dot products of the 0/1 gains with
+    * the [[ndcgDiscounts]] literals; the ideal ranking packs every
+    * relevant hit first (binary gains ⇒ ideal discount of the i-th
+    * relevant doc is D(i)), so IDCG is the same integer sum over the
+    * per-query relevant-rank row numbers. One double division per query
+    * at the end; queries with NO relevant hit emit NULL ndcg (undefined,
+    * not silently 0 — the caller decides). No cross-query float
+    * aggregation: the standard per-query table IS the output.
+    *
+    * Scale shape: input is top-k-bounded per query; the ideal-rank
+    * window holds ≤ k rows per query; one hash aggregate by query id.
+    */
+  def ndcgFixedPoint(ranked: DataFrame, qidCol: String, rankCol: String,
+                     relevant: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dArr = array(ndcgDiscounts(k).map(lit): _*)
+    val wIdeal = Window.partitionBy(qidCol).orderBy(desc("__g"), col(rankCol))
+    ranked.filter(col(rankCol) <= k)
+      .withColumn("__g", when(relevant, 1L).otherwise(0L))
+      .withColumn("__ir", row_number().over(wIdeal))
+      .groupBy(col(qidCol))
+      .agg(sum(col("__g")).as("n_rel"),
+        sum(col("__g") * element_at(dArr, col(rankCol).cast("int")))
+          .as("dcg_num"),
+        sum(col("__g") * element_at(dArr, col("__ir"))).as("idcg_num"))
+      .select(col(qidCol), col("n_rel"), col("dcg_num"), col("idcg_num"),
+        when(col("idcg_num") > 0L,
+          col("dcg_num").cast("double") / col("idcg_num").cast("double"))
+          .as(s"ndcg_at_$k"))
+  }
+
   /** Margin-based bitext mining (the CCMatrix/LASER parallel-corpus
     * miner): candidate pair (s, t) is scored not by raw cosine — which
     * rewards "hubness" vectors similar to everything — but by the RATIO

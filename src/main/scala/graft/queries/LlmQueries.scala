@@ -1561,6 +1561,20 @@ object LlmQueries {
         (col("tvd") <= 0.05 &&
           col("n_kept").cast("double") / col("n_docs").cast("double") >= 0.25)
           .as("release_ok"))
+    }),
+
+    // Per-query nDCG@10 over q157's exact top-10 with same-label
+    // relevance — position-weighted eval with plan-literal fixed-point
+    // discounts (log2 runs once on the driver, never in an engine).
+    "q167_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ranked = Similarity.bruteForceTopK(queriesSubset(s, dir), emb,
+        "vec_id", "embedding", k = 10)
+        .join(emb.select(col("vec_id").as("qid"), col("label").as("__ql")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("label").as("__nl")), "nid")
+      Similarity.ndcgFixedPoint(ranked, "qid", "rank",
+        col("__ql") === col("__nl"), k = 10)
+        .orderBy("qid")
     })
   )
 
@@ -4573,6 +4587,40 @@ object LlmQueries {
          |       tv.tvd,
          |       (tv.tvd <= 0.05 AND
          |        CAST(t.m AS DOUBLE) / CAST(t.n AS DOUBLE) >= 0.25) AS release_ok
-         |FROM tot t CROSS JOIN tv""".stripMargin
+         |FROM tot t CROSS JOIN tv""".stripMargin,
+
+    // nDCG: q157's ranked CTEs; the SAME driver-computed discount
+    // literals ride in this SQL text, so neither engine evaluates log2.
+    "q167_ndcg" -> {
+      val dLit = s"[${Similarity.ndcgDiscounts(10).mkString(", ")}]"
+      s"""WITH $oNorms,
+         |lab AS (
+         |  SELECT n.vec_id, n.v, n.nrm, e.label
+         |  FROM norms n JOIN embeddings e USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid,
+         |         c.label AS nl, ${oCos("q", "c")} AS cos
+         |  FROM lab q JOIN lab c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, ql, nl,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored),
+         |g AS (
+         |  SELECT qid, rank,
+         |         CASE WHEN ql = nl THEN 1 ELSE 0 END AS g
+         |  FROM ranked WHERE rank <= 10),
+         |ir AS (
+         |  SELECT qid, rank, g,
+         |         row_number() OVER (PARTITION BY qid ORDER BY g DESC, rank) AS ir
+         |  FROM g)
+         |SELECT qid, CAST(sum(g) AS BIGINT) AS n_rel,
+         |       CAST(sum(g * ($dLit)[CAST(rank AS INTEGER)]) AS BIGINT) AS dcg_num,
+         |       CAST(sum(g * ($dLit)[CAST(ir AS INTEGER)]) AS BIGINT) AS idcg_num,
+         |       CASE WHEN CAST(sum(g * ($dLit)[CAST(ir AS INTEGER)]) AS BIGINT) > 0
+         |            THEN CAST(sum(g * ($dLit)[CAST(rank AS INTEGER)]) AS DOUBLE) /
+         |                 CAST(sum(g * ($dLit)[CAST(ir AS INTEGER)]) AS DOUBLE)
+         |       END AS ndcg_at_10
+         |FROM ir GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

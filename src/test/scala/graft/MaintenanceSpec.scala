@@ -88,4 +88,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.getAs[Long]("mrr_num") === 1500000000L)
     assert(out.getAs[Double]("mrr") === 0.5)
   }
+
+  test("ndcgFixedPoint: hand-checked numerators, exact 1.0 on perfect ranking, NULL on no-hit") {
+    val d = Similarity.ndcgDiscounts(3)
+    assert(d.head === 1000000000L) // log2(2) = 1
+    val ranked = Seq(
+      (1L, 1L, false), (1L, 2L, true), (1L, 3L, true), // rel at 2,3
+      (2L, 1L, true), (2L, 2L, true), (2L, 3L, false), // perfect
+      (3L, 1L, false), (3L, 2L, false)                 // no hit
+    ).toDF("qid", "rank", "rel")
+    val out = Similarity.ndcgFixedPoint(ranked, "qid", "rank", col("rel"), 3)
+      .orderBy("qid").collect()
+    assert(out(0).getAs[Long]("dcg_num") === d(1) + d(2))
+    assert(out(0).getAs[Long]("idcg_num") === d(0) + d(1))
+    assert(out(0).getAs[Double]("ndcg_at_3") ===
+      (d(1) + d(2)).toDouble / (d(0) + d(1)).toDouble)
+    assert(out(1).getAs[Double]("ndcg_at_3") === 1.0) // dcg == idcg exactly
+    assert(out(2).isNullAt(out(2).fieldIndex("ndcg_at_3")))
+    assert(out(2).getAs[Long]("n_rel") === 0L)
+  }
 }
