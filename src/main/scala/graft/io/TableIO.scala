@@ -81,6 +81,60 @@ object TableIO {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Atomic snapshot publish WITHOUT a transactional table format — the
+    * commit-marker protocol: data lands in `tableDir/v=N`, and only
+    * after the write completes is an empty marker file created at
+    * `tableDir/_commits/N`. Readers resolve max(marker) and read that
+    * version dir alone, so:
+    *   - a writer that dies mid-write leaves data but NO marker — its
+    *     half-written snapshot is invisible, readers stay on the last
+    *     committed version (no rename-atomicity assumptions: creating a
+    *     file is atomic on HDFS, object stores, and local FS alike);
+    *   - publishes are all-or-nothing from a reader's perspective;
+    *   - every committed version remains readable (time travel) until a
+    *     retention sweep deletes marker-then-dir.
+    * Contract: ONE writer per table at a time (concurrent publishers
+    * could pick the same N — serialize them upstream); this is the
+    * manual core of what Delta/Iceberg's commit log automates, for the
+    * plain-parquet deployments this library targets offline.
+    */
+  def publishSnapshot(df: DataFrame, tableDir: String,
+                      format: String = "parquet"): Long = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = currentVersion(spark, tableDir).getOrElse(0L) + 1L
+    df.write.format(format).mode("overwrite")
+      .save(s"$tableDir/v=$version")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tableDir/_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$tableDir/_commits/$version"),
+      false).close()
+    version
+  }
+
+  /** Latest committed version, if any. */
+  def currentVersion(spark: SparkSession, tableDir: String): Option[Long] = {
+    val commits = new org.apache.hadoop.fs.Path(s"$tableDir/_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) None
+    else {
+      val vs = fs.listStatus(commits)
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Read the latest committed snapshot (or an explicit `version`).
+    * Uncommitted version dirs are never visible here.
+    */
+  def readPublished(spark: SparkSession, tableDir: String,
+                    format: String = "parquet",
+                    version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, tableDir)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $tableDir"))
+    spark.read.format(format).load(s"$tableDir/v=$v")
+  }
+
   /** The events table with `ts` normalized to nanos-since-epoch Long.
     *
     * Two on-disk layouts exist for events.ts: parquet TIMESTAMP(NANOS),

@@ -75,4 +75,36 @@ class TableIOSpec extends SparkSpec {
         col("id"), col("text")).head.getDecimal(1)
     assert(ck(back) === ck(df))
   }
+
+  test("publishSnapshot: commit markers make publishes atomic; failed writes stay invisible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub").toString
+    val v1 = TableIO.publishSnapshot(Seq((1L, "a")).toDF("id", "x"), dir)
+    assert(v1 === 1L)
+    val v2 = TableIO.publishSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), dir)
+    assert(v2 === 2L)
+    assert(TableIO.currentVersion(spark, dir) === Some(2L))
+    assert(TableIO.readPublished(spark, dir).count() === 2L)
+    // a writer that died after the data write but BEFORE the marker:
+    // its directory exists, readers never see it
+    Seq((9L, "junk")).toDF("id", "x").write.parquet(s"$dir/v=3")
+    assert(TableIO.currentVersion(spark, dir) === Some(2L))
+    assert(TableIO.readPublished(spark, dir).count() === 2L)
+    // time travel: explicit versions stay readable
+    assert(TableIO.readPublished(spark, dir, version = Some(1L)).count() === 1L)
+    // the next successful publish claims v3's slot... no: it must skip
+    // to an UNUSED committed id — max(marker)+1 = 3, which overwrites
+    // the orphan dir (mode overwrite) and then commits it
+    val v3 = TableIO.publishSnapshot(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"), dir)
+    assert(v3 === 3L)
+    assert(TableIO.readPublished(spark, dir).count() === 3L)
+  }
+
+  test("readPublished on an unpublished dir fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub_empty").toString
+    intercept[IllegalStateException] {
+      TableIO.readPublished(spark, dir)
+    }
+  }
 }
