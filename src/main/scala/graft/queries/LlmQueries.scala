@@ -1575,8 +1575,77 @@ object LlmQueries {
       Similarity.ndcgFixedPoint(ranked, "qid", "rank",
         col("__ql") === col("__nl"), k = 10)
         .orderBy("qid")
-    })
+    }),
+
+    // Leakage-safe train/val/test split: near-dup CLUSTERS (q70's wide
+    // tier → CC) are the split unit, so a doc and its near-duplicate can
+    // never straddle train/test — the contamination q99's per-doc hash
+    // split cannot rule out. One-row audit: the naive (doc-keyed) split's
+    // crossing-pair count vs the cluster-keyed split's (0 by
+    // construction — split is a function of the component id).
+    "q168_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.CacheScope.track(
+        Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 2))
+      val labeled = graft.operators.Components.dedupClusters(docs, "doc_id", pairs)
+      val sp = Sampling.hashSplit(
+        Sampling.hashSplit(labeled, "doc_id", 80, 10, "naive_split"),
+        "component", 80, 10, "safe_split")
+        .select(col("doc_id"), col("naive_split"), col("safe_split"))
+      val sizes = sp.agg(count(lit(1)).as("n_docs"),
+        count(when(col("safe_split") === "train", 1L)).as("safe_train"),
+        count(when(col("safe_split") === "val", 1L)).as("safe_val"),
+        count(when(col("safe_split") === "test", 1L)).as("safe_test"))
+      val crossing = pairs
+        .join(sp.select(col("doc_id").as("i"), col("naive_split").as("ni"),
+          col("safe_split").as("si")), "i")
+        .join(sp.select(col("doc_id").as("j"), col("naive_split").as("nj"),
+          col("safe_split").as("sj")), "j")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("ni") =!= col("nj"), 1L)).as("naive_cross"),
+          count(when(col("si") =!= col("sj"), 1L)).as("safe_cross"))
+      sizes.crossJoin(crossing)
+    }),
+
+    // Exact ROC-AUC of the gate-distilled classifier (q102's model)
+    // against the gate's own labels — the ranking-quality number a
+    // curation team reads next to q102's confusion matrix. Integer-exact
+    // Mann-Whitney with midrank ties over the fixed-point score
+    // histogram; one division at the end.
+    "q169_auc" -> ((s, dir) =>
+      graft.operators.Evaluation.aucExact(distillScored(s, dir), "zq", "keep")),
+
+    // Precision/recall operating-point sweep for the same distilled
+    // scores: one row per distinct quantized threshold, exact BIGINT
+    // confusion counts — how a release picks its precision floor without
+    // re-scoring the corpus per candidate threshold.
+    "q170_pr_curve" -> ((s, dir) =>
+      graft.operators.Evaluation.prCurve(distillScored(s, dir), "zq", "keep")
+        .orderBy(desc("threshold")))
   )
+
+  /** q169/q170's shared eval set: q102's distilled linear model served
+    * over the gate's features, score quantized to fixed point
+    * (floor(z·2^20) — exact integer image of the double, keeps histogram
+    * group keys integer), label = the gate's keep verdict.
+    */
+  private def distillScored(s: SparkSession, dir: String): DataFrame = {
+    val gated = TextAnalysis.qualityGate(t(s, dir, "documents"),
+      "doc_id", "text", keepInputCols = true)
+    val feats = gated.select(
+      col("doc_id"), col("keep"),
+      TextAnalysis.tokenCount(col("text")).cast("double").as("f_tokens"),
+      TextAnalysis.punctCount(col("text")).cast("double").as("f_punct"),
+      coalesce(TextAnalysis.stopwordRatio(col("text")), lit(0.0)).as("f_stop"),
+      TextAnalysis.qualityScore(col("text")).as("f_quality"))
+    graft.operators.LinearModel.applyModel(feats,
+      Seq("f_tokens", "f_punct", "f_stop", "f_quality"),
+      graft.operators.LinearModel.Model(
+        Array(0.10338513290120002, 0.0, 2.561121689531541,
+          15.712607333411997), -10.389739811106871))
+      .select(col("keep"),
+        floor(col("z") * lit(1048576L)).cast("long").as("zq"))
+  }
 
   /** q142/q143's labeling functions: 1/0/NULL(abstain) rule votes from
     * integer-exact text signals.
@@ -1811,6 +1880,46 @@ object LlmQueries {
        |            + (CASE WHEN tb * 5 > nb * 1 THEN 8 ELSE 0 END)
        |            + (CASE WHEN pii > 3 THEN 16 ELSE 0 END) AS BIGINT) AS reasons
        |  FROM f)""".stripMargin
+
+  /** q169/q170's eval-set CTEs: [[oGateCtes]] + q102's feature/score
+    * text verbatim, ending in `scored(zq, keep)` — zq is the engine's
+    * floor(z·2^20) fixed-point image, keep the gate verdict.
+    */
+  private val oDistillScoredCtes =
+    s"""$oGateCtes,
+       |fxm AS (
+       |  SELECT doc_id,
+       |         CAST(len(tk) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(tk,
+       |           t -> list_contains(['the','a','an','of','to','and','in','is','on','for'], t))) AS BIGINT) AS n_stop,
+       |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS BIGINT) AS punct_cnt,
+       |         text
+       |  FROM m),
+       |fx AS (
+       |  SELECT doc_id,
+       |         CAST(n_tokens AS DOUBLE) AS f_tokens,
+       |         CAST(punct_cnt AS DOUBLE) AS f_punct,
+       |         COALESCE(CASE WHEN n_tokens > 0
+       |                       THEN CAST(n_stop AS DOUBLE) / n_tokens END,
+       |                  CAST(0.0 AS DOUBLE)) AS f_stop,
+       |         (least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+       |          + least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+       |          + (CAST(1.0 AS DOUBLE) - CAST(punct_cnt AS DOUBLE)
+       |                 / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))) / CAST(3.0 AS DOUBLE) AS f_quality
+       |  FROM fxm),
+       |sx AS (
+       |  SELECT doc_id,
+       |         ((((CAST(0.0 AS DOUBLE)
+       |             + (f_tokens * CAST(0.10338513290120002 AS DOUBLE)))
+       |             + (f_punct * CAST(0.0 AS DOUBLE)))
+       |             + (f_stop * CAST(2.561121689531541 AS DOUBLE)))
+       |             + (f_quality * CAST(15.712607333411997 AS DOUBLE)))
+       |           + CAST(-10.389739811106871 AS DOUBLE) AS z
+       |  FROM fx),
+       |scored AS (
+       |  SELECT CAST(floor(z * CAST(1048576 AS DOUBLE)) AS BIGINT) AS zq,
+       |         (v.reasons = 0) AS keep
+       |  FROM sx JOIN verdict v USING (doc_id))""".stripMargin
 
   /** Exact n-gram Jaccard pairs ≥ threshold (ground truth for q23/q24). */
   /** Exact all-pairs n-gram-Jaccard CTE chain ending in
@@ -4621,6 +4730,93 @@ object LlmQueries {
          |                 CAST(sum(g * ($dLit)[CAST(ir AS INTEGER)]) AS DOUBLE)
          |       END AS ndcg_at_10
          |FROM ir GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // q70's wide-signature + recursive-CC chain, then q99's Knuth-bucket
+    // split arithmetic keyed once by doc_id (naive) and once by the CC
+    // component (safe); crossing pairs counted over the same pair set.
+    "q168_leakage_split" ->
+      s"""WITH RECURSIVE ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |lab AS (SELECT node AS doc_id, min(comp) AS component
+         |        FROM reach GROUP BY node),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+         |              WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS naive_split,
+         |         CASE WHEN (((component % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+         |              WHEN (((component % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS safe_split
+         |  FROM lab),
+         |sizes AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(CASE WHEN safe_split = 'train' THEN 1 END) AS BIGINT) AS safe_train,
+         |         CAST(count(CASE WHEN safe_split = 'val' THEN 1 END) AS BIGINT) AS safe_val,
+         |         CAST(count(CASE WHEN safe_split = 'test' THEN 1 END) AS BIGINT) AS safe_test
+         |  FROM sp),
+         |pc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(count(CASE WHEN a.naive_split <> b.naive_split THEN 1 END) AS BIGINT) AS naive_cross,
+         |         CAST(count(CASE WHEN a.safe_split <> b.safe_split THEN 1 END) AS BIGINT) AS safe_cross
+         |  FROM pairs p JOIN sp a ON a.doc_id = p.i JOIN sp b ON b.doc_id = p.j)
+         |SELECT * FROM sizes CROSS JOIN pc""".stripMargin,
+
+    // Midrank Mann-Whitney over the fixed-point score histogram —
+    // doubled rank-sum terms stay integer; one division at the end.
+    "q169_auc" ->
+      s"""WITH $oDistillScoredCtes,
+         |hist AS (
+         |  SELECT zq AS s, count(*) AS c,
+         |         count(CASE WHEN keep THEN 1 END) AS p
+         |  FROM scored GROUP BY 1),
+         |cum AS (
+         |  SELECT s, c, p, sum(c) OVER (ORDER BY s) AS cum FROM hist),
+         |a AS (
+         |  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |         CAST(sum(c - p) AS BIGINT) AS n_neg,
+         |         CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS r2
+         |  FROM cum)
+         |SELECT n_pos, n_neg,
+         |       r2 - n_pos * (n_pos + 1) AS auc_num,
+         |       2 * n_pos * n_neg AS auc_den,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0
+         |            THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |                 CAST(2 * n_pos * n_neg AS DOUBLE)
+         |       END AS auc
+         |FROM a""".stripMargin,
+
+    // Descending cumulative TP/FP over the same histogram; precision =
+    // tp/(tp+fp), recall = tp/P, each one division.
+    "q170_pr_curve" ->
+      s"""WITH $oDistillScoredCtes,
+         |hist AS (
+         |  SELECT zq AS threshold, count(*) AS c,
+         |         count(CASE WHEN keep THEN 1 END) AS p
+         |  FROM scored GROUP BY 1),
+         |cum AS (
+         |  SELECT threshold,
+         |         CAST(sum(p) OVER (ORDER BY threshold DESC) AS BIGINT) AS tp,
+         |         CAST(sum(c - p) OVER (ORDER BY threshold DESC) AS BIGINT) AS fp,
+         |         CAST(sum(p) OVER () AS BIGINT) AS pall
+         |  FROM hist)
+         |SELECT threshold, tp, fp, pall - tp AS fn,
+         |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+         |       CASE WHEN pall > 0
+         |            THEN CAST(tp AS DOUBLE) / CAST(pall AS DOUBLE) END AS recall
+         |FROM cum ORDER BY threshold DESC""".stripMargin
   )
 }
