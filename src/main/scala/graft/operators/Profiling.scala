@@ -307,4 +307,51 @@ object Profiling {
         (col("rows_skipped").cast("double") /
           col("rows_total").cast("double")).as("skip_ratio"))
   }
+
+  /** Pearson χ² homogeneity cells for two categorical columns — "is the
+    * `colB` mix the same across `colA` groups?" (lang mix per source,
+    * label mix per shard…). Emits one row per (a, b) cell of the FULL
+    * margin cross product — including observed-zero cells, which carry
+    * χ² mass and vanish from a plain GROUP BY — with the exact BIGINT
+    * ingredients and the per-cell contribution
+    *
+    *   contrib = d² / (N·rt·ct)   where d = o·N − rt·ct  (exact BIGINT)
+    *
+    * so the statistic is Σ contrib over the returned rows. No global
+    * float sum is taken here: per-cell doubles are deterministic (one
+    * squared difference, one division), and the caller sums the
+    * driver-small cell table in whatever exactness it needs — this is
+    * the [[distributionDrift]] discipline applied to the χ² test.
+    *
+    * Scale shape: one count aggregate over the corpus (cells), two
+    * margin aggregates OVER THE CELL TABLE (not the corpus), and a
+    * broadcast-sized cross join of the margins — everything after the
+    * first aggregate is bounded by category cardinality. Overflow
+    * contract: |d| ≤ N·max(rt,ct) and d² must stay under 2^63 ⇒ N below
+    * ~3e9 rows; beyond that, pre-aggregate per category upstream (the
+    * cells, not the rows, are the statistic's sufficient input).
+    *
+    * NULL categories are excluded (ANSI GROUP BY would keep them as a
+    * real level; a missing-ness test should impute an explicit sentinel
+    * first).
+    */
+  def chiSquaredCells(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col(colA)).agg(sum("o").as("rt"))
+    val colTot = cells.groupBy(col(colB)).agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"))
+    rowTot.crossJoin(n).crossJoin(colTot)
+      .join(cells, Seq(colA, colB), "left")
+      .select(col(colA), col(colB),
+        coalesce(col("o"), lit(0L)).as("o"),
+        col("rt"), col("ct"), col("n"))
+      .withColumn("d", col("o") * col("n") - col("rt") * col("ct"))
+      .withColumn("contrib",
+        (col("d").cast("double") * col("d").cast("double")) /
+          (col("n").cast("double") * col("rt").cast("double") *
+            col("ct").cast("double")))
+  }
 }

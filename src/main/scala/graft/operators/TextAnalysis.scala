@@ -469,4 +469,75 @@ object TextAnalysis {
     */
   def asciiWindow(text: Column, n: Int): Column =
     regexp_replace(substring(text, 1, n), "[^\\x20-\\x7E]", "?")
+
+  /** Per-doc n-gram NOVELTY — the memorization/duplication audit dual:
+    * of a doc's distinct n-gram shingles, what fraction appears in NO
+    * other document (corpus df = 1)? Low novelty flags boilerplate and
+    * template docs that per-doc repetition metrics (which only see
+    * within-doc structure) cannot; the aggregate feeds dataset cards
+    * ("x% duplicated n-grams") and decontamination triage.
+    *
+    * Scale shape: ONE shuffle of exploded shingles (the inverted-index
+    * pass every dedup stage already pays). Singleton shingles carry
+    * their only doc id out of the df aggregate directly
+    * (`min(doc) where df = 1` — no join of the df table back onto the
+    * corpus-sized shingle stream), so the second aggregate is over
+    * singleton shingles only and per-doc set sizes come from a map-only
+    * projection. Docs with fewer than n tokens have no shingles and are
+    * ABSENT from the output (no 0/0 row).
+    *
+    * @return (idCol, n_shingles, n_novel, novelty) — novelty = one
+    *         division, NULL never (n_shingles ≥ 1 by construction)
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val shingleSet = array_distinct(
+      graft.functions.shingles(tokens(col(textCol)), n))
+    val sizes = docs
+      .select(col(idCol), size(shingleSet).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val novel = docs
+      .select(col(idCol).as("__doc"), explode(shingleSet).as("__s"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__df"), min(col("__doc")).as("__doc1"))
+      .filter(col("__df") === 1)
+      .groupBy(col("__doc1").as(idCol))
+      .agg(count(lit(1)).as("n_novel"))
+    sizes.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles").cast(LongType),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+  }
+
+  /** Blocklist scan — the "bad words / flagged domains" filter stage:
+    * per document, how many tokens hit a (term → category) blocklist,
+    * and which categories. The list is a driver-literal table (policy
+    * lists are thousands of rows, not corpus-scale), so the physical
+    * plan is explode → BROADCAST hash join → per-doc aggregate: only
+    * MATCHING tokens survive into the shuffle, which is therefore
+    * proportional to hit volume, not corpus token volume. Docs with no
+    * hits are absent (inner join) — the common case at scale, and the
+    * caller's anti-join recovers the clean set without a second scan.
+    *
+    * Categories are reported as a sorted-distinct array so the result
+    * is deterministic under any aggregation order.
+    *
+    * @return (idCol, n_hits, n_terms, categories)
+    */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[(String, String)]): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termDf = terms.toDF("__term", "__cat")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__term"))
+      .join(broadcast(termDf), "__term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        size(array_distinct(collect_list(col("__term")))).cast(LongType)
+          .as("n_terms"),
+        array_sort(array_distinct(collect_list(col("__cat"))))
+          .as("categories"))
+  }
 }

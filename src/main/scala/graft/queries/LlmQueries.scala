@@ -1621,7 +1621,31 @@ object LlmQueries {
     // re-scoring the corpus per candidate threshold.
     "q170_pr_curve" -> ((s, dir) =>
       graft.operators.Evaluation.prCurve(distillScored(s, dir), "zq", "keep")
-        .orderBy(desc("threshold")))
+        .orderBy(desc("threshold"))),
+
+    // Trigram novelty per doc: fraction of its distinct shingles with
+    // corpus df = 1 — the memorization/boilerplate audit. Singleton
+    // shingles carry their only doc id out of the df aggregate, so no
+    // df-table join back onto the corpus-sized shingle stream.
+    "q171_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
+        n = 3).orderBy("doc_id")),
+
+    // Blocklist scan: per-doc hit counts + sorted categories against a
+    // driver-literal (term -> category) policy list; broadcast join, so
+    // only matching tokens reach the shuffle.
+    "q172_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistHits(t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow" -> "perf", "merge" -> "infra", "stream" -> "infra",
+          "vector" -> "ml", "customer" -> "pii")).orderBy("doc_id")),
+
+    // Pearson chi-squared homogeneity cells for lang-mix-per-source —
+    // exact BIGINT margins and d = o*N - rt*ct per cell (zero cells
+    // included), one division per row; the statistic is the sum of the
+    // returned contribs.
+    "q173_chi2_homogeneity" -> ((s, dir) =>
+      graft.operators.Profiling.chiSquaredCells(t(s, dir, "documents"),
+        "source", "lang").orderBy("source", "lang"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -4817,6 +4841,64 @@ object LlmQueries {
          |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
          |       CASE WHEN pall > 0
          |            THEN CAST(tp AS DOUBLE) / CAST(pall AS DOUBLE) END AS recall
-         |FROM cum ORDER BY threshold DESC""".stripMargin
+         |FROM cum ORDER BY threshold DESC""".stripMargin,
+
+    // q23's shingle CTE shape (trigrams); singleton shingles keep their
+    // only doc id, no join back onto the shingle stream.
+    "q171_ngram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> list_aggregate(tk[i:i+2], 'string_agg', ' ')))) AS s
+         |  FROM toks),
+         |sizes AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM sh GROUP BY 1),
+         |novel AS (
+         |  SELECT doc1 AS doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM (
+         |    SELECT s, count(*) AS df, min(doc_id) AS doc1 FROM sh GROUP BY s)
+         |  WHERE df = 1 GROUP BY 1)
+         |SELECT s.doc_id, s.n_shingles,
+         |       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+         |       CAST(COALESCE(n.n_novel, 0) AS DOUBLE) /
+         |         CAST(s.n_shingles AS DOUBLE) AS novelty
+         |FROM sizes s LEFT JOIN novel n USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // The same literal policy list as the engine query; only docs with
+    // >= 1 hit appear.
+    "q172_blocklist" ->
+      s"""WITH bl(term, cat) AS (VALUES
+         |  ('slow','perf'), ('merge','infra'), ('stream','infra'),
+         |  ('vector','ml'), ('customer','pii')),
+         |tok AS (SELECT doc_id, unnest($oToks) AS term FROM documents),
+         |h AS (SELECT doc_id, t.term, cat FROM tok t JOIN bl USING (term))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |       list_sort(list_distinct(list(cat))) AS categories
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Margin cross product keeps observed-zero cells; d and contrib
+    // mirror chiSquaredCells' fixed arithmetic order.
+    "q173_chi2_homogeneity" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |fl AS (
+        |  SELECT r.source, c.lang, CAST(COALESCE(cl.o, 0) AS BIGINT) AS o,
+        |         r.rt, c.ct, nn.n
+        |  FROM rt r CROSS JOIN nn CROSS JOIN ct c
+        |  LEFT JOIN cells cl ON cl.source = r.source AND cl.lang = c.lang),
+        |fd AS (
+        |  SELECT source, lang, o, rt, ct, n, o * n - rt * ct AS d FROM fl)
+        |SELECT source, lang, o, rt, ct, n, d,
+        |       (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |         AS contrib
+        |FROM fd ORDER BY source, lang""".stripMargin
   )
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Profiling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class CurationAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "a b c d", "s0"), // trigrams: "a b c", "b c d"
+    (1L, "a b c e", "s0"), // shares "a b c" with doc 0
+    (2L, "x y z w", "s1"), // all novel
+    (3L, "a b", "s1") // too short for trigrams
+  ).toDF("doc_id", "text", "src")
+
+  test("ngramNovelty: df=1 fraction per doc, short docs absent") {
+    val r = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L, 2L))
+    assert(r.map(x => (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_novel")))
+      .toSeq === Seq((2L, 1L), (2L, 1L), (2L, 2L)))
+    assert(r(2).getAs[Double]("novelty") === 1.0)
+  }
+
+  test("ngramNovelty: all-duplicate docs report novelty 0, not absent") {
+    val twins = Seq((0L, "p q r"), (1L, "p q r")).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(twins, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(r.length === 2)
+    assert(r.forall(_.getAs[Long]("n_novel") === 0L))
+    assert(r.forall(_.getAs[Double]("novelty") === 0.0))
+  }
+
+  test("blocklistHits: counts, distinct terms, sorted categories") {
+    val d = Seq((0L, "slow merge slow ok"), (1L, "clean text only"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistHits(d, "doc_id", "text",
+      Seq("slow" -> "perf", "merge" -> "infra")).collect()
+    assert(r.length === 1) // doc 1 has no hits -> absent
+    assert(r(0).getAs[Long]("n_hits") === 3L)
+    assert(r(0).getAs[Long]("n_terms") === 2L)
+    assert(r(0).getAs[Seq[String]]("categories") === Seq("infra", "perf"))
+  }
+
+  test("chiSquaredCells: zero cells appear and contribs sum to chi2") {
+    // 2x2 with an empty cell: s0 -> {a:2, b:2}, s1 -> {a:2}
+    val d = Seq(("s0", "a"), ("s0", "a"), ("s0", "b"), ("s0", "b"),
+      ("s1", "a"), ("s1", "a")).toDF("g", "v")
+    val r = Profiling.chiSquaredCells(d, "g", "v").orderBy("g", "v").collect()
+    assert(r.length === 4) // includes the (s1, b) zero cell
+    val zero = r.find(x => x.getAs[String]("g") == "s1" &&
+      x.getAs[String]("v") == "b").get
+    assert(zero.getAs[Long]("o") === 0L)
+    // hand-computed: N=6, rt(s0)=4, rt(s1)=2, ct(a)=4, ct(b)=2
+    // chi2 = sum over cells of (o*N - rt*ct)^2 / (N*rt*ct) = 1.5
+    val chi2 = r.map(_.getAs[Double]("contrib")).sum
+    assert(math.abs(chi2 - 1.5) < 1e-12)
+  }
+}
