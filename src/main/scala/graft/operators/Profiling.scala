@@ -308,6 +308,70 @@ object Profiling {
           col("rows_total").cast("double")).as("skip_ratio"))
   }
 
+  /** Merkle manifest over a sharded table: per-shard [[tableChecksum]]
+    * leaves, hashed pairwise up to a single root — the provenance
+    * artifact a release publishes so a consumer can verify ANY shard (or
+    * the whole snapshot) against the root without re-reading the rest.
+    * Extends the flat q67 checksum with locatability: a mismatch walks
+    * down the tree to the one bad shard in log(shards) digest
+    * comparisons instead of re-checksumming the table.
+    *
+    * Scale shape: one corpus pass for the leaves (the same map-side-
+    * combined digest sum as [[tableChecksum]], shuffled by shard id —
+    * `nShards` rows out); every tree level above is an aggregate over
+    * the previous level's rows, so the whole tree costs log₂(nShards)
+    * tiny jobs over ≤ nShards rows. Empty shards get the digest of the
+    * "0" checksum, so the root is a function of the FULL shard range —
+    * manifest shapes stay comparable across snapshots.
+    *
+    * Digest chain (portable arithmetic only): leaf digest =
+    * polyHash(md5(checksum mod 10¹⁵ as string)); parent digest =
+    * polyHash(md5(leftDigest ‖ '|' ‖ rightDigest)). n_rows sums up the
+    * tree, so each node also carries its subtree's row count.
+    *
+    * @param shard long shard id in [0, nShards); nShards a power of two
+    * @return (level, idx, n_rows, digest) — level 0 = leaves,
+    *         level log₂(nShards) row = the root
+    */
+  def merkleManifest(df: DataFrame, shard: Column, nShards: Int,
+                     cols: Column*): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      "nShards must be a power of two")
+    val spark = df.sparkSession
+    val rowDigest = md5(concat_ws("\u0001", cols: _*).cast("binary"))
+    val leavesRaw = df
+      .select(shard.cast(LongType).as("idx"),
+        TextAnalysis.polyHash(rowDigest).as("__h"))
+      .groupBy("idx")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h").cast(DecimalType(38, 0))).as("__sum"))
+    var cur = spark.range(nShards).select(col("id").as("idx"))
+      .join(leavesRaw, Seq("idx"), "left")
+      .select(col("idx"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        TextAnalysis.polyHash(md5(
+          coalesce((col("__sum") % lit(1000000000000000L)).cast(LongType),
+            lit(0L)).cast("string").cast("binary"))).as("digest"))
+    val levels = scala.collection.mutable.Buffer(
+      cur.withColumn("level", lit(0)))
+    var size = nShards
+    while (size > 1) {
+      cur = cur
+        .groupBy(expr("CAST(idx DIV 2 AS BIGINT)").as("pidx"))
+        .agg(sum("n_rows").as("n_rows"),
+          max(when(col("idx") % 2 === 0, col("digest"))).as("__l"),
+          max(when(col("idx") % 2 === 1, col("digest"))).as("__r"))
+        .select(col("pidx").as("idx"), col("n_rows"),
+          TextAnalysis.polyHash(md5(
+            concat_ws("|", col("__l").cast("string"),
+              col("__r").cast("string")).cast("binary"))).as("digest"))
+      size /= 2
+      levels += cur.withColumn("level", lit(levels.size))
+    }
+    levels.reduce(_ unionByName _)
+      .select(col("level"), col("idx"), col("n_rows"), col("digest"))
+  }
+
   /** Pearson χ² homogeneity cells for two categorical columns — "is the
     * `colB` mix the same across `colA` groups?" (lang mix per source,
     * label mix per shard…). Emits one row per (a, b) cell of the FULL

@@ -300,6 +300,64 @@ object Similarity {
         (col("hits").cast("double") / k).as(s"recall_at_$k"))
   }
 
+  /** Simplified silhouette per cluster cell — the clustering-quality
+    * number read before trusting an IVF/k-means partitioning: with
+    * cosine distance d = 1 − cos, a point's score is
+    *
+    *   s = (b − a) / max(a, b) = (c1 − c2) / (1 − c2)
+    *
+    * where c1 ≥ c2 are its top-2 centroid cosines (a = distance to its
+    * OWN — nearest — centroid, b = to the nearest OTHER centroid; since
+    * a ≤ b the max is b, giving the closed form). s ∈ [0, 1] under this
+    * assignment; higher = tighter cells. This is the "simplified"
+    * (centroid-based) silhouette — the classic all-pairs silhouette is
+    * O(n²) and dead at corpus scale, while this one costs exactly one
+    * assignment pass.
+    *
+    * Scale shape: corpus × broadcast centroid table (k-fanout is
+    * map-side), top-2 via a per-id aggregate whose map-side partial
+    * collapses each id's k rows inside its task — the shuffle carries
+    * one small row per point. Per-point scores are quantized to
+    * fixed-point floor(s·2²⁰) BIGINTs so the per-cell mean is an exact
+    * integer sum with one final division ([[EmbeddingStats]]
+    * discipline — no float-accumulation order anywhere).
+    *
+    * Points whose score is undefined are dropped: zero-norm vectors
+    * (every cosine NULL) and points whose second-best cosine is exactly
+    * 1.0 (duplicate centroids — b = 0). Requires ≥ 2 centroids (with 1,
+    * every point drops and the result is empty).
+    *
+    * @return (cell, n, sil_sum_fp, mean_sil) — mean_sil =
+    *         sil_sum_fp / (n·2²⁰), one division
+    */
+  def silhouetteByCell(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame): DataFrame = {
+    val cs = centroids.select(col("cid").cast("long").as("__cid"),
+      col("cvec"), graft.functions.l2NormF(col("cvec")).as("__cn"))
+    val pts = withNorm(corpus, idCol, vecCol, "id", "__v", "__n")
+    val pairs = pts.crossJoin(broadcast(cs))
+      .select(col("id"),
+        cosFromNorms(col("__v"), col("cvec"), col("__n"), col("__cn"))
+          .as("__cos"),
+        col("__cid"))
+      .filter(col("__cos").isNotNull)
+    val top = pairs.groupBy("id")
+      .agg(slice(sort_array(collect_list(struct(col("__cos").as("c"),
+        (-col("__cid")).as("nc"))), asc = false), 1, 2).as("t2"))
+      .select(col("id"), (-col("t2")(0)("nc")).as("cell"),
+        col("t2")(0)("c").as("c1"),
+        when(size(col("t2")) >= 2, col("t2")(1)("c")).as("c2"))
+    top
+      .filter(col("c2") < lit(1.0)) // also drops NULL c2 (k = 1)
+      .select(col("cell"),
+        floor(((col("c1") - col("c2")) / (lit(1.0) - col("c2"))) *
+          lit(1048576L)).cast("long").as("__sq"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("__sq").as("sil_sum_fp"))
+      .withColumn("mean_sil", col("sil_sum_fp").cast("double") /
+        (col("n").cast("double") * lit(1048576.0)))
+  }
+
   /** Mean reciprocal rank of the first RELEVANT hit per query — the
     * retrieval-eval headline beside [[recallAtK]]'s coverage number.
     *

@@ -1645,7 +1645,47 @@ object LlmQueries {
     // returned contribs.
     "q173_chi2_homogeneity" -> ((s, dir) =>
       graft.operators.Profiling.chiSquaredCells(t(s, dir, "documents"),
-        "source", "lang").orderBy("source", "lang"))
+        "source", "lang").orderBy("source", "lang")),
+
+    // Simplified (centroid-based) silhouette per IVF cell: per-point
+    // s = (c1 - c2)/(1 - c2) from the top-2 centroid cosines, quantized
+    // to fixed point so the per-cell mean is an exact integer sum. The
+    // clustering-quality gate for the q30/q37/q78 cell structure.
+    "q174_silhouette" -> ((s, dir) =>
+      Similarity.silhouetteByCell(t(s, dir, "embeddings"), "vec_id",
+        "embedding", strideCentroids(s, dir)).orderBy("cell")),
+
+    // Most-specific-match policy lookup over events: per-(type, bucket)
+    // overrides > per-type rules > global default, as a chain of
+    // broadcast hash joins + coalesce (no BroadcastNestedLoop, no
+    // per-fact argmax). Output: events per winning rule and level.
+    "q175_rule_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("ub", Sampling.hashBucket(col("user_id"), 4))
+      val rules = Seq(
+        (Option("click"), Option(0L), "r_click_b0"),
+        (Option("purchase"), Option(1L), "r_purch_b1"),
+        (Option("click"), Option.empty[Long], "r_click"),
+        (Option("purchase"), Option.empty[Long], "r_purchase"),
+        (Option("view"), Option.empty[Long], "r_view"),
+        (Option.empty[String], Option.empty[Long], "r_default"))
+        .toDF("event_type", "ub", "rule")
+      graft.operators.Lookup.mostSpecificLookup(ev, rules,
+        Seq("event_type", "ub"), "rule")
+        .groupBy("matched", "match_level").agg(count(lit(1)).as("cnt"))
+        .orderBy("matched")
+    }),
+
+    // Merkle manifest over 16 hash shards of the documents table: q67's
+    // checksum per shard as leaves, hashed pairwise to a root — the
+    // publish artifact that lets a consumer verify any shard against the
+    // root in log(shards) digest compares.
+    "q176_merkle_manifest" -> ((s, dir) =>
+      graft.operators.Profiling.merkleManifest(t(s, dir, "documents"),
+        Sampling.hashBucket(col("doc_id"), 16), 16,
+        col("doc_id"), col("lang"), col("source"), col("text"))
+        .orderBy("level", "idx"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -4899,6 +4939,91 @@ object LlmQueries {
         |       (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) /
         |       (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
         |         AS contrib
-        |FROM fd ORDER BY source, lang""".stripMargin
+        |FROM fd ORDER BY source, lang""".stripMargin,
+
+    // q37's centroid CTEs; top-2 cosines via row_number (cos DESC, cid
+    // ASC ties — the engine's sort_array order), fixed-point quantize,
+    // exact integer cell sums.
+    "q174_silhouette" ->
+      s"""WITH $oNorms,
+         |centroids AS (
+         |  SELECT vec_id // 25 AS cid, v, nrm FROM norms WHERE vec_id % 25 = 0),
+         |pc AS (
+         |  SELECT e.vec_id AS id, c.cid, ${oCos("e", "c")} AS cos,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${oCos("e", "c")} DESC, c.cid) AS rn
+         |  FROM norms e CROSS JOIN centroids c),
+         |top AS (
+         |  SELECT a.id, a.cid AS cell, a.cos AS c1, b.cos AS c2
+         |  FROM pc a JOIN pc b ON a.id = b.id AND a.rn = 1 AND b.rn = 2),
+         |sil AS (
+         |  SELECT cell,
+         |         CAST(floor(((c1 - c2) / (CAST(1.0 AS DOUBLE) - c2)) *
+         |           CAST(1048576 AS DOUBLE)) AS BIGINT) AS sq
+         |  FROM top WHERE c2 < CAST(1.0 AS DOUBLE))
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(sq) AS BIGINT) AS sil_sum_fp,
+         |       CAST(sum(sq) AS DOUBLE) /
+         |         (CAST(count(*) AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS mean_sil
+         |FROM sil GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // The engine's level chain as literal CASE rules: (type, bucket)
+    // overrides, then per-type, then the default; level = mask popcount.
+    "q175_rule_lookup" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         (((user_id % 2147483648) * 2654435761) % 4294967296) % 4 AS ub
+        |  FROM events),
+        |m AS (
+        |  SELECT COALESCE(
+        |           CASE WHEN event_type = 'click' AND ub = 0 THEN 'r_click_b0'
+        |                WHEN event_type = 'purchase' AND ub = 1 THEN 'r_purch_b1' END,
+        |           CASE WHEN event_type = 'click' THEN 'r_click'
+        |                WHEN event_type = 'purchase' THEN 'r_purchase'
+        |                WHEN event_type = 'view' THEN 'r_view' END,
+        |           'r_default') AS matched,
+        |         CASE WHEN (event_type = 'click' AND ub = 0)
+        |                OR (event_type = 'purchase' AND ub = 1) THEN 2
+        |              WHEN event_type IN ('click', 'purchase', 'view') THEN 1
+        |              ELSE 0 END AS match_level
+        |  FROM b)
+        |SELECT matched, match_level, CAST(count(*) AS BIGINT) AS cnt
+        |FROM m GROUP BY 1, 2 ORDER BY matched""".stripMargin,
+
+    // Unrolled 4-level tree over the 16 shard leaves; every digest is
+    // polyHash(md5(...)) exactly like the engine's chain.
+    "q176_merkle_manifest" -> {
+      def pair(prev: String) = oPolyHash(
+        "md5(concat_ws('|', " +
+          "CAST(max(CASE WHEN idx % 2 = 0 THEN digest END) AS VARCHAR), " +
+          "CAST(max(CASE WHEN idx % 2 = 1 THEN digest END) AS VARCHAR)))")
+      def lv(k: Int) =
+        s"""lv$k AS (
+           |  SELECT CAST(idx // 2 AS BIGINT) AS idx,
+           |         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           |         ${pair(s"lv${k - 1}")} AS digest
+           |  FROM lv${k - 1} GROUP BY 1)""".stripMargin
+      s"""WITH leaves AS (
+         |  SELECT (((doc_id % 2147483648) * 2654435761) % 4294967296) % 16 AS idx,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(${oPolyHash(
+                     "md5(concat_ws(chr(1), doc_id, lang, source, text))")})
+         |           % 1000000000000000 AS BIGINT) AS cmod
+         |  FROM documents GROUP BY 1),
+         |lv0 AS (
+         |  SELECT r.idx, CAST(COALESCE(l.n_rows, 0) AS BIGINT) AS n_rows,
+         |         ${oPolyHash("md5(CAST(COALESCE(l.cmod, 0) AS VARCHAR))")} AS digest
+         |  FROM range(0, 16) r(idx) LEFT JOIN leaves l USING (idx)),
+         |${lv(1)},
+         |${lv(2)},
+         |${lv(3)},
+         |${lv(4)}
+         |SELECT 0 AS level, idx, n_rows, digest FROM lv0
+         |UNION ALL SELECT 1, idx, n_rows, digest FROM lv1
+         |UNION ALL SELECT 2, idx, n_rows, digest FROM lv2
+         |UNION ALL SELECT 3, idx, n_rows, digest FROM lv3
+         |UNION ALL SELECT 4, idx, n_rows, digest FROM lv4
+         |ORDER BY level, idx""".stripMargin
+    }
   )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Lookup, Profiling, Similarity}
+import org.apache.spark.sql.functions._
+
+class LookupManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------- mostSpecificLookup
+
+  private lazy val rules = Seq(
+    (Option("a"), Option(1L), "specific"),
+    (Option("a"), Option.empty[Long], "type_a"),
+    (Option.empty[String], Option.empty[Long], "default"))
+    .toDF("t", "b", "rule")
+
+  test("mostSpecificLookup: most specific wins, level = popcount") {
+    val facts = Seq(("a", 1L), ("a", 2L), ("z", 9L)).toDF("t", "b")
+    val r = Lookup.mostSpecificLookup(facts, rules, Seq("t", "b"), "rule")
+      .orderBy("t", "b").collect()
+    assert(r.map(x => (x.getAs[String]("matched"),
+      x.getAs[Int]("match_level"))).toSeq ===
+      Seq(("specific", 2), ("type_a", 1), ("default", 0)))
+  }
+
+  test("mostSpecificLookup: no default rule -> NULL match, level -1") {
+    val noDefault = rules.filter(col("t").isNotNull)
+    val r = Lookup.mostSpecificLookup(Seq(("z", 9L)).toDF("t", "b"),
+      noDefault, Seq("t", "b"), "rule").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("matched")))
+    assert(r.getAs[Int]("match_level") === -1)
+  }
+
+  test("mostSpecificLookup rejects duplicate rule keys (silent fanout)") {
+    val dup = rules.union(Seq((Option("a"), Option(1L), "other"))
+      .toDF("t", "b", "rule"))
+    intercept[IllegalArgumentException] {
+      Lookup.mostSpecificLookup(Seq(("a", 1L)).toDF("t", "b"),
+        dup, Seq("t", "b"), "rule")
+    }
+  }
+
+  // ---------------------------------------------------- silhouetteByCell
+
+  test("silhouetteByCell: points on their centroid score 1, midpoints 0") {
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("cid", "cvec")
+    val pts = Seq(
+      (10L, Array(2f, 0f)), // exactly centroid 0's direction -> s = 1
+      (11L, Array(0f, 3f)), // exactly centroid 1's direction -> s = 1
+      (12L, Array(1f, 1f)) // equidistant -> c1 = c2 -> s = 0
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.silhouetteByCell(pts, "vec_id", "embedding", cents)
+      .orderBy("cell").collect()
+    val byCell = r.map(x => x.getAs[Long]("cell") ->
+      (x.getAs[Long]("n"), x.getAs[Double]("mean_sil"))).toMap
+    assert(byCell(0L)._1 === 2L) // point 10 + tie point 12 (cid-asc tie)
+    assert(byCell(1L) === ((1L, 1.0)))
+    // cell 0 mean: (1.0 + 0.0) / 2 = 0.5
+    assert(byCell(0L)._2 === 0.5)
+  }
+
+  // ---------------------------------------------------- merkleManifest
+
+  private lazy val tbl = Seq(
+    (0L, "x"), (1L, "y"), (2L, "z"), (5L, "w"))
+    .toDF("id", "s")
+
+  test("merkleManifest: full range of nodes, subtree row counts, one root") {
+    val m = Profiling.merkleManifest(tbl, pmod(col("id"), lit(4)), 4,
+      col("id"), col("s")).orderBy("level", "idx").collect()
+    assert(m.length === 7) // 4 + 2 + 1
+    val root = m.last
+    assert(root.getAs[Int]("level") === 2 && root.getAs[Long]("n_rows") === 4L)
+    // shard 3 is empty but still a leaf
+    val leaf3 = m.find(x => x.getAs[Int]("level") === 0 &&
+      x.getAs[Long]("idx") === 3L).get
+    assert(leaf3.getAs[Long]("n_rows") === 0L)
+  }
+
+  test("merkleManifest: a one-row change flips the root digest") {
+    def root(df: org.apache.spark.sql.DataFrame): Long =
+      Profiling.merkleManifest(df, pmod(col("id"), lit(4)), 4,
+        col("id"), col("s"))
+        .orderBy(desc("level")).limit(1).collect()(0).getAs[Long]("digest")
+    val changed = Seq((0L, "x"), (1L, "y"), (2L, "Q"), (5L, "w"))
+      .toDF("id", "s")
+    assert(root(tbl) !== root(changed))
+    assert(root(tbl) === root(tbl.orderBy(desc("id")))) // order-free
+  }
+}
