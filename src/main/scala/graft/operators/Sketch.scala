@@ -290,6 +290,49 @@ object Sketch {
     */
   def hllMerge(a: Column, b: Column): Column = zip_with(a, b, greatest(_, _))
 
+  /** Join-size estimate by COORDINATED key sampling — the planner
+    * question "how big would this equi-join blow up?" answered from a
+    * 1/rate sample without running the join. Both sides sample the SAME
+    * keys (the deterministic Knuth bucket [[Sampling.hashBucket]] == 0),
+    * so sampled per-key count products are an unbiased 1/rate sample of
+    * Σₖ aₖ·bₖ = |A ⋈ B|, and
+    *
+    *   est_join_rows = rate · Σ_{sampled k} aₖ·bₖ    (exact integers —
+    *   no floats anywhere; deterministic, so even the ESTIMATE is
+    *   oracle-checkable)
+    *
+    * Independent per-side Bernoulli sampling would estimate Σ aₖ·bₖ/rate²
+    * with rate²-worse variance on the hot keys that dominate join size;
+    * coordination (same hash, same side of the cut) is the whole trick.
+    *
+    * Scale shape: each side is ONE map-side filter (h(key) < cut — rows
+    * of unsampled keys never reach the aggregate) + a per-key count
+    * bounded by sampled-key cardinality, then a sampled-keys-sized join
+    * and a one-row sum. Self-join estimates (pass the same frame twice)
+    * cost the same two passes.
+    *
+    * Caveats the caller owns: a hot key missed by the sample (prob
+    * 1−1/rate) removes its a·b mass entirely — for join-size certainty
+    * on known heavy hitters, union the [[HeavyHitters]] candidates in
+    * exactly; keys must be non-negative integers (the bucket hash's
+    * domain).
+    */
+  def joinSizeEstimate(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame,
+                       keyCol: String, rate: Int): org.apache.spark.sql.DataFrame = {
+    require(rate > 0, "rate must be positive")
+    def sampledCounts(df: org.apache.spark.sql.DataFrame, out: String) = df
+      .filter(Sampling.hashBucket(col(keyCol), rate) === 0)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as(out))
+    sampledCounts(a, "__ca").join(sampledCounts(b, "__cb"), "__k")
+      .agg(count(lit(1)).as("n_sampled_keys"),
+        sum(col("__ca") * col("__cb")).as("__sp"))
+      .select(col("n_sampled_keys"),
+        coalesce(col("__sp"), lit(0L)).as("sampled_pairs"),
+        coalesce(col("__sp") * rate, lit(0L)).as("est_join_rows"))
+  }
+
   /** Raw HLL estimate α_m·m² / Σ 2^(−reg) over the named register-array
     * column: libm-free (the power of two is a shift; α_m·m² is an exact
     * exponent scaling of the α constant), bit-identical across engines

@@ -59,4 +59,42 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }
+
+  /** Skew ADVISOR — the one-row report read before choosing between a
+    * plain join, AQE skew splitting, and [[saltedJoin]]: key-histogram
+    * extremes plus the salt factor that would level the hottest key
+    * across `partitions` reducers,
+    *
+    *   salt_factor = ⌈max_cnt · partitions / n_rows⌉   (exact integer
+    *   ceiling — the hot key's rows divided by a fair task share)
+    *
+    * reported alongside skew_ratio = max_cnt/(n_rows/n_keys) (hot key vs
+    * mean key). salt_factor ≤ 1 means the hottest key already fits a
+    * fair share — salting would only add replication cost.
+    *
+    * Scale shape: one key histogram (map-side combinable, bounded by
+    * distinct keys), then one-row aggregates over it; the max key is
+    * re-read from the histogram by filter (min key string among
+    * count-ties — deterministic), never via a driver sort. Keys are
+    * rendered as strings so the report schema is key-type-independent.
+    */
+  def skewReport(df: DataFrame, keyCol: String, partitions: Int): DataFrame = {
+    require(partitions > 0, "partitions must be positive")
+    val hist = CacheScope.track(
+      df.groupBy(col(keyCol).cast("string").as("__k"))
+        .agg(count(lit(1)).as("__cnt")))
+    val tot = hist.agg(sum("__cnt").as("n_rows"),
+      count(lit(1)).as("n_keys"), max("__cnt").as("max_cnt"))
+    val hot = hist.join(tot.select(col("max_cnt").as("__m")),
+        col("__cnt") === col("__m"))
+      .agg(min("__k").as("max_key"))
+    tot.crossJoin(hot).select(
+      col("n_rows"), col("n_keys"), col("max_cnt"), col("max_key"),
+      (col("n_rows").cast("double") / col("n_keys").cast("double"))
+        .as("mean_rows_per_key"),
+      ((col("max_cnt") * col("n_keys")).cast("double") /
+        col("n_rows").cast("double")).as("skew_ratio"),
+      expr(s"CAST((max_cnt * $partitions + n_rows - 1) DIV n_rows AS BIGINT)")
+        .as("salt_factor"))
+  }
 }

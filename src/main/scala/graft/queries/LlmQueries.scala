@@ -1685,7 +1685,29 @@ object LlmQueries {
       graft.operators.Profiling.merkleManifest(t(s, dir, "documents"),
         Sampling.hashBucket(col("doc_id"), 16), 16,
         col("doc_id"), col("lang"), col("source"), col("text"))
-        .orderBy("level", "idx"))
+        .orderBy("level", "idx")),
+
+    // Skew advisor over the events key: histogram extremes + the salt
+    // factor that would level the hottest key across 32 reducers -
+    // the number read before choosing plain join vs AQE vs saltedJoin.
+    "q177_skew_report" -> ((s, dir) =>
+      graft.operators.Skew.skewReport(t(s, dir, "events"), "event_type",
+        partitions = 32)),
+
+    // Coordinated-sample join-size estimate for the lineitem self-join
+    // on l_partkey (the "how big does this blow up" planner probe),
+    // next to the exact histogram answer and their ratio. The estimate
+    // itself is deterministic integers, so it hash-gates.
+    "q178_join_size" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val est = graft.operators.Sketch.joinSizeEstimate(li, li,
+        "l_partkey", rate = 8)
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c") * col("__c")).as("exact_join_rows"))
+      est.crossJoin(exact).withColumn("ratio",
+        col("est_join_rows").cast("double") /
+          col("exact_join_rows").cast("double"))
+    })
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -5024,6 +5046,49 @@ object LlmQueries {
          |UNION ALL SELECT 3, idx, n_rows, digest FROM lv3
          |UNION ALL SELECT 4, idx, n_rows, digest FROM lv4
          |ORDER BY level, idx""".stripMargin
-    }
+    },
+
+    // Histogram extremes + exact integer-ceiling salt factor; max_key is
+    // the min key string among count ties (deterministic).
+    "q177_skew_report" ->
+      """WITH h AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS k,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM h),
+        |hot AS (SELECT min(k) AS max_key FROM h JOIN t ON cnt = max_cnt)
+        |SELECT n_rows, n_keys, max_cnt, max_key,
+        |       CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
+        |         AS mean_rows_per_key,
+        |       CAST(max_cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |         AS skew_ratio,
+        |       CAST((max_cnt * 32 + n_rows - 1) // n_rows AS BIGINT)
+        |         AS salt_factor
+        |FROM t CROSS JOIN hot""".stripMargin,
+
+    // The engine's coordinated sample (Knuth bucket % 8 = 0 on BOTH
+    // sides) + the exact per-key histogram answer.
+    "q178_join_size" ->
+      """WITH s AS (
+        |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE (((l_partkey % 2147483648) * 2654435761) % 4294967296) % 8 = 0
+        |  GROUP BY 1),
+        |est AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sampled_keys,
+        |         CAST(COALESCE(sum(c * c), 0) AS BIGINT) AS sampled_pairs,
+        |         CAST(COALESCE(sum(c * c) * 8, 0) AS BIGINT) AS est_join_rows
+        |  FROM s),
+        |ex AS (
+        |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_rows FROM (
+        |    SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_partkey))
+        |SELECT n_sampled_keys, sampled_pairs, est_join_rows, exact_join_rows,
+        |       CAST(est_join_rows AS DOUBLE) / CAST(exact_join_rows AS DOUBLE)
+        |         AS ratio
+        |FROM est CROSS JOIN ex""".stripMargin
   )
 }

@@ -56,4 +56,38 @@ class CurationAuditSpec extends SparkSpec {
     val chi2 = r.map(_.getAs[Double]("contrib")).sum
     assert(math.abs(chi2 - 1.5) < 1e-12)
   }
+
+  // ---------------------------------------------------------- planning ops
+
+  test("skewReport: extremes, deterministic hot key, ceiling salt factor") {
+    // key a: 6 rows, b: 1, c: 1 -> n=8, keys=3, max=6
+    val d = (Seq.fill(6)("a") ++ Seq("b", "c")).toDF("k")
+    val r = graft.operators.Skew.skewReport(d, "k", partitions = 4)
+      .collect()(0)
+    assert(r.getAs[Long]("n_rows") === 8L && r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("max_cnt") === 6L && r.getAs[String]("max_key") === "a")
+    // ceil(6*4/8) = 3
+    assert(r.getAs[Long]("salt_factor") === 3L)
+    assert(r.getAs[Double]("skew_ratio") === 6.0 * 3 / 8)
+  }
+
+  test("joinSizeEstimate: rate 1 reproduces the exact join size") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("k")
+    // exact join size: key1 2*1 + key2 1*2 = 4
+    val r = graft.operators.Sketch.joinSizeEstimate(a, b, "k", rate = 1)
+      .collect()(0)
+    assert(r.getAs[Long]("est_join_rows") === 4L)
+    assert(r.getAs[Long]("n_sampled_keys") === 2L)
+  }
+
+  test("joinSizeEstimate: empty sample reports zeros, not NULLs") {
+    val a = Seq(1L).toDF("k")
+    val b = Seq(2L).toDF("k")
+    val r = graft.operators.Sketch.joinSizeEstimate(a, b, "k", rate = 1)
+      .collect()(0)
+    assert(r.getAs[Long]("n_sampled_keys") === 0L)
+    assert(r.getAs[Long]("sampled_pairs") === 0L)
+    assert(r.getAs[Long]("est_join_rows") === 0L)
+  }
 }
