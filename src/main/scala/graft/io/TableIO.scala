@@ -124,6 +124,77 @@ object TableIO {
     }
   }
 
+  /** Retention sweep for [[publishSnapshot]] tables — the manual VACUUM:
+    * delete every committed version except the newest `keep`, plus
+    * ORPHAN version dirs (no commit marker, version below the current
+    * one — a publisher that died mid-write; the dir above the max
+    * marker is left alone, it may be a publish in flight).
+    *
+    * Deletion order is marker FIRST, then data dir: a sweep that
+    * crashes between the two leaves an unreferenced dir (invisible to
+    * [[readPublished]], removable by the next sweep) — never a
+    * committed version whose data is gone. The mirror of the publish
+    * protocol's marker-last order.
+    *
+    * @return removed versions, ascending (orphans included)
+    */
+  def vacuumSnapshots(spark: SparkSession, tableDir: String,
+                      keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the current version")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val committed = {
+      val commits = new Path(s"$tableDir/_commits")
+      if (!fs.exists(commits)) Seq.empty[Long]
+      else fs.listStatus(commits).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+    }.sorted
+    val current = committed.lastOption
+    val expired = committed.dropRight(keep)
+    val orphans = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("v=")) scala.util.Try(n.drop(2).toLong).toOption
+        else None
+      }
+      .filter(v => !committed.contains(v) && current.exists(v < _))
+    expired.foreach { v =>
+      fs.delete(new Path(s"$tableDir/_commits/$v"), false)
+      fs.delete(new Path(s"$tableDir/v=$v"), true)
+    }
+    orphans.foreach(v => fs.delete(new Path(s"$tableDir/v=$v"), true))
+    (expired ++ orphans).sorted
+  }
+
+  /** Column-level schema diff between two committed snapshot versions —
+    * the compatibility check a consumer runs before switching to a new
+    * publish: one row per added / removed / retyped column (unchanged
+    * columns are omitted). Footer-only: reads both versions' schemas,
+    * never their data.
+    */
+  def snapshotSchemaDiff(spark: SparkSession, tableDir: String,
+                         fromVersion: Long, toVersion: Long,
+                         format: String = "parquet"): DataFrame = {
+    import spark.implicits._
+    def fieldsOf(v: Long): Map[String, String] =
+      readPublished(spark, tableDir, format, Some(v))
+        .schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val from = fieldsOf(fromVersion)
+    val to = fieldsOf(toVersion)
+    val rows =
+      (to.keySet -- from.keySet).toSeq.sorted
+        .map(c => (c, null: String, to(c), "added")) ++
+      (from.keySet -- to.keySet).toSeq.sorted
+        .map(c => (c, from(c), null: String, "removed")) ++
+      (from.keySet & to.keySet).toSeq.sorted
+        .filter(c => from(c) != to(c))
+        .map(c => (c, from(c), to(c), "retyped"))
+    rows.toDF("column", "from_type", "to_type", "change")
+  }
+
   /** Read the latest committed snapshot (or an explicit `version`).
     * Uncommitted version dirs are never visible here.
     */

@@ -107,4 +107,40 @@ class TableIOSpec extends SparkSpec {
       TableIO.readPublished(spark, dir)
     }
   }
+
+  test("vacuumSnapshots: keeps newest versions, removes orphans, marker first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    (1 to 4).foreach(i =>
+      TableIO.publishSnapshot(Seq((i.toLong, "r")).toDF("id", "x"), dir))
+    // orphan below current (failed publish), plus an in-flight dir above
+    Seq((99L, "junk")).toDF("id", "x").write.parquet(s"$dir/v=0")
+    Seq((98L, "next")).toDF("id", "x").write.parquet(s"$dir/v=5")
+    val removed = TableIO.vacuumSnapshots(spark, dir, keep = 2)
+    assert(removed === Seq(0L, 1L, 2L))
+    // survivors: v3, v4 committed; v5 in-flight untouched
+    assert(TableIO.currentVersion(spark, dir) === Some(4L))
+    assert(TableIO.readPublished(spark, dir, version = Some(3L)).count() === 1L)
+    intercept[Exception] {
+      TableIO.readPublished(spark, dir, version = Some(1L)).count()
+    }
+    assert(new java.io.File(s"$dir/v=5").exists())
+    // idempotent: a second sweep finds nothing
+    assert(TableIO.vacuumSnapshots(spark, dir, keep = 2) === Seq.empty)
+  }
+
+  test("snapshotSchemaDiff: added/removed/retyped columns, footer-only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sd").toString
+    TableIO.publishSnapshot(Seq((1L, "a", 1)).toDF("id", "x", "n"), dir)
+    TableIO.publishSnapshot(
+      Seq((1L, 2.0, true)).toDF("id", "n", "flag"), dir)
+    val d = TableIO.snapshotSchemaDiff(spark, dir, 1L, 2L)
+      .orderBy("change", "column").collect()
+    assert(d.map(r => (r.getAs[String]("column"), r.getAs[String]("change")))
+      .toSeq === Seq(("flag", "added"), ("x", "removed"), ("n", "retyped")))
+    val retyped = d.find(_.getAs[String]("column") == "n").get
+    assert(retyped.getAs[String]("from_type") === "int")
+    assert(retyped.getAs[String]("to_type") === "double")
+  }
 }
