@@ -87,4 +87,94 @@ object Projection {
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("nid"), col("pcos"))
   }
+
+  /** Fixed-point Gram matrix of an embedding column: row `a` holds
+    * M[a][b] = Σ_rows q(x_a)·q(x_b) with q(x) = floor(x·2^scaleBits) as
+    * BIGINT — an exact, order-free integer image of the (quantized)
+    * uncentered second-moment matrix, the sufficient statistic for
+    * spectral analysis. Float Gram accumulation would be partition-
+    * order-dependent; quantizing FIRST makes every sum exact integers
+    * (the [[EmbeddingStats]] discipline, lifted from per-dimension
+    * moments to cross-moments).
+    *
+    * Scale shape: one posexplode (dim× row blowup — inherent to Σxxᵀ)
+    * into a 64-group aggregate of dim products each; map-side combine
+    * collapses every partition to ≤ dim rows before the shuffle, so the
+    * shuffle is dim² longs per task regardless of corpus size.
+    *
+    * Overflow contract: 2^(2·scaleBits)·n·max|x|² < 2^63 — at the
+    * default 20 bits and unit-normalized embeddings that holds to ~8M
+    * rows; lower scaleBits (or pre-aggregate shards into DECIMAL) for
+    * more. Spectral probes at corpus scale run on a deterministic
+    * sample anyway ([[Sampling.deterministicSample]]).
+    */
+  def gramFixedPoint(df: DataFrame, vecCol: String, dim: Int,
+                     scaleBits: Int = 20): DataFrame = {
+    require(dim > 0 && scaleBits > 0 && scaleBits < 31)
+    val scale = (1L << scaleBits).toDouble
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("long"))
+    df.select(q.as("__q"))
+      .select(posexplode(col("__q")).as(Seq("a", "qa")), col("__q"))
+      .groupBy("a")
+      .agg(array((0 until dim).map(b =>
+        sum(col("qa") * element_at(col("__q"), b + 1)).as(s"m$b")): _*)
+        .as("mrow"))
+  }
+
+  /** Top principal direction of the [[gramFixedPoint]] matrix by POWER
+    * ITERATION — "is there a dominant direction / rogue dimension in
+    * these embeddings" (anisotropy is the common failure of pooled
+    * transformer embeddings; its fix — removing the top component(s),
+    * Mu & Viswanath's all-but-the-top — needs exactly this vector).
+    *
+    * Determinism: the Gram collect is exact integers; the iteration
+    * runs ON THE DRIVER (64×64 doubles — matvec cost is nothing; the
+    * corpus pass was the Gram) in a FIXED order — w[a] = left-fold over
+    * b of M[a][b]·v[b], norm = sqrt(left-fold of w[a]²), v = w/norm,
+    * `iterations` times from the all-ones start — so any engine
+    * replaying the same folds gets the same bits (the LinearModel.score
+    * contract, applied to an eigensolver). BIGINT→double conversion is
+    * exact below 2^53; the Gram entries' overflow contract above
+    * already keeps them there for unit-norm inputs.
+    *
+    * @return one row per dimension: (dim, loading, lambda) with
+    *         `lambda` = vᵀMv of the final vector (constant column)
+    */
+  def topComponentFixedPoint(df: DataFrame, vecCol: String, dim: Int,
+                             iterations: Int = 20,
+                             scaleBits: Int = 20): DataFrame = {
+    require(iterations >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = Array.ofDim[Long](dim, dim)
+    gramFixedPoint(df, vecCol, dim, scaleBits).collect().foreach { r =>
+      val a = r.getAs[Int]("a")
+      val row = r.getSeq[Long](r.fieldIndex("mrow"))
+      var b = 0
+      while (b < dim) { m(a)(b) = row(b); b += 1 }
+    }
+    var v = Array.fill(dim)(1.0)
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { a =>
+        var s = 0.0
+        var b = 0
+        while (b < dim) { s += m(a)(b) * x(b); b += 1 }
+        s
+      }
+    for (_ <- 0 until iterations) {
+      val w = matvec(v)
+      var n2 = 0.0
+      var a = 0
+      while (a < dim) { n2 += w(a) * w(a); a += 1 }
+      val nrm = math.sqrt(n2)
+      v = w.map(_ / nrm)
+    }
+    val mv = matvec(v)
+    var lambda = 0.0
+    var a = 0
+    while (a < dim) { lambda += v(a) * mv(a); a += 1 }
+    (0 until dim).map(d => (d.toLong, v(d), lambda))
+      .toDF("dim", "loading", "lambda")
+  }
 }

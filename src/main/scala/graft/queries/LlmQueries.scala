@@ -1707,7 +1707,16 @@ object LlmQueries {
       est.crossJoin(exact).withColumn("ratio",
         col("est_join_rows").cast("double") /
           col("exact_join_rows").cast("double"))
-    })
+    }),
+
+    // Top principal direction of the embeddings (anisotropy probe /
+    // all-but-the-top input): exact fixed-point Gram matrix from one
+    // distributed pass, then 20 driver-side power iterations in a fixed
+    // fold order the oracle replays verbatim - even the eigensolver is
+    // hash-gated.
+    "q179_top_component" -> ((s, dir) =>
+      graft.operators.Projection.topComponentFixedPoint(
+        t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -5089,6 +5098,48 @@ object LlmQueries {
         |SELECT n_sampled_keys, sampled_pairs, est_join_rows, exact_join_rows,
         |       CAST(est_join_rows AS DOUBLE) / CAST(exact_join_rows AS DOUBLE)
         |         AS ratio
-        |FROM est CROSS JOIN ex""".stripMargin
+        |FROM est CROSS JOIN ex""".stripMargin,
+
+    // Exact-integer Gram, then the SAME power iteration the engine runs
+    // on the driver: left folds over b then a, all-ones start, 20
+    // rounds; the matvec expression is inlined twice (value + its own
+    // normalizer) because the recursive member cannot name it.
+    "q179_top_component" -> {
+      val wExpr =
+        """list_transform(range(64), a -> list_reduce(
+          |  list_prepend(CAST(0.0 AS DOUBLE),
+          |    list_transform(range(64), b -> m[a+1][b+1] * v[b+1])),
+          |  (x, y) -> x + y))""".stripMargin
+      s"""WITH RECURSIVE qv AS (
+         |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |mr AS (
+         |  SELECT a, b, CAST(sum(q[a+1] * q[b+1]) AS BIGINT) AS mval
+         |  FROM qv, range(64) ra(a), range(64) rb(b)
+         |  GROUP BY a, b),
+         |mm AS (
+         |  SELECT list(mrow ORDER BY a) AS m FROM (
+         |    SELECT a, list(mval ORDER BY b) AS mrow FROM mr GROUP BY a)),
+         |it(t, v) AS (
+         |  SELECT 0, list_transform(range(64), x -> CAST(1.0 AS DOUBLE))
+         |  UNION ALL
+         |  SELECT t + 1,
+         |         list_transform($wExpr, wa -> wa / sqrt(list_reduce(
+         |           list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform($wExpr, wx -> wx * wx)),
+         |           (x, y) -> x + y)))
+         |  FROM it, mm WHERE t < 20),
+         |fin AS (SELECT v FROM it WHERE t = 20),
+         |wf AS (SELECT $wExpr AS w, v FROM fin, mm),
+         |lam AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(64), a -> v[a+1] * w[a+1])),
+         |    (x, y) -> x + y) AS lambda
+         |  FROM wf)
+         |SELECT CAST(d.a AS BIGINT) AS dim, f.v[d.a+1] AS loading,
+         |       lam.lambda AS lambda
+         |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin
+    }
   )
 }

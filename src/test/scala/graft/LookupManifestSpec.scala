@@ -88,4 +88,34 @@ class LookupManifestSpec extends SparkSpec {
     assert(root(tbl) !== root(changed))
     assert(root(tbl) === root(tbl.orderBy(desc("id")))) // order-free
   }
+
+  // -------------------------------------------------- spectral probe
+
+  test("gramFixedPoint is symmetric with exact quantized diagonals") {
+    val vs = Seq((0L, Array(0.5f, 1.0f)), (1L, Array(1.0f, 0.0f)))
+      .toDF("id", "v")
+    val g = graft.operators.Projection.gramFixedPoint(vs, "v", dim = 2)
+      .orderBy("a").collect()
+    val m = g.map(_.getSeq[Long](1).toArray)
+    // q(0.5)=524288, q(1.0)=1048576, q(0.0)=0
+    val (h, f) = (524288L, 1048576L)
+    assert(m(0)(0) === h * h + f * f)
+    assert(m(1)(1) === f * f)
+    assert(m(0)(1) === m(1)(0) && m(0)(1) === h * f)
+  }
+
+  test("topComponentFixedPoint finds the dominant axis, unit norm") {
+    // mass concentrated on dim 0
+    val vs = (0 until 50).map(i => (i.toLong, Array(1.0f, 0.01f)))
+      .toDF("id", "v")
+    val r = graft.operators.Projection
+      .topComponentFixedPoint(vs, "v", dim = 2, iterations = 30)
+      .orderBy("dim").collect()
+    val v = r.map(_.getAs[Double]("loading"))
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    assert(math.abs(v(0)) > 0.99 && math.abs(v(1)) < 0.1)
+    // lambda is the Rayleigh quotient of the Gram matrix: ~50 * q(1)^2
+    val lambda = r(0).getAs[Double]("lambda")
+    assert(lambda > 0.99 * 50.0 * 1048576.0 * 1048576.0)
+  }
 }
