@@ -1716,7 +1716,24 @@ object LlmQueries {
     // hash-gated.
     "q179_top_component" -> ((s, dir) =>
       graft.operators.Projection.topComponentFixedPoint(
-        t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim"))
+        t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
+
+    // Reliability table for the distilled classifier: tie-stable score
+    // deciles (q75's value-ntile) vs the gate's actual keep rate per
+    // decile - the calibration read that complements q169's AUC (is a
+    // higher score actually a higher keep probability, bucket by
+    // bucket?).
+    "q180_reliability" -> ((s, dir) => {
+      val scored = distillScored(s, dir).withColumn("__g", lit(1))
+      graft.operators.ExactQuantiles.valueNtile(scored, "__g", "zq", k = 10)
+        .groupBy(col("zq_bucket").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("keep"), 1L)).as("n_keep"),
+          min("zq").as("zq_min"), max("zq").as("zq_max"))
+        .withColumn("keep_rate",
+          col("n_keep").cast("double") / col("n").cast("double"))
+        .orderBy("bucket")
+    })
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -5140,6 +5157,25 @@ object LlmQueries {
          |SELECT CAST(d.a AS BIGINT) AS dim, f.v[d.a+1] AS loading,
          |       lam.lambda AS lambda
          |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin
-    }
+    },
+
+    // q75's ceiling-bucket arithmetic over the score histogram, then
+    // per-decile keep rates.
+    "q180_reliability" ->
+      s"""WITH $oDistillScoredCtes,
+         |h AS (
+         |  SELECT zq AS v, count(*) AS c,
+         |         count(CASE WHEN keep THEN 1 END) AS kc
+         |  FROM scored GROUP BY 1),
+         |b AS (
+         |  SELECT v, kc, c,
+         |         CAST((sum(c) OVER (ORDER BY v) * 10 - 1)
+         |              // (sum(c) OVER ()) + 1 AS BIGINT) AS bucket
+         |  FROM h)
+         |SELECT bucket, CAST(sum(c) AS BIGINT) AS n,
+         |       CAST(sum(kc) AS BIGINT) AS n_keep,
+         |       min(v) AS zq_min, max(v) AS zq_max,
+         |       CAST(sum(kc) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS keep_rate
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }
