@@ -177,4 +177,46 @@ object Projection {
     (0 until dim).map(d => (d.toLong, v(d), lambda))
       .toDF("dim", "loading", "lambda")
   }
+
+  /** All-but-the-top, measured (Mu & Viswanath): remove the
+    * [[topComponentFixedPoint]] direction from every vector —
+    * r = x − (x·v)v, a map-only projection with v riding as a 64-double
+    * plan literal — and report per-dimension ENERGY before vs after in
+    * the same fixed-point integers the probe uses, so the anisotropy
+    * fix is verified by exact arithmetic, not eyeballed. A dominant
+    * direction shows up as `removed_frac` near 1 on the dimensions it
+    * loads on; an isotropic corpus shows small fractions everywhere.
+    *
+    * Two corpus passes total (Gram, then residual energies), both
+    * map-side combinable; the only driver state is v itself. Same
+    * overflow contract as [[gramFixedPoint]].
+    *
+    * @return (dim, energy_before, energy_after, removed_frac) —
+    *         removed_frac = 1 − after/before, NULL on a dead dimension
+    */
+  def removeTopComponentEnergy(df: DataFrame, vecCol: String, dim: Int,
+                               iterations: Int = 20,
+                               scaleBits: Int = 20): DataFrame = {
+    val v = topComponentFixedPoint(df, vecCol, dim, iterations, scaleBits)
+      .orderBy("dim").collect().map(_.getAs[Double]("loading"))
+    val vLit = array(v.map(lit): _*)
+    val scale = (1L << scaleBits).toDouble
+    val base = df
+      .select(transform(col(vecCol), e => e.cast("double")).as("__x"))
+      .withColumn("__dot", graft.functions.dotProduct(col("__x"), vLit))
+    val resid = zip_with(col("__x"), vLit,
+      (xb, vb) => xb - col("__dot") * vb)
+    base
+      .select(posexplode(zip_with(
+        transform(col("__x"), xb => floor(xb * lit(scale)).cast("long")),
+        transform(resid, rb => floor(rb * lit(scale)).cast("long")),
+        (a, b) => struct(a.as("qx"), b.as("qr")))).as(Seq("dim", "s")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(col("s.qx") * col("s.qx")).as("energy_before"),
+        sum(col("s.qr") * col("s.qr")).as("energy_after"))
+      .withColumn("removed_frac",
+        when(col("energy_before") > 0,
+          lit(1.0) - col("energy_after").cast("double") /
+            col("energy_before").cast("double")))
+  }
 }

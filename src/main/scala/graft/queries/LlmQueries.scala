@@ -1723,6 +1723,14 @@ object LlmQueries {
     // decile - the calibration read that complements q169's AUC (is a
     // higher score actually a higher keep probability, bucket by
     // bucket?).
+    // All-but-the-top, measured: remove the q179 direction (v rides as
+    // a plan literal; map-only residual pass) and report per-dimension
+    // fixed-point energy before/after - the anisotropy fix verified by
+    // exact arithmetic.
+    "q181_top_removal" -> ((s, dir) =>
+      graft.operators.Projection.removeTopComponentEnergy(
+        t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
+
     "q180_reliability" -> ((s, dir) => {
       val scored = distillScored(s, dir).withColumn("__g", lit(1))
       graft.operators.ExactQuantiles.valueNtile(scored, "__g", "zq", k = 10)
@@ -2032,6 +2040,43 @@ object LlmQueries {
        |  SELECT CAST(floor(z * CAST(1048576 AS DOUBLE)) AS BIGINT) AS zq,
        |         (v.reasons = 0) AS keep
        |  FROM sx JOIN verdict v USING (doc_id))""".stripMargin
+
+  /** q179/q181's power-iteration matvec: w[a] = left-fold over b of
+    * M[a][b]·v[b] — references `m` (from mm) and `v` (the iteration
+    * state / fin).
+    */
+  private val oPowerW =
+    """list_transform(range(64), a -> list_reduce(
+      |  list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(64), b -> m[a+1][b+1] * v[b+1])),
+      |  (x, y) -> x + y))""".stripMargin
+
+  /** Shared spectral CTEs (q179/q181): fixed-point Gram `mm`, the
+    * 20-round power iteration `it`, and `fin(v)` — the engine's exact
+    * driver-side fold order as a recursive CTE.
+    */
+  private val oTopComponentCtes =
+    s"""qv AS (
+       |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |mr AS (
+       |  SELECT a, b, CAST(sum(q[a+1] * q[b+1]) AS BIGINT) AS mval
+       |  FROM qv, range(64) ra(a), range(64) rb(b)
+       |  GROUP BY a, b),
+       |mm AS (
+       |  SELECT list(mrow ORDER BY a) AS m FROM (
+       |    SELECT a, list(mval ORDER BY b) AS mrow FROM mr GROUP BY a)),
+       |it(t, v) AS (
+       |  SELECT 0, list_transform(range(64), x -> CAST(1.0 AS DOUBLE))
+       |  UNION ALL
+       |  SELECT t + 1,
+       |         list_transform($oPowerW, wa -> wa / sqrt(list_reduce(
+       |           list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform($oPowerW, wx -> wx * wx)),
+       |           (x, y) -> x + y)))
+       |  FROM it, mm WHERE t < 20),
+       |fin AS (SELECT v FROM it WHERE t = 20)""".stripMargin
 
   /** Exact n-gram Jaccard pairs ≥ threshold (ground truth for q23/q24). */
   /** Exact all-pairs n-gram-Jaccard CTE chain ending in
@@ -5121,34 +5166,9 @@ object LlmQueries {
     // on the driver: left folds over b then a, all-ones start, 20
     // rounds; the matvec expression is inlined twice (value + its own
     // normalizer) because the recursive member cannot name it.
-    "q179_top_component" -> {
-      val wExpr =
-        """list_transform(range(64), a -> list_reduce(
-          |  list_prepend(CAST(0.0 AS DOUBLE),
-          |    list_transform(range(64), b -> m[a+1][b+1] * v[b+1])),
-          |  (x, y) -> x + y))""".stripMargin
-      s"""WITH RECURSIVE qv AS (
-         |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
-         |    x -> CAST(floor(x * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |mr AS (
-         |  SELECT a, b, CAST(sum(q[a+1] * q[b+1]) AS BIGINT) AS mval
-         |  FROM qv, range(64) ra(a), range(64) rb(b)
-         |  GROUP BY a, b),
-         |mm AS (
-         |  SELECT list(mrow ORDER BY a) AS m FROM (
-         |    SELECT a, list(mval ORDER BY b) AS mrow FROM mr GROUP BY a)),
-         |it(t, v) AS (
-         |  SELECT 0, list_transform(range(64), x -> CAST(1.0 AS DOUBLE))
-         |  UNION ALL
-         |  SELECT t + 1,
-         |         list_transform($wExpr, wa -> wa / sqrt(list_reduce(
-         |           list_prepend(CAST(0.0 AS DOUBLE),
-         |             list_transform($wExpr, wx -> wx * wx)),
-         |           (x, y) -> x + y)))
-         |  FROM it, mm WHERE t < 20),
-         |fin AS (SELECT v FROM it WHERE t = 20),
-         |wf AS (SELECT $wExpr AS w, v FROM fin, mm),
+    "q179_top_component" ->
+      s"""WITH RECURSIVE $oTopComponentCtes,
+         |wf AS (SELECT $oPowerW AS w, v FROM fin, mm),
          |lam AS (
          |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |    list_transform(range(64), a -> v[a+1] * w[a+1])),
@@ -5156,8 +5176,32 @@ object LlmQueries {
          |  FROM wf)
          |SELECT CAST(d.a AS BIGINT) AS dim, f.v[d.a+1] AS loading,
          |       lam.lambda AS lambda
-         |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin
-    },
+         |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin,
+
+    // q179's CTEs give v; residuals r = x - (x.v)v per row, quantized
+    // energies per dimension before/after.
+    "q181_top_removal" ->
+      s"""WITH RECURSIVE $oTopComponentCtes,
+         |xd AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |dotc AS (
+         |  SELECT x, v, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(64), b -> x[b+1] * v[b+1])),
+         |    (p, q) -> p + q) AS dot
+         |  FROM xd, fin),
+         |qq AS (
+         |  SELECT d.b AS dim,
+         |         CAST(floor(x[d.b+1] * CAST(1048576 AS DOUBLE)) AS BIGINT) AS qx,
+         |         CAST(floor((x[d.b+1] - dot * v[d.b+1])
+         |           * CAST(1048576 AS DOUBLE)) AS BIGINT) AS qr
+         |  FROM dotc, range(64) d(b))
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |       CAST(sum(qx * qx) AS BIGINT) AS energy_before,
+         |       CAST(sum(qr * qr) AS BIGINT) AS energy_after,
+         |       CASE WHEN sum(qx * qx) > 0
+         |            THEN CAST(1.0 AS DOUBLE) -
+         |                 CAST(sum(qr * qr) AS DOUBLE) /
+         |                 CAST(sum(qx * qx) AS DOUBLE) END AS removed_frac
+         |FROM qq GROUP BY 1 ORDER BY dim""".stripMargin,
 
     // q75's ceiling-bucket arithmetic over the score histogram, then
     // per-decile keep rates.

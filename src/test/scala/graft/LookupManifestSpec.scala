@@ -118,4 +118,16 @@ class LookupManifestSpec extends SparkSpec {
     val lambda = r(0).getAs[Double]("lambda")
     assert(lambda > 0.99 * 50.0 * 1048576.0 * 1048576.0)
   }
+
+  test("removeTopComponentEnergy strips the dominant axis") {
+    val vs = (0 until 40).map(i => (i.toLong, Array(1.0f, 0.005f)))
+      .toDF("id", "v")
+    val r = graft.operators.Projection
+      .removeTopComponentEnergy(vs, "v", dim = 2, iterations = 30)
+      .orderBy("dim").collect()
+    // dim 0 carried nearly all energy; removal should erase almost all
+    assert(r(0).getAs[Double]("removed_frac") > 0.99)
+    assert(r(0).getAs[Long]("energy_after") <
+      r(0).getAs[Long]("energy_before") / 100)
+  }
 }
