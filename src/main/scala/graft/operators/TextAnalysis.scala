@@ -525,6 +525,32 @@ object TextAnalysis {
     *
     * @return (idCol, n_hits, n_terms, categories)
     */
+  /** Row-local [[blocklistHits]] variant: the same (n_hits, n_terms,
+    * categories) computed as a PURE PROJECTION — the term list rides as
+    * a plan literal and matching is an array-HOF filter, so it streams
+    * statelessly (StreamingSpec locks batch ≡ stream) and pipelines
+    * into any scan. The join form stays the batch default when only hit
+    * rows should survive into a shuffle; this form emits a row per doc
+    * (zero-hit docs report 0/0/[]), which is what a per-record
+    * moderation stream wants anyway. Policy lists up to ~thousands of
+    * terms are fine as literals; beyond that use the join form.
+    */
+  def blocklistStruct(text: Column, terms: Seq[(String, String)]): Column = {
+    require(terms.nonEmpty, "empty blocklist")
+    val termArr = array(terms.map(t => lit(t._1)): _*)
+    val hits = filter(tokens(text), t => array_contains(termArr, t))
+    // term→category as a CASE chain over the lambda variable
+    val catOf = (t: Column) => terms.tail.foldLeft(
+      when(t === terms.head._1, lit(terms.head._2))) {
+      case (acc, (term, c)) => acc.when(t === term, lit(c))
+    }
+    struct(
+      size(hits).cast(LongType).as("n_hits"),
+      size(array_distinct(hits)).cast(LongType).as("n_terms"),
+      array_sort(array_distinct(transform(array_distinct(hits), catOf)))
+        .as("categories"))
+  }
+
   def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
                     terms: Seq[(String, String)]): DataFrame = {
     require(terms.nonEmpty, "empty blocklist")

@@ -1587,7 +1587,14 @@ object LlmQueries {
       val docs = t(s, dir, "documents")
       val pairs = graft.operators.CacheScope.track(
         Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 2))
-      val labeled = graft.operators.Components.dedupClusters(docs, "doc_id", pairs)
+      // labels only — dedupClusters' size/canonical columns are unused
+      // here, so skip its sizes aggregate + join
+      val comps = graft.operators.Components
+        .connectedComponents(pairs, "i", "j")
+      val labeled = docs.select(col("doc_id"))
+        .join(comps, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
       val sp = Sampling.hashSplit(
         Sampling.hashSplit(labeled, "doc_id", 80, 10, "naive_split"),
         "component", 80, 10, "safe_split")

@@ -329,6 +329,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("blocklist scan streams statelessly (row-local variant)") {
+    // blocklistStruct is a pure projection (literal term array + HOFs):
+    // batch/stream match row-for-row, and the row-local counts agree
+    // with the batch join form on every doc with hits.
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val terms = Seq("fox" -> "animal", "dog" -> "animal", "invoice" -> "fin")
+    def scan(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.operators.TextAnalysis.blocklistStruct(col("text"), terms)
+          .as("bl"))
+        .select(col("doc_id"), col("bl.n_hits"), col("bl.n_terms"),
+          col("bl.categories"))
+    val docs = Seq(
+      Doc(1L, ts(0), "the quick brown fox jumps over the lazy dog and dog"),
+      Doc(2L, ts(1), "nothing flagged here"),
+      Doc(3L, ts(2), "pay the invoice for the fox"))
+    val input = MemoryStream[Doc]
+    val query = scan(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("blscan").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("blscan").orderBy("doc_id").collect().map(_.toSeq)
+      val batch = scan(docs.toDF()).orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(batch(0) === Seq(1L, 3L, 2L, Seq("animal")))
+      assert(batch(1) === Seq(2L, 0L, 0L, Seq()))
+      assert(batch(2) === Seq(3L, 2L, 2L, Seq("animal", "fin")))
+      // row-local counts agree with the batch JOIN form on hit docs
+      val joined = graft.operators.TextAnalysis.blocklistHits(
+        docs.toDF(), "doc_id", "text", terms).orderBy("doc_id")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_terms"), r.getAs[Seq[String]]("categories")))
+      assert(joined.toSeq === Seq((1L, 3L, 2L, Seq("animal")),
+        (3L, 2L, 2L, Seq("animal", "fin"))))
+    } finally query.stop()
+  }
+
   test("winnow fingerprints stream statelessly (row-local variant)") {
     // fingerprintArray is a pure projection, so winnowing joins the
     // stateless curation chain: batch/stream outputs match row-for-row.
