@@ -293,4 +293,67 @@ object Sampling {
         col("__rk").cast("long").as("rank"), col("priority"),
         greatest(col(weightCol).cast("double"), col("__tau")).as("est_weight"))
   }
+
+  /** Poisson(1) CDF thresholds P(X ≤ k), k = 0..5 — computed once on
+    * the driver (the only exp() in the bootstrap; it never runs inside
+    * an engine) and embedded as plan/oracle literals, the ndcgDiscounts
+    * discipline. Weight 6 is the tail cap (P ≈ 5.9e-5).
+    */
+  private[graft] val PoissonCdf: Seq[Double] = {
+    var p = math.exp(-1.0)
+    var c = 0.0
+    (0 to 5).map { k =>
+      if (k > 0) p = p / k
+      c += p
+      c
+    }
+  }
+
+  /** Deterministic Poisson BOOTSTRAP — error bars for corpus metrics
+    * without resampling the corpus: replicate b reweights every row by
+    * a Poisson(1) draw derived from hash(key·B + b), and the metric is
+    * re-computed under each weighting. The spread of the B replicate
+    * values IS the sampling distribution of the metric (the standard
+    * Poisson approximation to the multinomial bootstrap — exact enough
+    * at corpus n, and embarrassingly parallel where true resampling is
+    * a B-fold shuffle).
+    *
+    * Determinism discipline: draws come from the Knuth bucket hash (a
+    * pure function of key and b — stable across runs, partitionings,
+    * engines), the CDF thresholds are driver literals, and per-replicate
+    * sums are exact BIGINTs (metric must be integer-valued — a 0/1 flag
+    * or a count; quantize first otherwise), so every replicate rate is
+    * one division over exact integers and the whole table hash-gates.
+    *
+    * Scale shape: ONE pass with a B× map-side explode (vs B passes over
+    * the corpus), then a B-row aggregate — shuffle is B rows of three
+    * longs. B ≲ 100 keeps the blowup sane; the metric's variance, not
+    * B, is usually the accuracy limit.
+    *
+    * @param metric integer-valued column (cast upstream)
+    * @return (b, w_sum, metric_wsum, rate) — rate =
+    *         metric_wsum / w_sum, NULL on an all-zero-weight replicate
+    */
+  def bootstrapReplicates(df: DataFrame, keyCol: String, metric: Column,
+                          replicates: Int): DataFrame = {
+    require(replicates > 0, "need at least one replicate")
+    val base = df
+      .select(col(keyCol).cast("long").as("__key"),
+        metric.cast("long").as("__m"))
+      .select(col("__key"), col("__m"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
+    val h = pmod(pmod((col("__key") * replicates + col("__b")).cast("long"),
+      lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    val u = h.cast("double") / lit(4294967296.0)
+    val w = PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    base.withColumn("__w", w)
+      .groupBy(col("__b").cast("long").as("b"))
+      .agg(sum(col("__w")).as("w_sum"),
+        sum(col("__w") * col("__m")).as("metric_wsum"))
+      .select(col("b"), col("w_sum"), col("metric_wsum"),
+        when(col("w_sum") > 0,
+          col("metric_wsum").cast("double") / col("w_sum").cast("double"))
+          .as("rate"))
+  }
 }

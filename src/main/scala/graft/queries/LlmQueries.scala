@@ -1738,6 +1738,17 @@ object LlmQueries {
       graft.operators.Projection.removeTopComponentEnergy(
         t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
 
+    // Error bars on the gate's keep rate: 32 deterministic Poisson-
+    // bootstrap replicates in ONE pass (hash-derived weights, driver-
+    // literal CDF, exact integer sums) - the spread across rows is the
+    // keep rate's sampling distribution, and even that is hash-gated.
+    "q182_bootstrap_keep" -> ((s, dir) => {
+      val gated = TextAnalysis.qualityGate(t(s, dir, "documents"),
+        "doc_id", "text", keepInputCols = true)
+      Sampling.bootstrapReplicates(gated, "doc_id",
+        col("keep").cast("long"), replicates = 32).orderBy("b")
+    }),
+
     "q180_reliability" -> ((s, dir) => {
       val scored = distillScored(s, dir).withColumn("__g", lit(1))
       graft.operators.ExactQuantiles.valueNtile(scored, "__g", "zq", k = 10)
@@ -5209,6 +5220,33 @@ object LlmQueries {
          |                 CAST(sum(qr * qr) AS DOUBLE) /
          |                 CAST(sum(qx * qx) AS DOUBLE) END AS removed_frac
          |FROM qq GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // The engine's Knuth-hash draws and driver-literal Poisson CDF,
+    // replicated per b via a range cross join.
+    "q182_bootstrap_keep" -> {
+      val wCases = graft.operators.Sampling.PoissonCdf
+        .map(c => s"(CASE WHEN h / CAST(4294967296 AS DOUBLE) >= CAST($c AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|         + ")
+      s"""WITH $oGateCtes,
+         |k AS (
+         |  SELECT doc_id, CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS m
+         |  FROM verdict),
+         |r AS (
+         |  SELECT b.b, m,
+         |         (((doc_id * 32 + b.b) % 2147483648) * 2654435761)
+         |           % 4294967296 AS h
+         |  FROM k, range(32) b(b)),
+         |w AS (
+         |  SELECT b, m,
+         |         $wCases AS w
+         |  FROM r)
+         |SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS w_sum,
+         |       CAST(sum(w * m) AS BIGINT) AS metric_wsum,
+         |       CASE WHEN sum(w) > 0
+         |            THEN CAST(sum(w * m) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+         |       END AS rate
+         |FROM w GROUP BY 1 ORDER BY b""".stripMargin
+    },
 
     // q75's ceiling-bucket arithmetic over the score histogram, then
     // per-decile keep rates.

@@ -90,4 +90,23 @@ class CurationAuditSpec extends SparkSpec {
     assert(r.getAs[Long]("sampled_pairs") === 0L)
     assert(r.getAs[Long]("est_join_rows") === 0L)
   }
+
+  test("bootstrapReplicates: exact weighted sums, plausible Poisson spread") {
+    val d = (0 until 400).map(i => (i.toLong, if (i % 4 == 0) 1L else 0L))
+      .toDF("id", "m")
+    val r = graft.operators.Sampling.bootstrapReplicates(d, "id", col("m"), 16)
+      .orderBy("b").collect()
+    assert(r.length === 16)
+    // Poisson(1) weights: each replicate's effective n should be near 400
+    val wsums = r.map(_.getAs[Long]("w_sum"))
+    assert(wsums.forall(w => w > 300 && w < 500))
+    // rates scatter around the true 0.25 but are not all identical
+    val rates = r.map(_.getAs[Double]("rate"))
+    assert(rates.forall(x => x > 0.1 && x < 0.4))
+    assert(rates.distinct.length > 1)
+    // deterministic: second run bit-identical
+    val r2 = graft.operators.Sampling.bootstrapReplicates(d, "id", col("m"), 16)
+      .orderBy("b").collect()
+    assert(r.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+  }
 }
