@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** EXACT per-group order statistics without a per-group sort.
   *
@@ -172,5 +173,51 @@ object ExactQuantiles {
       .withColumn(s"${valueCol}_clipped",
         least(greatest(col(valueCol), col("__qlo")), col("__qhi")))
       .drop("__qlo", "__qhi")
+  }
+
+  /** Exact per-group TRIMMED mean: drop exactly k = ⌊n·num/den⌋ rows
+    * from each tail (rows, not values — a boundary value's count splits
+    * exactly) and average the rest. The robust location estimate between
+    * the mean (trim 0) and [[medianByGroup]] (trim → 50%), immune to
+    * the heavy tails every corpus length/score column has — and unlike
+    * winsorize it needs no join back, so it's strictly
+    * histogram-bounded.
+    *
+    * Row-exact trimming from the cumulated histogram: a value bucket
+    * with count c and cumulative cum keeps
+    * max(0, min(cum, n−k) − max(cum−c, k)) of its rows; the kept-row
+    * sum Σ v·kept and count n−2k are exact BIGINTs, the mean one final
+    * division. Groups left empty by trimming (n ≤ 2k) report NULL.
+    *
+    * Overflow: |v|·n per group < 2⁶³ — same contract as every exact
+    * moment here.
+    *
+    * @return (groupCol, n, k_trimmed, trimmed_sum, trimmed_mean)
+    */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         num: Int, den: Int): DataFrame = {
+    require(den > 0 && num >= 0 && num * 2 < den,
+      "need 0 <= num/den < 1/2")
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+      .withColumn("__k", expr(s"CAST(__n * $num DIV $den AS BIGINT)"))
+      .withColumn("__kept",
+        greatest(lit(0L),
+          least(col("__cum"), col("__n") - col("__k")) -
+            greatest(col("__cum") - col("__c"), col("__k"))))
+      .groupBy(col(groupCol))
+      .agg(min("__n").as("n"), min("__k").as("k_trimmed"),
+        sum(col(valueCol).cast(LongType) * col("__kept"))
+          .as("trimmed_sum"))
+      .withColumn("trimmed_mean",
+        when(col("n") - lit(2L) * col("k_trimmed") > 0,
+          col("trimmed_sum").cast("double") /
+            (col("n") - lit(2L) * col("k_trimmed")).cast("double")))
   }
 }

@@ -88,6 +88,21 @@ object Projection {
         col("nid"), col("pcos"))
   }
 
+  /** Saturating fixed-point quantizer: floor(x·2^scaleBits) clamped to
+    * ±2^(scaleBits+6), i.e. component magnitudes saturate at 64 units —
+    * far above any normalized embedding, so normal inputs are untouched
+    * while degenerate huge-magnitude vectors (the fuzz corpus carries
+    * them deliberately) quantize to a DETERMINISTIC saturated value
+    * instead of overflowing the per-product INT64 range: |q·q| ≤
+    * 2^(2·scaleBits+12) < 2^63 for scaleBits ≤ 25, in every engine.
+    * (Engines disagree on overflow — DuckDB errors, non-ANSI Spark
+    * wraps — so saturation is what keeps the contract cross-engine.)
+    */
+  private def quantSat(x: Column, scale: Double, scaleBits: Int): Column = {
+    val cap = 1L << (scaleBits + 6)
+    greatest(lit(-cap), least(lit(cap), floor(x * lit(scale)).cast("long")))
+  }
+
   /** Fixed-point Gram matrix of an embedding column: row `a` holds
     * M[a][b] = Σ_rows q(x_a)·q(x_b) with q(x) = floor(x·2^scaleBits) as
     * BIGINT — an exact, order-free integer image of the (quantized)
@@ -113,7 +128,7 @@ object Projection {
     require(dim > 0 && scaleBits > 0 && scaleBits < 31)
     val scale = (1L << scaleBits).toDouble
     val q = transform(col(vecCol),
-      x => floor(x.cast("double") * lit(scale)).cast("long"))
+      x => quantSat(x.cast("double"), scale, scaleBits))
     df.select(q.as("__q"))
       .select(posexplode(col("__q")).as(Seq("a", "qa")), col("__q"))
       .groupBy("a")
@@ -208,8 +223,8 @@ object Projection {
       (xb, vb) => xb - col("__dot") * vb)
     base
       .select(posexplode(zip_with(
-        transform(col("__x"), xb => floor(xb * lit(scale)).cast("long")),
-        transform(resid, rb => floor(rb * lit(scale)).cast("long")),
+        transform(col("__x"), xb => quantSat(xb, scale, scaleBits)),
+        transform(resid, rb => quantSat(rb, scale, scaleBits)),
         (a, b) => struct(a.as("qx"), b.as("qr")))).as(Seq("dim", "s")))
       .groupBy(col("dim").cast("long").as("dim"))
       .agg(sum(col("s.qx") * col("s.qx")).as("energy_before"),

@@ -1738,6 +1738,15 @@ object LlmQueries {
       graft.operators.Projection.removeTopComponentEnergy(
         t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
 
+    // Exact 10%-trimmed mean of doc length per lang: drop exactly
+    // floor(n/10) rows from each tail off the cumulated histogram (a
+    // boundary value's count splits row-exactly) - the robust location
+    // estimate between mean and median, strictly histogram-bounded.
+    "q183_trimmed_mean" -> ((s, dir) =>
+      graft.operators.ExactQuantiles.trimmedMeanByGroup(
+        t(s, dir, "documents"), "lang", "n_chars", num = 1, den = 10)
+        .orderBy("lang")),
+
     // Error bars on the gate's keep rate: 32 deterministic Poisson-
     // bootstrap replicates in ONE pass (hash-derived weights, driver-
     // literal CDF, exact integer sums) - the spread across rows is the
@@ -2076,7 +2085,8 @@ object LlmQueries {
   private val oTopComponentCtes =
     s"""qv AS (
        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
-       |    x -> CAST(floor(x * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS q
+       |    x -> greatest(CAST(-67108864 AS BIGINT), least(CAST(67108864 AS BIGINT),
+       |      CAST(floor(x * CAST(1048576 AS DOUBLE)) AS BIGINT)))) AS q
        |  FROM embeddings),
        |mr AS (
        |  SELECT a, b, CAST(sum(q[a+1] * q[b+1]) AS BIGINT) AS mval
@@ -5208,9 +5218,11 @@ object LlmQueries {
          |  FROM xd, fin),
          |qq AS (
          |  SELECT d.b AS dim,
-         |         CAST(floor(x[d.b+1] * CAST(1048576 AS DOUBLE)) AS BIGINT) AS qx,
-         |         CAST(floor((x[d.b+1] - dot * v[d.b+1])
-         |           * CAST(1048576 AS DOUBLE)) AS BIGINT) AS qr
+         |         greatest(CAST(-67108864 AS BIGINT), least(CAST(67108864 AS BIGINT),
+         |           CAST(floor(x[d.b+1] * CAST(1048576 AS DOUBLE)) AS BIGINT))) AS qx,
+         |         greatest(CAST(-67108864 AS BIGINT), least(CAST(67108864 AS BIGINT),
+         |           CAST(floor((x[d.b+1] - dot * v[d.b+1])
+         |             * CAST(1048576 AS DOUBLE)) AS BIGINT))) AS qr
          |  FROM dotc, range(64) d(b))
          |SELECT CAST(dim AS BIGINT) AS dim,
          |       CAST(sum(qx * qx) AS BIGINT) AS energy_before,
@@ -5220,6 +5232,34 @@ object LlmQueries {
          |                 CAST(sum(qr * qr) AS DOUBLE) /
          |                 CAST(sum(qx * qx) AS DOUBLE) END AS removed_frac
          |FROM qq GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // Row-exact tail trimming off the cumulated histogram; kept rows
+    // per value bucket = max(0, min(cum, n-k) - max(cum-c, k)).
+    "q183_trimmed_mean" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v, c,
+        |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h),
+        |k AS (
+        |  SELECT lang, v, c, cum, n, CAST(n * 1 // 10 AS BIGINT) AS kk
+        |  FROM cum),
+        |kept AS (
+        |  SELECT lang, n, kk,
+        |         greatest(CAST(0 AS BIGINT),
+        |           least(cum, n - kk) - greatest(cum - c, kk)) AS kp, v
+        |  FROM k)
+        |SELECT lang, CAST(min(n) AS BIGINT) AS n,
+        |       CAST(min(kk) AS BIGINT) AS k_trimmed,
+        |       CAST(sum(v * kp) AS BIGINT) AS trimmed_sum,
+        |       CASE WHEN min(n) - 2 * min(kk) > 0
+        |            THEN CAST(sum(v * kp) AS DOUBLE) /
+        |                 CAST(min(n) - 2 * min(kk) AS DOUBLE)
+        |       END AS trimmed_mean
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The engine's Knuth-hash draws and driver-literal Poisson CDF,
     // replicated per b via a range cross join.

@@ -109,4 +109,29 @@ class CurationAuditSpec extends SparkSpec {
       .orderBy("b").collect()
     assert(r.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
   }
+
+  test("trimmedMeanByGroup: row-exact tail trims, boundary value splits") {
+    // group g: values 1,2,2,3,100 (n=5, k=floor(5/10)=0 at 10% -> no trim)
+    // at 20% (1/5): k=1 -> drop one 1 and one 100 -> mean of (2,2,3) = 7/3
+    val d = Seq(1L, 2L, 2L, 3L, 100L).map(("g", _)).toDF("g", "v")
+    val r = graft.operators.ExactQuantiles
+      .trimmedMeanByGroup(d, "g", "v", num = 1, den = 5).collect()(0)
+    assert(r.getAs[Long]("n") === 5L && r.getAs[Long]("k_trimmed") === 1L)
+    assert(r.getAs[Long]("trimmed_sum") === 7L)
+    assert(r.getAs[Double]("trimmed_mean") === 7.0 / 3.0)
+  }
+
+  test("trimmedMeanByGroup: over-trimmed group reports NULL mean") {
+    val d = Seq(("g", 5L), ("g", 6L)).toDF("g", "v")
+    val r = graft.operators.ExactQuantiles
+      .trimmedMeanByGroup(d, "g", "v", num = 2, den = 5).collect()(0)
+    // k = floor(2*2/5) = 0 -> no trim; use a 2/5 trim on n=5 instead
+    assert(r.getAs[Long]("k_trimmed") === 0L)
+    val d5 = Seq(1L, 2L, 3L, 4L, 5L).map(("g", _)).toDF("g", "v")
+    val r5 = graft.operators.ExactQuantiles
+      .trimmedMeanByGroup(d5, "g", "v", num = 2, den = 5).collect()(0)
+    // k = 2 -> keeps only the middle value 3
+    assert(r5.getAs[Long]("trimmed_sum") === 3L)
+    assert(r5.getAs[Double]("trimmed_mean") === 3.0)
+  }
 }
