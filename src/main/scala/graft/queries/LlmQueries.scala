@@ -1738,6 +1738,30 @@ object LlmQueries {
       graft.operators.Projection.removeTopComponentEnergy(
         t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
 
+    // The model-eval suite as ONE composed release verdict: AUC +
+    // operating point (smallest threshold with precision >= 0.95, i.e.
+    // max recall at that floor) + bootstrap keep-rate interval, and a
+    // boolean ship/no-ship gate over all three - the q166 discipline
+    // applied to the classifier itself.
+    "q184_eval_verdict" -> ((s, dir) => {
+      val scored = graft.operators.CacheScope.track(distillScored(s, dir))
+      val auc = graft.operators.Evaluation.aucExact(scored, "zq", "keep")
+        .select(col("n_pos"), col("n_neg"), col("auc"))
+      val sel = graft.operators.Evaluation.prCurve(scored, "zq", "keep")
+        .filter(col("precision") >= 0.95)
+        .orderBy("threshold").limit(1)
+        .select(col("threshold").as("thr_sel"),
+          col("precision").as("precision_sel"),
+          col("recall").as("recall_sel"))
+      val ci = Sampling.bootstrapReplicates(scored, "doc_id",
+        col("keep").cast("long"), replicates = 32)
+        .agg(min("rate").as("keep_lo"), max("rate").as("keep_hi"))
+      auc.crossJoin(sel).crossJoin(ci)
+        .withColumn("eval_ok",
+          col("auc") >= 0.99 && col("recall_sel") >= 0.9 &&
+            col("keep_lo") >= 0.5)
+    }),
+
     // Exact 10%-trimmed mean of doc length per lang: drop exactly
     // floor(n/10) rows from each tail off the cumulated histogram (a
     // boundary value's count splits row-exactly) - the robust location
@@ -1790,7 +1814,7 @@ object LlmQueries {
       graft.operators.LinearModel.Model(
         Array(0.10338513290120002, 0.0, 2.561121689531541,
           15.712607333411997), -10.389739811106871))
-      .select(col("keep"),
+      .select(col("doc_id"), col("keep"),
         floor(col("z") * lit(1048576L)).cast("long").as("zq"))
   }
 
@@ -5232,6 +5256,73 @@ object LlmQueries {
          |                 CAST(sum(qr * qr) AS DOUBLE) /
          |                 CAST(sum(qx * qx) AS DOUBLE) END AS removed_frac
          |FROM qq GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // One WITH: the AUC tail, the PR tail (threshold pick via ORDER BY
+    // LIMIT 1), and the bootstrap extremes, cross-joined like the
+    // engine's one-row aggregates.
+    "q184_eval_verdict" -> {
+      val wCases = graft.operators.Sampling.PoissonCdf
+        .map(c => s"(CASE WHEN h / CAST(4294967296 AS DOUBLE) >= CAST($c AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|         + ")
+      s"""WITH $oDistillScoredCtes,
+         |ahist AS (
+         |  SELECT zq AS s2, count(*) AS c,
+         |         count(CASE WHEN keep THEN 1 END) AS p
+         |  FROM scored GROUP BY 1),
+         |acum AS (
+         |  SELECT s2, c, p, sum(c) OVER (ORDER BY s2) AS cum FROM ahist),
+         |aa AS (
+         |  SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |         CAST(sum(c - p) AS BIGINT) AS n_neg,
+         |         CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS r2
+         |  FROM acum),
+         |auct AS (
+         |  SELECT n_pos, n_neg,
+         |         CASE WHEN n_pos > 0 AND n_neg > 0
+         |              THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |                   CAST(2 * n_pos * n_neg AS DOUBLE)
+         |         END AS auc
+         |  FROM aa),
+         |pcum AS (
+         |  SELECT s2 AS threshold,
+         |         CAST(sum(p) OVER (ORDER BY s2 DESC) AS BIGINT) AS tp,
+         |         CAST(sum(c - p) OVER (ORDER BY s2 DESC) AS BIGINT) AS fp,
+         |         CAST(sum(p) OVER () AS BIGINT) AS pall
+         |  FROM ahist),
+         |psel AS (
+         |  SELECT threshold AS thr_sel,
+         |         CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision_sel,
+         |         CASE WHEN pall > 0
+         |              THEN CAST(tp AS DOUBLE) / CAST(pall AS DOUBLE)
+         |         END AS recall_sel
+         |  FROM pcum
+         |  WHERE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) >= CAST(0.95 AS DOUBLE)
+         |  ORDER BY threshold LIMIT 1),
+         |bk AS (
+         |  SELECT doc_id, CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS m
+         |  FROM verdict),
+         |br AS (
+         |  SELECT b.b, m,
+         |         (((doc_id * 32 + b.b) % 2147483648) * 2654435761)
+         |           % 4294967296 AS h
+         |  FROM bk, range(32) b(b)),
+         |bw AS (
+         |  SELECT b, m,
+         |         $wCases AS w
+         |  FROM br),
+         |brates AS (
+         |  SELECT CASE WHEN sum(w) > 0
+         |              THEN CAST(sum(w * m) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+         |         END AS rate
+         |  FROM bw GROUP BY b),
+         |ci AS (SELECT min(rate) AS keep_lo, max(rate) AS keep_hi FROM brates)
+         |SELECT a.n_pos, a.n_neg, a.auc, p.thr_sel, p.precision_sel,
+         |       p.recall_sel, ci.keep_lo, ci.keep_hi,
+         |       (a.auc >= CAST(0.99 AS DOUBLE) AND
+         |        p.recall_sel >= CAST(0.9 AS DOUBLE) AND
+         |        ci.keep_lo >= CAST(0.5 AS DOUBLE)) AS eval_ok
+         |FROM auct a CROSS JOIN psel p CROSS JOIN ci""".stripMargin
+    },
 
     // Row-exact tail trimming off the cumulated histogram; kept rows
     // per value bucket = max(0, min(cum, n-k) - max(cum-c, k)).
