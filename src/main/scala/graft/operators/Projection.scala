@@ -156,20 +156,29 @@ object Projection {
     * @return one row per dimension: (dim, loading, lambda) with
     *         `lambda` = vᵀMv of the final vector (constant column)
     */
-  def topComponentFixedPoint(df: DataFrame, vecCol: String, dim: Int,
-                             iterations: Int = 20,
-                             scaleBits: Int = 20): DataFrame = {
-    require(iterations >= 1)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val m = Array.ofDim[Long](dim, dim)
+  /** Collected [[gramFixedPoint]] matrix as driver doubles (exact:
+    * entries stay below 2^53 under the documented contract).
+    */
+  private def collectGram(df: DataFrame, vecCol: String, dim: Int,
+                          scaleBits: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](dim, dim)
     gramFixedPoint(df, vecCol, dim, scaleBits).collect().foreach { r =>
       val a = r.getAs[Int]("a")
       val row = r.getSeq[Long](r.fieldIndex("mrow"))
       var b = 0
-      while (b < dim) { m(a)(b) = row(b); b += 1 }
+      while (b < dim) { m(a)(b) = row(b).toDouble; b += 1 }
     }
-    var v = Array.fill(dim)(1.0)
+    m
+  }
+
+  /** The fixed-fold-order power iteration both spectral probes share:
+    * w[a] = left-fold over b of M[a][b]·x[b], norm = sqrt(left-fold of
+    * w[a]²), x = w/norm, `iterations` times from all-ones; returns the
+    * final vector and its Rayleigh quotient vᵀMv (same left folds).
+    */
+  private def powerIterate(m: Array[Array[Double]], dim: Int,
+                           iterations: Int): (Array[Double], Double) = {
+    require(iterations >= 1)
     def matvec(x: Array[Double]): Array[Double] =
       Array.tabulate(dim) { a =>
         var s = 0.0
@@ -177,6 +186,7 @@ object Projection {
         while (b < dim) { s += m(a)(b) * x(b); b += 1 }
         s
       }
+    var v = Array.fill(dim)(1.0)
     for (_ <- 0 until iterations) {
       val w = matvec(v)
       var n2 = 0.0
@@ -189,8 +199,43 @@ object Projection {
     var lambda = 0.0
     var a = 0
     while (a < dim) { lambda += v(a) * mv(a); a += 1 }
+    (v, lambda)
+  }
+
+  def topComponentFixedPoint(df: DataFrame, vecCol: String, dim: Int,
+                             iterations: Int = 20,
+                             scaleBits: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (v, lambda) = powerIterate(
+      collectGram(df, vecCol, dim, scaleBits), dim, iterations)
     (0 until dim).map(d => (d.toLong, v(d), lambda))
       .toDF("dim", "loading", "lambda")
+  }
+
+  /** Spectral GAP of the fixed-point Gram: λ₂ via one Hotelling
+    * deflation (M₂ = M − λ₁·v₁v₁ᵀ, all driver doubles in fixed op
+    * order) and a second power iteration — the one-row answer to "does
+    * removing ONE component fix the anisotropy, or is the spectrum
+    * top-heavy beyond that?" gap_ratio = λ₂/λ₁ near 1 means q181's
+    * single removal is not enough. Same corpus cost as
+    * [[topComponentFixedPoint]] (the Gram pass); everything else is
+    * driver-side 64×64 arithmetic the oracle replays.
+    *
+    * @return one row: (lambda1, lambda2, gap_ratio) — gap_ratio NULL
+    *         when λ₁ = 0 (all-zero corpus)
+    */
+  def spectralGapFixedPoint(df: DataFrame, vecCol: String, dim: Int,
+                            iterations: Int = 20,
+                            scaleBits: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val md = collectGram(df, vecCol, dim, scaleBits)
+    val (v1, l1) = powerIterate(md, dim, iterations)
+    val m2 = Array.tabulate(dim, dim)((a, b) => md(a)(b) - l1 * v1(a) * v1(b))
+    val (_, l2) = powerIterate(m2, dim, iterations)
+    val ratio: Option[Double] = if (l1 == 0.0) None else Some(l2 / l1)
+    Seq((l1, l2, ratio)).toDF("lambda1", "lambda2", "gap_ratio")
   }
 
   /** All-but-the-top, measured (Mu & Viswanath): remove the

@@ -1738,6 +1738,13 @@ object LlmQueries {
       graft.operators.Projection.removeTopComponentEnergy(
         t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
 
+    // Spectral gap: second eigenvalue via one Hotelling deflation +
+    // second power iteration (all driver doubles in the same fixed fold
+    // order) - "does removing ONE component fix the anisotropy?"
+    "q185_spectral_gap" -> ((s, dir) =>
+      graft.operators.Projection.spectralGapFixedPoint(
+        t(s, dir, "embeddings"), "embedding", dim = 64)),
+
     // The model-eval suite as ONE composed release verdict: AUC +
     // operating point (smallest threshold with precision >= 0.95, i.e.
     // max recall at that floor) + bootstrap keep-rate interval, and a
@@ -5229,6 +5236,43 @@ object LlmQueries {
          |SELECT CAST(d.a AS BIGINT) AS dim, f.v[d.a+1] AS loading,
          |       lam.lambda AS lambda
          |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin,
+
+    // q179's chain, then the deflated matrix m2 = M - lambda*v*vT (all
+    // DOUBLEs, same op order as the driver) and a SECOND recursive
+    // power iteration over it.
+    "q185_spectral_gap" ->
+      s"""WITH RECURSIVE $oTopComponentCtes,
+         |wf AS (SELECT $oPowerW AS w, v FROM fin, mm),
+         |lam AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(64), a -> v[a+1] * w[a+1])),
+         |    (x, y) -> x + y) AS lambda
+         |  FROM wf),
+         |m2 AS (
+         |  SELECT list_transform(range(64), a -> list_transform(range(64),
+         |    b -> CAST(m[a+1][b+1] AS DOUBLE) - lambda * v[a+1] * v[b+1]))
+         |    AS m
+         |  FROM mm, fin, lam),
+         |it2(t, v) AS (
+         |  SELECT 0, list_transform(range(64), x -> CAST(1.0 AS DOUBLE))
+         |  UNION ALL
+         |  SELECT t + 1,
+         |         list_transform($oPowerW, wa -> wa / sqrt(list_reduce(
+         |           list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform($oPowerW, wx -> wx * wx)),
+         |           (x, y) -> x + y)))
+         |  FROM it2, m2 WHERE t < 20),
+         |fin2 AS (SELECT v FROM it2 WHERE t = 20),
+         |wf2 AS (SELECT $oPowerW AS w, v FROM fin2, m2),
+         |lam2 AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(64), a -> v[a+1] * w[a+1])),
+         |    (x, y) -> x + y) AS lambda2
+         |  FROM wf2)
+         |SELECT lam.lambda AS lambda1, lam2.lambda2 AS lambda2,
+         |       CASE WHEN lam.lambda <> CAST(0.0 AS DOUBLE)
+         |            THEN lam2.lambda2 / lam.lambda END AS gap_ratio
+         |FROM lam, lam2""".stripMargin,
 
     // q179's CTEs give v; residuals r = x - (x.v)v per row, quantized
     // energies per dimension before/after.

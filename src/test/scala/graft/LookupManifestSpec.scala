@@ -130,4 +130,17 @@ class LookupManifestSpec extends SparkSpec {
     assert(r(0).getAs[Long]("energy_after") <
       r(0).getAs[Long]("energy_before") / 100)
   }
+
+  test("spectralGapFixedPoint: two planted directions give a large gap ratio") {
+    // energy split ~4:1 between dims 0 and 1 -> lambda2/lambda1 ~ 1/4
+    val vs = ((0 until 40).map(i => (i.toLong, Array(2.0f, 0.0f))) ++
+      (40 until 80).map(i => (i.toLong, Array(0.0f, 1.0f))))
+      .toDF("id", "v")
+    val r = graft.operators.Projection
+      .spectralGapFixedPoint(vs, "v", dim = 2, iterations = 40)
+      .collect()(0)
+    val ratio = r.getAs[Double]("gap_ratio")
+    assert(math.abs(ratio - 0.25) < 1e-6)
+    assert(r.getAs[Double]("lambda1") > r.getAs[Double]("lambda2"))
+  }
 }
