@@ -34,6 +34,42 @@ object Cooccur {
     * @param topK    pairs kept, by (cnt DESC, center, context)
     * @return (center, context, cnt)
     */
+  /** Co-engagement pair counts over a bipartite (actor, item) table —
+    * "which items share audiences": for each unordered item pair, how
+    * many DISTINCT actors touched both. The item-item similarity input
+    * for source-correlation analysis and co-click-style curation.
+    *
+    * Scale discipline — the hub problem: a per-actor self-join fans out
+    * d² pairs for a degree-d actor, and power-law actors (crawlers,
+    * bots) dominate the stage. So actors are DEGREE-CAPPED first: the
+    * distinct (actor, item) projection is aggregated to per-actor item
+    * counts (one combinable pass), actors above `maxDegree` are DROPPED
+    * (standard co-occurrence practice — a hub's co-engagement signal is
+    * noise anyway; the drop is explicit, not sampled), and only then do
+    * surviving actors self-join, bounding fan-out at maxDegree² per
+    * actor. Output is each pair once (a < b) with its distinct-actor
+    * count.
+    *
+    * @return (item_a, item_b, n_actors)
+    */
+  def coEngagementPairs(df: DataFrame, actorCol: String, itemCol: String,
+                        maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, "need maxDegree >= 2 to form any pair")
+    val ai = df.select(col(actorCol).as("__actor"), col(itemCol).as("__item"))
+      .distinct()
+    val ok = ai.groupBy("__actor")
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") <= maxDegree)
+      .select("__actor")
+    val capped = ai.join(ok, "__actor")
+    capped.join(
+        capped.select(col("__actor"), col("__item").as("__item_b")),
+        "__actor")
+      .filter(col("__item") < col("__item_b"))
+      .groupBy(col("__item").as("item_a"), col("__item_b").as("item_b"))
+      .agg(count(lit(1)).as("n_actors"))
+  }
+
   def skipgramPairs(docs: DataFrame, idCol: String, textCol: String,
                     window: Int, minCount: Long, topK: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")

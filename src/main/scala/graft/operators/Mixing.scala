@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic weighted interleave — the data-MIXING primitive of a
@@ -92,5 +93,36 @@ object Mixing {
     // integer DIV, not `/`: mix_key is exact-integer territory past 2^53
     GlobalIds.contiguousIds(keyed, expr(s"mix_key DIV $width"),
       Seq(col("mix_key"), col(sourceCol)), idName = "position")
+  }
+
+  /** Greedy token-budget allocation across sources — the mixture-design
+    * step that answers "which sources fill a B-token training budget,
+    * and how much of each": sources are taken in (quality desc, key
+    * asc) order, each granted min(available, remaining budget) — the
+    * exact optimum of the fractional knapsack with unit token value per
+    * quality tier, and the deterministic counterpart of hand-tuned
+    * mixture weights. Rejected mass is visible (alloc < avail), never
+    * silent.
+    *
+    * Runs on the per-SOURCE stats table (one row per source — the
+    * corpus aggregation that produces it is the caller's one pass), so
+    * the running-sum window is bounded by source cardinality, the
+    * [[graft.operators.Packing]] compaction-planner discipline. All
+    * integer arithmetic; the quality column is only an ORDER key (make
+    * it deterministic — e.g. one division of exact sums, never a float
+    * accumulation).
+    *
+    * @return stats + (cum_before, alloc_tokens)
+    */
+  def budgetAllocate(stats: DataFrame, keyCol: String, qualityCol: String,
+                     availCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val w = Window.orderBy(desc(qualityCol), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stats
+      .withColumn("cum_before", coalesce(sum(col(availCol)).over(w), lit(0L)))
+      .withColumn("alloc_tokens",
+        greatest(lit(0L), least(col(availCol).cast("long"),
+          lit(budget) - col("cum_before"))))
   }
 }

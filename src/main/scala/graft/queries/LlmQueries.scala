@@ -1738,6 +1738,33 @@ object LlmQueries {
       graft.operators.Projection.removeTopComponentEnergy(
         t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
 
+    // Co-engagement (market-basket) pairs over the (order, part)
+    // bipartite table with degree capping - hub actors dropped BEFORE
+    // the per-actor self-join, so fan-out is bounded at maxDegree^2 per
+    // actor; only pairs seen in >= 2 baskets ship.
+    "q186_coengagement" -> ((s, dir) =>
+      graft.operators.Cooccur.coEngagementPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxDegree = 6)
+        .filter(col("n_actors") >= 2)
+        .orderBy("item_a", "item_b")),
+
+    // Greedy token-budget allocation across sources by mean quality
+    // (fixed-point sums, one division for the order key): fractional-
+    // knapsack optimum, rejected mass visible as alloc < avail.
+    "q187_budget_alloc" -> ((s, dir) => {
+      val stats = t(s, dir, "documents").groupBy("source").agg(
+        sum(floor(TextAnalysis.qualityScore(col("text")) * lit(1048576L))
+          .cast("long")).as("qsum"),
+        count(lit(1)).as("n"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("avail"))
+        .select(col("source"),
+          (col("qsum").cast("double") / col("n").cast("double"))
+            .as("quality"),
+          col("avail"))
+      graft.operators.Mixing.budgetAllocate(stats, "source", "quality",
+        "avail", budget = 15000L).orderBy("source")
+    }),
+
     // Spectral gap: second eigenvalue via one Hotelling deflation +
     // second power iteration (all driver doubles in the same fixed fold
     // order) - "does removing ONE component fix the anisotropy?"
@@ -5236,6 +5263,52 @@ object LlmQueries {
          |SELECT CAST(d.a AS BIGINT) AS dim, f.v[d.a+1] AS loading,
          |       lam.lambda AS lambda
          |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin,
+
+    // Distinct (actor, item) -> HAVING degree cap -> per-actor pair
+    // join, exactly the engine's stages.
+    "q186_coengagement" ->
+      """WITH ai AS (
+        |  SELECT DISTINCT l_orderkey AS a, l_partkey AS i FROM lineitem),
+        |ok AS (SELECT a FROM ai GROUP BY a HAVING count(*) <= 6),
+        |c AS (SELECT ai.a, i FROM ai JOIN ok USING (a))
+        |SELECT x.i AS item_a, y.i AS item_b,
+        |       CAST(count(*) AS BIGINT) AS n_actors
+        |FROM c x JOIN c y ON x.a = y.a AND x.i < y.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
+    // Per-source fixed-point quality sums (q98's f_quality text), one
+    // division for the order key, then the running-sum greedy fill.
+    "q187_budget_alloc" ->
+      s"""WITH m AS (
+         |  SELECT source, text, $oToks AS tk FROM documents),
+         |f AS (
+         |  SELECT source,
+         |         (least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |          + least(CAST(len(tk) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |          + (CAST(1.0 AS DOUBLE) - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS DOUBLE)
+         |                 / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))) / CAST(3.0 AS DOUBLE) AS q,
+         |         CAST(len(tk) AS BIGINT) AS ntok
+         |  FROM m),
+         |st AS (
+         |  SELECT source,
+         |         CAST(sum(CAST(floor(q * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qsum,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(ntok) AS BIGINT) AS avail
+         |  FROM f GROUP BY 1),
+         |qq AS (
+         |  SELECT source, CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE) AS quality,
+         |         avail
+         |  FROM st),
+         |alloc AS (
+         |  SELECT source, quality, avail,
+         |         CAST(COALESCE(sum(avail) OVER (ORDER BY quality DESC, source
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM qq)
+         |SELECT source, quality, avail, cum_before,
+         |       greatest(CAST(0 AS BIGINT),
+         |         least(avail, 15000 - cum_before)) AS alloc_tokens
+         |FROM alloc ORDER BY source""".stripMargin,
 
     // q179's chain, then the deflated matrix m2 = M - lambda*v*vT (all
     // DOUBLEs, same op order as the driver) and a SECOND recursive

@@ -104,4 +104,27 @@ class CooccurCorrSpec extends SparkSpec {
     val r = Regression.spearmanByGroup(df, Seq("g"), col("x"), col("y")).head
     assert(r.getLong(1) === 3L && r.getDouble(2) === 1.0)
   }
+
+  test("coEngagementPairs: degree cap drops hubs before the pair join") {
+    val d = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), // actor 1: degree 3 -> dropped at cap 2
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "b") // duplicate engagement collapses
+    ).toDF("actor", "item")
+    val r = graft.operators.Cooccur.coEngagementPairs(d, "actor", "item", 2)
+      .collect()
+    assert(r.length === 1)
+    assert((r(0).getAs[String]("item_a"), r(0).getAs[String]("item_b"),
+      r(0).getAs[Long]("n_actors")) === (("a", "b", 2L)))
+  }
+
+  test("budgetAllocate: greedy fill respects order, caps, and budget") {
+    val stats = Seq(("s1", 3.0, 100L), ("s2", 2.0, 100L), ("s3", 1.0, 100L))
+      .toDF("src", "q", "avail")
+    val r = graft.operators.Mixing
+      .budgetAllocate(stats, "src", "q", "avail", budget = 150L)
+      .orderBy("src").collect()
+    assert(r.map(_.getAs[Long]("alloc_tokens")).toSeq === Seq(100L, 50L, 0L))
+    assert(r.map(_.getAs[Long]("cum_before")).toSeq === Seq(0L, 100L, 200L))
+  }
 }
