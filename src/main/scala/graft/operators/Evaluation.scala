@@ -76,6 +76,77 @@ object Evaluation {
           col("auc_num").cast("double") / col("auc_den").cast("double")))
   }
 
+  /** [[aucExact]] PER GROUP — the fairness/slice audit ("is the
+    * classifier's ranking quality uniform across languages/sources, or
+    * does one slice carry a blind spot?"). Same histogram discipline
+    * with the cumulation window PARTITIONED by the group, so each
+    * group's rows are its distinct scores only; one row per group.
+    */
+  def aucExactByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    val hist = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy("__g", "__s")
+      .agg(count(lit(1)).as("__c"), count(when(col("__y"), 1L)).as("__p"))
+    val wCum = Window.partitionBy("__g").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .groupBy(col("__g").as(groupCol))
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__c") - col("__p")).as("n_neg"),
+        sum(col("__p") * (lit(2) * col("__cum") - col("__c") + 1)).as("__r2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        (col("__r2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num"),
+        (lit(2) * col("n_pos") * col("n_neg")).as("auc_den"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("auc_num").cast("double") / col("auc_den").cast("double")))
+  }
+
+  /** Exact-arithmetic AVERAGE PRECISION (area under the PR curve by the
+    * step rule): over thresholds descending,
+    * AP = Σ_t Δtp_t · precision_t / P. The per-threshold precision is
+    * one double division, but the SUM is kept deterministic by the
+    * nDCG fixed-point discipline: each term is Δtp · floor(precision ·
+    * 2³⁰) — an exact BIGINT — so
+    *
+    *   ap = ap_num / (P · 2³⁰)   with   ap_num = Σ Δtp·⌊prec·2³⁰⌋
+    *
+    * and no float accumulation order anywhere (a plain sum of double
+    * products would hash-differ across partitionings). Quantization
+    * bias is ≤ 2⁻³⁰ per term — far below any decision threshold.
+    * One row: (n_pos, ap_num, ap); NULL ap when P = 0.
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    val Scale = 1L << 30
+    val hist = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__c"), count(when(col("__y"), 1L)).as("__p"))
+    val wDesc = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__tp", sum(col("__p")).over(wDesc))
+      .withColumn("__fp", sum(col("__c") - col("__p")).over(wDesc))
+      .withColumn("__term",
+        col("__p") * floor((col("__tp").cast("double") /
+          (col("__tp") + col("__fp")).cast("double")) * lit(Scale))
+          .cast("long"))
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__term")).as("ap_num"))
+      .withColumn("ap",
+        when(col("n_pos") > 0,
+          col("ap_num").cast("double") /
+            (col("n_pos") * lit(Scale)).cast("double")))
+  }
+
   /** Precision/recall sweep: one row per DISTINCT score threshold t
     * (descending), for the classifier "positive ⟺ score ≥ t" —
     * `(threshold, tp, fp, fn, precision, recall)` with exact BIGINT

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -306,6 +307,53 @@ object Profiling {
         col("rows_skipped"), col("rows_total"),
         (col("rows_skipped").cast("double") /
           col("rows_total").cast("double")).as("skip_ratio"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-shift test that complements [[distributionDrift]]'s
+    * categorical TVD for NUMERIC columns (did the gate bias document
+    * lengths? did this month's scores drift?):
+    *
+    *   KS = max over values v of |F_ref(v) − F_cur(v)|
+    *      = ks_num / ks_den   with
+    *   ks_num = max |cum_ref(v)·n_cur − cum_cur(v)·n_ref|,
+    *   ks_den = n_ref·n_cur
+    *
+    * — cross-multiplied exact BIGINTs (the QuantileNormalize
+    * discipline), so the statistic is a ratio of integers with ONE
+    * final division. One value histogram with both sides' counts, two
+    * cumulation windows over histogram rows (distinct values, never
+    * data rows), one max aggregate. Overflow: cum·n ≤ n_ref·n_cur <
+    * 2⁶³ ⇒ fine to ~3e9 rows per side.
+    *
+    * @param inRef boolean Column splitting rows into reference (true)
+    *              and current (false)
+    * @return one row: (n_ref, n_cur, ks_num, ks_den, ks) — NULL ks when
+    *         either side is empty
+    */
+  def ksStatistic(df: DataFrame, value: Column, inRef: Column): DataFrame = {
+    val hist = df
+      .filter(value.isNotNull && inRef.isNotNull)
+      .select(value.as("__v"), inRef.as("__r"))
+      .groupBy("__v")
+      .agg(count(when(col("__r"), 1L)).as("__cr"),
+        count(when(!col("__r"), 1L)).as("__cc"))
+    val wCum = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    hist
+      .withColumn("__cumr", sum(col("__cr")).over(wCum))
+      .withColumn("__cumc", sum(col("__cc")).over(wCum))
+      .withColumn("__nr", sum(col("__cr")).over(wAll))
+      .withColumn("__nc", sum(col("__cc")).over(wAll))
+      .agg(min(col("__nr")).as("n_ref"), min(col("__nc")).as("n_cur"),
+        max(abs(col("__cumr") * col("__nc") - col("__cumc") * col("__nr")))
+          .as("ks_num"))
+      .withColumn("ks_den", col("n_ref") * col("n_cur"))
+      .select(col("n_ref"), col("n_cur"), col("ks_num"), col("ks_den"),
+        when(col("ks_den") > 0,
+          col("ks_num").cast("double") / col("ks_den").cast("double"))
+          .as("ks"))
   }
 
   /** Merkle manifest over a sharded table: per-shard [[tableChecksum]]

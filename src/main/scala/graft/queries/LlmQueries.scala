@@ -1738,6 +1738,30 @@ object LlmQueries {
       graft.operators.Projection.removeTopComponentEnergy(
         t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
 
+    // Per-language AUC of the distilled classifier - the fairness/slice
+    // audit next to q169's global number (a slice-local blind spot
+    // vanishes in the pooled AUC).
+    "q188_auc_by_slice" -> ((s, dir) =>
+      graft.operators.Evaluation.aucExactByGroup(distillScored(s, dir),
+        "lang", "zq", "keep").orderBy("lang")),
+
+    // Exact-arithmetic average precision (step-rule PR area): per-
+    // threshold precisions quantized to 2^30 fixed point so the sum is
+    // BIGINT - the PR-curve headline in one number, order-free.
+    "q189_avg_precision" -> ((s, dir) =>
+      graft.operators.Evaluation.averagePrecision(distillScored(s, dir),
+        "zq", "keep")),
+
+    // Two-sample KS statistic of doc length, gate-kept vs dropped: does
+    // the quality gate bias the length distribution? Cross-multiplied
+    // exact integers; one histogram, windows over distinct values.
+    "q190_ks_gate_length" -> ((s, dir) => {
+      val gated = TextAnalysis.qualityGate(t(s, dir, "documents"),
+        "doc_id", "text", keepInputCols = true)
+      graft.operators.Profiling.ksStatistic(gated, col("n_chars"),
+        col("keep"))
+    }),
+
     // Co-engagement (market-basket) pairs over the (order, part)
     // bipartite table with degree capping - hub actors dropped BEFORE
     // the per-actor self-join, so fan-out is bounded at maxDegree^2 per
@@ -1838,7 +1862,7 @@ object LlmQueries {
     val gated = TextAnalysis.qualityGate(t(s, dir, "documents"),
       "doc_id", "text", keepInputCols = true)
     val feats = gated.select(
-      col("doc_id"), col("keep"),
+      col("doc_id"), col("lang"), col("keep"),
       TextAnalysis.tokenCount(col("text")).cast("double").as("f_tokens"),
       TextAnalysis.punctCount(col("text")).cast("double").as("f_punct"),
       coalesce(TextAnalysis.stopwordRatio(col("text")), lit(0.0)).as("f_stop"),
@@ -1848,7 +1872,7 @@ object LlmQueries {
       graft.operators.LinearModel.Model(
         Array(0.10338513290120002, 0.0, 2.561121689531541,
           15.712607333411997), -10.389739811106871))
-      .select(col("doc_id"), col("keep"),
+      .select(col("doc_id"), col("lang"), col("keep"),
         floor(col("z") * lit(1048576L)).cast("long").as("zq"))
   }
 
@@ -2122,7 +2146,8 @@ object LlmQueries {
        |           + CAST(-10.389739811106871 AS DOUBLE) AS z
        |  FROM fx),
        |scored AS (
-       |  SELECT CAST(floor(z * CAST(1048576 AS DOUBLE)) AS BIGINT) AS zq,
+       |  SELECT sx.doc_id,
+       |         CAST(floor(z * CAST(1048576 AS DOUBLE)) AS BIGINT) AS zq,
        |         (v.reasons = 0) AS keep
        |  FROM sx JOIN verdict v USING (doc_id))""".stripMargin
 
@@ -5263,6 +5288,89 @@ object LlmQueries {
          |SELECT CAST(d.a AS BIGINT) AS dim, f.v[d.a+1] AS loading,
          |       lam.lambda AS lambda
          |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin,
+
+    // q169's AUC tail with the cumulation window partitioned by lang
+    // (scored now carries doc_id; lang joins from documents).
+    "q188_auc_by_slice" ->
+      s"""WITH $oDistillScoredCtes,
+         |sl AS (
+         |  SELECT d.lang, s.zq, s.keep
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |hist AS (
+         |  SELECT lang, zq AS s2, count(*) AS c,
+         |         count(CASE WHEN keep THEN 1 END) AS p
+         |  FROM sl GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, s2, c, p,
+         |         sum(c) OVER (PARTITION BY lang ORDER BY s2) AS cum
+         |  FROM hist),
+         |a AS (
+         |  SELECT lang, CAST(sum(p) AS BIGINT) AS n_pos,
+         |         CAST(sum(c - p) AS BIGINT) AS n_neg,
+         |         CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS r2
+         |  FROM cum GROUP BY 1)
+         |SELECT lang, n_pos, n_neg,
+         |       r2 - n_pos * (n_pos + 1) AS auc_num,
+         |       2 * n_pos * n_neg AS auc_den,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0
+         |            THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |                 CAST(2 * n_pos * n_neg AS DOUBLE)
+         |       END AS auc
+         |FROM a ORDER BY lang""".stripMargin,
+
+    // Descending cumulative TP/FP; per-threshold precision quantized to
+    // 2^30 before the sum, matching averagePrecision's fixed point.
+    "q189_avg_precision" ->
+      s"""WITH $oDistillScoredCtes,
+         |hist AS (
+         |  SELECT zq AS s2, count(*) AS c,
+         |         count(CASE WHEN keep THEN 1 END) AS p
+         |  FROM scored GROUP BY 1),
+         |cum AS (
+         |  SELECT s2, p,
+         |         CAST(sum(p) OVER (ORDER BY s2 DESC) AS BIGINT) AS tp,
+         |         CAST(sum(c - p) OVER (ORDER BY s2 DESC) AS BIGINT) AS fp
+         |  FROM hist),
+         |terms AS (
+         |  SELECT p,
+         |         p * CAST(floor((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+         |           * CAST(1073741824 AS DOUBLE)) AS BIGINT) AS term
+         |  FROM cum)
+         |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |       CAST(sum(term) AS BIGINT) AS ap_num,
+         |       CASE WHEN sum(p) > 0
+         |            THEN CAST(sum(term) AS DOUBLE) /
+         |                 CAST(CAST(sum(p) AS BIGINT) * 1073741824 AS DOUBLE)
+         |       END AS ap
+         |FROM terms""".stripMargin,
+
+    // Gate verdict -> per-length two-sided counts -> cross-multiplied
+    // cumulative compare, exactly ksStatistic's arithmetic.
+    "q190_ks_gate_length" ->
+      s"""WITH $oGateCtes,
+         |g AS (
+         |  SELECT d.n_chars AS v, (vd.reasons = 0) AS r
+         |  FROM documents d JOIN verdict vd USING (doc_id)),
+         |hist AS (
+         |  SELECT v, count(CASE WHEN r THEN 1 END) AS cr,
+         |         count(CASE WHEN NOT r THEN 1 END) AS cc
+         |  FROM g GROUP BY 1),
+         |cum AS (
+         |  SELECT v,
+         |         CAST(sum(cr) OVER (ORDER BY v) AS BIGINT) AS cumr,
+         |         CAST(sum(cc) OVER (ORDER BY v) AS BIGINT) AS cumc,
+         |         CAST(sum(cr) OVER () AS BIGINT) AS nr,
+         |         CAST(sum(cc) OVER () AS BIGINT) AS nc
+         |  FROM hist)
+         |SELECT CAST(min(nr) AS BIGINT) AS n_ref,
+         |       CAST(min(nc) AS BIGINT) AS n_cur,
+         |       CAST(max(abs(cumr * nc - cumc * nr)) AS BIGINT) AS ks_num,
+         |       CAST(min(nr) * min(nc) AS BIGINT) AS ks_den,
+         |       CASE WHEN min(nr) * min(nc) > 0
+         |            THEN CAST(max(abs(cumr * nc - cumc * nr)) AS DOUBLE) /
+         |                 CAST(min(nr) * min(nc) AS DOUBLE)
+         |       END AS ks
+         |FROM cum""".stripMargin,
 
     // Distinct (actor, item) -> HAVING degree cap -> per-actor pair
     // join, exactly the engine's stages.

@@ -71,4 +71,51 @@ class EvaluationSpec extends SparkSpec {
       .collect()(0).getAs[Long]("n_pos") === 2L)
     assert(Evaluation.prCurve(withNull, "s", "y").count() === 3L)
   }
+
+  test("aucExactByGroup matches per-group aucExact") {
+    val d = Seq(
+      ("g1", 1L, false), ("g1", 2L, true), ("g1", 3L, true),
+      ("g2", 1L, true), ("g2", 2L, false)
+    ).toDF("g", "s", "y")
+    val grouped = Evaluation.aucExactByGroup(d, "g", "s", "y")
+      .orderBy("g").collect()
+    assert(grouped(0).getAs[Double]("auc") === 1.0) // g1 separable
+    assert(grouped(1).getAs[Double]("auc") === 0.0) // g2 reversed
+    val solo = Evaluation.aucExact(d.filter(col("g") === "g1"), "s", "y")
+      .collect()(0)
+    assert(solo.getAs[Long]("auc_num") === grouped(0).getAs[Long]("auc_num"))
+  }
+
+  test("averagePrecision: perfect ranking gives ap 1, counts exact") {
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    val r = Evaluation.averagePrecision(perfect, "s", "y").collect()(0)
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Double]("ap") === 1.0)
+    // ranking with one inversion: thresholds desc 4(y),3(n),2(y),1(n)
+    // AP = (1/1 + 2/3)/2 = 5/6 (up to 2^-30 quantization)
+    val mixed = Seq((4L, true), (3L, false), (2L, true), (1L, false))
+      .toDF("s", "y")
+    val m = Evaluation.averagePrecision(mixed, "s", "y").collect()(0)
+    assert(math.abs(m.getAs[Double]("ap") - 5.0 / 6.0) < 1e-8)
+  }
+
+  test("ksStatistic: disjoint supports give KS 1, identical give 0") {
+    import graft.operators.Profiling
+    val disjoint = (Seq((1L, true), (2L, true)) ++ Seq((10L, false), (11L, false)))
+      .toDF("v", "r")
+    val d = Profiling.ksStatistic(disjoint, col("v"), col("r")).collect()(0)
+    assert(d.getAs[Double]("ks") === 1.0)
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "r")
+    val s0 = Profiling.ksStatistic(same, col("v"), col("r")).collect()(0)
+    assert(s0.getAs[Double]("ks") === 0.0)
+    // hand case: ref {1,2}, cur {2,3}: at v=1 |1*2-0*2|=2; v=2 |2*2-1*2|=2;
+    // v=3 |2*2-2*2|=0 -> ks = 2/4 = 0.5
+    val mix = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "r")
+    val m = Profiling.ksStatistic(mix, col("v"), col("r")).collect()(0)
+    assert(m.getAs[Long]("ks_num") === 2L && m.getAs[Long]("ks_den") === 4L)
+    assert(m.getAs[Double]("ks") === 0.5)
+  }
 }
