@@ -1738,6 +1738,62 @@ object LlmQueries {
       graft.operators.Projection.removeTopComponentEnergy(
         t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
 
+    // Tokenizer fertility per language over the learned BPE vocab:
+    // chars/token and tokens/word from exact sums - the audit that
+    // shows which languages a vocabulary under-serves.
+    "q191_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Bpe.bpeTokenCount(docs, "doc_id", "text", numMerges = 8)
+        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          sum("n_words").as("words"),
+          sum("n_bpe_tokens").as("bpe_tokens"))
+        .withColumn("chars_per_token",
+          col("chars").cast("double") / col("bpe_tokens").cast("double"))
+        .withColumn("tokens_per_word",
+          col("bpe_tokens").cast("double") / col("words").cast("double"))
+        .orderBy("lang")
+    }),
+
+    // Duplicate-cluster size histogram: how much mass each cluster size
+    // carries after wide near-dup clustering - the dedup release
+    // metric ("mostly pairs, or a few mega-clusters?").
+    "q192_cluster_size_hist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        maxHamming = 2)
+      graft.operators.Components.dedupClusters(docs, "doc_id", pairs)
+        .filter(col("is_canonical") === 1)
+        .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("n_members")
+    }),
+
+    // Continual-training contamination probe: does an INCREMENT contain
+    // near-dups of already-split corpus docs - and of the TEST split in
+    // particular? Cross pairs from the incremental dedup (i = corpus,
+    // j = batch) joined to the corpus split; one-row verdict.
+    "q193_incremental_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldDocs = docs.filter(col("doc_id") % 7 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 7 === 0)
+      val pairs = Dedup.simhashPairsWideIncremental(newDocs, "doc_id",
+        "text", Dedup.wideSignatures(oldDocs, "doc_id", "text"),
+        maxHamming = 2)
+      val crossPairs = pairs.filter(col("i") % 7 =!= 0)
+      val oldSplit = Sampling.hashSplit(
+        oldDocs.select(col("doc_id").as("i")), "i", 80, 10)
+      val agg = crossPairs.join(oldSplit, "i").agg(
+        count(lit(1)).as("n_cross_pairs"),
+        count(when(col("split") === "train", 1L)).as("pairs_train"),
+        count(when(col("split") === "val", 1L)).as("pairs_val"),
+        count(when(col("split") === "test", 1L)).as("pairs_test"),
+        count_distinct(when(col("split") === "test", col("j")))
+          .as("new_docs_hitting_test"))
+      newDocs.agg(count(lit(1)).as("n_new")).crossJoin(agg)
+    }),
+
     // Per-language AUC of the distilled classifier - the fairness/slice
     // audit next to q169's global number (a slice-local blind spot
     // vanishes in the pooled AUC).
@@ -5288,6 +5344,91 @@ object LlmQueries {
          |SELECT CAST(d.a AS BIGINT) AS dim, f.v[d.a+1] AS loading,
          |       lam.lambda AS lambda
          |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin,
+
+    // q94's BPE CTEs aggregated per language with exact sums.
+    "q191_bpe_fertility" -> (
+      oBpeCtes(8) +
+        s"""
+           |, wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM s8),
+           |dw AS (
+           |  SELECT doc_id, unnest($oToks) AS w FROM documents),
+           |st AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |         CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+           |  FROM dw JOIN wl USING (w) GROUP BY 1),
+           |pd AS (
+           |  SELECT d.lang, d.n_chars,
+           |         coalesce(st.n_words, CAST(0 AS BIGINT)) AS n_words,
+           |         coalesce(st.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+           |  FROM documents d LEFT JOIN st USING (doc_id))
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS chars,
+           |       CAST(sum(n_words) AS BIGINT) AS words,
+           |       CAST(sum(n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           |       CAST(sum(n_chars) AS DOUBLE) /
+           |         CAST(sum(n_bpe_tokens) AS DOUBLE) AS chars_per_token,
+           |       CAST(sum(n_bpe_tokens) AS DOUBLE) /
+           |         CAST(sum(n_words) AS DOUBLE) AS tokens_per_word
+           |FROM pd GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // q70's recursive-CC chain reduced to per-size cluster counts.
+    "q192_cluster_size_hist" ->
+      s"""WITH RECURSIVE ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |lab AS (SELECT node AS doc_id, min(comp) AS component
+         |        FROM reach GROUP BY node),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM lab GROUP BY 1)
+         |SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // All wide pairs with exactly one side in the increment, oriented
+    // (i = corpus, j = batch), joined to the corpus split.
+    "q193_incremental_leakage" ->
+      s"""WITH ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |allp AS (
+         |  SELECT a.doc_id AS x, b.doc_id AS y
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |crossp AS (
+         |  SELECT CASE WHEN x % 7 <> 0 THEN x ELSE y END AS i,
+         |         CASE WHEN x % 7 <> 0 THEN y ELSE x END AS j
+         |  FROM allp WHERE (x % 7 = 0) <> (y % 7 = 0)),
+         |j2 AS (
+         |  SELECT i, j,
+         |         CASE WHEN (((i % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+         |              WHEN (((i % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM crossp),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cross_pairs,
+         |         CAST(count(CASE WHEN split = 'train' THEN 1 END) AS BIGINT) AS pairs_train,
+         |         CAST(count(CASE WHEN split = 'val' THEN 1 END) AS BIGINT) AS pairs_val,
+         |         CAST(count(CASE WHEN split = 'test' THEN 1 END) AS BIGINT) AS pairs_test,
+         |         CAST(count(DISTINCT CASE WHEN split = 'test' THEN j END) AS BIGINT) AS new_docs_hitting_test
+         |  FROM j2),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_new
+         |       FROM documents WHERE doc_id % 7 = 0)
+         |SELECT nn.n_new, agg.n_cross_pairs, agg.pairs_train, agg.pairs_val,
+         |       agg.pairs_test, agg.new_docs_hitting_test
+         |FROM nn CROSS JOIN agg""".stripMargin,
 
     // q169's AUC tail with the cumulation window partitioned by lang
     // (scored now carries doc_id; lang joins from documents).
