@@ -61,12 +61,20 @@ object Cooccur {
       .agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") <= maxDegree)
       .select("__actor")
-    val capped = ai.join(ok, "__actor")
-    capped.join(
-        capped.select(col("__actor"), col("__item").as("__item_b")),
-        "__actor")
-      .filter(col("__item") < col("__item_b"))
-      .groupBy(col("__item").as("item_a"), col("__item_b").as("item_b"))
+    // Baskets are collected only for CAPPED actors, so per-group
+    // aggregation state is <= maxDegree items (collect before the cap
+    // would hold a hub's whole history). Pairs then explode MAP-SIDE
+    // from each small basket — the engagement table is never self-
+    // joined, so it is not shuffled twice; the one remaining
+    // aggregation shuffle is the pair stream itself, which is the
+    // operator's output-bound cost.
+    ai.join(ok, "__actor")
+      .groupBy("__actor")
+      .agg(collect_list(col("__item")).as("__items"))
+      .select(explode(col("__items")).as("__a"), col("__items"))
+      .select(col("__a"), explode(col("__items")).as("__b"))
+      .filter(col("__a") < col("__b"))
+      .groupBy(col("__a").as("item_a"), col("__b").as("item_b"))
       .agg(count(lit(1)).as("n_actors"))
   }
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.{Dedup, ExactQuantiles, InvertedIndex, LineDedup, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis, TfIdf, TopK}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline queries: dedup (exact / n-gram Jaccard / MinHash-LSH /
@@ -1737,6 +1738,49 @@ object LlmQueries {
     "q181_top_removal" -> ((s, dir) =>
       graft.operators.Projection.removeTopComponentEnergy(
         t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
+
+    // Vocabulary coverage curve: how many distinct tokens (ranked by
+    // frequency desc, token asc) cover 50/90/99% of corpus token mass -
+    // the vocab-size design input for a tokenizer. Windows run over
+    // VOCAB rows only.
+    "q194_vocab_coverage" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(desc("c"), col("t"))
+      val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      tf.withColumn("cum", sum("c").over(wCum))
+        .withColumn("r", row_number().over(ord).cast("long"))
+        .withColumn("n", sum("c").over(wAll))
+        .agg(min("n").as("n_tokens"),
+          count(lit(1)).as("vocab_size"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("r"))).as("v50"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("r"))).as("v90"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("r"))).as("v99"))
+    }),
+
+    // Merkle snapshot DIFF: two manifests (full corpus vs one deleted
+    // doc) joined on (level, idx); exactly the changed leaf and its
+    // log2(shards) ancestors differ - fault localization without
+    // re-checksumming the table.
+    "q195_merkle_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def manifest(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Profiling.merkleManifest(df,
+          Sampling.hashBucket(col("doc_id"), 16), 16,
+          col("doc_id"), col("lang"), col("source"), col("text"))
+      val a = manifest(docs)
+        .select(col("level"), col("idx"), col("n_rows").as("n_rows_a"),
+          col("digest").as("__da"))
+      val b = manifest(docs.filter(col("doc_id") =!= 42))
+        .select(col("level"), col("idx"), col("n_rows").as("n_rows_b"),
+          col("digest").as("__db"))
+      a.join(b, Seq("level", "idx"))
+        .filter(col("__da") =!= col("__db"))
+        .select("level", "idx", "n_rows_a", "n_rows_b")
+        .orderBy("level", "idx")
+    }),
 
     // Tokenizer fertility per language over the learned BPE vocab:
     // chars/token and tokens/word from exact sums - the audit that
@@ -5344,6 +5388,67 @@ object LlmQueries {
          |SELECT CAST(d.a AS BIGINT) AS dim, f.v[d.a+1] AS loading,
          |       lam.lambda AS lambda
          |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin,
+
+    // Frequency-ranked token cumulation over vocab rows; RANGE==ROWS
+    // because (c DESC, t) is a total order.
+    "q194_vocab_coverage" ->
+      s"""WITH tf AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($oToks) AS t FROM documents) GROUP BY 1),
+         |r AS (
+         |  SELECT t, c,
+         |         CAST(sum(c) OVER (ORDER BY c DESC, t) AS BIGINT) AS cum,
+         |         CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS r,
+         |         CAST(sum(c) OVER () AS BIGINT) AS n
+         |  FROM tf)
+         |SELECT CAST(min(n) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) AS BIGINT) AS vocab_size,
+         |       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN r END) AS BIGINT) AS v50,
+         |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN r END) AS BIGINT) AS v90,
+         |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN r END) AS BIGINT) AS v99
+         |FROM r""".stripMargin,
+
+    // Two full manifest chains (suffix a = full corpus, b = one doc
+    // deleted) joined on (level, idx); only digest mismatches ship.
+    "q195_merkle_diff" -> {
+      def pairExpr = oPolyHash(
+        "md5(concat_ws('|', " +
+          "CAST(max(CASE WHEN idx % 2 = 0 THEN digest END) AS VARCHAR), " +
+          "CAST(max(CASE WHEN idx % 2 = 1 THEN digest END) AS VARCHAR)))")
+      def lv(k: Int, sfx: String) =
+        s"""lv$k$sfx AS (
+           |  SELECT CAST(idx // 2 AS BIGINT) AS idx,
+           |         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           |         $pairExpr AS digest
+           |  FROM lv${k - 1}$sfx GROUP BY 1)""".stripMargin
+      def chain(sfx: String, whereClause: String) =
+        s"""leaves$sfx AS (
+           |  SELECT (((doc_id % 2147483648) * 2654435761) % 4294967296) % 16 AS idx,
+           |         CAST(count(*) AS BIGINT) AS n_rows,
+           |         CAST(sum(${oPolyHash(
+                       "md5(concat_ws(chr(1), doc_id, lang, source, text))")})
+           |           % 1000000000000000 AS BIGINT) AS cmod
+           |  FROM documents $whereClause GROUP BY 1),
+           |lv0$sfx AS (
+           |  SELECT r.idx, CAST(COALESCE(l.n_rows, 0) AS BIGINT) AS n_rows,
+           |         ${oPolyHash("md5(CAST(COALESCE(l.cmod, 0) AS VARCHAR))")} AS digest
+           |  FROM range(0, 16) r(idx) LEFT JOIN leaves$sfx l USING (idx)),
+           |${lv(1, sfx)},
+           |${lv(2, sfx)},
+           |${lv(3, sfx)},
+           |${lv(4, sfx)},
+           |m$sfx AS (
+           |  SELECT 0 AS level, idx, n_rows, digest FROM lv0$sfx
+           |  UNION ALL SELECT 1, idx, n_rows, digest FROM lv1$sfx
+           |  UNION ALL SELECT 2, idx, n_rows, digest FROM lv2$sfx
+           |  UNION ALL SELECT 3, idx, n_rows, digest FROM lv3$sfx
+           |  UNION ALL SELECT 4, idx, n_rows, digest FROM lv4$sfx)""".stripMargin
+      s"""WITH ${chain("a", "")},
+         |${chain("b", "WHERE doc_id <> 42")}
+         |SELECT a.level, a.idx, a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+         |FROM ma a JOIN mb b USING (level, idx)
+         |WHERE a.digest <> b.digest ORDER BY level, idx""".stripMargin
+    },
 
     // q94's BPE CTEs aggregated per language with exact sums.
     "q191_bpe_fertility" -> (
