@@ -1739,6 +1739,56 @@ object LlmQueries {
       graft.operators.Projection.removeTopComponentEnergy(
         t(s, dir, "embeddings"), "embedding", dim = 64).orderBy("dim")),
 
+    // Cross-source duplication matrix: near-dup pairs bucketed by their
+    // (unordered) source pair - the mirror-site / content-farm detector
+    // that tells which sources copy from which.
+    "q196_cross_source_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        maxHamming = 2)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("i"), col("source").as("__sa")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("__sb")), "j")
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // Dedup radius sensitivity: pair counts per Hamming distance and
+    // cumulative pairs at radius <= h, h = 0..3, from ONE banded pass -
+    // the sweep read before locking a near-dup threshold.
+    "q197_radius_sweep" -> ((s, dir) => {
+      val p3 = Dedup.simhashPairsWide(t(s, dir, "documents"), "doc_id",
+        "text", maxHamming = 3)
+        .groupBy("hamming").agg(count(lit(1)).as("n_at"))
+      val w = Window.orderBy("hamming")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p3.withColumn("n_pairs_le", sum("n_at").over(w)).orderBy("hamming")
+    }),
+
+    // Tier agreement: MinHash-LSH (total-recall exact-Jaccard >= 0.5)
+    // vs the wide simhash tier - full outer join of the two pair SETS,
+    // one-row overlap report incl. pair-set Jaccard. The calibration
+    // read for "do the cheap and exact tiers see the same duplicates?"
+    "q198_tier_agreement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, numHashes = 48, bandRows = 6)
+        .select(col("i"), col("j"), lit(true).as("__a"))
+      val b = Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 2)
+        .select(col("i"), col("j"), lit(true).as("__b"))
+      a.join(b, Seq("i", "j"), "full_outer")
+        .agg(count(when(col("__a"), 1L)).as("n_minhash"),
+          count(when(col("__b"), 1L)).as("n_simhash"),
+          count(when(col("__a") && col("__b"), 1L)).as("n_both"))
+        .withColumn("pair_jaccard",
+          col("n_both").cast("double") /
+            (col("n_minhash") + col("n_simhash") - col("n_both"))
+              .cast("double"))
+    }),
+
     // Vocabulary coverage curve: how many distinct tokens (ranked by
     // frequency desc, token asc) cover 50/90/99% of corpus token mass -
     // the vocab-size design input for a tokenizer. Windows run over
@@ -5388,6 +5438,73 @@ object LlmQueries {
          |SELECT CAST(d.a AS BIGINT) AS dim, f.v[d.a+1] AS loading,
          |       lam.lambda AS lambda
          |FROM fin f, lam, range(64) d(a) ORDER BY dim""".stripMargin,
+
+    // Wide pairs joined to sources on both ends, unordered source pair.
+    "q196_cross_source_dups" ->
+      s"""WITH ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |ps AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.i
+         |  JOIN documents db ON db.doc_id = p.j)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM ps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Hamming histogram over the radius-3 wide pair set + cumulation.
+    "q197_radius_sweep" ->
+      s"""WITH ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j,
+         |         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |h AS (
+         |  SELECT hamming, CAST(count(*) AS BIGINT) AS n_at
+         |  FROM pairs GROUP BY 1)
+         |SELECT hamming, n_at,
+         |       CAST(sum(n_at) OVER (ORDER BY hamming) AS BIGINT) AS n_pairs_le
+         |FROM h ORDER BY hamming""".stripMargin,
+
+    // A = exact-Jaccard >= 0.5 trigram pairs (the q24 contract: the
+    // engine's LSH has total recall there); B = wide simhash pairs.
+    "q198_tier_agreement" ->
+      s"""WITH ${oJaccardCtes(3)},
+         |aset AS (SELECT i, j FROM jac WHERE jaccard >= 0.5),
+         |${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |bset AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |fo AS (
+         |  SELECT coalesce(a.i, b.i) AS i, coalesce(a.j, b.j) AS j,
+         |         (a.i IS NOT NULL) AS ina, (b.i IS NOT NULL) AS inb
+         |  FROM aset a FULL OUTER JOIN bset b ON a.i = b.i AND a.j = b.j),
+         |agg AS (
+         |  SELECT CAST(count(CASE WHEN ina THEN 1 END) AS BIGINT) AS n_minhash,
+         |         CAST(count(CASE WHEN inb THEN 1 END) AS BIGINT) AS n_simhash,
+         |         CAST(count(CASE WHEN ina AND inb THEN 1 END) AS BIGINT) AS n_both
+         |  FROM fo)
+         |SELECT n_minhash, n_simhash, n_both,
+         |       CAST(n_both AS DOUBLE) /
+         |         CAST(n_minhash + n_simhash - n_both AS DOUBLE) AS pair_jaccard
+         |FROM agg""".stripMargin,
 
     // Frequency-ranked token cumulation over vocab rows; RANGE==ROWS
     // because (c DESC, t) is a total order.
