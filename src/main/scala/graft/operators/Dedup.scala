@@ -694,4 +694,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("i", "j", "cos")
   }
+
+  /** Left-to-right square-and-multiply x^e as an explicit multiplication
+    * chain — every step is one IEEE-754 correctly-rounded multiply in a
+    * FIXED association order, so an oracle spelling the same chain gets
+    * the bit-identical double (libm `pow` would not: its rounding differs
+    * across implementations).
+    */
+  private def powFixed(base: Column, e: Int): Column = {
+    require(e >= 1, "exponent must be positive")
+    Integer.toBinaryString(e).drop(1).foldLeft(base)((acc, bit) =>
+      if (bit == '1') acc * acc * base else acc * acc)
+  }
+
+  /** MinHash-LSH (b bands × r rows) parameter planner: the S-curve
+    * p(s) = 1 − (1 − s^r)^b — the probability a pair with Jaccard s
+    * collides in ≥1 band — tabulated over a similarity grid for each
+    * candidate (b, r). This is the table read BEFORE committing a dedup
+    * tier's config (q24 runs 8×6): where does the curve cross 0.5, how
+    * much sub-threshold mass still collides (candidate cost), how much
+    * above-threshold mass is missed (recall loss).
+    *
+    * Deliberately driver-scale (|configs|·|grid| rows, no input table) —
+    * a planning utility like q177's skew advisor — but hash-gated anyway:
+    * both powers use [[powFixed]]'s fixed chain, and s = s_pct/100.0 is
+    * one exact-rounded division, so every double matches the oracle
+    * bit-for-bit.
+    *
+    * @return (b, r, s_pct, p_collide) ordered by (b, r, s_pct)
+    */
+  def lshParameterCurve(spark: org.apache.spark.sql.SparkSession,
+                        configs: Seq[(Int, Int)],
+                        sPcts: Seq[Int]): DataFrame = {
+    require(configs.nonEmpty && sPcts.nonEmpty)
+    require(sPcts.forall(p => p >= 1 && p <= 99), "grid must be inside (0,100)")
+    require(configs.forall { case (b, r) => b >= 1 && r >= 1 })
+    import spark.implicits._
+    val grid = sPcts.toDF("s_pct")
+    configs.map { case (b, r) =>
+      val s = col("s_pct").cast(DoubleType) / 100.0
+      grid.select(lit(b).as("b"), lit(r).as("r"), col("s_pct"),
+        (lit(1.0) - powFixed(lit(1.0) - powFixed(s, r), b)).as("p_collide"))
+    }.reduce(_.unionByName(_)).orderBy("b", "r", "s_pct")
+  }
 }

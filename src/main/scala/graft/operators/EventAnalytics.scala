@@ -152,4 +152,48 @@ object EventAnalytics {
         sum(col("__se") - col("__ss")).as("covered"),
         (max(col("__se")) - min(col("__ss"))).as("span"))
   }
+
+  /** One-sided CUSUM changepoint detector over a per-bucket count series
+    * — the corpus-monitoring alarm for "did ingest volume shift upward"
+    * (Page 1954). The textbook recursion S_t = max(0, S_{t−1} + (x_t − μ))
+    * looks inherently sequential; the identity S_t = P_t − min(0,
+    * min_{j≤t} P_j) with P_t = Σ_{i≤t}(x_i − μ) turns it into a prefix
+    * sum plus a running min — two ROWS-frame windows over the BUCKET
+    * series, never the raw events.
+    *
+    * Everything is exact BIGINT: with n buckets and total T, the
+    * mean-centered increment x_t − T/n is scaled by n to n·x_t − T, so
+    * `cusum_scaled` = n·S_t exactly, and the alarm S_t > h·μ compares
+    * cusum_scaled > h·T without ever dividing. Order-free aggregates +
+    * integer windows ⇒ hash-identical on any engine or partitioning.
+    *
+    * Scale shape: the per-bucket histogram's map-side combine absorbs
+    * the event stream; the two unpartitioned windows run over |buckets|
+    * rows (a 10-year daily series is 3,653 rows — driver-bounded by
+    * design, the documented `WindowExec: No Partition Defined` class).
+    * Overflow: n·x_t ≤ n·T must stay below 2^63 — 3,653 days of 2⁴⁰
+    * daily events still fits.
+    *
+    * @param bucket integer time bucket (e.g. epoch day); NULL buckets drop
+    * @param alarmH alarm when CUSUM exceeds `alarmH` × the global mean
+    * @return (bucket, x, cusum_scaled, alarm) — one row per non-empty
+    *         bucket; `cusum_scaled` = n_buckets × CUSUM_t
+    */
+  def cusumCounts(df: DataFrame, bucket: Column, alarmH: Int): DataFrame = {
+    require(alarmH > 0)
+    val hist = df.select(bucket.cast(LongType).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(col("x")).over(wAll))
+      .withColumn("__p", sum(col("x") * col("__n") - col("__t")).over(wCum))
+      .withColumn("cusum_scaled",
+        col("__p") - least(lit(0L), min(col("__p")).over(wCum)))
+      .select(col("bucket"), col("x"), col("cusum_scaled"),
+        (col("cusum_scaled") > col("__t") * alarmH).as("alarm"))
+  }
 }

@@ -466,4 +466,76 @@ object Profiling {
           (col("n").cast("double") * col("rt").cast("double") *
             col("ct").cast("double")))
   }
+
+  /** Per-COLUMN long-format profile — the Deequ/TFDV "dataset statistics"
+    * table: for each named column, row count, NULL count, exact distinct
+    * count (NULLs excluded), the mode's frequency, completeness and a
+    * uniqueness flag (every non-NULL value occurs once). One row per
+    * profiled column, so schema drift between two snapshots is a tiny
+    * join of two profile tables.
+    *
+    * Scale shape: ONE pass over the facts `stack`s the profiled columns
+    * to (column, value) rows — a |cols|× row expansion that stays inside
+    * whole-stage codegen — then a (column, value) hash aggregate whose
+    * map-side combine caps each task's output at the distinct-cell count,
+    * and a final |cols|-bounded aggregate over the histogram. This beats
+    * |cols| separate `count(DISTINCT …)` aggregates (one Expand pass each
+    * or an Expand ×|cols| multiplication WITHOUT the combine-friendly
+    * histogram in between) and never funnels raw rows to one task.
+    *
+    * Values are compared through their CAST-to-STRING image (one stack
+    * column must hold every type); Spark's shortest-roundtrip rendering
+    * is injective per type with one caveat — `-0.0` and `0.0` render
+    * distinctly while SQL DISTINCT merges them. Profile columns with
+    * signed-zero mass through an explicit normalization first.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val hist = df
+      .selectExpr(s"stack(${cols.length}, $stackArgs) AS (`column`, __v)")
+      .groupBy(col("column"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    hist.groupBy(col("column"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        coalesce(sum(when(col("__v").isNull, col("__c"))), lit(0L))
+          .as("n_nulls"),
+        count(when(col("__v").isNotNull, lit(1))).as("n_distinct"),
+        coalesce(max(when(col("__v").isNotNull, col("__c"))), lit(0L))
+          .as("max_freq"))
+      .withColumn("completeness",
+        (col("n_rows") - col("n_nulls")).cast("double") /
+          col("n_rows").cast("double"))
+      .withColumn("is_unique",
+        col("n_distinct") > 0 && col("max_freq") <= 1)
+  }
+
+  /** Per-group label diversity from the exact (group, label) histogram:
+    * class count, Simpson concentration numerator Σc², Gini impurity
+    * 1 − Σc²/n² and the inverse-Simpson "effective number of classes"
+    * n²/Σc² — the datasheet's answer to "how mixed is each source's
+    * language column", in exact integers plus two final divisions (no
+    * entropy, no libm log). NULL labels are a real level (a source that
+    * is 90% unlabeled is not diverse). Two bounded aggregates: the
+    * histogram's map-side combine absorbs the corpus, everything after is
+    * |group × label| rows.
+    *
+    * Overflow contract: Σc² ≤ n² must stay under 2^63 ⇒ n per group below
+    * ~3e9 rows; pre-shard larger groups or lift to Decimal upstream.
+    */
+  def diversityByGroup(df: DataFrame, groupCol: String,
+                       labelCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(labelCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum("__c").as("n"),
+        count(lit(1)).as("n_classes"),
+        sum(col("__c") * col("__c")).as("simpson_num"))
+      .withColumn("gini",
+        lit(1.0) - col("simpson_num").cast("double") /
+          (col("n") * col("n")).cast("double"))
+      .withColumn("inv_simpson",
+        (col("n") * col("n")).cast("double") /
+          col("simpson_num").cast("double"))
 }

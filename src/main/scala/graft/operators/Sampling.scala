@@ -356,4 +356,35 @@ object Sampling {
           col("metric_wsum").cast("double") / col("w_sum").cast("double"))
           .as("rate"))
   }
+
+  /** Deterministic STRATIFIED k-fold assignment: within every stratum,
+    * rows take folds 0..k−1 round-robin along the Knuth-hash order of
+    * their key, so per-stratum fold sizes differ by at most 1 — the
+    * balance guarantee q99's `hash % k` split cannot give (its
+    * per-stratum counts are binomial, and a rare stratum can land 80/20).
+    * Assignment is a pure function of (key hash rank within stratum), so
+    * it is stable under re-partitioning and re-runs on the same corpus —
+    * though unlike [[hashSplit]], APPENDING rows re-ranks later keys
+    * (k-fold balance is a property of a frozen snapshot; use hashSplit
+    * when incremental stability matters more than balance).
+    *
+    * Scale shape: the within-stratum rank reuses
+    * [[GlobalIds.contiguousIdsByGroup]]'s histogram-offset plan — the
+    * only window over raw rows is partitioned by (stratum, hash-bucket),
+    * 256 buckets per stratum, so no stratum funnels through one task.
+    *
+    * @return `df` plus `fold` (LONG 0..k−1)
+    */
+  def stratifiedKFold(df: DataFrame, stratumCol: String, keyCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    GlobalIds.contiguousIdsByGroup(
+      df.withColumn("__h", hash32(col(keyCol))),
+      group = col(stratumCol),
+      bucket = expr("__h DIV 16777216"), // 256 buckets over the 2^32 space
+      order = Seq(col("__h"), col(keyCol)),
+      idName = "__ord")
+      .withColumn("fold", pmod(col("__ord"), lit(k.toLong)))
+      .drop("__h", "__ord")
+  }
 }

@@ -566,4 +566,45 @@ object TextAnalysis {
         array_sort(array_distinct(collect_list(col("__cat"))))
           .as("categories"))
   }
+
+  /** Pairwise VOCABULARY overlap between groups (sources, langs,
+    * snapshots): distinct-token-set intersection, per-group vocabulary
+    * sizes, and set Jaccard for every unordered group pair — the "are
+    * these two sources the same register/domain" read, and the cheap
+    * proxy for cross-source contamination before any pair of documents
+    * is compared.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (group, token) rows
+    * first (map-side combine absorbs token frequency — a token's corpus
+    * count never travels), so the self-join is on the VOCAB table, keyed
+    * by token; a token's fan-out is bounded by groups−1 ≪ corpus, and
+    * union sizes come from inclusion-exclusion (|A|+|B|−|A∩B|), never a
+    * union scan per pair. Bounded by |vocab|·|groups| throughout.
+    *
+    * @return (group_a, group_b, vocab_a, vocab_b, inter, jaccard),
+    *         group_a < group_b; pairs with empty intersection are absent
+    *         (their Jaccard is derivable from the per-group sizes).
+    */
+  def vocabOverlap(docs: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val vocab = docs
+      .select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__t"))
+      .distinct()
+    val sizes = vocab.groupBy(col("__g")).agg(count(lit(1)).as("__v"))
+    val inter = vocab.select(col("__g").as("group_a"), col("__t"))
+      .join(vocab.select(col("__g").as("group_b"), col("__t")), "__t")
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__g").as("group_a"), col("__v").as("vocab_a")),
+        "group_a")
+      .join(sizes.select(col("__g").as("group_b"), col("__v").as("vocab_b")),
+        "group_b")
+      .select(col("group_a"), col("group_b"), col("vocab_a"), col("vocab_b"),
+        col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("vocab_a") + col("vocab_b") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+  }
 }

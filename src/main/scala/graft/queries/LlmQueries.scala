@@ -2000,7 +2000,81 @@ object LlmQueries {
         .withColumn("keep_rate",
           col("n_keep").cast("double") / col("n").cast("double"))
         .orderBy("bucket")
-    })
+    }),
+
+    // Deequ/TFDV-style per-COLUMN profile of lineitem: one stack pass →
+    // (column, value) histogram → per-column nulls / exact NDV / mode
+    // frequency / completeness / uniqueness — the snapshot-drift
+    // artifact two releases diff in |cols| rows.
+    "q199_column_profile" -> ((s, dir) =>
+      graft.operators.Profiling.columnProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+          "l_linestatus", "l_shipdate"))
+        .orderBy("column")),
+
+    // Deequ-style constraint audit: ALL row-local rules share one
+    // aggregate pass; uniqueness rides a key histogram; the FK rule
+    // left-joins distinct parent keys. One row per rule, the table a
+    // publish gate reads. range:l_quantity[1,49] is a deliberately
+    // failing rule (TPC-H quantity reaches 50) — the audit reports, the
+    // caller gates.
+    "q200_constraint_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val row = graft.operators.Constraints.rowRules(li, Seq(
+        ("complete:l_shipdate", col("l_shipdate").isNull),
+        ("nonneg:l_extendedprice", col("l_extendedprice") < 0),
+        ("range:l_quantity[1,49]", !col("l_quantity").between(1, 49)),
+        ("set:l_returnflag{A,N,R}",
+          !col("l_returnflag").isin("A", "N", "R"))))
+      val uq = graft.operators.Constraints.uniqueRule(li,
+        "unique:(l_orderkey,l_linenumber)",
+        Seq("l_orderkey", "l_linenumber"))
+      val fk = graft.operators.Constraints.fkRule(li,
+        "fk:l_orderkey->orders", "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+      graft.operators.Constraints.audit(Seq(row, uq, fk))
+    }),
+
+    // CUSUM changepoint over daily event volume: the sequential
+    // max(0, S+x−μ) recursion as prefix-sum minus running-min — two
+    // windows over DAY rows, exact scaled integers, alarm when
+    // CUSUM > 1× the daily mean.
+    "q201_cusum" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cusumCounts(
+        graft.io.TableIO.eventsNanos(s, dir),
+        expr("ts DIV 86400000000000"), alarmH = 1)
+        .orderBy("bucket")),
+
+    // MinHash-LSH S-curve planner: p(s) = 1−(1−s^r)^b over a similarity
+    // grid for three candidate configs (q24 runs 8×6) — fixed-order
+    // multiplication chains, so even the planner is hash-gated.
+    "q202_lsh_curve" -> ((s, dir) =>
+      Dedup.lshParameterCurve(s,
+        configs = Seq((8, 6), (16, 4), (32, 3)),
+        sPcts = (1 to 19).map(_ * 5))),
+
+    // Stratified k-fold: per-lang fold sizes differ by ≤1 by
+    // construction (q99's hash split cannot promise that) — the
+    // histogram-offset rank plan, no per-stratum window funnel.
+    "q203_stratified_kfold" -> ((s, dir) =>
+      Sampling.stratifiedKFold(t(s, dir, "documents"), "lang", "doc_id",
+        k = 5)
+        .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "fold")),
+
+    // Per-source language diversity: Gini impurity + inverse-Simpson
+    // effective class count from the exact (source, lang) histogram —
+    // the datasheet's mix metric without entropy's libm log.
+    "q204_source_diversity" -> ((s, dir) =>
+      graft.operators.Profiling.diversityByGroup(t(s, dir, "documents"),
+        "source", "lang").orderBy("source")),
+
+    // Pairwise source VOCABULARY overlap: distinct-token sets compared
+    // via inclusion-exclusion on the token-keyed vocab self-join —
+    // register/domain similarity before any document pair is compared.
+    "q205_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy("group_a", "group_b"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -2060,6 +2134,15 @@ object LlmQueries {
   /** Whitespace tokens (matches graft.functions.tokens). */
   private val oToks =
     """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+
+  /** Oracle spelling of Dedup.powFixed's left-to-right square-and-multiply
+    * x^e chain — the same association order, so every intermediate double
+    * is the same correctly-rounded value and the result matches
+    * bit-for-bit (libm `pow` would not).
+    */
+  private def oPowFixed(x: String, e: Int): String =
+    Integer.toBinaryString(e).drop(1).foldLeft(x)((acc, bit) =>
+      if (bit == '1') s"(($acc * $acc) * $x)" else s"($acc * $acc)")
 
   /** q136/q145's shared fusion CTEs: dense cosine arm (top-10), lexical
     * distinct-token-overlap arm (top-10), full-outer RRF `fused` table
@@ -5984,6 +6067,159 @@ object LlmQueries {
          |       CAST(sum(kc) AS BIGINT) AS n_keep,
          |       min(v) AS zq_min, max(v) AS zq_max,
          |       CAST(sum(kc) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS keep_rate
-         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Per-column blocks over native values; the engine's CAST-to-STRING
+    // histogram image is injective for these types, so the exact NDV /
+    // mode-frequency numbers agree.
+    "q199_column_profile" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS "column", n_rows, n_nulls, n_distinct, max_freq,
+           |       CAST(n_rows - n_nulls AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           |         AS completeness,
+           |       n_distinct > 0 AND max_freq <= 1 AS is_unique
+           |FROM (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |         CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |         CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |         CAST(coalesce((SELECT max(cnt) FROM (
+           |           SELECT count(*) AS cnt FROM lineitem
+           |           WHERE $c IS NOT NULL GROUP BY $c)), 0) AS BIGINT)
+           |           AS max_freq
+           |  FROM lineitem)""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+        .map(block).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY \"column\"")
+    },
+
+    // Row-local rules share one scan; uniqueness rides the key
+    // histogram; FK left-joins distinct parent keys. NULL rule
+    // predicates count as violations (coalesce TRUE), matching the
+    // engine's isViol contract.
+    "q200_constraint_audit" ->
+      """WITH rr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(CASE WHEN coalesce(l_shipdate IS NULL, TRUE)
+        |           THEN 1 END) AS BIGINT) AS v0,
+        |         CAST(count(CASE WHEN coalesce(l_extendedprice < 0, TRUE)
+        |           THEN 1 END) AS BIGINT) AS v1,
+        |         CAST(count(CASE WHEN coalesce(NOT (l_quantity BETWEEN 1 AND 49), TRUE)
+        |           THEN 1 END) AS BIGINT) AS v2,
+        |         CAST(count(CASE WHEN coalesce(NOT (l_returnflag IN ('A','N','R')), TRUE)
+        |           THEN 1 END) AS BIGINT) AS v3
+        |  FROM lineitem),
+        |uq AS (
+        |  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS v
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS v
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'complete:l_shipdate' AS rule, n AS n_checked,
+        |         v0 AS violations, v0 = 0 AS passed FROM rr
+        |  UNION ALL SELECT 'nonneg:l_extendedprice', n, v1, v1 = 0 FROM rr
+        |  UNION ALL SELECT 'range:l_quantity[1,49]', n, v2, v2 = 0 FROM rr
+        |  UNION ALL SELECT 'set:l_returnflag{A,N,R}', n, v3, v3 = 0 FROM rr
+        |  UNION ALL SELECT 'unique:(l_orderkey,l_linenumber)', n, v, v = 0 FROM uq
+        |  UNION ALL SELECT 'fk:l_orderkey->orders', n, v, v = 0 FROM fk)
+        |ORDER BY rule""".stripMargin,
+
+    // Prefix sum minus running min over the day histogram — the CUSUM
+    // identity; distinct buckets make DuckDB's RANGE default frame equal
+    // to the engine's ROWS frame.
+    "q201_cusum" ->
+      """WITH h AS (
+        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(x) AS BIGINT) AS t FROM h),
+        |p AS (
+        |  SELECT bucket, x, t,
+        |         CAST(sum(x * n - t) OVER (ORDER BY bucket) AS BIGINT) AS pf
+        |  FROM h CROSS JOIN tot),
+        |s AS (
+        |  SELECT bucket, x, t,
+        |         CAST(pf - least(CAST(0 AS BIGINT),
+        |           min(pf) OVER (ORDER BY bucket)) AS BIGINT) AS cusum_scaled
+        |  FROM p)
+        |SELECT bucket, x, cusum_scaled, cusum_scaled > t * 1 AS alarm
+        |FROM s ORDER BY bucket""".stripMargin,
+
+    // Same fixed-order square-and-multiply chains as the engine, per
+    // config — bit-identical doubles, no libm pow anywhere.
+    "q202_lsh_curve" -> {
+      def conf(b: Int, r: Int) = {
+        val s = "(CAST(s_pct AS DOUBLE) / 100.0)"
+        val p = s"(1.0 - ${oPowFixed(s"(1.0 - ${oPowFixed(s, r)})", b)})"
+        s"""SELECT CAST($b AS INTEGER) AS b, CAST($r AS INTEGER) AS r,
+           |       s_pct, $p AS p_collide FROM g""".stripMargin
+      }
+      s"""WITH g AS (
+         |  SELECT CAST(i * 5 AS INTEGER) AS s_pct FROM range(1, 20) t(i))
+         |SELECT * FROM (
+         |${conf(8, 6)}
+         |UNION ALL
+         |${conf(16, 4)}
+         |UNION ALL
+         |${conf(32, 3)}
+         |) ORDER BY b, r, s_pct""".stripMargin
+    },
+
+    // Knuth-hash rank within stratum, round-robin fold; the oracle may
+    // use the plain per-stratum window the engine's histogram-offset
+    // plan replaces.
+    "q203_stratified_kfold" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |         (((doc_id % 2147483648) * 2654435761) % 4294967296) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang,
+        |         CAST((row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+        |           - 1) % 5 AS BIGINT) AS fold
+        |  FROM h)
+        |SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Exact (source, lang) histogram → Σc², two final divisions.
+    "q204_source_diversity" ->
+      """WITH h AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_classes,
+        |         CAST(sum(c * c) AS BIGINT) AS simpson_num
+        |  FROM h GROUP BY 1)
+        |SELECT source, n, n_classes, simpson_num,
+        |       1.0 - CAST(simpson_num AS DOUBLE) / CAST(n * n AS DOUBLE)
+        |         AS gini,
+        |       CAST(n * n AS DOUBLE) / CAST(simpson_num AS DOUBLE)
+        |         AS inv_simpson
+        |FROM a ORDER BY source""".stripMargin,
+
+    // Distinct (source, token) sets; intersections from the token-keyed
+    // self-join, unions by inclusion-exclusion.
+    "q205_vocab_overlap" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT source AS g, t
+         |  FROM (SELECT source, unnest($oToks) AS t FROM documents)),
+         |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS vz FROM v GROUP BY 1),
+         |i AS (
+         |  SELECT a.g AS group_a, b.g AS group_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM v a JOIN v b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2)
+         |SELECT group_a, group_b, sa.vz AS vocab_a, sb.vz AS vocab_b, inter,
+         |       CAST(inter AS DOUBLE) /
+         |         CAST(sa.vz + sb.vz - inter AS DOUBLE) AS jaccard
+         |FROM i JOIN sz sa ON sa.g = i.group_a
+         |       JOIN sz sb ON sb.g = i.group_b
+         |ORDER BY group_a, group_b""".stripMargin
   )
 }

@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.{Constraints, Dedup, EventAnalytics, Profiling, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Data-quality + monitoring operators added late round 9: per-column
+  * profile, Deequ-style constraint audit, CUSUM changepoint, LSH
+  * parameter curve, stratified k-fold, diversity, vocab overlap.
+  */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("columnProfile: nulls, exact NDV, mode frequency, uniqueness") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")),
+      (Some(3L), None), (None, Some("b")))
+      .toDF("id", "tag")
+    val got = Profiling.columnProfile(df, Seq("id", "tag"))
+      .as[(String, Long, Long, Long, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // id: 4 rows, 1 null, 3 distinct, each once => unique
+    assert(got("id") === (("id", 4L, 1L, 3L, 1L, 0.75, true)))
+    // tag: "a" twice => not unique, mode freq 2
+    assert(got("tag") === (("tag", 4L, 1L, 2L, 2L, 0.75, false)))
+  }
+
+  test("columnProfile: all-NULL column is not unique and 0-complete") {
+    val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "x")
+    val r = Profiling.columnProfile(df, Seq("x"))
+      .as[(String, Long, Long, Long, Long, Double, Boolean)].collect().head
+    assert(r === (("x", 2L, 2L, 0L, 0L, 0.0, false)))
+  }
+
+  test("constraint audit: row rules share one pass; NULL predicate = violation") {
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None))
+      .toDF("k", "v")
+    val rows = Constraints.rowRules(df, Seq(
+      ("nonneg:v", col("v") < 0), // NULL v counts as violation
+      ("complete:v", col("v").isNull)))
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(rows("nonneg:v") === (("nonneg:v", 3L, 2L, false)))
+    assert(rows("complete:v") === (("complete:v", 3L, 1L, false)))
+  }
+
+  test("constraint audit: uniqueness counts every duplicated row; FK counts orphans") {
+    val child = Seq((1L, 1), (1L, 1), (2L, 1), (9L, 1)).toDF("fk", "ln")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val uq = Constraints.uniqueRule(child, "u", Seq("fk", "ln"))
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(uq === (("u", 4L, 2L, false)), "both copies of (1,1) are violations")
+    val fk = Constraints.fkRule(child, "f", "fk", parent, "pk")
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(fk === (("f", 4L, 1L, false)), "9 is an orphan")
+    val report = Constraints.audit(Seq(
+      Constraints.rowRules(child, Seq(("ok", lit(false)))),
+      Constraints.uniqueRule(child, "u", Seq("fk", "ln"))))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(report.map(_._1).toSeq === Seq("ok", "u"), "audit sorts by rule")
+    assert(report.head._4, "zero violations passes")
+  }
+
+  test("cusumCounts matches the sequential max(0, S + x - mean) recursion") {
+    // 6 buckets, mean 4: quiet then a level shift upward.
+    val xs = Seq(2L, 3L, 2L, 6L, 6L, 5L)
+    val ev = xs.zipWithIndex.flatMap { case (x, day) =>
+      Seq.fill(x.toInt)(day.toLong)
+    }.toDF("day")
+    val got = EventAnalytics.cusumCounts(ev, col("day"), alarmH = 1)
+      .orderBy("bucket").as[(Long, Long, Long, Boolean)].collect()
+    // sequential reference, scaled by n=6 (mean = 24/6 = 4)
+    val n = 6L; val t = xs.sum
+    var s = 0L
+    val want = xs.map { x => s = math.max(0L, s + (x * n - t)); s }
+    assert(got.map(_._3).toSeq === want)
+    assert(got.map(_._2).toSeq === xs)
+    // alarm iff n*S > h*T  (h=1)
+    assert(got.map(_._4).toSeq === want.map(_ > t))
+  }
+
+  test("cusum resets after a dip: running-min identity handles the clamp") {
+    // big early deficit then recovery — naive prefix sum (no clamp)
+    // would stay negative; CUSUM must restart at 0.
+    val xs = Seq(0L, 0L, 8L, 8L)
+    val ev = xs.zipWithIndex.flatMap { case (x, d) =>
+      Seq.fill(x.toInt)(d.toLong) }.toDF("day")
+    val got = EventAnalytics.cusumCounts(ev, col("day"), alarmH = 1)
+      .orderBy("bucket").as[(Long, Long, Long, Boolean)].collect()
+    // NOTE empty buckets are absent (histogram), so only days 2,3 appear
+    val present = Seq(8L, 8L); val n = 2L; val t = 16L
+    var s = 0L
+    val want = present.map { x => s = math.max(0L, s + (x * n - t)); s }
+    assert(got.map(_._3).toSeq === want)
+  }
+
+  test("lshParameterCurve matches direct math and is monotone in s") {
+    val got = Dedup.lshParameterCurve(spark, Seq((8, 6)), Seq(10, 50, 90))
+      .as[(Int, Int, Int, Double)].collect().toSeq
+    def p(s: Double, r: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+    got.foreach { case (b, r, sp, pc) =>
+      assert(math.abs(pc - p(sp / 100.0, r, b)) < 1e-12,
+        s"curve value off at s=$sp")
+    }
+    assert(got.map(_._4) === got.map(_._4).sorted, "S-curve is monotone")
+  }
+
+  test("stratifiedKFold: per-stratum fold sizes differ by at most 1") {
+    val df = (1L to 103L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val sizes = Sampling.stratifiedKFold(df, "s", "id", k = 4)
+      .groupBy("s", "fold").count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    sizes.foreach { case (stratum, counts) =>
+      assert(counts.max - counts.min <= 1, s"unbalanced folds in $stratum")
+      assert(counts.length === 4, s"missing folds in $stratum")
+    }
+    // deterministic across recomputation
+    val a = Sampling.stratifiedKFold(df, "s", "id", 4)
+      .orderBy("id").as[(Long, String, Long)].collect()
+    val b = Sampling.stratifiedKFold(df.repartition(7), "s", "id", 4)
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(a.toSeq === b.toSeq, "assignment independent of partitioning")
+  }
+
+  test("diversityByGroup: exact Simpson arithmetic, NULL label is a level") {
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"),
+      ("s2", null)).toDF("src", "lang")
+    val got = Profiling.diversityByGroup(df, "src", "lang")
+      .as[(String, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("s1") === (("s1", 3L, 2L, 5L, 1.0 - 5.0 / 9.0, 9.0 / 5.0)))
+    assert(got("s2") === (("s2", 1L, 1L, 1L, 0.0, 1.0)))
+  }
+
+  test("vocabOverlap: inclusion-exclusion Jaccard over distinct token sets") {
+    val docs = Seq(
+      ("a", "x y z"), ("a", "x"), // vocab(a) = {x,y,z}
+      ("b", "y z w"),             // vocab(b) = {y,z,w}
+      ("c", "q")).toDF("g", "text")
+    val got = TextAnalysis.vocabOverlap(docs, "g", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length === 1, "empty intersections are absent")
+    assert(got.head === (("a", "b", 3L, 3L, 2L, 0.5)))
+  }
+}
