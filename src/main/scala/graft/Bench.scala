@@ -73,7 +73,14 @@ object Bench {
       // q87: count() eliminates its unique-key left join (Catalyst join
       // elimination), benching a bare scan — checksum forces the
       // familiarity aggregate it advertises.
-      "q87_ngram_familiarity")
+      "q87_ngram_familiarity",
+      // q201's CUSUM windows and q202's S-curve arithmetic are
+      // projections over a fixed row count — count() would prune them.
+      "q201_cusum", "q202_lsh_curve",
+      // q206's cap aggregates, q207's modularity tail (its left join is
+      // eliminable under count()), q208's median/MAD windows: all
+      // count()-prunable payloads.
+      "q206_domain_cap", "q207_modularity", "q208_rolling_mad")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}

@@ -196,4 +196,51 @@ object EventAnalytics {
       .select(col("bucket"), col("x"), col("cusum_scaled"),
         (col("cusum_scaled") > col("__t") * alarmH).as("alarm"))
   }
+
+  /** Rolling median/MAD anomaly detector over a per-bucket count series
+    * — [[cusumCounts]]'s robust sibling: flags buckets whose count
+    * deviates from the TRAILING w-bucket median by more than k× the
+    * trailing MAD (median absolute deviation, 50% breakdown — one
+    * outlier day cannot drag the baseline the way a trailing mean
+    * would). The trailing window EXCLUDES the current bucket, so a spike
+    * never masks itself.
+    *
+    * Exactness: counts are integers; with odd w both medians are single
+    * ELEMENTS of a sorted length-w array (no averaging, no floats), and
+    * the alarm |x − med| > k·mad is integer arithmetic — hash-identical
+    * cross-engine. The first w buckets have no full trailing window:
+    * med/mad/alarm are NULL there (warm-up, not "no anomaly").
+    *
+    * Scale shape: the histogram's map-side combine absorbs the event
+    * stream; the one unpartitioned window runs over |buckets| rows with
+    * w-element array state (the bounded `WindowExec: No Partition
+    * Defined` class, as [[cusumCounts]]) — sorting w≈7..31 elements per
+    * bucket row is noise. MAD = 0 (≥half the window identical) makes ANY
+    * deviation alarm — the documented knife-edge of integer MAD on
+    * quiet series; prefer larger w there.
+    *
+    * @param w trailing window in buckets, odd, ≥ 3
+    * @param k alarm multiplier (integer, ≥ 1)
+    * @return (bucket, x, med, mad, alarm) per non-empty bucket
+    */
+  def rollingMadAnomaly(df: DataFrame, bucket: Column, w: Int,
+                        k: Int): DataFrame = {
+    require(w >= 3 && w % 2 == 1, "window must be odd and >= 3")
+    require(k >= 1)
+    val hist = df.select(bucket.cast(LongType).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("x"))
+    val win = Window.orderBy("bucket").rowsBetween(-w, -1)
+    val mid = (w + 1) / 2
+    hist
+      .withColumn("__t", collect_list(col("x")).over(win))
+      .withColumn("med", when(size(col("__t")) === w,
+        element_at(array_sort(col("__t")), mid)))
+      .withColumn("mad", when(col("med").isNotNull,
+        element_at(array_sort(
+          transform(col("__t"), v => abs(v - col("med")))), mid)))
+      .select(col("bucket"), col("x"), col("med"), col("mad"),
+        when(col("med").isNotNull,
+          abs(col("x") - col("med")) > col("mad") * k).as("alarm"))
+  }
 }

@@ -67,4 +67,56 @@ object LabelProp {
     }
     labels.select(col("node"), col("label"))
   }
+
+  /** Per-community MODULARITY contributions for a given (node, label)
+    * assignment — the quality read for [[labelPropagation]]'s output
+    * (Newman–Girvan): Q = Σ_c [ e_c/m − (d_c/2m)² ], returned as exact
+    * BIGINT numerators q_num = 4m·e_c − d_c² per community plus the one
+    * shared denominator 4m², so Q = Σ q_num / (4m²) and the whole table
+    * hash-gates (the [[Profiling.chiSquaredCells]] discipline — return
+    * the cells, the statistic is their sum).
+    *
+    * Scale shape: degree counts and intra-community edge counts are two
+    * map-side-combinable aggregates; the label table joins edges by
+    * endpoint (the LPA round shape, co-partitioned by node); everything
+    * after the first aggregates is bounded by community count. Overflow
+    * contract: d_c ≤ 2m, so q_num needs 4m² < 2^63 ⇒ m below ~1.5e9
+    * edges; shard by community or lift to Decimal beyond.
+    *
+    * Input edges normalize exactly as [[labelPropagation]] (direction,
+    * duplicates, self-loops; NULLs drop); communities with zero internal
+    * edges report e_in = 0, not NULL.
+    *
+    * @param labels (node, label) as produced by [[labelPropagation]]
+    * @return (label, n_nodes, d_sum, e_in, m, q_num, q_contrib)
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast(LongType).as("a"), col(dstCol).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val lab = labels.select(col("node"), col("label"))
+    val dsum = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+      .join(lab, "node")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("d_sum"))
+    val ein = und
+      .join(lab.select(col("node").as("u"), col("label").as("__lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("__lv")), "v")
+      .filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("label")).agg(count(lit(1)).as("e_in"))
+    val m = und.agg(count(lit(1)).as("m"))
+    dsum.join(ein, Seq("label"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_num",
+        lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+      .withColumn("q_contrib",
+        col("q_num").cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double"))
+  }
 }

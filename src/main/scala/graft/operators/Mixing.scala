@@ -125,4 +125,51 @@ object Mixing {
         greatest(lit(0L), least(col(availCol).cast("long"),
           lit(budget) - col("cum_before"))))
   }
+
+  /** Per-GROUP token-budget cap at ROW granularity: within every group
+    * (registrable domain, source), keep rows along `order` while the
+    * inclusive running `weight` sum stays ≤ `budget` — the domain-cap
+    * enforcement pass that stops one mega-domain from dominating the mix
+    * ([[budgetAllocate]] decides budgets ACROSS groups from per-group
+    * stats; this enforces one WITHIN each group on the corpus itself).
+    *
+    * Scale shape: a per-group prefix SUM via the [[GlobalIds]]
+    * histogram-offset plan generalized from counts to weights — per
+    * (group, bucket) weight sums cumulate into offsets over the small
+    * histogram, broadcast back, and the only window over raw rows is
+    * partitioned by (group, bucket), so no group funnels through one
+    * task. Same CONTRACT as [[GlobalIds.contiguousIdsByGroup]]: `bucket`
+    * monotone non-decreasing along `order` within every group, non-NULL;
+    * (group, bucket) cell count bounds the broadcast (quantize the order
+    * key coarser if its distinct count explodes). NULL groups drop at
+    * the offset equi-join.
+    *
+    * The cap is exact, not fractional: the first row whose inclusive sum
+    * crosses `budget` is REJECTED (kept prefix ≤ budget always; a single
+    * row heavier than the whole budget is rejected outright).
+    *
+    * @return `df` + (`cum_w` inclusive running weight, `kept` boolean)
+    */
+  def budgetCapPerGroup(df: DataFrame, group: Column, bucket: Column,
+                        order: Seq[Column], weight: Column,
+                        budget: Long): DataFrame = {
+    require(order.nonEmpty, "need at least one order column")
+    require(budget >= 0, "budget must be non-negative")
+    val withB = df.withColumn("__g", group)
+      .withColumn("__b", bucket.cast("long"))
+      .withColumn("__w", weight.cast("long"))
+    val hist = withB.groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__w")).as("__bs"))
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("__off", coalesce(sum(col("__bs")).over(wOff), lit(0L)))
+      .select(col("__g"), col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__g"), col("__b")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offsets), Seq("__g", "__b"))
+      .withColumn("cum_w", col("__off") + sum(col("__w")).over(wIn))
+      .withColumn("kept", col("cum_w") <= budget)
+      .drop("__g", "__b", "__w", "__off")
+  }
 }

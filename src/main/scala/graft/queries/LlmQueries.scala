@@ -2074,7 +2074,40 @@ object LlmQueries {
     // register/domain similarity before any document pair is compared.
     "q205_vocab_overlap" -> ((s, dir) =>
       TextAnalysis.vocabOverlap(t(s, dir, "documents"), "source", "text")
-        .orderBy("group_a", "group_b"))
+        .orderBy("group_a", "group_b")),
+
+    // Per-SOURCE token-budget cap at doc granularity: keep docs in
+    // (quality desc, doc_id) order while the running token sum stays
+    // ≤ 1500 — q187 allocates ACROSS sources; this ENFORCES a cap
+    // within each one via the histogram-offset prefix-sum plan (no
+    // per-source window funnel). Summary per source.
+    "q206_domain_cap" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("ntok"),
+        floor(TextAnalysis.qualityScore(col("text")) * lit(1048576L))
+          .cast("long").as("qi"))
+      graft.operators.Mixing.budgetCapPerGroup(base, col("source"),
+        bucket = -(expr("qi DIV 4096")), // 256 coarse quality buckets
+        order = Seq(col("qi").desc, col("doc_id")),
+        weight = col("ntok"), budget = 1500L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("kept"), 1L)).as("n_kept"),
+          coalesce(sum(when(col("kept"), col("ntok"))), lit(0L))
+            .as("kept_tokens"),
+          sum(col("ntok")).as("total_tokens"))
+        .orderBy("source")
+    }),
+
+    // Rolling median/MAD anomaly flags on daily event volume — q201's
+    // robust sibling: trailing-7-day integer median baseline, alarm at
+    // |x − med| > 3·MAD, warm-up days NULL.
+    "q208_rolling_mad" -> ((s, dir) =>
+      graft.operators.EventAnalytics.rollingMadAnomaly(
+        graft.io.TableIO.eventsNanos(s, dir),
+        expr("ts DIV 86400000000000"), w = 7, k = 3)
+        .orderBy("bucket"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -6220,6 +6253,65 @@ object LlmQueries {
          |         CAST(sa.vz + sb.vz - inter AS DOUBLE) AS jaccard
          |FROM i JOIN sz sa ON sa.g = i.group_a
          |       JOIN sz sb ON sb.g = i.group_b
-         |ORDER BY group_a, group_b""".stripMargin
+         |ORDER BY group_a, group_b""".stripMargin,
+
+    // q187's per-doc quality fixed point, then the per-source inclusive
+    // running token sum in (qi DESC, doc_id) order — the oracle may use
+    // the plain per-source window the engine's histogram-offset plan
+    // replaces.
+    "q206_domain_cap" ->
+      s"""WITH m AS (
+         |  SELECT source, doc_id, text, $oToks AS tk FROM documents),
+         |f AS (
+         |  SELECT source, doc_id, CAST(len(tk) AS BIGINT) AS ntok,
+         |         CAST(floor(
+         |           (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |            + least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+         |            + (1.0 - CAST(len(regexp_extract_all(text,
+         |                 '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS DOUBLE)
+         |               / greatest(CAST(length(text) AS DOUBLE), 1.0)))
+         |           / 3.0 * 1048576) AS BIGINT) AS qi
+         |  FROM m),
+         |w AS (
+         |  SELECT source, ntok,
+         |         CAST(sum(ntok) OVER (PARTITION BY source
+         |           ORDER BY qi DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum
+         |  FROM f)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(CASE WHEN cum <= 1500 THEN 1 END) AS BIGINT)
+         |         AS n_kept,
+         |       CAST(coalesce(sum(CASE WHEN cum <= 1500 THEN ntok END), 0)
+         |         AS BIGINT) AS kept_tokens,
+         |       CAST(sum(ntok) AS BIGINT) AS total_tokens
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    // Trailing-7 list window (EXCLUDING current), single sorted-element
+    // medians — integer-exact, warm-up rows NULL.
+    "q208_rolling_mad" ->
+      """WITH h AS (
+        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT bucket, x,
+        |         list(x) OVER (ORDER BY bucket
+        |           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS t
+        |  FROM h),
+        |m AS (
+        |  SELECT bucket, x,
+        |         CASE WHEN len(t) = 7
+        |              THEN list_sort(t)[4] END AS med, t
+        |  FROM w)
+        |SELECT bucket, x, med,
+        |       CASE WHEN med IS NOT NULL
+        |            THEN list_sort(list_transform(t, v -> abs(v - med)))[4]
+        |       END AS mad,
+        |       CASE WHEN med IS NOT NULL
+        |            THEN abs(x - med) >
+        |                 list_sort(list_transform(t, v -> abs(v - med)))[4] * 3
+        |       END AS alarm
+        |FROM m ORDER BY bucket""".stripMargin
   )
 }

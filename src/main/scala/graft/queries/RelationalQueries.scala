@@ -523,6 +523,18 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Modularity of q132's communities: per-community exact-BIGINT
+    // numerators 4m·e_c − d_c² over the shared 4m² denominator (Q = Σ
+    // num / 4m²) — the "did LPA find real structure" read, cells
+    // returned, statistic = their sum (the chi-squared discipline).
+    "q207_modularity" -> ((s, dir) => {
+      val g = purchaseGraph(s, dir)
+      val labs = graft.operators.LabelProp.labelPropagation(g, "src", "dst",
+        rounds = 4)
+      graft.operators.LabelProp.modularity(g, "src", "dst", labs)
+        .orderBy("label")
+    }),
+
     // Ordered funnel view → click → purchase within 24h of the first
     // view (operators/EventAnalytics.scala): per-stage reach counts and
     // average lag. Lags are floored to whole SECONDS per user before
@@ -1016,6 +1028,34 @@ object RelationalQueries {
     "q108_kcore" -> oKcore(k = 4, rounds = 8),
     "q132_label_prop" -> oLabelProp(rounds = 4),
 
+    // q132's chain, then degree sums and intra-community edge counts per
+    // final label; zero-internal-edge communities coalesce to 0.
+    "q207_modularity" ->
+      (oLabelPropChain(rounds = 4) +
+        s"""
+           |, deg AS (
+           |  SELECT node, CAST(count(*) AS BIGINT) AS dg
+           |  FROM adj GROUP BY 1),
+           |ds AS (
+           |  SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+           |         CAST(sum(dg) AS BIGINT) AS d_sum
+           |  FROM deg d JOIN l4 l USING (node) GROUP BY 1),
+           |ei AS (
+           |  SELECT lu.label, CAST(count(*) AS BIGINT) AS e_in
+           |  FROM e0
+           |  JOIN l4 lu ON e0.u = lu.node
+           |  JOIN l4 lv ON e0.v = lv.node
+           |  WHERE lu.label = lv.label GROUP BY 1),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0)
+           |SELECT ds.label, ds.n_nodes, ds.d_sum,
+           |       CAST(coalesce(ei.e_in, 0) AS BIGINT) AS e_in, mm.m,
+           |       CAST(4 * mm.m * coalesce(ei.e_in, 0) - ds.d_sum * ds.d_sum
+           |         AS BIGINT) AS q_num,
+           |       CAST(4 * mm.m * coalesce(ei.e_in, 0) - ds.d_sum * ds.d_sum
+           |         AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_contrib
+           |FROM ds LEFT JOIN ei USING (label) CROSS JOIN mm
+           |ORDER BY ds.label""".stripMargin),
+
     "q109_funnel" ->
       // One CTE per stage, each the same "earliest valid event after the
       // previous reach, within the window of t1" min-aggregate the
@@ -1290,7 +1330,10 @@ object RelationalQueries {
     * argmax per node via row_number — the operator's `min_by` over the
     * lexicographic (-count, label) struct, spelled relationally.
     */
-  private def oLabelProp(rounds: Int): String = {
+  /** The LPA CTE chain (purchase edges, adjacency, rounds l0..lN) shared
+    * by q132's assignment oracle and q207's modularity oracle.
+    */
+  private def oLabelPropChain(rounds: Int): String = {
     val head =
       s"""WITH $oPurchaseEdges,
          |e0 AS MATERIALIZED (
@@ -1312,10 +1355,13 @@ object RelationalQueries {
          |      ORDER BY cnt DESC, label) AS rk FROM m$r)
          |  WHERE rk = 1)""".stripMargin
     }
-    (head +: steps).mkString(",\n") +
+    (head +: steps).mkString(",\n")
+  }
+
+  private def oLabelProp(rounds: Int): String =
+    oLabelPropChain(rounds) +
       s"""
          |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
-  }
 
   /** q108's oracle: synchronous k-core peeling unrolled round by round —
     * the operator's fixed-`rounds` contract made literal. Each round is

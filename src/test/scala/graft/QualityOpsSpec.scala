@@ -142,4 +142,68 @@ class QualityOpsSpec extends SparkSpec {
     assert(got.length === 1, "empty intersections are absent")
     assert(got.head === (("a", "b", 3L, 3L, 2L, 0.5)))
   }
+
+  test("budgetCapPerGroup: exact prefix cap, crossing row rejected") {
+    // group g1, order by ord: weights 4,3,5 with budget 8 →
+    // cum 4,7,12: third rejected. g2: single row heavier than budget.
+    val df = Seq(
+      ("g1", 1L, 4L), ("g1", 2L, 3L), ("g1", 3L, 5L),
+      ("g2", 1L, 9L)).toDF("g", "ord", "w")
+    val got = graft.operators.Mixing.budgetCapPerGroup(df, col("g"),
+      bucket = col("ord"), order = Seq(col("ord")), weight = col("w"),
+      budget = 8L)
+      .orderBy("g", "ord").as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.map(r => (r._4, r._5)).toSeq ===
+      Seq((4L, true), (7L, true), (12L, false), (9L, false)))
+  }
+
+  test("budgetCapPerGroup: histogram offsets compose across buckets") {
+    // 10 rows weight 2, bucket = ord DIV 4 (3 cells), budget 7 → keep
+    // first 3 rows (cum 2,4,6), reject from cum 8 on.
+    val df = (1L to 10L).map(i => ("g", i, 2L)).toDF("g", "ord", "w")
+    val kept = graft.operators.Mixing.budgetCapPerGroup(df, col("g"),
+      expr("ord DIV 4"), Seq(col("ord")), col("w"), budget = 7L)
+      .filter(col("kept")).orderBy("ord").as[(String, Long, Long, Long, Boolean)]
+      .collect()
+    assert(kept.map(_._2).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("modularity: hand-computed two-triangle barbell") {
+    // Two triangles {1,2,3} and {4,5,6} joined by edge 3-4: m = 7.
+    // Perfect split: e_c = 3, d_c = 7 each ⇒ q_num = 4·7·3 − 49 = 35,
+    // Q = 70/196 ≈ 0.357.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "label")
+    val got = graft.operators.LabelProp.modularity(edges, "src", "dst", labels)
+      .orderBy("label").as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect()
+    assert(got.toSeq === Seq(
+      (1L, 3L, 7L, 3L, 7L, 35L, 35.0 / 196.0),
+      (4L, 3L, 7L, 3L, 7L, 35L, 35.0 / 196.0)))
+    // everything-in-one-community ⇒ Q = 0 exactly (e=m, d=2m)
+    val one = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (5L, 9L),
+      (6L, 9L)).toDF("node", "label")
+    val q0 = graft.operators.LabelProp.modularity(edges, "src", "dst", one)
+      .select("q_num").as[Long].collect()
+    assert(q0.toSeq === Seq(0L))
+  }
+
+  test("rollingMadAnomaly: trailing median excludes current; warm-up NULL") {
+    // days 0..6 flat at 2 (by construction of counts), day 7 spikes to 9.
+    val xs = Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 9L)
+    val ev = xs.zipWithIndex.flatMap { case (x, d) =>
+      Seq.fill(x.toInt)(d.toLong) }.toDF("day")
+    val got = graft.operators.EventAnalytics.rollingMadAnomaly(
+      ev, col("day"), w = 7, k = 3)
+      .orderBy("bucket")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Boolean])].collect()
+    assert(got.take(7).forall(r => r._3.isEmpty && r._5.isEmpty),
+      "first 7 days are warm-up")
+    val d7 = got(7)
+    assert(d7._3 === Some(2L) && d7._4 === Some(0L),
+      "trailing median/MAD exclude the spike itself")
+    assert(d7._5 === Some(true), "MAD 0 makes any deviation alarm")
+  }
 }
