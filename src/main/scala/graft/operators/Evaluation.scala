@@ -180,4 +180,25 @@ object Evaluation {
           col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
           .as("recall"))
   }
+
+  /** The argmax-F1 operating point — one row off [[prCurve]]: the
+    * threshold maximizing F1 = 2·tp / (2·tp + fp + fn), ties broken
+    * toward the SMALLER threshold (more recall at equal F1). The
+    * balanced complement to q184's precision-floor selection.
+    *
+    * Determinism note: F1 is one division of exact BIGINTs, computed
+    * identically on any engine, so ordering by the double is
+    * cross-engine stable; the explicit threshold tie-break covers exact
+    * F1 ties. Top-1 via sort+limit = TakeOrderedAndProject over
+    * histogram rows — no full sort materializes.
+    */
+  def f1OperatingPoint(df: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame =
+    prCurve(df, scoreCol, labelCol)
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+      .orderBy(col("f1").desc, col("threshold").asc)
+      .limit(1)
 }

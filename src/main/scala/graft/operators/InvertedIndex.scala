@@ -41,4 +41,39 @@ object InvertedIndex {
         ",").as("postings"))
     stats.join(postings, "term")
   }
+
+  /** Exact PHRASE search over POSITIONAL postings — the retrieval
+    * primitive q54's position-free lists cannot answer: find every
+    * document containing the words of `phrase` consecutively, with the
+    * occurrence count and first position.
+    *
+    * Classic positional-intersection shape: each phrase word i yields
+    * (doc, pos − i) rows — an occurrence of the full phrase at start s
+    * is exactly one (doc, s) row in EVERY part — so the phrase match is
+    * an equi-join chain on (doc, aligned start), never a string scan
+    * with a composite pattern. Each part filters to ITS word before
+    * shuffling (the selective words prune the stream; a stopword part
+    * carries that word's postings only), and every join key includes the
+    * doc id, so fan-out per key is the per-doc occurrence count —
+    * bounded, skew-safe. Repeated words in the phrase are handled by
+    * construction (each index position is its own part; a doc position
+    * can satisfy several parts only via distinct aligned starts).
+    *
+    * @return (idCol, n_hits, first_pos) — docs with ≥ 1 occurrence;
+    *         positions are 0-based token offsets
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = docs.select(col(idCol).as("__id"),
+      posexplode(graft.functions.tokens(col(textCol))).as(Seq("__pos", "__t")))
+    val parts = phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("__t") === w)
+        .select(col("__id"), (col("__pos") - i).as("__start"))
+    }
+    parts.reduce(_.join(_, Seq("__id", "__start")))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("__start")).cast("long").as("first_pos"))
+  }
 }

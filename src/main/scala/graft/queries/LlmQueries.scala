@@ -2107,7 +2107,40 @@ object LlmQueries {
       graft.operators.EventAnalytics.rollingMadAnomaly(
         graft.io.TableIO.eventsNanos(s, dir),
         expr("ts DIV 86400000000000"), w = 7, k = 3)
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // Argmax-F1 operating point of the distilled classifier — one row
+    // off the PR curve, ties toward the smaller threshold (more recall
+    // at equal F1); the balanced complement to q184's precision floor.
+    "q209_f1_point" -> ((s, dir) =>
+      graft.operators.Evaluation.f1OperatingPoint(distillScored(s, dir),
+        "zq", "keep")),
+
+    // Shard-balance audit: q104's hash-ordered equal shards, then each
+    // shard's SOURCE mix diversity (q204's arithmetic per shard) — a
+    // hash-ordered manifest should make every shard a fair mix; this
+    // measures it.
+    "q210_shard_balance" -> ((s, dir) => {
+      val h = pmod(pmod(col("doc_id").cast("long"), lit(2147483648L))
+        * 2654435761L, lit(4294967296L))
+      val sharded = graft.operators.GlobalIds.shardByOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .withColumn("h", h),
+        bucket = expr("h DIV 4194304"),
+        order = Seq(col("h"), col("doc_id")),
+        shardSize = 64)
+      graft.operators.Profiling.diversityByGroup(sharded, "shard", "source")
+        .orderBy("shard")
+    }),
+
+    // Exact phrase search over positional postings: each phrase word's
+    // (doc, pos − i) rows equi-join on the aligned start — the
+    // intersection never scans text, and selective words prune the
+    // stream before the shuffle.
+    "q211_phrase_search" -> ((s, dir) =>
+      graft.operators.InvertedIndex.phraseSearch(t(s, dir, "documents"),
+        "doc_id", "text", Seq("fast", "table", "value"))
+        .orderBy("doc_id"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -6312,6 +6345,76 @@ object LlmQueries {
         |            THEN abs(x - med) >
         |                 list_sort(list_transform(t, v -> abs(v - med)))[4] * 3
         |       END AS alarm
-        |FROM m ORDER BY bucket""".stripMargin
+        |FROM m ORDER BY bucket""".stripMargin,
+
+    // q170's curve + F1, top-1 by (f1 DESC, threshold ASC).
+    "q209_f1_point" ->
+      s"""WITH $oDistillScoredCtes,
+         |hist AS (
+         |  SELECT zq AS threshold, count(*) AS c,
+         |         count(CASE WHEN keep THEN 1 END) AS p
+         |  FROM scored GROUP BY 1),
+         |cum AS (
+         |  SELECT threshold,
+         |         CAST(sum(p) OVER (ORDER BY threshold DESC) AS BIGINT) AS tp,
+         |         CAST(sum(c - p) OVER (ORDER BY threshold DESC) AS BIGINT) AS fp,
+         |         CAST(sum(p) OVER () AS BIGINT) AS pall
+         |  FROM hist),
+         |pr AS (
+         |  SELECT threshold, tp, fp, pall - tp AS fn,
+         |         CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+         |         CASE WHEN pall > 0
+         |              THEN CAST(tp AS DOUBLE) / CAST(pall AS DOUBLE)
+         |         END AS recall,
+         |         CASE WHEN 2 * tp + fp + (pall - tp) > 0
+         |              THEN CAST(2 * tp AS DOUBLE)
+         |                   / CAST(2 * tp + fp + (pall - tp) AS DOUBLE)
+         |         END AS f1
+         |  FROM cum)
+         |SELECT * FROM pr ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin,
+
+    // q104's hash rank → 64-doc shards → q204's Simpson arithmetic per
+    // shard.
+    "q210_shard_balance" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         (((doc_id % 2147483648) * 2654435761) % 4294967296) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |         CAST((row_number() OVER (ORDER BY hh, doc_id) - 1) // 64
+        |           AS BIGINT) AS shard
+        |  FROM h),
+        |g AS (
+        |  SELECT shard, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2),
+        |a AS (
+        |  SELECT shard, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_classes,
+        |         CAST(sum(c * c) AS BIGINT) AS simpson_num
+        |  FROM g GROUP BY 1)
+        |SELECT shard, n, n_classes, simpson_num,
+        |       1.0 - CAST(simpson_num AS DOUBLE) / CAST(n * n AS DOUBLE)
+        |         AS gini,
+        |       CAST(n * n AS DOUBLE) / CAST(simpson_num AS DOUBLE)
+        |         AS inv_simpson
+        |FROM a ORDER BY shard""".stripMargin,
+
+    // Positional postings: word i matches at aligned start pos − i; the
+    // phrase is the 3-way (doc, start) intersection.
+    "q211_phrase_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oToks) AS t,
+         |         unnest(range(len($oToks))) AS pos
+         |  FROM documents),
+         |p0 AS (SELECT doc_id, pos AS start FROM toks WHERE t = 'fast'),
+         |p1 AS (SELECT doc_id, pos - 1 AS start FROM toks WHERE t = 'table'),
+         |p2 AS (SELECT doc_id, pos - 2 AS start FROM toks WHERE t = 'value'),
+         |hits AS (
+         |  SELECT doc_id, start
+         |  FROM p0 JOIN p1 USING (doc_id, start) JOIN p2 USING (doc_id, start))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |       CAST(min(start) AS BIGINT) AS first_pos
+         |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -190,6 +190,42 @@ class QualityOpsSpec extends SparkSpec {
     assert(q0.toSeq === Seq(0L))
   }
 
+  test("f1OperatingPoint: argmax F1, ties toward the smaller threshold") {
+    // scores: 3 → (pos), 2 → (pos, neg), 1 → (neg)
+    // t=3: tp=1 fp=0 fn=1 → F1=2/3; t=2: tp=2 fp=1 fn=0 → F1=4/5;
+    // t=1: tp=2 fp=2 → F1=2/3.
+    val df = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("s", "y")
+    val r = graft.operators.Evaluation.f1OperatingPoint(df, "s", "y")
+      .select("threshold", "tp", "fp", "fn", "f1")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(r.length === 1)
+    assert(r.head === ((2L, 2L, 1L, 0L, 0.8)))
+    // exact F1 tie (all thresholds equal F1) → smallest threshold wins
+    val tie = Seq((2L, true), (1L, true)).toDF("s", "y")
+    val rt = graft.operators.Evaluation.f1OperatingPoint(tie, "s", "y")
+      .select("threshold").as[Long].collect()
+    assert(rt.head === 1L, "equal F1 resolves to the smaller threshold")
+  }
+
+  test("phraseSearch: aligned-start intersection, overlaps and repeats") {
+    val docs = Seq(
+      (1L, "a b c a b c"),   // "a b c" at 0 and 3
+      (2L, "a b x a b"),     // never completes
+      (3L, "x a b c"),       // at 1
+      (4L, "c b a")).toDF("doc_id", "text")
+    val got = graft.operators.InvertedIndex.phraseSearch(docs, "doc_id",
+      "text", Seq("a", "b", "c"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 0L), (3L, 1L, 1L)))
+    // repeated-word phrase: "a a" matches only true runs
+    val rep = Seq((1L, "a a b a a a"), (2L, "a b a")).toDF("doc_id", "text")
+    val gr = graft.operators.InvertedIndex.phraseSearch(rep, "doc_id",
+      "text", Seq("a", "a"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(gr.toSeq === Seq((1L, 3L, 0L)), "runs at 0, 3, 4 — not doc 2")
+  }
+
   test("rollingMadAnomaly: trailing median excludes current; warm-up NULL") {
     // days 0..6 flat at 2 (by construction of counts), day 7 spikes to 9.
     val xs = Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 9L)
