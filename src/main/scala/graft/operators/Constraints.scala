@@ -30,28 +30,36 @@ object Constraints {
 
   private val schemaCols = Seq("rule", "n_checked", "violations", "passed")
 
-  /** All row-local rules in ONE aggregate pass over `df`.
-    *
-    * @param rules (name, violation predicate) — NULL predicate results
-    *              count as violations (a rule that cannot evaluate did
-    *              not pass), via the explicit `isViol` coalesce.
+  /** The shared one-pass aggregate: total count + one conditional count
+    * per rule (NULL predicate results count as violations — a rule that
+    * cannot evaluate did not pass). Used by [[rowRules]] and the
+    * streaming windowed audit, so batch and stream share the exact
+    * aggregation and stay bit-identical on the same rows.
     */
-  def rowRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+  private[graft] def ruleAggs(rules: Seq[(String, Column)]): Seq[Column] = {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_._1).distinct.length == rules.length,
       "rule names must be unique")
-    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+    count(lit(1)).as("__n") +: rules.zipWithIndex.map {
       case ((_, viol), i) =>
         count(when(coalesce(viol, lit(true)), lit(1))).as(s"__v$i")
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The wide→long unpivot of [[ruleAggs]]'s output columns. */
+  private[graft] def ruleStackExpr(rules: Seq[(String, Column)]): String = {
     val stackArgs = rules.zipWithIndex
       .map { case ((name, _), i) =>
         s"'${name.replace("'", "''")}', __v$i" }
       .mkString(", ")
-    wide
-      .selectExpr("__n",
-        s"stack(${rules.length}, $stackArgs) AS (rule, violations)")
+    s"stack(${rules.length}, $stackArgs) AS (rule, violations)"
+  }
+
+  /** All row-local rules in ONE aggregate pass over `df`. */
+  def rowRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = ruleAggs(rules)
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("__n", ruleStackExpr(rules))
       .select(col("rule"), col("__n").as("n_checked"), col("violations"),
         (col("violations") === 0L).as("passed"))
   }

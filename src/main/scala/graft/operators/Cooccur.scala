@@ -97,4 +97,59 @@ object Cooccur {
       .orderBy(desc("cnt"), col("center"), col("context"))
       .limit(topK)
   }
+
+  /** Collocation mining over ADJACENT bigrams by exact rational LIFT —
+    * the word2vec phrase-detection score (Mikolov et al. 2013, "New York"
+    * → "New_York") without its floats: for an ordered adjacent pair
+    * (a, b),
+    *
+    *   lift = (c_ab − discount) · n / (c_a · c_b)
+    *
+    * with every factor an exact BIGINT (n = corpus token count), so the
+    * numerator/denominator columns hash-gate and the double is one
+    * division. `discount` is the standard rare-pair penalty (δ
+    * occurrences subtracted before scoring); lift > 1 ⇔ the pair
+    * co-occurs more than independence predicts — PMI's argument, no log
+    * needed for RANKING since log is monotone.
+    *
+    * Scale shape: the bigram join probes (doc, pos+1) — exact-position
+    * equi-join, fan-out 1 per token, never a doc-keyed self-join; both
+    * count tables are map-side-combinable histograms; the unigram join
+    * back is keyed by token (vocab-bounded, hot stopword keys fan out
+    * 1:1). Overflow: c_ab·n ≤ n² needs n < ~3e9 tokens per partition-
+    * able corpus slice; score per source/shard beyond that.
+    *
+    * @return top-`topK` by (lift DESC, w1, w2):
+    *         (w1, w2, c_ab, c_a, c_b, n, lift_num, lift_den, lift)
+    */
+  def bigramLift(docs: DataFrame, idCol: String, textCol: String,
+                 discount: Long, minCount: Long, topK: Int): DataFrame = {
+    require(discount >= 0 && minCount > discount,
+      "need minCount > discount >= 0 (scores must stay positive)")
+    require(topK > 0)
+    val toks = docs
+      .select(col(idCol).as("__d"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p", "__w")))
+    val pairs = toks
+      .select(col("__d"), (col("__p") + 1).as("__p"), col("__w").as("__a"))
+      .join(toks, Seq("__d", "__p"))
+      .select(col("__a"), col("__w").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    pairs
+      .join(uni.select(col("__w").as("__a"), col("__c").as("c_a")), "__a")
+      .join(uni.select(col("__w").as("__b"), col("__c").as("c_b")), "__b")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_num", (col("c_ab") - discount) * col("n"))
+      .withColumn("lift_den", col("c_a") * col("c_b"))
+      .withColumn("lift",
+        col("lift_num").cast("double") / col("lift_den").cast("double"))
+      .select(col("__a").as("w1"), col("__b").as("w2"), col("c_ab"),
+        col("c_a"), col("c_b"), col("n"), col("lift_num"), col("lift_den"),
+        col("lift"))
+      .orderBy(desc("lift"), col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

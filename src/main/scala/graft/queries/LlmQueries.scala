@@ -2140,7 +2140,27 @@ object LlmQueries {
     "q211_phrase_search" -> ((s, dir) =>
       graft.operators.InvertedIndex.phraseSearch(t(s, dir, "documents"),
         "doc_id", "text", Seq("fast", "table", "value"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Cross-validation variance read: the distilled classifier's exact
+    // AUC per q203 FOLD — five stratified folds, five honest AUCs; the
+    // spread is the metric's sampling noise (q188 slices by lang; this
+    // slices by fold).
+    "q212_cv_auc" -> ((s, dir) => {
+      val folds = Sampling.stratifiedKFold(
+        t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id",
+        k = 5).select("doc_id", "fold")
+      graft.operators.Evaluation.aucExactByGroup(
+        distillScored(s, dir).join(folds, "doc_id"), "fold", "zq", "keep")
+        .orderBy("fold")
+    }),
+
+    // Collocation mining: adjacent-bigram LIFT (the word2vec phrase
+    // score, exact rational — no log, no float accumulation); lift > 1
+    // means the pair beats independence. Top-20 with a count floor.
+    "q213_bigram_lift" -> ((s, dir) =>
+      graft.operators.Cooccur.bigramLift(t(s, dir, "documents"),
+        "doc_id", "text", discount = 2L, minCount = 10L, topK = 20))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -6415,6 +6435,67 @@ object LlmQueries {
          |  FROM p0 JOIN p1 USING (doc_id, start) JOIN p2 USING (doc_id, start))
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
          |       CAST(min(start) AS BIGINT) AS first_pos
-         |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin
+         |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q203's fold assignment joined onto the scored set, then q188's
+    // midrank AUC partitioned by fold.
+    "q212_cv_auc" ->
+      s"""WITH $oDistillScoredCtes,
+         |fh AS (
+         |  SELECT lang, doc_id,
+         |         (((doc_id % 2147483648) * 2654435761) % 4294967296) AS hh
+         |  FROM documents),
+         |fd AS (
+         |  SELECT doc_id,
+         |         CAST((row_number() OVER (PARTITION BY lang
+         |           ORDER BY hh, doc_id) - 1) % 5 AS BIGINT) AS fold
+         |  FROM fh),
+         |sl AS (
+         |  SELECT fd.fold, s.zq, s.keep
+         |  FROM scored s JOIN fd USING (doc_id)),
+         |hist AS (
+         |  SELECT fold, zq AS s2, count(*) AS c,
+         |         count(CASE WHEN keep THEN 1 END) AS p
+         |  FROM sl GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT fold, s2, c, p,
+         |         sum(c) OVER (PARTITION BY fold ORDER BY s2) AS cum
+         |  FROM hist),
+         |a AS (
+         |  SELECT fold, CAST(sum(p) AS BIGINT) AS n_pos,
+         |         CAST(sum(c - p) AS BIGINT) AS n_neg,
+         |         CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS r2
+         |  FROM cum GROUP BY 1)
+         |SELECT fold, n_pos, n_neg,
+         |       r2 - n_pos * (n_pos + 1) AS auc_num,
+         |       2 * n_pos * n_neg AS auc_den,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0
+         |            THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |                 CAST(2 * n_pos * n_neg AS DOUBLE)
+         |       END AS auc
+         |FROM a ORDER BY fold""".stripMargin,
+
+    // Exact-position adjacent bigrams; unigram margins; one division.
+    "q213_bigram_lift" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oToks) AS w,
+         |         unnest(range(len($oToks))) AS pos
+         |  FROM documents),
+         |bg AS (
+         |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2 HAVING count(*) >= 10),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+         |SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b, nn.n,
+         |       CAST((c_ab - 2) * nn.n AS BIGINT) AS lift_num,
+         |       CAST(ua.c * ub.c AS BIGINT) AS lift_den,
+         |       CAST((c_ab - 2) * nn.n AS DOUBLE) /
+         |         CAST(ua.c * ub.c AS DOUBLE) AS lift
+         |FROM bg JOIN uni ua ON ua.w = bg.w1
+         |        JOIN uni ub ON ub.w = bg.w2
+         |        CROSS JOIN nn
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }

@@ -64,6 +64,32 @@ object EventStreams {
       .select(Seq(col("window.start").as("window_start"), col("event_type")) ++
         graft.operators.Profiling.momentFinishCols: _*)
 
+  /** Windowed data-quality RULE audit — the streaming twin of
+    * [[graft.operators.Constraints.rowRules]]: per tumbling event-time
+    * window, every row-local rule's violation count from the SAME shared
+    * one-pass aggregate the batch audit runs ([[graft.operators
+    * .Constraints.ruleAggs]]), unpivoted to `(window_start, rule,
+    * n_checked, violations, passed)`. State per open window is
+    * 1 + |rules| longs (plain conditional counts — micro-batch partials
+    * merge like sums), so a 50-rule audit over a live ingest costs the
+    * same state as a windowed count. The continuous-monitoring half of
+    * the publish gate: batch audits the snapshot, this audits the feed.
+    */
+  def windowedRuleAudit(events: DataFrame,
+                        rules: Seq[(String, org.apache.spark.sql.Column)],
+                        watermark: String = "10 minutes",
+                        windowLength: String = "5 minutes"): DataFrame = {
+    val aggs = graft.operators.Constraints.ruleAggs(rules)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("window.start AS window_start", "__n",
+        graft.operators.Constraints.ruleStackExpr(rules))
+      .select(col("window_start"), col("rule"), col("__n").as("n_checked"),
+        col("violations"), (col("violations") === 0L).as("passed"))
+  }
+
   /** Windowed DISTINCT-USER estimates via the KMV sketch — bounded
     * streaming state where exact `approx/count distinct` per window
     * would hold one entry per distinct user: the

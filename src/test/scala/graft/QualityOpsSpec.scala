@@ -226,6 +226,25 @@ class QualityOpsSpec extends SparkSpec {
     assert(gr.toSeq === Seq((1L, 3L, 0L)), "runs at 0, 3, 4 — not doc 2")
   }
 
+  test("bigramLift: exact rational collocation score, ordered adjacency") {
+    // "x y" occurs 3×, x and y occur only in those bigrams + once solo;
+    // "a b" occurs once (below minCount after discount guard).
+    val docs = Seq(
+      (1L, "x y x y x y"), (2L, "y x a b")).toDF("doc_id", "text")
+    val got = graft.operators.Cooccur.bigramLift(docs, "doc_id", "text",
+      discount = 1L, minCount = 2L, topK = 10)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect()
+    // n=10 tokens; c(x)=4, c(y)=4; "x y" count 3 (positions 0-1,2-3,4-5)
+    val xy = got.find(r => r._1 == "x" && r._2 == "y").get
+    assert(xy === (("x", "y", 3L, 4L, 4L, 10L, 20L, 16L, 1.25)))
+    assert(!got.exists(r => r._1 == "a"), "minCount floor prunes")
+    // ordered: "y x" (positions 1-2, 3-4 in doc1? no - doc1 is x y x y x y
+    // so y->x at 1-2 and 3-4, plus doc2 y->x at 0-1) = 3 occurrences
+    val yx = got.find(r => r._1 == "y" && r._2 == "x").get
+    assert(yx._3 === 3L, "direction matters: y x counted separately")
+  }
+
   test("rollingMadAnomaly: trailing median excludes current; warm-up NULL") {
     // days 0..6 flat at 2 (by construction of counts), day 7 spikes to 9.
     val xs = Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 9L)

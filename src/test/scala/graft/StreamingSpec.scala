@@ -737,4 +737,45 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getAs[String]("k") -> r.getAs[Long]("sv")).toMap
     assert(c0 === Map("a" -> 30L, "b" -> 5L))
   }
+
+  test("windowedRuleAudit: per-window rule counts, batch parity across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(
+      ("nonneg:value" -> (col("value") < 0)),
+      ("known:type" -> !col("event_type").isin("click", "view")))
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedRuleAudit(input.toDF(), rules,
+      "10 minutes", "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ruleaudit").start()
+    try {
+      // split the same window across two micro-batches: partial counts
+      // must merge in the state store like sums
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "bogus", -2.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(3, ts(2), 1, "view", 3.0),
+        Event(4, ts(7), 1, "click", -1.0))
+      query.processAllAvailable()
+      val got = spark.table("ruleaudit")
+        .select("window_start", "rule", "n_checked", "violations", "passed")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      assert(got === Map(
+        (ts(0), "nonneg:value") -> ((3L, 1L, false)),
+        (ts(0), "known:type") -> ((3L, 1L, false)),
+        (ts(5), "nonneg:value") -> ((1L, 1L, false)),
+        (ts(5), "known:type") -> ((1L, 0L, true))))
+      // batch parity: Constraints.rowRules over the first window's rows
+      val w0 = Seq((1.0, "click"), (-2.0, "bogus"), (3.0, "view"))
+        .toDF("value", "event_type")
+      val batch = graft.operators.Constraints.rowRules(w0, rules)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(batch("nonneg:value") === ((3L, 1L)))
+      assert(batch("known:type") === ((3L, 1L)))
+    } finally query.stop()
+  }
 }
