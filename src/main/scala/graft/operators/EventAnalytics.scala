@@ -243,4 +243,37 @@ object EventAnalytics {
         when(col("med").isNotNull,
           abs(col("x") - col("med")) > col("mad") * k).as("alarm"))
   }
+
+  /** First-order Markov TRANSITION matrix over per-key event sequences:
+    * for every consecutive (state → next state) step within a key's
+    * time-ordered stream, the exact count, the from-state row total, and
+    * the empirical transition probability — the behavioral fingerprint
+    * (what follows a `view`?) and the input to sequence anomaly scoring.
+    *
+    * Determinism: `orderCols` must totally order each key's events
+    * (include a unique id tie-break next to the timestamp — equal-time
+    * events would otherwise make `lead` nondeterministic). Counts are
+    * exact; the probability is one division.
+    *
+    * Scale shape: the only window over raw events is partitioned BY KEY
+    * (state = one row lookahead; cost = each key's own event count —
+    * cap or sessionize hyperactive keys upstream), and the transition
+    * histogram map-side-combines to ≤ |states|² rows; the row-total
+    * window runs over those histogram rows only.
+    *
+    * @return (from_state, to_state, cnt, row_total, p)
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                       stateCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("row_total",
+        sum(col("cnt")).over(Window.partitionBy(col("from_state"))))
+      .withColumn("p",
+        col("cnt").cast("double") / col("row_total").cast("double"))
+  }
 }

@@ -309,6 +309,20 @@ object Sampling {
     }
   }
 
+  /** The deterministic Poisson(1) bootstrap weight for (key, replicate):
+    * hash(key·replicates + b) → uniform → inverse-CDF against the
+    * driver-literal [[PoissonCdf]]. Shared by [[bootstrapReplicates]]
+    * and [[Evaluation.aucBootstrap]] so every bootstrap in the library
+    * draws the same weights for the same (key, b).
+    */
+  private[graft] def poissonWeight(key: Column, b: Column,
+                                   replicates: Int): Column = {
+    val h = pmod(pmod((key * replicates + b).cast("long"),
+      lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    val u = h.cast("double") / lit(4294967296.0)
+    PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L)).reduce(_ + _)
+  }
+
   /** Deterministic Poisson BOOTSTRAP — error bars for corpus metrics
     * without resampling the corpus: replicate b reweights every row by
     * a Poisson(1) draw derived from hash(key·B + b), and the metric is
@@ -342,12 +356,8 @@ object Sampling {
         metric.cast("long").as("__m"))
       .select(col("__key"), col("__m"),
         explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
-    val h = pmod(pmod((col("__key") * replicates + col("__b")).cast("long"),
-      lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
-    val u = h.cast("double") / lit(4294967296.0)
-    val w = PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L))
-      .reduce(_ + _)
-    base.withColumn("__w", w)
+    base.withColumn("__w",
+        poissonWeight(col("__key"), col("__b"), replicates))
       .groupBy(col("__b").cast("long").as("b"))
       .agg(sum(col("__w")).as("w_sum"),
         sum(col("__w") * col("__m")).as("metric_wsum"))

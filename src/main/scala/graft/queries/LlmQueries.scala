@@ -2160,7 +2160,24 @@ object LlmQueries {
     // means the pair beats independence. Top-20 with a count floor.
     "q213_bigram_lift" -> ((s, dir) =>
       graft.operators.Cooccur.bigramLift(t(s, dir, "documents"),
-        "doc_id", "text", discount = 2L, minCount = 10L, topK = 20))
+        "doc_id", "text", discount = 2L, minCount = 10L, topK = 20)),
+
+    // Error bars on the AUC itself: 32 deterministic Poisson replicates
+    // reweight the score histogram (shared draw with q182), midrank
+    // formula on weighted counts — the confidence read under q169's
+    // point estimate.
+    "q214_auc_bootstrap" -> ((s, dir) =>
+      graft.operators.Evaluation.aucBootstrap(distillScored(s, dir),
+        "doc_id", "zq", "keep", replicates = 32).orderBy("b")),
+
+    // First-order Markov transition matrix over per-user event streams:
+    // what follows a view/click/purchase, with exact counts and one
+    // division per row — the behavioral fingerprint.
+    "q215_markov" -> ((s, dir) =>
+      graft.operators.EventAnalytics.transitionMatrix(
+        graft.io.TableIO.eventsNanos(s, dir), "user_id",
+        Seq(col("ts"), col("event_id")), "event_type")
+        .orderBy("from_state", "to_state"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -6496,6 +6513,65 @@ object LlmQueries {
          |FROM bg JOIN uni ua ON ua.w = bg.w1
          |        JOIN uni ub ON ub.w = bg.w2
          |        CROSS JOIN nn
-         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // q182's replicate draw over the scored set, then q188's weighted
+    // midrank cumulation partitioned by replicate.
+    "q214_auc_bootstrap" -> {
+      val wCases = graft.operators.Sampling.PoissonCdf
+        .map(c => s"(CASE WHEN h / CAST(4294967296 AS DOUBLE) >= CAST($c AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|         + ")
+      s"""WITH $oDistillScoredCtes,
+         |r AS (
+         |  SELECT b.b, zq, keep,
+         |         (((doc_id * 32 + b.b) % 2147483648) * 2654435761)
+         |           % 4294967296 AS h
+         |  FROM scored, range(32) b(b)),
+         |w AS (
+         |  SELECT b, zq, keep,
+         |         $wCases AS w
+         |  FROM r),
+         |hist AS (
+         |  SELECT b, zq AS s2, CAST(sum(w) AS BIGINT) AS c,
+         |         CAST(sum(CASE WHEN keep THEN w ELSE 0 END) AS BIGINT) AS p
+         |  FROM w GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT b, s2, c, p,
+         |         sum(c) OVER (PARTITION BY b ORDER BY s2) AS cum
+         |  FROM hist),
+         |a AS (
+         |  SELECT b, CAST(sum(p) AS BIGINT) AS n_pos,
+         |         CAST(sum(c - p) AS BIGINT) AS n_neg,
+         |         CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS r2
+         |  FROM cum GROUP BY 1)
+         |SELECT CAST(b AS BIGINT) AS b, n_pos, n_neg,
+         |       r2 - n_pos * (n_pos + 1) AS auc_num,
+         |       2 * n_pos * n_neg AS auc_den,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0
+         |            THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |                 CAST(2 * n_pos * n_neg AS DOUBLE)
+         |       END AS auc
+         |FROM a ORDER BY b""".stripMargin
+    },
+
+    // lead() over the same (ts, event_id) total order per user; row
+    // totals from the histogram.
+    "q215_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts), event_id) AS nxt
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_state, nxt AS to_state,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |rt AS (
+        |  SELECT from_state, CAST(sum(cnt) AS BIGINT) AS row_total
+        |  FROM tr GROUP BY 1)
+        |SELECT tr.from_state, tr.to_state, tr.cnt, rt.row_total,
+        |       CAST(tr.cnt AS DOUBLE) / CAST(rt.row_total AS DOUBLE) AS p
+        |FROM tr JOIN rt USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin
   )
 }

@@ -528,7 +528,10 @@ object RelationalQueries {
     // num / 4m²) — the "did LPA find real structure" read, cells
     // returned, statistic = their sum (the chi-squared discipline).
     "q207_modularity" -> ((s, dir) => {
-      val g = purchaseGraph(s, dir)
+      // cache the derived edge table: LPA checkpoints its own copy, but
+      // modularity's degree/intra-edge passes would otherwise recompute
+      // the purchase-graph joins+windows from scratch
+      val g = graft.operators.CacheScope.track(purchaseGraph(s, dir))
       val labs = graft.operators.LabelProp.labelPropagation(g, "src", "dst",
         rounds = 4)
       graft.operators.LabelProp.modularity(g, "src", "dst", labs)

@@ -245,6 +245,52 @@ class QualityOpsSpec extends SparkSpec {
     assert(yx._3 === 3L, "direction matters: y x counted separately")
   }
 
+  test("aucBootstrap: weighted midrank equals per-copy expansion") {
+    // Small scored set; replicate 0's Poisson weights expand each key
+    // into w copies — AUC of the expanded set must equal the weighted
+    // formula exactly.
+    val df = Seq((1L, 10L, true), (2L, 9L, false), (3L, 8L, true),
+      (4L, 8L, false), (5L, 7L, false)).toDF("k", "s", "y")
+    val got = graft.operators.Evaluation.aucBootstrap(df, "k", "s", "y",
+      replicates = 3).orderBy("b")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect()
+    assert(got.length === 3)
+    got.foreach { case (b, nPos, nNeg, num, den, auc) =>
+      // recompute by brute force from the same deterministic weights
+      val rows = Seq((1L, 10L, true), (2L, 9L, false), (3L, 8L, true),
+        (4L, 8L, false), (5L, 7L, false)).flatMap { case (k, s, y) =>
+        val h = (((k * 3 + b) % 2147483648L) * 2654435761L) % 4294967296L
+        val u = h.toDouble / 4294967296.0
+        val w = graft.operators.Sampling.PoissonCdf.count(u >= _)
+        Seq.fill(w)((s, y))
+      }
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      assert(nPos === pos.length && nNeg === neg.length)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val wins = (for (p <- pos; n <- neg) yield
+          if (p > n) 2L else if (p == n) 1L else 0L).sum
+        assert(num === wins, s"replicate $b midrank mismatch")
+        assert(den === 2L * pos.length * neg.length)
+        assert(auc.get === wins.toDouble / den.toDouble)
+      } else assert(auc.isEmpty)
+    }
+  }
+
+  test("transitionMatrix: per-key lead, exact counts and row totals") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 5L, "c")).toDF("u", "t", "s") // key 3: single event, no step
+    val got = graft.operators.EventAnalytics.transitionMatrix(
+      ev, "u", Seq(col("t")), "s")
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq(
+      ("a", "b", 2L, 2L, 1.0),
+      ("b", "a", 1L, 1L, 1.0)))
+  }
+
   test("rollingMadAnomaly: trailing median excludes current; warm-up NULL") {
     // days 0..6 flat at 2 (by construction of counts), day 7 spikes to 9.
     val xs = Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 9L)
