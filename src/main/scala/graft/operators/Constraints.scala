@@ -98,6 +98,30 @@ object Constraints {
         (col("violations") === 0L).as("passed"))
   }
 
+  /** Functional-dependency rule det → dep: `violations` = rows whose
+    * determinant tuple maps to MORE than one distinct dependent value
+    * (all rows of an ambiguous determinant count — they are all
+    * unresolvable). The schema-inference check behind "is this column
+    * derivable from that key", and the Deequ `hasUniqueValueRatio`
+    * sibling. NULL dependents are a real value (a determinant mapping
+    * to {x, NULL} is ambiguous). Two combinable histograms: (det, dep)
+    * cells, then per-det distinct-dep counts — state bounded by cell
+    * cardinality, never rows.
+    */
+  def fdRule(df: DataFrame, name: String, detCols: Seq[String],
+             depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "need at least one determinant column")
+    df.groupBy((detCols :+ depCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(detCols.map(col): _*)
+      .agg(sum(col("__c")).as("__rows"), count(lit(1)).as("__ndep"))
+      .agg(coalesce(sum(col("__rows")), lit(0L)).as("n_checked"),
+        coalesce(sum(when(col("__ndep") > 1, col("__rows"))), lit(0L))
+          .as("violations"))
+      .select(lit(name).as("rule"), col("n_checked"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+  }
+
   /** Union of rule result tables into the one audit report, ordered by
     * rule name (the long-format artifact a publish gate reads).
     */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Re-identification risk audits for corpus metadata — the release gate
@@ -36,6 +37,68 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("k_anonymous", col("group_size") >= k)
       .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
+  /** Per-QI-group t-CLOSENESS for an ORDERED sensitive attribute (Li,
+    * Li & Venkatasubramanian, ICDE'07) — the third leg after
+    * [[kAnonymityAudit]]'s k and l: a group can be large (k-anonymous)
+    * and varied (l-diverse) yet still LEAK because its sensitive
+    * DISTRIBUTION differs from the table's (every row in the group
+    * skews long, say). For ordered attributes the earth-mover's
+    * distance collapses to cumulative-share differences over the global
+    * value ladder v₁..v_V:
+    *
+    *   t(g) = (1/(V−1)) · Σ_j |cumP_j/n_g − cumQ_j/N|
+    *
+    * computed here with ZERO floats until the last step: the inner term
+    * cross-multiplies to |cumP_j·N − cumQ_j·n_g| (exact BIGINT), the
+    * group's t_num is their exact sum, and t = t_num / (n_g·N·(V−1)) is
+    * one division. Overflow contract: cum·N ≤ N² ⇒ N below ~3e9 rows
+    * (bucket the sensitive value upstream — you should anyway: V also
+    * bounds the grid).
+    *
+    * Scale shape: two histograms (group×value, value) + one group-sized
+    * aggregate; the only per-group window cumulates over the
+    * |groups|·V GRID (global ladder rows exist for every group even
+    * where the group has no mass — absent cells still contribute), with
+    * the V-row global ladder broadcast onto the group list. Bounded by
+    * |QI groups| · V throughout; raw rows appear only in the two
+    * histogram passes.
+    *
+    * @param sensitive ordered (integer-valued) sensitive expression
+    * @return (qiCols…, group_size, t_num, t, t_close = t ≤ tMax);
+    *         t is NULL when the table has a single distinct value
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+                      tMax: Double): DataFrame = {
+    require(qiCols.nonEmpty)
+    val qi = qiCols.map(col)
+    val s = df.select(qi :+ sensitive.cast("long").as("__v"): _*)
+    val gv = s.groupBy(qi :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val wQ = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ladder = s.groupBy("__v").agg(count(lit(1)).as("__cq"))
+      .withColumn("__cumq", sum(col("__cq")).over(wQ))
+      .withColumn("__n", sum(col("__cq")).over(Window.partitionBy()))
+      .withColumn("__nv", count(lit(1)).over(Window.partitionBy()))
+      .select("__v", "__cumq", "__n", "__nv")
+    val groups = s.groupBy(qi: _*).agg(count(lit(1)).as("group_size"))
+    val wP = Window.partitionBy(qi: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups.crossJoin(broadcast(ladder))
+      .join(gv, qiCols :+ "__v", "left")
+      .withColumn("__cump", sum(coalesce(col("__c"), lit(0L))).over(wP))
+      .withColumn("__term",
+        abs(col("__cump") * col("__n") - col("__cumq") * col("group_size")))
+      .groupBy(qi :+ col("group_size") :+ col("__n") :+ col("__nv"): _*)
+      .agg(sum(col("__term")).as("t_num"))
+      .withColumn("t",
+        when(col("__nv") > 1,
+          col("t_num").cast("double") /
+            (col("group_size") * col("__n") * (col("__nv") - 1))
+              .cast("double")))
+      .withColumn("t_close", col("t") <= tMax)
+      .drop("__n", "__nv")
   }
 
   /** Enforcement: drop every row whose QI group fails k-anonymity — the

@@ -2177,7 +2177,50 @@ object LlmQueries {
       graft.operators.EventAnalytics.transitionMatrix(
         graft.io.TableIO.eventsNanos(s, dir), "user_id",
         Seq(col("ts"), col("event_id")), "event_type")
-        .orderBy("from_state", "to_state"))
+        .orderBy("from_state", "to_state")),
+
+    // t-closeness per lang over the length distribution (ordered EMD
+    // via cross-multiplied cumulative shares, one division per group) —
+    // a group can pass k and l yet leak through its sensitive
+    // DISTRIBUTION; this is that third audit.
+    "q216_t_closeness" -> ((s, dir) =>
+      graft.operators.Privacy.tClosenessAudit(t(s, dir, "documents"),
+        Seq("lang"), expr("n_chars DIV 100"), tMax = 0.2)
+        .orderBy("lang")),
+
+    // Estimator accuracy of q138's priority sample: per-lang character
+    // mass estimated from the 40-doc sample (Σ max(w, τ) over sample
+    // members) vs the exact Σ n_chars — the subset-sum property the
+    // sketch exists for, measured not asserted.
+    "q217_priority_estimate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val samp = Sampling.prioritySample(docs, "doc_id", "n_chars", k = 40)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("est_weight").as("est_chars"))
+      docs.groupBy("lang")
+        .agg(sum("n_chars").as("exact_chars"))
+        .join(samp, Seq("lang"), "left")
+        .select(col("lang"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          col("est_chars"), col("exact_chars"),
+          (col("est_chars") / col("exact_chars").cast("double")).as("ratio"))
+        .orderBy("lang")
+    }),
+
+    // Functional-dependency audit: does l_orderkey determine o_custkey
+    // (it must — FD holds through the FK) and does l_partkey determine
+    // l_suppkey (it must NOT — parts ship from many suppliers)?
+    // Violation mass = all rows of ambiguous determinants.
+    "q218_fd_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Constraints.audit(Seq(
+        graft.operators.Constraints.fdRule(
+          li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey")),
+          "fd:l_orderkey->o_custkey", Seq("l_orderkey"), "o_custkey"),
+        graft.operators.Constraints.fdRule(li,
+          "fd:l_partkey->l_suppkey", Seq("l_partkey"), "l_suppkey")))
+    })
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -6572,6 +6615,116 @@ object LlmQueries {
         |SELECT tr.from_state, tr.to_state, tr.cnt, rt.row_total,
         |       CAST(tr.cnt AS DOUBLE) / CAST(rt.row_total AS DOUBLE) AS p
         |FROM tr JOIN rt USING (from_state)
-        |ORDER BY from_state, to_state""".stripMargin
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    // Ordered EMD over the global value ladder: grid = groups × ladder
+    // (absent cells still contribute), cross-multiplied BIGINT terms,
+    // one division per group.
+    "q216_t_closeness" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(n_chars // 100 AS BIGINT) AS v FROM documents),
+        |gv AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM s GROUP BY 1, 2),
+        |gl AS (SELECT v, CAST(count(*) AS BIGINT) AS cq FROM s GROUP BY 1),
+        |glc AS (
+        |  SELECT v, CAST(sum(cq) OVER (ORDER BY v) AS BIGINT) AS cumq,
+        |         CAST(sum(cq) OVER () AS BIGINT) AS n,
+        |         CAST(count(*) OVER () AS BIGINT) AS nv
+        |  FROM gl),
+        |gs AS (SELECT lang, CAST(count(*) AS BIGINT) AS group_size
+        |       FROM s GROUP BY 1),
+        |grid AS (
+        |  SELECT gs.lang, gs.group_size, glc.v, glc.cumq, glc.n, glc.nv,
+        |         CAST(coalesce(gv.c, 0) AS BIGINT) AS c
+        |  FROM gs CROSS JOIN glc
+        |  LEFT JOIN gv ON gv.lang = gs.lang AND gv.v = glc.v),
+        |cc AS (
+        |  SELECT lang, group_size, n, nv, cumq,
+        |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY v)
+        |           AS BIGINT) AS cump
+        |  FROM grid)
+        |SELECT lang, group_size,
+        |       CAST(sum(abs(cump * n - cumq * group_size)) AS BIGINT)
+        |         AS t_num,
+        |       CASE WHEN nv > 1
+        |            THEN CAST(sum(abs(cump * n - cumq * group_size))
+        |                   AS DOUBLE)
+        |                 / CAST(group_size * n * (nv - 1) AS DOUBLE)
+        |       END AS t,
+        |       CASE WHEN nv > 1
+        |            THEN CAST(sum(abs(cump * n - cumq * group_size))
+        |                   AS DOUBLE)
+        |                 / CAST(group_size * n * (nv - 1) AS DOUBLE) <= 0.2
+        |       END AS t_close
+        |FROM cc GROUP BY lang, group_size, n, nv
+        |ORDER BY lang""".stripMargin,
+
+    // q138's priority CTEs grouped by lang, left-joined onto the exact
+    // per-lang mass; languages missing from the sample report 0/NULL.
+    "q217_priority_estimate" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(n_chars AS DOUBLE) * 4294967296 /
+        |           CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1 AS DOUBLE) AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |rk AS (
+        |  SELECT doc_id, n_chars, priority,
+        |         row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |  FROM h),
+        |tau AS (
+        |  SELECT coalesce(min(priority), 0.0) AS tau FROM rk WHERE rn = 41),
+        |samp AS (
+        |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |         sum(greatest(CAST(rk.n_chars AS DOUBLE), tau.tau))
+        |           AS est_chars
+        |  FROM rk CROSS JOIN tau JOIN documents d USING (doc_id)
+        |  WHERE rn <= 40 GROUP BY 1),
+        |ex AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS exact_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT ex.lang, CAST(coalesce(samp.n_sampled, 0) AS BIGINT)
+        |         AS n_sampled,
+        |       samp.est_chars, ex.exact_chars,
+        |       samp.est_chars / CAST(ex.exact_chars AS DOUBLE) AS ratio
+        |FROM ex LEFT JOIN samp USING (lang)
+        |ORDER BY lang""".stripMargin,
+
+    // Two-level histograms per FD; ambiguous determinants contribute
+    // all their rows.
+    "q218_fd_audit" ->
+      """WITH j AS (
+        |  SELECT l.l_orderkey, o.o_custkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |fd1c AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT l_orderkey, o_custkey, count(*) FROM j GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |fd1r AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS rows_
+        |  FROM j GROUP BY 1),
+        |fd1 AS (
+        |  SELECT CAST(coalesce(sum(r.rows_), 0) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN c.c > 1 THEN r.rows_ END), 0)
+        |           AS BIGINT) AS v
+        |  FROM fd1r r JOIN fd1c c USING (l_orderkey)),
+        |fd2c AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT l_partkey, l_suppkey, count(*) FROM lineitem
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |fd2r AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS rows_
+        |  FROM lineitem GROUP BY 1),
+        |fd2 AS (
+        |  SELECT CAST(coalesce(sum(r.rows_), 0) AS BIGINT) AS n,
+        |         CAST(coalesce(sum(CASE WHEN c.c > 1 THEN r.rows_ END), 0)
+        |           AS BIGINT) AS v
+        |  FROM fd2r r JOIN fd2c c USING (l_partkey))
+        |SELECT * FROM (
+        |  SELECT 'fd:l_orderkey->o_custkey' AS rule, n AS n_checked,
+        |         v AS violations, v = 0 AS passed FROM fd1
+        |  UNION ALL
+        |  SELECT 'fd:l_partkey->l_suppkey', n, v, v = 0 FROM fd2)
+        |ORDER BY rule""".stripMargin
   )
 }

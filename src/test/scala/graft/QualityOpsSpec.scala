@@ -291,6 +291,40 @@ class QualityOpsSpec extends SparkSpec {
       ("b", "a", 1L, 1L, 1.0)))
   }
 
+  test("tClosenessAudit: hand-computed ordered EMD, absent cells contribute") {
+    // global ladder {1, 2}, N=6: A = {1,1}, B = {2,2}, C = {1,2}
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L),
+      ("C", 1L), ("C", 2L)).toDF("g", "v")
+    val got = graft.operators.Privacy.tClosenessAudit(df, Seq("g"),
+      col("v"), tMax = 0.4)
+      .orderBy("g").as[(String, Long, Long, Option[Double], Option[Boolean])]
+      .collect()
+    // cumQ = [3, 6]; A: cumP=[2,2] → |2·6−3·2|+|2·6−6·2| = 6; t = 6/(2·6·1)
+    assert(got(0) === (("A", 2L, 6L, Some(0.5), Some(false))))
+    // B: cumP=[0,2] → |0−6|+|12−12| = 6 → 0.5 (symmetric)
+    assert(got(1) === (("B", 2L, 6L, Some(0.5), Some(false))))
+    // C matches the global mix exactly → t = 0
+    assert(got(2) === (("C", 2L, 0L, Some(0.0), Some(true))))
+    // degenerate single-value table → NULL t
+    val one = Seq(("A", 7L), ("B", 7L)).toDF("g", "v")
+    val t1 = graft.operators.Privacy.tClosenessAudit(one, Seq("g"),
+      col("v"), 0.4).select("t").as[Option[Double]].collect()
+    assert(t1.forall(_.isEmpty))
+  }
+
+  test("fdRule: ambiguous determinants contribute all their rows") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y"),
+      (3L, null)).toDF("det", "dep")
+    val r = graft.operators.Constraints.fdRule(df, "fd", Seq("det"), "dep")
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(r === (("fd", 5L, 2L, false)),
+      "det=2 maps to {x,y}: both its rows violate; NULL dep is a value")
+    val clean = graft.operators.Constraints.fdRule(
+      df.filter(col("det") =!= 2), "fd", Seq("det"), "dep")
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(clean === (("fd", 3L, 0L, true)))
+  }
+
   test("rollingMadAnomaly: trailing median excludes current; warm-up NULL") {
     // days 0..6 flat at 2 (by construction of counts), day 7 spikes to 9.
     val xs = Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 9L)
