@@ -2220,6 +2220,35 @@ object LlmQueries {
           "fd:l_orderkey->o_custkey", Seq("l_orderkey"), "o_custkey"),
         graft.operators.Constraints.fdRule(li,
           "fd:l_partkey->l_suppkey", Seq("l_partkey"), "l_suppkey")))
+    }),
+
+    // Padding-waste audit: batches of 32 in arrival order vs
+    // length-sorted order — padded slots per batch = Σ(count·max − sum)
+    // over token counts, the "why length-bucket your batches" number
+    // (and the baseline context packing beats). Histogram-offset
+    // ordinals; everything after is batch-bounded.
+    "q219_padding_waste" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ntok"))
+      def waste(strategy: String, bucket: org.apache.spark.sql.Column,
+                order: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.GlobalIds.contiguousIds(docs, bucket, order, "ord")
+          .withColumn("batch", expr("ord DIV 32"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("c"), max("ntok").as("mx"),
+            sum("ntok").as("tok"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum("tok").as("total_tokens"),
+            sum(col("c") * col("mx") - col("tok")).as("padding_waste"))
+          .select(lit(strategy).as("strategy"), col("n_batches"),
+            col("total_tokens"), col("padding_waste"),
+            (col("padding_waste").cast("double") /
+              (col("padding_waste") + col("total_tokens")).cast("double"))
+              .as("waste_ratio"))
+      waste("arrival", expr("doc_id DIV 64"), Seq(col("doc_id")))
+        .unionByName(waste("length_sorted", col("ntok"),
+          Seq(col("ntok"), col("doc_id"))))
+        .orderBy("strategy")
     })
   )
 
@@ -6725,6 +6754,55 @@ object LlmQueries {
         |         v AS violations, v = 0 AS passed FROM fd1
         |  UNION ALL
         |  SELECT 'fd:l_partkey->l_suppkey', n, v, v = 0 FROM fd2)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    // Batches of 32 along each order; waste = Σ(count·max − sum).
+    "q219_padding_waste" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($oToks) AS BIGINT) AS ntok
+         |  FROM documents),
+         |a AS (
+         |  SELECT ntok,
+         |         CAST((row_number() OVER (ORDER BY doc_id) - 1) // 32
+         |           AS BIGINT) AS batch
+         |  FROM d),
+         |ab AS (
+         |  SELECT batch, CAST(count(*) AS BIGINT) AS c,
+         |         CAST(max(ntok) AS BIGINT) AS mx,
+         |         CAST(sum(ntok) AS BIGINT) AS tok
+         |  FROM a GROUP BY 1),
+         |aa AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_batches,
+         |         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |         CAST(sum(c * mx - tok) AS BIGINT) AS padding_waste
+         |  FROM ab),
+         |l AS (
+         |  SELECT ntok,
+         |         CAST((row_number() OVER (ORDER BY ntok, doc_id) - 1) // 32
+         |           AS BIGINT) AS batch
+         |  FROM d),
+         |lb AS (
+         |  SELECT batch, CAST(count(*) AS BIGINT) AS c,
+         |         CAST(max(ntok) AS BIGINT) AS mx,
+         |         CAST(sum(ntok) AS BIGINT) AS tok
+         |  FROM l GROUP BY 1),
+         |la AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_batches,
+         |         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |         CAST(sum(c * mx - tok) AS BIGINT) AS padding_waste
+         |  FROM lb)
+         |SELECT * FROM (
+         |  SELECT 'arrival' AS strategy, n_batches, total_tokens,
+         |         padding_waste,
+         |         CAST(padding_waste AS DOUBLE) /
+         |           CAST(padding_waste + total_tokens AS DOUBLE)
+         |           AS waste_ratio
+         |  FROM aa
+         |  UNION ALL
+         |  SELECT 'length_sorted', n_batches, total_tokens, padding_waste,
+         |         CAST(padding_waste AS DOUBLE) /
+         |           CAST(padding_waste + total_tokens AS DOUBLE)
+         |  FROM la)
+         |ORDER BY strategy""".stripMargin
   )
 }
