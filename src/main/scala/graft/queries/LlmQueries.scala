@@ -2249,6 +2249,24 @@ object LlmQueries {
         .unionByName(waste("length_sorted", col("ntok"),
           Seq(col("ntok"), col("doc_id"))))
         .orderBy("strategy")
+    }),
+
+    // Content-defined chunking + chunk-level dedup accounting: the
+    // rsync/LBFS boundary rule over the token stream (cut when the
+    // rolling 4-gram hash ≡ 0 mod 16), then how much token mass lives
+    // in REPEATED chunks — the storage-dedup / delta-sync read, and a
+    // sub-document complement to doc-level dedup.
+    "q220_cdc_chunks" -> ((s, dir) => {
+      val ch = graft.operators.Chunking.contentDefinedChunks(
+        t(s, dir, "documents"), "doc_id", "text", n = 4, maskBits = 4)
+      ch.groupBy("digest", "n_tokens").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(col("c") * col("n_tokens")).as("total_tokens"),
+          sum((col("c") - 1) * col("n_tokens")).as("dup_tokens"))
+        .withColumn("dup_ratio",
+          col("dup_tokens").cast("double") /
+            col("total_tokens").cast("double"))
     })
   )
 
@@ -6803,6 +6821,50 @@ object LlmQueries {
          |         CAST(padding_waste AS DOUBLE) /
          |           CAST(padding_waste + total_tokens AS DOUBLE)
          |  FROM la)
-         |ORDER BY strategy""".stripMargin
+         |ORDER BY strategy""".stripMargin,
+
+    // Long-form CDC: gram hashes at their END token, cut flags, chunk
+    // id = shifted cumulative cut count, digests of ORDER BY p joined
+    // chunk text — identical arithmetic to the engine's array-side plan.
+    "q220_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |tr AS (
+         |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk)),
+         |      i -> {'p': i, 'tok': tk[i + 1]})) AS u
+         |    FROM toks)),
+         |g AS (
+         |  SELECT doc_id, u.pend AS pend, ${oPolyHash("u.gram")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+         |      i -> {'pend': i + 2,
+         |            'gram': list_aggregate(tk[i:i+3], 'string_agg', ' ')}))
+         |      AS u
+         |    FROM toks)),
+         |cuts AS (SELECT doc_id, pend AS p FROM g WHERE h % 16 = 0),
+         |f AS (
+         |  SELECT t.doc_id, t.p, t.tok,
+         |         CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END AS cut
+         |  FROM tr t LEFT JOIN cuts c ON c.doc_id = t.doc_id AND c.p = t.p),
+         |cid AS (
+         |  SELECT doc_id, p, tok,
+         |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS chunk_idx
+         |  FROM f),
+         |ch AS (
+         |  SELECT doc_id, chunk_idx,
+         |         CAST(count(*) AS BIGINT) AS n_tokens,
+         |         ${oPolyHash("string_agg(tok, ' ' ORDER BY p)")} AS digest
+         |  FROM cid GROUP BY 1, 2),
+         |hist AS (
+         |  SELECT digest, n_tokens, CAST(count(*) AS BIGINT) AS c
+         |  FROM ch GROUP BY 1, 2)
+         |SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+         |       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |       CAST(sum(c * n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(sum((c - 1) * n_tokens) AS BIGINT) AS dup_tokens,
+         |       CAST(sum((c - 1) * n_tokens) AS DOUBLE) /
+         |         CAST(sum(c * n_tokens) AS DOUBLE) AS dup_ratio
+         |FROM hist""".stripMargin
   )
 }

@@ -325,6 +325,51 @@ class QualityOpsSpec extends SparkSpec {
     assert(clean === (("fd", 3L, 0L, true)))
   }
 
+  test("contentDefinedChunks: boundaries partition tokens; digests match slices") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Chunking.contentDefinedChunks(
+      docs, "doc_id", "text", n = 2, maskBits = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // whatever the cuts, chunks must tile [0, 7] for doc 1
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.head._3 === 0L, "first chunk starts at 0")
+    assert(d1.map(_._4).sum === 8L, "chunks cover all 8 tokens")
+    d1.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 === a._3 + a._4, "contiguous")
+      case _ =>
+    }
+    // short doc: single whole-doc chunk; blank doc: no chunks
+    assert(got.filter(_._1 == 2L).toSeq.map(r => (r._3, r._4)) === Seq((0L, 1L)))
+    assert(!got.exists(_._1 == 3L))
+    // digest = polyHash of the chunk's space-joined tokens (spot-check
+    // via a one-chunk doc)
+    val solo = got.filter(_._1 == 2L).head._5
+    val want = Seq(("x")).toDF("t")
+      .select(graft.operators.TextAnalysis.polyHash(col("t"))).as[Long]
+      .collect().head
+    assert(solo === want)
+  }
+
+  test("contentDefinedChunks: a one-word edit leaves distant chunks stable") {
+    val base = (1 to 200).map(i => s"w${i % 37}x$i").mkString(" ")
+    val edited = base.replace("w3x100", "EDITED")
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = graft.operators.Chunking.contentDefinedChunks(
+      docs, "doc_id", "text", n = 3, maskBits = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val d1 = ch.filter(_._1 == 1L).map(r => r._5).toSet
+    val d2 = ch.filter(_._1 == 2L).map(r => r._5).toSet
+    val shared = d1.intersect(d2).size
+    assert(shared > 0 && d1.size > 4,
+      s"CDC must re-sync after an edit: ${d1.size} chunks, $shared shared")
+    // fixed-size chunking by contrast shares nothing after the edit
+    // point; CDC shares the majority of chunks
+    assert(shared.toDouble / d1.size > 0.5,
+      s"expected most chunks stable, got $shared/${d1.size}")
+  }
+
   test("rollingMadAnomaly: trailing median excludes current; warm-up NULL") {
     // days 0..6 flat at 2 (by construction of counts), day 7 spikes to 9.
     val xs = Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 9L)
