@@ -2267,6 +2267,32 @@ object LlmQueries {
         .withColumn("dup_ratio",
           col("dup_tokens").cast("double") /
             col("total_tokens").cast("double"))
+    }),
+
+    // Delta-sync estimate between two snapshots (one doc edited): CDC
+    // chunk content v2 anti-joined on v1 — ship only chunks whose
+    // digest is new. The one-word edit moves ~one chunk of ~27k tokens;
+    // THIS is why the boundaries are content-defined.
+    "q221_delta_sync" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v2docs = docs.withColumn("text",
+        when(col("doc_id") === 7, concat(col("text"), lit(" EDITED")))
+          .otherwise(col("text")))
+      def chunks(d: DataFrame) = graft.operators.Chunking
+        .contentDefinedChunks(d, "doc_id", "text", n = 4, maskBits = 4)
+      val v1 = chunks(docs).select("digest").distinct()
+      val v2d = chunks(v2docs).groupBy("digest")
+        .agg(min("n_tokens").as("n_tokens"), count(lit(1)).as("c"))
+      val tot = v2d.agg(sum("c").as("n_chunks_v2"),
+        sum(col("c") * col("n_tokens")).as("tokens_v2"))
+      val fresh = v2d.join(v1, Seq("digest"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_new_chunks"),
+          coalesce(sum("n_tokens"), lit(0L)).as("new_tokens"))
+      tot.crossJoin(fresh)
+        .withColumn("transfer_ratio",
+          col("new_tokens").cast("double") / col("tokens_v2").cast("double"))
+        .select("n_chunks_v2", "tokens_v2", "n_new_chunks", "new_tokens",
+          "transfer_ratio")
     })
   )
 
@@ -2327,6 +2353,46 @@ object LlmQueries {
   /** Whitespace tokens (matches graft.functions.tokens). */
   private val oToks =
     """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+
+  /** q220/q221's shared CDC chunk chain (suffix-parameterized): token
+    * rows with positions, 4-gram hashes at their END token, mod-16 cut
+    * flags, chunk ids via the shifted cumulative cut count, and per-chunk
+    * digests — the long-form spelling of
+    * [[graft.operators.Chunking.contentDefinedChunks]]'s array-side plan.
+    * Produces CTEs `toks$sfx … ch$sfx`; read `ch$sfx(doc_id, chunk_idx,
+    * n_tokens, digest)`.
+    */
+  private def oCdcChunkCtes(sfx: String, srcSql: String): String =
+    s"""toks$sfx AS (SELECT doc_id, $oToks AS tk FROM ($srcSql)),
+       |tr$sfx AS (
+       |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(tk)),
+       |      i -> {'p': i, 'tok': tk[i + 1]})) AS u
+       |    FROM toks$sfx)),
+       |g$sfx AS (
+       |  SELECT doc_id, u.pend AS pend, ${oPolyHash("u.gram")} AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+       |      i -> {'pend': i + 2,
+       |            'gram': list_aggregate(tk[i:i+3], 'string_agg', ' ')}))
+       |      AS u
+       |    FROM toks$sfx)),
+       |cuts$sfx AS (SELECT doc_id, pend AS p FROM g$sfx WHERE h % 16 = 0),
+       |f$sfx AS (
+       |  SELECT t.doc_id, t.p, t.tok,
+       |         CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END AS cut
+       |  FROM tr$sfx t LEFT JOIN cuts$sfx c
+       |    ON c.doc_id = t.doc_id AND c.p = t.p),
+       |cid$sfx AS (
+       |  SELECT doc_id, p, tok,
+       |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS chunk_idx
+       |  FROM f$sfx),
+       |ch$sfx AS (
+       |  SELECT doc_id, chunk_idx,
+       |         CAST(count(*) AS BIGINT) AS n_tokens,
+       |         ${oPolyHash("string_agg(tok, ' ' ORDER BY p)")} AS digest
+       |  FROM cid$sfx GROUP BY 1, 2)""".stripMargin
 
   /** Oracle spelling of Dedup.powFixed's left-to-right square-and-multiply
     * x^e chain — the same association order, so every intermediate double
@@ -6827,35 +6893,7 @@ object LlmQueries {
     // id = shifted cumulative cut count, digests of ORDER BY p joined
     // chunk text — identical arithmetic to the engine's array-side plan.
     "q220_cdc_chunks" ->
-      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
-         |tr AS (
-         |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
-         |    SELECT doc_id, unnest(list_transform(range(len(tk)),
-         |      i -> {'p': i, 'tok': tk[i + 1]})) AS u
-         |    FROM toks)),
-         |g AS (
-         |  SELECT doc_id, u.pend AS pend, ${oPolyHash("u.gram")} AS h FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
-         |      i -> {'pend': i + 2,
-         |            'gram': list_aggregate(tk[i:i+3], 'string_agg', ' ')}))
-         |      AS u
-         |    FROM toks)),
-         |cuts AS (SELECT doc_id, pend AS p FROM g WHERE h % 16 = 0),
-         |f AS (
-         |  SELECT t.doc_id, t.p, t.tok,
-         |         CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END AS cut
-         |  FROM tr t LEFT JOIN cuts c ON c.doc_id = t.doc_id AND c.p = t.p),
-         |cid AS (
-         |  SELECT doc_id, p, tok,
-         |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY p
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           AS chunk_idx
-         |  FROM f),
-         |ch AS (
-         |  SELECT doc_id, chunk_idx,
-         |         CAST(count(*) AS BIGINT) AS n_tokens,
-         |         ${oPolyHash("string_agg(tok, ' ' ORDER BY p)")} AS digest
-         |  FROM cid GROUP BY 1, 2),
+      s"""WITH ${oCdcChunkCtes("", "SELECT doc_id, text FROM documents")},
          |hist AS (
          |  SELECT digest, n_tokens, CAST(count(*) AS BIGINT) AS c
          |  FROM ch GROUP BY 1, 2)
@@ -6865,6 +6903,31 @@ object LlmQueries {
          |       CAST(sum((c - 1) * n_tokens) AS BIGINT) AS dup_tokens,
          |       CAST(sum((c - 1) * n_tokens) AS DOUBLE) /
          |         CAST(sum(c * n_tokens) AS DOUBLE) AS dup_ratio
-         |FROM hist""".stripMargin
+         |FROM hist""".stripMargin,
+
+    // Two chunk chains (v1 = corpus, v2 = one edited doc), anti-joined
+    // on digest content.
+    "q221_delta_sync" ->
+      s"""WITH ${oCdcChunkCtes("1", "SELECT doc_id, text FROM documents")},
+         |${oCdcChunkCtes("2",
+            "SELECT doc_id, CASE WHEN doc_id = 7 THEN text || ' EDITED' " +
+              "ELSE text END AS text FROM documents")},
+         |v1 AS (SELECT DISTINCT digest FROM ch1),
+         |v2d AS (
+         |  SELECT digest, CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM ch2 GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n_chunks_v2,
+         |         CAST(sum(c * n_tokens) AS BIGINT) AS tokens_v2
+         |  FROM v2d),
+         |new_ AS (
+         |  SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_new_chunks,
+         |         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS new_tokens
+         |  FROM v2d LEFT JOIN v1 USING (digest) WHERE v1.digest IS NULL)
+         |SELECT n_chunks_v2, tokens_v2, n_new_chunks, new_tokens,
+         |       CAST(new_tokens AS DOUBLE) / CAST(tokens_v2 AS DOUBLE)
+         |         AS transfer_ratio
+         |FROM tot CROSS JOIN new_""".stripMargin
   )
 }
