@@ -197,6 +197,36 @@ object EventAnalytics {
         (col("cusum_scaled") > col("__t") * alarmH).as("alarm"))
   }
 
+  /** [[cusumCounts]] per GROUP — one independent CUSUM monitor per key
+    * (per source, per event type), sharing the same prefix-sum minus
+    * running-min identity with every window partitioned by the group:
+    * each group's detector is centered on ITS OWN mean (n_g·x − T_g
+    * increments), so a big stream never drowns a small one's shift.
+    * Windows run over (group × bucket) histogram rows; alarm when a
+    * group's CUSUM exceeds `alarmH` × its own bucket mean.
+    *
+    * @return (group, bucket, x, cusum_scaled, alarm); `cusum_scaled` =
+    *         n_buckets(group) × CUSUM_t
+    */
+  def cusumCountsByGroup(df: DataFrame, group: Column, bucket: Column,
+                         alarmH: Int): DataFrame = {
+    require(alarmH > 0)
+    val hist = df.select(group.as("group"), bucket.cast(LongType).as("bucket"))
+      .filter(col("bucket").isNotNull && col("group").isNotNull)
+      .groupBy("group", "bucket").agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy("group")
+    val wCum = Window.partitionBy("group").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(col("x")).over(wAll))
+      .withColumn("__p", sum(col("x") * col("__n") - col("__t")).over(wCum))
+      .withColumn("cusum_scaled",
+        col("__p") - least(lit(0L), min(col("__p")).over(wCum)))
+      .select(col("group"), col("bucket"), col("x"), col("cusum_scaled"),
+        (col("cusum_scaled") > col("__t") * alarmH).as("alarm"))
+  }
+
   /** Rolling median/MAD anomaly detector over a per-bucket count series
     * — [[cusumCounts]]'s robust sibling: flags buckets whose count
     * deviates from the TRAILING w-bucket median by more than k× the

@@ -2293,7 +2293,40 @@ object LlmQueries {
           col("new_tokens").cast("double") / col("tokens_v2").cast("double"))
         .select("n_chunks_v2", "tokens_v2", "n_new_chunks", "new_tokens",
           "transfer_ratio")
-    })
+    }),
+
+    // Snapshot drift diff over the q199 profile: two per-column profile
+    // tables joined on column name — NDV/row/completeness deltas and an
+    // exact-arithmetic drift flag, the |cols|-row release comparison the
+    // profiler exists for (v2 simulates a partial snapshot).
+    "q222_profile_drift" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag",
+        "l_shipdate")
+      val v1 = t(s, dir, "lineitem")
+      val v2 = v1.filter(col("l_quantity") <= 45)
+      def prof(d: DataFrame, sfx: String) =
+        graft.operators.Profiling.columnProfile(d, cols)
+          .select(col("column"), col("n_rows").as(s"n_rows_$sfx"),
+            col("n_distinct").as(s"ndv_$sfx"),
+            col("completeness").as(s"comp_$sfx"))
+      prof(v1, "v1").join(prof(v2, "v2"), "column")
+        .withColumn("row_delta", col("n_rows_v2") - col("n_rows_v1"))
+        .withColumn("ndv_delta", col("ndv_v2") - col("ndv_v1"))
+        .withColumn("comp_delta", col("comp_v2") - col("comp_v1"))
+        .withColumn("drifted",
+          abs(col("ndv_delta")) * 10 > col("ndv_v1") ||
+            col("comp_delta") =!= 0.0)
+        .orderBy("column")
+    }),
+
+    // Per-TYPE CUSUM monitors: each event type's detector centered on
+    // its own mean, so a big stream never drowns a small one's shift —
+    // q201 partitioned by group.
+    "q223_cusum_by_type" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cusumCountsByGroup(
+        graft.io.TableIO.eventsNanos(s, dir), col("event_type"),
+        expr("ts DIV 86400000000000"), alarmH = 1)
+        .orderBy("group", "bucket"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -6928,6 +6961,62 @@ object LlmQueries {
          |SELECT n_chunks_v2, tokens_v2, n_new_chunks, new_tokens,
          |       CAST(new_tokens AS DOUBLE) / CAST(tokens_v2 AS DOUBLE)
          |         AS transfer_ratio
-         |FROM tot CROSS JOIN new_""".stripMargin
+         |FROM tot CROSS JOIN new_""".stripMargin,
+
+    // Two q199 profile chains over v1/v2 joined per column; exact
+    // integer drift test (|Δndv|·10 > ndv_v1) plus the completeness
+    // delta.
+    "q222_profile_drift" -> {
+      def block(c: String, src: String, sfx: String) =
+        s"""SELECT '$c' AS "column",
+           |       CAST(count(*) AS BIGINT) AS n_rows_$sfx,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv_$sfx,
+           |       CAST(count($c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |         AS comp_$sfx
+           |FROM $src""".stripMargin
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag",
+        "l_shipdate")
+      val p1 = cols.map(block(_, "lineitem", "v1"))
+        .mkString("(\n", "\nUNION ALL\n", ")")
+      val p2 = cols
+        .map(block(_, "(SELECT * FROM lineitem WHERE l_quantity <= 45)",
+          "v2"))
+        .mkString("(\n", "\nUNION ALL\n", ")")
+      s"""SELECT p1."column", n_rows_v1, ndv_v1, comp_v1,
+         |       n_rows_v2, ndv_v2, comp_v2,
+         |       n_rows_v2 - n_rows_v1 AS row_delta,
+         |       ndv_v2 - ndv_v1 AS ndv_delta,
+         |       comp_v2 - comp_v1 AS comp_delta,
+         |       abs(ndv_v2 - ndv_v1) * 10 > ndv_v1
+         |         OR comp_v2 - comp_v1 <> 0.0 AS drifted
+         |FROM $p1 p1 JOIN $p2 p2 USING ("column")
+         |ORDER BY p1."column"""".stripMargin
+    },
+
+    // q201's CUSUM windows partitioned by event type.
+    "q223_cusum_by_type" ->
+      """WITH h AS (
+        |  SELECT event_type AS grp,
+        |         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS t
+        |  FROM h GROUP BY 1),
+        |p AS (
+        |  SELECT h.grp, bucket, x, t,
+        |         CAST(sum(x * n - t) OVER (PARTITION BY h.grp
+        |           ORDER BY bucket) AS BIGINT) AS pf
+        |  FROM h JOIN tot USING (grp)),
+        |s AS (
+        |  SELECT grp, bucket, x, t,
+        |         CAST(pf - least(CAST(0 AS BIGINT),
+        |           min(pf) OVER (PARTITION BY grp ORDER BY bucket))
+        |           AS BIGINT) AS cusum_scaled
+        |  FROM p)
+        |SELECT grp AS "group", bucket, x, cusum_scaled,
+        |       cusum_scaled > t * 1 AS alarm
+        |FROM s ORDER BY "group", bucket""".stripMargin
   )
 }
