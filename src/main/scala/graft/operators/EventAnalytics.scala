@@ -274,6 +274,41 @@ object EventAnalytics {
           abs(col("x") - col("med")) > col("mad") * k).as("alarm"))
   }
 
+  /** Top JOURNEY PREFIXES: the most common ordered event-type sequences
+    * over each key's first `depth` events — the path-analysis read
+    * ("what do users actually do first") next to [[funnel]]'s
+    * one-hypothesis check and [[transitionMatrix]]'s one-step view.
+    *
+    * Scale shape: the per-key window ranks rows (state = one counter);
+    * rows past `depth` drop BEFORE the collect, so the per-key
+    * aggregation buffer holds ≤ `depth` structs; path strings histogram
+    * with map-side combine (≤ |types|^depth distinct paths). Keys with
+    * fewer than `depth` events contribute their full (shorter) path —
+    * real journeys, not padded ones. `orderCols` must totally order
+    * events per key (unique tie-break).
+    *
+    * @return (path, depth, n_keys) ordered by (n_keys DESC, path),
+    *         top `topK`
+    */
+  def topPaths(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+               stateCol: String, depth: Int, topK: Int): DataFrame = {
+    require(depth >= 1 && topK >= 1)
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= depth)
+      .groupBy(col(keyCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn"), col(stateCol).as("s")))),
+          x => x.getField("s")), ">").as("path"),
+        count(lit(1)).as("__d"))
+      .groupBy(col("path"))
+      .agg(min(col("__d")).as("depth"), count(lit(1)).as("n_keys"))
+      .orderBy(desc("n_keys"), col("path"))
+      .limit(topK)
+  }
+
   /** First-order Markov TRANSITION matrix over per-key event sequences:
     * for every consecutive (state → next state) step within a key's
     * time-ordered stream, the exact count, the from-state row total, and

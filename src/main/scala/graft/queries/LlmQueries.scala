@@ -2326,7 +2326,42 @@ object LlmQueries {
       graft.operators.EventAnalytics.cusumCountsByGroup(
         graft.io.TableIO.eventsNanos(s, dir), col("event_type"),
         expr("ts DIV 86400000000000"), alarmH = 1)
-        .orderBy("group", "bucket"))
+        .orderBy("group", "bucket")),
+
+    // Top journey prefixes: the most common first-3 event-type
+    // sequences per user — path analysis next to q109's one-hypothesis
+    // funnel and q215's one-step transitions.
+    "q224_top_paths" -> ((s, dir) =>
+      graft.operators.EventAnalytics.topPaths(
+        graft.io.TableIO.eventsNanos(s, dir), "user_id",
+        Seq(col("ts"), col("event_id")), "event_type",
+        depth = 3, topK = 25)),
+
+    // Right-to-be-forgotten propagation audit: after deleting a doc
+    // set from the primary, derived artifacts (CDC chunks, dedup
+    // signatures, fold assignments) built from the PRE-delete corpus
+    // still reference the deleted ids — one residue row per artifact,
+    // the governance check that flags stale derived tables.
+    "q225_delete_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dels = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("__del"))
+      def row(name: String, d: DataFrame, idc: String) =
+        d.join(broadcast(dels), col(idc) === col("__del"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("__del").isNotNull, 1L)).as("n_residue"))
+          .select(lit(name).as("artifact"), col("n_rows"),
+            col("n_residue"), (col("n_residue") === 0L).as("clean"))
+      row("cdc_chunks",
+        graft.operators.Chunking.contentDefinedChunks(docs, "doc_id",
+          "text", n = 4, maskBits = 4), "doc_id")
+        .unionByName(row("signatures",
+          Dedup.wideSignatures(docs, "doc_id", "text"), "id"))
+        .unionByName(row("kfold",
+          Sampling.stratifiedKFold(docs.select("doc_id", "lang"), "lang",
+            "doc_id", 5), "doc_id"))
+        .orderBy("artifact")
+    })
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -7017,6 +7052,58 @@ object LlmQueries {
         |  FROM p)
         |SELECT grp AS "group", bucket, x, cusum_scaled,
         |       cusum_scaled > t * 1 AS alarm
-        |FROM s ORDER BY "group", bucket""".stripMargin
+        |FROM s ORDER BY "group", bucket""".stripMargin,
+
+    // First-3 prefix per user via ranked rows; path = ordered
+    // string_agg; identical path strings share a depth by construction.
+    "q224_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |         CAST(count(*) AS BIGINT) AS d
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, CAST(min(d) AS BIGINT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_keys
+        |FROM p GROUP BY 1 ORDER BY n_keys DESC, path LIMIT 25""".stripMargin,
+
+    // The three derived artifacts recomputed in SQL, each left-joined
+    // on the delete set (doc_id % 97 = 0).
+    "q225_delete_audit" -> {
+      val kfold =
+        """SELECT doc_id FROM (
+          |  SELECT doc_id FROM (
+          |    SELECT lang, doc_id,
+          |           (((doc_id % 2147483648) * 2654435761) % 4294967296)
+          |             AS hh
+          |    FROM documents) h)""".stripMargin
+      s"""WITH dels AS (
+         |  SELECT doc_id AS del_id FROM documents WHERE doc_id % 97 = 0),
+         |${oCdcChunkCtes("", "SELECT doc_id, text FROM documents")},
+         |a1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(count(del_id) AS BIGINT) AS n_residue
+         |  FROM ch LEFT JOIN dels ON ch.doc_id = dels.del_id),
+         |a2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(count(del_id) AS BIGINT) AS n_residue
+         |  FROM documents d LEFT JOIN dels ON d.doc_id = dels.del_id),
+         |kf AS ($kfold),
+         |a3 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(count(del_id) AS BIGINT) AS n_residue
+         |  FROM kf LEFT JOIN dels ON kf.doc_id = dels.del_id)
+         |SELECT * FROM (
+         |  SELECT 'cdc_chunks' AS artifact, n_rows, n_residue,
+         |         n_residue = 0 AS clean FROM a1
+         |  UNION ALL SELECT 'signatures', n_rows, n_residue,
+         |         n_residue = 0 FROM a2
+         |  UNION ALL SELECT 'kfold', n_rows, n_residue,
+         |         n_residue = 0 FROM a3)
+         |ORDER BY artifact""".stripMargin
+    }
   )
 }
