@@ -468,6 +468,34 @@ object RelationalQueries {
 
     // Z-order curve values (multi-dimensional data-layout clustering):
     // pure bit-interleave arithmetic, reproduced literally in the oracle.
+    // Z-order EFFECTIVENESS, measured: the same 100-partkey range
+    // predicate pruned against zone maps of two layouts of the SAME
+    // rows — arrival order vs Z-order on (l_partkey, l_suppkey). The
+    // skip-ratio delta is the number q66's layout exists for.
+    "q226_zorder_benefit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      def layout(name: String, keyed: org.apache.spark.sql.DataFrame,
+                 bucket: Column, order: Seq[Column]) = {
+        val sharded = graft.operators.GlobalIds.shardByOrder(
+          keyed, bucket, order, shardSize = 1000)
+        val stats = graft.operators.Profiling.shardStats(sharded,
+          col("shard"), col("l_partkey"))
+        graft.operators.Profiling.pruneSimulation(stats, lit(100), lit(199))
+          .select(lit(name).as("layout"), col("n_shards"), col("n_pruned"),
+            col("n_scanned"), col("rows_skipped"), col("rows_total"),
+            col("skip_ratio"))
+      }
+      layout("arrival", li, expr("l_orderkey DIV 4096"),
+        Seq(col("l_orderkey"), col("l_linenumber")))
+        .unionByName(layout("zorder",
+          li.withColumn("__zv", graft.operators.Layout.zValue(12,
+            col("l_partkey"), col("l_suppkey"))),
+          expr("__zv DIV 4096"),
+          Seq(col("__zv"), col("l_orderkey"), col("l_linenumber"))))
+        .orderBy("layout")
+    }),
+
     "q66_zorder" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
@@ -1024,6 +1052,51 @@ object RelationalQueries {
       s"""SELECT l_partkey, l_suppkey, ($z) AS z
          |FROM lineitem
          |ORDER BY z, l_partkey, l_suppkey LIMIT 200""".stripMargin
+    },
+
+    // Two rankings of the same rows → 1000-row shards → zone-map stats
+    // on l_partkey → the q155 prune rule for BETWEEN 100 AND 199.
+    "q226_zorder_benefit" -> {
+      val z = (0 until 12).flatMap { b =>
+        Seq(s"(((CAST(l_partkey AS BIGINT) >> $b) & 1) << ${2 * b})",
+          s"(((CAST(l_suppkey AS BIGINT) >> $b) & 1) << ${2 * b + 1})")
+      }.mkString(" | ")
+      def side(name: String, shardSql: String) =
+        s"""(WITH sh AS ($shardSql),
+           |st AS (
+           |  SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           |         CAST(min(l_partkey) AS BIGINT) AS min_v,
+           |         CAST(max(l_partkey) AS BIGINT) AS max_v
+           |  FROM sh GROUP BY 1),
+           |pr AS (
+           |  SELECT CASE WHEN max_v < 100 OR min_v > 199 OR min_v IS NULL
+           |              THEN 1 ELSE 0 END AS pruned, n_rows
+           |  FROM st)
+           |SELECT '$name' AS layout,
+           |       CAST(count(*) AS BIGINT) AS n_shards,
+           |       CAST(sum(pruned) AS BIGINT) AS n_pruned,
+           |       CAST(count(*) - sum(pruned) AS BIGINT) AS n_scanned,
+           |       CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)
+           |         AS BIGINT) AS rows_skipped,
+           |       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           |       CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)
+           |         AS DOUBLE) / CAST(sum(n_rows) AS DOUBLE) AS skip_ratio
+           |FROM pr)""".stripMargin
+      val arrival =
+        """SELECT l_partkey,
+          |       CAST((row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+          |         - 1) // 1000 AS BIGINT) AS shard
+          |FROM lineitem""".stripMargin
+      val zorder =
+        s"""SELECT l_partkey,
+           |       CAST((row_number() OVER (ORDER BY ($z), l_orderkey,
+           |         l_linenumber) - 1) // 1000 AS BIGINT) AS shard
+           |FROM lineitem""".stripMargin
+      s"""SELECT * FROM (
+         |${side("arrival", arrival)}
+         |UNION ALL
+         |${side("zorder", zorder)}
+         |) ORDER BY layout""".stripMargin
     },
 
     "q105_pagerank" -> oPagerank(iters = 8),
