@@ -309,6 +309,35 @@ object EventAnalytics {
       .limit(topK)
   }
 
+  /** [[rollingMadAnomaly]] per GROUP — the robust sibling of
+    * [[cusumCountsByGroup]]: every key gets its own trailing median/MAD
+    * baseline over its own bucket series, windows partitioned by the
+    * group over (group × bucket) histogram rows.
+    *
+    * @return (group, bucket, x, med, mad, alarm)
+    */
+  def rollingMadAnomalyByGroup(df: DataFrame, group: Column, bucket: Column,
+                               w: Int, k: Int): DataFrame = {
+    require(w >= 3 && w % 2 == 1, "window must be odd and >= 3")
+    require(k >= 1)
+    val hist = df.select(group.as("group"), bucket.cast(LongType).as("bucket"))
+      .filter(col("bucket").isNotNull && col("group").isNotNull)
+      .groupBy("group", "bucket").agg(count(lit(1)).as("x"))
+    val win = Window.partitionBy("group").orderBy("bucket")
+      .rowsBetween(-w, -1)
+    val mid = (w + 1) / 2
+    hist
+      .withColumn("__t", collect_list(col("x")).over(win))
+      .withColumn("med", when(size(col("__t")) === w,
+        element_at(array_sort(col("__t")), mid)))
+      .withColumn("mad", when(col("med").isNotNull,
+        element_at(array_sort(
+          transform(col("__t"), v => abs(v - col("med")))), mid)))
+      .select(col("group"), col("bucket"), col("x"), col("med"), col("mad"),
+        when(col("med").isNotNull,
+          abs(col("x") - col("med")) > col("mad") * k).as("alarm"))
+  }
+
   /** First-order Markov TRANSITION matrix over per-key event sequences:
     * for every consecutive (state → next state) step within a key's
     * time-ordered stream, the exact count, the from-state row total, and

@@ -467,6 +467,32 @@ object Profiling {
             col("ct").cast("double")))
   }
 
+  /** One-row CRAMÉR'S V on top of [[chiSquaredCells]] — the normalized
+    * association strength (0..1) between two categoricals:
+    * V = √(χ²/N / min(r−1, c−1)). The χ² sum crosses cells with
+    * DIFFERENT denominators, so a plain double sum would be
+    * partition-order-dependent; each cell's contrib is quantized to 2³⁰
+    * fixed point first (the q189 averagePrecision discipline) and summed
+    * as exact BIGINT — bias ≤ cells·2⁻³⁰, far below any reading of an
+    * association score. `sqrt` is IEEE correctly-rounded everywhere.
+    * NULL when either variable has a single level.
+    *
+    * @return (n, r, c, chi2_fp, chi2, v)
+    */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val Scale = 1L << 30
+    chiSquaredCells(df, colA, colB)
+      .agg(min(col("n")).as("n"),
+        countDistinct(col(colA)).as("r"),
+        countDistinct(col(colB)).as("c"),
+        sum(floor(col("contrib") * Scale).cast("long")).as("chi2_fp"))
+      .withColumn("chi2", col("chi2_fp").cast("double") / Scale)
+      .withColumn("v",
+        when(least(col("r") - 1, col("c") - 1) > 0,
+          sqrt((col("chi2") / col("n").cast("double")) /
+            least(col("r") - 1, col("c") - 1).cast("double"))))
+  }
+
   /** Per-COLUMN long-format profile — the Deequ/TFDV "dataset statistics"
     * table: for each named column, row count, NULL count, exact distinct
     * count (NULLs excluded), the mode's frequency, completeness and a

@@ -2361,6 +2361,38 @@ object LlmQueries {
           Sampling.stratifiedKFold(docs.select("doc_id", "lang"), "lang",
             "doc_id", 5), "doc_id"))
         .orderBy("artifact")
+    }),
+
+    // Per-TYPE rolling-MAD monitors — q208 partitioned by group, the
+    // robust sibling of q223's per-type CUSUM.
+    "q227_mad_by_type" -> ((s, dir) =>
+      graft.operators.EventAnalytics.rollingMadAnomalyByGroup(
+        graft.io.TableIO.eventsNanos(s, dir), col("event_type"),
+        expr("ts DIV 86400000000000"), w = 7, k = 3)
+        .orderBy("group", "bucket")),
+
+    // Cramér's V over (source, lang): q173's cells reduced to the one
+    // normalized association number — fixed-point cell sum (exact
+    // BIGINT), one sqrt.
+    "q228_cramers_v" -> ((s, dir) =>
+      graft.operators.Profiling.cramersV(t(s, dir, "documents"),
+        "source", "lang")),
+
+    // Embedding distribution drift: per-dimension fixed-point stats of
+    // the corpus vs a partial snapshot (every 11th vector dropped),
+    // joined per dim — the embedding-space monitor next to q140's
+    // categorical TVD and q190's KS.
+    "q229_embed_drift" -> ((s, dir) => {
+      val v1 = t(s, dir, "embeddings")
+      val v2 = v1.filter(col("vec_id") % 11 =!= 0)
+      def d(df: DataFrame, sfx: String) =
+        graft.operators.EmbeddingStats.dimensionStats(df, "embedding")
+          .select(col("dim"), col("n").as(s"n_$sfx"),
+            col("sum_fixed").as(s"sum_$sfx"),
+            col("mean").as(s"mean_$sfx"), col("std").as(s"std_$sfx"))
+      d(v1, "v1").join(d(v2, "v2"), "dim")
+        .withColumn("mean_shift", col("mean_v2") - col("mean_v1"))
+        .orderBy("dim")
     })
   )
 
@@ -7104,6 +7136,110 @@ object LlmQueries {
          |  UNION ALL SELECT 'kfold', n_rows, n_residue,
          |         n_residue = 0 FROM a3)
          |ORDER BY artifact""".stripMargin
+    },
+
+    // q208's list windows partitioned by type.
+    "q227_mad_by_type" ->
+      """WITH h AS (
+        |  SELECT event_type AS grp,
+        |         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT grp, bucket, x,
+        |         list(x) OVER (PARTITION BY grp ORDER BY bucket
+        |           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS t
+        |  FROM h),
+        |m AS (
+        |  SELECT grp, bucket, x,
+        |         CASE WHEN len(t) = 7
+        |              THEN list_sort(t)[4] END AS med, t
+        |  FROM w)
+        |SELECT grp AS "group", bucket, x, med,
+        |       CASE WHEN med IS NOT NULL
+        |            THEN list_sort(list_transform(t, v -> abs(v - med)))[4]
+        |       END AS mad,
+        |       CASE WHEN med IS NOT NULL
+        |            THEN abs(x - med) >
+        |                 list_sort(list_transform(t, v -> abs(v - med)))[4] * 3
+        |       END AS alarm
+        |FROM m ORDER BY "group", bucket""".stripMargin,
+
+    // q173's grid cells, each contrib quantized to 2^30 before the
+    // exact sum; one sqrt at the end.
+    "q228_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |fl AS (
+        |  SELECT r.source, c.lang, CAST(COALESCE(cl.o, 0) AS BIGINT) AS o,
+        |         r.rt, c.ct, nn.n
+        |  FROM rt r CROSS JOIN nn CROSS JOIN ct c
+        |  LEFT JOIN cells cl ON cl.source = r.source AND cl.lang = c.lang),
+        |q AS (
+        |  SELECT n,
+        |         CAST(floor(
+        |           (CAST(o * n - rt * ct AS DOUBLE) *
+        |            CAST(o * n - rt * ct AS DOUBLE)) /
+        |           (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |           * 1073741824) AS BIGINT) AS cq,
+        |         source, lang
+        |  FROM fl),
+        |a AS (
+        |  SELECT CAST(min(n) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS r,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS c,
+        |         CAST(sum(cq) AS BIGINT) AS chi2_fp
+        |  FROM q)
+        |SELECT n, r, c, chi2_fp,
+        |       CAST(chi2_fp AS DOUBLE) / 1073741824 AS chi2,
+        |       CASE WHEN least(r - 1, c - 1) > 0
+        |            THEN sqrt((CAST(chi2_fp AS DOUBLE) / 1073741824
+        |                       / CAST(n AS DOUBLE))
+        |                      / CAST(least(r - 1, c - 1) AS DOUBLE))
+        |       END AS v
+        |FROM a""".stripMargin,
+
+    // Two q158 chains (full vs every-11th-dropped) joined per dim.
+    "q229_embed_drift" -> {
+      def chain(sfx: String, where: String) =
+        s"""ev$sfx AS (
+           |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings $where),
+           |px$sfx AS (
+           |  SELECT t.i AS dim, v[t.i + 1] AS x FROM ev$sfx, range(64) t(i)),
+           |fx$sfx AS (
+           |  SELECT dim, CAST(floor(x * 1048576) AS BIGINT) AS f
+           |  FROM px$sfx),
+           |ag$sfx AS (
+           |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(f) AS BIGINT) AS s,
+           |         CAST(sum(CAST(floor(x * x * 1048576) AS BIGINT)) AS BIGINT)
+           |           AS s2
+           |  FROM (SELECT dim, x, CAST(floor(x * 1048576) AS BIGINT) AS f
+           |        FROM px$sfx) GROUP BY 1)""".stripMargin
+      def stats(sfx: String) =
+        s"""SELECT dim, n AS n_$sfx, s AS sum_$sfx,
+           |       CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)
+           |         AS mean_$sfx,
+           |       sqrt(greatest(0.0,
+           |         (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+           |          CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 1048576) /
+           |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1048576)))
+           |         AS std_$sfx
+           |FROM ag$sfx""".stripMargin
+      s"""WITH ${chain("1", "")},
+         |${chain("2", "WHERE vec_id % 11 <> 0")},
+         |s1 AS (${stats("1")}),
+         |s2 AS (${stats("2")})
+         |SELECT s1.dim, n_1 AS n_v1, sum_1 AS sum_v1, mean_1 AS mean_v1,
+         |       std_1 AS std_v1, n_2 AS n_v2, sum_2 AS sum_v2,
+         |       mean_2 AS mean_v2, std_2 AS std_v2,
+         |       mean_2 - mean_1 AS mean_shift
+         |FROM s1 JOIN s2 ON s1.dim = s2.dim
+         |ORDER BY s1.dim""".stripMargin
     }
   )
 }
