@@ -261,6 +261,40 @@ object EventStreams {
       }
   }
 
+  case class LastSeen(ts: Long, event_id: Long, event_type: String)
+  case class Transition(user_id: Long, from_state: String, to_state: String)
+
+  /** Streaming twin of [[graft.operators.EventAnalytics
+    * .transitionMatrix]]'s pair stream: per user, every consecutive
+    * (state → next state) step as it happens, with the LAST event held
+    * in keyed state (one small struct per user — the minimal possible
+    * state for sequence analytics). Downstream aggregation of the
+    * emitted pairs reproduces the batch matrix counts on an in-ORDER
+    * source (the contract: within a batch, events sort by (ts,
+    * event_id); an event arriving after a later-stamped one already
+    * advanced its user's state would order differently than the batch
+    * operator — watermark-hold upstream if the source reorders).
+    */
+  def runningTransitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[LastSeen]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          evs.foreach { e =>
+            last.foreach(p =>
+              out += Transition(userId, p.event_type, e.event_type))
+            last = Some(LastSeen(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream INTERVAL join — the attribution shape: each `right`
     * event (a click) joins the `left` events (impressions) of the same
     * key whose timestamp precedes it by at most `within`. Works

@@ -738,6 +738,39 @@ class StreamingSpec extends SparkSpec {
     assert(c0 === Map("a" -> 30L, "b" -> 5L))
   }
 
+  test("runningTransitions: cross-batch state, aggregated parity with batch matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.runningTransitions(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transitions").start()
+    try {
+      // user 1's a→b lands in batch 1; b→a SPANS the batch boundary
+      input.addData(
+        Event(1, ts(0), 1, "a", 0.0), Event(2, ts(1), 1, "b", 0.0),
+        Event(3, ts(0), 2, "a", 0.0))
+      query.processAllAvailable()
+      input.addData(
+        Event(4, ts(2), 1, "a", 0.0), Event(5, ts(3), 2, "b", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("transitions")
+        .groupBy("from_state", "to_state").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      // batch reference over the same rows
+      val batch = graft.operators.EventAnalytics.transitionMatrix(
+        Seq((1L, 0L, 1L, "a"), (2L, 1L, 1L, "b"), (3L, 0L, 2L, "a"),
+          (4L, 2L, 1L, "a"), (5L, 3L, 2L, "b"))
+          .toDF("event_id", "t", "user_id", "s"),
+        "user_id", Seq(col("t"), col("event_id")), "s")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got === batch,
+        "streamed pair counts must equal the batch transition counts")
+      assert(got === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+    } finally query.stop()
+  }
+
   test("windowedRuleAudit: per-window rule counts, batch parity across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val rules = Seq(
