@@ -2378,6 +2378,39 @@ object LlmQueries {
       graft.operators.Profiling.cramersV(t(s, dir, "documents"),
         "source", "lang")),
 
+    // The data-quality families composed into ONE release verdict row
+    // (the q166/q184 discipline over this round's audits): integrity
+    // (doc_id unique + text complete), privacy (every lang t-close),
+    // balance (every source's effective language count), duplication
+    // (wide-tier pair mass) — booleans + the numbers behind them, one
+    // plan.
+    "q230_quality_verdict" -> ((s, dir) => {
+      val docs = graft.operators.CacheScope.track(t(s, dir, "documents"))
+      val cons = graft.operators.Constraints.audit(Seq(
+        graft.operators.Constraints.rowRules(docs, Seq(
+          ("complete:text", col("text").isNull))),
+        graft.operators.Constraints.uniqueRule(docs, "unique:doc_id",
+          Seq("doc_id"))))
+        .agg(count(lit(1)).as("n_rules"),
+          count(when(!col("passed"), 1L)).as("rules_failed"))
+      val tc = graft.operators.Privacy.tClosenessAudit(docs, Seq("lang"),
+        expr("n_chars DIV 100"), tMax = 0.2)
+        .agg(count(when(!col("t_close"), 1L)).as("langs_leaking"),
+          max("t").as("max_t"))
+      val div = graft.operators.Profiling.diversityByGroup(docs, "source",
+        "lang")
+        .agg(min("inv_simpson").as("min_inv_simpson"))
+      val dups = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        maxHamming = 2)
+        .agg(count(lit(1)).as("dup_pairs"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      n.crossJoin(cons).crossJoin(tc).crossJoin(div).crossJoin(dups)
+        .withColumn("ship",
+          col("rules_failed") === 0 && col("langs_leaking") === 0 &&
+            col("min_inv_simpson") >= 1.5 &&
+            col("dup_pairs") * 20 < col("n_docs"))
+    }),
+
     // Embedding distribution drift: per-dimension fixed-point stats of
     // the corpus vs a partial snapshot (every 11th vector dropped),
     // joined per dim — the embedding-space monitor next to q140's
@@ -7164,6 +7197,77 @@ object LlmQueries {
         |                 list_sort(list_transform(t, v -> abs(v - med)))[4] * 3
         |       END AS alarm
         |FROM m ORDER BY "group", bucket""".stripMargin,
+
+    // One-row composition of the audit oracles: rules, t-closeness,
+    // diversity, wide pairs — cross-joined scalars.
+    "q230_quality_verdict" ->
+      s"""WITH cons AS (
+         |  SELECT CAST(2 AS BIGINT) AS n_rules,
+         |         CAST((CASE WHEN count(CASE WHEN text IS NULL THEN 1 END) > 0
+         |                THEN 1 ELSE 0 END) +
+         |              (CASE WHEN count(*) > count(DISTINCT doc_id)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS rules_failed
+         |  FROM documents),
+         |s AS (SELECT lang, CAST(n_chars // 100 AS BIGINT) AS v
+         |      FROM documents),
+         |gv AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS c
+         |       FROM s GROUP BY 1, 2),
+         |gl AS (SELECT v, CAST(count(*) AS BIGINT) AS cq FROM s GROUP BY 1),
+         |glc AS (
+         |  SELECT v, CAST(sum(cq) OVER (ORDER BY v) AS BIGINT) AS cumq,
+         |         CAST(sum(cq) OVER () AS BIGINT) AS n,
+         |         CAST(count(*) OVER () AS BIGINT) AS nv
+         |  FROM gl),
+         |gs AS (SELECT lang, CAST(count(*) AS BIGINT) AS group_size
+         |       FROM s GROUP BY 1),
+         |grid AS (
+         |  SELECT gs.lang, gs.group_size, glc.v, glc.cumq, glc.n, glc.nv,
+         |         CAST(coalesce(gv.c, 0) AS BIGINT) AS c
+         |  FROM gs CROSS JOIN glc
+         |  LEFT JOIN gv ON gv.lang = gs.lang AND gv.v = glc.v),
+         |cc AS (
+         |  SELECT lang, group_size, n, nv, cumq,
+         |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY v)
+         |           AS BIGINT) AS cump
+         |  FROM grid),
+         |tl AS (
+         |  SELECT lang,
+         |         CAST(sum(abs(cump * n - cumq * group_size)) AS DOUBLE)
+         |           / CAST(group_size * n * (nv - 1) AS DOUBLE) AS t
+         |  FROM cc GROUP BY lang, group_size, n, nv),
+         |tc AS (
+         |  SELECT CAST(count(CASE WHEN NOT (t <= 0.2) THEN 1 END) AS BIGINT)
+         |           AS langs_leaking,
+         |         max(t) AS max_t
+         |  FROM tl),
+         |dh AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+         |       FROM documents GROUP BY 1, 2),
+         |da AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(sum(c * c) AS BIGINT) AS sq
+         |  FROM dh GROUP BY 1),
+         |div_ AS (
+         |  SELECT min(CAST(n * n AS DOUBLE) / CAST(sq AS DOUBLE))
+         |           AS min_inv_simpson
+         |  FROM da),
+         |${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |dp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS dup_pairs
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT nn.n_docs, cons.n_rules, cons.rules_failed,
+         |       tc.langs_leaking, tc.max_t, div_.min_inv_simpson,
+         |       dp.dup_pairs,
+         |       cons.rules_failed = 0 AND tc.langs_leaking = 0
+         |         AND div_.min_inv_simpson >= 1.5
+         |         AND dp.dup_pairs * 20 < nn.n_docs AS ship
+         |FROM nn CROSS JOIN cons CROSS JOIN tc CROSS JOIN div_
+         |CROSS JOIN dp""".stripMargin,
 
     // q173's grid cells, each contrib quantized to 2^30 before the
     // exact sum; one sqrt at the end.
