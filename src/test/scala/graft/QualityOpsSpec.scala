@@ -370,6 +370,40 @@ class QualityOpsSpec extends SparkSpec {
       s"expected most chunks stable, got $shared/${d1.size}")
   }
 
+  test("plan shape: budgetCapPerGroup broadcasts its offset table and never windows ungrouped") {
+    val df = (1L to 50L).map(i => ("g" + (i % 3), i, 2L)).toDF("g", "ord", "w")
+    val plan = graft.operators.Mixing.budgetCapPerGroup(df, col("g"),
+      expr("ord DIV 8"), Seq(col("ord")), col("w"), budget = 20L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"histogram offsets must broadcast:\n$plan")
+    // the only window partitions by (group, bucket) — no global funnel
+    assert(!plan.contains("Window [") ||
+      !plan.split('\n').exists(l =>
+        l.contains("windowspecdefinition()") && l.contains("Window")),
+      s"ungrouped window leaked:\n$plan")
+  }
+
+  test("plan shape: phraseSearch pushes the word filters below the joins") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = graft.operators.InvertedIndex.phraseSearch(docs, "doc_id",
+      "text", Seq("a", "b")).queryExecution.optimizedPlan.toString
+    assert(plan.contains("__t = a") || plan.contains("(__t#"),
+      s"per-word filter must survive pushdown:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"),
+      s"cartesian leaked:\n$plan")
+  }
+
+  test("plan shape: columnProfile is two hash aggregates, no Expand") {
+    val df = Seq((1L, "a")).toDF("id", "tag")
+    val plan = graft.operators.Profiling.columnProfile(df, Seq("id", "tag"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"stack-based profile must avoid count-distinct Expand:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected the two-level histogram aggregate:\n$plan")
+  }
+
   test("rollingMadAnomaly: trailing median excludes current; warm-up NULL") {
     // days 0..6 flat at 2 (by construction of counts), day 7 spikes to 9.
     val xs = Seq(2L, 2L, 2L, 2L, 2L, 2L, 2L, 9L)
