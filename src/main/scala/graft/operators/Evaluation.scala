@@ -202,6 +202,127 @@ object Evaluation {
       .orderBy(col("f1").desc, col("threshold").asc)
       .limit(1)
 
+  /** Cumulative GAIN/LIFT table — the "how much of the good data do the
+    * top k% of scores capture" read every triage pipeline wants before
+    * it trusts a classifier to rank a corpus (AUC says the ranking is
+    * good on average; THIS says what acting on the top decile buys).
+    *
+    * Ranks are exact and deterministic: ordinal along (score DESC,
+    * key ASC) via [[GlobalIds.contiguousIds]] — histogram-offset, no
+    * global sort funnel (the bucket is the negated score, monotone
+    * along the order; within-bucket windows see one score's ties only).
+    * Bucket d of `buckets` covers ordinals with `(ord·buckets) DIV N =
+    * d` — sizes differ by ≤ 1, boundary ties resolved by the key
+    * tiebreak, never by engine sort stability.
+    *
+    * Per bucket: `(decile, n, n_pos, cum_n, cum_pos, pos_rate,
+    * cum_gain, lift)` where cum_gain = cum_pos/P (recall at depth) and
+    * lift = cum_pos·N / (cum_n·P) (capture rate vs random). BIGINT
+    * counts; one division per ratio; windows run over `buckets` rows.
+    * NULL scores/labels are excluded (unrankable).
+    */
+  def decileLift(df: DataFrame, keyCol: String, scoreCol: String,
+                 labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "need at least one bucket")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"),
+        col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+    val ranked = GlobalIds.contiguousIds(base, -col("__s"),
+      Seq(col("__s").desc, col("__k").asc), "__ord")
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy() // over `buckets` histogram rows only
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr(s"(__ord * $buckets) DIV __n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), count(when(col("__y"), 1L)).as("n_pos"))
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("__P", sum(col("n_pos")).over(wAll))
+      .withColumn("__N", sum(col("n")).over(wAll))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        when(col("__P") > 0,
+          col("cum_pos").cast("double") / col("__P").cast("double"))
+          .as("cum_gain"),
+        when(col("__P") > 0,
+          (col("cum_pos") * col("__N")).cast("double") /
+            (col("cum_n") * col("__P")).cast("double")).as("lift"))
+  }
+
+  /** Split-CONFORMAL acceptance gate: calibrate a score threshold with
+    * a finite-sample coverage guarantee, then measure it on the held
+    * split — the distribution-free answer to "what cutoff keeps ≥
+    * (1−α) of genuinely good documents", with the miss rate guaranteed
+    * by exchangeability, not by trusting the classifier's calibration.
+    *
+    * Split: [[Sampling.hashBucket]](key) < calPct is calibration —
+    * deterministic, reproducible, same convention as q99. On the
+    * calibration POSITIVES' scores, the threshold is the k-th smallest
+    * with k = ⌊α·(n_cal+1)⌋ (α = alphaNum/alphaDen exactly — integer
+    * arithmetic, no float α): accepting scores ≥ that order statistic
+    * misses at most k−1 of n_cal exchangeable positives, so expected
+    * test coverage ≥ 1 − α. k = 0 (or no calibration positives) means
+    * α is too tight for the sample — threshold NULL = accept-all.
+    *
+    * Order statistic via the score histogram (min score whose ascending
+    * cumulative count reaches k) — no sort, no collect; windows over
+    * distinct-score rows only. One output row: `(n_cal, k, threshold,
+    * n_test_pos, n_test_cov, coverage, n_test_neg, n_neg_pass,
+    * neg_pass_rate)` — coverage is the guaranteed side; neg_pass_rate
+    * is the price (bad docs the gate lets through at that threshold).
+    */
+  def conformalGate(df: DataFrame, keyCol: String, scoreCol: String,
+                    labelCol: String, calPct: Int = 50,
+                    alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    require(calPct > 0 && calPct < 100, "calPct must split both ways")
+    require(alphaNum >= 0 && alphaDen > 0, "alpha must be a ratio >= 0")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"),
+        col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .withColumn("__cal", Sampling.hashBucket(col("__k"), 100) < calPct)
+    val wCum = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy() // distinct-score histogram rows
+    val thr = base.filter(col("__cal") && col("__y"))
+      .groupBy("__s").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__ncal", sum(col("__c")).over(wAll))
+      .withColumn("__kk",
+        expr(s"($alphaNum * (__ncal + 1)) DIV $alphaDen"))
+      .filter(col("__cum") >= col("__kk") && col("__kk") >= 1)
+      .agg(min(col("__s")).as("__thr"))
+    val cal = base.filter(col("__cal") && col("__y"))
+      .agg(count(lit(1)).as("n_cal"))
+    base.filter(!col("__cal"))
+      .crossJoin(broadcast(thr))
+      .withColumn("__pass", col("__thr").isNull || col("__s") >= col("__thr"))
+      .agg(
+        count(when(col("__y"), 1L)).as("n_test_pos"),
+        count(when(col("__y") && col("__pass"), 1L)).as("n_test_cov"),
+        count(when(!col("__y"), 1L)).as("n_test_neg"),
+        count(when(!col("__y") && col("__pass"), 1L)).as("n_neg_pass"),
+        min(col("__thr")).as("threshold"))
+      .crossJoin(broadcast(cal))
+      .select(col("n_cal"),
+        expr(s"($alphaNum * (n_cal + 1)) DIV $alphaDen").as("k"),
+        col("threshold"), col("n_test_pos"), col("n_test_cov"),
+        when(col("n_test_pos") > 0,
+          col("n_test_cov").cast("double") / col("n_test_pos").cast("double"))
+          .as("coverage"),
+        col("n_test_neg"), col("n_neg_pass"),
+        when(col("n_test_neg") > 0,
+          col("n_neg_pass").cast("double") / col("n_test_neg").cast("double"))
+          .as("neg_pass_rate"))
+  }
+
   /** Deterministic Poisson-BOOTSTRAP error bars for [[aucExact]]: each
     * replicate b reweights every example by its [[Sampling
     * .poissonWeight]] draw, and the midrank formula runs on WEIGHTED

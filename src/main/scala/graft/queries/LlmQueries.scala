@@ -2426,7 +2426,25 @@ object LlmQueries {
       d(v1, "v1").join(d(v2, "v2"), "dim")
         .withColumn("mean_shift", col("mean_v2") - col("mean_v1"))
         .orderBy("dim")
-    })
+    }),
+
+    // Cumulative gain/lift table of the distilled classifier: what the
+    // top decile of scores captures vs random — the triage read that
+    // turns q169's AUC into an operating decision. Exact ordinals
+    // (histogram-offset, tie-broken by doc_id), BIGINT counts, one
+    // division per ratio.
+    "q231_decile_lift" -> ((s, dir) =>
+      graft.operators.Evaluation.decileLift(distillScored(s, dir),
+        "doc_id", "zq", "keep").orderBy("decile")),
+
+    // Split-conformal acceptance gate on the same scores: threshold =
+    // k-th smallest calibration-positive score, k = ⌊α(n+1)⌋ at α=1/10
+    // — a distribution-free ≥90% keep-coverage guarantee, then the
+    // measured coverage and the bad-doc pass rate it costs on the held
+    // split.
+    "q232_conformal_gate" -> ((s, dir) =>
+      graft.operators.Evaluation.conformalGate(distillScored(s, dir),
+        "doc_id", "zq", "keep", calPct = 50, alphaNum = 1, alphaDen = 10))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -7344,6 +7362,88 @@ object LlmQueries {
          |       mean_2 - mean_1 AS mean_shift
          |FROM s1 JOIN s2 ON s1.dim = s2.dim
          |ORDER BY s1.dim""".stripMargin
-    }
+    },
+
+    // Exact descending-rank ordinals (row_number − 1, ties by doc_id),
+    // balanced bucket = (ord·10) // N, then cumulative BIGINT counts;
+    // one division per ratio.
+    "q231_decile_lift" ->
+      s"""WITH $oDistillScoredCtes,
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM scored),
+         |rk AS (
+         |  SELECT keep,
+         |         CAST(row_number() OVER (ORDER BY zq DESC, doc_id) - 1
+         |           AS BIGINT) AS ord
+         |  FROM scored),
+         |dec AS (
+         |  SELECT CAST((ord * 10) // nn AS BIGINT) AS decile, keep
+         |  FROM rk, tot),
+         |h AS (
+         |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_pos
+         |  FROM dec GROUP BY 1),
+         |c AS (
+         |  SELECT decile, n, n_pos,
+         |         CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         |         CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT)
+         |           AS cum_pos,
+         |         CAST(sum(n_pos) OVER () AS BIGINT) AS p,
+         |         CAST(sum(n) OVER () AS BIGINT) AS nall
+         |  FROM h)
+         |SELECT decile, n, n_pos, cum_n, cum_pos,
+         |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+         |       CASE WHEN p > 0
+         |            THEN CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE)
+         |       END AS cum_gain,
+         |       CASE WHEN p > 0
+         |            THEN CAST(cum_pos * nall AS DOUBLE) /
+         |                 CAST(cum_n * p AS DOUBLE)
+         |       END AS lift
+         |FROM c ORDER BY decile""".stripMargin,
+
+    // q99's hash-bucket split, the k-th-smallest calibration-positive
+    // score as min(s) where ascending cum ≥ k = (n_cal+1) // 10, then
+    // held-split coverage/pass counts — BIGINTs + one division each.
+    "q232_conformal_gate" ->
+      s"""WITH $oDistillScoredCtes,
+         |b AS (
+         |  SELECT doc_id, zq, keep,
+         |         (((doc_id % 2147483648) * 2654435761) % 4294967296)
+         |           % 100 < 50 AS cal
+         |  FROM scored),
+         |ch AS (
+         |  SELECT zq AS s, CAST(count(*) AS BIGINT) AS c
+         |  FROM b WHERE cal AND keep GROUP BY 1),
+         |cc AS (
+         |  SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum,
+         |         CAST(sum(c) OVER () AS BIGINT) AS ncal
+         |  FROM ch),
+         |caln AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cal
+         |  FROM b WHERE cal AND keep),
+         |thr AS (
+         |  SELECT min(s) AS t FROM cc
+         |  WHERE cum >= (ncal + 1) // 10 AND (ncal + 1) // 10 >= 1),
+         |tst AS (
+         |  SELECT CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT)
+         |           AS n_test_pos,
+         |         CAST(count(CASE WHEN keep AND (t IS NULL OR zq >= t)
+         |                         THEN 1 END) AS BIGINT) AS n_test_cov,
+         |         CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
+         |           AS n_test_neg,
+         |         CAST(count(CASE WHEN NOT keep AND (t IS NULL OR zq >= t)
+         |                         THEN 1 END) AS BIGINT) AS n_neg_pass,
+         |         min(t) AS threshold
+         |  FROM b, thr WHERE NOT cal)
+         |SELECT n_cal, CAST((n_cal + 1) // 10 AS BIGINT) AS k, threshold,
+         |       n_test_pos, n_test_cov,
+         |       CASE WHEN n_test_pos > 0
+         |            THEN CAST(n_test_cov AS DOUBLE) /
+         |                 CAST(n_test_pos AS DOUBLE) END AS coverage,
+         |       n_test_neg, n_neg_pass,
+         |       CASE WHEN n_test_neg > 0
+         |            THEN CAST(n_neg_pass AS DOUBLE) /
+         |                 CAST(n_test_neg AS DOUBLE) END AS neg_pass_rate
+         |FROM caln, tst""".stripMargin
   )
 }

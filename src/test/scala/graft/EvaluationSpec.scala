@@ -118,4 +118,77 @@ class EvaluationSpec extends SparkSpec {
     assert(m.getAs[Long]("ks_num") === 2L && m.getAs[Long]("ks_den") === 4L)
     assert(m.getAs[Double]("ks") === 0.5)
   }
+
+  // 20 rows, scores = key, positives = top half exactly: every decile
+  // is 2 rows; deciles 0-4 all positive, 5-9 all negative.
+  private lazy val separable = (0L until 20L).map(k =>
+    (k, k, k >= 10L)).toDF("k", "s", "y")
+
+  test("decileLift: separable scores give lift 2 at the top, exact counts") {
+    val rows = Evaluation.decileLift(separable, "k", "s", "y")
+      .orderBy("decile").collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Long]("n")).forall(_ === 2L))
+    assert(rows(0).getAs[Long]("n_pos") === 2L)
+    assert(rows(0).getAs[Double]("lift") === 2.0) // 2/2 vs 10/20
+    assert(rows(4).getAs[Long]("cum_pos") === 10L)
+    assert(rows(4).getAs[Double]("cum_gain") === 1.0)
+    assert(rows(9).getAs[Long]("cum_n") === 20L)
+    assert(rows(9).getAs[Double]("lift") === 1.0) // full depth = random
+  }
+
+  test("decileLift: uneven N splits buckets by (ord*k) DIV N, sizes differ by <= 1") {
+    val d = (0L until 13L).map(k => (k, k % 5, k % 3 == 0L))
+      .toDF("k", "s", "y")
+    val rows = Evaluation.decileLift(d, "k", "s", "y", buckets = 4)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(4L, 3L, 3L, 3L))
+    assert(rows.map(_.getAs[Long]("n_pos")).sum === 5L)
+    assert(rows.last.getAs[Long]("cum_n") === 13L)
+  }
+
+  test("decileLift: tie straddling a boundary resolves by key, deterministically") {
+    // 4 rows all score 7: buckets of 2/2, split by key order
+    val d = Seq((1L, 7L, true), (2L, 7L, false), (3L, 7L, true),
+      (4L, 7L, false)).toDF("k", "s", "y")
+    val rows = Evaluation.decileLift(d, "k", "s", "y", buckets = 2)
+      .orderBy("decile").collect()
+    // keys 1,2 (pos,neg) in bucket 0; keys 3,4 in bucket 1
+    assert(rows(0).getAs[Long]("n_pos") === 1L)
+    assert(rows(1).getAs[Long]("n_pos") === 1L)
+  }
+
+  test("conformalGate: threshold is the k-th smallest calibration positive") {
+    // Keys chosen so hashBucket(k,100) < 50 splits; verify against a
+    // direct recomputation rather than hand-picked buckets.
+    val d = (0L until 200L).map(k => (k, k, k % 4 != 0L)).toDF("k", "s", "y")
+    val r = Evaluation.conformalGate(d, "k", "s", "y", calPct = 50,
+      alphaNum = 1, alphaDen = 10).collect()(0)
+    import graft.operators.Sampling
+    val calMask = d.select(col("k"),
+      (Sampling.hashBucket(col("k"), 100) < 50).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    val calPos = (0L until 200L).filter(k => calMask(k) && k % 4 != 0L)
+    val nCal = calPos.size
+    assert(r.getAs[Long]("n_cal") === nCal.toLong)
+    val k = (nCal + 1) / 10
+    assert(r.getAs[Long]("k") === k.toLong)
+    val thr = calPos.sorted.apply(k - 1) // k-th smallest, 1-based
+    assert(r.getAs[Long]("threshold") === thr)
+    val testPos = (0L until 200L).filter(x => !calMask(x) && x % 4 != 0L)
+    val cov = testPos.count(_ >= thr)
+    assert(r.getAs[Long]("n_test_cov") === cov.toLong)
+    // finite-sample guarantee: miss at most k-1 of n_cal+1 exchangeables
+    assert(r.getAs[Double]("coverage") >= 0.85)
+  }
+
+  test("conformalGate: alpha too tight for the sample yields accept-all") {
+    val d = (0L until 12L).map(k => (k, k, true)).toDF("k", "s", "y")
+    // alpha = 1/1000 -> k = 0 regardless of split
+    val r = Evaluation.conformalGate(d, "k", "s", "y", calPct = 50,
+      alphaNum = 1, alphaDen = 1000).collect()(0)
+    assert(r.getAs[Long]("k") === 0L)
+    assert(r.isNullAt(r.fieldIndex("threshold")))
+    assert(r.getAs[Double]("coverage") === 1.0)
+  }
 }
