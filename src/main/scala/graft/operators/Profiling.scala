@@ -564,4 +564,140 @@ object Profiling {
       .withColumn("inv_simpson",
         (col("n") * col("n")).cast("double") /
           col("simpson_num").cast("double"))
+
+  /** Per-group GINI COEFFICIENT (Lorenz-curve inequality, 0 = all rows
+    * equal mass, →1 = one row holds everything) of a non-negative
+    * integral measure — "is this source's token mass spread across its
+    * documents or concentrated in a few giants?", the concentration
+    * audit a mixing/budgeting stage reads next to [[diversityByGroup]]
+    * (whose `gini` is the unrelated Gini-SIMPSON class impurity).
+    *
+    * Exact via the sorted-rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) /
+    * (n·Σxᵢ) with ascending 1-based ranks — computed WITHOUT ranking
+    * any row: per (group, value) histogram cells contribute
+    * Σ_{run} i·x = x·(c·cum₋ + c(c+1)/2) for a run of c copies of x
+    * starting after cum₋ predecessors (tie-invariant: equal values
+    * commute), so the only window runs over histogram rows, the
+    * [[graft.operators.ExactQuantiles]] discipline. BIGINT throughout
+    * + one final division. Overflow: needs n²·max(x) < 2⁶³ per group —
+    * ~10⁶ rows at million-scale values; bin or sample beyond.
+    *
+    * NULL and negative values are dropped (the Lorenz curve is defined
+    * on non-negative mass); all-zero groups yield NULL gini.
+    *
+    * @return (group, n, total, rank_sum, gini)
+    */
+  def lorenzGiniByGroup(df: DataFrame, groupCol: String,
+                        value: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") >= 0L)
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum0", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__v") * col("__c")).as("total"),
+        // integer DIV, not Column./ (double) — c(c+1) is even, so exact
+        sum(col("__v") * (col("__c") * col("__cum0") +
+          expr("__c * (__c + 1) DIV 2"))).as("rank_sum"))
+      .withColumn("gini",
+        when(col("total") > 0L,
+          (lit(2L) * col("rank_sum") - (col("n") + 1L) * col("total"))
+            .cast("double") / (col("n") * col("total")).cast("double")))
+  }
+
+  /** BENFORD first-digit audit of a positive integral measure —
+    * fabricated or synthetically-generated numeric columns rarely match
+    * the log-scale digit law that organically-grown magnitudes follow,
+    * so the per-digit deviation (and the χ² against Benford expectation)
+    * is a cheap data-forensics read on any money/size/count column.
+    *
+    * The leading digit comes from the BIGINT's decimal string (integer
+    * formatting is engine-identical; no float log10 anywhere). Expected
+    * shares are the 9 literal doubles log₁₀(1+1/d) — constants, same
+    * bits in any engine. Each digit's χ² term (o−e·n)²/(e·n) is
+    * quantized to ⌊term·2³⁰⌋ before the 9-row total so the sum is
+    * order-free BIGINT arithmetic. Zero/negative/NULL values are
+    * excluded (no leading digit); absent digits report observed = 0.
+    *
+    * @return 9 rows: (digit, observed, n, obs_p, expected_p, term_fp,
+    *         chi2_fp, chi2) — chi2 columns are the table-level total,
+    *         repeated per row for single-result convenience
+    */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514).toDF("digit", "expected_p")
+    val counts = df.select(value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0L)
+      .withColumn("digit",
+        substring(col("__v").cast("string"), 1, 1).cast("int"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val wAll = Window.partitionBy() // 9 digit rows
+    broadcast(expected).join(counts, Seq("digit"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .withColumn("n", sum(col("observed")).over(wAll))
+      .withColumn("term_fp",
+        floor(((col("observed").cast("double") -
+          col("expected_p") * col("n").cast("double")) *
+          (col("observed").cast("double") -
+            col("expected_p") * col("n").cast("double")) /
+          (col("expected_p") * col("n").cast("double"))) *
+          lit(1073741824.0)).cast("long"))
+      .withColumn("chi2_fp", sum(col("term_fp")).over(wAll))
+      .select(col("digit"), col("observed"), col("n"),
+        (col("observed").cast("double") / col("n").cast("double"))
+          .as("obs_p"),
+        col("expected_p"), col("term_fp"), col("chi2_fp"),
+        (col("chi2_fp").cast("double") / lit(1073741824.0)).as("chi2"))
+  }
+
+  /** One-way ANOVA of an integral measure across groups: how much of
+    * the column's variance the grouping explains (η² = SSB/SST) and the
+    * F statistic — "does source actually matter for document length, or
+    * is the between-source difference noise?". The variance-decomposition
+    * sibling of [[Regression.corrByGroup]] for a CATEGORICAL regressor.
+    *
+    * One combinable aggregate collects per-group (n_g, Σv, Σv²) exactly
+    * in BIGINT; each group's Σ²/n term (the one unavoidable division)
+    * is quantized to ⌊term·2¹⁰⌋ so the cross-group total stays
+    * order-free BIGINT (quantization bias ≤ groups/2¹⁰ — far below any
+    * F threshold). Final SSB/SSW/η²/F are fixed-shape double arithmetic
+    * on exact integers. NULL values drop; NULL F when a variance side
+    * is degenerate (k < 2 or n ≤ k). Overflow: Σv² needs n·max(v)² <
+    * 2⁶³ — bin or rescale beyond ~10⁶-scale values.
+    *
+    * @return one row: (k, n, ssb, ssw, eta2, f)
+    */
+  def anovaByGroup(df: DataFrame, groupCol: String,
+                   value: Column): DataFrame = {
+    val Scale = 1024.0
+    val g = df.select(col(groupCol).as("__g"), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__q"))
+      .withColumn("__sbfp",
+        floor(col("__s").cast("double") * col("__s").cast("double") /
+          col("__n").cast("double") * lit(Scale)).cast("long"))
+      .agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+        sum(col("__s")).as("__S"), sum(col("__q")).as("__Q"),
+        sum(col("__sbfp")).as("__SBF"))
+    val grand = col("__S").cast("double") * col("__S").cast("double") /
+      col("n").cast("double")
+    val ssb = col("__SBF").cast("double") / lit(Scale) - grand
+    val ssw = col("__Q").cast("double") - col("__SBF").cast("double") / lit(Scale)
+    val sst = col("__Q").cast("double") - grand
+    g.select(col("k"), col("n"), ssb.as("ssb"), ssw.as("ssw"),
+      when(sst > 0.0, ssb / sst).as("eta2"),
+      when(col("k") > 1L && col("n") > col("k") && ssw > 0.0,
+        (ssb / (col("k") - 1L).cast("double")) /
+          (ssw / (col("n") - col("k")).cast("double"))).as("f"))
+  }
 }

@@ -145,4 +145,60 @@ object Regression {
       num.cast(DoubleType) /
         sqrt(dx.cast(DoubleType) * dy.cast(DoubleType)))
   }
+
+  /** KENDALL's τ-b — the third rank-association measure next to
+    * [[corrByGroup]] (linear) and [[spearmanByGroup]] (monotone-by-rank):
+    * the probability a random pair is concordant minus discordant,
+    * tie-corrected. More robust to outlier ranks than Spearman and the
+    * statistic behind many agreement tests.
+    *
+    * Exact, sort-free, and pair-explicit WITHOUT touching row pairs: the
+    * (x, y) histogram collapses the corpus to V distinct cells, and
+    * concordant/discordant mass comes from the cell×cell self-join
+    * (each unordered cell pair once, via lexicographic (x, y) order) —
+    * C = Σ c_a·c_b over pairs with (x_a−x_b)(y_a−y_b) > 0, D likewise
+    * < 0. Tie terms need only the marginals: n1 = Σ_x t_x(t_x−1)/2,
+    * n2 = Σ_y t_y(t_y−1)/2, n0 = n(n−1)/2; then
+    *
+    *   τ_b = (C − D) / sqrt((n0 − n1)·(n0 − n2))
+    *
+    * — BIGINTs, one sqrt, one division. CONTRACT: the cell join is
+    * O(V²), so bin continuous inputs first (pass `x DIV w` exprs) to
+    * keep V in the thousands — binning coarsens, it does not bias the
+    * tie correction (binned τ is the estimand then). n(n−1) needs
+    * n < ~3·10⁹ for BIGINT exactness. NULL x or y rows drop.
+    *
+    * @return one row: (n, n0, n1, n2, concordant, discordant, tau_b)
+    */
+  def kendallTau(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = base.groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+    val a = cells.select(col("__x").as("ax"), col("__y").as("ay"),
+      col("__c").as("ac"))
+    val b = cells.select(col("__x").as("bx"), col("__y").as("by"),
+      col("__c").as("bc"))
+    val pairs = a.crossJoin(b)
+      .filter(col("ax") < col("bx") ||
+        (col("ax") === col("bx") && col("ay") < col("by")))
+      .agg(
+        coalesce(sum(when((col("ax") - col("bx")) * (col("ay") - col("by")) > 0L,
+          col("ac") * col("bc"))), lit(0L)).as("concordant"),
+        coalesce(sum(when((col("ax") - col("bx")) * (col("ay") - col("by")) < 0L,
+          col("ac") * col("bc"))), lit(0L)).as("discordant"))
+    // integer DIV, not Column./ (double division) — t(t−1) is even
+    def tiePairs(key: String, as: String) = cells.groupBy(col(key))
+      .agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(expr("__t * (__t - 1) DIV 2")), lit(0L)).as(as))
+    val tots = base.agg(count(lit(1)).as("n"))
+      .withColumn("n0", expr("n * (n - 1) DIV 2"))
+    tots.crossJoin(tiePairs("__x", "n1")).crossJoin(tiePairs("__y", "n2"))
+      .crossJoin(pairs)
+      .withColumn("tau_b",
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          (col("concordant") - col("discordant")).cast(DoubleType) /
+            sqrt((col("n0") - col("n1")).cast(DoubleType) *
+              (col("n0") - col("n2")).cast(DoubleType))))
+      .select("n", "n0", "n1", "n2", "concordant", "discordant", "tau_b")
+  }
 }

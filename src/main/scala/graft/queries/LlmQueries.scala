@@ -2444,7 +2444,47 @@ object LlmQueries {
     // split.
     "q232_conformal_gate" -> ((s, dir) =>
       graft.operators.Evaluation.conformalGate(distillScored(s, dir),
-        "doc_id", "zq", "keep", calPct = 50, alphaNum = 1, alphaDen = 10))
+        "doc_id", "zq", "keep", calPct = 50, alphaNum = 1, alphaDen = 10)),
+
+    // Lorenz-Gini concentration of character mass per source: is a
+    // source's corpus spread across its documents or held by a few
+    // giants — the inequality read a mixing/budget stage wants next to
+    // q204's diversity. Histogram-exact rank sums, BIGINT + one
+    // division.
+    "q233_gini_chars" -> ((s, dir) =>
+      graft.operators.Profiling.lorenzGiniByGroup(
+        t(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy("source")),
+
+    // Benford first-digit audit over order prices (whole-currency
+    // magnitudes): per-digit observed vs log10(1+1/d), χ² from
+    // fixed-point terms — the numeric-forensics sibling of q140's
+    // categorical drift. No float log anywhere: digits come from BIGINT
+    // decimal strings, expectations are literals.
+    "q234_benford" -> ((s, dir) =>
+      graft.operators.Profiling.benfordAudit(
+        t(s, dir, "orders"), floor(col("o_totalprice")))
+        .orderBy("digit")),
+
+    // One-way ANOVA of document length across sources: η² (variance
+    // explained by source) and F — "does source matter for length, or
+    // is the between-source spread noise?"; the categorical-regressor
+    // sibling of q161's Pearson.
+    "q235_anova_chars" -> ((s, dir) =>
+      graft.operators.Profiling.anovaByGroup(
+        t(s, dir, "documents"), "source", col("n_chars"))),
+
+    // Kendall τ-b between binned document length and token count —
+    // the tie-corrected concordance measure completing the q161/q162
+    // association trio. Cell-histogram pairs (V² on BINNED values, not
+    // row pairs), exact BIGINT concordant/discordant mass, one sqrt.
+    "q236_kendall" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        expr("n_chars DIV 50").as("xb"),
+        (TextAnalysis.tokenCount(col("text")).cast("long")).as("__tc"))
+        .withColumn("yb", expr("__tc DIV 10"))
+      graft.operators.Regression.kendallTau(d, col("xb"), col("yb"))
+    })
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -7444,6 +7484,164 @@ object LlmQueries {
          |       CASE WHEN n_test_neg > 0
          |            THEN CAST(n_neg_pass AS DOUBLE) /
          |                 CAST(n_test_neg AS DOUBLE) END AS neg_pass_rate
-         |FROM caln, tst""".stripMargin
+         |FROM caln, tst""".stripMargin,
+
+    // Histogram rank-sum identity: a run of c copies of v after cum0
+    // predecessors contributes v·(c·cum0 + c(c+1)/2) to Σ rank·x;
+    // G = (2·ranksum − (n+1)·total) / (n·total).
+    "q233_gini_chars" ->
+      """WITH h AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |  GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT source, v, c,
+        |         CAST(COALESCE(sum(c) OVER (PARTITION BY source ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum0
+        |  FROM h),
+        |a AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(v * c) AS BIGINT) AS total,
+        |         CAST(sum(v * (c * cum0 + c * (c + 1) // 2)) AS BIGINT)
+        |           AS rank_sum
+        |  FROM cc GROUP BY 1)
+        |SELECT source, n, total, rank_sum,
+        |       CASE WHEN total > 0
+        |            THEN CAST(2 * rank_sum - (n + 1) * total AS DOUBLE) /
+        |                 CAST(n * total AS DOUBLE) END AS gini
+        |FROM a ORDER BY source""".stripMargin,
+
+    // Leading digit from the BIGINT's decimal string (engine-identical
+    // integer formatting — no float log10); Benford expectations as
+    // literal doubles; χ² terms quantized to 2^30 before the 9-row sum.
+    "q234_benford" ->
+      """WITH e(digit, expected_p) AS (VALUES
+        |  (1, CAST(0.3010299956639812 AS DOUBLE)),
+        |  (2, CAST(0.17609125905568124 AS DOUBLE)),
+        |  (3, CAST(0.12493873660829992 AS DOUBLE)),
+        |  (4, CAST(0.09691001300805642 AS DOUBLE)),
+        |  (5, CAST(0.07918124604762482 AS DOUBLE)),
+        |  (6, CAST(0.06694678963061322 AS DOUBLE)),
+        |  (7, CAST(0.05799194697768673 AS DOUBLE)),
+        |  (8, CAST(0.05115252244738129 AS DOUBLE)),
+        |  (9, CAST(0.04575749056067514 AS DOUBLE))),
+        |v AS (
+        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND CAST(floor(o_totalprice) AS BIGINT) > 0),
+        |cnt AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |         CAST(count(*) AS BIGINT) AS observed
+        |  FROM v GROUP BY 1),
+        |j AS (
+        |  SELECT e.digit, e.expected_p,
+        |         CAST(COALESCE(cnt.observed, 0) AS BIGINT) AS observed
+        |  FROM e LEFT JOIN cnt ON e.digit = cnt.digit),
+        |w AS (
+        |  SELECT digit, observed, expected_p,
+        |         CAST(sum(observed) OVER () AS BIGINT) AS n
+        |  FROM j),
+        |tm AS (
+        |  SELECT digit, observed, n, expected_p,
+        |         CAST(floor((CAST(observed AS DOUBLE) -
+        |             expected_p * CAST(n AS DOUBLE)) *
+        |           (CAST(observed AS DOUBLE) -
+        |             expected_p * CAST(n AS DOUBLE)) /
+        |           (expected_p * CAST(n AS DOUBLE)) *
+        |           CAST(1073741824.0 AS DOUBLE)) AS BIGINT) AS term_fp
+        |  FROM w)
+        |SELECT digit, observed, n,
+        |       CAST(observed AS DOUBLE) / CAST(n AS DOUBLE) AS obs_p,
+        |       expected_p, term_fp,
+        |       CAST(sum(term_fp) OVER () AS BIGINT) AS chi2_fp,
+        |       CAST(CAST(sum(term_fp) OVER () AS BIGINT) AS DOUBLE) /
+        |         CAST(1073741824.0 AS DOUBLE) AS chi2
+        |FROM tm ORDER BY digit""".stripMargin,
+
+    // Per-group exact (n, Σv, Σv²); each group's Σ²/n quantized to 2^10
+    // before the cross-group BIGINT total; SSB/SSW/η²/F as fixed-shape
+    // double arithmetic on exact integers.
+    "q235_anova_chars" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(n_chars) AS BIGINT) AS s,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |gf AS (
+        |  SELECT ng, s, q,
+        |         CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |           CAST(ng AS DOUBLE) * CAST(1024.0 AS DOUBLE)) AS BIGINT)
+        |           AS sbfp
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |         CAST(sum(s) AS BIGINT) AS ts, CAST(sum(q) AS BIGINT) AS tq,
+        |         CAST(sum(sbfp) AS BIGINT) AS sbf
+        |  FROM gf)
+        |SELECT k, n,
+        |       CAST(sbf AS DOUBLE) / CAST(1024.0 AS DOUBLE) -
+        |         CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) /
+        |           CAST(n AS DOUBLE) AS ssb,
+        |       CAST(tq AS DOUBLE) -
+        |         CAST(sbf AS DOUBLE) / CAST(1024.0 AS DOUBLE) AS ssw,
+        |       CASE WHEN (CAST(tq AS DOUBLE) -
+        |                  CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) /
+        |                    CAST(n AS DOUBLE)) > 0
+        |            THEN (CAST(sbf AS DOUBLE) / CAST(1024.0 AS DOUBLE) -
+        |                  CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) /
+        |                    CAST(n AS DOUBLE)) /
+        |                 (CAST(tq AS DOUBLE) -
+        |                  CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) /
+        |                    CAST(n AS DOUBLE))
+        |       END AS eta2,
+        |       CASE WHEN k > 1 AND n > k AND
+        |                 (CAST(tq AS DOUBLE) -
+        |                  CAST(sbf AS DOUBLE) / CAST(1024.0 AS DOUBLE)) > 0
+        |            THEN ((CAST(sbf AS DOUBLE) / CAST(1024.0 AS DOUBLE) -
+        |                   CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) /
+        |                     CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+        |                 ((CAST(tq AS DOUBLE) -
+        |                   CAST(sbf AS DOUBLE) / CAST(1024.0 AS DOUBLE)) /
+        |                  CAST(n - k AS DOUBLE))
+        |       END AS f
+        |FROM a""".stripMargin,
+
+    // (x, y) cell histogram on BINNED values, lexicographic cell-pair
+    // join for concordant/discordant mass, tie terms from marginals.
+    "q236_kendall" ->
+      s"""WITH d AS (
+         |  SELECT n_chars // 50 AS xb,
+         |         CAST(len($oToks) AS BIGINT) // 10 AS yb
+         |  FROM documents),
+         |dd AS (SELECT xb, yb FROM d
+         |       WHERE xb IS NOT NULL AND yb IS NOT NULL),
+         |cells AS (
+         |  SELECT xb AS x, yb AS y, CAST(count(*) AS BIGINT) AS c
+         |  FROM dd GROUP BY 1, 2),
+         |p AS (
+         |  SELECT CAST(COALESCE(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+         |                                THEN a.c * b.c END), 0) AS BIGINT)
+         |           AS concordant,
+         |         CAST(COALESCE(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+         |                                THEN a.c * b.c END), 0) AS BIGINT)
+         |           AS discordant
+         |  FROM cells a JOIN cells b
+         |    ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)),
+         |t1 AS (
+         |  SELECT CAST(COALESCE(sum(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+         |  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)),
+         |t2 AS (
+         |  SELECT CAST(COALESCE(sum(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+         |  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y)),
+         |tot AS (
+         |  SELECT n, n * (n - 1) // 2 AS n0 FROM
+         |    (SELECT CAST(count(*) AS BIGINT) AS n FROM dd))
+         |SELECT n, n0, n1, n2, concordant, discordant,
+         |       CASE WHEN n0 > n1 AND n0 > n2
+         |            THEN CAST(concordant - discordant AS DOUBLE) /
+         |                 sqrt(CAST(n0 - n1 AS DOUBLE) *
+         |                      CAST(n0 - n2 AS DOUBLE)) END AS tau_b
+         |FROM tot, t1, t2, p""".stripMargin
   )
 }

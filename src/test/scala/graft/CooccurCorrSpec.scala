@@ -127,4 +127,39 @@ class CooccurCorrSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("alloc_tokens")).toSeq === Seq(100L, 50L, 0L))
     assert(r.map(_.getAs[Long]("cum_before")).toSeq === Seq(0L, 100L, 200L))
   }
+
+  test("kendallTau: perfect concordance 1, reversal -1, exact pair counts") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("x", "y")
+    val u = Regression.kendallTau(up, col("x"), col("y")).collect()(0)
+    assert(u.getAs[Long]("concordant") === 6L)
+    assert(u.getAs[Long]("discordant") === 0L)
+    assert(u.getAs[Double]("tau_b") === 1.0)
+    val down = up.withColumn("y", -col("y"))
+    assert(Regression.kendallTau(down, col("x"), col("y"))
+      .collect()(0).getAs[Double]("tau_b") === -1.0)
+  }
+
+  test("kendallTau: tie correction matches the hand-computed tau_b") {
+    // x: 1,1,2,3  y: 1,2,2,1  (one x-tie pair, one y-tie pair)
+    // pairs (of 6): (1,2)x-tie; (1,3):C where y 1<2 c; (1,4): y equal tie-y
+    // enumerate: rows a=(1,1) b=(1,2): x tie; a,(2,2): x<,y< C; a,(3,1): x<,y= tie-y
+    // (1,2)vs(2,2): x<, y= tie-y? y 2=2 tie; (1,2)vs(3,1): x<, y 2>1 D; (2,2)vs(3,1): x<, y> D
+    // C=1, D=2, n0=6, n1=1 (x-ties), n2 = pairs tied in y: y=1: rows 1,4 ->1; y=2: rows 2,3 ->1 => 2
+    val d = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val r = Regression.kendallTau(d, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Long]("n0") === 6L)
+    assert(r.getAs[Long]("n1") === 1L)
+    assert(r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Long]("concordant") === 1L)
+    assert(r.getAs[Long]("discordant") === 2L)
+    assert(math.abs(r.getAs[Double]("tau_b") -
+      (1.0 - 2.0) / math.sqrt(5.0 * 4.0)) < 1e-15)
+  }
+
+  test("kendallTau: constant variable yields NULL tau with counts intact") {
+    val d = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val r = Regression.kendallTau(d, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.isNullAt(r.fieldIndex("tau_b")))
+  }
 }

@@ -134,4 +134,82 @@ class CurationAuditSpec extends SparkSpec {
     assert(r5.getAs[Long]("trimmed_sum") === 3L)
     assert(r5.getAs[Double]("trimmed_mean") === 3.0)
   }
+
+  test("lorenzGiniByGroup: equal masses give 0; one-holder approaches 1") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(("eq", 5L), ("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("one", 0L), ("one", 0L), ("one", 0L), ("one", 100L))
+      .toDF("g", "v")
+    val r = graft.operators.Profiling.lorenzGiniByGroup(d, "g", col("v"))
+      .orderBy("g").collect()
+    assert(r(0).getAs[Double]("gini") === 0.0)
+    // one holder of n=4: G = (n-1)/n = 0.75
+    assert(r(1).getAs[Double]("gini") === 0.75)
+  }
+
+  test("lorenzGiniByGroup: tie runs match the sorted-rank definition") {
+    import org.apache.spark.sql.functions.col
+    val vals = Seq(1L, 2L, 2L, 5L, 10L)
+    val d = vals.map(("g", _)).toDF("g", "v")
+    val r = graft.operators.Profiling.lorenzGiniByGroup(d, "g", col("v"))
+      .collect()(0)
+    val sorted = vals.sorted
+    val rankSum = sorted.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    assert(r.getAs[Long]("rank_sum") === rankSum)
+    val n = vals.size
+    val tot = vals.sum
+    val expected = (2.0 * rankSum - (n + 1) * tot).toDouble / (n.toLong * tot)
+    assert(r.getAs[Double]("gini") === expected)
+    // negative and NULL mass is excluded
+    val withBad = (d.union(Seq(("g", -3L)).toDF("g", "v")))
+    assert(graft.operators.Profiling.lorenzGiniByGroup(withBad, "g", col("v"))
+      .collect()(0).getAs[Long]("n") === n.toLong)
+  }
+
+  test("benfordAudit: digits come from decimal strings, absent digits report 0") {
+    import org.apache.spark.sql.functions.col
+    // values with leading digits 1,1,2,9; zero and negative excluded
+    val d = Seq(12L, 190L, 25L, 9L, 0L, -7L).toDF("v")
+    val rows = graft.operators.Profiling.benfordAudit(d, col("v"))
+      .orderBy("digit").collect()
+    assert(rows.length === 9)
+    assert(rows.map(_.getAs[Long]("observed")).toSeq ===
+      Seq(2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(rows.forall(_.getAs[Long]("n") === 4L))
+    // chi2 total is identical on every row and equals the term sum / 2^30
+    val terms = rows.map(_.getAs[Long]("term_fp")).sum
+    assert(rows.forall(_.getAs[Long]("chi2_fp") === terms))
+    assert(rows(0).getAs[Double]("chi2") === terms.toDouble / (1L << 30))
+  }
+
+  test("anovaByGroup: separated groups explain all variance; one group yields NULL f") {
+    import org.apache.spark.sql.functions.col
+    // within-group constant -> ssw 0, eta2 1
+    val sep = Seq(("a", 10L), ("a", 10L), ("b", 20L), ("b", 20L))
+      .toDF("g", "v")
+    val r = graft.operators.Profiling.anovaByGroup(sep, "g", col("v"))
+      .collect()(0)
+    assert(r.getAs[Long]("k") === 2L && r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("ssw")) < 1e-2) // 2^-10 quantization
+    assert(math.abs(r.getAs[Double]("eta2") - 1.0) < 1e-4)
+    assert(r.isNullAt(r.fieldIndex("f"))) // ssw degenerate
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val r1 = graft.operators.Profiling.anovaByGroup(one, "g", col("v"))
+      .collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("f"))) // k = 1
+  }
+
+  test("anovaByGroup: eta2 + F match the textbook decomposition") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 6L))
+      .toDF("g", "v")
+    val r = graft.operators.Profiling.anovaByGroup(d, "g", col("v"))
+      .collect()(0)
+    // means: a=2, b=5, grand=16/5; SSB=3*(2-3.2)^2+2*(5-3.2)^2=10.8
+    // SSW=(1+0+1)+(1+1)=4; F=(10.8/1)/(4/3)=8.1
+    assert(math.abs(r.getAs[Double]("ssb") - 10.8) < 1e-2)
+    assert(math.abs(r.getAs[Double]("ssw") - 4.0) < 1e-2)
+    assert(math.abs(r.getAs[Double]("eta2") - 10.8 / 14.8) < 1e-3)
+    assert(math.abs(r.getAs[Double]("f") - 8.1) < 2e-2)
+  }
 }
