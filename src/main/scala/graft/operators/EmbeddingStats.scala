@@ -59,4 +59,34 @@ object EmbeddingStats {
       .withColumn("std", sqrt(col("variance")))
       .orderBy("dim")
   }
+
+  /** Embedding-space ANISOTROPY: ‖mean vector‖² / E[‖v‖²] — the
+    * representation-health number behind the "embeddings collapse into a
+    * narrow cone" literature (Ethayarajh 2019): 0 = perfectly centered
+    * cloud, →1 = every vector points the same way, at which point cosine
+    * similarity stops discriminating and every ANN/dedup tier built on
+    * it degrades. Cheap to monitor per corpus snapshot next to
+    * [[dimensionStats]]'s per-dim drift.
+    *
+    * Exactness discipline: reuses [[dimensionStats]]' fixed-point per-dim
+    * sums; each dimension's mean² is quantized to ⌊mean²·2³⁰⌋ before the
+    * cross-dim BIGINT total (a 64-double sum would hash-differ by
+    * addition order), and E[‖v‖²] is one division on the exact Σ⌊x²·2²⁰⌋
+    * total. One row: (dims, n, mean_norm_sq, avg_norm_sq, anisotropy);
+    * NULL anisotropy for an all-zero corpus.
+    */
+  def anisotropy(df: DataFrame, vecCol: String): DataFrame =
+    dimensionStats(df, vecCol)
+      .withColumn("__m2fp",
+        floor(col("mean") * col("mean") * lit(1073741824.0)).cast("long"))
+      .agg(count(lit(1)).as("dims"), max(col("n")).as("n"),
+        sum(col("__m2fp")).as("__msfp"),
+        sum(col("sumsq_fixed")).as("__ssf"))
+      .select(col("dims"), col("n"),
+        (col("__msfp").cast("double") / lit(1073741824.0)).as("mean_norm_sq"),
+        (col("__ssf").cast("double") /
+          (col("n") * lit(Scale)).cast("double")).as("avg_norm_sq"))
+      .withColumn("anisotropy",
+        when(col("avg_norm_sq") > 0.0,
+          col("mean_norm_sq") / col("avg_norm_sq")))
 }

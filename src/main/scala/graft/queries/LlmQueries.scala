@@ -2484,7 +2484,24 @@ object LlmQueries {
         (TextAnalysis.tokenCount(col("text")).cast("long")).as("__tc"))
         .withColumn("yb", expr("__tc DIV 10"))
       graft.operators.Regression.kendallTau(d, col("xb"), col("yb"))
-    })
+    }),
+
+    // Grid-density (DBSCAN-style) clustering over the first two
+    // embedding dims: dense cells merge through the 8-neighborhood into
+    // arbitrarily-shaped clusters, sparse cells are NOISE — the
+    // density complement to q37's k-means cells; CC runs on the cell
+    // graph, never on points.
+    "q237_density_clusters" -> ((s, dir) =>
+      graft.operators.DensityCluster.gridClusters(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        mult = 16.0, minPts = 4L).orderBy("vec_id")),
+
+    // Embedding anisotropy: ||mean vector||^2 / E||v||^2 — the
+    // "cone collapse" health read under every cosine-based tier (ANN,
+    // semantic dedup); fixed-point per-dim terms, one division.
+    "q238_anisotropy" -> ((s, dir) =>
+      graft.operators.EmbeddingStats.anisotropy(
+        t(s, dir, "embeddings"), "embedding"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -7642,6 +7659,83 @@ object LlmQueries {
          |            THEN CAST(concordant - discordant AS DOUBLE) /
          |                 sqrt(CAST(n0 - n1 AS DOUBLE) *
          |                      CAST(n0 - n2 AS DOUBLE)) END AS tau_b
-         |FROM tot, t1, t2, p""".stripMargin
+         |FROM tot, t1, t2, p""".stripMargin,
+
+    // Clamped integer grid cells, core = count >= 4, 8-neighborhood
+    // edges between core cells (both directions from the double loop),
+    // recursive-CTE components seeded per core cell (q47's fixpoint),
+    // point labels via the encoded cell id.
+    "q237_density_clusters" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT vec_id,
+        |         greatest(-1048576, least(1048576,
+        |           CAST(floor(CAST(embedding AS DOUBLE[])[1] *
+        |             CAST(16.0 AS DOUBLE)) AS BIGINT))) AS cx,
+        |         greatest(-1048576, least(1048576,
+        |           CAST(floor(CAST(embedding AS DOUBLE[])[2] *
+        |             CAST(16.0 AS DOUBLE)) AS BIGINT))) AS cy
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 1),
+        |cells AS (
+        |  SELECT cx, cy, CAST(count(*) AS BIGINT) AS c
+        |  FROM pts GROUP BY 1, 2),
+        |core AS (
+        |  SELECT cx, cy, (cx + 1048576) * 4194304 + (cy + 1048576) AS node
+        |  FROM cells WHERE c >= 4),
+        |edges AS (
+        |  SELECT a.node AS u, b.node AS v
+        |  FROM core a, range(-1, 2) dx(dx), range(-1, 2) dy(dy)
+        |  JOIN core b ON b.cx = a.cx + dx.dx AND b.cy = a.cy + dy.dy),
+        |reach(node, comp) AS (
+        |  SELECT node, node FROM core
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+        |lab AS (SELECT node, min(comp) AS cluster FROM reach GROUP BY node)
+        |SELECT p.vec_id, p.cx, p.cy, l.cluster, l.cluster IS NULL AS noise
+        |FROM pts p LEFT JOIN lab l
+        |  ON l.node = (p.cx + 1048576) * 4194304 + (p.cy + 1048576)
+        |ORDER BY p.vec_id""".stripMargin,
+
+    // q229's fixed-point per-dim chain; each dim's mean^2 quantized to
+    // 2^30 before the 64-row BIGINT total, E||v||^2 from the exact
+    // floor(x*x*2^20) sums.
+    "q238_anisotropy" ->
+      """WITH ev AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |px AS (
+        |  SELECT t.i AS dim, v[t.i + 1] AS x FROM ev, range(64) t(i)),
+        |ag AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS BIGINT)
+        |           AS s,
+        |         CAST(sum(CAST(floor(x * x * 1048576) AS BIGINT)) AS BIGINT)
+        |           AS s2
+        |  FROM px GROUP BY 1),
+        |m AS (
+        |  SELECT dim, n, s2,
+        |         CAST(floor((CAST(s AS DOUBLE) /
+        |             CAST(n * 1048576 AS DOUBLE)) *
+        |           (CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)) *
+        |           CAST(1073741824.0 AS DOUBLE)) AS BIGINT) AS m2fp
+        |  FROM ag),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS dims,
+        |         CAST(max(n) AS BIGINT) AS n,
+        |         CAST(sum(m2fp) AS BIGINT) AS msfp,
+        |         CAST(sum(s2) AS BIGINT) AS ssf
+        |  FROM m)
+        |SELECT dims, n,
+        |       CAST(msfp AS DOUBLE) / CAST(1073741824.0 AS DOUBLE)
+        |         AS mean_norm_sq,
+        |       CAST(ssf AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)
+        |         AS avg_norm_sq,
+        |       CASE WHEN CAST(ssf AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)
+        |                 > 0
+        |            THEN (CAST(msfp AS DOUBLE) /
+        |                  CAST(1073741824.0 AS DOUBLE)) /
+        |                 (CAST(ssf AS DOUBLE) /
+        |                  CAST(n * 1048576 AS DOUBLE))
+        |       END AS anisotropy
+        |FROM a""".stripMargin
   )
 }
