@@ -201,4 +201,46 @@ object Regression {
               (col("n0") - col("n2")).cast(DoubleType))))
       .select("n", "n0", "n1", "n2", "concordant", "discordant", "tau_b")
   }
+
+  /** SIMPSON's-paradox audit: does the x–y association within each
+    * stratum point the same way as the POOLED association? A pooled
+    * trend that reverses inside every stratum is a confounded read — the
+    * aggregation-bias trap every per-corpus metric rollup (quality vs
+    * length, dup-rate vs source) can fall into; this flags it per group
+    * instead of leaving it to a human eyeballing two charts.
+    *
+    * Association direction = the SIGN of the covariance numerator
+    * n·Σxy − Σx·Σy — exact BIGINT, no variance normalization needed for
+    * a sign, so the verdict is integer-deterministic (the [[corrByGroup]]
+    * sufficient-statistic discipline and its overflow contract). One
+    * combinable aggregate per grouping; the pooled row broadcasts back.
+    *
+    * @return one row per group: (group, n, cov_num, group_sign,
+    *         pooled_num, pooled_sign, reversed) — signs in {-1, 0, 1};
+    *         `reversed` = the group's direction strictly opposes the
+    *         pooled one
+    */
+  def simpsonAudit(df: DataFrame, groupCol: String,
+                   xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def covNum(d: DataFrame, gcols: Seq[Column]): DataFrame = d
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"))
+      .withColumn("cov_num",
+        col("n") * col("__sxy") - col("__sx") * col("__sy"))
+    def sign(c: Column): Column =
+      when(c > 0L, 1L).when(c < 0L, -1L).otherwise(0L)
+    val grouped = covNum(base, Seq(col("__g")))
+      .select(col("__g").as(groupCol), col("n"), col("cov_num"),
+        sign(col("cov_num")).as("group_sign"))
+    val pooled = covNum(base, Seq.empty)
+      .select(col("cov_num").as("pooled_num"),
+        sign(col("cov_num")).as("pooled_sign"))
+    grouped.crossJoin(broadcast(pooled))
+      .withColumn("reversed",
+        col("group_sign") * col("pooled_sign") === -1L)
+  }
 }

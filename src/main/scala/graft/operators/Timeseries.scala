@@ -59,4 +59,63 @@ object Timeseries {
           last(when(col(valueCol).isNotNull, col(dayCol)), ignoreNulls = true)
             .over(w)).cast("long"))
   }
+
+  /** SAX MOTIF mining over an event-count series: symbolize the series
+    * (PAA window sums → exact value-quartile symbols) and count repeated
+    * length-`wordLen` symbol words — the classic Symbolic Aggregate
+    * approXimation pipeline (Lin et al. 2003) re-expressed exactly: a
+    * recurring word is a recurring shape ("ramp-up-then-spike happens
+    * every Monday") that a threshold monitor like CUSUM (q201) can't
+    * name.
+    *
+    * Exactness substitutions vs the float original, so the result
+    * hash-gates: PAA keeps window SUMS (same ordering as means for equal
+    * windows — no division), and breakpoints are exact value-ntile
+    * quartiles of the PAA distribution ([[ExactQuantiles.valueNtile]])
+    * instead of Gaussian breakpoints over a z-normalized series (no
+    * mean/σ floats). Missing buckets are absent, not zero — densify
+    * upstream (e.g. [[densifyLocf]]) if silence should count.
+    *
+    * Scale shape: the corpus collapses to the per-bucket histogram in one
+    * combinable pass; everything after (PAA, ntile, word windows) runs on
+    * series rows — bounded by time span / `paaW`, not events. The
+    * un-partitioned word window is the series itself (the q201/q208
+    * monitor discipline: bounded by design, documented here).
+    *
+    * @param bucket  integral time-bucket expression (e.g. day index)
+    * @param paaW    PAA window: consecutive buckets summed per frame
+    * @param k       alphabet size (symbols 1..k by value quartile)
+    * @param wordLen symbols per word (consecutive frames)
+    * @return one row per distinct word: (word, n_frames, first_frame,
+    *         support) — support = n_frames/total windows; words shorter
+    *         than `wordLen` (series tail) are excluded
+    */
+  def saxMotifs(df: DataFrame, bucket: Column, paaW: Int = 2, k: Int = 4,
+                wordLen: Int = 3): DataFrame = {
+    require(paaW >= 1 && k >= 2 && wordLen >= 1, "degenerate SAX config")
+    val counts = df.select(bucket.cast("long").as("__b"))
+      .filter(col("__b").isNotNull)
+      .groupBy("__b").agg(count(lit(1)).as("__x"))
+    val paa = counts
+      .withColumn("__f", expr(s"__b DIV $paaW"))
+      .groupBy("__f").agg(sum(col("__x")).as("__s"))
+      .withColumn("__g", lit(1))
+    val sym = ExactQuantiles.valueNtile(paa, "__g", "__s", k)
+      .select(col("__f"), col("__s_bucket").as("__sym"))
+    val wSeq = Window.orderBy("__f") // series rows only — bounded
+    val word = concat_ws("", (0 until wordLen).map(i =>
+      lead(col("__sym"), i).over(wSeq).cast("string")): _*)
+    val lastF = lead(col("__f"), wordLen - 1).over(wSeq)
+    val words = sym
+      .withColumn("word", word)
+      .withColumn("__lf", lastF)
+      // a word is valid only over CONTIGUOUS frames that all exist
+      .filter(col("__lf") === col("__f") + (wordLen - 1))
+    val wAll = Window.partitionBy() // distinct-word rows only
+    words.groupBy("word")
+      .agg(count(lit(1)).as("n_frames"), min(col("__f")).as("first_frame"))
+      .withColumn("support",
+        col("n_frames").cast("double") /
+          sum(col("n_frames")).over(wAll).cast("double"))
+  }
 }

@@ -2501,7 +2501,25 @@ object LlmQueries {
     // semantic dedup); fixed-point per-dim terms, one division.
     "q238_anisotropy" -> ((s, dir) =>
       graft.operators.EmbeddingStats.anisotropy(
-        t(s, dir, "embeddings"), "embedding"))
+        t(s, dir, "embeddings"), "embedding")),
+
+    // SAX motif mining over the daily event-volume series: PAA frame
+    // sums → exact value-quartile symbols → repeated 3-symbol words —
+    // recurring SHAPES with names, next to q201's threshold alarms.
+    "q239_sax_motifs" -> ((s, dir) =>
+      graft.operators.Timeseries.saxMotifs(
+        graft.io.TableIO.eventsNanos(s, dir),
+        expr("ts DIV 86400000000000"), paaW = 2, k = 4, wordLen = 3)
+        .orderBy("word")),
+
+    // Simpson's-paradox audit: per-lang length-punctuation association
+    // sign vs the pooled sign — exact integer covariance numerators,
+    // flags any stratum whose direction opposes the aggregate.
+    "q240_simpson_audit" -> ((s, dir) =>
+      graft.operators.Regression.simpsonAudit(
+        t(s, dir, "documents"), "lang",
+        col("n_chars"), TextAnalysis.punctCount(col("text")))
+        .orderBy("lang"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -7736,6 +7754,80 @@ object LlmQueries {
         |                 (CAST(ssf AS DOUBLE) /
         |                  CAST(n * 1048576 AS DOUBLE))
         |       END AS anisotropy
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Daily histogram → PAA frame sums → q75's value-ntile symbol
+    // formula (cum·k−1)//n + 1 → 3-symbol words over contiguous frames
+    // only (the lead(f,2) = f+2 guard), counted exactly.
+    "q239_sax_motifs" ->
+      """WITH h AS (
+        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS b,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |paa AS (
+        |  SELECT b // 2 AS f, CAST(sum(x) AS BIGINT) AS s
+        |  FROM h GROUP BY 1),
+        |hist AS (SELECT s, CAST(count(*) AS BIGINT) AS c
+        |         FROM paa GROUP BY 1),
+        |cum AS (
+        |  SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM hist),
+        |bk AS (SELECT s, CAST((cum * 4 - 1) // n AS BIGINT) + 1 AS sym
+        |       FROM cum),
+        |symt AS (SELECT f, sym FROM paa JOIN bk USING (s)),
+        |w AS (
+        |  SELECT f,
+        |         CAST(sym AS VARCHAR) ||
+        |           CAST(lead(sym, 1) OVER (ORDER BY f) AS VARCHAR) ||
+        |           CAST(lead(sym, 2) OVER (ORDER BY f) AS VARCHAR) AS word,
+        |         lead(f, 2) OVER (ORDER BY f) AS lf
+        |  FROM symt),
+        |v AS (SELECT f, word FROM w WHERE lf = f + 2),
+        |g AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n_frames,
+        |         CAST(min(f) AS BIGINT) AS first_frame
+        |  FROM v GROUP BY 1)
+        |SELECT word, n_frames, first_frame,
+        |       CAST(n_frames AS DOUBLE) /
+        |         CAST(CAST(sum(n_frames) OVER () AS BIGINT) AS DOUBLE)
+        |           AS support
+        |FROM g ORDER BY word""".stripMargin,
+
+    // Exact covariance numerators n·Σxy − Σx·Σy per lang and pooled;
+    // association = integer sign, reversal = strict sign opposition.
+    "q240_simpson_audit" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars AS x,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[^a-zA-Z0-9 \t\n\f\r]')) AS BIGINT) AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT) -
+        |           CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT)
+        |           AS cov_num
+        |  FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT) -
+        |           CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT)
+        |           AS pooled_num
+        |  FROM b),
+        |sg AS (
+        |  SELECT lang, n, cov_num,
+        |         CAST(CASE WHEN cov_num > 0 THEN 1
+        |                   WHEN cov_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |           AS group_sign
+        |  FROM g),
+        |sp AS (
+        |  SELECT pooled_num,
+        |         CAST(CASE WHEN pooled_num > 0 THEN 1
+        |                   WHEN pooled_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |           AS pooled_sign
+        |  FROM p)
+        |SELECT lang, n, cov_num, group_sign, pooled_num, pooled_sign,
+        |       group_sign * pooled_sign = -1 AS reversed
+        |FROM sg, sp ORDER BY lang""".stripMargin
   )
 }

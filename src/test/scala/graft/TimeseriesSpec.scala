@@ -52,4 +52,62 @@ class TimeseriesSpec extends SparkSpec {
     assert(Option(out(0).get(out(0).fieldIndex("days_since_obs"))) === None)
     assert(out(2).getAs[Double]("v_filled") === 5.0)
   }
+
+  test("saxMotifs: a repeating low-low-high shape is the dominant word") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // events per day: pattern 1,1,8 repeated 4 times over days 0..11
+    // paaW=1, so frames = days; quartile symbols separate 1 from 8
+    val days = (0 until 12).flatMap { day =>
+      val n = if (day % 3 == 2) 8 else 1
+      Seq.fill(n)(day.toLong)
+    }
+    val df = days.toDF("day")
+    val r = Timeseries.saxMotifs(df, col("day"), paaW = 1, k = 4,
+      wordLen = 3).orderBy(org.apache.spark.sql.functions.desc("n_frames"))
+      .collect()
+    // 10 windows total; the three rotations of (1,1,8)'s symbols repeat
+    val total = r.map(_.getAs[Long]("n_frames")).sum
+    assert(total === 10L)
+    assert(r.head.getAs[Long]("n_frames") >= 3L)
+    assert(math.abs(r.map(_.getAs[Double]("support")).sum - 1.0) < 1e-12)
+  }
+
+  test("saxMotifs: words never bridge a gap in the frame sequence") {
+    import org.apache.spark.sql.functions.col
+    // days 0,1,2 then 10,11,12: two separate runs, no cross-gap word
+    val df = (Seq(0L, 1L, 2L) ++ Seq(10L, 11L, 12L))
+      .flatMap(d => Seq.fill((d % 4 + 1).toInt)(d)).toDF("day")
+    val r = Timeseries.saxMotifs(df, col("day"), paaW = 1, k = 2,
+      wordLen = 3).collect()
+    // each run of 3 frames yields exactly one complete window
+    assert(r.map(_.getAs[Long]("n_frames")).sum === 2L)
+  }
+
+  test("simpsonAudit: within-group negative trends reverse a positive pooled trend") {
+    import graft.operators.Regression
+    import org.apache.spark.sql.functions.col
+    // classic construction: each group slopes DOWN, but group B sits
+    // up-and-right of group A, so pooled slopes UP
+    val d = Seq(
+      ("a", 0L, 10L), ("a", 1L, 9L), ("a", 2L, 8L),
+      ("b", 10L, 30L), ("b", 11L, 29L), ("b", 12L, 28L)
+    ).toDF("g", "x", "y")
+    val r = Regression.simpsonAudit(d, "g", col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(r.forall(_.getAs[Long]("group_sign") === -1L))
+    assert(r.forall(_.getAs[Long]("pooled_sign") === 1L))
+    assert(r.forall(_.getAs[Boolean]("reversed")))
+  }
+
+  test("simpsonAudit: aligned trends and constant groups do not flag") {
+    import graft.operators.Regression
+    import org.apache.spark.sql.functions.col
+    val d = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 5L, 5L), ("b", 6L, 6L),
+      ("c", 7L, 7L), ("c", 7L, 7L)).toDF("g", "x", "y")
+    val r = Regression.simpsonAudit(d, "g", col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(r.count(_.getAs[Long]("group_sign") === 1L) === 2)
+    assert(r.count(_.getAs[Long]("group_sign") === 0L) === 1) // constant c
+    assert(r.forall(!_.getAs[Boolean]("reversed")))
+  }
 }
