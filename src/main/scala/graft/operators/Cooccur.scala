@@ -152,4 +152,60 @@ object Cooccur {
       .orderBy(desc("lift"), col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** ASSOCIATION RULES over token baskets (Apriori's level-2 output):
+    * each document is a basket of its DISTINCT tokens; for frequent
+    * token pairs, emit support, both directed confidences, and lift —
+    * "docs containing A also contain B" with the numbers attached. The
+    * SET-cooccurrence complement to [[bigramLift]]'s adjacency scores:
+    * a pair can associate strongly while never touching.
+    *
+    * Scale discipline — the two Apriori prunes, applied where they keep
+    * the plan sub-quadratic:
+    *   - level-1: tokens below `minDf` baskets leave before any pair
+    *     forms (the frequent-item prune; basket width after the prune is
+    *     the fan-out bound — set minDf so the surviving vocabulary is
+    *     small, it IS the contract);
+    *   - level-2: pair counts below `minPair` drop before the metric
+    *     arithmetic.
+    * Counts are BIGINT; support/confidence/lift are one division each
+    * from exact integers; ties order by (a, b) so top-k is
+    * engine-stable.
+    *
+    * @return top-`topK` rows by lift: (a, b, n_docs, c_a, c_b, c_ab,
+    *         support, conf_a_b, conf_b_a, lift) with a < b
+    */
+  def assocRules(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long, minPair: Long, topK: Int): DataFrame = {
+    require(minDf >= 1 && minPair >= 1 && topK > 0, "degenerate config")
+    val items = docs
+      .select(col(idCol).as("__d"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("__t"))
+    val freq = items.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    val basket = items.join(broadcast(freq), "__t")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val a = basket.select(col("__d"), col("__t").as("a"),
+      col("__df").as("c_a"))
+    val b = basket.select(col("__d"), col("__t").as("b"),
+      col("__df").as("c_b"))
+    a.join(b, "__d").filter(col("a") < col("b"))
+      .groupBy("a", "b", "c_a", "c_b")
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPair)
+      .crossJoin(broadcast(nDocs))
+      .select(col("a"), col("b"), col("n_docs"), col("c_a"), col("c_b"),
+        col("c_ab"),
+        (col("c_ab").cast("double") / col("n_docs").cast("double"))
+          .as("support"),
+        (col("c_ab").cast("double") / col("c_a").cast("double"))
+          .as("conf_a_b"),
+        (col("c_ab").cast("double") / col("c_b").cast("double"))
+          .as("conf_b_a"),
+        ((col("c_ab") * col("n_docs")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), col("a"), col("b"))
+      .limit(topK)
+  }
 }

@@ -737,4 +737,47 @@ object Dedup {
         (lit(1.0) - powFixed(lit(1.0) - powFixed(s, r), b)).as("p_collide"))
     }.reduce(_.unionByName(_)).orderBy("b", "r", "s_pct")
   }
+
+  /** BLOCKING-quality audit (Christen's entity-resolution metrics): for
+    * a candidate-pair generator measured against exact ground truth,
+    * report REDUCTION RATIO (how much of the n(n−1)/2 comparison space
+    * the blocking avoided) and PAIR COMPLETENESS (how many true pairs
+    * survived into the candidates — q97's recall), plus their harmonic
+    * mean. RR without PC is trivial (block nothing together) and PC
+    * without RR is trivial (block everything together); a blocking
+    * scheme is only judged on both, which is why this is one row, not
+    * two dashboards.
+    *
+    * Exact BIGINT counts (the n(n−1)/2 base needs n < ~3·10⁹ — beyond
+    * that the ratio saturates anyway); one division per metric. The
+    * left-semi hit join is the q97 shape. Pairs are assumed canonical
+    * (i < j) as every generator here emits them.
+    *
+    * @return one row: (n_records, n_all_pairs, n_candidates,
+    *         reduction_ratio, n_truth, n_found, pair_completeness,
+    *         quality)
+    */
+  def blockingQuality(candidates: DataFrame, truth: DataFrame,
+                      records: DataFrame): DataFrame = {
+    val n = records.agg(count(lit(1)).as("n_records"))
+      .withColumn("n_all_pairs", expr("n_records * (n_records - 1) DIV 2"))
+    val cand = candidates.agg(count(lit(1)).as("n_candidates"))
+    val tru = truth.agg(count(lit(1)).as("n_truth"))
+    val found = truth.join(candidates, Seq("i", "j"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    n.crossJoin(cand).crossJoin(tru).crossJoin(found)
+      .withColumn("reduction_ratio",
+        when(col("n_all_pairs") > 0,
+          lit(1.0) - col("n_candidates").cast(DoubleType) /
+            col("n_all_pairs").cast(DoubleType)))
+      .withColumn("pair_completeness",
+        when(col("n_truth") > 0,
+          col("n_found").cast(DoubleType) / col("n_truth").cast(DoubleType)))
+      .withColumn("quality",
+        when(col("reduction_ratio") + col("pair_completeness") > 0.0,
+          lit(2.0) * col("reduction_ratio") * col("pair_completeness") /
+            (col("reduction_ratio") + col("pair_completeness"))))
+      .select("n_records", "n_all_pairs", "n_candidates", "reduction_ratio",
+        "n_truth", "n_found", "pair_completeness", "quality")
+  }
 }

@@ -397,4 +397,49 @@ object Sampling {
       .withColumn("fold", pmod(col("__ord"), lit(k.toLong)))
       .drop("__h", "__ord")
   }
+
+  /** NEYMAN sample-allocation design: split a fixed sample `budget`
+    * across strata proportional to n_h·σ_h — the textbook-optimal
+    * allocation for estimating a mean under a fixed budget (variable
+    * strata earn more samples than their row share; constant strata earn
+    * almost none). This emits the DESIGN table a stratified sampler
+    * (e.g. [[stratifiedSample]] rates, or a per-stratum top-k) then
+    * executes.
+    *
+    * Exactness: with population variance σ² = (nΣv² − (Σv)²)/n², the
+    * weight n_h·σ_h collapses to sqrt(n_h·Σv² − (Σv)²) — ONE sqrt of an
+    * exact BIGINT per stratum, quantized to ⌊·2²⁰⌋ before the
+    * cross-stratum total, so shares are ratios of exact integers and the
+    * floor-allocated counts are integer-deterministic (the unallocated
+    * remainder — at most |strata| rows — is reported, not silently
+    * spread). Overflow: n_h·Σv² < 2⁶³, the [[Regression]] contract.
+    *
+    * @return one row per stratum: (stratum, n, var_num, weight_fp,
+    *         alloc, share) + the same `remainder` on every row
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, value: Column,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val g = df.select(col(stratumCol).as("__g"), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__q"))
+      .withColumn("var_num", col("n") * col("__q") - col("__s") * col("__s"))
+      .withColumn("weight_fp",
+        floor(sqrt(greatest(col("var_num"), lit(0L)).cast("double")) *
+          lit(1048576.0)).cast("long"))
+      .withColumn("__tw", sum(col("weight_fp")).over(wAll)) // |strata| rows
+    g.withColumn("alloc",
+        when(col("__tw") > 0L,
+          expr(s"($budget * weight_fp) DIV __tw")).otherwise(lit(0L)))
+      .withColumn("share",
+        when(col("__tw") > 0L,
+          col("weight_fp").cast("double") / col("__tw").cast("double")))
+      .withColumn("remainder",
+        lit(budget) - sum(col("alloc")).over(wAll))
+      .select(col("__g").as(stratumCol), col("n"), col("var_num"),
+        col("weight_fp"), col("alloc"), col("share"), col("remainder"))
+  }
 }

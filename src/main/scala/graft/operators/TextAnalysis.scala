@@ -607,4 +607,56 @@ object TextAnalysis {
           (col("vocab_a") + col("vocab_b") - col("inter")).cast(DoubleType))
           .as("jaccard"))
   }
+
+  /** DICTIONARY-ENCODE a corpus: build a frequency-ranked token
+    * vocabulary (id 0 = most frequent; ties by token string — the
+    * deterministic variant of every tokenizer's vocab ordering) and
+    * rewrite each document as its id sequence with OOV = −1 — the step
+    * that turns a text corpus into the integer arrays a training job
+    * memory-maps, and the complement of [[Bpe]]'s learned subwords for
+    * whitespace-token models.
+    *
+    * @param minDf tokens in fewer than `minDf` documents stay OUT of the
+    *              vocabulary (encode as OOV) — the standard tail cut
+    * @return one row per document: (idCol, ids ARRAY<LONG> in token
+    *         order, n_tokens, n_oov); empty/whitespace docs get an empty
+    *         array. Ordering inside `ids` is by token POSITION (exact),
+    *         not collection order.
+    *
+    * Scale shape: vocabulary ids come from [[GlobalIds.contiguousIds]]
+    * over the token-frequency histogram (bucket = negated count —
+    * monotone along the count-desc order; the only windows run over
+    * histogram rows). The encode join is vocab-sized (broadcastable);
+    * re-assembly is one groupBy(doc) of (pos, id) structs — a doc's
+    * cost is its own length, the same per-key bound as every chunker
+    * here.
+    */
+  def dictionaryEncode(docs: DataFrame, idCol: String, textCol: String,
+                       minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, "minDf must be at least 1")
+    val toks = docs.select(col(idCol).as("__d"),
+      posexplode(tokens(col(textCol))).as(Seq("__p", "__t")))
+    val counts = toks.groupBy("__t")
+      .agg(count(lit(1)).as("__cnt"),
+        count_distinct(col("__d")).as("__df"))
+      .filter(col("__df") >= minDf)
+    val vocab = GlobalIds.contiguousIds(counts, -col("__cnt"),
+      Seq(col("__cnt").desc, col("__t").asc), "__vid")
+      .select(col("__t"), col("__vid"))
+    val enc = toks
+      .join(broadcast(vocab), Seq("__t"), "left")
+      .withColumn("__id", coalesce(col("__vid"), lit(-1L)))
+      .groupBy("__d")
+      .agg(
+        transform(array_sort(collect_list(struct(col("__p"), col("__id")))),
+          x => x.getField("__id")).as("ids"),
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__id") === -1L, 1L)).as("n_oov"))
+    docs.select(col(idCol))
+      .join(enc, col(idCol) === col("__d"), "left")
+      .select(col(idCol),
+        coalesce(col("ids"), array().cast("array<long>")).as("ids"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
 }

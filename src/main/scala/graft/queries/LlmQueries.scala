@@ -2519,7 +2519,44 @@ object LlmQueries {
       graft.operators.Regression.simpsonAudit(
         t(s, dir, "documents"), "lang",
         col("n_chars"), TextAnalysis.punctCount(col("text")))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Dictionary-encode the corpus: frequency-ranked vocab ids (ties by
+    // token string), docs rewritten as id sequences with OOV = −1 —
+    // the text→integer-arrays step a training job memory-maps.
+    "q241_dict_encode" -> ((s, dir) =>
+      TextAnalysis.dictionaryEncode(t(s, dir, "documents"), "doc_id",
+        "text", minDf = 2L).orderBy("doc_id")),
+
+    // Association rules over token BASKETS (Apriori level 2): frequent
+    // token pairs with support, both directed confidences, and lift —
+    // set co-occurrence, where q213's bigram lift is adjacency.
+    "q242_assoc_rules" -> ((s, dir) =>
+      graft.operators.Cooccur.assocRules(t(s, dir, "documents"),
+        "doc_id", "text", minDf = 50L, minPair = 25L, topK = 30)),
+
+    // Blocking-quality audit of the wide-simhash candidate generator vs
+    // exact bigram-Jaccard truth: reduction ratio AND pair completeness
+    // (q97 measured recall only) + their harmonic mean — the standard
+    // entity-resolution blocking scorecard.
+    "q243_blocking_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = graft.operators.CacheScope.track(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+          threshold = 0.6).select("i", "j"))
+      val cand = graft.operators.CacheScope.track(
+        Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 3)
+          .select("i", "j"))
+      Dedup.blockingQuality(cand, truth, docs)
+    }),
+
+    // Neyman allocation of a 100-doc sample budget across sources:
+    // n_h·σ_h collapses to sqrt(n·Σv² − (Σv)²) — one sqrt of an exact
+    // BIGINT per stratum, fixed-point weights, floor-allocated counts
+    // with the remainder reported.
+    "q244_neyman_alloc" -> ((s, dir) =>
+      Sampling.neymanAllocation(t(s, dir, "documents"), "source",
+        col("n_chars"), budget = 100L).orderBy("source"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -7828,6 +7865,138 @@ object LlmQueries {
         |  FROM p)
         |SELECT lang, n, cov_num, group_sign, pooled_num, pooled_sign,
         |       group_sign * pooled_sign = -1 AS reversed
-        |FROM sg, sp ORDER BY lang""".stripMargin
+        |FROM sg, sp ORDER BY lang""".stripMargin,
+
+    // Frequency-ranked vocab (row_number over count DESC, token — the
+    // engine's histogram-offset ordinals), per-position encode join,
+    // list(id ORDER BY p) re-assembly; empty docs keep empty arrays.
+    "q241_dict_encode" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |tokp AS (
+         |  SELECT doc_id, unnest(range(len(tk))) AS p, tk FROM toks),
+         |tok AS (SELECT doc_id, p, tk[p + 1] AS t FROM tokp),
+         |cnt AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+         |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tok GROUP BY 1),
+         |vocab AS (
+         |  SELECT t, CAST(row_number() OVER (ORDER BY cnt DESC, t) - 1
+         |    AS BIGINT) AS vid
+         |  FROM cnt WHERE df >= 2),
+         |enc AS (
+         |  SELECT tok.doc_id, tok.p,
+         |         CAST(COALESCE(v.vid, -1) AS BIGINT) AS id
+         |  FROM tok LEFT JOIN vocab v ON v.t = tok.t),
+         |agg AS (
+         |  SELECT doc_id, list(id ORDER BY p) AS ids,
+         |         CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(CASE WHEN id = -1 THEN 1 END) AS BIGINT)
+         |           AS n_oov
+         |  FROM enc GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(a.ids, CAST([] AS BIGINT[])) AS ids,
+         |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Distinct-token baskets, level-1 df prune, per-doc pair join,
+    // level-2 pair floor; metrics are single divisions of exact counts,
+    // top-30 by (lift DESC, a, b) — a total order, engine-stable.
+    "q242_assoc_rules" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |it AS (
+         |  SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks),
+         |fr AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+         |       FROM it GROUP BY 1),
+         |bask AS (
+         |  SELECT it.doc_id, it.t, fr.df
+         |  FROM it JOIN fr USING (t) WHERE fr.df >= 50),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |p AS (
+         |  SELECT x.t AS a, y.t AS b, x.df AS c_a, y.df AS c_b,
+         |         CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM bask x JOIN bask y
+         |    ON x.doc_id = y.doc_id AND x.t < y.t
+         |  GROUP BY 1, 2, 3, 4),
+         |f AS (SELECT * FROM p, nd WHERE c_ab >= 25)
+         |SELECT a, b, n_docs, c_a, c_b, c_ab,
+         |       CAST(c_ab AS DOUBLE) / CAST(n_docs AS DOUBLE) AS support,
+         |       CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE) AS conf_a_b,
+         |       CAST(c_ab AS DOUBLE) / CAST(c_b AS DOUBLE) AS conf_b_a,
+         |       CAST(c_ab * n_docs AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)
+         |         AS lift
+         |FROM f ORDER BY lift DESC, a, b LIMIT 30""".stripMargin,
+
+    // q97's truth/candidate CTEs + the n(n−1)/2 comparison base;
+    // RR, PC, and their harmonic mean each one division.
+    "q243_blocking_quality" ->
+      s"""WITH ${oJaccardCtes(2)},
+         |truth AS (SELECT i, j FROM jac WHERE jaccard >= 0.6),
+         |${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |cand AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |hit AS (SELECT i, j FROM truth INTERSECT SELECT i, j FROM cand),
+         |base AS (
+         |  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)
+         |           AS n_records,
+         |         CAST((SELECT count(*) FROM cand) AS BIGINT)
+         |           AS n_candidates,
+         |         CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |         CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_found),
+         |m AS (
+         |  SELECT n_records, n_records * (n_records - 1) // 2 AS n_all_pairs,
+         |         n_candidates, n_truth, n_found,
+         |         CASE WHEN n_records * (n_records - 1) // 2 > 0
+         |              THEN CAST(1.0 AS DOUBLE) -
+         |                   CAST(n_candidates AS DOUBLE) /
+         |                   CAST(n_records * (n_records - 1) // 2 AS DOUBLE)
+         |         END AS reduction_ratio,
+         |         CASE WHEN n_truth > 0
+         |              THEN CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |         END AS pair_completeness
+         |  FROM base)
+         |SELECT n_records, n_all_pairs, n_candidates, reduction_ratio,
+         |       n_truth, n_found, pair_completeness,
+         |       CASE WHEN reduction_ratio + pair_completeness > 0.0
+         |            THEN CAST(2.0 AS DOUBLE) * reduction_ratio *
+         |                 pair_completeness /
+         |                 (reduction_ratio + pair_completeness)
+         |       END AS quality
+         |FROM m""".stripMargin,
+
+    // n_h·σ_h = sqrt(n·Σv² − (Σv)²) exactly — one sqrt per stratum,
+    // 2^20 fixed-point weights, floor allocation, remainder reported.
+    "q244_neyman_alloc" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS s,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT source, n, n * q - s * s AS var_num,
+        |         CAST(floor(sqrt(CAST(greatest(n * q - s * s, 0)
+        |             AS DOUBLE)) * CAST(1048576.0 AS DOUBLE)) AS BIGINT)
+        |           AS weight_fp
+        |  FROM g),
+        |tw AS (SELECT CAST(sum(weight_fp) AS BIGINT) AS tw FROM w),
+        |al AS (
+        |  SELECT source, n, var_num, weight_fp,
+        |         CAST(CASE WHEN tw > 0 THEN (100 * weight_fp) // tw
+        |                   ELSE 0 END AS BIGINT) AS alloc,
+        |         CASE WHEN tw > 0
+        |              THEN CAST(weight_fp AS DOUBLE) / CAST(tw AS DOUBLE)
+        |         END AS share
+        |  FROM w, tw)
+        |SELECT source, n, var_num, weight_fp, alloc, share,
+        |       100 - CAST((SELECT sum(alloc) FROM al) AS BIGINT)
+        |         AS remainder
+        |FROM al ORDER BY source""".stripMargin
   )
 }

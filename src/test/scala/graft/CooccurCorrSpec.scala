@@ -162,4 +162,32 @@ class CooccurCorrSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 3L)
     assert(r.isNullAt(r.fieldIndex("tau_b")))
   }
+
+  test("assocRules: set co-occurrence with exact support/confidence/lift") {
+    // docs: {a,b} x3, {a} x1, {b,c} x1, {c} x1 -> n=6
+    // df: a=4, b=4, c=2; pair (a,b)=3
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "a b"), (4L, "a"),
+      (5L, "b c"), (6L, "c")).toDF("doc_id", "text")
+    val r = graft.operators.Cooccur.assocRules(docs, "doc_id", "text",
+      minDf = 2L, minPair = 2L, topK = 10).collect()
+    val ab = r.find(x => x.getAs[String]("a") == "a" &&
+      x.getAs[String]("b") == "b").get
+    assert(ab.getAs[Long]("c_ab") === 3L)
+    assert(ab.getAs[Double]("support") === 0.5)
+    assert(ab.getAs[Double]("conf_a_b") === 0.75)
+    assert(ab.getAs[Double]("conf_b_a") === 0.75)
+    assert(ab.getAs[Double]("lift") === 3.0 * 6.0 / (4.0 * 4.0))
+    // (b,c) pair count 1 < minPair -> absent
+    assert(!r.exists(x => x.getAs[String]("a") == "b" &&
+      x.getAs[String]("b") == "c"))
+  }
+
+  test("assocRules: duplicate tokens in a doc count the basket once") {
+    val docs = Seq((1L, "a a b b"), (2L, "a b")).toDF("doc_id", "text")
+    val r = graft.operators.Cooccur.assocRules(docs, "doc_id", "text",
+      minDf = 1L, minPair = 1L, topK = 10).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("c_ab") === 2L)
+    assert(r(0).getAs[Long]("c_a") === 2L)
+  }
 }

@@ -353,4 +353,64 @@ class CorpusOpsSpec extends SparkSpec {
     // ordinals: contiguous 0..N-1
     assert(out.map(_._2).sorted.toSeq === (0L until out.length.toLong))
   }
+
+  test("dictionaryEncode: frequency-ranked ids, positional order, OOV as -1") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "unique the")).toDF("doc_id", "text")
+    // df: the=3, sat=2; cat/on/mat/dog/unique df=1 -> OOV at minDf=2
+    val r = TextAnalysis.dictionaryEncode(docs, "doc_id", "text", minDf = 2L)
+      .orderBy("doc_id").collect()
+    // vocab by count desc: the(4 occurrences)=0, sat(2)=1
+    assert(r(0).getAs[Seq[Long]]("ids") === Seq(0L, -1L, 1L, -1L, 0L, -1L))
+    assert(r(0).getAs[Long]("n_oov") === 3L)
+    assert(r(1).getAs[Seq[Long]]("ids") === Seq(0L, -1L, 1L))
+    assert(r(2).getAs[Seq[Long]]("ids") === Seq(-1L, 0L))
+  }
+
+  test("dictionaryEncode: empty and whitespace docs keep empty arrays") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, ""), (2L, "   \t "), (3L, "a a")).toDF("doc_id", "text")
+    val r = TextAnalysis.dictionaryEncode(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Seq[Long]]("ids") === Seq.empty)
+    assert(r(0).getAs[Long]("n_tokens") === 0L)
+    assert(r(1).getAs[Seq[Long]]("ids") === Seq.empty)
+    assert(r(2).getAs[Seq[Long]]("ids") === Seq(0L, 0L))
+  }
+
+  test("dictionaryEncode: count ties rank by token string") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.dictionaryEncode(docs, "doc_id", "text", minDf = 1L)
+      .orderBy("doc_id").collect()
+    // both count 2: 'a' < 'b' -> a=0, b=1
+    assert(r(0).getAs[Seq[Long]]("ids") === Seq(1L, 0L))
+    assert(r(1).getAs[Seq[Long]]("ids") === Seq(0L, 1L))
+  }
+
+  test("blockingQuality: RR, PC, and harmonic quality from exact pair counts") {
+    import graft.operators.Dedup
+    val records = (1L to 5L).map(Tuple1(_)).toDF("id") // 10 possible pairs
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("i", "j")
+    val cand = Seq((1L, 2L), (2L, 3L)).toDF("i", "j") // finds 1 of 2
+    val r = Dedup.blockingQuality(cand, truth, records).collect()(0)
+    assert(r.getAs[Long]("n_all_pairs") === 10L)
+    assert(r.getAs[Double]("reduction_ratio") === 0.8)
+    assert(r.getAs[Double]("pair_completeness") === 0.5)
+    val q = 2.0 * 0.8 * 0.5 / (0.8 + 0.5)
+    assert(math.abs(r.getAs[Double]("quality") - q) < 1e-15)
+  }
+
+  test("blockingQuality: empty truth reports NULL completeness, counts intact") {
+    import graft.operators.Dedup
+    val records = (1L to 3L).map(Tuple1(_)).toDF("id")
+    val truth = Seq.empty[(Long, Long)].toDF("i", "j")
+    val cand = Seq((1L, 2L)).toDF("i", "j")
+    val r = Dedup.blockingQuality(cand, truth, records).collect()(0)
+    assert(r.getAs[Long]("n_truth") === 0L)
+    assert(r.isNullAt(r.fieldIndex("pair_completeness")))
+  }
 }

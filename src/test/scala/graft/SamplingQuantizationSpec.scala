@@ -204,4 +204,41 @@ class SamplingQuantizationSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(got.map(r => r.getDouble(4)).toSeq == Seq(10.0, 20.0))
   }
+
+  test("neymanAllocation: variable strata earn samples, constant strata earn none") {
+    import org.apache.spark.sql.functions.col
+    // stratum a: constant (sigma 0); stratum b: spread
+    val d = (Seq.fill(10)(("a", 5L)) ++
+      Seq(("b", 0L), ("b", 10L), ("b", 0L), ("b", 10L))).toDF("g", "v")
+    val r = graft.operators.Sampling
+      .neymanAllocation(d, "g", col("v"), budget = 100L)
+      .orderBy("g").collect()
+    assert(r(0).getAs[Long]("var_num") === 0L)
+    assert(r(0).getAs[Long]("alloc") === 0L)
+    // all weight on b -> floor(100 * w / w) = 100
+    assert(r(1).getAs[Long]("alloc") === 100L)
+    assert(r(1).getAs[Double]("share") === 1.0)
+    assert(r.forall(_.getAs[Long]("remainder") === 0L))
+  }
+
+  test("neymanAllocation: equal strata split evenly; remainder is the floor loss") {
+    import org.apache.spark.sql.functions.col
+    val d = (Seq(("a", 0L), ("a", 10L)) ++ Seq(("b", 0L), ("b", 10L)) ++
+      Seq(("c", 0L), ("c", 10L))).toDF("g", "v")
+    val r = graft.operators.Sampling
+      .neymanAllocation(d, "g", col("v"), budget = 100L)
+      .orderBy("g").collect()
+    assert(r.map(_.getAs[Long]("alloc")).toSeq === Seq(33L, 33L, 33L))
+    assert(r.forall(_.getAs[Long]("remainder") === 1L))
+    assert(math.abs(r.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+  }
+
+  test("neymanAllocation: all-constant corpus allocates nothing, budget intact") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(("a", 5L), ("b", 7L)).toDF("g", "v")
+    val r = graft.operators.Sampling
+      .neymanAllocation(d, "g", col("v"), budget = 50L).collect()
+    assert(r.forall(_.getAs[Long]("alloc") === 0L))
+    assert(r.forall(_.getAs[Long]("remainder") === 50L))
+  }
 }
