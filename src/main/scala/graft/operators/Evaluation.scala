@@ -323,6 +323,77 @@ object Evaluation {
           .as("neg_pass_rate"))
   }
 
+  /** ISOTONIC calibration by pool-adjacent-violators over score bins —
+    * the calibration LEARNER next to the reliability table (q180 shows
+    * whether scores are calibrated; this produces the monotone
+    * score→probability map that fixes them, the standard
+    * post-processing for a ranking-good/calibration-poor classifier).
+    *
+    * Exactness: bins are the [[decileLift]] exact ordinals; PAVA runs on
+    * the DRIVER over the collected `bins` rows (bounded by construction
+    * — the codebook/centroid license, never corpus rows) with pooled
+    * rates compared by BIGINT cross-multiplication (pos₁·n₂ ≥ pos₂·n₁),
+    * so pooling decisions are integer-deterministic; each pool's
+    * calibrated rate is the exact rational pos/n, emitted as numerator,
+    * denominator, AND one division. The result is the textbook isotonic
+    * fit: the left-to-right sweep merges while the last pool's rate
+    * exceeds its successor's, which yields the unique non-decreasing
+    * least-squares step function.
+    *
+    * @return one row per ORIGINAL bin: (bin, score_lo, score_hi, n,
+    *         n_pos, pool, cal_num, cal_den, calibrated) — `pool` is the
+    *         leftmost bin index of the merged pool; `calibrated` is
+    *         non-decreasing in `bin`
+    */
+  def isotonicCalibration(df: DataFrame, keyCol: String, scoreCol: String,
+                          labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "need at least one bin")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"),
+        col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+    val ranked = GlobalIds.contiguousIds(base, col("__s"),
+      Seq(col("__s").asc, col("__k").asc), "__ord")
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val binRows = ranked.crossJoin(broadcast(tot))
+      .withColumn("bin", expr(s"(__ord * $bins) DIV __n"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), count(when(col("__y"), 1L)).as("n_pos"),
+        min(col("__s")).as("score_lo"), max(col("__s")).as("score_hi"))
+      .orderBy("bin")
+      .collect() // `bins` rows — bounded by construction
+    // PAVA sweep with exact rational rate compares
+    case class Pool(firstBin: Long, n: Long, pos: Long)
+    val pools = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    binRows.foreach { r =>
+      pools += Pool(r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"))
+      // merge while the previous pool's rate EXCEEDS the last one's
+      while (pools.length >= 2 && {
+        val a = pools(pools.length - 2); val b = pools.last
+        // pos_a/n_a > pos_b/n_b  ⟺  pos_a·n_b > pos_b·n_a (n > 0)
+        BigInt(a.pos) * b.n > BigInt(b.pos) * a.n
+      }) {
+        val b = pools.remove(pools.length - 1)
+        val a = pools.remove(pools.length - 1)
+        pools += Pool(a.firstBin, a.n + b.n, a.pos + b.pos)
+      }
+    }
+    val sortedPools = pools.toVector // in bin order by construction
+    def poolOf(bin: Long): Pool = sortedPools.takeWhile(_.firstBin <= bin).last
+    val spark = df.sparkSession
+    import spark.implicits._
+    binRows.map { r =>
+      val bin = r.getAs[Long]("bin")
+      val p = poolOf(bin)
+      (bin, r.getAs[Long]("score_lo"), r.getAs[Long]("score_hi"),
+        r.getAs[Long]("n"), r.getAs[Long]("n_pos"), p.firstBin, p.pos, p.n,
+        p.pos.toDouble / p.n.toDouble)
+    }.toSeq.toDF("bin", "score_lo", "score_hi", "n", "n_pos", "pool",
+      "cal_num", "cal_den", "calibrated")
+  }
+
   /** Deterministic Poisson-BOOTSTRAP error bars for [[aucExact]]: each
     * replicate b reweights every example by its [[Sampling
     * .poissonWeight]] draw, and the midrank formula runs on WEIGHTED

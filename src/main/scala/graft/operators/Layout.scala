@@ -128,4 +128,71 @@ object Layout {
       .withColumn("bin_pos", row_number().over(wBin).cast("long"))
       .drop("__cum")
   }
+
+  /** WALD–WOLFOWITZ runs test along a manifest order: is a binary
+    * attribute (source, lang, label) actually MIXED along the order a
+    * training run will consume, or does it clump? An epoch shuffle
+    * (q104) promises mixing; this measures it — too few runs = clumped
+    * (bad for SGD), too many = anti-correlated alternation (a striping
+    * artifact). The layout-QA sibling of [[compactionPlan]]: one judges
+    * file sizes, this judges ORDER quality.
+    *
+    * Scale shape — adjacency without a global window: ordinals come from
+    * [[GlobalIds.contiguousIds]] (histogram-offset), blocks of 4096
+    * ordinals count their INTERNAL boundaries under per-block windows,
+    * and the |blocks|-row (first, last) table joins itself shifted by
+    * one for the cross-block boundaries. No corpus row ever passes
+    * through a single-partition window.
+    *
+    * Statistics: R = 1 + Σ boundaries; E[R] = 1 + 2n₁n₂/n and
+    * Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) computed in fixed-shape double
+    * arithmetic on the exact counts (the BIGINT product would overflow
+    * at n ~ 2³², and a z-score needs no exactness — determinism
+    * suffices). NULL z when either class is empty or n < 2. NULL attr
+    * rows are excluded (no side of a run).
+    *
+    * @param bucket monotone-along-order bucket for the ordinal plan
+    *               (the [[GlobalIds.contiguousIds]] contract)
+    * @return one row: (n, n1, n2, runs, expected_runs, variance, z)
+    */
+  def runsTest(df: DataFrame, bucket: Column, order: Seq[Column],
+               attr: Column): DataFrame = {
+    val Block = 4096L
+    val base = df.select(attr.cast("boolean").as("__a") +: order: _*)
+      .filter(col("__a").isNotNull)
+    val ranked = GlobalIds.contiguousIds(base, bucket, order, "__ord")
+      .withColumn("__blk", expr(s"__ord DIV $Block"))
+    val wIn = Window.partitionBy("__blk").orderBy("__ord")
+    val inner = ranked
+      .withColumn("__prev", lag(col("__a"), 1).over(wIn))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("__a"), 1L)).as("n1"),
+        count(when(!col("__a"), 1L)).as("n2"),
+        count(when(col("__prev").isNotNull &&
+          col("__a") =!= col("__prev"), 1L)).as("__inb"))
+    val edges = ranked.groupBy("__blk")
+      .agg(min(struct(col("__ord"), col("__a"))).as("__first"),
+        max(struct(col("__ord"), col("__a"))).as("__last"))
+      .select(col("__blk"),
+        col("__first").getField("__a").as("__fa"),
+        col("__last").getField("__a").as("__la"))
+    val cross = edges.alias("l")
+      .join(edges.alias("r"), col("l.__blk") + 1 === col("r.__blk"))
+      .agg(coalesce(count(when(col("l.__la") =!= col("r.__fa"), 1L)),
+        lit(0L)).as("__xb"))
+    val nD = col("n").cast("double")
+    val a = lit(2.0) * col("n1").cast("double") * col("n2").cast("double")
+    inner.crossJoin(cross)
+      .withColumn("runs",
+        when(col("n") > 0L, col("__inb") + col("__xb") + 1L))
+      .select(col("n"), col("n1"), col("n2"), col("runs"),
+        when(col("n") > 0L, lit(1.0) + a / nD).as("expected_runs"),
+        when(col("n") > 1L && col("n1") > 0L && col("n2") > 0L,
+          a * (a - nD) / (nD * nD * (nD - lit(1.0)))).as("variance"))
+      .withColumn("z",
+        when(col("variance") > 0.0,
+          (col("runs").cast("double") - col("expected_runs")) /
+            sqrt(col("variance"))))
+  }
 }

@@ -135,4 +135,50 @@ object Merge {
         sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
       .filter(col("n") > 0L)
   }
+
+  /** Incremental EQUI-JOIN maintenance ([[applyAggDelta]]'s sibling for
+    * a materialized join): given signed changelogs dA, dB against base
+    * tables A, B, emit the signed delta of A⋈B from the algebraic
+    * identity
+    *
+    *   (A+dA)⋈(B+dB) − A⋈B  =  dA⋈(B+dB)  ∪  A⋈dB
+    *
+    * (expand the product; the dA⋈dB cross term belongs to the first
+    * branch because its right side is B PLUS dB). Output rows carry
+    * `sign` = the product of the joining rows' signs — a delete joining
+    * an insert correctly yields a −·+ = − join delta — so downstream a
+    * signed union with the old join (or [[applyAggDelta]] over it)
+    * equals the full recompute.
+    *
+    * Scale shape: this is the reason materialized joins are maintainable
+    * at 100 TB — BOTH branches are delta-driven: dA⋈(B ⊎ dB) shuffles
+    * dA against B's matching keys only (broadcast dA when small; AQE
+    * does), and A⋈dB likewise. The corpus-sized A⋈B is never recomputed;
+    * cost ∝ |delta| · join fan-out, not |base|.
+    *
+    * Column contract: `aCols`/`bCols` are the payload columns carried
+    * from each side (key columns come out once); both changelogs carry
+    * `signCol` ∈ {+1, −1}; base rows count as +1.
+    *
+    * @return (keys…, aCols…, bCols…, sign)
+    */
+  def joinDelta(aOld: DataFrame, dA: DataFrame, bOld: DataFrame,
+                dB: DataFrame, keys: Seq[String], signCol: String,
+                aCols: Seq[String], bCols: Seq[String]): DataFrame = {
+    def side(base: DataFrame, cols: Seq[String]) = base
+      .select(keys.map(col) ++ cols.map(col) :+ lit(1L).as("__s"): _*)
+    def deltaSide(d: DataFrame, cols: Seq[String]) = d
+      .select(keys.map(col) ++ cols.map(col) :+
+        col(signCol).cast("long").as("__s"): _*)
+    val bNew = side(bOld, bCols).unionByName(deltaSide(dB, bCols))
+    val left = deltaSide(dA, aCols)
+      .withColumnRenamed("__s", "__sa")
+      .join(bNew.withColumnRenamed("__s", "__sb"), keys)
+    val right = side(aOld, aCols)
+      .withColumnRenamed("__s", "__sa")
+      .join(deltaSide(dB, bCols).withColumnRenamed("__s", "__sb"), keys)
+    left.unionByName(right)
+      .select(keys.map(col) ++ aCols.map(col) ++ bCols.map(col) :+
+        (col("__sa") * col("__sb")).as("sign"): _*)
+  }
 }

@@ -2556,7 +2556,45 @@ object LlmQueries {
     // with the remainder reported.
     "q244_neyman_alloc" -> ((s, dir) =>
       Sampling.neymanAllocation(t(s, dir, "documents"), "source",
-        col("n_chars"), budget = 100L).orderBy("source"))
+        col("n_chars"), budget = 100L).orderBy("source")),
+
+    // Wald–Wolfowitz runs test: is lang='en' actually MIXED along the
+    // doc_id manifest order, or clumped? Adjacency via per-block windows
+    // + a |blocks|-row shifted self-join — no corpus-wide window; exact
+    // run/class counts, fixed-shape z.
+    "q245_runs_test" -> ((s, dir) =>
+      graft.operators.Layout.runsTest(t(s, dir, "documents"),
+        expr("doc_id DIV 256"), Seq(col("doc_id")),
+        col("lang") === "en")),
+
+    // Incremental JOIN maintenance: signed lineitem/orders changelogs
+    // drive dA⋈(B⊎dB) ∪ A⋈dB — the materialized join's delta without
+    // recomputing the corpus join; net per-priority row/quantity changes
+    // gate against a full old-vs-new recompute diff.
+    "q246_incr_join" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      val b = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+      val dA = a.filter(col("k") % 37 === 0)
+        .withColumn("sign", lit(-1L))
+        .unionByName(a.filter(col("k") % 41 === 0)
+          .withColumn("qty", col("qty") + 100L)
+          .withColumn("sign", lit(1L)))
+      val dB = b.filter(col("k") % 53 === 0)
+        .withColumn("sign", lit(-1L))
+        .unionByName(b.filter(col("k") % 53 === 0)
+          .withColumn("prio", lit("9-CHANGED"))
+          .withColumn("sign", lit(1L)))
+      graft.operators.Merge.joinDelta(a, dA, b, dB, Seq("k"), "sign",
+        aCols = Seq("qty"), bCols = Seq("prio"))
+        .groupBy("prio")
+        .agg(sum(col("sign")).as("net_rows"),
+          sum(col("sign") * col("qty")).as("net_qty"))
+        .filter(col("net_rows") =!= 0L || col("net_qty") =!= 0L)
+        .orderBy("prio")
+    })
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -7997,6 +8035,90 @@ object LlmQueries {
         |SELECT source, n, var_num, weight_fp, alloc, share,
         |       100 - CAST((SELECT sum(alloc) FROM al) AS BIGINT)
         |         AS remainder
-        |FROM al ORDER BY source""".stripMargin
+        |FROM al ORDER BY source""".stripMargin,
+
+    // Straight lag-window recount of runs (the oracle may funnel — it
+    // is DuckDB); identical fixed-shape double tail.
+    "q245_runs_test" ->
+      """WITH b AS (
+        |  SELECT doc_id, (lang = 'en') AS a FROM documents
+        |  WHERE (lang = 'en') IS NOT NULL),
+        |l AS (SELECT a, lag(a) OVER (ORDER BY doc_id) AS pa FROM b),
+        |r AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS n1,
+        |         CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS n2,
+        |         CAST(count(CASE WHEN pa IS NOT NULL AND a <> pa
+        |                         THEN 1 END) + 1 AS BIGINT) AS runs0
+        |  FROM l)
+        |SELECT n, n1, n2,
+        |       CASE WHEN n > 0 THEN runs0 END AS runs,
+        |       CASE WHEN n > 0
+        |            THEN CAST(1.0 AS DOUBLE) +
+        |                 CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+        |                   CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |       END AS expected_runs,
+        |       CASE WHEN n > 1 AND n1 > 0 AND n2 > 0
+        |            THEN CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+        |                   CAST(n2 AS DOUBLE) *
+        |                 (CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+        |                    CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE)) /
+        |                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+        |                  (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+        |       END AS variance,
+        |       CASE WHEN n > 1 AND n1 > 0 AND n2 > 0 AND
+        |                 CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+        |                   CAST(n2 AS DOUBLE) *
+        |                 (CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+        |                    CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE)) /
+        |                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+        |                  (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) > 0
+        |            THEN (CAST(runs0 AS DOUBLE) -
+        |                  (CAST(1.0 AS DOUBLE) +
+        |                   CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+        |                     CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |                 sqrt(CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+        |                        CAST(n2 AS DOUBLE) *
+        |                      (CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+        |                         CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE)) /
+        |                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+        |                       (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))))
+        |       END AS z
+        |FROM r""".stripMargin,
+
+    // Full old-vs-new join recompute, aggregated per priority and
+    // diffed — the identity the delta operator must satisfy.
+    "q246_incr_join" ->
+      """WITH a_old AS (
+        |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |b_old AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio FROM orders),
+        |a_new AS (
+        |  SELECT k, qty FROM a_old WHERE k % 37 <> 0
+        |  UNION ALL
+        |  SELECT k, qty + 100 FROM a_old WHERE k % 41 = 0),
+        |b_new AS (
+        |  SELECT k, prio FROM b_old WHERE k % 53 <> 0
+        |  UNION ALL
+        |  SELECT k, '9-CHANGED' AS prio FROM b_old WHERE k % 53 = 0),
+        |j_old AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS rows_,
+        |         CAST(sum(qty) AS BIGINT) AS qty_
+        |  FROM a_old JOIN b_old USING (k) GROUP BY 1),
+        |j_new AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS rows_,
+        |         CAST(sum(qty) AS BIGINT) AS qty_
+        |  FROM a_new JOIN b_new USING (k) GROUP BY 1),
+        |d AS (
+        |  SELECT COALESCE(n.prio, o.prio) AS prio,
+        |         CAST(COALESCE(n.rows_, 0) - COALESCE(o.rows_, 0)
+        |           AS BIGINT) AS net_rows,
+        |         CAST(COALESCE(n.qty_, 0) - COALESCE(o.qty_, 0)
+        |           AS BIGINT) AS net_qty
+        |  FROM j_new n FULL OUTER JOIN j_old o ON n.prio = o.prio)
+        |SELECT prio, net_rows, net_qty FROM d
+        |WHERE net_rows <> 0 OR net_qty <> 0
+        |ORDER BY prio""".stripMargin
   )
 }

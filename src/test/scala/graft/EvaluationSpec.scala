@@ -191,4 +191,63 @@ class EvaluationSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("threshold")))
     assert(r.getAs[Double]("coverage") === 1.0)
   }
+
+  test("isotonicCalibration: violator bins pool; output is monotone") {
+    // 4 bins of 5 rows: rates 0.2, 0.8, 0.4, 1.0 -> bins 1,2 violate
+    // and pool to (0.8*5 + 0.4*5)/10 = 0.6
+    val rows = (0 until 20).map { i =>
+      val bin = i / 5
+      val pos = bin match {
+        case 0 => i % 5 < 1
+        case 1 => i % 5 < 4
+        case 2 => i % 5 < 2
+        case _ => true
+      }
+      (i.toLong, i.toLong, pos)
+    }
+    val d = rows.toDF("k", "s", "y")
+    val out = Evaluation.isotonicCalibration(d, "k", "s", "y", bins = 4)
+      .orderBy("bin").collect()
+    val cal = out.map(_.getAs[Double]("calibrated")).toSeq
+    assert(cal === Seq(0.2, 0.6, 0.6, 1.0))
+    assert(cal.sliding(2).forall(p => p(0) <= p(1))) // monotone
+    assert(out(1).getAs[Long]("pool") === 1L)
+    assert(out(2).getAs[Long]("pool") === 1L) // merged into bin 1's pool
+    assert(out(1).getAs[Long]("cal_num") === 6L)
+    assert(out(1).getAs[Long]("cal_den") === 10L)
+  }
+
+  test("isotonicCalibration: cascading merges pool through earlier bins") {
+    // rates 0.9, 0.5, 0.1 over equal bins: full collapse to 0.5
+    val rows = (0 until 30).map { i =>
+      val bin = i / 10
+      val pos = bin match {
+        case 0 => i % 10 < 9
+        case 1 => i % 10 < 5
+        case _ => i % 10 < 1
+      }
+      (i.toLong, i.toLong, pos)
+    }
+    val out = Evaluation.isotonicCalibration(rows.toDF("k", "s", "y"),
+      "k", "s", "y", bins = 3).orderBy("bin").collect()
+    assert(out.map(_.getAs[Double]("calibrated")).distinct.toSeq === Seq(0.5))
+    assert(out.forall(_.getAs[Long]("pool") === 0L))
+    // pooling preserves totals exactly
+    assert(out.head.getAs[Long]("cal_num") === 15L)
+    assert(out.head.getAs[Long]("cal_den") === 30L)
+  }
+
+  test("isotonicCalibration: already-monotone rates pass through untouched") {
+    val rows = (0 until 20).map { i =>
+      (i.toLong, i.toLong, i / 5 match {
+        case 0 => i % 5 < 1; case 1 => i % 5 < 2
+        case 2 => i % 5 < 3; case _ => i % 5 < 5
+      })
+    }
+    val out = Evaluation.isotonicCalibration(rows.toDF("k", "s", "y"),
+      "k", "s", "y", bins = 4).orderBy("bin").collect()
+    assert(out.map(_.getAs[Double]("calibrated")).toSeq ===
+      Seq(0.2, 0.4, 0.6, 1.0))
+    assert(out.map(_.getAs[Long]("pool")).toSeq === Seq(0L, 1L, 2L, 3L))
+  }
 }

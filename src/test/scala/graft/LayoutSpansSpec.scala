@@ -273,4 +273,37 @@ class LayoutSpansSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(6)) && got.forall(_.isNullAt(4)))
     assert(got.forall(!_.isNullAt(3)))
   }
+
+  test("runsTest: exact run count across block boundaries") {
+    import graft.operators.Layout
+    // sequence over ids 0..9: T T F F F T F T T T -> runs = 5
+    val attrs = Seq(true, true, false, false, false, true, false, true,
+      true, true)
+    val d = attrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "a")
+    // bucket width 1 forces EVERY adjacency across a block boundary in
+    // the histogram-offset plan when Block=4096 keeps them in one block;
+    // exercise the cross-block path with DIV 1 buckets anyway
+    val r = Layout.runsTest(d, expr("id DIV 3"), Seq(col("id")), col("a"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n1") === 6L && r.getAs[Long]("n2") === 4L)
+    assert(r.getAs[Long]("runs") === 5L)
+    // E[R] = 1 + 2*6*4/10 = 5.8
+    assert(math.abs(r.getAs[Double]("expected_runs") - 5.8) < 1e-12)
+  }
+
+  test("runsTest: perfectly alternating and single-class sequences") {
+    import graft.operators.Layout
+    val alt = (0L until 8L).map(i => (i, i % 2 == 0L)).toDF("id", "a")
+    val r = Layout.runsTest(alt, expr("id DIV 4"), Seq(col("id")), col("a"))
+      .collect()(0)
+    assert(r.getAs[Long]("runs") === 8L) // maximum runs
+    assert(r.getAs[Double]("z") > 0.0)   // more runs than expected
+    val mono = (0L until 5L).map(i => (i, true)).toDF("id", "a")
+    val m = Layout.runsTest(mono, expr("id DIV 4"), Seq(col("id")), col("a"))
+      .collect()(0)
+    assert(m.getAs[Long]("runs") === 1L)
+    assert(m.isNullAt(m.fieldIndex("z"))) // one class: no variance
+  }
 }

@@ -37,6 +37,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(!out.collect().map(_.getString(0)).contains("b"))
   }
 
+  test("joinDelta equals the full old-vs-new join diff as signed multisets") {
+    val a = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L)).toDF("k", "av")
+    val b = Seq((1L, "x"), (2L, "y"), (2L, "z"), (4L, "w")).toDF("k", "bv")
+    // delete one a-row of k=1, insert a new k=2 row; replace k=2's "y"
+    val dA = a.filter(col("av") === 10L).withColumn("sign", lit(-1L))
+      .unionByName(Seq((2L, 25L)).toDF("k", "av").withColumn("sign", lit(1L)))
+    val dB = b.filter(col("bv") === "y").withColumn("sign", lit(-1L))
+      .unionByName(Seq((2L, "y2")).toDF("k", "bv").withColumn("sign", lit(1L)))
+    val delta = Merge.joinDelta(a, dA, b, dB, Seq("k"), "sign",
+      Seq("av"), Seq("bv"))
+    val aNew = a.exceptAll(a.filter(col("av") === 10L))
+      .unionByName(Seq((2L, 25L)).toDF("k", "av"))
+    val bNew = b.exceptAll(b.filter(col("bv") === "y"))
+      .unionByName(Seq((2L, "y2")).toDF("k", "bv"))
+    val jOld = a.join(b, "k")
+    val jNew = aNew.join(bNew, "k")
+    // apply the signed delta to the old join and compare multisets
+    val plus = delta.filter(col("sign") === 1L).drop("sign")
+    val minus = delta.filter(col("sign") === -1L).drop("sign")
+    val applied = jOld.unionByName(plus).exceptAll(minus)
+    assert(applied.exceptAll(jNew).isEmpty && jNew.exceptAll(applied).isEmpty)
+  }
+
+  test("joinDelta: delete joining an insert nets out through sign products") {
+    // replace the only b-row for k=1; a unchanged -> join delta is
+    // (-1 old pairing) + (+1 new pairing)
+    val a = Seq((1L, 10L)).toDF("k", "av")
+    val b = Seq((1L, "old")).toDF("k", "bv")
+    val dA = Seq.empty[(Long, Long, Long)].toDF("k", "av", "sign")
+    val dB = Seq((1L, "old", -1L), (1L, "new", 1L)).toDF("k", "bv", "sign")
+    val out = Merge.joinDelta(a, dA, b, dB, Seq("k"), "sign",
+      Seq("av"), Seq("bv")).collect()
+    assert(out.length === 2)
+    val bySign = out.map(r => r.getAs[String]("bv") -> r.getAs[Long]("sign")).toMap
+    assert(bySign === Map("old" -> -1L, "new" -> 1L))
+  }
+
   test("applyAggDelta ignores deletes of rows already gone (count < 0 drops)") {
     val ghost = Seq(("z", 9L, 9L)).toDF("k", "id", "v")
       .withColumn("sign", lit(-1L))
