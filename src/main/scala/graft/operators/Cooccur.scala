@@ -78,6 +78,64 @@ object Cooccur {
       .agg(count(lit(1)).as("n_actors"))
   }
 
+  /** LINK-PREDICTION scores over the actor–item bipartite graph: for
+    * item pairs sharing ≥ 1 actor, the four classic predictors —
+    * common neighbours (CN), RESOURCE-ALLOCATION index (Σ 1/deg(z) over
+    * shared actors z — Zhou et al. 2009, the strongest of the simple
+    * local scores), neighbour Jaccard, and preferential attachment
+    * (deg·deg). "Parts that share low-degree orders probably belong
+    * together" — the candidate ranker for recommendations and
+    * record-linkage alike.
+    *
+    * Exactness: RA's reciprocals use the fixed-point MRR discipline —
+    * each shared actor contributes `10⁹ DIV deg(actor)` to an exact
+    * BIGINT sum (no float accumulation); CN/PA/Jaccard are BIGINTs with
+    * one division. Degrees are TRUE degrees over the full engagement
+    * table; only pair GENERATION is degree-capped ([[coEngagementPairs]]'
+    * hub guard — an uncapped hub generates deg² candidates, and its
+    * pairs carry negligible RA mass by construction).
+    *
+    * @return top-`topK` by (ra_fp DESC, item_a, item_b): (item_a,
+    *         item_b, cn, ra_fp, deg_a, deg_b, jaccard, pa)
+    */
+  def linkPredictionScores(df: DataFrame, actorCol: String, itemCol: String,
+                           maxDegree: Int, topK: Int): DataFrame = {
+    require(maxDegree >= 2, "need maxDegree >= 2 to form any pair")
+    require(topK > 0)
+    // three consumers (both degree tables + the capped baskets) — track
+    // the distinct engagement table so the dedup shuffle runs once
+    val ai = CacheScope.track(
+      df.select(col(actorCol).as("__actor"), col(itemCol).as("__item"))
+        .distinct())
+    val actorDeg = ai.groupBy("__actor").agg(count(lit(1)).as("__adeg"))
+    val itemDeg = ai.groupBy("__item").agg(count(lit(1)).as("__ideg"))
+    val capped = ai.join(actorDeg, "__actor")
+      .filter(col("__adeg") <= maxDegree)
+      .groupBy("__actor", "__adeg")
+      .agg(collect_list(col("__item")).as("__items"))
+    val pairs = capped
+      .select(col("__adeg"), explode(col("__items")).as("__a"),
+        col("__items"))
+      .select(col("__adeg"), col("__a"), explode(col("__items")).as("__b"))
+      .filter(col("__a") < col("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000 DIV __adeg")).as("ra_fp"))
+    pairs
+      .join(itemDeg.select(col("__item").as("__a"),
+        col("__ideg").as("deg_a")), "__a")
+      .join(itemDeg.select(col("__item").as("__b"),
+        col("__ideg").as("deg_b")), "__b")
+      .select(col("__a").as("item_a"), col("__b").as("item_b"), col("cn"),
+        col("ra_fp"), col("deg_a"), col("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+          .as("jaccard"),
+        (col("deg_a") * col("deg_b")).as("pa"))
+      .orderBy(desc("ra_fp"), col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
   def skipgramPairs(docs: DataFrame, idCol: String, textCol: String,
                     window: Int, minCount: Long, topK: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")

@@ -658,6 +658,49 @@ object Profiling {
         (col("chi2_fp").cast("double") / lit(1073741824.0)).as("chi2"))
   }
 
+  /** SAMPLE-RATIO-MISMATCH audit ([[benfordAudit]]'s machinery with
+    * caller-declared expected shares): observed label counts vs the
+    * shares an assignment procedure PROMISED (an 80/10/10 split, a 50/50
+    * experiment) — the first check every A/B analysis runs, because a
+    * mismatched ratio means the assignment itself is broken and every
+    * downstream metric is garbage. χ² terms quantized to 2³⁰ before the
+    * |labels|-row total (order-free BIGINT); labels absent from the data
+    * report observed = 0, labels absent from `expected` are excluded
+    * (they were never promised a share — audit them separately as
+    * unexpected-label mass).
+    *
+    * @param expected (label, share) literals, shares summing to ~1
+    * @return one row per expected label: (label, observed, n, obs_p,
+    *         expected_p, term_fp, chi2_fp, chi2)
+    */
+  def ratioMismatchAudit(df: DataFrame, labelCol: String,
+                         expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "need at least one expected share")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = expected.toDF("label", "expected_p")
+    val counts = df.select(col(labelCol).as("label"))
+      .filter(col("label").isNotNull)
+      .groupBy("label").agg(count(lit(1)).as("observed"))
+    val wAll = Window.partitionBy() // |expected| rows
+    broadcast(exp).join(counts, Seq("label"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .withColumn("n", sum(col("observed")).over(wAll))
+      .withColumn("term_fp",
+        floor(((col("observed").cast("double") -
+          col("expected_p") * col("n").cast("double")) *
+          (col("observed").cast("double") -
+            col("expected_p") * col("n").cast("double")) /
+          (col("expected_p") * col("n").cast("double"))) *
+          lit(1073741824.0)).cast("long"))
+      .withColumn("chi2_fp", sum(col("term_fp")).over(wAll))
+      .select(col("label"), col("observed"), col("n"),
+        (col("observed").cast("double") / col("n").cast("double"))
+          .as("obs_p"),
+        col("expected_p"), col("term_fp"), col("chi2_fp"),
+        (col("chi2_fp").cast("double") / lit(1073741824.0)).as("chi2"))
+  }
+
   /** One-way ANOVA of an integral measure across groups: how much of
     * the column's variance the grouping explains (η² = SSB/SST) and the
     * F statistic — "does source actually matter for document length, or

@@ -608,6 +608,47 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** HEAPS'-law vocabulary-growth curve: distinct-token vocabulary size
+    * and total token mass after the first k documents (in `idCol`
+    * order), for each requested checkpoint — the sub-linearity read
+    * (V ≈ K·Nᵝ) that says whether more data still buys new vocabulary
+    * or the corpus has saturated; a flat tail is the data-driven
+    * stopping rule for vocabulary-building passes.
+    *
+    * Exact and sort-free: each token's FIRST document id is one min()
+    * over the token histogram; each checkpoint's vocabulary is then the
+    * count of tokens with first_doc ≤ k, and its token mass is the sum
+    * of per-doc counts with doc ≤ k — both one broadcastable
+    * checkpoint-explode join over histogram/per-doc rows, never a
+    * corpus re-scan per checkpoint.
+    *
+    * @param checkpoints strictly positive doc-id cutoffs (inclusive)
+    * @return one row per checkpoint: (k, n_docs, total_tokens, vocab)
+    */
+  def heapsCurve(docs: DataFrame, idCol: String, textCol: String,
+                 checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cps = checkpoints.toDF("k")
+    val toks = docs.select(col(idCol).as("__d"),
+      explode(tokens(col(textCol))).as("__t"))
+    val firstDoc = toks.groupBy("__t").agg(min(col("__d")).as("__fd"))
+    val vocabAt = broadcast(cps).join(firstDoc, col("__fd") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("vocab"))
+    val perDoc = toks.groupBy("__d").agg(count(lit(1)).as("__c"))
+    val massAt = broadcast(cps).join(perDoc, col("__d") <= col("k"))
+      .groupBy("k").agg(sum(col("__c")).as("total_tokens"))
+    val docsAt = broadcast(cps)
+      .join(docs.select(col(idCol).as("__d")), col("__d") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_docs"))
+    cps.join(docsAt, Seq("k"), "left").join(massAt, Seq("k"), "left")
+      .join(vocabAt, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+  }
+
   /** DICTIONARY-ENCODE a corpus: build a frequency-ranked token
     * vocabulary (id 0 = most frequent; ties by token string — the
     * deterministic variant of every tokenizer's vocab ordering) and

@@ -48,4 +48,42 @@ object TopK {
       .filter(col("rank") <= k)
       .drop("__salt", "__r1")
   }
+
+  /** 2-D SKYLINE (Pareto frontier, maximize both): rows for which no
+    * other row is ≥ on both dimensions and > on at least one — the
+    * preference query behind "longest AND highest-quality documents"
+    * shortlists, which no top-k on a single weighted score can express
+    * (the frontier IS the set of optima for every possible weighting).
+    *
+    * Scale shape — the classic sort-scan without the sort: collapse the
+    * corpus to the per-x max-y histogram (one combinable aggregate,
+    * bounded by distinct x); a cell is on the frontier iff its max-y
+    * strictly exceeds the running max-y over all LARGER x — one
+    * exclusive window over histogram rows (the monitor discipline:
+    * bounded by value cardinality, documented). Rows then semi-join the
+    * frontier cells on (x, y): a row below its cell's max-y is dominated
+    * within the cell (same x, larger y exists).
+    *
+    * Duplicates of a frontier point all survive (no strict dominator
+    * exists among equals). NULL x or y rows are excluded (no dominance
+    * order). Integral dimensions only — quantize doubles first, the
+    * histogram discipline.
+    *
+    * @return the input rows on the frontier, original columns intact
+    */
+  def skyline2D(df: DataFrame, xCol: org.apache.spark.sql.Column,
+                yCol: org.apache.spark.sql.Column): DataFrame = {
+    val withXY = df.withColumn("__x", xCol.cast("long"))
+      .withColumn("__y", yCol.cast("long"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = withXY.groupBy("__x").agg(max(col("__y")).as("__my"))
+    val wDesc = Window.orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1) // exclusive: larger x only
+    val frontier = cells
+      .withColumn("__pm", max(col("__my")).over(wDesc))
+      .filter(col("__pm").isNull || col("__my") > col("__pm"))
+      .select(col("__x"), col("__my").as("__y"))
+    withXY.join(broadcast(frontier), Seq("__x", "__y"), "left_semi")
+      .drop("__x", "__y")
+  }
 }

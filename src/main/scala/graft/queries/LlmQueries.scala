@@ -2594,6 +2594,42 @@ object LlmQueries {
           sum(col("sign") * col("qty")).as("net_qty"))
         .filter(col("net_rows") =!= 0L || col("net_qty") =!= 0L)
         .orderBy("prio")
+    }),
+
+    // Link prediction over the order–part bipartite graph: common
+    // neighbours, fixed-point resource-allocation index (10⁹ DIV deg
+    // reciprocals — exact BIGINT sums), neighbour Jaccard, preferential
+    // attachment; q186's candidate generation, scored.
+    "q247_link_prediction" -> ((s, dir) =>
+      graft.operators.Cooccur.linkPredictionScores(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxDegree = 6, topK = 40)),
+
+    // Sample-ratio-mismatch audit of q99's 80/10/10 hash split: the
+    // first check of any experiment analysis — observed split counts vs
+    // promised shares, χ² from fixed-point terms.
+    "q248_srm" -> ((s, dir) =>
+      graft.operators.Profiling.ratioMismatchAudit(
+        Sampling.hashSplit(t(s, dir, "documents"), "doc_id", 80, 10)
+          .select("split"),
+        "split", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .orderBy("label")),
+
+    // Heaps'-law vocabulary-growth curve: vocabulary and token mass
+    // after the first k docs — does more data still buy new vocabulary?
+    // First-occurrence ids off the token histogram, checkpoint explode.
+    "q249_heaps_curve" -> ((s, dir) =>
+      TextAnalysis.heapsCurve(t(s, dir, "documents"), "doc_id", "text",
+        Seq(50L, 100L, 200L, 400L, 500L)).orderBy("k")),
+
+    // 2-D skyline: documents on the (length, quality) Pareto frontier —
+    // the preference shortlist no single weighted score expresses;
+    // per-x max-y histogram + one exclusive window over histogram rows.
+    "q250_skyline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        floor(TextAnalysis.qualityScore(col("text")) * lit(1048576L))
+          .cast("long").as("qfp"))
+      graft.operators.TopK.skyline2D(d, col("n_chars"), col("qfp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -8119,6 +8155,129 @@ object LlmQueries {
         |  FROM j_new n FULL OUTER JOIN j_old o ON n.prio = o.prio)
         |SELECT prio, net_rows, net_qty FROM d
         |WHERE net_rows <> 0 OR net_qty <> 0
-        |ORDER BY prio""".stripMargin
+        |ORDER BY prio""".stripMargin,
+
+    // Degree-capped actor baskets pair under a<b; RA reciprocals are
+    // 10^9 // deg exact integers; Jaccard/PA one division each.
+    "q247_link_prediction" ->
+      """WITH ai AS (
+        |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
+        |  FROM lineitem),
+        |adeg AS (SELECT actor, CAST(count(*) AS BIGINT) AS adeg
+        |         FROM ai GROUP BY 1),
+        |ideg AS (SELECT item, CAST(count(*) AS BIGINT) AS ideg
+        |         FROM ai GROUP BY 1),
+        |cap AS (
+        |  SELECT ai.actor, ai.item, a.adeg
+        |  FROM ai JOIN adeg a USING (actor) WHERE a.adeg <= 6),
+        |p AS (
+        |  SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS cn,
+        |         CAST(sum(1000000000 // x.adeg) AS BIGINT) AS ra_fp
+        |  FROM cap x JOIN cap y
+        |    ON x.actor = y.actor AND x.item < y.item
+        |  GROUP BY 1, 2)
+        |SELECT p.a AS item_a, p.b AS item_b, cn, ra_fp,
+        |       da.ideg AS deg_a, db.ideg AS deg_b,
+        |       CAST(cn AS DOUBLE) / CAST(da.ideg + db.ideg - cn AS DOUBLE)
+        |         AS jaccard,
+        |       da.ideg * db.ideg AS pa
+        |FROM p JOIN ideg da ON da.item = p.a
+        |JOIN ideg db ON db.item = p.b
+        |ORDER BY ra_fp DESC, item_a, item_b LIMIT 40""".stripMargin,
+
+    // q99's bucket arithmetic labels the split; then the q234 χ²
+    // machinery against the promised 80/10/10 shares.
+    "q248_srm" ->
+      """WITH e(label, expected_p) AS (VALUES
+        |  ('train', CAST(0.8 AS DOUBLE)),
+        |  ('val', CAST(0.1 AS DOUBLE)),
+        |  ('test', CAST(0.1 AS DOUBLE))),
+        |b AS (
+        |  SELECT CASE WHEN bkt < 80 THEN 'train'
+        |              WHEN bkt < 90 THEN 'val' ELSE 'test' END AS label
+        |  FROM (SELECT (((doc_id % 2147483648) * 2654435761)
+        |                  % 4294967296) % 100 AS bkt FROM documents)),
+        |cnt AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS observed
+        |  FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT e.label, e.expected_p,
+        |         CAST(COALESCE(cnt.observed, 0) AS BIGINT) AS observed
+        |  FROM e LEFT JOIN cnt USING (label)),
+        |w AS (
+        |  SELECT label, observed, expected_p,
+        |         CAST(sum(observed) OVER () AS BIGINT) AS n
+        |  FROM j),
+        |tm AS (
+        |  SELECT label, observed, n, expected_p,
+        |         CAST(floor((CAST(observed AS DOUBLE) -
+        |             expected_p * CAST(n AS DOUBLE)) *
+        |           (CAST(observed AS DOUBLE) -
+        |             expected_p * CAST(n AS DOUBLE)) /
+        |           (expected_p * CAST(n AS DOUBLE)) *
+        |           CAST(1073741824.0 AS DOUBLE)) AS BIGINT) AS term_fp
+        |  FROM w)
+        |SELECT label, observed, n,
+        |       CAST(observed AS DOUBLE) / CAST(n AS DOUBLE) AS obs_p,
+        |       expected_p, term_fp,
+        |       CAST(sum(term_fp) OVER () AS BIGINT) AS chi2_fp,
+        |       CAST(CAST(sum(term_fp) OVER () AS BIGINT) AS DOUBLE) /
+        |         CAST(1073741824.0 AS DOUBLE) AS chi2
+        |FROM tm ORDER BY label""".stripMargin,
+
+    // First-occurrence doc per token off the histogram; each checkpoint
+    // joins tokens/docs at or below its cutoff — no per-checkpoint
+    // corpus rescan.
+    "q249_heaps_curve" ->
+      s"""WITH cp AS (
+         |  SELECT CAST(k AS BIGINT) AS k
+         |  FROM (VALUES (50), (100), (200), (400), (500)) v(k)),
+         |toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+         |fd AS (SELECT t, CAST(min(doc_id) AS BIGINT) AS fd
+         |       FROM tok GROUP BY 1),
+         |vocab_at AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS vocab
+         |  FROM cp JOIN fd ON fd.fd <= cp.k GROUP BY 1),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS c FROM toks
+         |  WHERE len(tk) > 0),
+         |mass_at AS (
+         |  SELECT k, CAST(sum(c) AS BIGINT) AS total_tokens
+         |  FROM cp JOIN per_doc ON per_doc.doc_id <= cp.k GROUP BY 1),
+         |docs_at AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM cp JOIN documents d ON d.doc_id <= cp.k GROUP BY 1)
+         |SELECT cp.k,
+         |       CAST(COALESCE(docs_at.n_docs, 0) AS BIGINT) AS n_docs,
+         |       CAST(COALESCE(mass_at.total_tokens, 0) AS BIGINT)
+         |         AS total_tokens,
+         |       CAST(COALESCE(vocab_at.vocab, 0) AS BIGINT) AS vocab
+         |FROM cp LEFT JOIN docs_at USING (k) LEFT JOIN mass_at USING (k)
+         |LEFT JOIN vocab_at USING (k)
+         |ORDER BY cp.k""".stripMargin,
+
+    // NOT EXISTS dominance recount (the O(n²) definition — it is the
+    // oracle); engine result is the per-x max-y frontier semi-join.
+    "q250_skyline" ->
+      s"""WITH m AS (SELECT doc_id, n_chars, text, $oToks AS tk
+         |           FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST(floor(
+         |           (least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |            + least(CAST(len(tk) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |            + (CAST(1.0 AS DOUBLE) - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS DOUBLE)
+         |                   / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))) / CAST(3.0 AS DOUBLE)
+         |           * CAST(1048576 AS DOUBLE)) AS BIGINT) AS qfp
+         |  FROM m)
+         |SELECT p.doc_id, p.n_chars, p.qfp
+         |FROM f p
+         |WHERE p.n_chars IS NOT NULL AND p.qfp IS NOT NULL
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM f q
+         |    WHERE q.n_chars >= p.n_chars AND q.qfp >= p.qfp
+         |      AND (q.n_chars > p.n_chars OR q.qfp > p.qfp))
+         |ORDER BY p.doc_id""".stripMargin
   )
 }

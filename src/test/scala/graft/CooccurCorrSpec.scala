@@ -190,4 +190,36 @@ class CooccurCorrSpec extends SparkSpec {
     assert(r(0).getAs[Long]("c_ab") === 2L)
     assert(r(0).getAs[Long]("c_a") === 2L)
   }
+
+  test("linkPredictionScores: RA favors pairs sharing LOW-degree actors") {
+    // actor 1 (deg 2) connects items a,b; actor 2 (deg 3) connects a,c,d
+    val d = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "c"), (2L, "d"))
+      .toDF("actor", "item")
+    val r = graft.operators.Cooccur.linkPredictionScores(d, "actor",
+      "item", maxDegree = 5, topK = 10).collect()
+    val byPair = r.map(x => (x.getAs[String]("item_a"),
+      x.getAs[String]("item_b")) -> x).toMap
+    // (a,b) via deg-2 actor: ra = 10^9/2; (a,c) via deg-3: 10^9/3
+    assert(byPair(("a", "b")).getAs[Long]("ra_fp") === 500000000L)
+    assert(byPair(("a", "c")).getAs[Long]("ra_fp") === 333333333L)
+    assert(byPair(("a", "b")).getAs[Long]("cn") === 1L)
+    // degrees are TRUE item degrees: deg(a)=2, deg(b)=1
+    assert(byPair(("a", "b")).getAs[Long]("deg_a") === 2L)
+    assert(byPair(("a", "b")).getAs[Long]("pa") === 2L)
+    // jaccard(a,b) = 1/(2+1-1) = 0.5
+    assert(byPair(("a", "b")).getAs[Double]("jaccard") === 0.5)
+    // ordering: (a,b) outranks the deg-3 pairs
+    assert(r.head.getAs[String]("item_a") === "a" &&
+      r.head.getAs[String]("item_b") === "b")
+  }
+
+  test("linkPredictionScores: hub actors beyond maxDegree generate no pairs") {
+    val hub = (0 until 10).map(i => (9L, s"i$i"))
+    val d = (hub :+ ((1L, "i0")) :+ ((1L, "i1"))).toDF("actor", "item")
+    val r = graft.operators.Cooccur.linkPredictionScores(d, "actor",
+      "item", maxDegree = 5, topK = 100).collect()
+    assert(r.length === 1) // only actor 1's pair
+    // but the hub still counts toward TRUE item degrees
+    assert(r(0).getAs[Long]("deg_a") === 2L)
+  }
 }

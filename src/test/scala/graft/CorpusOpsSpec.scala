@@ -404,6 +404,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("quality") - q) < 1e-15)
   }
 
+  test("skyline2D: frontier keeps undominated points, duplicates survive") {
+    import graft.operators.TopK
+    // points: (1,5) (2,4) (3,3) dominate nothing mutually (frontier);
+    // (1,4) dominated by (1,5); (2,2) dominated by (3,3); (3,3) dup
+    val d = Seq((1L, 1L, 5L), (2L, 2L, 4L), (3L, 3L, 3L), (4L, 1L, 4L),
+      (5L, 2L, 2L), (6L, 3L, 3L)).toDF("id", "x", "y")
+    val got = TopK.skyline2D(d, col("x"), col("y"))
+      .orderBy("id").collect().map(_.getAs[Long]("id")).toSeq
+    assert(got === Seq(1L, 2L, 3L, 6L))
+  }
+
+  test("skyline2D: a single maximal point dominates everything else") {
+    import graft.operators.TopK
+    val d = Seq((1L, 10L, 10L), (2L, 9L, 9L), (3L, 10L, 9L), (4L, 1L, 1L))
+      .toDF("id", "x", "y")
+    val got = TopK.skyline2D(d, col("x"), col("y")).collect()
+    assert(got.map(_.getAs[Long]("id")).toSeq === Seq(1L))
+  }
+
+  test("heapsCurve: vocabulary and mass grow exactly with the doc prefix") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "d"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.heapsCurve(docs, "doc_id", "text", Seq(1L, 2L, 4L))
+      .orderBy("k").collect()
+    assert(r.map(x => (x.getAs[Long]("k"), x.getAs[Long]("n_docs"),
+      x.getAs[Long]("total_tokens"), x.getAs[Long]("vocab"))).toSeq ===
+      Seq((1L, 1L, 2L, 2L), (2L, 2L, 4L, 3L), (4L, 4L, 5L, 4L)))
+  }
+
   test("blockingQuality: empty truth reports NULL completeness, counts intact") {
     import graft.operators.Dedup
     val records = (1L to 3L).map(Tuple1(_)).toDF("id")

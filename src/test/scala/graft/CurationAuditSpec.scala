@@ -199,6 +199,24 @@ class CurationAuditSpec extends SparkSpec {
     assert(r1.isNullAt(r1.fieldIndex("f"))) // k = 1
   }
 
+  test("ratioMismatchAudit: exact counts vs promised shares, absent label reports 0") {
+    import org.apache.spark.sql.functions.col
+    val d = (Seq.fill(8)("train") ++ Seq.fill(2)("val")).toDF("split")
+    val rows = graft.operators.Profiling.ratioMismatchAudit(d, "split",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .orderBy("label").collect()
+    assert(rows.length === 3)
+    val byLabel = rows.map(r => r.getAs[String]("label") -> r).toMap
+    assert(byLabel("test").getAs[Long]("observed") === 0L)
+    assert(byLabel("train").getAs[Long]("observed") === 8L)
+    assert(byLabel("train").getAs[Double]("obs_p") === 0.8)
+    // train matches expectation exactly -> zero chi2 term
+    assert(byLabel("train").getAs[Long]("term_fp") === 0L)
+    // test: (0 - 1)^2 / 1 = 1 -> term 2^30
+    assert(byLabel("test").getAs[Long]("term_fp") === (1L << 30))
+    assert(rows.map(_.getAs[Long]("chi2_fp")).distinct.length === 1)
+  }
+
   test("anovaByGroup: eta2 + F match the textbook decomposition") {
     import org.apache.spark.sql.functions.col
     val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 6L))
