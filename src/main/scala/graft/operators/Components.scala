@@ -227,4 +227,43 @@ object Components {
       .select(col(idCol), col("component"), col("n_members"),
         (col(idCol) === col("component")).cast("long").as("is_canonical"))
   }
+
+  /** Bounded-hop BFS distances from a SEED set — "how far is every item
+    * from the nearest flagged one", the reachability read behind
+    * contamination-spread audits (how many hops from any benchmark-
+    * overlapping doc?) and effective-diameter estimates. Distances are
+    * exact minimum hop counts up to `maxHops`; nodes unreached within
+    * the bound are absent (callers left-join and treat NULL as > max —
+    * the [[connectedComponents]] singleton convention).
+    *
+    * Scale shape: `maxHops` unrolled rounds (the KCore unrolled-round
+    * contract — the bound is the operator's semantics, not a fuel
+    * limit); each round is one frontier⋈edges equi-join + a min-merge,
+    * with the label set persisted per round so lineage stays flat.
+    * Edges symmetrize once up front. Cost ∝ Σ frontier sizes · degree —
+    * the textbook distributed BFS bound.
+    *
+    * @return (node, d) — d ∈ [0, maxHops], minimum hops from any seed
+    */
+  def boundedHops(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "negative hop bound")
+    val e = CacheScope.track(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+        .filter(col("u") =!= col("v")).distinct())
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("d", lit(0L))
+    for (h <- 1 to maxHops) {
+      // only the PREVIOUS round's frontier can discover new nodes — any
+      // node at distance h is adjacent to one at h−1
+      val frontier = dist.filter(col("d") === lit(h - 1L))
+      val offers = frontier.join(e, frontier("node") === e("u"))
+        .select(col("v").as("node"), lit(h.toLong).as("d"))
+      dist = CacheScope.track(
+        dist.unionByName(offers).groupBy("node").agg(min("d").as("d")))
+    }
+    dist
+  }
 }

@@ -357,6 +357,40 @@ object EventAnalytics {
     *
     * @return (from_state, to_state, cnt, row_total, p)
     */
+  /** Index-of-DISPERSION monitor: per group, variance/mean of the
+    * per-bucket event counts — the overdispersion read that decides
+    * whether a Poisson assumption (and every alarm threshold derived
+    * from it — [[cusumCounts]]' included) is even valid for this
+    * stream. D ≈ 1 is Poisson-like; D ≫ 1 means bursty arrivals whose
+    * "anomalies" are just burst tails.
+    *
+    * Exact verdict: with population variance, D = (nΣx² − (Σx)²)/(n·Σx)
+    * — BIGINT numerator and denominator, so `overdispersed` (D > 1) is
+    * an exact integer comparison and only the reported ratio divides.
+    * One histogram pass + one |groups|-row aggregate. Empty-bucket
+    * caveat: silent buckets are absent, not zero — densify upstream if
+    * silence should count (the [[Timeseries.saxMotifs]] note).
+    *
+    * @return per group: (group, n_buckets, total, disp_num, disp_den,
+    *         dispersion, overdispersed)
+    */
+  def dispersionByGroup(df: DataFrame, group: Column,
+                        bucket: Column): DataFrame =
+    df.select(group.as("group"), bucket.cast("long").as("__b"))
+      .filter(col("__b").isNotNull)
+      .groupBy("group", "__b").agg(count(lit(1)).as("__x"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("__x")).as("total"),
+        sum(col("__x") * col("__x")).as("__q"))
+      .select(col("group"), col("n_buckets"), col("total"),
+        (col("n_buckets") * col("__q") - col("total") * col("total"))
+          .as("disp_num"),
+        (col("n_buckets") * col("total")).as("disp_den"))
+      .withColumn("dispersion",
+        when(col("disp_den") > 0L,
+          col("disp_num").cast("double") / col("disp_den").cast("double")))
+      .withColumn("overdispersed", col("disp_num") > col("disp_den"))
+
   def transitionMatrix(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                        stateCol: String): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")

@@ -658,6 +658,24 @@ object Profiling {
         (col("chi2_fp").cast("double") / lit(1073741824.0)).as("chi2"))
   }
 
+  /** JAIN's fairness index of per-group mass: J = (Σx)²/(n·Σx²) ∈
+    * (1/n, 1] — 1 when every group holds equal mass, 1/n when one group
+    * holds everything; the single-number "is this mix balanced" read
+    * (shard sizes, source shares) that, unlike [[lorenzGiniByGroup]],
+    * needs no ordering at all. Exact BIGINT sums, one division.
+    *
+    * @return one row: (n_groups, total, sum_sq, jain)
+    */
+  def jainFairness(df: DataFrame, groupCol: String): DataFrame =
+    df.select(col(groupCol).as("__g")).filter(col("__g").isNotNull)
+      .groupBy("__g").agg(count(lit(1)).as("__x"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("__x")).as("total"),
+        sum(col("__x") * col("__x")).as("sum_sq"))
+      .withColumn("jain",
+        when(col("sum_sq") > 0L,
+          (col("total") * col("total")).cast("double") /
+            (col("n_groups") * col("sum_sq")).cast("double")))
+
   /** SAMPLE-RATIO-MISMATCH audit ([[benfordAudit]]'s machinery with
     * caller-declared expected shares): observed label counts vs the
     * shares an assignment procedure PROMISED (an 80/10/10 split, a 50/50

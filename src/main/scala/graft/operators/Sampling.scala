@@ -398,6 +398,45 @@ object Sampling {
       .drop("__h", "__ord")
   }
 
+  /** Poisson-bootstrap error bars for a MEDIAN ([[bootstrapReplicates]]'
+    * order-statistic sibling): each replicate reweights every row by its
+    * deterministic Poisson(1) draw and takes the WEIGHTED median off the
+    * per-replicate value histogram (min v with 2·cum ≥ n — the q55
+    * formula on weighted counts). The replicate spread is the median's
+    * sampling distribution — the error bars a robust location estimate
+    * deserves, where [[bootstrapReplicates]] covers means/rates.
+    *
+    * Exact throughout: integer weights, BIGINT cumulations, no division
+    * at all (the median IS a data value). Scale shape: one B× explode
+    * into the (replicate, value) histogram — map-side combine absorbs
+    * the corpus; windows run over B × |distinct values| histogram rows.
+    *
+    * @return one row per replicate: (b, n_eff, median) — n_eff is the
+    *         replicate's total weight; empty replicates are absent
+    */
+  def bootstrapMedian(df: DataFrame, keyCol: String, value: Column,
+                      replicates: Int): DataFrame = {
+    require(replicates > 0, "need at least one replicate")
+    val base = df
+      .select(col(keyCol).cast("long").as("__k"), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
+      .withColumn("__w", poissonWeight(col("__k"), col("__b"), replicates))
+    val hist = base.groupBy("__b", "__v").agg(sum(col("__w")).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("__b")
+    hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+      .filter(col("__n") > 0L && col("__cum") * 2 >= col("__n"))
+      .groupBy(col("__b").cast("long").as("b"))
+      .agg(max(col("__n")).as("n_eff"), min(col("__v")).as("median"))
+  }
+
   /** NEYMAN sample-allocation design: split a fixed sample `budget`
     * across strata proportional to n_h·σ_h — the textbook-optimal
     * allocation for estimating a mean under a fixed budget (variable

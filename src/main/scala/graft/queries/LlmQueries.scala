@@ -2630,7 +2630,48 @@ object LlmQueries {
           .cast("long").as("qfp"))
       graft.operators.TopK.skyline2D(d, col("n_chars"), col("qfp"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Bounded-hop BFS from a seeded item set over the co-engagement
+    // graph: exact minimum hop distances ≤ 4, histogrammed, plus the
+    // unreached mass as d = −1 — the contamination-spread /
+    // effective-diameter read.
+    "q251_bfs_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.operators.Cooccur.coEngagementPairs(li,
+        "l_orderkey", "l_partkey", maxDegree = 6)
+      val items = li.select(col("l_partkey").as("item")).distinct()
+      val seeds = items.filter(col("item") % 97 === 0)
+      val hops = graft.operators.Components.boundedHops(edges, "item_a",
+        "item_b", seeds, "item", maxHops = 4)
+      val hist = hops.groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+      val unreached = items
+        .join(hops, col("item") === col("node"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1L).as("d"), col("n_nodes"))
+      hist.unionByName(unreached).filter(col("n_nodes") > 0L).orderBy("d")
+    }),
+
+    // Poisson-bootstrap error bars for the corpus length MEDIAN: 32
+    // deterministic replicates, weighted median off each replicate's
+    // value histogram — order-statistic error bars, no division at all.
+    "q252_median_bootstrap" -> ((s, dir) =>
+      Sampling.bootstrapMedian(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), replicates = 32).orderBy("b")),
+
+    // Index of dispersion per event type: variance/mean of daily counts
+    // with an exact-integer overdispersion verdict — is the Poisson
+    // assumption under the alarm thresholds even valid?
+    "q253_dispersion" -> ((s, dir) =>
+      graft.operators.EventAnalytics.dispersionByGroup(
+        graft.io.TableIO.eventsNanos(s, dir), col("event_type"),
+        expr("ts DIV 86400000000000")).orderBy("group")),
+
+    // Jain's fairness index of the source mix: (Σx)²/(n·Σx²) — the
+    // one-number balance read, no ordering needed.
+    "q254_jain_fairness" -> ((s, dir) =>
+      graft.operators.Profiling.jainFairness(t(s, dir, "documents"),
+        "source"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -8278,6 +8319,110 @@ object LlmQueries {
          |    SELECT 1 FROM f q
          |    WHERE q.n_chars >= p.n_chars AND q.qfp >= p.qfp
          |      AND (q.n_chars > p.n_chars OR q.qfp > p.qfp))
-         |ORDER BY p.doc_id""".stripMargin
+         |ORDER BY p.doc_id""".stripMargin,
+
+    // q247's capped pair graph symmetrized, recursive min-hop CTE
+    // bounded at 4, histogram + the NOT IN unreached remainder.
+    "q251_bfs_hops" ->
+      """WITH RECURSIVE ai AS (
+        |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
+        |  FROM lineitem),
+        |deg AS (SELECT actor, count(*) AS dg FROM ai GROUP BY 1),
+        |cap AS (
+        |  SELECT ai.actor, ai.item
+        |  FROM ai JOIN deg USING (actor) WHERE dg <= 6),
+        |pairs AS (
+        |  SELECT DISTINCT x.item AS i, y.item AS j
+        |  FROM cap x JOIN cap y
+        |    ON x.actor = y.actor AND x.item < y.item),
+        |e AS (SELECT i AS u, j AS v FROM pairs
+        |      UNION SELECT j AS u, i AS v FROM pairs),
+        |items AS (SELECT DISTINCT l_partkey AS item FROM lineitem),
+        |reach(node, d) AS (
+        |  SELECT item, CAST(0 AS BIGINT) FROM items WHERE item % 97 = 0
+        |  UNION
+        |  SELECT e.v, r.d + 1 FROM reach r JOIN e ON e.u = r.node
+        |  WHERE r.d < 4),
+        |md AS (SELECT node, CAST(min(d) AS BIGINT) AS d
+        |       FROM reach GROUP BY 1),
+        |hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_nodes
+        |         FROM md GROUP BY 1),
+        |unr AS (
+        |  SELECT CAST(-1 AS BIGINT) AS d, CAST(count(*) AS BIGINT)
+        |           AS n_nodes
+        |  FROM items WHERE item NOT IN (SELECT node FROM md))
+        |SELECT d, n_nodes
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM unr)
+        |WHERE n_nodes > 0 ORDER BY d""".stripMargin,
+
+    // q182's deterministic Poisson draw (replicates=32), weighted value
+    // histogram per replicate, median = min v with 2·cum ≥ n.
+    "q252_median_bootstrap" -> {
+      val wCases = graft.operators.Sampling.PoissonCdf
+        .map(c => s"(CASE WHEN h / CAST(4294967296 AS DOUBLE) >= CAST($c AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|         + ")
+      s"""WITH r AS (
+         |  SELECT b.b, n_chars AS v,
+         |         (((doc_id * 32 + b.b) % 2147483648) * 2654435761)
+         |           % 4294967296 AS h
+         |  FROM documents, range(32) b(b)
+         |  WHERE n_chars IS NOT NULL),
+         |w AS (
+         |  SELECT b, v,
+         |         $wCases AS w
+         |  FROM r),
+         |hist AS (
+         |  SELECT b, v, CAST(sum(w) AS BIGINT) AS c
+         |  FROM w GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT b, v, c,
+         |         CAST(sum(c) OVER (PARTITION BY b ORDER BY v)
+         |           AS BIGINT) AS cum,
+         |         CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS n
+         |  FROM hist)
+         |SELECT CAST(b AS BIGINT) AS b, CAST(max(n) AS BIGINT) AS n_eff,
+         |       CAST(min(v) AS BIGINT) AS median
+         |FROM cum WHERE n > 0 AND cum * 2 >= n
+         |GROUP BY 1 ORDER BY b""".stripMargin
+    },
+
+    // Per-(type, day) histogram; D = (nΣx² − (Σx)²)/(n·Σx) with the
+    // verdict as an exact integer comparison.
+    "q253_dispersion" ->
+      """WITH h AS (
+        |  SELECT event_type AS "group",
+        |         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS b,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT "group", CAST(count(*) AS BIGINT) AS n_buckets,
+        |         CAST(sum(x) AS BIGINT) AS total,
+        |         CAST(sum(x * x) AS BIGINT) AS q
+        |  FROM h GROUP BY 1)
+        |SELECT "group", n_buckets, total,
+        |       n_buckets * q - total * total AS disp_num,
+        |       n_buckets * total AS disp_den,
+        |       CASE WHEN n_buckets * total > 0
+        |            THEN CAST(n_buckets * q - total * total AS DOUBLE) /
+        |                 CAST(n_buckets * total AS DOUBLE) END AS dispersion,
+        |       n_buckets * q - total * total > n_buckets * total
+        |         AS overdispersed
+        |FROM a ORDER BY "group"""".stripMargin,
+
+    // (Σx)² / (n·Σx²) over per-source counts — one division.
+    "q254_jain_fairness" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS x
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |         CAST(sum(x) AS BIGINT) AS total,
+        |         CAST(sum(x * x) AS BIGINT) AS sum_sq
+        |  FROM g)
+        |SELECT n_groups, total, sum_sq,
+        |       CASE WHEN sum_sq > 0
+        |            THEN CAST(total * total AS DOUBLE) /
+        |                 CAST(n_groups * sum_sq AS DOUBLE) END AS jain
+        |FROM a""".stripMargin
   )
 }

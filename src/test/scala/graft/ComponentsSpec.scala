@@ -119,4 +119,34 @@ class ComponentsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("i", "j")
     assert(Components.connectedComponents(empty, "i", "j").count() === 0L)
   }
+
+  test("boundedHops: exact minimum distances on a path graph, bound respected") {
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3-4-5, seed {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("i", "j")
+    val seeds = Seq(Tuple1(1L)).toDF("s")
+    val got = Components.boundedHops(edges, "i", "j", seeds, "s", maxHops = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("d")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(!got.contains(5L)) // beyond the bound: absent
+  }
+
+  test("boundedHops: multiple seeds take the nearest; edges are undirected") {
+    import org.apache.spark.sql.functions.col
+    // seeds {1, 5} on path 1-2-3-4-5: node 3 is 2 hops from both
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)).toDF("i", "j")
+    val seeds = Seq(Tuple1(1L), Tuple1(5L)).toDF("s")
+    val got = Components.boundedHops(edges, "i", "j", seeds, "s", maxHops = 4)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("d")).toMap
+    assert(got === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("boundedHops: isolated seed stays at distance 0; maxHops 0 is seeds only") {
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((1L, 2L)).toDF("i", "j")
+    val seeds = Seq(Tuple1(7L), Tuple1(1L)).toDF("s")
+    val zero = Components.boundedHops(edges, "i", "j", seeds, "s", maxHops = 0)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("d")).toMap
+    assert(zero === Map(7L -> 0L, 1L -> 0L))
+  }
 }

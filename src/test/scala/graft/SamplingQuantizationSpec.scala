@@ -241,4 +241,45 @@ class SamplingQuantizationSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("alloc") === 0L))
     assert(r.forall(_.getAs[Long]("remainder") === 50L))
   }
+
+  test("bootstrapMedian: unit weights reproduce the exact median; replicates vary") {
+    import org.apache.spark.sql.functions.col
+    val d = (1L to 101L).map(k => (k, k)).toDF("k", "v")
+    val rows = graft.operators.Sampling
+      .bootstrapMedian(d, "k", col("v"), replicates = 16).collect()
+    assert(rows.length === 16)
+    // every replicate's weighted median is a real data value near the
+    // true median 51, and n_eff ~ n (Poisson(1) total)
+    assert(rows.forall(r => r.getAs[Long]("median") >= 30L &&
+      r.getAs[Long]("median") <= 72L))
+    assert(rows.forall(r => math.abs(r.getAs[Long]("n_eff") - 101L) < 50L))
+    // deterministic: same call, same table
+    val again = graft.operators.Sampling
+      .bootstrapMedian(d, "k", col("v"), replicates = 16).collect()
+    assert(rows.map(r => (r.getAs[Long]("b"), r.getAs[Long]("median")))
+      .toSet === again.map(r => (r.getAs[Long]("b"),
+      r.getAs[Long]("median"))).toSet)
+  }
+
+  test("jainFairness and dispersion verdicts are exact integer comparisons") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // equal groups -> jain 1
+    val eq = (Seq.fill(3)("a") ++ Seq.fill(3)("b")).toDF("g")
+    val j = graft.operators.Profiling.jainFairness(eq, "g").collect()(0)
+    assert(j.getAs[Double]("jain") === 1.0)
+    // one group holds everything among n=2 groups -> 1/2... requires a
+    // second empty group which a histogram cannot see; skewed case:
+    val sk = (Seq.fill(9)("a") ++ Seq.fill(1)("b")).toDF("g")
+    val js = graft.operators.Profiling.jainFairness(sk, "g").collect()(0)
+    assert(js.getAs[Double]("jain") === 100.0 / (2.0 * 82.0))
+    // dispersion: buckets 1,1,4 -> n=3 S=6 Q=18: num=54-36=18 den=18 -> D=1
+    val ev = Seq(("t", 0L), ("t", 1L), ("t", 2L), ("t", 2L), ("t", 2L),
+      ("t", 2L)).toDF("ty", "b")
+    val dd = graft.operators.EventAnalytics
+      .dispersionByGroup(ev, col("ty"), col("b")).collect()(0)
+    assert(dd.getAs[Long]("disp_num") === 18L)
+    assert(dd.getAs[Long]("disp_den") === 18L)
+    assert(!dd.getAs[Boolean]("overdispersed")) // strict: D = 1 is not over
+  }
 }
