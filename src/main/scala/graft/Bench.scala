@@ -80,7 +80,12 @@ object Bench {
       // q206's cap aggregates, q207's modularity tail (its left join is
       // eliminable under count()), q208's median/MAD windows: all
       // count()-prunable payloads.
-      "q206_domain_cap", "q207_modularity", "q208_rolling_mad")
+      "q206_domain_cap", "q207_modularity", "q208_rolling_mad",
+      // round-9 continuation: q232's threshold search and q245's
+      // per-block lag windows live in aggregate expressions a count()
+      // prunes to bare scans; q241's id arrays are collect_list agg
+      // payloads likewise pruned.
+      "q232_conformal_gate", "q241_dict_encode", "q245_runs_test")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}

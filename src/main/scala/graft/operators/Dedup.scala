@@ -738,6 +738,57 @@ object Dedup {
     }.reduce(_.unionByName(_)).orderBy("b", "r", "s_pct")
   }
 
+  /** WEIGHTED (bag) Jaccard verification of candidate pairs:
+    * Σ_t min(c₁,c₂) / Σ_t max(c₁,c₂) over token COUNT vectors — the
+    * multiset similarity that sees "the same words, repeated differently"
+    * where set Jaccard saturates (a doc and its 10×-repeated copy are
+    * set-identical but bag-similar only 0.1). The verification tier to
+    * run behind any candidate generator when repetition matters.
+    *
+    * Identity that keeps it one join: Σmax = total₁ + total₂ − Σmin, so
+    * only the SHARED-token min-sum needs the pair join; totals come from
+    * the per-doc mass table. All BIGINT + one division; a pair of empty
+    * bags yields NULL (0/0 has no similarity).
+    *
+    * Scale shape: candidates ⋈ postings on each side id, then an equi
+    * join on (pair, token) — cost ∝ |candidates| · doc length, the
+    * verification bound every exact tier here pays ([[verifyJaccard]]);
+    * the token-count table is built once and tracked.
+    *
+    * @param cands canonical (i, j) candidate pairs
+    * @return (i, j, min_sum, total_i, total_j, wjaccard)
+    */
+  def weightedJaccardVerify(cands: DataFrame, docs: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val tc = CacheScope.track(
+      docs.select(col(idCol).as("__d"),
+        explode(graft.functions.tokens(col(textCol))).as("__t"))
+        .groupBy("__d", "__t").agg(count(lit(1)).as("__c")))
+    val totals = tc.groupBy("__d").agg(sum(col("__c")).as("__tot"))
+    val shared = cands
+      .join(tc.select(col("__d").as("i"), col("__t"),
+        col("__c").as("__ci")), "i")
+      .join(tc.select(col("__d").as("j"), col("__t"),
+        col("__c").as("__cj")), Seq("j", "__t"))
+      .groupBy("i", "j")
+      .agg(sum(least(col("__ci"), col("__cj"))).as("min_sum"))
+    cands
+      .join(shared, Seq("i", "j"), "left")
+      .join(totals.select(col("__d").as("i"), col("__tot").as("total_i")),
+        Seq("i"), "left")
+      .join(totals.select(col("__d").as("j"), col("__tot").as("total_j")),
+        Seq("j"), "left")
+      .select(col("i"), col("j"),
+        coalesce(col("min_sum"), lit(0L)).as("min_sum"),
+        coalesce(col("total_i"), lit(0L)).as("total_i"),
+        coalesce(col("total_j"), lit(0L)).as("total_j"))
+      .withColumn("wjaccard",
+        when(col("total_i") + col("total_j") - col("min_sum") > 0L,
+          col("min_sum").cast(DoubleType) /
+            (col("total_i") + col("total_j") - col("min_sum"))
+              .cast(DoubleType)))
+  }
+
   /** BLOCKING-quality audit (Christen's entity-resolution metrics): for
     * a candidate-pair generator measured against exact ground truth,
     * report REDUCTION RATIO (how much of the n(n−1)/2 comparison space

@@ -357,6 +357,63 @@ object EventAnalytics {
     *
     * @return (from_state, to_state, cnt, row_total, p)
     */
+  /** Multi-touch ATTRIBUTION: for every conversion event, credit the
+    * touch events (views/clicks) that preceded it within a lookback
+    * window — last-touch counts AND linear (equal-split) shares per
+    * touch type, plus the direct-conversion remainder. The
+    * marketing-analytics staple, and the same "which upstream event
+    * explains this outcome" shape as data-lineage blame.
+    *
+    * Exactness: linear shares are fixed-point — each touch of an
+    * n-touch conversion earns ⌊2²⁰/n⌋ (integer DIV; the ≤ n·2⁻²⁰
+    * truncation remainder per conversion is the price of an order-free
+    * BIGINT sum). Last-touch ties (same timestamp) break by the event
+    * id then type — engine-stable. Conversions with NO touch in the
+    * window report as the `(direct)` row.
+    *
+    * Scale shape: one user-keyed equi-join between conversions and
+    * touches with the window as a join-local range filter (the as-of
+    * family's shape — never a cross join), one conversion-keyed
+    * aggregate (state = count + one max-struct), one |types|-row final
+    * aggregate.
+    *
+    * @return per touch type (+ `(direct)`): (touch_type, n_last_touch,
+    *         n_touches, linear_fp) — linear_fp/2²⁰ ≈ attributed
+    *         conversions
+    */
+  def attribution(df: DataFrame, userCol: String, tsCol: Column,
+                  idCol: String, typeCol: String, convType: String,
+                  touchTypes: Seq[String], windowNs: Long): DataFrame = {
+    require(touchTypes.nonEmpty && windowNs > 0, "degenerate config")
+    val base = df.select(col(userCol).as("__u"), tsCol.as("__ts"),
+      col(idCol).as("__eid"), col(typeCol).as("__ty"))
+    val convs = base.filter(col("__ty") === convType)
+      .select(col("__u"), col("__ts").as("__cts"), col("__eid").as("__cid"))
+    val touches = base.filter(col("__ty").isin(touchTypes: _*))
+      .select(col("__u"), col("__ts").as("__tts"),
+        col("__eid").as("__tid"), col("__ty"))
+    val windowed = convs.join(touches, Seq("__u"))
+      .filter(col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - windowNs)
+    val perConv = windowed.groupBy("__cid")
+      .agg(count(lit(1)).as("__n"),
+        max(struct(col("__tts"), col("__tid"), col("__ty"))).as("__last"))
+    val attributed = windowed
+      .join(perConv.select(col("__cid"), col("__n"),
+        col("__last").getField("__tid").as("__lastTid")), "__cid")
+      .groupBy(col("__ty").as("touch_type"))
+      .agg(count(when(col("__tid") === col("__lastTid"), 1L))
+          .as("n_last_touch"),
+        count(lit(1)).as("n_touches"),
+        sum(expr("1048576 DIV __n")).as("linear_fp"))
+    val direct = convs
+      .join(perConv, convs("__cid") === perConv("__cid"), "left_anti")
+      .agg(count(lit(1)).as("n_last_touch"))
+      .select(lit("(direct)").as("touch_type"), col("n_last_touch"),
+        lit(0L).as("n_touches"), lit(0L).as("linear_fp"))
+    attributed.unionByName(direct)
+  }
+
   /** Index-of-DISPERSION monitor: per group, variance/mean of the
     * per-bucket event counts — the overdispersion read that decides
     * whether a Poisson assumption (and every alarm threshold derived

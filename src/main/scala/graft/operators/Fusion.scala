@@ -130,4 +130,60 @@ object Fusion {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
+
+  /** Truncated-weight RBO coefficients for [[rankBiasedOverlap]]:
+    * W_d = ⌊(1−p)·p^(d−1)·2³⁰⌋, built by a fixed left-to-right multiply
+    * chain so the literals are bit-identical wherever they are
+    * recomputed (engine and oracle share this method — the nDCG
+    * plan-literal discipline).
+    */
+  private[graft] def rboWeights(k: Int, p: Double): Seq[(Int, Long)] = {
+    var w = 1.0 - p
+    (1 to k).map { d =>
+      val r = (d, math.floor(w * (1L << 30).toDouble).toLong)
+      w = w * p
+      r
+    }
+  }
+
+  /** RANK-BIASED OVERLAP (Webber et al. 2010, truncated at depth k) of
+    * two top-k rankings: Σ_{d≤k} (1−p)·p^{d−1}·(X_d/d), X_d = overlap of
+    * the two depth-d prefixes. THE similarity measure for comparing two
+    * RANKERS (BM25 vs TF-IDF, old model vs new) — top-weighted where
+    * Kendall/Spearman treat every position alike, and defined for
+    * non-conjoint lists.
+    *
+    * Exactness: the p-powers are the driver-literal [[rboWeights]];
+    * each depth's term is the exact integer (W_d·X_d) DIV d, so the sum
+    * is order-free BIGINT and the one division at the end produces the
+    * reported coefficient (truncation bias ≤ k·2⁻³⁰). X_d comes from
+    * one rank-pair join: a doc in both lists enters every depth ≥
+    * max(rank_a, rank_b) — a broadcast depth-explode, never a prefix
+    * self-join.
+    *
+    * @param a,b rankings carrying `idCol` and `rankCol` (1-based, ≤ k)
+    * @return one row: (k, overlap_at_k, rbo_fp, rbo)
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+                        rankCol: String, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1 && p > 0.0 && p < 1.0, "need k >= 1 and p in (0,1)")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val wdf = rboWeights(k, p).toDF("d", "w_fp")
+    val joined = a.select(col(idCol).as("__id"), col(rankCol).as("__ra"))
+      .join(b.select(col(idCol).as("__id"), col(rankCol).as("__rb")),
+        Seq("__id"))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")))
+    val xd = broadcast(wdf).join(joined, col("__m") <= col("d"))
+      .groupBy("d", "w_fp").agg(count(lit(1)).as("x_d"))
+    xd
+      .withColumn("__term", expr("(w_fp * x_d) DIV d"))
+      .agg(sum(col("__term")).as("rbo_fp"),
+        max(when(col("d") === k, col("x_d"))).as("overlap_at_k"))
+      .select(lit(k.toLong).as("k"),
+        coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+        coalesce(col("rbo_fp"), lit(0L)).as("rbo_fp"))
+      .withColumn("rbo", col("rbo_fp").cast("double") / lit(1073741824.0))
+  }
 }

@@ -2671,7 +2671,55 @@ object LlmQueries {
     // one-number balance read, no ordering needed.
     "q254_jain_fairness" -> ((s, dir) =>
       graft.operators.Profiling.jainFairness(t(s, dir, "documents"),
-        "source"))
+        "source")),
+
+    // Weighted (bag) Jaccard verification of the wide-simhash
+    // candidates: Σmin/Σmax over token COUNT vectors — sees repetition
+    // where set Jaccard saturates; Σmax from the totals identity, one
+    // pair-token join.
+    "q255_weighted_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        maxHamming = 3).select("i", "j")
+      Dedup.weightedJaccardVerify(cands, docs, "doc_id", "text")
+        .orderBy("i", "j")
+    }),
+
+    // Rank-biased overlap between the TF-IDF and BM25 top-20 for the
+    // same query terms: the top-weighted ranker-similarity coefficient,
+    // p-power weights as driver literals, exact (W·X) DIV d terms.
+    "q256_rbo" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qterms = Seq("fast", "table", "value")
+      val w20 = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("s"), col("doc_id"))
+      def top20(scores: DataFrame) =
+        scores.orderBy(desc("s"), col("doc_id")).limit(20)
+          .withColumn("rank", row_number().over(w20).cast("long"))
+      val aTf = TfIdf.termWeights(docs, "doc_id", "text",
+        broadcastVocab = true)
+        .filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id")
+        .agg(sum(floor(col("tfidf") * lit(1048576L)).cast("long")).as("s"))
+      val bBm = TfIdf.bm25(docs, "doc_id", "text", broadcastVocab = true)
+        .filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id")
+        .agg(sum(floor(col("bm25") * lit(1048576L)).cast("long")).as("s"))
+      graft.operators.Fusion.rankBiasedOverlap(top20(aTf), top20(bBm),
+        "doc_id", "rank", k = 20, p = 0.9)
+    }),
+
+    // Multi-touch attribution: last-touch counts and fixed-point linear
+    // shares of view/click events within 3 days before each purchase,
+    // plus the direct-conversion remainder — user-keyed window join,
+    // never a cross join.
+    "q257_attribution" -> ((s, dir) =>
+      graft.operators.EventAnalytics.attribution(
+        graft.io.TableIO.eventsNanos(s, dir), "user_id", col("ts"),
+        "event_id", "event_type", convType = "purchase",
+        touchTypes = Seq("view", "click"),
+        windowNs = 3L * 86400000000000L)
+        .orderBy("touch_type"))
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -8423,6 +8471,155 @@ object LlmQueries {
         |       CASE WHEN sum_sq > 0
         |            THEN CAST(total * total AS DOUBLE) /
         |                 CAST(n_groups * sum_sq AS DOUBLE) END AS jain
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // q97's candidate CTEs at hamming 3; Σmax = total_i + total_j −
+    // Σmin, so only the shared-token min-sum joins.
+    "q255_weighted_jaccard" ->
+      s"""WITH ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |cand AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest($oToks) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot
+         |        FROM tf GROUP BY 1),
+         |sh AS (
+         |  SELECT cand.i, cand.j,
+         |         CAST(sum(least(x.c, y.c)) AS BIGINT) AS min_sum
+         |  FROM cand JOIN tf x ON x.doc_id = cand.i
+         |  JOIN tf y ON y.doc_id = cand.j AND y.term = x.term
+         |  GROUP BY 1, 2)
+         |SELECT c.i, c.j,
+         |       CAST(COALESCE(sh.min_sum, 0) AS BIGINT) AS min_sum,
+         |       CAST(COALESCE(ti.tot, 0) AS BIGINT) AS total_i,
+         |       CAST(COALESCE(tj.tot, 0) AS BIGINT) AS total_j,
+         |       CASE WHEN COALESCE(ti.tot, 0) + COALESCE(tj.tot, 0) -
+         |                 COALESCE(sh.min_sum, 0) > 0
+         |            THEN CAST(COALESCE(sh.min_sum, 0) AS DOUBLE) /
+         |                 CAST(COALESCE(ti.tot, 0) + COALESCE(tj.tot, 0) -
+         |                      COALESCE(sh.min_sum, 0) AS DOUBLE)
+         |       END AS wjaccard
+         |FROM cand c LEFT JOIN sh ON sh.i = c.i AND sh.j = c.j
+         |LEFT JOIN tot ti ON ti.doc_id = c.i
+         |LEFT JOIN tot tj ON tj.doc_id = c.j
+         |ORDER BY c.i, c.j""".stripMargin,
+
+    // q53/q72 scorers filtered to the query terms, per-doc fixed-point
+    // sums, top-20 ranks, then the literal-weight RBO fold.
+    "q256_rbo" -> {
+      val k1p1 = "CAST(2.2 AS DOUBLE)"
+      val k1 = "CAST(1.2 AS DOUBLE)"
+      val oneMinusB = "CAST(0.25 AS DOUBLE)"
+      val bC = "CAST(0.75 AS DOUBLE)"
+      val wVals = graft.operators.Fusion.rboWeights(20, 0.9)
+        .map { case (d, w) => s"($d, CAST($w AS BIGINT))" }.mkString(", ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($oToks) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |        FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |ad AS (SELECT CAST((SELECT coalesce(sum(tf), 0) FROM tf) AS DOUBLE)
+         |              / (SELECT n FROM nn) AS avgdl),
+         |sca AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         CAST(tf.tf AS DOUBLE) * (nn.n + 1) / (dfx.df + 1) AS tfidf
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN nn),
+         |ta AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CAST(floor(tfidf * CAST(1048576 AS DOUBLE))
+         |           AS BIGINT)) AS BIGINT) AS s
+         |  FROM sca WHERE term IN ('fast', 'table', 'value') GROUP BY 1),
+         |ra AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM ta ORDER BY s DESC, doc_id LIMIT 20),
+         |scb AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         (CAST(nn.n + 1 AS DOUBLE) / (dfx.df + 1)) *
+         |           (CAST(tf.tf AS DOUBLE) * $k1p1) /
+         |           (CAST(tf.tf AS DOUBLE) +
+         |            $k1 * ($oneMinusB + ($bC * dls.dl) / ad.avgdl)) AS bm25
+         |  FROM tf JOIN dfx USING (term) JOIN dls USING (doc_id)
+         |  CROSS JOIN nn CROSS JOIN ad),
+         |tb AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CAST(floor(bm25 * CAST(1048576 AS DOUBLE))
+         |           AS BIGINT)) AS BIGINT) AS s
+         |  FROM scb WHERE term IN ('fast', 'table', 'value') GROUP BY 1),
+         |rb AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM tb ORDER BY s DESC, doc_id LIMIT 20),
+         |wts(d, w_fp) AS (VALUES $wVals),
+         |jd AS (
+         |  SELECT ra.doc_id, greatest(ra.rank, rb.rank) AS m
+         |  FROM ra JOIN rb USING (doc_id)),
+         |xd AS (
+         |  SELECT w.d, w.w_fp, CAST(count(*) AS BIGINT) AS x_d
+         |  FROM wts w JOIN jd ON jd.m <= w.d GROUP BY 1, 2),
+         |a AS (
+         |  SELECT CAST(sum((w_fp * x_d) // d) AS BIGINT) AS rbo_fp,
+         |         CAST(max(CASE WHEN d = 20 THEN x_d END) AS BIGINT)
+         |           AS overlap_at_k
+         |  FROM xd)
+         |SELECT CAST(20 AS BIGINT) AS k,
+         |       CAST(COALESCE(overlap_at_k, 0) AS BIGINT) AS overlap_at_k,
+         |       CAST(COALESCE(rbo_fp, 0) AS BIGINT) AS rbo_fp,
+         |       CAST(COALESCE(rbo_fp, 0) AS DOUBLE) /
+         |         CAST(1073741824.0 AS DOUBLE) AS rbo
+         |FROM a""".stripMargin
+    },
+
+    // User-keyed window join, last touch by (ts, id) row_number,
+    // linear shares as exact 2^20 // n integers, direct remainder.
+    "q257_attribution" ->
+      """WITH b AS (
+        |  SELECT user_id AS u, CAST(epoch_ns(ts) AS BIGINT) AS tsn,
+        |         event_id AS eid, event_type AS ty
+        |  FROM events),
+        |conv AS (SELECT u, tsn AS cts, eid AS cid FROM b
+        |         WHERE ty = 'purchase'),
+        |tch AS (SELECT u, tsn AS tts, eid AS tid, ty FROM b
+        |        WHERE ty IN ('view', 'click')),
+        |wnd AS (
+        |  SELECT conv.cid, tch.tid, tch.ty, tch.tts
+        |  FROM conv JOIN tch USING (u)
+        |  WHERE tch.tts < conv.cts
+        |    AND tch.tts >= conv.cts - 259200000000000),
+        |lt AS (
+        |  SELECT cid, tid AS last_tid FROM (
+        |    SELECT cid, tid, row_number() OVER (PARTITION BY cid
+        |      ORDER BY tts DESC, tid DESC) AS rn FROM wnd)
+        |  WHERE rn = 1),
+        |pc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+        |       FROM wnd GROUP BY 1),
+        |att AS (
+        |  SELECT w.ty AS touch_type,
+        |         CAST(count(CASE WHEN w.tid = lt.last_tid THEN 1 END)
+        |           AS BIGINT) AS n_last_touch,
+        |         CAST(count(*) AS BIGINT) AS n_touches,
+        |         CAST(sum(1048576 // pc.n) AS BIGINT) AS linear_fp
+        |  FROM wnd w JOIN pc USING (cid) JOIN lt USING (cid)
+        |  GROUP BY 1),
+        |dir_ AS (
+        |  SELECT '(direct)' AS touch_type,
+        |         CAST(count(*) AS BIGINT) AS n_last_touch,
+        |         CAST(0 AS BIGINT) AS n_touches,
+        |         CAST(0 AS BIGINT) AS linear_fp
+        |  FROM conv WHERE cid NOT IN (SELECT cid FROM pc))
+        |SELECT touch_type, n_last_touch, n_touches, linear_fp
+        |FROM (SELECT * FROM att UNION ALL SELECT * FROM dir_)
+        |ORDER BY touch_type""".stripMargin
   )
 }

@@ -404,6 +404,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("quality") - q) < 1e-15)
   }
 
+  test("weightedJaccardVerify: bag similarity sees repetition set Jaccard misses") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c"),           // bag {a,b,c}
+      (2L, "a a a a a a a b c"), // same SET, 7 extra a's
+      (3L, "a b c"),           // exact bag duplicate of 1
+      (4L, "")                 // empty bag
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("i", "j")
+    val r = Dedup.weightedJaccardVerify(cands, docs, "doc_id", "text")
+      .orderBy("i", "j").collect()
+    // (1,2): min-sum = 3 (a,b,c once each), max-sum = 3+9-3 = 9
+    assert(r(0).getAs[Long]("min_sum") === 3L)
+    assert(r(0).getAs[Double]("wjaccard") === 3.0 / 9.0)
+    // (1,3): identical bags -> 1.0
+    assert(r(1).getAs[Double]("wjaccard") === 1.0)
+    // (1,4): empty side -> 3/(3+0-3)... denominator 3, wj = 0
+    assert(r(2).getAs[Long]("min_sum") === 0L)
+    assert(r(2).getAs[Double]("wjaccard") === 0.0)
+  }
+
+  test("weightedJaccardVerify: two empty bags yield NULL, not 0/0") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L)).toDF("i", "j")
+    val r = graft.operators.Dedup
+      .weightedJaccardVerify(cands, docs, "doc_id", "text").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("wjaccard")))
+  }
+
   test("skyline2D: frontier keeps undominated points, duplicates survive") {
     import graft.operators.TopK
     // points: (1,5) (2,4) (3,3) dominate nothing mutually (frontier);

@@ -130,4 +130,42 @@ class EventAnalyticsSpec extends SparkSpec {
       .intervalCoverage(iv, "k", col("s"), col("e")).head
     assert(out.getLong(2) === 1L && out.getLong(3) === 12L)
   }
+
+  test("attribution: last-touch, linear shares, window bounds, and direct remainder") {
+    import org.apache.spark.sql.functions.col
+    // user 1: view@1, click@5, purchase@10 (window 10): both touches,
+    //   last = click. user 2: view@100, purchase@200 (outside window 10)
+    //   -> direct. user 3: purchase@7, no touches -> direct.
+    val ev = Seq(
+      (1L, 1L, 101L, "view"), (1L, 5L, 102L, "click"),
+      (1L, 10L, 103L, "purchase"),
+      (2L, 100L, 201L, "view"), (2L, 200L, 202L, "purchase"),
+      (3L, 7L, 301L, "purchase")
+    ).toDF("u", "ts", "eid", "ty")
+    val r = EventAnalytics.attribution(ev, "u", col("ts"), "eid", "ty",
+      convType = "purchase", touchTypes = Seq("view", "click"),
+      windowNs = 10L).orderBy("touch_type").collect()
+    val byType = r.map(x => x.getAs[String]("touch_type") -> x).toMap
+    assert(byType("(direct)").getAs[Long]("n_last_touch") === 2L)
+    assert(byType("click").getAs[Long]("n_last_touch") === 1L)
+    assert(byType("view").getAs[Long]("n_last_touch") === 0L)
+    // linear: user 1's conversion splits 2^20 DIV 2 to each touch
+    assert(byType("view").getAs[Long]("linear_fp") === 524288L)
+    assert(byType("click").getAs[Long]("linear_fp") === 524288L)
+  }
+
+  test("attribution: same-timestamp touches tie-break by event id") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, 5L, 11L, "view"), (1L, 5L, 12L, "click"),
+      (1L, 6L, 13L, "purchase")
+    ).toDF("u", "ts", "eid", "ty")
+    val r = EventAnalytics.attribution(ev, "u", col("ts"), "eid", "ty",
+      "purchase", Seq("view", "click"), windowNs = 10L)
+      .orderBy("touch_type").collect()
+    val byType = r.map(x => x.getAs[String]("touch_type") -> x).toMap
+    // click has the larger event id at the tied timestamp
+    assert(byType("click").getAs[Long]("n_last_touch") === 1L)
+    assert(byType("view").getAs[Long]("n_last_touch") === 0L)
+  }
 }

@@ -75,4 +75,30 @@ class FusionSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L))
     assert(got.head.getDouble(3) == 1.0)
   }
+
+  test("rankBiasedOverlap: identical rankings match the closed form; disjoint give 0") {
+    val a = (1L to 5L).map(i => (i, i)).toDF("id", "rank")
+    val same = Fusion.rankBiasedOverlap(a, a, "id", "rank", k = 5, p = 0.9)
+      .collect()(0)
+    // truncated RBO at k=5 with X_d = d: sum (1-p)p^(d-1)
+    val expected = (1 to 5).map(d => 0.1 * math.pow(0.9, d - 1)).sum
+    assert(math.abs(same.getAs[Double]("rbo") - expected) < 1e-6)
+    assert(same.getAs[Long]("overlap_at_k") === 5L)
+    val b = (1L to 5L).map(i => (i + 100L, i)).toDF("id", "rank")
+    val dis = Fusion.rankBiasedOverlap(a, b, "id", "rank", k = 5, p = 0.9)
+      .collect()(0)
+    assert(dis.getAs[Long]("rbo_fp") === 0L)
+    assert(dis.getAs[Double]("rbo") === 0.0)
+  }
+
+  test("rankBiasedOverlap is top-weighted: top agreement beats bottom agreement") {
+    val a = (1L to 4L).map(i => (i, i)).toDF("id", "rank")
+    val b1 = Seq((1L, 1L), (11L, 2L), (12L, 3L), (13L, 4L)).toDF("id", "rank")
+    val b2 = Seq((14L, 1L), (15L, 2L), (16L, 3L), (4L, 4L)).toDF("id", "rank")
+    val top = Fusion.rankBiasedOverlap(a, b1, "id", "rank", 4, 0.9)
+      .collect()(0).getAs[Double]("rbo")
+    val bot = Fusion.rankBiasedOverlap(a, b2, "id", "rank", 4, 0.9)
+      .collect()(0).getAs[Double]("rbo")
+    assert(top > bot)
+  }
 }
