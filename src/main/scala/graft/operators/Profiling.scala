@@ -356,6 +356,60 @@ object Profiling {
           .as("ks"))
   }
 
+  /** Tail-weighted two-sample EDF statistic (the grouped/discrete
+    * ANDERSON–DARLING form): where [[ksStatistic]] takes the MAX CDF
+    * gap — blind to tails, where both CDFs approach 0/1 — this sums the
+    * squared gaps with weight 1/(H(1−H)) over the pooled CDF H, which
+    * blows up exactly in the tails. The drift test to run when the
+    * tails are the point (length cutoffs, score extremes): two
+    * distributions can pass KS and fail here on tail mass alone.
+    *
+    *   A² = Σ_j (N·M_j − n·B_j)² · ℓ_j / (n·m·B_j·(N−B_j))
+    *
+    * over distinct pooled values j (ℓ = pooled count, B = pooled
+    * cumulative, M = reference cumulative; the last block, B = N, has
+    * zero gap and is skipped as the textbook form does). Per-block
+    * terms are fixed-shape double arithmetic on exact BIGINTs,
+    * quantized to ⌊term·2²⁰⌋ before the cross-block sum (the χ²
+    * discipline) — order-free and engine-portable. Uncorrected form
+    * (no (N−1)/N factor); compare thresholds accordingly.
+    *
+    * @return one row: (n_ref, n_cur, a2_fp, a2)
+    */
+  def adStatistic(df: DataFrame, value: Column, inRef: Column): DataFrame = {
+    val hist = df
+      .filter(value.isNotNull && inRef.isNotNull)
+      .select(value.as("__v"), inRef.as("__r"))
+      .groupBy("__v")
+      .agg(count(when(col("__r"), 1L)).as("__cr"),
+        count(when(!col("__r"), 1L)).as("__cc"))
+    val wCum = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy() // distinct-value histogram rows
+    val gapD = (col("__nn") * col("__m") - col("__nr") * col("__b"))
+      .cast("double")
+    val termD = gapD * gapD * col("__l").cast("double") /
+      (col("__nr").cast("double") * col("__ncur").cast("double") *
+        col("__b").cast("double") * (col("__nn") - col("__b")).cast("double"))
+    hist
+      .withColumn("__m", sum(col("__cr")).over(wCum))
+      .withColumn("__bc", sum(col("__cc")).over(wCum))
+      .withColumn("__nr", sum(col("__cr")).over(wAll))
+      .withColumn("__ncur", sum(col("__cc")).over(wAll))
+      .withColumn("__l", col("__cr") + col("__cc"))
+      .withColumn("__b", col("__m") + col("__bc"))
+      .withColumn("__nn", col("__nr") + col("__ncur"))
+      .withColumn("__term_fp",
+        when(col("__b") < col("__nn") && col("__nr") > 0L &&
+          col("__ncur") > 0L,
+          floor(termD * lit(1048576.0)).cast("long")).otherwise(lit(0L)))
+      .agg(min(col("__nr")).as("n_ref"), min(col("__ncur")).as("n_cur"),
+        sum(col("__term_fp")).as("a2_fp"))
+      .withColumn("a2",
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          col("a2_fp").cast("double") / lit(1048576.0)))
+  }
+
   /** Merkle manifest over a sharded table: per-shard [[tableChecksum]]
     * leaves, hashed pairwise up to a single root — the provenance
     * artifact a release publishes so a consumer can verify ANY shard (or

@@ -2719,7 +2719,45 @@ object LlmQueries {
         "event_id", "event_type", convType = "purchase",
         touchTypes = Seq("view", "click"),
         windowNs = 3L * 86400000000000L)
-        .orderBy("touch_type"))
+        .orderBy("touch_type")),
+
+    // Tail-weighted EDF statistic (discrete Anderson–Darling form) on
+    // q190's gate length split: squared CDF gaps weighted 1/(H(1−H))
+    // blow up in the tails KS is blind to — two distributions can pass
+    // KS and fail here on tail mass alone.
+    "q258_ad_statistic" -> ((s, dir) => {
+      val gated = TextAnalysis.qualityGate(t(s, dir, "documents"),
+        "doc_id", "text", keepInputCols = true)
+      graft.operators.Profiling.adStatistic(gated, col("n_chars"),
+        col("keep"))
+    }),
+
+    // Join-strategy ADVISOR: skew report + coordinated-sample join-size
+    // estimate + build-side cardinality composed into one verdict row —
+    // broadcast when the build side fits, salt when the probe side's
+    // hot key breaks the reducer budget, shuffle otherwise; the
+    // planning read an engine does from stats, surfaced as data.
+    "q259_join_advisor" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ords = t(s, dir, "orders")
+      val sk = graft.operators.Skew.skewReport(li, "l_orderkey",
+        partitions = 32)
+      val est = graft.operators.Sketch.joinSizeEstimate(li,
+        ords.select(col("o_orderkey").as("l_orderkey")), "l_orderkey",
+        rate = 8)
+      val rb = ords.agg(count(lit(1)).as("rows_b"))
+      sk.select(col("n_rows").as("rows_a"), col("n_keys"), col("max_cnt"),
+        col("max_key"), col("skew_ratio"), col("salt_factor"))
+        .crossJoin(broadcast(rb))
+        .crossJoin(broadcast(est.select("est_join_rows")))
+        .withColumn("strategy",
+          when(col("rows_b") <= 100000L, "broadcast_b")
+            .when(col("skew_ratio") > 8.0, "salted_shuffle")
+            .otherwise("shuffle"))
+        .withColumn("recommended_salt",
+          when(col("strategy") === "salted_shuffle", col("salt_factor"))
+            .otherwise(lit(1L)))
+    })
   )
 
   /** q169/q170's shared eval set: q102's distilled linear model served
@@ -8620,6 +8658,93 @@ object LlmQueries {
         |  FROM conv WHERE cid NOT IN (SELECT cid FROM pc))
         |SELECT touch_type, n_last_touch, n_touches, linear_fp
         |FROM (SELECT * FROM att UNION ALL SELECT * FROM dir_)
-        |ORDER BY touch_type""".stripMargin
+        |ORDER BY touch_type""".stripMargin,
+
+    // q190's histogram/cumulation, per-block term quantized to 2^20
+    // before the sum; last block (B = N) skipped as zero-gap.
+    "q258_ad_statistic" ->
+      s"""WITH $oGateCtes,
+         |g AS (
+         |  SELECT d.n_chars AS v, (vd.reasons = 0) AS r
+         |  FROM documents d JOIN verdict vd USING (doc_id)),
+         |hist AS (
+         |  SELECT v, CAST(count(CASE WHEN r THEN 1 END) AS BIGINT) AS cr,
+         |         CAST(count(CASE WHEN NOT r THEN 1 END) AS BIGINT) AS cc
+         |  FROM g GROUP BY 1),
+         |cum AS (
+         |  SELECT v, cr, cc,
+         |         CAST(sum(cr) OVER (ORDER BY v) AS BIGINT) AS m,
+         |         CAST(sum(cr + cc) OVER (ORDER BY v) AS BIGINT) AS b,
+         |         CAST(sum(cr) OVER () AS BIGINT) AS nr,
+         |         CAST(sum(cc) OVER () AS BIGINT) AS ncur
+         |  FROM hist),
+         |t AS (
+         |  SELECT nr, ncur,
+         |         CASE WHEN b < nr + ncur AND nr > 0 AND ncur > 0
+         |              THEN CAST(floor(
+         |                CAST((nr + ncur) * m - nr * b AS DOUBLE) *
+         |                CAST((nr + ncur) * m - nr * b AS DOUBLE) *
+         |                CAST(cr + cc AS DOUBLE) /
+         |                (CAST(nr AS DOUBLE) * CAST(ncur AS DOUBLE) *
+         |                 CAST(b AS DOUBLE) *
+         |                 CAST((nr + ncur) - b AS DOUBLE)) *
+         |                CAST(1048576.0 AS DOUBLE)) AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS term_fp
+         |  FROM cum)
+         |SELECT CAST(min(nr) AS BIGINT) AS n_ref,
+         |       CAST(min(ncur) AS BIGINT) AS n_cur,
+         |       CAST(sum(term_fp) AS BIGINT) AS a2_fp,
+         |       CASE WHEN min(nr) > 0 AND min(ncur) > 0
+         |            THEN CAST(sum(term_fp) AS DOUBLE) /
+         |                 CAST(1048576.0 AS DOUBLE) END AS a2
+         |FROM t""".stripMargin,
+
+    // q177's skew formulas + q178's coordinated-sample estimate +
+    // build-side count, composed; thresholds are plan literals.
+    "q259_join_advisor" ->
+      """WITH h AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS k,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS rows_a,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(c) AS BIGINT) AS max_cnt
+        |  FROM h),
+        |hot AS (SELECT min(k) AS max_key FROM h, tot WHERE c = max_cnt),
+        |sk AS (
+        |  SELECT rows_a, n_keys, max_cnt, max_key,
+        |         (CAST(max_cnt * n_keys AS DOUBLE) / CAST(rows_a AS DOUBLE))
+        |           AS skew_ratio,
+        |         CAST((max_cnt * 32 + rows_a - 1) // rows_a AS BIGINT)
+        |           AS salt_factor
+        |  FROM tot, hot),
+        |rb AS (SELECT CAST(count(*) AS BIGINT) AS rows_b FROM orders),
+        |sa AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+        |  FROM lineitem
+        |  WHERE (((l_orderkey % 2147483648) * 2654435761) % 4294967296)
+        |          % 8 = 0
+        |  GROUP BY 1),
+        |sb AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |  FROM orders
+        |  WHERE (((o_orderkey % 2147483648) * 2654435761) % 4294967296)
+        |          % 8 = 0
+        |  GROUP BY 1),
+        |est AS (
+        |  SELECT CAST(COALESCE(sum(ca * cb) * 8, 0) AS BIGINT)
+        |           AS est_join_rows
+        |  FROM sa JOIN sb USING (k)),
+        |v AS (SELECT * FROM sk, rb, est)
+        |SELECT rows_a, n_keys, max_cnt, max_key, skew_ratio, salt_factor,
+        |       rows_b, est_join_rows,
+        |       CASE WHEN rows_b <= 100000 THEN 'broadcast_b'
+        |            WHEN skew_ratio > 8.0 THEN 'salted_shuffle'
+        |            ELSE 'shuffle' END AS strategy,
+        |       CAST(CASE WHEN rows_b > 100000 AND skew_ratio > 8.0
+        |                 THEN salt_factor ELSE 1 END AS BIGINT)
+        |         AS recommended_salt
+        |FROM v""".stripMargin
   )
 }

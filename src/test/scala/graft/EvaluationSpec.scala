@@ -119,6 +119,31 @@ class EvaluationSpec extends SparkSpec {
     assert(m.getAs[Double]("ks") === 0.5)
   }
 
+  test("adStatistic: identical distributions give 0; tail weighting beats KS") {
+    import graft.operators.Profiling
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "r")
+    val s0 = Profiling.adStatistic(same, col("v"), col("r")).collect()(0)
+    assert(s0.getAs[Long]("a2_fp") === 0L)
+    assert(s0.getAs[Double]("a2") === 0.0)
+    // two pairs of splits with the SAME max CDF gap (same KS) but the
+    // gap in the TAIL vs the middle: AD weights the tail case higher
+    val mid = ((1L to 8L).map((_, true)) ++
+      Seq(1L, 2L, 3L, 3L, 6L, 6L, 7L, 8L).map((_, false))).toDF("v", "r")
+    val tail = ((1L to 8L).map((_, true)) ++
+      Seq(1L, 1L, 3L, 4L, 5L, 6L, 7L, 8L).map((_, false))).toDF("v", "r")
+    val aMid = Profiling.adStatistic(mid, col("v"), col("r"))
+      .collect()(0).getAs[Double]("a2")
+    val aTail = Profiling.adStatistic(tail, col("v"), col("r"))
+      .collect()(0).getAs[Double]("a2")
+    val ksMid = Profiling.ksStatistic(mid, col("v"), col("r"))
+      .collect()(0).getAs[Double]("ks")
+    val ksTail = Profiling.ksStatistic(tail, col("v"), col("r"))
+      .collect()(0).getAs[Double]("ks")
+    assert(ksMid === ksTail) // KS cannot tell them apart
+    assert(aTail > aMid)     // AD can: the gap sits where H(1-H) is small
+  }
+
   // 20 rows, scores = key, positives = top half exactly: every decile
   // is 2 rows; deciles 0-4 all positive, 5-9 all negative.
   private lazy val separable = (0L until 20L).map(k =>
