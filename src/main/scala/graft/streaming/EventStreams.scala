@@ -174,6 +174,58 @@ object EventStreams {
           .as("tvd")): _*)
   }
 
+  /** Windowed SAMPLE-RATIO-MISMATCH monitor — the streaming twin of
+    * `Profiling.ratioMismatchAudit` (q248): per tumbling window,
+    * observed label counts vs the shares an assignment promised, χ²
+    * from fixed-point terms, one row per window. The experiment
+    * health-check as a LIVE alarm: a broken splitter shows up in the
+    * first window, not at analysis time.
+    *
+    * State discipline: one aggregation per window holding |labels|+1
+    * longs (the conditional counts + total) — the [[windowedRuleAudit]]
+    * restructuring; the χ² tail is a row-local projection over the
+    * closed window's row, so batch parity is exact (StreamingSpec
+    * locks it). Labels outside `expected` are counted (`n_other`) but
+    * excluded from the χ² — they were never promised a share.
+    */
+  def windowedRatioMismatch(events: DataFrame,
+                            expected: Seq[(String, Double)],
+                            watermark: String = "10 minutes",
+                            windowLength: String = "5 minutes",
+                            labelCol: String = "event_type"): DataFrame = {
+    require(expected.nonEmpty, "need at least one expected share")
+    require(expected.map(_._1).distinct.length == expected.length,
+      "duplicate expected labels")
+    require(expected.forall(_._2 > 0.0), "shares must be positive")
+    val labels = expected.map(_._1)
+    val cnts = expected.map { case (l, _) =>
+      count(when(col(labelCol) === l, 1L)).as(s"n_$l")
+    }
+    val other = count(when(!col(labelCol).isInCollection(labels) ||
+      col(labelCol).isNull, 1L)).as("n_other")
+    val agg = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(cnts.head, cnts.tail :+ other: _*)
+    val nExp = labels.map(l => col(s"n_$l")).reduce(_ + _)
+    def term(l: String, p: Double) =
+      floor(((col(s"n_$l").cast("double") -
+        lit(p) * col("__n").cast("double")) *
+        (col(s"n_$l").cast("double") -
+          lit(p) * col("__n").cast("double")) /
+        (lit(p) * col("__n").cast("double"))) *
+        lit(1073741824.0)).cast("long")
+    val chi2Fp = expected.map { case (l, p) => term(l, p) }.reduce(_ + _)
+    agg
+      .withColumn("__n", nExp)
+      .select(Seq(col("window.start").as("window_start"),
+        col("__n").as("n")) ++
+        labels.map(l => col(s"n_$l")) ++ Seq(col("n_other"),
+          when(col("__n") > 0L, chi2Fp).as("chi2_fp"),
+          when(col("__n") > 0L,
+            chi2Fp.cast("double") / lit(1073741824.0)).as("chi2")): _*)
+  }
+
   /** Session windows per user: built-in session_window with an inactivity
     * gap — sessions close (and emit) once the watermark passes the gap.
     */

@@ -771,6 +771,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedRatioMismatch: per-window chi2 vs promised shares, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // promised 50/50 click/view; window 1 matches exactly (chi2 0),
+    // window 2 is 3:1 (+ an uncounted 'scroll')
+    val exp = Seq(("click", 0.5), ("view", 0.5))
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 0), Event(2, ts(1), 1, "view", 0),
+      Event(3, ts(2), 1, "click", 0), Event(4, ts(3), 1, "view", 0),
+      Event(5, ts(11), 1, "click", 0), Event(6, ts(12), 1, "click", 0),
+      Event(7, ts(13), 1, "click", 0), Event(8, ts(14), 1, "view", 0),
+      Event(9, ts(15), 1, "scroll", 0))
+    val input = MemoryStream[Event]
+    val query = EventStreams.windowedRatioMismatch(input.toDF(), exp,
+      "10 minutes", "10 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wrm").start()
+    try {
+      input.addData(events.take(3): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(3): _*)
+      query.processAllAvailable()
+      val rows = spark.table("wrm")
+        .select("window_start", "n", "n_click", "n_view", "n_other",
+          "chi2_fp")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      // window 2: terms (3-2)^2/2 + (1-2)^2/2 = 1 -> 2^30
+      assert(rows === Set(
+        (ts(0), 4L, 2L, 2L, 0L, 0L),
+        (ts(10), 4L, 3L, 1L, 1L, 1L << 30)))
+      val batch = EventStreams.windowedRatioMismatch(events.toDF(), exp,
+        "10 minutes", "10 minutes")
+        .select("window_start", "n", "n_click", "n_view", "n_other",
+          "chi2_fp")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(batch === rows)
+    } finally query.stop()
+  }
+
   test("windowedRuleAudit: per-window rule counts, batch parity across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val rules = Seq(
