@@ -2732,6 +2732,40 @@ object LlmQueries {
         col("keep"))
     }),
 
+    // Funnel time-to-convert QUANTILES: per converted stage, exact
+    // p25/p50/p75 of lag from the funnel anchor — q109 reports the
+    // mean; a skewed conversion lag makes the mean a lie, and this is
+    // the read that shows it. Histogram quantiles over whole-second
+    // lags.
+    "q260_funnel_latency" -> ((s, dir) => {
+      val f = graft.operators.EventAnalytics.funnel(
+        graft.io.TableIO.eventsNanos(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowNs = 86400000000000L)
+      val lags = f.filter(col("stage_idx") > 1L)
+        .withColumn("lag_s", expr("(ts - t1) DIV 1000000000"))
+      graft.operators.ExactQuantiles.quantilesByGroup(lags, "stage",
+        "lag_s", Seq(("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4)))
+        .orderBy("stage")
+    }),
+
+    // Matryoshka prefix-dimension recall: exact top-5 by full 64-dim
+    // cosine vs top-5 by the FIRST-16-dim prefix — how much ranking the
+    // truncated representation keeps (the MRL serving question), per
+    // query.
+    "q261_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = queriesSubset(s, dir)
+      def prefix(df: DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val exact = Similarity.bruteForceTopK(qs, emb, "vec_id",
+        "embedding", k = 5)
+      val approx = Similarity.bruteForceTopK(prefix(qs), prefix(emb),
+        "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(exact, approx, "qid", "nid", k = 5)
+        .orderBy("qid")
+    }),
+
     // Join-strategy ADVISOR: skew report + coordinated-sample join-size
     // estimate + build-side cardinality composed into one verdict row —
     // broadcast when the build side fits, salt when the probe side's
@@ -8745,6 +8779,86 @@ object LlmQueries {
         |       CAST(CASE WHEN rows_b > 100000 AND skew_ratio > 8.0
         |                 THEN salt_factor ELSE 1 END AS BIGINT)
         |         AS recommended_salt
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    // q109's stage CTEs, whole-second lags, q74's histogram quantile
+    // reads per stage.
+    "q260_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS ns, event_type FROM events),
+        |s1 AS MATERIALIZED (
+        |  SELECT user_id, min(ns) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS MATERIALIZED (
+        |  SELECT e.user_id, s1.t1, min(e.ns) AS t2
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ns > s1.t1
+        |    AND e.ns <= s1.t1 + 86400000000000
+        |  GROUP BY 1, 2),
+        |s3 AS MATERIALIZED (
+        |  SELECT e.user_id, s2.t1, min(e.ns) AS t3
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ns > s2.t2
+        |    AND e.ns <= s2.t1 + 86400000000000
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT 'click' AS stage, (t2 - t1) // 1000000000 AS lag_s FROM s2
+        |  UNION ALL
+        |  SELECT 'purchase', (t3 - t1) // 1000000000 FROM s3),
+        |h AS (SELECT stage, lag_s AS v, count(*) AS c
+        |      FROM st GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT stage, v,
+        |         sum(c) OVER (PARTITION BY stage ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY stage) AS n
+        |  FROM h)
+        |SELECT stage, CAST(min(n) AS BIGINT) AS n,
+        |       min(CASE WHEN cum * 4 >= n * 1 THEN v END) AS p25,
+        |       min(CASE WHEN cum * 4 >= n * 2 THEN v END) AS p50,
+        |       min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75
+        |FROM cum GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // Full-dim brute top-5 vs FIRST-16-dim prefix top-5 (prefix norms
+    // and dots over v[1:16] with the same fold shapes), per-query
+    // recall.
+    "q261_matryoshka_recall" -> {
+      def pCos(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform(range(16),
+           |  i -> $a.v[i+1] * $b.v[i+1])), (x, y) -> x + y) / ($a.pnrm * $b.pnrm)""".stripMargin
+      s"""WITH $oNorms,
+         |pn AS (
+         |  SELECT vec_id, v,
+         |         sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(v[1:16], x -> x*x)),
+         |           (a, b) -> a + b)) AS pnrm
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings)),
+         |bscored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, ${oCos("q", "c")} AS cos
+         |  FROM norms q JOIN norms c
+         |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |branked AS (
+         |  SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, nid) AS rank
+         |  FROM bscored),
+         |brute AS (SELECT qid, nid FROM branked WHERE rank <= 5),
+         |pscored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |         CASE WHEN q.pnrm * c.pnrm <> 0
+         |              THEN ${pCos("q", "c")} END AS cos
+         |  FROM pn q JOIN pn c
+         |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |pranked AS (
+         |  SELECT qid, nid,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC NULLS LAST, nid) AS rank
+         |  FROM pscored),
+         |pref AS (SELECT qid, nid FROM pranked WHERE rank <= 5)
+         |SELECT b.qid, CAST(count(p.nid) AS BIGINT) AS hits,
+         |       CAST(count(p.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM brute b LEFT JOIN pref p ON p.qid = b.qid AND p.nid = b.nid
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+    }
   )
 }
