@@ -357,6 +357,60 @@ object EventAnalytics {
     *
     * @return (from_state, to_state, cnt, row_total, p)
     */
+  /** KAPLAN–MEIER survival curve over user lifetimes with right
+    * censoring — "what fraction of users are still active after t
+    * days", computed the way survival analysis demands: a user whose
+    * last activity is within `censorGapDays` of the study horizon has
+    * NOT churned, merely run out of observation window, and counting
+    * them as deaths (the naive retention read) biases every tail
+    * estimate down. S(t) = Π_{u≤t} (1 − d_u/n_u) over event times.
+    *
+    * Determinism: the (duration, churns, at-risk) table is exact BIGINT
+    * (suffix-cumulative at-risk over the duration histogram); the
+    * product folds LEFT-TO-RIGHT in duration order on the DRIVER over
+    * that bounded table (the PAVA/codebook license — rows ≤ distinct
+    * durations), each step one IEEE multiply, so the curve is
+    * bit-reproducible and the oracle replays the same fold as an
+    * ordered list_reduce.
+    *
+    * @param day integral day expression (e.g. epoch-day of the event)
+    * @return one row per distinct duration: (t, n_risk, d_churn,
+    *         factor, survival) — survival non-increasing in t
+    */
+  def kaplanMeier(df: DataFrame, keyCol: String, day: Column,
+                  censorGapDays: Long): DataFrame = {
+    require(censorGapDays >= 0, "negative censor gap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spans = df.select(col(keyCol).as("__k"), day.cast("long").as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy("__k").agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+    val horizonRow = spans.agg(max(col("__l"))).head
+    if (horizonRow.isNullAt(0)) return Seq
+      .empty[(Long, Long, Long, Double, Double)]
+      .toDF("t", "n_risk", "d_churn", "factor", "survival")
+    val horizon = horizonRow.getLong(0)
+    val obs = spans.select((col("__l") - col("__f")).as("t"),
+      (col("__l") < lit(horizon - censorGapDays)).cast("long").as("__evt"))
+    val wSuffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dayRows = obs.groupBy("t")
+      .agg(count(lit(1)).as("__c"), sum(col("__evt")).as("d"))
+      .withColumn("n_risk", sum(col("__c")).over(wSuffix))
+      .select("t", "n_risk", "d").orderBy("t")
+      .collect() // bounded by distinct durations (a time span, not rows)
+    var s = 1.0
+    val out = dayRows.toSeq.map { r =>
+      val t = r.getAs[Long]("t")
+      val n = r.getAs[Long]("n_risk")
+      val d = r.getAs[Long]("d")
+      val factor = 1.0 - d.toDouble / n.toDouble
+      s = s * factor
+      (t, n, d, factor, s)
+    }
+    out.toDF("t", "n_risk", "d_churn", "factor", "survival")
+  }
+
   /** Multi-touch ATTRIBUTION: for every conversion event, credit the
     * touch events (views/clicks) that preceded it within a lookback
     * window — last-touch counts AND linear (equal-split) shares per

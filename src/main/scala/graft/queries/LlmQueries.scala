@@ -2766,6 +2766,48 @@ object LlmQueries {
         .orderBy("qid")
     }),
 
+    // Single-linkage coherence audit: within each wide-simhash CC
+    // cluster, the fraction of member PAIRS whose exact bigram Jaccard
+    // clears the tier threshold — transitive closure chains A~B~C into
+    // one cluster even when A and C share nothing; this measures how
+    // much of that happened.
+    "q262_cluster_coherence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.CacheScope.track(
+        Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 3)
+          .select("i", "j"))
+      val comp = graft.operators.Components
+        .connectedComponents(pairs, "i", "j")
+      val members = comp.select(col("component"), col("id"))
+      val intra = members.alias("a")
+        .join(members.alias("b"),
+          col("a.component") === col("b.component") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.component").as("component"), col("a.id").as("i"),
+          col("b.id").as("j"))
+      val good = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+        threshold = 0.6).select("i", "j").withColumn("__g", lit(1L))
+      intra.join(good, Seq("i", "j"), "left")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_pairs"), count(col("__g")).as("n_coherent"))
+        .join(members.groupBy("component").agg(count(lit(1)).as("size")),
+          "component")
+        .withColumn("coherence",
+          col("n_coherent").cast("double") / col("n_pairs").cast("double"))
+        .select("component", "size", "n_pairs", "n_coherent", "coherence")
+        .orderBy("component")
+    }),
+
+    // Kaplan–Meier survival of user lifetimes with right censoring
+    // (quiet within 7 days of the horizon = censored, not churned) —
+    // the naive retention read counts the censored as deaths and biases
+    // every tail estimate down; this is the correction.
+    "q263_kaplan_meier" -> ((s, dir) =>
+      graft.operators.EventAnalytics.kaplanMeier(
+        graft.io.TableIO.eventsNanos(s, dir), "user_id",
+        expr("ts DIV 86400000000000"), censorGapDays = 7L)
+        .orderBy("t")),
+
     // Join-strategy ADVISOR: skew report + coordinated-sample join-size
     // estimate + build-side cardinality composed into one verdict row —
     // broadcast when the build side fits, salt when the probe side's
@@ -8780,6 +8822,86 @@ object LlmQueries {
         |                 THEN salt_factor ELSE 1 END AS BIGINT)
         |         AS recommended_salt
         |FROM v""".stripMargin,
+
+    // Wide pairs → recursive CC over pair nodes → intra pairs LEFT
+    // JOIN exact jac ≥ 0.6; one coherence row per cluster.
+    "q262_cluster_coherence" ->
+      s"""WITH RECURSIVE ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach(node, comp) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |lab AS (SELECT node AS id, min(comp) AS component
+         |        FROM reach GROUP BY 1),
+         |intra AS (
+         |  SELECT a.component, a.id AS i, b.id AS j
+         |  FROM lab a JOIN lab b
+         |    ON a.component = b.component AND a.id < b.id),
+         |${oJaccardCtes(2)},
+         |good AS (SELECT i, j FROM jac WHERE jaccard >= 0.6),
+         |per AS (
+         |  SELECT intra.component, CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(count(g.i) AS BIGINT) AS n_coherent
+         |  FROM intra LEFT JOIN good g
+         |    ON g.i = intra.i AND g.j = intra.j
+         |  GROUP BY 1),
+         |csize AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+         |          FROM lab GROUP BY 1)
+         |SELECT per.component, csize.size, per.n_pairs, per.n_coherent,
+         |       CAST(per.n_coherent AS DOUBLE) /
+         |         CAST(per.n_pairs AS DOUBLE) AS coherence
+         |FROM per JOIN csize USING (component)
+         |ORDER BY per.component""".stripMargin,
+
+    // (first, last) spans per user, right-censored within 7 days of the
+    // horizon; suffix-cumulated at-risk; survival = ordered left-fold
+    // product of (1 − d/n) prefixes — the engine's driver fold replayed
+    // as list_reduce over list(factor ORDER BY t).
+    "q263_kaplan_meier" ->
+      """WITH sp AS (
+        |  SELECT user_id,
+        |         CAST(min(epoch_ns(ts) // 86400000000000) AS BIGINT) AS f,
+        |         CAST(max(epoch_ns(ts) // 86400000000000) AS BIGINT) AS l
+        |  FROM events GROUP BY 1),
+        |hz AS (SELECT max(l) AS h FROM sp),
+        |obs AS (
+        |  SELECT l - f AS t,
+        |         CASE WHEN l < h - 7 THEN 1 ELSE 0 END AS evt
+        |  FROM sp, hz),
+        |dt0 AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(evt) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1),
+        |dt AS (
+        |  SELECT t, d,
+        |         CAST(sum(c) OVER (ORDER BY t
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS BIGINT) AS n_risk
+        |  FROM dt0),
+        |fc AS (
+        |  SELECT t, n_risk, d,
+        |         CAST(1.0 AS DOUBLE) -
+        |           CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        |  FROM dt),
+        |sv AS (
+        |  SELECT a.t,
+        |         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |           list(b.factor ORDER BY b.t)), (x, y) -> x * y)
+        |           AS survival
+        |  FROM fc a JOIN fc b ON b.t <= a.t GROUP BY 1)
+        |SELECT fc.t, fc.n_risk, fc.d AS d_churn, fc.factor, sv.survival
+        |FROM fc JOIN sv USING (t) ORDER BY fc.t""".stripMargin,
 
     // q109's stage CTEs, whole-second lags, q74's histogram quantile
     // reads per stage.

@@ -131,6 +131,41 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.getLong(2) === 1L && out.getLong(3) === 12L)
   }
 
+  test("kaplanMeier: censored users leave the risk set without counting as deaths") {
+    import org.apache.spark.sql.functions.col
+    // horizon = day 20, gap 5: users with last activity >= 15 censored.
+    // u1: days 0..2   -> t=2,  churn (l=2  < 15)
+    // u2: days 0..2   -> t=2,  churn
+    // u3: days 0..10  -> t=10, churn
+    // u4: days 0..16  -> t=16, censored
+    // u5: days 10..20 -> t=10, censored
+    val ev = Seq(
+      (1L, 0L), (1L, 2L), (2L, 0L), (2L, 2L), (3L, 0L), (3L, 10L),
+      (4L, 0L), (4L, 16L), (5L, 10L), (5L, 20L)
+    ).toDF("u", "d")
+    val r = graft.operators.EventAnalytics
+      .kaplanMeier(ev, "u", col("d"), censorGapDays = 5L)
+      .orderBy("t").collect()
+    // durations: t=2 (n=5, d=2), t=10 (n=3, d=1 — u5 censored), t=16 (n=1, d=0)
+    assert(r.map(x => (x.getAs[Long]("t"), x.getAs[Long]("n_risk"),
+      x.getAs[Long]("d_churn"))).toSeq ===
+      Seq((2L, 5L, 2L), (10L, 3L, 1L), (16L, 1L, 0L)))
+    // S(2) = 3/5; S(10) = 3/5 · 2/3 = 0.4; S(16) = 0.4 · 1 = 0.4
+    assert(math.abs(r(0).getAs[Double]("survival") - 0.6) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("survival") - 0.4) < 1e-12)
+    assert(r(2).getAs[Double]("survival") === r(1).getAs[Double]("survival"))
+    // monotone non-increasing by construction
+    val s = r.map(_.getAs[Double]("survival"))
+    assert(s.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("kaplanMeier: empty input yields an empty curve, no crash") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq.empty[(Long, Long)].toDF("u", "d")
+    assert(graft.operators.EventAnalytics
+      .kaplanMeier(ev, "u", col("d"), 5L).count() === 0L)
+  }
+
   test("attribution: last-touch, linear shares, window bounds, and direct remainder") {
     import org.apache.spark.sql.functions.col
     // user 1: view@1, click@5, purchase@10 (window 10): both touches,
