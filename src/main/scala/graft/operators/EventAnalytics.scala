@@ -357,6 +357,39 @@ object EventAnalytics {
     *
     * @return (from_state, to_state, cnt, row_total, p)
     */
+  /** WEEKDAY seasonal decomposition of a daily count series: each day's
+    * volume split into its weekday's mean component and the residual —
+    * the "is Monday always like this" baseline that must come OFF a
+    * series before an anomaly monitor reads it ([[cusumCounts]] on raw
+    * counts alarms every weekend; on residuals it alarms on news). The
+    * seasonal-naive model: deterministic, exact, and the right first
+    * model for calendar-driven series.
+    *
+    * Weekday = epoch-day mod 7 (a fixed day-of-week labeling, time-zone
+    * free). Exactness: per-weekday (n, Σ) are BIGINT; the mean and the
+    * residual are one division + one subtraction per row in fixed
+    * shapes. Absent days are absent (densify upstream if silence
+    * counts). Seasonality STRENGTH is [[Profiling.anovaByGroup]] over
+    * the weekday grouping — η² there = variance explained by weekday.
+    *
+    * @return one row per observed day: (bucket, weekday, x, wd_n,
+    *         wd_sum, wd_mean, residual), ordered by caller
+    */
+  def weekdayDecomposition(df: DataFrame, bucket: Column): DataFrame = {
+    val daily = df.select(bucket.cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("x"))
+      .withColumn("weekday", pmod(col("bucket"), lit(7L)))
+    val wd = daily.groupBy("weekday")
+      .agg(count(lit(1)).as("wd_n"), sum(col("x")).as("wd_sum"))
+    daily.join(broadcast(wd), Seq("weekday"))
+      .withColumn("wd_mean",
+        col("wd_sum").cast("double") / col("wd_n").cast("double"))
+      .withColumn("residual", col("x").cast("double") - col("wd_mean"))
+      .select("bucket", "weekday", "x", "wd_n", "wd_sum", "wd_mean",
+        "residual")
+  }
+
   /** KAPLAN–MEIER survival curve over user lifetimes with right
     * censoring — "what fraction of users are still active after t
     * days", computed the way survival analysis demands: a user whose

@@ -129,6 +129,88 @@ object Layout {
       .drop("__cum")
   }
 
+  /** Column ENCODING advisor: for each named column, the three numbers
+    * a columnar writer chooses an encoding from — row count, NDV, and
+    * RUNS of equal adjacent values along the table's physical order —
+    * plus the verdict (RLE when runs are few, dictionary when NDV is
+    * small, plain otherwise). The same stats Parquet writers use
+    * implicitly, surfaced as data so a layout decision ([[clusterByZ]],
+    * sort keys) can be justified by its measured effect on runs.
+    *
+    * Run counting never uses a corpus-wide window: the [[runsTest]]
+    * block discipline — ordinals via [[GlobalIds.contiguousIds]],
+    * per-block adjacency under per-block windows, block-edge
+    * adjacencies from the |blocks|-row first/last table. NULL values
+    * participate (a NULL run is RLE-able too; null-safe equality).
+    *
+    * Thresholds (plan literals, documented): RLE when runs·8 ≤ n,
+    * dictionary when ndv·16 ≤ n, else plain.
+    *
+    * @return one row per column: (column, n_rows, ndv, runs,
+    *         runs_ratio, ndv_ratio, recommended)
+    */
+  def encodingAdvisor(df: DataFrame, bucket: Column, order: Seq[Column],
+                      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val Block = 4096L
+    // every column's string image rides the ONE ordinal/window pass —
+    // runs for k columns cost one shuffle, not k (the lags share a
+    // window spec, so Spark evaluates them in a single Window operator)
+    val ranked = CacheScope.track(
+      GlobalIds.contiguousIds(df, bucket, order, "__ord")
+        .withColumn("__blk", expr(s"__ord DIV $Block"))
+        .select(Seq(col("__ord"), col("__blk")) ++
+          cols.map(c => col(c).cast("string").as(s"__v_$c")): _*))
+    val wIn = Window.partitionBy("__blk").orderBy("__ord")
+    val lagged = ranked.select(
+      Seq(col("__ord"), col("__blk"), row_number().over(wIn).as("__rn")) ++
+        cols.map(c => col(s"__v_$c")) ++
+        cols.map(c => lag(col(s"__v_$c"), 1).over(wIn).as(s"__p_$c")): _*)
+    val inner = lagged.agg(count(lit(1)).as("n_rows"),
+      cols.map(c => count(when(col("__rn") > 1 &&
+        !(col(s"__v_$c") <=> col(s"__p_$c")), 1L)).as(s"__inb_$c")): _*)
+    // NDV per column off ONE stacked histogram (the columnProfile plan)
+    val stackExpr = cols.map(c => s"'$c', `__v_$c`").mkString(", ")
+    val ndv = ranked
+      .select(expr(s"stack(${cols.length}, $stackExpr) AS (__col, __val)"))
+      .filter(col("__val").isNotNull)
+      .groupBy("__col").agg(count_distinct(col("__val")).as("ndv"))
+    // |blocks|-row edge table carrying every column's first/last value
+    val edgeAggs = cols.map(c =>
+      min(struct(col("__ord"), col(s"__v_$c").as("__a")))
+        .getField("__a").as(s"__f_$c")) ++
+      cols.map(c =>
+        max(struct(col("__ord"), col(s"__v_$c").as("__a")))
+          .getField("__a").as(s"__l_$c"))
+    val edges = ranked.groupBy("__blk").agg(edgeAggs.head, edgeAggs.tail: _*)
+    val cross = edges.alias("l")
+      .join(edges.alias("r"), col("l.__blk") + 1 === col("r.__blk"))
+      .agg(count(lit(1)).as("__dummy"),
+        cols.map(c => count(when(
+          !(col(s"l.__l_$c") <=> col(s"r.__f_$c")), 1L)).as(s"__xb_$c")): _*)
+    val one = inner.crossJoin(cross)
+    val perCol = cols.map { c =>
+      one.select(lit(c).as("column"), col("n_rows"),
+        when(col("n_rows") > 0L,
+          col(s"__inb_$c") + col(s"__xb_$c") + 1L)
+          .otherwise(lit(0L)).as("runs"))
+    }
+    perCol.reduce(_.unionByName(_))
+      .join(ndv.select(col("__col").as("column"), col("ndv")),
+        Seq("column"), "left")
+      .withColumn("ndv", coalesce(col("ndv"), lit(0L)))
+      .withColumn("runs_ratio",
+        when(col("n_rows") > 0L,
+          col("runs").cast("double") / col("n_rows").cast("double")))
+      .withColumn("ndv_ratio",
+        when(col("n_rows") > 0L,
+          col("ndv").cast("double") / col("n_rows").cast("double")))
+      .withColumn("recommended",
+        when(col("runs") * 8L <= col("n_rows"), "rle")
+          .when(col("ndv") * 16L <= col("n_rows"), "dict")
+          .otherwise("plain"))
+  }
+
   /** WALD–WOLFOWITZ runs test along a manifest order: is a binary
     * attribute (source, lang, label) actually MIXED along the order a
     * training run will consume, or does it clump? An epoch shuffle

@@ -2808,6 +2808,27 @@ object LlmQueries {
         expr("ts DIV 86400000000000"), censorGapDays = 7L)
         .orderBy("t")),
 
+    // Weekday seasonal decomposition of daily event volume: per-weekday
+    // mean component + residual — the calendar baseline to subtract
+    // before any anomaly monitor reads the series; η² of the weekday
+    // grouping (q235's ANOVA) is the strength of what this removes.
+    "q264_seasonality" -> ((s, dir) =>
+      graft.operators.EventAnalytics.weekdayDecomposition(
+        graft.io.TableIO.eventsNanos(s, dir),
+        expr("ts DIV 86400000000000")).orderBy("bucket")),
+
+    // Column ENCODING advisor along the (orderkey, linenumber) physical
+    // order: rows/NDV/runs per column and the RLE-vs-dict-vs-plain
+    // verdict — the Parquet writer's implicit stats surfaced so layout
+    // choices can be justified by measured run structure.
+    "q265_encoding_advisor" -> ((s, dir) =>
+      graft.operators.Layout.encodingAdvisor(t(s, dir, "lineitem"),
+        expr("l_orderkey DIV 64"),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+          "l_orderkey"))
+        .orderBy("column")),
+
     // Join-strategy ADVISOR: skew report + coordinated-sample join-size
     // estimate + build-side cardinality composed into one verdict row —
     // broadcast when the build side fits, salt when the probe side's
@@ -8902,6 +8923,62 @@ object LlmQueries {
         |  FROM fc a JOIN fc b ON b.t <= a.t GROUP BY 1)
         |SELECT fc.t, fc.n_risk, fc.d AS d_churn, fc.factor, sv.survival
         |FROM fc JOIN sv USING (t) ORDER BY fc.t""".stripMargin,
+
+    // Daily histogram, weekday = bucket mod 7, per-weekday (n, Σ)
+    // broadcast back; mean and residual in fixed shapes.
+    "q264_seasonality" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT bucket, x, bucket % 7 AS weekday FROM d),
+        |wd AS (
+        |  SELECT weekday, CAST(count(*) AS BIGINT) AS wd_n,
+        |         CAST(sum(x) AS BIGINT) AS wd_sum
+        |  FROM dd GROUP BY 1)
+        |SELECT dd.bucket, dd.weekday, dd.x, wd.wd_n, wd.wd_sum,
+        |       CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
+        |         AS wd_mean,
+        |       CAST(dd.x AS DOUBLE) -
+        |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
+        |         AS residual
+        |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // Per-column rows/NDV/runs along (orderkey, linenumber); runs via a
+    // lag recount (equality is intra-engine, so native values suffice);
+    // thresholds are plan literals.
+    "q265_encoding_advisor" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS "column",
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+           |       CAST(count(CASE WHEN rn > 1 AND pv IS DISTINCT FROM v
+           |                       THEN 1 END) + 1 AS BIGINT) AS runs
+           |FROM (
+           |  SELECT $c AS v, lag($c) OVER (ORDER BY rn) AS pv, rn
+           |  FROM ord)""".stripMargin
+      val blocks = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_orderkey").map(block)
+        .mkString("(\n", "\nUNION ALL\n", "\n)")
+      s"""WITH ord AS (
+         |  SELECT l_returnflag, l_linestatus, l_shipdate, l_quantity,
+         |         l_orderkey,
+         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+         |           AS rn
+         |  FROM lineitem),
+         |per AS (SELECT * FROM $blocks)
+         |SELECT "column", n_rows, ndv, runs,
+         |       CASE WHEN n_rows > 0
+         |            THEN CAST(runs AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         |       END AS runs_ratio,
+         |       CASE WHEN n_rows > 0
+         |            THEN CAST(ndv AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         |       END AS ndv_ratio,
+         |       CASE WHEN runs * 8 <= n_rows THEN 'rle'
+         |            WHEN ndv * 16 <= n_rows THEN 'dict'
+         |            ELSE 'plain' END AS recommended
+         |FROM per ORDER BY "column"""".stripMargin
+    },
 
     // q109's stage CTEs, whole-second lags, q74's histogram quantile
     // reads per stage.

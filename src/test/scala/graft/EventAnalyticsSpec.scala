@@ -131,6 +131,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.getLong(2) === 1L && out.getLong(3) === 12L)
   }
 
+  test("weekdayDecomposition: residuals vanish on a perfectly weekly series") {
+    import org.apache.spark.sql.functions.col
+    // two full weeks, volume = weekday index + 1 each week
+    val ev = (0L until 14L).flatMap(d => Seq.fill((d % 7 + 1).toInt)(d))
+      .toDF("d")
+    val r = graft.operators.EventAnalytics
+      .weekdayDecomposition(ev, col("d")).orderBy("bucket").collect()
+    assert(r.length === 14)
+    assert(r.forall(_.getAs[Double]("residual") === 0.0))
+    assert(r.forall(_.getAs[Long]("wd_n") === 2L))
+    // a spike on one Monday shows as +/- residual split across Mondays
+    val ev2 = ((0L until 14L).flatMap(d => Seq.fill((d % 7 + 1).toInt)(d))
+      ++ Seq.fill(4)(7L)).toDF("d")
+    val r2 = graft.operators.EventAnalytics
+      .weekdayDecomposition(ev2, col("d")).orderBy("bucket").collect()
+    val mon = r2.filter(_.getAs[Long]("weekday") === 0L)
+    assert(mon.map(_.getAs[Double]("residual")).sorted.toSeq ===
+      Seq(-2.0, 2.0))
+  }
+
   test("kaplanMeier: censored users leave the risk set without counting as deaths") {
     import org.apache.spark.sql.functions.col
     // horizon = day 20, gap 5: users with last activity >= 15 censored.

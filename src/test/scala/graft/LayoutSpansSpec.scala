@@ -293,6 +293,29 @@ class LayoutSpansSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("expected_runs") - 5.8) < 1e-12)
   }
 
+  test("encodingAdvisor: runs and NDV drive the verdict; NULL runs count") {
+    import graft.operators.Layout
+    // col a: one long run of 'x' then one of NULL -> 2 runs over 32 rows
+    //   -> rle (2*8 <= 32)
+    // col b: 2 distinct values alternating -> 32 runs, ndv 2
+    //   -> dict (2*16 <= 32)
+    // col c: all distinct -> 32 runs, 32 ndv -> plain
+    val rows = (0L until 32L).map { i =>
+      (i, if (i < 16) "x" else null, if (i % 2 == 0) "p" else "q", s"u$i")
+    }
+    val d = rows.toDF("id", "a", "b", "c")
+    val r = Layout.encodingAdvisor(d, expr("id DIV 8"), Seq(col("id")),
+      Seq("a", "b", "c")).orderBy("column").collect()
+    val byCol = r.map(x => x.getAs[String]("column") -> x).toMap
+    assert(byCol("a").getAs[Long]("runs") === 2L)
+    assert(byCol("a").getAs[String]("recommended") === "rle")
+    assert(byCol("a").getAs[Long]("ndv") === 1L) // NULLs not in NDV
+    assert(byCol("b").getAs[Long]("runs") === 32L)
+    assert(byCol("b").getAs[String]("recommended") === "dict")
+    assert(byCol("c").getAs[Long]("ndv") === 32L)
+    assert(byCol("c").getAs[String]("recommended") === "plain")
+  }
+
   test("runsTest: perfectly alternating and single-class sequences") {
     import graft.operators.Layout
     val alt = (0L until 8L).map(i => (i, i % 2 == 0L)).toDF("id", "a")
