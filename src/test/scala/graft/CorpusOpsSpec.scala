@@ -464,6 +464,40 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((1L, 1L, 2L, 2L), (2L, 2L, 4L, 3L), (4L, 4L, 5L, 4L)))
   }
 
+  test("plan shape: skyline2D semi-joins a BROADCAST frontier, no sort-merge") {
+    import graft.operators.TopK
+    val d = (1L to 50L).map(i => (i, i % 7, i % 5)).toDF("id", "x", "y")
+    val plan = TopK.skyline2D(d, col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier must come back as a broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"skyline must not sort-merge the corpus against its frontier:\n$plan")
+  }
+
+  test("plan shape: dictionaryEncode broadcasts the vocabulary join") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val plan = TextAnalysis.dictionaryEncode(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocab join must broadcast, never shuffle the token stream:\n$plan")
+  }
+
+  test("plan shape: decileLift has no corpus-wide sort (histogram-offset ordinals)") {
+    import graft.operators.Evaluation
+    val d = (1L to 100L).map(i => (i, i % 13, i % 2 == 0L)).toDF("k", "s", "y")
+    val plan = Evaluation.decileLift(d, "k", "s", "y")
+      .queryExecution.executedPlan.toString
+    // the only window partitions by the score bucket; a partition-less
+    // global Sort over data rows would show as Sort + Exchange SinglePartition
+    // feeding a Window over the raw rows
+    assert(!plan.contains("SortMergeJoin"),
+      s"rank join must broadcast the offsets:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back:\n$plan")
+  }
+
   test("blockingQuality: empty truth reports NULL completeness, counts intact") {
     import graft.operators.Dedup
     val records = (1L to 3L).map(Tuple1(_)).toDF("id")
