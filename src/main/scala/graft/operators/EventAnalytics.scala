@@ -357,6 +357,65 @@ object EventAnalytics {
     *
     * @return (from_state, to_state, cnt, row_total, p)
     */
+  /** OFFLINE changepoint by binary segmentation (one split): the day t
+    * whose two-segment fit minimizes total SSE — the retrospective
+    * "when did the level actually shift" answer, where [[cusumCounts]]
+    * is the online alarm. One split is the first step of full binary
+    * segmentation; callers recurse on the segments if more breaks are
+    * suspected.
+    *
+    * Exactness: prefix (n, Σx, Σx²) over the day histogram are BIGINT;
+    * each candidate split's SSE = (Q_L − S_L²/n_L) + (Q_R − S_R²/n_R)
+    * is fixed-shape double arithmetic on those exact integers —
+    * identical in any IEEE engine — and the argmin orders by
+    * (sse, t), so ties break on the earlier day. Windows run over day
+    * rows only (the monitor discipline). The last day cannot split
+    * (right segment would be empty).
+    *
+    * @return one row: (split_t, n_left, n_right, mean_left, mean_right,
+    *         sse_split, sse_total, reduction) — NULL-free when ≥ 2
+    *         days exist; empty otherwise
+    */
+  def binaryChangepoint(df: DataFrame, bucket: Column): DataFrame = {
+    val daily = df.select(bucket.cast("long").as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy("t").agg(count(lit(1)).as("__x"))
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy() // day rows only
+    def sse(q: Column, s: Column, n: Column): Column =
+      q.cast("double") -
+        s.cast("double") * s.cast("double") / n.cast("double")
+    val pre = daily
+      .withColumn("__nl", sum(lit(1L)).over(wCum))
+      .withColumn("__sl", sum(col("__x")).over(wCum))
+      .withColumn("__ql", sum(col("__x") * col("__x")).over(wCum))
+      .withColumn("__n", sum(lit(1L)).over(wAll))
+      .withColumn("__s", sum(col("__x")).over(wAll))
+      .withColumn("__q", sum(col("__x") * col("__x")).over(wAll))
+      .filter(col("__nl") < col("__n")) // right segment non-empty
+      .withColumn("__nr", col("__n") - col("__nl"))
+      .withColumn("__sr", col("__s") - col("__sl"))
+      .withColumn("__qr", col("__q") - col("__ql"))
+      .withColumn("__sse",
+        sse(col("__ql"), col("__sl"), col("__nl")) +
+          sse(col("__qr"), col("__sr"), col("__nr")))
+    pre
+      .orderBy(col("__sse").asc, col("t").asc)
+      .limit(1)
+      .select(col("t").as("split_t"), col("__nl").as("n_left"),
+        col("__nr").as("n_right"),
+        (col("__sl").cast("double") / col("__nl").cast("double"))
+          .as("mean_left"),
+        (col("__sr").cast("double") / col("__nr").cast("double"))
+          .as("mean_right"),
+        col("__sse").as("sse_split"),
+        sse(col("__q"), col("__s"), col("__n")).as("sse_total"))
+      .withColumn("reduction",
+        when(col("sse_total") > 0.0,
+          lit(1.0) - col("sse_split") / col("sse_total")))
+  }
+
   /** WEEKDAY seasonal decomposition of a daily count series: each day's
     * volume split into its weekday's mean component and the residual —
     * the "is Monday always like this" baseline that must come OFF a

@@ -108,4 +108,44 @@ object Triangles {
             expr("deg * (deg - 1) DIV 2").cast(DoubleType))
           .as("clustering"))
   }
+
+  /** Degree ASSORTATIVITY coefficient (Newman 2002): the Pearson
+    * correlation of endpoint degrees over edges — positive means hubs
+    * attach to hubs (social-network shape), negative means hubs attach
+    * to leaves (star/hub-and-spoke, typical of engagement graphs). The
+    * one-number "what kind of graph is this" read that decides whether
+    * degree-capped pair generation ([[graft.operators.Cooccur]]) costs
+    * recall.
+    *
+    * Each undirected edge contributes BOTH orientations (du,dv) and
+    * (dv,du) — the standard symmetric definition, which also makes the
+    * sufficient statistics order-free. Exact BIGINT sums + the
+    * [[Regression.corrByGroup]] closed form: one sqrt, one division;
+    * NULL when degrees are constant (a regular graph has no degree
+    * direction). Self-loops and duplicate pairs are dropped first.
+    *
+    * @return one row: (n_edges, corr) — corr is the assortativity
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    // tracked: the canonical edge set feeds the degree aggregate AND
+    // both orientation joins — one dedup shuffle, not three
+    val e = CacheScope.track(
+      edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+        .filter(col("__u") =!= col("__v"))
+        .select(least(col("__u"), col("__v")).as("__u"),
+          greatest(col("__u"), col("__v")).as("__v"))
+        .distinct())
+    val sym = e.select(col("__u"), col("__v"))
+      .union(e.select(col("__v").as("__u"), col("__u").as("__v")))
+    val deg = sym.groupBy("__u").agg(count(lit(1)).as("__deg"))
+    val pairs = sym
+      .join(deg.select(col("__u"), col("__deg").as("__du")), "__u")
+      .join(deg.select(col("__u").as("__v"), col("__deg").as("__dv")), "__v")
+      .withColumn("__g", lit(1))
+    val r = Regression.corrByGroup(pairs, Seq("__g"), col("__du"),
+      col("__dv"))
+    // n from corrByGroup counts orientations; halve for edges
+    r.select(expr("n DIV 2").as("n_edges"), col("corr"))
+  }
 }

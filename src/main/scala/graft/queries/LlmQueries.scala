@@ -2829,6 +2829,76 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // Offline changepoint by binary segmentation: the day whose
+    // two-segment fit minimizes total SSE — "when did the level
+    // actually shift", where q201's CUSUM is the online alarm.
+    "q266_changepoint" -> ((s, dir) =>
+      graft.operators.EventAnalytics.binaryChangepoint(
+        graft.io.TableIO.eventsNanos(s, dir),
+        expr("ts DIV 86400000000000"))),
+
+    // RFM segmentation: per-user recency/frequency/monetary quartile
+    // codes (tie-stable value-ntiles) histogrammed into segments — the
+    // classic engagement read, exact cents for monetary.
+    "q267_rfm" -> ((s, dir) => {
+      val ev = graft.io.TableIO.eventsNanos(s, dir)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(expr("ts DIV 86400000000000")).as("__last"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("value") * lit(100.0)).cast("long")).as("monetary"))
+      val hz = perUser.agg(max(col("__last")).as("__h"))
+      val rfm = perUser.crossJoin(broadcast(hz))
+        .withColumn("recency", col("__h") - col("__last"))
+        .withColumn("__g", lit(1))
+      val coded = Seq("recency", "frequency", "monetary")
+        .foldLeft(rfm)((d, c) =>
+          graft.operators.ExactQuantiles.valueNtile(d, "__g", c, 4))
+      coded.groupBy(col("recency_bucket").as("r"),
+        col("frequency_bucket").as("f"), col("monetary_bucket").as("m"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r", "f", "m")
+    }),
+
+    // Degree assortativity of the co-engagement graph: do hubs attach
+    // to hubs (positive) or to leaves (negative)? Both orientations per
+    // edge, exact sufficient statistics, one sqrt.
+    "q268_assortativity" -> ((s, dir) =>
+      graft.operators.Triangles.assortativity(
+        graft.operators.Cooccur.coEngagementPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxDegree = 6),
+        "item_a", "item_b")),
+
+    // Graph robustness: giant-component size before vs after removing
+    // the top-5 degree hubs — how much connectivity the hubs carry; the
+    // percolation read behind "is this dup graph one blob or many".
+    "q269_hub_removal" -> ((s, dir) => {
+      val edges = graft.operators.CacheScope.track(
+        graft.operators.Cooccur.coEngagementPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxDegree = 6)
+          .select(col("item_a"), col("item_b")))
+      val sym = edges.union(edges.select(col("item_b"), col("item_a")))
+      val deg = sym.groupBy(col("item_a").as("node"))
+        .agg(count_distinct(col("item_b")).as("deg"))
+      val hubs = deg.orderBy(desc("deg"), col("node")).limit(5)
+        .select(col("node").as("__hub"))
+      def giant(e: DataFrame) = graft.operators.Components
+        .connectedComponents(e, "item_a", "item_b")
+        .groupBy("component").agg(count(lit(1)).as("__sz"))
+        .agg(coalesce(max(col("__sz")), lit(0L)).as("g"),
+          coalesce(sum(col("__sz")), lit(0L)).as("n"))
+      val filtered = edges
+        .join(broadcast(hubs), col("item_a") === col("__hub"), "left_anti")
+        .join(broadcast(hubs), col("item_b") === col("__hub"), "left_anti")
+      giant(edges)
+        .select(col("n").as("n_nodes"), col("g").as("giant_before"))
+        .crossJoin(giant(filtered)
+          .select(col("g").as("giant_after")))
+        .withColumn("retained",
+          when(col("giant_before") > 0L,
+            col("giant_after").cast("double") /
+              col("giant_before").cast("double")))
+    }),
+
     // Join-strategy ADVISOR: skew report + coordinated-sample join-size
     // estimate + build-side cardinality composed into one verdict row —
     // broadcast when the build side fits, salt when the probe side's
@@ -8943,6 +9013,161 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // Prefix (n, Σ, Σx²) over day rows; per-split SSE in fixed double
+    // shapes; argmin by (sse, t).
+    "q266_changepoint" ->
+      """WITH d AS (
+        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS t,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT t,
+        |         CAST(sum(1) OVER (ORDER BY t) AS BIGINT) AS nl,
+        |         CAST(sum(x) OVER (ORDER BY t) AS BIGINT) AS sl,
+        |         CAST(sum(x * x) OVER (ORDER BY t) AS BIGINT) AS ql,
+        |         CAST(count(*) OVER () AS BIGINT) AS n,
+        |         CAST(sum(x) OVER () AS BIGINT) AS s,
+        |         CAST(sum(x * x) OVER () AS BIGINT) AS q
+        |  FROM d),
+        |c AS (
+        |  SELECT t, nl, n - nl AS nr, sl, s - sl AS sr, ql, q - ql AS qr,
+        |         n, s, q
+        |  FROM p WHERE nl < n),
+        |e AS (
+        |  SELECT *,
+        |         (CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) *
+        |            CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) +
+        |         (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) *
+        |            CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) AS sse
+        |  FROM c)
+        |SELECT t AS split_t, nl AS n_left, nr AS n_right,
+        |       CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mean_left,
+        |       CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS mean_right,
+        |       sse AS sse_split,
+        |       CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |         CAST(n AS DOUBLE) AS sse_total,
+        |       CASE WHEN CAST(q AS DOUBLE) - CAST(s AS DOUBLE) *
+        |                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        |            THEN CAST(1.0 AS DOUBLE) - sse /
+        |                 (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) *
+        |                    CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |       END AS reduction
+        |FROM e ORDER BY sse, t LIMIT 1""".stripMargin,
+
+    // Per-user (recency, frequency, cents) then the q75 ceiling-bucket
+    // formula on each metric's histogram; segment histogram.
+    "q267_rfm" -> {
+      def nt(metric: String) =
+        s"""h_$metric AS (
+           |  SELECT $metric AS v, count(*) AS c FROM rfm GROUP BY 1),
+           |b_$metric AS (
+           |  SELECT v, CAST((sum(c) OVER (ORDER BY v) * 4 - 1)
+           |    // (sum(c) OVER ()) + 1 AS BIGINT) AS bucket
+           |  FROM h_$metric)""".stripMargin
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |         CAST(max(epoch_ns(ts) // 86400000000000) AS BIGINT)
+         |           AS last_d,
+         |         CAST(count(*) AS BIGINT) AS frequency,
+         |         CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE))
+         |           AS BIGINT)) AS BIGINT) AS monetary
+         |  FROM events GROUP BY 1),
+         |hz AS (SELECT max(last_d) AS h FROM pu),
+         |rfm AS (
+         |  SELECT user_id, h - last_d AS recency, frequency, monetary
+         |  FROM pu, hz),
+         |${nt("recency")},
+         |${nt("frequency")},
+         |${nt("monetary")}
+         |SELECT br.bucket AS r, bf.bucket AS f, bm.bucket AS m,
+         |       CAST(count(*) AS BIGINT) AS n_users
+         |FROM rfm
+         |JOIN b_recency br ON br.v = rfm.recency
+         |JOIN b_frequency bf ON bf.v = rfm.frequency
+         |JOIN b_monetary bm ON bm.v = rfm.monetary
+         |GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+    },
+
+    // q251's capped pair graph; degrees over both orientations; the
+    // corrByGroup closed form on (du, dv) edge rows.
+    "q268_assortativity" ->
+      """WITH ai AS (
+        |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
+        |  FROM lineitem),
+        |deg0 AS (SELECT actor, count(*) AS dg FROM ai GROUP BY 1),
+        |cap AS (SELECT ai.actor, ai.item
+        |        FROM ai JOIN deg0 USING (actor) WHERE dg <= 6),
+        |pairs AS (
+        |  SELECT DISTINCT x.item AS i, y.item AS j
+        |  FROM cap x JOIN cap y ON x.actor = y.actor AND x.item < y.item),
+        |sym AS (SELECT i AS u, j AS v FROM pairs
+        |        UNION ALL SELECT j, i FROM pairs),
+        |dg AS (SELECT u, CAST(count(DISTINCT v) AS BIGINT) AS deg
+        |       FROM sym GROUP BY 1),
+        |rows_ AS (
+        |  SELECT du.deg AS x, dv.deg AS y
+        |  FROM sym JOIN dg du ON du.u = sym.u
+        |  JOIN dg dv ON dv.u = sym.v),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM rows_)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+        |            THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                      CAST(n * syy - sy * sy AS DOUBLE))
+        |       END AS corr
+        |FROM st""".stripMargin,
+
+    // Two recursive CCs (full graph, hub-filtered graph); giant = max
+    // component size, nodes = labeled nodes.
+    "q269_hub_removal" ->
+      """WITH RECURSIVE ai AS (
+        |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
+        |  FROM lineitem),
+        |deg0 AS (SELECT actor, count(*) AS dg FROM ai GROUP BY 1),
+        |cap AS (SELECT ai.actor, ai.item
+        |        FROM ai JOIN deg0 USING (actor) WHERE dg <= 6),
+        |pairs AS (
+        |  SELECT DISTINCT x.item AS i, y.item AS j
+        |  FROM cap x JOIN cap y ON x.actor = y.actor AND x.item < y.item),
+        |sym AS (SELECT i AS u, j AS v FROM pairs
+        |        UNION ALL SELECT j, i FROM pairs),
+        |dg AS (SELECT u AS node, CAST(count(DISTINCT v) AS BIGINT) AS deg
+        |       FROM sym GROUP BY 1),
+        |hubs AS (SELECT node FROM dg ORDER BY deg DESC, node LIMIT 5),
+        |e1 AS (SELECT u, v FROM sym),
+        |n1 AS (SELECT DISTINCT u AS node FROM e1),
+        |r1(node, comp) AS (
+        |  SELECT node, node FROM n1
+        |  UNION
+        |  SELECT e.v, r.comp FROM r1 r JOIN e1 e ON e.u = r.node),
+        |l1 AS (SELECT node, min(comp) AS component FROM r1 GROUP BY 1),
+        |g1 AS (SELECT CAST(max(sz) AS BIGINT) AS giant_before FROM (
+        |         SELECT component, count(*) AS sz FROM l1 GROUP BY 1)),
+        |e2 AS (
+        |  SELECT u, v FROM sym
+        |  WHERE u NOT IN (SELECT node FROM hubs)
+        |    AND v NOT IN (SELECT node FROM hubs)),
+        |n2 AS (SELECT DISTINCT u AS node FROM e2),
+        |r2(node, comp) AS (
+        |  SELECT node, node FROM n2
+        |  UNION
+        |  SELECT e.v, r.comp FROM r2 r JOIN e2 e ON e.u = r.node),
+        |l2 AS (SELECT node, min(comp) AS component FROM r2 GROUP BY 1),
+        |g2 AS (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_after
+        |       FROM (SELECT component, count(*) AS sz FROM l2 GROUP BY 1))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM l1) AS n_nodes,
+        |       g1.giant_before, g2.giant_after,
+        |       CASE WHEN g1.giant_before > 0
+        |            THEN CAST(g2.giant_after AS DOUBLE) /
+        |                 CAST(g1.giant_before AS DOUBLE) END AS retained
+        |FROM g1, g2""".stripMargin,
 
     // Per-column rows/NDV/runs along (orderkey, linenumber); runs via a
     // lag recount (equality is intra-engine, so native values suffice);

@@ -131,6 +131,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.getLong(2) === 1L && out.getLong(3) === 12L)
   }
 
+  test("binaryChangepoint: finds the level shift; earlier day wins SSE ties") {
+    import org.apache.spark.sql.functions.col
+    // days 0..4 at volume 2, days 5..9 at volume 8 -> split at t=4
+    val ev = (0L until 10L).flatMap(d =>
+      Seq.fill(if (d < 5) 2 else 8)(d)).toDF("d")
+    val r = graft.operators.EventAnalytics
+      .binaryChangepoint(ev, col("d")).collect()(0)
+    assert(r.getAs[Long]("split_t") === 4L)
+    assert(r.getAs[Double]("mean_left") === 2.0)
+    assert(r.getAs[Double]("mean_right") === 8.0)
+    assert(r.getAs[Double]("sse_split") === 0.0)
+    assert(math.abs(r.getAs[Double]("reduction") - 1.0) < 1e-12)
+    // flat series: all splits tie at SSE ~ total -> earliest day wins
+    val flat = (0L until 6L).flatMap(d => Seq.fill(3)(d)).toDF("d")
+    val f = graft.operators.EventAnalytics
+      .binaryChangepoint(flat, col("d")).collect()(0)
+    assert(f.getAs[Long]("split_t") === 0L)
+    assert(f.getAs[Double]("sse_total") === 0.0)
+  }
+
   test("weekdayDecomposition: residuals vanish on a perfectly weekly series") {
     import org.apache.spark.sql.functions.col
     // two full weeks, volume = weekday index + 1 each week

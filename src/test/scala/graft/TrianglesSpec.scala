@@ -61,4 +61,26 @@ class TrianglesSpec extends SparkSpec {
     val g = (0L until 30L).flatMap(i => Seq((i, (i + 1) % 30), (i, (i + 7) % 30)))
     assert(run(g, parts = 1) === run(g, parts = 11))
   }
+
+  test("assortativity: a star is maximally disassortative; a clique is NULL") {
+    import graft.operators.Triangles
+    // star: hub 0 to leaves 1..5 — deg pairs are (5,1)/(1,5): corr = -1
+    val star = (1L to 5L).map(l => (0L, l)).toDF("u", "v")
+    val s = Triangles.assortativity(star, "u", "v").collect()(0)
+    assert(s.getAs[Long]("n_edges") === 5L)
+    assert(math.abs(s.getAs[Double]("corr") - (-1.0)) < 1e-12)
+    // clique: all degrees equal -> zero variance -> NULL
+    val clique = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("u", "v")
+    val c = Triangles.assortativity(clique, "u", "v").collect()(0)
+    assert(c.getAs[Long]("n_edges") === 6L)
+    assert(c.isNullAt(c.fieldIndex("corr")))
+  }
+
+  test("assortativity: duplicate pairs and self-loops are dropped first") {
+    import graft.operators.Triangles
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L)).toDF("u", "v")
+    val r = Triangles.assortativity(messy, "u", "v").collect()(0)
+    assert(r.getAs[Long]("n_edges") === 2L) // 1-2 (deduped), 2-3
+  }
 }
