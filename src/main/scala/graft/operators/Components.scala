@@ -228,6 +228,44 @@ object Components {
         (col(idCol) === col("component")).cast("long").as("is_canonical"))
   }
 
+  /** INCREMENTAL connected components: merge a batch of NEW edges into
+    * an existing labeling without re-pairing the corpus — the
+    * cluster-maintenance step behind incremental dedup (q71 maintains
+    * the pair stream; this maintains the CLUSTERS). Old components
+    * enter the fixpoint as STAR edges (node → its label), so each old
+    * cluster is a depth-1 tree and rounds converge on the NEW structure,
+    * not the corpus's: work ∝ new edges + one pass over the label
+    * table, never the historical pair set.
+    *
+    * Correctness: min-label CC is associative over edge unions, so
+    * CC(star(old) ∪ new) = CC(oldPairs ∪ new) restricted to the same
+    * nodes — the full-recompute identity the gate checks. Old
+    * SINGLETONS (self-labeled, no new edges) drop out of the fixpoint
+    * (CC ignores self-loops) and are restored by the final coalesce;
+    * likewise any node the fixpoint never touched keeps its old label.
+    *
+    * @param oldLabels (id, component) from a prior [[connectedComponents]]
+    * @return (id, component) over old ∪ new nodes
+    */
+  def incrementalComponents(oldLabels: DataFrame, newEdges: DataFrame,
+                            srcCol: String, dstCol: String): DataFrame = {
+    val star = oldLabels.select(col("id").as("__s"),
+      col("component").as("__d"))
+    val nw = newEdges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val cc = connectedComponents(star.unionByName(nw), "__s", "__d")
+      .select(col("id"), col("component").as("__new"))
+    val nodes = oldLabels.select(col("id"))
+      .unionByName(newEdges.select(col(srcCol).as("id")))
+      .unionByName(newEdges.select(col(dstCol).as("id")))
+      .distinct()
+    nodes
+      .join(cc, Seq("id"), "left")
+      .join(oldLabels.select(col("id"), col("component").as("__old")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("__old"), col("id")).as("component"))
+  }
+
   /** Bounded-hop BFS distances from a SEED set — "how far is every item
     * from the nearest flagged one", the reachability read behind
     * contamination-spread audits (how many hops from any benchmark-

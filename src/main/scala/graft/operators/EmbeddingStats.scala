@@ -75,6 +75,57 @@ object EmbeddingStats {
     * total. One row: (dims, n, mean_norm_sq, avg_norm_sq, anisotropy);
     * NULL anisotropy for an all-zero corpus.
     */
+  /** Per-label CLASS-SEPARATION matrix: cosine between label CENTROIDS
+    * — "are the classes actually separated in embedding space, or is
+    * the label column fighting the representation?" High inter-centroid
+    * cosine between two labels predicts confusion for any
+    * nearest-centroid consumer ([[graft.operators.Similarity]] k-means,
+    * IVF) and flags label noise before training does.
+    *
+    * Exactness: per-(label, dim) means come from the [[dimensionStats]]
+    * fixed-point sums; each dim's centroid product and squared mean is
+    * quantized to ⌊·2³⁰⌋ before the cross-dim BIGINT totals, so
+    * cos = dot_fp / sqrt(nsq_a·nsq_b) is one division + one sqrt on
+    * exact integers (the scale factor cancels). The pair join runs on
+    * |labels|·dims rows — centroid-sized, never corpus-sized.
+    *
+    * @return one row per unordered label pair: (label_a, label_b,
+    *         dot_fp, nsq_a, nsq_b, cos); zero-centroid labels give NULL
+    */
+  def classSeparation(df: DataFrame, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val per = df
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("__lab"),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("__lab"), col("dim"),
+        floor(col("__v").cast("double") * Scale).cast("long").as("__f"))
+      .groupBy("__lab", "dim")
+      .agg(count(lit(1)).as("__n"), sum(col("__f")).as("__s"))
+      .withColumn("__m",
+        col("__s").cast("double") / (col("__n") * Scale).cast("double"))
+    val norms = per
+      .withColumn("__m2",
+        floor(col("__m") * col("__m") * lit(1073741824.0)).cast("long"))
+      .groupBy(col("__lab")).agg(sum(col("__m2")).as("__nsq"))
+    val a = per.select(col("__lab").as("label_a"), col("dim"),
+      col("__m").as("__ma"))
+    val b = per.select(col("__lab").as("label_b"), col("dim"),
+      col("__m").as("__mb"))
+    a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+      .withColumn("__t",
+        floor(col("__ma") * col("__mb") * lit(1073741824.0)).cast("long"))
+      .groupBy("label_a", "label_b").agg(sum(col("__t")).as("dot_fp"))
+      .join(norms.select(col("__lab").as("label_a"),
+        col("__nsq").as("nsq_a")), "label_a")
+      .join(norms.select(col("__lab").as("label_b"),
+        col("__nsq").as("nsq_b")), "label_b")
+      .withColumn("cos",
+        when(col("nsq_a") > 0L && col("nsq_b") > 0L,
+          col("dot_fp").cast("double") /
+            sqrt(col("nsq_a").cast("double") * col("nsq_b").cast("double"))))
+  }
+
   def anisotropy(df: DataFrame, vecCol: String): DataFrame =
     dimensionStats(df, vecCol)
       .withColumn("__m2fp",

@@ -2829,6 +2829,79 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // Bitemporal AS-OF snapshots off the SCD2 history: every user's
+    // state at min_ts + 10 days and + 25 days — reproducible time
+    // travel over row histories, two snapshots from one version table.
+    "q270_bitemporal_asof" -> ((s, dir) => {
+      val ev = graft.io.TableIO.eventsNanos(s, dir)
+      val hist = graft.operators.Cdc.scd2(ev, "user_id", "event_type",
+        "ts", "event_id")
+      val t0 = ev.agg(min(col("ts")).as("__t0"))
+      def snap(offsetDays: Long) = {
+        val at = col("__t0") + lit(offsetDays * 86400000000000L)
+        hist.crossJoin(broadcast(t0))
+          .filter(col("valid_from") <= at &&
+            (col("valid_to").isNull || at < col("valid_to")))
+          .select(lit(offsetDays).as("as_of_day"), col("user_id"),
+            col("version"), col("event_type").as("state"))
+      }
+      snap(10L).unionByName(snap(25L)).orderBy("as_of_day", "user_id")
+    }),
+
+    // Class-separation matrix: cosine between label CENTROIDS in
+    // embedding space — high inter-centroid cosine predicts confusion
+    // for any nearest-centroid consumer and flags label noise before
+    // training does. Centroid-sized arithmetic only.
+    "q271_class_separation" -> ((s, dir) =>
+      graft.operators.EmbeddingStats.classSeparation(
+        t(s, dir, "embeddings"), "embedding", "label")
+        .orderBy("label_a", "label_b")),
+
+    // Near-dup EVIDENCE: for each wide-tier pair, the shared-shingle
+    // count and the rarest shared shingle (the most distinctive
+    // witness) — the "why are these duplicates" diagnostic a human
+    // reviewer reads before trusting a dedup tier.
+    "q272_dup_evidence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        maxHamming = 2).select("i", "j")
+      val sh = graft.operators.CacheScope.track(docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.shingles(
+          graft.functions.tokens(col("text")), 2))).as("s")))
+      val df = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+      val shared = pairs
+        .join(sh.select(col("doc_id").as("i"), col("s")), "i")
+        .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+        .join(df, "s")
+      shared.groupBy("i", "j")
+        .agg(count(lit(1)).as("n_shared"),
+          min(struct(col("__df"), col("s"))).getField("__df")
+            .as("witness_df"),
+          min(struct(col("__df"), col("s"))).getField("s").as("witness"))
+        .join(pairs, Seq("i", "j"), "right")
+        .select(col("i"), col("j"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          col("witness_df"), col("witness"))
+        .orderBy("i", "j")
+    }),
+
+    // Incremental connected components: the dup-graph labeling
+    // maintained under a NEW edge batch via star edges — work ∝ batch,
+    // never the historical pair set; gate = the full-recompute labels.
+    "q273_incr_cc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val all = graft.operators.CacheScope.track(
+        Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 3)
+          .select("i", "j"))
+      val oldPairs = all.filter(col("j") < 400)
+      val newPairs = all.filter(col("j") >= 400)
+      val oldLabels = graft.operators.Components
+        .connectedComponents(oldPairs, "i", "j")
+      graft.operators.Components
+        .incrementalComponents(oldLabels, newPairs, "i", "j")
+        .orderBy("id")
+    }),
+
     // Offline changepoint by binary segmentation: the day whose
     // two-segment fit minimizes total SSE — "when did the level
     // actually shift", where q201's CUSUM is the online alarm.
@@ -9013,6 +9086,136 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // SCD2 versions on nanosecond ts, two literal-offset snapshots from
+    // the min-ts anchor.
+    "q270_bitemporal_asof" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS tsn,
+        |         event_id
+        |  FROM events),
+        |t0 AS (SELECT min(tsn) AS t0 FROM ev),
+        |chg AS (
+        |  SELECT user_id, event_type, tsn, event_id FROM (
+        |    SELECT user_id, event_type, tsn, event_id,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY tsn, event_id) AS prev
+        |    FROM ev)
+        |  WHERE prev IS NULL OR prev != event_type),
+        |hist AS (
+        |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+        |         event_type, tsn AS valid_from, lead(tsn) OVER w AS valid_to
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+        |snap AS (
+        |  SELECT CAST(d.off AS BIGINT) AS as_of_day, h.user_id, h.version,
+        |         h.event_type AS state
+        |  FROM hist h, t0, (VALUES (10), (25)) d(off)
+        |  WHERE h.valid_from <= t0.t0 + d.off * 86400000000000
+        |    AND (h.valid_to IS NULL OR
+        |         t0.t0 + d.off * 86400000000000 < h.valid_to))
+        |SELECT as_of_day, user_id, version, state
+        |FROM snap ORDER BY as_of_day, user_id""".stripMargin,
+
+    // q229's per-dim fixed-point chain grouped by label; per-dim
+    // centroid products/squares quantized to 2^30 before the cross-dim
+    // totals; cos = dot_fp / sqrt(nsq_a·nsq_b), scale cancels.
+    "q271_class_separation" ->
+      """WITH ev AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |px AS (SELECT label, t.i AS dim, v[t.i + 1] AS x
+        |       FROM ev, range(64) t(i)),
+        |ag AS (
+        |  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS BIGINT)
+        |           AS s
+        |  FROM px GROUP BY 1, 2),
+        |m AS (
+        |  SELECT label, dim,
+        |         CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS mu
+        |  FROM ag),
+        |nrm AS (
+        |  SELECT label,
+        |         CAST(sum(CAST(floor(mu * mu * CAST(1073741824.0 AS DOUBLE))
+        |           AS BIGINT)) AS BIGINT) AS nsq
+        |  FROM m GROUP BY 1),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         CAST(sum(CAST(floor(a.mu * b.mu *
+        |           CAST(1073741824.0 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+        |           AS dot_fp
+        |  FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT p.label_a, p.label_b, p.dot_fp, na.nsq AS nsq_a,
+        |       nb.nsq AS nsq_b,
+        |       CASE WHEN na.nsq > 0 AND nb.nsq > 0
+        |            THEN CAST(p.dot_fp AS DOUBLE) /
+        |                 sqrt(CAST(na.nsq AS DOUBLE) *
+        |                      CAST(nb.nsq AS DOUBLE)) END AS cos
+        |FROM p JOIN nrm na ON na.label = p.label_a
+        |JOIN nrm nb ON nb.label = p.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // Wide pairs at hamming 2; shared distinct bigram shingles with
+    // corpus df; the witness = the (df, shingle)-min shared shingle.
+    "q272_dup_evidence" ->
+      s"""WITH ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |cand AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+         |toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |shg AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(tk)),
+         |      i -> list_aggregate(tk[i:i+1], 'string_agg', ' ')))) AS s
+         |  FROM toks),
+         |dfx AS (SELECT s, CAST(count(*) AS BIGINT) AS df
+         |        FROM shg GROUP BY 1),
+         |shared AS (
+         |  SELECT c.i, c.j, x.s, dfx.df
+         |  FROM cand c
+         |  JOIN shg x ON x.doc_id = c.i
+         |  JOIN shg y ON y.doc_id = c.j AND y.s = x.s
+         |  JOIN dfx ON dfx.s = x.s),
+         |agg AS (
+         |  SELECT i, j, CAST(count(*) AS BIGINT) AS n_shared,
+         |         CAST(min(df) AS BIGINT) AS witness_df,
+         |         first(s ORDER BY df, s) AS witness
+         |  FROM shared GROUP BY 1, 2)
+         |SELECT c.i, c.j,
+         |       CAST(COALESCE(a.n_shared, 0) AS BIGINT) AS n_shared,
+         |       a.witness_df, a.witness
+         |FROM cand c LEFT JOIN agg a ON a.i = c.i AND a.j = c.j
+         |ORDER BY c.i, c.j""".stripMargin,
+
+    // The incremental labeling equals a full recompute over ALL pairs
+    // (min-label CC is associative over edge unions) — so the oracle IS
+    // the full recursive CC.
+    "q273_incr_cc" ->
+      s"""WITH RECURSIVE ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach(node, comp) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node)
+         |SELECT node AS id, CAST(min(comp) AS BIGINT) AS component
+         |FROM reach GROUP BY 1 ORDER BY id""".stripMargin,
 
     // Prefix (n, Σ, Σx²) over day rows; per-split SSE in fixed double
     // shapes; argmin by (sse, t).

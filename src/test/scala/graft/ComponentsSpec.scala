@@ -120,6 +120,34 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.connectedComponents(empty, "i", "j").count() === 0L)
   }
 
+  test("incrementalComponents equals a full recompute over old ∪ new edges") {
+    val oldPairs = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    // new batch: merges clusters {1,2} and {3,4}; brings in node 20;
+    // cluster {10,11} untouched
+    val newPairs = Seq((2L, 3L), (20L, 21L)).toDF("i", "j")
+    val oldLabels = Components.connectedComponents(oldPairs, "i", "j")
+    val incr = Components
+      .incrementalComponents(oldLabels, newPairs, "i", "j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Components
+      .connectedComponents(oldPairs.unionByName(newPairs), "i", "j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr === full)
+    assert(incr(4L) === 1L) // merged cluster takes the global min label
+    assert(incr(11L) === 10L) // untouched cluster keeps its label
+    assert(incr(21L) === 20L) // brand-new cluster labeled by its min
+  }
+
+  test("incrementalComponents: old singletons survive an empty batch") {
+    // a labeling containing a self-labeled singleton (as dedupClusters
+    // emits for unpaired docs)
+    val oldLabels = Seq((5L, 5L), (7L, 6L), (6L, 6L)).toDF("id", "component")
+    val none = Seq.empty[(Long, Long)].toDF("i", "j")
+    val out = Components.incrementalComponents(oldLabels, none, "i", "j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(5L -> 5L, 6L -> 6L, 7L -> 6L))
+  }
+
   test("boundedHops: exact minimum distances on a path graph, bound respected") {
     import org.apache.spark.sql.functions.col
     // path 1-2-3-4-5, seed {1}
