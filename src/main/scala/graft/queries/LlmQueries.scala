@@ -2829,6 +2829,81 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // Cohort LTV: weekly cohorts × offset weeks with exact-cents
+    // revenue, cumulative per cohort, normalized per user — the value
+    // read on top of q110's retention counts.
+    "q274_cohort_ltv" -> ((s, dir) => {
+      val ev = graft.io.TableIO.eventsNanos(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("__d"),
+          floor(col("value") * lit(100.0)).cast("long").as("__c"))
+      val first = ev.groupBy("user_id").agg(min(col("__d")).as("__f"))
+      val sized = first.withColumn("cohort", expr("__f DIV 7"))
+      val cohortUsers = sized.groupBy("cohort")
+        .agg(count(lit(1)).as("cohort_users"))
+      val cells = ev.join(sized, "user_id")
+        .withColumn("offset", expr("(__d - __f) DIV 7"))
+        .groupBy("cohort", "offset")
+        .agg(sum(col("__c")).as("revenue_cents"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort").orderBy("offset")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      cells
+        .withColumn("cum_cents", sum(col("revenue_cents")).over(wCum))
+        .join(cohortUsers, "cohort")
+        .withColumn("ltv_per_user_cents",
+          col("cum_cents").cast("double") /
+            col("cohort_users").cast("double"))
+        .select("cohort", "offset", "revenue_cents", "cum_cents",
+          "cohort_users", "ltv_per_user_cents")
+        .orderBy("cohort", "offset")
+    }),
+
+    // Dedup-aware sampling: one canonical doc per wide-tier cluster,
+    // priority-sampled with weight = CLUSTER SIZE — the sample that
+    // preserves pre-dedup mass (a 50-copy template counts as 50, not
+    // 1) while never emitting a duplicate.
+    "q275_dedup_aware_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        maxHamming = 3).select("i", "j")
+      val clusters = graft.operators.Components.dedupClusters(docs,
+        "doc_id", pairs)
+      val canon = clusters.filter(col("is_canonical") === 1L)
+        .select(col("doc_id"), col("n_members"))
+      Sampling.prioritySample(canon, "doc_id", "n_members", k = 30)
+    }),
+
+    // Audience overlap between event types: shared distinct users per
+    // type pair with Jaccard and both conditional shares — "do viewers
+    // purchase", the cross-surface read.
+    "q276_audience_overlap" -> ((s, dir) => {
+      val au = graft.io.TableIO.eventsNanos(s, dir)
+        .select(col("event_type").as("__t"), col("user_id").as("__u"))
+        .distinct()
+      val sz = au.groupBy("__t").agg(count(lit(1)).as("__n"))
+      val a = au.select(col("__t").as("type_a"), col("__u"))
+      val b = au.select(col("__t").as("type_b"), col("__u"))
+      a.join(b, "__u").filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("overlap"))
+        .join(sz.select(col("__t").as("type_a"), col("__n").as("users_a")),
+          "type_a")
+        .join(sz.select(col("__t").as("type_b"), col("__n").as("users_b")),
+          "type_b")
+        .select(col("type_a"), col("type_b"), col("users_a"),
+          col("users_b"), col("overlap"),
+          (col("overlap").cast("double") /
+            (col("users_a") + col("users_b") - col("overlap"))
+              .cast("double")).as("jaccard"),
+          (col("overlap").cast("double") / col("users_a").cast("double"))
+            .as("share_of_a"),
+          (col("overlap").cast("double") / col("users_b").cast("double"))
+            .as("share_of_b"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Bitemporal AS-OF snapshots off the SCD2 history: every user's
     // state at min_ts + 10 days and + 25 days — reproducible time
     // travel over row histories, two snapshots from one version table.
@@ -9086,6 +9161,102 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // Weekly cohorts from per-user first days; exact-cents revenue per
+    // (cohort, offset); cumulative per cohort; one division per row.
+    "q274_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT)
+        |           AS d,
+        |         CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS c
+        |  FROM events),
+        |f AS (SELECT user_id, CAST(min(d) AS BIGINT) AS fd
+        |      FROM ev GROUP BY 1),
+        |sz AS (SELECT fd // 7 AS cohort, CAST(count(*) AS BIGINT)
+        |         AS cohort_users
+        |       FROM f GROUP BY 1),
+        |cells AS (
+        |  SELECT f.fd // 7 AS cohort, (ev.d - f.fd) // 7 AS "offset",
+        |         CAST(sum(ev.c) AS BIGINT) AS revenue_cents
+        |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, "offset", revenue_cents,
+        |         CAST(sum(revenue_cents) OVER (PARTITION BY cohort
+        |           ORDER BY "offset") AS BIGINT) AS cum_cents
+        |  FROM cells)
+        |SELECT cum.cohort, cum."offset", cum.revenue_cents, cum.cum_cents,
+        |       sz.cohort_users,
+        |       CAST(cum.cum_cents AS DOUBLE) /
+        |         CAST(sz.cohort_users AS DOUBLE) AS ltv_per_user_cents
+        |FROM cum JOIN sz USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
+
+    // Recursive CC labels every doc (singletons self-labeled); the
+    // canonical set carries cluster sizes into the q138 priority
+    // formula with weight = n_members.
+    "q275_dedup_aware_sample" ->
+      s"""WITH RECURSIVE ${oSimhashCte("sh31", 31)},
+         |${oSimhashCte("sh37", 37, seed = 1)},
+         |wide AS (
+         |  SELECT a.doc_id, a.sig + b.sig * ${1L << TextAnalysis.SimHashBits} AS sig
+         |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT i AS u, j AS v FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |lab AS (SELECT node AS doc_id, min(comp) AS component
+         |        FROM reach GROUP BY 1),
+         |szs AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         |        FROM lab GROUP BY 1),
+         |canon AS (
+         |  SELECT l.doc_id, s.n_members
+         |  FROM lab l JOIN szs s USING (component)
+         |  WHERE l.doc_id = l.component),
+         |h AS (
+         |  SELECT doc_id, n_members,
+         |         CAST(n_members AS DOUBLE) * 4294967296 /
+         |           CAST((((doc_id % 2147483648) * 2654435761)
+         |             % 4294967296) + 1 AS DOUBLE) AS priority
+         |  FROM canon WHERE n_members > 0),
+         |rk AS (
+         |  SELECT doc_id, n_members, priority,
+         |         row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+         |  FROM h),
+         |tau AS (
+         |  SELECT coalesce(min(priority), 0.0) AS tau FROM rk WHERE rn = 31)
+         |SELECT doc_id, n_members, CAST(rn AS BIGINT) AS rank, priority,
+         |       greatest(CAST(n_members AS DOUBLE), tau.tau) AS est_weight
+         |FROM rk CROSS JOIN tau
+         |WHERE rn <= 30 ORDER BY rank""".stripMargin,
+
+    // Distinct (type, user) self-join per pair; Jaccard + both
+    // conditional shares, one division each.
+    "q276_audience_overlap" ->
+      """WITH au AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM au GROUP BY 1),
+        |p AS (
+        |  SELECT a.t AS type_a, b.t AS type_b,
+        |         CAST(count(*) AS BIGINT) AS overlap
+        |  FROM au a JOIN au b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, sa.n AS users_a, sb.n AS users_b,
+        |       p.overlap,
+        |       CAST(p.overlap AS DOUBLE) /
+        |         CAST(sa.n + sb.n - p.overlap AS DOUBLE) AS jaccard,
+        |       CAST(p.overlap AS DOUBLE) / CAST(sa.n AS DOUBLE)
+        |         AS share_of_a,
+        |       CAST(p.overlap AS DOUBLE) / CAST(sb.n AS DOUBLE)
+        |         AS share_of_b
+        |FROM p JOIN sz sa ON sa.t = p.type_a
+        |JOIN sz sb ON sb.t = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // SCD2 versions on nanosecond ts, two literal-offset snapshots from
     // the min-ts anchor.
