@@ -712,6 +712,49 @@ object Profiling {
         (col("chi2_fp").cast("double") / lit(1073741824.0)).as("chi2"))
   }
 
+  /** WILSON score interval for a per-group proportion — the binomial
+    * confidence interval that behaves at small n and extreme p̂ where
+    * the naive normal interval collapses (p̂ ± z√(p̂q̂/n) goes negative
+    * or past 1; Wilson never does). The honest error bars for any
+    * keep-rate / defect-rate table: a 3-of-4 group and a 750-of-1000
+    * group both show 75%, and only the interval says which one you can
+    * trust.
+    *
+    *   center = (p̂ + z²/2n) / (1 + z²/n),
+    *   half   = z·√(p̂q̂/n + z²/4n²) / (1 + z²/n)
+    *
+    * Exactness: n and k are BIGINT; the interval arithmetic is
+    * fixed-shape doubles on those exact integers with z as a plan
+    * literal — engine-portable like every χ² tail here. Zero-count
+    * groups report NULL bounds.
+    *
+    * @param z normal quantile literal (1.96 ≈ 95%)
+    * @return per group: (group, n, k, p_hat, wilson_lo, wilson_hi)
+    */
+  def wilsonIntervalByGroup(df: DataFrame, groupCol: String,
+                            success: Column,
+                            z: Double = 1.96): DataFrame = {
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    df.select(col(groupCol).as("group"), success.cast("boolean").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"), count(when(col("__s"), 1L)).as("k"))
+      .select(col("group"), col("n"), col("k"),
+        when(col("n") > 0L, p).as("p_hat"),
+        // clamped: the bounds hold mathematically but floating rounding
+        // can stray one ulp outside [0,1] at extreme p̂
+        when(col("n") > 0L, greatest(lit(0.0), center - half))
+          .as("wilson_lo"),
+        when(col("n") > 0L, least(lit(1.0), center + half))
+          .as("wilson_hi"))
+  }
+
   /** JAIN's fairness index of per-group mass: J = (Σx)²/(n·Σx²) ∈
     * (1/n, 1] — 1 when every group holds equal mass, 1/n when one group
     * holds everything; the single-number "is this mix balanced" read

@@ -86,4 +86,30 @@ object TopK {
     withXY.join(broadcast(frontier), Seq("__x", "__y"), "left_semi")
       .drop("__x", "__y")
   }
+
+  /** [[skyline2D]] PER GROUP — one Pareto frontier per stratum ("the
+    * longest-and-highest-quality docs per language"), same histogram
+    * discipline with the exclusive running-max window PARTITIONED by
+    * the group: each partition is one group's distinct-x rows, so no
+    * single-partition funnel appears at any group count.
+    */
+  def skyline2DByGroup(df: DataFrame, groupCol: String,
+                       xCol: org.apache.spark.sql.Column,
+                       yCol: org.apache.spark.sql.Column): DataFrame = {
+    val withXY = df.withColumn("__x", xCol.cast("long"))
+      .withColumn("__y", yCol.cast("long"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull &&
+        col(groupCol).isNotNull)
+    val cells = withXY.groupBy(col(groupCol), col("__x"))
+      .agg(max(col("__y")).as("__my"))
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = cells
+      .withColumn("__pm", max(col("__my")).over(wDesc))
+      .filter(col("__pm").isNull || col("__my") > col("__pm"))
+      .select(col(groupCol), col("__x"), col("__my").as("__y"))
+    withXY.join(broadcast(frontier), Seq(groupCol, "__x", "__y"),
+      "left_semi")
+      .drop("__x", "__y")
+  }
 }

@@ -2829,6 +2829,53 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // Wilson score intervals on per-lang gate keep-rates: the binomial
+    // CI that behaves at small n and extreme p̂ — a 3-of-4 group and a
+    // 750-of-1000 group both read 75%; only the interval says which to
+    // trust.
+    "q277_wilson_interval" -> ((s, dir) => {
+      val gated = TextAnalysis.qualityGate(t(s, dir, "documents"),
+        "doc_id", "text", keepInputCols = true)
+      graft.operators.Profiling.wilsonIntervalByGroup(gated, "lang",
+        col("keep")).orderBy("group")
+    }),
+
+    // Capacity forecast: OLS trend on centered daily event volume,
+    // extrapolated 7 days past the horizon — the "will next week fit"
+    // ops read, exact sufficient statistics under a fixed-shape line.
+    "q278_capacity_forecast" -> ((s, dir) => {
+      val daily = graft.io.TableIO.eventsNanos(s, dir)
+        .groupBy(expr("ts DIV 86400000000000").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val bounds = daily.agg(min(col("d")).as("__d0"),
+        max(col("d")).as("__dmax"))
+      val base = daily.crossJoin(broadcast(bounds))
+        .select((col("d") - col("__d0")).as("x"), col("y"),
+          lit(1).as("__g"))
+      val tr = graft.operators.Regression.trendByGroup(base, Seq("__g"),
+        col("x"), col("y"))
+      tr.crossJoin(broadcast(bounds))
+        .select(explode(sequence(lit(1), lit(7))).as("__i"), col("slope"),
+          col("intercept"), col("__dmax"), col("__d0"))
+        .withColumn("t_day", col("__dmax") + col("__i"))
+        .select(col("t_day"), col("slope"), col("intercept"),
+          (col("intercept") + col("slope") *
+            (col("t_day") - col("__d0")).cast("double")).as("forecast"))
+        .orderBy("t_day")
+    }),
+
+    // Per-language Pareto frontiers: q250's skyline with the exclusive
+    // running-max window partitioned by lang — one frontier per
+    // stratum, no single-partition funnel at any group count.
+    "q279_skyline_by_lang" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+        col("n_chars"),
+        floor(TextAnalysis.qualityScore(col("text")) * lit(1048576L))
+          .cast("long").as("qfp"))
+      graft.operators.TopK.skyline2DByGroup(d, "lang", col("n_chars"),
+        col("qfp")).orderBy("lang", "doc_id")
+    }),
+
     // Cohort LTV: weekly cohorts × offset weeks with exact-cents
     // revenue, cumulative per cohort, normalized per user — the value
     // read on top of q110's retention counts.
@@ -9161,6 +9208,96 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // Gate keep counts per lang; the Wilson center/half expressions in
+    // the engine's exact double shapes. z² goes through a STRING cast:
+    // DuckDB parses a bare 17-digit decimal via DECIMAL whose numerator
+    // exceeds 2^53, double-rounding one ulp high; CAST('…' AS DOUBLE)
+    // parses correctly (verified against the bit pattern).
+    "q277_wilson_interval" -> {
+      val z2 = "CAST('3.8415999999999997' AS DOUBLE)"
+      val z = "CAST(1.96 AS DOUBLE)"
+      val nD = "CAST(n AS DOUBLE)"
+      val p = s"CAST(k AS DOUBLE) / $nD"
+      val denom = s"(CAST(1.0 AS DOUBLE) + $z2 / $nD)"
+      val center = s"(($p + $z2 / (CAST(2.0 AS DOUBLE) * $nD)) / $denom)"
+      val half = s"(($z * sqrt(($p) * (CAST(1.0 AS DOUBLE) - ($p)) / $nD + $z2 / (CAST(4.0 AS DOUBLE) * $nD * $nD))) / $denom)"
+      s"""WITH $oGateCtes,
+         |g AS (
+         |  SELECT d.lang AS "group", (vd.reasons = 0) AS s
+         |  FROM documents d JOIN verdict vd USING (doc_id)),
+         |a AS (
+         |  SELECT "group", CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(CASE WHEN s THEN 1 END) AS BIGINT) AS k
+         |  FROM g GROUP BY 1)
+         |SELECT "group", n, k,
+         |       CASE WHEN n > 0 THEN $p END AS p_hat,
+         |       CASE WHEN n > 0
+         |            THEN greatest(CAST(0.0 AS DOUBLE), $center - $half)
+         |       END AS wilson_lo,
+         |       CASE WHEN n > 0
+         |            THEN least(CAST(1.0 AS DOUBLE), $center + $half)
+         |       END AS wilson_hi
+         |FROM a ORDER BY "group"""".stripMargin
+    },
+
+    // q118's OLS trees on centered days, 7 extrapolation rows.
+    "q278_capacity_forecast" -> {
+      val slope = """(CAST(n * sxy - sx * sy AS DOUBLE) /
+                    |             CAST(n * sxx - sx * sx AS DOUBLE))""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+         |         CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |bd AS (SELECT min(d) AS d0, max(d) AS dmax FROM daily),
+         |b AS (SELECT d - d0 AS x, y, d0, dmax FROM daily, bd),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(min(d0) AS BIGINT) AS d0, CAST(min(dmax) AS BIGINT)
+         |           AS dmax
+         |  FROM b),
+         |tr AS (
+         |  SELECT CASE WHEN n * sxx - sx * sx != 0
+         |              THEN $slope END AS slope,
+         |         CASE WHEN n * sxx - sx * sx != 0
+         |              THEN (CAST(sy AS DOUBLE) -
+         |                    $slope * CAST(sx AS DOUBLE)) /
+         |                   CAST(n AS DOUBLE) END AS intercept,
+         |         d0, dmax
+         |  FROM s)
+         |SELECT CAST(dmax + t.i AS BIGINT) AS t_day, slope, intercept,
+         |       intercept + slope * CAST((dmax + t.i) - d0 AS DOUBLE)
+         |         AS forecast
+         |FROM tr, range(1, 8) t(i)
+         |ORDER BY t_day""".stripMargin
+    },
+
+    // q250's NOT-EXISTS dominance scoped per lang.
+    "q279_skyline_by_lang" ->
+      s"""WITH m AS (SELECT doc_id, lang, n_chars, text, $oToks AS tk
+         |           FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(floor(
+         |           (least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |            + least(CAST(len(tk) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |            + (CAST(1.0 AS DOUBLE) - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS DOUBLE)
+         |                   / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))) / CAST(3.0 AS DOUBLE)
+         |           * CAST(1048576 AS DOUBLE)) AS BIGINT) AS qfp
+         |  FROM m)
+         |SELECT p.lang, p.doc_id, p.n_chars, p.qfp
+         |FROM f p
+         |WHERE p.lang IS NOT NULL AND p.n_chars IS NOT NULL
+         |  AND p.qfp IS NOT NULL
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM f q
+         |    WHERE q.lang = p.lang
+         |      AND q.n_chars >= p.n_chars AND q.qfp >= p.qfp
+         |      AND (q.n_chars > p.n_chars OR q.qfp > p.qfp))
+         |ORDER BY p.lang, p.doc_id""".stripMargin,
 
     // Weekly cohorts from per-user first days; exact-cents revenue per
     // (cohort, offset); cumulative per cohort; one division per row.

@@ -434,6 +434,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("wjaccard")))
   }
 
+  test("skyline2DByGroup: independent frontiers per group") {
+    import graft.operators.TopK
+    // group a: (1,5) dominates (1,4); group b: (1,4) is ITS frontier
+    val d = Seq((1L, "a", 1L, 5L), (2L, "a", 1L, 4L), (3L, "b", 1L, 4L))
+      .toDF("id", "g", "x", "y")
+    val got = TopK.skyline2DByGroup(d, "g", col("x"), col("y"))
+      .orderBy("id").collect().map(_.getAs[Long]("id")).toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("wilsonIntervalByGroup: interval stays in [0,1] and narrows with n") {
+    import graft.operators.Profiling
+    // 3-of-4 vs 750-of-1000: same p_hat, very different intervals
+    val d = ((1 to 4).map(i => ("small", i <= 3)) ++
+      (1 to 1000).map(i => ("big", i <= 750))).toDF("g", "s")
+    val r = Profiling.wilsonIntervalByGroup(d, "g", col("s"))
+      .collect().map(x => x.getAs[String]("group") -> x).toMap
+    val sm = r("small"); val bg = r("big")
+    assert(sm.getAs[Double]("p_hat") === 0.75 &&
+      bg.getAs[Double]("p_hat") === 0.75)
+    val smWidth = sm.getAs[Double]("wilson_hi") - sm.getAs[Double]("wilson_lo")
+    val bgWidth = bg.getAs[Double]("wilson_hi") - bg.getAs[Double]("wilson_lo")
+    assert(smWidth > 5 * bgWidth) // small n -> much wider interval
+    assert(sm.getAs[Double]("wilson_lo") >= 0.0 &&
+      sm.getAs[Double]("wilson_hi") <= 1.0)
+    // extreme p_hat = 1: naive interval would be degenerate [1,1]
+    val all = (1 to 5).map(i => ("u", true)).toDF("g", "s")
+    val u = Profiling.wilsonIntervalByGroup(all, "g", col("s")).collect()(0)
+    assert(u.getAs[Double]("wilson_lo") < 1.0 &&
+      u.getAs[Double]("wilson_hi") <= 1.0)
+  }
+
   test("skyline2D: frontier keeps undominated points, duplicates survive") {
     import graft.operators.TopK
     // points: (1,5) (2,4) (3,3) dominate nothing mutually (frontier);
