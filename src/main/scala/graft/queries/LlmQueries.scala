@@ -2829,6 +2829,73 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // The round's audit families composed into ONE release verdict row
+    // (the q230 discipline over THIS batch): split integrity (SRM χ²),
+    // source balance (Jain), tail drift (AD statistic), calibration
+    // (conformal coverage), concentration (max Lorenz-Gini) — booleans
+    // + the numbers behind them; it honestly fails the test corpus on
+    // gate length bias (a2 ≈ 120).
+    "q280_audit_verdict" -> ((s, dir) => {
+      val docs = graft.operators.CacheScope.track(t(s, dir, "documents"))
+      val srm = graft.operators.Profiling.ratioMismatchAudit(
+        Sampling.hashSplit(docs, "doc_id", 80, 10).select("split"),
+        "split", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .agg(max(col("chi2")).as("srm_chi2"))
+      val jain = graft.operators.Profiling.jainFairness(docs, "source")
+        .select(col("jain"))
+      val gated = TextAnalysis.qualityGate(docs, "doc_id", "text",
+        keepInputCols = true)
+      val ad = graft.operators.Profiling.adStatistic(gated,
+        col("n_chars"), col("keep")).select(col("a2"))
+      val conf = graft.operators.Evaluation.conformalGate(
+        distillScored(s, dir), "doc_id", "zq", "keep")
+        .select(col("coverage"))
+      val gini = graft.operators.Profiling.lorenzGiniByGroup(docs,
+        "source", col("n_chars"))
+        .agg(max(col("gini")).as("max_gini"))
+      srm.crossJoin(jain).crossJoin(ad).crossJoin(conf).crossJoin(gini)
+        .withColumn("split_ok", col("srm_chi2") < 16.27)
+        .withColumn("balance_ok", col("jain") >= 0.8)
+        .withColumn("tail_ok", col("a2") <= 10.0)
+        .withColumn("calibration_ok", col("coverage") >= 0.85)
+        .withColumn("concentration_ok", col("max_gini") <= 0.9)
+        .withColumn("ship",
+          col("split_ok") && col("balance_ok") && col("tail_ok") &&
+            col("calibration_ok") && col("concentration_ok"))
+    }),
+
+    // One-row GRAPH DATASHEET of the co-engagement graph: nodes, edges,
+    // density, degree assortativity, giant-component share — the
+    // structure card a graph-backed tier publishes beside the corpus
+    // datasheet (q146).
+    "q281_graph_datasheet" -> ((s, dir) => {
+      val edges = graft.operators.CacheScope.track(
+        graft.operators.Cooccur.coEngagementPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxDegree = 6)
+          .select(col("item_a"), col("item_b")))
+      val nodes = edges.select(col("item_a").as("n"))
+        .unionByName(edges.select(col("item_b").as("n"))).distinct()
+      val counts = nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      val assort = graft.operators.Triangles.assortativity(edges,
+        "item_a", "item_b").select(col("corr").as("assortativity"))
+      val giant = graft.operators.Components
+        .connectedComponents(edges, "item_a", "item_b")
+        .groupBy("component").agg(count(lit(1)).as("__sz"))
+        .agg(coalesce(max(col("__sz")), lit(0L)).as("giant_size"))
+      counts.crossJoin(assort).crossJoin(giant)
+        .withColumn("density",
+          when(col("n_nodes") > 1L,
+            (lit(2L) * col("n_edges")).cast("double") /
+              (col("n_nodes") * (col("n_nodes") - 1L)).cast("double")))
+        .withColumn("giant_share",
+          when(col("n_nodes") > 0L,
+            col("giant_size").cast("double") /
+              col("n_nodes").cast("double")))
+        .select("n_nodes", "n_edges", "density", "assortativity",
+          "giant_size", "giant_share")
+    }),
+
     // Wilson score intervals on per-lang gate keep-rates: the binomial
     // CI that behaves at small n and extreme p̂ — a 3-of-4 group and a
     // 750-of-1000 group both read 75%; only the interval says which to
@@ -9208,6 +9275,201 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // One inclusion of the distill/gate CTEs feeds the AD and conformal
+    // arms; SRM/Jain/Gini read documents directly; thresholds are plan
+    // literals; ship = AND of the booleans.
+    "q280_audit_verdict" ->
+      s"""WITH $oDistillScoredCtes,
+         |sb AS (
+         |  SELECT CASE WHEN bkt < 80 THEN 'train'
+         |              WHEN bkt < 90 THEN 'val' ELSE 'test' END AS label
+         |  FROM (SELECT (((doc_id % 2147483648) * 2654435761)
+         |                  % 4294967296) % 100 AS bkt FROM documents)),
+         |scnt AS (SELECT label, CAST(count(*) AS BIGINT) AS observed
+         |         FROM sb GROUP BY 1),
+         |sj AS (
+         |  SELECT e.label, e.expected_p,
+         |         CAST(COALESCE(scnt.observed, 0) AS BIGINT) AS observed
+         |  FROM (VALUES ('train', CAST(0.8 AS DOUBLE)),
+         |               ('val', CAST(0.1 AS DOUBLE)),
+         |               ('test', CAST(0.1 AS DOUBLE))) e(label, expected_p)
+         |  LEFT JOIN scnt USING (label)),
+         |sw AS (
+         |  SELECT label, observed, expected_p,
+         |         CAST(sum(observed) OVER () AS BIGINT) AS n
+         |  FROM sj),
+         |stm AS (
+         |  SELECT CAST(floor((CAST(observed AS DOUBLE) -
+         |             expected_p * CAST(n AS DOUBLE)) *
+         |           (CAST(observed AS DOUBLE) -
+         |             expected_p * CAST(n AS DOUBLE)) /
+         |           (expected_p * CAST(n AS DOUBLE)) *
+         |           CAST(1073741824.0 AS DOUBLE)) AS BIGINT) AS term_fp
+         |  FROM sw),
+         |srm AS (
+         |  SELECT CAST(CAST(sum(term_fp) AS BIGINT) AS DOUBLE) /
+         |           CAST(1073741824.0 AS DOUBLE) AS srm_chi2
+         |  FROM stm),
+         |jg AS (SELECT source, CAST(count(*) AS BIGINT) AS x
+         |       FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         |jain AS (
+         |  SELECT CASE WHEN CAST(sum(x * x) AS BIGINT) > 0
+         |              THEN CAST(CAST(sum(x) AS BIGINT) *
+         |                        CAST(sum(x) AS BIGINT) AS DOUBLE) /
+         |                   CAST(CAST(count(*) AS BIGINT) *
+         |                        CAST(sum(x * x) AS BIGINT) AS DOUBLE)
+         |         END AS jain
+         |  FROM jg),
+         |ahist AS (
+         |  SELECT d.n_chars AS v,
+         |         CAST(count(CASE WHEN vd.reasons = 0 THEN 1 END) AS BIGINT)
+         |           AS cr,
+         |         CAST(count(CASE WHEN NOT (vd.reasons = 0) THEN 1 END)
+         |           AS BIGINT) AS cc2
+         |  FROM documents d JOIN verdict vd USING (doc_id) GROUP BY 1),
+         |acum AS (
+         |  SELECT v, cr, cc2,
+         |         CAST(sum(cr) OVER (ORDER BY v) AS BIGINT) AS m,
+         |         CAST(sum(cr + cc2) OVER (ORDER BY v) AS BIGINT) AS b,
+         |         CAST(sum(cr) OVER () AS BIGINT) AS nr,
+         |         CAST(sum(cc2) OVER () AS BIGINT) AS ncur
+         |  FROM ahist),
+         |at AS (
+         |  SELECT CASE WHEN b < nr + ncur AND nr > 0 AND ncur > 0
+         |              THEN CAST(floor(
+         |                CAST((nr + ncur) * m - nr * b AS DOUBLE) *
+         |                CAST((nr + ncur) * m - nr * b AS DOUBLE) *
+         |                CAST(cr + cc2 AS DOUBLE) /
+         |                (CAST(nr AS DOUBLE) * CAST(ncur AS DOUBLE) *
+         |                 CAST(b AS DOUBLE) *
+         |                 CAST((nr + ncur) - b AS DOUBLE)) *
+         |                CAST(1048576.0 AS DOUBLE)) AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS term_fp,
+         |         nr, ncur
+         |  FROM acum),
+         |ad AS (
+         |  SELECT CASE WHEN min(nr) > 0 AND min(ncur) > 0
+         |              THEN CAST(sum(term_fp) AS DOUBLE) /
+         |                   CAST(1048576.0 AS DOUBLE) END AS a2
+         |  FROM at),
+         |wb AS (
+         |  SELECT doc_id, zq, keep,
+         |         (((doc_id % 2147483648) * 2654435761) % 4294967296)
+         |           % 100 < 50 AS cal
+         |  FROM scored),
+         |wch AS (
+         |  SELECT zq AS s, CAST(count(*) AS BIGINT) AS c
+         |  FROM wb WHERE cal AND keep GROUP BY 1),
+         |wcc AS (
+         |  SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum,
+         |         CAST(sum(c) OVER () AS BIGINT) AS ncal
+         |  FROM wch),
+         |wthr AS (
+         |  SELECT min(s) AS t FROM wcc
+         |  WHERE cum >= (ncal + 1) // 10 AND (ncal + 1) // 10 >= 1),
+         |conf AS (
+         |  SELECT CASE WHEN CAST(count(CASE WHEN keep THEN 1 END)
+         |                      AS BIGINT) > 0
+         |              THEN CAST(CAST(count(CASE WHEN keep AND
+         |                     (t IS NULL OR zq >= t) THEN 1 END) AS BIGINT)
+         |                     AS DOUBLE) /
+         |                   CAST(CAST(count(CASE WHEN keep THEN 1 END)
+         |                     AS BIGINT) AS DOUBLE)
+         |         END AS coverage
+         |  FROM wb, wthr WHERE NOT cal),
+         |gh AS (
+         |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+         |  GROUP BY 1, 2),
+         |gc AS (
+         |  SELECT source, v, c,
+         |         CAST(COALESCE(sum(c) OVER (PARTITION BY source ORDER BY v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum0
+         |  FROM gh),
+         |ga AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(sum(v * c) AS BIGINT) AS total,
+         |         CAST(sum(v * (c * cum0 + c * (c + 1) // 2)) AS BIGINT)
+         |           AS rank_sum
+         |  FROM gc GROUP BY 1),
+         |gini AS (
+         |  SELECT max(CASE WHEN total > 0
+         |                  THEN CAST(2 * rank_sum - (n + 1) * total
+         |                         AS DOUBLE) /
+         |                       CAST(n * total AS DOUBLE) END) AS max_gini
+         |  FROM ga)
+         |SELECT srm.srm_chi2, jain.jain, ad.a2, conf.coverage,
+         |       gini.max_gini,
+         |       srm.srm_chi2 < CAST(16.27 AS DOUBLE) AS split_ok,
+         |       jain.jain >= CAST(0.8 AS DOUBLE) AS balance_ok,
+         |       ad.a2 <= CAST(10.0 AS DOUBLE) AS tail_ok,
+         |       conf.coverage >= CAST(0.85 AS DOUBLE) AS calibration_ok,
+         |       gini.max_gini <= CAST(0.9 AS DOUBLE) AS concentration_ok,
+         |       srm.srm_chi2 < CAST(16.27 AS DOUBLE) AND
+         |       jain.jain >= CAST(0.8 AS DOUBLE) AND
+         |       ad.a2 <= CAST(10.0 AS DOUBLE) AND
+         |       conf.coverage >= CAST(0.85 AS DOUBLE) AND
+         |       gini.max_gini <= CAST(0.9 AS DOUBLE) AS ship
+         |FROM srm, jain, ad, conf, gini""".stripMargin,
+
+    // Capped pair graph; density/giant/assortativity one-row card.
+    "q281_graph_datasheet" ->
+      """WITH RECURSIVE ai AS (
+        |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
+        |  FROM lineitem),
+        |deg0 AS (SELECT actor, count(*) AS dg FROM ai GROUP BY 1),
+        |cap AS (SELECT ai.actor, ai.item
+        |        FROM ai JOIN deg0 USING (actor) WHERE dg <= 6),
+        |pairs AS (
+        |  SELECT DISTINCT x.item AS i, y.item AS j
+        |  FROM cap x JOIN cap y ON x.actor = y.actor AND x.item < y.item),
+        |sym AS (SELECT i AS u, j AS v FROM pairs
+        |        UNION ALL SELECT j, i FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS node FROM sym),
+        |cnts AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges),
+        |dg AS (SELECT u, CAST(count(DISTINCT v) AS BIGINT) AS deg
+        |       FROM sym GROUP BY 1),
+        |arows AS (
+        |  SELECT du.deg AS x, dv.deg AS y
+        |  FROM sym JOIN dg du ON du.u = sym.u
+        |  JOIN dg dv ON dv.u = sym.v),
+        |ast AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM arows),
+        |assort AS (
+        |  SELECT CASE WHEN n * sxx - sx * sx <> 0 AND
+        |                   n * syy - sy * sy <> 0
+        |              THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                        CAST(n * syy - sy * sy AS DOUBLE))
+        |         END AS assortativity
+        |  FROM ast),
+        |reach(node, comp) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN sym e ON e.u = r.node),
+        |lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY 1),
+        |giant AS (
+        |  SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_size
+        |  FROM (SELECT component, count(*) AS sz FROM lab GROUP BY 1))
+        |SELECT cnts.n_nodes, cnts.n_edges,
+        |       CASE WHEN cnts.n_nodes > 1
+        |            THEN CAST(2 * cnts.n_edges AS DOUBLE) /
+        |                 CAST(cnts.n_nodes * (cnts.n_nodes - 1) AS DOUBLE)
+        |       END AS density,
+        |       assort.assortativity, giant.giant_size,
+        |       CASE WHEN cnts.n_nodes > 0
+        |            THEN CAST(giant.giant_size AS DOUBLE) /
+        |                 CAST(cnts.n_nodes AS DOUBLE) END AS giant_share
+        |FROM cnts, assort, giant""".stripMargin,
 
     // Gate keep counts per lang; the Wilson center/half expressions in
     // the engine's exact double shapes. z² goes through a STRING cast:
