@@ -2829,6 +2829,63 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // Scorecard for the engine's OWN lang-id heuristic against the
+    // labeled lang column: per-class recall/precision + overall
+    // accuracy — q27 is the raw confusion table; this is the verdict
+    // a consumer reads before trusting the heuristic as a filter.
+    "q282_langid_scorecard" -> ((s, dir) => {
+      val pred = t(s, dir, "documents").select(col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      val perLang = pred.groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("predicted") === col("lang"), 1L)).as("correct"))
+      val perPred = pred.groupBy(col("predicted").as("lang"))
+        .agg(count(lit(1)).as("predicted_n"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      perLang.join(perPred, Seq("lang"), "left")
+        .withColumn("predicted_n", coalesce(col("predicted_n"), lit(0L)))
+        .withColumn("recall",
+          col("correct").cast("double") / col("n").cast("double"))
+        .withColumn("precision",
+          when(col("predicted_n") > 0L,
+            col("correct").cast("double") /
+              col("predicted_n").cast("double")))
+        .withColumn("accuracy",
+          sum(col("correct")).over(wAll).cast("double") /
+            sum(col("n")).over(wAll).cast("double"))
+        .orderBy("lang")
+    }),
+
+    // Zipf mass profile of the token distribution: top-1 / top-10 /
+    // tail shares of total token mass (rank windows over VOCAB rows
+    // only) — the log-free concentration read behind vocabulary and
+    // stopword decisions.
+    "q283_zipf_profile" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("c"), col("t")) // vocab rows only
+      tf.withColumn("r", row_number().over(w))
+        .agg(count(lit(1)).as("vocab"), sum(col("c")).as("total_tokens"),
+          coalesce(sum(when(col("r") === 1, col("c"))), lit(0L))
+            .as("top1_c"),
+          coalesce(sum(when(col("r") <= 10, col("c"))), lit(0L))
+            .as("top10_c"),
+          min(when(col("r") === 1, col("t"))).as("top1_token"))
+        .select(col("vocab"), col("total_tokens"), col("top1_token"),
+          col("top1_c"), col("top10_c"),
+          when(col("total_tokens") > 0L,
+            col("top1_c").cast("double") /
+              col("total_tokens").cast("double")).as("top1_share"),
+          when(col("total_tokens") > 0L,
+            col("top10_c").cast("double") /
+              col("total_tokens").cast("double")).as("top10_share"),
+          when(col("total_tokens") > 0L,
+            (col("total_tokens") - col("top10_c")).cast("double") /
+              col("total_tokens").cast("double")).as("tail_share"))
+    }),
+
     // The round's audit families composed into ONE release verdict row
     // (the q230 discipline over THIS batch): split integrity (SRM χ²),
     // source balance (Jain), tail drift (AD statistic), calibration
@@ -9275,6 +9332,79 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // q27's pred CTE; per-actual recall, per-predicted precision,
+    // overall accuracy from the same counts.
+    "q282_langid_scorecard" ->
+      s"""WITH scores AS (
+         |  SELECT lang,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['the','and','of','to','in','is'], t))) AS BIGINT) AS s_en,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS BIGINT) AS s_de,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['el','la','los','que','una','por'], t))) AS BIGINT) AS s_es,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['le','les','des','est','une','dans'], t))) AS BIGINT) AS s_fr
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |         CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |              WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |              WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |              WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+         |              ELSE 'und' END AS predicted
+         |  FROM scores),
+         |pl AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(CASE WHEN predicted = lang THEN 1 END)
+         |           AS BIGINT) AS correct
+         |  FROM pred GROUP BY 1),
+         |pp AS (
+         |  SELECT predicted AS lang, CAST(count(*) AS BIGINT)
+         |           AS predicted_n
+         |  FROM pred GROUP BY 1),
+         |j AS (
+         |  SELECT pl.lang, pl.n, pl.correct,
+         |         CAST(COALESCE(pp.predicted_n, 0) AS BIGINT)
+         |           AS predicted_n
+         |  FROM pl LEFT JOIN pp USING (lang))
+         |SELECT lang, n, correct, predicted_n,
+         |       CAST(correct AS DOUBLE) / CAST(n AS DOUBLE) AS recall,
+         |       CASE WHEN predicted_n > 0
+         |            THEN CAST(correct AS DOUBLE) /
+         |                 CAST(predicted_n AS DOUBLE) END AS "precision",
+         |       CAST(CAST(sum(correct) OVER () AS BIGINT) AS DOUBLE) /
+         |         CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE)
+         |         AS accuracy
+         |FROM j ORDER BY lang""".stripMargin,
+
+    // Vocab-row rank window; top-k masses as exact BIGINTs, shares one
+    // division each.
+    "q283_zipf_profile" ->
+      s"""WITH tf AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest($oToks) AS t FROM documents)
+         |  GROUP BY 1),
+         |rk AS (
+         |  SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS r
+         |  FROM tf),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS vocab,
+         |         CAST(sum(c) AS BIGINT) AS total_tokens,
+         |         CAST(COALESCE(sum(CASE WHEN r = 1 THEN c END), 0)
+         |           AS BIGINT) AS top1_c,
+         |         CAST(COALESCE(sum(CASE WHEN r <= 10 THEN c END), 0)
+         |           AS BIGINT) AS top10_c,
+         |         min(CASE WHEN r = 1 THEN t END) AS top1_token
+         |  FROM rk)
+         |SELECT vocab, total_tokens, top1_token, top1_c, top10_c,
+         |       CASE WHEN total_tokens > 0
+         |            THEN CAST(top1_c AS DOUBLE) /
+         |                 CAST(total_tokens AS DOUBLE) END AS top1_share,
+         |       CASE WHEN total_tokens > 0
+         |            THEN CAST(top10_c AS DOUBLE) /
+         |                 CAST(total_tokens AS DOUBLE) END AS top10_share,
+         |       CASE WHEN total_tokens > 0
+         |            THEN CAST(total_tokens - top10_c AS DOUBLE) /
+         |                 CAST(total_tokens AS DOUBLE) END AS tail_share
+         |FROM a""".stripMargin,
 
     // One inclusion of the distill/gate CTEs feeds the AD and conformal
     // arms; SRM/Jain/Gini read documents directly; thresholds are plan
