@@ -2829,6 +2829,41 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // Margin audit of q150's contrastive triplets: cos(a,p) − cos(a,n)
+    // per triplet — a triplet set whose margins skew negative teaches a
+    // model the WRONG metric; this is the QA read before training on
+    // it. Fixed-point mean, exact counts, min/max extremes.
+    "q284_triplet_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding",
+        strideCentroids(s, dir), threshold = 0.3)
+      val tri = Similarity.contrastiveTriplets(pairs, emb, "vec_id",
+        buckets = 64)
+      def vec(as: String) = emb.select(col("vec_id").as(as),
+        col("embedding").as(s"__v_$as"),
+        graft.functions.l2NormF(col("embedding")).as(s"__n_$as"))
+      def cos(x: String, y: String) =
+        when(col(s"__n_$x") * col(s"__n_$y") =!= 0.0,
+          graft.functions.dotProductF(col(s"__v_$x"), col(s"__v_$y")) /
+            (col(s"__n_$x") * col(s"__n_$y")))
+      tri.join(vec("anchor"), "anchor")
+        .join(vec("positive"), "positive")
+        .join(vec("negative"), "negative")
+        .withColumn("__m",
+          cos("anchor", "positive") - cos("anchor", "negative"))
+        .agg(count(lit(1)).as("n_triplets"),
+          count(col("__m")).as("n_defined"),
+          count(when(col("__m") > 0.0, 1L)).as("n_positive_margin"),
+          min(col("__m")).as("min_margin"),
+          max(col("__m")).as("max_margin"),
+          sum(floor(col("__m") * lit(1048576.0)).cast("long")).as("__mfp"))
+        .withColumn("mean_margin",
+          when(col("n_defined") > 0L,
+            col("__mfp").cast("double") /
+              (col("n_defined") * lit(1048576L)).cast("double")))
+        .drop("__mfp")
+    }),
+
     // Scorecard for the engine's OWN lang-id heuristic against the
     // labeled lang column: per-class recall/precision + overall
     // accuracy — q27 is the raw confusion table; this is the verdict
@@ -9332,6 +9367,63 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // q150's triplet chain wrapped with three norm joins; per-triplet
+    // margin guarded per cos; fixed-point mean over defined margins.
+    "q284_triplet_margin" ->
+      s"""WITH $oNorms,
+         |$oCells,
+         |p AS (
+         |  SELECT a.id AS anchor, b.id AS positive
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+         |  JOIN norms na ON na.vec_id = a.id
+         |  JOIN norms nb ON nb.vec_id = b.id
+         |  WHERE ${oCos("na", "nb")} >= 0.3),
+         |rep AS (
+         |  SELECT vec_id,
+         |         (((vec_id % 2147483648) * 2654435761) % 4294967296) % 64 AS b,
+         |         (((vec_id % 2147483648) * 2654435761) % 4294967296) % 1000000 AS h
+         |  FROM embeddings),
+         |rk AS (
+         |  SELECT b, vec_id,
+         |         row_number() OVER (PARTITION BY b ORDER BY h, vec_id) AS rk
+         |  FROM rep),
+         |r1 AS (SELECT b, vec_id AS r1 FROM rk WHERE rk = 1),
+         |r2 AS (SELECT b, vec_id AS r2 FROM rk WHERE rk = 2),
+         |tri AS (
+         |  SELECT anchor, positive, negative FROM (
+         |    SELECT p.anchor, p.positive,
+         |           CASE WHEN r1.r1 <> p.anchor AND r1.r1 <> p.positive THEN r1.r1
+         |                WHEN r2.r2 <> p.anchor AND r2.r2 <> p.positive THEN r2.r2
+         |           END AS negative
+         |    FROM p
+         |    LEFT JOIN r1 ON r1.b = (((p.anchor % 2147483648) * 2654435761) % 4294967296) % 64
+         |    LEFT JOIN r2 ON r2.b = (((p.anchor % 2147483648) * 2654435761) % 4294967296) % 64)
+         |  WHERE negative IS NOT NULL),
+         |mt AS (
+         |  SELECT CASE WHEN na.nrm * np.nrm <> 0 AND na.nrm * nn.nrm <> 0
+         |              THEN (${oCos("na", "np")}) - (${oCos("na", "nn")})
+         |         END AS m
+         |  FROM tri
+         |  JOIN norms na ON na.vec_id = tri.anchor
+         |  JOIN norms np ON np.vec_id = tri.positive
+         |  JOIN norms nn ON nn.vec_id = tri.negative),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+         |         CAST(count(m) AS BIGINT) AS n_defined,
+         |         CAST(count(CASE WHEN m > 0.0 THEN 1 END) AS BIGINT)
+         |           AS n_positive_margin,
+         |         min(m) AS min_margin, max(m) AS max_margin,
+         |         CAST(COALESCE(sum(CAST(floor(m * CAST(1048576.0 AS DOUBLE))
+         |           AS BIGINT)), 0) AS BIGINT) AS mfp
+         |  FROM mt)
+         |SELECT n_triplets, n_defined, n_positive_margin, min_margin,
+         |       max_margin,
+         |       CASE WHEN n_defined > 0
+         |            THEN CAST(mfp AS DOUBLE) /
+         |                 CAST(n_defined * 1048576 AS DOUBLE)
+         |       END AS mean_margin
+         |FROM a""".stripMargin,
 
     // q27's pred CTE; per-actual recall, per-predicted precision,
     // overall accuracy from the same counts.
