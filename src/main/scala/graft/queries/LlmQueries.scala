@@ -2829,6 +2829,56 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // Inter-arrival quantiles per event type: exact p50/p90 of
+    // per-user consecutive gaps (whole seconds) — the burstiness read
+    // under the dispersion verdict (q253); per-user lag windows, then
+    // histogram quantiles over gap values.
+    "q285_interarrival" -> ((s, dir) => {
+      val ev = graft.io.TableIO.eventsNanos(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = ev
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"),
+          expr("(ts - __prev) DIV 1000000000").as("gap_s"))
+      graft.operators.ExactQuantiles.quantilesByGroup(gaps, "event_type",
+        "gap_s", Seq(("p50", 1, 2), ("p90", 9, 10)))
+        .orderBy("event_type")
+    }),
+
+    // Top-k vocabulary STABILITY: for each source, the overlap between
+    // the global top-10 tokens and the top-10 with that source REMOVED
+    // — does any single source dictate the vocabulary head? The
+    // leave-one-out influence read on q33's token ranking.
+    "q286_topk_stability" -> ((s, dir) => {
+      val tok = t(s, dir, "documents").select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val g = graft.operators.CacheScope.track(
+        tok.groupBy("t").agg(count(lit(1)).as("gc")))
+      val sc = tok.groupBy("source", "t").agg(count(lit(1)).as("sc"))
+      val wG = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("gc"), col("t")) // vocab rows
+      val topG = g.withColumn("__r", row_number().over(wG))
+        .filter(col("__r") <= 10).select(col("t"))
+      val sources = t(s, dir, "documents").select("source").distinct()
+      val wo = sources.crossJoin(g)
+        .join(sc, Seq("source", "t"), "left")
+        .withColumn("wc", col("gc") - coalesce(col("sc"), lit(0L)))
+        .filter(col("wc") > 0L)
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("wc"), col("t"))
+      val topWo = wo.withColumn("__r", row_number().over(wS))
+        .filter(col("__r") <= 10).select(col("source"), col("t"))
+      topWo.join(topG, Seq("t"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("overlap_at_10"))
+        .join(sources, Seq("source"), "right")
+        .select(col("source"),
+          coalesce(col("overlap_at_10"), lit(0L)).as("overlap_at_10"))
+        .orderBy("source")
+    }),
+
     // Margin audit of q150's contrastive triplets: cos(a,p) − cos(a,n)
     // per triplet — a triplet set whose margins skew negative teaches a
     // model the WRONG metric; this is the QA read before training on
@@ -9367,6 +9417,67 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // Per-(user, type) lag gaps in whole seconds; the q74 histogram
+    // quantile chain per type.
+    "q285_interarrival" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS tsn,
+        |         event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, (tsn - prev) // 1000000000 AS gap_s FROM (
+        |    SELECT event_type, tsn,
+        |           lag(tsn) OVER (PARTITION BY user_id, event_type
+        |             ORDER BY tsn, event_id) AS prev
+        |    FROM ev)
+        |  WHERE prev IS NOT NULL),
+        |h AS (SELECT event_type, gap_s AS v, count(*) AS c
+        |      FROM g GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, v,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+        |       min(CASE WHEN cum * 2 >= n * 1 THEN v END) AS p50,
+        |       min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Global top-10 vs per-source leave-one-out top-10 on the token
+    // histogram; overlap per source, absent sources report 0.
+    "q286_topk_stability" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($oToks) AS t FROM documents),
+         |g AS (SELECT t, CAST(count(*) AS BIGINT) AS gc
+         |      FROM tok GROUP BY 1),
+         |topg AS (
+         |  SELECT t FROM (
+         |    SELECT t, row_number() OVER (ORDER BY gc DESC, t) AS r
+         |    FROM g) WHERE r <= 10),
+         |sc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS sc
+         |       FROM tok GROUP BY 1, 2),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |wo AS (
+         |  SELECT srcs.source, g.t,
+         |         g.gc - COALESCE(sc.sc, 0) AS wc
+         |  FROM srcs CROSS JOIN g
+         |  LEFT JOIN sc ON sc.source = srcs.source AND sc.t = g.t),
+         |topwo AS (
+         |  SELECT source, t FROM (
+         |    SELECT source, t,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY wc DESC, t) AS r
+         |    FROM wo WHERE wc > 0) WHERE r <= 10),
+         |ov AS (
+         |  SELECT tw.source, CAST(count(*) AS BIGINT) AS overlap_at_10
+         |  FROM topwo tw JOIN topg ON topg.t = tw.t
+         |  GROUP BY 1)
+         |SELECT srcs.source,
+         |       CAST(COALESCE(ov.overlap_at_10, 0) AS BIGINT)
+         |         AS overlap_at_10
+         |FROM srcs LEFT JOIN ov USING (source)
+         |ORDER BY source""".stripMargin,
 
     // q150's triplet chain wrapped with three norm joins; per-triplet
     // margin guarded per cos; fixed-point mean over defined margins.
