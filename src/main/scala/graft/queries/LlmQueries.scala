@@ -2829,6 +2829,55 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // Threshold-TRANSFER regret: each lang's own argmax-F1 operating
+    // point vs its F1 at the single GLOBAL threshold — the measured
+    // price of shipping one cutoff for every language (q188 showed
+    // per-slice AUC; this shows the per-slice cost of the decision).
+    "q287_threshold_transfer" -> ((s, dir) => {
+      val scored = distillScored(s, dir)
+      val hist = graft.operators.CacheScope.track(
+        scored.groupBy(col("lang"), col("zq").as("t"))
+          .agg(count(lit(1)).as("__c"),
+            count(when(col("keep"), 1L)).as("__p")))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val wLang = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+      def f1(tp: org.apache.spark.sql.Column, fp: org.apache.spark.sql.Column,
+             fn: org.apache.spark.sql.Column) =
+        when(lit(2L) * tp + fp + fn > 0L,
+          (lit(2L) * tp).cast("double") /
+            (lit(2L) * tp + fp + fn).cast("double"))
+      val perLang = hist
+        .withColumn("tp", sum(col("__p")).over(wDesc))
+        .withColumn("fp", sum(col("__c") - col("__p")).over(wDesc))
+        .withColumn("fn", sum(col("__p")).over(wLang) - col("tp"))
+        .withColumn("f1", f1(col("tp"), col("fp"), col("fn")))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("f1"), col("t").asc)
+      val best = perLang.filter(col("f1").isNotNull)
+        .withColumn("__r", row_number().over(wBest))
+        .filter(col("__r") === 1)
+        .select(col("lang"), col("t").as("best_t"), col("f1").as("best_f1"))
+      val globalT = graft.operators.Evaluation
+        .f1OperatingPoint(scored, "zq", "keep")
+        .select(col("threshold").as("global_t"))
+      val atGlobal = hist.crossJoin(broadcast(globalT))
+        .filter(col("t") >= col("global_t"))
+        .groupBy("lang", "global_t")
+        .agg(sum(col("__p")).as("tp"), sum(col("__c") - col("__p")).as("fp"))
+        .join(hist.groupBy("lang").agg(sum(col("__p")).as("__P")), "lang")
+        .withColumn("fn", col("__P") - col("tp"))
+        .select(col("lang"), col("global_t"),
+          f1(col("tp"), col("fp"), col("fn")).as("f1_at_global"))
+      best.join(atGlobal, "lang")
+        .withColumn("regret", col("best_f1") - col("f1_at_global"))
+        .orderBy("lang")
+    }),
+
     // Inter-arrival quantiles per event type: exact p50/p90 of
     // per-user consecutive gaps (whole seconds) — the burstiness read
     // under the dispersion verdict (q253); per-user lag windows, then
@@ -9417,6 +9466,72 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // Per-lang descending-cum F1 curves, per-lang argmax (ties to the
+    // smaller threshold), q209's global argmax, per-lang F1 at the
+    // global cutoff, regret = best − at_global.
+    "q287_threshold_transfer" ->
+      s"""WITH $oDistillScoredCtes,
+         |h AS (
+         |  SELECT d.lang, s.zq AS t, CAST(count(*) AS BIGINT) AS c,
+         |         CAST(count(CASE WHEN s.keep THEN 1 END) AS BIGINT) AS p
+         |  FROM scored s JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |pl AS (
+         |  SELECT lang, t,
+         |         CAST(sum(p) OVER (PARTITION BY lang ORDER BY t DESC)
+         |           AS BIGINT) AS tp,
+         |         CAST(sum(c - p) OVER (PARTITION BY lang ORDER BY t DESC)
+         |           AS BIGINT) AS fp,
+         |         CAST(sum(p) OVER (PARTITION BY lang) AS BIGINT) AS pall
+         |  FROM h),
+         |pf AS (
+         |  SELECT lang, t, tp, fp,
+         |         CASE WHEN 2 * tp + fp + (pall - tp) > 0
+         |              THEN CAST(2 * tp AS DOUBLE) /
+         |                   CAST(2 * tp + fp + (pall - tp) AS DOUBLE)
+         |         END AS f1
+         |  FROM pl),
+         |best AS (
+         |  SELECT lang, t AS best_t, f1 AS best_f1 FROM (
+         |    SELECT lang, t, f1,
+         |           row_number() OVER (PARTITION BY lang
+         |             ORDER BY f1 DESC, t) AS r
+         |    FROM pf WHERE f1 IS NOT NULL) WHERE r = 1),
+         |gh AS (SELECT t, CAST(sum(c) AS BIGINT) AS c,
+         |              CAST(sum(p) AS BIGINT) AS p
+         |       FROM h GROUP BY 1),
+         |gc AS (
+         |  SELECT t,
+         |         CAST(sum(p) OVER (ORDER BY t DESC) AS BIGINT) AS tp,
+         |         CAST(sum(c - p) OVER (ORDER BY t DESC) AS BIGINT) AS fp,
+         |         CAST(sum(p) OVER () AS BIGINT) AS pall
+         |  FROM gh),
+         |gf AS (
+         |  SELECT t,
+         |         CASE WHEN 2 * tp + fp + (pall - tp) > 0
+         |              THEN CAST(2 * tp AS DOUBLE) /
+         |                   CAST(2 * tp + fp + (pall - tp) AS DOUBLE)
+         |         END AS f1
+         |  FROM gc),
+         |gt AS (SELECT t AS global_t FROM gf ORDER BY f1 DESC, t LIMIT 1),
+         |ag AS (
+         |  SELECT h.lang, gt.global_t, CAST(sum(h.p) AS BIGINT) AS tp,
+         |         CAST(sum(h.c - h.p) AS BIGINT) AS fp
+         |  FROM h, gt WHERE h.t >= gt.global_t GROUP BY 1, 2),
+         |ptot AS (SELECT lang, CAST(sum(p) AS BIGINT) AS pall
+         |         FROM h GROUP BY 1),
+         |agf AS (
+         |  SELECT ag.lang, ag.global_t,
+         |         CASE WHEN 2 * ag.tp + ag.fp + (ptot.pall - ag.tp) > 0
+         |              THEN CAST(2 * ag.tp AS DOUBLE) /
+         |                   CAST(2 * ag.tp + ag.fp + (ptot.pall - ag.tp)
+         |                     AS DOUBLE)
+         |         END AS f1_at_global
+         |  FROM ag JOIN ptot USING (lang))
+         |SELECT best.lang, best.best_t, best.best_f1, agf.global_t,
+         |       agf.f1_at_global,
+         |       best.best_f1 - agf.f1_at_global AS regret
+         |FROM best JOIN agf USING (lang) ORDER BY lang""".stripMargin,
 
     // Per-(user, type) lag gaps in whole seconds; the q74 histogram
     // quantile chain per type.
