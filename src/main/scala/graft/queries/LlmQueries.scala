@@ -2829,6 +2829,34 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // Intra-document CODE-SWITCH ranking: the 20 docs with the most
+    // minority-language marker mass — a doc-level lang label (q27)
+    // hides mixed documents; these need per-segment handling before a
+    // monolingual filter eats them. Deterministic (minority, n_langs,
+    // id) ordering.
+    "q288_code_switch" -> ((s, dir) => {
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        TextAnalysis.langScore(col("text"), ms).as(s"s_$l")
+      }
+      val d = t(s, dir, "documents")
+        .select(Seq(col("doc_id"), col("lang")) ++ scores: _*)
+      val nLangs = langs.map(l => when(col(s"s_$l") > 0L, 1L)
+        .otherwise(0L)).reduce(_ + _)
+      val total = langs.map(l => col(s"s_$l")).reduce(_ + _)
+      val maxS = greatest(langs.map(l => col(s"s_$l")): _*)
+      d.withColumn("n_langs", nLangs)
+        .withColumn("marker_total", total)
+        .withColumn("minority_markers", total - maxS)
+        .filter(col("marker_total") > 0L)
+        .select(col("doc_id"), col("lang"), col("n_langs"),
+          col("marker_total"), col("minority_markers"),
+          (col("minority_markers").cast("double") /
+            col("marker_total").cast("double")).as("mix_ratio"))
+        .orderBy(desc("minority_markers"), desc("n_langs"), col("doc_id"))
+        .limit(20)
+    }),
+
     // Threshold-TRANSFER regret: each lang's own argmax-F1 operating
     // point vs its F1 at the single GLOBAL threshold — the measured
     // price of shipping one cutoff for every language (q188 showed
@@ -9466,6 +9494,35 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // q27's marker-count expressions; docs hitting ≥ 2 languages, with
+    // the minority share as one division of exact counts.
+    "q288_code_switch" ->
+      s"""WITH scores AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['the','and','of','to','in','is'], t))) AS BIGINT) AS s_en,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS BIGINT) AS s_de,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['el','la','los','que','una','por'], t))) AS BIGINT) AS s_es,
+         |         CAST(len(list_filter($oToks, t -> list_contains(['le','les','des','est','une','dans'], t))) AS BIGINT) AS s_fr
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |         CAST((CASE WHEN s_en > 0 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN s_de > 0 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN s_es > 0 THEN 1 ELSE 0 END) +
+         |              (CASE WHEN s_fr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_langs,
+         |         CAST(s_en + s_de + s_es + s_fr AS BIGINT) AS marker_total,
+         |         CAST(s_en + s_de + s_es + s_fr -
+         |              greatest(s_en, s_de, s_es, s_fr) AS BIGINT)
+         |           AS minority_markers
+         |  FROM scores)
+         |SELECT doc_id, lang, n_langs, marker_total, minority_markers,
+         |       CAST(minority_markers AS DOUBLE) /
+         |         CAST(marker_total AS DOUBLE) AS mix_ratio
+         |FROM m WHERE marker_total > 0
+         |ORDER BY minority_markers DESC, n_langs DESC, doc_id
+         |LIMIT 20""".stripMargin,
 
     // Per-lang descending-cum F1 curves, per-lang argmax (ties to the
     // smaller threshold), q209's global argmax, per-lang F1 at the
