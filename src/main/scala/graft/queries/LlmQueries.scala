@@ -2829,6 +2829,45 @@ object LlmQueries {
           "l_orderkey"))
         .orderBy("column")),
 
+    // ROBUST capacity trend: q278's OLS forecast re-fit on p10/p90
+    // WINSORIZED daily volume — one spike day bends a least-squares
+    // line, and the clipped re-fit shows by how much (slope delta =
+    // the spike's leverage); both lines in one row per horizon day.
+    "q289_robust_trend" -> ((s, dir) => {
+      val daily = graft.io.TableIO.eventsNanos(s, dir)
+        .groupBy(expr("ts DIV 86400000000000").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("__g", lit(1))
+      val clipped = graft.operators.ExactQuantiles.winsorizeByGroup(
+        daily, "__g", "y", loNum = 1, hiNum = 9, den = 10)
+      val bounds = daily.agg(min(col("d")).as("__d0"),
+        max(col("d")).as("__dmax"))
+      def fit(df: DataFrame, yCol: String, sfx: String) =
+        graft.operators.Regression.trendByGroup(
+          df.crossJoin(broadcast(bounds))
+            .select((col("d") - col("__d0")).as("x"),
+              col(yCol).as("y"), col("__g")),
+          Seq("__g"), col("x"), col("y"))
+          .select(col("slope").as(s"slope_$sfx"),
+            col("intercept").as(s"intercept_$sfx"))
+      fit(daily, "y", "raw")
+        .crossJoin(fit(clipped, "y_clipped", "robust"))
+        .crossJoin(broadcast(bounds))
+        .select(explode(sequence(lit(1), lit(7))).as("__i"),
+          col("slope_raw"), col("intercept_raw"), col("slope_robust"),
+          col("intercept_robust"), col("__dmax"), col("__d0"))
+        .withColumn("t_day", col("__dmax") + col("__i"))
+        .select(col("t_day"), col("slope_raw"), col("slope_robust"),
+          (col("intercept_raw") + col("slope_raw") *
+            (col("t_day") - col("__d0")).cast("double"))
+            .as("forecast_raw"),
+          (col("intercept_robust") + col("slope_robust") *
+            (col("t_day") - col("__d0")).cast("double"))
+            .as("forecast_robust"))
+        .withColumn("slope_delta", col("slope_raw") - col("slope_robust"))
+        .orderBy("t_day")
+    }),
+
     // Intra-document CODE-SWITCH ranking: the 20 docs with the most
     // minority-language marker mass — a doc-level lang label (q27)
     // hides mixed documents; these need per-segment handling before a
@@ -9494,6 +9533,61 @@ object LlmQueries {
         |         CAST(wd.wd_sum AS DOUBLE) / CAST(wd.wd_n AS DOUBLE)
         |         AS residual
         |FROM dd JOIN wd USING (weekday) ORDER BY dd.bucket""".stripMargin,
+
+    // Daily histogram → q64 winsorize clip → two q118 OLS trees on
+    // centered days → 7 rows of both forecasts + the slope delta.
+    "q289_robust_trend" -> {
+      def ols(src: String, sfx: String) =
+        s"""s_$sfx AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |         CAST(sum(x * y) AS BIGINT) AS sxy,
+           |         CAST(sum(x * x) AS BIGINT) AS sxx
+           |  FROM $src),
+           |tr_$sfx AS (
+           |  SELECT CASE WHEN n * sxx - sx * sx != 0
+           |              THEN (CAST(n * sxy - sx * sy AS DOUBLE) /
+           |                    CAST(n * sxx - sx * sx AS DOUBLE)) END
+           |           AS slope_$sfx,
+           |         CASE WHEN n * sxx - sx * sx != 0
+           |              THEN (CAST(sy AS DOUBLE) -
+           |                    (CAST(n * sxy - sx * sy AS DOUBLE) /
+           |                     CAST(n * sxx - sx * sx AS DOUBLE)) *
+           |                    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+           |         END AS intercept_$sfx
+           |  FROM s_$sfx)""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+         |         CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |bd AS (SELECT min(d) AS d0, max(d) AS dmax FROM daily),
+         |cum AS (
+         |  SELECT y AS v, count(*) AS c FROM daily GROUP BY 1),
+         |cc AS (
+         |  SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+         |         sum(c) OVER () AS n
+         |  FROM cum),
+         |qs AS (
+         |  SELECT min(CASE WHEN cum * 10 >= n * 1 THEN v END) AS qlo,
+         |         min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS qhi
+         |  FROM cc),
+         |raw AS (SELECT d - d0 AS x, y FROM daily, bd),
+         |rob AS (
+         |  SELECT d - d0 AS x, least(greatest(y, qlo), qhi) AS y
+         |  FROM daily, bd, qs),
+         |${ols("raw", "raw")},
+         |${ols("rob", "robust")}
+         |SELECT CAST(bd.dmax + t.i AS BIGINT) AS t_day,
+         |       slope_raw, slope_robust,
+         |       intercept_raw + slope_raw *
+         |         CAST((bd.dmax + t.i) - bd.d0 AS DOUBLE) AS forecast_raw,
+         |       intercept_robust + slope_robust *
+         |         CAST((bd.dmax + t.i) - bd.d0 AS DOUBLE)
+         |         AS forecast_robust,
+         |       slope_raw - slope_robust AS slope_delta
+         |FROM tr_raw, tr_robust, bd, range(1, 8) t(i)
+         |ORDER BY t_day""".stripMargin
+    },
 
     // q27's marker-count expressions; docs hitting ≥ 2 languages, with
     // the minority share as one division of exact counts.
