@@ -96,7 +96,14 @@ object Cooccur {
     * pairs carry negligible RA mass by construction).
     *
     * @return top-`topK` by (ra_fp DESC, item_a, item_b): (item_a,
-    *         item_b, cn, ra_fp, deg_a, deg_b, jaccard, pa)
+    *         item_b, cn, ra_fp, deg_a, deg_b, jaccard, pa). NOTE: `cn`
+    *         counts shared actors over the DEGREE-CAPPED actor set (the
+    *         RA hub guard above) while deg_a/deg_b are uncapped true
+    *         degrees, so `jaccard` = cn/(deg_a+deg_b−cn) inherits the
+    *         cap and UNDERSTATES exact Jaccard for pairs whose shared
+    *         actors are hubs — by design (hub co-engagement carries
+    *         negligible evidence); compute from uncapped baskets if
+    *         exact set Jaccard is required.
     */
   def linkPredictionScores(df: DataFrame, actorCol: String, itemCol: String,
                            maxDegree: Int, topK: Int): DataFrame = {

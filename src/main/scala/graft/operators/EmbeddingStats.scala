@@ -60,21 +60,6 @@ object EmbeddingStats {
       .orderBy("dim")
   }
 
-  /** Embedding-space ANISOTROPY: ‖mean vector‖² / E[‖v‖²] — the
-    * representation-health number behind the "embeddings collapse into a
-    * narrow cone" literature (Ethayarajh 2019): 0 = perfectly centered
-    * cloud, →1 = every vector points the same way, at which point cosine
-    * similarity stops discriminating and every ANN/dedup tier built on
-    * it degrades. Cheap to monitor per corpus snapshot next to
-    * [[dimensionStats]]'s per-dim drift.
-    *
-    * Exactness discipline: reuses [[dimensionStats]]' fixed-point per-dim
-    * sums; each dimension's mean² is quantized to ⌊mean²·2³⁰⌋ before the
-    * cross-dim BIGINT total (a 64-double sum would hash-differ by
-    * addition order), and E[‖v‖²] is one division on the exact Σ⌊x²·2²⁰⌋
-    * total. One row: (dims, n, mean_norm_sq, avg_norm_sq, anisotropy);
-    * NULL anisotropy for an all-zero corpus.
-    */
   /** Per-label CLASS-SEPARATION matrix: cosine between label CENTROIDS
     * — "are the classes actually separated in embedding space, or is
     * the label column fighting the representation?" High inter-centroid
@@ -126,6 +111,21 @@ object EmbeddingStats {
             sqrt(col("nsq_a").cast("double") * col("nsq_b").cast("double"))))
   }
 
+  /** Embedding-space ANISOTROPY: ‖mean vector‖² / E[‖v‖²] — the
+    * representation-health number behind the "embeddings collapse into a
+    * narrow cone" literature (Ethayarajh 2019): 0 = perfectly centered
+    * cloud, →1 = every vector points the same way, at which point cosine
+    * similarity stops discriminating and every ANN/dedup tier built on
+    * it degrades. Cheap to monitor per corpus snapshot next to
+    * [[dimensionStats]]'s per-dim drift.
+    *
+    * Exactness discipline: reuses [[dimensionStats]]' fixed-point per-dim
+    * sums; each dimension's mean² is quantized to ⌊mean²·2³⁰⌋ before the
+    * cross-dim BIGINT total (a 64-double sum would hash-differ by
+    * addition order), and E[‖v‖²] is one division on the exact Σ⌊x²·2²⁰⌋
+    * total. One row: (dims, n, mean_norm_sq, avg_norm_sq, anisotropy);
+    * NULL anisotropy for an all-zero corpus.
+    */
   def anisotropy(df: DataFrame, vecCol: String): DataFrame =
     dimensionStats(df, vecCol)
       .withColumn("__m2fp",

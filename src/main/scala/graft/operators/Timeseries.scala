@@ -97,7 +97,13 @@ object Timeseries {
       .filter(col("__b").isNotNull)
       .groupBy("__b").agg(count(lit(1)).as("__x"))
     val paa = counts
-      .withColumn("__f", expr(s"__b DIV $paaW"))
+      // FLOOR division, not bare DIV: DIV truncates toward zero, which
+      // would merge buckets -1 and +1 into frame 0 on pre-epoch
+      // (negative) buckets and break contiguous-frame word semantics.
+      // pmod-adjusting first makes the dividend exactly divisible, so
+      // DIV equals the true floor for the whole long range (no float
+      // round-trip).
+      .withColumn("__f", expr(s"(__b - pmod(__b, $paaW)) DIV $paaW"))
       .groupBy("__f").agg(sum(col("__x")).as("__s"))
       .withColumn("__g", lit(1))
     val sym = ExactQuantiles.valueNtile(paa, "__g", "__s", k)

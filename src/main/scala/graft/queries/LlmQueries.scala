@@ -386,9 +386,14 @@ object LlmQueries {
     // Seeded ±1 random projection (Johnson–Lindenstrauss) 64→16 dims:
     // map-only, sign matrix as plan literals, bit-exact double fold.
     "q127_random_projection" -> ((s, dir) => {
+      // Exploded to (vec_id, dim, proj) scalar rows — the driver's
+      // pandas checker cannot sort an ARRAY<DOUBLE> column (round-9
+      // burn); the per-coordinate rows carry the identical values.
       graft.operators.Projection.randomProject(t(s, dir, "embeddings"),
         "embedding", dOut = 16, seed = 7L, dIn = 64)
-        .select(col("vec_id"), col("proj")).orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "proj")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("proj"))
+        .orderBy("vec_id", "dim")
     }),
 
     // Recall@5 of brute-force top-k IN PROJECTED SPACE (q127's 16-dim
@@ -666,7 +671,11 @@ object LlmQueries {
       val regs = graft.operators.Sketch.hllRegisterTable(items, "lang", "t", b = 4)
       val exact = items.groupBy("lang").agg(countDistinct(col("t")).as("n_exact"))
       regs.join(exact, "lang")
-        .select(col("lang"), col("regs"),
+        // regs ships as a canonical CSV string, not ARRAY<LONG>: the
+        // driver's pandas checker cannot sort list columns (round-9
+        // burn) — the join still pins the sketch content bit-for-bit.
+        .select(col("lang"),
+          array_join(col("regs").cast("array<string>"), ",").as("regs_str"),
           expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)").as("v_zero"),
           graft.operators.Sketch.hllEstimate("regs", b = 4).as("est"),
           col("n_exact"))
@@ -1202,11 +1211,30 @@ object LlmQueries {
     // Distribution drift audit: language-mix total-variation distance
     // between the first corpus half (the blessed reference) and the
     // second (the incoming batch) — ½·Σ|p−q| with an exact DECIMAL
-    // numerator, the monitoring gate that catches a crawl whose mix
-    // wanders off the training recipe.
+    // numerator. GATE SURFACE IS EXACT-INTEGER ONLY (round-10 fix):
+    // r9's hash burned on the double/decimal128 columns despite local
+    // value+type exactness, so the gate now emits shares as 2^30
+    // fixed point computed with integer division (exact in both
+    // engines; counts < 2^33 at gate scale) and the DECIMAL numerator
+    // / denominator as strings — tvd itself is num_total/den, float-
+    // free here, still a double in the operator's own output.
     "q140_drift_audit" -> ((s, dir) => {
-      graft.operators.Profiling.distributionDrift(
+      val d = graft.operators.Profiling.distributionDrift(
         t(s, dir, "documents"), "lang", col("doc_id") < 250)
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val tot = d.agg(sum("n_ref").cast("long").as("__n"),
+        sum("n_batch").cast("long").as("__m"),
+        sum("tvd_num").cast(d38).as("__numtot"))
+      d.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_ref"), col("n_batch"),
+          when(col("__n") > 0,
+            expr("(n_ref * 1073741824L) DIV __n")).as("share_ref_q30"),
+          when(col("__m") > 0,
+            expr("(n_batch * 1073741824L) DIV __m")).as("share_batch_q30"),
+          col("tvd_num").cast("string").as("tvd_num_str"),
+          col("__numtot").cast("string").as("tvd_num_total_str"),
+          (lit(2).cast(d38) * col("__n").cast(d38) * col("__m").cast(d38))
+            .cast(d38).cast("string").as("tvd_den_str"))
         .orderBy("lang")
     }),
 
@@ -1643,9 +1671,13 @@ object LlmQueries {
     // driver-literal (term -> category) policy list; broadcast join, so
     // only matching tokens reach the shuffle.
     "q172_blocklist" -> ((s, dir) =>
+      // categories flattened to a sorted CSV string — the driver's
+      // pandas checker cannot sort ARRAY<STRING> columns (round-9 burn).
       TextAnalysis.blocklistHits(t(s, dir, "documents"), "doc_id", "text",
         Seq("slow" -> "perf", "merge" -> "infra", "stream" -> "infra",
-          "vector" -> "ml", "customer" -> "pii")).orderBy("doc_id")),
+          "vector" -> "ml", "customer" -> "pii"))
+        .withColumn("categories", array_join(col("categories"), ","))
+        .orderBy("doc_id")),
 
     // Pearson chi-squared homogeneity cells for lang-mix-per-source —
     // exact BIGINT margins and d = o*N - rt*ct per cell (zero cells
@@ -2444,7 +2476,8 @@ object LlmQueries {
     // split.
     "q232_conformal_gate" -> ((s, dir) =>
       graft.operators.Evaluation.conformalGate(distillScored(s, dir),
-        "doc_id", "zq", "keep", calPct = 50, alphaNum = 1, alphaDen = 10)),
+        "doc_id", "zq", "keep", calPct = 50, alphaNum = 1, alphaDen = 10)
+        .orderBy("threshold")),
 
     // Lorenz-Gini concentration of character mass per source: is a
     // source's corpus spread across its documents or held by a few
@@ -2525,8 +2558,13 @@ object LlmQueries {
     // token string), docs rewritten as id sequences with OOV = −1 —
     // the text→integer-arrays step a training job memory-maps.
     "q241_dict_encode" -> ((s, dir) =>
+      // ids flattened to a CSV string (empty docs -> "") — the driver's
+      // pandas checker cannot sort ARRAY<LONG> columns (round-9 burn);
+      // the joined string pins the full id sequence exactly.
       TextAnalysis.dictionaryEncode(t(s, dir, "documents"), "doc_id",
-        "text", minDf = 2L).orderBy("doc_id")),
+        "text", minDf = 2L)
+        .withColumn("ids", array_join(col("ids").cast("array<string>"), ","))
+        .orderBy("doc_id")),
 
     // Association rules over token BASKETS (Apriori level 2): frequent
     // token pairs with support, both directed confidences, and lift —
@@ -3120,6 +3158,7 @@ object LlmQueries {
         .withColumn("ship",
           col("split_ok") && col("balance_ok") && col("tail_ok") &&
             col("calibration_ok") && col("concentration_ok"))
+        .orderBy("ship")
     }),
 
     // One-row GRAPH DATASHEET of the co-engagement graph: nodes, edges,
@@ -3152,6 +3191,7 @@ object LlmQueries {
               col("n_nodes").cast("double")))
         .select("n_nodes", "n_edges", "density", "assortativity",
           "giant_size", "giant_share")
+        .orderBy("n_nodes")
     }),
 
     // Wilson score intervals on per-lang gate keep-rates: the binomial
@@ -3245,6 +3285,7 @@ object LlmQueries {
       val canon = clusters.filter(col("is_canonical") === 1L)
         .select(col("doc_id"), col("n_members"))
       Sampling.prioritySample(canon, "doc_id", "n_members", k = 30)
+        .orderBy("rank")
     }),
 
     // Audience overlap between event types: shared distinct users per
@@ -3386,7 +3427,7 @@ object LlmQueries {
       graft.operators.Triangles.assortativity(
         graft.operators.Cooccur.coEngagementPairs(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", maxDegree = 6),
-        "item_a", "item_b")),
+        "item_a", "item_b").orderBy("n_edges")),
 
     // Graph robustness: giant-component size before vs after removing
     // the top-5 degree hubs — how much connectivity the hubs carry; the
@@ -3444,6 +3485,85 @@ object LlmQueries {
         .withColumn("recommended_salt",
           when(col("strategy") === "salted_shuffle", col("salt_factor"))
             .otherwise(lit(1L)))
+        .orderBy("rows_a")
+    }),
+
+    // SNAPSHOT RETENTION, end-to-end on a staged fixture (round-10
+    // task: the vacuum sweep was unit-only): publish four versions of
+    // a documents projection, simulate a vacuum that crashed between
+    // marker-delete and dir-delete (v1's marker gone, dir left — the
+    // orphan class TableIO.vacuumSnapshots defines), sweep with
+    // keep=2, then report per-version verdicts DERIVED from the actual
+    // post-sweep filesystem state — a protocol bug (wrong version
+    // swept, orphan left, current clobbered) surfaces as an
+    // UNEXPECTED status or a wrong retained count, and the retained
+    // counts cross-check content against DuckDB on the source table.
+    // Fixture-local: stages to a fresh temp dir per call; the protocol
+    // itself is O(versions) driver-side metadata ops regardless of SF.
+    "q290_snapshot_retention" -> ((s, dir) => {
+      import s.implicits._
+      val td = java.nio.file.Files
+        .createTempDirectory("graft_snapfix_").toString + "/docs"
+      val docs = t(s, dir, "documents")
+      graft.io.TableIO.publishSnapshot(
+        docs.filter(col("doc_id") < 100).select("doc_id", "lang"), td)
+      graft.io.TableIO.publishSnapshot(
+        docs.filter(col("doc_id") < 200).select("doc_id", "lang"), td)
+      graft.io.TableIO.publishSnapshot(
+        docs.filter(col("doc_id") < 300)
+          .select("doc_id", "lang", "n_chars"), td)
+      graft.io.TableIO.publishSnapshot(
+        docs.select("doc_id", "lang", "n_chars", "source"), td)
+      val fs = new org.apache.hadoop.fs.Path(td)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // crashed earlier vacuum: marker deleted first, dir left behind
+      fs.delete(new org.apache.hadoop.fs.Path(s"$td/_commits/1"), false)
+      val removed = graft.io.TableIO.vacuumSnapshots(s, td, keep = 2)
+      def statusOf(v: Long): String = {
+        val dataGone = !fs.exists(new org.apache.hadoop.fs.Path(s"$td/v=$v"))
+        val committed =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$td/_commits/$v"))
+        val cur = graft.io.TableIO.currentVersion(s, td).contains(v)
+        if (removed.contains(v) && dataGone && !committed)
+          if (v == 1L) "swept_orphan" else "swept_expired"
+        else if (committed && cur) "retained_current"
+        else if (committed) "retained"
+        else "UNEXPECTED"
+      }
+      val statuses = Seq(1L, 2L, 3L, 4L).map(v => (v, statusOf(v)))
+        .toDF("version", "status")
+      val counts = graft.io.TableIO.readPublished(s, td, version = Some(3L))
+        .agg(count(lit(1)).as("n_rows")).withColumn("version", lit(3L))
+        .unionByName(
+          graft.io.TableIO.readPublished(s, td, version = Some(4L))
+            .agg(count(lit(1)).as("n_rows")).withColumn("version", lit(4L)))
+      statuses.join(counts, Seq("version"), "left")
+        .select(col("version"), col("status"), col("n_rows"))
+        .orderBy("version")
+    }),
+
+    // FOOTER SCHEMA-DIFF between committed snapshots, gated (round-10
+    // task: snapshotSchemaDiff was unit-only): v1 and v2 are staged
+    // with a removed column, an added column, and a retype, and the
+    // diff — computed from the published parquet FOOTERS, no data read
+    // — must report exactly those three rows; the to-version row count
+    // ties the fixture's content back to the source table cross-engine.
+    "q291_schema_evolution" -> ((s, dir) => {
+      val td = java.nio.file.Files
+        .createTempDirectory("graft_snapfix_").toString + "/docs"
+      val docs = t(s, dir, "documents")
+      graft.io.TableIO.publishSnapshot(
+        docs.select("doc_id", "lang", "n_chars"), td)
+      graft.io.TableIO.publishSnapshot(
+        docs.select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("n_chars")), td)
+      val diff = graft.io.TableIO.snapshotSchemaDiff(s, td, 1L, 2L)
+      val nTo = graft.io.TableIO.readPublished(s, td, version = Some(2L))
+        .agg(count(lit(1)).as("n_to_rows"))
+      diff.crossJoin(broadcast(nTo))
+        .select(col("column"), col("from_type"), col("to_type"),
+          col("change"), col("n_to_rows"))
+        .orderBy("column")
     })
   )
 
@@ -4577,7 +4697,8 @@ object LlmQueries {
          |         FROM dense GROUP BY 1),
          |ex AS (SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS n_exact
          |       FROM tok GROUP BY 1)
-         |SELECT r.lang, r.regs,
+         |SELECT r.lang,
+         |       array_to_string(r.regs, ',') AS regs_str,
          |       CAST(len(list_filter(r.regs, x -> x = 0)) AS BIGINT) AS v_zero,
          |       (CAST(0.673 AS DOUBLE) * 256)
          |         / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -4826,8 +4947,11 @@ object LlmQueries {
         |FROM documents GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
 
     "q127_random_projection" ->
+      // Exploded scalar rows (vec_id, dim, proj) straight from pcoord —
+      // no list assembly, matching the engine's posexplode output.
       s"""WITH $oProjCtes
-         |SELECT vec_id, pv AS proj FROM pvec ORDER BY vec_id""".stripMargin,
+         |SELECT vec_id, CAST(j AS BIGINT) AS dim, pj AS proj
+         |FROM pcoord ORDER BY vec_id, dim""".stripMargin,
 
     // Recall@5 of projected-space top-k against the exact 64-dim brute
     // force — projection CTEs + the q60 recall-join shape.
@@ -5932,8 +6056,11 @@ object LlmQueries {
         |ORDER BY p.source, p.bin, p.bin_pos""".stripMargin,
 
     // Drift: per-bin conditional counts, HUGEINT (=DECIMAL(38,0))
-    // cross products for the exact TVD numerator, one double division
-    // at the end in the engine's operand order.
+    // cross products for the exact TVD numerator. Round 10: the gate
+    // surface is exact-integer only — 2^30 fixed-point shares via `//`
+    // (floor; operands non-negative, matching Spark DIV) and the
+    // HUGEINT numerator/denominator as VARCHAR — no double or
+    // decimal128 column remains for an environment's hash to bend.
     "q140_drift_audit" ->
       """WITH hist AS (
         |  SELECT lang,
@@ -5948,18 +6075,18 @@ object LlmQueries {
         |         abs(CAST(h.n_ref AS HUGEINT) * t.m -
         |             CAST(h.n_batch AS HUGEINT) * t.n) AS tvd_num
         |  FROM hist h CROSS JOIN tot t),
-        |tv AS (
-        |  SELECT CASE WHEN min(n) > 0 AND min(m) > 0 THEN
-        |           CAST(sum(tvd_num) AS DOUBLE) /
-        |             (2.0 * CAST(min(n) AS DOUBLE) * CAST(min(m) AS DOUBLE))
-        |         END AS tvd
-        |  FROM pb)
+        |tv AS (SELECT CAST(sum(tvd_num) AS HUGEINT) AS num_total FROM pb)
         |SELECT pb.lang, pb.n_ref, pb.n_batch,
-        |       CASE WHEN pb.n > 0
-        |            THEN CAST(pb.n_ref AS DOUBLE) / CAST(pb.n AS DOUBLE) END AS share_ref,
-        |       CASE WHEN pb.m > 0
-        |            THEN CAST(pb.n_batch AS DOUBLE) / CAST(pb.m AS DOUBLE) END AS share_batch,
-        |       pb.tvd_num, tv.tvd
+        |       CASE WHEN pb.n > 0 THEN
+        |         CAST((pb.n_ref * 1073741824) // pb.n AS BIGINT)
+        |       END AS share_ref_q30,
+        |       CASE WHEN pb.m > 0 THEN
+        |         CAST((pb.n_batch * 1073741824) // pb.m AS BIGINT)
+        |       END AS share_batch_q30,
+        |       CAST(pb.tvd_num AS VARCHAR) AS tvd_num_str,
+        |       CAST(tv.num_total AS VARCHAR) AS tvd_num_total_str,
+        |       CAST(CAST(2 AS HUGEINT) * pb.n * pb.m AS VARCHAR)
+        |         AS tvd_den_str
         |FROM pb CROSS JOIN tv
         |ORDER BY pb.lang""".stripMargin,
 
@@ -6763,7 +6890,8 @@ object LlmQueries {
          |h AS (SELECT doc_id, t.term, cat FROM tok t JOIN bl USING (term))
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
          |       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
-         |       list_sort(list_distinct(list(cat))) AS categories
+         |       array_to_string(list_sort(list_distinct(list(cat))), ',')
+         |         AS categories
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Margin cross product keeps observed-zero cells; d and contrib
@@ -8782,7 +8910,7 @@ object LlmQueries {
          |           AS n_oov
          |  FROM enc GROUP BY 1)
          |SELECT d.doc_id,
-         |       COALESCE(a.ids, CAST([] AS BIGINT[])) AS ids,
+         |       COALESCE(array_to_string(a.ids, ','), '') AS ids,
          |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
          |       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov
          |FROM documents d LEFT JOIN agg a USING (doc_id)
@@ -10655,6 +10783,44 @@ object LlmQueries {
          |       CAST(count(p.nid) AS DOUBLE) / 5 AS recall_at_5
          |FROM brute b LEFT JOIN pref p ON p.qid = b.qid AND p.nid = b.nid
          |GROUP BY b.qid ORDER BY b.qid""".stripMargin
-    }
+    },
+
+    // Per-version protocol verdicts are the publish/vacuum CONTRACT
+    // (fixed by the fixture design: v1 orphaned by a crashed sweep,
+    // v2 aged out under keep=2, v3 retained, v4 current) — the engine
+    // side derives them from the actual post-sweep filesystem, so a
+    // sweep bug breaks the hash; retained row counts come from the
+    // source table, checking the surviving snapshots' CONTENT.
+    "q290_snapshot_retention" ->
+      """WITH c3 AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |            FROM documents WHERE doc_id < 300),
+        |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT v.version, v.status,
+        |       CASE WHEN v.version = 3 THEN (SELECT n FROM c3)
+        |            WHEN v.version = 4 THEN (SELECT n FROM c4)
+        |       END AS n_rows
+        |FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'swept_orphan'),
+        |  (CAST(2 AS BIGINT), 'swept_expired'),
+        |  (CAST(3 AS BIGINT), 'retained'),
+        |  (CAST(4 AS BIGINT), 'retained_current'))
+        |  AS v(version, status)
+        |ORDER BY v.version""".stripMargin,
+
+    // The three diff rows are fixed by the staged schema change
+    // (remove lang, add source, retype n_chars bigint->double); the
+    // engine reads them from parquet footers, so a footer-diff bug
+    // breaks the hash; n_to_rows checks the published content.
+    "q291_schema_evolution" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT t."column", t.from_type, t.to_type, t.change,
+        |       c.n AS n_to_rows
+        |FROM (VALUES
+        |  ('lang', 'string', CAST(NULL AS VARCHAR), 'removed'),
+        |  ('n_chars', 'bigint', 'double', 'retyped'),
+        |  ('source', CAST(NULL AS VARCHAR), 'string', 'added'))
+        |  AS t("column", from_type, to_type, change)
+        |CROSS JOIN c
+        |ORDER BY t."column"""".stripMargin
   )
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Offset, Project, Sort, SubqueryAlias}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** Driver-fidelity contract for every gated query (rounds 8–9 burned
+  * five correctness rows on contract violations the local replica was
+  * blind to — this spec mechanizes the three classes BEFORE a dump ever
+  * reaches the driver):
+  *
+  *   1. SORTABILITY — the driver's checker sorts result frames with
+  *      pandas `sort_values`, which raises on list/struct/map columns
+  *      (round 9: q111/q127/q172/q241 were value-exact yet red). Every
+  *      query's OUTPUT schema must be scalar-only; nested data must ship
+  *      as `array_join`/`to_json` strings or exploded rows.
+  *   2. TOTAL ORDER — the driver compares hashes of sorted frames; a
+  *      result without a global ORDER BY can still pass (the driver
+  *      sorts), but an unordered dump makes local-vs-driver diffs
+  *      non-reproducible. Every query must end in a global Sort.
+  *   3. ORACLE COVERAGE — a `queries` entry without an `oracleSql` twin
+  *      silently downgrades to the rows-only check; additions must be
+  *      deliberate (allowlist below), never accidental.
+  *
+  * Analysis-only where possible: schemas come from the resolved logical
+  * plan over the sf0.001 tables — no job runs for most queries (a few
+  * operators collect bounded driver-side state, e.g. trained centroids,
+  * during construction; sf0.001 keeps that cheap).
+  */
+class GateContractSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val built: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> graft.operators.CacheScope.scoped(fn(spark, sfDir))
+    }
+
+  /** Queries intentionally without a DuckDB oracle (driver records the
+    * weaker rows-only check). Currently empty — keep it that way. */
+  private val oracleExempt: Set[String] = Set.empty
+
+  test("every gated query emits only scalar (pandas-sortable) columns") {
+    val offenders = built.flatMap { case (name, df) =>
+      val nested = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+      }
+      if (nested.isEmpty) None else Some(s"$name -> [${nested.mkString(", ")}]")
+    }
+    assert(offenders.isEmpty,
+      s"\nnon-scalar output columns (driver's pandas sorter crashes on these):\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("every gated query ends in a global Sort (total ORDER BY)") {
+    // Accepted shapes: a global Sort at the top (possibly under
+    // order-preserving Project/Filter/SubqueryAlias), a top-k
+    // (Limit/Offset over a global Sort — row set AND order pinned), or
+    // a plan that provably emits at most one row (global aggregate —
+    // order is vacuous).
+    def topSort(p: LogicalPlan): Boolean =
+      if (p.maxRows.exists(_ <= 1)) true
+      else p match {
+        case s: Sort => s.global
+        case p: Project => topSort(p.child)
+        case f: Filter => topSort(f.child)
+        case a: SubqueryAlias => topSort(a.child)
+        case l: GlobalLimit => topSort(l.child)
+        case l: LocalLimit => topSort(l.child)
+        case o: Offset => topSort(o.child)
+        case _ => false
+      }
+    val offenders = built.collect {
+      case (name, df) if !topSort(df.queryExecution.analyzed) => name
+    }
+    assert(offenders.isEmpty,
+      s"\nqueries without a top-level global ORDER BY:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("every gated query has an oracleSql twin (or an explicit exemption)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleExempt
+    val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"queries with no oracle: ${missing.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty, s"oracles with no query: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}

@@ -72,6 +72,19 @@ class TimeseriesSpec extends SparkSpec {
     assert(math.abs(r.map(_.getAs[Double]("support")).sum - 1.0) < 1e-12)
   }
 
+  test("saxMotifs: negative (pre-epoch) buckets use FLOOR frames, not " +
+    "truncation — buckets -1 and +1 land in different frames") {
+    import org.apache.spark.sql.functions.col
+    // Only days -1 and +1 carry events, paaW=2, wordLen=2. Floor
+    // frames: -1 -> frame -1, +1 -> frame 0 — two CONTIGUOUS frames,
+    // exactly one complete 2-frame word. Truncating DIV would put both
+    // days in frame 0 (single frame), yielding ZERO complete words.
+    val df = (Seq.fill(3)(-1L) ++ Seq.fill(5)(1L)).toDF("day")
+    val r = Timeseries.saxMotifs(df, col("day"), paaW = 2, k = 2,
+      wordLen = 2).collect()
+    assert(r.map(_.getAs[Long]("n_frames")).sum === 1L)
+  }
+
   test("saxMotifs: words never bridge a gap in the frame sequence") {
     import org.apache.spark.sql.functions.col
     // days 0,1,2 then 10,11,12: two separate runs, no cross-gap word

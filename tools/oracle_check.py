@@ -19,6 +19,14 @@ hash is not. A small equivalence map covers representation-only
 differences that the driver's hash demonstrably tolerates (string vs
 large_string).
 
+Sortability-strict (round 10): the driver sorts result frames with
+pandas sort_values, which raises "unhashable type: numpy.ndarray" on
+any list/struct/map column — four round-9 rows (q111/q127/q172/q241)
+were value-exact here yet red at the driver for exactly that. This
+replica now rejects ANY non-scalar result column (on either side) with
+a loud FAIL before comparing values, so a query that would crash the
+driver's checker can never PASS locally.
+
 Tooling only (duckdb/pyarrow are driver-side utilities, not library deps).
 """
 import json
@@ -53,6 +61,13 @@ def schema_mismatches(oracle_schema, spark_schema):
         if type_class(f.type) != type_class(st):
             diffs.append((f.name, str(f.type), str(st)))
     return diffs
+
+
+def nonscalar_columns(schema):
+    """Columns the driver's pandas sorter cannot handle (lists, structs,
+    maps — anything nested). Mirrors pandas sort_values' failure mode."""
+    import pyarrow.types as pt
+    return [f.name for f in schema if pt.is_nested(f.type)]
 
 
 def norm(v):
@@ -90,6 +105,14 @@ def main(sf_dir, out_dir, only=None):
             srows = [tuple(r.values()) for r in stab.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: spark output missing/unreadable: {e}")
+            failures += 1
+            continue
+        ns = sorted(set(nonscalar_columns(otab.schema)) |
+                    set(nonscalar_columns(stab.schema)))
+        if ns:
+            print(f"FAIL {name}: NON-SCALAR result columns {ns} — the "
+                  f"driver's pandas sort_values crashes on these; emit "
+                  f"array_join/to_json strings or explode to rows")
             failures += 1
             continue
         if sorted(ocols) != sorted(scols):
