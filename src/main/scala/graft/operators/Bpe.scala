@@ -87,6 +87,76 @@ object Bpe {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Greedy longest-match ("MaxMatch" — WordPiece-inference style)
+    * segmentation statistics under a FIXED subword vocabulary: at each
+    * position take the longest vocab unit that matches, else consume
+    * one character as UNK — the APPLY side of the tokenizer lifecycle
+    * ([[trainMerges]] learns units; serving tokenizes with a frozen
+    * vocab, and its token counts are what context-window budgeting
+    * actually pays).
+    *
+    * Scale shape (the [[bpeTokenCount]] discipline): the corpus is
+    * touched once for (doc, word) rows; segmentation runs on the
+    * DISTINCT-WORD table only — vocabulary-bounded, map-only, no
+    * shuffle beyond the final per-doc sum. The vocab rides the plan as
+    * an array literal (the PQ-codebook/blocklist precedent), so the
+    * matcher costs |word|·maxTokenLen literal probes per distinct word
+    * — no join, no broadcast round-trip.
+    *
+    * Determinism: the fold is position-integer arithmetic only (no
+    * floats), longest candidate wins, all lengths guarded to the word
+    * boundary — the DuckDB oracle replays the identical fold via
+    * list_reduce, so every count hash-gates bit-for-bit.
+    *
+    * @param vocab non-empty subword units (driver literal, bounded —
+    *              hundreds; for production-size vocabs broadcast-join a
+    *              prefix table instead)
+    * @return (idCol, n_words, n_tokens, n_unk_chars) — n_tokens counts
+    *         UNK single-char emissions too; docs with no words keep
+    *         zeros.
+    */
+  def maxMatchTokenCount(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "bad vocab")
+    val maxLen = vocab.map(_.length).max
+    val vlit = typedlit(vocab)
+    val docWords = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val seg = docWords.select("w").distinct()
+      .withColumn("__L", length(col("w")))
+      .withColumn("__st",
+        aggregate(sequence(lit(1), col("__L")),
+          struct(lit(1).as("pos"), lit(0L).as("ntok"), lit(0L).as("nunk")),
+          (st, _) => {
+            val pos = st.getField("pos")
+            val matched = coalesce((maxLen to 1 by -1).map { k =>
+              when(pos + lit(k - 1) <= col("__L") &&
+                array_contains(vlit, col("w").substr(pos, lit(k))), lit(k))
+            }: _*)
+            when(pos > col("__L"), st).otherwise(
+              when(matched.isNotNull,
+                struct((pos + matched).as("pos"),
+                  (st.getField("ntok") + 1L).as("ntok"),
+                  st.getField("nunk").as("nunk")))
+                .otherwise(
+                  struct((pos + 1).as("pos"),
+                    (st.getField("ntok") + 1L).as("ntok"),
+                    (st.getField("nunk") + 1L).as("nunk"))))
+          }))
+      .select(col("w"), col("__st.ntok").as("__nt"),
+        col("__st.nunk").as("__nu"))
+    val stats = docWords.join(seg, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__nu")).as("n_unk_chars"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk_chars"), lit(0L)).as("n_unk_chars"))
+  }
+
   /** Training loop core: (merge list, final cached word table
     * (w, cnt, syms)).
     */

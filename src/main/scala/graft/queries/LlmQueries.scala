@@ -3564,8 +3564,32 @@ object LlmQueries {
         .select(col("column"), col("from_type"), col("to_type"),
           col("change"), col("n_to_rows"))
         .orderBy("column")
-    })
+    }),
+
+    // Greedy longest-match (WordPiece-inference) tokenization under a
+    // FROZEN vocab — the APPLY side of the tokenizer family (q92–q94
+    // train; this is what serving pays per doc). The vocab deliberately
+    // overlaps ("ta"/"tab"/"table"-style prefixes) so the gate tests
+    // the longest-wins decision, not just membership; per-doc token/
+    // UNK counts are exact integers, fertility one division.
+    "q292_maxmatch_tokens" -> ((s, dir) =>
+      graft.operators.Bpe.maxMatchTokenCount(t(s, dir, "documents"),
+        "doc_id", "text", maxMatchVocab)
+        .withColumn("fertility", when(col("n_words") > 0,
+          col("n_tokens").cast("double") / col("n_words").cast("double")))
+        .orderBy("doc_id"))
   )
+
+  /** q292's frozen subword vocab: full single-char coverage (a–z) so
+    * alpha text never UNKs, plus multi-char units chosen to overlap on
+    * this corpus's vocabulary ("t|ta|tab" prefixes, "scan" vs "s·can")
+    * — the longest-match decision is exercised on nearly every word.
+    */
+  private val maxMatchVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ Seq(
+      "th", "he", "ta", "le", "an", "ar", "rt", "ow", "the", "tab",
+      "ble", "val", "lue", "row", "scan", "part", "hash", "sort",
+      "win", "dow")
 
   /** q169/q170's shared eval set: q102's distilled linear model served
     * over the gate's features, score quantized to fixed point
@@ -10821,6 +10845,59 @@ object LlmQueries {
         |  ('source', CAST(NULL AS VARCHAR), 'string', 'added'))
         |  AS t("column", from_type, to_type, change)
         |CROSS JOIN c
-        |ORDER BY t."column"""".stripMargin
+        |ORDER BY t."column"""".stripMargin,
+
+    // MaxMatch: the identical position walk as a RECURSIVE CTE — one
+    // step per emitted token, the longest-candidate coalesce and
+    // boundary guards generated from the SAME maxLen..1 loop as the
+    // engine's lambda, so every decision (including longest-wins on
+    // overlapping units) is integer-exact cross-engine. Recursive CTE
+    // rather than list_reduce: DuckDB 1.0.0's list_reduce returned
+    // BATCH-CONTEXT-DEPENDENT results on a 600-step fold (same CTE,
+    // different answer with/without a pushed filter — caught by the
+    // fuzz corpus's 600-char single-token doc), so the oracle walks
+    // the well-tested recursion path instead. Every step advances pos
+    // by >= 1, so the recursion depth is the longest word.
+    "q292_maxmatch_tokens" ->
+      s"""WITH RECURSIVE dwords AS (
+         |  SELECT DISTINCT unnest($oToks) AS w FROM documents),
+         |walk(w, pos, ntok, nunk) AS (
+         |  SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dwords
+         |  UNION ALL
+         |  SELECT w,
+         |         pos + coalesce($oMaxMatchPick, 1),
+         |         ntok + 1,
+         |         nunk + CASE WHEN $oMaxMatchPick IS NULL THEN 1 ELSE 0 END
+         |  FROM walk WHERE pos <= length(w)),
+         |seg AS (SELECT w, ntok, nunk FROM walk WHERE pos > length(w)),
+         |tok AS (SELECT doc_id, unnest($oToks) AS w FROM documents),
+         |agg AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(s.ntok) AS BIGINT) AS n_tokens,
+         |         CAST(sum(s.nunk) AS BIGINT) AS n_unk_chars
+         |  FROM tok t JOIN seg s USING (w) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(a.n_unk_chars, 0) AS BIGINT) AS n_unk_chars,
+         |       CASE WHEN COALESCE(a.n_words, 0) > 0
+         |            THEN CAST(a.n_tokens AS DOUBLE) /
+         |                 CAST(a.n_words AS DOUBLE) END AS fertility
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
+
+  /** q292: the longest-candidate picker, generated from the SAME
+    * maxLen..1 loop as [[graft.operators.Bpe.maxMatchTokenCount]]'s
+    * lambda (boundary guard + literal-vocab membership per length);
+    * written against the recursion's bare `pos`/`w` columns.
+    */
+  private def oMaxMatchPick: String = {
+    val vlit = maxMatchVocab.map(v => s"'$v'").mkString("[", ", ", "]")
+    val maxLen = maxMatchVocab.map(_.length).max
+    (maxLen to 1 by -1).map { k =>
+      s"CASE WHEN pos + ${k - 1} <= length(w) AND " +
+        s"list_contains($vlit, substr(w, pos, $k)) THEN $k END"
+    }.mkString("coalesce(", ", ", ")")
+  }
 }

@@ -66,4 +66,29 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2)))
     assert(out.head === (("a", "b")))
   }
+
+  test("maxMatchTokenCount: longest unit wins, UNK consumes one char, empty docs keep zeros") {
+    val vocab = Seq("a", "b", "ab", "abc")
+    val docs = Seq(
+      (1L, "abcab"),  // "abc"+"ab" = 2 tokens (longest-first, NOT a+b+c...)
+      (2L, "abz"),    // "ab" + UNK(z) = 2 tokens, 1 unk
+      (3L, "zz"),     // UNK+UNK = 2 tokens, 2 unk
+      (4L, "")        // no words
+    ).toDF("id", "text")
+    val out = Bpe.maxMatchTokenCount(docs, "id", "text", vocab)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, 1L, 2L, 0L)))
+    assert(out(1) === ((2L, 1L, 2L, 1L)))
+    assert(out(2) === ((3L, 1L, 2L, 2L)))
+    assert(out(3) === ((4L, 0L, 0L, 0L)))
+  }
+
+  test("maxMatchTokenCount: a failed long candidate falls back, not skips — 'aab' with vocab {ab,a}") {
+    // at pos 1 the longest match is "a" (not "aa"); then "ab" — 2 tokens
+    val docs = Seq((1L, "aab")).toDF("id", "text")
+    val out = Bpe.maxMatchTokenCount(docs, "id", "text", Seq("ab", "a"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head === ((1L, 2L, 0L)))
+  }
 }
