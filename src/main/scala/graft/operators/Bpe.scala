@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BPE merge training — learn the byte-pair-encoding merge list from the
@@ -118,31 +118,11 @@ object Bpe {
   def maxMatchTokenCount(docs: DataFrame, idCol: String, textCol: String,
                          vocab: Seq[String]): DataFrame = {
     require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "bad vocab")
-    val maxLen = vocab.map(_.length).max
-    val vlit = typedlit(vocab)
     val docWords = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("w"))
     val seg = docWords.select("w").distinct()
       .withColumn("__L", length(col("w")))
-      .withColumn("__st",
-        aggregate(sequence(lit(1), col("__L")),
-          struct(lit(1).as("pos"), lit(0L).as("ntok"), lit(0L).as("nunk")),
-          (st, _) => {
-            val pos = st.getField("pos")
-            val matched = coalesce((maxLen to 1 by -1).map { k =>
-              when(pos + lit(k - 1) <= col("__L") &&
-                array_contains(vlit, col("w").substr(pos, lit(k))), lit(k))
-            }: _*)
-            when(pos > col("__L"), st).otherwise(
-              when(matched.isNotNull,
-                struct((pos + matched).as("pos"),
-                  (st.getField("ntok") + 1L).as("ntok"),
-                  st.getField("nunk").as("nunk")))
-                .otherwise(
-                  struct((pos + 1).as("pos"),
-                    (st.getField("ntok") + 1L).as("ntok"),
-                    (st.getField("nunk") + 1L).as("nunk"))))
-          }))
+      .withColumn("__st", segFold(col("w"), col("__L"), vocab))
       .select(col("w"), col("__st.ntok").as("__nt"),
         col("__st.nunk").as("__nu"))
     val stats = docWords.join(seg, "w")
@@ -155,6 +135,60 @@ object Bpe {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_unk_chars"), lit(0L)).as("n_unk_chars"))
+  }
+
+  /** The MaxMatch position fold over one word: state struct
+    * (pos, ntok, nunk), longest vocab candidate first, UNK advances one
+    * char. `len` must be a PRE-BOUND length column (a materialized
+    * column or a zipped struct field), never `length(w)` inline — an
+    * inline length() re-counts the word's chars on every candidate
+    * probe of every iteration (the SCALE.md HOF trap).
+    */
+  private def segFold(w: Column, len: Column,
+                      vocab: Seq[String]): Column = {
+    val maxLen = vocab.map(_.length).max
+    val vlit = typedlit(vocab)
+    aggregate(sequence(lit(1), len),
+      struct(lit(1).as("pos"), lit(0L).as("ntok"), lit(0L).as("nunk")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val matched = coalesce((maxLen to 1 by -1).map { k =>
+          when(pos + lit(k - 1) <= len &&
+            array_contains(vlit, w.substr(pos, lit(k))), lit(k))
+        }: _*)
+        when(pos > len, st).otherwise(
+          when(matched.isNotNull,
+            struct((pos + matched).as("pos"),
+              (st.getField("ntok") + 1L).as("ntok"),
+              st.getField("nunk").as("nunk")))
+            .otherwise(
+              struct((pos + 1).as("pos"),
+                (st.getField("ntok") + 1L).as("ntok"),
+                (st.getField("nunk") + 1L).as("nunk"))))
+      })
+  }
+
+  /** ROW-LOCAL MaxMatch counts — the streaming-safe variant: a pure
+    * projection returning struct(n_words, n_tokens, n_unk_chars) for
+    * one text value, no distinct-word table, no shuffle — composable
+    * into a stateless stream (the winnow/curation-chain discipline).
+    * Prefer [[maxMatchTokenCount]] for batch corpora: it pays the
+    * segmentation once per DISTINCT word; this pays it per occurrence.
+    */
+  def maxMatchCounts(text: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "bad vocab")
+    val toks = transform(TextAnalysis.tokens(text),
+      w => struct(w.as("w"), length(w).as("len")))
+    aggregate(toks,
+      struct(lit(0L).as("n_words"), lit(0L).as("n_tokens"),
+        lit(0L).as("n_unk_chars")),
+      (acc, t) => {
+        val st = segFold(t.getField("w"), t.getField("len"), vocab)
+        struct((acc.getField("n_words") + 1L).as("n_words"),
+          (acc.getField("n_tokens") + st.getField("ntok")).as("n_tokens"),
+          (acc.getField("n_unk_chars") + st.getField("nunk"))
+            .as("n_unk_chars"))
+      })
   }
 
   /** Training loop core: (merge list, final cached word table

@@ -3577,7 +3577,41 @@ object LlmQueries {
         "doc_id", "text", maxMatchVocab)
         .withColumn("fertility", when(col("n_words") > 0,
           col("n_tokens").cast("double") / col("n_words").cast("double")))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // HLL MERGEABILITY, gated: elementwise-max of per-SOURCE register
+    // sketches must equal the global sketch built in one pass — THE
+    // property that lets 1000 executors sketch shards independently
+    // and combine at the driver (and lets yesterday's sketch absorb
+    // today's without rescanning). The gate pins both register vectors
+    // bit-for-bit, their equality, and the merged estimate against the
+    // exact global distinct count.
+    "q293_sketch_merge" -> ((s, dir) => {
+      val items = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), col("text").as("t"))
+      val perSrc = graft.operators.Sketch.hllRegisterTable(
+        items, "source", "t", b = 4)
+      val merged = perSrc
+        .select(posexplode(col("regs")).as(Seq("b", "r")))
+        .groupBy("b").agg(max(col("r")).as("r"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("b"), col("r")))),
+          x => x.getField("r")).as("mregs"))
+      val globalR = graft.operators.Sketch.hllRegisterTable(
+          items.withColumn("__g", lit(1)), "__g", "t", b = 4)
+        .select(col("regs").as("gregs"))
+      val exact = items.agg(countDistinct(col("t")).as("n_exact"))
+      merged.crossJoin(globalR).crossJoin(exact)
+        .select(
+          array_join(col("mregs").cast("array<string>"), ",")
+            .as("merged_regs"),
+          array_join(col("gregs").cast("array<string>"), ",")
+            .as("global_regs"),
+          (col("mregs") === col("gregs")).as("mergeable"),
+          graft.operators.Sketch.hllEstimate("mregs", b = 4).as("est"),
+          col("n_exact"))
+        .orderBy("merged_regs")
+    })
   )
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
@@ -10884,7 +10918,52 @@ object LlmQueries {
          |            THEN CAST(a.n_tokens AS DOUBLE) /
          |                 CAST(a.n_words AS DOUBLE) END AS fertility
          |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Mergeability: the q111 register chain grouped by source, the
+    // per-bucket max across sources, and the same chain ungrouped —
+    // the associativity of per-bucket max means both produce the same
+    // registers, which the ENGINE must demonstrate (it builds both and
+    // compares); the oracle derives the registers once and asserts the
+    // equality as the protocol constant TRUE, so any engine-side merge
+    // bug breaks the hash. Hash chain and harmonic sum are q111's
+    // fuzz-proven lines verbatim.
+    "q293_sketch_merge" ->
+      s"""WITH tok AS (
+         |  SELECT source AS g, text AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |h0 AS (SELECT g, ${oPolyHash("t")} AS h FROM tok),
+         |hm AS (
+         |  SELECT g, xor(e, e >> 16) AS hv FROM (
+         |    SELECT g, (xor(b, b >> 13) * 1103515245) % 2147483648 AS e
+         |    FROM (
+         |      SELECT g, (xor(h, h >> 15) * 1540483477) % 2147483648 AS b
+         |      FROM h0))),
+         |br AS (
+         |  SELECT g, hv % 16 AS bucket,
+         |         CASE WHEN hv // 16 = 0 THEN 28
+         |              ELSE 28 - length(bin(hv // 16)) END AS rnk
+         |  FROM hm),
+         |mrgd AS (
+         |  SELECT gs.b AS bucket,
+         |         coalesce(mx.reg, CAST(0 AS BIGINT)) AS reg
+         |  FROM (SELECT unnest(range(16)) AS b) gs
+         |  LEFT JOIN (SELECT bucket, CAST(max(rnk) AS BIGINT) AS reg
+         |             FROM br GROUP BY 1) mx ON mx.bucket = gs.b),
+         |mregs AS (SELECT list(reg ORDER BY bucket) AS regs FROM mrgd),
+         |ex AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_exact
+         |       FROM tok)
+         |SELECT array_to_string(m.regs, ',') AS merged_regs,
+         |       array_to_string(m.regs, ',') AS global_regs,
+         |       TRUE AS mergeable,
+         |       (CAST(0.673 AS DOUBLE) * 256)
+         |         / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(m.regs, x -> CAST(1.0 AS DOUBLE)
+         |               / CAST((CAST(1 AS BIGINT) << x) AS DOUBLE))),
+         |             (a, x) -> a + x) AS est,
+         |       ex.n_exact
+         |FROM mregs m CROSS JOIN ex
+         |ORDER BY merged_regs""".stripMargin
   )
 
   /** q292: the longest-candidate picker, generated from the SAME

@@ -368,6 +368,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("maxmatch token counts stream statelessly (row-local variant)") {
+    // Bpe.maxMatchCounts is a pure projection (no distinct-word table),
+    // so it joins the stateless curation chain: batch/stream outputs
+    // match row-for-row, and the row-local counts agree with the batch
+    // operator's distinct-word path on the same docs.
+    import graft.operators.Bpe
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Seq("a", "b", "o", "f", "x", "ab", "fo", "fox")
+    def counted(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Bpe.maxMatchCounts(col("text"), vocab).as("mm"))
+        .select(col("doc_id"), col("mm.n_words"), col("mm.n_tokens"),
+          col("mm.n_unk_chars"))
+    val docs = Seq(
+      Doc(1L, ts(0), "fox ab abab"),
+      Doc(2L, ts(1), "zzz fo"),
+      Doc(3L, ts(2), ""))
+    val input = MemoryStream[Doc]
+    val query = counted(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("mmcounts").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("mmcounts").orderBy("doc_id").collect().map(_.toSeq)
+      val batch = counted(docs.toDF()).orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      // row-local counts == batch operator's distinct-word path
+      val op = Bpe.maxMatchTokenCount(docs.toDF(), "doc_id", "text", vocab)
+        .orderBy("doc_id").collect()
+        .map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(batch.map(_.toSeq).toSeq === op.toSeq)
+      // fox=1 token, ab=1, abab=2 -> doc1: 3 words, 4 tokens, 0 unk
+      assert(batch(0) === Seq(1L, 3L, 4L, 0L))
+      // zzz=3 UNK chars + fo=1 token -> doc2: 2 words, 4 tokens, 3 unk
+      assert(batch(1) === Seq(2L, 2L, 4L, 3L))
+    } finally query.stop()
+  }
+
   test("winnow fingerprints stream statelessly (row-local variant)") {
     // fingerprintArray is a pure projection, so winnowing joins the
     // stateless curation chain: batch/stream outputs match row-for-row.
