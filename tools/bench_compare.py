@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Round-over-round per-query bench comparison.
+
+Usage: python3 tools/bench_compare.py <old_bench.json> <new_bench.json> [ratio]
+
+Each file is a Bench full-output line (the committed bench_local_rN.json:
+{"queries": {name: sec, ...}, "value": total, ...}). Prints queries whose
+time moved by more than `ratio` (default 1.5x) in either direction, plus
+added/removed queries and the total delta — the check VERDICT.md r9
+called impossible from driver artifacts alone (the driver log tail keeps
+only ~68 of 290+ per-query times; the committed local file keeps all).
+
+Round-8 calibration: same-code best-of-3 runs still move up to ~1.5x on
+sub-second queries and 30-47% on the >=1s band, so treat single-round
+movers as candidates to re-measure (best-of-5 probe), not verdicts.
+"""
+import json
+import sys
+
+
+def main(old_path, new_path, ratio=1.5):
+    old = json.load(open(old_path))["queries"]
+    new_full = json.load(open(new_path))
+    new = new_full["queries"]
+    both = sorted(set(old) & set(new))
+    movers = []
+    for q in both:
+        a, b = old[q], new[q]
+        if a <= 0 or b <= 0:
+            continue
+        r = b / a
+        if r > ratio or r < 1 / ratio:
+            movers.append((r, q, a, b))
+    movers.sort(reverse=True)
+    for r, q, a, b in movers:
+        arrow = "SLOWER" if r > 1 else "faster"
+        print(f"{q}: {a:.3f}s -> {b:.3f}s ({r:.2f}x {arrow})")
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    tot_old = sum(old[q] for q in both)
+    tot_new = sum(new[q] for q in both)
+    print(f"== {len(both)} shared queries: {tot_old:.1f}s -> {tot_new:.1f}s "
+          f"({tot_new / tot_old:.2f}x); {len(movers)} movers beyond "
+          f"{ratio}x ==")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  float(sys.argv[3]) if len(sys.argv) > 3 else 1.5))
