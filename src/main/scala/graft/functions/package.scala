@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, IntegralDivide, Literal, Pmod, Subtract}
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -23,6 +23,25 @@ package object functions {
 
   def tryCastInt(c: Column): Column = tryCast(c, IntegerType)
   def tryCastDouble(c: Column): Column = tryCast(c, DoubleType)
+
+  /** FLOOR integer division of a BIGINT column by a positive constant.
+    *
+    * Spark's `DIV` truncates toward zero while DuckDB's `//` floors, so
+    * any gated bucket expression over a possibly-NEGATIVE integer (e.g.
+    * pre-epoch nanos → day buckets) silently diverges cross-engine on
+    * the negative range: DIV merges buckets −1 and +1 into 0. pmod
+    * (always non-negative) makes the dividend exactly divisible, so the
+    * IntegralDivide equals the true floor over the whole long range —
+    * no float round-trip (nanos exceed 2^53; a double division here
+    * would be inexact).
+    */
+  def floorDivLit(x: Column, d: Long): Column = {
+    require(d > 0, "floorDivLit divisor must be positive")
+    val xe = toExpression(x.cast(LongType))
+    val de = Literal(d)
+    toColumn(new IntegralDivide(
+      new Subtract(xe, new Pmod(xe, de)), de))
+  }
 
   /** Dot product of two equal-length numeric array columns, computed in
     * Double. Codegen-friendly (zip_with + aggregate are Catalyst

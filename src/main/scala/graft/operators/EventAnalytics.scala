@@ -93,13 +93,17 @@ object EventAnalytics {
                        bucketDays: Int): DataFrame = {
     require(bucketDays >= 1)
     val dayNs = 86400000000000L
+    // FLOOR day/cohort buckets (graft.functions.floorDivLit), not bare
+    // DIV: truncation would merge pre-epoch day -0.x with +0.x into
+    // bucket 0 and diverge from the oracle's floored `//`.
     val ev = events.select(col(userCol).as("__u"),
-      expr(s"CAST(${tsCol} AS BIGINT) DIV $dayNs").as("__day"))
+      graft.functions.floorDivLit(col(tsCol), dayNs).as("__day"))
       .filter(col("__u").isNotNull && col("__day").isNotNull)
     val first = ev.groupBy("__u").agg(min(col("__day")).as("__d0"))
     ev.join(first, "__u")
       .select(col("__u"),
-        expr(s"__d0 DIV $bucketDays").as("cohort"),
+        graft.functions.floorDivLit(col("__d0"), bucketDays.toLong)
+          .as("cohort"),
         expr(s"(__day - __d0) DIV $bucketDays").as("offset"))
       .distinct()
       .groupBy("cohort", "offset")

@@ -1403,7 +1403,7 @@ object LlmQueries {
       val daily = RelationalQueries.events(s, dir)
         .filter(col("user_id") < 20)
         .groupBy(col("user_id"),
-          date_from_unix_date(expr("ts DIV 86400000000000").cast("int"))
+          date_from_unix_date(graft.functions.floorDivLit(col("ts"), 86400000000000L).cast("int"))
             .as("day"))
         .agg(max(col("value")).as("v"))
       graft.operators.Timeseries.densifyLocf(daily, "user_id", "day", "v")
@@ -1557,7 +1557,7 @@ object LlmQueries {
     // naive duration sums double-count. One window pass per key, no
     // overlap self-join; integer seconds end to end.
     "q165_interval_union" -> ((s, dir) => {
-      val secs = expr("ts DIV 1000000000")
+      val secs = graft.functions.floorDivLit(col("ts"), 1000000000L)
       graft.operators.EventAnalytics.intervalCoverage(
         RelationalQueries.events(s, dir), "user_id",
         secs, secs + lit(60L) + floor(abs(col("value"))).cast("long"))
@@ -2074,7 +2074,7 @@ object LlmQueries {
     "q201_cusum" -> ((s, dir) =>
       graft.operators.EventAnalytics.cusumCounts(
         graft.io.TableIO.eventsNanos(s, dir),
-        expr("ts DIV 86400000000000"), alarmH = 1)
+        graft.functions.floorDivLit(col("ts"), 86400000000000L), alarmH = 1)
         .orderBy("bucket")),
 
     // MinHash-LSH S-curve planner: p(s) = 1−(1−s^r)^b over a similarity
@@ -2138,7 +2138,7 @@ object LlmQueries {
     "q208_rolling_mad" -> ((s, dir) =>
       graft.operators.EventAnalytics.rollingMadAnomaly(
         graft.io.TableIO.eventsNanos(s, dir),
-        expr("ts DIV 86400000000000"), w = 7, k = 3)
+        graft.functions.floorDivLit(col("ts"), 86400000000000L), w = 7, k = 3)
         .orderBy("bucket")),
 
     // Argmax-F1 operating point of the distilled classifier — one row
@@ -2357,7 +2357,7 @@ object LlmQueries {
     "q223_cusum_by_type" -> ((s, dir) =>
       graft.operators.EventAnalytics.cusumCountsByGroup(
         graft.io.TableIO.eventsNanos(s, dir), col("event_type"),
-        expr("ts DIV 86400000000000"), alarmH = 1)
+        graft.functions.floorDivLit(col("ts"), 86400000000000L), alarmH = 1)
         .orderBy("group", "bucket")),
 
     // Top journey prefixes: the most common first-3 event-type
@@ -2400,7 +2400,7 @@ object LlmQueries {
     "q227_mad_by_type" -> ((s, dir) =>
       graft.operators.EventAnalytics.rollingMadAnomalyByGroup(
         graft.io.TableIO.eventsNanos(s, dir), col("event_type"),
-        expr("ts DIV 86400000000000"), w = 7, k = 3)
+        graft.functions.floorDivLit(col("ts"), 86400000000000L), w = 7, k = 3)
         .orderBy("group", "bucket")),
 
     // Cramér's V over (source, lang): q173's cells reduced to the one
@@ -2542,7 +2542,7 @@ object LlmQueries {
     "q239_sax_motifs" -> ((s, dir) =>
       graft.operators.Timeseries.saxMotifs(
         graft.io.TableIO.eventsNanos(s, dir),
-        expr("ts DIV 86400000000000"), paaW = 2, k = 4, wordLen = 3)
+        graft.functions.floorDivLit(col("ts"), 86400000000000L), paaW = 2, k = 4, wordLen = 3)
         .orderBy("word")),
 
     // Simpson's-paradox audit: per-lang length-punctuation association
@@ -2703,7 +2703,7 @@ object LlmQueries {
     "q253_dispersion" -> ((s, dir) =>
       graft.operators.EventAnalytics.dispersionByGroup(
         graft.io.TableIO.eventsNanos(s, dir), col("event_type"),
-        expr("ts DIV 86400000000000")).orderBy("group")),
+        graft.functions.floorDivLit(col("ts"), 86400000000000L)).orderBy("group")),
 
     // Jain's fairness index of the source mix: (Σx)²/(n·Σx²) — the
     // one-number balance read, no ordering needed.
@@ -2843,7 +2843,7 @@ object LlmQueries {
     "q263_kaplan_meier" -> ((s, dir) =>
       graft.operators.EventAnalytics.kaplanMeier(
         graft.io.TableIO.eventsNanos(s, dir), "user_id",
-        expr("ts DIV 86400000000000"), censorGapDays = 7L)
+        graft.functions.floorDivLit(col("ts"), 86400000000000L), censorGapDays = 7L)
         .orderBy("t")),
 
     // Weekday seasonal decomposition of daily event volume: per-weekday
@@ -2853,7 +2853,7 @@ object LlmQueries {
     "q264_seasonality" -> ((s, dir) =>
       graft.operators.EventAnalytics.weekdayDecomposition(
         graft.io.TableIO.eventsNanos(s, dir),
-        expr("ts DIV 86400000000000")).orderBy("bucket")),
+        graft.functions.floorDivLit(col("ts"), 86400000000000L)).orderBy("bucket")),
 
     // Column ENCODING advisor along the (orderkey, linenumber) physical
     // order: rows/NDV/runs per column and the RLE-vs-dict-vs-plain
@@ -2873,7 +2873,7 @@ object LlmQueries {
     // the spike's leverage); both lines in one row per horizon day.
     "q289_robust_trend" -> ((s, dir) => {
       val daily = graft.io.TableIO.eventsNanos(s, dir)
-        .groupBy(expr("ts DIV 86400000000000").as("d"))
+        .groupBy(graft.functions.floorDivLit(col("ts"), 86400000000000L).as("d"))
         .agg(count(lit(1)).as("y"))
         .withColumn("__g", lit(1))
       val clipped = graft.operators.ExactQuantiles.winsorizeByGroup(
@@ -3210,7 +3210,7 @@ object LlmQueries {
     // ops read, exact sufficient statistics under a fixed-shape line.
     "q278_capacity_forecast" -> ((s, dir) => {
       val daily = graft.io.TableIO.eventsNanos(s, dir)
-        .groupBy(expr("ts DIV 86400000000000").as("d"))
+        .groupBy(graft.functions.floorDivLit(col("ts"), 86400000000000L).as("d"))
         .agg(count(lit(1)).as("y"))
       val bounds = daily.agg(min(col("d")).as("__d0"),
         max(col("d")).as("__dmax"))
@@ -3246,10 +3246,13 @@ object LlmQueries {
     // read on top of q110's retention counts.
     "q274_cohort_ltv" -> ((s, dir) => {
       val ev = graft.io.TableIO.eventsNanos(s, dir)
-        .select(col("user_id"), expr("ts DIV 86400000000000").as("__d"),
+        .select(col("user_id"), graft.functions.floorDivLit(col("ts"), 86400000000000L).as("__d"),
           floor(col("value") * lit(100.0)).cast("long").as("__c"))
       val first = ev.groupBy("user_id").agg(min(col("__d")).as("__f"))
-      val sized = first.withColumn("cohort", expr("__f DIV 7"))
+      // FLOOR, not DIV: __f (a user's first epoch-day) can be negative
+      // for pre-epoch events, and the oracle's `//` floors.
+      val sized = first.withColumn("cohort",
+        graft.functions.floorDivLit(col("__f"), 7L))
       val cohortUsers = sized.groupBy("cohort")
         .agg(count(lit(1)).as("cohort_users"))
       val cells = ev.join(sized, "user_id")
@@ -3396,7 +3399,7 @@ object LlmQueries {
     "q266_changepoint" -> ((s, dir) =>
       graft.operators.EventAnalytics.binaryChangepoint(
         graft.io.TableIO.eventsNanos(s, dir),
-        expr("ts DIV 86400000000000"))),
+        graft.functions.floorDivLit(col("ts"), 86400000000000L))),
 
     // RFM segmentation: per-user recency/frequency/monetary quartile
     // codes (tie-stable value-ntiles) histogrammed into segments — the
@@ -3404,7 +3407,7 @@ object LlmQueries {
     "q267_rfm" -> ((s, dir) => {
       val ev = graft.io.TableIO.eventsNanos(s, dir)
       val perUser = ev.groupBy(col("user_id"))
-        .agg(max(expr("ts DIV 86400000000000")).as("__last"),
+        .agg(max(graft.functions.floorDivLit(col("ts"), 86400000000000L)).as("__last"),
           count(lit(1)).as("frequency"),
           sum(floor(col("value") * lit(100.0)).cast("long")).as("monetary"))
       val hz = perUser.agg(max(col("__last")).as("__h"))
@@ -6412,7 +6415,7 @@ object LlmQueries {
       """WITH daily AS (
         |  SELECT user_id,
         |         DATE '1970-01-01' +
-        |           CAST(epoch_ns(ts) // 86400000000000 AS INTEGER) AS day,
+        |           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER) AS day,
         |         max(value) AS v
         |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
         |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
@@ -6736,8 +6739,8 @@ object LlmQueries {
     // close the merge.
     "q165_interval_union" ->
       """WITH iv AS (
-        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s,
-        |         epoch_ns(ts) // 1000000000 + 60 +
+        |  SELECT user_id, ((epoch_ns(ts) - (((epoch_ns(ts) % 1000000000) + 1000000000) % 1000000000)) // 1000000000) AS s,
+        |         ((epoch_ns(ts) - (((epoch_ns(ts) % 1000000000) + 1000000000) % 1000000000)) // 1000000000) + 60 +
         |           CAST(floor(abs(value)) AS BIGINT) AS e
         |  FROM events),
         |f AS (
@@ -7730,7 +7733,7 @@ object LlmQueries {
     // to the engine's ROWS frame.
     "q201_cusum" ->
       """WITH h AS (
-        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS bucket,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -7854,7 +7857,7 @@ object LlmQueries {
     // medians — integer-exact, warm-up rows NULL.
     "q208_rolling_mad" ->
       """WITH h AS (
-        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS bucket,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1),
         |w AS (
@@ -8301,7 +8304,7 @@ object LlmQueries {
     "q223_cusum_by_type" ->
       """WITH h AS (
         |  SELECT event_type AS grp,
-        |         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS bucket,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
         |tot AS (
@@ -8379,7 +8382,7 @@ object LlmQueries {
     "q227_mad_by_type" ->
       """WITH h AS (
         |  SELECT event_type AS grp,
-        |         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS bucket,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
         |w AS (
@@ -8872,7 +8875,7 @@ object LlmQueries {
     // only (the lead(f,2) = f+2 guard), counted exactly.
     "q239_sax_motifs" ->
       """WITH h AS (
-        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS b,
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS b,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1),
         |paa AS (
@@ -9350,7 +9353,7 @@ object LlmQueries {
     "q253_dispersion" ->
       """WITH h AS (
         |  SELECT event_type AS "group",
-        |         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS b,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS b,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1, 2),
         |a AS (
@@ -9668,8 +9671,8 @@ object LlmQueries {
     "q263_kaplan_meier" ->
       """WITH sp AS (
         |  SELECT user_id,
-        |         CAST(min(epoch_ns(ts) // 86400000000000) AS BIGINT) AS f,
-        |         CAST(max(epoch_ns(ts) // 86400000000000) AS BIGINT) AS l
+        |         CAST(min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS BIGINT) AS f,
+        |         CAST(max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS BIGINT) AS l
         |  FROM events GROUP BY 1),
         |hz AS (SELECT max(l) AS h FROM sp),
         |obs AS (
@@ -9704,10 +9707,11 @@ object LlmQueries {
     // broadcast back; mean and residual in fixed shapes.
     "q264_seasonality" ->
       """WITH d AS (
-        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS bucket,
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS bucket,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1),
-        |dd AS (SELECT bucket, x, bucket % 7 AS weekday FROM d),
+        |dd AS (SELECT bucket, x,
+        |              ((bucket % 7) + 7) % 7 AS weekday FROM d),
         |wd AS (
         |  SELECT weekday, CAST(count(*) AS BIGINT) AS wd_n,
         |         CAST(sum(x) AS BIGINT) AS wd_sum
@@ -9743,7 +9747,7 @@ object LlmQueries {
            |         END AS intercept_$sfx
            |  FROM s_$sfx)""".stripMargin
       s"""WITH daily AS (
-         |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
          |         CAST(count(*) AS BIGINT) AS y
          |  FROM events GROUP BY 1),
          |bd AS (SELECT min(d) AS d0, max(d) AS dmax FROM daily),
@@ -10293,7 +10297,7 @@ object LlmQueries {
       val slope = """(CAST(n * sxy - sx * sy AS DOUBLE) /
                     |             CAST(n * sxx - sx * sx AS DOUBLE))""".stripMargin
       s"""WITH daily AS (
-         |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
          |         CAST(count(*) AS BIGINT) AS y
          |  FROM events GROUP BY 1),
          |bd AS (SELECT min(d) AS d0, max(d) AS dmax FROM daily),
@@ -10350,17 +10354,17 @@ object LlmQueries {
     // (cohort, offset); cumulative per cohort; one division per row.
     "q274_cohort_ltv" ->
       """WITH ev AS (
-        |  SELECT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT)
+        |  SELECT user_id, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
         |           AS d,
         |         CAST(floor(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS c
         |  FROM events),
         |f AS (SELECT user_id, CAST(min(d) AS BIGINT) AS fd
         |      FROM ev GROUP BY 1),
-        |sz AS (SELECT fd // 7 AS cohort, CAST(count(*) AS BIGINT)
+        |sz AS (SELECT ((fd - (((fd % 7) + 7) % 7)) // 7) AS cohort, CAST(count(*) AS BIGINT)
         |         AS cohort_users
         |       FROM f GROUP BY 1),
         |cells AS (
-        |  SELECT f.fd // 7 AS cohort, (ev.d - f.fd) // 7 AS "offset",
+        |  SELECT ((f.fd - (((f.fd % 7) + 7) % 7)) // 7) AS cohort, (ev.d - f.fd) // 7 AS "offset",
         |         CAST(sum(ev.c) AS BIGINT) AS revenue_cents
         |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2),
         |cum AS (
@@ -10576,7 +10580,7 @@ object LlmQueries {
     // shapes; argmin by (sse, t).
     "q266_changepoint" ->
       """WITH d AS (
-        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS t,
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
         |         CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1),
         |p AS (
@@ -10625,7 +10629,7 @@ object LlmQueries {
            |  FROM h_$metric)""".stripMargin
       s"""WITH pu AS (
          |  SELECT user_id,
-         |         CAST(max(epoch_ns(ts) // 86400000000000) AS BIGINT)
+         |         CAST(max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS BIGINT)
          |           AS last_d,
          |         CAST(count(*) AS BIGINT) AS frequency,
          |         CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE))

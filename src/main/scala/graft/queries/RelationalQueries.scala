@@ -42,10 +42,13 @@ object RelationalQueries {
     * from the epoch-DAY integer — independent of the session time zone
     * (to_date(timestamp_seconds(...)) would resolve in the session TZ and
     * silently diverge from DuckDB's naive CAST(ts AS DATE) in any session
-    * not pinned to UTC).
+    * not pinned to UTC). FLOOR division, not DIV: CAST(ts AS DATE)
+    * floors pre-epoch timestamps to the previous day, while truncation
+    * would collapse late-1969-12-31 into 1970-01-01.
     */
   private val tsDate: Column =
-    date_from_unix_date(expr("ts DIV 86400000000000").cast("int"))
+    date_from_unix_date(
+      graft.functions.floorDivLit(col("ts"), 86400000000000L).cast("int"))
 
   /** Exact money sum: through DECIMAL(18,2), back to double. */
   private def dsum(c: Column): Column =
@@ -1165,10 +1168,13 @@ object RelationalQueries {
 
     "q110_retention" ->
       """WITH ev AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |  SELECT user_id,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
         |f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
         |a AS (
-        |  SELECT DISTINCT ev.user_id, f.d0 // 7 AS cohort,
+        |  SELECT DISTINCT ev.user_id,
+        |         ((f.d0 - (((f.d0 % 7) + 7) % 7)) // 7) AS cohort,
         |         (ev.day - f.d0) // 7 AS "offset"
         |  FROM ev JOIN f ON ev.user_id = f.user_id)
         |SELECT cohort, "offset", CAST(count(*) AS BIGINT) AS users

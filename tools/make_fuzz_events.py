@@ -45,6 +45,15 @@ add(BASE + 86400 * NS, 3, "signup", -0.0, '{"k": 007}')
 # user 4: single event
 add(BASE + 12345 * NS + 678901234, 4, "click", 3.75, '{"k": 42}')
 
+# user 21: PRE-EPOCH events (1969) — day buckets are NEGATIVE here, so
+# floor-vs-truncate day bucketing diverges (Spark DIV truncates toward
+# zero, DuckDB // floors): these rows gate the engine's floorDivLit fix
+# and keep the whole event tier honest on the negative time range.
+add(-2 * 86400 * NS + 3600 * NS, 21, "click", -1.5, '{"k": -1}')
+add(-1 * 86400 * NS + 7200 * NS, 21, "view", 0.5, '{"k": -2}')
+add(-3600 * NS, 21, "purchase", 2.5, '{"k": -3}')   # late on day -1
+add(3600 * NS, 21, "signup", 1.0, '{"k": -4}')      # early on day 0
+
 # filler: random users/types/gaps including more exact-gap ties
 for i in range(500):
     user = random.randint(5, 20)
