@@ -3614,7 +3614,19 @@ object LlmQueries {
           graft.operators.Sketch.hllEstimate("mregs", b = 4).as("est"),
           col("n_exact"))
         .orderBy("merged_regs")
-    })
+    }),
+
+    // DSIR importance-resampling weights (Xie et al. 2023, rational
+    // form): hashed-bigram bucket likelihood ratios against the
+    // lang='en' TARGET slice, quantized to 2^20 fixed point — the
+    // distributional quality filter that runs next to q26's per-doc
+    // heuristic gate. One corpus pass, a bounded 256-row broadcast
+    // weight table, exact-integer per-doc sums, one final division.
+    "q294_dsir_weights" -> ((s, dir) =>
+      graft.operators.Selection.dsirWeights(
+        t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", n = 2, buckets = 256)
+        .orderBy("doc_id"))
   )
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
@@ -10967,7 +10979,43 @@ object LlmQueries {
          |             (a, x) -> a + x) AS est,
          |       ex.n_exact
          |FROM mregs m CROSS JOIN ex
-         |ORDER BY merged_regs""".stripMargin
+         |ORDER BY merged_regs""".stripMargin,
+
+    // DSIR weights: the bucket table is derived once (raw + target
+    // counts in one grouped pass — the target flag rides the gram row);
+    // the per-gram ratio is two exact-integer→double casts, two IEEE
+    // divisions, an exact 2^20 scale and a floor, operand-for-operand
+    // the operator's order; per-doc sums are exact BIGINTs, the mean is
+    // the single closing division.
+    "q294_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang = 'en' AS t, $oToks AS tk FROM documents),
+         |dg AS (
+         |  SELECT doc_id, t, ${oPolyHash("gram")} % 256 AS b FROM (
+         |    SELECT doc_id, t, unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |    FROM toks)),
+         |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         |              CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS ct
+         |       FROM dg GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |               CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+         |w AS (SELECT b, CAST(floor(
+         |         (CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE))
+         |         / (CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE))
+         |         * 1048576.0) AS BIGINT) AS wt
+         |      FROM bc CROSS JOIN tot),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |               CAST(sum(wt) AS BIGINT) AS dsir_fp
+         |        FROM dg JOIN w USING (b) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(per.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |       coalesce(per.dsir_fp, CAST(0 AS BIGINT)) AS dsir_fp,
+         |       CASE WHEN per.n_grams > 0
+         |            THEN CAST(per.dsir_fp AS DOUBLE) / per.n_grams
+         |       END AS dsir_weight
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** q292: the longest-candidate picker, generated from the SAME
