@@ -260,6 +260,83 @@ object Profiling {
         col("tvd_num"), col("tvd"))
   }
 
+  /** Exact 1-D WASSERSTEIN-1 (earth-mover) drift of an integer-valued
+    * column, each group vs the REST of the corpus — the
+    * metric-aware complement to [[distributionDrift]]'s TVD and the
+    * KS/AD tail gates: W₁ weighs HOW FAR mass moved, not just how much
+    * (a +1-char length shift and a +1000-char shift have equal TVD but
+    * 1000× different W₁), so it is the right alarm for "this source's
+    * length/score profile slid" monitoring.
+    *
+    * Identity used: W₁ = ∫|F_g − F_rest| dx = Σ_k |F_g(x_k) −
+    * F_rest(x_k)|·(x_{k+1} − x_k) over the merged support — and with
+    * cross-multiplied integer CDFs, each term's numerator
+    * |C_g·n_rest − C_rest·n_g|·Δ is EXACT integer arithmetic
+    * (DECIMAL(38,0) — products overflow BIGINT at corpus scale, the
+    * [[distributionDrift]] discipline). No float is ever aggregated;
+    * the emitted `w1_q30` is one integral DECIMAL division quantized to
+    * 2³⁰, and `w1` is that integer rescaled by an exact power of two.
+    *
+    * Scale shape: one hash-aggregate pass builds the (group, value)
+    * histogram; the per-comparison work then runs on the BOUNDED
+    * |groups|·|support| grid (distinct integer values — quantize a
+    * continuous column first, e.g. `floor(score·100)`), whose CDF
+    * window partitions by group. The corpus is never re-scanned per
+    * group: the complement's counts come from the global histogram by
+    * subtraction.
+    *
+    * NULL groups and NULL values are excluded (a NULL length has no
+    * position on the line).
+    *
+    * @return one row per group: (groupCol, n, w1_num_str, w1_den_str —
+    *         exact decimal strings of Σ|·|·Δ and n_g·n_rest·1 —
+    *         w1_q30 = ⌊2³⁰·num/den⌋ BIGINT, w1 = w1_q30/2³⁰ DOUBLE;
+    *         quantized columns NULL when the complement is empty)
+    */
+  def wasserstein1PerGroup(df: DataFrame, groupCol: String,
+                           value: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = df.filter(col(groupCol).isNotNull && value.isNotNull)
+      .select(col(groupCol).as("__g"), value.cast(LongType).as("__x"))
+    val hist = base.groupBy("__g", "__x").agg(count(lit(1)).as("__c"))
+    val support = base.groupBy("__x").agg(count(lit(1)).as("__cx"))
+    val groups = base.groupBy("__g").agg(count(lit(1)).as("__ng"))
+    val tot = groups.agg(sum("__ng").cast(LongType).as("__N"))
+    val grid = groups.crossJoin(support)
+      .join(hist, Seq("__g", "__x"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val w = Window.partitionBy("__g").orderBy("__x")
+    val terms = grid
+      .withColumn("__Cg", sum(col("__c")).over(w))
+      .withColumn("__Cx", sum(col("__cx")).over(w))
+      .withColumn("__gap", lead(col("__x"), 1).over(w) - col("__x"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__gap").isNotNull)
+      .withColumn("__term",
+        (abs(col("__Cg").cast(d38) * (col("__N") - col("__ng")).cast(d38) -
+          (col("__Cx") - col("__Cg")).cast(d38) * col("__ng").cast(d38)) *
+          col("__gap").cast(d38)).cast(d38))
+    val sums = terms.groupBy("__g")
+      .agg(sum("__term").cast(d38).as("__num"))
+    groups.crossJoin(broadcast(tot))
+      .join(sums, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("__ng").as("n"),
+        coalesce(col("__num"), lit(0L).cast(d38)).cast("string")
+          .as("w1_num_str"),
+        (col("__ng").cast(d38) * (col("__N") - col("__ng")).cast(d38))
+          .cast(d38).cast("string").as("w1_den_str"),
+        when(col("__N") > col("__ng"),
+          org.apache.spark.sql.graftbridge.toColumn(
+            new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+              org.apache.spark.sql.graftbridge.toExpression(
+                (coalesce(col("__num"), lit(0L).cast(d38)) *
+                  lit(1073741824L).cast(d38)).cast(d38)),
+              org.apache.spark.sql.graftbridge.toExpression(
+                (col("__ng").cast(d38) * (col("__N") - col("__ng")).cast(d38))
+                  .cast(d38))))).as("w1_q30"))
+      .withColumn("w1", col("w1_q30").cast("double") / lit(1073741824.0))
+  }
+
   /** Per-shard column statistics — the file-skipping manifest a lakehouse
     * table format (Delta/Iceberg stats, parquet row-group metadata) keeps
     * per data file: min/max/null-count/NDV of a pruning column per shard.

@@ -3626,7 +3626,18 @@ object LlmQueries {
       graft.operators.Selection.dsirWeights(
         t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", n = 2, buckets = 256)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Exact Wasserstein-1 length drift, each source vs the rest: the
+    // metric-aware complement to q140's TVD (a 1-char and a 1000-char
+    // length shift have equal TVD but 1000x different W1). Integer
+    // cross-multiplied CDFs over the merged support — DECIMAL(38,0)
+    // numerators, one integral division quantized to 2^30, no float
+    // ever aggregated.
+    "q295_wasserstein_drift" -> ((s, dir) =>
+      graft.operators.Profiling.wasserstein1PerGroup(
+        t(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy("source"))
   )
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
@@ -11015,7 +11026,53 @@ object LlmQueries {
          |            THEN CAST(per.dsir_fp AS DOUBLE) / per.n_grams
          |       END AS dsir_weight
          |FROM documents d LEFT JOIN per USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // W1 per source vs rest: HUGEINT cross-multiplied CDF numerators
+    // mirror the engine's DECIMAL(38,0); the quantized quotient is one
+    // integral // (positive operands — floor == truncate), the double
+    // an exact 2^-30 rescale of a BIGINT.
+    "q295_wasserstein_drift" ->
+      """WITH base AS (
+        |  SELECT source AS g, CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |hist AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+        |         FROM base GROUP BY 1, 2),
+        |sup AS (SELECT x, CAST(count(*) AS BIGINT) AS cx
+        |        FROM base GROUP BY 1),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng
+        |        FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM grp),
+        |grid AS (
+        |  SELECT grp.g, grp.ng, sup.x, sup.cx,
+        |         coalesce(hist.c, CAST(0 AS BIGINT)) AS c
+        |  FROM grp CROSS JOIN sup
+        |  LEFT JOIN hist ON hist.g = grp.g AND hist.x = sup.x),
+        |cum AS (
+        |  SELECT g, ng, x, cx, c,
+        |         sum(c) OVER (PARTITION BY g ORDER BY x) AS cg,
+        |         sum(cx) OVER (PARTITION BY g ORDER BY x) AS cxx,
+        |         lead(x) OVER (PARTITION BY g ORDER BY x) - x AS gap
+        |  FROM grid),
+        |terms AS (
+        |  SELECT g, sum(abs(CAST(cg AS HUGEINT) * (n - ng)
+        |                    - CAST(cxx - cg AS HUGEINT) * ng) * gap) AS num
+        |  FROM cum CROSS JOIN tot WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT grp.g AS source, grp.ng AS n,
+        |       CAST(coalesce(terms.num, CAST(0 AS HUGEINT)) AS VARCHAR)
+        |         AS w1_num_str,
+        |       CAST(CAST(grp.ng AS HUGEINT) * (tot.n - grp.ng) AS VARCHAR)
+        |         AS w1_den_str,
+        |       CASE WHEN tot.n > grp.ng THEN CAST(
+        |         (coalesce(terms.num, CAST(0 AS HUGEINT)) * 1073741824)
+        |           // (CAST(grp.ng AS HUGEINT) * (tot.n - grp.ng))
+        |         AS BIGINT) END AS w1_q30,
+        |       CAST(CASE WHEN tot.n > grp.ng THEN CAST(
+        |         (coalesce(terms.num, CAST(0 AS HUGEINT)) * 1073741824)
+        |           // (CAST(grp.ng AS HUGEINT) * (tot.n - grp.ng))
+        |         AS BIGINT) END AS DOUBLE) / 1073741824.0 AS w1
+        |FROM grp CROSS JOIN tot LEFT JOIN terms ON terms.g = grp.g
+        |ORDER BY source""".stripMargin
   )
 
   /** q292: the longest-candidate picker, generated from the SAME

@@ -266,6 +266,36 @@ class LayoutSpansSpec extends SparkSpec {
     assert(got.isNullAt(5) && got.isNullAt(6))
   }
 
+  test("wasserstein1PerGroup: exact W1 on a hand-computed shift") {
+    import spark.implicits._
+    // group a: {0, 0}; group b: {2} → distributions δ₀ vs δ₂, W1 = 2.
+    // Cross-multiplied: support {0,2}, gap 2; at x=0: Ca=2, C_rest=0 →
+    // |2·1 − 0·2|·2 = 4; den = 2·1 = 2 → W1 = 2 exactly.
+    val df = Seq(("a", 0L), ("a", 0L), ("b", 2L)).toDF("src", "len")
+    val got = Profiling.wasserstein1PerGroup(df, "src", col("len"))
+      .orderBy("src").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getString(2) == "4" && a.getString(3) == "2")
+    assert(a.getLong(4) == 2L * 1073741824L && a.getDouble(5) == 2.0)
+    // symmetric: b vs rest is the same transport
+    assert(b.getString(2) == "4" && b.getString(3) == "2")
+    assert(b.getDouble(5) == 2.0)
+  }
+
+  test("wasserstein1PerGroup: identical distributions score zero; " +
+    "single-group corpus yields NULL quantiles") {
+    import spark.implicits._
+    val same = Seq(("a", 1L), ("a", 5L), ("b", 1L), ("b", 5L))
+      .toDF("src", "len")
+    val got = Profiling.wasserstein1PerGroup(same, "src", col("len"))
+      .orderBy("src").collect()
+    assert(got.forall(_.getString(2) == "0"))
+    assert(got.forall(_.getLong(4) == 0L))
+    val solo = Seq(("only", 1L), ("only", 2L)).toDF("src", "len")
+    val s = Profiling.wasserstein1PerGroup(solo, "src", col("len")).head
+    assert(s.getString(3) == "0" && s.isNullAt(4) && s.isNullAt(5))
+  }
+
   test("distributionDrift: empty slice yields NULL tvd, not a division blowup") {
     import spark.implicits._
     val df = Seq(("A", true), ("B", true)).toDF("bin", "is_ref")
