@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Preference-data operators — the analysis layer an RLHF / model-eval
+  * pipeline runs over pairwise comparisons: derive a win matrix from
+  * per-subject scores, then fit Bradley-Terry strengths (the model
+  * behind Elo-style leaderboards and reward-model calibration checks)
+  * with the Hunter (2004) minorization-maximization iteration.
+  *
+  * Everything is exact-integer: scores are caller-quantized longs, win
+  * counts are counts, and the MM iteration runs in 2²⁰ fixed point with
+  * 2⁴⁰-scaled integral divisions — deterministic in any engine (the
+  * DuckDB oracle unrolls the same iterations as chained CTEs), where a
+  * float MM loop would be unreproducible across summation orders.
+  *
+  * Scale shape: the corpus-sized work is [[pairwiseWins]] — one
+  * hash-aggregate to per-(subject, item) scores, one subject-local
+  * self-join whose fan-out is bounded by the ITEM DOMAIN (model
+  * variants, event types — the Kendall-style bounded-domain contract:
+  * quantize or cap first if items are unbounded), one hash-aggregate to
+  * the |items|² win matrix. [[bradleyTerryStrengths]] then runs on that
+  * BOUNDED matrix — collected like k-means centroids / PQ codebooks,
+  * never corpus-sized.
+  */
+object Preference {
+
+  /** Strength fixed point: 2²⁰ (initial rating 1.0 ≙ 1048576). */
+  val StrengthScale: Long = 1L << 20
+
+  /** Division scale for MM terms: 2⁴⁰ (keeps n·2⁴⁰ < 2⁶³ for pair
+    * counts under ~2²²; rescale counts first beyond that — the BT
+    * fixpoint is invariant to a common count factor).
+    */
+  val DivScale: Long = 1L << 40
+
+  /** Pairwise win counts between items, judged per subject: item `a`
+    * beats item `b` for a subject when the subject's total (summed
+    * integer) score for `a` exceeds that for `b`. The implicit-
+    * preference derivation used when explicit A/B labels are absent;
+    * feed explicit comparisons straight to [[bradleyTerryStrengths]]
+    * instead when you have them.
+    *
+    * @param score integer-valued expression (quantize floats first,
+    *              e.g. `floor(value·100)`); summed exactly per
+    *              (subject, item)
+    * @return one row per unordered item pair with any shared subject:
+    *         (item_a < item_b, wins_a, wins_b, ties) — ties reported
+    *         but excluded from the BT comparison count downstream
+    */
+  def pairwiseWins(df: DataFrame, subjectCol: String, itemCol: String,
+                   score: Column): DataFrame = {
+    val per = df.groupBy(col(subjectCol).as("__s"), col(itemCol).as("__i"))
+      .agg(sum(score.cast(LongType)).as("__m"))
+    val a = per.select(col("__s"), col("__i").as("item_a"),
+      col("__m").as("__ma"))
+    val b = per.select(col("__s"), col("__i").as("item_b"),
+      col("__m").as("__mb"))
+    a.join(b, "__s").filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(when(col("__ma") > col("__mb"), 1)).as("wins_a"),
+        count(when(col("__mb") > col("__ma"), 1)).as("wins_b"),
+        count(when(col("__ma") === col("__mb"), 1)).as("ties"))
+  }
+
+  /** Bradley-Terry strengths on a BOUNDED win matrix via `iters` fixed-
+    * point Hunter-MM JACOBI rounds (every round reads only the previous
+    * round's ratings — iteration order cannot matter):
+    *
+    *   t_ij = ⌊n_ij·2⁴⁰ / (r_i + r_j)⌋   (0 when r_i + r_j = 0),
+    *   d_i  = Σ_j t_ij,   r_i ← ⌊W_i·2⁴⁰ / d_i⌋   (unchanged when d=0)
+    *
+    * with n_ij = wins_i + wins_j (decided comparisons; ties carry no
+    * BT information), W_i = total wins, r⁰ = 2²⁰. All longs, all
+    * positive-operand floor divisions — bit-identical to the oracle's
+    * `//` chain. Ratings stay < 2⁵³ (each round's max at most doubles:
+    * r' = W·2⁴⁰/d ≤ r_i + max_j r_j since d ≥ Σn·2⁴⁰/(r_i+r_max)).
+    *
+    * The matrix is collected (the k-means-centroid / PQ-codebook
+    * bounded-collect discipline): |items|² rows of four scalars, never
+    * corpus-sized.
+    *
+    * @return one row per item: (item, wins, comparisons, strength_fp,
+    *         strength = strength_fp/2²⁰) — strength ≈1 is average;
+    *         ratios estimate win odds: P(i beats j) ≈ s_i/(s_i+s_j)
+    */
+  def bradleyTerryStrengths(wins: DataFrame, aCol: String, bCol: String,
+                            winsACol: String, winsBCol: String,
+                            iters: Int = 8): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val spark = wins.sparkSession
+    val rows = wins.select(col(aCol).cast(StringType),
+        col(bCol).cast(StringType),
+        col(winsACol).cast(LongType), col(winsBCol).cast(LongType))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = rows.map { case (ia, ib, wa, wb) => ((ia, ib), wa + wb) }
+      .filter(_._2 > 0L)
+    val winTot = (rows.map { case (ia, _, wa, _) => ia -> wa } ++
+      rows.map { case (_, ib, _, wb) => ib -> wb })
+      .groupBy(_._1).map { case (i, ws) => i -> ws.map(_._2).sum }
+    val items = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    val compTot = (pairs.map { case ((ia, _), n) => ia -> n } ++
+      pairs.map { case ((_, ib), n) => ib -> n })
+      .groupBy(_._1).map { case (i, ns) => i -> ns.map(_._2).sum }
+
+    var r: Map[String, Long] = items.map(_ -> StrengthScale).toMap
+    for (_ <- 1 to iters) {
+      val d = scala.collection.mutable.Map(items.map(_ -> 0L): _*)
+      pairs.foreach { case ((ia, ib), n) =>
+        val s = r(ia) + r(ib)
+        val t = if (s > 0L) n * DivScale / s else 0L
+        d(ia) += t
+        d(ib) += t
+      }
+      r = items.map { i =>
+        val di = d(i)
+        i -> (if (di > 0L) winTot.getOrElse(i, 0L) * DivScale / di else r(i))
+      }.toMap
+    }
+
+    val out = items.map { i =>
+      val fp = r(i)
+      Row(i, winTot.getOrElse(i, 0L), compTot.getOrElse(i, 0L), fp,
+        fp.toDouble / StrengthScale)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("item", StringType, nullable = false),
+        StructField("wins", LongType, nullable = false),
+        StructField("comparisons", LongType, nullable = false),
+        StructField("strength_fp", LongType, nullable = false),
+        StructField("strength", DoubleType, nullable = false))))
+  }
+}

@@ -3637,7 +3637,32 @@ object LlmQueries {
     "q295_wasserstein_drift" -> ((s, dir) =>
       graft.operators.Profiling.wasserstein1PerGroup(
         t(s, dir, "documents"), "source", col("n_chars"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Implicit pairwise preferences: per-user event-type spend decides
+    // each head-to-head (the win-matrix derivation an RLHF/eval stack
+    // runs when only scores exist, no explicit A/B labels). Exact:
+    // integer cents, subject-local self-join bounded by the type
+    // domain, ties reported but never counted as decided.
+    "q296_pairwise_wins" -> ((s, dir) =>
+      graft.operators.Preference.pairwiseWins(
+        graft.io.TableIO.eventsNanos(s, dir), "user_id", "event_type",
+        floor(col("value") * lit(100.0)).cast("long"))
+        .orderBy("item_a", "item_b")),
+
+    // Bradley-Terry strengths over q296's win matrix: 8 Hunter-MM
+    // Jacobi rounds in 2^20 fixed point with 2^40-scaled integral
+    // divisions — the Elo-leaderboard fit, bit-reproducible where a
+    // float MM loop is summation-order-dependent. The corpus-sized
+    // work is the win matrix; the fit runs on the bounded |types|^2
+    // table (k-means-centroid collect discipline).
+    "q297_bradley_terry" -> ((s, dir) =>
+      graft.operators.Preference.bradleyTerryStrengths(
+        graft.operators.Preference.pairwiseWins(
+          graft.io.TableIO.eventsNanos(s, dir), "user_id", "event_type",
+          floor(col("value") * lit(100.0)).cast("long")),
+        "item_a", "item_b", "wins_a", "wins_b", iters = 8)
+        .orderBy("item"))
   )
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
@@ -11072,7 +11097,34 @@ object LlmQueries {
         |           // (CAST(grp.ng AS HUGEINT) * (tot.n - grp.ng))
         |         AS BIGINT) END AS DOUBLE) / 1073741824.0 AS w1
         |FROM grp CROSS JOIN tot LEFT JOIN terms ON terms.g = grp.g
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // Per-user spend totals are exact cents; the head-to-head is one
+    // subject-local self-join (a.i < b.i keeps each unordered pair
+    // once, binary string order both engines).
+    "q296_pairwise_wins" ->
+      """WITH per AS (
+        |  SELECT user_id AS s, event_type AS i,
+        |         CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE))
+        |           AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.i AS item_a, b.i AS item_b,
+        |       CAST(count(CASE WHEN a.m > b.m THEN 1 END) AS BIGINT)
+        |         AS wins_a,
+        |       CAST(count(CASE WHEN b.m > a.m THEN 1 END) AS BIGINT)
+        |         AS wins_b,
+        |       CAST(count(CASE WHEN a.m = b.m THEN 1 END) AS BIGINT)
+        |         AS ties
+        |FROM per a JOIN per b ON a.s = b.s AND a.i < b.i
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // The MM iterations unroll as chained CTEs (a recursive CTE may
+    // reference its own previous round only once; the update needs
+    // r_i AND r_j, so unrolling is the faithful spelling). Every
+    // division is positive-operand // — floor, as in the engine's
+    // long arithmetic.
+    "q297_bradley_terry" -> oBradleyTerrySql(8)
   )
 
   /** q292: the longest-candidate picker, generated from the SAME
@@ -11080,6 +11132,74 @@ object LlmQueries {
     * lambda (boundary guard + literal-vocab membership per length);
     * written against the recursion's bare `pos`/`w` columns.
     */
+  /** q297: per/wins/pairs/wtot CTEs plus `iters` unrolled Hunter-MM
+    * rounds — each round k builds d_k (both directed views of every
+    * pair against round k−1's ratings) and r_k (⌊W·2⁴⁰/d⌋, rating
+    * carried when d = 0), mirroring
+    * [[graft.operators.Preference.bradleyTerryStrengths]] long-for-long.
+    */
+  private def oBradleyTerrySql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT u.item, CAST(sum(CASE WHEN u.rs + u.ro > 0
+         |           THEN (u.n * 1099511627776) // (u.rs + u.ro)
+         |           ELSE 0 END) AS BIGINT) AS d
+         |  FROM (
+         |    SELECT p.a AS item, p.n, ra.r AS rs, rb.r AS ro
+         |    FROM pairs p JOIN r${k - 1} ra ON ra.item = p.a
+         |                 JOIN r${k - 1} rb ON rb.item = p.b
+         |    UNION ALL
+         |    SELECT p.b, p.n, rb.r, ra.r
+         |    FROM pairs p JOIN r${k - 1} ra ON ra.item = p.a
+         |                 JOIN r${k - 1} rb ON rb.item = p.b) u
+         |  GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT w.item,
+         |         CASE WHEN coalesce(d.d, CAST(0 AS BIGINT)) > 0
+         |              THEN CAST((w.w * 1099511627776) // d.d AS BIGINT)
+         |              ELSE rp.r END AS r
+         |  FROM wtot w JOIN r${k - 1} rp ON rp.item = w.item
+         |  LEFT JOIN d$k d ON d.item = w.item)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT user_id AS s, event_type AS i,
+       |         CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE))
+       |           AS BIGINT)) AS BIGINT) AS m
+       |  FROM events GROUP BY 1, 2),
+       |wins AS MATERIALIZED (
+       |  SELECT a.i AS item_a, b.i AS item_b,
+       |         CAST(count(CASE WHEN a.m > b.m THEN 1 END) AS BIGINT)
+       |           AS wins_a,
+       |         CAST(count(CASE WHEN b.m > a.m THEN 1 END) AS BIGINT)
+       |           AS wins_b
+       |  FROM per a JOIN per b ON a.s = b.s AND a.i < b.i
+       |  GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT item_a AS a, item_b AS b, wins_a + wins_b AS n
+       |  FROM wins WHERE wins_a + wins_b > 0),
+       |wtot AS MATERIALIZED (
+       |  SELECT item, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT item_a AS item, wins_a AS w FROM wins
+       |    UNION ALL
+       |    SELECT item_b, wins_b FROM wins)
+       |  GROUP BY 1),
+       |ctot AS MATERIALIZED (
+       |  SELECT item, CAST(sum(n) AS BIGINT) AS n FROM (
+       |    SELECT a AS item, n FROM pairs
+       |    UNION ALL
+       |    SELECT b, n FROM pairs)
+       |  GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT item, CAST(1048576 AS BIGINT) AS r FROM wtot),
+       |$rounds
+       |SELECT w.item, w.w AS wins,
+       |       coalesce(c.n, CAST(0 AS BIGINT)) AS comparisons,
+       |       rf.r AS strength_fp,
+       |       CAST(rf.r AS DOUBLE) / 1048576.0 AS strength
+       |FROM wtot w JOIN r$iters rf ON rf.item = w.item
+       |LEFT JOIN ctot c ON c.item = w.item
+       |ORDER BY w.item""".stripMargin
+  }
+
   private def oMaxMatchPick: String = {
     val vlit = maxMatchVocab.map(v => s"'$v'").mkString("[", ", ", "]")
     val maxLen = maxMatchVocab.map(_.length).max

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Preference
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairwiseWins aggregates per-subject scores then judges head-to-heads") {
+    // u1: A=5 > B=3; u2: B=4 > A=2; u3: A=1 = B=1 (tie); u4: only A
+    val df = Seq(
+      (1L, "A", 5L), (1L, "B", 3L),
+      (2L, "A", 2L), (2L, "B", 4L),
+      (3L, "A", 1L), (3L, "B", 1L),
+      (4L, "A", 9L)).toDF("u", "item", "sc")
+    val got = Preference.pairwiseWins(df, "u", "item", col("sc"))
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) === (("A", "B")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((1L, 1L, 1L)))
+  }
+
+  test("bradleyTerryStrengths converges to the exact 3:1 fixpoint") {
+    // A beats B 3-1: MM fixpoint (with r0 sum 2.0) is A=1.5, B=0.5 —
+    // reached exactly after one round in 2^20 fixed point and stable.
+    val wins = Seq(("A", "B", 3L, 1L))
+      .toDF("item_a", "item_b", "wins_a", "wins_b")
+    val got = Preference.bradleyTerryStrengths(
+      wins, "item_a", "item_b", "wins_a", "wins_b", iters = 8)
+      .orderBy("item").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getString(0) === "A" && a.getLong(1) === 3L &&
+      a.getLong(2) === 4L)
+    assert(a.getLong(3) === 1572864L && a.getDouble(4) === 1.5)
+    assert(b.getLong(3) === 524288L && b.getDouble(4) === 0.5)
+  }
+
+  test("bradleyTerryStrengths: all-tie pairs carry no information") {
+    val wins = Seq(("A", "B", 0L, 0L))
+      .toDF("item_a", "item_b", "wins_a", "wins_b")
+    val got = Preference.bradleyTerryStrengths(
+      wins, "item_a", "item_b", "wins_a", "wins_b")
+      .orderBy("item").collect()
+    assert(got.forall(_.getLong(2) === 0L))
+    assert(got.forall(_.getLong(3) === 1048576L)) // rating untouched
+  }
+
+  test("bradleyTerryStrengths ranks a 3-item tournament sensibly") {
+    // A dominates both, C loses to both, B in between
+    val wins = Seq(
+      ("A", "B", 8L, 2L), ("A", "C", 9L, 1L), ("B", "C", 7L, 3L))
+      .toDF("item_a", "item_b", "wins_a", "wins_b")
+    val got = Preference.bradleyTerryStrengths(
+      wins, "item_a", "item_b", "wins_a", "wins_b")
+      .orderBy("item").collect()
+    val s = got.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(s("A") > s("B") && s("B") > s("C"))
+    assert(got.map(_.getLong(1)).sum === 30L)
+  }
+}
