@@ -68,31 +68,93 @@ object Selection {
     *         dsir_weight ≈ 2²⁰ means "bucket profile indistinguishable
     *         from raw"; higher = more target-like.
     */
+  /** The DENSE trained artifact behind [[dsirWeights]]: one row per
+    * bucket 0..buckets−1 — `(bucket, n_raw, n_target, w_fp)` — with
+    * empty buckets carried at their smoothed prior ratio
+    * ⌊2²⁰·(N_r+B)/(N_t+B)⌋, so a FROZEN weight vector scores unseen
+    * grams the way training-time smoothing says it should. This is the
+    * train/apply split: train once here (one corpus pass), export the
+    * `buckets` longs, score forever with [[dsirScoreWith]] — including
+    * on a stream, where re-deriving corpus statistics is impossible.
+    */
+  def dsirBucketWeights(docs: DataFrame, textCol: String,
+                        targetPred: Column, n: Int = 2,
+                        buckets: Int = 1024): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    require(buckets >= 2, "need buckets >= 2")
+    val b = buckets.toLong
+    val spark = docs.sparkSession
+    val grams = docs.select(targetPred.as("__t"),
+        explode(graft.functions.polyGramHashSeq(col(textCol), n)).as("__h"))
+      .select(col("__t"), (col("__h") % b).as("__b"))
+    val bucketCnt = grams.groupBy("__b")
+      .agg(count(lit(1)).as("__cr"),
+        count(when(col("__t"), 1)).as("__ct"))
+    val tot = bucketCnt.agg(
+      coalesce(sum(col("__cr")), lit(0L)).as("__nr"),
+      coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
+    // (ct+1)/(nt+B) over (cr+1)/(nr+B), quantized: every operand is an
+    // exact integer cast to double; the two divisions are the only
+    // rounding (mirrored operand-for-operand in the oracle), ·2²⁰ is an
+    // exact exponent shift, floor closes the fixed point.
+    spark.range(b).select(col("id").as("bucket"))
+      .join(bucketCnt.withColumnRenamed("__b", "bucket"), Seq("bucket"),
+        "left")
+      .select(col("bucket"),
+        coalesce(col("__cr"), lit(0L)).as("n_raw"),
+        coalesce(col("__ct"), lit(0L)).as("n_target"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_raw"), col("n_target"),
+        floor(((col("n_target") + lit(1L)).cast("double") /
+            (col("__nt") + lit(b)).cast("double")) /
+          ((col("n_raw") + lit(1L)).cast("double") /
+            (col("__nr") + lit(b)).cast("double")) *
+          lit(RatioScale)).as("w_fp"))
+  }
+
+  /** Score documents against a FROZEN weight vector (the `w_fp` column
+    * of [[dsirBucketWeights]], collected bucket-ascending): a pure
+    * row-local projection — gram hashes → bucket → literal-array
+    * lookup → exact integer sum — so it runs unchanged over a
+    * STRUCTURED STREAM (append mode, no state), the deployment shape
+    * for "score each crawl batch as it lands". Output columns match
+    * [[dsirWeights]].
+    */
+  def dsirScoreWith(docs: DataFrame, idCol: String, textCol: String,
+                    weights: Array[Long], n: Int = 2): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    require(weights.length >= 2, "need a weight per bucket (>= 2)")
+    val b = weights.length.toLong
+    val wlit = typedLit(weights.toSeq)
+    val hs = graft.functions.polyGramHashSeq(col(textCol), n)
+    // bind the hash array once (the repo's HOF discipline: a lambda
+    // body re-evaluates non-lambda subexpressions per element)
+    val stats = element_at(
+      transform(array(hs), h =>
+        struct(size(h).as("ng"),
+          aggregate(h, lit(0L),
+            (acc, x) => acc + element_at(wlit, (x % b).cast("int") + 1))
+            .as("fp"))), 1)
+    docs.select(col(idCol), stats.as("__s"))
+      .select(col(idCol),
+        coalesce(col("__s.ng").cast("long"), lit(0L)).as("n_grams"),
+        coalesce(col("__s.fp"), lit(0L)).as("dsir_fp"))
+      .withColumn("dsir_weight",
+        when(col("n_grams") > 0L,
+          col("dsir_fp").cast("double") / col("n_grams")))
+  }
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, n: Int = 2,
                   buckets: Int = 1024): DataFrame = {
     require(n >= 1, "need n >= 1")
     require(buckets >= 2, "need buckets >= 2")
     val b = buckets.toLong
-    val grams = docs.select(col(idCol).as("__id"), targetPred.as("__t"),
+    val grams = docs.select(col(idCol).as("__id"),
         explode(graft.functions.polyGramHashSeq(col(textCol), n)).as("__h"))
-      .select(col("__id"), col("__t"), (col("__h") % b).as("__b"))
-    val bucketCnt = grams.groupBy("__b")
-      .agg(count(lit(1)).as("__cr"),
-        count(when(col("__t"), 1)).as("__ct"))
-    val tot = bucketCnt.agg(sum(col("__cr")).as("__nr"),
-      sum(col("__ct")).as("__nt"))
-    // (ct+1)/(nt+B) over (cr+1)/(nr+B), quantized: every operand is an
-    // exact integer cast to double; the two divisions are the only
-    // rounding (mirrored operand-for-operand in the oracle), ·2²⁰ is an
-    // exact exponent shift, floor closes the fixed point.
-    val weights = bucketCnt.crossJoin(broadcast(tot))
-      .select(col("__b"),
-        floor(((col("__ct") + lit(1L)).cast("double") /
-            (col("__nt") + lit(b)).cast("double")) /
-          ((col("__cr") + lit(1L)).cast("double") /
-            (col("__nr") + lit(b)).cast("double")) *
-          lit(RatioScale)).as("__w"))
+      .select(col("__id"), (col("__h") % b).as("__b"))
+    val weights = dsirBucketWeights(docs, textCol, targetPred, n, buckets)
+      .select(col("bucket").as("__b"), col("w_fp").as("__w"))
     val per = grams.join(broadcast(weights), "__b")
       .groupBy("__id")
       .agg(count(lit(1)).as("n_grams"), sum(col("__w")).as("dsir_fp"))

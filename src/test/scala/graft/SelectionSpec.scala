@@ -46,6 +46,30 @@ class SelectionSpec extends SparkSpec {
     assert(out(2).getLong(1) === 0L && out(2).isNullAt(3))
   }
 
+  test("dsirScoreWith(frozen weights) reproduces dsirWeights exactly") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "zz"), (4L, null))
+      .toDF("doc_id", "text")
+    val joined = Selection.dsirWeights(docs, "doc_id", "text",
+      col("doc_id") === 1L, n = 2, buckets = 64)
+    val w = Selection.dsirBucketWeights(docs, "text",
+        col("doc_id") === 1L, n = 2, buckets = 64)
+      .orderBy("bucket").collect().map(_.getLong(3))
+    assert(w.length === 64)
+    val rowLocal = Selection.dsirScoreWith(docs, "doc_id", "text", w, n = 2)
+    assert(rowLocal.orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      joined.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("dsirBucketWeights carries empty buckets at the smoothed prior") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val w = Selection.dsirBucketWeights(docs, "text", lit(true),
+      n = 2, buckets = 16).orderBy("bucket").collect()
+    // Nr = Nt = 1: empty buckets score floor(2^20·(1/17)/(1/17)) = 2^20
+    val empties = w.filter(_.getLong(1) === 0L)
+    assert(empties.length === 15)
+    assert(empties.forall(_.getLong(3) === 1048576L))
+  }
+
   test("dsirWeights is neutral (== 2^20 scale) when target == raw") {
     // Every doc in the target: ct == cr and Nt == Nr for every bucket,
     // so each gram's ratio is exactly 1.0 → weight 2^20 exactly.

@@ -892,4 +892,40 @@ class StreamingSpec extends SparkSpec {
       assert(batch("known:type") === ((3L, 1L)))
     } finally query.stop()
   }
+
+  test("dsirScoreWith: frozen-weight scoring streams unchanged (append, no state)") {
+    // Train on a reference corpus, freeze the bucket weights, then
+    // score a stream row-locally — batch/stream outputs must match
+    // row-for-row and equal the join-form dsirWeights on the same docs.
+    import graft.streaming.CorpusStreams.Doc
+    import graft.operators.Selection
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "the quick brown fox"), (2L, "the lazy dog"),
+      (3L, "quick quick fox")).toDF("doc_id", "text")
+    val w = Selection.dsirBucketWeights(ref, "text",
+        col("doc_id") <= 2L, n = 2, buckets = 32)
+      .orderBy("bucket").collect().map(_.getLong(3))
+    def score(df: org.apache.spark.sql.DataFrame) =
+      Selection.dsirScoreWith(df, "doc_id", "text", w, n = 2)
+    val docs = Seq(
+      Doc(10L, ts(0), "the quick brown fox jumps"),
+      Doc(11L, ts(1), "unseen words entirely"),
+      Doc(12L, ts(2), "solo"))
+    val input = MemoryStream[Doc]
+    val query = score(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("dsirscore").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("dsirscore").orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val batch = score(docs.toDF().select(col("doc_id"), col("text")))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      // gramless doc: zero counts, NULL mean
+      assert(batch(2)(1) === 0L && batch(2)(3) === null)
+      // unseen bigrams score the smoothed prior, not zero
+      assert(batch(1)(2).asInstanceOf[Long] > 0L)
+    } finally query.stop()
+  }
 }
