@@ -98,6 +98,18 @@ object Preference {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val pairs = rows.map { case (ia, ib, wa, wb) => ((ia, ib), wa + wb) }
       .filter(_._2 > 0L)
+    // the n·2⁴⁰ < 2⁶³ precondition, ENFORCED on the TOTAL decided count
+    // (bounds every t_ij AND the d_i sums: d_i ≤ ΣN·2⁴⁰ even at s = 1).
+    // Fail loud rather than silently rescale by a data-dependent GCD —
+    // a hidden rescale would desynchronize the oracle's unrolled CTEs;
+    // the caller divides counts by a common factor instead (the BT
+    // fixpoint is invariant to count rescaling).
+    val totalN = pairs.map(_._2).sum
+    require(totalN <= (1L << 22),
+      s"bradleyTerryStrengths: $totalN total decided comparisons; the " +
+        "2^20/2^40 fixed point is exact only below 2^22 - divide all win" +
+        " counts by a common factor first (the BT fixpoint is invariant" +
+        " to count rescaling)")
     val winTot = (rows.map { case (ia, _, wa, _) => ia -> wa } ++
       rows.map { case (_, ib, _, wb) => ib -> wb })
       .groupBy(_._1).map { case (i, ws) => i -> ws.map(_._2).sum }

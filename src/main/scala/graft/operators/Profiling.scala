@@ -280,8 +280,9 @@ object Profiling {
     * Scale shape: one hash-aggregate pass builds the (group, value)
     * histogram; the per-comparison work then runs on the BOUNDED
     * |groups|·|support| grid (distinct integer values — quantize a
-    * continuous column first, e.g. `floor(score·100)`), whose CDF
-    * window partitions by group. The corpus is never re-scanned per
+    * continuous column first, e.g. `floor(score·100)`; `maxSupport`
+    * ENFORCES this with a loud failure instead of a silent mega-grid),
+    * whose CDF window partitions by group. The corpus is never re-scanned per
     * group: the complement's counts come from the global histogram by
     * subtraction.
     *
@@ -294,12 +295,27 @@ object Profiling {
     *         quantized columns NULL when the complement is empty)
     */
   def wasserstein1PerGroup(df: DataFrame, groupCol: String,
-                           value: Column): DataFrame = {
+                           value: Column, maxSupport: Int = 65536): DataFrame = {
+    require(maxSupport >= 2, "need maxSupport >= 2")
     val d38 = DecimalType(38, 0)
     val base = df.filter(col(groupCol).isNotNull && value.isNotNull)
       .select(col(groupCol).as("__g"), value.cast(LongType).as("__x"))
     val hist = base.groupBy("__g", "__x").agg(count(lit(1)).as("__c"))
-    val support = base.groupBy("__x").agg(count(lit(1)).as("__cx"))
+    val support = CacheScope.track(
+      base.groupBy("__x").agg(count(lit(1)).as("__cx")))
+    // ENFORCE the quantize-first contract (ADVICE r10: it lived only in
+    // scaladoc): the |groups|·|support| grid and its per-group CDF
+    // windows are bounded only if the merged support is. A raw
+    // microsecond-timestamp column would silently build a corpus-sized
+    // single-task window per group — fail loud instead (the
+    // mostSpecificLookup / kendall bounded-domain discipline) and tell
+    // the caller to quantize. One bounded count() job; the support
+    // table is reused by the grid below.
+    val nSupport = support.count()
+    require(nSupport <= maxSupport,
+      s"wasserstein1PerGroup: merged support has $nSupport distinct " +
+        s"values (> maxSupport=$maxSupport); quantize the value first " +
+        "(e.g. floor(x/width)) or raise maxSupport deliberately")
     val groups = base.groupBy("__g").agg(count(lit(1)).as("__ng"))
     val tot = groups.agg(sum("__ng").cast(LongType).as("__N"))
     val grid = groups.crossJoin(support)

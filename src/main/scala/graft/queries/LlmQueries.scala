@@ -3533,15 +3533,23 @@ object LlmQueries {
         else if (committed) "retained"
         else "UNEXPECTED"
       }
-      val statuses = Seq(1L, 2L, 3L, 4L).map(v => (v, statusOf(v)))
-        .toDF("version", "status")
-      val counts = graft.io.TableIO.readPublished(s, td, version = Some(3L))
-        .agg(count(lit(1)).as("n_rows")).withColumn("version", lit(3L))
-        .unionByName(
-          graft.io.TableIO.readPublished(s, td, version = Some(4L))
-            .agg(count(lit(1)).as("n_rows")).withColumn("version", lit(4L)))
-      statuses.join(counts, Seq("version"), "left")
-        .select(col("version"), col("status"), col("n_rows"))
+      // materialize every verdict/count BEFORE deleting the fixture: the
+      // result is 4 rows of scalars, so collecting here lets the temp
+      // tree's lifetime end inside this builder (ADVICE r10: repeated
+      // bench/verify runs accumulated leaked fixture dirs under /tmp).
+      // n_langs is the round-11 derived-content column: distinct langs
+      // read back from the SURVIVING snapshot's parquet, which DuckDB
+      // re-derives from the source table — a vacuum that corrupts
+      // retained content now breaks two columns, not one.
+      val content: Map[Long, (Long, Long)] = Seq(3L, 4L).map { v =>
+        val df = graft.io.TableIO.readPublished(s, td, version = Some(v))
+        v -> (df.count(), df.select("lang").distinct().count())
+      }.toMap
+      val rows = Seq(1L, 2L, 3L, 4L).map { v =>
+        (v, statusOf(v), content.get(v).map(_._1), content.get(v).map(_._2))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(td).getParent, true)
+      rows.toDF("version", "status", "n_rows", "n_langs")
         .orderBy("version")
     }),
 
@@ -3560,12 +3568,24 @@ object LlmQueries {
       graft.io.TableIO.publishSnapshot(
         docs.select(col("doc_id"), col("source"),
           col("n_chars").cast("double").as("n_chars")), td)
-      val diff = graft.io.TableIO.snapshotSchemaDiff(s, td, 1L, 2L)
-      val nTo = graft.io.TableIO.readPublished(s, td, version = Some(2L))
-        .agg(count(lit(1)).as("n_to_rows"))
-      diff.crossJoin(broadcast(nTo))
-        .select(col("column"), col("from_type"), col("to_type"),
-          col("change"), col("n_to_rows"))
+      // collect the diff + content checks, then delete the fixture tree
+      // (ADVICE r10 leak fix, same discipline as q290). n_to_sources is
+      // the round-11 derived-content column: distinct values of the
+      // ADDED column read back from the published v2 parquet, which
+      // DuckDB re-derives from the source table.
+      val toDf = graft.io.TableIO.readPublished(s, td, version = Some(2L))
+      val (nTo, nToSources) =
+        (toDf.count(), toDf.select("source").distinct().count())
+      val diffRows = graft.io.TableIO.snapshotSchemaDiff(s, td, 1L, 2L)
+        .select("column", "from_type", "to_type", "change").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)),
+          Option(r.getString(2)), r.getString(3), nTo, nToSources)).toSeq
+      val fs = new org.apache.hadoop.fs.Path(td)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(td).getParent, true)
+      import s.implicits._
+      diffRows.toDF("column", "from_type", "to_type", "change",
+        "n_to_rows", "n_to_sources")
         .orderBy("column")
     }),
 
@@ -10902,13 +10922,19 @@ object LlmQueries {
     // sweep bug breaks the hash; retained row counts come from the
     // source table, checking the surviving snapshots' CONTENT.
     "q290_snapshot_retention" ->
-      """WITH c3 AS (SELECT CAST(count(*) AS BIGINT) AS n
+      """WITH c3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                   CAST(count(DISTINCT lang) AS BIGINT) AS nl
         |            FROM documents WHERE doc_id < 300),
-        |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(count(DISTINCT lang) AS BIGINT) AS nl
+        |       FROM documents)
         |SELECT v.version, v.status,
         |       CASE WHEN v.version = 3 THEN (SELECT n FROM c3)
         |            WHEN v.version = 4 THEN (SELECT n FROM c4)
-        |       END AS n_rows
+        |       END AS n_rows,
+        |       CASE WHEN v.version = 3 THEN (SELECT nl FROM c3)
+        |            WHEN v.version = 4 THEN (SELECT nl FROM c4)
+        |       END AS n_langs
         |FROM (VALUES
         |  (CAST(1 AS BIGINT), 'swept_orphan'),
         |  (CAST(2 AS BIGINT), 'swept_expired'),
@@ -10922,9 +10948,11 @@ object LlmQueries {
     // engine reads them from parquet footers, so a footer-diff bug
     // breaks the hash; n_to_rows checks the published content.
     "q291_schema_evolution" ->
-      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(count(DISTINCT source) AS BIGINT) AS ns
+        |           FROM documents)
         |SELECT t."column", t.from_type, t.to_type, t.change,
-        |       c.n AS n_to_rows
+        |       c.n AS n_to_rows, c.ns AS n_to_sources
         |FROM (VALUES
         |  ('lang', 'string', CAST(NULL AS VARCHAR), 'removed'),
         |  ('n_chars', 'bigint', 'double', 'retyped'),

@@ -58,10 +58,20 @@ object GraphScaleAudit {
         ()
       }
     })
+    // Quiescence = the task-end counter unchanged for FIVE consecutive
+    // 300ms polls (ADVICE r10: one unchanged poll lets a single task
+    // running >300ms between probes escape, mis-attributing its metrics
+    // to the next probe row; local[n] tasks rarely exceed 1.5s of silent
+    // non-completion, and probes are seconds apart so the extra wait is
+    // noise).
     def settle(): Unit = {
+      var stable = 0
       var prev = -1L
-      var cur = taskCount.get
-      while (cur != prev) { Thread.sleep(300); prev = cur; cur = taskCount.get }
+      while (stable < 5) {
+        val cur = taskCount.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(300)
+      }
     }
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
 
@@ -117,6 +127,22 @@ object GraphScaleAudit {
         .distinct().filter(col("item") % 97 === 0)
       graft.operators.Components.boundedHops(edges, "item_a", "item_b",
         seeds, "item", maxHops = 4).count()
+    }
+    // Round-11 extension: the other three iterative gates. Triangles'
+    // hashed-orientation join is the probe most exposed to degree skew
+    // (a hub's adjacency list fans into the pair join); PageRank and
+    // k-core shuffle per node per round like CC/LPA but carry weights /
+    // shrinking vertex sets.
+    probe(s"pagerank_${krep}x") {
+      graft.operators.PageRank.pageRank(edges, "item_a", "item_b",
+        iterations = 4).count()
+    }
+    probe(s"triangles_${krep}x") {
+      graft.operators.Triangles.triangleCounts(edges, "item_a", "item_b")
+        .count()
+    }
+    probe(s"kcore_${krep}x") {
+      graft.operators.KCore.kCore(edges, "item_a", "item_b", k = 3).count()
     }
     }
     spark.stop()

@@ -296,6 +296,23 @@ class LayoutSpansSpec extends SparkSpec {
     assert(s.getString(3) == "0" && s.isNullAt(4) && s.isNullAt(5))
   }
 
+  test("wasserstein1PerGroup: an unquantized support fails loud, not a mega-grid") {
+    import spark.implicits._
+    // 6 distinct values under maxSupport=4 → the quantize-first contract
+    // trips BEFORE any grid is built (ADVICE r10: it was scaladoc-only)
+    val raw = Seq(("a", 10L), ("a", 21L), ("a", 32L),
+      ("b", 43L), ("b", 54L), ("b", 65L)).toDF("src", "len")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.wasserstein1PerGroup(raw, "src", col("len"), maxSupport = 4)
+    }
+    assert(e.getMessage.contains("quantize"))
+    // coarsely quantized, the same call fits the contract
+    val ok = Profiling.wasserstein1PerGroup(
+      raw, "src", graft.functions.floorDivLit(col("len"), 32L),
+      maxSupport = 4)
+    assert(ok.count() === 2L)
+  }
+
   test("distributionDrift: empty slice yields NULL tvd, not a division blowup") {
     import spark.implicits._
     val df = Seq(("A", true), ("B", true)).toDF("bin", "is_ref")

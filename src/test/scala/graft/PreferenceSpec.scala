@@ -46,6 +46,22 @@ class PreferenceSpec extends SparkSpec {
     assert(got.forall(_.getLong(3) === 1048576L)) // rating untouched
   }
 
+  test("bradleyTerryStrengths fails loud above the 2^22 fixed-point bound") {
+    val wins = Seq(("A", "B", (1L << 22), 1L))
+      .toDF("item_a", "item_b", "wins_a", "wins_b")
+    val e = intercept[IllegalArgumentException] {
+      Preference.bradleyTerryStrengths(
+        wins, "item_a", "item_b", "wins_a", "wins_b")
+    }
+    assert(e.getMessage.contains("invariant to count rescaling"))
+    // rescaled by the common factor, the same data fits
+    val ok = Preference.bradleyTerryStrengths(
+      Seq(("A", "B", (1L << 21), 1L))
+        .toDF("item_a", "item_b", "wins_a", "wins_b"),
+      "item_a", "item_b", "wins_a", "wins_b")
+    assert(ok.count() === 2L)
+  }
+
   test("bradleyTerryStrengths ranks a 3-item tournament sensibly") {
     // A dominates both, C loses to both, B in between
     val wins = Seq(
