@@ -81,9 +81,10 @@ object Bench {
       // eliminable under count()), q208's median/MAD windows: all
       // count()-prunable payloads.
       "q206_domain_cap", "q207_modularity", "q208_rolling_mad",
-      // q292: count() would eliminate the unique-key left join (q87's
-      // pattern), benching a bare doc_id scan instead of the matcher.
-      "q292_maxmatch_tokens",
+      // q292/q298: count() would eliminate the unique-key left join
+      // (q87's pattern), benching a bare doc_id scan instead of the
+      // matcher.
+      "q292_maxmatch_tokens", "q298_maxmatch_joined",
       // round-9 continuation: q232's threshold search and q245's
       // per-block lag windows live in aggregate expressions a count()
       // prunes to bare scans; q241's id arrays are collect_list agg

@@ -109,8 +109,9 @@ object Bpe {
     * list_reduce, so every count hash-gates bit-for-bit.
     *
     * @param vocab non-empty subword units (driver literal, bounded —
-    *              hundreds; for production-size vocabs broadcast-join a
-    *              prefix table instead)
+    *              hundreds; for production-size vocabs use
+    *              [[maxMatchTokenCountJoined]], the broadcast
+    *              prefix-table form with identical semantics)
     * @return (idCol, n_words, n_tokens, n_unk_chars) — n_tokens counts
     *         UNK single-char emissions too; docs with no words keep
     *         zeros.
@@ -126,6 +127,107 @@ object Bpe {
       .select(col("w"), col("__st.ntok").as("__nt"),
         col("__st.nunk").as("__nu"))
     val stats = docWords.join(seg, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__nu")).as("n_unk_chars"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk_chars"), lit(0L)).as("n_unk_chars"))
+  }
+
+  /** [[maxMatchTokenCount]] at PRODUCTION vocab size — the broadcast
+    * prefix-table form its scaladoc names: the vocab arrives as a
+    * DataFrame (the artifact a tokenizer ships — 32k–256k units, far
+    * past the literal-array form's hundreds-of-units bound), candidate
+    * slices of each distinct word equi-join against it, and the greedy
+    * walk then runs on each word's precomputed per-position
+    * longest-match table. Semantics are IDENTICAL to the literal path
+    * (BpeSpec pins them equal on shared vocabs, including fuzz corpora).
+    *
+    * Scale shape: segmentation stays DISTINCT-WORD bounded. Per distinct
+    * word of length L the plan emits ≤ L·maxTokenLen candidate rows
+    * (pos, k, slice) — the shingle-explode discipline — and probes each
+    * against the vocab with ONE broadcast hash-join lookup instead of an
+    * O(|vocab|) literal scan, so the per-word constant is flat in vocab
+    * size. The matched rows collapse back to one row per word (one
+    * shuffle keyed by word, fan-in bounded by L·maxTokenLen), where a
+    * dense per-position best-length array drives the same integer fold
+    * as [[maxMatchTokenCount]]. A 256k-unit vocab broadcasts at ~a few
+    * MB; nothing else grows with vocab size.
+    *
+    * Determinism: longest-wins is `max(k)` per (word, pos) — the same
+    * decision the literal form's maxLen..1 coalesce makes; the walk is
+    * position-integer arithmetic, replayed step-for-step by the DuckDB
+    * oracle's recursive CTE (q298).
+    *
+    * @param vocab   one row per subword unit; non-empty, no NULL/empty
+    *                units (checked with one bounded aggregate)
+    * @param unitCol the unit column's name in `vocab`
+    * @return (idCol, n_words, n_tokens, n_unk_chars) — same contract as
+    *         [[maxMatchTokenCount]]
+    */
+  def maxMatchTokenCountJoined(docs: DataFrame, idCol: String,
+                               textCol: String, vocab: DataFrame,
+                               unitCol: String): DataFrame = {
+    val units = vocab.select(col(unitCol).as("__u")).distinct()
+    // one bounded agg reads the vocab artifact's shape (the PQ-codebook
+    // collect discipline): maxTokenLen bounds the candidate explode.
+    val shape = units.agg(count(lit(1)).as("n"),
+      min(length(col("__u"))).as("mn"),
+      max(length(col("__u"))).as("mx")).head()
+    require(shape.getLong(0) > 0L, "empty vocab")
+    require(!shape.isNullAt(1) && shape.getInt(1) >= 1,
+      "vocab has NULL or empty units")
+    val maxLen = shape.getInt(2)
+
+    val docWords = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val words = docWords.select("w").distinct()
+      .withColumn("__L", length(col("w")))
+    val cand = words.select(col("w"), col("__L"), explode(flatten(
+        transform(sequence(lit(1), col("__L")), p =>
+          transform(sequence(lit(1), least(lit(maxLen), col("__L") - p + 1)),
+            k => struct(p.as("pos"), k.as("k")))))).as("__pk"))
+      .select(col("w"), col("__pk.pos").as("__pos"), col("__pk.k").as("__k"))
+      .withColumn("__sub", col("w").substr(col("__pos"), col("__k")))
+    val matched = cand.join(broadcast(units), col("__sub") === col("__u"))
+      .select(col("w"), col("__pos"), col("__k"))
+    // dense per-position longest-match array, then the segFold walk on
+    // it: element_at(bls, pos) replaces the literal-vocab coalesce.
+    val seg = matched.groupBy("w")
+      .agg(collect_list(struct(col("__pos"), col("__k"))).as("__ms"))
+      .join(words, Seq("w"))
+      .withColumn("__bls", transform(sequence(lit(1), col("__L")), p =>
+        coalesce(array_max(transform(
+          filter(col("__ms"), m => m.getField("__pos") === p),
+          m => m.getField("__k"))), lit(0))))
+      .withColumn("__st", aggregate(sequence(lit(1), col("__L")),
+        struct(lit(1).as("pos"), lit(0L).as("ntok"), lit(0L).as("nunk")),
+        (st, _) => {
+          val pos = st.getField("pos")
+          val bl = element_at(col("__bls"), pos)
+          when(pos > col("__L"), st).otherwise(
+            when(bl > 0,
+              struct((pos + bl).as("pos"),
+                (st.getField("ntok") + 1L).as("ntok"),
+                st.getField("nunk").as("nunk")))
+              .otherwise(
+                struct((pos + 1).as("pos"),
+                  (st.getField("ntok") + 1L).as("ntok"),
+                  (st.getField("nunk") + 1L).as("nunk"))))
+        }))
+      .select(col("w"), col("__st.ntok").as("__nt"),
+        col("__st.nunk").as("__nu"))
+    // a word NO unit matches anywhere is absent from `matched`: every
+    // position UNKs, so it contributes (L tokens, L unk chars)
+    val segAll = words.join(seg, Seq("w"), "left")
+      .select(col("w"),
+        coalesce(col("__nt"), col("__L").cast("long")).as("__nt"),
+        coalesce(col("__nu"), col("__L").cast("long")).as("__nu"))
+    val stats = docWords.join(segAll, "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_tokens"),
         sum(col("__nu")).as("n_unk_chars"))

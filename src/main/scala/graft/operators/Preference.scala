@@ -65,6 +65,34 @@ object Preference {
         count(when(col("__ma") === col("__mb"), 1)).as("ties"))
   }
 
+  /** Win matrix from EXPLICIT (winner, loser) comparison rows — the
+    * shape real RLHF/eval preference data arrives in (an annotator or
+    * judge emits one decided comparison per row; ties simply have no
+    * row). [[pairwiseWins]] DERIVES implicit comparisons when only
+    * scores exist; this aggregates the explicit ones: normalize each
+    * row to the unordered (item_a < item_b) key, count wins per side —
+    * ONE hash aggregate (map-side combinable) over corpus-sized input,
+    * |items|² bounded output, ready for [[bradleyTerryStrengths]].
+    *
+    * Self-comparisons (winner = loser) and NULL sides are dropped — a
+    * degenerate row carries no BT information.
+    *
+    * @return one row per unordered item pair with any decided
+    *         comparison: (item_a < item_b, wins_a, wins_b)
+    */
+  def winMatrixFromComparisons(df: DataFrame, winnerCol: String,
+                               loserCol: String): DataFrame =
+    df.select(col(winnerCol).cast(StringType).as("__w"),
+        col(loserCol).cast(StringType).as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+      .select(least(col("__w"), col("__l")).as("item_a"),
+        greatest(col("__w"), col("__l")).as("item_b"),
+        (col("__w") < col("__l")).as("__awin"))
+      .groupBy("item_a", "item_b")
+      .agg(count(when(col("__awin"), 1)).as("wins_a"),
+        count(when(!col("__awin"), 1)).as("wins_b"))
+
   /** Bradley-Terry strengths on a BOUNDED win matrix via `iters` fixed-
     * point Hunter-MM JACOBI rounds (every round reads only the previous
     * round's ratings — iteration order cannot matter):

@@ -3682,7 +3682,77 @@ object LlmQueries {
           graft.io.TableIO.eventsNanos(s, dir), "user_id", "event_type",
           floor(col("value") * lit(100.0)).cast("long")),
         "item_a", "item_b", "wins_a", "wins_b", iters = 8)
-        .orderBy("item"))
+        .orderBy("item")),
+
+    // q292's production-size successor (the round-10 verdict's top
+    // task): the SAME greedy longest-match semantics under a
+    // fuzz-generated 5k+-unit vocab, tokenized via the broadcast
+    // prefix-table JOIN (maxMatchTokenCountJoined) — the vocab rides
+    // the plan as a staged relation, not a literal array, so the
+    // per-word cost is flat in |vocab|. The oracle replays the walk as
+    // a recursive CTE against its own copy of the vocab; n_vocab pins
+    // the staged relation's cardinality cross-engine.
+    "q298_maxmatch_joined" -> ((s, dir) => {
+      import s.implicits._
+      val vocabDf = maxMatchVocab5k.toDF("unit")
+      val nv = broadcast(vocabDf.agg(count(lit(1)).as("n_vocab")))
+      graft.operators.Bpe.maxMatchTokenCountJoined(t(s, dir, "documents"),
+        "doc_id", "text", vocabDf, "unit")
+        .withColumn("fertility", when(col("n_words") > 0,
+          col("n_tokens").cast("double") / col("n_words").cast("double")))
+        .crossJoin(nv)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR TRAIN/APPLY SPLIT, gated cross-engine (round-10 task: the
+    // frozen-weight path was streaming-unit-only): train the dense
+    // 256-bucket weight vector on the EVEN-doc_id slice, export it as
+    // the bounded artifact (256 longs — the deployment shape: ship the
+    // vector, never the corpus), then score the DISJOINT odd-doc_id
+    // batch with dsirScoreWith's frozen-literal lookup. The oracle
+    // re-derives the same weights from the same slice and replays the
+    // scoring, so a train/apply drift (smoothing applied differently at
+    // export vs training, a bucket off-by-one in the dense fill) breaks
+    // the hash. Disjointness matters: odd docs hit buckets the training
+    // slice never saw, exercising the smoothed-prior rows of the dense
+    // vector that q294's self-scoring never touches.
+    "q299_dsir_frozen_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weights = graft.operators.Selection.dsirBucketWeights(
+          docs.filter(col("doc_id") % 2 === 0), "text",
+          col("lang") === "en", n = 2, buckets = 256)
+        .orderBy("bucket").select("w_fp").collect().map(_.getLong(0))
+      graft.operators.Selection.dsirScoreWith(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          weights, n = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Bradley-Terry from EXPLICIT comparisons (round-10 task: q296/q297
+    // derive implicit wins from scores, but real RLHF data arrives as
+    // (winner, loser) rows): stage one decided-comparison row per
+    // subject head-to-head (ties produce NO row, matching annotator
+    // behavior), aggregate with winMatrixFromComparisons' unordered-key
+    // normalize, fit the same 8 Hunter-MM rounds. Strengths and
+    // per-item comparison counts must land bit-identical to the
+    // implicit path's on this data — the oracle re-derives through the
+    // explicit shape, so a normalize bug (least/greatest swap, a
+    // dropped tie) breaks the hash.
+    "q300_bt_explicit" -> ((s, dir) => {
+      val per = graft.io.TableIO.eventsNanos(s, dir)
+        .groupBy(col("user_id").as("s"), col("event_type").as("i"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("m"))
+      val cmp = per.select(col("s"), col("i").as("w"), col("m").as("mw"))
+        .join(per.select(col("s"), col("i").as("l"), col("m").as("ml")),
+          "s")
+        .filter(col("w") =!= col("l") && col("mw") > col("ml"))
+        .select(col("w").as("winner"), col("l").as("loser"))
+      graft.operators.Preference.bradleyTerryStrengths(
+        graft.operators.Preference.winMatrixFromComparisons(
+          cmp, "winner", "loser"),
+        "item_a", "item_b", "wins_a", "wins_b", iters = 8)
+        .orderBy("item")
+    })
   )
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
@@ -3695,6 +3765,29 @@ object LlmQueries {
       "th", "he", "ta", "le", "an", "ar", "rt", "ow", "the", "tab",
       "ble", "val", "lue", "row", "scan", "part", "hash", "sort",
       "win", "dow")
+
+  /** q298's production-size vocab: 5k+ distinct fuzz units of length
+    * 2–6 (seeded LCG — java.util.Random's algorithm is spec-fixed, so
+    * the sequence is identical on every JVM) plus [[maxMatchVocab]]'s
+    * overlapping multi-char units (so longest-wins decisions fire on
+    * corpus words) plus DELIBERATELY PARTIAL single-char coverage
+    * (vowels + high-frequency consonants only — corpus chars outside it
+    * UNK wherever no multi-char unit spans them, exercising the UNK
+    * walk at scale). Shared verbatim by the engine (staged as a
+    * DataFrame) and the oracle (embedded as a list literal).
+    */
+  private val maxMatchVocab5k: Seq[String] = {
+    val rng = new scala.util.Random(298L)
+    val fuzz = Seq.fill(6200) {
+      val len = 2 + rng.nextInt(5)
+      (0 until len).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    }
+    val singles = "aeilnorst".map(_.toString)
+    val v = (fuzz ++ singles ++ maxMatchVocab.filter(_.length > 1))
+      .distinct.sorted
+    require(v.size >= 5000, s"fuzz vocab only ${v.size} units")
+    v
+  }
 
   /** q169/q170's shared eval set: q102's distilled linear model served
     * over the gate's features, score quantized to fixed point
@@ -11152,8 +11245,114 @@ object LlmQueries {
     // r_i AND r_j, so unrolling is the faithful spelling). Every
     // division is positive-operand // — floor, as in the engine's
     // long arithmetic.
-    "q297_bradley_terry" -> oBradleyTerrySql(8)
+    "q297_bradley_terry" -> oBradleyTerrySql(8),
+
+    // q292's recursive walk, re-pointed at a per-(word, pos)
+    // longest-match table built by equi-joining candidate slices
+    // against the oracle's own copy of the 5k+ fuzz vocab — the same
+    // candidate explode + max(k) + walk the engine runs, so every
+    // longest-wins and UNK decision is integer-exact cross-engine.
+    "q298_maxmatch_joined" -> oMaxMatchJoinedSql(maxMatchVocab5k),
+
+    // Train/apply split: the weight CTE is q294's bucket table derived
+    // from the EVEN slice only, DENSIFIED over range(256) so buckets
+    // the training slice never saw carry the smoothed prior ratio
+    // (coalesce(c,0)+1 operand-for-operand the engine's dense fill);
+    // scoring replays the odd slice's gram stream against it.
+    "q299_dsir_frozen_apply" ->
+      s"""WITH tr AS (
+         |  SELECT lang = 'en' AS t, $oToks AS tk FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |dg AS (
+         |  SELECT t, ${oPolyHash("gram")} % 256 AS b FROM (
+         |    SELECT t, unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |    FROM tr)),
+         |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         |              CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS ct
+         |       FROM dg GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |               CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+         |w AS (SELECT gs.b AS b, CAST(floor(
+         |         (CAST(coalesce(bc.ct, 0) + 1 AS DOUBLE)
+         |            / CAST(tot.nt + 256 AS DOUBLE))
+         |         / (CAST(coalesce(bc.cr, 0) + 1 AS DOUBLE)
+         |            / CAST(tot.nr + 256 AS DOUBLE))
+         |         * 1048576.0) AS BIGINT) AS wt
+         |      FROM (SELECT unnest(range(256)) AS b) gs
+         |      CROSS JOIN tot LEFT JOIN bc ON bc.b = gs.b),
+         |sc AS (SELECT doc_id, $oToks AS tk FROM documents
+         |       WHERE doc_id % 2 = 1),
+         |sg AS (
+         |  SELECT doc_id, ${oPolyHash("gram")} % 256 AS b FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |    FROM sc)),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |               CAST(sum(wt) AS BIGINT) AS dsir_fp
+         |        FROM sg JOIN w USING (b) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(per.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |       coalesce(per.dsir_fp, CAST(0 AS BIGINT)) AS dsir_fp,
+         |       CASE WHEN per.n_grams > 0
+         |            THEN CAST(per.dsir_fp AS DOUBLE) / per.n_grams
+         |       END AS dsir_weight
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Same MM unroll as q297, wins derived through the EXPLICIT
+    // (winner, loser) comparison shape instead of the subject-local
+    // score join.
+    "q300_bt_explicit" -> oBradleyTerrySql(8, oExplicitWinsCtes)
   )
+
+  /** q298: candidate-slice explode + vocab equi-join + per-position
+    * max(k) + the q292 recursive walk probing that table; the vocab
+    * list literal and maxLen constant are generated from the SAME Seq
+    * the engine stages as a DataFrame.
+    */
+  private def oMaxMatchJoinedSql(vocab: Seq[String]): String = {
+    val vlist = vocab.map(u => "'" + u + "'").mkString("[", ",", "]")
+    val maxLen = vocab.map(_.length).max
+    s"""WITH RECURSIVE vocab AS (SELECT unnest($vlist) AS u),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM vocab),
+       |dwords AS (SELECT DISTINCT unnest($oToks) AS w FROM documents),
+       |cand AS (
+       |  SELECT w, u.pos AS pos, u.k AS k FROM (
+       |    SELECT w, unnest(flatten(list_transform(range(1, length(w) + 1),
+       |      p -> list_transform(range(1, least($maxLen, length(w) - p + 1) + 1),
+       |        k -> {'pos': p, 'k': k})))) AS u
+       |    FROM dwords)),
+       |best AS (
+       |  SELECT c.w, c.pos, CAST(max(c.k) AS INTEGER) AS bl
+       |  FROM cand c JOIN vocab v ON v.u = substr(c.w, c.pos, c.k)
+       |  GROUP BY 1, 2),
+       |walk(w, pos, ntok, nunk) AS (
+       |  SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dwords
+       |  UNION ALL
+       |  SELECT walk.w, walk.pos + coalesce(b.bl, 1), walk.ntok + 1,
+       |         walk.nunk + CASE WHEN b.bl IS NULL THEN 1 ELSE 0 END
+       |  FROM walk LEFT JOIN best b ON b.w = walk.w AND b.pos = walk.pos
+       |  WHERE walk.pos <= length(walk.w)),
+       |seg AS (SELECT w, ntok, nunk FROM walk WHERE pos > length(w)),
+       |tok AS (SELECT doc_id, unnest($oToks) AS w FROM documents),
+       |agg AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(s.ntok) AS BIGINT) AS n_tokens,
+       |         CAST(sum(s.nunk) AS BIGINT) AS n_unk_chars
+       |  FROM tok t JOIN seg s USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(a.n_unk_chars, 0) AS BIGINT) AS n_unk_chars,
+       |       CASE WHEN COALESCE(a.n_words, 0) > 0
+       |            THEN CAST(a.n_tokens AS DOUBLE) /
+       |                 CAST(a.n_words AS DOUBLE) END AS fertility,
+       |       (SELECT n_vocab FROM nv) AS n_vocab
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** q292: the longest-candidate picker, generated from the SAME
     * maxLen..1 loop as [[graft.operators.Bpe.maxMatchTokenCount]]'s
@@ -11166,7 +11365,50 @@ object LlmQueries {
     * carried when d = 0), mirroring
     * [[graft.operators.Preference.bradleyTerryStrengths]] long-for-long.
     */
-  private def oBradleyTerrySql(iters: Int): String = {
+  /** q297's wins derivation: implicit head-to-heads from per-subject
+    * summed scores (Preference.pairwiseWins).
+    */
+  private def oImplicitWinsCtes: String =
+    """per AS MATERIALIZED (
+      |  SELECT user_id AS s, event_type AS i,
+      |         CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE))
+      |           AS BIGINT)) AS BIGINT) AS m
+      |  FROM events GROUP BY 1, 2),
+      |wins AS MATERIALIZED (
+      |  SELECT a.i AS item_a, b.i AS item_b,
+      |         CAST(count(CASE WHEN a.m > b.m THEN 1 END) AS BIGINT)
+      |           AS wins_a,
+      |         CAST(count(CASE WHEN b.m > a.m THEN 1 END) AS BIGINT)
+      |           AS wins_b
+      |  FROM per a JOIN per b ON a.s = b.s AND a.i < b.i
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q300's wins derivation: EXPLICIT (winner, loser) comparison rows
+    * first (one row per decided head-to-head — the RLHF input shape),
+    * then Preference.winMatrixFromComparisons' least/greatest normalize
+    * + count per side.
+    */
+  private def oExplicitWinsCtes: String =
+    """per AS MATERIALIZED (
+      |  SELECT user_id AS s, event_type AS i,
+      |         CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE))
+      |           AS BIGINT)) AS BIGINT) AS m
+      |  FROM events GROUP BY 1, 2),
+      |cmp AS MATERIALIZED (
+      |  SELECT a.i AS winner, b.i AS loser
+      |  FROM per a JOIN per b
+      |    ON a.s = b.s AND a.i <> b.i AND a.m > b.m),
+      |wins AS MATERIALIZED (
+      |  SELECT least(winner, loser) AS item_a,
+      |         greatest(winner, loser) AS item_b,
+      |         CAST(count(CASE WHEN winner < loser THEN 1 END) AS BIGINT)
+      |           AS wins_a,
+      |         CAST(count(CASE WHEN loser < winner THEN 1 END) AS BIGINT)
+      |           AS wins_b
+      |  FROM cmp GROUP BY 1, 2)""".stripMargin
+
+  private def oBradleyTerrySql(iters: Int,
+                               winsCtes: String = oImplicitWinsCtes): String = {
     val rounds = (1 to iters).map { k =>
       s"""d$k AS MATERIALIZED (
          |  SELECT u.item, CAST(sum(CASE WHEN u.rs + u.ro > 0
@@ -11189,19 +11431,7 @@ object LlmQueries {
          |  FROM wtot w JOIN r${k - 1} rp ON rp.item = w.item
          |  LEFT JOIN d$k d ON d.item = w.item)""".stripMargin
     }.mkString(",\n")
-    s"""WITH per AS MATERIALIZED (
-       |  SELECT user_id AS s, event_type AS i,
-       |         CAST(sum(CAST(floor(value * CAST(100.0 AS DOUBLE))
-       |           AS BIGINT)) AS BIGINT) AS m
-       |  FROM events GROUP BY 1, 2),
-       |wins AS MATERIALIZED (
-       |  SELECT a.i AS item_a, b.i AS item_b,
-       |         CAST(count(CASE WHEN a.m > b.m THEN 1 END) AS BIGINT)
-       |           AS wins_a,
-       |         CAST(count(CASE WHEN b.m > a.m THEN 1 END) AS BIGINT)
-       |           AS wins_b
-       |  FROM per a JOIN per b ON a.s = b.s AND a.i < b.i
-       |  GROUP BY 1, 2),
+    s"""WITH $winsCtes,
        |pairs AS MATERIALIZED (
        |  SELECT item_a AS a, item_b AS b, wins_a + wins_b AS n
        |  FROM wins WHERE wins_a + wins_b > 0),

@@ -91,4 +91,58 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.head === ((1L, 2L, 0L)))
   }
+
+  test("maxMatchTokenCountJoined == literal path on the hand-built cases") {
+    val vocab = Seq("a", "b", "ab", "abc")
+    val docs = Seq(
+      (1L, "abcab"), (2L, "abz"), (3L, "zz"), (4L, ""),
+      (5L, "aab xyababc")).toDF("id", "text")
+    val lit = Bpe.maxMatchTokenCount(docs, "id", "text", vocab)
+      .orderBy("id").collect().toSeq
+    val joined = Bpe.maxMatchTokenCountJoined(docs, "id", "text",
+      vocab.toDF("unit"), "unit").orderBy("id").collect().toSeq
+    assert(joined === lit)
+  }
+
+  test("maxMatchTokenCountJoined: fuzz equality vs the literal path on a " +
+    "thousands-unit overlapping vocab (the >=5k production size is gated" +
+    " end-to-end by q298)") {
+    // seeded fuzz: 200 words over a 4-char alphabet (heavy unit overlap,
+    // so longest-wins decisions fire constantly) against ~1800 distinct
+    // units of length 1..6 that deliberately OMIT the single char 'd' so
+    // UNK paths are exercised too. The literal path is the q292-gated
+    // semantics; the joined path must match row-for-row.
+    val rng = new scala.util.Random(20260814L)
+    val alpha = "abcd"
+    def randStr(len: Int): String =
+      (0 until len).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    val vocab = ((1 to 6000).map(_ => randStr(1 + rng.nextInt(6)))
+      .filterNot(_ == "d") ++ Seq("a", "b", "c")).distinct
+    assert(vocab.size > 1500)
+    val docs = (1 to 200).map(i =>
+      (i.toLong, (1 to 8).map(_ => randStr(1 + rng.nextInt(12)))
+        .mkString(" "))).toDF("id", "text")
+    val lit = Bpe.maxMatchTokenCount(docs, "id", "text", vocab)
+      .orderBy("id").collect().toSeq
+    val joined = Bpe.maxMatchTokenCountJoined(docs, "id", "text",
+      vocab.toDF("unit"), "unit").orderBy("id").collect().toSeq
+    assert(joined === lit)
+    assert(lit.map(_.getLong(3)).sum > 0L) // UNKs actually exercised
+  }
+
+  test("maxMatchTokenCountJoined: all-UNK words and bad vocabs") {
+    val docs = Seq((1L, "zzz qq")).toDF("id", "text")
+    val out = Bpe.maxMatchTokenCountJoined(docs, "id", "text",
+      Seq("ab", "ba").toDF("unit"), "unit").collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) ===
+      ((2L, 5L, 5L)))
+    intercept[IllegalArgumentException] {
+      Bpe.maxMatchTokenCountJoined(docs, "id", "text",
+        Seq.empty[String].toDF("unit"), "unit")
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.maxMatchTokenCountJoined(docs, "id", "text",
+        Seq("ab", "").toDF("unit"), "unit")
+    }
+  }
 }

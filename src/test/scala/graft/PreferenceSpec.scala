@@ -46,6 +46,29 @@ class PreferenceSpec extends SparkSpec {
     assert(got.forall(_.getLong(3) === 1048576L)) // rating untouched
   }
 
+  test("winMatrixFromComparisons normalizes explicit rows to the unordered key") {
+    // B beats A twice, A beats B once; C beats A once; a self-comparison
+    // and a NULL row are dropped
+    val cmp = Seq(("B", "A"), ("B", "A"), ("A", "B"), ("C", "A"),
+      ("A", "A"), (null, "B")).toDF("winner", "loser")
+    val got = Preference.winMatrixFromComparisons(cmp, "winner", "loser")
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(("A", "B", 1L, 2L), ("A", "C", 0L, 1L)))
+  }
+
+  test("explicit-comparison rows reach the same 3:1 BT fixpoint as a win matrix") {
+    // 3 'A beats B' rows + 1 'B beats A' row == wins matrix (3, 1)
+    val cmp = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("winner", "loser")
+    val got = Preference.bradleyTerryStrengths(
+      Preference.winMatrixFromComparisons(cmp, "winner", "loser"),
+      "item_a", "item_b", "wins_a", "wins_b", iters = 8)
+      .orderBy("item").collect()
+    assert(got(0).getDouble(4) === 1.5 && got(1).getDouble(4) === 0.5)
+    assert(got(0).getLong(2) === 4L && got(1).getLong(2) === 4L)
+  }
+
   test("bradleyTerryStrengths fails loud above the 2^22 fixed-point bound") {
     val wins = Seq(("A", "B", (1L << 22), 1L))
       .toDF("item_a", "item_b", "wins_a", "wins_b")
