@@ -85,6 +85,7 @@ object Bench {
       // (q87's pattern), benching a bare doc_id scan instead of the
       // matcher.
       "q292_maxmatch_tokens", "q298_maxmatch_joined",
+      "q301_tokenizer_lifecycle",
       // round-9 continuation: q232's threshold search and q245's
       // per-block lag windows live in aggregate expressions a count()
       // prunes to bare scans; q241's id arrays are collect_list agg
@@ -130,23 +131,39 @@ object Bench {
     val results = named.map { case (name, _) =>
       name -> minOf(passes ++ extraPasses, name)
     }
+    // MEDIAN per query alongside the min (round-10 brief: the ±13%
+    // ambient spread of min-of-3 eats half the 2x bench margin;
+    // the median of interleaved samples is a ~5%-stable center, so
+    // round-over-round movers become attributable). LOWER median on an
+    // even sample count — always a real measured sample, deterministic.
+    def medOf(name: String): Option[Double] = {
+      val samples = (passes ++ extraPasses).flatMap(_.get(name).flatten).sorted
+      if (samples.isEmpty) None else Some(samples((samples.size - 1) / 2))
+    }
+    val medians = named.flatMap { case (name, _) =>
+      medOf(name).map(name -> _)
+    }
     val ok = results.collect { case (n, Some(s)) => n -> s }
     val failed = results.collect { case (n, None) => n }
     // ms precision keeps the one-line JSON comfortably inside log-tail
     // windows (full nanosecond doubles pushed it near truncation).
     def r(v: Double): Double = math.round(v * 10000) / 10000.0
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
+    val qms = medians.map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cs = checksumQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
+    val totalMed = medians.map(_._2).sum
     // "value" sits at the END of the object: the driver's log-tail window
     // keeps the END of long lines, and round 8's front-truncation lost
     // the headline number exactly because value led the line. A second
     // minimal total-only line is emitted LAST as a belt-and-braces parse
-    // target — short enough that no tail window can cut it.
-    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","checksum_action":$cs,"queries":$qs,"failed":$fs,"value":${r(total)}}"""
+    // target — short enough that no tail window can cut it. "value"
+    // stays the min-based total (comparable to every prior round);
+    // value_median is the sum of per-query medians.
+    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","checksum_action":$cs,"queries":$qs,"queries_median":$qms,"failed":$fs,"value_median":${r(totalMed)},"value":${r(total)}}"""
     println(fullLine)
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size}}""")
+    println(s"""{"metric":"total","value":${r(total)},"value_median":${r(totalMed)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size}}""")
     // Driver log tails keep only ~68 of the per-query times; committing
     // the full line per round (bench_local_rN.json) is what makes
     // round-over-round per-query regression checks possible from repo

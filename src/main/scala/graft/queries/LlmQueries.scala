@@ -3738,6 +3738,24 @@ object LlmQueries {
     // implicit path's on this data — the oracle re-derives through the
     // explicit shape, so a normalize bug (least/greatest swap, a
     // dropped tie) breaks the hash.
+    // FULL TOKENIZER LIFECYCLE in one gate: train BPE on the corpus
+    // (q92/q93's 8 merge rounds), freeze the learned subword vocabulary
+    // as the artifact, and APPLY it with the broadcast prefix-table
+    // MaxMatch — train → freeze → serve, the loop a real pipeline ships
+    // (q298 proves the joined matcher under a synthetic vocab; this
+    // proves it under a LEARNED, corpus-derived one, maxTokenLen and
+    // all). WordPiece-style greedy inference over BPE units is the
+    // standard serving approximation — counts are NOT q94's exact BPE
+    // segmentation, and that's the point: this is what serving pays.
+    "q301_tokenizer_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Bpe.subwordVocab(docs, "text",
+        numMerges = 8).select(col("subword").as("unit"))
+      graft.operators.Bpe.maxMatchTokenCountJoined(docs, "doc_id",
+        "text", vocab, "unit")
+        .orderBy("doc_id")
+    }),
+
     "q300_bt_explicit" -> ((s, dir) => {
       val per = graft.io.TableIO.eventsNanos(s, dir)
         .groupBy(col("user_id").as("s"), col("event_type").as("i"))
@@ -11304,8 +11322,56 @@ object LlmQueries {
     // Same MM unroll as q297, wins derived through the EXPLICIT
     // (winner, loser) comparison shape instead of the subject-local
     // score join.
-    "q300_bt_explicit" -> oBradleyTerrySql(8, oExplicitWinsCtes)
+    "q300_bt_explicit" -> oBradleyTerrySql(8, oExplicitWinsCtes),
+
+    // q92's unrolled merge stages end in the final word table s8; the
+    // learned vocab is its distinct symbols, and the q298 candidate-
+    // join + recursive walk replays the apply side against it. The
+    // candidate explode is UNCAPPED here (no maxLen constant — the
+    // learned max unit length is data-dependent); slices longer than
+    // any unit simply match nothing, so the capped engine plan and the
+    // uncapped oracle are decision-identical.
+    "q301_tokenizer_lifecycle" -> oTokenizerLifecycleSql(8)
   )
+
+  /** q301: oBpeCtes' merge stages (promoted to WITH RECURSIVE for the
+    * walk) + learned-vocab CTE + the q298 apply-side replay.
+    */
+  private def oTokenizerLifecycleSql(numMerges: Int): String =
+    oBpeCtes(numMerges).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |vocab AS (SELECT DISTINCT unnest(syms) AS u FROM s$numMerges),
+         |dwords AS (SELECT DISTINCT unnest($oToks) AS w FROM documents),
+         |cand AS (
+         |  SELECT w, u.pos AS pos, u.k AS k FROM (
+         |    SELECT w, unnest(flatten(list_transform(range(1, length(w) + 1),
+         |      p -> list_transform(range(1, length(w) - p + 2),
+         |        k -> {'pos': p, 'k': k})))) AS u
+         |    FROM dwords)),
+         |best AS (
+         |  SELECT c.w, c.pos, CAST(max(c.k) AS INTEGER) AS bl
+         |  FROM cand c JOIN vocab v ON v.u = substr(c.w, c.pos, c.k)
+         |  GROUP BY 1, 2),
+         |walk(w, pos, ntok, nunk) AS (
+         |  SELECT w, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dwords
+         |  UNION ALL
+         |  SELECT walk.w, walk.pos + coalesce(b.bl, 1), walk.ntok + 1,
+         |         walk.nunk + CASE WHEN b.bl IS NULL THEN 1 ELSE 0 END
+         |  FROM walk LEFT JOIN best b ON b.w = walk.w AND b.pos = walk.pos
+         |  WHERE walk.pos <= length(walk.w)),
+         |seg AS (SELECT w, ntok, nunk FROM walk WHERE pos > length(w)),
+         |tok AS (SELECT doc_id, unnest($oToks) AS w FROM documents),
+         |agg AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(s.ntok) AS BIGINT) AS n_tokens,
+         |         CAST(sum(s.nunk) AS BIGINT) AS n_unk_chars
+         |  FROM tok t JOIN seg s USING (w) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(a.n_unk_chars, 0) AS BIGINT) AS n_unk_chars
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
 
   /** q298: candidate-slice explode + vocab equi-join + per-position
     * max(k) + the q292 recursive walk probing that table; the vocab

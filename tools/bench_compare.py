@@ -19,9 +19,14 @@ import sys
 
 
 def main(old_path, new_path, ratio=1.5):
-    old = json.load(open(old_path))["queries"]
+    old_full = json.load(open(old_path))
     new_full = json.load(open(new_path))
-    new = new_full["queries"]
+    if "queries_median" in old_full and "queries_median" in new_full:
+        old, new = old_full["queries_median"], new_full["queries_median"]
+        print("(comparing per-query MEDIANS; movers beyond ~1.1x are "
+              "likely real)")
+    else:
+        old, new = old_full["queries"], new_full["queries"]
     both = sorted(set(old) & set(new))
     movers = []
     for q in both:
