@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Classifier-evaluation metrics computed EXACTLY from a score
   * histogram — the model-QA tier of a curation pipeline (a quality
@@ -412,6 +413,60 @@ object Evaluation {
     *
     * @return (b, n_pos, n_neg, auc_num, auc_den, auc) per replicate
     */
+  /** Unbiased pass@k per task (Chen et al. 2021, "Evaluating Large
+    * Language Models Trained on Code", eq. 1): with n samples and c
+    * passes, pass@k = 1 − C(n−c,k)/C(n,k) = 1 − Π_{i=0}^{k−1}
+    * (n−c−i)/(n−i) — the probability a random k-subset contains at
+    * least one pass. THE headline metric of a code-eval harness; the
+    * naive 1−(1−c/n)^k estimator is biased, this one is not.
+    *
+    * Exactness: numerator and denominator are k-term falling-factorial
+    * PRODUCTS in DECIMAL(38,0) — exact integers (n^k < 10^38 bounds
+    * apply: at k ≤ 6, any n up to ~10^6 samples/task fits; past it,
+    * ANSI decimal overflow fails LOUD, never silently rounds). The
+    * emitted `pass_at_k_q30` is one integral division of
+    * (den−num)·2³⁰ by den (positive operands — exact floor), and
+    * `pass_at_k` its exact 2^-30 rescale; num/den ship as decimal
+    * strings for any downstream exact aggregation.
+    *
+    * Scale shape: one hash-aggregate to (task, n, c) — map-side
+    * combinable, output bounded by the task domain — then k-term
+    * row-local arithmetic. Nothing is corpus-sized after the first
+    * aggregate.
+    *
+    * @param passed boolean expression: this sample solved the task
+    * @return one row per task: (taskCol, n, c, passk_num_str,
+    *         passk_den_str, pass_at_k_q30, pass_at_k) — tasks with
+    *         n < k yield NULL estimates (k draws don't exist); n−c < k
+    *         yields exactly 1 (every k-subset hits a pass: num = 0)
+    */
+  def passAtK(df: DataFrame, taskCol: String, passed: Column,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, "need 1 <= k <= 8 (decimal exactness bound)")
+    val d38 = DecimalType(38, 0)
+    val per = df.groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n"), count(when(passed, 1)).as("c"))
+    val fall = (base: Column) => aggregate(
+      sequence(lit(0), lit(k - 1)), lit(1).cast(d38),
+      (acc, i) => (acc * greatest(base - i.cast("long"), lit(0L)).cast(d38))
+        .cast(d38))
+    per.withColumn("__num", fall(col("n") - col("c")))
+      .withColumn("__den", fall(col("n")))
+      .select(col(taskCol), col("n"), col("c"),
+        col("__num").cast("string").as("passk_num_str"),
+        col("__den").cast("string").as("passk_den_str"),
+        when(col("n") >= k,
+          org.apache.spark.sql.graftbridge.toColumn(
+            new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+              org.apache.spark.sql.graftbridge.toExpression(
+                ((col("__den") - col("__num")) * lit(1073741824L).cast(d38))
+                  .cast(d38)),
+              org.apache.spark.sql.graftbridge.toExpression(col("__den")))))
+          .as("pass_at_k_q30"))
+      .withColumn("pass_at_k",
+        col("pass_at_k_q30").cast("double") / lit(1073741824.0))
+  }
+
   def aucBootstrap(df: DataFrame, keyCol: String, scoreCol: String,
                    labelCol: String, replicates: Int): DataFrame = {
     require(replicates > 0, "need at least one replicate")

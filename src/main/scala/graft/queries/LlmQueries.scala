@@ -3738,6 +3738,31 @@ object LlmQueries {
     // implicit path's on this data — the oracle re-derives through the
     // explicit shape, so a normalize bug (least/greatest swap, a
     // dropped tie) breaks the hash.
+    // Prompt PREFIX-SHARING stats at five probe depths — the corpus
+    // measurement behind inference-time prefix caching (how much KV
+    // recompute a one-resident-copy cache saves is a property of the
+    // prompt corpus, and sizing the cache starts here). One scan
+    // computes every depth's first-d-token hash; one (depth, hash)
+    // hash-aggregate; |depths| output rows.
+    "q302_prefix_sharing" -> ((s, dir) =>
+      graft.operators.PrefixCache.prefixSharingStats(
+        t(s, dir, "documents"), "doc_id", "text", Seq(1, 2, 4, 8, 16))
+        .orderBy("depth")),
+
+    // Unbiased pass@k (Chen et al. 2021) per task from per-sample
+    // pass/fail rows — the code-eval headline metric: tasks = users,
+    // a sample passes when its value clears 50.0, k = 5. Exact
+    // falling-factorial products in DECIMAL(38,0), one 2^30 integral
+    // quantization; the oracle replays the identical products in
+    // HUGEINT.
+    "q303_pass_at_k" -> ((s, dir) =>
+      graft.operators.Evaluation.passAtK(
+        graft.io.TableIO.eventsNanos(s, dir).withColumn(
+          "__task", col("user_id")),
+        "__task", col("value") >= 50.0, k = 5)
+        .withColumnRenamed("__task", "task")
+        .orderBy("task")),
+
     // FULL TOKENIZER LIFECYCLE in one gate: train BPE on the corpus
     // (q92/q93's 8 merge rounds), freeze the learned subword vocabulary
     // as the artifact, and APPLY it with the broadcast prefix-table
@@ -11331,7 +11356,73 @@ object LlmQueries {
     // learned max unit length is data-dependent); slices longer than
     // any unit simply match nothing, so the capped engine plan and the
     // uncapped oracle are decision-identical.
-    "q301_tokenizer_lifecycle" -> oTokenizerLifecycleSql(8)
+    "q301_tokenizer_lifecycle" -> oTokenizerLifecycleSql(8),
+
+    // Prefix hash = the positional gram hash's element 1: the polyhash
+    // of the space-joined first d tokens — replayed per depth over a
+    // VALUES depth table; stats re-derived from the (depth, hash)
+    // groups.
+    "q302_prefix_sharing" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |pre AS (
+         |  SELECT d.depth, t.doc_id,
+         |         CASE WHEN len(t.tk) >= d.depth THEN
+         |           ${oPolyHash("array_to_string(t.tk[1:d.depth], ' ')")}
+         |         END AS h
+         |  FROM toks t CROSS JOIN
+         |    (VALUES (1),(2),(4),(8),(16)) d(depth)),
+         |grp AS (SELECT depth, h, CAST(count(*) AS BIGINT) AS c
+         |        FROM pre WHERE h IS NOT NULL GROUP BY 1, 2),
+         |st AS (
+         |  SELECT depth, CAST(sum(c) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_prefixes,
+         |         CAST(count(CASE WHEN c >= 2 THEN 1 END) AS BIGINT)
+         |           AS n_shared_prefixes,
+         |         CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0)
+         |           AS BIGINT) AS n_docs_sharing
+         |  FROM grp GROUP BY 1)
+         |SELECT depth, n_docs, n_prefixes, n_shared_prefixes,
+         |       n_docs_sharing,
+         |       CAST((n_docs_sharing - n_shared_prefixes) * depth
+         |         AS BIGINT) AS tokens_saved,
+         |       CASE WHEN n_docs > 0 THEN
+         |         CAST((n_docs_sharing - n_shared_prefixes) * depth
+         |           AS DOUBLE)
+         |         / (CAST(n_docs AS DOUBLE) * CAST(depth AS DOUBLE))
+         |       END AS saved_frac
+         |FROM st ORDER BY depth""".stripMargin,
+
+    // pass@k: the identical falling-factorial products (factors
+    // clamped at zero, so n-c < k collapses the numerator and the
+    // estimate is exactly 1) in HUGEINT, one positive-operand //
+    // quantization; n < k rows keep NULL estimates.
+    "q303_pass_at_k" ->
+      """WITH per AS (
+        |  SELECT user_id AS task, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(CASE WHEN value >= 50.0 THEN 1 END)
+        |           AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT task, n, c,
+        |         list_reduce(list_prepend(CAST(1 AS HUGEINT),
+        |           list_transform(range(0, 5),
+        |             i -> CAST(greatest(n - c - i, 0) AS HUGEINT))),
+        |           (a, x) -> a * x) AS num,
+        |         list_reduce(list_prepend(CAST(1 AS HUGEINT),
+        |           list_transform(range(0, 5),
+        |             i -> CAST(greatest(n - i, 0) AS HUGEINT))),
+        |           (a, x) -> a * x) AS den
+        |  FROM per)
+        |SELECT task, n, c,
+        |       CAST(num AS VARCHAR) AS passk_num_str,
+        |       CAST(den AS VARCHAR) AS passk_den_str,
+        |       CASE WHEN n >= 5 THEN
+        |         CAST(((den - num) * 1073741824) // den AS BIGINT)
+        |       END AS pass_at_k_q30,
+        |       CAST(CASE WHEN n >= 5 THEN
+        |         CAST(((den - num) * 1073741824) // den AS BIGINT)
+        |       END AS DOUBLE) / 1073741824.0 AS pass_at_k
+        |FROM f ORDER BY task""".stripMargin
   )
 
   /** q301: oBpeCtes' merge stages (promoted to WITH RECURSIVE for the

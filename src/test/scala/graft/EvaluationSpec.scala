@@ -275,4 +275,52 @@ class EvaluationSpec extends SparkSpec {
       Seq(0.2, 0.4, 0.6, 1.0))
     assert(out.map(_.getAs[Long]("pool")).toSeq === Seq(0L, 1L, 2L, 3L))
   }
+  test("passAtK matches the hand-computed unbiased estimator") {
+    // task A: n=4, c=2, k=2 -> 1 - C(2,2)/C(4,2) = 1 - (2*1)/(4*3)
+    //        = 1 - 1/6 = 5/6; q30 = floor((12-2)*2^30/12)
+    // task B: n=3, c=0 -> pass@2 = 0
+    // task C: n=2, c=2 -> n-c < k -> exactly 1
+    // task D: n=1 -> n < k -> NULL estimate
+    val df = Seq(
+      ("A", true), ("A", true), ("A", false), ("A", false),
+      ("B", false), ("B", false), ("B", false),
+      ("C", true), ("C", true),
+      ("D", true)).toDF("task", "ok")
+    val got = Evaluation.passAtK(df, "task", col("ok"), k = 2)
+      .orderBy("task").collect()
+    val a = got(0)
+    assert((a.getLong(1), a.getLong(2)) === ((4L, 2L)))
+    assert(a.getString(3) === "2" && a.getString(4) === "12")
+    assert(a.getLong(5) === (10L * 1073741824L) / 12L)
+    assert(math.abs(a.getDouble(6) - 5.0 / 6.0) < 1e-8)
+    assert(got(1).getLong(5) === 0L && got(1).getDouble(6) === 0.0)
+    assert(got(2).getLong(5) === 1073741824L && got(2).getDouble(6) === 1.0)
+    assert(got(3).isNullAt(5) && got(3).isNullAt(6))
+  }
+
+  test("passAtK agrees with exhaustive subset enumeration on fuzz tasks") {
+    val rng = new scala.util.Random(303L)
+    val rows = (1 to 12).flatMap { t =>
+      val n = 1 + rng.nextInt(7)
+      (1 to n).map(_ => (s"t$t", rng.nextBoolean()))
+    }
+    val k = 3
+    val got = Evaluation.passAtK(rows.toDF("task", "ok"), "task",
+      col("ok"), k).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val n = rs.size
+      val passes = rs.map(_._2)
+      if (n < k) assert(got(t).isEmpty)
+      else {
+        val subsets = passes.indices.combinations(k).toSeq
+        val hit = subsets.count(_.exists(passes(_)))
+        val expect = hit.toDouble / subsets.size
+        // the operator emits an exact 2^-30 floor of the rational value
+        assert(math.abs(got(t).get - expect) < 1e-8, s"task $t")
+      }
+    }
+  }
+
 }
