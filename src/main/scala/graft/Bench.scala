@@ -90,7 +90,10 @@ object Bench {
       // per-block lag windows live in aggregate expressions a count()
       // prunes to bare scans; q241's id arrays are collect_list agg
       // payloads likewise pruned.
-      "q232_conformal_gate", "q241_dict_encode", "q245_runs_test")
+      "q232_conformal_gate", "q241_dict_encode", "q245_runs_test",
+      // q304: the pair-spine unique-key left join is eliminable under
+      // count() (q87's pattern) — checksum forces the gram aggregates.
+      "q304_rouge_n")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}

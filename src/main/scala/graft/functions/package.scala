@@ -43,6 +43,19 @@ package object functions {
       new Subtract(xe, new Pmod(xe, de)), de))
   }
 
+  /** Integral division of two NON-NEGATIVE integer columns — exact
+    * floor, matching DuckDB's `//` on the non-negative range (where
+    * truncation and floor coincide; [[floorDivLit]] handles signed
+    * dividends). NULL when the divisor is 0 (Spark's IntegralDivide
+    * contract), so callers guard with `when(den > 0, …)` where a NULL
+    * would be ambiguous. The fixed-point closing-division helper:
+    * `posIntDiv(num * 2^q, den)` is the engine-side twin of the
+    * oracle's `(num * 2^q) // den`.
+    */
+  def posIntDiv(num: Column, den: Column): Column =
+    toColumn(new IntegralDivide(
+      toExpression(num.cast(LongType)), toExpression(den.cast(LongType))))
+
   /** Dot product of two equal-length numeric array columns, computed in
     * Double. Codegen-friendly (zip_with + aggregate are Catalyst
     * higher-order functions; no UDF, no row-by-row JVM boxing).

@@ -3795,6 +3795,28 @@ object LlmQueries {
           cmp, "winner", "loser"),
         "item_a", "item_b", "wins_a", "wins_b", iters = 8)
         .orderBy("item")
+    }),
+
+    // ROUGE-N generation eval (Lin 2004) with CLIPPED counts — the
+    // summarization/generation quality gate a model-eval harness runs
+    // over (candidate, reference) pairs. Pairing here is deterministic
+    // from the corpus (odd doc = candidate, its even predecessor =
+    // reference); both ROUGE-1 and ROUGE-2 ride one result with an `n`
+    // column. Gram identity is the literal token string (q87's
+    // discipline — no hash caveat), metrics are one 2^20 closing
+    // integral division each.
+    "q304_rouge_n" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+        .join(docs.select((col("doc_id") + 1).as("pair_id"),
+          col("text").as("ref")), Seq("pair_id"))
+      Seq(1, 2).map(n =>
+        graft.operators.GenerationEval.rougeN(
+          pairs, "pair_id", "cand", "ref", n)
+          .withColumn("n", lit(n.toLong)))
+        .reduce(_ unionByName _)
+        .orderBy("n", "pair_id")
     })
   )
 
@@ -11422,7 +11444,76 @@ object LlmQueries {
         |       CAST(CASE WHEN n >= 5 THEN
         |         CAST(((den - num) * 1073741824) // den AS BIGINT)
         |       END AS DOUBLE) / 1073741824.0 AS pass_at_k
-        |FROM f ORDER BY task""".stripMargin
+        |FROM f ORDER BY task""".stripMargin,
+
+    // ROUGE-N: gram strings replayed verbatim (q87's identity
+    // discipline), clipped overlap = Σ least(cc, rc) per (pair, n,
+    // gram), one `//` closing division per metric. The base spine
+    // LEFT JOIN keeps pairs whose both sides are shorter than n.
+    "q304_rouge_n" ->
+      s"""WITH prs AS (
+         |  SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS refx
+         |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id - 1
+         |  WHERE c.doc_id % 2 = 1),
+         |tk AS (
+         |  SELECT pair_id,
+         |    ${oToks.replace("text", "coalesce(cand, '')")} AS ct,
+         |    ${oToks.replace("text", "coalesce(refx, '')")} AS rt
+         |  FROM prs),
+         |g AS (
+         |  SELECT pair_id, n.n, sd.sd,
+         |    unnest(list_transform(
+         |      range(1, len(CASE WHEN sd.sd = 0 THEN ct ELSE rt END)
+         |        - n.n + 2),
+         |      i -> array_to_string(
+         |        (CASE WHEN sd.sd = 0 THEN ct ELSE rt END)[i:i + n.n - 1],
+         |        ' '))) AS gr
+         |  FROM tk CROSS JOIN (VALUES (1), (2)) n(n)
+         |       CROSS JOIN (VALUES (0), (1)) sd(sd)),
+         |pg AS (
+         |  SELECT pair_id, n, gr,
+         |    CAST(count(CASE WHEN sd = 0 THEN 1 END) AS BIGINT) AS cc,
+         |    CAST(count(CASE WHEN sd = 1 THEN 1 END) AS BIGINT) AS rc
+         |  FROM g GROUP BY 1, 2, 3),
+         |per AS (
+         |  SELECT pair_id, n,
+         |    CAST(sum(cc) AS BIGINT) AS ncg,
+         |    CAST(sum(rc) AS BIGINT) AS nrg,
+         |    CAST(sum(least(cc, rc)) AS BIGINT) AS ov
+         |  FROM pg GROUP BY 1, 2),
+         |base AS (
+         |  SELECT p.pair_id, n.n FROM prs p
+         |  CROSS JOIN (VALUES (1), (2)) n(n)),
+         |j AS (
+         |  SELECT b.pair_id, CAST(b.n AS BIGINT) AS n,
+         |    coalesce(per.ncg, CAST(0 AS BIGINT)) AS n_cand_grams,
+         |    coalesce(per.nrg, CAST(0 AS BIGINT)) AS n_ref_grams,
+         |    coalesce(per.ov, CAST(0 AS BIGINT)) AS overlap
+         |  FROM base b LEFT JOIN per ON per.pair_id = b.pair_id
+         |    AND per.n = b.n)
+         |SELECT pair_id, n_cand_grams, n_ref_grams, overlap,
+         |  CASE WHEN n_cand_grams > 0 THEN
+         |    CAST((overlap * 1048576) // n_cand_grams AS BIGINT)
+         |  END AS rouge_p_q20,
+         |  CASE WHEN n_ref_grams > 0 THEN
+         |    CAST((overlap * 1048576) // n_ref_grams AS BIGINT)
+         |  END AS rouge_r_q20,
+         |  CASE WHEN n_cand_grams + n_ref_grams > 0 THEN
+         |    CAST((2 * overlap * 1048576) // (n_cand_grams + n_ref_grams)
+         |      AS BIGINT)
+         |  END AS rouge_f1_q20,
+         |  CAST(CASE WHEN n_cand_grams > 0 THEN
+         |    CAST((overlap * 1048576) // n_cand_grams AS BIGINT)
+         |  END AS DOUBLE) / 1048576.0 AS rouge_p,
+         |  CAST(CASE WHEN n_ref_grams > 0 THEN
+         |    CAST((overlap * 1048576) // n_ref_grams AS BIGINT)
+         |  END AS DOUBLE) / 1048576.0 AS rouge_r,
+         |  CAST(CASE WHEN n_cand_grams + n_ref_grams > 0 THEN
+         |    CAST((2 * overlap * 1048576) // (n_cand_grams + n_ref_grams)
+         |      AS BIGINT)
+         |  END AS DOUBLE) / 1048576.0 AS rouge_f1,
+         |  n
+         |FROM j ORDER BY n, pair_id""".stripMargin
   )
 
   /** q301: oBpeCtes' merge stages (promoted to WITH RECURSIVE for the
