@@ -91,9 +91,10 @@ object Bench {
       // prunes to bare scans; q241's id arrays are collect_list agg
       // payloads likewise pruned.
       "q232_conformal_gate", "q241_dict_encode", "q245_runs_test",
-      // q304: the pair-spine unique-key left join is eliminable under
-      // count() (q87's pattern) — checksum forces the gram aggregates.
-      "q304_rouge_n")
+      // q304/q305: the doc/pair-spine unique-key left joins are
+      // eliminable under count() (q87's pattern) — checksum forces the
+      // gram/draft aggregates.
+      "q304_rouge_n", "q305_draft_acceptance")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}

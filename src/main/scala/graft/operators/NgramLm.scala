@@ -69,4 +69,104 @@ object NgramLm {
         when(col("n_grams") > 0,
           col("n_known").cast("double") / col("n_grams")).as("known_ratio"))
   }
+
+  /** Greedy bigram DRAFT TABLE: for each context token, the corpus-mode
+    * next token — the model behind n-gram speculative decoding (a draft
+    * proposes the mode continuation; the big model verifies). Ties break
+    * to the LEXICOGRAPHICALLY SMALLEST next token, so the table is a
+    * deterministic function of the corpus multiset (merge-order-free).
+    *
+    * Scale shape: one map-side bigram explode (pairs built inside one
+    * bound-array transform — the shingles HOF discipline), one
+    * (prev, next) hash-aggregate bounded by distinct bigrams, then a
+    * row_number window PARTITIONED BY prev — fan-in per partition is
+    * that context's distinct continuations (vocabulary-bounded, never
+    * corpus-sized).
+    *
+    * @return one row per distinct context token: (prev, pred_next,
+    *         n_obs — occurrences of the winning bigram)
+    */
+  def draftTable(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs.select(explode(bigramPairs(col(textCol))).as("__pn"))
+      .select(col("__pn.p").as("prev"), col("__pn.nx").as("__nx"))
+      .groupBy("prev", "__nx").agg(count(lit(1)).as("n_obs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("prev")
+      .orderBy(col("n_obs").desc, col("__nx").asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("prev"), col("__nx").as("pred_next"), col("n_obs"))
+  }
+
+  /** Draft-model ACCEPTANCE RATE per document under a FROZEN draft
+    * table — the sizing measurement for speculative decoding with an
+    * n-gram draft (expected accepted drafts ≈ acceptance × positions;
+    * whether the draft pays for itself is exactly this number). Each
+    * position i ≥ 2 of a document is one draft event: the table's
+    * `pred_next` for token i−1 is the draft, accepted iff it equals
+    * token i; contexts ABSENT from the table draft nothing (the
+    * position counts, the draft misses) — the conservative read for
+    * capacity planning.
+    *
+    * Exactness: counts are exact BIGINTs; `acceptance_q20` is one
+    * non-negative integral division, `acceptance` its exact 2⁻²⁰
+    * rescale. Scale shape: the corpus-sized side is ONE equi-join of
+    * bigram rows against the table keyed by context (the table is
+    * vocabulary-bounded — broadcastable when it fits, an ordinary
+    * shuffle join when a 100 TB vocabulary doesn't), then one per-doc
+    * hash-aggregate; the doc spine rides a final left join so sub-2-
+    * token docs surface with zero positions, not vanish.
+    *
+    * @param table frozen draft artifact: (prev, pred_next, …) — e.g.
+    *              [[draftTable]]'s output, or one shipped from a prior
+    *              corpus snapshot (the q299 frozen-weights discipline)
+    * @return one row per doc: (idCol, n_positions, n_accepted,
+    *         acceptance_q20, acceptance) — zero-position docs keep
+    *         NULL rates (no draft event to average)
+    */
+  def draftAcceptanceWith(docs: DataFrame, idCol: String, textCol: String,
+                          table: DataFrame): DataFrame = {
+    val bi = docs.select(col(idCol), explode(bigramPairs(col(textCol)))
+        .as("__pn"))
+      .select(col(idCol), col("__pn.p").as("prev"), col("__pn.nx").as("__nx"))
+    val stats = bi
+      .join(table.select(col("prev"), col("pred_next")), Seq("prev"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_positions"),
+        count(when(col("__nx") === col("pred_next"), 1)).as("n_accepted"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_positions"), lit(0L)).as("n_positions"),
+        coalesce(col("n_accepted"), lit(0L)).as("n_accepted"))
+      .withColumn("acceptance_q20",
+        when(col("n_positions") > 0, graft.functions.posIntDiv(
+          col("n_accepted") * lit(1048576L), col("n_positions"))))
+      .withColumn("acceptance",
+        col("acceptance_q20").cast("double") / lit(1048576.0))
+  }
+
+  /** In-sample acceptance: [[draftTable]] trained on `docs` and applied
+    * to `docs` — the corpus-level UPPER BOUND estimate (a held-out or
+    * frozen table via [[draftAcceptanceWith]] reads lower).
+    */
+  def draftAcceptance(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    draftAcceptanceWith(docs, idCol, textCol, draftTable(docs, textCol))
+
+  /** Adjacent token pairs as (p, nx) structs, built inside ONE
+    * bound-array transform so the token expression is evaluated once
+    * per document, not once per position (the shingles HOF trap).
+    */
+  private def bigramPairs(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    element_at(
+      transform(array(TextAnalysis.tokens(text)), t =>
+        // guard, don't clamp: sequence(1, 0) is a DESCENDING [1, 0] in
+        // Spark, so a 1-token doc would fabricate two phantom pairs
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1), i =>
+            struct(element_at(t, i).as("p"),
+              element_at(t, i + 1).as("nx"))))
+          .otherwise(array().cast("array<struct<p:string,nx:string>>"))),
+      1)
 }

@@ -3817,7 +3817,18 @@ object LlmQueries {
           .withColumn("n", lit(n.toLong)))
         .reduce(_ unionByName _)
         .orderBy("n", "pair_id")
-    })
+    }),
+
+    // Speculative-decoding DRAFT ACCEPTANCE: train the greedy bigram
+    // draft table (mode next token per context, ties to min lex —
+    // deterministic) and measure per-doc in-sample acceptance — the
+    // sizing read for n-gram draft models (expected accepted drafts =
+    // acceptance × positions decides whether the draft pays). Counts
+    // exact BIGINTs, the rate one 2^20 integral division.
+    "q305_draft_acceptance" -> ((s, dir) =>
+      graft.operators.NgramLm.draftAcceptance(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
@@ -11513,7 +11524,42 @@ object LlmQueries {
          |      AS BIGINT)
          |  END AS DOUBLE) / 1048576.0 AS rouge_f1,
          |  n
-         |FROM j ORDER BY n, pair_id""".stripMargin
+         |FROM j ORDER BY n, pair_id""".stripMargin,
+
+    // Draft acceptance: bigram pairs replayed positionally, the table's
+    // argmax via (count DESC, next ASC) row_number — the engine's
+    // deterministic tie-break — then one join keyed by context and one
+    // per-doc aggregate; doc spine LEFT JOIN keeps sub-2-token docs.
+    "q305_draft_acceptance" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> {'p': tk[i], 'nx': tk[i + 1]})) AS pn
+         |  FROM toks),
+         |b2 AS (SELECT doc_id, pn.p AS p, pn.nx AS nx FROM bi),
+         |cnt AS (SELECT p, nx, CAST(count(*) AS BIGINT) AS c
+         |        FROM b2 GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT p, nx AS pred_next FROM (
+         |    SELECT p, nx, row_number() OVER (
+         |      PARTITION BY p ORDER BY c DESC, nx ASC) AS rn
+         |    FROM cnt) WHERE rn = 1),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+         |         CAST(count(CASE WHEN b2.nx = pred.pred_next THEN 1 END)
+         |           AS BIGINT) AS n_accepted
+         |  FROM b2 JOIN pred USING (p) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(per.n_positions, CAST(0 AS BIGINT)) AS n_positions,
+         |  coalesce(per.n_accepted, CAST(0 AS BIGINT)) AS n_accepted,
+         |  CASE WHEN per.n_positions > 0 THEN
+         |    CAST((per.n_accepted * 1048576) // per.n_positions AS BIGINT)
+         |  END AS acceptance_q20,
+         |  CAST(CASE WHEN per.n_positions > 0 THEN
+         |    CAST((per.n_accepted * 1048576) // per.n_positions AS BIGINT)
+         |  END AS DOUBLE) / 1048576.0 AS acceptance
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** q301: oBpeCtes' merge stages (promoted to WITH RECURSIVE for the

@@ -33,4 +33,37 @@ class NgramLmSpec extends SparkSpec {
     assert(r.getLong(3) === 3L)
     assert(r.getDouble(4) === 3.0)
   }
+
+  test("draftTable: mode next token per context, ties to min lex") {
+    val docs = Seq((1L, "a b a b a c"), (2L, "x p x q")).toDF("id", "t")
+    val tab = NgramLm.draftTable(docs, "t").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(tab("a") === (("b", 2L))) // (a,b)x2 beats (a,c)x1
+    assert(tab("b") === (("a", 2L)))
+    assert(tab("x") === (("p", 1L))) // p/q tie at 1 -> lexicographic min
+    assert(!tab.contains("c")) // final token: no outgoing bigram
+  }
+
+  test("draftAcceptance: in-sample per-doc accept counts and q20 rate") {
+    val docs = Seq((1L, "a b a b a c")).toDF("id", "t")
+    val r = NgramLm.draftAcceptance(docs, "id", "t").collect()(0)
+    assert(r.getAs[Long]("n_positions") === 5L)
+    assert(r.getAs[Long]("n_accepted") === 4L) // all but the final (a,c)
+    assert(r.getAs[Long]("acceptance_q20") === 4L * 1048576L / 5L)
+  }
+
+  test("draftAcceptanceWith: unseen contexts draft nothing; short docs " +
+    "surface with zero positions and NULL rate") {
+    val table = Seq(("a", "b", 2L)).toDF("prev", "pred_next", "n_obs")
+    val docs = Seq((1L, "z z z"), (2L, "a b"), (3L, "solo"), (4L, ""))
+      .toDF("id", "t")
+    val got = NgramLm.draftAcceptanceWith(docs, "id", "t", table)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_positions"), r.getAs[Long]("n_accepted"),
+          r.isNullAt(r.fieldIndex("acceptance_q20"))))).toMap
+    assert(got(1L) === ((2L, 0L, false))) // z absent from table: misses
+    assert(got(2L) === ((1L, 1L, false)))
+    assert(got(3L) === ((0L, 0L, true))) // 1 token: no phantom pair
+    assert(got(4L) === ((0L, 0L, true)))
+  }
 }
