@@ -114,4 +114,81 @@ object Supervision {
           (col("n") * col("n") - col("expected_num")).cast("double"))
         .as("kappa"))
   }
+
+  /** CONFIDENT-LEARNING joint estimation (Northcutt, Jiang & Chuang
+    * 2021, "Confident Learning: Estimating Uncertainty in Dataset
+    * Labels", JAIR): given each row's NOISY label and the model's
+    * per-class confidence vector, estimate the joint distribution of
+    * (noisy label, latent true label) — its off-diagonal is the label-
+    * error estimate that decides which annotations to re-audit before
+    * training on them.
+    *
+    * Per class j the threshold t_j is the MEAN self-confidence of rows
+    * labeled j; a row's latent label y* is the argmax of its confidence
+    * over classes it clears the threshold for (ties to the smallest
+    * class index — deterministic), and rows clearing none are excluded
+    * (the paper's rule: they carry no confident signal). Cell (i, j) of
+    * the joint counts rows labeled i with y* = j.
+    *
+    * Exactness: confidences arrive as FIXED-POINT integers (q20 — the
+    * [[Evaluation]] quantize-first discipline), so the threshold test
+    * avoids division entirely: p_j ≥ sum_j / cnt_j is evaluated as
+    * p_j · cnt_j ≥ sum_j in exact BIGINT cross-multiplication (the
+    * [[Privacy]] t-closeness precedent). Overflow bound: p_j < 2^20
+    * and cnt_j ≤ corpus rows, so products stay under 2^63 up to ~8·10¹²
+    * rows per class.
+    *
+    * Scale shape: one k-row aggregate (sum/count of self-confidence per
+    * labeled class) collapses to a ONE-ROW broadcast of two k-length
+    * arrays; the per-row argmax is a bounded k-term row-local fold; one
+    * final (noisy, est) hash-aggregate bounded by k². No windows, no
+    * corpus-sized join sides.
+    *
+    * @param labelCol  integer noisy label in [0, numClasses)
+    * @param probsCol  array<long> of q20 self-confidences, length
+    *                  ≥ numClasses (element j+1 = class j)
+    * @return one row per OBSERVED (noisy_label, est_label) cell:
+    *         (noisy_label, est_label, n_rows, is_error = labels differ)
+    */
+  def confidentJoint(df: DataFrame, labelCol: String, probsCol: String,
+                     numClasses: Int): DataFrame = {
+    require(numClasses >= 2 && numClasses <= 64, "need 2 <= k <= 64")
+    val self = df.select(col(labelCol).cast("int").as("__l"),
+        col(probsCol).as("__p"))
+      .filter(col("__l").isNotNull && col("__p").isNotNull)
+      .withColumn("__sp", element_at(col("__p"), col("__l") + 1))
+    val thr = self.groupBy("__l")
+      .agg(sum(col("__sp")).as("__s"), count(lit(1)).as("__c"))
+    // dense k-length threshold arrays (classes with no rows keep an
+    // impossible sum so nothing clears them), one broadcastable row
+    val thrRow = thr
+      .agg(sort_array(collect_list(struct(col("__l"), col("__s"),
+        col("__c")))).as("__t"))
+      .select(
+        transform(sequence(lit(0), lit(numClasses - 1)), j =>
+          coalesce(try_element_at(
+            map_from_entries(transform(col("__t"), e =>
+              struct(e.getField("__l"), e.getField("__s")))), j),
+            lit(Long.MaxValue))).as("__sums"),
+        transform(sequence(lit(0), lit(numClasses - 1)), j =>
+          coalesce(try_element_at(
+            map_from_entries(transform(col("__t"), e =>
+              struct(e.getField("__l"), e.getField("__c")))), j),
+            lit(0L))).as("__cnts"))
+    val cand = self.crossJoin(broadcast(thrRow))
+      .withColumn("__best", array_max(filter(
+        transform(sequence(lit(0), lit(numClasses - 1)), j =>
+          when(element_at(col("__cnts"), j + 1) > 0L &&
+            element_at(col("__p"), j + 1) *
+              element_at(col("__cnts"), j + 1) >=
+              element_at(col("__sums"), j + 1),
+            struct(element_at(col("__p"), j + 1).as("p"),
+              (-j).as("nj")))),
+        x => x.isNotNull)))
+      .filter(col("__best").isNotNull)
+      .withColumn("__y", -col("__best.nj"))
+    cand.groupBy(col("__l").as("noisy_label"), col("__y").as("est_label"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("is_error", col("noisy_label") =!= col("est_label"))
+  }
 }

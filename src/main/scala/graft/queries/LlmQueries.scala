@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.{Dedup, ExactQuantiles, InvertedIndex, LineDedup, Multimodal, Packing, Quantization, Sampling, Similarity, TextAnalysis, TfIdf, TopK}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3828,7 +3828,31 @@ object LlmQueries {
     "q305_draft_acceptance" -> ((s, dir) =>
       graft.operators.NgramLm.draftAcceptance(
         t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // CONFIDENT-LEARNING label-noise estimate (Northcutt 2021): the
+    // (noisy, latent-true) joint over a deterministic 3-class fixture
+    // with REAL label noise — a Knuth-hash true class c* carries a
+    // +2^19 confidence bonus over 2^18 hash noise (confidences track
+    // the latent truth), and ~10% of docs ship with the label FLIPPED
+    // to (c*+1) mod 3. Flipped rows have low self-confidence under
+    // their noisy label but clear c*'s threshold, so they land in
+    // off-diagonal cells — the label-error estimate the operator
+    // exists to produce. Thresholds compare by BIGINT
+    // cross-multiplication; no division anywhere.
+    "q306_confident_joint" -> ((s, dir) => {
+      val h = (x: Column) => pmod(
+        pmod(x, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+      val cstar = (h(col("doc_id")) % 3).cast("int")
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(h(col("doc_id") * 7), lit(10L)) === 0L,
+          (cstar + 1) % 3).otherwise(cstar).as("y"),
+        transform(sequence(lit(0), lit(2)), j =>
+          pmod(h(col("doc_id") * 3 + j), lit(262144L)) +
+            when(j === cstar, lit(524288L)).otherwise(lit(0L))).as("p"))
+      graft.operators.Supervision.confidentJoint(scored, "y", "p", 3)
+        .orderBy("noisy_label", "est_label")
+    })
   )
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
@@ -11559,7 +11583,45 @@ object LlmQueries {
          |    CAST((per.n_accepted * 1048576) // per.n_positions AS BIGINT)
          |  END AS DOUBLE) / 1048576.0 AS acceptance
          |FROM documents d LEFT JOIN per USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Confident joint: identical fixture arithmetic (Knuth hash, +2^19
+    // diagonal bonus), thresholds as exact cross-multiplication
+    // p_j·c_j ≥ s_j, argmax via (conf DESC, class ASC) row_number,
+    // rows clearing no threshold dropped before the k²-bounded joint.
+    "q306_confident_joint" ->
+      """WITH cls AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 % 3
+        |      AS cstar,
+        |    ((doc_id * 7 % 2147483648) * 2654435761) % 4294967296 % 10
+        |      AS flip
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN flip = 0 THEN (cstar + 1) % 3
+        |         ELSE cstar END AS INTEGER) AS y,
+        |    list_transform(range(0, 3), j ->
+        |      (((doc_id * 3 + j) % 2147483648) * 2654435761)
+        |        % 4294967296 % 262144
+        |      + CASE WHEN j = cstar THEN 524288 ELSE 0 END) AS p
+        |  FROM cls),
+        |slf AS (SELECT doc_id, y, p, p[y + 1] AS sp FROM scored),
+        |thr AS (SELECT y AS j, CAST(sum(sp) AS BIGINT) AS s,
+        |               CAST(count(*) AS BIGINT) AS c
+        |        FROM slf GROUP BY 1),
+        |cand AS (
+        |  SELECT slf.doc_id, slf.y, t.j, slf.p[t.j + 1] AS pj
+        |  FROM slf JOIN thr t ON slf.p[t.j + 1] * t.c >= t.s),
+        |pick AS (
+        |  SELECT doc_id, y, j FROM (
+        |    SELECT doc_id, y, j, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY pj DESC, j ASC) AS rn
+        |    FROM cand) WHERE rn = 1)
+        |SELECT y AS noisy_label, j AS est_label,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       y <> j AS is_error
+        |FROM pick GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** q301: oBpeCtes' merge stages (promoted to WITH RECURSIVE for the

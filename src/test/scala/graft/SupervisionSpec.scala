@@ -81,4 +81,42 @@ class SupervisionSpec extends SparkSpec {
     assert(out.getAs[Long]("expected_num") === 8L)
     assert(out.getAs[Double]("kappa") === (5.0 * 3 - 8) / (25.0 - 8))
   }
+
+  private def cjCells(rows: Seq[(Int, Seq[Long])], k: Int) =
+    Supervision.confidentJoint(
+      rows.toDF("y", "p"), "y", "p", k).collect()
+      .map(r => (r.getAs[Int]("noisy_label"), r.getAs[Int]("est_label")) ->
+        r.getAs[Long]("n_rows")).toMap
+
+  test("confidentJoint: hand-computed 2-class joint catches the " +
+    "mislabeled row and excludes the unconfident one") {
+    // label-0 rows self-confs {900k, 800k, 100k} -> t0 = 600k (sum 1.8M);
+    // label-1 rows {800k, 700k} -> t1 = 750k (sum 1.5M)
+    val cells = cjCells(Seq(
+      (0, Seq(900000L, 100000L)), (0, Seq(800000L, 200000L)),
+      (0, Seq(100000L, 900000L)), // mislabeled: clears only class 1
+      (1, Seq(200000L, 800000L)),
+      (1, Seq(300000L, 700000L))), 2) // clears neither: excluded
+    assert(cells === Map((0, 0) -> 2L, (0, 1) -> 1L, (1, 1) -> 1L))
+  }
+
+  test("confidentJoint: argmax ties break to the smallest class index") {
+    // both rows per class so thresholds = 500k each; the probe row
+    // clears both classes at equal confidence -> est 0
+    val cells = cjCells(Seq(
+      (0, Seq(500000L, 500000L)), (1, Seq(400000L, 600000L)),
+      (1, Seq(500000L, 400000L))), 2)
+    // probe: row1 label 0: t0=500k (1 row); t1 = (600k+400k)/2 = 500k
+    // p = (500k, 500k) clears both, tie -> class 0
+    assert(cells((0, 0)) === 1L)
+  }
+
+  test("confidentJoint: a class with no labeled rows is never a " +
+    "candidate and the op does not crash") {
+    val cells = cjCells(Seq(
+      (0, Seq(900000L, 100000L, 999999L)),
+      (1, Seq(100000L, 900000L, 999999L))), 3)
+    assert(cells === Map((0, 0) -> 1L, (1, 1) -> 1L))
+    assert(!cells.keySet.exists(_._2 == 2))
+  }
 }
