@@ -270,6 +270,116 @@ object Bpe {
       })
   }
 
+  /** VITERBI (unigram-LM) segmentation under a FROZEN integer score
+    * table — the SentencePiece-inference twin of
+    * [[maxMatchTokenCountJoined]] (Kudo 2018, "Subword Regularization":
+    * inference picks the GLOBALLY best-scoring segmentation of each
+    * word, where greedy MaxMatch commits left-to-right and can be
+    * beaten by deferring a split). The vocab artifact carries one
+    * integer score per unit (a fixed-point log-probability in a real
+    * unigram LM — scores are the CALLER's artifact, this operator only
+    * requires them integer so the DP is exact); unknown characters
+    * advance one position at `unkScoreQ` each, so every word has at
+    * least one segmentation and the DP is total.
+    *
+    * DP contract (deterministic, oracle-replayable): best[0] = (0
+    * score, 0 tokens, 0 unks); best[e] = max over {units of length k
+    * ending at e: best[e−k] + (score_u, +1 tok)} ∪ {best[e−1] +
+    * (unkScoreQ, +1 tok, +1 unk)}, maximizing by (score, then FEWEST
+    * tokens, then fewest unks) — encoded as array_max over structs
+    * (score, −ntok, −nunk), the same lexicographic trick as the BT/
+    * argmax family. Integer sums only; no floats anywhere.
+    *
+    * Scale shape: identical to the joined MaxMatch — DISTINCT-WORD
+    * bounded, ≤ L·maxTokenLen candidate rows per word, one broadcast
+    * vocab hash-join, one shuffle keyed by word, then a row-local
+    * O(L²·density) fold over a per-END-position candidate table.
+    * Nothing grows with vocab size except the broadcast.
+    *
+    * @param vocab    one row per unit with its integer score
+    * @param unkScoreQ score charged per unknown character (typically
+    *                  strongly negative — the OOV penalty)
+    * @return (idCol, n_words, n_tokens, n_unk_chars, viterbi_score_q)
+    *         — counts along the OPTIMAL path; empty docs keep zeros
+    */
+  def viterbiTokenCount(docs: DataFrame, idCol: String, textCol: String,
+                        vocab: DataFrame, unitCol: String,
+                        scoreCol: String, unkScoreQ: Long): DataFrame = {
+    val units = vocab.select(col(unitCol).as("__u"),
+      col(scoreCol).cast("long").as("__sc"))
+    val shape = units.agg(count(lit(1)).as("n"),
+      min(length(col("__u"))).as("mn"), max(length(col("__u"))).as("mx"),
+      count(when(col("__sc").isNull, 1)).as("nullsc")).head()
+    require(shape.getLong(0) > 0L, "empty vocab")
+    require(!shape.isNullAt(1) && shape.getInt(1) >= 1,
+      "vocab has NULL or empty units")
+    require(shape.getLong(3) == 0L, "vocab has NULL scores")
+    val maxLen = shape.getInt(2)
+
+    val docWords = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val words = docWords.select("w").distinct()
+      .withColumn("__L", length(col("w")))
+    val cand = words.select(col("w"), col("__L"), explode(flatten(
+        transform(sequence(lit(1), col("__L")), p =>
+          transform(sequence(lit(1), least(lit(maxLen), col("__L") - p + 1)),
+            k => struct(p.as("pos"), k.as("k")))))).as("__pk"))
+      .select(col("w"), col("__pk.pos").as("__pos"), col("__pk.k").as("__k"))
+      .withColumn("__sub", col("w").substr(col("__pos"), col("__k")))
+    val matched = cand.join(broadcast(units), col("__sub") === col("__u"))
+      .select(col("w"), col("__pos"), col("__k"), col("__sc"))
+    // per-END-position candidate table, then the DP fold: acc is the
+    // growing best[0..e] array (negated tie fields — array_max then
+    // reads max score, min tokens, min unks)
+    val seg = matched.groupBy("w")
+      .agg(collect_list(struct(col("__pos"), col("__k"), col("__sc")))
+        .as("__ms"))
+      .join(words, Seq("w"))
+      .withColumn("__ends", transform(sequence(lit(1), col("__L")), e =>
+        filter(col("__ms"),
+          m => m.getField("__pos") + m.getField("__k") - 1 === e)))
+      .withColumn("__best", element_at(
+        aggregate(sequence(lit(1), col("__L")),
+          array(struct(lit(0L).as("s"), lit(0L).as("nnt"),
+            lit(0L).as("nnu"))),
+          (acc, e) => {
+            val prev = element_at(acc, e) // best[e-1]
+            val unkC = struct(
+              (prev.getField("s") + unkScoreQ).as("s"),
+              (prev.getField("nnt") - 1L).as("nnt"),
+              (prev.getField("nnu") - 1L).as("nnu"))
+            val unitCs = transform(element_at(col("__ends"), e), m => {
+              val pe = element_at(acc, e - m.getField("__k") + 1)
+              struct((pe.getField("s") + m.getField("__sc")).as("s"),
+                (pe.getField("nnt") - 1L).as("nnt"),
+                pe.getField("nnu").as("nnu"))
+            })
+            concat(acc, array(array_max(concat(array(unkC), unitCs))))
+          }),
+        -1))
+      .select(col("w"), (-col("__best.nnt")).as("__nt"),
+        (-col("__best.nnu")).as("__nu"), col("__best.s").as("__s"))
+    // a word NO unit matches anywhere is absent from `matched`: its
+    // only path is all-UNK — (L tokens, L unks, L·unkScoreQ)
+    val segAll = words.join(seg, Seq("w"), "left")
+      .select(col("w"),
+        coalesce(col("__nt"), col("__L").cast("long")).as("__nt"),
+        coalesce(col("__nu"), col("__L").cast("long")).as("__nu"),
+        coalesce(col("__s"), col("__L") * unkScoreQ).as("__s"))
+    val stats = docWords.join(segAll, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__nu")).as("n_unk_chars"),
+        sum(col("__s")).as("viterbi_score_q"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk_chars"), lit(0L)).as("n_unk_chars"),
+        coalesce(col("viterbi_score_q"), lit(0L)).as("viterbi_score_q"))
+  }
+
   /** ROW-LOCAL MaxMatch counts — the streaming-safe variant: a pure
     * projection returning struct(n_words, n_tokens, n_unk_chars) for
     * one text value, no distinct-word table, no shuffle — composable

@@ -3852,6 +3852,21 @@ object LlmQueries {
             when(j === cstar, lit(524288L)).otherwise(lit(0L))).as("p"))
       graft.operators.Supervision.confidentJoint(scored, "y", "p", 3)
         .orderBy("noisy_label", "est_label")
+    }),
+
+    // VITERBI (unigram-LM) segmentation under the frozen 5k scored
+    // vocab — the SentencePiece-inference twin of q298's greedy
+    // MaxMatch: same candidate machinery, but each word takes its
+    // GLOBALLY best-scoring segmentation (max score, then fewest
+    // tokens, then fewest unks — all-integer DP, oracle-replayed
+    // step-for-step by a recursive CTE carrying the best[] list).
+    "q307_viterbi_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val vdf = viterbiScoredVocab.toDF("unit", "score_q")
+      graft.operators.Bpe.viterbiTokenCount(
+        t(s, dir, "documents"), "doc_id", "text",
+        vdf, "unit", "score_q", viterbiUnkScoreQ)
+        .orderBy("doc_id")
     })
   )
 
@@ -3888,6 +3903,21 @@ object LlmQueries {
     require(v.size >= 5000, s"fuzz vocab only ${v.size} units")
     v
   }
+
+  /** q307's frozen unigram score table: [[maxMatchVocab5k]] with a
+    * deterministic integer score per unit — length-favoring
+    * (4096·len − 2048) plus bounded hash noise (String.hashCode is
+    * spec-fixed, so the table is identical on every JVM). The scores
+    * are driver literals shared VERBATIM by the engine (staged as a
+    * DataFrame) and the oracle (embedded as a struct-list literal) —
+    * a real unigram LM would ship fixed-point log-probs here; the DP
+    * only requires integers.
+    */
+  private val viterbiScoredVocab: Seq[(String, Long)] =
+    maxMatchVocab5k.map(u =>
+      (u, 4096L * u.length - 2048L + ((u.hashCode % 64) + 64) % 64))
+
+  private val viterbiUnkScoreQ: Long = -4096L
 
   /** q169/q170's shared eval set: q102's distilled linear model served
     * over the gate's features, score quantized to fixed point
@@ -11621,8 +11651,82 @@ object LlmQueries {
         |SELECT y AS noisy_label, j AS est_label,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       y <> j AS is_error
-        |FROM pick GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM pick GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q307_viterbi_tokens" ->
+      oViterbiSql(viterbiScoredVocab, viterbiUnkScoreQ)
   )
+
+  /** q307: the per-END-position candidate table (same slices as
+    * [[oMaxMatchJoinedSql]]'s cand, joined to the scored vocab), then
+    * the exact DP replayed by a recursive CTE whose state is the
+    * growing best[] list — bests[i] = best over prefixes of length
+    * i−1 as {'s','nt','nu'}, maximized by (score, fewest tokens,
+    * fewest unks) via an explicit comparator fold. Folds are
+    * per-position candidate lists (≤ maxLen+1 elements), far under the
+    * list_reduce batch-dependence range.
+    */
+  private def oViterbiSql(vocab: Seq[(String, Long)], unkQ: Long): String = {
+    val vlist = vocab.map { case (u, sc) => s"{'u': '$u', 'sc': $sc}" }
+      .mkString("[", ",", "]")
+    val maxLen = vocab.map(_._1.length).max
+    s"""WITH RECURSIVE
+       |vocab AS (SELECT x.u AS u, CAST(x.sc AS BIGINT) AS sc
+       |          FROM (SELECT unnest($vlist) AS x)),
+       |dwords AS (SELECT DISTINCT unnest($oToks) AS w FROM documents),
+       |cand AS (
+       |  SELECT w, u.pos AS pos, u.k AS k FROM (
+       |    SELECT w, unnest(flatten(list_transform(range(1, length(w) + 1),
+       |      p -> list_transform(range(1, least($maxLen, length(w) - p + 1) + 1),
+       |        k -> {'pos': p, 'k': k})))) AS u
+       |    FROM dwords)),
+       |m AS (
+       |  SELECT c.w, c.pos, c.k, v.sc
+       |  FROM cand c JOIN vocab v ON v.u = substr(c.w, c.pos, c.k)),
+       |ends AS (
+       |  SELECT w, pos + k - 1 AS e,
+       |         list({'k': k, 'sc': sc}) AS cands
+       |  FROM m GROUP BY 1, 2),
+       |walk(w, e, bests) AS (
+       |  SELECT w, 0, [{'s': CAST(0 AS BIGINT), 'nt': CAST(0 AS BIGINT),
+       |                 'nu': CAST(0 AS BIGINT)}]
+       |  FROM dwords
+       |  UNION ALL
+       |  SELECT walk.w, walk.e + 1,
+       |    list_append(walk.bests, list_reduce(
+       |      list_prepend(
+       |        {'s': walk.bests[walk.e + 1].s + ($unkQ),
+       |         'nt': walk.bests[walk.e + 1].nt + 1,
+       |         'nu': walk.bests[walk.e + 1].nu + 1},
+       |        list_transform(coalesce(en.cands,
+       |            CAST([] AS STRUCT(k BIGINT, sc BIGINT)[])), c ->
+       |          {'s': walk.bests[walk.e + 2 - c.k].s + c.sc,
+       |           'nt': walk.bests[walk.e + 2 - c.k].nt + 1,
+       |           'nu': walk.bests[walk.e + 2 - c.k].nu})),
+       |      (a, b) -> CASE WHEN b.s > a.s OR (b.s = a.s AND
+       |        (b.nt < a.nt OR (b.nt = a.nt AND b.nu < a.nu)))
+       |        THEN b ELSE a END))
+       |  FROM walk LEFT JOIN ends en
+       |    ON en.w = walk.w AND en.e = walk.e + 1
+       |  WHERE walk.e < length(walk.w)),
+       |seg AS (SELECT w, bests[length(w) + 1] AS b
+       |        FROM walk WHERE e = length(w)),
+       |tok AS (SELECT doc_id, unnest($oToks) AS w FROM documents),
+       |agg AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(s.b.nt) AS BIGINT) AS n_tokens,
+       |         CAST(sum(s.b.nu) AS BIGINT) AS n_unk_chars,
+       |         CAST(sum(s.b.s) AS BIGINT) AS viterbi_score_q
+       |  FROM tok t JOIN seg s USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(a.n_unk_chars, 0) AS BIGINT) AS n_unk_chars,
+       |       CAST(COALESCE(a.viterbi_score_q, 0) AS BIGINT)
+       |         AS viterbi_score_q
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** q301: oBpeCtes' merge stages (promoted to WITH RECURSIVE for the
     * walk) + learned-vocab CTE + the q298 apply-side replay.

@@ -145,4 +145,82 @@ class BpeSpec extends SparkSpec {
         Seq("ab", "").toDF("unit"), "unit")
     }
   }
+
+  private def vit1(word: String, vocab: Seq[(String, Long)], unkQ: Long) = {
+    val r = Bpe.viterbiTokenCount(
+      Seq((1L, word)).toDF("id", "text"), "id", "text",
+      vocab.toDF("unit", "score_q"), "unit", "score_q", unkQ).collect()(0)
+    (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unk_chars"),
+      r.getAs[Long]("viterbi_score_q"))
+  }
+
+  test("viterbiTokenCount: global optimum beats the greedy MaxMatch path") {
+    // greedy takes 'abc' then UNKs 'd' (score 10-100); Viterbi defers
+    // to 'ab'+'cd' (score 2, 2 tokens, 0 unks)
+    val vocab = Seq(("ab", 1L), ("cd", 1L), ("abc", 10L))
+    assert(vit1("abcd", vocab, unkQ = -100L) === ((2L, 0L, 2L)))
+    // raising the unit score past the split flips the optimum back
+    val vocab2 = Seq(("ab", 1L), ("cd", 1L), ("abc", 200L))
+    assert(vit1("abcd", vocab2, unkQ = -100L) === ((2L, 1L, 100L)))
+  }
+
+  test("viterbiTokenCount: score ties prefer fewer tokens") {
+    // 'aa'(2) vs 'a'+'a'(1+1): equal score, the 1-token path wins
+    val r = vit1("aa", Seq(("aa", 2L), ("a", 1L)), unkQ = -100L)
+    assert(r === ((1L, 0L, 2L)))
+  }
+
+  test("viterbiTokenCount: all-UNK words and doc-spine zeros") {
+    val docs = Seq((1L, "zz xyx"), (2L, "")).toDF("id", "text")
+    val got = Bpe.viterbiTokenCount(docs, "id", "text",
+      Seq(("q", 5L)).toDF("unit", "score_q"), "unit", "score_q", -7L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_unk_chars"),
+          r.getAs[Long]("viterbi_score_q")))).toMap
+    assert(got(1L) === ((2L, 5L, 5L, -35L))) // every char UNKs at -7
+    assert(got(2L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("viterbiTokenCount: matches a scala-side DP on fuzz words") {
+    val rng = new scala.util.Random(307L)
+    val multi = Seq.fill(40) {
+      val len = 2 + rng.nextInt(3)
+      (0 until len).map(_ => ('a' + rng.nextInt(3)).toChar).mkString ->
+        (3L + rng.nextInt(50))
+    }
+    val units = (Seq("a", "b", "c").map(u => u -> (1L + rng.nextInt(8))) ++
+      multi).groupBy(_._1).map { case (u, vs) => (u, vs.head._2) }.toSeq
+    val unkQ = -20L
+    val words = (0 until 30).map(i =>
+      (0 until (1 + i % 7)).map(j =>
+        ('a' + ((i * 13 + j * 7) % 4)).toChar).mkString) // includes 'd'
+    def dp(w: String): (Long, Long, Long) = {
+      val vm = units.toMap
+      // best[i]: (score, -ntok, -nunk) maximized lexicographically
+      val best = Array.fill(w.length + 1)((Long.MinValue, 0L, 0L))
+      best(0) = (0L, 0L, 0L)
+      for (e <- 1 to w.length) {
+        var b = (best(e - 1)._1 + unkQ, best(e - 1)._2 - 1,
+          best(e - 1)._3 - 1)
+        for (k <- 1 to e; u = w.substring(e - k, e) if vm.contains(u)) {
+          val c = (best(e - k)._1 + vm(u), best(e - k)._2 - 1,
+            best(e - k)._3)
+          if (Ordering[(Long, Long, Long)].gt(c, b)) b = c
+        }
+        best(e) = b
+      }
+      (-best(w.length)._2, -best(w.length)._3, best(w.length)._1)
+    }
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val got = Bpe.viterbiTokenCount(docs, "id", "text",
+      units.toDF("unit", "score_q"), "unit", "score_q", unkQ)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unk_chars"),
+          r.getAs[Long]("viterbi_score_q")))).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) === dp(w), s"word '$w'")
+    }
+  }
 }
