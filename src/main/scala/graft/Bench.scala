@@ -94,7 +94,10 @@ object Bench {
       // q304/q305: the doc/pair-spine unique-key left joins are
       // eliminable under count() (q87's pattern) — checksum forces the
       // gram/draft aggregates.
-      "q304_rouge_n", "q305_draft_acceptance", "q307_viterbi_tokens")
+      "q304_rouge_n", "q305_draft_acceptance", "q307_viterbi_tokens",
+      // q308 is a PURE projection — count() would prune it to a bare
+      // join of two id columns; checksum forces the LCS kernel.
+      "q308_rouge_l")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}

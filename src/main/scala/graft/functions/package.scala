@@ -147,6 +147,14 @@ package object functions {
   def tokenCountNative(text: Column): Column =
     toColumn(graft.expressions.TokenCountNative(toExpression(text)))
 
+  /** Compiled token-LCS length of two ARRAY<STRING> columns (the
+    * ROUGE-L kernel) — one static-call codegen'd O(n·m) DP instead of
+    * two nested interpreted HOF folds.
+    */
+  def lcsTokenLength(a: Column, b: Column): Column =
+    toColumn(graft.expressions.LcsTokenLength(
+      toExpression(a), toExpression(b)))
+
   /** Word n-gram shingles of a token array: array of space-joined n-grams.
     * Documents shorter than n yield an empty array.
     *

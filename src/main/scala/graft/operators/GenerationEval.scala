@@ -93,4 +93,89 @@ object GenerationEval {
       .withColumn("rouge_r", col("rouge_r_q20").cast("double") / Q)
       .withColumn("rouge_f1", col("rouge_f1_q20").cast("double") / Q)
   }
+
+  /** Per-pair ROUGE-L: precision / recall / F1 from the LONGEST COMMON
+    * SUBSEQUENCE of the two token sequences (Lin 2004 §3) — the
+    * order-sensitive companion to [[rougeN]]: scattered word overlap
+    * scores low, preserved sentence structure scores high, without
+    * fixing a gram order n.
+    *
+    * The LCS runs through [[graft.functions.lcsTokenLength]] — a native
+    * codegen'd O(n·m) two-row DP — so the whole operator is a PURE
+    * PROJECTION: no explode, no aggregate, no shuffle; at 100 TB it is
+    * one codegen'd scan of the pair table. Both sides are truncated to
+    * `maxTokens` first (the quadratic kernel needs a stated bound — the
+    * [[Profiling]] maxSupport discipline; standard ROUGE tooling
+    * truncates likewise), and the reported token counts are the
+    * TRUNCATED lengths, so every emitted ratio is exactly consistent
+    * with its numerator.
+    *
+    * Metrics are one 2^20 closing integral division each (same NULL
+    * rules as [[rougeN]]: a side with zero tokens has NULL ratio, F1
+    * NULL only when both are empty).
+    *
+    * @return one row per pair: (idCol, n_cand_tokens, n_ref_tokens,
+    *         lcs_len, rouge_l_p_q20, rouge_l_r_q20, rouge_l_f1_q20,
+    *         rouge_l_p, rouge_l_r, rouge_l_f1)
+    */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String, maxTokens: Int = 256): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 4096,
+      "need 1 <= maxTokens <= 4096 (quadratic-kernel bound)")
+    val Q = 1048576L
+    def toks(c: Column): Column =
+      slice(TextAnalysis.tokens(coalesce(c, lit(""))), 1, maxTokens)
+    def ratioQ(num: Column, den: Column): Column =
+      when(den > 0L, graft.functions.posIntDiv(num * Q, den))
+    pairs.select(col(idCol),
+        toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
+      .select(col(idCol),
+        size(col("__ct")).cast("long").as("n_cand_tokens"),
+        size(col("__rt")).cast("long").as("n_ref_tokens"),
+        graft.functions.lcsTokenLength(col("__ct"), col("__rt"))
+          .as("lcs_len"))
+      .withColumn("rouge_l_p_q20", ratioQ(col("lcs_len"),
+        col("n_cand_tokens")))
+      .withColumn("rouge_l_r_q20", ratioQ(col("lcs_len"),
+        col("n_ref_tokens")))
+      .withColumn("rouge_l_f1_q20", ratioQ(lit(2L) * col("lcs_len"),
+        col("n_cand_tokens") + col("n_ref_tokens")))
+      .withColumn("rouge_l_p", col("rouge_l_p_q20").cast("double") / Q)
+      .withColumn("rouge_l_r", col("rouge_l_r_q20").cast("double") / Q)
+      .withColumn("rouge_l_f1", col("rouge_l_f1_q20").cast("double") / Q)
+  }
+
+  /** ROW-LOCAL ROUGE-N counts — the streaming-safe variant: a pure
+    * projection returning struct(n_cand_grams, n_ref_grams, overlap)
+    * for one (candidate, reference) pair, no shuffle, composable into a
+    * stateless stream (the [[Bpe.maxMatchCounts]] discipline). Clipped
+    * overlap is computed per DISTINCT candidate gram via bounded-array
+    * HOFs — O(d·(|c|+|r|)) per row, the per-occurrence price of
+    * statelessness; prefer [[rougeN]] for batch corpora (its gram
+    * aggregate is map-side combinable and never quadratic). Both paths
+    * return identical counts (spec-pinned).
+    */
+  def rougeCounts(cand: Column, ref: Column, n: Int): Column = {
+    require(n >= 1 && n <= 8, "need 1 <= n <= 8")
+    def grams(c: Column): Column =
+      graft.functions.shingles(TextAnalysis.tokens(coalesce(c, lit(""))), n)
+    // bind both gram arrays ONCE (the shingles HOF-trap discipline):
+    // every inner filter/size reads a lambda-variable field, so the
+    // upstream tokenize+shingle runs once per row, not once per gram
+    element_at(
+      transform(array(struct(grams(cand).as("c"), grams(ref).as("r"))),
+        p => {
+          val cg = p.getField("c")
+          val rg = p.getField("r")
+          struct(
+            size(cg).cast("long").as("n_cand_grams"),
+            size(rg).cast("long").as("n_ref_grams"),
+            aggregate(array_distinct(cg), lit(0L), (acc, g) =>
+              acc + least(
+                size(filter(cg, x => x === g)),
+                size(filter(rg, x => x === g))).cast("long"))
+              .as("overlap"))
+        }),
+      1)
+  }
 }

@@ -3867,6 +3867,22 @@ object LlmQueries {
         t(s, dir, "documents"), "doc_id", "text",
         vdf, "unit", "score_q", viterbiUnkScoreQ)
         .orderBy("doc_id")
+    }),
+
+    // ROUGE-L over the q304 pair set: LCS-based order-sensitive
+    // generation eval through the native codegen'd LcsTokenLength
+    // kernel — the whole query is ONE pure projection over the pair
+    // join (no explode, no aggregate); both sides truncated to 128
+    // tokens (the stated quadratic-kernel bound).
+    "q308_rouge_l" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+        .join(docs.select((col("doc_id") + 1).as("pair_id"),
+          col("text").as("ref")), Seq("pair_id"))
+      graft.operators.GenerationEval.rougeL(
+        pairs, "pair_id", "cand", "ref", maxTokens = 128)
+        .orderBy("pair_id")
     })
   )
 
@@ -11654,7 +11670,70 @@ object LlmQueries {
         |FROM pick GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q307_viterbi_tokens" ->
-      oViterbiSql(viterbiScoredVocab, viterbiUnkScoreQ)
+      oViterbiSql(viterbiScoredVocab, viterbiUnkScoreQ),
+
+    // ROUGE-L: the classic two-row LCS DP replayed per pair by a
+    // recursive CTE over candidate positions, carrying the DP row as a
+    // list; the inner row build folds (init ∪ ref positions) with the
+    // single-element-list trick (list_reduce needs acc and element
+    // types equal). row[k] = DP[i][k-1]; folds are ≤ 129 steps.
+    "q308_rouge_l" ->
+      s"""WITH RECURSIVE prs AS (
+         |  SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS refx
+         |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id - 1
+         |  WHERE c.doc_id % 2 = 1),
+         |tk AS (
+         |  SELECT pair_id,
+         |    (${oToks.replace("text", "coalesce(cand, '')")})[1:128] AS ct,
+         |    (${oToks.replace("text", "coalesce(refx, '')")})[1:128] AS rt
+         |  FROM prs),
+         |walkL(pair_id, i, r) AS (
+         |  SELECT pair_id, 0,
+         |    list_transform(range(0, len(rt) + 1), x -> CAST(0 AS BIGINT))
+         |  FROM tk
+         |  UNION ALL
+         |  SELECT w.pair_id, w.i + 1,
+         |    list_reduce(
+         |      list_prepend([CAST(0 AS BIGINT)],
+         |        list_transform(range(1, len(t.rt) + 1),
+         |          j -> [CAST(j AS BIGINT)])),
+         |      (a, b) -> list_append(a,
+         |        CASE WHEN t.ct[w.i + 1] = t.rt[b[1]]
+         |          THEN w.r[b[1]] + 1
+         |          ELSE greatest(w.r[b[1] + 1], a[len(a)]) END))
+         |  FROM walkL w JOIN tk t USING (pair_id)
+         |  WHERE w.i < len(t.ct)),
+         |seg AS (
+         |  SELECT w.pair_id, w.r[len(t.rt) + 1] AS lcs
+         |  FROM walkL w JOIN tk t USING (pair_id)
+         |  WHERE w.i = len(t.ct)),
+         |j AS (
+         |  SELECT t.pair_id, CAST(len(t.ct) AS BIGINT) AS n_cand_tokens,
+         |         CAST(len(t.rt) AS BIGINT) AS n_ref_tokens,
+         |         CAST(s.lcs AS BIGINT) AS lcs_len
+         |  FROM tk t JOIN seg s USING (pair_id))
+         |SELECT pair_id, n_cand_tokens, n_ref_tokens, lcs_len,
+         |  CASE WHEN n_cand_tokens > 0 THEN
+         |    CAST((lcs_len * 1048576) // n_cand_tokens AS BIGINT)
+         |  END AS rouge_l_p_q20,
+         |  CASE WHEN n_ref_tokens > 0 THEN
+         |    CAST((lcs_len * 1048576) // n_ref_tokens AS BIGINT)
+         |  END AS rouge_l_r_q20,
+         |  CASE WHEN n_cand_tokens + n_ref_tokens > 0 THEN
+         |    CAST((2 * lcs_len * 1048576) // (n_cand_tokens + n_ref_tokens)
+         |      AS BIGINT)
+         |  END AS rouge_l_f1_q20,
+         |  CAST(CASE WHEN n_cand_tokens > 0 THEN
+         |    CAST((lcs_len * 1048576) // n_cand_tokens AS BIGINT)
+         |  END AS DOUBLE) / 1048576.0 AS rouge_l_p,
+         |  CAST(CASE WHEN n_ref_tokens > 0 THEN
+         |    CAST((lcs_len * 1048576) // n_ref_tokens AS BIGINT)
+         |  END AS DOUBLE) / 1048576.0 AS rouge_l_r,
+         |  CAST(CASE WHEN n_cand_tokens + n_ref_tokens > 0 THEN
+         |    CAST((2 * lcs_len * 1048576) // (n_cand_tokens + n_ref_tokens)
+         |      AS BIGINT)
+         |  END AS DOUBLE) / 1048576.0 AS rouge_l_f1
+         |FROM j ORDER BY pair_id""".stripMargin
   )
 
   /** q307: the per-END-position candidate table (same slices as

@@ -56,6 +56,66 @@ class GenerationEvalSpec extends SparkSpec {
     assert(b.isNullAt(b.fieldIndex("rouge_f1_q20")))
   }
 
+  private def oneL(cand: String, ref: String, maxTokens: Int = 256) =
+    GenerationEval.rougeL(
+      Seq((1L, cand, ref)).toDF("pid", "cand", "ref"),
+      "pid", "cand", "ref", maxTokens).collect()(0)
+
+  test("rougeL: hand-computed LCS metrics") {
+    val r = oneL("a b c d", "a x c")
+    assert(r.getAs[Long]("lcs_len") === 2L) // [a, c]
+    assert(r.getAs[Long]("rouge_l_p_q20") === 1048576L / 2)
+    assert(r.getAs[Long]("rouge_l_r_q20") === 2L * 1048576L / 3)
+    assert(r.getAs[Long]("rouge_l_f1_q20") === 4L * 1048576L / 7)
+  }
+
+  test("rougeL: order sensitivity where ROUGE-1 sees full overlap") {
+    val r = oneL("a b c", "c b a")
+    assert(r.getAs[Long]("lcs_len") === 1L) // any single token
+    // repetition structure: LCS of 'a b a' vs 'b a b' is 2
+    assert(oneL("a b a", "b a b").getAs[Long]("lcs_len") === 2L)
+  }
+
+  test("rougeL: truncation bounds the kernel and the reported counts") {
+    val r = oneL("a b c", "a b z", maxTokens = 2)
+    assert(r.getAs[Long]("n_cand_tokens") === 2L)
+    assert(r.getAs[Long]("n_ref_tokens") === 2L)
+    assert(r.getAs[Long]("lcs_len") === 2L) // 'c'/'z' never seen
+    assert(r.getAs[Long]("rouge_l_f1_q20") === 1048576L)
+  }
+
+  test("rougeL: empty sides — NULL where undefined, 0 where defined") {
+    val r = oneL("", "a")
+    assert(r.getAs[Long]("lcs_len") === 0L)
+    assert(r.isNullAt(r.fieldIndex("rouge_l_p_q20")))
+    assert(r.getAs[Long]("rouge_l_r_q20") === 0L)
+    assert(r.getAs[Long]("rouge_l_f1_q20") === 0L)
+  }
+
+  test("rougeL matches a scala-side LCS on fuzz pairs") {
+    val words = Vector("a", "b", "c", "d")
+    def text(seed: Int, len: Int): String =
+      (0 until len).map(i => words((seed * 19 + i * 7) % words.size))
+        .mkString(" ")
+    def lcsRef(x: Seq[String], y: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](x.size + 1, y.size + 1)
+      for (i <- 1 to x.size; j <- 1 to y.size)
+        dp(i)(j) = if (x(i - 1) == y(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(x.size)(y.size)
+    }
+    val pairs = (0 until 50).map(i =>
+      (i.toLong, text(i, i % 11), text(i + 5, (i * 3) % 9)))
+    val got = GenerationEval.rougeL(pairs.toDF("pid", "cand", "ref"),
+      "pid", "cand", "ref").collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("lcs_len")).toMap
+    pairs.foreach { case (id, c, r) =>
+      val exp = lcsRef(c.split("\\s+").filter(_.nonEmpty).toSeq,
+        r.split("\\s+").filter(_.nonEmpty).toSeq)
+      assert(got(id) === exp.toLong, s"pid=$id")
+    }
+  }
+
   test("rougeN matches a scala-side reference on fuzz pairs") {
     val words = Vector("a", "b", "cc", "d", "ee", "f")
     def text(seed: Int, len: Int): String =

@@ -407,6 +407,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rouge counts stream statelessly (row-local variant)") {
+    // GenerationEval.rougeCounts is a pure projection: batch/stream
+    // outputs match row-for-row, and the row-local clipped counts agree
+    // with the batch operator's gram-aggregate path on the same pairs.
+    import graft.operators.GenerationEval
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    // cand = text, ref = a deterministic suffix of it (overlap varies)
+    def paired(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("text").as("cand"),
+        substring(col("text"), 5, 1000).as("ref"))
+    def counted(df: org.apache.spark.sql.DataFrame) =
+      paired(df).select(col("doc_id"),
+        GenerationEval.rougeCounts(col("cand"), col("ref"), 2).as("rc"))
+        .select(col("doc_id"), col("rc.n_cand_grams"),
+          col("rc.n_ref_grams"), col("rc.overlap"))
+    val docs = Seq(
+      Doc(1L, ts(0), "the cat sat on the cat mat"),
+      Doc(2L, ts(1), "aa aa aa aa aa"),
+      Doc(3L, ts(2), ""))
+    val input = MemoryStream[Doc]
+    val query = counted(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("rougec").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("rougec").orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val batch = counted(docs.toDF()).orderBy("doc_id")
+        .collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      // row-local counts == batch operator's gram-aggregate path
+      val op = GenerationEval.rougeN(paired(docs.toDF()), "doc_id",
+        "cand", "ref", 2).orderBy("doc_id").collect()
+        .map(r => Seq(r.getLong(0), r.getAs[Long]("n_cand_grams"),
+          r.getAs[Long]("n_ref_grams"), r.getAs[Long]("overlap")))
+      assert(batch.map(_.toSeq).toSeq === op.toSeq)
+    } finally query.stop()
+  }
+
   test("winnow fingerprints stream statelessly (row-local variant)") {
     // fingerprintArray is a pure projection, so winnowing joins the
     // stateless curation chain: batch/stream outputs match row-for-row.
