@@ -467,6 +467,47 @@ object Evaluation {
         col("pass_at_k_q30").cast("double") / lit(1073741824.0))
   }
 
+  /** SELF-CONSISTENCY majority-vote accuracy (Wang et al. 2022,
+    * "Self-Consistency Improves Chain of Thought Reasoning"): per task,
+    * the MODAL answer among its n samples — the consensus a
+    * sample-and-vote harness ships — compared against the gold answer.
+    * Ties break to the SMALLEST answer value, so the consensus is a
+    * deterministic function of the sample multiset (merge-order-free,
+    * the [[NgramLm.draftTable]] discipline).
+    *
+    * Scale shape: one (task, answer) hash-aggregate (map-side
+    * combinable, bounded by distinct answers per task), a row_number
+    * window whose per-task fan-in is that bounded answer set, one
+    * per-task aggregate, and a task-keyed join to the gold table.
+    * Nothing is ever corpus-sized after the first aggregate.
+    *
+    * @param samples one row per (task, sampled answer)
+    * @param gold    one row per task with its gold answer (tasks absent
+    *                here keep NULL `gold`/`is_correct` — unlabeled)
+    * @return one row per task WITH ≥1 sample: (taskCol, n_samples,
+    *         n_distinct_answers, modal_answer, modal_count, gold,
+    *         is_correct)
+    */
+  def majorityVoteAccuracy(samples: DataFrame, taskCol: String,
+                           answerCol: String, gold: DataFrame,
+                           goldCol: String): DataFrame = {
+    val counts = samples.groupBy(col(taskCol), col(answerCol).as("__a"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(taskCol)
+      .orderBy(col("__c").desc, col("__a").asc)
+    val modal = counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(taskCol), col("__a").as("modal_answer"),
+        col("__c").as("modal_count"))
+    val per = samples.groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n_samples"),
+        countDistinct(col(answerCol)).as("n_distinct_answers"))
+    per.join(modal, Seq(taskCol))
+      .join(gold.select(col(taskCol), col(goldCol).as("gold")),
+        Seq(taskCol), "left")
+      .withColumn("is_correct", col("modal_answer") === col("gold"))
+  }
+
   def aucBootstrap(df: DataFrame, keyCol: String, scoreCol: String,
                    labelCol: String, replicates: Int): DataFrame = {
     require(replicates > 0, "need at least one replicate")

@@ -3883,6 +3883,27 @@ object LlmQueries {
       graft.operators.GenerationEval.rougeL(
         pairs, "pair_id", "cand", "ref", maxTokens = 128)
         .orderBy("pair_id")
+    }),
+
+    // SELF-CONSISTENCY majority vote (Wang 2022): tasks = users, each
+    // task's EARLIEST event (total (ts, event_id) order) is the gold
+    // answer, the rest are samples; answers are exact-cent buckets
+    // mod 7 (pmod — floor-mod on both engines). The modal answer with
+    // min-value tie-break is the consensus; is_correct the headline.
+    "q309_self_consistency" -> ((s, dir) => {
+      val ev = graft.io.TableIO.eventsNanos(s, dir)
+        .withColumn("__ans",
+          pmod(floor(col("value") * 100.0).cast("long"), lit(7L)))
+      val w0 = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ranked = ev.withColumn("__rn", row_number().over(w0))
+      graft.operators.Evaluation.majorityVoteAccuracy(
+        ranked.filter(col("__rn") > 1).select(col("user_id"), col("__ans")),
+        "user_id", "__ans",
+        ranked.filter(col("__rn") === 1)
+          .select(col("user_id"), col("__ans").as("gold_ans")),
+        "gold_ans")
+        .orderBy("user_id")
     })
   )
 
@@ -11733,7 +11754,39 @@ object LlmQueries {
          |    CAST((2 * lcs_len * 1048576) // (n_cand_tokens + n_ref_tokens)
          |      AS BIGINT)
          |  END AS DOUBLE) / 1048576.0 AS rouge_l_f1
-         |FROM j ORDER BY pair_id""".stripMargin
+         |FROM j ORDER BY pair_id""".stripMargin,
+
+    // Self-consistency: identical bucket arithmetic (floor-mod spelled
+    // explicitly), the same (ts, event_id) total order for gold vs
+    // samples, modal via (count DESC, answer ASC) row_number.
+    "q309_self_consistency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    ((CAST(floor(value * 100.0) AS BIGINT) % 7) + 7) % 7 AS ans
+        |  FROM events),
+        |rk AS (
+        |  SELECT user_id, ans, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM ev),
+        |gold AS (SELECT user_id, ans AS gold_ans FROM rk WHERE rn = 1),
+        |smp AS (SELECT user_id, ans FROM rk WHERE rn > 1),
+        |cnt AS (SELECT user_id, ans, CAST(count(*) AS BIGINT) AS c
+        |        FROM smp GROUP BY 1, 2),
+        |modal AS (
+        |  SELECT user_id, ans AS modal_answer, c AS modal_count FROM (
+        |    SELECT user_id, ans, c, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY c DESC, ans ASC) AS rn
+        |    FROM cnt) WHERE rn = 1),
+        |per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |         CAST(count(DISTINCT ans) AS BIGINT) AS n_distinct_answers
+        |  FROM smp GROUP BY 1)
+        |SELECT p.user_id, p.n_samples, p.n_distinct_answers,
+        |       m.modal_answer, m.modal_count, g.gold_ans AS gold,
+        |       m.modal_answer = g.gold_ans AS is_correct
+        |FROM per p JOIN modal m USING (user_id)
+        |LEFT JOIN gold g USING (user_id)
+        |ORDER BY p.user_id""".stripMargin
   )
 
   /** q307: the per-END-position candidate table (same slices as

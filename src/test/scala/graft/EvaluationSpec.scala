@@ -32,6 +32,24 @@ class EvaluationSpec extends SparkSpec {
       .collect()(0).getAs[Double]("auc") === 0.0)
   }
 
+  test("majorityVoteAccuracy: modal answer, tie to smallest, gold join") {
+    val samples = Seq((1L, 3L), (1L, 2L), (1L, 3L), (1L, 2L), (1L, 5L),
+      (2L, 7L), (3L, 1L)).toDF("task", "ans")
+    val gold = Seq((1L, 3L), (2L, 7L)).toDF("task", "g")
+    val got = Evaluation.majorityVoteAccuracy(
+      samples, "task", "ans", gold, "g").collect()
+      .map(r => r.getAs[Long]("task") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("n_distinct_answers"),
+          r.getAs[Long]("modal_answer"), r.getAs[Long]("modal_count"),
+          if (r.isNullAt(r.fieldIndex("is_correct"))) None
+          else Some(r.getAs[Boolean]("is_correct"))))).toMap
+    // task 1: 2 and 3 tie at 2 votes -> modal 2 (smallest), gold 3: wrong
+    assert(got(1L) === ((5L, 3L, 2L, 2L, Some(false))))
+    assert(got(2L) === ((1L, 1L, 7L, 1L, Some(true))))
+    // task 3 has no gold row: consensus reported, correctness NULL
+    assert(got(3L) === ((1L, 1L, 1L, 1L, None)))
+  }
+
   test("aucExact: single-class input reports counts with NULL auc") {
     val onlyPos = Seq((1L, true), (2L, true)).toDF("s", "y")
     val r = Evaluation.aucExact(onlyPos, "s", "y").collect()(0)
