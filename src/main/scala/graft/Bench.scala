@@ -97,7 +97,17 @@ object Bench {
       "q304_rouge_n", "q305_draft_acceptance", "q307_viterbi_tokens",
       // q308 is a PURE projection — count() would prune it to a bare
       // join of two id columns; checksum forces the LCS kernel.
-      "q308_rouge_l")
+      "q308_rouge_l",
+      // q310: the candidate-spine left joins to the pivoted gram
+      // aggregate and the closest-ref row are unique-key-eliminable
+      // under count() (q87's pattern) — checksum forces the BLEU
+      // clipping pipeline. (q311 ends in a global one-row aggregate,
+      // which count() cannot prune.)
+      "q310_bleu",
+      // q313: pair-spine left join to the unique-key per-pair chrF
+      // aggregate — eliminable under count(), checksum forces the
+      // char-gram pipeline. (q312 ends in a (pair, k) aggregate.)
+      "q313_chrf")
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       import org.apache.spark.sql.functions.{col, expr, xxhash64}

@@ -179,4 +179,21 @@ package object functions {
           // empty-array fallback)
           .otherwise(when(t.isNotNull, array().cast("array<string>")))),
       1)
+
+  /** All contiguous CHARACTER n-grams of a string, in order — the
+    * char-level twin of [[shingles]] (same bind-once discipline: the
+    * string is bound to a lambda variable so per-gram `substring` calls
+    * don't re-evaluate the upstream expression — the measured-10×
+    * HOF trap). Strings shorter than n → empty array; NULL → NULL.
+    * Both `length` and `substr` count Unicode code points on Spark and
+    * DuckDB alike, so gram identity is cross-engine stable.
+    */
+  def charShingles(s: Column, n: Int): Column =
+    element_at(
+      transform(array(s), t =>
+        when(length(t) >= n,
+          transform(sequence(lit(1), length(t) - (n - 1)), i =>
+            t.substr(i, lit(n))))
+          .otherwise(when(t.isNotNull, array().cast("array<string>")))),
+      1)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-generation overlap metrics — the eval tier for SUMMARIZATION /
@@ -143,6 +144,241 @@ object GenerationEval {
       .withColumn("rouge_l_p", col("rouge_l_p_q20").cast("double") / Q)
       .withColumn("rouge_l_r", col("rouge_l_r_q20").cast("double") / Q)
       .withColumn("rouge_l_f1", col("rouge_l_f1_q20").cast("double") / Q)
+  }
+
+  /** Per-candidate BLEU components (Papineni et al. 2002, "BLEU: a
+    * Method for Automatic Evaluation of Machine Translation") with
+    * MULTI-REFERENCE clipping — the MT/generation eval whose two rules
+    * ROUGE lacks: (1) a candidate gram credits at most the MAX count
+    * any single reference gives it (`mrc = max over refs`), and (2) the
+    * brevity-penalty length `r` is the length of the CLOSEST reference
+    * (ties to the SHORTER — the NIST/NLTK convention, pinned so `r` is
+    * a deterministic function of the reference set).
+    *
+    * Exactness: per-order numerators/denominators are exact BIGINTs.
+    * The geometric mean over orders 1..4 is computed WITHOUT
+    * transcendentals: each precision is first quantized to 2^10
+    * (`floor(num·1024/den)` — exact integral division), the four
+    * quantized values multiply to P ≤ 2^40 (exactly representable in a
+    * double), and GM = sqrt(sqrt(P)) uses only IEEE-754 sqrt, which is
+    * CORRECTLY ROUNDED on every engine — so `bleu_gm_q20 =
+    * floor(GM·1024)` (= GM_true·2^20 up to the stated 2^-10 per-order
+    * quantization) is bit-identical cross-engine. The brevity penalty's
+    * exp(1 − r/c) has no such guarantee, so it is NOT folded in:
+    * `c`, `r`, and `bp_applies = c < r` are emitted exactly and the
+    * caller applies exp downstream if it wants the headline scalar.
+    *
+    * Degenerates: a candidate with < 4 tokens has a zero denominator at
+    * some order — `bleu_gm_q20` is NULL (sentence-BLEU is undefined
+    * there; the standard fix is [[bleuCorpus]], whose pooled
+    * denominators never vanish on a non-empty corpus). A candidate with
+    * NO reference rows clips every gram to 0 (gm = 0) and has NULL `r`.
+    *
+    * Scale shape: one union of both gram streams (orders 1..4 ride ONE
+    * explode each side), a (id, order, gram, ref) pre-aggregate (the
+    * per-ref counts clipping needs), a (id, order, gram) aggregate, a
+    * (id, order) aggregate, then a 4-way conditional pivot to one row
+    * per candidate — every step map-side combinable, no join wider than
+    * the candidate spine, nothing all-pairs. Reference fan-in per
+    * candidate is the caller's reference count (bounded by the eval
+    * protocol, typically ≤ 4).
+    *
+    * @param pairs   one row per candidate: (idCol, candCol)
+    * @param refs    one row per (candidate, reference): (idCol,
+    *                refIdCol, refTextCol); multiple rows per id
+    * @return one row per candidate: (idCol, n_cand_tokens, r_ref_len,
+    *         bp_applies, p1_num..p4_num, p1_den..p4_den, bleu_gm_q20,
+    *         bleu_gm)
+    */
+  def bleu(pairs: DataFrame, idCol: String, candCol: String,
+           refs: DataFrame, refIdCol: String, refTextCol: String)
+      : DataFrame = {
+    val orders = 1 to 4
+    def gramStream(df: DataFrame, text: Column, refId: Column) =
+      df.select(col(idCol).as("__id"), refId.as("__ref"),
+          explode(concat(orders.map(k =>
+            transform(graft.functions.shingles(
+              TextAnalysis.tokens(coalesce(text, lit(""))), k),
+              g => struct(lit(k).as("k"), g.as("g")))): _*)).as("__kg"))
+        .select(col("__id"), col("__ref"),
+          col("__kg.k").as("__k"), col("__kg.g").as("__g"))
+    val cs = gramStream(pairs, col(candCol), lit(null).cast("long"))
+      .withColumn("__side", lit(0))
+    val rs = gramStream(refs, col(refTextCol), col(refIdCol).cast("long"))
+      .withColumn("__side", lit(1))
+    // per-ref counts first (clipping is max-over-refs, not sum)
+    val perRef = cs.unionByName(rs)
+      .groupBy("__id", "__k", "__g", "__side", "__ref")
+      .agg(count(lit(1)).as("__n"))
+    val perGram = perRef.groupBy("__id", "__k", "__g")
+      .agg(max(when(col("__side") === 0, col("__n"))).as("__cc"),
+        max(when(col("__side") === 1, col("__n"))).as("__mrc"))
+    val perOrder = perGram.groupBy("__id", "__k")
+      .agg(sum(least(coalesce(col("__cc"), lit(0L)),
+          coalesce(col("__mrc"), lit(0L)))).as("__num"),
+        sum(coalesce(col("__cc"), lit(0L))).as("__den"))
+    val pivotCols = orders.flatMap(k => Seq(
+      coalesce(max(when(col("__k") === k, col("__num"))), lit(0L))
+        .as(s"p${k}_num"),
+      coalesce(max(when(col("__k") === k, col("__den"))), lit(0L))
+        .as(s"p${k}_den")))
+    val pivoted = perOrder.groupBy("__id")
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    // closest-reference length: |rl - c| asc, then rl asc (shorter wins)
+    val candLen = pairs.select(col(idCol).as("__id"),
+      size(TextAnalysis.tokens(coalesce(col(candCol), lit(""))))
+        .cast("long").as("n_cand_tokens"))
+    val refLen = refs.select(col(idCol).as("__id"),
+      size(TextAnalysis.tokens(coalesce(col(refTextCol), lit(""))))
+        .cast("long").as("__rl"))
+    val wr = Window.partitionBy("__id")
+      .orderBy(abs(col("__rl") - col("n_cand_tokens")).asc,
+        col("__rl").asc)
+    val closest = candLen.join(refLen, Seq("__id"))
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__rl").as("r_ref_len"))
+    val q10 = (k: Int) => when(col(s"p${k}_den") > 0L,
+      graft.functions.posIntDiv(col(s"p${k}_num") * 1024L,
+        col(s"p${k}_den")))
+    candLen
+      .join(closest, Seq("__id"), "left")
+      .join(pivoted, Seq("__id"), "left")
+      .select(Seq(col("__id").as(idCol), col("n_cand_tokens"),
+        col("r_ref_len"),
+        (col("n_cand_tokens") < col("r_ref_len")).as("bp_applies")) ++
+        orders.flatMap(k => Seq(
+          coalesce(col(s"p${k}_num"), lit(0L)).as(s"p${k}_num"),
+          coalesce(col(s"p${k}_den"), lit(0L)).as(s"p${k}_den"))): _*)
+      .withColumn("bleu_gm_q20",
+        floor(sqrt(sqrt(
+          (q10(1) * q10(2) * q10(3) * q10(4)).cast("double")))
+          * 1024.0).cast("long"))
+      .withColumn("bleu_gm", col("bleu_gm_q20").cast("double") / 1048576.0)
+  }
+
+  /** CORPUS-level BLEU components off [[bleu]]'s per-candidate rows —
+    * the pooled form Papineni 2002 actually defines BLEU as: per-order
+    * numerators/denominators SUM over the corpus before dividing (so
+    * short segments cannot zero the geometric mean), and the brevity
+    * lengths pool as `c = Σ c_i`, `r = Σ r_i` (each segment contributes
+    * its closest-reference length). Same sqrt-only 2^10-quantized
+    * geometric mean; one row out. Candidates with no reference rows
+    * contribute zero numerators and nothing to `r` (their `r_ref_len`
+    * is NULL) — stated, since it deflates `r` rather than inflating
+    * precision.
+    */
+  def bleuCorpus(perPair: DataFrame): DataFrame = {
+    val orders = 1 to 4
+    val aggCols = Seq(
+      count(lit(1)).as("n_pairs"),
+      sum(col("n_cand_tokens")).as("c_total"),
+      sum(col("r_ref_len")).as("r_total")) ++
+      orders.flatMap(k => Seq(
+        sum(col(s"p${k}_num")).as(s"p${k}_num"),
+        sum(col(s"p${k}_den")).as(s"p${k}_den")))
+    val agg = perPair.agg(aggCols.head, aggCols.tail: _*)
+    val q10 = (k: Int) => when(col(s"p${k}_den") > 0L,
+      graft.functions.posIntDiv(col(s"p${k}_num") * 1024L,
+        col(s"p${k}_den")))
+    agg
+      .withColumn("bp_applies", col("c_total") < col("r_total"))
+      .withColumn("bleu_gm_q20",
+        floor(sqrt(sqrt(
+          (q10(1) * q10(2) * q10(3) * q10(4)).cast("double")))
+          * 1024.0).cast("long"))
+      .withColumn("bleu_gm", col("bleu_gm_q20").cast("double") / 1048576.0)
+  }
+
+  /** Per-(pair, order) chrF components (Popović 2015, "chrF: character
+    * n-gram F-score for automatic MT evaluation") — the
+    * tokenization-free eval: whitespace is stripped and overlap is
+    * counted over CHARACTER n-grams of orders 1..maxOrder, so
+    * morphology-rich or unsegmented text scores on substance rather
+    * than on agreeing with a tokenizer.
+    *
+    * Exactness: the β=2 F-score collapses to ONE rational —
+    * P = o/c, R = o/r ⇒ F2 = 5PR/(4P+R) = 5·o/(4r+c) — so each
+    * per-order score is exact BIGINTs into one closing 2^20 integral
+    * division. No transcendentals anywhere (chrF needs no geometric
+    * mean, unlike BLEU).
+    *
+    * Scale shape: [[rougeN]]'s — one scan (all orders and both sides
+    * ride ONE explode via concat of bound-once [[graft.functions
+    * .charShingles]] streams), a (pair, order, gram) hash-aggregate,
+    * a (pair, order) aggregate. Row fan-out per pair is
+    * Σ_k (len−k+1) ≈ maxOrder·len — linear in text length, bounded by
+    * the caller's pair table.
+    *
+    * Degenerates: an order where BOTH stripped sides are shorter than
+    * k yields no row (headline [[chrF]] treats it as ineffective, the
+    * sacrebleu effective-order convention); one-sided-empty orders
+    * yield F2 = 0 exactly (o = 0, 4r+c > 0). NULL texts count as
+    * empty.
+    *
+    * @return one row per (pair, order): (idCol, k, n_cand_grams,
+    *         n_ref_grams, overlap, f2_q20, f2)
+    */
+  def chrFComponents(pairs: DataFrame, idCol: String, candCol: String,
+                     refCol: String, maxOrder: Int = 6): DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 8, "need 1 <= maxOrder <= 8")
+    val Q = 1048576L
+    // explicit whitespace class, not \s: Java's \s includes U+000B
+    // where RE2's (the oracle's) does not — the graft.functions.tokens
+    // discipline; VT is pinned as a KEPT character on both engines
+    def strip(c: Column): Column =
+      regexp_replace(coalesce(c, lit("")), "[ \\t\\n\\f\\r]+", "")
+    def gramStream(text: Column, side: Int): Seq[Column] =
+      (1 to maxOrder).map(k =>
+        transform(graft.functions.charShingles(strip(text), k), g =>
+          struct(lit(side).as("side"), lit(k).as("k"), g.as("g"))))
+    val sides = pairs.select(col(idCol).as("__id"),
+        explode(concat(gramStream(col(candCol), 0) ++
+          gramStream(col(refCol), 1): _*)).as("__skg"))
+      .select(col("__id"), col("__skg.side").as("__side"),
+        col("__skg.k").as("__k"), col("__skg.g").as("__g"))
+    val perGram = sides.groupBy("__id", "__k", "__g")
+      .agg(count(when(col("__side") === 0, 1)).as("__cc"),
+        count(when(col("__side") === 1, 1)).as("__rc"))
+    perGram.groupBy("__id", "__k")
+      .agg(sum(col("__cc")).as("n_cand_grams"),
+        sum(col("__rc")).as("n_ref_grams"),
+        sum(least(col("__cc"), col("__rc"))).as("overlap"))
+      .select(col("__id").as(idCol), col("__k").cast("long").as("k"),
+        col("n_cand_grams"), col("n_ref_grams"), col("overlap"))
+      .withColumn("f2_q20", graft.functions.posIntDiv(
+        lit(5L) * col("overlap") * Q,
+        lit(4L) * col("n_ref_grams") + col("n_cand_grams")))
+      .withColumn("f2", col("f2_q20").cast("double") / Q)
+  }
+
+  /** Headline per-pair chrF2: the arithmetic mean of the per-order F2
+    * scores over EFFECTIVE orders (orders where at least one side has
+    * a gram — sacrebleu's effective-order rule, so a 3-char text is
+    * scored over orders 1..3, not punished with phantom zeros for
+    * 4..6). Pinned quantize-then-average: each order is first floored
+    * to 2^20 fixed point ([[chrFComponents]]), the mean is one further
+    * exact integral division by the effective-order count — so the
+    * headline is bit-identical cross-engine at 2^-20 ± the stated
+    * per-order quantization. Pairs with NO grams at any order (both
+    * texts empty after whitespace strip) keep a row with
+    * n_eff_orders = 0 and NULL score.
+    *
+    * @return one row per pair: (idCol, n_eff_orders, chrf2_q20, chrf2)
+    */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+           refCol: String, maxOrder: Int = 6): DataFrame = {
+    val Q = 1048576L
+    val per = chrFComponents(pairs, idCol, candCol, refCol, maxOrder)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_eff_orders"), sum("f2_q20").as("__sum"))
+    pairs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_eff_orders"), lit(0L)).as("n_eff_orders"),
+        when(col("n_eff_orders") > 0L,
+          graft.functions.posIntDiv(col("__sum"), col("n_eff_orders")))
+          .as("chrf2_q20"))
+      .withColumn("chrf2", col("chrf2_q20").cast("double") / Q)
   }
 
   /** ROW-LOCAL ROUGE-N counts — the streaming-safe variant: a pure

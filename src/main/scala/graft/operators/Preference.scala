@@ -175,4 +175,54 @@ object Preference {
         StructField("strength_fp", LongType, nullable = false),
         StructField("strength", DoubleType, nullable = false))))
   }
+
+  /** GROUP-NORMALIZED advantages (the GRPO reward shaping, Shao et al.
+    * 2024 "DeepSeekMath" §4.1): per group (one prompt's N sampled
+    * completions), each reward is centered by the group mean and
+    * scaled by the group POPULATION standard deviation — the
+    * critic-free advantage estimate group-relative RL optimizes.
+    *
+    * Exactness: with caller-quantized integer rewards, the advantage
+    * collapses to one rational over one square root —
+    * (x − μ)/σ = (n·x − Σx)/√(n·Σx² − (Σx)²) — so the numerator and
+    * the radicand D are exact BIGINTs (ANSI overflow is the loud
+    * precondition: n·Σx² must fit a Long — rescale rewards first
+    * beyond |x| ≈ 2²⁰ at n ≈ 2²⁰). Both are ≤2⁵³-exact as doubles at
+    * that bound, √ is correctly rounded, the division is correctly
+    * rounded, and the 2²⁰ scale is a power of two (EXACT exponent
+    * shift) — so `adv_q20 = ⌊(num/√D)·2²⁰⌋` is bit-identical
+    * cross-engine, the BLEU-GM sqrt discipline.
+    *
+    * Degenerates: a constant group (D = 0, includes singletons) has
+    * NULL advantage — GRPO's ε-fudge hides a division by zero behind a
+    * float; a data system should surface "this prompt's samples all
+    * scored the same" instead (filter or impute downstream).
+    *
+    * Scale shape: one map-side-combinable hash-aggregate to per-group
+    * moments, one equi-join back on the group key — no window over the
+    * reward stream, no per-group fan-in beyond the moment row.
+    *
+    * @param reward integer-valued expression (quantize floats first,
+    *               e.g. `floor(value·100)`)
+    * @return input spine + (reward, n_group, adv_q20, adv), one row
+    *         per input row
+    */
+  def groupNormalizedAdvantages(df: DataFrame, groupCol: String,
+                                idCol: String, reward: Column)
+      : DataFrame = {
+    val Q = 1048576L
+    val r = reward.cast(LongType)
+    val rows = df.select(col(groupCol), col(idCol), r.as("reward"))
+    val g = rows.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_group"), sum(col("reward")).as("__s"),
+        sum(col("reward") * col("reward")).as("__ss"))
+    rows.join(g, Seq(groupCol))
+      .withColumn("__d",
+        col("n_group") * col("__ss") - col("__s") * col("__s"))
+      .withColumn("adv_q20", when(col("__d") > 0L,
+        floor((col("n_group") * col("reward") - col("__s")).cast("double")
+          / sqrt(col("__d").cast("double")) * Q.toDouble)))
+      .withColumn("adv", col("adv_q20").cast("double") / Q)
+      .select(groupCol, idCol, "reward", "n_group", "adv_q20", "adv")
+  }
 }

@@ -3904,6 +3904,96 @@ object LlmQueries {
           .select(col("user_id"), col("__ans").as("gold_ans")),
         "gold_ans")
         .orderBy("user_id")
+    }),
+
+    // BLEU with multi-reference clipping (Papineni 2002): candidates =
+    // every 7th doc (every 14th truncated to its first 3 tokens — the
+    // NULL-gm short-candidate path), references = the two following
+    // docs. Exact per-order num/den BIGINTs; geometric mean via the
+    // sqrt-only 2^10-quantized form (IEEE sqrt is correctly rounded on
+    // both engines); brevity components (c, r, bp_applies) exact.
+    "q310_bleu" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tk = graft.operators.TextAnalysis.tokens(
+        coalesce(col("text"), lit("")))
+      val cands = docs.filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id").as("pair_id"),
+          when(col("doc_id") % 14 === 1, concat_ws(" ", slice(tk, 1, 3)))
+            .otherwise(col("text")).as("cand"))
+      val refs = Seq(1, 2).map(o =>
+          docs.select((col("doc_id") - o).as("pair_id"),
+            lit(o.toLong).as("ref_id"), col("text").as("ref")))
+        .reduce(_ unionByName _)
+        .join(cands.select("pair_id"), Seq("pair_id"))
+      graft.operators.GenerationEval.bleu(
+        cands, "pair_id", "cand", refs, "ref_id", "ref")
+        .orderBy("pair_id")
+    }),
+
+    // Corpus-level BLEU off the same per-candidate rows: per-order
+    // numerators/denominators and brevity lengths pool over the corpus
+    // before dividing (the form Papineni 2002 defines — short segments
+    // cannot zero the geometric mean).
+    "q311_bleu_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tk = graft.operators.TextAnalysis.tokens(
+        coalesce(col("text"), lit("")))
+      val cands = docs.filter(col("doc_id") % 7 === 1)
+        .select(col("doc_id").as("pair_id"),
+          when(col("doc_id") % 14 === 1, concat_ws(" ", slice(tk, 1, 3)))
+            .otherwise(col("text")).as("cand"))
+      val refs = Seq(1, 2).map(o =>
+          docs.select((col("doc_id") - o).as("pair_id"),
+            lit(o.toLong).as("ref_id"), col("text").as("ref")))
+        .reduce(_ unionByName _)
+        .join(cands.select("pair_id"), Seq("pair_id"))
+      graft.operators.GenerationEval.bleuCorpus(
+        graft.operators.GenerationEval.bleu(
+          cands, "pair_id", "cand", refs, "ref_id", "ref"))
+        .orderBy("n_pairs")
+    }),
+
+    // chrF per-order components (Popović 2015): tokenization-free
+    // character n-gram overlap, orders 1..6 over whitespace-stripped
+    // text, same doc pairing as q304. β=2 F collapses to ONE exact
+    // rational (5·o/(4r+c)) per order — BIGINTs into one 2^20
+    // integral division, no transcendentals at all.
+    "q312_chrf_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+        .join(docs.select((col("doc_id") + 1).as("pair_id"),
+          col("text").as("refx")), Seq("pair_id"))
+      graft.operators.GenerationEval.chrFComponents(
+        pairs, "pair_id", "cand", "refx")
+        .orderBy("k", "pair_id")
+    }),
+
+    // Headline per-pair chrF2: quantize-then-average over EFFECTIVE
+    // orders (both-sides-empty orders don't count — the sacrebleu
+    // convention), one further exact integral division.
+    "q313_chrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+        .join(docs.select((col("doc_id") + 1).as("pair_id"),
+          col("text").as("refx")), Seq("pair_id"))
+      graft.operators.GenerationEval.chrF(
+        pairs, "pair_id", "cand", "refx")
+        .orderBy("pair_id")
+    }),
+
+    // GRPO group-normalized advantages (Shao 2024): each user's events
+    // are one prompt group, rewards the exact integer cents; the
+    // advantage is (n·x − Σx)/√(n·Σx² − (Σx)²) — integer numerator and
+    // radicand, one correctly-rounded sqrt + division, exact 2²⁰
+    // exponent shift, floor. Constant groups surface NULL, not an
+    // ε-fudged number.
+    "q314_grpo_advantages" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      graft.operators.Preference.groupNormalizedAdvantages(
+        ev, "user_id", "event_id", floor(col("value") * 100.0))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -11786,8 +11876,238 @@ object LlmQueries {
         |       m.modal_answer = g.gold_ans AS is_correct
         |FROM per p JOIN modal m USING (user_id)
         |LEFT JOIN gold g USING (user_id)
-        |ORDER BY p.user_id""".stripMargin
+        |ORDER BY p.user_id""".stripMargin,
+
+    // BLEU per candidate: same gram streams (orders 1..4), per-ref
+    // counts first (clipping is max over refs, not sum), left join
+    // from the candidate gram side, closest-reference length via the
+    // same (|rl-c| ASC, rl ASC) row_number, and the identical
+    // sqrt-only 2^10-quantized geometric mean (IEEE sqrt is correctly
+    // rounded on both engines; // on nonnegatives = trunc division).
+    "q310_bleu" ->
+      s"""WITH $oBleuCtes,
+         |g AS (SELECT *, $oBleuGm AS bleu_gm_q20 FROM base)
+         |SELECT pair_id, n_cand_tokens, r_ref_len, bp_applies,
+         |  p1_num, p1_den, p2_num, p2_den, p3_num, p3_den,
+         |  p4_num, p4_den, bleu_gm_q20,
+         |  CAST(bleu_gm_q20 AS DOUBLE) / 1048576.0 AS bleu_gm
+         |FROM g ORDER BY pair_id""".stripMargin,
+
+    // Corpus BLEU: per-order numerators/denominators and brevity
+    // lengths pooled over the per-candidate rows before dividing
+    // (sum skips NULL r_ref_len on no-reference candidates, matching
+    // Spark's sum), then the same quantized geometric mean.
+    "q311_bleu_corpus" ->
+      s"""WITH $oBleuCtes,
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(n_cand_tokens) AS BIGINT) AS c_total,
+         |    CAST(sum(r_ref_len) AS BIGINT) AS r_total,
+         |    CAST(sum(p1_num) AS BIGINT) AS p1_num,
+         |    CAST(sum(p1_den) AS BIGINT) AS p1_den,
+         |    CAST(sum(p2_num) AS BIGINT) AS p2_num,
+         |    CAST(sum(p2_den) AS BIGINT) AS p2_den,
+         |    CAST(sum(p3_num) AS BIGINT) AS p3_num,
+         |    CAST(sum(p3_den) AS BIGINT) AS p3_den,
+         |    CAST(sum(p4_num) AS BIGINT) AS p4_num,
+         |    CAST(sum(p4_den) AS BIGINT) AS p4_den
+         |  FROM base),
+         |g AS (SELECT *, $oBleuGm AS bleu_gm_q20 FROM agg)
+         |SELECT n_pairs, c_total, r_total,
+         |  p1_num, p1_den, p2_num, p2_den, p3_num, p3_den,
+         |  p4_num, p4_den, c_total < r_total AS bp_applies,
+         |  bleu_gm_q20,
+         |  CAST(bleu_gm_q20 AS DOUBLE) / 1048576.0 AS bleu_gm
+         |FROM g ORDER BY n_pairs""".stripMargin,
+
+    // chrF components: same whitespace-strip (regexp_replace with the
+    // 'g' flag — DuckDB defaults to first-match-only where Spark
+    // replaces all), same char-gram streams (substr/length both count
+    // code points on both engines), same exact 5o/(4r+c) rational.
+    "q312_chrf_components" ->
+      s"""WITH $oChrfCtes
+         |SELECT pair_id, k, n_cand_grams, n_ref_grams, overlap,
+         |  f2_q20, CAST(f2_q20 AS DOUBLE) / 1048576.0 AS f2
+         |FROM perf ORDER BY k, pair_id""".stripMargin,
+
+    // Headline chrF2: quantize-then-average — per-order q20 scores
+    // summed, ONE further integral division by the effective-order
+    // count; pairs with no grams at any order keep a NULL-score row.
+    "q313_chrf" ->
+      s"""WITH $oChrfCtes,
+         |hl AS (
+         |  SELECT pair_id, CAST(count(*) AS BIGINT) AS n_eff_orders,
+         |         CAST(sum(f2_q20) AS BIGINT) AS s
+         |  FROM perf GROUP BY 1)
+         |SELECT p.pair_id,
+         |  coalesce(h.n_eff_orders, CAST(0 AS BIGINT)) AS n_eff_orders,
+         |  CASE WHEN h.n_eff_orders > 0 THEN
+         |    CAST(h.s // h.n_eff_orders AS BIGINT) END AS chrf2_q20,
+         |  CAST(CASE WHEN h.n_eff_orders > 0 THEN
+         |    CAST(h.s // h.n_eff_orders AS BIGINT) END AS DOUBLE)
+         |    / 1048576.0 AS chrf2
+         |FROM prs p LEFT JOIN hl h USING (pair_id)
+         |ORDER BY p.pair_id""".stripMargin,
+
+    // GRPO advantages: identical integer moments, the same
+    // sqrt-division-exponent-shift chain (every step correctly rounded
+    // or exact on both engines), NULL on zero variance.
+    "q314_grpo_advantages" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS reward
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_group,
+        |    CAST(sum(reward) AS BIGINT) AS s,
+        |    CAST(sum(reward * reward) AS BIGINT) AS ss
+        |  FROM r GROUP BY 1),
+        |j AS (
+        |  SELECT r.user_id, r.event_id, r.reward, g.n_group,
+        |    g.n_group * g.ss - g.s * g.s AS d,
+        |    g.n_group * r.reward - g.s AS num
+        |  FROM r JOIN g USING (user_id))
+        |SELECT user_id, event_id, reward, n_group,
+        |  CASE WHEN d > 0 THEN
+        |    CAST(floor(CAST(num AS DOUBLE) / sqrt(CAST(d AS DOUBLE))
+        |      * 1048576.0) AS BIGINT)
+        |  END AS adv_q20,
+        |  CAST(CASE WHEN d > 0 THEN
+        |    CAST(floor(CAST(num AS DOUBLE) / sqrt(CAST(d AS DOUBLE))
+        |      * 1048576.0) AS BIGINT)
+        |  END AS DOUBLE) / 1048576.0 AS adv
+        |FROM j ORDER BY user_id, event_id""".stripMargin
   )
+
+  /** q312/q313's shared chrF pipeline: q304's doc pairing, whitespace
+    * stripped, character n-grams of orders 1..6 from both sides in one
+    * unnest, per-(pair, order, gram) counts, per-(pair, order) sums,
+    * and the exact one-division β=2 F. Produces `prs` (the pair spine)
+    * and `perf(pair_id, k, n_cand_grams, n_ref_grams, overlap,
+    * f2_q20)`.
+    */
+  private def oChrfCtes: String =
+    s"""prs AS (
+       |  SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS refx
+       |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id - 1
+       |  WHERE c.doc_id % 2 = 1),
+       |st AS (
+       |  SELECT pair_id,
+       |    regexp_replace(coalesce(cand, ''),
+       |      '[ \\t\\n\\f\\r]+', '', 'g') AS cs,
+       |    regexp_replace(coalesce(refx, ''),
+       |      '[ \\t\\n\\f\\r]+', '', 'g') AS rs
+       |  FROM prs),
+       |gch AS (
+       |  SELECT pair_id, k.k AS k, sd.sd AS sd,
+       |    unnest(list_transform(
+       |      range(1, length(CASE WHEN sd.sd = 0 THEN cs ELSE rs END)
+       |        - k.k + 2),
+       |      i -> substr(CASE WHEN sd.sd = 0 THEN cs ELSE rs END,
+       |        CAST(i AS INTEGER), k.k))) AS gr
+       |  FROM st CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6)) k(k)
+       |       CROSS JOIN (VALUES (0), (1)) sd(sd)),
+       |pg AS (
+       |  SELECT pair_id, k, gr,
+       |    CAST(count(CASE WHEN sd = 0 THEN 1 END) AS BIGINT) AS cc,
+       |    CAST(count(CASE WHEN sd = 1 THEN 1 END) AS BIGINT) AS rc
+       |  FROM gch GROUP BY 1, 2, 3),
+       |perf AS (
+       |  SELECT pair_id, CAST(k AS BIGINT) AS k,
+       |    CAST(sum(cc) AS BIGINT) AS n_cand_grams,
+       |    CAST(sum(rc) AS BIGINT) AS n_ref_grams,
+       |    CAST(sum(least(cc, rc)) AS BIGINT) AS overlap,
+       |    CAST((5 * CAST(sum(least(cc, rc)) AS BIGINT) * 1048576)
+       |      // (4 * CAST(sum(rc) AS BIGINT) + CAST(sum(cc) AS BIGINT))
+       |      AS BIGINT) AS f2_q20
+       |  FROM pg GROUP BY 1, 2)""".stripMargin
+
+  /** q310/q311's shared per-candidate BLEU pipeline: candidates are
+    * every 7th doc (every 14th truncated to its first 3 tokens — since
+    * whitespace tokens contain no whitespace, slicing the token list
+    * equals re-tokenizing the re-joined string), references the two
+    * following docs. Mirrors [[graft.operators.GenerationEval.bleu]]'s
+    * plan CTE-for-stage; produces `base(pair_id, n_cand_tokens,
+    * r_ref_len, bp_applies, p1_num..p4_den)`.
+    */
+  private def oBleuCtes: String = {
+    val ks = "(VALUES (1), (2), (3), (4)) k(k)"
+    s"""toks AS (SELECT doc_id,
+       |  ${oToks.replace("text", "coalesce(text, '')")} AS tk
+       |  FROM documents),
+       |cands AS (
+       |  SELECT doc_id AS pair_id,
+       |    CASE WHEN doc_id % 14 = 1 THEN tk[1:3] ELSE tk END AS ct
+       |  FROM toks WHERE doc_id % 7 = 1),
+       |refs AS (
+       |  SELECT t.doc_id - o.o AS pair_id, o.o AS rid, t.tk AS rt
+       |  FROM toks t CROSS JOIN (VALUES (1), (2)) o(o)
+       |  JOIN (SELECT pair_id FROM cands) cp
+       |    ON cp.pair_id = t.doc_id - o.o),
+       |cg AS (
+       |  SELECT pair_id, k.k AS k,
+       |    unnest(list_transform(range(1, len(ct) - k.k + 2),
+       |      i -> array_to_string(ct[i:i + k.k - 1], ' '))) AS g
+       |  FROM cands CROSS JOIN $ks),
+       |ccnt AS (SELECT pair_id, k, g, CAST(count(*) AS BIGINT) AS cc
+       |         FROM cg GROUP BY 1, 2, 3),
+       |rg AS (
+       |  SELECT pair_id, rid, k.k AS k,
+       |    unnest(list_transform(range(1, len(rt) - k.k + 2),
+       |      i -> array_to_string(rt[i:i + k.k - 1], ' '))) AS g
+       |  FROM refs CROSS JOIN $ks),
+       |rcnt AS (
+       |  SELECT pair_id, k, g, CAST(max(c) AS BIGINT) AS mrc FROM (
+       |    SELECT pair_id, rid, k, g, count(*) AS c
+       |    FROM rg GROUP BY 1, 2, 3, 4) GROUP BY 1, 2, 3),
+       |per AS (
+       |  SELECT c.pair_id, c.k,
+       |    CAST(sum(least(c.cc, coalesce(r.mrc, 0))) AS BIGINT) AS num,
+       |    CAST(sum(c.cc) AS BIGINT) AS den
+       |  FROM ccnt c LEFT JOIN rcnt r ON r.pair_id = c.pair_id
+       |    AND r.k = c.k AND r.g = c.g
+       |  GROUP BY 1, 2),
+       |piv AS (
+       |  SELECT pair_id,
+       |    ${(1 to 4).map(k =>
+        s"""max(CASE WHEN k = $k THEN num END) AS p${k}_num,
+           |    max(CASE WHEN k = $k THEN den END) AS p${k}_den""".stripMargin)
+        .mkString(",\n    ")}
+       |  FROM per GROUP BY 1),
+       |clen AS (SELECT pair_id, CAST(len(ct) AS BIGINT) AS n_cand_tokens
+       |         FROM cands),
+       |closest AS (
+       |  SELECT pair_id, rl AS r_ref_len FROM (
+       |    SELECT r.pair_id, CAST(len(r.rt) AS BIGINT) AS rl,
+       |      row_number() OVER (PARTITION BY r.pair_id
+       |        ORDER BY abs(CAST(len(r.rt) AS BIGINT) - c.n_cand_tokens)
+       |          ASC, len(r.rt) ASC) AS rn
+       |    FROM refs r JOIN clen c USING (pair_id)) WHERE rn = 1),
+       |base AS (
+       |  SELECT c.pair_id, c.n_cand_tokens, cl.r_ref_len,
+       |    c.n_cand_tokens < cl.r_ref_len AS bp_applies,
+       |    ${(1 to 4).map(k =>
+        s"""coalesce(p.p${k}_num, CAST(0 AS BIGINT)) AS p${k}_num,
+           |    coalesce(p.p${k}_den, CAST(0 AS BIGINT)) AS p${k}_den"""
+          .stripMargin).mkString(",\n    ")}
+       |  FROM clen c LEFT JOIN closest cl USING (pair_id)
+       |       LEFT JOIN piv p USING (pair_id))""".stripMargin
+  }
+
+  /** The sqrt-only quantized BLEU geometric mean over columns
+    * p1_num..p4_den: NULL if any order's denominator is 0, else
+    * floor(sqrt(sqrt(Π floor(num·2^10/den)))·2^10) — all-integer until
+    * the exactly-representable ≤2^40 product enters the two correctly
+    * rounded IEEE sqrts.
+    */
+  private def oBleuGm: String = {
+    val prod = (1 to 4).map(k => s"((p${k}_num * 1024) // p${k}_den)")
+      .mkString(" * ")
+    val dens = (1 to 4).map(k => s"p${k}_den > 0").mkString(" AND ")
+    s"""CASE WHEN $dens THEN
+       |  CAST(floor(sqrt(sqrt(CAST($prod AS DOUBLE))) * 1024.0) AS BIGINT)
+       |END""".stripMargin
+  }
 
   /** q307: the per-END-position candidate table (same slices as
     * [[oMaxMatchJoinedSql]]'s cand, joined to the scored vocab), then

@@ -147,4 +147,126 @@ class GenerationEvalSpec extends SparkSpec {
       }
     }
   }
+
+  private def bleuRows(cands: Seq[(Long, String)],
+                       refs: Seq[(Long, Long, String)]) =
+    GenerationEval.bleu(
+      cands.toDF("pid", "cand"), "pid", "cand",
+      refs.toDF("pid", "rid", "ref"), "rid", "ref")
+      .collect().map(r => r.getAs[Long]("pid") -> r).toMap
+
+  test("bleu: perfect match scores gm 1.0; hand example clips across refs") {
+    val got = bleuRows(
+      Seq(1L -> "the cat is on the mat", 2L -> "the cat sat on the mat"),
+      Seq((1L, 1L, "the cat is on the mat"), (1L, 2L, "there is a cat"),
+        (2L, 1L, "the cat is on the mat"),
+        (2L, 2L, "there is a cat on the mat")))
+    val p = got(1L)
+    assert(p.getAs[Long]("bleu_gm_q20") === 1048576L)
+    assert(p.getAs[Long]("r_ref_len") === 6L) // closest of {6, 4}
+    assert(p.getAs[Boolean]("bp_applies") === false)
+    val h = got(2L)
+    // unigram: the(min(2,2)) cat on the(counted) mat + sat(0) = 5/6
+    assert((h.getAs[Long]("p1_num"), h.getAs[Long]("p1_den")) === ((5L, 6L)))
+    // bigrams "the cat","on the","the mat" survive = 3/5
+    assert((h.getAs[Long]("p2_num"), h.getAs[Long]("p2_den")) === ((3L, 5L)))
+    assert((h.getAs[Long]("p3_num"), h.getAs[Long]("p3_den")) === ((1L, 4L)))
+    assert((h.getAs[Long]("p4_num"), h.getAs[Long]("p4_den")) === ((0L, 3L)))
+    // p4 = 0 -> unsmoothed sentence GM is exactly 0 (not NULL: den > 0)
+    assert(h.getAs[Long]("bleu_gm_q20") === 0L)
+    // closest ref by |len-6|: lengths {6, 7} -> 6
+    assert(h.getAs[Long]("r_ref_len") === 6L)
+  }
+
+  test("bleu: short candidate NULL gm; no-ref candidate zero nums NULL r") {
+    val got = bleuRows(
+      Seq(3L -> "hi there", 4L -> "a b c d e"),
+      Seq((3L, 1L, "hi there friend")))
+    val s3 = got(3L)
+    assert((s3.getAs[Long]("p3_den"), s3.getAs[Long]("p4_den")) === ((0L, 0L)))
+    assert(s3.isNullAt(s3.fieldIndex("bleu_gm_q20")))
+    assert(s3.getAs[Boolean]("bp_applies") === true) // c=2 < r=3
+    val s4 = got(4L)
+    assert((1 to 4).forall(k => s4.getAs[Long](s"p${k}_num") === 0L))
+    assert((s4.getAs[Long]("p1_den"), s4.getAs[Long]("p4_den")) === ((5L, 2L)))
+    assert(s4.getAs[Long]("bleu_gm_q20") === 0L)
+    assert(s4.isNullAt(s4.fieldIndex("r_ref_len")))
+    assert(s4.isNullAt(s4.fieldIndex("bp_applies")))
+  }
+
+  test("bleu: closest-ref ties break to the shorter reference") {
+    val got = bleuRows(Seq(5L -> "a b c d"),
+      Seq((5L, 1L, "x y z"), (5L, 2L, "p q r s t"))) // |3-4|=|5-4|=1
+    assert(got(5L).getAs[Long]("r_ref_len") === 3L)
+  }
+
+  test("bleuCorpus: pooled sums and sqrt-only geometric mean") {
+    val per = GenerationEval.bleu(
+      Seq(1L -> "the cat is on the mat", 2L -> "the cat sat on the mat")
+        .toDF("pid", "cand"), "pid", "cand",
+      Seq((1L, 1L, "the cat is on the mat"),
+        (2L, 1L, "the cat is on the mat"),
+        (2L, 2L, "there is a cat on the mat")).toDF("pid", "rid", "ref"),
+      "rid", "ref")
+    val r = GenerationEval.bleuCorpus(per).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 2L)
+    assert(r.getAs[Long]("c_total") === 12L)
+    assert(r.getAs[Long]("r_total") === 12L)
+    // pooled: p1 11/12, p2 8/10, p3 5/8, p4 3/6 (3 four-grams per cand)
+    assert((r.getAs[Long]("p1_num"), r.getAs[Long]("p1_den")) === ((11L, 12L)))
+    assert((r.getAs[Long]("p4_num"), r.getAs[Long]("p4_den")) === ((3L, 6L)))
+    val q = Seq((11L, 12L), (8L, 10L), (5L, 8L), (3L, 6L))
+      .map { case (n, d) => n * 1024L / d }.product
+    val expGm = math.floor(math.sqrt(math.sqrt(q.toDouble)) * 1024.0).toLong
+    assert(r.getAs[Long]("bleu_gm_q20") === expGm)
+  }
+
+  test("chrF: hand-computed components and quantize-then-average headline") {
+    val pairs = Seq((1L, "the cat", "the bat")).toDF("pid", "cand", "ref")
+    val comp = GenerationEval.chrFComponents(pairs, "pid", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_cand_grams"), r.getAs[Long]("n_ref_grams"),
+          r.getAs[Long]("overlap"), r.getAs[Long]("f2_q20"))).toMap
+    // stripped: "thecat" vs "thebat" (6 chars each)
+    assert(comp(1L) === ((6L, 6L, 5L, 25L * 1048576L / 30L)))
+    assert(comp(2L) === ((5L, 5L, 3L, 15L * 1048576L / 25L)))
+    assert(comp(3L) === ((4L, 4L, 1L, 5L * 1048576L / 20L)))
+    assert(comp(4L) === ((3L, 3L, 0L, 0L)))
+    assert(comp(6L) === ((1L, 1L, 0L, 0L)))
+    val hl = GenerationEval.chrF(pairs, "pid", "cand", "ref").collect()(0)
+    assert(hl.getAs[Long]("n_eff_orders") === 6L)
+    val expected = (25L * 1048576L / 30L + 15L * 1048576L / 25L +
+      5L * 1048576L / 20L) / 6L
+    assert(hl.getAs[Long]("chrf2_q20") === expected)
+  }
+
+  test("chrF: effective orders skip both-empty; all-empty pair NULL score") {
+    val pairs = Seq((1L, "ab", "a b c d"), (2L, " \t ", null))
+      .toDF("pid", "cand", "ref")
+    val comp = GenerationEval.chrFComponents(pairs, "pid", "cand", "ref")
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("k")) ->
+        (r.getAs[Long]("n_cand_grams"), r.getAs[Long]("n_ref_grams"),
+          r.getAs[Long]("overlap"))).toMap
+    // cand "ab" (2 chars), ref "abcd" (4): orders 3-4 are ref-only,
+    // orders 5-6 have no grams on either side and must be absent
+    assert(comp((1L, 1L)) === ((2L, 4L, 2L)))
+    assert(comp((1L, 2L)) === ((1L, 3L, 1L)))
+    assert(comp((1L, 3L)) === ((0L, 2L, 0L)))
+    assert(comp((1L, 4L)) === ((0L, 1L, 0L)))
+    assert(!comp.contains((1L, 5L)) && !comp.contains((1L, 6L)))
+    assert(!comp.keys.exists(_._1 == 2L)) // whitespace-only + NULL
+    val hl = GenerationEval.chrF(pairs, "pid", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("pid") -> r).toMap
+    assert(hl(1L).getAs[Long]("n_eff_orders") === 4L)
+    assert(hl(2L).getAs[Long]("n_eff_orders") === 0L)
+    assert(hl(2L).isNullAt(hl(2L).fieldIndex("chrf2_q20")))
+  }
+
+  test("chrF: identical texts score exactly 1.0") {
+    val hl = GenerationEval.chrF(
+      Seq((9L, "same text here", "same text here")).toDF("pid", "c", "r"),
+      "pid", "c", "r").collect()(0)
+    assert(hl.getAs[Long]("chrf2_q20") === 1048576L)
+    assert(hl.getAs[Double]("chrf2") === 1.0)
+  }
 }

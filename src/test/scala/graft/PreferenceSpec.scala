@@ -97,4 +97,27 @@ class PreferenceSpec extends SparkSpec {
     assert(s("A") > s("B") && s("B") > s("C"))
     assert(got.map(_.getLong(1)).sum === 30L)
   }
+
+  test("groupNormalizedAdvantages: hand-computed, zero-variance NULL") {
+    val df = Seq(
+      ("p1", 1L, 1L), ("p1", 2L, 2L), ("p1", 3L, 3L), // n=3 s=6 ss=14 D=6
+      ("p2", 4L, 5L), ("p2", 5L, 5L),                 // constant group
+      ("p3", 6L, 7L))                                 // singleton
+      .toDF("prompt", "sid", "rw")
+    val got = Preference.groupNormalizedAdvantages(
+      df, "prompt", "sid", col("rw"))
+      .collect().map(r => r.getAs[Long]("sid") -> r).toMap
+    def expQ(num: Long, d: Long): Long =
+      math.floor(num.toDouble / math.sqrt(d.toDouble) * 1048576.0).toLong
+    assert(got(1L).getAs[Long]("adv_q20") === expQ(-3L, 6L))
+    assert(got(2L).getAs[Long]("adv_q20") === 0L)
+    assert(got(3L).getAs[Long]("adv_q20") === expQ(3L, 6L))
+    assert(got(3L).getAs[Long]("n_group") === 3L)
+    Seq(4L, 5L, 6L).foreach { sid =>
+      assert(got(sid).isNullAt(got(sid).fieldIndex("adv_q20")))
+    }
+    // advantages of a non-constant group sum to ~0 (centering property)
+    val sumAdv = Seq(1L, 2L, 3L).map(got(_).getAs[Double]("adv")).sum
+    assert(math.abs(sumAdv) < 3.0 / 1048576.0)
+  }
 }
