@@ -381,6 +381,84 @@ object GenerationEval {
       .withColumn("chrf2", col("chrf2_q20").cast("double") / Q)
   }
 
+  /** Minimum-Bayes-risk SELECTION over sampled generations (the
+    * consensus decoding rule — Kumar & Byrne 2004, revisited for LLM
+    * sampling by Bertsch et al. 2023 "It's MBR All the Way Down"): per
+    * task, the chosen sample is the one maximizing summed similarity
+    * to its SIBLING samples — the sample most "agreed with", which
+    * beats both greedy and majority-vote when answers are free-form
+    * text rather than extractable labels ([[graft.queries]] q309's
+    * self-consistency needs a parseable answer; MBR does not).
+    *
+    * Similarity is unigram F1 on token MULTISETS — for each unordered
+    * sibling pair, `f1 = 2·Σ_t min(cnt_a, cnt_b) / (len_a + len_b)` —
+    * exact BIGINTs into one 2^20 integral division per pair; a
+    * candidate's MBR score is the exact integer SUM of its pairwise
+    * q20 scores (utility choice pinned: gram-multiset F1, the chrF/
+    * ROUGE-1 family, not a model-based metric).
+    *
+    * Scale shape: one scan → (task, sample, token) bag aggregate, one
+    * equi-join of the bag against itself keyed (task, token) — NEVER
+    * all-pairs across tasks; fan-out per (task, token) is n² with n =
+    * samples-per-task, bounded by the sampling protocol (the eval-k,
+    * typically 4–64 — the bounded-domain contract), one (task, sa, sb)
+    * aggregate, one (task, sa) aggregate, one task-partitioned
+    * row_number window (deterministic: score DESC, sample ASC).
+    *
+    * Degenerates: samples with no tokens (or no overlap with any
+    * sibling) score 0 via the sample spine; single-sample tasks win
+    * trivially with score 0 and NULL mean.
+    *
+    * @return one row per task: (taskCol, n_samples, mbr_choice,
+    *         mbr_score_q20, mean_sim_q20, mean_sim)
+    */
+  def mbrSelect(samples: DataFrame, taskCol: String, sampleCol: String,
+                textCol: String): DataFrame = {
+    val Q = 1048576L
+    val bags = samples.select(col(taskCol).as("__t"),
+        col(sampleCol).as("__sid"),
+        explode(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
+          .as("__tok"))
+      .groupBy("__t", "__sid", "__tok").agg(count(lit(1)).as("__cnt"))
+    val lens = bags.groupBy("__t", "__sid").agg(sum("__cnt").as("__len"))
+    val a = bags.select(col("__t"), col("__sid").as("__sa"),
+      col("__tok"), col("__cnt").as("__ca"))
+    val b = bags.select(col("__t").as("__t2"), col("__sid").as("__sb"),
+      col("__tok").as("__tok2"), col("__cnt").as("__cb"))
+    val ov = a.join(b, col("__t") === col("__t2") &&
+        col("__tok") === col("__tok2") && col("__sa") =!= col("__sb"))
+      .groupBy("__t", "__sa", "__sb")
+      .agg(sum(least(col("__ca"), col("__cb"))).as("__o"))
+    val la = lens.select(col("__t"), col("__sid").as("__sa"),
+      col("__len").as("__la"))
+    val lb = lens.select(col("__t").as("__tb"), col("__sid").as("__sb"),
+      col("__len").as("__lb"))
+    val perCand = ov
+      .join(la, Seq("__t", "__sa"))
+      .join(lb, col("__t") === col("__tb") && ov("__sb") === lb("__sb"))
+      .select(col("__t"), col("__sa"),
+        graft.functions.posIntDiv(lit(2L) * col("__o") * Q,
+          col("__la") + col("__lb")).as("__f1"))
+      .groupBy("__t", "__sa").agg(sum("__f1").as("__score"))
+    val spine = samples.select(col(taskCol).as("__t"),
+      col(sampleCol).as("__sa"))
+    val scored = spine.join(perCand, Seq("__t", "__sa"), "left")
+      .select(col("__t"), col("__sa"),
+        coalesce(col("__score"), lit(0L)).as("__score"))
+    val n = spine.groupBy("__t").agg(count(lit(1)).as("n_samples"))
+    val w = Window.partitionBy("__t")
+      .orderBy(col("__score").desc, col("__sa").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(n, Seq("__t"))
+      .select(col("__t").as(taskCol), col("n_samples"),
+        col("__sa").as("mbr_choice"), col("__score").as("mbr_score_q20"),
+        when(col("n_samples") > 1L,
+          graft.functions.posIntDiv(col("__score"),
+            col("n_samples") - 1L)).as("mean_sim_q20"))
+      .withColumn("mean_sim", col("mean_sim_q20").cast("double") / Q)
+  }
+
   /** ROW-LOCAL ROUGE-N counts — the streaming-safe variant: a pure
     * projection returning struct(n_cand_grams, n_ref_grams, overlap)
     * for one (candidate, reference) pair, no shuffle, composable into a

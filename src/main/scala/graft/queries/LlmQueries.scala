@@ -3994,6 +3994,21 @@ object LlmQueries {
       graft.operators.Preference.groupNormalizedAdvantages(
         ev, "user_id", "event_id", floor(col("value") * 100.0))
         .orderBy("user_id", "event_id")
+    }),
+
+    // MBR consensus selection (Kumar & Byrne 2004 / Bertsch 2023):
+    // 16-doc blocks stand in for one task's sampled generations; the
+    // chosen sample maximizes summed unigram-multiset F1 to its
+    // siblings (score DESC, sample ASC — deterministic). Pairwise
+    // scores are exact 2²⁰ integral divisions, the MBR score their
+    // exact integer sum.
+    "q315_mbr_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("task_id", graft.functions.floorDivLit(
+          col("doc_id"), 16L))
+      graft.operators.GenerationEval.mbrSelect(
+        docs, "task_id", "doc_id", "text")
+        .orderBy("task_id")
     })
   )
 
@@ -11976,7 +11991,61 @@ object LlmQueries {
         |    CAST(floor(CAST(num AS DOUBLE) / sqrt(CAST(d AS DOUBLE))
         |      * 1048576.0) AS BIGINT)
         |  END AS DOUBLE) / 1048576.0 AS adv
-        |FROM j ORDER BY user_id, event_id""".stripMargin
+        |FROM j ORDER BY user_id, event_id""".stripMargin,
+
+    // MBR selection: same token multiset bags, (task, token)-keyed
+    // self-join with sibling exclusion, exact q20 pairwise F1 summed
+    // per candidate, spine-coalesced zeros, (score DESC, sid ASC)
+    // row_number winner.
+    "q315_mbr_select" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id // 16 AS task_id, doc_id AS sid,
+         |         unnest($oToks) AS tok
+         |  FROM documents),
+         |bags AS (
+         |  SELECT task_id, sid, tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM toks GROUP BY 1, 2, 3),
+         |lens AS (
+         |  SELECT task_id, sid, CAST(sum(cnt) AS BIGINT) AS len
+         |  FROM bags GROUP BY 1, 2),
+         |ov AS (
+         |  SELECT a.task_id, a.sid AS sa, b.sid AS sb,
+         |         CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS o
+         |  FROM bags a JOIN bags b ON b.task_id = a.task_id
+         |    AND b.tok = a.tok AND b.sid <> a.sid
+         |  GROUP BY 1, 2, 3),
+         |pf AS (
+         |  SELECT ov.task_id, ov.sa,
+         |    CAST(sum((2 * ov.o * 1048576) // (la.len + lb.len))
+         |      AS BIGINT) AS score
+         |  FROM ov
+         |  JOIN lens la ON la.task_id = ov.task_id AND la.sid = ov.sa
+         |  JOIN lens lb ON lb.task_id = ov.task_id AND lb.sid = ov.sb
+         |  GROUP BY 1, 2),
+         |spine AS (SELECT doc_id // 16 AS task_id, doc_id AS sid
+         |          FROM documents),
+         |sc AS (
+         |  SELECT s.task_id, s.sid,
+         |         coalesce(p.score, CAST(0 AS BIGINT)) AS score
+         |  FROM spine s LEFT JOIN pf p
+         |    ON p.task_id = s.task_id AND p.sa = s.sid),
+         |nn AS (SELECT task_id, CAST(count(*) AS BIGINT) AS n_samples
+         |       FROM spine GROUP BY 1),
+         |win AS (
+         |  SELECT task_id, sid, score FROM (
+         |    SELECT task_id, sid, score, row_number() OVER (
+         |      PARTITION BY task_id ORDER BY score DESC, sid ASC) AS rn
+         |    FROM sc) WHERE rn = 1)
+         |SELECT w.task_id, nn.n_samples, w.sid AS mbr_choice,
+         |  w.score AS mbr_score_q20,
+         |  CASE WHEN nn.n_samples > 1 THEN
+         |    CAST(w.score // (nn.n_samples - 1) AS BIGINT)
+         |  END AS mean_sim_q20,
+         |  CAST(CASE WHEN nn.n_samples > 1 THEN
+         |    CAST(w.score // (nn.n_samples - 1) AS BIGINT)
+         |  END AS DOUBLE) / 1048576.0 AS mean_sim
+         |FROM win w JOIN nn USING (task_id)
+         |ORDER BY w.task_id""".stripMargin
   )
 
   /** q312/q313's shared chrF pipeline: q304's doc pairing, whitespace

@@ -262,6 +262,45 @@ class GenerationEvalSpec extends SparkSpec {
     assert(hl(2L).isNullAt(hl(2L).fieldIndex("chrf2_q20")))
   }
 
+  test("mbrSelect: consensus winner, zero-overlap and singleton tasks") {
+    val df = Seq(
+      // task 1: s1/s2 agree exactly, s3 is the outlier -> s1 wins (tie
+      // with s2 broken by smaller sid)
+      (1L, 1L, "a b"), (1L, 2L, "a b"), (1L, 3L, "x y"),
+      // task 2: singleton
+      (2L, 9L, "hello"),
+      // task 3: empty text + one-token text, no overlap -> both score
+      // 0, smaller sid wins
+      (3L, 10L, ""), (3L, 11L, "w"))
+      .toDF("task", "sid", "text")
+    val got = GenerationEval.mbrSelect(df, "task", "sid", "text")
+      .collect().map(r => r.getAs[Long]("task") -> r).toMap
+    val Q = 1048576L
+    val t1 = got(1L)
+    assert(t1.getAs[Long]("mbr_choice") === 1L)
+    assert(t1.getAs[Long]("mbr_score_q20") === Q) // one perfect sibling
+    assert(t1.getAs[Long]("mean_sim_q20") === Q / 2L)
+    assert(t1.getAs[Long]("n_samples") === 3L)
+    val t2 = got(2L)
+    assert(t2.getAs[Long]("mbr_choice") === 9L)
+    assert(t2.getAs[Long]("mbr_score_q20") === 0L)
+    assert(t2.isNullAt(t2.fieldIndex("mean_sim_q20")))
+    val t3 = got(3L)
+    assert(t3.getAs[Long]("mbr_choice") === 10L)
+    assert(t3.getAs[Long]("mbr_score_q20") === 0L)
+  }
+
+  test("mbrSelect: multiset clipping in the pairwise F1") {
+    // cand "a a b" vs "a c": overlap min(2,1)=1 on 'a' -> f1 =
+    // 2*1/(3+2) = 0.4; both directions symmetric
+    val df = Seq((7L, 1L, "a a b"), (7L, 2L, "a c"))
+      .toDF("task", "sid", "text")
+    val got = GenerationEval.mbrSelect(df, "task", "sid", "text")
+      .collect()(0)
+    assert(got.getAs[Long]("mbr_score_q20") === 2L * 1048576L / 5L)
+    assert(got.getAs[Long]("mbr_choice") === 1L)
+  }
+
   test("chrF: identical texts score exactly 1.0") {
     val hl = GenerationEval.chrF(
       Seq((9L, "same text here", "same text here")).toDF("pid", "c", "r"),
