@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -207,6 +208,79 @@ object Preference {
     * @return input spine + (reward, n_group, adv_q20, adv), one row
     *         per input row
     */
+  /** BEST-OF-N expected-maximum reward curve — the inference-scaling
+    * measurement behind rejection sampling / BoN deployment decisions
+    * (Nakano et al. 2021 "WebGPT" App. B; the same unbiased estimator
+    * family as q303's pass@k): per group (one prompt's n sampled
+    * completions with integer rewards), for each N = 1..maxN the
+    * UNBIASED estimate of E[max reward over N fresh samples] — drawn
+    * WITHOUT replacement from the n observed:
+    * `P(max ≤ v) = C(F(v), N)/C(n, N)` with F the per-group cumulative
+    * reward CDF, so
+    * `E = Σ_v v·(C(F,N) − C(F⁻,N))/C(n,N)` — read the marginal value
+    * of more samples directly off where the curve flattens.
+    *
+    * Exactness: binomials reduce to FALLING FACTORIALS — the N!
+    * cancels between numerator and denominator — so
+    * `E = Σ_v v·(ff(F,N) − ff(F⁻,N)) / ff(n,N)`, every term an exact
+    * DECIMAL(38,0) product (the q303 discipline; ff(c,N) self-zeroes
+    * when c < N because the factor c−c appears). Rewards are shifted
+    * per group by their min before weighting so the closing 2^20
+    * integral division is over NONNEGATIVE integers (truncation =
+    * floor on both engines), then shifted back exactly:
+    * `e_max_q20 = ⌊Σ'·2^20 / ff(n,N)⌋ + min·2^20`. Contract:
+    * (maxReward−min)·n^maxN·2^20 < 10^38 — ANSI decimal overflow is
+    * the loud failure past it.
+    *
+    * Scale shape: one hash-aggregate to the per-(group, reward)
+    * histogram, one per-group cumulative window OVER DISTINCT REWARD
+    * VALUES (bounded by quantization, not by group size), one further
+    * group aggregate computing every N's numerator in a single pass,
+    * one maxN-way stack to long format. N > n yields NULL (the q303
+    * n < k rule).
+    *
+    * @param reward integer-valued expression (quantize floats first)
+    * @return one row per (group, N): (groupCol, n_samples, n_draws,
+    *         e_max_q20, e_max)
+    */
+  def bestOfNCurve(df: DataFrame, groupCol: String, reward: Column,
+                   maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "need 1 <= maxN <= 8")
+    val Q = 1048576L
+    val dec = DecimalType(38, 0)
+    def ff(c: Column, n: Int): Column =
+      (0 until n).map(j => (c - lit(j.toLong)).cast(dec)).reduce(_ * _)
+    val base = df.select(col(groupCol).as("__g"),
+      reward.cast(LongType).as("__r"))
+    val hist = base.groupBy("__g", "__r").agg(count(lit(1)).as("__c"))
+    val gstats = base.groupBy("__g")
+      .agg(count(lit(1)).as("n_samples"), min("__r").as("__mn"))
+    val w = Window.partitionBy("__g").orderBy("__r")
+    val cum = hist.withColumn("__F", sum("__c").over(w))
+      .withColumn("__Fp", col("__F") - col("__c"))
+      .join(gstats, Seq("__g"))
+    val numCols = (1 to maxN).map(n =>
+      sum((col("__r") - col("__mn")).cast(dec) *
+        (ff(col("__F"), n) - ff(col("__Fp"), n))).as(s"__num$n"))
+    val nums = cum.groupBy("__g", "n_samples", "__mn")
+      .agg(numCols.head, numCols.tail: _*)
+    val withE = (1 to maxN).foldLeft(nums) { (d, n) =>
+      d.withColumn(s"__e$n",
+        when(col("n_samples") >= n.toLong,
+          graft.functions.posIntDiv(
+            col(s"__num$n") * lit(Q).cast(dec),
+            ff(col("n_samples"), n)) + col("__mn") * Q))
+    }
+    val stackExpr = s"stack($maxN, " +
+      (1 to maxN).map(n => s"${n}L, __e$n").mkString(", ") +
+      ") as (n_draws, e_max_q20)"
+    withE.select(Seq(col("__g").as(groupCol), col("n_samples")) :+
+        expr(stackExpr): _*)
+      .select(col(groupCol), col("n_samples"), col("n_draws"),
+        col("e_max_q20"))
+      .withColumn("e_max", col("e_max_q20").cast("double") / Q)
+  }
+
   def groupNormalizedAdvantages(df: DataFrame, groupCol: String,
                                 idCol: String, reward: Column)
       : DataFrame = {

@@ -4009,6 +4009,18 @@ object LlmQueries {
       graft.operators.GenerationEval.mbrSelect(
         docs, "task_id", "doc_id", "text")
         .orderBy("task_id")
+    }),
+
+    // Best-of-N scaling curve (Nakano 2021 App. B): per user the
+    // unbiased E[max reward over N fresh samples] for N = 1..4 —
+    // binomials cancel to falling factorials (the q303 pass@k
+    // discipline), rewards min-shifted so the one closing division is
+    // over nonnegatives, DECIMAL(38,0)/HUGEINT exact throughout.
+    "q316_bon_curve" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      graft.operators.Preference.bestOfNCurve(
+        ev, "user_id", floor(col("value") * 100.0), maxN = 4)
+        .orderBy("user_id", "n_draws")
     })
   )
 
@@ -12045,8 +12057,67 @@ object LlmQueries {
          |    CAST(w.score // (nn.n_samples - 1) AS BIGINT)
          |  END AS DOUBLE) / 1048576.0 AS mean_sim
          |FROM win w JOIN nn USING (task_id)
-         |ORDER BY w.task_id""".stripMargin
+         |ORDER BY w.task_id""".stripMargin,
+
+    // BoN curve: same histogram→CDF→falling-factorial pipeline in
+    // HUGEINT (DuckDB's exact 128-bit integer, the DECIMAL(38,0)
+    // twin); N > n NULL, min-shift undone after the division.
+    "q316_bon_curve" -> oBonSql(4)
   )
+
+  /** q316's oracle: per-group reward histogram, cumulative CDF over
+    * distinct values, per-N falling-factorial numerators (one arm per
+    * N — the engine computes the same N columns in one aggregate), the
+    * closing `(num·2^20) // ff(n,N) + min·2^20`, UNION-ALL'd long.
+    */
+  private def oBonSql(maxN: Int): String = {
+    def ffSql(c: String, n: Int): String =
+      (0 until n).map(j => s"CAST($c - $j AS HUGEINT)").mkString(" * ")
+    val numArms = (1 to maxN).map(n =>
+      s"""CAST(sum(CAST(rw - mn AS HUGEINT) *
+         |      (${ffSql("F", n)} - (${ffSql("Fp", n)}))) AS HUGEINT)
+         |      AS num$n""".stripMargin).mkString(",\n    ")
+    val eArms = (1 to maxN).map(n =>
+      s"""CASE WHEN n_samples >= $n THEN
+         |    CAST((num$n * 1048576) // (${ffSql("n_samples", n)})
+         |      AS BIGINT) + mn * 1048576
+         |  END AS e$n""".stripMargin).mkString(",\n  ")
+    val union = (1 to maxN).map(n =>
+      s"""SELECT user_id, n_samples, CAST($n AS BIGINT) AS n_draws,
+         |      e$n AS e_max_q20 FROM pe2""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH r AS (
+       |  SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) AS rw
+       |  FROM events),
+       |hist AS (
+       |  SELECT user_id, rw, CAST(count(*) AS BIGINT) AS c
+       |  FROM r GROUP BY 1, 2),
+       |g AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |         min(rw) AS mn
+       |  FROM r GROUP BY 1),
+       |cum AS (
+       |  SELECT user_id, rw, c,
+       |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY rw)
+       |      AS BIGINT) AS F
+       |  FROM hist),
+       |t AS (
+       |  SELECT c.user_id, c.rw, c.F, c.F - c.c AS Fp, g.n_samples, g.mn
+       |  FROM cum c JOIN g USING (user_id)),
+       |pe AS (
+       |  SELECT user_id, n_samples, mn,
+       |    $numArms
+       |  FROM t GROUP BY 1, 2, 3),
+       |pe2 AS (
+       |  SELECT user_id, n_samples,
+       |  $eArms
+       |  FROM pe),
+       |lg AS (
+       |  $union)
+       |SELECT user_id, n_samples, n_draws, e_max_q20,
+       |  CAST(e_max_q20 AS DOUBLE) / 1048576.0 AS e_max
+       |FROM lg ORDER BY user_id, n_draws""".stripMargin
+  }
 
   /** q312/q313's shared chrF pipeline: q304's doc pairing, whitespace
     * stripped, character n-grams of orders 1..6 from both sides in one

@@ -120,4 +120,33 @@ class PreferenceSpec extends SparkSpec {
     val sumAdv = Seq(1L, 2L, 3L).map(got(_).getAs[Double]("adv")).sum
     assert(math.abs(sumAdv) < 3.0 / 1048576.0)
   }
+
+  test("bestOfNCurve: hand-computed order statistics, N>n NULL, min-shift") {
+    val Q = 1048576L
+    val df = Seq(
+      ("p", 0L), ("p", 10L), ("p", 10L), ("p", 20L), // n=4
+      ("q", -7L),                                    // singleton
+      ("r", -5L), ("r", 5L))                         // negative shift
+      .toDF("prompt", "rw")
+    val got = Preference.bestOfNCurve(df, "prompt", col("rw"), maxN = 4)
+      .collect()
+      .map(r => (r.getAs[String]("prompt"), r.getAs[Long]("n_draws")) -> r)
+      .toMap
+    def q20(k: (String, Long)): Long = got(k).getAs[Long]("e_max_q20")
+    // p: CDF F(0)=1 F(10)=3 F(20)=4
+    assert(q20(("p", 1L)) === 10L * Q)                  // mean of max-of-1
+    assert(q20(("p", 2L)) === 15L * Q)                  // (10*6+20*6)/12
+    assert(q20(("p", 3L)) === 17L * Q + Q / 2L)         // 17.5
+    assert(q20(("p", 4L)) === 20L * Q)                  // the max itself
+    assert(got(("p", 1L)).getAs[Long]("n_samples") === 4L)
+    // q: E[max of 1] = -7; N = 2..4 undefined
+    assert(q20(("q", 1L)) === -7L * Q)
+    (2L to 4L).foreach { n =>
+      val r = got(("q", n))
+      assert(r.isNullAt(r.fieldIndex("e_max_q20")))
+    }
+    // r: E[max of 2 without replacement] = max = 5 exactly
+    assert(q20(("r", 1L)) === 0L)                       // mean(-5, 5)
+    assert(q20(("r", 2L)) === 5L * Q)
+  }
 }
