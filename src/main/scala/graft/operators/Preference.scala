@@ -281,6 +281,57 @@ object Preference {
       .withColumn("e_max", col("e_max_q20").cast("double") / Q)
   }
 
+  /** DPO PAIR CONSTRUCTION (Rafailov et al. 2023 "Direct Preference
+    * Optimization"): from each prompt group's scored samples, emit the
+    * (chosen, rejected) training pair — best vs worst reward — the
+    * dataset-building step between reward scoring and a DPO fine-tune.
+    *
+    * Determinism: chosen = (reward DESC, id ASC), rejected =
+    * (reward ASC, id ASC) — both row_number picks are total orders, so
+    * the emitted pair is a pure function of the input set. Groups
+    * whose margin (chosen − rejected reward, exact integer) is below
+    * `minMargin` are DROPPED — near-tie pairs teach a DPO objective
+    * nothing and flip sign under reward noise; with minMargin ≥ 1
+    * constant groups (margin 0, chosen = rejected row) can never leak
+    * a self-pair.
+    *
+    * Scale shape: one group-keyed shuffle, two sorts over it (the two
+    * orderings share the partitioning), one self-join of two
+    * single-row-per-group streams on the group key. No corpus-sized
+    * join.
+    *
+    * @param reward integer-valued expression (quantize floats first)
+    * @return one row per surviving group: (groupCol, n_samples,
+    *         chosen_id, rejected_id, chosen_reward, rejected_reward,
+    *         margin)
+    */
+  def dpoPairs(df: DataFrame, groupCol: String, idCol: String,
+               reward: Column, minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 0L, "minMargin must be nonnegative")
+    val rows = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      reward.cast(LongType).as("__r"))
+    val wTop = Window.partitionBy("__g")
+      .orderBy(col("__r").desc, col("__id").asc)
+    val wBot = Window.partitionBy("__g")
+      .orderBy(col("__r").asc, col("__id").asc)
+    val ranked = rows
+      .withColumn("__rnT", row_number().over(wTop))
+      .withColumn("__rnB", row_number().over(wBot))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+    val chosen = ranked.filter(col("__rnT") === 1)
+      .select(col("__g"), col("__n").as("n_samples"),
+        col("__id").as("chosen_id"), col("__r").as("chosen_reward"))
+    val rejected = ranked.filter(col("__rnB") === 1)
+      .select(col("__g"), col("__id").as("rejected_id"),
+        col("__r").as("rejected_reward"))
+    chosen.join(rejected, Seq("__g"))
+      .withColumn("margin", col("chosen_reward") - col("rejected_reward"))
+      .filter(col("margin") >= minMargin)
+      .select(col("__g").as(groupCol), col("n_samples"),
+        col("chosen_id"), col("rejected_id"), col("chosen_reward"),
+        col("rejected_reward"), col("margin"))
+  }
+
   def groupNormalizedAdvantages(df: DataFrame, groupCol: String,
                                 idCol: String, reward: Column)
       : DataFrame = {

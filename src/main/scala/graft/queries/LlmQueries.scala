@@ -4021,6 +4021,18 @@ object LlmQueries {
       graft.operators.Preference.bestOfNCurve(
         ev, "user_id", floor(col("value") * 100.0), maxN = 4)
         .orderBy("user_id", "n_draws")
+    }),
+
+    // DPO pair construction (Rafailov 2023): per user the
+    // (chosen, rejected) = (best, worst)-reward pair under total
+    // (reward, id) tie-breaks, exact integer margin, near-ties
+    // (margin < 10 cents) dropped as training-signal-free.
+    "q317_dpo_pairs" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      graft.operators.Preference.dpoPairs(
+        ev, "user_id", "event_id", floor(col("value") * 100.0),
+        minMargin = 10L)
+        .orderBy("user_id")
     })
   )
 
@@ -12062,7 +12074,35 @@ object LlmQueries {
     // BoN curve: same histogram→CDF→falling-factorial pipeline in
     // HUGEINT (DuckDB's exact 128-bit integer, the DECIMAL(38,0)
     // twin); N > n NULL, min-shift undone after the division.
-    "q316_bon_curve" -> oBonSql(4)
+    "q316_bon_curve" -> oBonSql(4),
+
+    // DPO pairs: the same two total-order row_number picks and the
+    // same integer margin gate.
+    "q317_dpo_pairs" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS rw
+        |  FROM events),
+        |rk AS (
+        |  SELECT user_id, event_id, rw,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rw DESC, event_id ASC) AS rnt,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rw ASC, event_id ASC) AS rnb,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM r),
+        |ch AS (SELECT user_id, n AS n_samples, event_id AS chosen_id,
+        |              rw AS chosen_reward
+        |       FROM rk WHERE rnt = 1),
+        |rj AS (SELECT user_id, event_id AS rejected_id,
+        |              rw AS rejected_reward
+        |       FROM rk WHERE rnb = 1)
+        |SELECT c.user_id, c.n_samples, c.chosen_id, j.rejected_id,
+        |       c.chosen_reward, j.rejected_reward,
+        |       c.chosen_reward - j.rejected_reward AS margin
+        |FROM ch c JOIN rj j USING (user_id)
+        |WHERE c.chosen_reward - j.rejected_reward >= 10
+        |ORDER BY c.user_id""".stripMargin
   )
 
   /** q316's oracle: per-group reward histogram, cumulative CDF over

@@ -149,4 +149,34 @@ class PreferenceSpec extends SparkSpec {
     assert(q20(("r", 1L)) === 0L)                       // mean(-5, 5)
     assert(q20(("r", 2L)) === 5L * Q)
   }
+
+  test("dpoPairs: deterministic picks, margin gate, constant-group drop") {
+    val df = Seq(
+      // p1: clear winner/loser; ties on the max (ids 2,3 both score 9)
+      // break to the smaller id
+      ("p1", 1L, 2L), ("p1", 2L, 9L), ("p1", 3L, 9L),
+      // p2: margin 1 < minMargin 5 -> dropped
+      ("p2", 4L, 10L), ("p2", 5L, 11L),
+      // p3: constant -> margin 0 -> dropped
+      ("p3", 6L, 4L), ("p3", 7L, 4L))
+      .toDF("prompt", "sid", "rw")
+    val got = Preference.dpoPairs(df, "prompt", "sid", col("rw"),
+      minMargin = 5L).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[String]("prompt") === "p1")
+    assert(r.getAs[Long]("chosen_id") === 2L)
+    assert(r.getAs[Long]("rejected_id") === 1L)
+    assert(r.getAs[Long]("margin") === 7L)
+    assert(r.getAs[Long]("n_samples") === 3L)
+    // minMargin 0 keeps the constant group but never as a self-pair?
+    // no: margin 0 passes, chosen/rejected differ by the id tie-break
+    val loose = Preference.dpoPairs(df, "prompt", "sid", col("rw"),
+      minMargin = 0L).collect()
+      .map(r => r.getAs[String]("prompt") -> r).toMap
+    assert(loose("p3").getAs[Long]("chosen_id") === 6L)
+    assert(loose("p3").getAs[Long]("rejected_id") === 6L) // self-pair:
+    // both orders tie-break to the smaller id — why minMargin >= 1 is
+    // the documented default
+  }
 }
