@@ -332,6 +332,48 @@ object Preference {
         col("rejected_reward"), col("margin"))
   }
 
+  /** Per-group reward MOMENT table — the exported artifact for
+    * [[advantagesWithMoments]]'s train/apply split (the q299 dsir
+    * discipline: ship the bounded table, never the corpus). One
+    * map-side-combinable aggregate; exact BIGINT moments.
+    */
+  def groupMoments(df: DataFrame, groupCol: String, reward: Column)
+      : DataFrame = {
+    val r = reward.cast(LongType)
+    df.select(col(groupCol), r.as("__r"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_ref"), sum(col("__r")).as("sum_ref"),
+        sum(col("__r") * col("__r")).as("sumsq_ref"))
+  }
+
+  /** [[groupNormalizedAdvantages]]'s APPLY side under FROZEN reference
+    * moments — the deployment shape: moments trained on a reference
+    * window ([[groupMoments]]), new rewards normalized against that
+    * baseline row-locally after one group-key equi-join (stream-static
+    * joinable). Identical exact chain ((n·x − Σx)/√D, one correctly
+    * rounded sqrt + division, exact 2²⁰ shift); groups ABSENT from the
+    * moment table surface NULL n_ref and NULL advantage — "no
+    * baseline" is a signal, not a zero.
+    *
+    * @return one row per batch row: (groupCol, idCol, reward, n_ref,
+    *         adv_q20, adv)
+    */
+  def advantagesWithMoments(batch: DataFrame, groupCol: String,
+                            idCol: String, reward: Column,
+                            moments: DataFrame): DataFrame = {
+    val Q = 1048576L
+    val rows = batch.select(col(groupCol), col(idCol),
+      reward.cast(LongType).as("reward"))
+    rows.join(moments, Seq(groupCol), "left")
+      .withColumn("__d",
+        col("n_ref") * col("sumsq_ref") - col("sum_ref") * col("sum_ref"))
+      .withColumn("adv_q20", when(col("__d") > 0L,
+        floor((col("n_ref") * col("reward") - col("sum_ref"))
+          .cast("double") / sqrt(col("__d").cast("double")) * Q.toDouble)))
+      .withColumn("adv", col("adv_q20").cast("double") / Q)
+      .select(groupCol, idCol, "reward", "n_ref", "adv_q20", "adv")
+  }
+
   def groupNormalizedAdvantages(df: DataFrame, groupCol: String,
                                 idCol: String, reward: Column)
       : DataFrame = {

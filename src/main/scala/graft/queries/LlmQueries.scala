@@ -4033,6 +4033,23 @@ object LlmQueries {
         ev, "user_id", "event_id", floor(col("value") * 100.0),
         minMargin = 10L)
         .orderBy("user_id")
+    }),
+
+    // GRPO train/apply split (the q299 frozen-artifact discipline):
+    // moments from each user's EVEN event_ids, advantages for the
+    // DISJOINT odd slice against that frozen baseline — the oracle
+    // re-derives both stages, so an export/apply drift (moment column
+    // swap, an inner-join silently dropping baseline-less groups)
+    // breaks the hash.
+    "q318_grpo_frozen_apply" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      val cents = floor(col("value") * 100.0)
+      val m = graft.operators.Preference.groupMoments(
+        ev.filter(col("event_id") % 2 === 0), "user_id", cents)
+      graft.operators.Preference.advantagesWithMoments(
+        ev.filter(col("event_id") % 2 === 1), "user_id", "event_id",
+        cents, m)
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -12102,7 +12119,39 @@ object LlmQueries {
         |       c.chosen_reward - j.rejected_reward AS margin
         |FROM ch c JOIN rj j USING (user_id)
         |WHERE c.chosen_reward - j.rejected_reward >= 10
-        |ORDER BY c.user_id""".stripMargin
+        |ORDER BY c.user_id""".stripMargin,
+
+    // GRPO frozen apply: moments re-derived from the even slice, the
+    // odd slice LEFT-joined (baseline-less groups keep NULL rows),
+    // identical sqrt-division-shift chain.
+    "q318_grpo_frozen_apply" ->
+      """WITH tr AS (
+        |  SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) AS rw
+        |  FROM events WHERE event_id % 2 = 0),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ref,
+        |    CAST(sum(rw) AS BIGINT) AS s,
+        |    CAST(sum(rw * rw) AS BIGINT) AS ss
+        |  FROM tr GROUP BY 1),
+        |ap AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS reward
+        |  FROM events WHERE event_id % 2 = 1),
+        |j AS (
+        |  SELECT a.user_id, a.event_id, a.reward, m.n_ref,
+        |    m.n_ref * m.ss - m.s * m.s AS d,
+        |    m.n_ref * a.reward - m.s AS num
+        |  FROM ap a LEFT JOIN m USING (user_id))
+        |SELECT user_id, event_id, reward, n_ref,
+        |  CASE WHEN d > 0 THEN
+        |    CAST(floor(CAST(num AS DOUBLE) / sqrt(CAST(d AS DOUBLE))
+        |      * 1048576.0) AS BIGINT)
+        |  END AS adv_q20,
+        |  CAST(CASE WHEN d > 0 THEN
+        |    CAST(floor(CAST(num AS DOUBLE) / sqrt(CAST(d AS DOUBLE))
+        |      * 1048576.0) AS BIGINT)
+        |  END AS DOUBLE) / 1048576.0 AS adv
+        |FROM j ORDER BY user_id, event_id""".stripMargin
   )
 
   /** q316's oracle: per-group reward histogram, cumulative CDF over

@@ -179,4 +179,23 @@ class PreferenceSpec extends SparkSpec {
     // both orders tie-break to the smaller id — why minMargin >= 1 is
     // the documented default
   }
+
+  test("advantagesWithMoments: frozen baseline, unknown group NULL") {
+    val ref = Seq(("p1", 1L), ("p1", 2L), ("p1", 3L)) // n=3 s=6 ss=14 D=6
+      .toDF("prompt", "rw")
+    val m = Preference.groupMoments(ref, "prompt", col("rw"))
+    val batch = Seq(("p1", 10L, 4L), ("p1", 11L, 2L), ("pX", 12L, 9L))
+      .toDF("prompt", "sid", "rw")
+    val got = Preference.advantagesWithMoments(
+      batch, "prompt", "sid", col("rw"), m)
+      .collect().map(r => r.getAs[Long]("sid") -> r).toMap
+    // reward 4 vs frozen (n=3, s=6, D=6): (3*4-6)/sqrt(6)
+    val exp = math.floor(6.0 / math.sqrt(6.0) * 1048576.0).toLong
+    assert(got(10L).getAs[Long]("adv_q20") === exp)
+    assert(got(11L).getAs[Long]("adv_q20") === 0L) // reward == mean
+    assert(got(10L).getAs[Long]("n_ref") === 3L)
+    val unk = got(12L)
+    assert(unk.isNullAt(unk.fieldIndex("n_ref")))
+    assert(unk.isNullAt(unk.fieldIndex("adv_q20")))
+  }
 }
