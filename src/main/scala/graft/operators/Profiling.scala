@@ -951,4 +951,80 @@ object Profiling {
         (ssb / (col("k") - 1L).cast("double")) /
           (ssw / (col("n") - col("k")).cast("double"))).as("f"))
   }
+
+  /** Per-group PEARSON correlation of two integer-valued columns —
+    * exact to the last fixed-point digit: with caller-quantized
+    * integers the correlation is
+    * `r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²))` —
+    * numerator and both radicands exact BIGINTs (ANSI overflow is the
+    * loud precondition), two correctly rounded IEEE sqrts, one
+    * multiply, one division, one exact 2²⁰ exponent shift, floor —
+    * every step deterministic cross-engine (the GRPO-advantage sqrt
+    * discipline; √(Dx·Dy) is deliberately computed as √Dx·√Dy so
+    * neither engine needs the >2⁶³ product). The LINEAR drift/bias
+    * audit: reward-vs-length verbosity bias in an RM, score-vs-time
+    * drift — χ²/KS/TVD siblings see distribution change, correlation
+    * sees the monotone trend direction.
+    *
+    * Zero variance on either side (includes singleton groups) → NULL.
+    * One map-side-combinable moment aggregate per group; no windows.
+    *
+    * @return one row per group: (groupCol, n, r_q20, r)
+    */
+  def pearsonByGroup(df: DataFrame, groupCol: String,
+                     x: Column, y: Column): DataFrame = {
+    val Q = 1048576L
+    val base = df.select(col(groupCol).as("__g"),
+        x.cast(LongType).as("__x"), y.cast(LongType).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val m = base.groupBy("__g").agg(count(lit(1)).as("n"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    m.withColumn("__num",
+        col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dx",
+        col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy",
+        col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("r_q20", when(col("__dx") > 0L && col("__dy") > 0L,
+        floor(col("__num").cast("double") /
+          (sqrt(col("__dx").cast("double")) *
+            sqrt(col("__dy").cast("double"))) * Q.toDouble)))
+      .withColumn("r", col("r_q20").cast("double") / Q)
+      .select(col("__g").as(groupCol), col("n"), col("r_q20"), col("r"))
+  }
+
+  /** Per-group SPEARMAN rank correlation — [[pearsonByGroup]] over
+    * DOUBLED MIDRANKS: with ties, the midrank is (rank_min +
+    * rank_max)/2, so 2·midrank = 2·rank() + count(=v) − 1 is an exact
+    * integer, and Pearson is invariant under the positive affine map —
+    * the doubled ranks give EXACTLY the tie-corrected Spearman ρ with
+    * no rational rank arithmetic anywhere. The monotone (not merely
+    * linear) association audit.
+    *
+    * Shape: four windows sharing the group partition key (rank + tie
+    * count per side), then [[pearsonByGroup]]'s one moment aggregate.
+    * Rank magnitudes are ≤ 2n, so the moment bound is the n⁵ < 2⁶³
+    * loud-overflow contract — cap or pre-aggregate groups beyond ~50M
+    * rows.
+    *
+    * @return one row per group: (groupCol, n, rho_q20, rho)
+    */
+  def spearmanByGroup(df: DataFrame, groupCol: String,
+                      x: Column, y: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        x.cast(LongType).as("__x"), y.cast(LongType).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def mr2(c: String): Column =
+      lit(2L) * rank().over(Window.partitionBy("__g").orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy("__g", c)) - lit(1L)
+    val ranked = base
+      .withColumn("__rx", mr2("__x"))
+      .withColumn("__ry", mr2("__y"))
+    pearsonByGroup(ranked, "__g", col("__rx"), col("__ry"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("r_q20").as("rho_q20"), col("r").as("rho"))
+  }
 }

@@ -4050,6 +4050,32 @@ object LlmQueries {
         ev.filter(col("event_id") % 2 === 1), "user_id", "event_id",
         cents, m)
         .orderBy("user_id", "event_id")
+    }),
+
+    // Exact-integer Pearson per event type between reward cents and
+    // epoch day (shifted by a constant — r is exactly shift-invariant,
+    // the integer moments stay comfortably under the 2⁶³ contract):
+    // the monotone-drift direction audit complementing CUSUM's level
+    // shifts and TVD/W1's distribution distances.
+    "q319_reward_time_pearson" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      graft.operators.Profiling.pearsonByGroup(
+        ev, "event_type",
+        graft.functions.floorDivLit(col("ts"), 86400000000000L) - 19000L,
+        floor(col("value") * 100.0))
+        .orderBy("event_type")
+    }),
+
+    // Spearman rank version of q319 — tie-corrected via exact DOUBLED
+    // midranks (2·rank + tiecount − 1), Pearson's affine invariance
+    // doing the /2 for free; sees any monotone trend, not just linear.
+    "q320_reward_time_spearman" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      graft.operators.Profiling.spearmanByGroup(
+        ev, "event_type",
+        graft.functions.floorDivLit(col("ts"), 86400000000000L) - 19000L,
+        floor(col("value") * 100.0))
+        .orderBy("event_type")
     })
   )
 
@@ -12151,8 +12177,61 @@ object LlmQueries {
         |    CAST(floor(CAST(num AS DOUBLE) / sqrt(CAST(d AS DOUBLE))
         |      * 1048576.0) AS BIGINT)
         |  END AS DOUBLE) / 1048576.0 AS adv
-        |FROM j ORDER BY user_id, event_id""".stripMargin
+        |FROM j ORDER BY user_id, event_id""".stripMargin,
+
+    // Pearson: identical integer moments and the same √Dx·√Dy (two
+    // sqrts then multiply — NOT √(Dx·Dy)) so both engines round the
+    // same three IEEE ops.
+    "q319_reward_time_pearson" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    epoch_ns(ts) // 86400000000000 - 19000 AS x,
+         |    CAST(floor(value * 100.0) AS BIGINT) AS y
+         |  FROM events),
+         |${oPearsonTail("r")} ORDER BY event_type""".stripMargin,
+
+    // Spearman: doubled midranks (2·rank + tiecount − 1) per side,
+    // then the identical Pearson tail.
+    "q320_reward_time_spearman" ->
+      s"""WITH b0 AS (
+         |  SELECT event_type,
+         |    epoch_ns(ts) // 86400000000000 - 19000 AS x0,
+         |    CAST(floor(value * 100.0) AS BIGINT) AS y0
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type,
+         |    2 * rank() OVER (PARTITION BY event_type ORDER BY x0)
+         |      + count(*) OVER (PARTITION BY event_type, x0) - 1 AS x,
+         |    2 * rank() OVER (PARTITION BY event_type ORDER BY y0)
+         |      + count(*) OVER (PARTITION BY event_type, y0) - 1 AS y
+         |  FROM b0),
+         |${oPearsonTail("rho")} ORDER BY event_type""".stripMargin
   )
+
+  /** q319/q320's shared Pearson tail over `b(event_type, x, y)`:
+    * exact BIGINT moments, the num/√Dx·√Dy closing chain; `name` is
+    * the output column stem (r for Pearson, rho for Spearman).
+    */
+  private def oPearsonTail(name: String): String =
+    s"""m AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM b GROUP BY 1),
+       |res AS (
+       |  SELECT event_type, n,
+       |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+       |      CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |        (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |         sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       |        * 1048576.0) AS BIGINT)
+       |    END AS rq
+       |  FROM m)
+       |SELECT event_type, n, rq AS ${name}_q20,
+       |  CAST(rq AS DOUBLE) / 1048576.0 AS $name
+       |FROM res""".stripMargin
 
   /** q316's oracle: per-group reward histogram, cumulative CDF over
     * distinct values, per-N falling-factorial numerators (one arm per

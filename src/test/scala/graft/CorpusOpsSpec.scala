@@ -466,6 +466,40 @@ class CorpusOpsSpec extends SparkSpec {
       u.getAs[Double]("wilson_hi") <= 1.0)
   }
 
+  test("pearsonByGroup: exact ±1 on square radicands, zero-variance NULL") {
+    import graft.operators.Profiling
+    val Q = 1048576L
+    // (0,0)/(3,6): Dx=9, Dy=36 — both perfect squares, sqrts exact
+    val d = Seq(("up", 0L, 0L), ("up", 3L, 6L),
+      ("down", 0L, 6L), ("down", 3L, 0L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L)) // y constant -> NULL
+      .toDF("g", "x", "y")
+    val got = Profiling.pearsonByGroup(d, "g", col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("up").getAs[Long]("r_q20") === Q)
+    assert(got("down").getAs[Long]("r_q20") === -Q)
+    assert(got("flat").isNullAt(got("flat").fieldIndex("r_q20")))
+    assert(got("up").getAs[Long]("n") === 2L)
+  }
+
+  test("spearmanByGroup: tie midranks, monotone-nonlinear rho") {
+    import graft.operators.Profiling
+    val Q = 1048576L
+    // ties on x: doubled midranks (3,3,6) vs y (2,4,6)
+    val d = Seq(("t", 1L, 10L), ("t", 1L, 20L), ("t", 2L, 30L),
+      // monotone but nonlinear: rank-perfect -> rho ~ 1
+      ("m", 1L, 1L), ("m", 2L, 4L), ("m", 3L, 9L))
+      .toDF("g", "x", "y")
+    val got = Profiling.spearmanByGroup(d, "g", col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // mirror the engine's double chain exactly
+    def exp(num: Long, dx: Long, dy: Long): Long =
+      math.floor(num.toDouble /
+        (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)) * Q).toLong
+    assert(got("t").getAs[Long]("rho_q20") === exp(18L, 18L, 24L))
+    assert(got("m").getAs[Long]("rho_q20") === exp(24L, 24L, 24L))
+  }
+
   test("skyline2D: frontier keeps undominated points, duplicates survive") {
     import graft.operators.TopK
     // points: (1,5) (2,4) (3,3) dominate nothing mutually (frontier);
