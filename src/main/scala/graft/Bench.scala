@@ -1,6 +1,87 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The measurement action for a query: count() for plans count()
+    * cannot prune, a full-row checksum otherwise — shared by Bench and
+    * ShuffleAudit so both tools measure the ADVERTISED plan (a
+    * count()-eliminated unique-key join or pruned projection audits as
+    * an empty scan and benches a no-op). bit_xor, not sum: summing
+    * 64-bit hashes overflows under ANSI; xor is closed over Long and
+    * order-insensitive.
+    */
+  def measure(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, xxhash64}
+    if (checksumQueries(name)) {
+      df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+        .agg(expr("bit_xor(__h)")).collect()
+      ()
+    } else {
+      df.count()
+      ()
+    }
+  }
+
+  // Queries whose advertised work is a pure projection: under the
+  // default count() action Catalyst prunes the computed columns away
+  // (EliminateSorts drops their ORDER BY too), so count() would bench
+  // an empty scan, not the operator (SCALE.md, "q81↔q84 gap"). For
+  // these, the action is a single hash-agg checksum over every output
+  // column — forces full evaluation, still returns one driver-side row.
+  val checksumQueries = Set(
+    "q26_text_quality", "q28_fingerprint", "q34_embed_quantize",
+    "q42_repetition", "q43_pii_scan", "q62_chunking", "q81_quality_gate",
+    "q98_quality_classifier", "q99_hash_split", "q101_pii_redact",
+    // round-9 additions whose payload columns count() would prune:
+    // q116's rebuilt text, q117's regex canonicalization, q119's
+    // window columns, q120's unpivoted values
+    "q116_boilerplate", "q117_url_canon", "q119_window_suite",
+    "q120_unpivot",
+    // q151's suffix-sum/shapley columns, q152's fill/age windows, and
+    // q154's min/max/ndv stats are all projections a count() would
+    // prune to a bare scan/group — checksum them.
+    "q151_knn_shapley", "q152_gapfill_locf", "q154_shard_stats",
+    "q158_embed_dim_stats",
+    // q87: count() eliminates its unique-key left join (Catalyst join
+    // elimination), benching a bare scan — checksum forces the
+    // familiarity aggregate it advertises.
+    "q87_ngram_familiarity",
+    // q201's CUSUM windows and q202's S-curve arithmetic are
+    // projections over a fixed row count — count() would prune them.
+    "q201_cusum", "q202_lsh_curve",
+    // q206's cap aggregates, q207's modularity tail (its left join is
+    // eliminable under count()), q208's median/MAD windows: all
+    // count()-prunable payloads.
+    "q206_domain_cap", "q207_modularity", "q208_rolling_mad",
+    // q292/q298: count() would eliminate the unique-key left join
+    // (q87's pattern), benching a bare doc_id scan instead of the
+    // matcher.
+    "q292_maxmatch_tokens", "q298_maxmatch_joined",
+    "q301_tokenizer_lifecycle",
+    // round-9 continuation: q232's threshold search and q245's
+    // per-block lag windows live in aggregate expressions a count()
+    // prunes to bare scans; q241's id arrays are collect_list agg
+    // payloads likewise pruned.
+    "q232_conformal_gate", "q241_dict_encode", "q245_runs_test",
+    // q304/q305: the doc/pair-spine unique-key left joins are
+    // eliminable under count() (q87's pattern) — checksum forces the
+    // gram/draft aggregates.
+    "q304_rouge_n", "q305_draft_acceptance", "q307_viterbi_tokens",
+    // q308 is a PURE projection — count() would prune it to a bare
+    // join of two id columns; checksum forces the LCS kernel.
+    "q308_rouge_l",
+    // q310: the candidate-spine left joins to the pivoted gram
+    // aggregate and the closest-ref row are unique-key-eliminable
+    // under count() (q87's pattern) — checksum forces the BLEU
+    // clipping pipeline. (q311 ends in a global one-row aggregate,
+    // which count() cannot prune.)
+    "q310_bleu",
+    // q313: pair-spine left join to the unique-key per-pair chrF
+    // aggregate — eliminable under count(), checksum forces the
+    // char-gram pipeline. (q312 ends in a (pair, k) aggregate.)
+    "q313_chrf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,78 +131,12 @@ object Bench {
     // a query that throws in ALL passes is EXCLUDED from the total and
     // listed in "failed" — folding a failure's elapsed time in would let
     // a broken query shrink the headline number.
-    // Queries whose advertised work is a pure projection: under the
-    // default count() action Catalyst prunes the computed columns away
-    // (EliminateSorts drops their ORDER BY too), so count() would bench
-    // an empty scan, not the operator (SCALE.md, "q81↔q84 gap"). For
-    // these, the action is a single hash-agg checksum over every output
-    // column — forces full evaluation, still returns one driver-side row.
-    val checksumQueries = Set(
-      "q26_text_quality", "q28_fingerprint", "q34_embed_quantize",
-      "q42_repetition", "q43_pii_scan", "q62_chunking", "q81_quality_gate",
-      "q98_quality_classifier", "q99_hash_split", "q101_pii_redact",
-      // round-9 additions whose payload columns count() would prune:
-      // q116's rebuilt text, q117's regex canonicalization, q119's
-      // window columns, q120's unpivoted values
-      "q116_boilerplate", "q117_url_canon", "q119_window_suite",
-      "q120_unpivot",
-      // q151's suffix-sum/shapley columns, q152's fill/age windows, and
-      // q154's min/max/ndv stats are all projections a count() would
-      // prune to a bare scan/group — checksum them.
-      "q151_knn_shapley", "q152_gapfill_locf", "q154_shard_stats",
-      "q158_embed_dim_stats",
-      // q87: count() eliminates its unique-key left join (Catalyst join
-      // elimination), benching a bare scan — checksum forces the
-      // familiarity aggregate it advertises.
-      "q87_ngram_familiarity",
-      // q201's CUSUM windows and q202's S-curve arithmetic are
-      // projections over a fixed row count — count() would prune them.
-      "q201_cusum", "q202_lsh_curve",
-      // q206's cap aggregates, q207's modularity tail (its left join is
-      // eliminable under count()), q208's median/MAD windows: all
-      // count()-prunable payloads.
-      "q206_domain_cap", "q207_modularity", "q208_rolling_mad",
-      // q292/q298: count() would eliminate the unique-key left join
-      // (q87's pattern), benching a bare doc_id scan instead of the
-      // matcher.
-      "q292_maxmatch_tokens", "q298_maxmatch_joined",
-      "q301_tokenizer_lifecycle",
-      // round-9 continuation: q232's threshold search and q245's
-      // per-block lag windows live in aggregate expressions a count()
-      // prunes to bare scans; q241's id arrays are collect_list agg
-      // payloads likewise pruned.
-      "q232_conformal_gate", "q241_dict_encode", "q245_runs_test",
-      // q304/q305: the doc/pair-spine unique-key left joins are
-      // eliminable under count() (q87's pattern) — checksum forces the
-      // gram/draft aggregates.
-      "q304_rouge_n", "q305_draft_acceptance", "q307_viterbi_tokens",
-      // q308 is a PURE projection — count() would prune it to a bare
-      // join of two id columns; checksum forces the LCS kernel.
-      "q308_rouge_l",
-      // q310: the candidate-spine left joins to the pivoted gram
-      // aggregate and the closest-ref row are unique-key-eliminable
-      // under count() (q87's pattern) — checksum forces the BLEU
-      // clipping pipeline. (q311 ends in a global one-row aggregate,
-      // which count() cannot prune.)
-      "q310_bleu",
-      // q313: pair-spine left join to the unique-key per-pair chrF
-      // aggregate — eliminable under count(), checksum forces the
-      // char-gram pipeline. (q312 ends in a (pair, k) aggregate.)
-      "q313_chrf")
+
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
-      import org.apache.spark.sql.functions.{col, expr, xxhash64}
       val t0 = System.nanoTime()
       try {
-        graft.operators.CacheScope.scoped {
-          val df = fn(spark, sfDir)
-          if (checksumQueries(name))
-            // bit_xor, not sum: summing 64-bit hashes overflows under
-            // ANSI mode; xor is closed over Long and order-insensitive.
-            df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
-              .agg(expr("bit_xor(__h)")).collect()
-          else df.count()
-        }
+        graft.operators.CacheScope.scoped(measure(name, fn(spark, sfDir)))
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }

@@ -4076,6 +4076,22 @@ object LlmQueries {
         graft.functions.floorDivLit(col("ts"), 86400000000000L) - 19000L,
         floor(col("value") * 100.0))
         .orderBy("event_type")
+    }),
+
+    // SFT chat-template rendering: each user's events fold in total
+    // (ts, event_id) order into ONE training string with role markers,
+    // plus the role-alternation integrity flag — byte-identical string
+    // assembly on both engines (collect_list's arrival order laundered
+    // through a full-struct sort_array).
+    "q321_sft_render" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      graft.operators.SftFormat.renderConversations(
+        ev, "user_id", Seq("ts", "event_id"),
+        col("event_type"),
+        concat(col("event_type"), lit(":"),
+          floor(col("value") * 100.0).cast("string")),
+        header = "<|system|>graft-sft-v1")
+        .orderBy("user_id")
     })
   )
 
@@ -12205,7 +12221,35 @@ object LlmQueries {
          |    2 * rank() OVER (PARTITION BY event_type ORDER BY y0)
          |      + count(*) OVER (PARTITION BY event_type, y0) - 1 AS y
          |  FROM b0),
-         |${oPearsonTail("rho")} ORDER BY event_type""".stripMargin
+         |${oPearsonTail("rho")} ORDER BY event_type""".stripMargin,
+
+    // SFT render: string_agg with an explicit ORDER BY replays the
+    // struct-sorted fold; IS DISTINCT FROM mirrors the null-safe
+    // alternation check; lead() windows agree exactly.
+    "q321_sft_render" ->
+      """WITH tr AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+        |    event_type AS role,
+        |    event_type || ':' ||
+        |      CAST(CAST(floor(value * 100.0) AS BIGINT) AS VARCHAR)
+        |      AS txt
+        |  FROM events),
+        |w AS (
+        |  SELECT *, lead(role) OVER (
+        |    PARTITION BY user_id ORDER BY tsn, event_id) AS nr
+        |  FROM tr),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |    bool_and(CASE WHEN nr IS NULL THEN true
+        |             ELSE role IS DISTINCT FROM nr END)
+        |      AS roles_alternate,
+        |    '<|system|>graft-sft-v1' ||
+        |      string_agg('<|' || role || '|>' || txt, ''
+        |        ORDER BY tsn, event_id) AS sft_text
+        |  FROM w GROUP BY 1)
+        |SELECT user_id, n_turns, roles_alternate, sft_text,
+        |  CAST(length(sft_text) AS BIGINT) AS n_chars
+        |FROM agg ORDER BY user_id""".stripMargin
   )
 
   /** q319/q320's shared Pearson tail over `b(event_type, x, y)`:

@@ -78,8 +78,18 @@ object ShuffleAudit {
       settle()
       Seq(shufWrite, shufRead, spillMem, spillDisk, input, maxTaskRead)
         .foreach(_.set(0L))
+      // Bench.measure, not bare count(): for the checksum-action set a
+      // count() lets Catalyst eliminate unique-key joins / prune pure
+      // projections, and the audit would measure the EMPTIED plan, not
+      // the advertised one (rows for those queries report the checksum
+      // cardinality, 1).
       val rows =
-        try graft.operators.CacheScope.scoped(fn(spark, sfDir).count())
+        try graft.operators.CacheScope.scoped {
+          val df = fn(spark, sfDir)
+          if (graft.Bench.checksumQueries(name)) {
+            graft.Bench.measure(name, df); 1L
+          } else df.count()
+        }
         catch { case e: Throwable => println(s"| $name | FAILED: ${e.getClass.getSimpleName} |"); -1L }
       if (rows >= 0) {
         settle()
