@@ -126,6 +126,73 @@ object Mixing {
           lit(budget) - col("cum_before"))))
   }
 
+  /** EPOCH WATERFILLING under repeat caps — the data-constrained
+    * mixture plan (the question Muennighoff et al. 2023 "Scaling
+    * Data-Constrained Language Models" forces: when the budget exceeds
+    * the corpus, how many EPOCHS of each source?): every source
+    * receives the same water level t of epochs, each capped at its own
+    * `capCol` (beyond which repetition is known to stop helping), with
+    * t chosen so Σ min(t, cap_s)·avail_s = budget.
+    *
+    * Exactness: t is an exact RATIONAL p/q (p = budget − saturated
+    * prefix, q = unsaturated token mass) found by bracket scan over
+    * the cap-sorted source table — each bracket validity test is a
+    * BIGINT cross-multiplication (p ≥ prevCap·q, p ≤ cap·q), never a
+    * float compare; per-source allocations close with one exact
+    * integral division (`⌊avail·p/q⌋`; saturated sources are the
+    * exact integer cap·avail). Budgets beyond total capacity saturate
+    * every source (reported via `saturated`, leftover visible as
+    * budget − Σ alloc). ANSI overflow is the loud contract:
+    * avail·p must fit a Long.
+    *
+    * Scale shape: runs on the per-SOURCE stats table (the caller's one
+    * corpus pass produces it), so the global windows are bounded by
+    * source cardinality — the [[budgetAllocate]] discipline. Sources
+    * with avail ≤ 0 are excluded (they carry no mass).
+    *
+    * @param stats one row per source: keyCol, availCol (tokens,
+    *              > 0), capCol (max epochs, ≥ 1, integer)
+    * @return one row per source: (keyCol, avail, cap, alloc_tokens,
+    *         epochs_q20, epochs, saturated)
+    */
+  def epochWaterfill(stats: DataFrame, keyCol: String, availCol: String,
+                     capCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val Q = 1048576L
+    val s = stats.select(col(keyCol), col(availCol).cast("long").as("avail"),
+        col(capCol).cast("long").as("cap"))
+      .filter(col("avail") > 0L)
+    val wPrev = Window.orderBy(col("cap"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLag = Window.orderBy(col("cap"), col(keyCol))
+    val br = s
+      .withColumn("__prefSat",
+        coalesce(sum(col("cap") * col("avail")).over(wPrev), lit(0L)))
+      .withColumn("__prefA", coalesce(sum(col("avail")).over(wPrev), lit(0L)))
+      .withColumn("__prevCap", coalesce(lag(col("cap"), 1).over(wLag), lit(0L)))
+    val totalA = s.agg(sum("avail").as("__tA"))
+    val level = br.withColumn("__k", lit(1))
+      .join(totalA.withColumn("__k", lit(1)), Seq("__k"))
+      .withColumn("__p", lit(budget) - col("__prefSat"))
+      .withColumn("__q", col("__tA") - col("__prefA"))
+      .filter(col("__p") >= col("__prevCap") * col("__q") &&
+        col("__p") <= col("cap") * col("__q"))
+      .orderBy(col("cap"), col(keyCol)).limit(1)
+      .select(lit(1).as("__k"), col("__p"), col("__q"))
+    val sat = col("__p").isNull || col("__p") >= col("cap") * col("__q")
+    s.withColumn("__k", lit(1))
+      .join(level, Seq("__k"), "left")
+      .withColumn("saturated", sat)
+      .withColumn("alloc_tokens", when(sat, col("cap") * col("avail"))
+        .otherwise(graft.functions.posIntDiv(
+          col("avail") * col("__p"), col("__q"))))
+      .withColumn("epochs_q20", when(sat, col("cap") * Q)
+        .otherwise(graft.functions.posIntDiv(col("__p") * Q, col("__q"))))
+      .withColumn("epochs", col("epochs_q20").cast("double") / Q)
+      .select(col(keyCol), col("avail"), col("cap"), col("alloc_tokens"),
+        col("epochs_q20"), col("epochs"), col("saturated"))
+  }
+
   /** Per-GROUP token-budget cap at ROW granularity: within every group
     * (registrable domain, source), keep rows along `order` while the
     * inclusive running `weight` sum stays ≤ `budget` — the domain-cap

@@ -4092,6 +4092,23 @@ object LlmQueries {
           floor(col("value") * 100.0).cast("string")),
         header = "<|system|>graft-sft-v1")
         .orderBy("user_id")
+    }),
+
+    // Epoch waterfilling (Muennighoff 2023's question): per-lang char
+    // mass with data-derived repeat caps, one 250k budget — the level
+    // t = p/q is an exact rational found by cross-multiplied bracket
+    // scan; at this sf the budget lands mid-bracket, on the fuzz
+    // corpus it exceeds capacity and exercises the saturate-all path.
+    "q322_epoch_waterfill" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val st = docs.withColumn("src", coalesce(col("lang"), lit("zz")))
+        .groupBy("src")
+        .agg(sum(length(coalesce(col("text"), lit(""))))
+          .cast("long").as("avail"))
+        .withColumn("cap", lit(1L) + (ascii(col("src")) % 3).cast("long"))
+      graft.operators.Mixing.epochWaterfill(
+        st, "src", "avail", "cap", 250000L)
+        .orderBy("src")
     })
   )
 
@@ -12249,7 +12266,53 @@ object LlmQueries {
         |  FROM w GROUP BY 1)
         |SELECT user_id, n_turns, roles_alternate, sft_text,
         |  CAST(length(sft_text) AS BIGINT) AS n_chars
-        |FROM agg ORDER BY user_id""".stripMargin
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    // Waterfill: identical cap-sorted bracket scan with
+    // cross-multiplied validity, first valid bracket, LEFT-joined
+    // 0-or-1-row level (absent level = saturate all).
+    "q322_epoch_waterfill" ->
+      """WITH s AS (
+        |  SELECT coalesce(lang, 'zz') AS src,
+        |    CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS avail,
+        |    CAST(1 + ascii(coalesce(lang, 'zz')) % 3 AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1
+        |  HAVING sum(length(coalesce(text, ''))) > 0),
+        |o AS (
+        |  SELECT *, row_number() OVER (ORDER BY cap, src) AS rn,
+        |    coalesce(sum(cap * avail) OVER (ORDER BY cap, src
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pref_sat,
+        |    coalesce(sum(avail) OVER (ORDER BY cap, src
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pref_a,
+        |    coalesce(lag(cap) OVER (ORDER BY cap, src), 0) AS prev_cap
+        |  FROM s),
+        |lvl AS (
+        |  SELECT 250000 - pref_sat AS p,
+        |         (SELECT sum(avail) FROM s) - pref_a AS q
+        |  FROM o
+        |  WHERE 250000 - pref_sat >= prev_cap *
+        |          ((SELECT sum(avail) FROM s) - pref_a)
+        |    AND 250000 - pref_sat <= cap *
+        |          ((SELECT sum(avail) FROM s) - pref_a)
+        |  ORDER BY rn LIMIT 1)
+        |SELECT s.src, s.avail, s.cap,
+        |  CASE WHEN l.p IS NULL OR l.p >= s.cap * l.q
+        |       THEN s.cap * s.avail
+        |       ELSE CAST((s.avail * l.p) // l.q AS BIGINT) END
+        |    AS alloc_tokens,
+        |  CASE WHEN l.p IS NULL OR l.p >= s.cap * l.q
+        |       THEN s.cap * 1048576
+        |       ELSE CAST((l.p * 1048576) // l.q AS BIGINT) END
+        |    AS epochs_q20,
+        |  CAST(CASE WHEN l.p IS NULL OR l.p >= s.cap * l.q
+        |       THEN s.cap * 1048576
+        |       ELSE CAST((l.p * 1048576) // l.q AS BIGINT) END
+        |    AS DOUBLE) / 1048576.0 AS epochs,
+        |  (l.p IS NULL OR l.p >= s.cap * l.q) AS saturated
+        |FROM s LEFT JOIN lvl l ON true
+        |ORDER BY s.src""".stripMargin
   )
 
   /** q319/q320's shared Pearson tail over `b(event_type, x, y)`:

@@ -93,4 +93,31 @@ class MixingSpec extends SparkSpec {
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
     assert(got.count() === 5) // the NULL-group row dropped (documented)
   }
+
+  test("epochWaterfill: brackets, saturation, over-capacity, zero-avail") {
+    val Q = 1048576L
+    val st = Seq(("A", 100L, 1L), ("B", 100L, 2L), ("C", 100L, 4L),
+      ("D", 0L, 9L)) // zero mass -> excluded
+      .toDF("src", "avail", "cap")
+    def run(b: Long) = Mixing.epochWaterfill(st, "src", "avail", "cap", b)
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    // budget 250 < everyone's cap: t = 250/300, nobody saturated
+    val low = run(250L)
+    assert(low.keySet === Set("A", "B", "C"))
+    assert(low.values.forall(!_.getAs[Boolean]("saturated")))
+    assert(low("A").getAs[Long]("alloc_tokens") === 100L * 250L / 300L)
+    assert(low("A").getAs[Long]("epochs_q20") === 250L * Q / 300L)
+    // budget 450: A saturates at cap 1, t = (450-100)/200 = 1.75
+    val mid = run(450L)
+    assert(mid("A").getAs[Boolean]("saturated") === true)
+    assert(mid("A").getAs[Long]("alloc_tokens") === 100L)
+    assert(mid("A").getAs[Long]("epochs_q20") === Q)
+    assert(mid("B").getAs[Long]("alloc_tokens") === 175L)
+    assert(mid("C").getAs[Long]("epochs_q20") === 350L * Q / 200L)
+    // budget beyond the 700 capacity: everyone saturates at cap
+    val high = run(800L)
+    assert(high.values.forall(_.getAs[Boolean]("saturated")))
+    assert(high("C").getAs[Long]("alloc_tokens") === 400L)
+    assert(high("C").getAs[Long]("epochs_q20") === 4L * Q)
+  }
 }
