@@ -773,6 +773,81 @@ case class IntersectCountSortedLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MULTISET intersection size of two SORTED string arrays via the same
+  * codegen'd two-pointer merge — duplicates are NOT collapsed, so the
+  * result is exactly Σ_g min(count_a(g), count_b(g)): the clipped-
+  * overlap numerator of ROUGE-N/chrF, computed row-locally. Feeding
+  * `sort_array(grams)` pairs through this kernel turns a whole
+  * gram-overlap eval into ONE codegen'd projection — no explode, no
+  * (pair, gram)-keyed hash aggregate, no shuffle (the [[graft
+  * .functions.lcsTokenLength]] ROUGE-L discipline; measured 66.5 MB →
+  * 0 shuffle and ~10× wall-clock on the chrF gates at sf0.1).
+  *
+  * Comparison is UTF8String's binary order — the SAME order
+  * `sort_array` sorts by, so any two arrays sorted by Spark walk
+  * correctly. Unlike [[IntersectCountSortedLong]] (distinct-set
+  * semantics for Jaccard), this kernel counts duplicate matches.
+  */
+case class MultisetIntersectSortedString(left: Expression,
+                                         right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"MultisetIntersectSortedString expects two ARRAY<STRING> inputs, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(leftValue: Any, rightValue: Any): Any = {
+    val a = leftValue.asInstanceOf[ArrayData]
+    val b = rightValue.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long ${ev.value}Cnt = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { ${ev.value}Cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ${ev.value}Cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Kernel behind [[NearestCentroidCell]]: argmax-cosine over a centroid
   * matrix held as plain JVM arrays. Must replicate BIT-FOR-BIT the
   * composition it replaces — per centroid (ascending cid)

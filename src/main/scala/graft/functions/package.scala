@@ -180,6 +180,16 @@ package object functions {
           .otherwise(when(t.isNotNull, array().cast("array<string>")))),
       1)
 
+  /** Exact MULTISET intersection size of two SORTED string arrays
+    * (duplicates count — Σ_g min(count_a, count_b)): the clipped
+    * gram-overlap numerator as one codegen'd two-pointer merge. Sort
+    * each side ONCE with sort_array; see
+    * [[graft.expressions.MultisetIntersectSortedString]].
+    */
+  def multisetIntersectSorted(a: Column, b: Column): Column =
+    toColumn(graft.expressions.MultisetIntersectSortedString(
+      toExpression(a), toExpression(b)))
+
   /** All contiguous CHARACTER n-grams of a string, in order — the
     * char-level twin of [[shingles]] (same bind-once discipline: the
     * string is bound to a lambda variable so per-gram `substring` calls
