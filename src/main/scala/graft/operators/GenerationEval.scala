@@ -20,14 +20,15 @@ import org.apache.spark.sql.functions._
   * (`posIntDiv` — exact floor, the oracle replays `// ` bit-for-bit)
   * plus its exact 2^-20 double rescale.
   *
-  * Scale shape: one scan of the pair table computes both sides' gram
-  * arrays map-side (the shingle machinery is HOF-trap-safe), one
-  * explode to (pair, gram, side) rows, then two hash-aggregates — the
-  * first keyed (pair, gram) (map-side combinable; clipping is a
-  * per-key `least`), the second keyed pair. No joins beyond the final
-  * broadcast-shaped left join back to the pair spine (pairs whose both
-  * sides are shorter than n tokens vanish under explode and must
-  * surface as zero-gram rows, not disappear). Nothing is ever
+  * Scale shape: single-reference metrics ([[rougeN]], [[rougeL]],
+  * [[chrFComponents]]) are ONE codegen'd projection each — gram
+  * arrays build and sort row-locally (the shingle machinery is
+  * HOF-trap-safe) and clipped overlaps come from the native
+  * two-pointer [[graft.functions.multisetIntersectSorted]] /
+  * [[graft.functions.lcsTokenLength]] kernels: no explode, no
+  * (pair, gram) hash aggregate, no shuffle. Only [[bleu]]'s
+  * MULTI-reference clipping (max over references per gram) needs the
+  * exploded (pair, order, gram) aggregates. Nothing is ever
   * all-pairs: the caller supplies WHICH candidate pairs with WHICH
   * reference — this operator never generates candidates.
   */
@@ -59,33 +60,22 @@ object GenerationEval {
              refCol: String, n: Int): DataFrame = {
     require(n >= 1 && n <= 8, "need 1 <= n <= 8")
     val Q = 1048576L // 2^20
-    def grams(c: Column): Column =
-      graft.functions.shingles(TextAnalysis.tokens(coalesce(c, lit(""))), n)
-    // one scan, one explode: both sides ride one array of (side, gram)
-    // structs so the pair table is read once, not once per side
-    val sides = pairs.select(col(idCol).as("__id"),
-        explode(concat(
-          transform(grams(col(candCol)), g =>
-            struct(lit(0).as("side"), g.as("g"))),
-          transform(grams(col(refCol)), g =>
-            struct(lit(1).as("side"), g.as("g"))))).as("__sg"))
-      .select(col("__id"), col("__sg.side").as("__side"),
-        col("__sg.g").as("__g"))
-    val perGram = sides.groupBy("__id", "__g")
-      .agg(count(when(col("__side") === 0, 1)).as("__cc"),
-        count(when(col("__side") === 1, 1)).as("__rc"))
-    val per = perGram.groupBy("__id")
-      .agg(sum(col("__cc")).as("n_cand_grams"),
-        sum(col("__rc")).as("n_ref_grams"),
-        sum(least(col("__cc"), col("__rc"))).as("overlap"))
+    def grams(c: Column): Column = sort_array(
+      graft.functions.shingles(TextAnalysis.tokens(coalesce(c, lit(""))), n))
+    // ONE codegen'd projection (the rougeL/chrF kernel discipline):
+    // each side's gram array sorts row-locally and the clipped overlap
+    // Σ_g min(count_c, count_r) is the native two-pointer multiset
+    // merge — no explode, no (pair, gram) hash aggregate, no shuffle,
+    // and zero-gram pairs keep their row with no join-back spine.
     def ratioQ(num: Column, den: Column): Column =
       when(den > 0L, graft.functions.posIntDiv(num * Q, den))
-    pairs.select(col(idCol))
-      .join(per.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+    pairs.select(col(idCol),
+        grams(col(candCol)).as("__cg"), grams(col(refCol)).as("__rg"))
       .select(col(idCol),
-        coalesce(col("n_cand_grams"), lit(0L)).as("n_cand_grams"),
-        coalesce(col("n_ref_grams"), lit(0L)).as("n_ref_grams"),
-        coalesce(col("overlap"), lit(0L)).as("overlap"))
+        size(col("__cg")).cast("long").as("n_cand_grams"),
+        size(col("__rg")).cast("long").as("n_ref_grams"),
+        graft.functions.multisetIntersectSorted(col("__cg"), col("__rg"))
+          .as("overlap"))
       .withColumn("rouge_p_q20", ratioQ(col("overlap"), col("n_cand_grams")))
       .withColumn("rouge_r_q20", ratioQ(col("overlap"), col("n_ref_grams")))
       .withColumn("rouge_f1_q20", ratioQ(lit(2L) * col("overlap"),
