@@ -56,6 +56,27 @@ package object functions {
     toColumn(new IntegralDivide(
       toExpression(num.cast(LongType)), toExpression(den.cast(LongType))))
 
+  /** Exact `floor(sqrt(x))` of a NON-NEGATIVE DECIMAL(38,0) column —
+    * cross-engine bit-identical, unlike a bare double sqrt whose floor
+    * can land on either side of a perfect square.
+    *
+    * Method: seed with the IEEE-754 double sqrt (correctly rounded, so
+    * after the decimal→double cast's ≤2^-52 relative error the seed is
+    * within ±2 of the true integer root for any x < 10^38), then pick
+    * the exact answer from the 5-candidate window {seed−2 … seed+2} by
+    * EXACT integer comparisons c² ≤ x in DECIMAL(38,0) — the double
+    * only ever chooses a starting point, never the value. The oracle
+    * replays the identical seed + CASE chain on HUGEINT.
+    */
+  def isqrt(x: Column): Column = {
+    val d = DecimalType(38, 0)
+    val seed = floor(sqrt(x.cast(DoubleType))).cast(d)
+    def fits(c: Column): Column = c * c <= x.cast(d)
+    val fallback: Column = seed - lit(2).cast(d)
+    Seq(2, 1, 0, -1).map(k => seed + lit(k).cast(d))
+      .foldRight(fallback) { (c, alt) => when(fits(c), c).otherwise(alt) }
+  }
+
   /** Dot product of two equal-length numeric array columns, computed in
     * Double. Codegen-friendly (zip_with + aggregate are Catalyst
     * higher-order functions; no UDF, no row-by-row JVM boxing).

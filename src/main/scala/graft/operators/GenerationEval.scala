@@ -487,4 +487,63 @@ object GenerationEval {
         }),
       1)
   }
+
+  /** N-GRAM NOVELTY of generations against a training corpus — the
+    * memorization/creativity audit (McCoy et al. 2021 "RAVEN"
+    * measurement; Carlini-style verbatim-copy screening at gram
+    * granularity): what fraction of each generation's n-gram
+    * OCCURRENCES already appear somewhere in the corpus? Novelty near 0
+    * at large n flags regurgitation; near 1 at small n flags
+    * degenerate/hallucinated vocabulary. The occurrence-weighted form
+    * (a generation repeating one corpus gram 50× counts 50 non-novel
+    * occurrences) matches the clipped-count discipline of [[rougeN]].
+    *
+    * Gram identity is the literal space-joined token string (the q87
+    * discipline — no hash, no collision caveat). Counts exact BIGINTs;
+    * `novelty_q20` is one closing 2^20 integral division; generations
+    * with < n tokens keep their row with NULL novelty (0/0).
+    *
+    * Scale shape: the corpus side reduces to its DISTINCT gram table
+    * (bounded by corpus token mass, heavily sublinear in practice —
+    * Heaps' law), the generation side to per-(gen, gram) counts; the
+    * membership probe is ONE gram-keyed equi-join (never all-pairs —
+    * both sides shuffle on the gram key, the MinHash-band shape), then
+    * one generation-keyed aggregate and a LEFT join back to the id
+    * spine so zero-gram generations survive.
+    *
+    * @param gen    generation table (one row per generation)
+    * @param corpus training-corpus table (the "seen" side)
+    * @param n      gram order (verbatim-copy screens use n ≥ 4)
+    * @return one row per generation: (idCol, n_grams, n_novel,
+    *         novelty_q20, novelty)
+    */
+  def ngramNovelty(gen: DataFrame, idCol: String, textCol: String,
+                   corpus: DataFrame, corpusTextCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, "need 1 <= n <= 8")
+    val Q = 1048576L // 2^20
+    def grams(c: Column): Column =
+      graft.functions.shingles(TextAnalysis.tokens(coalesce(c, lit(""))), n)
+    val seen = corpus
+      .select(explode(grams(col(corpusTextCol))).as("__gram"))
+      .distinct()
+      .withColumn("__seen", lit(1L))
+    val counts = gen
+      .select(col(idCol), explode(grams(col(textCol))).as("__gram"))
+      .groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__m"))
+      .join(seen, Seq("__gram"), "left")
+      .groupBy(idCol)
+      .agg(sum(col("__m")).cast("long").as("__ng"),
+        sum(when(col("__seen").isNull, col("__m")).otherwise(0L))
+          .cast("long").as("__nv"))
+    gen.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("__ng"), lit(0L)))
+      .withColumn("n_novel", coalesce(col("__nv"), lit(0L)))
+      .withColumn("novelty_q20", when(col("n_grams") > 0L,
+        graft.functions.posIntDiv(col("n_novel") * Q, col("n_grams"))))
+      .withColumn("novelty", col("novelty_q20").cast("double") / Q)
+      .select(idCol, "n_grams", "n_novel", "novelty_q20", "novelty")
+  }
 }

@@ -239,4 +239,63 @@ object Mixing {
       .withColumn("kept", col("cum_w") <= budget)
       .drop("__g", "__b", "__w", "__off")
   }
+
+  /** TEMPERATURE-reweighted source mixture at α = 1/2 — the
+    * multilingual-sampling standard (mBERT / XLM-R style: sample source
+    * i with probability mᵢ^α / Σ mⱼ^α, α < 1 upweighting low-resource
+    * sources; α = 1/2 is the square-root schedule most multilingual
+    * recipes ship with). Complements [[epochWaterfill]]: waterfilling
+    * answers "how many epochs under repeat caps", this answers "what
+    * target proportions before caps".
+    *
+    * Exactness: mᵢ^(1/2) is irrational, so float aggregation of
+    * √-values would be summation-order-dependent — instead each source
+    * gets the EXACT integer sᵢ = isqrt(mᵢ·2^40) = floor(2^20·√mᵢ)
+    * ([[graft.functions.isqrt]]: double-seeded, integer-corrected),
+    * the normalizer Σ sⱼ is an exact DECIMAL(38,0) sum of integers,
+    * and each weight is one closing integral division
+    * (sᵢ·2^20) // Σ sⱼ — bit-identical cross-engine. The quantization
+    * error of s vs 2^20·√m is < 2^-20 relative, far inside any
+    * mixture's tolerance, and DETERMINISTIC, which float √ sums are
+    * not.
+    *
+    * Scale shape: runs on the per-source stats table (bounded by the
+    * source domain, the [[budgetAllocate]] contract); one aggregate +
+    * one broadcast-joined one-row normalizer.
+    *
+    * @param stats   one row per source: keyCol, massCol (> 0 token/char
+    *                mass; non-positive sources are excluded — they
+    *                carry no weight)
+    * @return one row per source: (keyCol, mass, sqrt_mass_q20,
+    *         weight_q20, weight) — weights sum to 2^20 ± |sources|
+    *         (each floor loses < 1 unit)
+    */
+  def sqrtTemperatureWeights(stats: DataFrame, keyCol: String,
+                             massCol: String): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val Q = 1048576L // 2^20
+    val s = stats.select(col(keyCol), col(massCol).cast("long").as("mass"))
+      .filter(col("mass") > 0L)
+      .withColumn("__s", graft.functions.isqrt(
+        col("mass").cast(d) * lit(1099511627776L).cast(d))) // 2^40
+    val norm = s.agg(sum(col("__s")).cast(d).as("__sum"))
+    s.withColumn("__k", lit(1))
+      .join(broadcast(norm.withColumn("__k", lit(1))), Seq("__k"))
+      .withColumn("sqrt_mass_q20", col("__s").cast("long"))
+      .withColumn("weight_q20",
+        toLongDiv(col("__s") * lit(Q).cast(d), col("__sum")))
+      .withColumn("weight", col("weight_q20").cast("double") / Q)
+      .select(col(keyCol), col("mass"), col("sqrt_mass_q20"),
+        col("weight_q20"), col("weight"))
+  }
+
+  /** DECIMAL-safe integral division (num // den) for non-negative
+    * decimals whose QUOTIENT fits a long — posIntDiv's long cast would
+    * overflow on the 2^72-scale numerators the fixed-point weights
+    * build. Spark's IntegralDivide on decimals returns BIGINT. */
+  private def toLongDiv(num: Column, den: Column): Column =
+    org.apache.spark.sql.graftbridge.toColumn(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.toExpression(num),
+        org.apache.spark.sql.graftbridge.toExpression(den)))
 }

@@ -67,4 +67,45 @@ object SftFormat {
       .select(convCol, "n_turns", "roles_alternate", "sft_text",
         "n_chars")
   }
+
+  /** LOSS-MASK audit — the companion measurement to
+    * [[renderConversations]]: an SFT run masks the loss to the
+    * assistant turns (training on user/system text teaches the model to
+    * imitate its users), so the TRAINABLE fraction of each rendered
+    * conversation is the assistant-turn payload share. A conversation
+    * that is 98% user boilerplate and 2% assistant text costs full
+    * sequence length for 2% signal — this table is what a pipeline
+    * sorts by before paying for those tokens.
+    *
+    * Convention: ratios are over turn PAYLOAD characters (role markers
+    * and header are protocol overhead, masked on every side, so they'd
+    * only dilute the comparison). All counts exact BIGINTs off ONE
+    * conversation-keyed hash aggregate — no window, no join;
+    * `mask_q20` is one closing 2^20 integral division, NULL for
+    * all-empty conversations (0/0).
+    *
+    * @param role      turn role expression (string)
+    * @param text      turn text expression (NULL counts as empty)
+    * @param trainRole role value whose turns carry loss (exact match)
+    * @return one row per conversation: (convCol, n_turns,
+    *         n_train_turns, chars_total, chars_train, mask_q20)
+    */
+  def lossMaskAudit(df: DataFrame, convCol: String, role: Column,
+                    text: Column, trainRole: String): DataFrame = {
+    val Q = 1048576L // 2^20
+    val t = df.select(col(convCol),
+      role.cast("string").as("__role"),
+      length(coalesce(text.cast("string"), lit(""))).cast("long")
+        .as("__len"))
+    t.groupBy(convCol).agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("__role") === trainRole, 1L).otherwise(0L))
+          .cast("long").as("n_train_turns"),
+        sum(col("__len")).cast("long").as("chars_total"),
+        sum(when(col("__role") === trainRole, col("__len"))
+          .otherwise(0L)).cast("long").as("chars_train"))
+      .withColumn("mask_q20", when(col("chars_total") > 0L,
+        graft.functions.posIntDiv(col("chars_train") * Q,
+          col("chars_total"))))
+  }
 }

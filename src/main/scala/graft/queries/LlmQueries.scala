@@ -4109,7 +4109,84 @@ object LlmQueries {
       graft.operators.Mixing.epochWaterfill(
         st, "src", "avail", "cap", 250000L)
         .orderBy("src")
-    })
+    }),
+
+    // Stream-packing fragmentation audit: 8 independent token streams,
+    // 128-token windows — per stream the boundary-crossing doc count
+    // and the last-shard padding, the two numbers a contextLen choice
+    // trades against each other. Same per-stream prefix-sum window as
+    // the layout (q104 discipline: no global funnel), one stream-keyed
+    // aggregate, 8 output rows, exact BIGINTs throughout.
+    "q323_pack_fragmentation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_toks"))
+      graft.operators.Packing.fragmentationAudit(
+        docs, "doc_id", "n_toks", contextLen = 128L, streams = 8)
+        .orderBy("stream")
+    }),
+
+    // Truncation-loss curve: if docs are clipped to L tokens instead of
+    // packed, how many lose tokens and how much mass is cut, for L in
+    // {16..256} — ONE corpus pass computing every candidate's
+    // conditional sums in a single aggregate, then a 5-way explode of
+    // the one-row result. The SFT-side complement to q323.
+    "q324_truncation_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        TextAnalysis.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n_toks"))
+      graft.operators.Packing.truncationCurve(
+        docs, "n_toks", Seq(16L, 32L, 64L, 128L, 256L))
+        .orderBy("context_len")
+    }),
+
+    // N-gram novelty (McCoy 2021 RAVEN measurement): odd docs play the
+    // generations, even docs the training corpus — per generation the
+    // fraction of 3-gram occurrences not present anywhere in the
+    // corpus. Corpus side reduces to its distinct-gram table, the
+    // membership probe is one gram-keyed equi-join, never all-pairs.
+    "q325_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.GenerationEval.ngramNovelty(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Square-root temperature mixture (the multilingual α=1/2 sampling
+    // schedule): per-language char mass → exact integer 2²⁰-scaled
+    // √mass (isqrt: double-seeded, integer-corrected — no float ever
+    // aggregated) → one closing integral division per weight.
+    "q326_sqrt_temperature_mix" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .withColumn("src", coalesce(col("lang"), lit("zz")))
+        .groupBy("src")
+        .agg(sum(length(coalesce(col("text"), lit(""))))
+          .cast("long").as("mass"))
+      graft.operators.Mixing.sqrtTemperatureWeights(st, "src", "mass")
+        .orderBy("src")
+    }),
+
+    // SFT loss-mask audit on the q321 conversation fixture: each
+    // user's events are turns, "click" plays the assistant role — the
+    // trainable payload fraction per conversation, over props chars.
+    // One conversation-keyed hash aggregate, no window, no join.
+    "q327_sft_loss_mask" -> ((s, dir) => {
+      val ev = RelationalQueries.events(s, dir)
+      graft.operators.SftFormat.lossMaskAudit(
+        ev, "user_id", col("event_type"), col("props"),
+        trainRole = "click")
+        .orderBy("user_id")
+    }),
+
+    // Fill-in-the-middle rewrite (Bavarian 2022, PSM order) at token
+    // boundaries with the deterministic thirds split — one codegen'd
+    // map-only projection; docs under 3 tokens stay autoregressive.
+    // Conservation (n_pre+n_mid+n_suf = n_tokens) rides in the output.
+    "q328_fim_render" -> ((s, dir) =>
+      graft.operators.Fim.fimRender(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
@@ -12312,7 +12389,196 @@ object LlmQueries {
         |    AS DOUBLE) / 1048576.0 AS epochs,
         |  (l.p IS NULL OR l.p >= s.cap * l.q) AS saturated
         |FROM s LEFT JOIN lvl l ON true
-        |ORDER BY s.src""".stripMargin
+        |ORDER BY s.src""".stripMargin,
+
+    // Pack fragmentation: hashBucket replayed arithmetically (the q104
+    // spelling), per-stream running offsets via the 1-PRECEDING window
+    // sum, fragment count closed-form, ceil as (n + C−1) // C.
+    "q323_pack_fragmentation" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${oToks.replace("text", "coalesce(text, '')")})
+         |         AS BIGINT) AS n_toks,
+         |    CAST(((doc_id % 2147483648) * 2654435761)
+         |         % 4294967296 % 8 AS BIGINT) AS stream
+         |  FROM documents),
+         |o AS (
+         |  SELECT stream, n_toks,
+         |    coalesce(sum(n_toks) OVER (PARTITION BY stream
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS off
+         |  FROM d),
+         |f AS (
+         |  SELECT stream, n_toks,
+         |    CASE WHEN n_toks > 0
+         |      THEN ((off + n_toks - 1) // 128) - (off // 128) + 1
+         |      ELSE 0 END AS frags
+         |  FROM o),
+         |g AS (
+         |  SELECT stream, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN frags >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_split_docs
+         |  FROM f GROUP BY 1)
+         |SELECT stream, n_docs, n_tokens,
+         |  CAST((n_tokens + 127) // 128 AS BIGINT) AS n_shards,
+         |  CAST(((n_tokens + 127) // 128) * 128 - n_tokens AS BIGINT)
+         |    AS pad_tokens,
+         |  n_split_docs,
+         |  CAST((n_split_docs * 1048576) // n_docs AS BIGINT)
+         |    AS split_frac_q20,
+         |  CASE WHEN (n_tokens + 127) // 128 > 0 THEN
+         |    CAST((n_tokens * 1048576) //
+         |         (((n_tokens + 127) // 128) * 128) AS BIGINT)
+         |  END AS fill_q20
+         |FROM g ORDER BY stream""".stripMargin,
+
+    // Truncation curve: candidate lengths as a VALUES table, the same
+    // conditional sums grouped per L (the engine computes them in one
+    // aggregate; grouped-by-L sums over the same rows are identical).
+    "q324_truncation_curve" ->
+      s"""WITH d AS (
+         |  SELECT CAST(len(${oToks.replace("text", "coalesce(text, '')")})
+         |              AS BIGINT) AS n_toks
+         |  FROM documents),
+         |l(context_len) AS (VALUES (16), (32), (64), (128), (256)),
+         |g AS (
+         |  SELECT CAST(l.context_len AS BIGINT) AS context_len,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN d.n_toks > l.context_len THEN 1 ELSE 0
+         |             END) AS BIGINT) AS n_truncated,
+         |    CAST(sum(d.n_toks) AS BIGINT) AS tokens_total,
+         |    CAST(sum(CASE WHEN d.n_toks > l.context_len
+         |             THEN d.n_toks - l.context_len ELSE 0 END)
+         |         AS BIGINT) AS tokens_lost
+         |  FROM d CROSS JOIN l GROUP BY 1)
+         |SELECT context_len, n_docs, n_truncated, tokens_total,
+         |  tokens_lost,
+         |  CASE WHEN tokens_total > 0 THEN
+         |    CAST(((tokens_total - tokens_lost) * 1048576)
+         |         // tokens_total AS BIGINT)
+         |  END AS kept_frac_q20
+         |FROM g ORDER BY context_len""".stripMargin,
+
+    // Novelty: q304's gram unnest per side, corpus side DISTINCT, LEFT
+    // JOIN membership probe, id spine keeps zero-gram generations.
+    "q325_ngram_novelty" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    ${oToks.replace("text", "coalesce(text, '')")} AS tk
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(tk[i:i + 2], ' '))) AS gr
+         |  FROM tk WHERE doc_id % 2 = 1),
+         |seen AS (
+         |  SELECT DISTINCT
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(tk[i:i + 2], ' '))) AS gr
+         |  FROM tk WHERE doc_id % 2 = 0),
+         |pg AS (
+         |  SELECT doc_id, gr, CAST(count(*) AS BIGINT) AS m
+         |  FROM g GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT pg.doc_id, CAST(sum(pg.m) AS BIGINT) AS ng,
+         |    CAST(sum(CASE WHEN s.gr IS NULL THEN pg.m ELSE 0 END)
+         |         AS BIGINT) AS nv
+         |  FROM pg LEFT JOIN seen s ON pg.gr = s.gr
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.ng, CAST(0 AS BIGINT)) AS n_grams,
+         |  coalesce(a.nv, CAST(0 AS BIGINT)) AS n_novel,
+         |  CASE WHEN coalesce(a.ng, 0) > 0 THEN
+         |    CAST((a.nv * 1048576) // a.ng AS BIGINT)
+         |  END AS novelty_q20,
+         |  CAST(CASE WHEN coalesce(a.ng, 0) > 0 THEN
+         |    CAST((a.nv * 1048576) // a.ng AS BIGINT)
+         |  END AS DOUBLE) / 1048576.0 AS novelty
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // √-temperature mix: the identical isqrt replay — double seed
+    // (mass·2^40 is a power-of-two scale, so the double is the same on
+    // both engines), 5-candidate exact-integer CASE correction on
+    // HUGEINT, then one closing // per weight.
+    "q326_sqrt_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT coalesce(lang, 'zz') AS src,
+        |    CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1
+        |  HAVING sum(length(coalesce(text, ''))) > 0),
+        |r AS (
+        |  SELECT src, mass,
+        |    CAST(mass AS HUGEINT) * 1099511627776 AS x,
+        |    CAST(floor(sqrt(CAST(mass AS DOUBLE) * 1099511627776))
+        |         AS HUGEINT) AS a
+        |  FROM s),
+        |y AS (
+        |  SELECT src, mass,
+        |    CASE WHEN (a + 2) * (a + 2) <= x THEN a + 2
+        |         WHEN (a + 1) * (a + 1) <= x THEN a + 1
+        |         WHEN a * a <= x THEN a
+        |         WHEN (a - 1) * (a - 1) <= x THEN a - 1
+        |         ELSE a - 2 END AS sq
+        |  FROM r),
+        |n AS (SELECT sum(sq) AS sm FROM y)
+        |SELECT y.src, y.mass, CAST(y.sq AS BIGINT) AS sqrt_mass_q20,
+        |  CAST((y.sq * 1048576) // n.sm AS BIGINT) AS weight_q20,
+        |  CAST(CAST((y.sq * 1048576) // n.sm AS BIGINT) AS DOUBLE)
+        |    / 1048576.0 AS weight
+        |FROM y, n ORDER BY y.src""".stripMargin,
+
+    // Loss mask: one grouped conditional aggregate over payload chars.
+    "q327_sft_loss_mask" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_train_turns,
+        |  CAST(sum(length(coalesce(props, ''))) AS BIGINT)
+        |    AS chars_total,
+        |  CAST(sum(CASE WHEN event_type = 'click'
+        |           THEN length(coalesce(props, '')) ELSE 0 END)
+        |       AS BIGINT) AS chars_train,
+        |  CASE WHEN sum(length(coalesce(props, ''))) > 0 THEN
+        |    CAST((sum(CASE WHEN event_type = 'click'
+        |              THEN length(coalesce(props, '')) ELSE 0 END)
+        |          * 1048576)
+        |         // sum(length(coalesce(props, ''))) AS BIGINT)
+        |  END AS mask_q20
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // FIM: list slices at the thirds boundaries, PSM concatenation,
+    // token-count conservation visible in the emitted columns.
+    "q328_fim_render" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    ${oToks.replace("text", "coalesce(text, '')")} AS tk
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+         |    CAST(len(tk) // 3 AS BIGINT) AS p1,
+         |    CAST((2 * len(tk)) // 3 AS BIGINT) AS p2
+         |  FROM tk),
+         |r AS (
+         |  SELECT doc_id, n AS n_tokens,
+         |    CASE WHEN n >= 3 THEN p1 ELSE n END AS n_pre,
+         |    CASE WHEN n >= 3 THEN p2 - p1 ELSE CAST(0 AS BIGINT) END
+         |      AS n_mid,
+         |    CASE WHEN n >= 3 THEN n - p2 ELSE CAST(0 AS BIGINT) END
+         |      AS n_suf,
+         |    n >= 3 AS fim_applied,
+         |    CASE WHEN n >= 3 THEN
+         |      '<|fim_pre|>' || array_to_string(tk[1:p1], ' ') ||
+         |      '<|fim_suf|>' || array_to_string(tk[p2 + 1:n], ' ') ||
+         |      '<|fim_mid|>' || array_to_string(tk[p1 + 1:p2], ' ')
+         |    -- DuckDB array_to_string([]) is NULL where Spark
+         |    -- array_join([]) is '' — coalesce the zero-token branch
+         |    ELSE coalesce(array_to_string(tk, ' '), '') END AS fim_text
+         |  FROM b)
+         |SELECT doc_id, n_tokens, n_pre, n_mid, n_suf, fim_applied,
+         |  fim_text, CAST(length(fim_text) AS BIGINT) AS n_chars
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** q319/q320's shared Pearson tail over `b(event_type, x, y)`:
