@@ -848,6 +848,100 @@ case class MultisetIntersectSortedString(left: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Kernel behind [[MultisetClipMaxRef]]: the multi-reference clipped
+  * gram overlap Σ_g min(count_cand(g), max_r count_ref_r(g)) over one
+  * SORTED candidate array and an array of SORTED reference arrays — the
+  * BLEU per-order numerator (Papineni 2002 §2.1) computed row-locally.
+  *
+  * Single synchronized pass: the candidate walks in runs of equal
+  * grams; each reference keeps a monotone cursor that skips grams
+  * smaller than the current candidate run, then counts its own run of
+  * equal grams. Cursors only ever advance (candidate runs are sorted
+  * ascending), so the total cost is O(|cand| + Σ|refs|) UTF8String
+  * comparisons with zero allocation beyond the cursor array — no
+  * per-(pair, gram) hash map, no explode.
+  */
+object MultisetClipKernel {
+  def clipMaxRef(cand: ArrayData, refs: ArrayData): Long = {
+    val n = cand.numElements()
+    val k = refs.numElements()
+    val cur = new Array[Int](k)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val g = cand.getUTF8String(i)
+      var cc = 1
+      while (i + cc < n && cand.getUTF8String(i + cc).equals(g)) cc += 1
+      var maxRc = 0
+      var r = 0
+      while (r < k) {
+        if (!refs.isNullAt(r)) {
+          val ra = refs.getArray(r)
+          val m = ra.numElements()
+          var p = cur(r)
+          while (p < m && ra.getUTF8String(p).compareTo(g) < 0) p += 1
+          cur(r) = p // run start; the next candidate gram skips past it
+          var rc = 0
+          while (p + rc < m && ra.getUTF8String(p + rc).equals(g)) rc += 1
+          if (rc > maxRc) maxRc = rc
+        }
+        r += 1
+      }
+      total += math.min(cc, maxRc).toLong
+      i += cc
+    }
+    total
+  }
+}
+
+/** Multi-reference clipped gram overlap of a SORTED ARRAY<STRING>
+  * candidate against an ARRAY<ARRAY<STRING>> of SORTED references —
+  * Σ_g min(count_cand(g), max over refs of count_ref(g)), the BLEU
+  * clipping rule as ONE codegen'd static call. With references
+  * collected per candidate (bounded by the eval protocol, typically
+  * ≤ 4 — the MBR k-bound discipline), this turns the whole BLEU
+  * per-order numerator into a row-local projection: no gram explode,
+  * no (pair, order, gram, ref) aggregate, no gram shuffle (the
+  * [[MultisetIntersectSortedString]] chrF discipline extended to the
+  * max-over-refs clip that a two-array intersect can't express —
+  * Σ_g min(cc, max_r rc_r) ≠ max_r Σ_g min(cc, rc_r)).
+  *
+  * NULL inner reference arrays are skipped (contribute no credit);
+  * a NULL top-level input yields NULL. Comparison is UTF8String's
+  * binary order — the same order `sort_array` produces.
+  */
+case class MultisetClipMaxRef(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _),
+            ArrayType(ArrayType(StringType, _), _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"MultisetClipMaxRef expects (ARRAY<STRING>, ARRAY<ARRAY<STRING>>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(leftValue: Any, rightValue: Any): Any =
+    MultisetClipKernel.clipMaxRef(leftValue.asInstanceOf[ArrayData],
+      rightValue.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.MultisetClipKernel.clipMaxRef($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Kernel behind [[NearestCentroidCell]]: argmax-cosine over a centroid
   * matrix held as plain JVM arrays. Must replicate BIT-FOR-BIT the
   * composition it replaces — per centroid (ascending cid)

@@ -211,6 +211,15 @@ package object functions {
     toColumn(graft.expressions.MultisetIntersectSortedString(
       toExpression(a), toExpression(b)))
 
+  /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
+    * refs of count_ref(g)) — of a SORTED string array against an array
+    * of SORTED string arrays: the BLEU clipping rule as one codegen'd
+    * single-pass merge. See [[graft.expressions.MultisetClipMaxRef]].
+    */
+  def multisetClipMaxRef(cand: Column, refs: Column): Column =
+    toColumn(graft.expressions.MultisetClipMaxRef(
+      toExpression(cand), toExpression(refs)))
+
   /** All contiguous CHARACTER n-grams of a string, in order — the
     * char-level twin of [[shingles]] (same bind-once discipline: the
     * string is bound to a lambda variable so per-gram `substring` calls

@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * HOF-trap-safe) and clipped overlaps come from the native
   * two-pointer [[graft.functions.multisetIntersectSorted]] /
   * [[graft.functions.lcsTokenLength]] kernels: no explode, no
-  * (pair, gram) hash aggregate, no shuffle. Only [[bleu]]'s
-  * MULTI-reference clipping (max over references per gram) needs the
-  * exploded (pair, order, gram) aggregates. Nothing is ever
+  * (pair, gram) hash aggregate, no shuffle. [[bleu]]'s MULTI-reference
+  * clipping (max over references per gram) rides the same discipline
+  * through [[graft.functions.multisetClipMaxRef]] after one bounded
+  * collect of each candidate's reference texts. Nothing is ever
   * all-pairs: the caller supplies WHICH candidate pairs with WHICH
   * reference — this operator never generates candidates.
   */
@@ -164,14 +165,24 @@ object GenerationEval {
     * denominators never vanish on a non-empty corpus). A candidate with
     * NO reference rows clips every gram to 0 (gm = 0) and has NULL `r`.
     *
-    * Scale shape: one union of both gram streams (orders 1..4 ride ONE
-    * explode each side), a (id, order, gram, ref) pre-aggregate (the
-    * per-ref counts clipping needs), a (id, order, gram) aggregate, a
-    * (id, order) aggregate, then a 4-way conditional pivot to one row
-    * per candidate — every step map-side combinable, no join wider than
-    * the candidate spine, nothing all-pairs. Reference fan-in per
-    * candidate is the caller's reference count (bounded by the eval
-    * protocol, typically ≤ 4).
+    * Scale shape: the [[chrFComponents]] discipline extended to the
+    * multi-reference clip — ONE bounded collect_list of each
+    * candidate's RAW reference texts (reference fan-in per candidate is
+    * the caller's eval protocol, typically ≤ 4 — the MBR k-bound
+    * discipline), one candidate-spine join, then the whole metric is a
+    * codegen'd PROJECTION: per order, the candidate gram array sorts
+    * row-locally and the clipped numerator Σ_g min(cc, max_r rc_r)
+    * comes from the native single-pass
+    * [[graft.functions.multisetClipMaxRef]] kernel; the closest-
+    * reference length is a row-local `array_min` over (|rl−c|, rl)
+    * structs — the struct ordering IS the NIST shorter-wins tie rule.
+    * No gram explode, no (id, order, gram, ref) aggregates, no window:
+    * the only shuffled bytes are the raw reference texts (the first cut
+    * moved 14.2 MB of exploded gram structs at sf0.1 — the suite's
+    * largest new-query shuffle; this plan moves only the text bytes).
+    * Rows of `refs` must be one REFERENCE each ((idCol, refIdCol)
+    * unique — duplicates would previously have concatenated into one
+    * reference, a caller error either way).
     *
     * @param pairs   one row per candidate: (idCol, candCol)
     * @param refs    one row per (candidate, reference): (idCol,
@@ -184,62 +195,52 @@ object GenerationEval {
            refs: DataFrame, refIdCol: String, refTextCol: String)
       : DataFrame = {
     val orders = 1 to 4
-    def gramStream(df: DataFrame, text: Column, refId: Column) =
-      df.select(col(idCol).as("__id"), refId.as("__ref"),
-          explode(concat(orders.map(k =>
-            transform(graft.functions.shingles(
-              TextAnalysis.tokens(coalesce(text, lit(""))), k),
-              g => struct(lit(k).as("k"), g.as("g")))): _*)).as("__kg"))
-        .select(col("__id"), col("__ref"),
-          col("__kg.k").as("__k"), col("__kg.g").as("__g"))
-    val cs = gramStream(pairs, col(candCol), lit(null).cast("long"))
-      .withColumn("__side", lit(0))
-    val rs = gramStream(refs, col(refTextCol), col(refIdCol).cast("long"))
-      .withColumn("__side", lit(1))
-    // per-ref counts first (clipping is max-over-refs, not sum)
-    val perRef = cs.unionByName(rs)
-      .groupBy("__id", "__k", "__g", "__side", "__ref")
-      .agg(count(lit(1)).as("__n"))
-    val perGram = perRef.groupBy("__id", "__k", "__g")
-      .agg(max(when(col("__side") === 0, col("__n"))).as("__cc"),
-        max(when(col("__side") === 1, col("__n"))).as("__mrc"))
-    val perOrder = perGram.groupBy("__id", "__k")
-      .agg(sum(least(coalesce(col("__cc"), lit(0L)),
-          coalesce(col("__mrc"), lit(0L)))).as("__num"),
-        sum(coalesce(col("__cc"), lit(0L))).as("__den"))
-    val pivotCols = orders.flatMap(k => Seq(
-      coalesce(max(when(col("__k") === k, col("__num"))), lit(0L))
-        .as(s"p${k}_num"),
-      coalesce(max(when(col("__k") === k, col("__den"))), lit(0L))
-        .as(s"p${k}_den")))
-    val pivoted = perOrder.groupBy("__id")
-      .agg(pivotCols.head, pivotCols.tail: _*)
-    // closest-reference length: |rl - c| asc, then rl asc (shorter wins)
-    val candLen = pairs.select(col(idCol).as("__id"),
-      size(TextAnalysis.tokens(coalesce(col(candCol), lit(""))))
-        .cast("long").as("n_cand_tokens"))
-    val refLen = refs.select(col(idCol).as("__id"),
-      size(TextAnalysis.tokens(coalesce(col(refTextCol), lit(""))))
-        .cast("long").as("__rl"))
-    val wr = Window.partitionBy("__id")
-      .orderBy(abs(col("__rl") - col("n_cand_tokens")).asc,
-        col("__rl").asc)
-    val closest = candLen.join(refLen, Seq("__id"))
-      .withColumn("__rn", row_number().over(wr))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("__rl").as("r_ref_len"))
+    // ONE bounded collect per candidate — the operator's only shuffle
+    // moves raw reference texts. Order within the collected array is
+    // nondeterministic but every consumer below is order-independent
+    // (max over refs; array_min over structs).
+    val refsAgg = refs
+      .select(col(idCol).as("__id"),
+        coalesce(col(refTextCol), lit("")).as("__rt"))
+      .groupBy("__id")
+      .agg(collect_list(col("__rt")).as("__refs"))
+    val base = pairs
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokens(coalesce(col(candCol), lit(""))).as("__ct"))
+      .join(refsAgg, Seq("__id"), "left")
+      .select(col("__id"), col("__ct"),
+        transform(coalesce(col("__refs"), array().cast("array<string>")),
+          r => TextAnalysis.tokens(r)).as("__rts"))
+    // Stage the sorted gram arrays as named columns so each is built
+    // once (CollapseProject keeps non-cheap producers referenced more
+    // than once in their own projection — the rougeN discipline).
+    val staged = base.select(
+      Seq(col("__id"), size(col("__ct")).cast("long").as("n_cand_tokens"),
+        col("__rts")) ++
+      orders.map(k => sort_array(
+        graft.functions.shingles(col("__ct"), k)).as(s"__cg$k")): _*)
+    // closest-reference length: |rl − c| asc, ties to the SHORTER —
+    // exactly struct ordering under array_min; empty ref set → NULL
+    val withR = staged.select(
+      Seq(col("__id"), col("n_cand_tokens"),
+        array_min(transform(col("__rts"), rt =>
+          struct(abs(size(rt).cast("long") - col("n_cand_tokens")).as("d"),
+            size(rt).cast("long").as("rl"))))
+          .getField("rl").as("r_ref_len")) ++
+      orders.map(k => col(s"__cg$k")) ++
+      orders.map(k => transform(col("__rts"), rt =>
+        sort_array(graft.functions.shingles(rt, k))).as(s"__rg$k")): _*)
     val q10 = (k: Int) => when(col(s"p${k}_den") > 0L,
       graft.functions.posIntDiv(col(s"p${k}_num") * 1024L,
         col(s"p${k}_den")))
-    candLen
-      .join(closest, Seq("__id"), "left")
-      .join(pivoted, Seq("__id"), "left")
+    withR
       .select(Seq(col("__id").as(idCol), col("n_cand_tokens"),
         col("r_ref_len"),
         (col("n_cand_tokens") < col("r_ref_len")).as("bp_applies")) ++
         orders.flatMap(k => Seq(
-          coalesce(col(s"p${k}_num"), lit(0L)).as(s"p${k}_num"),
-          coalesce(col(s"p${k}_den"), lit(0L)).as(s"p${k}_den"))): _*)
+          graft.functions.multisetClipMaxRef(col(s"__cg$k"), col(s"__rg$k"))
+            .as(s"p${k}_num"),
+          size(col(s"__cg$k")).cast("long").as(s"p${k}_den"))): _*)
       .withColumn("bleu_gm_q20",
         floor(sqrt(sqrt(
           (q10(1) * q10(2) * q10(3) * q10(4)).cast("double")))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.GenerationEval
+import org.apache.spark.sql.functions.{sort_array, transform, when}
 
 class GenerationEvalSpec extends SparkSpec {
   import spark.implicits._
@@ -299,6 +300,50 @@ class GenerationEvalSpec extends SparkSpec {
       .collect()(0)
     assert(got.getAs[Long]("mbr_score_q20") === 2L * 1048576L / 5L)
     assert(got.getAs[Long]("mbr_choice") === 1L)
+  }
+
+  test("multisetClipMaxRef kernel: max-over-refs clip, not max-of-intersects") {
+    // cand [a a b]; ref1 [a b b]; ref2 [a a]. Per gram: a →
+    // min(2, max(1, 2)) = 2, b → min(1, max(2, 0)) = 1 ⇒ 3. The naive
+    // max of per-ref INTERSECTS is 2 (ref1: 1+1, ref2: 2) — the clip is
+    // per-GRAM max, which no two-array intersect composition expresses.
+    val one = Seq((Seq("a", "a", "b"), Seq(Seq("a", "b", "b"), Seq("a", "a"))))
+      .toDF("c", "r")
+      .select(graft.functions.multisetClipMaxRef(
+        sort_array($"c"), transform($"r", x => sort_array(x))).as("o"))
+      .head.getLong(0)
+    assert(one === 3L)
+    // edges: empty cand → 0; empty ref set → 0; NULL inner ref skipped
+    val edges = Seq(
+      (Seq.empty[String], Seq(Seq("a"))),
+      (Seq("a"), Seq.empty[Seq[String]]),
+      (Seq("a"), Seq(null, Seq("a")))).toDF("c", "r")
+      .select(graft.functions.multisetClipMaxRef(
+        sort_array($"c"),
+        transform($"r", x => when(x.isNotNull, sort_array(x)))).as("o"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(edges === Seq(0L, 0L, 1L))
+    // randomized pin against the brute-force definition
+    val rnd = new scala.util.Random(20260815L)
+    val atoms = Seq("a", "b", "c", "d")
+    val cases = (0 until 60).map { i =>
+      val cand = Seq.fill(rnd.nextInt(12))(atoms(rnd.nextInt(atoms.size)))
+      val refs = Seq.fill(rnd.nextInt(4))(
+        Seq.fill(rnd.nextInt(12))(atoms(rnd.nextInt(atoms.size))))
+      (i.toLong, cand, refs)
+    }
+    val got = cases.toDF("id", "c", "r")
+      .select($"id", graft.functions.multisetClipMaxRef(
+        sort_array($"c"), transform($"r", x => sort_array(x))).as("o"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (id, cand, refs) =>
+      val exp = cand.distinct.map { g =>
+        val cc = cand.count(_ == g)
+        val mrc = if (refs.isEmpty) 0 else refs.map(_.count(_ == g)).max
+        math.min(cc, mrc).toLong
+      }.sum
+      assert(got(id) === exp, s"case $id cand=$cand refs=$refs")
+    }
   }
 
   test("chrF: identical texts score exactly 1.0") {
