@@ -80,7 +80,11 @@ object Bench {
     // q313: pair-spine left join to the unique-key per-pair chrF
     // aggregate — eliminable under count(), checksum forces the
     // char-gram pipeline. (q312 ends in a (pair, k) aggregate.)
-    "q313_chrf")
+    "q313_chrf",
+    // q329: the BPE encode kernel and segmentation string are a pure
+    // projection over the distinct-word aggregate — count() would
+    // bench the distinct alone.
+    "q329_bpe_rank_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

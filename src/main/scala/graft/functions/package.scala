@@ -211,6 +211,13 @@ package object functions {
     toColumn(graft.expressions.MultisetIntersectSortedString(
       toExpression(a), toExpression(b)))
 
+  /** Frozen-merge-list BPE encode of a symbol array — the HF-inference
+    * min-rank loop over a driver-bounded merge table (rank = array
+    * index). See [[graft.expressions.BpeEncode]].
+    */
+  def bpeEncode(syms: Column, lhs: Array[String], rhs: Array[String]): Column =
+    toColumn(graft.expressions.BpeEncode(toExpression(syms), lhs, rhs))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

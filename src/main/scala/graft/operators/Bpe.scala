@@ -380,6 +380,119 @@ object Bpe {
         coalesce(col("viterbi_score_q"), lit(0L)).as("viterbi_score_q"))
   }
 
+  /** TRUE BPE inference under a FROZEN merge list — merge-RANK order
+    * (the Hugging-Face `tokenizers` BPE apply semantics; Sennrich 2016
+    * §3.2), per DISTINCT word: fuse the lowest-rank pair present,
+    * greedy left-to-right replace-all per pass, until no listed pair
+    * remains. This is the apply semantics a real pipeline ships with a
+    * trained merge list, and it segments DIFFERENTLY from greedy
+    * longest-match over the same unit vocabulary (merges [(b,c),(a,b)]
+    * on "abc": rank order → [a, bc]; MaxMatch → [ab, c] — BpeSpec pins
+    * the disagreement), which is why [[maxMatchTokenCountJoined]] alone
+    * does not cover the BPE lifecycle.
+    *
+    * The merge table is collected ordered by step — a tokenizer model
+    * is a driver-bounded artifact (the PQ-codebook/centroid collect
+    * discipline) — and rides the plan as reference objects inside the
+    * native [[graft.expressions.BpeEncode]] kernel: per-word cost is
+    * O(L²) hash probes, FLAT in merge-list size (the rank-sequential
+    * scan would pay O(|merges|·L) — wrong shape at a 32k-merge
+    * production model). Segmentation runs once per DISTINCT word —
+    * vocabulary-bounded, map-only; the per-word segmentation string is
+    * space-joined (whitespace tokens contain no spaces, so the join is
+    * unambiguous).
+    *
+    * Determinism: rank is the artifact's step order; within a rank the
+    * rewrite is the same greedy left-to-right fold as training's — the
+    * DuckDB oracle replays the merges one rank at a time with the
+    * identical list_reduce stages (equivalent to the min-rank loop on
+    * any well-formed merge list; see
+    * [[graft.expressions.BpeEncodeKernel]]).
+    *
+    * @param merges frozen merge table: one row per merge with an
+    *               integer rank column (1..N from [[trainMerges]]) and
+    *               lhs/rhs unit columns
+    * @return one row per distinct word: (w, n_tokens, seg)
+    */
+  def bpeRankSegment(docs: DataFrame, textCol: String, merges: DataFrame,
+                     stepCol: String, lhsCol: String, rhsCol: String)
+      : DataFrame = {
+    val ms = collectMerges(merges, stepCol, lhsCol, rhsCol)
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .distinct()
+      .withColumn("__enc", graft.functions.bpeEncode(
+        split(col("w"), ""), ms.map(_._1), ms.map(_._2)))
+      .select(col("w"), size(col("__enc")).cast("long").as("n_tokens"),
+        array_join(col("__enc"), " ").as("seg"))
+  }
+
+  /** Per-document token counts under a FROZEN merge list — the
+    * [[bpeTokenCount]] contract with the model split out (train on one
+    * corpus, budget another — the DSIR frozen-apply discipline). Same
+    * plan shape: distinct-word-bounded segmentation, one join keyed by
+    * word, one per-doc map-side-combinable sum.
+    *
+    * @return (idCol, n_words, n_bpe_tokens) — docs with no tokens keep
+    *         zeros.
+    */
+  def bpeRankTokenCount(docs: DataFrame, idCol: String, textCol: String,
+                        merges: DataFrame, stepCol: String, lhsCol: String,
+                        rhsCol: String): DataFrame = {
+    val ms = collectMerges(merges, stepCol, lhsCol, rhsCol)
+    val docWords = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val seg = docWords.select("w").distinct()
+      .withColumn("__nt", size(graft.functions.bpeEncode(
+        split(col("w"), ""), ms.map(_._1), ms.map(_._2))).cast("long"))
+    val stats = docWords.join(seg, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nt")).as("n_bpe_tokens"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** The rank-SEQUENTIAL executable spec of [[bpeRankSegment]]'s kernel:
+    * apply each merge once in rank order with the same greedy
+    * left-to-right replace-all fold the training rewrite uses — equal
+    * to the kernel's min-rank loop on any well-formed merge list
+    * (BpeSpec pins the equality on trained merges; the simHashHof /
+    * maxNgramRepeatSpec executable-spec discipline). Unrolls one HOF
+    * fold per merge, so it is test machinery, not the scale path.
+    */
+  def bpeEncodeSeqSpec(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (acc, (l, r)) =>
+      aggregate(acc, typedlit(Seq.empty[String]),
+        (a, s) =>
+          when(get(a, size(a) - 1) === lit(l) && s === lit(r),
+            concat(slice(a, lit(1), size(a) - 1), array(lit(l + r))))
+            .otherwise(concat(a, array(s))))
+    }
+
+  /** Collect a frozen merge table ordered by rank (driver-bounded
+    * artifact). NULL or empty units are rejected; duplicate steps keep
+    * their (step, lhs, rhs) sort order so the list is deterministic.
+    */
+  private def collectMerges(merges: DataFrame, stepCol: String,
+                            lhsCol: String, rhsCol: String)
+      : Array[(String, String)] = {
+    val rows = merges
+      .select(col(stepCol).cast("int").as("__s"),
+        col(lhsCol).cast("string").as("__l"),
+        col(rhsCol).cast("string").as("__r"))
+      .orderBy(col("__s"), col("__l"), col("__r"))
+      .collect()
+    require(rows.nonEmpty, "empty merge list")
+    rows.map { r =>
+      require(!r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getString(1).nonEmpty && r.getString(2).nonEmpty,
+        "merge list has NULL or empty units")
+      (r.getString(1), r.getString(2))
+    }
+  }
+
   /** ROW-LOCAL MaxMatch counts — the streaming-safe variant: a pure
     * projection returning struct(n_words, n_tokens, n_unk_chars) for
     * one text value, no distinct-word table, no shuffle — composable

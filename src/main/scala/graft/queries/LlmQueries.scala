@@ -4186,7 +4186,26 @@ object LlmQueries {
     "q328_fim_render" -> ((s, dir) =>
       graft.operators.Fim.fimRender(
         t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // TRUE BPE inference (Sennrich 2016 apply side; the HF `tokenizers`
+    // merge-rank loop): merges trained on the doc_id%3=0 slice, FROZEN,
+    // then applied in RANK order to every distinct word of the FULL
+    // corpus — train→freeze→apply with the semantics a real pipeline
+    // ships (q301's apply is longest-match, which segments differently
+    // on the same units — BpeSpec pins a disagreeing case). The gated
+    // output is the SEGMENTATION STRING itself, not just counts; the
+    // oracle replays the merges one rank at a time with the training
+    // oracle's own list_reduce rewrite (equivalent to the kernel's
+    // min-rank loop on the well-formed trained list).
+    "q329_bpe_rank_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMerges(
+        docs.filter(col("doc_id") % 3 === 0), "text", numMerges = 8)
+      graft.operators.Bpe.bpeRankSegment(
+        docs, "text", merges, "step", "lhs", "rhs")
+        .orderBy("w")
+    })
   )
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
@@ -12578,8 +12597,63 @@ object LlmQueries {
          |  FROM b)
          |SELECT doc_id, n_tokens, n_pre, n_mid, n_suf, fim_applied,
          |  fim_text, CAST(length(fim_text) AS BIGINT) AS n_chars
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q329_bpe_rank_encode" -> oBpeRankEncodeSql(8)
   )
+
+  /** q329: the training oracle's merge stages (s0 restricted to the
+    * doc_id%3=0 training slice) feed an APPLY chain a0..aN over the
+    * FULL corpus's distinct words — each a-stage replays exactly one
+    * merge rank with the same greedy left-to-right list_reduce rewrite
+    * the training stages use (rank-sequential application, equivalent
+    * to the engine kernel's min-rank loop on the well-formed trained
+    * list — see graft.expressions.BpeEncodeKernel).
+    */
+  private def oBpeRankEncodeSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH s0 AS (
+              |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+              |  FROM (SELECT unnest($oToks) AS w FROM documents
+              |        WHERE doc_id % 3 = 0)
+              |  GROUP BY w),
+              |""".stripMargin
+    for (s <- 1 to numMerges) {
+      sb ++= s"""p$s AS (
+                |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS freq
+                |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                |          i -> [syms[i], syms[i+1]])) AS pr
+                |        FROM s${s - 1})
+                |  GROUP BY 1, 2),
+                |b$s AS (SELECT l, r, freq FROM p$s ORDER BY freq DESC, l, r LIMIT 1),
+                |s$s AS (
+                |  SELECT w, cnt, list_reduce(list_transform(syms, x -> [x]),
+                |    (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
+                |                     THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+                |                     ELSE list_append(acc, e[1]) END) AS syms
+                |  FROM s${s - 1} CROSS JOIN b$s b),
+                |""".stripMargin
+    }
+    sb ++= s"""a0 AS (
+              |  SELECT w, string_split(w, '') AS syms
+              |  FROM (SELECT DISTINCT unnest($oToks) AS w FROM documents)),
+              |""".stripMargin
+    for (s <- 1 to numMerges) {
+      sb ++= s"""a$s AS (
+                |  SELECT w, list_reduce(list_transform(syms, x -> [x]),
+                |    (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
+                |                     THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+                |                     ELSE list_append(acc, e[1]) END) AS syms
+                |  FROM a${s - 1} CROSS JOIN b$s b),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
+    sb ++= s"""
+              |SELECT w, CAST(len(syms) AS BIGINT) AS n_tokens,
+              |  array_to_string(syms, ' ') AS seg
+              |FROM a$numMerges ORDER BY w""".stripMargin
+    sb.result()
+  }
 
   /** q319/q320's shared Pearson tail over `b(event_type, x, y)`:
     * exact BIGINT moments, the num/√Dx·√Dy closing chain; `name` is

@@ -182,6 +182,88 @@ class BpeSpec extends SparkSpec {
     assert(got(2L) === ((0L, 0L, 0L, 0L)))
   }
 
+  test("bpeRankSegment: merge-rank apply disagrees with longest-match " +
+    "on the same units") {
+    // merges rank 1 (b,c), rank 2 (a,b); unit set {a,b,c,bc,ab}. On
+    // "abc" the rank loop fuses (b,c) FIRST → [a, bc]; greedy
+    // longest-match takes "ab" at position 1 → [ab, c]. Token counts
+    // tie at 2 — the TOKEN IDENTITIES differ, which is what breaks a
+    // model fed the wrong apply semantics.
+    val docs = Seq((1L, "abc abc"), (2L, "bca")).toDF("id", "text")
+    val merges = Seq((1, "b", "c"), (2, "a", "b")).toDF("step", "lhs", "rhs")
+    val seg = Bpe.bpeRankSegment(docs, "text", merges, "step", "lhs", "rhs")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(seg("abc") === ((2L, "a bc")))
+    assert(seg("bca") === ((2L, "bc a")))
+    // reference longest-match walk over the same unit set
+    val vocab = Set("a", "b", "c", "bc", "ab")
+    def maxMatch(w: String): Seq[String] = {
+      var i = 0
+      val out = Seq.newBuilder[String]
+      while (i < w.length) {
+        val k = (math.min(2, w.length - i) to 1 by -1)
+          .find(k => vocab(w.substring(i, i + k))).get
+        out += w.substring(i, i + k); i += k
+      }
+      out.result()
+    }
+    assert(maxMatch("abc") === Seq("ab", "c"))
+    assert(seg("abc")._2 !== maxMatch("abc").mkString(" "))
+  }
+
+  test("bpeRankSegment: kernel min-rank loop == rank-sequential spec on " +
+    "trained merges over a fuzz corpus; count twin == bpeTokenCount") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(329L)
+    val alpha = "abcd"
+    val docs = (1 to 150).map { i =>
+      val words = (1 to 8).map(_ => (0 until (1 + rng.nextInt(10)))
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString)
+      (i.toLong, words.mkString(" "))
+    }.toDF("id", "text")
+    val train = docs.filter($"id" % 3 === 0)
+    val merges = Bpe.trainMerges(train, "text", numMerges = 12)
+    val ms = merges.orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(ms.size === 12)
+    val got = Bpe.bpeRankSegment(docs, "text", merges, "step", "lhs", "rhs")
+      .orderBy("w").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // executable spec: the merges applied ONCE EACH in rank order with
+    // the training rewrite's greedy left-to-right fold
+    val exp = docs
+      .select(explode(graft.operators.TextAnalysis.tokens($"text")).as("w"))
+      .distinct()
+      .withColumn("__syms", Bpe.bpeEncodeSeqSpec(split($"w", ""), ms))
+      .select($"w", size($"__syms").cast("long").as("n"),
+        array_join($"__syms", " ").as("seg"))
+      .orderBy("w").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === exp)
+    assert(got.exists(_._2 > 1L)) // merges actually fired somewhere
+    // train-on-self crosscheck: frozen-apply counts == bpeTokenCount's
+    // same-corpus counts (trainState's final table IS the rank apply)
+    val frozen = Bpe.bpeRankTokenCount(train, "id", "text", merges,
+      "step", "lhs", "rhs").orderBy("id").collect().toSeq
+    val same = Bpe.bpeTokenCount(train, "id", "text", numMerges = 12)
+      .orderBy("id").collect().toSeq
+    assert(frozen === same)
+  }
+
+  test("bpeRankSegment/bpeRankTokenCount: bad merge lists rejected") {
+    val docs = Seq((1L, "ab")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Bpe.bpeRankSegment(docs, "text",
+        Seq.empty[(Int, String, String)].toDF("step", "lhs", "rhs"),
+        "step", "lhs", "rhs")
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.bpeRankSegment(docs, "text",
+        Seq((1, "a", "")).toDF("step", "lhs", "rhs"), "step", "lhs", "rhs")
+    }
+  }
+
   test("viterbiTokenCount: matches a scala-side DP on fuzz words") {
     val rng = new scala.util.Random(307L)
     val multi = Seq.fill(40) {
