@@ -4205,6 +4205,46 @@ object LlmQueries {
       graft.operators.Bpe.bpeRankSegment(
         docs, "text", merges, "step", "lhs", "rhs")
         .orderBy("w")
+    }),
+
+    // The RLHF data pipeline COMPOSED as one plan (the q84/q280
+    // composed-gate discipline): reward-hygiene gate (outlier rewards
+    // dropped) → GRPO group-normalized advantages (q314's chain) →
+    // DPO (chosen, rejected) pairs (q317's) → SFT chat-template render
+    // of exactly the pair-producing conversations (q321's) → ONE
+    // verdict row. The tier's stages are individually green; this
+    // proves they FUSE — no materialization boundary, every branch
+    // reads the one gated event scan and closes in a one-row
+    // aggregate. ship = advantages exist, pairs exist, and the SFT set
+    // is exactly the pair set.
+    "q330_rlhf_pipeline" -> ((s, dir) => {
+      val evAll = RelationalQueries.events(s, dir)
+      val ev = graft.operators.CacheScope.track(
+        evAll.filter(col("value") <= 250.0))
+      val cents = floor(col("value") * 100.0)
+      val gateAgg = evAll.agg(count(lit(1)).as("n_events"))
+        .crossJoin(ev.agg(count(lit(1)).as("n_gated"),
+          countDistinct(col("user_id")).as("n_groups")))
+      val advAgg = graft.operators.Preference.groupNormalizedAdvantages(
+          ev, "user_id", "event_id", cents)
+        .agg(count(col("adv_q20")).as("n_adv"),
+          coalesce(sum(col("adv_q20")), lit(0L)).as("adv_sum_q20"))
+      val pairs = graft.operators.Preference.dpoPairs(
+        ev, "user_id", "event_id", cents, minMargin = 10L)
+      val pairAgg = pairs.agg(count(lit(1)).as("n_dpo_pairs"),
+        coalesce(sum(col("margin")), lit(0L)).as("margin_total"))
+      val sftAgg = graft.operators.SftFormat.renderConversations(
+          ev.join(pairs.select("user_id"), Seq("user_id")),
+          "user_id", Seq("ts", "event_id"), col("event_type"),
+          concat(col("event_type"), lit(":"), cents.cast("string")),
+          header = "<|system|>graft-sft-v1")
+        .agg(count(lit(1)).as("n_convs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sft_chars"),
+          count(when(col("roles_alternate"), 1)).as("n_alternating"))
+      gateAgg.crossJoin(advAgg).crossJoin(pairAgg).crossJoin(sftAgg)
+        .withColumn("ship", col("n_adv") > 0L && col("n_dpo_pairs") > 0L &&
+          col("n_convs") === col("n_dpo_pairs"))
+        .orderBy("n_events")
     })
   )
 
@@ -12599,7 +12639,85 @@ object LlmQueries {
          |  fim_text, CAST(length(fim_text) AS BIGINT) AS n_chars
          |FROM r ORDER BY doc_id""".stripMargin,
 
-    "q329_bpe_rank_encode" -> oBpeRankEncodeSql(8)
+    "q329_bpe_rank_encode" -> oBpeRankEncodeSql(8),
+
+    // Composed RLHF pipeline: the q314/q317/q321 oracle chains
+    // re-derived over the gated event set, each closed to its one-row
+    // aggregate, cross-joined into the single verdict row.
+    "q330_rlhf_pipeline" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_ns(ts) AS tsn, user_id, event_type,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS rw
+        |  FROM events WHERE value <= 250.0),
+        |gate AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_gated,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rw) AS BIGINT) AS s,
+        |    CAST(sum(rw * rw) AS BIGINT) AS ss
+        |  FROM ev GROUP BY 1),
+        |adv AS (
+        |  SELECT CAST(count(aq) AS BIGINT) AS n_adv,
+        |    CAST(coalesce(sum(aq), 0) AS BIGINT) AS adv_sum_q20
+        |  FROM (
+        |    SELECT CASE WHEN g.n * g.ss - g.s * g.s > 0 THEN
+        |      CAST(floor(CAST(g.n * e.rw - g.s AS DOUBLE) /
+        |        sqrt(CAST(g.n * g.ss - g.s * g.s AS DOUBLE))
+        |        * 1048576.0) AS BIGINT)
+        |    END AS aq
+        |    FROM ev e JOIN g USING (user_id))),
+        |rk AS (
+        |  SELECT user_id, event_id, rw,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rw DESC, event_id ASC) AS rnt,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rw ASC, event_id ASC) AS rnb
+        |  FROM ev),
+        |pairs AS (
+        |  SELECT c.user_id, c.rw - j.rw AS margin
+        |  FROM (SELECT user_id, rw FROM rk WHERE rnt = 1) c
+        |  JOIN (SELECT user_id, rw FROM rk WHERE rnb = 1) j
+        |    USING (user_id)
+        |  WHERE c.rw - j.rw >= 10),
+        |pagg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_dpo_pairs,
+        |    CAST(coalesce(sum(margin), 0) AS BIGINT) AS margin_total
+        |  FROM pairs),
+        |sel AS (
+        |  SELECT e.* FROM ev e JOIN (SELECT user_id FROM pairs) p
+        |    USING (user_id)),
+        |w AS (
+        |  SELECT *, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY tsn, event_id) AS nr
+        |  FROM sel),
+        |per AS (
+        |  SELECT user_id,
+        |    bool_and(CASE WHEN nr IS NULL THEN true
+        |             ELSE event_type IS DISTINCT FROM nr END)
+        |      AS roles_alternate,
+        |    '<|system|>graft-sft-v1' ||
+        |      string_agg('<|' || event_type || '|>' || event_type || ':'
+        |          || CAST(rw AS VARCHAR), ''
+        |        ORDER BY tsn, event_id) AS sft_text
+        |  FROM w GROUP BY 1),
+        |sft AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_convs,
+        |    CAST(coalesce(sum(length(sft_text)), 0) AS BIGINT)
+        |      AS sft_chars,
+        |    CAST(count(CASE WHEN roles_alternate THEN 1 END) AS BIGINT)
+        |      AS n_alternating
+        |  FROM per)
+        |SELECT gate.n_events, gate.n_gated, gate.n_groups,
+        |  adv.n_adv, adv.adv_sum_q20,
+        |  pagg.n_dpo_pairs, pagg.margin_total,
+        |  sft.n_convs, sft.sft_chars, sft.n_alternating,
+        |  (adv.n_adv > 0 AND pagg.n_dpo_pairs > 0
+        |   AND sft.n_convs = pagg.n_dpo_pairs) AS ship
+        |FROM gate CROSS JOIN adv CROSS JOIN pagg CROSS JOIN sft
+        |ORDER BY n_events""".stripMargin
   )
 
   /** q329: the training oracle's merge stages (s0 restricted to the
