@@ -56,25 +56,38 @@ package object functions {
     toColumn(new IntegralDivide(
       toExpression(num.cast(LongType)), toExpression(den.cast(LongType))))
 
-  /** Exact `floor(sqrt(x))` of a NON-NEGATIVE DECIMAL(38,0) column —
-    * cross-engine bit-identical, unlike a bare double sqrt whose floor
-    * can land on either side of a perfect square.
+  /** Exact `floor(sqrt(x))` of a NON-NEGATIVE DECIMAL(38,0) column with
+    * x < 2^104 — cross-engine bit-identical, unlike a bare double sqrt
+    * whose floor can land on either side of a perfect square.
     *
-    * Method: seed with the IEEE-754 double sqrt (correctly rounded, so
-    * after the decimal→double cast's ≤2^-52 relative error the seed is
-    * within ±2 of the true integer root for any x < 10^38), then pick
-    * the exact answer from the 5-candidate window {seed−2 … seed+2} by
-    * EXACT integer comparisons c² ≤ x in DECIMAL(38,0) — the double
-    * only ever chooses a starting point, never the value. The oracle
-    * replays the identical seed + CASE chain on HUGEINT.
+    * Method: seed with the IEEE-754 double sqrt (correctly rounded),
+    * then pick the exact answer from the 5-candidate window
+    * {seed−2 … seed+2} by EXACT integer comparisons c² ≤ x in
+    * DECIMAL(38,0) — the double only ever chooses a starting point,
+    * never the value. The oracle replays the identical seed + CASE
+    * chain on HUGEINT.
+    *
+    * DOMAIN CONTRACT — x < 2^104 (root < 2^52), ENFORCED with a
+    * null-on-overflow guard: the ±2 seed window is only sound while the
+    * root sits below double's 2^52 integer-exact range and `floor(...)
+    * .cast(LongType)` stays in Long; past it the seed's ulp exceeds the
+    * window (and c·c can overflow DECIMAL(38,0) to NULL), so the
+    * correction would silently return a wrong value. Out-of-domain
+    * inputs now yield NULL — loud, not wrong. Every gated caller is far
+    * inside the domain (√-temperature masses ×2^40 root ≤ 2^51.5); a
+    * full-DECIMAL(38,0) domain would need a Newton step on decimals.
     */
   def isqrt(x: Column): Column = {
     val d = DecimalType(38, 0)
+    // 2^104, exact as DECIMAL(38,0)
+    val domain = lit(new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(104))).cast(d)
     val seed = floor(sqrt(x.cast(DoubleType))).cast(d)
     def fits(c: Column): Column = c * c <= x.cast(d)
     val fallback: Column = seed - lit(2).cast(d)
-    Seq(2, 1, 0, -1).map(k => seed + lit(k).cast(d))
-      .foldRight(fallback) { (c, alt) => when(fits(c), c).otherwise(alt) }
+    when(x.cast(d) < domain,
+      Seq(2, 1, 0, -1).map(k => seed + lit(k).cast(d))
+        .foldRight(fallback) { (c, alt) => when(fits(c), c).otherwise(alt) })
   }
 
   /** Dot product of two equal-length numeric array columns, computed in

@@ -42,7 +42,10 @@ object Packing {
     docs.select(col(idCol), col(sizeCol))
       .withColumn("stream", Sampling.hashBucket(col(idCol), streams))
       .withColumn("offset", sum(col(sizeCol)).over(w) - col(sizeCol))
-      .withColumn("shard", expr(s"offset DIV ${contextLen}L"))
+      // Column-DSL integral divide (all quantities non-negative, so
+      // floor == DIV) — no string splicing of caller column names
+      .withColumn("shard",
+        graft.functions.posIntDiv(col("offset"), lit(contextLen)))
   }
 
   /** Stream-packing FRAGMENTATION audit — the measurement behind the
@@ -75,15 +78,16 @@ object Packing {
     val Q = 1048576L // 2^20
     val laid = tokenShards(docs, idCol, sizeCol, contextLen, streams)
       .withColumn("__frags", when(col(sizeCol) > 0L,
-        expr(s"(offset + $sizeCol - 1) DIV ${contextLen}L") - col("shard")
-          + 1L).otherwise(0L))
+        graft.functions.posIntDiv(
+          col("offset") + col(sizeCol) - 1L, lit(contextLen))
+          - col("shard") + 1L).otherwise(0L))
     laid.groupBy("stream")
       .agg(count(lit(1)).as("n_docs"),
         sum(col(sizeCol)).cast("long").as("n_tokens"),
         sum(when(col("__frags") >= 2L, 1L).otherwise(0L))
           .cast("long").as("n_split_docs"))
-      .withColumn("n_shards",
-        expr(s"(n_tokens + ${contextLen - 1}L) DIV ${contextLen}L"))
+      .withColumn("n_shards", graft.functions.posIntDiv(
+        col("n_tokens") + lit(contextLen - 1), lit(contextLen)))
       .withColumn("pad_tokens",
         col("n_shards") * contextLen - col("n_tokens"))
       .withColumn("split_frac_q20",
@@ -110,7 +114,10 @@ object Packing {
     * @param lengths candidate context lengths, distinct and positive
     *                (bounded caller literal — one output row each)
     * @return one row per L: (context_len, n_docs, n_truncated,
-    *         tokens_total, tokens_lost, kept_frac_q20)
+    *         tokens_total, tokens_lost, kept_frac_q20); an EMPTY corpus
+    *         yields zero rows (the global aggregate's n_docs = 0 row is
+    *         filtered — a curve over nothing has no points, matching
+    *         the cross-engine GROUP BY shape)
     */
   def truncationCurve(docs: DataFrame, sizeCol: String,
                       lengths: Seq[Long]): DataFrame = {
@@ -145,5 +152,6 @@ object Packing {
         graft.functions.posIntDiv(
           (col("tokens_total") - col("tokens_lost")) * Q,
           col("tokens_total"))))
+      .filter(col("n_docs") > 0L)
   }
 }

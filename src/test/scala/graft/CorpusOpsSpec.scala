@@ -167,6 +167,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("truncationCurve: empty corpus yields zero rows (cross-engine " +
+    "GROUP BY shape); fragmentationAudit handles quoting-hostile names") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n")
+    assert(Packing.truncationCurve(empty, "n", Seq(8L, 16L)).count() === 0L)
+    // non-empty keeps one row per candidate L
+    val docs = Seq((1L, 5L), (2L, 20L)).toDF("doc_id", "n")
+    val curve = Packing.truncationCurve(docs, "n", Seq(8L))
+      .collect()(0)
+    assert(curve.getAs[Long]("n_truncated") === 1L)
+    assert(curve.getAs[Long]("tokens_lost") === 12L)
+    // a size column whose name would break raw-SQL splicing (hyphen)
+    val odd = Seq((1L, 7L), (2L, 13L)).toDF("doc_id", "tok-count")
+    val audit = Packing.fragmentationAudit(odd, "doc_id", "tok-count",
+      contextLen = 10L, streams = 1).collect()(0)
+    assert(audit.getAs[Long]("n_tokens") === 20L)
+    assert(audit.getAs[Long]("n_shards") === 2L)
+  }
+
   test("topKPerGroup equals the single-window formulation, ties broken by id") {
     val df = (1L to 500L).map(i => (i, s"g${i % 4}", i % 9)).toDF("id", "g", "score")
     val out = TopK.topKPerGroup(df, "g", "score", "id", k = 7, salts = 5)

@@ -120,4 +120,36 @@ class MixingSpec extends SparkSpec {
     assert(high("C").getAs[Long]("alloc_tokens") === 400L)
     assert(high("C").getAs[Long]("epochs_q20") === 4L * Q)
   }
+
+  test("isqrt: exact across the 2^104 domain, NULL past it") {
+    import org.apache.spark.sql.functions.col
+    val two52m1 = java.math.BigInteger.ONE.shiftLeft(52)
+      .subtract(java.math.BigInteger.ONE)
+    val inDomain: Seq[java.math.BigInteger] = Seq(
+      java.math.BigInteger.ZERO, java.math.BigInteger.ONE,
+      java.math.BigInteger.valueOf(2), java.math.BigInteger.valueOf(3),
+      java.math.BigInteger.valueOf(4),
+      java.math.BigInteger.valueOf(999999999999L),
+      two52m1.multiply(two52m1),                       // exact square
+      two52m1.multiply(two52m1).add(two52m1.shiftLeft(1)), // root²+2root
+      java.math.BigInteger.ONE.shiftLeft(104)
+        .subtract(java.math.BigInteger.ONE))           // domain edge
+    val outDomain: Seq[java.math.BigInteger] = Seq(
+      java.math.BigInteger.ONE.shiftLeft(104),
+      java.math.BigInteger.TEN.pow(37))
+    val rows = (inDomain ++ outDomain).zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toString)
+    }
+    val df = rows.toDF("id", "x")
+      .select(col("id"), col("x").cast("decimal(38,0)").as("x"))
+    val got = df.select(col("id"), graft.functions.isqrt(col("x")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getDecimal(1)).map(_.toBigInteger)).toMap
+    inDomain.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong) === Some(v.sqrt()), s"x=$v")
+    }
+    outDomain.zipWithIndex.foreach { case (_, i) =>
+      assert(got((inDomain.size + i).toLong).isEmpty)
+    }
+  }
 }
