@@ -489,6 +489,49 @@ object GenerationEval {
       1)
   }
 
+  /** ROW-LOCAL chrF2 headline — the streaming-safe variant of [[chrF]]:
+    * a pure projection returning struct(n_eff_orders, chrf2_q20) for
+    * one (candidate, reference) pair, no per-pair aggregate, no
+    * shuffle — composable into a stateless stream (the [[rougeCounts]]
+    * discipline). Both stripped sides are bound ONCE (the shingles
+    * HOF-trap rule: six orders would otherwise re-run the whitespace
+    * regex per order); per-order F2 and the quantize-then-average
+    * headline replay [[chrFComponents]]/[[chrF]] exactly, so batch and
+    * stream agree bit-for-bit (StreamingSpec pins it). Prefer [[chrF]]
+    * for batch corpora — its per-order kernel calls ride whole-stage
+    * codegen; the HOF fold here is interpreted.
+    */
+  def chrFRow(cand: Column, ref: Column, maxOrder: Int = 6): Column = {
+    require(maxOrder >= 1 && maxOrder <= 8, "need 1 <= maxOrder <= 8")
+    val Q = 1048576L
+    def strip(c: Column): Column =
+      regexp_replace(coalesce(c, lit("")), "[ \\t\\n\\f\\r]+", "")
+    element_at(
+      transform(array(struct(strip(cand).as("c"), strip(ref).as("r"))),
+        p => {
+          val cs = p.getField("c")
+          val rs = p.getField("r")
+          val per = (1 to maxOrder).map { k =>
+            val cg = sort_array(graft.functions.charShingles(cs, k))
+            val rg = sort_array(graft.functions.charShingles(rs, k))
+            struct(size(cg).cast("long").as("nc"),
+              size(rg).cast("long").as("nr"),
+              graft.functions.multisetIntersectSorted(cg, rg).as("ov"))
+          }
+          val eff = filter(array(per: _*),
+            s => s.getField("nc") + s.getField("nr") > 0L)
+          val sumQ = aggregate(eff, lit(0L), (acc, s) =>
+            acc + graft.functions.posIntDiv(
+              lit(5L) * s.getField("ov") * Q,
+              lit(4L) * s.getField("nr") + s.getField("nc")))
+          struct(size(eff).cast("long").as("n_eff_orders"),
+            when(size(eff) > 0,
+              graft.functions.posIntDiv(sumQ, size(eff).cast("long")))
+              .as("chrf2_q20"))
+        }),
+      1)
+  }
+
   /** N-GRAM NOVELTY of generations against a training corpus — the
     * memorization/creativity audit (McCoy et al. 2021 "RAVEN"
     * measurement; Carlini-style verbatim-copy screening at gram

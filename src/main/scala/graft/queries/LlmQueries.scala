@@ -3574,18 +3574,32 @@ object LlmQueries {
       // ADDED column read back from the published v2 parquet, which
       // DuckDB re-derives from the source table.
       val toDf = graft.io.TableIO.readPublished(s, td, version = Some(2L))
-      val (nTo, nToSources) =
-        (toDf.count(), toDf.select("source").distinct().count())
+      // round-12 derived-content depth: the ADDED column's null count
+      // and the RETYPED column's exact sum (integer-valued doubles,
+      // total << 2^53, so the double sum is order-independent and
+      // cross-engine exact), both read back from the published v2
+      // parquet and re-derived by DuckDB from the source table — a
+      // publish that drops values, nulls a column, or mangles the
+      // retype now breaks four content columns, not two.
+      val contentRow = toDf.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("source")).as("ns"),
+        count(when(col("source").isNull, 1)).as("nnull"),
+        sum(col("n_chars")).cast("long").as("csum")).head()
+      val (nTo, nToSources, nToNullSource, toCharsSum) =
+        (contentRow.getLong(0), contentRow.getLong(1),
+          contentRow.getLong(2), contentRow.getLong(3))
       val diffRows = graft.io.TableIO.snapshotSchemaDiff(s, td, 1L, 2L)
         .select("column", "from_type", "to_type", "change").collect()
         .map(r => (r.getString(0), Option(r.getString(1)),
-          Option(r.getString(2)), r.getString(3), nTo, nToSources)).toSeq
+          Option(r.getString(2)), r.getString(3), nTo, nToSources,
+          nToNullSource, toCharsSum)).toSeq
       val fs = new org.apache.hadoop.fs.Path(td)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(td).getParent, true)
       import s.implicits._
       diffRows.toDF("column", "from_type", "to_type", "change",
-        "n_to_rows", "n_to_sources")
+        "n_to_rows", "n_to_sources", "n_to_null_source", "to_chars_sum")
         .orderBy("column")
     }),
 
@@ -11550,10 +11564,15 @@ object LlmQueries {
     // breaks the hash; n_to_rows checks the published content.
     "q291_schema_evolution" ->
       """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |                  CAST(count(DISTINCT source) AS BIGINT) AS ns
+        |                  CAST(count(DISTINCT source) AS BIGINT) AS ns,
+        |                  CAST(count(*) FILTER (source IS NULL)
+        |                    AS BIGINT) AS nnull,
+        |                  CAST(sum(CAST(n_chars AS DOUBLE))
+        |                    AS BIGINT) AS csum
         |           FROM documents)
         |SELECT t."column", t.from_type, t.to_type, t.change,
-        |       c.n AS n_to_rows, c.ns AS n_to_sources
+        |       c.n AS n_to_rows, c.ns AS n_to_sources,
+        |       c.nnull AS n_to_null_source, c.csum AS to_chars_sum
         |FROM (VALUES
         |  ('lang', 'string', CAST(NULL AS VARCHAR), 'removed'),
         |  ('n_chars', 'bigint', 'double', 'retyped'),

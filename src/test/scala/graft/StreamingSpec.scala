@@ -447,6 +447,77 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("chrF row-local headline streams statelessly, equals the batch operator") {
+    // GenerationEval.chrFRow is a pure projection; per-order F2 and the
+    // quantize-then-average headline must replay chrF's batch
+    // kernel-projection path bit-for-bit.
+    import graft.operators.GenerationEval
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    def paired(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("text").as("cand"),
+        substring(col("text"), 3, 1000).as("ref"))
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      paired(df).select(col("doc_id"),
+        GenerationEval.chrFRow(col("cand"), col("ref")).as("c"))
+        .select(col("doc_id"), col("c.n_eff_orders").as("n_eff_orders"),
+          col("c.chrf2_q20").as("chrf2_q20"))
+    val docs = Seq(
+      Doc(1L, ts(0), "the cat sat on the mat"),
+      Doc(2L, ts(1), "ab"),    // short: only low orders effective
+      Doc(3L, ts(2), ""),      // both sides empty after strip
+      Doc(4L, ts(3), "same same same words here"))
+    val input = MemoryStream[Doc]
+    val query = scored(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("chrfrow").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("chrfrow").orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val batch = scored(docs.toDF()).orderBy("doc_id")
+        .collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      // row-local headline == the batch operator's kernel projection
+      val op = GenerationEval.chrF(paired(docs.toDF()), "doc_id",
+        "cand", "ref").orderBy("doc_id").collect()
+        .map(r => Seq(r.getLong(0), r.getAs[Long]("n_eff_orders"),
+          if (r.isNullAt(r.fieldIndex("chrf2_q20"))) null
+          else r.getAs[Long]("chrf2_q20")))
+      assert(batch.map(_.toSeq).toSeq === op.toSeq)
+      // the empty pair keeps its row with 0 effective orders, NULL score
+      assert(batch.find(_.head == 3L).get(1) === 0L)
+    } finally query.stop()
+  }
+
+  test("FIM render streams statelessly (map-only projection)") {
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    def rendered(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Fim.fimRender(df, "doc_id", "text")
+    val docs = Seq(
+      Doc(1L, ts(0), "a b c d e f g"),
+      Doc(2L, ts(1), "one two"),   // under minTokens: autoregressive
+      Doc(3L, ts(2), ""))
+    val input = MemoryStream[Doc]
+    val query = rendered(input.toDF().select("doc_id", "text")).writeStream
+      .outputMode("append").format("memory").queryName("fimrow").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("fimrow").orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val batch = rendered(docs.toDF().select("doc_id", "text"))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      // conservation holds on every streamed row
+      spark.table("fimrow").collect().foreach { r =>
+        assert(r.getAs[Long]("n_pre") + r.getAs[Long]("n_mid") +
+          r.getAs[Long]("n_suf") === r.getAs[Long]("n_tokens"))
+      }
+    } finally query.stop()
+  }
+
   test("winnow fingerprints stream statelessly (row-local variant)") {
     // fingerprintArray is a pure projection, so winnowing joins the
     // stateless curation chain: batch/stream outputs match row-for-row.
