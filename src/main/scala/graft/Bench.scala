@@ -144,11 +144,31 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }
+    // CALIBRATION probe (round-11 brief): the same forced
+    // range(8M).repartition(8) shuffle SHUFFLE_AUDIT uses, timed once
+    // before each pass. It exercises nothing query-specific — only the
+    // ambient machine (CPU contention, shuffle I/O, GC), so the
+    // round-over-round ratio of calibration times separates "the code
+    // changed" from "the machine was slower today" (driver totals moved
+    // 170→244 s across r10→r11 while the common-query local medians got
+    // FASTER — that drift is what this row prices). Consumed by
+    // tools/bench_compare.py as a normalization denominator.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(8000000L).repartition(8).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(sel: String => Boolean): Map[String, Option[Double]] =
       named.filter(p => sel(p._1))
         .map { case (name, fn) => name -> once(name, fn) }.toMap
-    val passes = Seq(pass(_ => true), pass(_ => true), pass(_ => true))
+    val calSamples = Seq.newBuilder[Double]
+    def calibratedPass(sel: String => Boolean): Map[String, Option[Double]] = {
+      calSamples += calibrate()
+      pass(sel)
+    }
+    val passes = Seq(calibratedPass(_ => true), calibratedPass(_ => true),
+      calibratedPass(_ => true))
     def minOf(ps: Seq[Map[String, Option[Double]]], name: String): Option[Double] = {
       val samples = ps.flatMap(_.get(name).flatten)
       if (samples.isEmpty) None else Some(samples.min)
@@ -197,9 +217,12 @@ object Bench {
     // target — short enough that no tail window can cut it. "value"
     // stays the min-based total (comparable to every prior round);
     // value_median is the sum of per-query medians.
-    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","checksum_action":$cs,"queries":$qs,"queries_median":$qms,"failed":$fs,"value_median":${r(totalMed)},"value":${r(total)}}"""
+    val cal = calSamples.result()
+    val calMin = r(cal.min)
+    val calMed = r(cal.sorted.apply((cal.size - 1) / 2))
+    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","checksum_action":$cs,"queries":$qs,"queries_median":$qms,"failed":$fs,"calibration_sec":$calMin,"calibration_median_sec":$calMed,"value_median":${r(totalMed)},"value":${r(total)}}"""
     println(fullLine)
-    println(s"""{"metric":"total","value":${r(total)},"value_median":${r(totalMed)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size}}""")
+    println(s"""{"metric":"total","value":${r(total)},"value_median":${r(totalMed)},"calibration_sec":$calMin,"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size}}""")
     // Driver log tails keep only ~68 of the per-query times; committing
     // the full line per round (bench_local_rN.json) is what makes
     // round-over-round per-query regression checks possible from repo

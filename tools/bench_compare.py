@@ -51,6 +51,19 @@ def main(old_path, new_path, ratio=1.5):
     print(f"== {len(both)} shared queries: {tot_old:.1f}s -> {tot_new:.1f}s "
           f"({tot_new / tot_old:.2f}x); {len(movers)} movers beyond "
           f"{ratio}x ==")
+    # Calibration-normalized delta (round 12): each bench line carries
+    # calibration_sec, the forced range(8M).repartition(8) probe timed
+    # inside the same run. Dividing the shared-query totals by their
+    # run's calibration time cancels ambient machine drift (CPU
+    # contention, I/O weather), so the normalized ratio attributes to
+    # CODE, not to the day the run happened on.
+    cal_old = old_full.get("calibration_sec")
+    cal_new = new_full.get("calibration_sec")
+    if cal_old and cal_new:
+        norm = (tot_new / cal_new) / (tot_old / cal_old)
+        print(f"== calibration {cal_old:.3f}s -> {cal_new:.3f}s; "
+              f"normalized shared-total ratio {norm:.2f}x "
+              f"(raw {tot_new / tot_old:.2f}x) ==")
     return 0
 
 
