@@ -1,0 +1,150 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the most expensive NON-graph queries (round-11 brief
+  * task 5 — the [[GraphScaleAudit]] discipline applied to the text
+  * tier): the sf0.1 bench rides the 2× gate alone, and two plan
+  * families have constants that could surprise at scale — MBR's
+  * n²-per-task fan-out and BPE's iterative distinct-word table. This
+  * tool measures each probe at 1× and at KREP× corpus and prints the
+  * wall/shuffle RATIOS, so a superlinear mover is a number in an
+  * artifact, not a hope.
+  *
+  * Fixture: `documents` replicated KREP× by doc_id offset with every
+  * TOKEN suffixed per replica (`x0`..`x9`) — cross-replica similarity
+  * is exactly zero, so duplicate-cluster structure (and therefore
+  * near-dup pair volume) grows LINEARLY, the way a real 10× corpus
+  * grows: more documents, not more copies of each document. Vocabulary
+  * grows ×KREP with it, which is exactly the stress the BPE/distinct-
+  * word plans need. All other tables are symlinked unchanged; the
+  * probes below only read documents.
+  *
+  * Linearity verdict: for each probe the last column prints
+  * wall_KREPx / (wall_1x · KREP) — ≤ ~1 reads linear-or-better
+  * (fixed overheads amortize; sub-1 is common), materially above 1
+  * flags a superlinear constant to chase. Paste the table into
+  * SCALE.md.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt -batch "runMain graft.tools.CorpusScaleAudit" 2>/dev/null | grep '^|'
+  * Env: SPARK_GRAFT_KREP (default 10), SPARK_GRAFT_ONLY=q47_...,q315_...
+  */
+object CorpusScaleAudit {
+
+  // the bench's most expensive non-graph queries (round-11 verdict's
+  // probe list): dedup CC both tiers, the recall/blocking truth sides,
+  // the BPE training trio, MBR selection, the composed corpus pipeline
+  val DefaultProbes = Seq(
+    "q47_dedup_clusters", "q63_dedup_corpus", "q84_corpus_pipeline",
+    "q92_bpe_merges", "q93_bpe_vocab", "q94_bpe_doc_tokens",
+    "q97_dedup_recall", "q243_blocking_quality", "q315_mbr_select")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val krep = sys.env.getOrElse("SPARK_GRAFT_KREP", "10").toInt
+    val probes = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultProbes)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val shufRead = new AtomicLong
+    val shufWrite = new AtomicLong
+    val spill = new AtomicLong
+    val maxTaskRead = new AtomicLong
+    val taskCount = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          val r = m.shuffleReadMetrics.totalBytesRead
+          shufRead.addAndGet(r)
+          maxTaskRead.getAndUpdate(cur => math.max(cur, r))
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          taskCount.incrementAndGet()
+        }
+        ()
+      }
+    })
+    def settle(): Unit = {
+      var stable = 0
+      var prev = -1L
+      while (stable < 5) {
+        val cur = taskCount.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(300)
+      }
+    }
+
+    // ---- stage the KREP× corpus ----------------------------------
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale_")
+    val bigDir = tmp.toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val off = 100000000L
+    (0 until krep).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * off)).as("doc_id"),
+        // per-replica token suffix: cross-replica Jaccard/simhash
+        // similarity is exactly 0, so dup structure grows linearly
+        regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$bigDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+    }
+    // warm up codegen/footers so probe 1 isn't charged JVM startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    println(s"| probe | wall 1x s | wall ${krep}x s | shuf 1x MB | " +
+      s"shuf ${krep}x MB | max task ${krep}x MB | spill ${krep}x MB | " +
+      s"wall ratio /$krep |")
+    println("|---|---|---|---|---|---|---|---|")
+
+    def once(name: String, dir: String): (Double, Long, Long, Long, Long) = {
+      settle()
+      Seq(shufRead, shufWrite, spill, maxTaskRead).foreach(_.set(0L))
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      graft.operators.CacheScope.scoped(
+        graft.Bench.measure(name, fn(spark, dir)))
+      val wall = (System.nanoTime() - t0) / 1e9
+      settle()
+      (wall, shufRead.get, shufWrite.get, maxTaskRead.get, spill.get)
+    }
+    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+
+    probes.foreach { name =>
+      val small = once(name, sfDir)
+      val big = once(name, bigDir)
+      val ratio = big._1 / (small._1 * krep)
+      println(f"| $name | ${small._1}%.1f | ${big._1}%.1f | " +
+        s"${mb(small._2)} | ${mb(big._2)} | ${mb(big._4)} | " +
+        f"${mb(big._5)} | $ratio%.2f |")
+    }
+
+    // clean the staged fixture (the q290/q291 leak discipline)
+    val fs = new org.apache.hadoop.fs.Path(bigDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(bigDir), true)
+    spark.stop()
+  }
+}
