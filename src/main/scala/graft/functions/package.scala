@@ -224,6 +224,14 @@ package object functions {
     toColumn(graft.expressions.MultisetIntersectSortedString(
       toExpression(a), toExpression(b)))
 
+  /** All chrF per-order gram components of a pre-stripped (candidate,
+    * reference) string pair in one codegen'd call — effective orders
+    * only. See [[graft.expressions.ChrfGramOverlaps]].
+    */
+  def chrfGramOverlaps(cand: Column, ref: Column, maxOrder: Int): Column =
+    toColumn(graft.expressions.ChrfGramOverlaps(
+      toExpression(cand), toExpression(ref), maxOrder))
+
   /** Frozen-merge-list BPE encode of a symbol array — the HF-inference
     * min-rank loop over a driver-bounded merge table (rank = array
     * index). See [[graft.expressions.BpeEncode]].

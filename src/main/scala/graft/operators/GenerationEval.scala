@@ -294,18 +294,22 @@ object GenerationEval {
     * division. No transcendentals anywhere (chrF needs no geometric
     * mean, unlike BLEU).
     *
-    * Scale shape: the [[rougeL]] discipline, not [[rougeN]]'s — the
-    * WHOLE operator is ONE codegen'd projection. Per side, each
-    * order's gram array (bound-once [[graft.functions.charShingles]])
-    * is sorted ROW-LOCALLY and the clipped overlap Σ_g min(count_c,
-    * count_r) comes from the native two-pointer
-    * [[graft.functions.multisetIntersectSorted]] kernel — no explode,
-    * no (pair, order, gram) hash aggregate, no shuffle (the first cut
-    * shuffled 66.5 MB of gram strings at sf0.1 and was the most
-    * expensive query in the suite; this plan moves zero bytes and
-    * runs ~10× faster). Orders where both sides are empty are dropped
-    * by an array-side filter, keeping the original long-format
-    * contract.
+    * Scale shape: the [[rougeL]] discipline, fully compiled — the
+    * WHOLE operator is ONE codegen'd projection: every order's gram
+    * counts and clipped overlap Σ_g min(count_c, count_r) come from a
+    * single native [[graft.functions.chrfGramOverlaps]] call per pair
+    * (substring extraction + one Arrays.sort per side/order + one
+    * two-pointer merge, compiled end to end). No explode of grams, no
+    * (pair, order, gram) hash aggregate, no shuffle. History: the
+    * first cut shuffled 66.5 MB of gram strings at sf0.1; the second
+    * cut (row-local HOF arrays + the multiset kernel) moved zero bytes
+    * but left ~12 interpreted transform/sort_array evaluations per
+    * row — HOFs never enter whole-stage codegen — and still topped the
+    * bench at ~17 s; this kernel runs the same math in ~1 s
+    * (measured sf0.1, QueryBench). Orders where both sides are empty
+    * emit no entry, keeping the original long-format contract; the
+    * HOF formulation survives as [[chrFRow]], the streaming twin and
+    * executable spec the suite pins this kernel against.
     *
     * Degenerates: an order where BOTH stripped sides are shorter than
     * k yields no row (headline [[chrF]] treats it as ineffective, the
@@ -327,17 +331,9 @@ object GenerationEval {
       regexp_replace(coalesce(c, lit("")), "[ \\t\\n\\f\\r]+", "")
     val stripped = pairs.select(col(idCol).as("__id"),
       strip(col(candCol)).as("__cs"), strip(col(refCol)).as("__rs"))
-    val perOrder = (1 to maxOrder).map { k =>
-      val cg = sort_array(graft.functions.charShingles(col("__cs"), k))
-      val rg = sort_array(graft.functions.charShingles(col("__rs"), k))
-      struct(lit(k.toLong).as("k"),
-        size(cg).cast("long").as("n_cand_grams"),
-        size(rg).cast("long").as("n_ref_grams"),
-        graft.functions.multisetIntersectSorted(cg, rg).as("overlap"))
-    }
     stripped.select(col("__id"),
-        explode(filter(array(perOrder: _*),
-          s => s("n_cand_grams") + s("n_ref_grams") > 0L)).as("__o"))
+        explode(graft.functions.chrfGramOverlaps(
+          col("__cs"), col("__rs"), maxOrder)).as("__o"))
       .select(col("__id").as(idCol), col("__o.k").as("k"),
         col("__o.n_cand_grams").as("n_cand_grams"),
         col("__o.n_ref_grams").as("n_ref_grams"),

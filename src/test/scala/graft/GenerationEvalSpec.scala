@@ -346,6 +346,48 @@ class GenerationEvalSpec extends SparkSpec {
     }
   }
 
+  test("chrF native kernel == HOF spec on multibyte / adversarial strings " +
+    "(fingerprint fast path AND object fallback)") {
+    // The fingerprint fast path covers grams ≤ 7 bytes; CJK (3 bytes/cp)
+    // at k ≥ 3 and emoji (4 bytes/cp) at k ≥ 2 exceed it and take the
+    // object fallback — both paths must equal the HOF executable spec
+    // (sort_array(charShingles) → multisetIntersectSorted), including
+    // NUL bytes, combining marks, and repeated grams.
+    val rnd = new scala.util.Random(20260812L)
+    val atoms = Seq("a", "b", " ", "é", "漢", "字", "🎉", "é")
+    def randText(): String =
+      (0 until rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+    val cases = ((0 until 80).map(i => (i.toLong, randText(), randText())) ++
+      Seq((900L, "漢字漢字漢字", "字漢字漢"), (901L, "", "abc"),
+        (902L, "ab", "ab"), (903L, "🎉🎉🎉", "🎉🎉")))
+      .toDF("pid", "cand", "ref")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))
+    val native = GenerationEval.chrFComponents(cases, "pid", "cand", "ref")
+      .select("pid", "k", "n_cand_grams", "n_ref_grams", "overlap")
+      .collect().map(key).toMap
+    // HOF executable spec, inline (the pre-kernel formulation)
+    import org.apache.spark.sql.functions._
+    def strip(c: org.apache.spark.sql.Column) =
+      regexp_replace(coalesce(c, lit("")), "[ \\t\\n\\f\\r]+", "")
+    val perOrder = (1 to 6).map { k =>
+      val cg = sort_array(graft.functions.charShingles(strip($"cand"), k))
+      val rg = sort_array(graft.functions.charShingles(strip($"ref"), k))
+      struct(lit(k.toLong).as("k"),
+        size(cg).cast("long").as("n_cand_grams"),
+        size(rg).cast("long").as("n_ref_grams"),
+        graft.functions.multisetIntersectSorted(cg, rg).as("overlap"))
+    }
+    val spec = cases.select($"pid",
+        explode(filter(array(perOrder: _*),
+          s => s("n_cand_grams") + s("n_ref_grams") > 0L)).as("o"))
+      .select($"pid", $"o.k", $"o.n_cand_grams", $"o.n_ref_grams",
+        $"o.overlap")
+      .collect().map(key).toMap
+    assert(native === spec)
+    assert(native.nonEmpty)
+  }
+
   test("chrF: identical texts score exactly 1.0") {
     val hl = GenerationEval.chrF(
       Seq((9L, "same text here", "same text here")).toDF("pid", "c", "r"),

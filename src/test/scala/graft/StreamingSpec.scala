@@ -518,6 +518,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("frozen-merge BPE encode streams statelessly (reference-object kernel)") {
+    // BpeEncode holds the merge table as reference objects, so the
+    // frozen-model apply is a pure projection — the deployment shape:
+    // train offline, ship the merge list, tokenize the stream.
+    import graft.streaming.CorpusStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val lhs = Array("a", "ab", "c")
+    val rhs = Array("b", "c", "d")
+    def encoded(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.functions.bpeEncode(
+          split(coalesce(col("text"), lit("")), ""), lhs, rhs).as("e"))
+        .select(col("doc_id"), size(col("e")).as("n_syms"),
+          array_join(col("e"), " ").as("seg"))
+    val docs = Seq(
+      Doc(1L, ts(0), "abcd"),  // (a,b)→ab, (ab,c)→abc; (c,d) blocked → [abc, d]
+      Doc(2L, ts(1), "cdab"),  // (a,b) rank 0 fires first, then (c,d) → [cd, ab]
+      Doc(3L, ts(2), "xyz"))   // no merges apply
+    val input = MemoryStream[Doc]
+    val query = encoded(input.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("bperow").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("bperow").orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val batch = encoded(docs.toDF()).orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      val segs = spark.table("bperow").orderBy("doc_id")
+        .collect().map(_.getString(2))
+      assert(segs(0) === "abc d")
+      assert(segs(1) === "cd ab")
+      assert(segs(2) === "x y z")
+    } finally query.stop()
+  }
+
   test("winnow fingerprints stream statelessly (row-local variant)") {
     // fingerprintArray is a pure projection, so winnowing joins the
     // stateless curation chain: batch/stream outputs match row-for-row.
