@@ -70,6 +70,61 @@ object NgramLm {
           col("n_known").cast("double") / col("n_grams")).as("known_ratio"))
   }
 
+  /** [[familiarity]] under a FROZEN reference model — the CCNet shape
+    * (Wenzek 2020, "CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data": a LM trained on a trusted reference corpus
+    * perplexity-ranks the crawl; documents scoring far from the
+    * reference are dropped or binned). The gram frequency table is
+    * trained on `reference`, FROZEN, and the disjoint `batch` is scored
+    * against it — the deployment shape: ship the model table, never
+    * re-score the reference per batch.
+    *
+    * Semantics vs the self-scoring form: `sum_freq` sums REFERENCE
+    * frequencies (grams absent from the reference contribute 0), and
+    * `n_known` counts occurrences whose gram exists in the reference at
+    * all (in-vocabulary rate — self-scoring's ≥2 rule exists to exclude
+    * the occurrence's own count, which a disjoint reference never
+    * includes). Low familiarity = phrasing the reference never saw —
+    * the filter signal.
+    *
+    * Scale shape: the model table is bounded by the reference's
+    * distinct grams (Heaps-sublinear); scoring is ONE gram-keyed LEFT
+    * equi-join (both sides shuffle on the gram key — or the model
+    * broadcasts when it fits) plus one map-side-combinable per-doc
+    * aggregate. Nothing is all-pairs; the reference corpus is scanned
+    * once per model build, not per batch.
+    *
+    * @return one row per batch doc: (idCol, n_grams, sum_freq, n_known,
+    *         familiarity, known_ratio) — same contract as
+    *         [[familiarity]]; sub-n-token docs keep zeros/NULLs.
+    */
+  def familiarityWith(batch: DataFrame, idCol: String, textCol: String,
+                      reference: DataFrame, refTextCol: String,
+                      n: Int = 2): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val model = reference.select(explode(graft.functions.shingles(
+        TextAnalysis.tokens(col(refTextCol)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("__cnt"))
+    val grams = batch.select(col(idCol),
+      explode(graft.functions.shingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+    val stats = grams.join(model, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__cnt"), lit(0L))).as("sum_freq"),
+        count(col("__cnt")).as("n_known"))
+    batch.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(col("n_grams") > 0,
+          col("sum_freq").cast("double") / col("n_grams")).as("familiarity"),
+        when(col("n_grams") > 0,
+          col("n_known").cast("double") / col("n_grams")).as("known_ratio"))
+  }
+
   /** Greedy bigram DRAFT TABLE: for each context token, the corpus-mode
     * next token — the model behind n-gram speculative decoding (a draft
     * proposes the mode continuation; the big model verifies). Ties break

@@ -4259,6 +4259,22 @@ object LlmQueries {
         .withColumn("ship", col("n_adv") > 0L && col("n_dpo_pairs") > 0L &&
           col("n_convs") === col("n_dpo_pairs"))
         .orderBy("n_events")
+    }),
+
+    // CCNet-style FROZEN-LM perplexity filter (Wenzek 2020): the bigram
+    // frequency model trains on the EVEN-doc_id reference slice, is
+    // frozen, and the DISJOINT odd slice scores against it — q87's
+    // familiarity under the train/freeze/apply deployment shape (the
+    // q299/q318 frozen-artifact discipline). Grams the reference never
+    // saw contribute 0 to sum_freq and miss n_known, so low familiarity
+    // IS the out-of-distribution signal the filter drops on. Exact
+    // integer sufficient statistics; two closing rational divisions.
+    "q331_lm_filter_frozen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.NgramLm.familiarityWith(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
+        .orderBy("doc_id")
     })
   )
 
@@ -12736,7 +12752,43 @@ object LlmQueries {
         |  (adv.n_adv > 0 AND pagg.n_dpo_pairs > 0
         |   AND sft.n_convs = pagg.n_dpo_pairs) AS ship
         |FROM gate CROSS JOIN adv CROSS JOIN pagg CROSS JOIN sft
-        |ORDER BY n_events""".stripMargin
+        |ORDER BY n_events""".stripMargin,
+
+    // Frozen-LM filter: model counts from the even slice only, odd
+    // slice LEFT-joined (absent grams 0-frequency/unknown), identical
+    // integer statistics and closing divisions.
+    "q331_lm_filter_frozen" ->
+      s"""WITH rt AS (
+         |  SELECT $oToks AS tk FROM documents WHERE doc_id % 2 = 0),
+         |model AS (
+         |  SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |    FROM rt) GROUP BY 1),
+         |bt AS (
+         |  SELECT doc_id, $oToks AS tk FROM documents WHERE doc_id % 2 = 1),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |  FROM bt),
+         |st AS (
+         |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) AS sum_freq,
+         |         CAST(count(m.cnt) AS BIGINT) AS n_known
+         |  FROM bg LEFT JOIN model m USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(st.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+         |       coalesce(st.sum_freq, CAST(0 AS BIGINT)) AS sum_freq,
+         |       coalesce(st.n_known, CAST(0 AS BIGINT)) AS n_known,
+         |       CASE WHEN st.n_grams > 0
+         |            THEN CAST(st.sum_freq AS DOUBLE) / st.n_grams
+         |       END AS familiarity,
+         |       CASE WHEN st.n_grams > 0
+         |            THEN CAST(st.n_known AS DOUBLE) / st.n_grams
+         |       END AS known_ratio
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN st USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** q329: the training oracle's merge stages (s0 restricted to the

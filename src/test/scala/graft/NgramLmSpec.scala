@@ -66,4 +66,22 @@ class NgramLmSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, true))) // 1 token: no phantom pair
     assert(got(4L) === ((0L, 0L, true)))
   }
+
+  test("familiarityWith: frozen reference model, OOV grams score zero") {
+    val ref = Seq((10L, "a b c"), (11L, "a b")).toDF("id", "text")
+    // reference bigram model: "a b" -> 2, "b c" -> 1
+    val batch = Seq((1L, "a b c d"), (2L, "x"), (3L, "q r s"))
+      .toDF("id", "text")
+    val got = NgramLm.familiarityWith(batch, "id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // doc1: grams "a b"(2), "b c"(1), "c d"(OOV, 0): sum 3, known 2
+    assert(got(1L) === ((3L, 3L, 2L, Some(1.0), Some(2.0 / 3.0))))
+    // doc2: under n tokens -> zeros, NULL ratios
+    assert(got(2L) === ((0L, 0L, 0L, None, None)))
+    // doc3: all grams OOV -> the filter signal (familiarity exactly 0)
+    assert(got(3L) === ((2L, 0L, 0L, Some(0.0), Some(0.0))))
+  }
 }
