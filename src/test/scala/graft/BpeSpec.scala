@@ -242,6 +242,13 @@ class BpeSpec extends SparkSpec {
         (r.getString(0), r.getLong(1), r.getString(2))).toSeq
     assert(got === exp)
     assert(got.exists(_._2 > 1L)) // merges actually fired somewhere
+    // conservation: BPE only fuses, never drops — concatenating the
+    // segmentation reproduces the word exactly (words are whitespace
+    // tokens, so the space join is losslessly invertible)
+    got.foreach { case (w, n, seg) =>
+      assert(seg.replace(" ", "") === w)
+      assert(n === seg.split(' ').length.toLong)
+    }
     // train-on-self crosscheck: frozen-apply counts == bpeTokenCount's
     // same-corpus counts (trainState's final table IS the rank apply)
     val frozen = Bpe.bpeRankTokenCount(train, "id", "text", merges,
