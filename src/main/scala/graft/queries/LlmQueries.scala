@@ -4275,6 +4275,34 @@ object LlmQueries {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
         .orderBy("doc_id")
+    }),
+
+    // CCNet's head/middle/tail TERTILES over the frozen-LM scores — the
+    // published pipeline's final step (Wenzek 2020 §3.3 splits the
+    // crawl into three perplexity buckets and ships them as separate
+    // corpora): q331's scoring composed with the tie-stable exact
+    // value-ntile (q75's discipline — equal scores never straddle a
+    // bucket) on the 2^20 fixed-point familiarity, closed to one
+    // 3-row bucket card. Docs with no grams carry no defined bucket
+    // and are dropped, matching CCNet's empty-doc behavior.
+    "q332_ccnet_tertiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.NgramLm.familiarityWith(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 0), "text", n = 2)
+        .filter(col("n_grams") > 0)
+        .withColumn("fam_q20", graft.functions.posIntDiv(
+          col("sum_freq") * 1048576L, col("n_grams")))
+        .withColumn("corpus", lit("all"))
+      graft.operators.ExactQuantiles.valueNtile(scored, "corpus",
+          "fam_q20", 3)
+        .groupBy(col("fam_q20_bucket").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("n_grams_total"),
+          sum(col("sum_freq")).as("sum_freq_total"),
+          min(col("fam_q20")).as("fam_q20_min"),
+          max(col("fam_q20")).as("fam_q20_max"))
+        .orderBy("bucket")
     })
   )
 
@@ -12788,7 +12816,44 @@ object LlmQueries {
          |       END AS known_ratio
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
          |LEFT JOIN st USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // CCNet tertiles: q331's scoring CTEs + the q75 tie-stable bucket
+    // expression over distinct fixed-point scores + one bucket card.
+    "q332_ccnet_tertiles" ->
+      s"""WITH rt AS (
+         |  SELECT $oToks AS tk FROM documents WHERE doc_id % 2 = 0),
+         |model AS (
+         |  SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |    FROM rt) GROUP BY 1),
+         |bt AS (
+         |  SELECT doc_id, $oToks AS tk FROM documents WHERE doc_id % 2 = 1),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |  FROM bt),
+         |sc AS (
+         |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) AS sum_freq,
+         |         CAST((CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) * 1048576)
+         |           // CAST(count(*) AS BIGINT) AS BIGINT) AS fam_q20
+         |  FROM bg LEFT JOIN model m USING (gram) GROUP BY 1),
+         |hist AS (SELECT fam_q20, count(*) AS c FROM sc GROUP BY 1),
+         |b AS (
+         |  SELECT fam_q20,
+         |    CAST((sum(c) OVER (ORDER BY fam_q20
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 3 - 1)
+         |      // (SELECT count(*) FROM sc) AS BIGINT) + 1 AS bucket
+         |  FROM hist),
+         |j AS (SELECT sc.*, b.bucket FROM sc JOIN b USING (fam_q20))
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_grams) AS BIGINT) AS n_grams_total,
+         |       CAST(sum(sum_freq) AS BIGINT) AS sum_freq_total,
+         |       CAST(min(fam_q20) AS BIGINT) AS fam_q20_min,
+         |       CAST(max(fam_q20) AS BIGINT) AS fam_q20_max
+         |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 
   /** q329: the training oracle's merge stages (s0 restricted to the
