@@ -83,4 +83,34 @@ class GateContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries with no oracle: ${missing.toSeq.sorted.mkString(", ")}")
     assert(stale.isEmpty, s"oracles with no query: ${stale.toSeq.sorted.mkString(", ")}")
   }
+
+  test("every gated query has its SURVEY and SHUFFLE_AUDIT artifact rows") {
+    // ARTIFACT COVERAGE — the round-11 process defect, mechanized: six
+    // queries landed driver-green with no SURVEY §2.13 entry and no
+    // shuffle-audit row, breaking the "every query has an audited plan"
+    // invariant the repo's scale evidence rests on. A query may not
+    // ship without its name appearing in BOTH artifacts (tests fork
+    // with the repo root as working directory, so the files are local).
+    def names(path: String): String = {
+      val f = new java.io.File(path)
+      assert(f.isFile, s"$path not found (artifact moved?)")
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val survey = names("SURVEY.md")
+    val audit = names("SHUFFLE_AUDIT.md")
+    val keys = SparkEntry.queries.keySet.toSeq.sorted
+    // The audit references queries by full row name (q51_token_shards)
+    // and covers EVERY query; SURVEY §2.13 lists query ids (bare q51)
+    // for the LLM tier only — the GHCN-parity queries (q01–q21) map to
+    // §2.1–2.12's operator tables structurally, without per-query ids.
+    def idNum(k: String): Int = k.drop(1).takeWhile(_.isDigit).toInt
+    val noSurvey = keys.filter(idNum(_) >= 22)
+      .filterNot(k => survey.contains(k.split('_').head))
+    val noAudit = keys.filterNot(audit.contains)
+    assert(noSurvey.isEmpty,
+      s"\nqueries with no SURVEY.md mention:\n  ${noSurvey.mkString("\n  ")}")
+    assert(noAudit.isEmpty,
+      s"\nqueries with no SHUFFLE_AUDIT.md row:\n  ${noAudit.mkString("\n  ")}")
+  }
 }
