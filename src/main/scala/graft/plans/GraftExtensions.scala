@@ -180,7 +180,28 @@ object GraftExtensions {
         "graft_canonical_text(s) - dedup canonical form: NFC, whitespace-run collapse, control/format strip, trim"),
       es => { val Seq(s) = arity("graft_canonical_text", 1)(es)
         import org.apache.spark.sql.graftbridge.{toCatalystTree, toColumn}
-        toCatalystTree(graft.operators.TextAnalysis.canonicalize(toColumn(s))) }))
+        toCatalystTree(graft.operators.TextAnalysis.canonicalize(toColumn(s))) }),
+    (FunctionIdentifier("graft_multiset_intersect_sorted"),
+      info("graft_multiset_intersect_sorted",
+        "graft_multiset_intersect_sorted(a, b) - clipped overlap Σ_g min(count_a, count_b) of SORTED STRING arrays (ROUGE-N numerator)"),
+      es => { val Seq(a, b) = arity("graft_multiset_intersect_sorted", 2)(es)
+        graft.expressions.MultisetIntersectSortedString(a, b) }),
+    (FunctionIdentifier("graft_multiset_clip_max_ref"),
+      info("graft_multiset_clip_max_ref",
+        "graft_multiset_clip_max_ref(cand, refs) - Σ_g min(count_cand, max over refs of count_ref) of a SORTED STRING array vs an array of SORTED STRING arrays (BLEU clipping)"),
+      es => { val Seq(a, b) = arity("graft_multiset_clip_max_ref", 2)(es)
+        graft.expressions.MultisetClipMaxRef(a, b) }),
+    (FunctionIdentifier("graft_lcs_token_length"),
+      info("graft_lcs_token_length",
+        "graft_lcs_token_length(a, b) - longest-common-subsequence length of two STRING arrays (ROUGE-L kernel)"),
+      es => { val Seq(a, b) = arity("graft_lcs_token_length", 2)(es)
+        graft.expressions.LcsTokenLength(a, b) }),
+    (FunctionIdentifier("graft_chrf_gram_overlaps"),
+      info("graft_chrf_gram_overlaps",
+        "graft_chrf_gram_overlaps(cand, ref, maxOrder) - per-order chrF components array<struct<k,n_cand_grams,n_ref_grams,overlap>> over effective orders of pre-stripped strings"),
+      es => { val Seq(c, r, m) = arity("graft_chrf_gram_overlaps", 3)(es)
+        graft.expressions.ChrfGramOverlaps(c, r,
+          litInt(m, "graft_chrf_gram_overlaps", "maxOrder")) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

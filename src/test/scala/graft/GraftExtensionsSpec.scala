@@ -156,4 +156,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql === api)
     assert(sql.map(_._2).forall(s => s >= 0 && s < 8))
   }
+
+  test("generation-eval kernels agree with the Scala operators from SQL") {
+    Seq((1L, "the cat sat on the mat", "the cat is on the mat"))
+      .toDF("id", "cand", "ref").createOrReplaceTempView("gdocs")
+    val r = spark.sql(
+      """SELECT
+        |  graft_multiset_intersect_sorted(
+        |    sort_array(split(cand, ' ')), sort_array(split(ref, ' '))) AS ov,
+        |  graft_multiset_clip_max_ref(
+        |    sort_array(split(cand, ' ')),
+        |    array(sort_array(split(ref, ' ')),
+        |          sort_array(array('sat', 'sat')))) AS clip,
+        |  graft_lcs_token_length(split(cand, ' '), split(ref, ' ')) AS lcs,
+        |  graft_chrf_gram_overlaps('abcab', 'abcb', 3) AS chrf
+        |FROM gdocs""".stripMargin).head
+    // unigram multiset: the(2) cat on mat shared, sat vs is not -> 5
+    assert(r.getLong(0) === 5L)
+    // clip vs two refs: 'sat' now credited once via ref2 -> 6
+    assert(r.getLong(1) === 6L)
+    // LCS: the cat _ on the mat -> 5
+    assert(r.getLong(2) === 5L)
+    // chrF orders over 'abcab' vs 'abcb': k=1 -> min-counts a2b2c1=4(of 5,4)
+    val chrf = r.getSeq[org.apache.spark.sql.Row](3)
+    assert(chrf.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3))) === Seq((1L, 5L, 4L, 4L), (2L, 4L, 3L, 2L),
+      (3L, 3L, 2L, 1L)))
+  }
 }
