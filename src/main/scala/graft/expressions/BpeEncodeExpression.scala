@@ -106,13 +106,19 @@ object BpeEncodeKernel {
   * NULL; NULL elements are treated as empty-string symbols (tokens
   * never contain them in practice).
   */
-case class BpeEncode(child: Expression, lhs: Array[String],
-                     rhs: Array[String])
+case class BpeEncode(child: Expression, lhs: IndexedSeq[String],
+                     rhs: IndexedSeq[String])
     extends UnaryExpression {
 
   require(lhs.length == rhs.length && lhs.nonEmpty, "bad merge list")
 
-  @transient private lazy val ranks = BpeEncodeKernel.buildRanks(lhs, rhs)
+  // IndexedSeq params, not Array: case-class equality on Array is
+  // identity, which would break Catalyst expression equality and
+  // common-subexpression elimination between two BpeEncode nodes built
+  // from the same collected merge list. The kernel gets plain arrays.
+  @transient private lazy val lhsArr = lhs.toArray
+  @transient private lazy val rhsArr = rhs.toArray
+  @transient private lazy val ranks = BpeEncodeKernel.buildRanks(lhsArr, rhsArr)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -125,11 +131,11 @@ case class BpeEncode(child: Expression, lhs: Array[String],
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(value: Any): Any =
-    BpeEncodeKernel.encode(value.asInstanceOf[ArrayData], lhs, rhs, ranks)
+    BpeEncodeKernel.encode(value.asInstanceOf[ArrayData], lhsArr, rhsArr, ranks)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lhsRef = ctx.addReferenceObj("bpeLhs", lhs, "java.lang.String[]")
-    val rhsRef = ctx.addReferenceObj("bpeRhs", rhs, "java.lang.String[]")
+    val lhsRef = ctx.addReferenceObj("bpeLhs", lhsArr, "java.lang.String[]")
+    val rhsRef = ctx.addReferenceObj("bpeRhs", rhsArr, "java.lang.String[]")
     val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.BpeEncodeKernel.encode(" +

@@ -807,41 +807,13 @@ case class MultisetIntersectSortedString(left: Expression,
 
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(leftValue: Any, rightValue: Any): Any = {
-    val a = leftValue.asInstanceOf[ArrayData]
-    val b = rightValue.asInstanceOf[ArrayData]
-    val (na, nb) = (a.numElements(), b.numElements())
-    var i = 0
-    var j = 0
-    var cnt = 0L
-    while (i < na && j < nb) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (c == 0) { cnt += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
-    }
-    cnt
-  }
+  override def nullSafeEval(leftValue: Any, rightValue: Any): Any =
+    MultisetClipKernel.intersectSorted(leftValue.asInstanceOf[ArrayData],
+      rightValue.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val c = ctx.freshName("c")
-      s"""
-         |final int $na = $a.numElements();
-         |final int $nb = $b.numElements();
-         |int $i = 0; int $j = 0; long ${ev.value}Cnt = 0L;
-         |while ($i < $na && $j < $nb) {
-         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { ${ev.value}Cnt++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
-         |}
-         |${ev.value} = ${ev.value}Cnt;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.MultisetClipKernel.intersectSorted($a, $b);")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
@@ -862,6 +834,12 @@ case class MultisetIntersectSortedString(left: Expression,
   * per-(pair, gram) hash map, no explode.
   */
 object MultisetClipKernel {
+
+  /** NULL elements match nothing and are skipped — the kernels are
+    * reachable from raw SQL through the graft_* registrations, where a
+    * user can hand them array(CAST(NULL AS STRING)); an NPE there would
+    * be an executor crash, not a type error.
+    */
   def clipMaxRef(cand: ArrayData, refs: ArrayData): Long = {
     val n = cand.numElements()
     val k = refs.numElements()
@@ -869,28 +847,57 @@ object MultisetClipKernel {
     var total = 0L
     var i = 0
     while (i < n) {
-      val g = cand.getUTF8String(i)
-      var cc = 1
-      while (i + cc < n && cand.getUTF8String(i + cc).equals(g)) cc += 1
-      var maxRc = 0
-      var r = 0
-      while (r < k) {
-        if (!refs.isNullAt(r)) {
-          val ra = refs.getArray(r)
-          val m = ra.numElements()
-          var p = cur(r)
-          while (p < m && ra.getUTF8String(p).compareTo(g) < 0) p += 1
-          cur(r) = p // run start; the next candidate gram skips past it
-          var rc = 0
-          while (p + rc < m && ra.getUTF8String(p + rc).equals(g)) rc += 1
-          if (rc > maxRc) maxRc = rc
+      if (cand.isNullAt(i)) { i += 1 }
+      else {
+        val g = cand.getUTF8String(i)
+        var cc = 1
+        while (i + cc < n && !cand.isNullAt(i + cc) &&
+          cand.getUTF8String(i + cc).equals(g)) cc += 1
+        var maxRc = 0
+        var r = 0
+        while (r < k) {
+          if (!refs.isNullAt(r)) {
+            val ra = refs.getArray(r)
+            val m = ra.numElements()
+            var p = cur(r)
+            while (p < m && (ra.isNullAt(p) ||
+              ra.getUTF8String(p).compareTo(g) < 0)) p += 1
+            cur(r) = p // run start; the next candidate gram skips past it
+            var rc = 0
+            while (p + rc < m && !ra.isNullAt(p + rc) &&
+              ra.getUTF8String(p + rc).equals(g)) rc += 1
+            if (rc > maxRc) maxRc = rc
+          }
+          r += 1
         }
-        r += 1
+        total += math.min(cc, maxRc).toLong
+        i += cc
       }
-      total += math.min(cc, maxRc).toLong
-      i += cc
     }
     total
+  }
+
+  /** Two-pointer multiset intersection of two SORTED string arrays —
+    * the [[MultisetIntersectSortedString]] kernel body, shared by its
+    * interpreted and generated paths; NULL elements match nothing.
+    */
+  def intersectSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    cnt
   }
 }
 

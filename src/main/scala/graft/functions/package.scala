@@ -67,15 +67,15 @@ package object functions {
     * never the value. The oracle replays the identical seed + CASE
     * chain on HUGEINT.
     *
-    * DOMAIN CONTRACT — x < 2^104 (root < 2^52), ENFORCED with a
-    * null-on-overflow guard: the ±2 seed window is only sound while the
-    * root sits below double's 2^52 integer-exact range and `floor(...)
-    * .cast(LongType)` stays in Long; past it the seed's ulp exceeds the
-    * window (and c·c can overflow DECIMAL(38,0) to NULL), so the
-    * correction would silently return a wrong value. Out-of-domain
-    * inputs now yield NULL — loud, not wrong. Every gated caller is far
-    * inside the domain (√-temperature masses ×2^40 root ≤ 2^51.5); a
-    * full-DECIMAL(38,0) domain would need a Newton step on decimals.
+    * DOMAIN CONTRACT — 0 ≤ x < 2^104 (root < 2^52), ENFORCED with a
+    * null-out-of-domain guard: above the bound, the ±2 seed window is
+    * unsound (the root exceeds double's 2^52 integer-exact range and
+    * `floor(...)`'s Long, and c·c can overflow DECIMAL(38,0) to NULL);
+    * below zero, sqrt is NaN and the fold's fallback would return
+    * seed−2 = −2. Out-of-domain inputs yield NULL — loud, not wrong.
+    * Every gated caller is far inside the domain (√-temperature masses
+    * ×2^40 root ≤ 2^51.5); a full-DECIMAL(38,0) domain would need a
+    * Newton step on decimals.
     */
   def isqrt(x: Column): Column = {
     val d = DecimalType(38, 0)
@@ -85,7 +85,7 @@ package object functions {
     val seed = floor(sqrt(x.cast(DoubleType))).cast(d)
     def fits(c: Column): Column = c * c <= x.cast(d)
     val fallback: Column = seed - lit(2).cast(d)
-    when(x.cast(d) < domain,
+    when(x.cast(d) >= lit(0).cast(d) && x.cast(d) < domain,
       Seq(2, 1, 0, -1).map(k => seed + lit(k).cast(d))
         .foldRight(fallback) { (c, alt) => when(fits(c), c).otherwise(alt) })
   }
@@ -236,8 +236,9 @@ package object functions {
     * min-rank loop over a driver-bounded merge table (rank = array
     * index). See [[graft.expressions.BpeEncode]].
     */
-  def bpeEncode(syms: Column, lhs: Array[String], rhs: Array[String]): Column =
-    toColumn(graft.expressions.BpeEncode(toExpression(syms), lhs, rhs))
+  def bpeEncode(syms: Column, lhs: Seq[String], rhs: Seq[String]): Column =
+    toColumn(graft.expressions.BpeEncode(toExpression(syms),
+      lhs.toIndexedSeq, rhs.toIndexedSeq))
 
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array

@@ -486,6 +486,10 @@ object Bpe {
       .collect()
     require(rows.nonEmpty, "empty merge list")
     rows.map { r =>
+      // a NULL step (or a non-numeric one the int cast nulled) would
+      // silently sort FIRST and take the lowest rank — reject loudly,
+      // like the unit checks below
+      require(!r.isNullAt(0), "merge list has NULL (or non-integer) steps")
       require(!r.isNullAt(1) && !r.isNullAt(2) &&
         r.getString(1).nonEmpty && r.getString(2).nonEmpty,
         "merge list has NULL or empty units")

@@ -180,9 +180,11 @@ object GenerationEval {
     * the only shuffled bytes are the raw reference texts (the first cut
     * moved 14.2 MB of exploded gram structs at sf0.1 — the suite's
     * largest new-query shuffle; this plan moves only the text bytes).
-    * Rows of `refs` must be one REFERENCE each ((idCol, refIdCol)
-    * unique — duplicates would previously have concatenated into one
-    * reference, a caller error either way).
+    * Each ROW of `refs` is one reference: `refIdCol` is retained for
+    * signature compatibility but is no longer load-bearing — duplicate
+    * (idCol, refIdCol) rows now count as two independent references
+    * (the exploded-aggregate form pooled them into one; either reading
+    * of duplicated reference ids is a caller error).
     *
     * @param pairs   one row per candidate: (idCol, candCol)
     * @param refs    one row per (candidate, reference): (idCol,

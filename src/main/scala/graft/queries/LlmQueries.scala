@@ -12863,6 +12863,13 @@ object LlmQueries {
     * the training stages use (rank-sequential application, equivalent
     * to the engine kernel's min-rank loop on the well-formed trained
     * list — see graft.expressions.BpeEncodeKernel).
+    *
+    * Precondition (shared with the q92/q301 oracles, whose unrolled
+    * stages assume the same): the training slice yields the full
+    * `numMerges` merges — an early-exhausted b-stage would CROSS JOIN
+    * every later stage empty. The gate corpus trains 8+ comfortably;
+    * trainMerges-side exhaustion on a different fixture would surface
+    * as a loud row-count mismatch, not a silent wrong answer.
     */
   private def oBpeRankEncodeSql(numMerges: Int): String = {
     val sb = new StringBuilder

@@ -101,8 +101,14 @@ object CorpusScaleAudit {
         // per-replica token suffix: cross-replica Jaccard/simhash
         // similarity is exactly 0, so dup structure grows linearly
         regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
     }.reduce(_ unionByName _)
+      // n_chars recomputed from the rewritten text — copying the 1×
+      // value would make the fixture internally inconsistent for any
+      // probe reading the column
+      .withColumn("n_chars", length(coalesce(col("text"), lit("")))
+        .cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -119,7 +125,7 @@ object CorpusScaleAudit {
       s"wall ratio /$krep |")
     println("|---|---|---|---|---|---|---|---|")
 
-    def once(name: String, dir: String): (Double, Long, Long, Long, Long) = {
+    def once(name: String, dir: String): (Double, Long, Long, Long) = {
       settle()
       Seq(shufRead, shufWrite, spill, maxTaskRead).foreach(_.set(0L))
       val fn = graft.SparkEntry.queries(name)
@@ -128,7 +134,7 @@ object CorpusScaleAudit {
         graft.Bench.measure(name, fn(spark, dir)))
       val wall = (System.nanoTime() - t0) / 1e9
       settle()
-      (wall, shufRead.get, shufWrite.get, maxTaskRead.get, spill.get)
+      (wall, shufRead.get, maxTaskRead.get, spill.get)
     }
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
 
@@ -137,8 +143,8 @@ object CorpusScaleAudit {
       val big = once(name, bigDir)
       val ratio = big._1 / (small._1 * krep)
       println(f"| $name | ${small._1}%.1f | ${big._1}%.1f | " +
-        s"${mb(small._2)} | ${mb(big._2)} | ${mb(big._4)} | " +
-        f"${mb(big._5)} | $ratio%.2f |")
+        s"${mb(small._2)} | ${mb(big._2)} | ${mb(big._3)} | " +
+        f"${mb(big._4)} | $ratio%.2f |")
     }
 
     // clean the staged fixture (the q290/q291 leak discipline)

@@ -105,9 +105,14 @@ class GateContractSpec extends SparkSpec {
     // for the LLM tier only — the GHCN-parity queries (q01–q21) map to
     // §2.1–2.12's operator tables structurally, without per-query ids.
     def idNum(k: String): Int = k.drop(1).takeWhile(_.isDigit).toInt
+    // exact-id match, not substring: contains("q31") would be satisfied
+    // by any q313/q315 mention, hiding a lost q31 entry
+    def mentions(text: String, id: String): Boolean =
+      ("(?<![0-9a-zA-Z])" + java.util.regex.Pattern.quote(id) + "(?![0-9])")
+        .r.findFirstIn(text).isDefined
     val noSurvey = keys.filter(idNum(_) >= 22)
-      .filterNot(k => survey.contains(k.split('_').head))
-    val noAudit = keys.filterNot(audit.contains)
+      .filterNot(k => mentions(survey, k.split('_').head))
+    val noAudit = keys.filterNot(k => mentions(audit, k))
     assert(noSurvey.isEmpty,
       s"\nqueries with no SURVEY.md mention:\n  ${noSurvey.mkString("\n  ")}")
     assert(noAudit.isEmpty,
