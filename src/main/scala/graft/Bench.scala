@@ -153,10 +153,18 @@ object Bench {
     // 170→244 s across r10→r11 while the common-query local medians got
     // FASTER — that drift is what this row prices). Consumed by
     // tools/bench_compare.py as a normalization denominator.
+    // BEST-OF-5 within each pass (ADVICE r12): a single sub-second
+    // same-code timing moves up to ~1.5× (the round-8 control), which
+    // a normalization DENOMINATOR cannot afford — five back-to-back
+    // probes cost ~3 s/pass and the min is the steady-state shuffle
+    // time, so the denominator's variance is small relative to the
+    // cross-round drift it is meant to cancel.
     def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(8000000L).repartition(8).selectExpr("sum(id)").collect()
-      (System.nanoTime() - t0) / 1e9
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(8000000L).repartition(8).selectExpr("sum(id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass(sel: String => Boolean): Map[String, Option[Double]] =

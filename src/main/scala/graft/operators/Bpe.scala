@@ -474,6 +474,15 @@ object Bpe {
   /** Collect a frozen merge table ordered by rank (driver-bounded
     * artifact). NULL or empty units are rejected; duplicate steps keep
     * their (step, lhs, rhs) sort order so the list is deterministic.
+    *
+    * WELL-FORMEDNESS is validated, not assumed (ADVICE r12): the
+    * kernel's min-rank loop equals the rank-sequential oracle spec only
+    * on lists where every unit is derivable — each lhs/rhs is a single
+    * code point or the output of an EARLIER merge — and no two merges
+    * produce the same output unit. [[trainMerges]] satisfies both by
+    * construction; a hand-built table that violates either would
+    * silently diverge from the documented semantics, so it errors
+    * loudly here instead.
     */
   private def collectMerges(merges: DataFrame, stepCol: String,
                             lhsCol: String, rhsCol: String)
@@ -485,6 +494,8 @@ object Bpe {
       .orderBy(col("__s"), col("__l"), col("__r"))
       .collect()
     require(rows.nonEmpty, "empty merge list")
+    val derived = scala.collection.mutable.HashSet.empty[String]
+    def atomic(s: String): Boolean = s.codePointCount(0, s.length) == 1
     rows.map { r =>
       // a NULL step (or a non-numeric one the int cast nulled) would
       // silently sort FIRST and take the lowest rank — reject loudly,
@@ -493,7 +504,17 @@ object Bpe {
       require(!r.isNullAt(1) && !r.isNullAt(2) &&
         r.getString(1).nonEmpty && r.getString(2).nonEmpty,
         "merge list has NULL or empty units")
-      (r.getString(1), r.getString(2))
+      val l = r.getString(1)
+      val rr = r.getString(2)
+      require(atomic(l) || derived.contains(l),
+        s"ill-formed merge list: lhs '$l' is neither a single code " +
+          "point nor the output of an earlier merge")
+      require(atomic(rr) || derived.contains(rr),
+        s"ill-formed merge list: rhs '$rr' is neither a single code " +
+          "point nor the output of an earlier merge")
+      require(derived.add(l + rr),
+        s"ill-formed merge list: duplicate merge output '${l + rr}'")
+      (l, rr)
     }
   }
 

@@ -180,32 +180,64 @@ object GenerationEval {
     * the only shuffled bytes are the raw reference texts (the first cut
     * moved 14.2 MB of exploded gram structs at sf0.1 — the suite's
     * largest new-query shuffle; this plan moves only the text bytes).
-    * Each ROW of `refs` is one reference: `refIdCol` is retained for
-    * signature compatibility but is no longer load-bearing — duplicate
-    * (idCol, refIdCol) rows now count as two independent references
-    * (the exploded-aggregate form pooled them into one; either reading
-    * of duplicated reference ids is a caller error).
+    *
+    * Protocol guards (enforced, not just documented): each ROW of
+    * `refs` is one reference, and `refIdCol` must be DISTINCT within a
+    * candidate — a duplicated (or NULL) reference id fails the query
+    * loudly instead of silently counting as two independent references
+    * (the exploded-aggregate form pooled duplicates into one; neither
+    * reading is trustworthy, so the ambiguity is rejected). The per-
+    * candidate reference fan-in is capped at `maxRefsPerCandidate`
+    * (default 64 — generous against the typical ≤4-ref eval protocol):
+    * the plan collects each candidate's raw reference texts into ONE
+    * row, so a skewed id would otherwise build an unbounded row and
+    * OOM an executor where the old exploded shape degraded gracefully.
+    * Raise the cap deliberately if a protocol really fans in wider.
     *
     * @param pairs   one row per candidate: (idCol, candCol)
     * @param refs    one row per (candidate, reference): (idCol,
-    *                refIdCol, refTextCol); multiple rows per id
+    *                refIdCol, refTextCol); multiple rows per id,
+    *                refIdCol distinct within an id
+    * @param maxRefsPerCandidate loud upper bound on reference rows per
+    *                candidate (collected-row size guard)
     * @return one row per candidate: (idCol, n_cand_tokens, r_ref_len,
     *         bp_applies, p1_num..p4_num, p1_den..p4_den, bleu_gm_q20,
     *         bleu_gm)
     */
   def bleu(pairs: DataFrame, idCol: String, candCol: String,
-           refs: DataFrame, refIdCol: String, refTextCol: String)
+           refs: DataFrame, refIdCol: String, refTextCol: String,
+           maxRefsPerCandidate: Int = 64)
       : DataFrame = {
+    require(maxRefsPerCandidate >= 1, "need maxRefsPerCandidate >= 1")
     val orders = 1 to 4
     // ONE bounded collect per candidate — the operator's only shuffle
     // moves raw reference texts. Order within the collected array is
     // nondeterministic but every consumer below is order-independent
-    // (max over refs; array_min over structs).
+    // (max over refs; array_min over structs). The guards ride the
+    // __refs expression itself (not a droppable side column), so
+    // column pruning can never optimize them away: collect_set of the
+    // ids costs id-sized buffer bytes, no Expand, no second shuffle.
     val refsAgg = refs
-      .select(col(idCol).as("__id"),
+      .select(col(idCol).as("__id"), col(refIdCol).as("__rid"),
         coalesce(col(refTextCol), lit("")).as("__rt"))
       .groupBy("__id")
-      .agg(collect_list(col("__rt")).as("__refs"))
+      .agg(collect_list(col("__rt")).as("__rl"),
+        count(lit(1)).as("__nr"),
+        size(collect_set(col("__rid"))).as("__ndr"))
+      .select(col("__id"),
+        when(col("__nr") > lit(maxRefsPerCandidate.toLong),
+          raise_error(concat(lit("bleu: candidate id="),
+            col("__id").cast("string"), lit(" has "),
+            col("__nr").cast("string"),
+            lit(s" reference rows (cap $maxRefsPerCandidate) — " +
+              "unbounded per-candidate fan-in would build one giant " +
+              "collected row; raise maxRefsPerCandidate deliberately"))))
+          .when(col("__ndr").cast("long") =!= col("__nr"),
+            raise_error(concat(
+              lit(s"bleu: duplicate or NULL $refIdCol within candidate " +
+                "id="), col("__id").cast("string"),
+              lit(" — each reference row needs a distinct reference id"))))
+          .otherwise(col("__rl")).as("__refs"))
     val base = pairs
       .select(col(idCol).as("__id"),
         TextAnalysis.tokens(coalesce(col(candCol), lit(""))).as("__ct"))

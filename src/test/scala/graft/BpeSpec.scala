@@ -271,6 +271,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpeRankSegment: ill-formed merge lists fail loudly (ADVICE r12)") {
+    val docs = Seq((1L, "abc xyz")).toDF("id", "text")
+    // underivable unit: 'xy' is multi-char but no earlier merge made it
+    val e1 = intercept[IllegalArgumentException] {
+      Bpe.bpeRankSegment(docs, "text",
+        Seq((1, "xy", "z")).toDF("step", "lhs", "rhs"),
+        "step", "lhs", "rhs")
+    }
+    assert(e1.getMessage.contains("neither a single code point"))
+    // duplicate output: 'ab'+'c' and 'a'+'bc' both produce 'abc' — the
+    // min-rank kernel and the rank-sequential spec can disagree there
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.bpeRankSegment(docs, "text",
+        Seq((1, "a", "b"), (2, "b", "c"), (3, "ab", "c"), (4, "a", "bc"))
+          .toDF("step", "lhs", "rhs"),
+        "step", "lhs", "rhs")
+    }
+    assert(e2.getMessage.contains("duplicate merge output"))
+    // well-formed chains (derived units on both sides) still pass
+    val ok = Bpe.bpeRankSegment(docs, "text",
+      Seq((1, "a", "b"), (2, "b", "c"), (3, "ab", "bc"))
+        .toDF("step", "lhs", "rhs"),
+      "step", "lhs", "rhs")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // on "abc": rank-1 (a,b) fuses first -> [ab, c]; (b,c) can no
+    // longer fire; (ab,bc) needs a bc that never formed
+    assert(ok("abc") === "ab c")
+  }
+
   test("viterbiTokenCount: matches a scala-side DP on fuzz words") {
     val rng = new scala.util.Random(307L)
     val multi = Seq.fill(40) {

@@ -201,6 +201,44 @@ class GenerationEvalSpec extends SparkSpec {
     assert(got(5L).getAs[Long]("r_ref_len") === 3L)
   }
 
+  private def chainMsg(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("bleu: duplicate reference ids within a candidate fail loudly") {
+    // ADVICE r12: the collected-refs rewrite silently changed duplicate
+    // (id, refId) rows from "one pooled reference" to "two independent
+    // references" — neither reading is trustworthy, so it now errors.
+    val ex = intercept[Exception] {
+      bleuRows(Seq(6L -> "a b"), Seq((6L, 1L, "a b"), (6L, 1L, "a c")))
+    }
+    assert(chainMsg(ex).contains("duplicate or NULL"))
+    val exNull = intercept[Exception] {
+      GenerationEval.bleu(Seq(6L -> "a b").toDF("pid", "cand"),
+        "pid", "cand",
+        Seq((6L, Option.empty[Long], "a b")).toDF("pid", "rid", "ref"),
+        "rid", "ref").collect()
+    }
+    assert(chainMsg(exNull).contains("duplicate or NULL"))
+  }
+
+  test("bleu: per-candidate reference fan-in past the cap fails loudly") {
+    // ADVICE r12: one giant collected row (a skewed id violating the
+    // <=4-refs eval protocol) must fail, not OOM an executor.
+    val refs = (1 to 5).map(i => (7L, i.toLong, s"ref $i"))
+    val ex = intercept[Exception] {
+      GenerationEval.bleu(Seq(7L -> "a b").toDF("pid", "cand"),
+        "pid", "cand", refs.toDF("pid", "rid", "ref"), "rid", "ref",
+        maxRefsPerCandidate = 4).collect()
+    }
+    assert(chainMsg(ex).contains("reference rows"))
+    // at the cap exactly: fine
+    val ok = GenerationEval.bleu(Seq(7L -> "a b").toDF("pid", "cand"),
+      "pid", "cand", refs.toDF("pid", "rid", "ref"), "rid", "ref",
+      maxRefsPerCandidate = 5).collect()
+    assert(ok.length === 1)
+  }
+
   test("bleuCorpus: pooled sums and sqrt-only geometric mean") {
     val per = GenerationEval.bleu(
       Seq(1L -> "the cat is on the mat", 2L -> "the cat sat on the mat")
