@@ -84,7 +84,10 @@ object Bench {
     // q329: the BPE encode kernel and segmentation string are a pure
     // projection over the distinct-word aggregate — count() would
     // bench the distinct alone.
-    "q329_bpe_rank_encode")
+    "q329_bpe_rank_encode",
+    // q333 is a pure projection (construct payload → parse header) —
+    // count() would prune both the construction and the kernel.
+    "q333_media_headers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,173 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codec-free media HEADER decode — the (format, width, height,
+  * bit_depth) read a multimodal training pipeline filters on
+  * (resolution gates, aspect-ratio gates, format allowlists) BEFORE any
+  * pixel work. Pure byte arithmetic over the container headers of the
+  * three ubiquitous image formats; no codec libraries:
+  *
+  *  - PNG (ISO/IEC 15948 §5.2/§11.2.2): 8-byte signature
+  *    89 50 4E 47 0D 0A 1A 0A, then the IHDR chunk (length must be 13,
+  *    type "IHDR"): width/height as big-endian uint31 (zero is invalid
+  *    per spec → corrupt), bit depth one byte. The full 13-byte IHDR
+  *    data must be present; the CRC is not required (a filter gate
+  *    reads dimensions, it does not verify payloads).
+  *  - GIF (GIF87a/89a spec, Logical Screen Descriptor): 6-byte magic
+  *    "GIF87a"/"GIF89a", width/height LITTLE-endian uint16 (zero →
+  *    corrupt), bit_depth = (packed & 0x07) + 1 — the global-color-
+  *    table size exponent, i.e. bits per palette index.
+  *  - JPEG (ITU-T T.81 §B): SOI FF D8, then a marker walk — fill bytes
+  *    (FF) skipped, standalone markers (01, D0–D9) consumed without a
+  *    length, every other segment skipped by its big-endian length
+  *    (which includes the length field itself, so must be ≥ 2) — until
+  *    a frame header SOFn (C0–CF minus C4 DHT / C8 JPG / CC DAC):
+  *    bit_depth = sample precision, height/width big-endian uint16.
+  *    Height 0 (DNL-deferred) → corrupt for gate purposes; EOI or
+  *    truncation before any SOF → corrupt.
+  *
+  * Corrupt/truncated/unknown-magic payloads return NULL — loud in the
+  * output (a gate sees NULL and routes the doc to quarantine), never a
+  * wrong dimension. Every branch re-checks remaining length before
+  * reading, so adversarial truncation cannot over-read.
+  */
+object MediaHeaderKernel {
+
+  private val FORMAT_PNG = UTF8String.fromString("png")
+  private val FORMAT_GIF = UTF8String.fromString("gif")
+  private val FORMAT_JPEG = UTF8String.fromString("jpeg")
+
+  /** @return InternalRow(format, width, height, bit_depth) or null. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) == 0x89 && b(1) == 0x50) parsePng(b)
+    else if (b(0) == 0x47 && b(1) == 0x49) parseGif(b)
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) parseJpeg(b)
+    else null
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def be16(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 8) | (b(i + 1) & 0xFFL)
+
+  private def le16(b: Array[Byte], i: Int): Long =
+    ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+
+  private val PNG_SIG =
+    Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    // signature(8) + IHDR length(4) + "IHDR"(4) + the 13 IHDR data
+    // bytes (w4 h4 depth1 color1 compression1 filter1 interlace1) = 29
+    if (b.length < 29) return null
+    var i = 0
+    while (i < 8) { if (u8(b, i) != PNG_SIG(i)) return null; i += 1 }
+    if (be32(b, 8) != 13L) return null // IHDR data length is fixed at 13
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return null
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    // uint31 per spec; zero invalid; high bit set = out of domain
+    if (w <= 0L || h <= 0L || w > 0x7FFFFFFFL || h > 0x7FFFFFFFL)
+      return null
+    InternalRow(FORMAT_PNG, w, h, u8(b, 24).toLong)
+  }
+
+  private def parseGif(b: Array[Byte]): InternalRow = {
+    // magic(6) + LSD(7: w2 h2 packed1 bg1 aspect1) = 13
+    if (b.length < 13) return null
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    if (w == 0L || h == 0L) return null
+    InternalRow(FORMAT_GIF, w, h, (u8(b, 10) & 0x07).toLong + 1L)
+  }
+
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    var i = 2 // past SOI
+    while (i + 1 < n) {
+      if (u8(b, i) != 0xFF) return null // marker must start FF
+      var j = i
+      while (j + 1 < n && u8(b, j + 1) == 0xFF) j += 1 // fill bytes
+      if (j + 1 >= n) return null
+      val m = u8(b, j + 1)
+      if (m == 0xD9) return null // EOI before any SOF
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) {
+        i = j + 2 // standalone marker, no length
+      } else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 &&
+        m != 0xCC) {
+        // SOFn: len(2) precision(1) height(2) width(2)
+        if (j + 9 > n) return null
+        if (be16(b, j + 2) < 8L) return null // len covers itself + 7
+        val h = be16(b, j + 5)
+        val w = be16(b, j + 7)
+        if (w == 0L || h == 0L) return null // h=0 means DNL-deferred
+        return InternalRow(FORMAT_JPEG, w, h, u8(b, j + 4).toLong)
+      } else {
+        if (j + 4 > n) return null
+        val len = be16(b, j + 2)
+        if (len < 2L) return null // length includes its own 2 bytes
+        i = j + 2 + len.toInt
+      }
+    }
+    null // ran off the end without a frame header
+  }
+}
+
+/** `media_header(content BINARY)` →
+  * STRUCT<format STRING, width BIGINT, height BIGINT, bit_depth BIGINT>,
+  * NULL on corrupt/truncated/unknown payloads. One codegen'd kernel
+  * call per row; the payload bytes never leave the executor.
+  */
+case class MediaHeader(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"MediaHeader expects BINARY, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("bit_depth", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaHeaderKernel.parse(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cEv = child.genCode(ctx)
+    ev.copy(code = cEv.code +
+      code"""
+        |boolean ${ev.isNull} = true;
+        |InternalRow ${ev.value} = null;
+        |if (!${cEv.isNull}) {
+        |  ${ev.value} = graft.expressions.MediaHeaderKernel.parse(${cEv.value});
+        |  ${ev.isNull} = (${ev.value} == null);
+        |}
+        """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

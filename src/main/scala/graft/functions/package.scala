@@ -240,6 +240,14 @@ package object functions {
     toColumn(graft.expressions.BpeEncode(toExpression(syms),
       lhs.toIndexedSeq, rhs.toIndexedSeq))
 
+  /** Codec-free media header decode of a BINARY payload:
+    * STRUCT<format, width, height, bit_depth>, NULL on corrupt /
+    * truncated / unknown-magic bytes. See
+    * [[graft.expressions.MediaHeaderKernel]].
+    */
+  def mediaHeader(content: Column): Column =
+    toColumn(graft.expressions.MediaHeader(toExpression(content)))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

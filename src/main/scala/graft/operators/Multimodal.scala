@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -44,8 +44,36 @@ object Multimodal {
         length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes"),
         md5(encode(col(textCol), "UTF-8")).as("checksum")).as("meta"))
 
-  /** STUB — media decode. A real deployment decodes image/audio frames
-    * here (libjpeg/ffmpeg are not in this container). The stub is
+  /** REAL header decode — the filter-gate read a multimodal pipeline
+    * runs before any pixel work: format / width / height / bit depth
+    * parsed straight from PNG IHDR, GIF LSD, and JPEG SOFn header bytes
+    * by the codegen'd [[graft.expressions.MediaHeader]] kernel (pure
+    * byte arithmetic, no codec jars). Corrupt, truncated, or
+    * unknown-magic payloads yield a NULL struct — loud, never a wrong
+    * dimension. Scale shape: one map-only projection; payload bytes
+    * never leave the executor.
+    */
+  def headerMeta(content: Column): Column =
+    graft.functions.mediaHeader(content)
+
+  /** Per-payload header fields flattened to scalar columns (the
+    * resolution/format gate's input table): doc_id, kind, n_bytes,
+    * format, width, height, bit_depth — NULLs where the header does
+    * not parse.
+    */
+  def headerFeatures(media: DataFrame, idCol: String, kindCol: String,
+                     contentCol: String): DataFrame =
+    media.select(col(idCol), col(kindCol),
+        length(col(contentCol)).cast(LongType).as("n_bytes"),
+        headerMeta(col(contentCol)).as("__h"))
+      .select(col(idCol), col(kindCol), col("n_bytes"),
+        col("__h.format").as("format"), col("__h.width").as("width"),
+        col("__h.height").as("height"),
+        col("__h.bit_depth").as("bit_depth"))
+
+  /** STUB — media PIXEL decode. A real deployment decodes image/audio
+    * frames here (libjpeg/ffmpeg are not in this container); the
+    * header-level decode above IS real ([[headerMeta]]). The stub is
     * deterministic in the payload bytes so the downstream plumbing is
     * fully testable: an 8-bucket byte histogram, normalized.
     */

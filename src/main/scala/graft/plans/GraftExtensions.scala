@@ -201,7 +201,12 @@ object GraftExtensions {
         "graft_chrf_gram_overlaps(cand, ref, maxOrder) - per-order chrF components array<struct<k,n_cand_grams,n_ref_grams,overlap>> over effective orders of pre-stripped strings"),
       es => { val Seq(c, r, m) = arity("graft_chrf_gram_overlaps", 3)(es)
         graft.expressions.ChrfGramOverlaps(c, r,
-          litInt(m, "graft_chrf_gram_overlaps", "maxOrder")) }))
+          litInt(m, "graft_chrf_gram_overlaps", "maxOrder")) }),
+    (FunctionIdentifier("graft_media_header"),
+      info("graft_media_header",
+        "graft_media_header(content) - codec-free PNG/GIF/JPEG header decode of a BINARY payload: struct<format,width,height,bit_depth>, NULL on corrupt/truncated/unknown"),
+      es => { val Seq(c) = arity("graft_media_header", 1)(es)
+        graft.expressions.MediaHeader(c) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

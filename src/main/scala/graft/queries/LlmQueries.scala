@@ -4303,6 +4303,64 @@ object LlmQueries {
           min(col("fam_q20")).as("fam_q20_min"),
           max(col("fam_q20")).as("fam_q20_max"))
         .orderBy("bucket")
+    }),
+
+    // Codec-free MEDIA HEADER decode (round-12 brief task 1): real
+    // PNG/GIF/JPEG header payloads are CONSTRUCTED per doc from doc_id
+    // arithmetic — spec-true magic/IHDR/LSD/SOF0 byte layouts built with
+    // hex-string arithmetic (unhex/lpad/hex; LE via explicit byte-pair
+    // swap) — then parsed back by the native MediaHeader kernel, which
+    // reads the bytes big/little-endian as each spec demands. The two
+    // paths share no code (string-hex construction vs byte arithmetic),
+    // so an endianness or offset bug in either side breaks the gate;
+    // the DuckDB oracle re-derives every output column (sizes included)
+    // from the same doc_id arithmetic without touching bytes at all.
+    // doc_id%4==3 plants corrupt payloads — a 12-byte truncation and a
+    // bad-magic first byte — whose header columns must come back NULL
+    // (quarantine, never a wrong dimension). Map-only projection; the
+    // payload bytes never shuffle.
+    "q333_media_headers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = col("doc_id") % 4
+      val w = (col("doc_id") % 991) + 1
+      val h = (col("doc_id") % 737) + 1
+      val pdep = element_at(typedlit(Seq(1L, 2L, 4L, 8L, 16L)),
+        (col("doc_id") % 5).cast("int") + 1)
+      val gifPacked = col("doc_id") % 8 // depth = (packed & 7) + 1
+      def hx(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+      def be32(c: Column) = unhex(hx(c, 8))
+      def be16(c: Column) = unhex(hx(c, 4))
+      def le16(c: Column) = {
+        val x = hx(c, 4)
+        unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+      }
+      // signature + IHDR(len=13) + w + h + depth + color/comp/filter/
+      // interlace + junk CRC = 33 bytes
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")),
+        be32(w), be32(h), unhex(hx(pdep, 2)),
+        unhex(lit("06000000DEADBEEF")))
+      // SOI + full APP0/JFIF + SOF0(len 17: precision, h, w, 3 comps)
+      // + EOI = 41 bytes — the walk must SKIP APP0 by its length
+      val jpeg = concat(
+        unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+        be16(h), be16(w), unhex(lit("03011100021101031101FFD9")))
+      // magic + LSD (w LE, h LE, packed, bg, aspect) = 13 bytes
+      val gif = concat(unhex(lit("474946383961")), le16(w), le16(h),
+        unhex(hx(gifPacked, 2)), unhex(lit("0000")))
+      val corrupt = when(col("doc_id") % 8 === 3, substring(png, 1, 12))
+        .otherwise(concat(unhex(lit("00")), substring(png, 2, 28)))
+      val payload = when(m === 0, png).when(m === 1, jpeg)
+        .when(m === 2, gif).otherwise(corrupt)
+      docs.select(col("doc_id"), payload.as("__p"))
+        .select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.operators.Multimodal.headerMeta(col("__p")).as("__h"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__h.format").as("format"), col("__h.width").as("width"),
+          col("__h.height").as("height"),
+          col("__h.bit_depth").as("bit_depth"))
+        .orderBy("doc_id")
     })
   )
 
@@ -12853,7 +12911,31 @@ object LlmQueries {
          |       CAST(sum(sum_freq) AS BIGINT) AS sum_freq_total,
          |       CAST(min(fam_q20) AS BIGINT) AS fam_q20_min,
          |       CAST(max(fam_q20) AS BIGINT) AS fam_q20_max
-         |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Media headers: the oracle never touches a byte — every output
+    // column (payload SIZES included) re-derives from the same doc_id
+    // arithmetic the engine used to CONSTRUCT the payloads, so a
+    // construction bug and a parser bug both break the hash. Corrupt
+    // rows (doc_id%4=3) must surface NULL header fields.
+    "q333_media_headers" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN 33 WHEN 1 THEN 41 WHEN 2 THEN 13
+        |    ELSE CASE WHEN doc_id % 8 = 3 THEN 12 ELSE 29 END END
+        |    AS BIGINT) AS n_bytes,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'gif' END AS format,
+        |  CASE WHEN doc_id % 4 < 3
+        |    THEN CAST(doc_id % 991 + 1 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 4 < 3
+        |    THEN CAST(doc_id % 737 + 1 AS BIGINT) END AS height,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN CAST([1,2,4,8,16][CAST(doc_id % 5 AS INT) + 1]
+        |      AS BIGINT)
+        |    WHEN 1 THEN CAST(8 AS BIGINT)
+        |    WHEN 2 THEN CAST(doc_id % 8 + 1 AS BIGINT) END AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** q329: the training oracle's merge stages (s0 restricted to the

@@ -1,0 +1,138 @@
+package graft
+
+import graft.expressions.MediaHeaderKernel
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** The media-header kernel against REAL byte layouts (hand-derived from
+  * the PNG/GIF/JPEG specifications, independent of the q333 gate's
+  * hex-string construction): exact dimensions out of spec-true headers,
+  * NULL out of every corruption the fuzz cases plant — never a wrong
+  * dimension.
+  */
+class MediaHeaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hx(s: String): Array[Byte] = {
+    val c = s.replaceAll("\\s", "")
+    Array.tabulate(c.length / 2)(i =>
+      Integer.parseInt(c.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  private def parsed(b: Array[Byte]): Option[(String, Long, Long, Long)] =
+    Option(MediaHeaderKernel.parse(b)).map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  // the canonical 1x1 RGBA PNG's first 33 bytes (signature + IHDR with
+  // its real CRC 1F15C489): width 1, height 1, bit depth 8
+  private val png1x1 = hx(
+    "89504E470D0A1A0A 0000000D 49484452 00000001 00000001 08 06 000000 1F15C489")
+
+  // GIF89a, 10x20 logical screen, packed F7 -> (7&7)+1 = 8 bits/index
+  private val gif10x20 = hx("474946383961 0A00 1400 F7 00 00")
+
+  // JPEG: SOI, real APP0/JFIF, a DQT segment the walk must SKIP by its
+  // length (67 = 2 + qt-id + 64 entries), then SOF0 (8-bit, h=2, w=3,
+  // 3 components), EOI
+  private val jpeg3x2 = hx(
+    "FFD8" +
+      "FFE0 0010 4A46494600 0101 00 0048 0048 00 00" +
+      "FFDB 0043 00" + "11" * 64 +
+      "FFC0 0011 08 0002 0003 03 011100 021101 031101" +
+      "FFD9")
+
+  test("real PNG / GIF / JPEG headers parse to exact dimensions") {
+    assert(parsed(png1x1) === Some(("png", 1L, 1L, 8L)))
+    assert(parsed(gif10x20) === Some(("gif", 10L, 20L, 8L)))
+    assert(parsed(jpeg3x2) === Some(("jpeg", 3L, 2L, 8L)))
+    // GIF87a variant and a 16-bit-depth PNG
+    assert(parsed(hx("474946383761 0100 0200 00 00 00"))
+      === Some(("gif", 1L, 2L, 1L)))
+    val png16 = png1x1.clone(); png16(24) = 16
+    assert(parsed(png16) === Some(("png", 1L, 1L, 16L)))
+    // progressive JPEG announces dimensions via SOF2 — same fields
+    val sof2 = jpeg3x2.clone()
+    sof2(jpeg3x2.indexOfSlice(hx("FFC00011")) + 1) = 0xC2.toByte
+    assert(parsed(sof2) === Some(("jpeg", 3L, 2L, 8L)))
+  }
+
+  test("every truncation parses to NULL or the exact answer, never a wrong one") {
+    Seq(("png", png1x1, ("png", 1L, 1L, 8L)),
+      ("gif", gif10x20, ("gif", 10L, 20L, 8L)),
+      ("jpeg", jpeg3x2, ("jpeg", 3L, 2L, 8L))).foreach {
+      case (name, full, exp) =>
+        (0 until full.length).foreach { n =>
+          val got = parsed(full.take(n))
+          assert(got.isEmpty || got.contains(exp),
+            s"$name truncated to $n bytes returned a WRONG header: $got")
+        }
+        // trailing junk after a complete header changes nothing
+        assert(parsed(full ++ hx("00FFAB")) === Some(exp), name)
+    }
+  }
+
+  test("corruptions yield NULL: bad magic, zero dims, bad lengths, no SOF") {
+    // flipped magic bytes
+    Seq(png1x1, gif10x20, jpeg3x2).foreach { full =>
+      val bad = full.clone(); bad(0) = 0x00
+      assert(parsed(bad).isEmpty)
+    }
+    // PNG: IHDR length != 13; width 0; width with the high bit set
+    val badLen = png1x1.clone(); badLen(11) = 14
+    assert(parsed(badLen).isEmpty)
+    val w0 = png1x1.clone(); w0(19) = 0
+    assert(parsed(w0).isEmpty)
+    val wHi = png1x1.clone(); wHi(16) = 0x80.toByte
+    assert(parsed(wHi).isEmpty)
+    // PNG: chunk type not IHDR
+    val notIhdr = png1x1.clone(); notIhdr(12) = 'J'.toByte
+    assert(parsed(notIhdr).isEmpty)
+    // GIF: zero height; version byte neither 7 nor 9
+    assert(parsed(hx("474946383961 0A00 0000 F7 00 00")).isEmpty)
+    assert(parsed(hx("474946383861 0A00 1400 F7 00 00")).isEmpty)
+    // JPEG: EOI before any SOF; segment length < 2; marker without FF;
+    // DHT (C4) alone is not a frame header; height 0 (DNL) rejected
+    assert(parsed(hx("FFD8 FFD9")).isEmpty)
+    assert(parsed(hx("FFD8 FFE0 0001 FFC0001108000200030300000000000000")).isEmpty)
+    assert(parsed(hx("FFD8 00C0 0011 08 0002 0003 03 011100 021101 031101")).isEmpty)
+    assert(parsed(hx("FFD8 FFC4 0011 08 0002 0003 03 011100 021101 031101 FFD9")).isEmpty)
+    val h0 = jpeg3x2.clone()
+    val sofAt = jpeg3x2.indexOfSlice(hx("FFC00011"))
+    h0(sofAt + 5) = 0; h0(sofAt + 6) = 0
+    assert(parsed(h0).isEmpty)
+    // JPEG fill bytes (FF padding) before a marker are legal and skipped
+    assert(parsed(hx(
+      "FFD8 FFFFFF C0 0011 08 0002 0003 03 011100 021101 031101"))
+      === Some(("jpeg", 3L, 2L, 8L)))
+    // empty / tiny payloads
+    assert(parsed(Array.emptyByteArray).isEmpty)
+    assert(parsed(hx("89")).isEmpty)
+    assert(parsed(null).isEmpty)
+  }
+
+  test("headerFeatures flattens through the Column API; unknown kind NULLs") {
+    val media = Seq(
+      (1L, "image/png", png1x1),
+      (2L, "image/gif", gif10x20),
+      (3L, "image/jpeg", jpeg3x2),
+      (4L, "text/plain", "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "kind", "content")
+    val got = Multimodal.headerFeatures(media, "doc_id", "kind", "content")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("format") === "png")
+    assert((got(1).getAs[Long]("width"), got(1).getAs[Long]("height"))
+      === ((10L, 20L)))
+    assert(got(2).getAs[Long]("bit_depth") === 8L)
+    assert(got(3).isNullAt(got(3).fieldIndex("format")))
+    assert(got(3).isNullAt(got(3).fieldIndex("width")))
+    assert(got.forall(r => r.getAs[Long]("n_bytes") > 0L))
+    // SQL surface
+    graft.plans.GraftExtensions.register(spark)
+    media.createOrReplaceTempView("media_hdr_spec")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_media_header(content).width AS w
+        |FROM media_hdr_spec ORDER BY doc_id""".stripMargin).collect()
+    assert(viaSql(0).getLong(1) === 1L)
+    assert(viaSql(3).isNullAt(1))
+  }
+}
