@@ -102,23 +102,58 @@ object NgramLm {
                       reference: DataFrame, refTextCol: String,
                       n: Int = 2): DataFrame = {
     require(n >= 1, "need n >= 1")
-    val model = reference.select(explode(graft.functions.shingles(
-        TextAnalysis.tokens(col(refTextCol)), n)).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("__cnt"))
-    val grams = batch.select(col(idCol),
-      explode(graft.functions.shingles(
-        TextAnalysis.tokens(col(textCol)), n)).as("gram"))
-    val stats = grams.join(model, Seq("gram"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("__cnt"), lit(0L))).as("sum_freq"),
-        count(col("__cnt")).as("n_known"))
+    val stats = familiarityAgainst(batch, idCol, textCol,
+      gramModel(reference, refTextCol, n), "model_freq", n)
     batch.select(col(idCol))
       .join(stats, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
         coalesce(col("n_known"), lit(0L)).as("n_known"),
+        col("familiarity"), col("known_ratio"))
+  }
+
+  /** The FROZEN gram-frequency model itself — the artifact
+    * [[familiarityWith]] trains and the artifact a deployment ships:
+    * one row per distinct reference gram with its occurrence count.
+    * Bounded by the reference's distinct grams (Heaps-sublinear).
+    */
+  def gramModel(reference: DataFrame, refTextCol: String,
+                n: Int = 2): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    reference.select(explode(graft.functions.shingles(
+        TextAnalysis.tokens(col(refTextCol)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("model_freq"))
+  }
+
+  /** Score a batch against an ALREADY-BUILT frozen model table — the
+    * STREAM-SHAPED core of [[familiarityWith]]: gram explode →
+    * stream-static-joinable LEFT equi-join on the gram key → one
+    * per-doc aggregate. Runs unchanged when `batch` is a STREAMING
+    * DataFrame and `model` is static (update/complete output mode —
+    * the incremental-ingest deployment: ship the model once, score
+    * each crawl batch as it lands; StreamingSpec locks batch parity).
+    *
+    * Contract difference vs [[familiarityWith]], inherent to the
+    * stream shape: documents with no grams (< n tokens) emit NO row —
+    * a stream cannot left-join its own spine. The batch wrapper adds
+    * the spine zeros back; a streaming caller treats absence as
+    * "no signal" (CCNet drops those docs anyway).
+    */
+  def familiarityAgainst(batch: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame, freqCol: String = "model_freq",
+                         n: Int = 2): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val grams = batch.select(col(idCol),
+      explode(graft.functions.shingles(
+        TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+    grams.join(model.select(col("gram"), col(freqCol).as("__cnt")),
+        Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__cnt"), lit(0L))).as("sum_freq"),
+        count(col("__cnt")).as("n_known"))
+      .select(col(idCol), col("n_grams"), col("sum_freq"), col("n_known"),
         when(col("n_grams") > 0,
           col("sum_freq").cast("double") / col("n_grams")).as("familiarity"),
         when(col("n_grams") > 0,

@@ -1075,4 +1075,52 @@ class StreamingSpec extends SparkSpec {
       assert(batch(1)(2).asInstanceOf[Long] > 0L)
     } finally query.stop()
   }
+
+  test("frozen-LM familiarity scores a stream against the static gram " +
+    "model (q331's apply shape)") {
+    // CCNet deployment: the gram model trains ONCE on the reference
+    // corpus (batch, static), then each crawl batch scores as it lands —
+    // familiarityAgainst is gram explode → stream-static LEFT join →
+    // per-doc aggregate (update mode). Batch parity: identical rows to
+    // familiarityWith for every doc that HAS grams (the stream shape
+    // cannot left-join its own spine; sub-n-token docs emit nothing).
+    import graft.streaming.CorpusStreams.Doc
+    import graft.operators.NgramLm
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "the quick red fox sleeps"),
+      (104L, "a lazy dog naps the quick way")).toDF("doc_id", "text")
+    val model = NgramLm.gramModel(ref, "text", n = 2)
+    val docs = Seq(
+      Doc(1L, ts(0), "the quick brown fox naps"), // mixed known/unknown
+      Doc(3L, ts(1), "entirely novel phrasing here"), // all-OOV
+      Doc(5L, ts(2), "solo"), // < n tokens: no grams, no stream row
+      Doc(7L, ts(3), "the quick the quick")) // repeated known grams
+    val input = MemoryStream[Doc]
+    val query = NgramLm.familiarityAgainst(input.toDF(), "doc_id", "text",
+        model, "model_freq", n = 2)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("famstream").start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("famstream").orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val batchAll = NgramLm.familiarityWith(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", ref, "text", n = 2)
+      val batch = batchAll.filter($"n_grams" > 0L).orderBy("doc_id")
+        .collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      // the gramless doc is exactly the one absent from the stream
+      assert(!streamed.exists(_.head === 5L))
+      assert(batchAll.filter($"doc_id" === 5L).collect()(0)
+        .getAs[Long]("n_grams") === 0L)
+      // all-OOV doc: counted grams, zero familiarity signal
+      val oov = streamed.find(_.head === 3L).get
+      assert(oov(1) === 3L && oov(2) === 0L && oov(3) === 0L)
+    } finally query.stop()
+  }
 }
