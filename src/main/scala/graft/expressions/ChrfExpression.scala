@@ -35,9 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * is fine), the primitive long[] sorts with dual-pivot quicksort
   * (no comparator calls), and a two-pointer merge counts the clipped
   * overlap. Measured ~40 µs/row — ~80× under the object forms. Grams
-  * longer than 7 bytes (multibyte text at k ≥ 3, or k ≥ 8) fall back
-  * to the exact object path for that (row, order) — correctness never
-  * rides on the fast path's applicability.
+  * of 8–23 bytes (CJK text at every order k ≤ 6, most mixed multibyte
+  * text) take the WIDE tier — the same injective packing across 2 or
+  * 3 longs per gram, an in-place record quicksort, the same primitive
+  * merge (round 13; previously these reverted to the object path at
+  * ~3.4 ms/row). Only grams past 23 bytes (4-byte code points at
+  * k ≥ 6, or k ≥ 8 orders) fall back to the exact object path for
+  * that (row, order) — correctness never rides on the fast paths'
+  * applicability.
   */
 object ChrfKernel {
 
@@ -58,8 +63,9 @@ object ChrfKernel {
       if (ncg + nrg > 0) {
         var ov = 0L
         if (ncg > 0 && nrg > 0) {
-          if (maxGramBytes(coff, k, ncg) <= 7 &&
-              maxGramBytes(roff, k, nrg) <= 7) {
+          val mb = math.max(maxGramBytes(coff, k, ncg),
+            maxGramBytes(roff, k, nrg))
+          if (mb <= 7) {
             if (caf == null || caf.length < ncg) caf = new Array[Long](ncg)
             if (raf == null || raf.length < nrg) raf = new Array[Long](nrg)
             pack(cb, coff, k, ncg, caf)
@@ -75,6 +81,14 @@ object ChrfKernel {
               else if (x < y) i += 1
               else j += 1
             }
+          } else if (mb <= 23) {
+            // multi-long fingerprint tier (round 13): grams of 8–23
+            // bytes — CJK (3-byte chars) at every order k ≤ 6, and
+            // most mixed multibyte text — pack into W = 2 or 3 longs
+            // and stay on the primitive path instead of reverting to
+            // per-gram object churn.
+            ov = overlapWide(cb, coff, rb, roff, k, ncg, nrg,
+              (mb + 8) / 8)
           } else {
             ov = overlapObjects(cand, ref, k, ncg, nrg)
           }
@@ -133,10 +147,154 @@ object ChrfKernel {
     }
   }
 
-  /** Exact object-path fallback for grams past the 7-byte fingerprint
-    * domain (multibyte text at larger k): per-gram UTF8String
+  /** WIDE fingerprint tier: grams of 8..23 bytes packed INJECTIVELY
+    * into W = 2 or 3 longs each — big-endian payload left-aligned
+    * across the W·8-byte record, zeros after, byte LENGTH in the final
+    * byte (len ≤ 8W−1 < 8W, so the length slot never overlaps payload;
+    * equal records ⟺ equal grams, zero padding cannot collide because
+    * the length disambiguates). Records sort with an in-place W-limb
+    * quicksort (signed per-limb compare — any consistent total order
+    * works for a multiset intersect) and merge with the same
+    * comparator. No per-gram allocation: two flat long[] buffers.
+    */
+  private def overlapWide(cb: Array[Byte], coff: Array[Int],
+                          rb: Array[Byte], roff: Array[Int], k: Int,
+                          ncg: Int, nrg: Int, W: Int): Long = {
+    val ca = new Array[Long](ncg * W)
+    val ra = new Array[Long](nrg * W)
+    packWide(cb, coff, k, ncg, W, ca)
+    packWide(rb, roff, k, nrg, W, ra)
+    sortRecords(ca, 0, ncg - 1, W)
+    sortRecords(ra, 0, nrg - 1, W)
+    var ov = 0L
+    var i = 0
+    var j = 0
+    while (i < ncg && j < nrg) {
+      val c = cmpRecords(ca, i, ra, j, W)
+      if (c == 0) { ov += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    ov
+  }
+
+  private def packWide(b: Array[Byte], off: Array[Int], k: Int, n: Int,
+                       W: Int, dst: Array[Long]): Unit = {
+    var i = 0
+    while (i < n) {
+      val s = off(i)
+      val len = off(i + k) - s
+      var w = 0
+      while (w < W) {
+        var v = 0L
+        var j = 0
+        while (j < 8) {
+          val p = w * 8 + j
+          val byteVal =
+            if (p < len) b(s + p) & 0xFFL
+            else if (p == 8 * W - 1) len.toLong
+            else 0L
+          v = (v << 8) | byteVal
+          j += 1
+        }
+        dst(i * W + w) = v
+        w += 1
+      }
+      i += 1
+    }
+  }
+
+  private def cmpRecords(a: Array[Long], i: Int, b: Array[Long], j: Int,
+                         W: Int): Int = {
+    var w = 0
+    while (w < W) {
+      val x = a(i * W + w)
+      val y = b(j * W + w)
+      if (x != y) return if (x < y) -1 else 1
+      w += 1
+    }
+    0
+  }
+
+  /** In-place quicksort of W-long records [lo..hi] (record indices):
+    * median-of-three pivot copied out, insertion sort below 12,
+    * recursion on the smaller partition (stack depth O(log n)).
+    */
+  private def sortRecords(a: Array[Long], lo0: Int, hi0: Int, W: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    val piv = new Array[Long](W)
+    val tmp = new Array[Long](W)
+    def swap(i: Int, j: Int): Unit = {
+      if (i != j) {
+        System.arraycopy(a, i * W, tmp, 0, W)
+        System.arraycopy(a, j * W, a, i * W, W)
+        System.arraycopy(tmp, 0, a, j * W, W)
+      }
+    }
+    def cmpPiv(i: Int): Int = {
+      var w = 0
+      while (w < W) {
+        val x = a(i * W + w)
+        val y = piv(w)
+        if (x != y) return if (x < y) -1 else 1
+        w += 1
+      }
+      0
+    }
+    while (lo < hi) {
+      if (hi - lo < 12) {
+        // insertion sort on the short run
+        var i = lo + 1
+        while (i <= hi) {
+          System.arraycopy(a, i * W, tmp, 0, W)
+          var j = i - 1
+          var continue = true
+          while (j >= lo && continue) {
+            var c = 0
+            var w = 0
+            while (w < W && c == 0) {
+              val x = a(j * W + w)
+              val y = tmp(w)
+              if (x != y) c = if (x < y) -1 else 1
+              w += 1
+            }
+            if (c > 0) {
+              System.arraycopy(a, j * W, a, (j + 1) * W, W)
+              j -= 1
+            } else continue = false
+          }
+          System.arraycopy(tmp, 0, a, (j + 1) * W, W)
+          i += 1
+        }
+        return
+      }
+      // middle-element pivot, copied out so swaps can't move it
+      val mid = lo + (hi - lo) / 2
+      System.arraycopy(a, mid * W, piv, 0, W)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (cmpPiv(i) < 0) i += 1
+        while (cmpPiv(j) > 0) j -= 1
+        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+      }
+      // recurse on the smaller side, loop on the larger
+      if (j - lo < hi - i) {
+        if (lo < j) sortRecords(a, lo, j, W)
+        lo = i
+      } else {
+        if (i < hi) sortRecords(a, i, hi, W)
+        hi = j
+      }
+    }
+  }
+
+  /** Exact object-path fallback for grams past the 23-byte wide-
+    * fingerprint domain (4-byte code points at k ≥ 6, or k ≥ 8
+    * orders): per-gram UTF8String
     * extraction + sort + two-pointer — the executable-spec semantics
-    * at the original cost, taken only where the fast path can't apply.
+    * at the original cost, taken only where the fast paths can't apply.
     */
   private def overlapObjects(cand: UTF8String, ref: UTF8String, k: Int,
                              ncg: Int, nrg: Int): Long = {

@@ -386,9 +386,10 @@ class GenerationEvalSpec extends SparkSpec {
 
   test("chrF native kernel == HOF spec on multibyte / adversarial strings " +
     "(fingerprint fast path AND object fallback)") {
-    // The fingerprint fast path covers grams ≤ 7 bytes; CJK (3 bytes/cp)
-    // at k ≥ 3 and emoji (4 bytes/cp) at k ≥ 2 exceed it and take the
-    // object fallback — both paths must equal the HOF executable spec
+    // The 1-long fingerprint path covers grams ≤ 7 bytes; 8–23-byte
+    // grams (CJK at k ≥ 3, emoji at k 2..5) take the round-13 WIDE
+    // 2/3-long tier; emoji at k = 6 (24 bytes) takes the object
+    // fallback — all three paths must equal the HOF executable spec
     // (sort_array(charShingles) → multisetIntersectSorted), including
     // NUL bytes, combining marks, and repeated grams.
     val rnd = new scala.util.Random(20260812L)
@@ -424,6 +425,55 @@ class GenerationEvalSpec extends SparkSpec {
       .collect().map(key).toMap
     assert(native === spec)
     assert(native.nonEmpty)
+  }
+
+  test("chrF wide fingerprint tier == HOF spec on pure-CJK corpora " +
+    "(every order k <= 6 stays off the object path)") {
+    // 3-byte code points: k=1,2 ride the 1-long path (3, 6 bytes);
+    // k=3..5 the W=2 tier (9–15 bytes); k=6 the W=3 tier (18 bytes).
+    // Long strings with few distinct chars force heavy duplication —
+    // the regime where a sort/merge bug (stability, padding collision,
+    // record-swap off-by-one) would miscount the clipped overlap.
+    val rnd = new scala.util.Random(20260815L)
+    val cjk = "漢字文本語言模型訓練"
+    def randCjk(n: Int): String =
+      (0 until n).map(_ => cjk(rnd.nextInt(cjk.length))).mkString
+    val cases = ((0 until 60).map(i =>
+      (i.toLong, randCjk(5 + rnd.nextInt(120)), randCjk(5 + rnd.nextInt(120)))) ++
+      Seq((900L, "漢" * 40, "漢" * 25 + "字" * 15), // max duplication
+        (901L, randCjk(200), randCjk(200))))
+      .toDF("pid", "cand", "ref")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))
+    val native = GenerationEval.chrFComponents(cases, "pid", "cand", "ref")
+      .select("pid", "k", "n_cand_grams", "n_ref_grams", "overlap")
+      .collect().map(key).toMap
+    import org.apache.spark.sql.functions._
+    def strip(c: org.apache.spark.sql.Column) =
+      regexp_replace(coalesce(c, lit("")), "[ \\t\\n\\f\\r]+", "")
+    val perOrder = (1 to 6).map { k =>
+      val cg = sort_array(graft.functions.charShingles(strip($"cand"), k))
+      val rg = sort_array(graft.functions.charShingles(strip($"ref"), k))
+      struct(lit(k.toLong).as("k"),
+        size(cg).cast("long").as("n_cand_grams"),
+        size(rg).cast("long").as("n_ref_grams"),
+        graft.functions.multisetIntersectSorted(cg, rg).as("overlap"))
+    }
+    val spec = cases.select($"pid",
+        explode(filter(array(perOrder: _*),
+          s => s("n_cand_grams") + s("n_ref_grams") > 0L)).as("o"))
+      .select($"pid", $"o.k", $"o.n_cand_grams", $"o.n_ref_grams",
+        $"o.overlap")
+      .collect().map(key).toMap
+    assert(native === spec)
+    // the identical-text control: every order's overlap == gram count
+    val same = randCjk(80)
+    val ctl = GenerationEval.chrFComponents(
+      Seq((1L, same, same)).toDF("pid", "cand", "ref"), "pid", "cand", "ref")
+      .collect()
+    assert(ctl.length === 6)
+    ctl.foreach(r => assert(
+      r.getAs[Long]("overlap") === r.getAs[Long]("n_cand_grams")))
   }
 
   test("chrF: identical texts score exactly 1.0") {
