@@ -1721,10 +1721,16 @@ object LlmQueries {
     // checksum per shard as leaves, hashed pairwise to a root — the
     // publish artifact that lets a consumer verify any shard against the
     // root in log(shards) digest compares.
+    // level_xor (round 13, the q290/q291 derived-oracle direction): a
+    // second content-derived reduction per level — bit_xor of the
+    // level's digests — that the oracle re-computes from ITS digest
+    // chain, so a single wrong node digest breaks two columns, not one.
     "q176_merkle_manifest" -> ((s, dir) =>
       graft.operators.Profiling.merkleManifest(t(s, dir, "documents"),
         Sampling.hashBucket(col("doc_id"), 16), 16,
         col("doc_id"), col("lang"), col("source"), col("text"))
+        .withColumn("level_xor", expr("bit_xor(digest)").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("level")))
         .orderBy("level", "idx")),
 
     // Skew advisor over the events key: histogram extremes + the salt
@@ -1860,7 +1866,11 @@ object LlmQueries {
           col("digest").as("__db"))
       a.join(b, Seq("level", "idx"))
         .filter(col("__da") =!= col("__db"))
-        .select("level", "idx", "n_rows_a", "n_rows_b")
+        // digest_b (round 13): the replacement digest each differing
+        // node should now carry — content-derived, oracle-recomputed
+        // (the repair payload, not just the fault location)
+        .select(col("level"), col("idx"), col("n_rows_a"),
+          col("n_rows_b"), col("__db").as("digest_b"))
         .orderBy("level", "idx")
     }),
 
@@ -7838,13 +7848,17 @@ object LlmQueries {
          |${lv(1)},
          |${lv(2)},
          |${lv(3)},
-         |${lv(4)}
-         |SELECT 0 AS level, idx, n_rows, digest FROM lv0
-         |UNION ALL SELECT 1, idx, n_rows, digest FROM lv1
-         |UNION ALL SELECT 2, idx, n_rows, digest FROM lv2
-         |UNION ALL SELECT 3, idx, n_rows, digest FROM lv3
-         |UNION ALL SELECT 4, idx, n_rows, digest FROM lv4
-         |ORDER BY level, idx""".stripMargin
+         |${lv(4)},
+         |m AS (
+         |  SELECT 0 AS level, idx, n_rows, digest FROM lv0
+         |  UNION ALL SELECT 1, idx, n_rows, digest FROM lv1
+         |  UNION ALL SELECT 2, idx, n_rows, digest FROM lv2
+         |  UNION ALL SELECT 3, idx, n_rows, digest FROM lv3
+         |  UNION ALL SELECT 4, idx, n_rows, digest FROM lv4)
+         |SELECT level, idx, n_rows, digest,
+         |  CAST(bit_xor(digest) OVER (PARTITION BY level) AS BIGINT)
+         |    AS level_xor
+         |FROM m ORDER BY level, idx""".stripMargin
     },
 
     // Histogram extremes + exact integer-ceiling salt factor; max_key is
@@ -8029,7 +8043,8 @@ object LlmQueries {
            |  UNION ALL SELECT 4, idx, n_rows, digest FROM lv4$sfx)""".stripMargin
       s"""WITH ${chain("a", "")},
          |${chain("b", "WHERE doc_id <> 42")}
-         |SELECT a.level, a.idx, a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+         |SELECT a.level, a.idx, a.n_rows AS n_rows_a,
+         |  b.n_rows AS n_rows_b, b.digest AS digest_b
          |FROM ma a JOIN mb b USING (level, idx)
          |WHERE a.digest <> b.digest ORDER BY level, idx""".stripMargin
     },
