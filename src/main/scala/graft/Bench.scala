@@ -87,7 +87,10 @@ object Bench {
     "q329_bpe_rank_encode",
     // q333 is a pure projection (construct payload → parse header) —
     // count() would prune both the construction and the kernel.
-    "q333_media_headers")
+    "q333_media_headers",
+    // q334: q329's pattern at byte level — the encode kernel and seg
+    // string are a projection over the distinct-pretoken aggregate.
+    "q334_bytelevel_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -541,16 +541,125 @@ object Bpe {
       })
   }
 
+  // ------------------------------------------------------------------
+  // BYTE-LEVEL pretokenization (round 13) — the GPT-2 `ByteLevel` step
+  // (Radford et al. 2019; HF `tokenizers` ByteLevel pretokenizer):
+  // production GPT-style pipelines regex-split text into pretokens
+  // (leading space ATTACHED to the following word — the signature
+  // byte-level property), re-express each pretoken as a sequence of
+  // BYTE symbols through the fixed 256-entry byte→unicode table, and
+  // only then run BPE. Shipping char-level merges (q329) against a
+  // byte-level runtime is the first integration bug a user hits —
+  // these operators close that gap.
+
+  /** The GPT-2 byte→unicode table: printable bytes ('!'..'~',
+    * '¡'..'¬', '®'..'ÿ') map to themselves as code points; every other
+    * byte b maps to code point 256+n in byte order (so 0x20 space →
+    * U+0120 'Ġ', 0x0A newline → U+010A). A bijection — every mapped
+    * symbol is ONE code point, none is an ASCII space, so
+    * space-joined segmentations stay unambiguous and the mapping
+    * inverts exactly.
+    */
+  private[graft] val byteLevelTable: IndexedSeq[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) new String(Character.toChars(b))
+      else { val cp = 256 + n; n += 1; new String(Character.toChars(cp)) }
+    }
+  }
+
+  /** The RE2-SAFE form of the GPT-2 pretokenizer regex — identical
+    * alternatives (contractions; optional-space letters; optional-space
+    * digits; optional-space punctuation runs; whitespace runs) with the
+    * original's `\s+(?!\S)` lookahead branch DROPPED (RE2 — the
+    * DuckDB oracle's engine — has no lookahead). Documented divergence:
+    * interior multi-space runs stay ONE whitespace token instead of
+    * donating their last space to the next word ("a␣␣b" → ["a", "␣␣",
+    * "b"] here vs GPT-2's ["a", "␣", "␣b"]); single spaces — all of
+    * real prose — attach to the following word identically. \s is
+    * spelled as the explicit [ \t\n\f\r] class (the chrF Java-vs-RE2
+    * divergence lesson).
+    */
+  private[graft] val byteLevelPretokenRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?[0-9]+| ?[^ \\t\\n\\f\\r\\p{L}0-9]+|[ \\t\\n\\f\\r]+"
+
+  /** Byte-level pretokens of a text column (array<string>) — the regex
+    * split above; NULL text → empty array.
+    */
+  def byteLevelPretokens(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")),
+      lit(byteLevelPretokenRegex), lit(0))
+
+  /** A pretoken's BYTE-symbol sequence: UTF-8 bytes via one hex
+    * round-trip (Spark has no binary indexing; hex pairs + conv is the
+    * codegen-friendly byte extractor), each byte mapped through the
+    * 256-entry table literal. The hex string is bound once per word
+    * (the HOF discipline), then each element is one substr + conv +
+    * array probe. Runs on the DISTINCT-pretoken table only.
+    */
+  def byteLevelSyms(w: Column): Column = {
+    val tbl = typedlit(byteLevelTable)
+    element_at(transform(array(hex(encode(w, "UTF-8"))), hx =>
+      transform(sequence(lit(1), (length(hx) / 2).cast("int")), i =>
+        element_at(tbl,
+          conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1))), 1)
+  }
+
+  /** [[trainMerges]] over BYTE-level symbols of regex pretokens — the
+    * training side of the GPT-2 lifecycle. Same vocabulary-bounded
+    * iteration shape; the distinct-word table is keyed by PRETOKEN
+    * (space-prefixed words are distinct entries, exactly as shipped
+    * tokenizers store them).
+    */
+  def trainMergesByteLevel(docs: DataFrame, textCol: String,
+                           numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainState(docs, textCol, numMerges,
+      byteLevelPretokens, byteLevelSyms)._1
+      .toDF("step", "lhs", "rhs", "freq")
+  }
+
+  /** [[bpeRankSegment]] over BYTE-level symbols of regex pretokens —
+    * the apply side: distinct pretokens, byte symbols, the same native
+    * min-rank [[graft.expressions.BpeEncode]] kernel (flat in
+    * merge-list size). Mapped symbols contain no ASCII space, so the
+    * space-joined `seg` is losslessly invertible through the byte
+    * table.
+    *
+    * @return one row per distinct pretoken: (w, n_tokens, seg)
+    */
+  def bpeRankSegmentByteLevel(docs: DataFrame, textCol: String,
+                              merges: DataFrame, stepCol: String,
+                              lhsCol: String, rhsCol: String): DataFrame = {
+    val ms = collectMerges(merges, stepCol, lhsCol, rhsCol)
+    docs.select(explode(byteLevelPretokens(col(textCol))).as("w"))
+      .distinct()
+      .withColumn("__enc", graft.functions.bpeEncode(
+        byteLevelSyms(col("w")), ms.map(_._1), ms.map(_._2)))
+      .select(col("w"), size(col("__enc")).cast("long").as("n_tokens"),
+        array_join(col("__enc"), " ").as("seg"))
+  }
+
   /** Training loop core: (merge list, final cached word table
-    * (w, cnt, syms)).
+    * (w, cnt, syms)). `wordsOf`/`symsOf` select the tokenization level:
+    * whitespace words over code-point symbols (default — the q92/q329
+    * lineage) or regex pretokens over byte symbols (the byte-level
+    * lifecycle).
     */
   private def trainState(docs: DataFrame, textCol: String,
-                         numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+                         numMerges: Int,
+                         wordsOf: Column => Column =
+                           c => TextAnalysis.tokens(c),
+                         symsOf: Column => Column =
+                           w => split(w, ""))
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(numMerges >= 1, "need numMerges >= 1")
     var words = CacheScope.track(
-      docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      docs.select(explode(wordsOf(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .select(col("w"), col("cnt"), split(col("w"), "").as("syms")))
+        .select(col("w"), col("cnt"), symsOf(col("w")).as("syms")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false

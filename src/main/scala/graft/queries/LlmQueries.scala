@@ -4371,6 +4371,27 @@ object LlmQueries {
           col("__h.height").as("height"),
           col("__h.bit_depth").as("bit_depth"))
         .orderBy("doc_id")
+    }),
+
+    // BYTE-LEVEL BPE lifecycle (round-12 brief task 3 — the GPT-2
+    // ByteLevel step q329's char-level merges do not cover): regex
+    // pretokenization (leading space attaches to the word — the " low"
+    // vs "low" distinction every shipped GPT-style vocab carries),
+    // the 256-entry byte→unicode table, then the SAME frozen-merge
+    // min-rank kernel over byte symbols. Train on the doc_id%3=0
+    // slice, freeze, apply to every pretoken of the full corpus; the
+    // gated output is the byte-level SEGMENTATION STRING itself. The
+    // oracle replays the pretokenizer regex (RE2-safe form by
+    // construction), re-derives byte symbols via hex-pair arithmetic
+    // through the same table literal, and unrolls the 8 merge ranks
+    // with the q329 list_reduce stages.
+    "q334_bytelevel_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMergesByteLevel(
+        docs.filter(col("doc_id") % 3 === 0), "text", numMerges = 8)
+      graft.operators.Bpe.bpeRankSegmentByteLevel(
+        docs, "text", merges, "step", "lhs", "rhs")
+        .orderBy("w")
     })
   )
 
@@ -12777,6 +12798,8 @@ object LlmQueries {
 
     "q329_bpe_rank_encode" -> oBpeRankEncodeSql(8),
 
+    "q334_bytelevel_bpe" -> oByteBpeEncodeSql(8),
+
     // Composed RLHF pipeline: the q314/q317/q321 oracle chains
     // re-derived over the gated event set, each closed to its one-row
     // aggregate, cross-joined into the single verdict row.
@@ -12968,6 +12991,78 @@ object LlmQueries {
     * trainMerges-side exhaustion on a different fixture would surface
     * as a loud row-count mismatch, not a silent wrong answer.
     */
+  /** q334: the q329 oracle chain over BYTE-level symbols of regex
+    * pretokens. The byte→unicode table rides as a 256-string list
+    * literal generated from the SAME Scala table the engine uses (the
+    * q298 shared-artifact discipline — the table is the public GPT-2
+    * algorithm's output, embedded verbatim on both sides); byte values
+    * come from hex-pair arithmetic (strpos over '0-9A-F'), the
+    * pretokenizer regex is the engine's RE2-safe literal, and the
+    * merge stages are the identical rank-sequential list_reduce
+    * rewrites.
+    */
+  private def oByteBpeEncodeSql(numMerges: Int): String = {
+    val tblLit = graft.operators.Bpe.byteLevelTable
+      .map(s => "'" + s.replace("'", "''") + "'").mkString("[", ", ", "]")
+    val reLit = "'" +
+      graft.operators.Bpe.byteLevelPretokenRegex.replace("'", "''") + "'"
+    def syms(w: String): String =
+      s"""list_transform(range(1, length(hex(encode($w))) // 2 + 1),
+         |    i -> tbl[(strpos('0123456789ABCDEF',
+         |                     hex(encode($w))[2*i-1:2*i-1]) - 1) * 16
+         |             + strpos('0123456789ABCDEF',
+         |                      hex(encode($w))[2*i:2*i])])""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH bl(tbl) AS (SELECT $tblLit),
+              |w0 AS (
+              |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM (SELECT unnest(regexp_extract_all(coalesce(text, ''),
+              |                $reLit)) AS w
+              |        FROM documents WHERE doc_id % 3 = 0)
+              |  GROUP BY w),
+              |s0 AS (SELECT w, cnt, ${syms("w")} AS syms
+              |       FROM w0 CROSS JOIN bl),
+              |""".stripMargin
+    for (s <- 1 to numMerges) {
+      sb ++= s"""p$s AS (
+                |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS freq
+                |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                |          i -> [syms[i], syms[i+1]])) AS pr
+                |        FROM s${s - 1})
+                |  GROUP BY 1, 2),
+                |b$s AS (SELECT l, r, freq FROM p$s ORDER BY freq DESC, l, r LIMIT 1),
+                |s$s AS (
+                |  SELECT w, cnt, list_reduce(list_transform(syms, x -> [x]),
+                |    (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
+                |                     THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+                |                     ELSE list_append(acc, e[1]) END) AS syms
+                |  FROM s${s - 1} CROSS JOIN b$s b),
+                |""".stripMargin
+    }
+    sb ++= s"""aw AS (
+              |  SELECT DISTINCT unnest(regexp_extract_all(coalesce(text, ''),
+              |    $reLit)) AS w
+              |  FROM documents),
+              |a0 AS (SELECT w, ${syms("w")} AS syms
+              |       FROM aw CROSS JOIN bl),
+              |""".stripMargin
+    for (s <- 1 to numMerges) {
+      sb ++= s"""a$s AS (
+                |  SELECT w, list_reduce(list_transform(syms, x -> [x]),
+                |    (acc, e) -> CASE WHEN acc[-1] = b.l AND e[1] = b.r
+                |                     THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+                |                     ELSE list_append(acc, e[1]) END) AS syms
+                |  FROM a${s - 1} CROSS JOIN b$s b),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
+    sb ++= s"""
+              |SELECT w, CAST(len(syms) AS BIGINT) AS n_tokens,
+              |  array_to_string(syms, ' ') AS seg
+              |FROM a$numMerges ORDER BY w""".stripMargin
+    sb.result()
+  }
+
   private def oBpeRankEncodeSql(numMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH s0 AS (

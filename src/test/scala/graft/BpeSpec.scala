@@ -300,6 +300,86 @@ class BpeSpec extends SparkSpec {
     assert(ok("abc") === "ab c")
   }
 
+  test("byteLevelPretokens: GPT-2-style split, RE2-safe divergence pinned") {
+    import org.apache.spark.sql.functions._
+    def pre(s: String): Seq[String] =
+      Seq(s).toDF("t").select(Bpe.byteLevelPretokens($"t").as("p"))
+        .collect()(0).getSeq[String](0)
+    assert(pre("hello world") === Seq("hello", " world"))
+    assert(pre("it's fine") === Seq("it", "'s", " fine"))
+    assert(pre("x=42, ok") === Seq("x", "=", "42", ",", " ok"))
+    assert(pre("café déjà") === Seq("café", " déjà")) // \p{L} is Unicode
+    // RE2-safe divergence (documented): interior multi-space runs stay
+    // one whitespace token — GPT-2's \s+(?!\S) would emit [" ", " b"]
+    assert(pre("a  b") === Seq("a", "  ", "b"))
+    assert(pre("") === Seq.empty)
+    // lossless: pretokens concatenate back to the text
+    Seq("the quick  brown fox", "it's x=1,  y=2", "café!").foreach { s =>
+      assert(pre(s).mkString === s)
+    }
+  }
+
+  test("byteLevelSyms: GPT-2 byte->unicode table, multibyte + space bytes") {
+    import org.apache.spark.sql.functions._
+    def syms(s: String): Seq[String] =
+      Seq(s).toDF("w").select(Bpe.byteLevelSyms($"w").as("s"))
+        .collect()(0).getSeq[String](0)
+    // printable ASCII maps to itself
+    assert(syms("abc") === Seq("a", "b", "c"))
+    // leading space -> U+0120 (Ġ): byte 0x20 is the 33rd remapped byte
+    assert(syms(" the") === Seq("Ġ", "t", "h", "e"))
+    // é = UTF-8 C3 A9: both bytes are in the keep ranges -> Ã, ©
+    assert(syms("café") === Seq("c", "a", "f", "Ã", "©"))
+    // newline (0x0A) -> 256 + 10 = U+010A
+    assert(syms("\n") === Seq("Ċ"))
+    // every symbol is ONE code point and never an ASCII space
+    val all = syms(" a\tbé漢") // space, tab, é, 漢 (E6 BC A2)
+    assert(all.forall(u => u.codePointCount(0, u.length) == 1 && u != " "))
+    assert(all.size === 9) // 1+1+1+1+2+3 bytes of " a\tbé漢"
+    // the table is a bijection: inverse-map recovers the exact bytes
+    val inv = Bpe.byteLevelTable.zipWithIndex.toMap
+    val back = all.map(u => inv(u).toByte).toArray
+    assert(back === " a\tbé漢".getBytes("UTF-8"))
+  }
+
+  test("byte-level BPE: train/apply lifecycle; segments differ from " +
+    "char-level on multibyte words") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "low low lower"), (2L, "low lowest"))
+      .toDF("id", "text")
+    val merges = Bpe.trainMergesByteLevel(docs, "text", numMerges = 3)
+    val ms = merges.orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    // " low" appears 3x as a space-prefixed pretoken (the byte-level
+    // signature): (Ġ, l) leads with freq 3 tied with (l,o)/(o,w) at 4?
+    // counts: words: "low"(1), " low"(3? "low low lower" -> ["low",
+    // " low", " lower"], "low lowest" -> ["low", " lowest"]) so
+    // (l,o) freq 5, (o,w) 5, (Ġ,l) 3 — tie (l,o) vs (o,w): lex 'l'<'o'
+    assert(ms.head === ((1, "l", "o")))
+    val seg = Bpe.bpeRankSegmentByteLevel(docs, "text", merges,
+      "step", "lhs", "rhs")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // pretokens carry their leading space as Ġ inside the symbols
+    assert(seg.keySet.contains(" low"))
+    assert(seg(" low").startsWith("Ġ"))
+    // char-level and byte-level DIVERGE on a multibyte word: "éé" is
+    // [é,é] at char level (one pair) but [Ã,©,Ã,©] at byte level
+    val mdocs = Seq((1L, "éé éé")).toDF("id", "text")
+    val charMerges = Bpe.trainMerges(mdocs, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val byteMerges = Bpe.trainMergesByteLevel(mdocs, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(charMerges.head === (("é", "é")))
+    assert(byteMerges.head === (("Ã", "©")))
+    // lossless round-trip: inverse-mapping the seg symbols reproduces
+    // every pretoken's exact UTF-8 bytes
+    val inv = Bpe.byteLevelTable.zipWithIndex.toMap
+    seg.foreach { case (w, sg) =>
+      val bytes = sg.split(' ').flatMap(_.map(c => inv(c.toString).toByte))
+      assert(bytes.toSeq === w.getBytes("UTF-8").toSeq, s"pretoken '$w'")
+    }
+  }
+
   test("viterbiTokenCount: matches a scala-side DP on fuzz words") {
     val rng = new scala.util.Random(307L)
     val multi = Seq.fill(40) {
