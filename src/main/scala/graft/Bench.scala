@@ -90,7 +90,11 @@ object Bench {
     "q333_media_headers",
     // q334: q329's pattern at byte level — the encode kernel and seg
     // string are a projection over the distinct-pretoken aggregate.
-    "q334_bytelevel_bpe")
+    "q334_bytelevel_bpe",
+    // q335: the doc-spine left join to the unique-key run stats is
+    // eliminable under count() (q87's pattern) — checksum forces the
+    // gram aggregate + interval merge.
+    "q335_exact_substr_runs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -147,4 +147,104 @@ object Spans {
               coalesce(col("__cps"), typedlit(Seq.empty[Int])), i))),
           " ").as("cleaned"))
   }
+
+  /** VARIABLE-LENGTH repeated-substring runs — the ExactSubstr measure
+    * (Lee et al. 2022 §4, "Deduplicating Training Data Makes Language
+    * Models Better"): a token position is DUPLICATED when some
+    * `minLen`-token window containing it occurs ≥ `minCount` times in
+    * the corpus — occurrence count, not distinct documents, so a
+    * substring repeated twice INSIDE one document counts, exactly as a
+    * suffix array over the concatenated corpus would see it. The
+    * duplicated positions then merge into maximal contiguous RUNS: a
+    * repeated substring of length L ≥ minLen yields L−minLen+1
+    * duplicated window starts whose spans union to the full L-token
+    * run, so the per-doc `max_run` reads the length of the longest
+    * repeated region (length ≫ minLen visible as ≫, where fixed-k
+    * coverage saturates at "covered") and `n_dup_tokens` is the exact
+    * excisable mass without over-counting overlapping shingles. Runs
+    * are unions of overlapping repeats — the excision unit the paper
+    * actually cuts.
+    *
+    * Exactly the suffix-array detection set, Spark-shaped: sorted
+    * suffix ranks compare adjacent suffixes' shared prefix ≥ minLen,
+    * which holds iff the two minLen-windows at those starts are equal
+    * — i.e. iff the window's corpus occurrence count is ≥ 2. The
+    * gram-keyed aggregate computes that membership with map-side
+    * combines (no sequential suffix sort, no corpus-wide window); the
+    * run merge is a row-local fold over each doc's SORTED duplicated
+    * starts (state bounded by document length — the covSets
+    * discipline).
+    *
+    * Gram identity is the usual 64-bit hash (collision ~2⁻⁶⁴).
+    *
+    * @param minLen   window length (the paper uses 50 BPE tokens;
+    *                 gates use smaller for fixture visibility)
+    * @param minCount corpus occurrence threshold (≥ 2)
+    * @return (idCol, n_tokens, n_dup_tokens, n_runs, max_run,
+    *         dup_frac_q20) — zeros for docs with no duplicated window;
+    *         dup_frac_q20 = ⌊n_dup_tokens·2²⁰/n_tokens⌋ (NULL on empty
+    *         docs)
+    */
+  def duplicatedRuns(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int, minCount: Int = 2): DataFrame = {
+    require(minLen >= 2, "need minLen >= 2")
+    require(minCount >= 2, "a window seen < 2 times is not a duplicate")
+    val base = CacheScope.track(
+      docs.select(col(idCol).as("__id"),
+        graft.functions.tokenCountNative(col(textCol)).as("n_tokens"),
+        graft.functions.ngramHashSeq(col(textCol), minLen).as("__g")))
+    val grams = base.select(col("__id"),
+      posexplode(col("__g")).as(Seq("__pos", "__gram")))
+    // occurrence-count threshold: one gram-keyed count aggregate,
+    // map-side combinable — a boilerplate window in a billion docs
+    // reduces to one partial per map task
+    val repeated = grams.groupBy("__gram")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__gram")
+    // per-doc sorted duplicated starts, then ONE row-local interval
+    // merge: intervals [s, s+minLen) over ascending s — extend while
+    // s <= curEnd, else close the run. State: (curStart, curEnd,
+    // n_runs, covered, maxRun); finish closes the open run.
+    val runStats = grams.join(repeated, "__gram")
+      .groupBy("__id")
+      .agg(sort_array(collect_set(col("__pos"))).as("__ss"))
+      .select(col("__id"), aggregate(col("__ss"),
+        struct(lit(-1).as("cs"), lit(-1).as("ce"),
+          lit(0L).as("nr"), lit(0L).as("cov"), lit(0L).as("mx")),
+        (st, s) => {
+          val runLen = (st.getField("ce") - st.getField("cs")).cast("long")
+          when(st.getField("cs") === -1,
+            struct(s.as("cs"), (s + minLen).as("ce"),
+              st.getField("nr").as("nr"), st.getField("cov").as("cov"),
+              st.getField("mx").as("mx")))
+            .when(s <= st.getField("ce"),
+              struct(st.getField("cs").as("cs"), (s + minLen).as("ce"),
+                st.getField("nr").as("nr"), st.getField("cov").as("cov"),
+                st.getField("mx").as("mx")))
+            .otherwise(
+              struct(s.as("cs"), (s + minLen).as("ce"),
+                (st.getField("nr") + 1L).as("nr"),
+                (st.getField("cov") + runLen).as("cov"),
+                greatest(st.getField("mx"), runLen).as("mx")))
+        },
+        st => {
+          val runLen = (st.getField("ce") - st.getField("cs")).cast("long")
+          when(st.getField("cs") === -1,
+            struct(lit(0L).as("nr"), lit(0L).as("cov"), lit(0L).as("mx")))
+            .otherwise(struct(
+              (st.getField("nr") + 1L).as("nr"),
+              (st.getField("cov") + runLen).as("cov"),
+              greatest(st.getField("mx"), runLen).as("mx")))
+        }).as("__rs"))
+    base.select(col("__id"), col("n_tokens"))
+      .join(runStats, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("__rs.cov"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("__rs.nr"), lit(0L)).as("n_runs"),
+        coalesce(col("__rs.mx"), lit(0L)).as("max_run"),
+        when(col("n_tokens") > 0, graft.functions.posIntDiv(
+          coalesce(col("__rs.cov"), lit(0L)) * 1048576L,
+          col("n_tokens").cast("long"))).as("dup_frac_q20"))
+  }
 }

@@ -4392,8 +4392,37 @@ object LlmQueries {
       graft.operators.Bpe.bpeRankSegmentByteLevel(
         docs, "text", merges, "step", "lhs", "rhs")
         .orderBy("w")
+    }),
+
+    // ExactSubstr VARIABLE-LENGTH repeated-run dedup (Lee et al. 2022
+    // — round-12 brief task 5): a 200-token block is PLANTED into
+    // every doc_id%10=0 document (both engines construct it from the
+    // same literal), and duplicatedRuns must read it back as one
+    // ~200-token run per planted doc — the length ≫ minLen signal
+    // fixed-k span coverage (q65) saturates on — plus whatever natural
+    // repeats the corpus carries (occurrence-count semantics: within-
+    // doc repeats count, as a corpus suffix array would see them).
+    // Exact integers; the oracle replays gram counting + the
+    // gaps-and-islands interval merge with window functions.
+    "q335_exact_substr_runs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" " + exactSubstrBlock)))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      graft.operators.Spans.duplicatedRuns(planted, "doc_id", "text",
+        minLen = 10)
+        .orderBy("doc_id")
     })
   )
+
+  /** q335's planted repeat: 200 tokens outside the corpus vocabulary,
+    * shared verbatim by the engine (plan literal) and the oracle
+    * (SQL literal) — the q298 shared-artifact discipline.
+    */
+  private val exactSubstrBlock: String =
+    (0 until 200).map(i => s"zq${i}z").mkString(" ")
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
     * alpha text never UNKs, plus multi-char units chosen to overlap on
@@ -12799,6 +12828,57 @@ object LlmQueries {
     "q329_bpe_rank_encode" -> oBpeRankEncodeSql(8),
 
     "q334_bytelevel_bpe" -> oByteBpeEncodeSql(8),
+
+    // ExactSubstr runs: same planted block, literal-gram occurrence
+    // counts, lag-based gaps-and-islands merge of [pos, pos+10) spans.
+    "q335_exact_substr_runs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         |    THEN coalesce(text, '') || ' $exactSubstrBlock'
+         |    ELSE coalesce(text, '') END AS xt
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, ${oToks.replace("text", "xt")} AS tk FROM d),
+         |gg AS (
+         |  SELECT doc_id, pg['p'] AS pos, pg['gr'] AS gr
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, len(tk) - 8),
+         |          i -> {'p': i, 'gr': array_to_string(tk[i:i+9], ' ')}))
+         |          AS pg
+         |        FROM tk)),
+         |rep AS (
+         |  SELECT gr FROM (SELECT gr, count(*) AS c FROM gg GROUP BY 1)
+         |  WHERE c >= 2),
+         |ds AS (SELECT doc_id, pos FROM gg JOIN rep USING (gr)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos <= coalesce(lag(pos) OVER (
+         |        PARTITION BY doc_id ORDER BY pos), -999999) + 10
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM ds),
+         |grp AS (
+         |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) AS gid
+         |  FROM isl),
+         |runs AS (
+         |  SELECT doc_id, gid,
+         |    CAST(max(pos) + 10 - min(pos) AS BIGINT) AS rl
+         |  FROM grp GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         |    CAST(sum(rl) AS BIGINT) AS n_dup,
+         |    CAST(max(rl) AS BIGINT) AS max_run
+         |  FROM runs GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  coalesce(p.n_dup, CAST(0 AS BIGINT)) AS n_dup_tokens,
+         |  coalesce(p.n_runs, CAST(0 AS BIGINT)) AS n_runs,
+         |  coalesce(p.max_run, CAST(0 AS BIGINT)) AS max_run,
+         |  CASE WHEN len(t.tk) > 0 THEN
+         |    CAST((coalesce(p.n_dup, 0) * 1048576) // len(t.tk) AS BIGINT)
+         |  END AS dup_frac_q20
+         |FROM tk t LEFT JOIN per p USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     // Composed RLHF pipeline: the q314/q317/q321 oracle chains
     // re-derived over the gated event set, each closed to its one-row

@@ -376,4 +376,87 @@ class LayoutSpansSpec extends SparkSpec {
     assert(m.getAs[Long]("runs") === 1L)
     assert(m.isNullAt(m.fieldIndex("z"))) // one class: no variance
   }
+
+  test("duplicatedRuns: planted long repeat reads as ONE run of its " +
+    "full length; within-doc repeats count; zeros elsewhere") {
+    // the ExactSubstr property fixed-k coverage can't express: a
+    // 12-token block repeated across two docs must surface max_run=12
+    // (11-token windows at starts 0,1 merge), not just "covered"
+    val block = (0 until 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $block gamma"),
+      (2L, s"$block delta"),
+      (3L, "entirely unique tokens here nothing repeats at all okay"),
+      // within-doc repeat: one doc, the 4-token phrase twice with
+      // minLen=4 -> suffix-array semantics say DUPLICATED
+      (4L, "p q r s xx p q r s"),
+      (5L, "")).toDF("id", "text")
+    val got = Spans.duplicatedRuns(docs, "id", "text", minLen = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens"),
+          r.getAs[Long]("n_runs"), r.getAs[Long]("max_run")))).toMap
+    // doc1: 15 tokens (alpha beta + 12 + gamma), block at positions
+    // 2..13 -> one 12-token run
+    assert(got(1L) === ((15L, 12L, 1L, 12L)))
+    // doc2: block at 0..11 -> one 12-token run of 13 tokens
+    assert(got(2L) === ((13L, 12L, 1L, 12L)))
+    assert(got(3L) === ((9L, 0L, 0L, 0L)))
+    // doc4: "p q r s" at starts 0 and 5 (9 tokens total): two runs of
+    // 4 (they don't touch: positions 0-3 and 5-8)
+    assert(got(4L) === ((9L, 8L, 2L, 4L)))
+    assert(got(5L) === ((0L, 0L, 0L, 0L)))
+    // dup_frac: doc2 = floor(12*2^20/13); empty doc NULL
+    val fr = Spans.duplicatedRuns(docs, "id", "text", minLen = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(fr(2L).getAs[Long]("dup_frac_q20") === 12L * 1048576L / 13L)
+    assert(fr(5L).isNullAt(fr(5L).fieldIndex("dup_frac_q20")))
+    // touching repeats merge: "a b c d a b c d a b c d" minLen=4 —
+    // every 4-window repeats (12 tokens, starts 0..8 all duplicated)
+    val chain = Seq((9L, "a b c d a b c d a b c d")).toDF("id", "text")
+    val ch = Spans.duplicatedRuns(chain, "id", "text", minLen = 4)
+      .collect()(0)
+    assert(ch.getAs[Long]("n_dup_tokens") === 12L)
+    assert(ch.getAs[Long]("n_runs") === 1L)
+    assert(ch.getAs[Long]("max_run") === 12L)
+  }
+
+  test("duplicatedRuns: scala-side reference on a fuzz corpus") {
+    val rnd = new scala.util.Random(335L)
+    val vocab = ('a' to 'f').map(_.toString)
+    val docs = (1 to 30).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(25)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val minLen = 3
+    // reference: exact gram counting + interval union
+    val toks = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+    toks.values.foreach(tk => tk.sliding(minLen).filter(_.size == minLen)
+      .foreach(g => counts(g) = counts.getOrElse(g, 0) + 1))
+    def ref(id: Long): (Long, Long, Long) = {
+      val tk = toks(id)
+      val starts = tk.sliding(minLen).zipWithIndex
+        .collect { case (g, p) if g.size == minLen && counts(g) >= 2 => p }
+        .toSeq
+      val cov = starts.flatMap(p => p until p + minLen).toSet
+      // runs over covered positions
+      val runs = cov.toSeq.sorted.foldLeft(Seq.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && acc.last._2 == p - 1 =>
+          acc.init :+ (acc.last._1, p)
+        case (acc, p) => acc :+ (p, p)
+      }
+      (cov.size.toLong, runs.size.toLong,
+        if (runs.isEmpty) 0L else runs.map(r => r._2 - r._1 + 1).max.toLong)
+    }
+    val got = Spans.duplicatedRuns(docs.toDF("id", "text"), "id", "text",
+        minLen)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_dup_tokens"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("max_run")))).toMap
+    docs.foreach { case (id, _) =>
+      assert(got(id) === ref(id), s"doc $id: '${toks(id).mkString(" ")}'")
+    }
+    assert(got.values.exists(_._1 > 0L)) // fuzz actually hit repeats
+  }
 }
