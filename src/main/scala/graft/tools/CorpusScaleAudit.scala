@@ -39,10 +39,15 @@ object CorpusScaleAudit {
   // the bench's most expensive non-graph queries (round-11 verdict's
   // probe list): dedup CC both tiers, the recall/blocking truth sides,
   // the BPE training trio, MBR selection, the composed corpus pipeline
+  // — plus (round 12 verdict, task 6) the two newest composed gates:
+  // q330 (RLHF pipeline, reads EVENTS — replicated by user/event id
+  // offset so reward GROUPS grow linearly, the way real traffic
+  // grows) and q332 (CCNet tertiles over the frozen-LM scores).
   val DefaultProbes = Seq(
     "q47_dedup_clusters", "q63_dedup_corpus", "q84_corpus_pipeline",
     "q92_bpe_merges", "q93_bpe_vocab", "q94_bpe_doc_tokens",
-    "q97_dedup_recall", "q243_blocking_quality", "q315_mbr_select")
+    "q97_dedup_recall", "q243_blocking_quality", "q315_mbr_select",
+    "q330_rlhf_pipeline", "q332_ccnet_tertiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,8 +116,22 @@ object CorpusScaleAudit {
       .select("doc_id", "text", "lang", "source", "n_chars")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    // events replicated by ID OFFSET (round-12 verdict task 6): each
+    // replica's users/events are fresh ids, so q330's reward groups —
+    // the unit its per-group aggregates and DPO pairs key on — grow
+    // linearly, the way real traffic grows (more users, not more
+    // events per user). Timestamps/values/types stay as-is.
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until krep).map { i =>
+      events.select(
+        (col("event_id") + lit(i * off)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * off)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "embeddings").foreach { t =>
+      "lineitem", "embeddings").foreach { t =>
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$bigDir/$t.parquet"),
         java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
