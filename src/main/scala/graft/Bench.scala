@@ -176,13 +176,40 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // CPU-BOUND calibration probe (round 13): the shuffle probe above
+    // stayed flat (0.59–0.70 s) across rounds where EVERY query family
+    // — including code untouched for 5+ rounds — uniformly slowed
+    // 1.5–2.9× locally (the r12→r13 CC-tier adjudication, SCALE.md):
+    // host per-core THROUGHPUT drift that a short shuffle wait cannot
+    // see. One single-task codegen'd hash-sum prices exactly that —
+    // pure expression CPU, no shuffle, no parallelism — so the pair
+    // (calibration_sec, calibration_cpu_sec) separates "machine I/O
+    // weather" from "machine compute class" in cross-round deltas.
+    def calibrateCpu(): Double = {
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        // bit_xor, not sum — summing 64-bit hashes overflows under
+        // ANSI (the measure() lesson)
+        spark.range(0L, 16000000L, 1L, 1)
+          .selectExpr("bit_xor(xxhash64(id))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    // Optional subset for LOCAL re-measurement (drift adjudication —
+    // the driver never sets this): same interleaved-pass machinery,
+    // same calibration rows, restricted query set.
+    val onlyQ = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyQ.forall(_.contains(n)) }
     def pass(sel: String => Boolean): Map[String, Option[Double]] =
       named.filter(p => sel(p._1))
         .map { case (name, fn) => name -> once(name, fn) }.toMap
     val calSamples = Seq.newBuilder[Double]
+    val calCpuSamples = Seq.newBuilder[Double]
     def calibratedPass(sel: String => Boolean): Map[String, Option[Double]] = {
       calSamples += calibrate()
+      calCpuSamples += calibrateCpu()
       pass(sel)
     }
     val passes = Seq(calibratedPass(_ => true), calibratedPass(_ => true),
@@ -238,9 +265,10 @@ object Bench {
     val cal = calSamples.result()
     val calMin = r(cal.min)
     val calMed = r(cal.sorted.apply((cal.size - 1) / 2))
-    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","checksum_action":$cs,"queries":$qs,"queries_median":$qms,"failed":$fs,"calibration_sec":$calMin,"calibration_median_sec":$calMed,"value_median":${r(totalMed)},"value":${r(total)}}"""
+    val calCpu = r(calCpuSamples.result().min)
+    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","checksum_action":$cs,"queries":$qs,"queries_median":$qms,"failed":$fs,"calibration_sec":$calMin,"calibration_median_sec":$calMed,"calibration_cpu_sec":$calCpu,"value_median":${r(totalMed)},"value":${r(total)}}"""
     println(fullLine)
-    println(s"""{"metric":"total","value":${r(total)},"value_median":${r(totalMed)},"calibration_sec":$calMin,"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size}}""")
+    println(s"""{"metric":"total","value":${r(total)},"value_median":${r(totalMed)},"calibration_sec":$calMin,"calibration_cpu_sec":$calCpu,"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_failed":${failed.size}}""")
     // Driver log tails keep only ~68 of the per-query times; committing
     // the full line per round (bench_local_rN.json) is what makes
     // round-over-round per-query regression checks possible from repo
