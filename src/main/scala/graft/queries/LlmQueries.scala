@@ -4331,38 +4331,7 @@ object LlmQueries {
     // payload bytes never shuffle.
     "q333_media_headers" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val m = col("doc_id") % 4
-      val w = (col("doc_id") % 991) + 1
-      val h = (col("doc_id") % 737) + 1
-      val pdep = element_at(typedlit(Seq(1L, 2L, 4L, 8L, 16L)),
-        (col("doc_id") % 5).cast("int") + 1)
-      val gifPacked = col("doc_id") % 8 // depth = (packed & 7) + 1
-      def hx(c: Column, digits: Int) = lpad(hex(c), digits, "0")
-      def be32(c: Column) = unhex(hx(c, 8))
-      def be16(c: Column) = unhex(hx(c, 4))
-      def le16(c: Column) = {
-        val x = hx(c, 4)
-        unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
-      }
-      // signature + IHDR(len=13) + w + h + depth + color/comp/filter/
-      // interlace + junk CRC = 33 bytes
-      val png = concat(
-        unhex(lit("89504E470D0A1A0A0000000D49484452")),
-        be32(w), be32(h), unhex(hx(pdep, 2)),
-        unhex(lit("06000000DEADBEEF")))
-      // SOI + full APP0/JFIF + SOF0(len 17: precision, h, w, 3 comps)
-      // + EOI = 41 bytes — the walk must SKIP APP0 by its length
-      val jpeg = concat(
-        unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
-        be16(h), be16(w), unhex(lit("03011100021101031101FFD9")))
-      // magic + LSD (w LE, h LE, packed, bg, aspect) = 13 bytes
-      val gif = concat(unhex(lit("474946383961")), le16(w), le16(h),
-        unhex(hx(gifPacked, 2)), unhex(lit("0000")))
-      val corrupt = when(col("doc_id") % 8 === 3, substring(png, 1, 12))
-        .otherwise(concat(unhex(lit("00")), substring(png, 2, 28)))
-      val payload = when(m === 0, png).when(m === 1, jpeg)
-        .when(m === 2, gif).otherwise(corrupt)
-      docs.select(col("doc_id"), payload.as("__p"))
+      docs.select(col("doc_id"), mediaPayload(col("doc_id")).as("__p"))
         .select(col("doc_id"),
           length(col("__p")).cast("long").as("n_bytes"),
           graft.operators.Multimodal.headerMeta(col("__p")).as("__h"))
@@ -4414,6 +4383,37 @@ object LlmQueries {
       graft.operators.Spans.duplicatedRuns(planted, "doc_id", "text",
         minLen = 10)
         .orderBy("doc_id")
+    }),
+
+    // The multimodal RESOLUTION/FORMAT GATE composed over the header
+    // kernel (q333's payloads) — the filter a pipeline actually ships:
+    // keep = parseable ∧ format ∈ {png, jpeg} ∧ both dims ≥ 64 ∧
+    // aspect within 4:1 (integer cross-multiplications, no division).
+    // Scorecard per format (unparseable bucketed under its own key):
+    // independent reason counts so the monitoring read shows WHY mass
+    // drops, not just that it did. Oracle: pure doc_id arithmetic —
+    // the kernel's parsed dimensions must drive the same verdicts the
+    // construction arithmetic predicts.
+    "q336_media_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hdr = docs.select(col("doc_id"),
+          graft.operators.Multimodal.headerMeta(
+            mediaPayload(col("doc_id"))).as("__h"))
+        .select(col("doc_id"), col("__h.format").as("__f"),
+          col("__h.width").as("__w"), col("__h.height").as("__hh"))
+      val parseable = col("__f").isNotNull
+      val allowed = col("__f").isin("png", "jpeg")
+      val big = col("__w") >= 64L && col("__hh") >= 64L
+      val aspectOk = col("__w") <= col("__hh") * 4L &&
+        col("__hh") <= col("__w") * 4L
+      hdr.groupBy(coalesce(col("__f"), lit("unparseable")).as("format"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(parseable && allowed && big && aspectOk, 1))
+            .as("n_keep"),
+          count(when(parseable && !allowed, 1)).as("n_not_allowed"),
+          count(when(parseable && !big, 1)).as("n_too_small"),
+          count(when(parseable && !aspectOk, 1)).as("n_bad_aspect"))
+        .orderBy("format")
     })
   )
 
@@ -4423,6 +4423,50 @@ object LlmQueries {
     */
   private val exactSubstrBlock: String =
     (0 until 200).map(i => s"zq${i}z").mkString(" ")
+
+  /** q333/q336's constructed media payload for one doc id — spec-true
+    * PNG/JPEG/GIF headers from doc_id arithmetic via hex-string
+    * construction (BE via lpad(hex); LE via explicit byte-pair swap),
+    * with planted corruption on the %4==3 slice (a 12-byte truncation
+    * and a bad-magic first byte). Shares NO code with the parsing
+    * kernel's byte arithmetic.
+    */
+  private def mediaPayload(docId: Column): Column = {
+    val m = docId % 4
+    val w = (docId % 991) + 1
+    // height varies independently of width even at small ids (sf0.01
+    // doc_ids < 737 would otherwise make w == h and never exercise the
+    // aspect gate): the *7 spreads the residues
+    val h = ((docId * 7) % 737) + 1
+    val pdep = element_at(typedlit(Seq(1L, 2L, 4L, 8L, 16L)),
+      (docId % 5).cast("int") + 1)
+    val gifPacked = docId % 8 // depth = (packed & 7) + 1
+    def hx(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+    def be32(c: Column) = unhex(hx(c, 8))
+    def be16(c: Column) = unhex(hx(c, 4))
+    def le16(c: Column) = {
+      val x = hx(c, 4)
+      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    // signature + IHDR(len=13) + w + h + depth + color/comp/filter/
+    // interlace + junk CRC = 33 bytes
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be32(w), be32(h), unhex(hx(pdep, 2)),
+      unhex(lit("06000000DEADBEEF")))
+    // SOI + full APP0/JFIF + SOF0(len 17: precision, h, w, 3 comps)
+    // + EOI = 41 bytes — the walk must SKIP APP0 by its length
+    val jpeg = concat(
+      unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+      be16(h), be16(w), unhex(lit("03011100021101031101FFD9")))
+    // magic + LSD (w LE, h LE, packed, bg, aspect) = 13 bytes
+    val gif = concat(unhex(lit("474946383961")), le16(w), le16(h),
+      unhex(hx(gifPacked, 2)), unhex(lit("0000")))
+    val corrupt = when(docId % 8 === 3, substring(png, 1, 12))
+      .otherwise(concat(unhex(lit("00")), substring(png, 2, 28)))
+    when(m === 0, png).when(m === 1, jpeg)
+      .when(m === 2, gif).otherwise(corrupt)
+  }
 
   /** q292's frozen subword vocab: full single-char coverage (a–z) so
     * alpha text never UNKs, plus multi-char units chosen to overlap on
@@ -12880,6 +12924,34 @@ object LlmQueries {
          |FROM tk t LEFT JOIN per p USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
 
+    // Media gate: the q333 arithmetic extended with the gate CASEs —
+    // the oracle predicts every verdict without touching bytes.
+    "q336_media_gate" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      WHEN 2 THEN 'gif' END AS f,
+        |    CAST(doc_id % 991 + 1 AS BIGINT) AS w,
+        |    CAST((doc_id * 7) % 737 + 1 AS BIGINT) AS hh
+        |  FROM documents),
+        |v AS (
+        |  SELECT coalesce(f, 'unparseable') AS format,
+        |    f IS NOT NULL AS parseable,
+        |    f IN ('png', 'jpeg') AS allowed,
+        |    (w >= 64 AND hh >= 64) AS big,
+        |    (w <= hh * 4 AND hh <= w * 4) AS aspect_ok
+        |  FROM h)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN parseable AND allowed AND big
+        |    AND aspect_ok THEN 1 END) AS BIGINT) AS n_keep,
+        |  CAST(count(CASE WHEN parseable AND NOT allowed THEN 1 END)
+        |    AS BIGINT) AS n_not_allowed,
+        |  CAST(count(CASE WHEN parseable AND NOT big THEN 1 END)
+        |    AS BIGINT) AS n_too_small,
+        |  CAST(count(CASE WHEN parseable AND NOT aspect_ok THEN 1 END)
+        |    AS BIGINT) AS n_bad_aspect
+        |FROM v GROUP BY 1 ORDER BY format""".stripMargin,
+
     // Composed RLHF pipeline: the q314/q317/q321 oracle chains
     // re-derived over the gated event set, each closed to its one-row
     // aggregate, cross-joined into the single verdict row.
@@ -13047,7 +13119,7 @@ object LlmQueries {
         |  CASE WHEN doc_id % 4 < 3
         |    THEN CAST(doc_id % 991 + 1 AS BIGINT) END AS width,
         |  CASE WHEN doc_id % 4 < 3
-        |    THEN CAST(doc_id % 737 + 1 AS BIGINT) END AS height,
+        |    THEN CAST((doc_id * 7) % 737 + 1 AS BIGINT) END AS height,
         |  CASE doc_id % 4
         |    WHEN 0 THEN CAST([1,2,4,8,16][CAST(doc_id % 5 AS INT) + 1]
         |      AS BIGINT)
