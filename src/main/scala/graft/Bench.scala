@@ -94,7 +94,9 @@ object Bench {
     // q335: the doc-spine left join to the unique-key run stats is
     // eliminable under count() (q87's pattern) — checksum forces the
     // gram aggregate + interval merge.
-    "q335_exact_substr_runs")
+    "q335_exact_substr_runs",
+    // q337 is q333's shape: pure construct→parse projection.
+    "q337_webp_bmp_headers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

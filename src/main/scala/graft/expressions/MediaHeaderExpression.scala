@@ -11,7 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * bit_depth) read a multimodal training pipeline filters on
   * (resolution gates, aspect-ratio gates, format allowlists) BEFORE any
   * pixel work. Pure byte arithmetic over the container headers of the
-  * three ubiquitous image formats; no codec libraries:
+  * five ubiquitous image formats (PNG, GIF, JPEG, WebP, BMP — WebP/BMP
+  * documented at their parse methods); no codec libraries:
   *
   *  - PNG (ISO/IEC 15948 §5.2/§11.2.2): 8-byte signature
   *    89 50 4E 47 0D 0A 1A 0A, then the IHDR chunk (length must be 13,
@@ -42,6 +43,8 @@ object MediaHeaderKernel {
   private val FORMAT_PNG = UTF8String.fromString("png")
   private val FORMAT_GIF = UTF8String.fromString("gif")
   private val FORMAT_JPEG = UTF8String.fromString("jpeg")
+  private val FORMAT_WEBP = UTF8String.fromString("webp")
+  private val FORMAT_BMP = UTF8String.fromString("bmp")
 
   /** @return InternalRow(format, width, height, bit_depth) or null. */
   def parse(b: Array[Byte]): InternalRow = {
@@ -49,6 +52,9 @@ object MediaHeaderKernel {
     if ((b(0) & 0xFF) == 0x89 && b(1) == 0x50) parsePng(b)
     else if (b(0) == 0x47 && b(1) == 0x49) parseGif(b)
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) parseJpeg(b)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      parseWebp(b)
+    else if (b(0) == 'B' && b(1) == 'M') parseBmp(b)
     else null
   }
 
@@ -93,6 +99,73 @@ object MediaHeaderKernel {
     val h = le16(b, 8)
     if (w == 0L || h == 0L) return null
     InternalRow(FORMAT_GIF, w, h, (u8(b, 10) & 0x07).toLong + 1L)
+  }
+
+  private def le24(b: Array[Byte], i: Int): Long =
+    ((b(i + 2) & 0xFFL) << 16) | ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
+      ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+
+  /** WebP (RIFF container, "WEBP" form type, first chunk dispatched):
+    *  - "VP8 " lossy (RFC 6386 §9.1): 3-byte frame tag, start code
+    *    9D 01 2A, then width/height as the LOW 14 BITS of two LE
+    *    uint16s (the high 2 bits are scale hints);
+    *  - "VP8L" lossless (the public VP8L bitstream spec): 0x2F
+    *    signature, then one LE uint32 bitfield — width−1 in bits 0..13,
+    *    height−1 in bits 14..27;
+    *  - "VP8X" extended: flags(1) + reserved(3), then canvas
+    *    width−1/height−1 as LE uint24s.
+    * All three carry 8-bit samples → bit_depth 8.
+    */
+  private def parseWebp(b: Array[Byte]): InternalRow = {
+    if (b.length < 20) return null
+    if (b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P')
+      return null
+    val f0 = b(12); val f1 = b(13); val f2 = b(14); val f3 = b(15)
+    if (f0 == 'V' && f1 == 'P' && f2 == '8' && f3 == ' ') {
+      // payload at 20: tag(3) 9D 01 2A w(2LE) h(2LE)
+      if (b.length < 30) return null
+      if ((b(23) & 0xFF) != 0x9D || (b(24) & 0xFF) != 0x01 ||
+        (b(25) & 0xFF) != 0x2A) return null
+      val w = le16(b, 26) & 0x3FFFL
+      val h = le16(b, 28) & 0x3FFFL
+      if (w == 0L || h == 0L) return null
+      InternalRow(FORMAT_WEBP, w, h, 8L)
+    } else if (f0 == 'V' && f1 == 'P' && f2 == '8' && f3 == 'L') {
+      if (b.length < 25) return null
+      if ((b(20) & 0xFF) != 0x2F) return null
+      val bits = le32(b, 21)
+      InternalRow(FORMAT_WEBP, (bits & 0x3FFFL) + 1L,
+        ((bits >> 14) & 0x3FFFL) + 1L, 8L)
+    } else if (f0 == 'V' && f1 == 'P' && f2 == '8' && f3 == 'X') {
+      if (b.length < 30) return null
+      InternalRow(FORMAT_WEBP, le24(b, 24) + 1L, le24(b, 27) + 1L, 8L)
+    } else null
+  }
+
+  /** BMP: "BM" file header (14 bytes) then the DIB header — sized 12
+    * (BITMAPCOREHEADER: uint16 dims, bpp at 24) or ≥ 40
+    * (BITMAPINFOHEADER+: int32 dims at 18/22 — height NEGATIVE means
+    * top-down rows, reported as |height|; width ≤ 0 or height 0 →
+    * corrupt — and bpp at 28).
+    */
+  private def parseBmp(b: Array[Byte]): InternalRow = {
+    if (b.length < 26) return null
+    val dib = le32(b, 14)
+    if (dib == 12L) {
+      val w = le16(b, 18)
+      val h = le16(b, 20)
+      if (w == 0L || h == 0L) return null
+      InternalRow(FORMAT_BMP, w, h, le16(b, 24))
+    } else if (dib >= 40L) {
+      if (b.length < 30) return null
+      val w = le32(b, 18).toInt.toLong // sign-extend int32
+      val h = le32(b, 22).toInt.toLong
+      if (w <= 0L || h == 0L) return null
+      InternalRow(FORMAT_BMP, w, math.abs(h), le16(b, 28))
+    } else null
   }
 
   private def parseJpeg(b: Array[Byte]): InternalRow = {

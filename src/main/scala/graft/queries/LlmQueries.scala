@@ -4414,8 +4414,81 @@ object LlmQueries {
           count(when(parseable && !big, 1)).as("n_too_small"),
           count(when(parseable && !aspectOk, 1)).as("n_bad_aspect"))
         .orderBy("format")
+    }),
+
+    // WebP + BMP header decode (round 13, the q333 discipline over the
+    // #2 web image format): all three WebP chunk kinds — VP8L lossless
+    // (the LE uint32 bitfield: width−1 in bits 0..13, height−1 in
+    // 14..27), VP8 lossy (start code 9D 01 2A, low-14-bit LE dims),
+    // VP8X extended (LE uint24 canvas−1 fields) — plus BMP
+    // BITMAPINFOHEADER (signed LE int32 dims). Payloads constructed
+    // from doc_id arithmetic by hex-string byte-swaps; the kernel
+    // re-reads them with byte arithmetic; the oracle predicts every
+    // column (sizes included) without touching bytes.
+    "q337_webp_bmp_headers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          webpBmpPayload(col("doc_id")).as("__p"))
+        .select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.operators.Multimodal.headerMeta(col("__p")).as("__h"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__h.format").as("format"), col("__h.width").as("width"),
+          col("__h.height").as("height"),
+          col("__h.bit_depth").as("bit_depth"))
+        .orderBy("doc_id")
     })
   )
+
+  /** q337's constructed WebP/BMP payloads (the [[mediaPayload]]
+    * discipline): doc_id%4 selects VP8L / VP8 / VP8X / BMP, dims reuse
+    * q333's width/height arithmetic.
+    */
+  private def webpBmpPayload(docId: Column): Column = {
+    val m = docId % 4
+    val w = (docId % 991) + 1
+    val h = ((docId * 7) % 737) + 1
+    val bmpBpp = element_at(typedlit(Seq(1L, 4L, 8L, 16L, 24L, 32L)),
+      (docId % 6).cast("int") + 1)
+    def hxp(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+    def le16(c: Column) = {
+      val x = hxp(c, 4)
+      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    def le24(c: Column) = {
+      val x = hxp(c, 6)
+      unhex(concat(substring(x, 5, 2), substring(x, 3, 2),
+        substring(x, 1, 2)))
+    }
+    def le32(c: Column) = {
+      val x = hxp(c, 8)
+      unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    // VP8L: RIFF(17) WEBP "VP8L"(5) 2F + bitfield LE32 = 25 bytes
+    val vp8lBits = (w - 1) + (h - 1) * 16384L
+    val vp8l = concat(unhex(lit("52494646")), le32(lit(17L)),
+      unhex(lit("57454250" + "5650384C" + "05000000" + "2F")),
+      le32(vp8lBits))
+    // VP8 lossy: RIFF(22) WEBP "VP8 "(10) tag(3) 9D012A wLE16 hLE16
+    // = 30 bytes (scale bits zero)
+    val vp8 = concat(unhex(lit("52494646")), le32(lit(22L)),
+      unhex(lit("57454250" + "56503820" + "0A000000" +
+        "000000" + "9D012A")),
+      le16(w), le16(h))
+    // VP8X: RIFF(22) WEBP "VP8X"(10) flags(1) rsv(3) w-1/h-1 LE24
+    // = 30 bytes
+    val vp8x = concat(unhex(lit("52494646")), le32(lit(22L)),
+      unhex(lit("57454250" + "56503858" + "0A000000" + "00" + "000000")),
+      le24(w - 1), le24(h - 1))
+    // BMP BITMAPINFOHEADER: 14-byte file header + 40-byte DIB = 54
+    val bmp = concat(unhex(lit("424D")), le32(lit(54L)),
+      unhex(lit("00000000" + "36000000" + "28000000")),
+      le32(w), le32(h), unhex(lit("0100")), le16(bmpBpp),
+      unhex(lit("00" * 24)))
+    when(m === 0, vp8l).when(m === 1, vp8).when(m === 2, vp8x)
+      .otherwise(bmp)
+  }
 
   /** q335's planted repeat: 200 tokens outside the corpus vocabulary,
     * shared verbatim by the engine (plan literal) and the oracle
@@ -12951,6 +13024,19 @@ object LlmQueries {
         |  CAST(count(CASE WHEN parseable AND NOT aspect_ok THEN 1 END)
         |    AS BIGINT) AS n_bad_aspect
         |FROM v GROUP BY 1 ORDER BY format""".stripMargin,
+
+    // WebP/BMP headers: pure doc_id arithmetic, no bytes.
+    "q337_webp_bmp_headers" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 25 WHEN 1 THEN 30
+        |    WHEN 2 THEN 30 ELSE 54 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'bmp' ELSE 'webp' END AS format,
+        |  CAST(doc_id % 991 + 1 AS BIGINT) AS width,
+        |  CAST((doc_id * 7) % 737 + 1 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 3
+        |    THEN [1,4,8,16,24,32][CAST(doc_id % 6 AS INT) + 1]
+        |    ELSE 8 END AS BIGINT) AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Composed RLHF pipeline: the q314/q317/q321 oracle chains
     // re-derived over the gated event set, each closed to its one-row

@@ -56,6 +56,76 @@ class MediaHeaderSpec extends SparkSpec {
     assert(parsed(sof2) === Some(("jpeg", 3L, 2L, 8L)))
   }
 
+  // WebP lossless 1x1: the REAL smallest-file encoding — bitfield 0
+  // means width-1 = 0, height-1 = 0
+  private val webpL1x1 = hx(
+    "52494646 1A000000 57454250 5650384C 0D000000 2F00000000")
+  // WebP lossy 3x2 via VP8 start code; low-14-bit dims with scale bits
+  // set high (must be masked off)
+  private val webpV3x2 = hx(
+    "52494646 16000000 57454250 56503820 0A000000 000000 9D012A 0380 0240")
+  // WebP extended: canvas 256x65536 via LE uint24 minus-one fields
+  private val webpX = hx(
+    "52494646 12000000 57454250 56503858 0A000000 00 000000 FF0000 FFFF00")
+  // BMP BITMAPINFOHEADER 7x5 24bpp, and a top-down (-5) variant
+  private val bmp7x5 = hx(
+    "424D 36000000 00000000 36000000 28000000 07000000 05000000 0100 1800" +
+      "00" * 24)
+
+  test("WebP (VP8/VP8L/VP8X) and BMP headers parse to exact dimensions") {
+    assert(parsed(webpL1x1) === Some(("webp", 1L, 1L, 8L)))
+    // 0x8003 & 0x3FFF = 3, 0x4002 & 0x3FFF = 2 (scale bits masked)
+    assert(parsed(webpV3x2) === Some(("webp", 3L, 2L, 8L)))
+    assert(parsed(webpX) === Some(("webp", 256L, 65536L, 8L)))
+    assert(parsed(bmp7x5) === Some(("bmp", 7L, 5L, 24L)))
+    // top-down BMP: negative height reports |height|
+    val td = bmp7x5.clone()
+    td(22) = 0xFB.toByte; td(23) = 0xFF.toByte
+    td(24) = 0xFF.toByte; td(25) = 0xFF.toByte // height = -5 (int32 LE)
+    assert(parsed(td) === Some(("bmp", 7L, 5L, 24L)))
+    // BITMAPCOREHEADER (dib size 12): uint16 dims, bpp at 24
+    val core = hx(
+      "424D 1A000000 00000000 1A000000 0C000000 0900 0400 0100 0800")
+    assert(parsed(core) === Some(("bmp", 9L, 4L, 8L)))
+  }
+
+  test("WebP/BMP corruptions yield NULL") {
+    // RIFF but not WEBP form; unknown first chunk; bad VP8 start code;
+    // bad VP8L signature
+    val notWebp = webpL1x1.clone(); notWebp(8) = 'A'.toByte
+    assert(parsed(notWebp).isEmpty)
+    val badChunk = webpL1x1.clone(); badChunk(15) = 'Q'.toByte
+    assert(parsed(badChunk).isEmpty)
+    val badStart = webpV3x2.clone(); badStart(23) = 0x00.toByte
+    assert(parsed(badStart).isEmpty)
+    val badSig = webpL1x1.clone(); badSig(20) = 0x30.toByte
+    assert(parsed(badSig).isEmpty)
+    // VP8 zero width after masking
+    val zeroW = webpV3x2.clone(); zeroW(26) = 0x00.toByte
+    zeroW(27) = 0x40.toByte // 0x4000 & 0x3FFF = 0
+    assert(parsed(zeroW).isEmpty)
+    // BMP: zero height; negative width; unknown DIB size (e.g. 16)
+    val h0 = bmp7x5.clone(); h0(22) = 0; assert(parsed(h0).isEmpty)
+    val negW = bmp7x5.clone()
+    negW(18) = 0xF9.toByte; negW(19) = 0xFF.toByte
+    negW(20) = 0xFF.toByte; negW(21) = 0xFF.toByte
+    assert(parsed(negW).isEmpty)
+    val badDib = bmp7x5.clone(); badDib(14) = 16
+    assert(parsed(badDib).isEmpty)
+    // truncation fuzz for the new formats too: NULL or exact, never wrong
+    Seq(("webpL", webpL1x1, ("webp", 1L, 1L, 8L)),
+      ("webpV", webpV3x2, ("webp", 3L, 2L, 8L)),
+      ("webpX", webpX, ("webp", 256L, 65536L, 8L)),
+      ("bmp", bmp7x5, ("bmp", 7L, 5L, 24L))).foreach {
+      case (name, full, exp) =>
+        (0 until full.length).foreach { n =>
+          val got = parsed(full.take(n))
+          assert(got.isEmpty || got.contains(exp),
+            s"$name truncated to $n bytes returned a WRONG header: $got")
+        }
+    }
+  }
+
   test("every truncation parses to NULL or the exact answer, never a wrong one") {
     Seq(("png", png1x1, ("png", 1L, 1L, 8L)),
       ("gif", gif10x20, ("gif", 10L, 20L, 8L)),
