@@ -96,7 +96,9 @@ object Bench {
     // gram aggregate + interval merge.
     "q335_exact_substr_runs",
     // q337 is q333's shape: pure construct→parse projection.
-    "q337_webp_bmp_headers")
+    "q337_webp_bmp_headers",
+    // q338: doc-spine unique-key left join, eliminable under count().
+    "q338_bytelevel_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

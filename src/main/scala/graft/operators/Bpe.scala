@@ -642,6 +642,63 @@ object Bpe {
         array_join(col("__enc"), " ").as("seg"))
   }
 
+  /** Per-document BYTE-LEVEL token counts under a frozen merge list —
+    * the budget metric for GPT-style context packing ([[bpeRankTokenCount]]
+    * at byte level): distinct-PRETOKEN segmentation through the native
+    * kernel, one join keyed by pretoken, one map-side-combinable
+    * per-doc sum.
+    *
+    * @return (idCol, n_pretokens, n_bpe_tokens) — docs with no
+    *         pretokens keep zeros.
+    */
+  def bpeRankTokenCountByteLevel(docs: DataFrame, idCol: String,
+                                 textCol: String, merges: DataFrame,
+                                 stepCol: String, lhsCol: String,
+                                 rhsCol: String): DataFrame = {
+    val ms = collectMerges(merges, stepCol, lhsCol, rhsCol)
+    val docWords = docs.select(col(idCol),
+      explode(byteLevelPretokens(col(textCol))).as("w"))
+    val seg = docWords.select("w").distinct()
+      .withColumn("__nt", size(graft.functions.bpeEncode(
+        byteLevelSyms(col("w")), ms.map(_._1), ms.map(_._2))).cast("long"))
+    val stats = docWords.join(seg, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(col("__nt")).as("n_bpe_tokens"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pretokens"), lit(0L)).as("n_pretokens"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** ROW-LOCAL byte-level frozen-merge token counts — the streaming-
+    * safe twin of [[bpeRankTokenCountByteLevel]] (the maxMatchCounts
+    * discipline): a pure projection returning struct(n_pretokens,
+    * n_bpe_tokens) for one text value — no distinct-pretoken table, no
+    * shuffle — so it composes into a stateless append-mode stream.
+    * Pays the encode per OCCURRENCE; prefer the operator for batch.
+    */
+  def byteLevelCounts(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "empty merge list")
+    val enc = transform(byteLevelPretokens(text), w =>
+      size(graft.functions.bpeEncode(byteLevelSyms(w),
+        merges.map(_._1), merges.map(_._2))).cast("long"))
+    element_at(transform(array(enc), e =>
+      struct(size(e).cast("long").as("n_pretokens"),
+        coalesce(aggregate(e, lit(0L), (a, x) => a + x), lit(0L))
+          .as("n_bpe_tokens"))), 1)
+  }
+
+  /** The frozen merge table of [[trainMergesByteLevel]] collected as
+    * the (lhs, rhs) rank list — the driver-bounded artifact
+    * [[byteLevelCounts]] takes (exposed so streaming callers reuse the
+    * validated collect path).
+    */
+  def collectMergeList(merges: DataFrame, stepCol: String, lhsCol: String,
+                       rhsCol: String): Seq[(String, String)] =
+    collectMerges(merges, stepCol, lhsCol, rhsCol).toSeq
+
   /** Training loop core: (merge list, final cached word table
     * (w, cnt, syms)). `wordsOf`/`symsOf` select the tokenization level:
     * whitespace words over code-point symbols (default — the q92/q329

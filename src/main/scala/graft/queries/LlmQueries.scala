@@ -4437,6 +4437,22 @@ object LlmQueries {
           col("__h.height").as("height"),
           col("__h.bit_depth").as("bit_depth"))
         .orderBy("doc_id")
+    }),
+
+    // Per-document BYTE-LEVEL token budget under the frozen merges —
+    // the q94/q329-count analogue for the GPT-2 lifecycle: the number
+    // context-window packing actually pays when the tokenizer is
+    // byte-level (space-prefixed pretokens and multibyte expansion
+    // included). Same train slice as q334; the oracle reuses its
+    // unrolled chain and joins each doc's pretokens to the applied
+    // segmentation's symbol counts.
+    "q338_bytelevel_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMergesByteLevel(
+        docs.filter(col("doc_id") % 3 === 0), "text", numMerges = 8)
+      graft.operators.Bpe.bpeRankTokenCountByteLevel(
+        docs, "doc_id", "text", merges, "step", "lhs", "rhs")
+        .orderBy("doc_id")
     })
   )
 
@@ -12946,6 +12962,24 @@ object LlmQueries {
 
     "q334_bytelevel_bpe" -> oByteBpeEncodeSql(8),
 
+    // Byte-level budget: the q334 chain + the q94-style per-doc join.
+    "q338_bytelevel_budget" -> (oByteBpeCtes(8) +
+      s""",
+         |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM a8),
+         |dw AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''),
+         |    $oByteReLit)) AS w
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+         |         CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN wl USING (w) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(st.n_pretokens, CAST(0 AS BIGINT)) AS n_pretokens,
+         |  coalesce(st.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN st USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
+
     // ExactSubstr runs: same planted block, literal-gram occurrence
     // counts, lag-based gaps-and-islands merge of [pos, pos+10) spans.
     "q335_exact_substr_runs" ->
@@ -13239,11 +13273,27 @@ object LlmQueries {
     * merge stages are the identical rank-sequential list_reduce
     * rewrites.
     */
-  private def oByteBpeEncodeSql(numMerges: Int): String = {
+  private def oByteBpeEncodeSql(numMerges: Int): String =
+    oByteBpeCtes(numMerges) +
+      s"""
+         |SELECT w, CAST(len(syms) AS BIGINT) AS n_tokens,
+         |  array_to_string(syms, ' ') AS seg
+         |FROM a$numMerges ORDER BY w""".stripMargin
+
+  /** The q334 chain through the applied stage aN, reusable by count-
+    * style tails (q338): WITH ... aN AS (...) — no trailing comma.
+    */
+  /** The byte-level pretokenizer regex as a DuckDB string literal
+    * (a def, NOT a val — the oracleSql val initializes before
+    * later-declared vals in object init order, which would read null).
+    */
+  private def oByteReLit: String = "'" +
+    graft.operators.Bpe.byteLevelPretokenRegex.replace("'", "''") + "'"
+
+  private def oByteBpeCtes(numMerges: Int): String = {
     val tblLit = graft.operators.Bpe.byteLevelTable
       .map(s => "'" + s.replace("'", "''") + "'").mkString("[", ", ", "]")
-    val reLit = "'" +
-      graft.operators.Bpe.byteLevelPretokenRegex.replace("'", "''") + "'"
+    val reLit = oByteReLit
     def syms(w: String): String =
       s"""list_transform(range(1, length(hex(encode($w))) // 2 + 1),
          |    i -> tbl[(strpos('0123456789ABCDEF',
@@ -13294,10 +13344,6 @@ object LlmQueries {
                 |""".stripMargin
     }
     sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
-    sb ++= s"""
-              |SELECT w, CAST(len(syms) AS BIGINT) AS n_tokens,
-              |  array_to_string(syms, ' ') AS seg
-              |FROM a$numMerges ORDER BY w""".stripMargin
     sb.result()
   }
 

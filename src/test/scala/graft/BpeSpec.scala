@@ -380,6 +380,39 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte-level budget: operator == per-pretoken segment sums; " +
+    "row-local twin == operator") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "low low lower"), (2L, "low lowest café"),
+      (3L, "")).toDF("id", "text")
+    val merges = Bpe.trainMergesByteLevel(docs, "text", numMerges = 3)
+    val counts = Bpe.bpeRankTokenCountByteLevel(docs, "id", "text",
+        merges, "step", "lhs", "rhs")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // reference: sum the q334-style segmentation's n_tokens per doc
+    val seg = Bpe.bpeRankSegmentByteLevel(docs, "text", merges,
+        "step", "lhs", "rhs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def pre(s: String): Seq[String] =
+      Seq(s).toDF("t").select(Bpe.byteLevelPretokens($"t").as("p"))
+        .collect()(0).getSeq[String](0)
+    Seq(1L -> "low low lower", 2L -> "low lowest café").foreach {
+      case (id, text) =>
+        val ws = pre(text)
+        assert(counts(id) === ((ws.size.toLong, ws.map(seg).sum)))
+    }
+    assert(counts(3L) === ((0L, 0L)))
+    // row-local twin
+    val ms = Bpe.collectMergeList(merges, "step", "lhs", "rhs")
+    val twin = docs.select($"id",
+        Bpe.byteLevelCounts($"text", ms).as("c"))
+      .select($"id", $"c.n_pretokens", $"c.n_bpe_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(twin === counts)
+  }
+
   test("viterbiTokenCount: matches a scala-side DP on fuzz words") {
     val rng = new scala.util.Random(307L)
     val multi = Seq.fill(40) {

@@ -1076,6 +1076,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("byte-level frozen-merge token counts stream statelessly " +
+    "(row-local twin == batch operator)") {
+    import graft.streaming.CorpusStreams.Doc
+    import graft.operators.Bpe
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "low low lower"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesByteLevel(train, "text", numMerges = 3)
+    val ms = Bpe.collectMergeList(merges, "step", "lhs", "rhs")
+    val docs = Seq(Doc(10L, ts(0), "low lower than the lowest"),
+      Doc(11L, ts(1), "entirely different words"),
+      Doc(12L, ts(2), ""))
+    val input = MemoryStream[Doc]
+    val query = input.toDF().select($"doc_id",
+        Bpe.byteLevelCounts($"text", ms).as("c"))
+      .select($"doc_id", $"c.n_pretokens", $"c.n_bpe_tokens")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("blcounts").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("blcounts").orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val batch = Bpe.bpeRankTokenCountByteLevel(
+          docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+          "doc_id", "text", merges, "step", "lhs", "rhs")
+        .select($"doc_id", $"n_pretokens", $"n_bpe_tokens")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.exists(r => r(2).asInstanceOf[Long] > 0L))
+    } finally query.stop()
+  }
+
   test("frozen-LM familiarity scores a stream against the static gram " +
     "model (q331's apply shape)") {
     // CCNet deployment: the gram model trains ONCE on the reference
