@@ -98,7 +98,10 @@ object Bench {
     // q337 is q333's shape: pure construct→parse projection.
     "q337_webp_bmp_headers",
     // q338: doc-spine unique-key left join, eliminable under count().
-    "q338_bytelevel_budget")
+    "q338_bytelevel_budget",
+    // q339: the cleaned-text rebuild is a projection over the covered-
+    // set left join — count() would prune the excision entirely.
+    "q339_exact_substr_excise")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

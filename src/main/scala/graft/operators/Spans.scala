@@ -185,6 +185,49 @@ object Spans {
     *         dup_frac_q20 = ⌊n_dup_tokens·2²⁰/n_tokens⌋ (NULL on empty
     *         docs)
     */
+  /** EXCISION of [[duplicatedRuns]]' covered positions — the second
+    * half of ExactSubstr dedup at VARIABLE length (Lee et al. 2022 cut
+    * exactly these maximal duplicated spans from the training text):
+    * every token inside any duplicated run is removed and the cleaned
+    * text rebuilt from the kept tokens. `n_removed` equals
+    * [[duplicatedRuns]]' `n_dup_tokens` by construction (one shared
+    * covered-position set).
+    *
+    * Scale shape: the [[removeRepeatedSpans]] discipline — duplicated
+    * STARTS collect per doc (bounded by document length), positions
+    * expand row-locally (flatten + distinct inside the row), excision
+    * is an array-lambda filter-by-index; the corpus text crosses one
+    * id-keyed shuffle as token arrays.
+    *
+    * @return (idCol, n_tokens, n_removed, cleaned)
+    */
+  def removeDuplicatedRuns(docs: DataFrame, idCol: String, textCol: String,
+                           minLen: Int, minCount: Int = 2): DataFrame = {
+    require(minLen >= 2, "need minLen >= 2")
+    require(minCount >= 2, "a window seen < 2 times is not a duplicate")
+    val base = CacheScope.track(
+      docs.select(col(idCol).as("__id"),
+        graft.functions.tokens(col(textCol)).as("__tk"),
+        graft.functions.ngramHashSeq(col(textCol), minLen).as("__g")))
+    val grams = base.select(col("__id"),
+      posexplode(col("__g")).as(Seq("__pos", "__gram")))
+    val repeated = grams.groupBy("__gram")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__gram")
+    val covStarts = grams.join(repeated, "__gram")
+      .groupBy("__id").agg(collect_set(col("__pos")).as("__ss"))
+    base.join(covStarts, Seq("__id"), "left")
+      .withColumn("__cps", array_distinct(flatten(transform(
+        coalesce(col("__ss"), typedlit(Seq.empty[Int])),
+        s => sequence(s, s + (minLen - 1))))))
+      .select(col("__id").as(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        size(col("__cps")).cast("long").as("n_removed"),
+        array_join(
+          filter(col("__tk"), (_, i) =>
+            not(array_contains(col("__cps"), i))), " ").as("cleaned"))
+  }
+
   def duplicatedRuns(docs: DataFrame, idCol: String, textCol: String,
                      minLen: Int, minCount: Int = 2): DataFrame = {
     require(minLen >= 2, "need minLen >= 2")

@@ -4453,6 +4453,23 @@ object LlmQueries {
       graft.operators.Bpe.bpeRankTokenCountByteLevel(
         docs, "doc_id", "text", merges, "step", "lhs", "rhs")
         .orderBy("doc_id")
+    }),
+
+    // ExactSubstr EXCISION (the q335 detection set cut out of the
+    // text — Lee et al. 2022's actual cleanup): same planted corpus,
+    // cleaned text rebuilt from the kept tokens, n_removed == q335's
+    // n_dup_tokens by shared construction. The oracle re-derives the
+    // covered-position set and replays the filter-by-index rebuild.
+    "q339_exact_substr_excise" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" " + exactSubstrBlock)))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      graft.operators.Spans.removeDuplicatedRuns(planted, "doc_id",
+        "text", minLen = 10)
+        .orderBy("doc_id")
     })
   )
 
@@ -13029,6 +13046,40 @@ object LlmQueries {
          |    CAST((coalesce(p.n_dup, 0) * 1048576) // len(t.tk) AS BIGINT)
          |  END AS dup_frac_q20
          |FROM tk t LEFT JOIN per p USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // Excision: q335's gram/ds CTEs, covered positions expanded and
+    // deduped, kept tokens rebuilt by a filtered index walk.
+    "q339_exact_substr_excise" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         |    THEN coalesce(text, '') || ' $exactSubstrBlock'
+         |    ELSE coalesce(text, '') END AS xt
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, ${oToks.replace("text", "xt")} AS tk FROM d),
+         |gg AS (
+         |  SELECT doc_id, pg['p'] AS pos, pg['gr'] AS gr
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          range(1, len(tk) - 8),
+         |          i -> {'p': i, 'gr': array_to_string(tk[i:i+9], ' ')}))
+         |          AS pg
+         |        FROM tk)),
+         |rep AS (
+         |  SELECT gr FROM (SELECT gr, count(*) AS c FROM gg GROUP BY 1)
+         |  WHERE c >= 2),
+         |ds AS (SELECT doc_id, pos FROM gg JOIN rep USING (gr)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 10)) AS cp
+         |  FROM ds),
+         |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(c.cps), 0) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(list_transform(
+         |    list_filter(range(1, len(t.tk) + 1),
+         |      i -> c.cps IS NULL OR NOT list_contains(c.cps, i)),
+         |    i -> t.tk[i]), ' '), '') AS cleaned
+         |FROM tk t LEFT JOIN cl c USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
 
     // Media gate: the q333 arithmetic extended with the gate CASEs —

@@ -420,6 +420,36 @@ class LayoutSpansSpec extends SparkSpec {
     assert(ch.getAs[Long]("max_run") === 12L)
   }
 
+  test("removeDuplicatedRuns: excises exactly duplicatedRuns' covered " +
+    "mass; cleaned text is the kept tokens in order") {
+    val block = (0 until 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $block gamma"),
+      (2L, s"$block delta"),
+      (3L, "entirely unique tokens here nothing repeats at all okay"),
+      (4L, "p q r s xx p q r s")).toDF("id", "text")
+    val cleaned = Spans.removeDuplicatedRuns(docs, "id", "text", minLen = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val runs = Spans.duplicatedRuns(docs, "id", "text", minLen = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("n_dup_tokens")).toMap
+    // shared covered set: n_removed == n_dup_tokens, every doc
+    (1L to 4L).foreach { id =>
+      assert(cleaned(id).getAs[Long]("n_removed") === runs(id), s"doc $id")
+    }
+    assert(cleaned(1L).getAs[String]("cleaned") === "alpha beta gamma")
+    assert(cleaned(2L).getAs[String]("cleaned") === "delta")
+    assert(cleaned(3L).getAs[String]("cleaned") ===
+      "entirely unique tokens here nothing repeats at all okay")
+    assert(cleaned(4L).getAs[String]("cleaned") === "xx")
+    // an all-duplicated doc cleans to ""
+    val all = Seq((9L, "a b c d a b c d a b c d")).toDF("id", "text")
+    val c9 = Spans.removeDuplicatedRuns(all, "id", "text", minLen = 4)
+      .collect()(0)
+    assert(c9.getAs[String]("cleaned") === "")
+    assert(c9.getAs[Long]("n_removed") === 12L)
+  }
+
   test("duplicatedRuns: scala-side reference on a fuzz corpus") {
     val rnd = new scala.util.Random(335L)
     val vocab = ('a' to 'f').map(_.toString)
