@@ -47,7 +47,13 @@ object CorpusScaleAudit {
     "q47_dedup_clusters", "q63_dedup_corpus", "q84_corpus_pipeline",
     "q92_bpe_merges", "q93_bpe_vocab", "q94_bpe_doc_tokens",
     "q97_dedup_recall", "q243_blocking_quality", "q315_mbr_select",
-    "q330_rlhf_pipeline", "q332_ccnet_tertiles")
+    "q330_rlhf_pipeline", "q332_ccnet_tertiles",
+    // round-13 heavyweights, the ExactSubstr pair: natural repeats
+    // stay within-replica (suffixed vocab), while the query-planted
+    // block is IDENTICAL across replicas — its occurrence count grows
+    // ×KREP over a constant distinct-gram set, exactly how shared
+    // boilerplate behaves in a real growing corpus
+    "q335_exact_substr_runs", "q339_exact_substr_excise")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
