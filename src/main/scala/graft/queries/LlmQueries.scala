@@ -4470,6 +4470,40 @@ object LlmQueries {
       graft.operators.Spans.removeDuplicatedRuns(planted, "doc_id",
         "text", minLen = 10)
         .orderBy("doc_id")
+    }),
+
+    // The multimodal ingest pipeline COMPOSED as one plan (the
+    // q84/q330 composed-gate discipline): header parse → resolution/
+    // format gate → exact payload dedup by content digest → one
+    // verdict row. Payloads are built from doc_id % 200, so exact
+    // duplicates EXIST (every 200 ids share bytes) and the digest
+    // dedup branch carries real mass; the oracle counts distinct
+    // payload IDENTITIES arithmetically (pid → payload is injective)
+    // where the engine dedups by md5 of the actual bytes.
+    "q340_media_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hdr = docs.select(col("doc_id"),
+          mediaPayload(col("doc_id") % 200).as("__p"))
+        .select(col("doc_id"), col("__p"),
+          graft.operators.Multimodal.headerMeta(col("__p")).as("__h"))
+        .select(col("doc_id"), col("__p"),
+          col("__h.format").as("__f"), col("__h.width").as("__w"),
+          col("__h.height").as("__hh"))
+      val keepCond = col("__f").isNotNull &&
+        col("__f").isin("png", "jpeg") &&
+        col("__w") >= 64L && col("__hh") >= 64L &&
+        col("__w") <= col("__hh") * 4L && col("__hh") <= col("__w") * 4L
+      val kept = graft.operators.CacheScope.track(hdr.filter(keepCond))
+      val gateAgg = hdr.agg(count(lit(1)).as("n_docs"),
+        count(col("__f")).as("n_parseable"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_keep")))
+      val dedupAgg = kept.select(md5(col("__p")).as("__d")).distinct()
+        .agg(count(lit(1)).as("n_unique_payloads"))
+      gateAgg.crossJoin(dedupAgg)
+        .withColumn("dup_mass", col("n_keep") - col("n_unique_payloads"))
+        .withColumn("ship",
+          col("n_keep") > 0L && col("n_unique_payloads") > 0L)
+        .orderBy("n_docs")
     })
   )
 
@@ -13109,6 +13143,33 @@ object LlmQueries {
         |  CAST(count(CASE WHEN parseable AND NOT aspect_ok THEN 1 END)
         |    AS BIGINT) AS n_bad_aspect
         |FROM v GROUP BY 1 ORDER BY format""".stripMargin,
+
+    // Media pipeline verdict: gate predicates from pid = doc_id % 200
+    // arithmetic; distinct payloads = distinct kept pids (injective).
+    "q340_media_pipeline" ->
+      """WITH h AS (
+        |  SELECT doc_id, doc_id % 200 AS pid,
+        |    CASE (doc_id % 200) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      WHEN 2 THEN 'gif' END AS f,
+        |    CAST((doc_id % 200) % 991 + 1 AS BIGINT) AS w,
+        |    CAST(((doc_id % 200) * 7) % 737 + 1 AS BIGINT) AS hh
+        |  FROM documents),
+        |k AS (
+        |  SELECT * FROM h
+        |  WHERE f IN ('png', 'jpeg') AND w >= 64 AND hh >= 64
+        |    AND w <= hh * 4 AND hh <= w * 4)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_docs,
+        |  (SELECT CAST(count(f) AS BIGINT) FROM h) AS n_parseable,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_keep,
+        |  (SELECT CAST(count(DISTINCT pid) AS BIGINT) FROM k)
+        |    AS n_unique_payloads,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k)
+        |    - (SELECT CAST(count(DISTINCT pid) AS BIGINT) FROM k)
+        |    AS dup_mass,
+        |  (SELECT count(*) FROM k) > 0
+        |    AND (SELECT count(DISTINCT pid) FROM k) > 0 AS ship
+        |ORDER BY n_docs""".stripMargin,
 
     // WebP/BMP headers: pure doc_id arithmetic, no bytes.
     "q337_webp_bmp_headers" ->

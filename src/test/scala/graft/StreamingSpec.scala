@@ -1076,6 +1076,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("media header decode streams statelessly (pure projection twin)") {
+    // the ingest-time shape: payload bytes land on a stream, the
+    // header gate reads format/dims per row with no state — batch
+    // parity with Multimodal.headerFeatures on the same records.
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    def hx(s: String): Array[Byte] = {
+      val c = s.replaceAll("\\s", "")
+      Array.tabulate(c.length / 2)(i =>
+        Integer.parseInt(c.substring(2 * i, 2 * i + 2), 16).toByte)
+    }
+    val recs = Seq(
+      (1L, "png", hx("89504E470D0A1A0A 0000000D 49484452 00000001 00000001 08 06 000000 1F15C489")),
+      (2L, "gif", hx("474946383961 0A00 1400 F7 00 00")),
+      (3L, "junk", "not an image".getBytes("UTF-8")))
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val query = Multimodal.headerFeatures(
+        input.toDF().toDF("doc_id", "kind", "content"),
+        "doc_id", "kind", "content")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mediahdr").start()
+    try {
+      input.addData(recs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("mediahdr").orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val batch = Multimodal.headerFeatures(
+          recs.toDF("doc_id", "kind", "content"),
+          "doc_id", "kind", "content")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed(0)(3) === "png" && streamed(1)(4) === 10L)
+      assert(streamed(2)(3) == null)
+    } finally query.stop()
+  }
+
   test("byte-level frozen-merge token counts stream statelessly " +
     "(row-local twin == batch operator)") {
     import graft.streaming.CorpusStreams.Doc
