@@ -101,7 +101,9 @@ object Bench {
     "q338_bytelevel_budget",
     // q339: the cleaned-text rebuild is a projection over the covered-
     // set left join — count() would prune the excision entirely.
-    "q339_exact_substr_excise")
+    "q339_exact_substr_excise",
+    // q341 is q333's construct→parse projection shape for audio.
+    "q341_audio_headers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -200,6 +200,82 @@ object MediaHeaderKernel {
   }
 }
 
+/** AUDIO header decode — the audio twin of [[MediaHeaderKernel]] (a
+  * separate kernel because audio metadata is differently shaped:
+  * sample rate / channels / bits, not width / height):
+  *
+  *  - WAV (RIFF "WAVE", the canonical PCM layout with the "fmt "
+  *    chunk first): channels LE16 at fmt+2, sample rate LE32 at
+  *    fmt+4, bits per sample LE16 at fmt+14;
+  *  - FLAC ("fLaC" magic, STREAMINFO is mandatorily the FIRST
+  *    metadata block): sample rate = 20 bits starting at STREAMINFO
+  *    byte 10, then channels−1 (3 bits), bits-per-sample−1 (5 bits)
+  *    — big-endian bit packing per the public FLAC format spec.
+  *
+  * Zero sample rate / zero channels → corrupt → NULL, loud not wrong.
+  */
+object AudioHeaderKernel {
+
+  private val FORMAT_WAV = UTF8String.fromString("wav")
+  private val FORMAT_FLAC = UTF8String.fromString("flac")
+
+  /** @return InternalRow(format, sample_rate, channels, bits) or null. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4) return null
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      parseWav(b)
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      parseFlac(b)
+    else null
+  }
+
+  private def le16(b: Array[Byte], i: Int): Long =
+    ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
+      ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+
+  private def parseWav(b: Array[Byte]): InternalRow = {
+    // RIFF(4) size(4) WAVE(4) then chunks; walk to "fmt " by each
+    // chunk's LE32 size (truncation-safe: every read re-checked)
+    if (b.length < 12) return null
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return null
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+        b(i + 3) == ' ') {
+        if (size < 16L || i + 8 + 16 > b.length) return null
+        val ch = le16(b, i + 10)
+        val rate = le32(b, i + 12)
+        val bits = le16(b, i + 22)
+        if (ch == 0L || rate == 0L) return null
+        return InternalRow(FORMAT_WAV, rate, ch, bits)
+      }
+      if (size < 0L || size > Int.MaxValue - 9L) return null
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    null
+  }
+
+  private def parseFlac(b: Array[Byte]): InternalRow = {
+    // fLaC(4) blockHeader(4: last|type(1) len(3BE)) STREAMINFO(34):
+    // bytes 10..12 carry rate(20 bits) + channels-1(3) + bps-1(5 over
+    // the boundary into byte 13)
+    if (b.length < 22) return null
+    if ((b(4) & 0x7F) != 0) return null // first block must be STREAMINFO
+    val o = 8 // STREAMINFO payload start
+    val rate = ((b(o + 10) & 0xFFL) << 12) | ((b(o + 11) & 0xFFL) << 4) |
+      ((b(o + 12) & 0xF0L) >> 4)
+    val ch = ((b(o + 12) >> 1) & 0x07L) + 1L
+    val bits = (((b(o + 12) & 0x01L) << 4) | ((b(o + 13) & 0xF0L) >> 4)) + 1L
+    if (rate == 0L) return null
+    InternalRow(FORMAT_FLAC, rate, ch, bits)
+  }
+}
+
 /** `media_header(content BINARY)` →
   * STRUCT<format STRING, width BIGINT, height BIGINT, bit_depth BIGINT>,
   * NULL on corrupt/truncated/unknown payloads. One codegen'd kernel
@@ -236,6 +312,50 @@ case class MediaHeader(child: Expression) extends UnaryExpression {
         |InternalRow ${ev.value} = null;
         |if (!${cEv.isNull}) {
         |  ${ev.value} = graft.expressions.MediaHeaderKernel.parse(${cEv.value});
+        |  ${ev.isNull} = (${ev.value} == null);
+        |}
+        """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `audio_header(content BINARY)` →
+  * STRUCT<format STRING, sample_rate BIGINT, channels BIGINT,
+  * bits BIGINT>, NULL on corrupt/truncated/unknown payloads.
+  */
+case class AudioHeader(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"AudioHeader expects BINARY, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("bits", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else AudioHeaderKernel.parse(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cEv = child.genCode(ctx)
+    ev.copy(code = cEv.code +
+      code"""
+        |boolean ${ev.isNull} = true;
+        |InternalRow ${ev.value} = null;
+        |if (!${cEv.isNull}) {
+        |  ${ev.value} = graft.expressions.AudioHeaderKernel.parse(${cEv.value});
         |  ${ev.isNull} = (${ev.value} == null);
         |}
         """.stripMargin)

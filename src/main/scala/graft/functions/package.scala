@@ -248,6 +248,12 @@ package object functions {
   def mediaHeader(content: Column): Column =
     toColumn(graft.expressions.MediaHeader(toExpression(content)))
 
+  /** Codec-free AUDIO header decode (WAV/FLAC):
+    * STRUCT<format, sample_rate, channels, bits>, NULL on corrupt.
+    */
+  def audioHeader(content: Column): Column =
+    toColumn(graft.expressions.AudioHeader(toExpression(content)))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

@@ -71,6 +71,15 @@ object Multimodal {
         col("__h.height").as("height"),
         col("__h.bit_depth").as("bit_depth"))
 
+  /** REAL audio header decode — WAV (RIFF chunk walk to "fmt ") and
+    * FLAC (STREAMINFO bit unpacking) via the codegen'd
+    * [[graft.expressions.AudioHeader]] kernel: (format, sample_rate,
+    * channels, bits), NULL on corrupt. The sample-rate/channel gates an
+    * audio training pipeline runs before any PCM decode.
+    */
+  def audioMeta(content: Column): Column =
+    graft.functions.audioHeader(content)
+
   /** STUB — media PIXEL decode. A real deployment decodes image/audio
     * frames here (libjpeg/ffmpeg are not in this container); the
     * header-level decode above IS real ([[headerMeta]]). The stub is

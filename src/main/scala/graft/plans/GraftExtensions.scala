@@ -204,9 +204,14 @@ object GraftExtensions {
           litInt(m, "graft_chrf_gram_overlaps", "maxOrder")) }),
     (FunctionIdentifier("graft_media_header"),
       info("graft_media_header",
-        "graft_media_header(content) - codec-free PNG/GIF/JPEG header decode of a BINARY payload: struct<format,width,height,bit_depth>, NULL on corrupt/truncated/unknown"),
+        "graft_media_header(content) - codec-free PNG/GIF/JPEG/WebP/BMP header decode of a BINARY payload: struct<format,width,height,bit_depth>, NULL on corrupt/truncated/unknown"),
       es => { val Seq(c) = arity("graft_media_header", 1)(es)
-        graft.expressions.MediaHeader(c) }))
+        graft.expressions.MediaHeader(c) }),
+    (FunctionIdentifier("graft_audio_header"),
+      info("graft_audio_header",
+        "graft_audio_header(content) - codec-free WAV/FLAC header decode of a BINARY payload: struct<format,sample_rate,channels,bits>, NULL on corrupt/truncated/unknown"),
+      es => { val Seq(c) = arity("graft_audio_header", 1)(es)
+        graft.expressions.AudioHeader(c) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

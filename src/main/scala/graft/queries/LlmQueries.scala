@@ -4504,6 +4504,60 @@ object LlmQueries {
         .withColumn("ship",
           col("n_keep") > 0L && col("n_unique_payloads") > 0L)
         .orderBy("n_docs")
+    }),
+
+    // AUDIO header decode (the q333 discipline for the audio half of a
+    // multimodal corpus): spec-true WAV (RIFF→fmt chunk LE fields) and
+    // FLAC (STREAMINFO 20/3/5-bit big-endian packing — the bit
+    // construction here and the kernel's bit UNpacking share no code)
+    // built from doc_id arithmetic; doc_id%10==9 plants truncation.
+    // Oracle: arithmetic only.
+    "q341_audio_headers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rate = (col("doc_id") % 50) * 1000L + 8000L
+      val ch = col("doc_id") % 8 + 1L
+      val bits = element_at(typedlit(Seq(8L, 16L, 24L, 32L)),
+        (col("doc_id") % 4).cast("int") + 1)
+      def hxp(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+      def le16(c: Column) = {
+        val x = hxp(c, 4)
+        unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+      }
+      def le32(c: Column) = {
+        val x = hxp(c, 8)
+        unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2)))
+      }
+      // RIFF WAVE fmt(16): PCM, ch, rate, byterate, align, bits = 36 B
+      val wav = concat(unhex(lit("52494646")), le32(lit(28L)),
+        unhex(lit("57415645" + "666D7420" + "10000000" + "0100")),
+        le16(ch), le32(rate), le32(rate * ch * 2L), le16(ch * 2L),
+        le16(bits))
+      // fLaC + STREAMINFO(34): block sizes/frames zeroed, then the
+      // packed bytes — b10 = rate>>12, b11 = (rate>>4)&FF,
+      // b12 = (rate&F)<<4 | (ch-1)<<1 | (bits-1)>>4,
+      // b13 = ((bits-1)&F)<<4 — then 20 zero bytes = 42 B total
+      val flac = concat(
+        unhex(lit("664C6143" + "00" + "000022" +
+          "1000" + "1000" + "000000" + "000000")),
+        unhex(hxp(shiftright(rate, 12), 2)),
+        unhex(hxp(shiftright(rate, 4) % 256L, 2)),
+        unhex(hxp((rate % 16L) * 16L + (ch - 1L) * 2L +
+          shiftright(bits - 1L, 4), 2)),
+        unhex(hxp(((bits - 1L) % 16L) * 16L, 2)),
+        unhex(lit("00" * 20)))
+      val payload = when(col("doc_id") % 10 === 9, substring(wav, 1, 10))
+        .when(col("doc_id") % 2 === 0, wav).otherwise(flac)
+      docs.select(col("doc_id"), payload.as("__p"))
+        .select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.operators.Multimodal.audioMeta(col("__p")).as("__h"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__h.format").as("format"),
+          col("__h.sample_rate").as("sample_rate"),
+          col("__h.channels").as("channels"),
+          col("__h.bits").as("bits"))
+        .orderBy("doc_id")
     })
   )
 
@@ -13170,6 +13224,24 @@ object LlmQueries {
         |  (SELECT count(*) FROM k) > 0
         |    AND (SELECT count(DISTINCT pid) FROM k) > 0 AS ship
         |ORDER BY n_docs""".stripMargin,
+
+    // Audio headers: pure doc_id arithmetic, no bytes.
+    "q341_audio_headers" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 10 = 9 THEN 10
+        |    WHEN doc_id % 2 = 0 THEN 36 ELSE 42 END AS BIGINT)
+        |    AS n_bytes,
+        |  CASE WHEN doc_id % 10 = 9 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |  CASE WHEN doc_id % 10 <> 9
+        |    THEN CAST((doc_id % 50) * 1000 + 8000 AS BIGINT)
+        |  END AS sample_rate,
+        |  CASE WHEN doc_id % 10 <> 9
+        |    THEN CAST(doc_id % 8 + 1 AS BIGINT) END AS channels,
+        |  CASE WHEN doc_id % 10 <> 9
+        |    THEN CAST([8,16,24,32][CAST(doc_id % 4 AS INT) + 1]
+        |      AS BIGINT) END AS bits
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // WebP/BMP headers: pure doc_id arithmetic, no bytes.
     "q337_webp_bmp_headers" ->

@@ -180,6 +180,49 @@ class MediaHeaderSpec extends SparkSpec {
     assert(parsed(null).isEmpty)
   }
 
+  private def parsedAudio(b: Array[Byte]): Option[(String, Long, Long, Long)] =
+    Option(graft.expressions.AudioHeaderKernel.parse(b)).map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  // canonical 44.1kHz stereo 16-bit PCM WAV header
+  private val wav44 = hx(
+    "52494646 24000000 57415645 666D7420 10000000 0100 0200 44AC0000" +
+      " 10B10200 0400 1000")
+  // FLAC fLaC + STREAMINFO(34): rate 44100 (20 bits), 2ch, 16 bps
+  private val flac44 = hx(
+    "664C6143 00 000022 1000 1000 000000 000000 0A C4 42 F0" +
+      "00000000" + "00" * 16)
+
+  test("WAV and FLAC audio headers parse to exact rate/channels/bits") {
+    assert(parsedAudio(wav44) === Some(("wav", 44100L, 2L, 16L)))
+    assert(parsedAudio(flac44) === Some(("flac", 44100L, 2L, 16L)))
+    // WAV: a JUNK chunk before fmt must be walked over by its size
+    val withJunk = hx(
+      "52494646 30000000 57415645 4A554E4B 04000000 DEADBEEF" +
+        " 666D7420 10000000 0100 0100 803E0000 007D0000 0200 0800")
+    assert(parsedAudio(withJunk) === Some(("wav", 16000L, 1L, 8L)))
+    // corruptions: zero rate/channels; not-WAVE form; FLAC first block
+    // not STREAMINFO; truncations never return a wrong answer
+    val zr = wav44.clone(); zr(24) = 0; zr(25) = 0; zr(26) = 0; zr(27) = 0
+    assert(parsedAudio(zr).isEmpty)
+    val zc = wav44.clone(); zc(22) = 0; zc(23) = 0
+    assert(parsedAudio(zc).isEmpty)
+    val notWave = wav44.clone(); notWave(8) = 'X'.toByte
+    assert(parsedAudio(notWave).isEmpty)
+    val badBlock = flac44.clone(); badBlock(4) = 0x04
+    assert(parsedAudio(badBlock).isEmpty)
+    Seq(("wav", wav44, ("wav", 44100L, 2L, 16L)),
+      ("flac", flac44, ("flac", 44100L, 2L, 16L))).foreach {
+      case (name, full, exp) =>
+        (0 until full.length).foreach { n =>
+          val got = parsedAudio(full.take(n))
+          assert(got.isEmpty || got.contains(exp),
+            s"$name truncated to $n: WRONG $got")
+        }
+    }
+    assert(parsedAudio("random text".getBytes("UTF-8")).isEmpty)
+  }
+
   test("headerFeatures flattens through the Column API; unknown kind NULLs") {
     val media = Seq(
       (1L, "image/png", png1x1),
