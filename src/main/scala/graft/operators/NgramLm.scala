@@ -214,20 +214,33 @@ object NgramLm {
     *         NULL rates (no draft event to average)
     */
   def draftAcceptanceWith(docs: DataFrame, idCol: String, textCol: String,
-                          table: DataFrame): DataFrame = {
+                          table: DataFrame): DataFrame =
+    docs.select(col(idCol))
+      .join(draftAcceptanceAgainst(docs, idCol, textCol, table),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_positions"), lit(0L)).as("n_positions"),
+        coalesce(col("n_accepted"), lit(0L)).as("n_accepted"),
+        col("acceptance_q20"), col("acceptance"))
+
+  /** The STREAM-SHAPED core of [[draftAcceptanceWith]] (the
+    * [[familiarityAgainst]] discipline): bigram explode → stream-
+    * static-joinable LEFT equi-join on the frozen draft table's
+    * context key → one per-doc aggregate — runs unchanged when `docs`
+    * is a STREAMING DataFrame and `table` is static (update mode; the
+    * live capacity read for speculative decoding as traffic lands).
+    * Documents with < 2 tokens have no draft positions and emit NO row
+    * — the batch wrapper adds the spine zeros back.
+    */
+  def draftAcceptanceAgainst(docs: DataFrame, idCol: String,
+                             textCol: String, table: DataFrame): DataFrame = {
     val bi = docs.select(col(idCol), explode(bigramPairs(col(textCol)))
         .as("__pn"))
       .select(col(idCol), col("__pn.p").as("prev"), col("__pn.nx").as("__nx"))
-    val stats = bi
-      .join(table.select(col("prev"), col("pred_next")), Seq("prev"), "left")
+    bi.join(table.select(col("prev"), col("pred_next")), Seq("prev"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_positions"),
         count(when(col("__nx") === col("pred_next"), 1)).as("n_accepted"))
-    docs.select(col(idCol))
-      .join(stats, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_positions"), lit(0L)).as("n_positions"),
-        coalesce(col("n_accepted"), lit(0L)).as("n_accepted"))
       .withColumn("acceptance_q20",
         when(col("n_positions") > 0, graft.functions.posIntDiv(
           col("n_accepted") * lit(1048576L), col("n_positions"))))

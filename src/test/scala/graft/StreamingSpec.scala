@@ -1076,6 +1076,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("frozen draft-table acceptance scores a stream (q305's apply shape)") {
+    // speculative-decoding capacity read as traffic lands: the draft
+    // table is static (trained once), each batch of docs scores via
+    // the stream-static join + per-doc aggregate (update mode).
+    import graft.streaming.CorpusStreams.Doc
+    import graft.operators.NgramLm
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((100L, "the quick brown fox the quick red fox"),
+      (101L, "the quick brown dog")).toDF("doc_id", "text")
+    val table = NgramLm.draftTable(train, "text")
+    val docs = Seq(
+      Doc(1L, ts(0), "the quick brown fox"), // drafts mostly hit
+      Doc(2L, ts(1), "completely novel words here"), // all miss
+      Doc(3L, ts(2), "solo")) // no positions: no stream row
+    val input = MemoryStream[Doc]
+    val query = NgramLm.draftAcceptanceAgainst(input.toDF(), "doc_id",
+        "text", table)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("draftacc").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("draftacc").orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val batchAll = NgramLm.draftAcceptanceWith(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", table)
+      val batch = batchAll.filter($"n_positions" > 0L).orderBy("doc_id")
+        .collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(!streamed.exists(_.head === 3L))
+      assert(batchAll.filter($"doc_id" === 3L).collect()(0)
+        .getAs[Long]("n_positions") === 0L)
+      val hit = streamed.find(_.head === 1L).get
+      assert(hit(2).asInstanceOf[Long] > 0L) // some drafts accepted
+      val miss = streamed.find(_.head === 2L).get
+      assert(miss(2) === 0L && miss(3) === 0L)
+    } finally query.stop()
+  }
+
   test("media header decode streams statelessly (pure projection twin)") {
     // the ingest-time shape: payload bytes land on a stream, the
     // header gate reads format/dims per row with no state — batch
