@@ -11,10 +11,15 @@ import org.apache.spark.sql.types.LongType
   * The Spark-side shape is the real thing — binary column + metadata
   * struct, per-partition batched processing via `mapPartitions` over a
   * typed Dataset (the Scala analogue of mapInPandas: one iterator per
-  * partition, records streamed, no per-row task overhead) — while the
-  * actual media DECODE step is a clearly-marked deterministic STUB
-  * (`decodeStub`): the container has no image/audio codecs, so the stub
-  * stands where libjpeg/ffmpeg would be wired on a real cluster.
+  * partition, records streamed, no per-row task overhead). HEADER-level
+  * decode is REAL as of round 13 ([[headerMeta]]: PNG/GIF/JPEG/WebP/BMP
+  * dimensions+depth; [[audioMeta]]: WAV/FLAC rate/channels/bits — pure
+  * byte arithmetic, no codec jars), which covers the
+  * resolution/format/aspect/sample-rate gates a training pipeline runs
+  * BEFORE any pixel/PCM work. Only the PIXEL decode step remains a
+  * clearly-marked deterministic STUB (`decodeStub`): the container has
+  * no image/audio codecs, so the stub stands where libjpeg/ffmpeg would
+  * be wired on a real cluster.
   *
   * Scale notes: payload bytes stay in the `content` column and are never
   * collected; feature extraction is a narrow per-partition pass, so the
