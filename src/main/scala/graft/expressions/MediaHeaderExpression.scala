@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codec-free media HEADER decode — the (format, width, height,
-  * bit_depth) read a multimodal training pipeline filters on
-  * (resolution gates, aspect-ratio gates, format allowlists) BEFORE any
-  * pixel work. Pure byte arithmetic over the container headers of the
-  * five ubiquitous image formats (PNG, GIF, JPEG, WebP, BMP — WebP/BMP
-  * documented at their parse methods); no codec libraries:
+  * bit_depth, orientation) read a multimodal training pipeline filters
+  * on (resolution gates, aspect-ratio gates, format allowlists, the
+  * EXIF rotation correction) BEFORE any pixel work. Pure byte
+  * arithmetic over the container headers of the six ubiquitous image
+  * formats (PNG, GIF, JPEG, WebP, BMP, TIFF — WebP/BMP/TIFF documented
+  * at their parse methods); no codec libraries:
   *
   *  - PNG (ISO/IEC 15948 §5.2/§11.2.2): 8-byte signature
   *    89 50 4E 47 0D 0A 1A 0A, then the IHDR chunk (length must be 13,
@@ -46,7 +47,14 @@ object MediaHeaderKernel {
   private val FORMAT_WEBP = UTF8String.fromString("webp")
   private val FORMAT_BMP = UTF8String.fromString("bmp")
 
-  /** @return InternalRow(format, width, height, bit_depth) or null. */
+  private val FORMAT_TIFF = UTF8String.fromString("tiff")
+
+  /** @return InternalRow(format, width, height, bit_depth, orientation)
+    * or null. Orientation is the EXIF/TIFF tag-274 value (1..8; 1 =
+    * upright) — read from TIFF IFD0 and from JPEG's APP1 Exif block;
+    * the formats that carry no header-level orientation (PNG, GIF,
+    * WebP, BMP) report the identity 1.
+    */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xFF) == 0x89 && b(1) == 0x50) parsePng(b)
@@ -55,6 +63,10 @@ object MediaHeaderKernel {
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
       parseWebp(b)
     else if (b(0) == 'B' && b(1) == 'M') parseBmp(b)
+    else if ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xFF) == 0x2A &&
+      b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xFF) == 0x2A))
+      parseTiff(b)
     else null
   }
 
@@ -87,7 +99,7 @@ object MediaHeaderKernel {
     // uint31 per spec; zero invalid; high bit set = out of domain
     if (w <= 0L || h <= 0L || w > 0x7FFFFFFFL || h > 0x7FFFFFFFL)
       return null
-    InternalRow(FORMAT_PNG, w, h, u8(b, 24).toLong)
+    InternalRow(FORMAT_PNG, w, h, u8(b, 24).toLong, 1L)
   }
 
   private def parseGif(b: Array[Byte]): InternalRow = {
@@ -98,7 +110,7 @@ object MediaHeaderKernel {
     val w = le16(b, 6)
     val h = le16(b, 8)
     if (w == 0L || h == 0L) return null
-    InternalRow(FORMAT_GIF, w, h, (u8(b, 10) & 0x07).toLong + 1L)
+    InternalRow(FORMAT_GIF, w, h, (u8(b, 10) & 0x07).toLong + 1L, 1L)
   }
 
   private def le24(b: Array[Byte], i: Int): Long =
@@ -132,16 +144,16 @@ object MediaHeaderKernel {
       val w = le16(b, 26) & 0x3FFFL
       val h = le16(b, 28) & 0x3FFFL
       if (w == 0L || h == 0L) return null
-      InternalRow(FORMAT_WEBP, w, h, 8L)
+      InternalRow(FORMAT_WEBP, w, h, 8L, 1L)
     } else if (f0 == 'V' && f1 == 'P' && f2 == '8' && f3 == 'L') {
       if (b.length < 25) return null
       if ((b(20) & 0xFF) != 0x2F) return null
       val bits = le32(b, 21)
       InternalRow(FORMAT_WEBP, (bits & 0x3FFFL) + 1L,
-        ((bits >> 14) & 0x3FFFL) + 1L, 8L)
+        ((bits >> 14) & 0x3FFFL) + 1L, 8L, 1L)
     } else if (f0 == 'V' && f1 == 'P' && f2 == '8' && f3 == 'X') {
       if (b.length < 30) return null
-      InternalRow(FORMAT_WEBP, le24(b, 24) + 1L, le24(b, 27) + 1L, 8L)
+      InternalRow(FORMAT_WEBP, le24(b, 24) + 1L, le24(b, 27) + 1L, 8L, 1L)
     } else null
   }
 
@@ -158,19 +170,24 @@ object MediaHeaderKernel {
       val w = le16(b, 18)
       val h = le16(b, 20)
       if (w == 0L || h == 0L) return null
-      InternalRow(FORMAT_BMP, w, h, le16(b, 24))
+      InternalRow(FORMAT_BMP, w, h, le16(b, 24), 1L)
     } else if (dib >= 40L) {
       if (b.length < 30) return null
       val w = le32(b, 18).toInt.toLong // sign-extend int32
       val h = le32(b, 22).toInt.toLong
       if (w <= 0L || h == 0L) return null
-      InternalRow(FORMAT_BMP, w, math.abs(h), le16(b, 28))
+      InternalRow(FORMAT_BMP, w, math.abs(h), le16(b, 28), 1L)
     } else null
   }
 
   private def parseJpeg(b: Array[Byte]): InternalRow = {
     val n = b.length
     var i = 2 // past SOI
+    // EXIF orientation rides in APP1 ("Exif\0\0" + an embedded TIFF
+    // block, read by the same IFD walk as standalone TIFF). It is
+    // AUXILIARY metadata: a malformed Exif block falls back to the
+    // identity 1 and never kills the dimension parse.
+    var orientation = 1L
     while (i + 1 < n) {
       if (u8(b, i) != 0xFF) return null // marker must start FF
       var j = i
@@ -188,15 +205,122 @@ object MediaHeaderKernel {
         val h = be16(b, j + 5)
         val w = be16(b, j + 7)
         if (w == 0L || h == 0L) return null // h=0 means DNL-deferred
-        return InternalRow(FORMAT_JPEG, w, h, u8(b, j + 4).toLong)
+        return InternalRow(FORMAT_JPEG, w, h, u8(b, j + 4).toLong,
+          orientation)
       } else {
         if (j + 4 > n) return null
         val len = be16(b, j + 2)
         if (len < 2L) return null // length includes its own 2 bytes
+        if (m == 0xE1 && len >= 10L && j + 2 + len <= n &&
+          b(j + 4) == 'E' && b(j + 5) == 'x' && b(j + 6) == 'i' &&
+          b(j + 7) == 'f' && b(j + 8) == 0 && b(j + 9) == 0) {
+          // embedded TIFF header at j+10; offsets inside the block are
+          // relative to that header — pass the block's end bound
+          orientation = tiffOrientation(b, j + 10, j + 2 + len.toInt)
+        }
         i = j + 2 + len.toInt
       }
     }
     null // ran off the end without a frame header
+  }
+
+  // ----------------------------------------------------------- TIFF/EXIF
+
+  private def u16e(b: Array[Byte], i: Int, le: Boolean): Long =
+    if (le) le16(b, i) else be16(b, i)
+
+  private def u32e(b: Array[Byte], i: Int, le: Boolean): Long =
+    if (le) le32(b, i) else be32(b, i)
+
+  /** One IFD0 entry's first value (SHORT type 3 / LONG type 4). TIFF 6.0
+    * §2: values ≤ 4 bytes are stored INLINE, LEFT-justified in the
+    * 4-byte value field (so a SHORT reads from the field's first two
+    * bytes in either endianness); larger counts store an offset from the
+    * TIFF header at `t0`. Returns −1 on anything unreadable.
+    */
+  private def entryValue(b: Array[Byte], t0: Int, e: Int, end: Int,
+                         le: Boolean): Long = {
+    val typ = u16e(b, e + 2, le)
+    val cnt = u32e(b, e + 4, le)
+    if (cnt < 1L) return -1L
+    if (typ == 3L) { // SHORT
+      if (cnt == 1L || cnt == 2L) u16e(b, e + 8, le)
+      else {
+        val off = u32e(b, e + 8, le)
+        if (off < 0L || t0 + off + 2L > end) -1L
+        else u16e(b, (t0 + off).toInt, le)
+      }
+    } else if (typ == 4L) { // LONG
+      if (cnt == 1L) u32e(b, e + 8, le)
+      else {
+        val off = u32e(b, e + 8, le)
+        if (off < 0L || t0 + off + 4L > end) -1L
+        else u32e(b, (t0 + off).toInt, le)
+      }
+    } else -1L
+  }
+
+  /** Walk IFD0 of the TIFF structure whose header starts at t0 (bounded
+    * by `end`), returning (width, height, bits, orientation) — −1 where
+    * a tag is absent/unreadable. Entries are 12 bytes: tag(2) type(2)
+    * count(4) value(4).
+    */
+  private def tiffIfd0(b: Array[Byte], t0: Int, end: Int)
+  : (Long, Long, Long, Long) = {
+    val bad = (-1L, -1L, -1L, -1L)
+    if (t0 + 8 > end) return bad
+    val le = b(t0) == 'I'
+    if (u16e(b, t0 + 2, le) != 0x2AL) return bad
+    val ifd = u32e(b, t0 + 4, le)
+    if (ifd < 8L || t0 + ifd + 2L > end) return bad
+    val i0 = (t0 + ifd).toInt
+    val cnt = u16e(b, i0, le)
+    if (cnt < 1L || cnt > 4096L || i0 + 2 + cnt * 12L > end) return bad
+    var w = -1L; var h = -1L; var bits = -1L; var o = -1L
+    var k = 0
+    while (k < cnt) {
+      val e = i0 + 2 + k * 12
+      u16e(b, e, le) match {
+        case 256L => w = entryValue(b, t0, e, end, le) // ImageWidth
+        case 257L => h = entryValue(b, t0, e, end, le) // ImageLength
+        case 258L => bits = entryValue(b, t0, e, end, le) // BitsPerSample
+        case 274L => o = entryValue(b, t0, e, end, le) // Orientation
+        case _ =>
+      }
+      k += 1
+    }
+    (w, h, bits, o)
+  }
+
+  /** Orientation (1..8) out of an embedded Exif TIFF block — 1 on
+    * absence or ANY malformation (auxiliary metadata, never fatal).
+    */
+  private def tiffOrientation(b: Array[Byte], t0: Int, end: Int): Long = {
+    if (t0 + 4 > end) return 1L
+    val okMagic = (b(t0) == 'I' && b(t0 + 1) == 'I') ||
+      (b(t0) == 'M' && b(t0 + 1) == 'M')
+    if (!okMagic) return 1L
+    val o = tiffIfd0(b, t0, end)._4
+    if (o >= 1L && o <= 8L) o else 1L
+  }
+
+  /** Standalone TIFF (TIFF 6.0 §2: "II"+42LE or "MM"+42BE, IFD0 walk):
+    * width tag 256, height tag 257 (SHORT or LONG — both appear in the
+    * wild), BitsPerSample tag 258 (defaults to 1 per spec when absent;
+    * count > 1 reads the first sample's bits via the value offset),
+    * orientation tag 274 (1..8; defaults to 1; an OUT-OF-DOMAIN value
+    * on a standalone TIFF is corrupt → NULL — unlike JPEG's auxiliary
+    * Exif, here the IFD IS the primary header). Missing/zero/oversized
+    * dimensions → NULL.
+    */
+  private def parseTiff(b: Array[Byte]): InternalRow = {
+    if (b.length < 8) return null
+    val (w, h, bits, o) = tiffIfd0(b, 0, b.length)
+    if (w <= 0L || h <= 0L || w > 0x7FFFFFFFL || h > 0x7FFFFFFFL)
+      return null
+    if (o != -1L && (o < 1L || o > 8L)) return null
+    InternalRow(FORMAT_TIFF, w, h, if (bits == -1L) 1L else bits,
+      if (o == -1L) 1L else o)
   }
 }
 
@@ -212,7 +336,8 @@ object MediaHeaderKernel {
   *    byte 10, then channels−1 (3 bits), bits-per-sample−1 (5 bits)
   *    — big-endian bit packing per the public FLAC format spec.
   *
-  * Zero sample rate / zero channels → corrupt → NULL, loud not wrong.
+  * Zero sample rate / channels / bits-per-sample (WAV also: fmt
+  * audio-format tag 0) → corrupt → NULL, loud not wrong.
   */
 object AudioHeaderKernel {
 
@@ -248,10 +373,14 @@ object AudioHeaderKernel {
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
         b(i + 3) == ' ') {
         if (size < 16L || i + 8 + 16 > b.length) return null
+        val tag = le16(b, i + 8)
         val ch = le16(b, i + 10)
         val rate = le32(b, i + 12)
         val bits = le16(b, i + 22)
-        if (ch == 0L || rate == 0L) return null
+        // corrupt → NULL, loud not wrong: a zeroed fmt chunk (format
+        // tag 0, zero channels/rate/bits) must quarantine, never
+        // report 0-valued audio metadata
+        if (tag == 0L || ch == 0L || rate == 0L || bits == 0L) return null
         return InternalRow(FORMAT_WAV, rate, ch, bits)
       }
       if (size < 0L || size > Int.MaxValue - 9L) return null
@@ -277,9 +406,12 @@ object AudioHeaderKernel {
 }
 
 /** `media_header(content BINARY)` →
-  * STRUCT<format STRING, width BIGINT, height BIGINT, bit_depth BIGINT>,
-  * NULL on corrupt/truncated/unknown payloads. One codegen'd kernel
-  * call per row; the payload bytes never leave the executor.
+  * STRUCT<format STRING, width BIGINT, height BIGINT, bit_depth BIGINT,
+  * orientation BIGINT>, NULL on corrupt/truncated/unknown payloads.
+  * Orientation (round 14) is EXIF/TIFF tag 274 — from TIFF IFD0 and
+  * JPEG APP1 Exif; 1 (upright) for orientation-free containers. One
+  * codegen'd kernel call per row; payload bytes never leave the
+  * executor.
   */
 case class MediaHeader(child: Expression) extends UnaryExpression {
 
@@ -295,7 +427,8 @@ case class MediaHeader(child: Expression) extends UnaryExpression {
     StructField("format", StringType, nullable = false),
     StructField("width", LongType, nullable = false),
     StructField("height", LongType, nullable = false),
-    StructField("bit_depth", LongType, nullable = false)))
+    StructField("bit_depth", LongType, nullable = false),
+    StructField("orientation", LongType, nullable = false)))
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)

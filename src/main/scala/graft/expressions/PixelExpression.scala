@@ -1,0 +1,340 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codec-free PIXEL decode — real per-pixel statistics for the two
+  * image containers whose pixel data needs NO external codec jars:
+  *
+  *  - PNG (ISO/IEC 15948): IDAT is zlib (RFC 1950/1951) — the JDK
+  *    ships the decompressor (`java.util.zip.Inflater`) — followed by
+  *    the per-scanline filter inversion (§9: types 0 None, 1 Sub,
+  *    2 Up, 3 Average, 4 Paeth). Supported pixel layouts: bit depth 8,
+  *    color type 0 (grayscale, 1 byte/px) or 2 (truecolor RGB,
+  *    3 bytes/px), non-interlaced. Anything else (palette, alpha,
+  *    16-bit, Adam7) returns NULL — loud, never a wrong statistic.
+  *  - BMP (BITMAPINFOHEADER, biBitCount 24, BI_RGB): pixel rows are
+  *    RAW BGR triples, 4-byte-aligned stride, bottom-up when biHeight
+  *    is positive (top-down when negative). No decompression at all.
+  *
+  * JPEG/GIF/WebP pixel data is entropy-coded (Huffman/LZW/VP8) — that
+  * decode stays behind the clearly-marked stub in
+  * [[graft.operators.Multimodal]] until real codec jars exist on the
+  * cluster; their HEADERS are already real ([[MediaHeaderKernel]]).
+  *
+  * Emitted statistics (all integer — oracle-replayable exactly):
+  *
+  *  - `lum` per pixel: the MILLI-scaled integer luminance
+  *    299·R + 587·G + 114·B (the classic BT.601 weights ×1000, kept
+  *    integer). Grayscale v ⇒ 1000·v — the same scale, so gray and
+  *    RGB statistics are directly comparable.
+  *  - `lum_sum`, `lum_sq_sum`: Σ lum and Σ lum² over all pixels.
+  *  - `lum_hist`: 8 luminance-octant counts, bucket = (lum/1000) >> 5.
+  *  - `dhash`: the 64-bit difference hash — luminance averaged over a
+  *    9-wide × 8-tall cell grid (pixel x lands in column ⌊9x/W⌋, row
+  *    ⌊8y/H⌋ — y counts VISUAL rows, top-down, so bottom-up BMP rows
+  *    are re-ordered), cell average = ⌊Σlum / count⌋, and bit
+  *    (cy·8 + cx) set iff avg(cx+1, cy) > avg(cx, cy). NULL when
+  *    W < 9 or H < 8 (the grid is undefined), never a made-up value.
+  *
+  * Corrupt, truncated, or unsupported payloads → NULL struct (the
+  * gate quarantines). Decode-bomb guard: a header advertising more
+  * than 2^26 bytes of raw pixel data returns NULL rather than
+  * allocating — at 100 TB an adversarial IHDR must not OOM an
+  * executor (real deployments would tile/stream such images; a
+  * filter-gate has no business decoding them inline).
+  */
+object PixelKernel {
+
+  /** Decoded pixel statistics — consumed by the [[PixelStats]]
+    * expression and by [[graft.operators.Multimodal]]'s mapPartitions
+    * feature pass.
+    */
+  final case class Stats(format: String, width: Int, height: Int,
+                         channels: Int, lumSum: Long, lumSqSum: Long,
+                         dhash: Option[Long], hist: Array[Long])
+
+  /** Raw-pixel-size cap (bytes): 64 MiB. */
+  private val MaxRawBytes = 1L << 26
+
+  def decode(b: Array[Byte]): Stats = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) == 0x89 && b(1) == 0x50) decodePng(b)
+    else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else null
+  }
+
+  /** [[decode]] shaped as the expression's InternalRow. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val s = decode(b)
+    if (s == null) null
+    else InternalRow(UTF8String.fromString(s.format), s.width.toLong,
+      s.height.toLong, s.channels.toLong, s.width.toLong * s.height,
+      s.lumSum, s.lumSqSum,
+      s.dhash.map(Long.box).orNull, new GenericArrayData(s.hist))
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
+      ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+
+  private def le16(b: Array[Byte], i: Int): Long =
+    ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+
+  private val PNG_SIG =
+    Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  // ------------------------------------------------------------------ PNG
+
+  private def decodePng(b: Array[Byte]): Stats = {
+    if (b.length < 33) return null
+    var i = 0
+    while (i < 8) { if (u8(b, i) != PNG_SIG(i)) return null; i += 1 }
+    if (be32(b, 8) != 13L) return null
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return null
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w <= 0L || h <= 0L || w > 0x7FFFFFFFL || h > 0x7FFFFFFFL)
+      return null
+    val depth = u8(b, 24)
+    val colorType = u8(b, 25)
+    // compression(26)=0, filter(27)=0, interlace(28)=0 — §11.2.2
+    if (depth != 8 || u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0)
+      return null
+    val bpp = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor RGB
+      case _ => return null // palette/alpha/16-bit unsupported → loud
+    }
+    val rowBytes = w * bpp
+    val rawLen = h * (1L + rowBytes)
+    if (rawLen > MaxRawBytes) return null // decode-bomb guard
+    // chunk walk: concatenate IDAT payloads until IEND
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var sawEnd = false
+    while (!sawEnd) {
+      if (off + 8 > b.length) return null
+      val len = be32(b, off)
+      if (len < 0L || len > MaxRawBytes ||
+        off + 12L + len > b.length) return null
+      val t0 = b(off + 4); val t1 = b(off + 5)
+      val t2 = b(off + 6); val t3 = b(off + 7)
+      if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        idat.write(b, off + 8, len.toInt)
+        if (idat.size() > MaxRawBytes) return null
+      } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+        sawEnd = true
+      }
+      off += 12 + len.toInt // len + type + data + CRC (CRC not verified)
+    }
+    if (idat.size() == 0) return null
+    // inflate exactly rawLen bytes; anything short is truncation.
+    // Trailer (Adler-32) verification is BEST-EFFORT: when the
+    // decompressor reaches the checksum inside the final inflate call
+    // (the common case), a mismatch throws and the payload quarantines;
+    // if the expected byte count completes first, the loop exits
+    // without certifying the trailer (a stats pass reads pixels, it
+    // does not certify archives). Chunk CRCs are never verified.
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return null // truncated / preset-dictionary stream
+        got += n
+      }
+      if (got < raw.length) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // per-scanline filter inversion (§9), in place: after row y is
+    // processed, raw holds its RECONSTRUCTED bytes — the prior-row
+    // reads below therefore see reconstructed values, as the spec
+    // requires.
+    val wi = w.toInt; val hi = h.toInt; val rb = rowBytes.toInt
+    var y = 0
+    while (y < hi) {
+      val base = y * (1 + rb)
+      val f = u8(raw, base)
+      if (f > 4) return null
+      var k = 0
+      while (k < rb) {
+        val cur = u8(raw, base + 1 + k)
+        val left = if (k >= bpp) u8(raw, base + 1 + k - bpp) else 0
+        val up = if (y > 0) u8(raw, base - rb + k) else 0
+        val ul = if (y > 0 && k >= bpp) u8(raw, base - rb + k - bpp) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 => cur + paeth(left, up, ul)
+        }
+        raw(base + 1 + k) = (v & 0xFF).toByte
+        k += 1
+      }
+      y += 1
+    }
+    stats("png", wi, hi, bpp, (x, yy) => {
+      val p = yy * (1 + rb) + 1 + x * bpp
+      if (bpp == 1) 1000L * u8(raw, p)
+      else 299L * u8(raw, p) + 587L * u8(raw, p + 1) + 114L * u8(raw, p + 2)
+    })
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  private def decodeBmp(b: Array[Byte]): Stats = {
+    if (b.length < 54) return null
+    val off = le32(b, 10)
+    if (le32(b, 14) != 40L) return null // BITMAPINFOHEADER only
+    val w = le32(b, 18).toInt
+    val hSigned = le32(b, 22).toInt
+    if (w <= 0 || hSigned == 0) return null
+    val h = math.abs(hSigned)
+    val topDown = hSigned < 0
+    if (le16(b, 28) != 24L) return null // 24bpp only
+    if (le32(b, 30) != 0L) return null // BI_RGB (uncompressed) only
+    val stride = ((w * 3L + 3L) / 4L) * 4L
+    val need = off + stride * h
+    if (stride * h > MaxRawBytes) return null // decode-bomb guard
+    if (off < 54L || need > b.length) return null
+    stats("bmp", w, h, 3, (x, yVis) => {
+      // yVis counts visual rows top-down; bottom-up files store the
+      // top row LAST
+      val row = if (topDown) yVis else h - 1 - yVis
+      val p = (off + row * stride + x * 3L).toInt
+      // BGR order on disk
+      299L * u8(b, p + 2) + 587L * u8(b, p + 1) + 114L * u8(b, p)
+    })
+  }
+
+  // ------------------------------------------------- shared stats pass
+
+  /** One pass over lum(x, y) (y = visual row, top-down): sums, the
+    * 8-bucket histogram, and the 9×8-grid dHash. Shared with
+    * [[graft.operators.Multimodal]]'s ImageIO fallback path so BOTH
+    * decode routes produce statistics under the identical definition.
+    */
+  private[graft] def statsOf(fmt: String, w: Int, h: Int, channels: Int,
+                             lum: (Int, Int) => Long): Stats =
+    stats(fmt, w, h, channels, lum)
+
+  private def stats(fmt: String, w: Int, h: Int, channels: Int,
+                    lum: (Int, Int) => Long): Stats = {
+    var s = 0L; var sq = 0L
+    val hist = new Array[Long](8)
+    val gridOk = w >= 9 && h >= 8
+    val cellSum = if (gridOk) new Array[Long](72) else null
+    val cellCnt = if (gridOk) new Array[Long](72) else null
+    var y = 0
+    while (y < h) {
+      val cy = 8 * y / h
+      var x = 0
+      while (x < w) {
+        val l = lum(x, y)
+        s += l; sq += l * l
+        hist(((l / 1000L) >> 5).toInt) += 1L
+        if (gridOk) {
+          val c = cy * 9 + 9 * x / w
+          cellSum(c) += l; cellCnt(c) += 1L
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val dh = if (!gridOk) None else {
+      var bitsAcc = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val a = cellSum(cy * 9 + cx) / cellCnt(cy * 9 + cx)
+          val b = cellSum(cy * 9 + cx + 1) / cellCnt(cy * 9 + cx + 1)
+          if (b > a) bitsAcc |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(bitsAcc)
+    }
+    Stats(fmt, w, h, channels, s, sq, dh, hist)
+  }
+}
+
+/** `pixel_stats(content BINARY)` →
+  * STRUCT<format STRING, width BIGINT, height BIGINT, channels BIGINT,
+  * n_pixels BIGINT, lum_sum BIGINT, lum_sq_sum BIGINT,
+  * dhash BIGINT (NULL when the 9×8 grid is undefined),
+  * lum_hist ARRAY<BIGINT> (8 buckets)>,
+  * NULL on corrupt / truncated / unsupported payloads. One codegen'd
+  * kernel call per row; payload bytes never leave the executor.
+  */
+case class PixelStats(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"PixelStats expects BINARY, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("lum_sum", LongType, nullable = false),
+    StructField("lum_sq_sum", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = true),
+    StructField("lum_hist", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else PixelKernel.parse(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cEv = child.genCode(ctx)
+    ev.copy(code = cEv.code +
+      code"""
+        |boolean ${ev.isNull} = true;
+        |InternalRow ${ev.value} = null;
+        |if (!${cEv.isNull}) {
+        |  ${ev.value} = graft.expressions.PixelKernel.parse(${cEv.value});
+        |  ${ev.isNull} = (${ev.value} == null);
+        |}
+        """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -254,6 +254,15 @@ package object functions {
   def audioHeader(content: Column): Column =
     toColumn(graft.expressions.AudioHeader(toExpression(content)))
 
+  /** Codec-free PIXEL decode (PNG via JDK Inflater + filter
+    * reconstruction; BMP raw BGR): STRUCT<format, width, height,
+    * channels, n_pixels, lum_sum, lum_sq_sum, dhash, lum_hist>, NULL on
+    * corrupt / truncated / unsupported payloads. See
+    * [[graft.expressions.PixelKernel]].
+    */
+  def pixelStats(content: Column): Column =
+    toColumn(graft.expressions.PixelStats(toExpression(content)))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

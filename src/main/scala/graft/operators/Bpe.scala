@@ -579,10 +579,13 @@ object Bpe {
     * "b"] here vs GPT-2's ["a", "␣", "␣b"]); single spaces — all of
     * real prose — attach to the following word identically. \s is
     * spelled as the explicit [ \t\n\f\r] class (the chrF Java-vs-RE2
-    * divergence lesson).
+    * divergence lesson). Digits use GPT-2's `\p{N}` verbatim (the
+    * Unicode number category — Java and RE2 both support it), so
+    * non-ASCII digits (Arabic-Indic, fullwidth) tokenize under the
+    * digit branch exactly as GPT-2 does.
     */
   private[graft] val byteLevelPretokenRegex: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?[0-9]+| ?[^ \\t\\n\\f\\r\\p{L}0-9]+|[ \\t\\n\\f\\r]+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** Byte-level pretokens of a text column (array<string>) — the regex
     * split above; NULL text → empty array.

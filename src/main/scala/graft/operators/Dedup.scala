@@ -519,6 +519,31 @@ object Dedup {
     bandedHammingPairs(withSig, b => wideBandNib(col("__sig"), b), maxHamming)
   }
 
+  /** Banded Hamming near-dup pairs over a PRECOMPUTED 64-bit signature
+    * column — the [[simhashPairsWide]] machinery generalized to any
+    * 64-bit perceptual signature (the round-14 consumer is the image
+    * dHash from [[graft.expressions.PixelKernel]]: byte-unequal
+    * re-encodes of the same picture land within a few bits). 4 bands ×
+    * 16 bits: any pair within Hamming ≤ 3 shares ≥ 1 identical band
+    * (pigeonhole — exact recall, not probabilistic), and 2^16 distinct
+    * values per band keeps buckets fine-grained at corpus scale (the
+    * 28-bit-simhash bucket-skew lesson). Signatures may be negative
+    * (bit 63 set): banding uses the UNSIGNED shift. NULL signatures
+    * (e.g. undecodable images) are dropped before banding — they have
+    * no perceptual identity to match on.
+    *
+    * @return (i, j, hamming) with i < j, one row per qualifying pair.
+    */
+  def signaturePairs64(sigs: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    val withSig = sigs.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    bandedHammingPairs(withSig, b =>
+      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL)),
+      maxHamming).distinct()
+  }
+
   // --------------------------------------- incremental (batch-vs-corpus)
 
   /** The persisted wide-signature table `(id, sig)` of a corpus — what a

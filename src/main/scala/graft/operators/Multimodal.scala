@@ -14,12 +14,13 @@ import org.apache.spark.sql.types.LongType
   * partition, records streamed, no per-row task overhead). HEADER-level
   * decode is REAL as of round 13 ([[headerMeta]]: PNG/GIF/JPEG/WebP/BMP
   * dimensions+depth; [[audioMeta]]: WAV/FLAC rate/channels/bits — pure
-  * byte arithmetic, no codec jars), which covers the
-  * resolution/format/aspect/sample-rate gates a training pipeline runs
-  * BEFORE any pixel/PCM work. Only the PIXEL decode step remains a
-  * clearly-marked deterministic STUB (`decodeStub`): the container has
-  * no image/audio codecs, so the stub stands where libjpeg/ffmpeg would
-  * be wired on a real cluster.
+  * byte arithmetic, no codec jars), and PIXEL decode is REAL as of
+  * round 14 ([[decodeImage]]: PNG/BMP through the codec-free native
+  * [[graft.expressions.PixelKernel]], JPEG/GIF through the JDK's own
+  * ImageIO plugins). The only remaining stubs are the image RESIZE and
+  * video FRAME-SAMPLE kernels (`resizeStub`/`frameSampleStub` — real
+  * deployments wire libswscale/ffmpeg there) and the byte-histogram
+  * fallback for NON-image payloads (`decodeStub`).
   *
   * Scale notes: payload bytes stay in the `content` column and are never
   * collected; feature extraction is a narrow per-partition pass, so the
@@ -85,11 +86,80 @@ object Multimodal {
   def audioMeta(content: Column): Column =
     graft.functions.audioHeader(content)
 
-  /** STUB — media PIXEL decode. A real deployment decodes image/audio
-    * frames here (libjpeg/ffmpeg are not in this container); the
-    * header-level decode above IS real ([[headerMeta]]). The stub is
-    * deterministic in the payload bytes so the downstream plumbing is
-    * fully testable: an 8-bucket byte histogram, normalized.
+  /** REAL image PIXEL decode (round 14 — the stub is dead for images):
+    * the codec-free native kernel first
+    * ([[graft.expressions.PixelKernel]] — PNG via JDK Inflater + filter
+    * reconstruction, BMP raw BGR; the codegen'd scale path, oracle-gated
+    * by q342/q343), then the JDK's OWN ImageIO plugins for the
+    * entropy-coded formats (JPEG/GIF decoders ship with every JDK in
+    * java.desktop — no external jars). ImageIO decode is deterministic
+    * for a given JDK but NOT spec-pinned across decoder implementations
+    * (JPEG IDCT rounding varies), so ImageIO-decoded statistics are
+    * unit-tested rather than oracle-gated. Returns None for non-image
+    * payloads (and for image payloads that fail to decode — corrupt →
+    * None, loud not wrong).
+    */
+  private[graft] def decodeImage(content: Array[Byte])
+  : Option[graft.expressions.PixelKernel.Stats] =
+    Option(graft.expressions.PixelKernel.decode(content))
+      .orElse(imageIoDecode(content))
+
+  /** ImageIO fallback for JPEG/GIF magics only — arbitrary text bytes
+    * are never handed to a codec. Same luminance/dHash definitions as
+    * the native kernel (PixelKernel.statsOf is shared), same 2^24-pixel
+    * decode-bomb guard.
+    */
+  private def imageIoDecode(content: Array[Byte])
+  : Option[graft.expressions.PixelKernel.Stats] = {
+    if (content == null || content.length < 3) return None
+    val isJpeg = (content(0) & 0xFF) == 0xFF && (content(1) & 0xFF) == 0xD8
+    val isGif = content(0) == 'G' && content(1) == 'I' && content(2) == 'F'
+    if (!isJpeg && !isGif) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+      val gray = img.getColorModel.getNumColorComponents == 1
+      Some(graft.expressions.PixelKernel.statsOf(
+        if (isJpeg) "jpeg" else "gif", w, h, if (gray) 1 else 3,
+        (x, y) => {
+          val rgb = img.getRGB(x, y)
+          299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+            114L * (rgb & 0xFF)
+        }))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-payload PIXEL metadata via the partition-batched (mapInPandas-
+    * shaped) pass: REAL decode ([[decodeImage]]) where the payload is an
+    * image — kind rewritten to `image/<format>`, pixel count, the
+    * 8-bucket luminance histogram, and the 64-bit dHash — and the
+    * original kind with NULL pixel fields where it is not (a gate sees
+    * the NULLs and routes accordingly). Oracle-gated by q32/q41 over
+    * arithmetically constructed images.
+    */
+  case class PixelMeta(doc_id: Long, kind: String, n_bytes: Long,
+                       n_pixels: Option[Long], dhash: Option[Long],
+                       lum_hist: Option[Seq[Long]])
+
+  def pixelFeatures(media: Dataset[MediaRecord]): Dataset[PixelMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { rec =>
+      val nb = if (rec.content == null) 0L else rec.content.length.toLong
+      decodeImage(rec.content) match {
+        case Some(st) => PixelMeta(rec.doc_id, "image/" + st.format, nb,
+          Some(st.width.toLong * st.height), st.dhash, Some(st.hist.toSeq))
+        case None => PixelMeta(rec.doc_id, rec.kind, nb, None, None, None)
+      }
+    })
+  }
+
+  /** Deterministic FALLBACK features for NON-IMAGE payloads (text or
+    * unknown bytes carried through the media pipeline): an 8-bucket
+    * byte histogram, normalized. Image payloads never reach this — they
+    * take the real [[decodeImage]] path in [[extractFeatures]].
     */
   private[graft] def decodeStub(content: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
@@ -140,8 +210,10 @@ object Multimodal {
   }
 
   /** Partition-batched feature extraction: the mapInPandas-shaped pass.
-    * One iterator per partition; each record is decoded (stub) and
-    * reduced to a fixed-width feature vector.
+    * One iterator per partition; image payloads are REALLY decoded
+    * ([[decodeImage]]) to a normalized 8-bucket LUMINANCE histogram;
+    * non-image payloads fall back to the normalized byte histogram
+    * ([[decodeStub]]) so the feature width is uniform.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -150,8 +222,14 @@ object Multimodal {
       batch.map { rec =>
         val sum = digest.digest(rec.content).map("%02x".format(_)).mkString
         digest.reset()
+        val feats = decodeImage(rec.content) match {
+          case Some(st) =>
+            val n = math.max(st.width.toLong * st.height, 1L).toDouble
+            st.hist.map(_ / n)
+          case None => decodeStub(rec.content)
+        }
         MediaFeatures(rec.doc_id, rec.kind, rec.content.length.toLong,
-          sum, decodeStub(rec.content))
+          sum, feats)
       }
     }
   }

@@ -157,12 +157,33 @@ object LlmQueries {
         .orderBy(desc("cnt"), col("token")).limit(50)
     }),
 
-    // Multimodal payload metadata (binary column plumbing).
+    // Multimodal payload META table over a MIXED corpus (round-14
+    // oracle-depth upgrade; binary-attach plumbing stays unit-covered
+    // in OperatorsSpec): even docs carry their TEXT as the payload
+    // (kind text/plain, content-addressed md5 the oracle recomputes),
+    // odd docs carry a constructed IMAGE (kind rewritten from the REAL
+    // pixel decode, plus pixel-derived n_pixels and dHash the oracle
+    // re-derives arithmetically). Truncated image payloads (%10==7 —
+    // all odd) keep their opaque kind with NULL everywhere but size.
     "q32_multimodal_meta" -> ((s, dir) => {
-      Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("kind"),
-          col("meta.n_bytes").as("n_bytes"),
-          col("meta.checksum").as("checksum"))
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          if (id % 2 == 0) Multimodal.MediaRecord(id, "text/plain",
+            Option(text).getOrElse("").getBytes("UTF-8"))
+          else Multimodal.MediaRecord(id, "application/octet-stream",
+            PixelFixtures.payload(id))
+        }).toDF()
+      media.withColumn("__s", graft.functions.pixelStats(col("content")))
+        .select(col("doc_id"),
+          coalesce(concat(lit("image/"), col("__s.format")), col("kind"))
+            .as("kind"),
+          length(col("content")).cast("long").as("n_bytes"),
+          when(col("kind") === "text/plain", md5(col("content")))
+            .as("checksum"),
+          col("__s.n_pixels").as("n_pixels"),
+          col("__s.dhash").as("dhash"))
         .orderBy("doc_id")
     }),
 
@@ -213,14 +234,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // Multimodal mapPartitions feature extraction (decode stub = 8-bucket
-    // byte histogram), features unpacked to scalar columns so the compare
-    // avoids cross-engine array-hash semantics.
+    // Multimodal mapPartitions feature extraction — REAL pixel decode
+    // as of round 14 (the q290/q333 oracle-depth direction): the
+    // partition-batched pass decodes each constructed PNG/BMP payload
+    // through the native kernel and emits PIXEL-derived columns — pixel
+    // count and the 8-bucket LUMINANCE histogram — that the oracle
+    // re-derives from the fixture's pixel arithmetic without touching a
+    // byte. Truncated payloads (%10==7) keep their original kind with
+    // NULL pixel fields (quarantine).
     "q41_multimodal_features" -> ((s, dir) => {
-      val f = Multimodal.docFeatures(t(s, dir, "documents"), "doc_id", "text")
-      val cols = Seq(col("doc_id"), col("kind"), col("n_bytes"), col("checksum")) ++
-        (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i"))
-      f.select(cols: _*).orderBy("doc_id")
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.MediaRecord(
+          id, "application/octet-stream", PixelFixtures.payload(id))))
+      val cols = Seq(col("doc_id"), col("kind"), col("n_bytes"),
+        col("n_pixels")) ++
+        (0 until 8).map(i => element_at(col("lum_hist"), i + 1).as(s"h$i"))
+      Multimodal.pixelFeatures(media).toDF()
+        .select(cols: _*).orderBy("doc_id")
     }),
 
     // Repetition metrics (Gopher-style quality rule): duplicate lines +
@@ -4558,8 +4589,158 @@ object LlmQueries {
           col("__h.channels").as("channels"),
           col("__h.bits").as("bits"))
         .orderBy("doc_id")
+    }),
+
+    // Codec-free PIXEL decode (round-14 brief task 1 — kills the image
+    // half of the last stub): WHOLE PNG files (stored-mode zlib IDAT,
+    // scanlines forward-filtered with all five spec filter types
+    // y % 5) and 24bpp bottom-up BMPs are constructed from doc_id
+    // arithmetic (PixelFixtures — forward filters + a hand-rolled
+    // Adler-32), then decoded back by the native PixelStats kernel
+    // (JDK Inflater + filter RECONSTRUCTION — inverse direction, no
+    // shared code). The oracle re-derives every output column —
+    // payload sizes, integer luminance sums, the 9×8-grid dHash — from
+    // pixel ARITHMETIC alone, never touching a byte. doc_id%10==7
+    // plants a 40-byte truncation → NULL stats (quarantine). Map-only
+    // plan; payload bytes never shuffle.
+    "q342_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.payload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.functions.pixelStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__s.format").as("format"), col("__s.width").as("width"),
+          col("__s.height").as("height"),
+          col("__s.channels").as("channels"),
+          col("__s.n_pixels").as("n_pixels"),
+          col("__s.lum_sum").as("lum_sum"),
+          col("__s.lum_sq_sum").as("lum_sq_sum"),
+          col("__s.dhash").as("dhash"))
+        .orderBy("doc_id")
+    }),
+
+    // PERCEPTUAL-HASH image near-dup (round-14 brief task 2): byte-
+    // unequal re-encodes of the same picture cluster by dHash Hamming
+    // distance. Every odd doc re-renders its even predecessor's image
+    // with ONE pixel edited (+128 mod 256 at the origin) — different
+    // bytes, dHash within 1 bit — and the banded 4×16-bit machinery
+    // (Dedup.signaturePairs64, the SimHash-tier discipline: never
+    // all-pairs, Hamming-verified before anything else shuffles) must
+    // find exactly the pairs within Hamming ≤ 2. Pigeonhole makes the
+    // band recall EXACT at this radius, so the oracle is the full
+    // all-pairs Hamming answer over arithmetically re-derived dHashes.
+    "q343_dhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.nearDupPayload(id))))
+        .toDF("doc_id", "__p")
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p"))
+            .getField("dhash").as("dhash"))
+      graft.operators.Dedup.signaturePairs64(sigs, "doc_id", "dhash",
+        maxHamming = 2)
+        .orderBy("i", "j")
+    }),
+
+    // TIFF + EXIF header decode (round-14 brief task 3 — the #3
+    // camera container and the ROTATION gate): spec-true TIFF IFD0
+    // walks in BOTH endiannesses — II with inline LONG/SHORT values,
+    // MM with BitsPerSample count=3 read through the VALUE-OFFSET path
+    // — plus a JPEG whose orientation rides in an embedded APP1 Exif
+    // TIFF block (the walk must skip into it and back out to SOF0).
+    // The gate applies the EXIF rotation BEFORE the aspect check
+    // (orientation ≥ 5 = 90°-family → display dims swap). Corruption
+    // slice %4==3: a mid-IFD truncation (%8==3) and an out-of-domain
+    // orientation 9 on a standalone TIFF (%8==7) — both NULL.
+    "q344_tiff_exif" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hdr = docs.select(col("doc_id"),
+          tiffExifPayload(col("doc_id")).as("__p"))
+        .select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.operators.Multimodal.headerMeta(col("__p")).as("__h"))
+      val o = col("__h.orientation")
+      val dispW = when(o >= 5L, col("__h.height"))
+        .otherwise(col("__h.width"))
+      val dispH = when(o >= 5L, col("__h.width"))
+        .otherwise(col("__h.height"))
+      hdr.select(col("doc_id"), col("n_bytes"),
+          col("__h.format").as("format"), col("__h.width").as("width"),
+          col("__h.height").as("height"),
+          col("__h.bit_depth").as("bit_depth"), o.as("orientation"),
+          dispW.as("disp_width"), dispH.as("disp_height"),
+          (dispW <= dispH * 4L && dispH <= dispW * 4L).as("aspect_ok"))
+        .orderBy("doc_id")
     })
   )
+
+  /** q344's constructed TIFF/EXIF payloads (the [[webpBmpPayload]]
+    * discipline): doc_id%4 selects II-TIFF / MM-TIFF (BitsPerSample
+    * through the value-offset path) / JPEG-with-APP1-Exif / corrupt.
+    * Dims reuse q333's arithmetic; orientation = (doc_id>>2)%8+1 so
+    * all eight EXIF values appear in EVERY format slice.
+    */
+  private def tiffExifPayload(docId: Column): Column = {
+    val m = docId % 4
+    val w = (docId % 991) + 1
+    val h = ((docId * 7) % 737) + 1
+    val bits = element_at(typedlit(Seq(1L, 2L, 4L, 8L, 16L)),
+      (docId % 5).cast("int") + 1)
+    val o = shiftright(docId, 2) % 8 + 1
+    def hxp(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+    def be16(c: Column) = unhex(hxp(c, 4))
+    def be32(c: Column) = unhex(hxp(c, 8))
+    def le16(c: Column) = {
+      val x = hxp(c, 4)
+      unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    def le32(c: Column) = {
+      val x = hxp(c, 8)
+      unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    // II ("Intel"): magic + IFD@8 + count 4 + entries (tags ascending:
+    // 256 LONG w, 257 LONG h, 258 SHORT bits inline, 274 SHORT orient)
+    // + next-IFD 0 = 62 bytes
+    def ii(orient: Column) = concat(
+      unhex(lit("49492A00" + "08000000" + "0400")),
+      le16(lit(256L)), unhex(lit("0400")), le32(lit(1L)), le32(w),
+      le16(lit(257L)), unhex(lit("0400")), le32(lit(1L)), le32(h),
+      le16(lit(258L)), unhex(lit("0300")), le32(lit(1L)), le16(bits),
+      unhex(lit("0000")),
+      le16(lit(274L)), unhex(lit("0300")), le32(lit(1L)), le16(orient),
+      unhex(lit("0000")),
+      unhex(lit("00000000")))
+    // MM ("Motorola"): BitsPerSample count=3 → the 4-byte field holds
+    // an OFFSET (62) to three SHORTs appended after the IFD = 68 bytes
+    val mm = concat(
+      unhex(lit("4D4D002A" + "00000008" + "0004")),
+      be16(lit(256L)), unhex(lit("0004")), be32(lit(1L)), be32(w),
+      be16(lit(257L)), unhex(lit("0004")), be32(lit(1L)), be32(h),
+      be16(lit(258L)), unhex(lit("0003")), be32(lit(3L)), be32(lit(62L)),
+      be16(lit(274L)), unhex(lit("0003")), be32(lit(1L)), be16(o),
+      unhex(lit("0000")),
+      unhex(lit("00000000")),
+      be16(bits), be16(bits), be16(bits))
+    // JPEG: SOI + APP1(len 0x22: "Exif\0\0" + a 26-byte MM TIFF whose
+    // IFD0 carries ONLY orientation) + SOF0 + EOI = 59 bytes
+    val exifBlock = concat(
+      unhex(lit("4D4D002A" + "00000008" + "0001")),
+      be16(lit(274L)), unhex(lit("0003")), be32(lit(1L)), be16(o),
+      unhex(lit("0000")),
+      unhex(lit("00000000")))
+    val jpeg = concat(
+      unhex(lit("FFD8" + "FFE1" + "0022" + "457869660000")), exifBlock,
+      unhex(lit("FFC00011" + "08")), be16(h), be16(w),
+      unhex(lit("03011100021101031101" + "FFD9")))
+    val corrupt = when(docId % 8 === 3, substring(ii(o), 1, 12))
+      .otherwise(ii(lit(9L)))
+    when(m === 0, ii(o)).when(m === 1, mm).when(m === 2, jpeg)
+      .otherwise(corrupt)
+  }
 
   /** q337's constructed WebP/BMP payloads (the [[mediaPayload]]
     * discipline): doc_id%4 selects VP8L / VP8 / VP8X / BMP, dims reuse
@@ -5282,34 +5463,52 @@ object LlmQueries {
     * expanding each code point to its UTF-8 bytes (1-4 per char — astral
     * included), then count/len per bucket as exact double division.
     */
-  private val oMultimodalFeatures: String = {
-    val cp = "ascii(c)"
-    s"""WITH bytes AS (
-       |  SELECT doc_id, text,
-       |    flatten(list_transform(
-       |      list_filter(string_split(text, ''), c -> c <> ''),
-       |      c -> CASE
-       |        WHEN $cp < 128 THEN [$cp]
-       |        WHEN $cp < 2048 THEN [192 + $cp // 64, 128 + $cp % 64]
-       |        WHEN $cp < 65536 THEN [224 + $cp // 4096,
-       |          128 + ($cp // 64) % 64, 128 + $cp % 64]
-       |        ELSE [240 + $cp // 262144, 128 + ($cp // 4096) % 64,
-       |          128 + ($cp // 64) % 64, 128 + $cp % 64]
-       |      END)) AS bs
-       |  FROM documents),
-       |hist AS (
-       |  SELECT doc_id, text, bs,
-       |    list_transform(range(8),
-       |      k -> CAST(len(list_filter(bs, b -> b // 32 = k)) AS DOUBLE)
-       |           / greatest(len(bs), 1)) AS f
-       |  FROM bytes)
-       |SELECT doc_id, 'text/plain' AS kind,
-       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       |       md5(text) AS checksum,
-       |       f[1] AS f0, f[2] AS f1, f[3] AS f2, f[4] AS f3,
-       |       f[5] AS f4, f[6] AS f5, f[7] AS f6, f[8] AS f7
-       |FROM hist ORDER BY doc_id""".stripMargin
-  }
+  /** q41 (round-14 pixel upgrade): every output column re-derives from
+    * the PixelFixtures pixel arithmetic — kind from the format slice,
+    * sizes from the container layout, pixel count and the 8-bucket
+    * luminance histogram from the per-pixel formula. No bytes touched.
+    */
+  private val oMultimodalFeatures: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 3 AS m, doc_id % 24 + 9 AS w,
+      |    (doc_id * 5) % 24 + 8 AS h, doc_id % 10 = 7 AS corrupt
+      |  FROM documents),
+      |lum AS (
+      |  SELECT doc_id, CASE WHEN m = 0 THEN u.p * 1000
+      |    ELSE 299 * u.p + 587 * ((u.p * 3) % 256)
+      |      + 114 * ((u.p * 5) % 256) END AS lum
+      |  FROM (
+      |    SELECT doc_id, m,
+      |      unnest(flatten(list_transform(range(h), y ->
+      |        list_transform(range(w), x ->
+      |          {'p': ((x + doc_id % 31) * (y + doc_id % 37) * 3
+      |                 + doc_id) % 256})))) AS u
+      |    FROM d WHERE NOT corrupt)),
+      |hist AS (
+      |  SELECT doc_id,
+      |    CAST(count(CASE WHEN (lum // 1000) // 32 = 0 THEN 1 END) AS BIGINT) AS h0,
+      |    CAST(count(CASE WHEN (lum // 1000) // 32 = 1 THEN 1 END) AS BIGINT) AS h1,
+      |    CAST(count(CASE WHEN (lum // 1000) // 32 = 2 THEN 1 END) AS BIGINT) AS h2,
+      |    CAST(count(CASE WHEN (lum // 1000) // 32 = 3 THEN 1 END) AS BIGINT) AS h3,
+      |    CAST(count(CASE WHEN (lum // 1000) // 32 = 4 THEN 1 END) AS BIGINT) AS h4,
+      |    CAST(count(CASE WHEN (lum // 1000) // 32 = 5 THEN 1 END) AS BIGINT) AS h5,
+      |    CAST(count(CASE WHEN (lum // 1000) // 32 = 6 THEN 1 END) AS BIGINT) AS h6,
+      |    CAST(count(CASE WHEN (lum // 1000) // 32 = 7 THEN 1 END) AS BIGINT) AS h7
+      |  FROM lum GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.corrupt THEN 'application/octet-stream'
+      |    WHEN d.m = 2 THEN 'image/bmp' ELSE 'image/png' END AS kind,
+      |  CAST(CASE WHEN d.corrupt THEN 40
+      |    WHEN d.m = 0 THEN 68 + d.h * (1 + d.w)
+      |    WHEN d.m = 1 THEN 68 + d.h * (1 + 3 * d.w)
+      |    ELSE 54 + d.h * (((3 * d.w + 3) // 4) * 4) END AS BIGINT)
+      |    AS n_bytes,
+      |  CASE WHEN NOT d.corrupt THEN CAST(d.w * d.h AS BIGINT) END
+      |    AS n_pixels,
+      |  hist.h0, hist.h1, hist.h2, hist.h3,
+      |  hist.h4, hist.h5, hist.h6, hist.h7
+      |FROM d LEFT JOIN hist USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q39_embed_ann_lsh" -> oLsh,
@@ -5610,11 +5809,61 @@ object LlmQueries {
         |WHERE rn <= ceil(n * 0.2)
         |ORDER BY lang, doc_id""".stripMargin,
 
+    // Mixed-corpus media META (round-14 pixel upgrade): text payloads
+    // checksum via DuckDB's own md5; image payloads' kind / size /
+    // n_pixels / dHash re-derive from the PixelFixtures arithmetic.
     "q32_multimodal_meta" ->
-      """SELECT doc_id, 'text/plain' AS kind,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       md5(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, text, doc_id % 2 = 1 AS img, doc_id % 3 AS m,
+        |    doc_id % 24 + 9 AS w, (doc_id * 5) % 24 + 8 AS h,
+        |    doc_id % 10 = 7 AS corrupt
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y,
+        |    CASE WHEN m = 0 THEN u.p * 1000
+        |      ELSE 299 * u.p + 587 * ((u.p * 3) % 256)
+        |        + 114 * ((u.p * 5) % 256) END AS lum
+        |  FROM (
+        |    SELECT doc_id, m, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + doc_id % 31) * (y + doc_id % 37) * 3
+        |                 + doc_id) % 256})))) AS u
+        |    FROM d WHERE img AND NOT corrupt)),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |dh AS (
+        |  SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(k AS INT)) AS hraw
+        |  FROM bits GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN NOT d.img THEN 'text/plain'
+        |    WHEN d.corrupt THEN 'application/octet-stream'
+        |    WHEN d.m = 2 THEN 'image/bmp' ELSE 'image/png' END AS kind,
+        |  CAST(CASE WHEN NOT d.img
+        |      THEN octet_length(encode(coalesce(d.text, '')))
+        |    WHEN d.corrupt THEN 40
+        |    WHEN d.m = 0 THEN 68 + d.h * (1 + d.w)
+        |    WHEN d.m = 1 THEN 68 + d.h * (1 + 3 * d.w)
+        |    ELSE 54 + d.h * (((3 * d.w + 3) // 4) * 4) END AS BIGINT)
+        |    AS n_bytes,
+        |  CASE WHEN NOT d.img THEN md5(coalesce(d.text, '')) END
+        |    AS checksum,
+        |  CASE WHEN d.img AND NOT d.corrupt
+        |    THEN CAST(d.w * d.h AS BIGINT) END AS n_pixels,
+        |  CASE WHEN d.img AND NOT d.corrupt THEN CAST(coalesce(dh.hraw, 0)
+        |    - CASE WHEN coalesce(dh.hraw, 0) >= 9223372036854775808
+        |        THEN 18446744073709551616 ELSE 0 END AS BIGINT) END
+        |    AS dhash
+        |FROM d LEFT JOIN dh USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // first corpus-wide occurrence = min packed (doc_id, pos); winner rows
     // reconstructed from the packed min, reassembled in position order.
@@ -13429,7 +13678,151 @@ object LlmQueries {
         |      AS BIGINT)
         |    WHEN 1 THEN CAST(8 AS BIGINT)
         |    WHEN 2 THEN CAST(doc_id % 8 + 1 AS BIGINT) END AS bit_depth
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Pixel stats: the oracle never touches a byte — luminance sums,
+    // histogram-free integer stats, and the 9×8-grid dHash re-derive
+    // from the SAME pixel arithmetic the fixtures rendered (pix =
+    // (7x+13y+s)%256; RGB channels (p, 3p%256, 5p%256); lum = BT.601
+    // milli-weights). The signed 64-bit dHash is assembled in HUGEINT
+    // then wrapped to BIGINT two's-complement.
+    "q342_pixel_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 AS m, doc_id % 24 + 9 AS w,
+        |    (doc_id * 5) % 24 + 8 AS h, doc_id % 10 = 7 AS corrupt
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y,
+        |    CASE WHEN m = 0 THEN u.p * 1000
+        |      ELSE 299 * u.p + 587 * ((u.p * 3) % 256)
+        |        + 114 * ((u.p * 5) % 256) END AS lum
+        |  FROM (
+        |    SELECT doc_id, m, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + doc_id % 31) * (y + doc_id % 37) * 3
+        |                 + doc_id) % 256})))) AS u
+        |    FROM d WHERE NOT corrupt)),
+        |st AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |    CAST(sum(lum * lum) AS BIGINT) AS lum_sq_sum
+        |  FROM lum GROUP BY 1),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |dh AS (
+        |  SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(k AS INT)) AS hraw
+        |  FROM bits GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN d.corrupt THEN 40
+        |    WHEN d.m = 0 THEN 68 + d.h * (1 + d.w)
+        |    WHEN d.m = 1 THEN 68 + d.h * (1 + 3 * d.w)
+        |    ELSE 54 + d.h * (((3 * d.w + 3) // 4) * 4) END AS BIGINT)
+        |    AS n_bytes,
+        |  CASE WHEN d.corrupt THEN NULL WHEN d.m = 2 THEN 'bmp'
+        |    ELSE 'png' END AS format,
+        |  CASE WHEN NOT d.corrupt THEN CAST(d.w AS BIGINT) END AS width,
+        |  CASE WHEN NOT d.corrupt THEN CAST(d.h AS BIGINT) END AS height,
+        |  CASE WHEN NOT d.corrupt THEN CAST(CASE WHEN d.m = 0 THEN 1
+        |    ELSE 3 END AS BIGINT) END AS channels,
+        |  CASE WHEN NOT d.corrupt THEN CAST(d.w * d.h AS BIGINT) END
+        |    AS n_pixels,
+        |  st.lum_sum, st.lum_sq_sum,
+        |  CASE WHEN NOT d.corrupt THEN CAST(coalesce(dh.hraw, 0)
+        |    - CASE WHEN coalesce(dh.hraw, 0) >= 9223372036854775808
+        |        THEN 18446744073709551616 ELSE 0 END AS BIGINT) END
+        |    AS dhash
+        |FROM d LEFT JOIN st USING (doc_id) LEFT JOIN dh USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // dHash near-dup: banding with 4 bands is EXACT for Hamming <= 3
+    // (pigeonhole), so the engine's banded answer equals the all-pairs
+    // Hamming answer — which the oracle computes directly over
+    // arithmetically re-derived dHashes (odd docs replay the one-pixel
+    // origin edit of their even predecessor's grayscale PNG).
+    "q343_dhash_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id - (doc_id % 2) AS pid,
+        |    doc_id % 2 = 1 AS edited,
+        |    (doc_id - (doc_id % 2)) % 24 + 9 AS w,
+        |    ((doc_id - (doc_id % 2)) * 5) % 24 + 8 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y,
+        |    (CASE WHEN edited AND u.x = 0 AND u.y = 0
+        |      THEN (((u.x + pid % 31) * (u.y + pid % 37) * 3 + pid)
+        |            % 256 + 128) % 256
+        |      ELSE ((u.x + pid % 31) * (u.y + pid % 37) * 3 + pid)
+        |           % 256 END) * 1000 AS lum
+        |  FROM (
+        |    SELECT doc_id, pid, edited, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x -> {'x': x, 'y': y})))) AS u
+        |    FROM d)),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(dh.hraw, 0)
+        |      - CASE WHEN coalesce(dh.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id,
+        |      sum(CAST(1 AS HUGEINT) << CAST(k AS INT)) AS hraw
+        |    FROM bits GROUP BY 1) dh USING (doc_id))
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+        |ORDER BY i, j""".stripMargin,
+
+    // TIFF/EXIF headers: pure doc_id arithmetic — sizes from the fixed
+    // container layouts, the rotation gate's display dims swapped when
+    // orientation is in the 90°-family (5..8).
+    "q344_tiff_exif" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS m,
+        |    CAST(doc_id % 991 + 1 AS BIGINT) AS w,
+        |    CAST((doc_id * 7) % 737 + 1 AS BIGINT) AS h,
+        |    CAST((doc_id // 4) % 8 + 1 AS BIGINT) AS o
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, m, w, h, o,
+        |    CASE WHEN o >= 5 THEN h ELSE w END AS dw,
+        |    CASE WHEN o >= 5 THEN w ELSE h END AS dh
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(CASE m WHEN 0 THEN 62 WHEN 1 THEN 68 WHEN 2 THEN 59
+        |    ELSE CASE WHEN doc_id % 8 = 3 THEN 12 ELSE 62 END END
+        |    AS BIGINT) AS n_bytes,
+        |  CASE WHEN m = 2 THEN 'jpeg' WHEN m < 2 THEN 'tiff' END
+        |    AS format,
+        |  CASE WHEN m < 3 THEN w END AS width,
+        |  CASE WHEN m < 3 THEN h END AS height,
+        |  CASE WHEN m < 3 THEN CASE WHEN m = 2 THEN CAST(8 AS BIGINT)
+        |    ELSE CAST([1,2,4,8,16][CAST(doc_id % 5 AS INT) + 1]
+        |      AS BIGINT) END END AS bit_depth,
+        |  CASE WHEN m < 3 THEN o END AS orientation,
+        |  CASE WHEN m < 3 THEN dw END AS disp_width,
+        |  CASE WHEN m < 3 THEN dh END AS disp_height,
+        |  CASE WHEN m < 3 THEN dw <= dh * 4 AND dh <= dw * 4 END
+        |    AS aspect_ok
+        |FROM v ORDER BY doc_id""".stripMargin
   )
 
   /** q329: the training oracle's merge stages (s0 restricted to the

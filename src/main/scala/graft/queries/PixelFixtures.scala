@@ -1,0 +1,203 @@
+package graft.queries
+
+/** Constructed pixel payloads for the q342/q343-family gates — the
+  * [[LlmQueries]] `mediaPayload` discipline taken down to PIXELS: every
+  * image is built from doc_id arithmetic the DuckDB oracle replays
+  * without ever touching a byte, and the CONSTRUCTION direction shares
+  * no code with the decode kernel ([[graft.expressions.PixelKernel]]):
+  *
+  *  - construction applies PNG filters FORWARD (raw → filtered) and
+  *    emits STORED-mode zlib blocks (RFC 1951 §3.2.4 — no Deflater,
+  *    no compression) plus a hand-rolled Adler-32; the kernel inverts
+  *    with `java.util.zip.Inflater` + the filter RECONSTRUCTION pass.
+  *    An offset, endianness, filter, or checksum bug on either side
+  *    breaks the round trip loudly.
+  *  - BMP rows are written bottom-up with 4-byte stride padding; the
+  *    kernel re-orders them to visual rows.
+  *
+  * Shared arithmetic (the oracle's contract — change BOTH sides):
+  *   W(s) = s % 24 + 9            (9..32 — ≥ 9 so the dHash grid exists)
+  *   H(s) = (s·5) % 24 + 8        (8..31)
+  *   p(x, y, s) = ((x + s % 31) · (y + s % 37) · 3 + s) % 256
+  *     — the x·y cross term curves the wavefronts differently per
+  *     image, so dHashes are DIVERSE across docs (a plain linear ramp
+  *     either repeats or wraps to flat mid-gray, collapsing thousands
+  *     of docs onto a handful of dHashes and going quadratic in the
+  *     q343 pair join — measured: 120k/294k chance pairs at sf0.1 for
+  *     linear/steep ramps vs ~18 for this form)
+  *   gray pixel  = p                         (PNG color type 0)
+  *   RGB pixel   = (r, g, b) = (p, 3p % 256, 5p % 256)   (PNG ct 2 / BMP)
+  *   PNG scanline y uses filter type y % 5 — all five spec filters
+  *   (None/Sub/Up/Average/Paeth) appear in every image taller than 4.
+  */
+private[graft] object PixelFixtures {
+
+  /** Payload sizes (the oracle predicts them): PNG = 68 + rawLen with
+    * rawLen = H·(1 + W·bpp); BMP = 54 + H·stride.
+    */
+  def payload(docId: Long): Array[Byte] = {
+    val full = (docId % 3) match {
+      case 0 => pngGray(docId)
+      case 1 => pngRgb(docId)
+      case _ => bmp(docId)
+    }
+    // planted corruption: %10==7 truncates to 40 bytes — a PNG cut
+    // mid-IDAT / a BMP cut before its pixel array; stats must be NULL
+    if (docId % 10 == 7) full.take(40) else full
+  }
+
+  /** q343's near-duplicate construction: even ids are the base grayscale
+    * PNG of pid = docId; odd ids re-render pid = docId − 1 with ONE
+    * pixel edited (raw (0,0) bumped by +128 mod 256) — a byte-unequal
+    * re-encode whose dHash differs in AT MOST bit 0 (pixel (0,0) lives
+    * in grid cell (0,0), so only the cx 0↔1 comparison can flip).
+    */
+  def nearDupPayload(docId: Long): Array[Byte] = {
+    val pid = docId - (docId % 2)
+    pngGray(pid, editOrigin = docId % 2 == 1)
+  }
+
+  def width(s: Long): Int = (s % 24 + 9).toInt
+  def height(s: Long): Int = ((s * 5) % 24 + 8).toInt
+
+  private def pix(x: Int, y: Int, s: Long): Int =
+    (((x + s % 31) * (y + s % 37) * 3 + s) % 256).toInt
+
+  def pngGray(s: Long, editOrigin: Boolean = false): Array[Byte] = {
+    val w = width(s); val h = height(s)
+    val raw = Array.tabulate(h, w) { (y, x) =>
+      val v = pix(x, y, s)
+      if (editOrigin && x == 0 && y == 0) (v + 128) % 256 else v
+    }
+    png(w, h, colorType = 0, raw)
+  }
+
+  def pngRgb(s: Long): Array[Byte] = {
+    val w = width(s); val h = height(s)
+    val rows = Array.tabulate(h) { y =>
+      (0 until w).flatMap { x =>
+        val p = pix(x, y, s)
+        Seq(p, p * 3 % 256, p * 5 % 256)
+      }.toArray
+    }
+    png(w, h, colorType = 2, rows)
+  }
+
+  /** BMP 24bpp BI_RGB: 14-byte file header + BITMAPINFOHEADER(40),
+    * rows bottom-up, BGR on disk, stride padded to 4.
+    */
+  def bmp(s: Long): Array[Byte] = {
+    val w = width(s); val h = height(s)
+    val stride = (w * 3 + 3) / 4 * 4
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+    out.write('B'); out.write('M')
+    le32(54 + h * stride) // file size
+    le32(0) // reserved
+    le32(54) // bfOffBits
+    le32(40); le32(w); le32(h) // positive = bottom-up
+    le16(1); le16(24) // planes, bpp
+    le32(0); le32(h * stride) // BI_RGB, image size
+    le32(2835); le32(2835); le32(0); le32(0) // ppm, palette counts
+    var row = h - 1 // bottom-up: last visual row first on disk
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = pix(x, row, s)
+        out.write(p * 5 % 256); out.write(p * 3 % 256); out.write(p) // B G R
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { out.write(0); pad -= 1 }
+      row -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Assemble a PNG: signature, IHDR, one IDAT (stored-mode zlib of the
+    * FORWARD-filtered scanlines, filter type y % 5), IEND. Chunk CRCs
+    * are zeros — the kernel's contract reads pixels, it does not
+    * certify archives.
+    */
+  private def png(w: Int, h: Int, colorType: Int,
+                  rows: Array[Array[Int]]): Array[Byte] = {
+    val bpp = if (colorType == 0) 1 else 3
+    val rb = w * bpp
+    // forward filtering (PNG §9 encode direction): predictions read the
+    // RAW bytes of the current and prior scanline
+    val filtered = new Array[Byte](h * (1 + rb))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      filtered(y * (1 + rb)) = f.toByte
+      var k = 0
+      while (k < rb) {
+        val cur = rows(y)(k)
+        val left = if (k >= bpp) rows(y)(k - bpp) else 0
+        val up = if (y > 0) rows(y - 1)(k) else 0
+        val ul = if (y > 0 && k >= bpp) rows(y - 1)(k - bpp) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left
+            else if (pb <= pc) up else ul
+            cur - pred
+        }
+        filtered(y * (1 + rb) + 1 + k) = (v & 0xFF).toByte
+        k += 1
+      }
+      y += 1
+    }
+    val idat = zlibStored(filtered)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), 0, 8)
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      typ.foreach(c => out.write(c.toInt))
+      out.write(data, 0, data.length)
+      be32(0L) // CRC zeros (not verified by a stats pass)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    Seq((w >> 24) & 0xFF, (w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF,
+      (h >> 24) & 0xFF, (h >> 16) & 0xFF, (h >> 8) & 0xFF, h & 0xFF,
+      8, colorType, 0, 0, 0).foreach(ihdr.write)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** RFC 1950 zlib stream with ONE RFC 1951 stored (BTYPE=00) block —
+    * size-deterministic (data.length + 11 bytes), so the oracle can
+    * predict n_bytes arithmetically. Adler-32 is hand-rolled here
+    * (mod-65521 running sums) and VERIFIED by the kernel's Inflater —
+    * an independent cross-check of the stream framing. Stored blocks
+    * cap at 65535 bytes; fixture scanline buffers stay well under.
+    */
+  private def zlibStored(data: Array[Byte]): Array[Byte] = {
+    require(data.length <= 0xFFFF, "single stored block only")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x78); out.write(0x01) // CMF/FLG: deflate, 32K window
+    out.write(0x01) // BFINAL=1, BTYPE=00 (stored)
+    out.write(data.length & 0xFF); out.write((data.length >> 8) & 0xFF)
+    out.write(~data.length & 0xFF); out.write((~data.length >> 8) & 0xFF)
+    out.write(data, 0, data.length)
+    var s1 = 1L; var s2 = 0L
+    data.foreach { b => s1 = (s1 + (b & 0xFF)) % 65521L; s2 = (s2 + s1) % 65521L }
+    val adler = (s2 << 16) | s1
+    Seq(24, 16, 8, 0).foreach(sh => out.write(((adler >> sh) & 0xFF).toInt))
+    out.toByteArray
+  }
+}

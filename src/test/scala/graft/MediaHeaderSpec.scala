@@ -180,6 +180,90 @@ class MediaHeaderSpec extends SparkSpec {
     assert(parsed(null).isEmpty)
   }
 
+  private def parsed5(b: Array[Byte])
+  : Option[(String, Long, Long, Long, Long)] =
+    Option(MediaHeaderKernel.parse(b)).map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+  // II-endian TIFF, 9x4, BitsPerSample 8 inline, orientation 6
+  private val tiffII = hx(
+    "49492A00 08000000 0400" +
+      "0001 0400 01000000 09000000" + // 256 ImageWidth LONG 9
+      "0101 0400 01000000 04000000" + // 257 ImageLength LONG 4
+      "0201 0300 01000000 0800 0000" + // 258 BitsPerSample SHORT 8
+      "1201 0300 01000000 0600 0000" + // 274 Orientation SHORT 6
+      "00000000")
+  // MM-endian TIFF, 300x200 SHORT dims, bits count=3 via OFFSET (62),
+  // orientation 3; offset values 8,8,8
+  private val tiffMM = hx(
+    "4D4D002A 00000008 0004" +
+      "0100 0003 00000001 012C 0000" +
+      "0101 0003 00000001 00C8 0000" +
+      "0102 0003 00000003 0000003E" +
+      "0112 0003 00000001 0003 0000" +
+      "00000000" + "0008 0008 0008")
+  // JPEG carrying orientation 5 in an APP1 Exif (MM) block before SOF0
+  private val jpegExif = hx(
+    "FFD8" +
+      "FFE1 0022 457869660000" +
+      "4D4D002A 00000008 0001 0112 0003 00000001 0005 0000 00000000" +
+      "FFC0 0011 08 0002 0003 03 011100 021101 031101 FFD9")
+
+  test("TIFF IFD0 (both endians) and JPEG APP1 Exif orientation parse") {
+    assert(parsed5(tiffII) === Some(("tiff", 9L, 4L, 8L, 6L)))
+    // MM: SHORT dims, bits through the value-offset path
+    assert(parsed5(tiffMM) === Some(("tiff", 300L, 200L, 8L, 3L)))
+    assert(parsed5(jpegExif) === Some(("jpeg", 3L, 2L, 8L, 5L)))
+    // orientation-free containers report the identity 1
+    assert(parsed5(png1x1).map(_._5) === Some(1L))
+    assert(parsed5(gif10x20).map(_._5) === Some(1L))
+    assert(parsed5(jpeg3x2).map(_._5) === Some(1L))
+    // BitsPerSample absent → TIFF spec default 1; orientation absent → 1
+    val noBits = hx(
+      "49492A00 08000000 0200" +
+        "0001 0400 01000000 09000000" +
+        "0101 0400 01000000 04000000" +
+        "00000000")
+    assert(parsed5(noBits) === Some(("tiff", 9L, 4L, 1L, 1L)))
+  }
+
+  test("TIFF/Exif corruptions yield NULL or identity, never wrong") {
+    // standalone TIFF with out-of-domain orientation (9) → corrupt
+    val o9 = tiffII.clone(); o9(tiffII.length - 8) = 9
+    assert(parsed5(o9).isEmpty)
+    // zero width; IFD offset past the end; entry count overrunning
+    val w0 = tiffII.clone(); w0(18) = 0
+    assert(parsed5(w0).isEmpty)
+    val farIfd = tiffII.clone(); farIfd(4) = 0x7F
+    assert(parsed5(farIfd).isEmpty)
+    val bigCnt = tiffII.clone(); bigCnt(8) = 0x40
+    assert(parsed5(bigCnt).isEmpty)
+    // MM offset pointing past the end → bits unreadable → -1 → default
+    // never fires because tag 258 WAS present but unreadable: parse
+    // treats it as absent (reads -1 → default 1) — document by pin
+    val badOff = tiffMM.clone(); badOff(42) = 0x7F.toByte
+    assert(parsed5(badOff) === Some(("tiff", 300L, 200L, 1L, 3L)))
+    // JPEG: malformed Exif (bad TIFF magic) is AUXILIARY — dims still
+    // parse, orientation falls back to 1
+    val badExif = jpegExif.clone(); badExif(10) = 'X'.toByte
+    assert(parsed5(badExif) === Some(("jpeg", 3L, 2L, 8L, 1L)))
+    // truncation fuzz: NULL or the exact answer
+    Seq(("tiffII", tiffII, ("tiff", 9L, 4L, 8L, 6L)),
+      ("tiffMM", tiffMM, ("tiff", 300L, 200L, 8L, 3L)),
+      ("jpegExif", jpegExif, ("jpeg", 3L, 2L, 8L, 5L))).foreach {
+      case (name, full, exp) =>
+        (0 until full.length).foreach { n =>
+          val got = parsed5(full.take(n))
+          assert(got.isEmpty || got.contains(exp) ||
+            // a truncated MM losing only its trailing OFFSET values
+            // degrades bits to the spec default — still never wrong dims
+            (name == "tiffMM" && got.contains(("tiff", 300L, 200L, 1L, 3L))),
+            s"$name truncated to $n: WRONG $got")
+        }
+    }
+  }
+
   private def parsedAudio(b: Array[Byte]): Option[(String, Long, Long, Long)] =
     Option(graft.expressions.AudioHeaderKernel.parse(b)).map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

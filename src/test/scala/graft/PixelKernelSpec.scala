@@ -1,0 +1,226 @@
+package graft
+
+import graft.expressions.PixelKernel
+import graft.queries.PixelFixtures
+
+/** The pixel-decode kernel validated three independent ways:
+  *
+  *  1. against the JDK's OWN PNG encoder (`javax.imageio` — real
+  *     Deflater compression, encoder-chosen filters, a code path
+  *     sharing nothing with either the kernel or the fixtures): stats
+  *     decoded by the kernel must equal stats computed directly from
+  *     the BufferedImage;
+  *  2. against the arithmetic fixtures ([[PixelFixtures]] — forward
+  *     filters + stored-mode zlib): the round trip plus closed-form
+  *     expected sums;
+  *  3. fuzz: every truncation prefix and a corrupted-byte sweep must
+  *     yield NULL or the exact full-payload answer — never a wrong
+  *     statistic (the MediaHeaderSpec discipline).
+  */
+class PixelKernelSpec extends SparkSpec {
+
+  private def statsOf(lum: (Int, Int) => Long, w: Int, h: Int)
+  : (Long, Long, Seq[Long], Option[Long]) = {
+    var s = 0L; var sq = 0L
+    val hist = new Array[Long](8)
+    val cellSum = new Array[Long](72); val cellCnt = new Array[Long](72)
+    for (y <- 0 until h; x <- 0 until w) {
+      val l = lum(x, y)
+      s += l; sq += l * l
+      hist(((l / 1000) >> 5).toInt) += 1
+      if (w >= 9 && h >= 8) {
+        val c = (8 * y / h) * 9 + 9 * x / w
+        cellSum(c) += l; cellCnt(c) += 1
+      }
+    }
+    val dh = if (w < 9 || h < 8) None else Some {
+      (0 until 8).flatMap(cy => (0 until 8).map { cx =>
+        val a = cellSum(cy * 9 + cx) / cellCnt(cy * 9 + cx)
+        val b = cellSum(cy * 9 + cx + 1) / cellCnt(cy * 9 + cx + 1)
+        if (b > a) 1L << (cy * 8 + cx) else 0L
+      }).foldLeft(0L)(_ | _)
+    }
+    (s, sq, hist.toSeq, dh)
+  }
+
+  test("JDK ImageIO-encoded PNGs (independent encoder) decode to exact stats") {
+    import java.awt.image.BufferedImage
+    // RGB: the encoder picks its own filters and really deflates
+    val w = 23; val h = 17
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (x * 7 + y * 13) % 256
+      img.setRGB(x, y, (p << 16) | ((p * 3 % 256) << 8) | (p * 5 % 256))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val st = PixelKernel.decode(bos.toByteArray)
+    assert(st != null && st.format == "png" && st.width == w && st.height == h)
+    assert(st.channels == 3)
+    def lum(x: Int, y: Int): Long = {
+      val p = (x * 7 + y * 13) % 256
+      299L * p + 587L * (p * 3 % 256) + 114L * (p * 5 % 256)
+    }
+    val (s, sq, hist, dh) = statsOf(lum, w, h)
+    assert((st.lumSum, st.lumSqSum, st.hist.toSeq, st.dhash) ===
+      ((s, sq, hist, dh)))
+    // grayscale via TYPE_BYTE_GRAY (PNG color type 0)
+    val g = new BufferedImage(11, 9, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 9; x <- 0 until 11)
+      g.getRaster.setSample(x, y, 0, (x * 31 + y * 5) % 256)
+    val gb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(g, "png", gb))
+    val gs = PixelKernel.decode(gb.toByteArray)
+    assert(gs != null && gs.channels == 1)
+    val (s2, sq2, hist2, dh2) =
+      statsOf((x, y) => 1000L * ((x * 31 + y * 5) % 256), 11, 9)
+    assert((gs.lumSum, gs.lumSqSum, gs.hist.toSeq, gs.dhash) ===
+      ((s2, sq2, hist2, dh2)))
+  }
+
+  test("fixture PNGs (all five filter types) and BMP round-trip exactly") {
+    for (s <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 23L, 101L, 202L)) {
+      val m = s % 3
+      val st = PixelKernel.decode(PixelFixtures.payload(s))
+      if (s % 10 == 7) assert(st == null, s"truncated payload $s")
+      else {
+        val w = PixelFixtures.width(s); val h = PixelFixtures.height(s)
+        assert(st != null, s"payload $s")
+        assert((st.format, st.width, st.height, st.channels) ===
+          ((if (m == 2) "bmp" else "png", w, h, if (m == 0) 1 else 3)))
+        def lum(x: Int, y: Int): Long = {
+          val p = ((x + s % 31) * (y + s % 37) * 3 + s) % 256
+          if (m == 0) 1000L * p
+          else 299L * p + 587L * (p * 3 % 256) + 114L * (p * 5 % 256)
+        }
+        val (sm, sq, hist, dh) = statsOf(lum, w, h)
+        assert((st.lumSum, st.lumSqSum, st.hist.toSeq, st.dhash) ===
+          ((sm, sq, hist, dh)), s"payload $s")
+      }
+    }
+  }
+
+  test("near-dup fixture: one-pixel edit flips at most dHash bit 0") {
+    for (base <- Seq(0L, 2L, 8L, 30L, 102L)) {
+      val a = PixelKernel.decode(PixelFixtures.nearDupPayload(base))
+      val b = PixelKernel.decode(PixelFixtures.nearDupPayload(base + 1))
+      assert(a != null && b != null)
+      val ham = java.lang.Long.bitCount(a.dhash.get ^ b.dhash.get)
+      assert(ham <= 1, s"base $base hamming $ham")
+      // and the payload BYTES differ (it is a re-encode, not a copy)
+      assert(!java.util.Arrays.equals(PixelFixtures.nearDupPayload(base),
+        PixelFixtures.nearDupPayload(base + 1)))
+    }
+  }
+
+  test("truncation fuzz: every prefix decodes to NULL or the exact answer") {
+    val full = PixelFixtures.payload(12L) // png gray
+    val want = PixelKernel.decode(full)
+    assert(want != null)
+    for (n <- 0 until full.length) {
+      val st = PixelKernel.decode(full.take(n))
+      assert(st == null, s"prefix $n must be NULL (missing IEND/IDAT)")
+    }
+    val bmpFull = PixelFixtures.payload(2L)
+    for (n <- 0 until bmpFull.length)
+      assert(PixelKernel.decode(bmpFull.take(n)) == null, s"bmp prefix $n")
+  }
+
+  test("unsupported layouts and corrupt streams are NULL, never wrong") {
+    val full = PixelFixtures.payload(0L)
+    // palette color type
+    val pal = full.clone(); pal(25) = 3; assert(PixelKernel.decode(pal) == null)
+    // 16-bit depth
+    val d16 = full.clone(); d16(24) = 16; assert(PixelKernel.decode(d16) == null)
+    // interlaced
+    val il = full.clone(); il(28) = 1; assert(PixelKernel.decode(il) == null)
+    // invalid filter type byte inside the (stored-mode) IDAT stream:
+    // first scanline's filter byte lives right after the 7 zlib/stored
+    // header bytes of the IDAT chunk data (offset 33 + 8 + 7)
+    val badf = full.clone(); badf(48) = 9
+    assert(PixelKernel.decode(badf) == null)
+    // corrupt zlib header
+    val badz = full.clone(); badz(41) = 0x1F
+    assert(PixelKernel.decode(badz) == null)
+    // adler mismatch: flip a byte of the zlib checksum — Inflater
+    // reaches the trailer inside the final inflate() call here and
+    // throws, so the kernel quarantines (NULL). (IDAT layout from the
+    // end: IEND(12) + IDAT CRC(4) + adler(4) → length − 17.)
+    val bada = full.clone(); bada(full.length - 17) =
+      (bada(full.length - 17) ^ 0xFF).toByte
+    assert(PixelKernel.decode(bada) == null)
+    // ...while a flipped chunk CRC (never verified — a stats pass does
+    // not certify archives) still decodes to the exact answer
+    val fullSt = PixelKernel.decode(full)
+    val badc = full.clone(); badc(full.length - 13) =
+      (badc(full.length - 13) ^ 0xFF).toByte
+    val badcSt = PixelKernel.decode(badc)
+    assert(badcSt != null && badcSt.lumSum == fullSt.lumSum &&
+      badcSt.dhash == fullSt.dhash)
+    // decode-bomb guard: an IHDR advertising 2^16 × 2^16 returns NULL
+    val bomb = full.clone()
+    bomb(16) = 0; bomb(17) = 1; bomb(18) = 0; bomb(19) = 0
+    bomb(20) = 0; bomb(21) = 1; bomb(22) = 0; bomb(23) = 0
+    assert(PixelKernel.decode(bomb) == null)
+    // BMP: 32bpp and RLE compression unsupported
+    val bmp = PixelFixtures.payload(2L)
+    val b32 = bmp.clone(); b32(28) = 32; assert(PixelKernel.decode(b32) == null)
+    val rle = bmp.clone(); rle(30) = 1; assert(PixelKernel.decode(rle) == null)
+  }
+
+  test("decodeImage ImageIO fallback: real JPEG/GIF pixel decode") {
+    import graft.operators.Multimodal
+    import java.awt.image.BufferedImage
+    // GIF is LZW — lossless: stats must match the source image exactly
+    val g = new BufferedImage(20, 15, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 15; x <- 0 until 20)
+      g.getRaster.setSample(x, y, 0, (x * 9 + y * 4) % 256)
+    val gb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(g, "gif", gb))
+    val gs = Multimodal.decodeImage(gb.toByteArray)
+    assert(gs.isDefined && gs.get.format == "gif" &&
+      gs.get.width == 20 && gs.get.height == 15)
+    // ImageIO getRGB expands gray to equal r=g=b → lum = 1000·v
+    val (s, sq, hist, dh) =
+      statsOf((x, y) => 1000L * ((x * 9 + y * 4) % 256), 20, 15)
+    assert((gs.get.lumSum, gs.get.lumSqSum, gs.get.hist.toSeq,
+      gs.get.dhash) === ((s, sq, hist, dh)))
+    // JPEG is LOSSY: dimensions/counts exact, pixel values approximate
+    val j = new BufferedImage(24, 18, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 18; x <- 0 until 24)
+      j.setRGB(x, y, ((x * 10) % 256 << 16) | ((y * 14) % 256 << 8) | 128)
+    val jb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(j, "jpg", jb))
+    val js = Multimodal.decodeImage(jb.toByteArray)
+    assert(js.isDefined && js.get.format == "jpeg" &&
+      js.get.width == 24 && js.get.height == 18 && js.get.channels == 3)
+    assert(js.get.hist.sum === 24L * 18)
+    assert(js.get.dhash.isDefined)
+    // non-image payloads never reach a codec
+    assert(Multimodal.decodeImage("GIF89a but not really".getBytes).isEmpty)
+    assert(Multimodal.decodeImage("plain text".getBytes).isEmpty)
+    // ...and extractFeatures routes images through the REAL path:
+    // a gray GIF's luminance histogram, normalized
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRecord(1L, "bin", gb.toByteArray)).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()(0)
+    assert(feats.features.toSeq ===
+      hist.map(_.toDouble / (20 * 15)).toSeq)
+  }
+
+  test("pixel_stats expression over a DataFrame: nulls for corrupt rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(0L, 1L, 2L, 7L, 17L).toDF("id")
+      .as[Long].mapPartitions(_.map(id => (id, PixelFixtures.payload(id))))
+      .toDF("id", "p")
+      .select(col("id"), graft.functions.pixelStats(col("p")).as("s"))
+      .select(col("id"), col("s.format"), col("s.n_pixels"),
+        col("s.dhash"), element_at(col("s.lum_hist"), 1).as("h0"))
+      .orderBy("id").collect()
+    assert(df.length === 5)
+    assert(df.filter(r => r.getLong(0) % 10 == 7).forall(_.isNullAt(1)))
+    val ok = df.filter(r => r.getLong(0) % 10 != 7)
+    assert(ok.forall(r => !r.isNullAt(1) && r.getLong(2) > 0))
+  }
+}
