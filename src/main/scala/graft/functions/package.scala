@@ -263,6 +263,15 @@ package object functions {
   def pixelStats(content: Column): Column =
     toColumn(graft.expressions.PixelStats(toExpression(content)))
 
+  /** WAV PCM sample statistics (16-bit LE, codec-free): STRUCT<
+    * sample_rate, channels, bits, n_samples, duration_ms, sum_q,
+    * sq_sum, n_clipped, lead_silence, trail_silence>, NULL on corrupt /
+    * truncated / non-PCM-16 payloads. See
+    * [[graft.expressions.PcmKernel]].
+    */
+  def pcmStats(content: Column): Column =
+    toColumn(graft.expressions.PcmStats(toExpression(content)))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

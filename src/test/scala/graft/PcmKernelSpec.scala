@@ -1,0 +1,101 @@
+package graft
+
+import graft.expressions.PcmKernel
+
+/** The PCM sample-stats kernel against hand-laid WAV bytes (the
+  * MediaHeaderSpec discipline): exact integer statistics out of
+  * spec-true layouts, NULL out of every corruption — never a wrong
+  * number.
+  */
+class PcmKernelSpec extends SparkSpec {
+
+  private def wav(rate: Int, ch: Int, samples: Seq[Int],
+                  declaredLen: Option[Int] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    val dataLen = declaredLen.getOrElse(samples.length * 2)
+    out.write("RIFF".getBytes, 0, 4); le32(36 + dataLen)
+    out.write("WAVE".getBytes, 0, 4)
+    out.write("fmt ".getBytes, 0, 4); le32(16)
+    le16(1); le16(ch); le32(rate); le32(rate * ch * 2); le16(ch * 2); le16(16)
+    out.write("data".getBytes, 0, 4); le32(dataLen)
+    samples.foreach(s => le16(s & 0xFFFF))
+    out.toByteArray
+  }
+
+  private def parsed(b: Array[Byte]): Option[Seq[Long]] =
+    Option(PcmKernel.parse(b)).map(r => (0 until 10).map(r.getLong))
+
+  test("exact stats: energy, clipping rails, edge silence runs") {
+    // 8 samples: 2 leading silent, ramp, a +rail and a -rail, 2
+    // trailing silent (7 and -200 are both under the ±256 threshold)
+    val s = Seq(0, 100, 5000, -6000, 32767, -32768, 7, -200)
+    val got = parsed(wav(16000, 1, s)).get
+    val sum = s.map(_.toLong).sum
+    val sq = s.map(v => v.toLong * v).sum
+    assert(got === Seq(16000L, 1L, 16L, 8L, 8L * 1000 / 16000,
+      sum, sq, 2L, 2L, 2L))
+    // stereo: n_samples across channels, duration from FRAMES
+    val st = parsed(wav(8000, 2, Seq(1000, 1000, -1000, -1000))).get
+    assert((st(3), st(4)) === ((4L, 2L * 1000 / 8000)))
+    // all-silent: lead == trail == n
+    val sil = parsed(wav(44100, 1, Seq(0, 5, -256, 256))).get
+    assert((sil(8), sil(9)) === ((4L, 4L)))
+    // threshold edge: 257 is NOT silent
+    val edge = parsed(wav(44100, 1, Seq(257, 0))).get
+    assert((edge(8), edge(9)) === ((0L, 1L)))
+  }
+
+  test("corruptions are NULL: non-PCM, wrong bits, truncation, misalignment") {
+    val good = wav(16000, 1, Seq(1, 2, 3, 4))
+    assert(parsed(good).isDefined)
+    // fmt tag != 1 (e.g. IEEE float 3)
+    val f3 = good.clone(); f3(20) = 3; assert(parsed(f3).isEmpty)
+    // bits != 16
+    val b8 = good.clone(); b8(34) = 8; assert(parsed(b8).isEmpty)
+    // declared data longer than present (mid-data truncation)
+    assert(parsed(wav(16000, 1, Seq(1, 2), declaredLen = Some(12))).isEmpty)
+    // stereo data not frame-aligned (3 samples)
+    assert(parsed(wav(16000, 2, Seq(1, 2, 3))).isEmpty)
+    // zero rate / channels
+    val zr = good.clone(); (24 to 27).foreach(zr(_) = 0)
+    assert(parsed(zr).isEmpty)
+    // every truncation prefix: NULL or the exact full answer
+    val want = parsed(good)
+    (0 until good.length).foreach { n =>
+      val got = parsed(good.take(n))
+      assert(got.isEmpty || got == want, s"prefix $n: WRONG $got")
+    }
+    assert(parsed("not audio at all".getBytes).isEmpty)
+    assert(parsed(null).isEmpty)
+  }
+
+  test("pcm_stats expression and a JUNK chunk before fmt/data") {
+    // JUNK chunk first: the walk must skip it by size (incl. odd-size
+    // padding) and still find fmt and data
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes, 0, 4); le32(0)
+    out.write("WAVE".getBytes, 0, 4)
+    out.write("JUNK".getBytes, 0, 4); le32(3); out.write(Array[Byte](1, 2, 3), 0, 3)
+    out.write(0) // odd-size chunks pad to even
+    out.write("fmt ".getBytes, 0, 4); le32(16)
+    le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    out.write("data".getBytes, 0, 4); le32(4); le16(300 & 0xFFFF); le16(-300 & 0xFFFF)
+    val got = parsed(out.toByteArray).get
+    assert(got === Seq(8000L, 1L, 16L, 2L, 0L, 0L, 180000L, 0L, 0L, 0L))
+    // expression surface
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, wav(16000, 1, Seq(1000, -1000))),
+        (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "p")
+      .select(col("id"), graft.functions.pcmStats(col("p")).as("s"))
+      .select(col("id"), col("s.n_samples"), col("s.sq_sum"))
+      .orderBy("id").collect()
+    assert(df(0).getLong(1) === 2L && df(0).getLong(2) === 2000000L)
+    assert(df(1).isNullAt(1))
+  }
+}
