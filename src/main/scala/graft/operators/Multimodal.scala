@@ -77,6 +77,29 @@ object Multimodal {
         col("__h.height").as("height"),
         col("__h.bit_depth").as("bit_depth"))
 
+  /** The resolution/format gate's aggregate columns over parsed header
+    * fields — SHARED by the batch scorecard (q336) and the streaming
+    * twin ([[graft.streaming.CorpusStreams.windowedMediaGate]]), the
+    * wideBandNib discipline: batch and stream can never gate
+    * differently. Reason counts are independent (a doc can be both
+    * too-small and bad-aspect) so the monitoring read shows WHY mass
+    * drops.
+    */
+  def gateCounts(format: Column, w: Column, h: Column,
+                 minDim: Long = 64L, maxAspect: Long = 4L,
+                 allowed: Seq[String] = Seq("png", "jpeg")): Seq[Column] = {
+    val parseable = format.isNotNull
+    val allowedC = format.isin(allowed: _*)
+    val big = w >= minDim && h >= minDim
+    val aspectOk = w <= h * maxAspect && h <= w * maxAspect
+    Seq(count(lit(1)).as("n_docs"),
+      count(when(parseable && allowedC && big && aspectOk, 1))
+        .as("n_keep"),
+      count(when(parseable && !allowedC, 1)).as("n_not_allowed"),
+      count(when(parseable && !big, 1)).as("n_too_small"),
+      count(when(parseable && !aspectOk, 1)).as("n_bad_aspect"))
+  }
+
   /** REAL audio header decode — WAV (RIFF chunk walk to "fmt ") and
     * FLAC (STREAMINFO bit unpacking) via the codegen'd
     * [[graft.expressions.AudioHeader]] kernel: (format, sample_rate,

@@ -4432,18 +4432,13 @@ object LlmQueries {
             mediaPayload(col("doc_id"))).as("__h"))
         .select(col("doc_id"), col("__h.format").as("__f"),
           col("__h.width").as("__w"), col("__h.height").as("__hh"))
-      val parseable = col("__f").isNotNull
-      val allowed = col("__f").isin("png", "jpeg")
-      val big = col("__w") >= 64L && col("__hh") >= 64L
-      val aspectOk = col("__w") <= col("__hh") * 4L &&
-        col("__hh") <= col("__w") * 4L
+      // gate columns SHARED with the streaming twin
+      // (CorpusStreams.windowedMediaGate) — batch and stream can never
+      // gate differently
+      val cs = graft.operators.Multimodal.gateCounts(
+        col("__f"), col("__w"), col("__hh"))
       hdr.groupBy(coalesce(col("__f"), lit("unparseable")).as("format"))
-        .agg(count(lit(1)).as("n_docs"),
-          count(when(parseable && allowed && big && aspectOk, 1))
-            .as("n_keep"),
-          count(when(parseable && !allowed, 1)).as("n_not_allowed"),
-          count(when(parseable && !big, 1)).as("n_too_small"),
-          count(when(parseable && !aspectOk, 1)).as("n_bad_aspect"))
+        .agg(cs.head, cs.tail: _*)
         .orderBy("format")
     }),
 

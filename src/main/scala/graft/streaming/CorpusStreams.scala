@@ -287,6 +287,42 @@ object CorpusStreams {
         col("bucket"), col("cnt"))
   }
 
+  /** Windowed MEDIA-GATE scorecard over a binary-payload stream —
+    * streaming twin of the q336 batch gate (round-14 brief task 7):
+    * per (event-time window, format — unparseable bucketed under its
+    * own key) the keep / reason counts from the REAL codec-free header
+    * kernel. The gate columns are
+    * [[graft.operators.Multimodal.gateCounts]], SHARED with the batch
+    * scorecard (the wideBandNib discipline — batch and stream can
+    * never gate differently), so a window's rows equal the batch gate
+    * over that window's slice (parity test-locked).
+    *
+    * Scale shape: a pure map-side projection (one kernel call per
+    * payload, bytes never shuffle) into a windowed count aggregate —
+    * state is one row per (window, format), bounded by the format
+    * universe, not the stream.
+    *
+    * @return streaming (window_start, format, n_docs, n_keep,
+    *         n_not_allowed, n_too_small, n_bad_aspect)
+    */
+  def windowedMediaGate(media: org.apache.spark.sql.DataFrame,
+                        contentCol: String, tsCol: String,
+                        windowDur: String, watermark: String,
+                        minDim: Long = 64L, maxAspect: Long = 4L,
+                        allowed: Seq[String] = Seq("png", "jpeg")): org.apache.spark.sql.DataFrame = {
+    val cs = graft.operators.Multimodal.gateCounts(col("__h.format"),
+      col("__h.width"), col("__h.height"), minDim, maxAspect, allowed)
+    media.select(col(tsCol),
+        graft.functions.mediaHeader(col(contentCol)).as("__h"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("__win"),
+        coalesce(col("__h.format"), lit("unparseable")).as("format"))
+      .agg(cs.head, cs.tail: _*)
+      .select(col("__win.start").as("window_start"), col("format"),
+        col("n_docs"), col("n_keep"), col("n_not_allowed"),
+        col("n_too_small"), col("n_bad_aspect"))
+  }
+
   /** Windowed heavy-hitter CANDIDATES over the token stream — streaming
     * twin of [[graft.operators.HeavyHitters.mgSummary]], and the second
     * bounded-state trending-terms path next to [[windowedTokenCountMin]]:

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 
 case class LangDoc(doc_id: Long, ts: java.sql.Timestamp, lang: String, text: String)
 
+case class MediaDoc(doc_id: Long, ts: java.sql.Timestamp, content: Array[Byte])
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -720,6 +722,62 @@ class StreamingSpec extends SparkSpec {
         .map(r => (ts(0), r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
       assert(got === batch)
+    } finally query.stop()
+  }
+
+  test("windowedMediaGate: per-window scorecard equals the batch gate") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    def hxb(s: String): Array[Byte] = {
+      val c = s.replaceAll("\\s", "")
+      Array.tabulate(c.length / 2)(i =>
+        Integer.parseInt(c.substring(2 * i, 2 * i + 2), 16).toByte)
+    }
+    def png(w: Int, h: Int): Array[Byte] =
+      hxb("89504E470D0A1A0A 0000000D 49484452") ++
+        hxb(f"$w%08X$h%08X") ++ hxb("08 06 000000 00000000")
+    val gif = hxb("474946383961 8000 8000 F7 00 00") // 128x128 gif
+    val docs = Seq(
+      MediaDoc(1, ts(0), png(100, 100)), // keep
+      MediaDoc(2, ts(1), png(20, 100)), // too small
+      MediaDoc(3, ts(2), gif), // format not allowed
+      MediaDoc(4, ts(3), Array[Byte](1, 2, 3)), // unparseable
+      MediaDoc(5, ts(12), png(100, 500)), // big but bad aspect (2nd win)
+      MediaDoc(6, ts(13), png(64, 64))) // keep (2nd window)
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedMediaGate(input.toDF(), "content",
+        "ts", windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wmg").start()
+    try {
+      input.addData(docs.take(3): _*) // split across micro-batches:
+      query.processAllAvailable()     // counts must re-aggregate
+      input.addData(docs.drop(3): _*)
+      query.processAllAvailable()
+      val got = spark.table("wmg").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      // batch reference: the SAME shared gateCounts over each window's
+      // slice (the q336 batch shape)
+      val expected = Seq(ts(0) -> docs.take(4), ts(10) -> docs.drop(4))
+        .flatMap { case (w0, slice) =>
+          val hdr = slice.toDF()
+            .select(graft.operators.Multimodal.headerMeta($"content")
+              .as("__h"))
+          val cs = graft.operators.Multimodal.gateCounts(
+            $"__h.format", $"__h.width", $"__h.height")
+          hdr.groupBy(coalesce($"__h.format", lit("unparseable"))
+              .as("format"))
+            .agg(cs.head, cs.tail: _*)
+            .collect().map(r => (w0, r.getString(0), r.getLong(1),
+              r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        }.toSet
+      assert(got === expected)
+      // spot-pin the verdicts so a jointly-wrong gate cannot pass
+      val w1 = got.filter(_._1 == ts(0)).map(t => t._2 -> t).toMap
+      assert(w1("png") === ((ts(0), "png", 2L, 1L, 0L, 1L, 1L)))
+      assert(w1("gif") === ((ts(0), "gif", 1L, 0L, 1L, 0L, 0L)))
+      assert(w1("unparseable") === ((ts(0), "unparseable", 1L, 0L, 0L, 0L, 0L)))
     } finally query.stop()
   }
 
