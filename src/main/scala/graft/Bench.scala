@@ -103,7 +103,16 @@ object Bench {
     // set left join — count() would prune the excision entirely.
     "q339_exact_substr_excise",
     // q341 is q333's construct→parse projection shape for audio.
-    "q341_audio_headers")
+    "q341_audio_headers",
+    // round 14: q342/q344/q345 are construct→decode projections
+    // (q333's shape — count() would prune the kernel call; q342's
+    // payload construction runs either way, being a mapPartitions
+    // barrier, but the DECODE is the advertised work); q32/q41 became
+    // pixel-meta projections; q347 is q307's doc-spine unique-key
+    // left join, eliminable under count().
+    "q342_pixel_stats", "q344_tiff_exif", "q345_pcm_stats",
+    "q32_multimodal_meta", "q41_multimodal_features",
+    "q347_viterbi_bytefallback")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -53,7 +53,18 @@ object CorpusScaleAudit {
     // block is IDENTICAL across replicas — its occurrence count grows
     // ×KREP over a constant distinct-gram set, exactly how shared
     // boilerplate behaves in a real growing corpus
-    "q335_exact_substr_runs", "q339_exact_substr_excise")
+    "q335_exact_substr_runs", "q339_exact_substr_excise",
+    // round-14 probes (verdict task 5 + the new tier's heaviest
+    // plans): the byte-level BPE pair's distinct-pretoken join, the
+    // media pipeline's digest dedup, the pixel/PCM decode tiers (pure
+    // map + per-payload kernels — the constant to watch is decode
+    // cost, not shuffle), the dHash banded pair join (bucket occupancy
+    // grows with corpus), and the byte-fallback Viterbi's
+    // distinct-word DP (vocabulary grows ×KREP with the suffixed
+    // fixture — the same stress as q92's)
+    "q334_bytelevel_bpe", "q338_bytelevel_budget", "q340_media_pipeline",
+    "q342_pixel_stats", "q343_dhash_neardup", "q345_pcm_stats",
+    "q346_audio_pipeline", "q347_viterbi_bytefallback")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
