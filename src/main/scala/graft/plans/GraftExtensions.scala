@@ -211,7 +211,17 @@ object GraftExtensions {
       info("graft_audio_header",
         "graft_audio_header(content) - codec-free WAV/FLAC header decode of a BINARY payload: struct<format,sample_rate,channels,bits>, NULL on corrupt/truncated/unknown"),
       es => { val Seq(c) = arity("graft_audio_header", 1)(es)
-        graft.expressions.AudioHeader(c) }))
+        graft.expressions.AudioHeader(c) }),
+    (FunctionIdentifier("graft_pixel_stats"),
+      info("graft_pixel_stats",
+        "graft_pixel_stats(content) - codec-free PNG/BMP PIXEL decode of a BINARY payload: struct<format,width,height,channels,n_pixels,lum_sum,lum_sq_sum,dhash,lum_hist>, NULL on corrupt/truncated/unsupported"),
+      es => { val Seq(c) = arity("graft_pixel_stats", 1)(es)
+        graft.expressions.PixelStats(c) }),
+    (FunctionIdentifier("graft_pcm_stats"),
+      info("graft_pcm_stats",
+        "graft_pcm_stats(content) - WAV PCM-16 sample statistics of a BINARY payload: struct<sample_rate,channels,bits,n_samples,duration_ms,sum_q,sq_sum,n_clipped,lead_silence,trail_silence>, NULL on corrupt/truncated/non-PCM-16"),
+      es => { val Seq(c) = arity("graft_pcm_stats", 1)(es)
+        graft.expressions.PcmStats(c) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

@@ -4813,6 +4813,41 @@ object LlmQueries {
           "giant_size", "giant_share", "giant_after", "retained",
           "n_reached", "n_unreached")
         .orderBy("n_nodes")
+    }),
+
+    // The IMAGE near-dup pipeline COMPOSED as one plan (the perceptual
+    // capstone over q342/q343: what an image-corpus curation job
+    // actually ships): decode pixels → dHash → banded Hamming pairs →
+    // connected components → one verdict row (images, decoded, pair,
+    // cluster, and excess-duplicate counts — n_dup_excess is the mass
+    // a canonical-survivor pass would drop). The dHash table is built
+    // ONCE (CacheScope via signaturePairs64's banded frame); the
+    // oracle re-derives dHashes arithmetically and replays the CC as
+    // a recursive min-label flood over the qualifying pairs.
+    "q349_image_dedup_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.nearDupPayload(id))))
+        .toDF("doc_id", "__p")
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p"))
+            .getField("dhash").as("dhash"))
+        .transform(graft.operators.CacheScope.track)
+      val pairs = graft.operators.Dedup.signaturePairs64(sigs, "doc_id",
+        "dhash", maxHamming = 2)
+        .transform(graft.operators.CacheScope.track)
+      val clusters = graft.operators.Components
+        .connectedComponents(pairs, "i", "j")
+      val cagg = clusters.agg(count(lit(1)).as("n_members"),
+        count_distinct(col("component")).as("n_clusters"))
+      sigs.agg(count(lit(1)).as("n_images"),
+          count(col("dhash")).as("n_decoded"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(cagg)
+        .withColumn("n_dup_excess", col("n_members") - col("n_clusters"))
+        .withColumn("ship",
+          col("n_decoded") > 0L && col("n_dup_excess") >= 0L)
+        .orderBy("n_images")
     })
   )
 
@@ -14161,7 +14196,72 @@ object LlmQueries {
         |            THEN CAST(g2.giant_after AS DOUBLE) /
         |                 CAST(g1.giant_size AS DOUBLE) END AS retained,
         |       bfs.n_reached, bfs.n_unreached
-        |FROM cnts, assort, g1, g2, bfs""".stripMargin
+        |FROM cnts, assort, g1, g2, bfs""".stripMargin,
+
+    // Image dedup pipeline: the q343 dHash CTEs + all-pairs Hamming
+    // (pigeonhole makes the engine's banding exact at this radius) +
+    // recursive min-label CC flood, closed to one verdict row.
+    "q349_image_dedup_pipeline" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id - (doc_id % 2) AS pid,
+        |    doc_id % 2 = 1 AS edited,
+        |    (doc_id - (doc_id % 2)) % 24 + 9 AS w,
+        |    ((doc_id - (doc_id % 2)) * 5) % 24 + 8 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y,
+        |    (CASE WHEN edited AND u.x = 0 AND u.y = 0
+        |      THEN (((u.x + pid % 31) * (u.y + pid % 37) * 3 + pid)
+        |            % 256 + 128) % 256
+        |      ELSE ((u.x + pid % 31) * (u.y + pid % 37) * 3 + pid)
+        |           % 256 END) * 1000 AS lum
+        |  FROM (
+        |    SELECT doc_id, pid, edited, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x -> {'x': x, 'y': y})))) AS u
+        |    FROM d)),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(dh.hraw, 0)
+        |      - CASE WHEN coalesce(dh.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id,
+        |      sum(CAST(1 AS HUGEINT) << CAST(k AS INT)) AS hraw
+        |    FROM bits GROUP BY 1) dh USING (doc_id)),
+        |p AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+        |symp AS (SELECT i AS u, j AS v FROM p UNION ALL SELECT j, i FROM p),
+        |pn AS (SELECT DISTINCT u AS node FROM symp),
+        |r(node, comp) AS (
+        |  SELECT node, node FROM pn
+        |  UNION
+        |  SELECT e.v, r.comp FROM r JOIN symp e ON e.u = r.node),
+        |l AS (SELECT node, min(comp) AS component FROM r GROUP BY 1),
+        |ca AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(count(DISTINCT component) AS BIGINT) AS n_clusters
+        |  FROM l)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_images,
+        |  (SELECT CAST(count(dhash) AS BIGINT) FROM sig) AS n_decoded,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+        |  ca.n_members, ca.n_clusters,
+        |  ca.n_members - ca.n_clusters AS n_dup_excess,
+        |  (SELECT count(dhash) FROM sig) > 0
+        |    AND ca.n_members - ca.n_clusters >= 0 AS ship
+        |FROM ca ORDER BY n_images""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

@@ -103,6 +103,37 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.getLong(2) === api.getLong(1))
   }
 
+  test("graft_pixel_stats / graft_pcm_stats agree with the Scala API from SQL") {
+    import graft.queries.PixelFixtures
+    Seq((0L, PixelFixtures.payload(0L)), (2L, PixelFixtures.payload(2L)),
+      (7L, PixelFixtures.payload(7L)))
+      .toDF("id", "p").createOrReplaceTempView("px_ext_spec")
+    val viaSql = spark.sql(
+      """SELECT id, graft_pixel_stats(p).lum_sum AS s,
+        |  graft_pixel_stats(p).dhash AS d
+        |FROM px_ext_spec ORDER BY id""".stripMargin).collect()
+    val viaApi = spark.table("px_ext_spec")
+      .select($"id", graft.functions.pixelStats($"p").getField("lum_sum"),
+        graft.functions.pixelStats($"p").getField("dhash"))
+      .orderBy("id").collect()
+    assert(viaSql.map(_.toString).toSeq === viaApi.map(_.toString).toSeq)
+    assert(viaSql(2).isNullAt(1)) // %10==7 truncation quarantines
+    // PCM: one spec-true 2-sample WAV through SQL
+    val wav = Array[Int](
+      'R', 'I', 'F', 'F', 40, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 1, 0,
+      0x40, 0x1F, 0, 0, 0x80, 0x3E, 0, 0, 2, 0, 16, 0,
+      'd', 'a', 't', 'a', 4, 0, 0, 0, 0xE8, 0x03, 0x18, 0xFC)
+      .map(_.toByte)
+    Seq((1L, wav)).toDF("id", "p").createOrReplaceTempView("pcm_ext_spec")
+    val pcm = spark.sql(
+      """SELECT graft_pcm_stats(p).sample_rate,
+        |  graft_pcm_stats(p).n_samples, graft_pcm_stats(p).sum_q
+        |FROM pcm_ext_spec""".stripMargin).collect()(0)
+    assert((pcm.getLong(0), pcm.getLong(1), pcm.getLong(2)) ===
+      ((8000L, 2L, 0L))) // samples +1000, -1000
+  }
+
   test("literal-parameter misuse fails at analysis time") {
     Seq(1L).toDF("x").createOrReplaceTempView("one")
     val e = intercept[Exception] {
