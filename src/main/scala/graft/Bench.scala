@@ -112,7 +112,9 @@ object Bench {
     // left join, eliminable under count().
     "q342_pixel_stats", "q344_tiff_exif", "q345_pcm_stats",
     "q32_multimodal_meta", "q41_multimodal_features",
-    "q347_viterbi_bytefallback")
+    "q347_viterbi_bytefallback",
+    // q350/q351: construct->decode projections (G.711 expand; GIF LZW)
+    "q350_g711_stats", "q351_gif_pixels")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5,23 +5,34 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** WAV PCM SAMPLE statistics — the audio twin of
-  * [[PixelKernel]]: PCM is RAW (no codec at all), so the full
-  * sample-level quality gate an audio training pipeline runs — energy,
-  * clipping, leading/trailing silence — is pure byte arithmetic:
+/** WAV audio SAMPLE statistics — the audio twin of
+  * [[PixelKernel]]: linear PCM is RAW and G.711 companded audio (the
+  * telephony-corpus format) expands by PURE INTEGER ARITHMETIC, so the
+  * full sample-level quality gate an audio training pipeline runs —
+  * energy, clipping, leading/trailing silence — needs no codec:
   *
   *  - container: RIFF/WAVE chunk walk (the [[AudioHeaderKernel]]
   *    discipline — every read bounds-checked) to BOTH the "fmt " chunk
-  *    (must be PCM: format tag 1, 16 bits/sample — other layouts →
-  *    NULL, loud not wrong) and the "data" chunk;
-  *  - samples: signed 16-bit little-endian, channels interleaved. The
-  *    declared data size must be fully present (mid-data truncation →
-  *    NULL) and frame-aligned (divisible by 2·channels);
+  *    and the "data" chunk. Supported layouts: format tag 1 (linear
+  *    PCM, 16 bits/sample), tag 7 (G.711 μ-law, 8 bits), tag 6
+  *    (G.711 A-law, 8 bits) — anything else → NULL, loud not wrong;
+  *  - samples: PCM-16 is signed little-endian; μ-law/A-law bytes
+  *    expand through the public G.711/CCITT formulas (the Sun
+  *    reference implementation's arithmetic): μ-law u = ~c,
+  *    t = ((u & 0x0F)·8 + 0x84) << ((u & 0x70) >> 4), linear =
+  *    ±(t − 0x84) by the sign bit (full scale ±32124); A-law
+  *    a = c xor 0x55, t = (a & 0x0F) << 4 plus the segment bias,
+  *    shifted by segment − 1 above segment 1 (full scale ±32256, sign
+  *    bit NON-inverted — t when set, −t otherwise, per the reference).
+  *    Channels interleaved; the declared data size must be fully
+  *    present (mid-data truncation → NULL) and frame-aligned;
   *  - statistics (all integer, oracle-replayable): n_samples (across
   *    channels), duration_ms = ⌊frames·1000 / rate⌋, sum_q = Σs,
-  *    sq_sum = Σs² (RMS numerator), n_clipped = #{s = 32767 ∨
-  *    s = −32768} (the two's-complement full-scale rails),
+  *    sq_sum = Σs² (RMS numerator) over the DECODED linear values,
+  *    n_clipped = count at the format's full-scale rails (PCM-16:
+  *    32767/−32768; μ-law: ±32124; A-law: ±32256),
   *    lead/trail_silence = longest run of |s| ≤ 256 from either end
   *    (an ALL-silent stream reports n_samples for both — documented,
   *    the gate's silence-ratio check saturates identically).
@@ -34,6 +45,26 @@ object PcmKernel {
   private val MaxDataBytes = 1L << 26
   private val SilenceThreshold = 256
 
+  /** G.711 μ-law expansion (CCITT / Sun g711.c ulaw2linear). */
+  private[graft] def ulaw2linear(code: Int): Int = {
+    val u = ~code & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion (CCITT / Sun g711.c alaw2linear). */
+  private[graft] def alaw2linear(code: Int): Int = {
+    val a = code ^ 0x55
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    seg match {
+      case 0 => t += 8
+      case 1 => t += 0x108
+      case _ => t += 0x108; t <<= seg - 1
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
   private def le16(b: Array[Byte], i: Int): Long =
     ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
 
@@ -41,7 +72,11 @@ object PcmKernel {
     ((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
       ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
 
-  /** @return InternalRow(sample_rate, channels, bits, n_samples,
+  private val CODEC_PCM16 = UTF8String.fromString("pcm16")
+  private val CODEC_ULAW = UTF8String.fromString("ulaw")
+  private val CODEC_ALAW = UTF8String.fromString("alaw")
+
+  /** @return InternalRow(codec, sample_rate, channels, bits, n_samples,
     * duration_ms, sum_q, sq_sum, n_clipped, lead_silence,
     * trail_silence) or null.
     */
@@ -50,7 +85,7 @@ object PcmKernel {
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return null
-    var rate = -1L; var ch = -1L; var bits = -1L
+    var tag = -1L; var rate = -1L; var ch = -1L; var bits = -1L
     var dataOff = -1; var dataLen = -1L
     var i = 12
     while (i + 8 <= b.length && (rate < 0L || dataOff < 0)) {
@@ -59,11 +94,14 @@ object PcmKernel {
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
         b(i + 3) == ' ') {
         if (size < 16L || i + 8 + 16 > b.length) return null
-        if (le16(b, i + 8) != 1L) return null // PCM only
+        tag = le16(b, i + 8)
         ch = le16(b, i + 10)
         rate = le32(b, i + 12)
         bits = le16(b, i + 22)
-        if (ch == 0L || rate == 0L || bits != 16L) return null
+        if (ch == 0L || rate == 0L) return null
+        // linear PCM-16, G.711 A-law (6), G.711 mu-law (7) only
+        if (!((tag == 1L && bits == 16L) ||
+          ((tag == 6L || tag == 7L) && bits == 8L))) return null
       } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
         b(i + 3) == 'a') {
         dataOff = i + 8
@@ -74,18 +112,28 @@ object PcmKernel {
     if (rate < 0L || dataOff < 0) return null
     if (dataLen > MaxDataBytes) return null // decode-bomb guard
     if (dataOff + dataLen > b.length) return null // mid-data truncation
-    if (dataLen % (2L * ch) != 0L) return null // frame alignment
-    val n = (dataLen / 2L).toInt
+    val bps = if (tag == 1L) 2 else 1
+    if (dataLen % (bps.toLong * ch) != 0L) return null // frame alignment
+    val n = (dataLen / bps).toInt
+    // per-codec decoded value and full-scale clip rails
+    def at(k: Int): Long =
+      if (tag == 1L) le16(b, dataOff + 2 * k).toShort.toLong
+      else if (tag == 7L) ulaw2linear(b(dataOff + k) & 0xFF).toLong
+      else alaw2linear(b(dataOff + k) & 0xFF).toLong
+    val (railHi, railLo) =
+      if (tag == 1L) (32767L, -32768L)
+      else if (tag == 7L) (32124L, -32124L)
+      else (32256L, -32256L)
     var s = 0L; var sq = 0L; var clipped = 0L
     var k = 0
     while (k < n) {
-      val v = le16(b, dataOff + 2 * k).toShort.toLong // sign-extend
+      val v = at(k)
       s += v; sq += v * v
-      if (v == 32767L || v == -32768L) clipped += 1L
+      if (v == railHi || v == railLo) clipped += 1L
       k += 1
     }
     def silent(k: Int): Boolean = {
-      val v = le16(b, dataOff + 2 * k).toShort.toInt
+      val v = at(k)
       v >= -SilenceThreshold && v <= SilenceThreshold
     }
     var lead = 0
@@ -93,16 +141,20 @@ object PcmKernel {
     var trail = 0
     while (trail < n && silent(n - 1 - trail)) trail += 1
     if (lead == n) trail = n // all-silent: both report the full length
-    InternalRow(rate, ch, bits, n.toLong,
+    val codec =
+      if (tag == 1L) CODEC_PCM16 else if (tag == 7L) CODEC_ULAW
+      else CODEC_ALAW
+    InternalRow(codec, rate, ch, bits, n.toLong,
       (n / ch) * 1000L / rate, s, sq, clipped, lead.toLong, trail.toLong)
   }
 }
 
 /** `pcm_stats(content BINARY)` →
-  * STRUCT<sample_rate, channels, bits, n_samples, duration_ms, sum_q,
-  * sq_sum, n_clipped, lead_silence, trail_silence — all BIGINT>,
-  * NULL on corrupt / truncated / non-PCM-16 payloads. One codegen'd
-  * kernel call per row; sample bytes never leave the executor.
+  * STRUCT<codec STRING, sample_rate, channels, bits, n_samples,
+  * duration_ms, sum_q, sq_sum, n_clipped, lead_silence, trail_silence
+  * — BIGINT>, NULL on corrupt / truncated / unsupported-layout
+  * payloads (supported: pcm16, G.711 ulaw/alaw). One codegen'd kernel
+  * call per row; sample bytes never leave the executor.
   */
 case class PcmStats(child: Expression) extends UnaryExpression {
 
@@ -114,10 +166,11 @@ case class PcmStats(child: Expression) extends UnaryExpression {
       s"PcmStats expects BINARY, got ${t.simpleString}")
   }
 
-  override def dataType: DataType = StructType(Seq(
-    "sample_rate", "channels", "bits", "n_samples", "duration_ms",
-    "sum_q", "sq_sum", "n_clipped", "lead_silence", "trail_silence")
-    .map(StructField(_, LongType, nullable = false)))
+  override def dataType: DataType = StructType(
+    StructField("codec", StringType, nullable = false) +: Seq(
+      "sample_rate", "channels", "bits", "n_samples", "duration_ms",
+      "sum_q", "sq_sum", "n_clipped", "lead_silence", "trail_silence")
+      .map(StructField(_, LongType, nullable = false)))
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)

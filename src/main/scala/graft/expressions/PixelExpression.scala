@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Codec-free PIXEL decode — real per-pixel statistics for the two
+/** Codec-free PIXEL decode — real per-pixel statistics for the three
   * image containers whose pixel data needs NO external codec jars:
   *
   *  - PNG (ISO/IEC 15948): IDAT is zlib (RFC 1950/1951) — the JDK
@@ -21,11 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP (BITMAPINFOHEADER, biBitCount 24, BI_RGB): pixel rows are
   *    RAW BGR triples, 4-byte-aligned stride, bottom-up when biHeight
   *    is positive (top-down when negative). No decompression at all.
+  *  - GIF (GIF89a incl. the spec-appendix LZW — variable-width codes,
+  *    clear/EOI handling, the KwKwK self-referential entry, deferred
+  *    clear, 4-pass interlace inversion): the full table decode is
+  *    ~60 lines of integer arithmetic, validated against the JDK's
+  *    own GIF encoder's genuinely compressed streams.
   *
-  * JPEG/GIF/WebP pixel data is entropy-coded (Huffman/LZW/VP8) — that
-  * decode stays behind the clearly-marked stub in
-  * [[graft.operators.Multimodal]] until real codec jars exist on the
-  * cluster; their HEADERS are already real ([[MediaHeaderKernel]]).
+  * JPEG/WebP pixel data is DCT/VP8-coded — that decode rides the JDK
+  * ImageIO fallback (JPEG) or stays stubbed (WebP) in
+  * [[graft.operators.Multimodal]]; their HEADERS are already real
+  * ([[MediaHeaderKernel]]).
   *
   * Emitted statistics (all integer — oracle-replayable exactly):
   *
@@ -66,6 +71,7 @@ object PixelKernel {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xFF) == 0x89 && b(1) == 0x50) decodePng(b)
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeGif(b)
     else null
   }
 
@@ -230,6 +236,197 @@ object PixelKernel {
       // BGR order on disk
       299L * u8(b, p + 2) + 587L * u8(b, p + 1) + 114L * u8(b, p)
     })
+  }
+
+  // ------------------------------------------------------------------ GIF
+
+  /** GIF pixel decode (round 14 — LZW is fully specified in the public
+    * GIF89a spec appendix; ~60 lines of table arithmetic, no codec
+    * jars): logical screen descriptor, global/local color table, the
+    * FIRST image descriptor (which must cover the full canvas at
+    * (0,0) — animation composition is out of a stats gate's scope),
+    * extension blocks skipped by their sub-block chain, then the LZW
+    * stream: variable-width codes read LSB-first from concatenated
+    * sub-blocks, dictionary as (prefix, suffix) arrays capped at 4096
+    * (deferred-clear streams supported — the table just stops
+    * growing), code width bumped when the next entry would not fit.
+    * Interlaced frames (what the JDK's own encoder writes by default)
+    * are de-interlaced by inverting the 4-pass row permutation.
+    * Missing color table, out-of-range index, or an LZW stream that
+    * ends before w·h pixels → NULL.
+    */
+  private def decodeGif(b: Array[Byte]): Stats = {
+    if (b.length < 14) return null
+    if (b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a')
+      return null
+    val w = le16(b, 6).toInt
+    val h = le16(b, 8).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return null
+    val packed = u8(b, 10)
+    var pos = 13
+    var table: Array[Int] = null // packed 0xRRGGBB per index
+    def readTable(size: Int, at: Int): Array[Int] = {
+      if (at + 3 * size > b.length) return null
+      Array.tabulate(size)(i =>
+        (u8(b, at + 3 * i) << 16) | (u8(b, at + 3 * i + 1) << 8) |
+          u8(b, at + 3 * i + 2))
+    }
+    if ((packed & 0x80) != 0) {
+      val size = 1 << ((packed & 0x07) + 1)
+      table = readTable(size, pos)
+      if (table == null) return null
+      pos += 3 * size
+    }
+    // block walk to the first image descriptor
+    while (true) {
+      if (pos >= b.length) return null
+      u8(b, pos) match {
+        case 0x3B => return null // trailer before any image
+        case 0x21 => // extension: label + sub-block chain
+          pos += 2
+          var len = if (pos < b.length) u8(b, pos) else return null
+          while (len != 0) {
+            pos += 1 + len
+            if (pos >= b.length) return null
+            len = u8(b, pos)
+          }
+          pos += 1
+        case 0x2C =>
+          if (pos + 10 > b.length) return null
+          val left = le16(b, pos + 1); val top = le16(b, pos + 3)
+          val iw = le16(b, pos + 5).toInt; val ih = le16(b, pos + 7).toInt
+          val ip = u8(b, pos + 9)
+          if (left != 0L || top != 0L || iw != w || ih != h) return null
+          pos += 10
+          if ((ip & 0x80) != 0) {
+            val size = 1 << ((ip & 0x07) + 1)
+            table = readTable(size, pos)
+            if (table == null) return null
+            pos += 3 * size
+          }
+          if (table == null) return null // no color table at all
+          val idx = lzwIndices(b, pos, w * h)
+          if (idx == null) return null
+          val tbl = table
+          var bad = false
+          var i = 0
+          while (i < idx.length && !bad) {
+            if (idx(i) >= tbl.length) bad = true; i += 1
+          }
+          if (bad) return null
+          // interlaced frames (GIF89a §20, and what the JDK's own
+          // encoder emits by default): rows are STORED in the 4-pass
+          // order 0,8,16… / 4,12… / 2,6… / 1,3,5… — a pure row
+          // permutation; visualRow(storedRow) below inverts it
+          val rowOf: Int => Int =
+            if ((ip & 0x40) == 0) (y: Int) => y
+            else {
+              val order = ((0 until h by 8) ++ (4 until h by 8) ++
+                (2 until h by 4) ++ (1 until h by 2)).toArray
+              val inv = new Array[Int](h)
+              var r = 0
+              while (r < h) { inv(order(r)) = r; r += 1 }
+              (y: Int) => inv(y)
+            }
+          return stats("gif", w, h, 3, (x, y) => {
+            val rgb = tbl(idx(rowOf(y) * w + x))
+            299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+          })
+        case _ => return null
+      }
+    }
+    null
+  }
+
+  /** LZW decode of the image data starting at `pos` (min-code-size
+    * byte, then sub-blocks) into exactly `need` palette indices, or
+    * null on any malformation.
+    */
+  private def lzwIndices(b: Array[Byte], pos0: Int, need: Int): Array[Int] = {
+    if (pos0 >= b.length) return null
+    val minCode = u8(b, pos0)
+    if (minCode < 2 || minCode > 8) return null
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // concatenate sub-block payloads
+    val data = new java.io.ByteArrayOutputStream()
+    var pos = pos0 + 1
+    var len = if (pos < b.length) u8(b, pos) else return null
+    while (len != 0) {
+      if (pos + 1 + len > b.length) return null
+      data.write(b, pos + 1, len)
+      pos += 1 + len
+      if (pos >= b.length) return null
+      len = u8(b, pos)
+    }
+    val d = data.toByteArray
+    var bit = 0
+    def read(k: Int): Int = {
+      if (bit + k > d.length * 8) return -1
+      var v = 0; var i = 0
+      while (i < k) {
+        val p = bit + i
+        if ((d(p >> 3) & (1 << (p & 7))) != 0) v |= 1 << i
+        i += 1
+      }
+      bit += k
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val out = new Array[Int](need)
+    var got = 0
+    var next = eoi + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    def emit(code: Int): Int = { // returns the string's FIRST index
+      // walk the chain to measure, then write forward
+      var n = 0; var c = code
+      while (c >= clear) { n += 1; c = prefix(c) }
+      n += 1
+      val first = c
+      if (got + n > need) return -2 // stream longer than the canvas
+      var w = got + n - 1; c = code
+      while (c >= clear) { out(w) = suffix(c); w -= 1; c = prefix(c) }
+      out(w) = c
+      got += n
+      first
+    }
+    while (got < need) {
+      val code = read(codeSize)
+      if (code < 0) return null // bits exhausted before w*h pixels
+      if (code == clear) {
+        next = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return null // EOI before the canvas filled
+      } else if (prev == -1) {
+        if (code >= clear) return null // first code must be a literal
+        if (emit(code) < 0) return null
+        prev = code
+      } else if (code == next) {
+        // the KwKwK case: the entry is string(prev) + firstChar(prev),
+        // added BEFORE it is emitted
+        if (next >= 4096) return null
+        var c = prev
+        while (c >= clear) c = prefix(c)
+        prefix(next) = prev; suffix(next) = c
+        next += 1
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        if (emit(code) < 0) return null
+        prev = code
+      } else if (code < next) {
+        val first = emit(code)
+        if (first < 0) return null
+        if (next < 4096) { // deferred clear: table stops growing
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      } else return null // code beyond the table: corrupt stream
+    }
+    out
   }
 
   // ------------------------------------------------- shared stats pass

@@ -15,9 +15,9 @@ import org.apache.spark.sql.types.LongType
   * decode is REAL as of round 13 ([[headerMeta]]: PNG/GIF/JPEG/WebP/BMP
   * dimensions+depth; [[audioMeta]]: WAV/FLAC rate/channels/bits — pure
   * byte arithmetic, no codec jars), and PIXEL decode is REAL as of
-  * round 14 ([[decodeImage]]: PNG/BMP through the codec-free native
-  * [[graft.expressions.PixelKernel]], JPEG/GIF through the JDK's own
-  * ImageIO plugins). The only remaining stubs are the image RESIZE and
+  * round 14 ([[decodeImage]]: PNG, BMP, and GIF-incl.-LZW through the
+  * codec-free native [[graft.expressions.PixelKernel]]; JPEG through
+  * the JDK's own ImageIO plugin). The only remaining stubs are the image RESIZE and
   * video FRAME-SAMPLE kernels (`resizeStub`/`frameSampleStub` — real
   * deployments wire libswscale/ffmpeg there) and the byte-histogram
   * fallback for NON-image payloads (`decodeStub`).
@@ -112,32 +112,33 @@ object Multimodal {
   /** REAL image PIXEL decode (round 14 — the stub is dead for images):
     * the codec-free native kernel first
     * ([[graft.expressions.PixelKernel]] — PNG via JDK Inflater + filter
-    * reconstruction, BMP raw BGR; the codegen'd scale path, oracle-gated
-    * by q342/q343), then the JDK's OWN ImageIO plugins for the
-    * entropy-coded formats (JPEG/GIF decoders ship with every JDK in
-    * java.desktop — no external jars). ImageIO decode is deterministic
-    * for a given JDK but NOT spec-pinned across decoder implementations
-    * (JPEG IDCT rounding varies), so ImageIO-decoded statistics are
-    * unit-tested rather than oracle-gated. Returns None for non-image
-    * payloads (and for image payloads that fail to decode — corrupt →
-    * None, loud not wrong).
+    * reconstruction, BMP raw BGR, GIF via the spec's own LZW table
+    * arithmetic; the codegen'd scale path, oracle-gated by
+    * q342/q343/q351), then the JDK's OWN ImageIO plugin for the one
+    * remaining entropy-coded format (JPEG — the decoder ships with
+    * every JDK in java.desktop, no external jars). JPEG decode is
+    * deterministic for a given JDK but NOT spec-pinned across decoder
+    * implementations (IDCT rounding varies), so ImageIO-decoded
+    * statistics are unit-tested rather than oracle-gated. Returns None
+    * for non-image payloads (and for image payloads that fail to
+    * decode — corrupt → None, loud not wrong).
     */
   private[graft] def decodeImage(content: Array[Byte])
   : Option[graft.expressions.PixelKernel.Stats] =
     Option(graft.expressions.PixelKernel.decode(content))
       .orElse(imageIoDecode(content))
 
-  /** ImageIO fallback for JPEG/GIF magics only — arbitrary text bytes
-    * are never handed to a codec. Same luminance/dHash definitions as
-    * the native kernel (PixelKernel.statsOf is shared), same 2^24-pixel
-    * decode-bomb guard.
+  /** ImageIO fallback for the JPEG magic only — GIF is native as of
+    * round 14 ([[graft.expressions.PixelKernel]] LZW) and arbitrary
+    * text bytes are never handed to a codec. Same luminance/dHash
+    * definitions as the native kernel (PixelKernel.statsOf is shared),
+    * same 2^24-pixel decode-bomb guard.
     */
   private def imageIoDecode(content: Array[Byte])
   : Option[graft.expressions.PixelKernel.Stats] = {
     if (content == null || content.length < 3) return None
     val isJpeg = (content(0) & 0xFF) == 0xFF && (content(1) & 0xFF) == 0xD8
-    val isGif = content(0) == 'G' && content(1) == 'I' && content(2) == 'F'
-    if (!isJpeg && !isGif) return None
+    if (!isJpeg) return None
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(content))
@@ -146,7 +147,7 @@ object Multimodal {
       if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
       val gray = img.getColorModel.getNumColorComponents == 1
       Some(graft.expressions.PixelKernel.statsOf(
-        if (isJpeg) "jpeg" else "gif", w, h, if (gray) 1 else 3,
+        "jpeg", w, h, if (gray) 1 else 3,
         (x, y) => {
           val rgb = img.getRGB(x, y)
           299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +

@@ -4688,6 +4688,7 @@ object LlmQueries {
           length(col("__p")).cast("long").as("n_bytes"),
           graft.functions.pcmStats(col("__p")).as("__s"))
         .select(col("doc_id"), col("n_bytes"),
+          col("__s.codec").as("codec"),
           col("__s.sample_rate").as("sample_rate"),
           col("__s.channels").as("channels"), col("__s.bits").as("bits"),
           col("__s.n_samples").as("n_samples"),
@@ -4815,6 +4816,60 @@ object LlmQueries {
         .orderBy("n_nodes")
     }),
 
+    // G.711 COMPANDED audio decode (μ-law tag 7 / A-law tag 6 — the
+    // telephony-corpus format; expansion is the PUBLIC CCITT/Sun
+    // reference arithmetic, no codec): companded code bytes are
+    // constructed from doc_id arithmetic (one byte per sample — the
+    // code stream cycles all 256 values, so full-scale rails and
+    // silent codes both occur), the kernel expands them to linear and
+    // reports the same integer statistics as q345; the oracle replays
+    // the expansion formulas in SQL CASE arithmetic over range(n).
+    "q350_g711_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), g711Payload(col("doc_id")).as("__p"))
+        .select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.functions.pcmStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__s.codec").as("codec"),
+          col("__s.sample_rate").as("sample_rate"),
+          col("__s.n_samples").as("n_samples"),
+          col("__s.duration_ms").as("duration_ms"),
+          col("__s.sum_q").as("sum_q"), col("__s.sq_sum").as("sq_sum"),
+          col("__s.n_clipped").as("n_clipped"),
+          col("__s.lead_silence").as("lead_silence"),
+          col("__s.trail_silence").as("trail_silence"))
+        .orderBy("doc_id")
+    }),
+
+    // GIF PIXEL decode (round 14 — LZW from the public GIF89a spec
+    // appendix, pure table arithmetic, no codec jars: the THIRD
+    // codec-free pixel format after PNG/BMP): whole GIF files with a
+    // 256-entry palette and LZW-coded index streams are constructed by
+    // the fixture ENCODER (literal codes + periodic CLEARs + LSB-first
+    // bit packing — no code shared with the kernel's table decode),
+    // decoded back by PixelStats, and every statistic re-derived by
+    // the oracle from the index arithmetic alone (palette entry i =
+    // (i, 3i%256, 5i%256) — the shared RGB-luminance formula).
+    // %10==7 truncates inside the color table → NULL.
+    "q351_gif_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.gifPayload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          graft.functions.pixelStats(col("__p")).as("__s"))
+        .select(col("doc_id"),
+          col("__s.format").as("format"), col("__s.width").as("width"),
+          col("__s.height").as("height"),
+          col("__s.channels").as("channels"),
+          col("__s.n_pixels").as("n_pixels"),
+          col("__s.lum_sum").as("lum_sum"),
+          col("__s.lum_sq_sum").as("lum_sq_sum"),
+          col("__s.dhash").as("dhash"))
+        .orderBy("doc_id")
+    }),
+
     // The IMAGE near-dup pipeline COMPOSED as one plan (the perceptual
     // capstone over q342/q343: what an image-corpus curation job
     // actually ships): decode pixels → dHash → banded Hamming pairs →
@@ -4908,6 +4963,36 @@ object LlmQueries {
       le32(n * 2L), dataHex))
     when(docId % 10 === 9, wav.substr(lit(1), lit(44L) + n))
       .otherwise(wav)
+  }
+
+  /** q350's constructed G.711 WAV: canonical 44-byte header (format
+    * tag 7 μ-law on even docs / 6 A-law on odd; mono, 8 bits, 8 kHz —
+    * the telephony layout) + n = doc_id%90+30 companded code bytes
+    * c(i) = (i·37 + doc_id·11) % 256 — 37 is coprime to 256, so the
+    * code stream cycles every residue and full-scale rails and silent
+    * codes both occur.
+    */
+  private def g711Payload(docId: Column): Column = {
+    val n = docId % 90 + 30
+    val tag = when(docId % 2 === 0, lit(7L)).otherwise(lit(6L))
+    def hxp(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+    def le16(c: Column) = {
+      val x = hxp(c, 4)
+      concat(substring(x, 3, 2), substring(x, 1, 2))
+    }
+    def le32(c: Column) = {
+      val x = hxp(c, 8)
+      concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2))
+    }
+    val dataHex = array_join(
+      transform(sequence(lit(0L), n - 1),
+        i => hxp(pmod(i * 37L + docId * 11L, lit(256L)), 2)), "")
+    unhex(concat(
+      lit("52494646"), le32(n + 36L),
+      lit("57415645" + "666D7420" + "10000000"), le16(tag), lit("0100"),
+      le32(lit(8000L)), le32(lit(8000L)),
+      lit("0100" + "0800" + "64617461"), le32(n), dataHex))
   }
 
   /** q344's constructed TIFF/EXIF payloads (the [[webpBmpPayload]]
@@ -14065,6 +14150,7 @@ object LlmQueries {
          |SELECT d.doc_id,
          |  CAST(CASE WHEN d.corrupt THEN 44 + d.n
          |    ELSE 44 + 2 * d.n END AS BIGINT) AS n_bytes,
+         |  CASE WHEN NOT d.corrupt THEN 'pcm16' END AS codec,
          |  CASE WHEN NOT d.corrupt THEN CAST(d.rate AS BIGINT) END
          |    AS sample_rate,
          |  CASE WHEN NOT d.corrupt THEN CAST(1 AS BIGINT) END AS channels,
@@ -14197,6 +14283,112 @@ object LlmQueries {
         |                 CAST(g1.giant_size AS DOUBLE) END AS retained,
         |       bfs.n_reached, bfs.n_unreached
         |FROM cnts, assort, g1, g2, bfs""".stripMargin,
+
+    // G.711 stats: the oracle replays the CCITT expansion formulas —
+    // μ-law via the complemented byte's mantissa/exponent fields,
+    // A-law via the xor-0x55 segment table — in pure CASE arithmetic
+    // over range(n), then the q345 statistic shapes.
+    "q350_g711_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 90 + 30 AS n, doc_id % 2 = 0 AS mu
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, mu, i, (i * 37 + doc_id * 11) % 256 AS c
+        |  FROM (SELECT doc_id, n, mu, unnest(range(n)) AS i FROM d)),
+        |dec AS (
+        |  SELECT doc_id, mu, i,
+        |    CASE WHEN mu THEN
+        |      CASE WHEN 255 - c >= 128
+        |        THEN 132 - (((255 - c) % 16) * 8 + 132) *
+        |          ([1,2,4,8,16,32,64,128]
+        |            [CAST(((255 - c) // 16) % 8 AS INT) + 1])
+        |        ELSE (((255 - c) % 16) * 8 + 132) *
+        |          ([1,2,4,8,16,32,64,128]
+        |            [CAST(((255 - c) // 16) % 8 AS INT) + 1]) - 132
+        |      END
+        |    ELSE
+        |      (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN (xor(c, 85) // 16) % 8 = 0
+        |         THEN (xor(c, 85) % 16) * 16 + 8
+        |       WHEN (xor(c, 85) // 16) % 8 = 1
+        |         THEN (xor(c, 85) % 16) * 16 + 264
+        |       ELSE ((xor(c, 85) % 16) * 16 + 264) *
+        |         ([2,4,8,16,32,64]
+        |           [CAST((xor(c, 85) // 16) % 8 AS INT) - 1])
+        |       END)
+        |    END AS v
+        |  FROM sm),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(sum(v) AS BIGINT) AS sum_q,
+        |    CAST(sum(v * v) AS BIGINT) AS sq_sum,
+        |    CAST(count(CASE WHEN (mu AND abs(v) = 32124)
+        |      OR (NOT mu AND abs(v) = 32256) THEN 1 END) AS BIGINT)
+        |      AS n_clipped,
+        |    CAST(coalesce(min(CASE WHEN abs(v) > 256 THEN i END),
+        |      max(i) + 1) AS BIGINT) AS lead_silence,
+        |    CAST(coalesce(max(i) - max(CASE WHEN abs(v) > 256 THEN i END),
+        |      max(i) + 1) AS BIGINT) AS trail_silence
+        |  FROM dec GROUP BY 1)
+        |SELECT d.doc_id, CAST(44 + d.n AS BIGINT) AS n_bytes,
+        |  CASE WHEN d.mu THEN 'ulaw' ELSE 'alaw' END AS codec,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(d.n AS BIGINT) AS n_samples,
+        |  CAST(d.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  st.sum_q, st.sq_sum, st.n_clipped,
+        |  st.lead_silence, st.trail_silence
+        |FROM d JOIN st USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // GIF pixels: q342's RGB-luminance arithmetic over the palette
+    // indices — the oracle never touches a byte of the LZW stream.
+    "q351_gif_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 24 + 9 AS w, (doc_id * 5) % 24 + 8 AS h,
+        |    doc_id % 10 = 7 AS corrupt
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y,
+        |    299 * u.p + 587 * ((u.p * 3) % 256)
+        |      + 114 * ((u.p * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + doc_id % 31) * (y + doc_id % 37) * 3
+        |                 + doc_id) % 256})))) AS u
+        |    FROM d WHERE NOT corrupt)),
+        |st AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |    CAST(sum(lum * lum) AS BIGINT) AS lum_sq_sum
+        |  FROM lum GROUP BY 1),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |dh AS (
+        |  SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(k AS INT)) AS hraw
+        |  FROM bits GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN NOT d.corrupt THEN 'gif' END AS format,
+        |  CASE WHEN NOT d.corrupt THEN CAST(d.w AS BIGINT) END AS width,
+        |  CASE WHEN NOT d.corrupt THEN CAST(d.h AS BIGINT) END AS height,
+        |  CASE WHEN NOT d.corrupt THEN CAST(3 AS BIGINT) END AS channels,
+        |  CASE WHEN NOT d.corrupt THEN CAST(d.w * d.h AS BIGINT) END
+        |    AS n_pixels,
+        |  st.lum_sum, st.lum_sq_sum,
+        |  CASE WHEN NOT d.corrupt THEN CAST(coalesce(dh.hraw, 0)
+        |    - CASE WHEN coalesce(dh.hraw, 0) >= 9223372036854775808
+        |        THEN 18446744073709551616 ELSE 0 END AS BIGINT) END
+        |    AS dhash
+        |FROM d LEFT JOIN st USING (doc_id) LEFT JOIN dh USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Image dedup pipeline: the q343 dHash CTEs + all-pairs Hamming
     // (pigeonhole makes the engine's banding exact at this radius) +

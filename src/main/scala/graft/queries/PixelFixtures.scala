@@ -115,6 +115,67 @@ private[graft] object PixelFixtures {
     out.toByteArray
   }
 
+  /** GIF89a with a 256-entry palette (entry i = (i, 3i%256, 5i%256) —
+    * the SAME RGB-luminance arithmetic as the PNG/BMP fixtures, so the
+    * oracle's formula is shared) and the pixel index stream
+    * LZW-encoded the "uncompressed" way: an initial CLEAR, then every
+    * index as a LITERAL code with a CLEAR every 250 literals so the
+    * decoder's table never reaches 512 entries and the code width
+    * stays 9 bits throughout. The ENCODER direction (literal stream +
+    * LSB-first bit packing + sub-block chunking) shares no code with
+    * the kernel's LZW table decode — a width, packing, or reset bug on
+    * either side breaks the round trip loudly.
+    */
+  def gif(s: Long): Array[Byte] = {
+    val w = width(s); val h = height(s)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    "GIF89a".foreach(c => out.write(c.toInt))
+    le16(w); le16(h)
+    out.write(0xF7) // GCT present, 2^(7+1) = 256 entries
+    out.write(0); out.write(0) // bg, aspect
+    (0 until 256).foreach { i =>
+      out.write(i); out.write(i * 3 % 256); out.write(i * 5 % 256)
+    }
+    out.write(0x2C); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(8) // LZW min code size: 256 literals, clear 256, eoi 257
+    val codes = scala.collection.mutable.ArrayBuffer[Int](256)
+    var sinceClear = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (sinceClear == 250) { codes += 256; sinceClear = 0 }
+        codes += pix(x, y, s)
+        sinceClear += 1
+        x += 1
+      }
+      y += 1
+    }
+    codes += 257 // EOI
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    codes.foreach { c =>
+      acc |= c.toLong << nb; nb += 9
+      while (nb >= 8) { bits.write((acc & 0xFF).toInt); acc >>= 8; nb -= 8 }
+    }
+    if (nb > 0) bits.write((acc & 0xFF).toInt)
+    bits.toByteArray.grouped(255).foreach { g =>
+      out.write(g.length); out.write(g, 0, g.length)
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** q351's payload: the LZW GIF, with the %10==7 slice truncated to
+    * 40 bytes (inside the color table) → NULL stats.
+    */
+  def gifPayload(docId: Long): Array[Byte] = {
+    val full = gif(docId)
+    if (docId % 10 == 7) full.take(40) else full
+  }
+
   /** Assemble a PNG: signature, IHDR, one IDAT (stored-mode zlib of the
     * FORWARD-filtered scanlines, filter type y % 5), IEND. Chunk CRCs
     * are zeros — the kernel's contract reads pixels, it does not

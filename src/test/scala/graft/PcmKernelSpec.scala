@@ -25,7 +25,10 @@ class PcmKernelSpec extends SparkSpec {
   }
 
   private def parsed(b: Array[Byte]): Option[Seq[Long]] =
-    Option(PcmKernel.parse(b)).map(r => (0 until 10).map(r.getLong))
+    Option(PcmKernel.parse(b)).map(r => (1 to 10).map(r.getLong))
+
+  private def codecOf(b: Array[Byte]): Option[String] =
+    Option(PcmKernel.parse(b)).map(_.getString(0))
 
   test("exact stats: energy, clipping rails, edge silence runs") {
     // 8 samples: 2 leading silent, ramp, a +rail and a -rail, 2
@@ -69,6 +72,51 @@ class PcmKernelSpec extends SparkSpec {
     }
     assert(parsed("not audio at all".getBytes).isEmpty)
     assert(parsed(null).isEmpty)
+  }
+
+  private def g711wav(tag: Int, rate: Int, codes: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes, 0, 4); le32(36 + codes.length)
+    out.write("WAVE".getBytes, 0, 4)
+    out.write("fmt ".getBytes, 0, 4); le32(16)
+    le16(tag); le16(1); le32(rate); le32(rate); le16(1); le16(8)
+    out.write("data".getBytes, 0, 4); le32(codes.length)
+    codes.foreach(out.write)
+    out.toByteArray
+  }
+
+  test("G.711 mu-law / A-law expand by the public reference arithmetic") {
+    // spot values pinned to the CCITT/Sun reference tables
+    assert(PcmKernel.ulaw2linear(0xFF) === 0) // +0
+    assert(PcmKernel.ulaw2linear(0x7F) === 0) // -0
+    assert(PcmKernel.ulaw2linear(0x80) === 32124) // full-scale +
+    assert(PcmKernel.ulaw2linear(0x00) === -32124) // full-scale -
+    assert(PcmKernel.ulaw2linear(0xFE) === 8) // smallest nonzero +
+    assert(PcmKernel.alaw2linear(0xD5) === 8) // A-law has no zero
+    assert(PcmKernel.alaw2linear(0x55) === -8)
+    assert(PcmKernel.alaw2linear(0xAA) === 32256) // full-scale +
+    assert(PcmKernel.alaw2linear(0x2A) === -32256)
+    // a mu-law WAV: stats over the DECODED linear values, clip rails
+    // at the mu-law full scale
+    val mu = parsed(g711wav(7, 8000, Seq(0xFF, 0x80, 0x00, 0xFE))).get
+    val vals = Seq(0L, 32124L, -32124L, 8L)
+    // lead run: the +0 sample; trail run: the decoded 8 (|8| <= 256)
+    assert(mu === Seq(8000L, 1L, 8L, 4L, 4L * 1000 / 8000,
+      vals.sum, vals.map(v => v * v).sum, 2L, 1L, 1L))
+    assert(codecOf(g711wav(7, 8000, Seq(0xFF))).get === "ulaw")
+    // an A-law WAV: +8/-8 are SILENT (<=256), full scale clips
+    val al = parsed(g711wav(6, 8000, Seq(0xD5, 0xAA, 0x55))).get
+    assert(al === Seq(8000L, 1L, 8L, 3L, 0L,
+      8L + 32256L - 8L, 8L * 8 + 32256L * 32256L + 8L * 8, 1L, 1L, 1L))
+    assert(codecOf(g711wav(6, 8000, Seq(0xD5))).get === "alaw")
+    // G.711 with a wrong bits field is corrupt, as is an unknown tag
+    val badBits = g711wav(7, 8000, Seq(0xFF)); badBits(34) = 16
+    assert(parsed(badBits).isEmpty)
+    assert(parsed(g711wav(2, 8000, Seq(0xFF))).isEmpty) // ADPCM: no
+    // odd-length mu-law mono data IS frame-aligned (1 byte/frame)
+    assert(parsed(g711wav(7, 8000, Seq(1, 2, 3))).isDefined)
   }
 
   test("pcm_stats expression and a JUNK chunk before fmt/data") {

@@ -100,6 +100,82 @@ class PixelKernelSpec extends SparkSpec {
     }
   }
 
+  test("fixture GIFs (LZW literal streams) round-trip exactly") {
+    for (s <- Seq(0L, 1L, 5L, 15L, 33L, 101L, 202L)) {
+      val st = PixelKernel.decode(PixelFixtures.gif(s))
+      val w = PixelFixtures.width(s); val h = PixelFixtures.height(s)
+      assert(st != null && st.format == "gif" && st.width == w &&
+        st.height == h && st.channels == 3, s"gif $s")
+      def lum(x: Int, y: Int): Long = {
+        val p = ((x + s % 31) * (y + s % 37) * 3 + s) % 256
+        299L * p + 587L * (p * 3 % 256) + 114L * (p * 5 % 256)
+      }
+      val (sm, sq, hist, dh) = statsOf(lum, w, h)
+      assert((st.lumSum, st.lumSqSum, st.hist.toSeq, st.dhash) ===
+        ((sm, sq, hist, dh)), s"gif $s")
+    }
+    // truncation fuzz: NULL or the exact answer (the trailer byte is
+    // the only optional suffix — the image decodes without it)
+    val full = PixelFixtures.gif(12L)
+    val want = PixelKernel.decode(full)
+    for (n <- 0 until full.length) {
+      val st = PixelKernel.decode(full.take(n))
+      assert(st == null ||
+        (st.lumSum == want.lumSum && st.dhash == want.dhash),
+        s"gif prefix $n")
+    }
+  }
+
+  test("GIF LZW: real-compressor streams (ImageIO) and the KwKwK case") {
+    import java.awt.image.BufferedImage
+    // the JDK's own GIF ENCODER emits genuinely compressed LZW (code
+    // width growth, back-references, KwKwK) — the kernel must decode
+    // it to the exact stats of the source image
+    val g = new BufferedImage(40, 30, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 30; x <- 0 until 40)
+      g.getRaster.setSample(x, y, 0, (x / 4 * 16 + y / 3 * 8) % 256)
+    val gb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(g, "gif", gb))
+    val st = PixelKernel.decode(gb.toByteArray)
+    assert(st != null && st.format == "gif" && st.width == 40 &&
+      st.height == 30)
+    val (sm, sq, hist, dh) =
+      statsOf((x, y) => 1000L * ((x / 4 * 16 + y / 3 * 8) % 256), 40, 30)
+    assert((st.lumSum, st.lumSqSum, st.hist.toSeq, st.dhash) ===
+      ((sm, sq, hist, dh)))
+    // hand-built KwKwK stream: 3×1 canvas, palette[0] = (10,20,30),
+    // codes [clear=4, 0, 6] where 6 == next — the entry defined by its
+    // own first use ("0" + "0")
+    def hx(sx: String): Array[Byte] = {
+      val c = sx.replaceAll("\\s", "")
+      Array.tabulate(c.length / 2)(i =>
+        Integer.parseInt(c.substring(2 * i, 2 * i + 2), 16).toByte)
+    }
+    val kwk = hx(
+      "474946383961 0300 0100 81 00 00" + // LSD: GCT of 4 entries
+        "0A141E 28323C 46505A 646E78" + // palette
+        "2C 0000 0000 0300 0100 00" + // full-canvas descriptor
+        "02" + // LZW min code size 2 (clear 4, eoi 5)
+        "02 8401" + // one sub-block: codes 4,0,6 packed 3-bit LSB-first
+        "00 3B")
+    val ks = PixelKernel.decode(kwk)
+    assert(ks != null && ks.width == 3 && ks.height == 1)
+    val lum0 = 299L * 10 + 587L * 20 + 114L * 30
+    assert(ks.lumSum === 3 * lum0)
+    assert(ks.dhash.isEmpty) // 3×1: the 9×8 grid is undefined
+    // corrupt LZW: a code beyond the table
+    val bad = kwk.clone()
+    bad(kwk.length - 4) = 0xFC.toByte // codes 4, 7(!) ...
+    assert(PixelKernel.decode(bad) == null)
+    // the interlace flag on a 1-row frame is a no-op permutation —
+    // same stats (offset 34 = the image descriptor's packed byte);
+    // multi-row de-interlacing is exercised by the ImageIO stream
+    // above, which the JDK writes interlaced by default
+    val il = kwk.clone(); il(34) = 0x40.toByte
+    val ils = PixelKernel.decode(il)
+    assert(ils != null && ils.lumSum == ks.lumSum)
+  }
+
   test("near-dup fixture: one-pixel edit flips at most dHash bit 0") {
     for (base <- Seq(0L, 2L, 8L, 30L, 102L)) {
       val a = PixelKernel.decode(PixelFixtures.nearDupPayload(base))
