@@ -384,7 +384,13 @@ object AudioHeaderKernel {
         return InternalRow(FORMAT_WAV, rate, ch, bits)
       }
       if (size < 0L || size > Int.MaxValue - 9L) return null
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      // advance in LONG: an adversarial ~2 GB declared size would
+      // overflow an Int advance into a NEGATIVE index (a thrown
+      // ArrayIndexOutOfBounds kills the whole job at scale — corrupt
+      // input must return NULL, never throw)
+      val next = i.toLong + 8L + size + (size & 1L) // chunks pad to even
+      if (next > Int.MaxValue) return null
+      i = next.toInt
     }
     null
   }

@@ -107,7 +107,12 @@ object PcmKernel {
         dataOff = i + 8
         dataLen = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      // advance in LONG (the AudioHeaderKernel overflow lesson): an
+      // adversarial ~2 GB declared size must yield NULL, never a
+      // negative index and a thrown exception
+      val next = i.toLong + 8L + size + (size & 1L) // chunks pad to even
+      if (next > Int.MaxValue) return null
+      i = next.toInt
     }
     if (rate < 0L || dataOff < 0) return null
     if (dataLen > MaxDataBytes) return null // decode-bomb guard
