@@ -109,6 +109,38 @@ object Multimodal {
   def audioMeta(content: Column): Column =
     graft.functions.audioHeader(content)
 
+  /** The audio QUALITY gate's aggregate columns over a decoded
+    * [[graft.expressions.PcmStats]] struct — SHARED by the q346 batch
+    * verdict and the streaming twin
+    * ([[graft.streaming.CorpusStreams.windowedAudioGate]]), the
+    * [[gateCounts]] discipline for the audio half: batch and stream
+    * can never gate differently. Gates: sample rate within
+    * [minRate, maxRate], clipping ≤ clipPctMax % of samples, edge
+    * silence ≤ silencePctMax %; keep_duration_ms totals the admitted
+    * audio (the number a dataset budget actually tracks).
+    */
+  def audioGateCounts(stats: Column, minRate: Long = 16000L,
+                      maxRate: Long = 48000L, clipPctMax: Long = 1L,
+                      silencePctMax: Long = 20L): Seq[Column] = {
+    val parseable = stats.isNotNull
+    val rateOk = stats.getField("sample_rate") >= minRate &&
+      stats.getField("sample_rate") <= maxRate
+    val clipOk = stats.getField("n_clipped") * 100L <=
+      stats.getField("n_samples") * clipPctMax
+    val silOk = (stats.getField("lead_silence") +
+      stats.getField("trail_silence")) * 100L <=
+      stats.getField("n_samples") * silencePctMax
+    val keep = parseable && rateOk && clipOk && silOk
+    Seq(count(lit(1)).as("n_docs"),
+      count(when(parseable, 1)).as("n_parseable"),
+      count(when(parseable && !rateOk, 1)).as("n_bad_rate"),
+      count(when(parseable && !clipOk, 1)).as("n_clipping"),
+      count(when(parseable && !silOk, 1)).as("n_too_silent"),
+      count(when(keep, 1)).as("n_keep"),
+      coalesce(sum(when(keep, stats.getField("duration_ms"))), lit(0L))
+        .as("keep_duration_ms"))
+  }
+
   /** REAL image PIXEL decode (round 14 — the stub is dead for images):
     * the codec-free native kernel first
     * ([[graft.expressions.PixelKernel]] — PNG via JDK Inflater + filter

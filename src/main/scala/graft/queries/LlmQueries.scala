@@ -4711,21 +4711,11 @@ object LlmQueries {
       val docs = t(s, dir, "documents")
       val st = docs.select(col("doc_id"),
         graft.functions.pcmStats(pcmPayload(col("doc_id"))).as("__s"))
-      val parseable = col("__s").isNotNull
-      val rateOk = col("__s.sample_rate") >= 16000L &&
-        col("__s.sample_rate") <= 48000L
-      val clipOk = col("__s.n_clipped") * 100L <= col("__s.n_samples")
-      val silOk = (col("__s.lead_silence") + col("__s.trail_silence")) *
-        5L <= col("__s.n_samples")
-      val keep = parseable && rateOk && clipOk && silOk
-      st.agg(count(lit(1)).as("n_docs"),
-          count(when(parseable, 1)).as("n_parseable"),
-          count(when(parseable && !rateOk, 1)).as("n_bad_rate"),
-          count(when(parseable && !clipOk, 1)).as("n_clipping"),
-          count(when(parseable && !silOk, 1)).as("n_too_silent"),
-          count(when(keep, 1)).as("n_keep"),
-          coalesce(sum(when(keep, col("__s.duration_ms"))), lit(0L))
-            .as("keep_duration_ms"))
+      // gate columns SHARED with the streaming twin
+      // (CorpusStreams.windowedAudioGate) — batch and stream can never
+      // gate differently
+      val cs = graft.operators.Multimodal.audioGateCounts(col("__s"))
+      st.agg(cs.head, cs.tail: _*)
         .withColumn("ship", col("n_keep") > 0L)
         .orderBy("n_docs")
     }),

@@ -323,6 +323,43 @@ object CorpusStreams {
         col("n_too_small"), col("n_bad_aspect"))
   }
 
+  /** Windowed AUDIO-QUALITY gate over a binary-payload stream — the
+    * audio twin of [[windowedMediaGate]] (round 14): per (event-time
+    * window, codec — unparseable under its own key) the keep / reason
+    * counts AND admitted duration from the REAL PCM/G.711 sample
+    * decode. The gate columns are
+    * [[graft.operators.Multimodal.audioGateCounts]], SHARED with the
+    * q346 batch verdict, so a window's rows equal the batch gate over
+    * that window's slice (parity test-locked).
+    *
+    * Scale shape: one kernel call per payload (map-side; sample bytes
+    * never shuffle) into a windowed count/sum aggregate — state is one
+    * row per (window, codec), bounded by the codec universe.
+    *
+    * @return streaming (window_start, codec, n_docs, n_parseable,
+    *         n_bad_rate, n_clipping, n_too_silent, n_keep,
+    *         keep_duration_ms)
+    */
+  def windowedAudioGate(media: org.apache.spark.sql.DataFrame,
+                        contentCol: String, tsCol: String,
+                        windowDur: String, watermark: String,
+                        minRate: Long = 16000L, maxRate: Long = 48000L,
+                        clipPctMax: Long = 1L,
+                        silencePctMax: Long = 20L): org.apache.spark.sql.DataFrame = {
+    val cs = graft.operators.Multimodal.audioGateCounts(col("__s"),
+      minRate, maxRate, clipPctMax, silencePctMax)
+    media.select(col(tsCol),
+        graft.functions.pcmStats(col(contentCol)).as("__s"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("__win"),
+        coalesce(col("__s.codec"), lit("unparseable")).as("codec"))
+      .agg(cs.head, cs.tail: _*)
+      .select(col("__win.start").as("window_start"), col("codec"),
+        col("n_docs"), col("n_parseable"), col("n_bad_rate"),
+        col("n_clipping"), col("n_too_silent"), col("n_keep"),
+        col("keep_duration_ms"))
+  }
+
   /** Windowed heavy-hitter CANDIDATES over the token stream — streaming
     * twin of [[graft.operators.HeavyHitters.mgSummary]], and the second
     * bounded-state trending-terms path next to [[windowedTokenCountMin]]:

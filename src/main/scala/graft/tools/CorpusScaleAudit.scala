@@ -64,7 +64,14 @@ object CorpusScaleAudit {
     // fixture — the same stress as q92's)
     "q334_bytelevel_bpe", "q338_bytelevel_budget", "q340_media_pipeline",
     "q342_pixel_stats", "q343_dhash_neardup", "q345_pcm_stats",
-    "q346_audio_pipeline", "q347_viterbi_bytefallback")
+    "q346_audio_pipeline", "q347_viterbi_bytefallback",
+    // the round-14 late tier: the composed image-dedup pipeline
+    // (decode + banded pairs + CC — pair/cluster volume must stay
+    // ∝ corpus), G.711 expansion, and the GIF LZW decode (per-payload
+    // kernel constants, map-only). q348 is EXCLUDED: it reads
+    // lineitem, which this fixture symlinks unchanged — its scale
+    // story is GraphScaleAudit + the shared-edge-cache A/B.
+    "q349_image_dedup_pipeline", "q350_g711_stats", "q351_gif_pixels")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -781,6 +781,79 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedAudioGate: per-window scorecard equals the batch gate") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    def wav(tag: Int, rate: Int, samples: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      val bps = if (tag == 1) 2 else 1
+      out.write("RIFF".getBytes, 0, 4); le32(36 + samples.length * bps)
+      out.write("WAVE".getBytes, 0, 4)
+      out.write("fmt ".getBytes, 0, 4); le32(16)
+      le16(tag); le16(1); le32(rate); le32(rate * bps); le16(bps)
+      le16(if (tag == 1) 16 else 8)
+      out.write("data".getBytes, 0, 4); le32(samples.length * bps)
+      samples.foreach(s => if (tag == 1) le16(s & 0xFFFF) else out.write(s))
+      out.toByteArray
+    }
+    val docs = Seq(
+      // keep: pcm16 at 16kHz, loud, no clipping
+      MediaDoc(1, ts(0), wav(1, 16000, Seq.fill(20)(5000))),
+      // bad rate (8kHz)
+      MediaDoc(2, ts(1), wav(1, 8000, Seq.fill(20)(5000))),
+      // clipping: half the samples at the +rail
+      MediaDoc(3, ts(2), wav(1, 16000,
+        (0 until 20).map(i => if (i % 2 == 0) 32767 else -5000))),
+      // too silent: 6 of 20 samples are edge silence (30% > 20%)
+      MediaDoc(4, ts(3), wav(1, 16000,
+        Seq.fill(3)(0) ++ Seq.fill(14)(5000) ++ Seq.fill(3)(0))),
+      // unparseable
+      MediaDoc(5, ts(4), Array[Byte](1, 2, 3)),
+      // second window: a mu-law keep at 16kHz (codes near full swing,
+      // never the rails)
+      MediaDoc(6, ts(12), wav(7, 16000, (0 until 20).map(i => 0x90 + i))))
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedAudioGate(input.toDF(), "content",
+        "ts", windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wag").start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("wag").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8))).toSet
+      // batch reference: the SAME shared audioGateCounts per window
+      val expected = Seq(ts(0) -> docs.take(5), ts(10) -> docs.drop(5))
+        .flatMap { case (w0, slice) =>
+          val st = slice.toDF()
+            .select(graft.functions.pcmStats($"content").as("__s"))
+          val cs = graft.operators.Multimodal.audioGateCounts($"__s")
+          st.groupBy(coalesce($"__s.codec", lit("unparseable"))
+              .as("codec"))
+            .agg(cs.head, cs.tail: _*)
+            .collect().map(r => (w0, r.getString(0), r.getLong(1),
+              r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+              r.getLong(6), r.getLong(7)))
+        }.toSet
+      assert(got === expected)
+      // spot-pin the verdicts so a jointly-wrong gate cannot pass
+      val w1 = got.filter(_._1 == ts(0)).map(t => t._2 -> t).toMap
+      // pcm16 in window 1: 4 docs, 1 keep, 1 bad rate, 1 clipping,
+      // 1 too-silent; keep duration = 20 frames / 16kHz = 1 ms
+      assert(w1("pcm16") === ((ts(0), "pcm16", 4L, 4L, 1L, 1L, 1L, 1L, 1L)))
+      assert(w1("unparseable") ===
+        ((ts(0), "unparseable", 1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+      val w2 = got.filter(_._1 == ts(10)).map(t => t._2 -> t).toMap
+      assert(w2("ulaw")._8 === 1L) // the mu-law doc is a keep
+    } finally query.stop()
+  }
+
   test("windowedTokenCountMin: per-window sketch equals the batch countMinTable") {
     import graft.streaming.CorpusStreams
     import graft.streaming.CorpusStreams.Doc
