@@ -129,23 +129,24 @@ object PcmKernel {
       if (tag == 1L) (32767L, -32768L)
       else if (tag == 7L) (32124L, -32124L)
       else (32256L, -32256L)
+    // ONE decode pass: sums, clip rails, and the first/last non-silent
+    // indices (the edge-silence runs fall out of those — no re-decode)
     var s = 0L; var sq = 0L; var clipped = 0L
+    var firstLoud = -1; var lastLoud = -1
     var k = 0
     while (k < n) {
       val v = at(k)
       s += v; sq += v * v
       if (v == railHi || v == railLo) clipped += 1L
+      if (v < -SilenceThreshold || v > SilenceThreshold) {
+        if (firstLoud < 0) firstLoud = k
+        lastLoud = k
+      }
       k += 1
     }
-    def silent(k: Int): Boolean = {
-      val v = at(k)
-      v >= -SilenceThreshold && v <= SilenceThreshold
-    }
-    var lead = 0
-    while (lead < n && silent(lead)) lead += 1
-    var trail = 0
-    while (trail < n && silent(n - 1 - trail)) trail += 1
-    if (lead == n) trail = n // all-silent: both report the full length
+    // an ALL-silent stream reports n for both runs (documented)
+    val lead = if (firstLoud < 0) n else firstLoud
+    val trail = if (firstLoud < 0) n else n - 1 - lastLoud
     val codec =
       if (tag == 1L) CODEC_PCM16 else if (tag == 7L) CODEC_ULAW
       else CODEC_ALAW

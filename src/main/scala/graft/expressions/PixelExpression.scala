@@ -219,7 +219,10 @@ object PixelKernel {
     if (le32(b, 14) != 40L) return null // BITMAPINFOHEADER only
     val w = le32(b, 18).toInt
     val hSigned = le32(b, 22).toInt
-    if (w <= 0 || hSigned == 0) return null
+    // Int.MinValue survives math.abs STILL NEGATIVE — it would slip
+    // past every size guard below (negative stride·h) and return
+    // garbage Stats instead of NULL (code-review r14 finding)
+    if (w <= 0 || hSigned == 0 || hSigned == Int.MinValue) return null
     val h = math.abs(hSigned)
     val topDown = hSigned < 0
     if (le16(b, 28) != 24L) return null // 24bpp only

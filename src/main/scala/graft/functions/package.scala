@@ -241,8 +241,8 @@ package object functions {
       lhs.toIndexedSeq, rhs.toIndexedSeq))
 
   /** Codec-free media header decode of a BINARY payload:
-    * STRUCT<format, width, height, bit_depth>, NULL on corrupt /
-    * truncated / unknown-magic bytes. See
+    * STRUCT<format, width, height, bit_depth, orientation>, NULL on
+    * corrupt / truncated / unknown-magic bytes. See
     * [[graft.expressions.MediaHeaderKernel]].
     */
   def mediaHeader(content: Column): Column =
@@ -255,18 +255,18 @@ package object functions {
     toColumn(graft.expressions.AudioHeader(toExpression(content)))
 
   /** Codec-free PIXEL decode (PNG via JDK Inflater + filter
-    * reconstruction; BMP raw BGR): STRUCT<format, width, height,
-    * channels, n_pixels, lum_sum, lum_sq_sum, dhash, lum_hist>, NULL on
-    * corrupt / truncated / unsupported payloads. See
-    * [[graft.expressions.PixelKernel]].
+    * reconstruction; BMP raw BGR; GIF via the spec's LZW):
+    * STRUCT<format, width, height, channels, n_pixels, lum_sum,
+    * lum_sq_sum, dhash, lum_hist>, NULL on corrupt / truncated /
+    * unsupported payloads. See [[graft.expressions.PixelKernel]].
     */
   def pixelStats(content: Column): Column =
     toColumn(graft.expressions.PixelStats(toExpression(content)))
 
-  /** WAV PCM sample statistics (16-bit LE, codec-free): STRUCT<
-    * sample_rate, channels, bits, n_samples, duration_ms, sum_q,
-    * sq_sum, n_clipped, lead_silence, trail_silence>, NULL on corrupt /
-    * truncated / non-PCM-16 payloads. See
+  /** WAV sample statistics (PCM-16 and G.711 ulaw/alaw, codec-free):
+    * STRUCT<codec, sample_rate, channels, bits, n_samples, duration_ms,
+    * sum_q, sq_sum, n_clipped, lead_silence, trail_silence>, NULL on
+    * corrupt / truncated / unsupported layouts. See
     * [[graft.expressions.PcmKernel]].
     */
   def pcmStats(content: Column): Column =

@@ -172,19 +172,33 @@ object Multimodal {
     val isJpeg = (content(0) & 0xFF) == 0xFF && (content(1) & 0xFF) == 0xD8
     if (!isJpeg) return None
     try {
-      val img = javax.imageio.ImageIO.read(
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
-      if (img == null) return None
-      val w = img.getWidth; val h = img.getHeight
-      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
-      val gray = img.getColorModel.getNumColorComponents == 1
-      Some(graft.expressions.PixelKernel.statsOf(
-        "jpeg", w, h, if (gray) 1 else 3,
-        (x, y) => {
-          val rgb = img.getRGB(x, y)
-          299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
-            114L * (rgb & 0xFF)
-        }))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        // decode-bomb guard BEFORE decoding: getWidth/getHeight read
+        // the header only — an adversarial SOF declaring 30000×20000
+        // must be rejected before ImageIO materializes a multi-GB
+        // raster (code-review r14 finding)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+        val img = reader.read(0)
+        val gray = img.getColorModel.getNumColorComponents == 1
+        // ONE bulk getRGB: per-pixel getRGB pays a color-model convert
+        // + bounds check per CALL (code-review r14 finding) — the bulk
+        // form converts the raster once into an int array no larger
+        // than the raster ImageIO already materialized
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        Some(graft.expressions.PixelKernel.statsOf(
+          "jpeg", w, h, if (gray) 1 else 3, (x, yy) => {
+            val rgb = px(yy * w + x)
+            299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+          }))
+      } finally { reader.dispose(); iis.close() }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

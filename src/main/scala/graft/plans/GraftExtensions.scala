@@ -204,7 +204,7 @@ object GraftExtensions {
           litInt(m, "graft_chrf_gram_overlaps", "maxOrder")) }),
     (FunctionIdentifier("graft_media_header"),
       info("graft_media_header",
-        "graft_media_header(content) - codec-free PNG/GIF/JPEG/WebP/BMP header decode of a BINARY payload: struct<format,width,height,bit_depth>, NULL on corrupt/truncated/unknown"),
+        "graft_media_header(content) - codec-free PNG/GIF/JPEG/WebP/BMP/TIFF header decode of a BINARY payload: struct<format,width,height,bit_depth,orientation>, NULL on corrupt/truncated/unknown"),
       es => { val Seq(c) = arity("graft_media_header", 1)(es)
         graft.expressions.MediaHeader(c) }),
     (FunctionIdentifier("graft_audio_header"),
@@ -214,12 +214,12 @@ object GraftExtensions {
         graft.expressions.AudioHeader(c) }),
     (FunctionIdentifier("graft_pixel_stats"),
       info("graft_pixel_stats",
-        "graft_pixel_stats(content) - codec-free PNG/BMP PIXEL decode of a BINARY payload: struct<format,width,height,channels,n_pixels,lum_sum,lum_sq_sum,dhash,lum_hist>, NULL on corrupt/truncated/unsupported"),
+        "graft_pixel_stats(content) - codec-free PNG/BMP/GIF PIXEL decode of a BINARY payload: struct<format,width,height,channels,n_pixels,lum_sum,lum_sq_sum,dhash,lum_hist>, NULL on corrupt/truncated/unsupported"),
       es => { val Seq(c) = arity("graft_pixel_stats", 1)(es)
         graft.expressions.PixelStats(c) }),
     (FunctionIdentifier("graft_pcm_stats"),
       info("graft_pcm_stats",
-        "graft_pcm_stats(content) - WAV PCM-16 sample statistics of a BINARY payload: struct<sample_rate,channels,bits,n_samples,duration_ms,sum_q,sq_sum,n_clipped,lead_silence,trail_silence>, NULL on corrupt/truncated/non-PCM-16"),
+        "graft_pcm_stats(content) - WAV sample statistics (PCM-16 and G.711 ulaw/alaw) of a BINARY payload: struct<codec,sample_rate,channels,bits,n_samples,duration_ms,sum_q,sq_sum,n_clipped,lead_silence,trail_silence>, NULL on corrupt/truncated/unsupported layouts"),
       es => { val Seq(c) = arity("graft_pcm_stats", 1)(es)
         graft.expressions.PcmStats(c) }))
 
