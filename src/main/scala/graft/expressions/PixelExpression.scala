@@ -64,15 +64,68 @@ object PixelKernel {
                          channels: Int, lumSum: Long, lumSqSum: Long,
                          dhash: Option[Long], hist: Array[Long])
 
+  /** A decoded image as a luminance ACCESSOR (x, visual-row y →
+    * milli-luminance) — the shared substrate of the stats pass and the
+    * box-resize kernel, so both consume pixels under one definition
+    * without materializing a second buffer.
+    */
+  private[graft] final case class LumView(format: String, width: Int,
+                                          height: Int, channels: Int,
+                                          lum: (Int, Int) => Long)
+
   /** Raw-pixel-size cap (bytes): 64 MiB. */
   private val MaxRawBytes = 1L << 26
 
-  def decode(b: Array[Byte]): Stats = {
+  /** Decode to the luminance view — null on corrupt / unsupported. */
+  private[graft] def view(b: Array[Byte]): LumView = {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xFF) == 0x89 && b(1) == 0x50) decodePng(b)
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeGif(b)
     else null
+  }
+
+  def decode(b: Array[Byte]): Stats = {
+    val v = view(b)
+    if (v == null) null
+    else stats(v.format, v.width, v.height, v.channels, v.lum)
+  }
+
+  /** BOX-FILTER downscale to a tw×th grid: output cell (cx, cy) is the
+    * FLOOR-average milli-luminance of the source pixels whose indices
+    * land in it (x ∈ cell ⌊tw·x/W⌋, y ∈ cell ⌊th·y/H⌋ — the same
+    * integer cell partition as the dHash grid, so the oracle replays
+    * it with plain division). Row-major (cy·tw + cx). Downscale only:
+    * tw/th must be in [1, W]/[1, H] — an UPSCALE would leave empty
+    * cells (no pixel maps into them), so it returns null rather than
+    * invent samples.
+    */
+  private[graft] def resizeGrid(w: Int, h: Int, tw: Int, th: Int,
+                                lum: (Int, Int) => Long): Array[Long] = {
+    if (tw < 1 || th < 1 || tw > w || th > h) return null
+    val sum = new Array[Long](tw * th)
+    val cnt = new Array[Long](tw * th)
+    var y = 0
+    while (y < h) {
+      val cy = th * y / h
+      var x = 0
+      while (x < w) {
+        val c = cy * tw + tw * x / w
+        sum(c) += lum(x, y); cnt(c) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(tw * th)(i => sum(i) / cnt(i))
+  }
+
+  /** [[resizeGrid]] over a decodable payload — null on corrupt /
+    * unsupported bytes or an upscale request.
+    */
+  def resizeBox(b: Array[Byte], tw: Int, th: Int): Array[Long] = {
+    val v = view(b)
+    if (v == null) null
+    else resizeGrid(v.width, v.height, tw, th, v.lum)
   }
 
   /** [[decode]] shaped as the expression's InternalRow. */
@@ -103,7 +156,7 @@ object PixelKernel {
 
   // ------------------------------------------------------------------ PNG
 
-  private def decodePng(b: Array[Byte]): Stats = {
+  private def decodePng(b: Array[Byte]): LumView = {
     if (b.length < 33) return null
     var i = 0
     while (i < 8) { if (u8(b, i) != PNG_SIG(i)) return null; i += 1 }
@@ -197,7 +250,7 @@ object PixelKernel {
       }
       y += 1
     }
-    stats("png", wi, hi, bpp, (x, yy) => {
+    LumView("png", wi, hi, bpp, (x, yy) => {
       val p = yy * (1 + rb) + 1 + x * bpp
       if (bpp == 1) 1000L * u8(raw, p)
       else 299L * u8(raw, p) + 587L * u8(raw, p + 1) + 114L * u8(raw, p + 2)
@@ -213,7 +266,7 @@ object PixelKernel {
 
   // ------------------------------------------------------------------ BMP
 
-  private def decodeBmp(b: Array[Byte]): Stats = {
+  private def decodeBmp(b: Array[Byte]): LumView = {
     if (b.length < 54) return null
     val off = le32(b, 10)
     if (le32(b, 14) != 40L) return null // BITMAPINFOHEADER only
@@ -231,7 +284,7 @@ object PixelKernel {
     val need = off + stride * h
     if (stride * h > MaxRawBytes) return null // decode-bomb guard
     if (off < 54L || need > b.length) return null
-    stats("bmp", w, h, 3, (x, yVis) => {
+    LumView("bmp", w, h, 3, (x, yVis) => {
       // yVis counts visual rows top-down; bottom-up files store the
       // top row LAST
       val row = if (topDown) yVis else h - 1 - yVis
@@ -258,7 +311,7 @@ object PixelKernel {
     * Missing color table, out-of-range index, or an LZW stream that
     * ends before w·h pixels → NULL.
     */
-  private def decodeGif(b: Array[Byte]): Stats = {
+  private def decodeGif(b: Array[Byte]): LumView = {
     if (b.length < 14) return null
     if (b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a')
       return null
@@ -331,7 +384,7 @@ object PixelKernel {
               while (r < h) { inv(order(r)) = r; r += 1 }
               (y: Int) => inv(y)
             }
-          return stats("gif", w, h, 3, (x, y) => {
+          return LumView("gif", w, h, 3, (x, y) => {
             val rgb = tbl(idx(rowOf(y) * w + x))
             299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
               114L * (rgb & 0xFF)
@@ -531,6 +584,62 @@ case class PixelStats(child: Expression) extends UnaryExpression {
         |if (!${cEv.isNull}) {
         |  ${ev.value} = graft.expressions.PixelKernel.parse(${cEv.value});
         |  ${ev.isNull} = (${ev.value} == null);
+        |}
+        """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pixel_resize(content BINARY, tw, th)` → ARRAY<BIGINT> of tw·th
+  * box-filter-averaged milli-luminance cells (row-major), NULL on
+  * corrupt / unsupported payloads or an upscale request. tw/th are
+  * foldable plan constants. The real downscale kernel a multimodal
+  * pipeline runs to normalize resolutions before embedding — one
+  * codegen'd call per row, payload bytes never leave the executor.
+  */
+case class PixelResize(child: Expression, tw: Int, th: Int)
+  extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (tw < 1 || th < 1)
+      TypeCheckResult.TypeCheckFailure("target dims must be positive")
+    else child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"PixelResize expects BINARY, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val g = PixelKernel.resizeBox(v.asInstanceOf[Array[Byte]], tw, th)
+      if (g == null) null else new GenericArrayData(g)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cEv = child.genCode(ctx)
+    val grid = ctx.freshName("grid")
+    ev.copy(code = cEv.code +
+      code"""
+        |boolean ${ev.isNull} = true;
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${cEv.isNull}) {
+        |  long[] $grid = graft.expressions.PixelKernel.resizeBox(
+        |    ${cEv.value}, $tw, $th);
+        |  if ($grid != null) {
+        |    ${ev.value} =
+        |      new org.apache.spark.sql.catalyst.util.GenericArrayData($grid);
+        |    ${ev.isNull} = false;
+        |  }
         |}
         """.stripMargin)
   }

@@ -272,6 +272,37 @@ package object functions {
   def pcmStats(content: Column): Column =
     toColumn(graft.expressions.PcmStats(toExpression(content)))
 
+  /** Codec-free VIDEO container header decode (MP4/ISO-BMFF box walk,
+    * AVI RIFF walk): STRUCT<format, width, height, duration_ms,
+    * n_frames, codec>, NULL on corrupt. See
+    * [[graft.expressions.VideoHeaderKernel]].
+    */
+  def videoHeader(content: Column): Column =
+    toColumn(graft.expressions.VideoHeader(toExpression(content)))
+
+  /** Every `stride`-th uncompressed-DIB AVI frame reduced to integer
+    * pixel statistics: ARRAY<STRUCT<frame_idx, lum_sum, lum_sq_sum,
+    * dhash>>, NULL on corrupt / compressed payloads. See
+    * [[graft.expressions.VideoFrameKernel]].
+    */
+  def videoFrameStats(content: Column, stride: Int): Column =
+    toColumn(graft.expressions.VideoFrameStats(toExpression(content), stride))
+
+  /** MP3 (MPEG Layer III) frame-walk header decode: STRUCT<sample_rate,
+    * channels, n_frames, duration_ms, bitrate_kbps>, NULL on corrupt.
+    * See [[graft.expressions.Mp3HeaderKernel]].
+    */
+  def mp3Header(content: Column): Column =
+    toColumn(graft.expressions.Mp3Header(toExpression(content)))
+
+  /** Box-filter downscale of a decodable image payload to a tw×th
+    * milli-luminance grid (row-major ARRAY<BIGINT>), NULL on corrupt /
+    * unsupported bytes or an upscale request. See
+    * [[graft.expressions.PixelKernel.resizeBox]].
+    */
+  def pixelResize(content: Column, tw: Int, th: Int): Column =
+    toColumn(graft.expressions.PixelResize(toExpression(content), tw, th))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

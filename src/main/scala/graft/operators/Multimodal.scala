@@ -14,13 +14,17 @@ import org.apache.spark.sql.types.LongType
   * partition, records streamed, no per-row task overhead). HEADER-level
   * decode is REAL as of round 13 ([[headerMeta]]: PNG/GIF/JPEG/WebP/BMP
   * dimensions+depth; [[audioMeta]]: WAV/FLAC rate/channels/bits — pure
-  * byte arithmetic, no codec jars), and PIXEL decode is REAL as of
+  * byte arithmetic, no codec jars), PIXEL decode is REAL as of
   * round 14 ([[decodeImage]]: PNG, BMP, and GIF-incl.-LZW through the
   * codec-free native [[graft.expressions.PixelKernel]]; JPEG through
-  * the JDK's own ImageIO plugin). The only remaining stubs are the image RESIZE and
-  * video FRAME-SAMPLE kernels (`resizeStub`/`frameSampleStub` — real
-  * deployments wire libswscale/ffmpeg there) and the byte-histogram
-  * fallback for NON-image payloads (`decodeStub`).
+  * the JDK's own ImageIO plugin), and — late round 14 — so are image
+  * RESIZE ([[resizeImage]]: box-filter downscale on the decoded
+  * pixels) and video FRAME SAMPLING ([[sampleFrames]]:
+  * uncompressed-DIB AVI frames through
+  * [[graft.expressions.VideoFrameKernel]]). NO stubs remain: the one
+  * non-decode path left is [[byteHistogram]], the deterministic
+  * fallback FEATURE for payloads that are not decodable media at all
+  * (text bytes carried through the media pipeline).
   *
   * Scale notes: payload bytes stay in the `content` column and are never
   * collected; feature extraction is a narrow per-partition pass, so the
@@ -231,7 +235,7 @@ object Multimodal {
     * byte histogram, normalized. Image payloads never reach this — they
     * take the real [[decodeImage]] path in [[extractFeatures]].
     */
-  private[graft] def decodeStub(content: Array[Byte]): Array[Double] = {
+  private[graft] def byteHistogram(content: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
     var i = 0
     while (i < content.length) {
@@ -242,48 +246,80 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** STUB — "resize": rebin the 8-bucket histogram to `buckets` (stands
-    * where an image resize kernel would run; deterministic in the input).
+  /** REAL image RESIZE (round 14 — the resize stub is dead): box-filter
+    * downscale to a tw×th milli-luminance grid via the shared
+    * [[graft.expressions.PixelKernel.resizeGrid]] cell partition — the
+    * codec-free native decode path first (PNG/BMP/GIF), then the JDK
+    * ImageIO JPEG route under the SAME grid definition. None for
+    * non-image / corrupt payloads or an upscale request (no invented
+    * samples — a gate routes on the None).
     */
-  private[graft] def resizeStub(features: Array[Double], buckets: Int): Array[Double] = {
-    val out = new Array[Double](buckets)
-    var i = 0
-    while (i < features.length) {
-      out(i * buckets / features.length) += features(i)
-      i += 1
+  private[graft] def resizeImage(content: Array[Byte], tw: Int,
+                                 th: Int): Option[Array[Long]] = {
+    val native = graft.expressions.PixelKernel.resizeBox(content, tw, th)
+    if (native != null) return Some(native)
+    imageIoDecode(content) match {
+      case Some(st) => jpegResize(content, st, tw, th)
+      case None => None
     }
-    out
   }
 
-  /** STUB — "frame sampling": every `stride`-th fixed-size chunk of the
-    * payload (stands where video frame extraction would run). Returns the
-    * sampled chunks re-concatenated; deterministic in the input.
+  /** JPEG resize through the decoded raster — re-reads via ImageIO
+    * (the stats decode does not retain pixels; resize is a separate,
+    * rarer pass) and applies the shared resizeGrid arithmetic.
     */
-  private[graft] def frameSampleStub(content: Array[Byte], frameSize: Int,
-                                         stride: Int): Array[Byte] = {
-    require(frameSize > 0 && stride > 0)
-    content.grouped(frameSize).zipWithIndex
-      .collect { case (frame, idx) if idx % stride == 0 => frame }
-      .flatten.toArray
-  }
+  private def jpegResize(content: Array[Byte],
+                         st: graft.expressions.PixelKernel.Stats,
+                         tw: Int, th: Int): Option[Array[Long]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      Option(graft.expressions.PixelKernel.resizeGrid(w, h, tw, th,
+        (x, y) => {
+          val rgb = px(y * w + x)
+          299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+            114L * (rgb & 0xFF)
+        }))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Partition-batched frame sampling over the binary payload column —
-    * same mapPartitions shape as [[extractFeatures]]; output payloads are
-    * the sampled frames only (the shuffle-volume reduction a video
-    * pipeline does before heavier per-frame work).
+  /** One sampled video frame's statistics as carried through the
+    * pipeline (the per-frame twin of [[PixelMeta]]).
     */
-  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int,
-                   stride: Int): Dataset[MediaRecord] = {
+  case class FrameMeta(doc_id: Long, frame_idx: Long, lum_sum: Long,
+                       lum_sq_sum: Long, dhash: Option[Long])
+
+  /** REAL video frame sampling (round 14 — the frame-sample stub is
+    * dead): every `stride`-th uncompressed-DIB AVI frame decoded to the
+    * SAME integer statistics as still images
+    * ([[graft.expressions.VideoFrameKernel]] — shared
+    * PixelKernel.statsOf definitions, so image↔video near-dup joins
+    * are well-defined). Non-AVI / compressed / corrupt payloads yield
+    * NO rows for that doc (the header gate upstream already routed
+    * them). Scale shape: frames are decoded only when sampled — the
+    * walk skips unsampled chunks by declared size — and payload bytes
+    * never leave the executor; only the fixed-width per-frame stats
+    * rows shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRecord],
+                   stride: Int): Dataset[FrameMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(rec =>
-      rec.copy(content = frameSampleStub(rec.content, frameSize, stride))))
+    media.mapPartitions(_.flatMap { rec =>
+      graft.expressions.VideoFrameKernel.decode(rec.content, stride)
+        .getOrElse(Seq.empty)
+        .map(f => FrameMeta(rec.doc_id, f.frameIdx, f.lumSum, f.lumSqSum,
+          f.dhash))
+    })
   }
 
   /** Partition-batched feature extraction: the mapInPandas-shaped pass.
     * One iterator per partition; image payloads are REALLY decoded
     * ([[decodeImage]]) to a normalized 8-bucket LUMINANCE histogram;
     * non-image payloads fall back to the normalized byte histogram
-    * ([[decodeStub]]) so the feature width is uniform.
+    * ([[byteHistogram]]) so the feature width is uniform.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -296,7 +332,7 @@ object Multimodal {
           case Some(st) =>
             val n = math.max(st.width.toLong * st.height, 1L).toDouble
             st.hist.map(_ / n)
-          case None => decodeStub(rec.content)
+          case None => byteHistogram(rec.content)
         }
         MediaFeatures(rec.doc_id, rec.kind, rec.content.length.toLong,
           sum, feats)

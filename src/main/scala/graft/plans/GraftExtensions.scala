@@ -221,7 +221,30 @@ object GraftExtensions {
       info("graft_pcm_stats",
         "graft_pcm_stats(content) - WAV sample statistics (PCM-16 and G.711 ulaw/alaw) of a BINARY payload: struct<codec,sample_rate,channels,bits,n_samples,duration_ms,sum_q,sq_sum,n_clipped,lead_silence,trail_silence>, NULL on corrupt/truncated/unsupported layouts"),
       es => { val Seq(c) = arity("graft_pcm_stats", 1)(es)
-        graft.expressions.PcmStats(c) }))
+        graft.expressions.PcmStats(c) }),
+    (FunctionIdentifier("graft_video_header"),
+      info("graft_video_header",
+        "graft_video_header(content) - codec-free MP4/AVI container header decode of a BINARY payload: struct<format,width,height,duration_ms,n_frames,codec>, NULL on corrupt/truncated/unknown"),
+      es => { val Seq(c) = arity("graft_video_header", 1)(es)
+        graft.expressions.VideoHeader(c) }),
+    (FunctionIdentifier("graft_video_frame_stats"),
+      info("graft_video_frame_stats",
+        "graft_video_frame_stats(content, stride) - every stride-th uncompressed-DIB AVI frame reduced to pixel statistics: array<struct<frame_idx,lum_sum,lum_sq_sum,dhash>>, NULL on corrupt/compressed"),
+      es => { val Seq(c, st) = arity("graft_video_frame_stats", 2)(es)
+        graft.expressions.VideoFrameStats(c,
+          litInt(st, "graft_video_frame_stats", "stride")) }),
+    (FunctionIdentifier("graft_mp3_header"),
+      info("graft_mp3_header",
+        "graft_mp3_header(content) - MP3 (MPEG Layer III) frame-walk decode of a BINARY payload: struct<sample_rate,channels,n_frames,duration_ms,bitrate_kbps>, NULL on corrupt/truncated/non-LayerIII"),
+      es => { val Seq(c) = arity("graft_mp3_header", 1)(es)
+        graft.expressions.Mp3Header(c) }),
+    (FunctionIdentifier("graft_pixel_resize"),
+      info("graft_pixel_resize",
+        "graft_pixel_resize(content, tw, th) - box-filter downscale of a decodable image payload to a tw x th milli-luminance grid (row-major array<bigint>), NULL on corrupt/unsupported/upscale"),
+      es => { val Seq(c, tw, th) = arity("graft_pixel_resize", 3)(es)
+        graft.expressions.PixelResize(c,
+          litInt(tw, "graft_pixel_resize", "tw"),
+          litInt(th, "graft_pixel_resize", "th")) }))
 
   /** Register on a live session (the non-config path — e.g. notebooks). */
   def register(spark: SparkSession): Unit =

@@ -5767,7 +5767,7 @@ object LlmQueries {
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
-  /** q41 oracle: rebuilds decodeStub's 8-bucket byte histogram in SQL by
+  /** q41 oracle: rebuilds byteHistogram's 8-bucket byte fallback histogram in SQL by
     * expanding each code point to its UTF-8 bytes (1-4 per char — astral
     * included), then count/len per bucket as exact double division.
     */

@@ -1,0 +1,213 @@
+package graft.queries
+
+/** Constructed VIDEO container payloads for the q352/q353/q356 gates —
+  * the [[PixelFixtures]] discipline extended to moving pictures: every
+  * container is built from doc_id arithmetic the DuckDB oracle replays
+  * without touching a byte, and the construction direction shares no
+  * code with the decode kernels ([[graft.expressions.VideoHeaderKernel]]
+  * / [[graft.expressions.VideoFrameKernel]]): AVI chunks are written
+  * forward here and chunk-walked there; MP4 boxes are laid out with
+  * hand-summed sizes here and size-walked there. An offset, size, or
+  * endianness bug on either side breaks the round trip loudly.
+  *
+  * Shared arithmetic (the oracle's contract — change BOTH sides):
+  *
+  * AVI (uncompressed 24bpp DIB frames, the codec-free layout):
+  *   W(s)  = s % 16 + 12          (12..27 — ≥ 9 so the dHash grid exists)
+  *   H(s)  = (s·3) % 12 + 8       (8..19)
+  *   F(s)  = s % 6 + 4            (4..9 frames)
+  *   us(s) = (s % 30 + 10) · 1000 (µs per frame → duration_ms = F·(s%30+10))
+  *   p(x, y, f, s) = ((x + s % 29) · (y + s % 23) + 17·f + s) % 256
+  *   frame pixel (r, g, b) = (p, 3p % 256, 5p % 256) — the SAME RGB
+  *   arithmetic as [[PixelFixtures]], so milli-luminance formulas are
+  *   shared: lum = 299p + 587(3p%256) + 114(5p%256)
+  *   sizes: stride = ⌈3W/4⌉·4, frameBytes = stride·H,
+  *          total = 224 + F·(8 + frameBytes)
+  *
+  * MP4 (header-only — ISO-BMFF carries no codec-free pixel layout):
+  *   W(s) = s % 1800 + 2,  H(s) = (s·7) % 1000 + 2
+  *   timescale ts(s) = (s % 29 + 1) · 1000
+  *   duration d(s)  = s % 9000 + 1000  → duration_ms = ⌊d·1000 / ts⌋
+  *   n_frames = s % 200 + 10
+  *   codec = ["avc1", "hev1", "mp4v"][s % 3]
+  *   sizes: v0 = 308, v1 = 332, v0-with-audio-trak = 408 bytes
+  */
+private[graft] object VideoFixtures {
+
+  def aviWidth(s: Long): Int = (s % 16 + 12).toInt
+  def aviHeight(s: Long): Int = ((s * 3) % 12 + 8).toInt
+  def aviFrames(s: Long): Int = (s % 6 + 4).toInt
+
+  private def pix(x: Int, y: Int, f: Int, s: Long): Int =
+    (((x + s % 29) * (y + s % 23) + 17L * f + s) % 256L).toInt
+
+  private class W {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def le16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def le32(v: Long): Unit = {
+      u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt)
+      u8((v >> 24).toInt)
+    }
+    def be32(v: Long): Unit = {
+      u8((v >> 24).toInt); u8((v >> 16).toInt); u8((v >> 8).toInt)
+      u8(v.toInt)
+    }
+    def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xFFFFFFFFL) }
+    def tag(t: String): Unit = t.foreach(c => u8(c.toInt))
+    def zeros(n: Int): Unit = (0 until n).foreach(_ => u8(0))
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Uncompressed-DIB AVI: RIFF('AVI ') → LIST hdrl (avih + LIST strl
+    * (strh vids/handler-0 + strf BITMAPINFOHEADER 24bpp BI_RGB)) →
+    * LIST movi (F '00db' chunks of bottom-up BGR rows, stride padded
+    * to 4 — the BMP pixel layout).
+    */
+  def avi(s: Long): Array[Byte] = {
+    val wd = aviWidth(s); val ht = aviHeight(s); val nf = aviFrames(s)
+    val us = (s % 30 + 10) * 1000L
+    val stride = (wd * 3 + 3) / 4 * 4
+    val fb = stride * ht
+    val moviSize = 4L + nf.toLong * (8L + fb)
+    val total = 224L + nf.toLong * (8L + fb)
+    val w = new W
+    w.tag("RIFF"); w.le32(total - 8L); w.tag("AVI ")
+    // ---- LIST hdrl (total 200 = 8 + 192)
+    w.tag("LIST"); w.le32(192L); w.tag("hdrl")
+    w.tag("avih"); w.le32(56L)
+    w.le32(us) // dwMicroSecPerFrame
+    w.le32(0L); w.le32(0L); w.le32(0L) // maxbps, padding, flags
+    w.le32(nf.toLong) // dwTotalFrames
+    w.le32(0L); w.le32(1L); w.le32(0L) // initial, streams, bufsize
+    w.le32(wd.toLong); w.le32(ht.toLong) // dwWidth, dwHeight
+    w.zeros(16) // dwReserved[4]
+    // LIST strl (total 124 = 8 + 116)
+    w.tag("LIST"); w.le32(116L); w.tag("strl")
+    w.tag("strh"); w.le32(56L)
+    w.tag("vids"); w.le32(0L) // fccType, fccHandler 0 → "dib"
+    w.zeros(48) // flags/priority/frames/rate/... (not gated on)
+    w.tag("strf"); w.le32(40L)
+    w.le32(40L); w.le32(wd.toLong); w.le32(ht.toLong) // biSize, w, h(+)
+    w.le16(1); w.le16(24) // planes, bpp
+    w.le32(0L); w.le32(fb.toLong) // BI_RGB, biSizeImage
+    w.zeros(16) // ppm/clr fields
+    // ---- LIST movi
+    w.tag("LIST"); w.le32(moviSize); w.tag("movi")
+    var f = 0
+    while (f < nf) {
+      w.tag("00db"); w.le32(fb.toLong)
+      var row = ht - 1 // bottom-up: last visual row first on disk
+      while (row >= 0) {
+        var x = 0
+        while (x < wd) {
+          val p = pix(x, row, f, s)
+          w.u8(p * 5 % 256); w.u8(p * 3 % 256); w.u8(p) // B G R
+          x += 1
+        }
+        w.zeros(stride - wd * 3)
+        row -= 1
+      }
+      f += 1
+    }
+    w.bytes
+  }
+
+  /** Minimal spec-true MP4: ftyp(16) + moov(mvhd + [audio trak] +
+    * video trak(tkhd + mdia/minf/stbl(stsd + stsz))). `version` 0 or 1
+    * selects the mvhd/tkhd time-field width; `audioTrak` prepends a
+    * 0×0-dimension trak the parser must skip.
+    */
+  def mp4(s: Long, version: Int, audioTrak: Boolean): Array[Byte] = {
+    val wd = s % 1800 + 2
+    val ht = (s * 7) % 1000 + 2
+    val ts = (s % 29 + 1) * 1000L
+    val dur = s % 9000 + 1000L
+    val nf = s % 200 + 10L
+    val codec = Seq("avc1", "hev1", "mp4v")((s % 3).toInt)
+    val w = new W
+    w.be32(16L); w.tag("ftyp"); w.tag("isom"); w.be32(0L)
+    val mvhdSize = if (version == 0) 108L else 120L
+    val tkhdSize = if (version == 0) 92L else 104L
+    val audioSize = if (audioTrak) 100L else 0L // 8 + tkhd v0 (92)
+    // stbl = 8 + stsd 32 + stsz 20 = 60; minf 68; mdia 76
+    val trakSize = 8L + tkhdSize + 76L
+    val moovSize = 8L + mvhdSize + audioSize + trakSize
+    w.be32(moovSize); w.tag("moov")
+    // mvhd
+    w.be32(mvhdSize); w.tag("mvhd")
+    if (version == 0) {
+      w.u8(0); w.zeros(3) // version+flags
+      w.be32(0L); w.be32(0L) // ctime, mtime
+      w.be32(ts); w.be32(dur)
+      w.zeros(100 - 20) // rate/volume/reserved/matrix/predefined/next
+    } else {
+      w.u8(1); w.zeros(3)
+      w.be64(0L); w.be64(0L)
+      w.be32(ts); w.be64(dur)
+      w.zeros(112 - 32)
+    }
+    def tkhd(version: Int, tw: Long, th: Long): Unit = {
+      w.be32(if (version == 0) 92L else 104L); w.tag("tkhd")
+      if (version == 0) {
+        w.u8(0); w.zeros(3)
+        w.zeros(8) // ctime, mtime
+        w.be32(1L); w.be32(0L); w.be32(0L) // track_ID, reserved, duration
+        w.zeros(8 + 2 + 2 + 2 + 2) // reserved, layer, altgroup, vol, rsv
+        w.zeros(36) // matrix
+        w.be32(tw << 16); w.be32(th << 16) // 16.16 fixed
+      } else {
+        w.u8(1); w.zeros(3)
+        w.zeros(16) // 64-bit ctime, mtime
+        w.be32(1L); w.be32(0L); w.be64(0L)
+        w.zeros(16)
+        w.zeros(36)
+        w.be32(tw << 16); w.be32(th << 16)
+      }
+    }
+    if (audioTrak) { // 0×0 dims: the parser must walk PAST this trak
+      w.be32(100L); w.tag("trak")
+      tkhd(0, 0L, 0L)
+    }
+    w.be32(trakSize); w.tag("trak")
+    tkhd(version, wd, ht)
+    w.be32(76L); w.tag("mdia")
+    w.be32(68L); w.tag("minf")
+    w.be32(60L); w.tag("stbl")
+    w.be32(32L); w.tag("stsd")
+    w.be32(0L); w.be32(1L) // version+flags, entry_count
+    w.be32(16L); w.tag(codec); w.zeros(8) // first sample entry
+    w.be32(20L); w.tag("stsz")
+    w.be32(0L); w.be32(0L); w.be32(nf) // vf, sample_size, sample_count
+    w.bytes
+  }
+
+  /** q352's payload: doc_id%5 → AVI / MP4 v0 / MP4 v1 / MP4 with a
+    * leading audio trak / corrupt (odd: 30-byte AVI truncation; even:
+    * an MP4 whose mvhd declares timescale 0).
+    */
+  def headerPayload(docId: Long): Array[Byte] = (docId % 5) match {
+    case 0 => avi(docId)
+    case 1 => mp4(docId, 0, audioTrak = false)
+    case 2 => mp4(docId, 1, audioTrak = false)
+    case 3 => mp4(docId, 0, audioTrak = true)
+    case _ =>
+      if (docId % 2 == 1) avi(docId).take(30)
+      else {
+        val b = mp4(docId, 0, audioTrak = false)
+        // zero the BE32 timescale at mvhd payload offset 12:
+        // 16 (ftyp) + 8 (moov hdr) + 8 (mvhd hdr) + 12 = 44
+        java.util.Arrays.fill(b, 44, 48, 0.toByte)
+        b
+      }
+  }
+
+  /** q353/q356's payload: the DIB AVI for every doc, with the %10==7
+    * slice truncated mid-movi (240 bytes — 8 bytes into the FIRST
+    * frame's pixel data, past all headers) → NULL, loud not wrong.
+    */
+  def framePayload(docId: Long): Array[Byte] = {
+    val full = avi(docId)
+    if (docId % 10 == 7) full.take(240) else full
+  }
+}

