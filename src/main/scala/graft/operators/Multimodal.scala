@@ -145,6 +145,41 @@ object Multimodal {
         .as("keep_duration_ms"))
   }
 
+  /** REAL video container header decode — MP4/ISO-BMFF box walk and
+    * AVI RIFF walk via the codegen'd [[graft.expressions.VideoHeader]]
+    * kernel: (format, width, height, duration_ms, n_frames, codec),
+    * NULL on corrupt. The resolution/duration gate a video training
+    * pipeline runs before any frame is decoded.
+    */
+  def videoMeta(content: Column): Column =
+    graft.functions.videoHeader(content)
+
+  /** The video gate's KEEP predicate over a decoded header struct —
+    * SHARED by the q356 batch pipeline (both its scorecard and its
+    * which-docs-get-frame-sampled filter) and the streaming twin
+    * ([[graft.streaming.CorpusStreams.windowedVideoGate]]): batch and
+    * stream can never gate differently.
+    */
+  def videoKeep(hdr: Column, minW: Long = 16L, minH: Long = 10L,
+                minDurMs: Long = 100L): Column =
+    hdr.isNotNull && hdr.getField("width") >= minW &&
+      hdr.getField("height") >= minH &&
+      hdr.getField("duration_ms") >= minDurMs
+
+  /** The video gate's aggregate columns ([[gateCounts]] discipline):
+    * doc counts, keeps under [[videoKeep]], and the admitted duration
+    * total (the number a video-dataset budget actually tracks).
+    */
+  def videoGateCounts(hdr: Column, minW: Long = 16L, minH: Long = 10L,
+                      minDurMs: Long = 100L): Seq[Column] = {
+    val keep = videoKeep(hdr, minW, minH, minDurMs)
+    Seq(count(lit(1)).as("n_docs"),
+      count(when(hdr.isNotNull, 1)).as("n_parseable"),
+      count(when(keep, 1)).as("n_keep"),
+      coalesce(sum(when(keep, hdr.getField("duration_ms"))), lit(0L))
+        .as("keep_duration_ms"))
+  }
+
   /** REAL image PIXEL decode (round 14 — the stub is dead for images):
     * the codec-free native kernel first
     * ([[graft.expressions.PixelKernel]] — PNG via JDK Inflater + filter

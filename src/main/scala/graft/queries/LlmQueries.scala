@@ -4893,6 +4893,141 @@ object LlmQueries {
         .withColumn("ship",
           col("n_decoded") > 0L && col("n_dup_excess") >= 0L)
         .orderBy("n_images")
+    }),
+
+    // VIDEO container header decode (late round 14 — the third
+    // modality's q333/q341 twin): MP4/ISO-BMFF box walks (mvhd v0 AND
+    // v1 time widths, 16.16 fixed-point tkhd dims, the stsd codec
+    // fourcc, the stsz frame count, and a 0×0 audio trak the walk must
+    // skip past) plus the AVI RIFF layout (avih dims/frame-timing,
+    // the vids strh handler). Corruption slice %5==4: a 30-byte AVI
+    // truncation (odd) and an MP4 declaring timescale 0 (even) — both
+    // NULL, never a wrong dimension or a division by zero. One
+    // map-only projection; payload bytes never shuffle.
+    "q352_video_headers" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, VideoFixtures.headerPayload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.functions.videoHeader(col("__p")).as("__h"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__h.format").as("format"), col("__h.width").as("width"),
+          col("__h.height").as("height"),
+          col("__h.duration_ms").as("duration_ms"),
+          col("__h.n_frames").as("n_frames"),
+          col("__h.codec").as("codec"))
+        .orderBy("doc_id")
+    }),
+
+    // VIDEO frame sampling with REAL per-frame pixel statistics (the
+    // kernel that killed the frame-sample stub): every SECOND
+    // uncompressed-DIB AVI frame decoded to the SAME lum_sum /
+    // lum_sq_sum / dHash definitions as still images — the oracle
+    // replays every sampled frame's pixels from the fixture formula
+    // p(x,y,f,s) and re-derives the dHash cell grid arithmetically.
+    // %10==7 plants a mid-frame truncation → NULL array → no rows
+    // (loud: the doc vanishes from the frame table, never partial
+    // stats). Scale shape: unsampled frames are SKIPPED by chunk size
+    // (never decoded); only fixed-width stats rows leave the scan.
+    "q353_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, VideoFixtures.framePayload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          explode(graft.functions.videoFrameStats(col("__p"), 2))
+            .as("__f"))
+        .select(col("doc_id"), col("__f.frame_idx").as("frame_idx"),
+          col("__f.lum_sum").as("lum_sum"),
+          col("__f.lum_sq_sum").as("lum_sq_sum"),
+          col("__f.dhash").as("dhash"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // IMAGE RESIZE as a gated kernel (the operator that killed the
+    // resize stub): box-filter downscale of the q342 PNG/BMP corpus to
+    // a 4×4 milli-luminance grid — the same integer cell partition as
+    // the dHash grid (⌊4x/W⌋, ⌊4y/H⌋, floor-average), so the oracle
+    // re-derives every output cell from the pixel formula with plain
+    // division. Cells are posexploded to rows (cell = cy·4 + cx);
+    // corrupt payloads (%10==7) yield NULL grids → no rows.
+    "q354_pixel_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.payload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          posexplode(graft.functions.pixelResize(col("__p"), 4, 4)))
+        .select(col("doc_id"), col("pos").as("cell"),
+          col("col").as("cell_lum"))
+        .orderBy("doc_id", "cell")
+    }),
+
+    // MP3 frame-walk headers (the web-corpus audio container beside
+    // q341's WAV/FLAC): CBR MPEG-1 Layer III streams constructed from
+    // doc_id arithmetic by hex Column construction (the pcmPayload
+    // discipline) — bitrate/sample-rate table indices, a PADDING bit
+    // alternating per frame (frame sizes differ by 1 byte), and an
+    // ID3v2 preamble with a synchsafe size on the %4==1 slice that the
+    // walk must skip. The oracle re-derives frame sizes, total bytes,
+    // and duration_ms = ⌊frames·1152·1000 / rate⌋ from the public
+    // Layer III tables as SQL literals. %10==6 truncates the last
+    // frame → NULL.
+    "q355_mp3_headers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), mp3Payload(col("doc_id")).as("__p"))
+        .select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.functions.mp3Header(col("__p")).as("__h"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__h.sample_rate").as("sample_rate"),
+          col("__h.channels").as("channels"),
+          col("__h.n_frames").as("n_frames"),
+          col("__h.duration_ms").as("duration_ms"),
+          col("__h.bitrate_kbps").as("bitrate_kbps"))
+        .orderBy("doc_id")
+    }),
+
+    // The VIDEO ingest pipeline COMPOSED as one plan (the q340/q346
+    // discipline for the third modality): container parse → resolution
+    // (w ≥ 16, h ≥ 10) + duration (≥ 100 ms) gate → frame-sample the
+    // keepers at stride 2 → per-frame dHash → SCENE CHANGES (Hamming
+    // between consecutive sampled frames > 16 — the shot-boundary
+    // heuristic a video curation pass dedups shots with) → ONE verdict
+    // row. Frame stats are projected BEFORE the per-doc window, so
+    // payload bytes never shuffle — only fixed-width stats rows cross
+    // the doc_id exchange.
+    "q356_video_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, VideoFixtures.framePayload(id))))
+        .toDF("doc_id", "__p")
+      val hdr = media.select(col("doc_id"), col("__p"),
+        graft.operators.Multimodal.videoMeta(col("__p")).as("__h"))
+      // gate columns + keep predicate SHARED with the streaming twin
+      // (CorpusStreams.windowedVideoGate) — batch and stream can never
+      // gate differently
+      val keepCond = graft.operators.Multimodal.videoKeep(col("__h"))
+      val cs = graft.operators.Multimodal.videoGateCounts(col("__h"))
+      val gates = hdr.agg(cs.head, cs.tail: _*)
+      val frames = hdr.filter(keepCond)
+        .select(col("doc_id"),
+          explode(graft.functions.videoFrameStats(col("__p"), 2))
+            .as("__f"))
+        .select(col("doc_id"), col("__f.frame_idx").as("fi"),
+          col("__f.dhash").as("dh"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("fi")
+      val scenes = frames
+        .withColumn("prev", lag(col("dh"), 1).over(w))
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          count(when(bit_count(col("dh").bitwiseXOR(col("prev"))) > 16, 1))
+            .as("n_scene_changes"))
+      gates.crossJoin(scenes)
+        .withColumn("ship", col("n_keep") > 0L)
+        .orderBy("n_docs")
     })
   )
 
@@ -4983,6 +5118,52 @@ object LlmQueries {
       lit("57415645" + "666D7420" + "10000000"), le16(tag), lit("0100"),
       le32(lit(8000L)), le32(lit(8000L)),
       lit("0100" + "0800" + "64617461"), le32(n), dataHex))
+  }
+
+  /** q355's constructed CBR MP3: n = doc_id%9+3 back-to-back MPEG-1
+    * Layer III frames built by hex Column arithmetic (the [[pcmPayload]]
+    * discipline). Shared arithmetic (the oracle's contract):
+    *   brIdx = doc_id%14 + 1 → kbps via the public Layer III table
+    *   srIdx = doc_id%3     → rate ∈ {44100, 48000, 32000}
+    *   pad(f) = (doc_id+f) % 2  (frame sizes differ by the pad byte)
+    *   frame f size = ⌊144·kbps·1000 / rate⌋ + pad(f)
+    *   mono on even docs (mode bits 11), stereo on odd (00)
+    * %4==1 prepends an ID3v2 tag (synchsafe size sz = doc_id%50, body
+    * zeros) the walk must skip; %10==6 truncates the last 3 bytes →
+    * NULL.
+    */
+  private def mp3Payload(docId: Column): Column = {
+    val n = docId % 9 + 3
+    val brIdx = docId % 14 + 1
+    val srIdx = docId % 3
+    val kbps = element_at(typedlit(Seq(32L, 40L, 48L, 56L, 64L, 80L,
+      96L, 112L, 128L, 160L, 192L, 224L, 256L, 320L)),
+      (brIdx - 1).cast("int") + 1)
+    val rate = element_at(typedlit(Seq(44100L, 48000L, 32000L)),
+      srIdx.cast("int") + 1)
+    // ⌊144·kbps·1000 / rate⌋ — Column `/` is DOUBLE division; floor
+    // recovers the exact integer quotient (products ≪ 2^53)
+    val fsBase = floor(kbps * 144000L / rate).cast("long")
+    def hxp(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+    val modeHex = when(docId % 2 === 0, lit("C0")).otherwise(lit("00"))
+    def frame(f: Column): Column = {
+      val pad = pmod(docId + f, lit(2L))
+      val b2 = hxp(brIdx * 16L + srIdx * 4L + pad * 2L, 2)
+      val body = array_join(
+        transform(sequence(lit(1L), fsBase + pad - 4L), _ => lit("00")),
+        "")
+      concat(lit("FFFB"), b2, modeHex, body)
+    }
+    val framesHex = array_join(
+      transform(sequence(lit(0L), n - 1), f => frame(f)), "")
+    val sz = docId % 50
+    val id3Hex = when(docId % 4 === 1,
+      concat(lit("494433" + "0400" + "00" + "000000"), hxp(sz, 2),
+        array_join(transform(sequence(lit(1L), sz), _ => lit("00")), "")))
+      .otherwise(lit(""))
+    val full = unhex(concat(id3Hex, framesHex))
+    when(docId % 10 === 6, full.substr(lit(1), length(full) - 3))
+      .otherwise(full)
   }
 
   /** q344's constructed TIFF/EXIF payloads (the [[webpBmpPayload]]
@@ -14443,7 +14624,216 @@ object LlmQueries {
         |  ca.n_members - ca.n_clusters AS n_dup_excess,
         |  (SELECT count(dhash) FROM sig) > 0
         |    AND ca.n_members - ca.n_clusters >= 0 AS ship
-        |FROM ca ORDER BY n_images""".stripMargin
+        |FROM ca ORDER BY n_images""".stripMargin,
+
+    // Video headers: pure doc_id arithmetic — container sizes from the
+    // fixed box/chunk layouts, duration_ms by integer division exactly
+    // as the kernels compute it.
+    "q352_video_headers" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 5 AS m,
+        |    doc_id % 16 + 12 AS aw, (doc_id * 3) % 12 + 8 AS ah,
+        |    doc_id % 6 + 4 AS af, doc_id % 30 + 10 AS ams,
+        |    doc_id % 1800 + 2 AS mw, (doc_id * 7) % 1000 + 2 AS mh,
+        |    (doc_id % 29 + 1) * 1000 AS ts, doc_id % 9000 + 1000 AS dur,
+        |    doc_id % 200 + 10 AS mf,
+        |    ['avc1','hev1','mp4v'][CAST(doc_id % 3 AS INT) + 1] AS mc
+        |  FROM documents),
+        |v AS (SELECT *, ((3 * aw + 3) // 4) * 4 * ah AS fb FROM d)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN m = 0 THEN 224 + af * (8 + fb)
+        |    WHEN m = 1 THEN 308 WHEN m = 2 THEN 332 WHEN m = 3 THEN 408
+        |    ELSE CASE WHEN doc_id % 2 = 1 THEN 30 ELSE 308 END END
+        |    AS BIGINT) AS n_bytes,
+        |  CASE WHEN m = 0 THEN 'avi' WHEN m < 4 THEN 'mp4' END AS format,
+        |  CASE WHEN m = 0 THEN CAST(aw AS BIGINT)
+        |    WHEN m < 4 THEN CAST(mw AS BIGINT) END AS width,
+        |  CASE WHEN m = 0 THEN CAST(ah AS BIGINT)
+        |    WHEN m < 4 THEN CAST(mh AS BIGINT) END AS height,
+        |  CASE WHEN m = 0 THEN CAST(af * ams AS BIGINT)
+        |    WHEN m < 4 THEN CAST(dur * 1000 // ts AS BIGINT) END
+        |    AS duration_ms,
+        |  CASE WHEN m = 0 THEN CAST(af AS BIGINT)
+        |    WHEN m < 4 THEN CAST(mf AS BIGINT) END AS n_frames,
+        |  CASE WHEN m = 0 THEN 'dib' WHEN m < 4 THEN mc END AS codec
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Video frames: the q342 dHash CTE discipline PER SAMPLED FRAME —
+    // the oracle replays every second frame's pixels from the fixture
+    // formula and re-derives the 9×8-grid dHash; the %10==7 truncated
+    // docs yield no frame rows on either side.
+    "q353_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 16 + 12 AS w, (doc_id * 3) % 12 + 8 AS h,
+        |    doc_id % 6 + 4 AS nf
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS f FROM d),
+        |lum AS (
+        |  SELECT doc_id, f, w, h, u.x AS x, u.y AS y,
+        |    299 * u.p + 587 * ((u.p * 3) % 256)
+        |      + 114 * ((u.p * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id, f, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + doc_id % 29) * (y + doc_id % 23)
+        |                 + 17 * f + doc_id) % 256})))) AS u
+        |    FROM fr)),
+        |st AS (
+        |  SELECT doc_id, f, CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |    CAST(sum(lum * lum) AS BIGINT) AS lum_sq_sum
+        |  FROM lum GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT doc_id, f, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.f = b.f AND b.cy = a.cy
+        |      AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |dh AS (
+        |  SELECT doc_id, f, sum(CAST(1 AS HUGEINT) << CAST(k AS INT))
+        |    AS hraw
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT st.doc_id, CAST(st.f AS BIGINT) AS frame_idx,
+        |  st.lum_sum, st.lum_sq_sum,
+        |  CAST(coalesce(dh.hraw, 0)
+        |    - CASE WHEN coalesce(dh.hraw, 0) >= 9223372036854775808
+        |        THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS dhash
+        |FROM st LEFT JOIN dh USING (doc_id, f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Pixel resize: the q342 lum CTE + the 4×4 integer cell partition
+    // (⌊4x/W⌋, ⌊4y/H⌋, floor-average) — plain division, never a byte.
+    "q354_pixel_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 AS m, doc_id % 24 + 9 AS w,
+        |    (doc_id * 5) % 24 + 8 AS h
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |lum AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y,
+        |    CASE WHEN m = 0 THEN u.p * 1000
+        |      ELSE 299 * u.p + 587 * ((u.p * 3) % 256)
+        |        + 114 * ((u.p * 5) % 256) END AS lum
+        |  FROM (
+        |    SELECT doc_id, m, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + doc_id % 31) * (y + doc_id % 37) * 3
+        |                 + doc_id) % 256})))) AS u
+        |    FROM d))
+        |SELECT doc_id,
+        |  CAST(((4 * y) // h) * 4 + (4 * x) // w AS INT) AS cell,
+        |  CAST(sum(lum) // count(*) AS BIGINT) AS cell_lum
+        |FROM lum GROUP BY 1, 2 ORDER BY doc_id, cell""".stripMargin,
+
+    // MP3 headers: the public Layer III tables as SQL literals; frame
+    // sizes, the per-frame padding-bit count, and the ID3v2 preamble
+    // length re-derived arithmetically. (The ID3 slice %4==1 is always
+    // odd, so its synchsafe size doc_id%50 is never zero.)
+    "q355_mp3_headers" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 9 + 3 AS n,
+        |    [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |      [CAST(doc_id % 14 AS INT) + 1] AS kbps,
+        |    [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1] AS rate,
+        |    CASE WHEN doc_id % 4 = 1 THEN 10 + doc_id % 50 ELSE 0 END
+        |      AS id3,
+        |    doc_id % 10 = 6 AS corrupt
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, n, kbps, rate, id3, corrupt,
+        |    kbps * 144000 // rate AS fs,
+        |    n // 2 + (n % 2) * (doc_id % 2) AS npad
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(id3 + n * fs + npad
+        |    - CASE WHEN corrupt THEN 3 ELSE 0 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN NOT corrupt THEN CAST(rate AS BIGINT) END
+        |    AS sample_rate,
+        |  CASE WHEN NOT corrupt THEN CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN 1 ELSE 2 END AS BIGINT) END AS channels,
+        |  CASE WHEN NOT corrupt THEN CAST(n AS BIGINT) END AS n_frames,
+        |  CASE WHEN NOT corrupt THEN CAST(n * 1152 * 1000 // rate
+        |    AS BIGINT) END AS duration_ms,
+        |  CASE WHEN NOT corrupt THEN CAST(kbps AS BIGINT) END
+        |    AS bitrate_kbps
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Video pipeline: header-gate arithmetic + the q353 per-frame
+    // dHash CTEs restricted to keepers + a lag() scene-change count,
+    // closed to one verdict row.
+    "q356_video_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 16 + 12 AS w, (doc_id * 3) % 12 + 8 AS h,
+        |    doc_id % 6 + 4 AS nf,
+        |    (doc_id % 6 + 4) * (doc_id % 30 + 10) AS dur,
+        |    doc_id % 10 <> 7 AS ok
+        |  FROM documents),
+        |g AS (
+        |  SELECT *, ok AND w >= 16 AND h >= 10 AND dur >= 100 AS keep
+        |  FROM d),
+        |gates AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT)
+        |      AS n_parseable,
+        |    CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_keep,
+        |    CAST(coalesce(sum(CASE WHEN keep THEN dur END), 0)
+        |      AS BIGINT) AS keep_duration_ms
+        |  FROM g),
+        |fr AS (
+        |  SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS f
+        |  FROM g WHERE keep),
+        |lum AS (
+        |  SELECT doc_id, f, w, h, u.x AS x, u.y AS y,
+        |    299 * u.p + 587 * ((u.p * 3) % 256)
+        |      + 114 * ((u.p * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id, f, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + doc_id % 29) * (y + doc_id % 23)
+        |                 + 17 * f + doc_id) % 256})))) AS u
+        |    FROM fr)),
+        |cells AS (
+        |  SELECT doc_id, f, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.f = b.f AND b.cy = a.cy
+        |      AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |dh AS (
+        |  SELECT fr.doc_id, fr.f,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM fr LEFT JOIN (
+        |    SELECT doc_id, f, sum(CAST(1 AS HUGEINT) << CAST(k AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1, 2) x
+        |    ON x.doc_id = fr.doc_id AND x.f = fr.f),
+        |lagged AS (
+        |  SELECT doc_id, dhash,
+        |    lag(dhash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        |  FROM dh),
+        |scenes AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_frames_sampled,
+        |    CAST(count(CASE WHEN bit_count(xor(dhash, prev)) > 16
+        |      THEN 1 END) AS BIGINT) AS n_scene_changes
+        |  FROM lagged)
+        |SELECT gates.n_docs, gates.n_parseable, gates.n_keep,
+        |  gates.keep_duration_ms, scenes.n_frames_sampled,
+        |  scenes.n_scene_changes, gates.n_keep > 0 AS ship
+        |FROM gates, scenes ORDER BY n_docs""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

@@ -360,6 +360,42 @@ object CorpusStreams {
         col("keep_duration_ms"))
   }
 
+  /** Windowed VIDEO gate over a binary-payload stream — the third
+    * modality's twin beside [[windowedMediaGate]] (image) and
+    * [[windowedAudioGate]] (audio), completing the set: per
+    * (event-time window, container format — unparseable under its own
+    * key) the keep counts AND admitted duration from the REAL MP4/AVI
+    * header decode. The keep predicate and gate columns are
+    * [[graft.operators.Multimodal.videoKeep]] /
+    * [[graft.operators.Multimodal.videoGateCounts]], SHARED with the
+    * q356 batch pipeline, so a window's rows equal the batch gate over
+    * that window's slice (parity test-locked).
+    *
+    * Scale shape: one kernel call per payload (map-side; container
+    * bytes never shuffle) into a windowed count/sum aggregate — state
+    * is one row per (window, format), bounded by the format universe.
+    *
+    * @return streaming (window_start, format, n_docs, n_parseable,
+    *         n_keep, keep_duration_ms)
+    */
+  def windowedVideoGate(media: org.apache.spark.sql.DataFrame,
+                        contentCol: String, tsCol: String,
+                        windowDur: String, watermark: String,
+                        minW: Long = 16L, minH: Long = 10L,
+                        minDurMs: Long = 100L): org.apache.spark.sql.DataFrame = {
+    val cs = graft.operators.Multimodal.videoGateCounts(col("__h"),
+      minW, minH, minDurMs)
+    media.select(col(tsCol),
+        graft.operators.Multimodal.videoMeta(col(contentCol)).as("__h"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("__win"),
+        coalesce(col("__h.format"), lit("unparseable")).as("format"))
+      .agg(cs.head, cs.tail: _*)
+      .select(col("__win.start").as("window_start"), col("format"),
+        col("n_docs"), col("n_parseable"), col("n_keep"),
+        col("keep_duration_ms"))
+  }
+
   /** Windowed heavy-hitter CANDIDATES over the token stream — streaming
     * twin of [[graft.operators.HeavyHitters.mgSummary]], and the second
     * bounded-state trending-terms path next to [[windowedTokenCountMin]]:

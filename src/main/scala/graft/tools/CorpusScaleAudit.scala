@@ -71,7 +71,15 @@ object CorpusScaleAudit {
     // kernel constants, map-only). q348 is EXCLUDED: it reads
     // lineitem, which this fixture symlinks unchanged — its scale
     // story is GraphScaleAudit + the shared-edge-cache A/B.
-    "q349_image_dedup_pipeline", "q350_g711_stats", "q351_gif_pixels")
+    "q349_image_dedup_pipeline", "q350_g711_stats", "q351_gif_pixels",
+    // the late-round-14 video tier: container header walk (map-only),
+    // per-frame AVI pixel decode (the heaviest per-payload kernel —
+    // every doc decodes ⌈F/2⌉ frames), the 4×4 box resize, the MP3
+    // frame walk, and the composed video pipeline (gate → frame
+    // sample → per-doc lag window over fixed-width stats rows — the
+    // one shuffle, ∝ sampled frames)
+    "q352_video_headers", "q353_video_frames", "q354_pixel_resize",
+    "q355_mp3_headers", "q356_video_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

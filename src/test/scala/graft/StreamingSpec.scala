@@ -854,6 +854,60 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedVideoGate: per-window scorecard equals the batch gate") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.VideoFixtures
+    val docs = Seq(
+      // window 1: two AVIs (fixture dims 12..27 × 8..19 — keep depends
+      // on doc_id arithmetic), one MP4 keep (big dims, long duration),
+      // one corrupt
+      MediaDoc(1, ts(0), VideoFixtures.avi(4L)), // w=16 h=8 → h<10: drop
+      MediaDoc(2, ts(1), VideoFixtures.avi(5L)), // w=17 h=11 F=9 dur=135: keep
+      MediaDoc(3, ts(2), VideoFixtures.mp4(100L, 0, audioTrak = false)),
+      MediaDoc(4, ts(3), Array[Byte](9, 9, 9)),
+      // window 2: an MP4 through the v1 64-bit path
+      MediaDoc(5, ts(12), VideoFixtures.mp4(200L, 1, audioTrak = true)))
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedVideoGate(input.toDF(), "content",
+        "ts", windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wvg").start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("wvg").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      // batch reference: the SAME shared videoGateCounts per window
+      val expected = Seq(ts(0) -> docs.take(4), ts(10) -> docs.drop(4))
+        .flatMap { case (w0, slice) =>
+          val h = slice.toDF()
+            .select(graft.operators.Multimodal.videoMeta($"content")
+              .as("__h"))
+          val cs = graft.operators.Multimodal.videoGateCounts($"__h")
+          h.groupBy(coalesce($"__h.format", lit("unparseable"))
+              .as("format"))
+            .agg(cs.head, cs.tail: _*)
+            .collect().map(r => (w0, r.getString(0), r.getLong(1),
+              r.getLong(2), r.getLong(3), r.getLong(4)))
+        }.toSet
+      assert(got === expected)
+      // spot-pin the verdicts so a jointly-wrong gate cannot pass
+      val w1 = got.filter(_._1 == ts(0)).map(t => t._2 -> t).toMap
+      // avi doc 1 drops (h=8 < 10), avi doc 2 keeps (dur 9·15=135 ms)
+      assert(w1("avi") === ((ts(0), "avi", 2L, 2L, 1L, 135L)))
+      // mp4(100): 102×702, ts=(100%29+1)·1000=14000, d=1100 → 78 ms < 100: drop
+      assert(w1("mp4") === ((ts(0), "mp4", 1L, 1L, 0L, 0L)))
+      assert(w1("unparseable") === ((ts(0), "unparseable", 1L, 0L, 0L, 0L)))
+      // mp4(200) v1: 202×402, ts=27000, d=1200 → ⌊1200000/27000⌋=44 ms: drop
+      val w2 = got.filter(_._1 == ts(10)).map(t => t._2 -> t).toMap
+      assert(w2("mp4") === ((ts(10), "mp4", 1L, 1L, 0L, 0L)))
+    } finally query.stop()
+  }
+
   test("windowedTokenCountMin: per-window sketch equals the batch countMinTable") {
     import graft.streaming.CorpusStreams
     import graft.streaming.CorpusStreams.Doc
