@@ -544,6 +544,46 @@ object Dedup {
       maxHamming).distinct()
   }
 
+  /** CROSS-TABLE banded matching over 64-bit signatures — the
+    * probe-vs-corpus twin of [[signaturePairs64]] (the shape of "find
+    * these query images inside that video-frame corpus", and of any
+    * incremental lookup where re-pairing the corpus against itself
+    * would be wasted work): every (probe, corpus) pair within
+    * `maxHamming` bits, found by the same 4×16-bit band equi-join
+    * (pigeonhole: a pair within Hamming ≤ 3 agrees on ≥ 1 band —
+    * recall is EXACT at this radius) and Hamming-verified before
+    * anything else moves. Output (i = probe id, j = corpus id,
+    * hamming) — the two id spaces are caller-disjoint, so no i < j
+    * canonicalization applies.
+    *
+    * Scale shape: both sides explode to 4 band rows; the join is
+    * band-keyed (sub-quadratic — bucket occupancy, not |P|·|C|), and
+    * only 16-byte signature rows shuffle. Probe-side smallness is the
+    * common case; Spark's AQE broadcasts it when it fits.
+    */
+  def signatureMatches64(probes: DataFrame, probeIdCol: String,
+                         corpus: DataFrame, corpusIdCol: String,
+                         sigCol: String, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    def nib(b: Int): Column =
+      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL))
+    def banded(df: DataFrame, idCol: String): DataFrame =
+      explodeBands(df.filter(col(sigCol).isNotNull)
+        .select(col(idCol).as("__id"), col(sigCol).as("__sig")), nib)
+    banded(probes, probeIdCol)
+      .select(col("__id").as("i"), col("__sig").as("__si"),
+        col("band"), col("nib"))
+      .join(banded(corpus, corpusIdCol)
+        .select(col("__id").as("j"), col("__sig").as("__sj"),
+          col("band"), col("nib")),
+        Seq("band", "nib"))
+      .select(col("i"), col("j"),
+        bit_count(col("__si").bitwiseXOR(col("__sj")))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // --------------------------------------- incremental (batch-vs-corpus)
 
   /** The persisted wide-signature table `(id, sig)` of a corpus — what a

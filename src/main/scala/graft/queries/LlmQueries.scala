@@ -5028,6 +5028,45 @@ object LlmQueries {
       gates.crossJoin(scenes)
         .withColumn("ship", col("n_keep") > 0L)
         .orderBy("n_docs")
+    }),
+
+    // CROSS-MODAL perceptual match — "find these still images inside
+    // that video corpus", the capability the shared statsOf definition
+    // was built for (an AVI frame and a BMP still of the same pixels
+    // hash IDENTICALLY, locked cross-kernel in VideoKernelSpec): odd
+    // docs are BMP stills rendering frame f* of their predecessor
+    // video; the banded probe-vs-corpus matcher
+    // (Dedup.signatureMatches64 — band equi-join, never |P|·|C|,
+    // Hamming-verified before anything else moves) must find each
+    // still at exactly its (video, frame) with Hamming 0 — except
+    // where the video is truncated (%10==4: the still matches nothing
+    // planted; its pixels exist, the container doesn't decode).
+    // Pigeonhole makes band recall EXACT at radius 1, so the oracle is
+    // the full probe×corpus Hamming join over arithmetically
+    // re-derived dHashes.
+    "q357_crossmodal_match" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, VideoFixtures.crossModalPayload(id))))
+        .toDF("doc_id", "__p")
+      val img = media.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("img_doc"),
+          graft.functions.pixelStats(col("__p"))
+            .getField("dhash").as("dhash"))
+      val frm = media.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("vid_doc"),
+          explode(graft.functions.videoFrameStats(col("__p"), 1))
+            .as("__f"))
+        // frame_idx < 16 always (F ≤ 9), so vid·16+f is collision-free
+        .select((col("vid_doc") * 16L + col("__f.frame_idx")).as("fid"),
+          col("__f.dhash").as("dhash"))
+      graft.operators.Dedup.signatureMatches64(img, "img_doc",
+          frm, "fid", "dhash", maxHamming = 1)
+        .select(col("i").as("img_doc"),
+          floor(col("j") / 16L).cast("long").as("vid_doc"),
+          pmod(col("j"), lit(16L)).as("frame_idx"), col("hamming"))
+        .orderBy("img_doc", "vid_doc", "frame_idx")
     })
   )
 
@@ -14833,7 +14872,70 @@ object LlmQueries {
         |SELECT gates.n_docs, gates.n_parseable, gates.n_keep,
         |  gates.keep_duration_ms, scenes.n_frames_sampled,
         |  scenes.n_scene_changes, gates.n_keep > 0 AS ship
-        |FROM gates, scenes ORDER BY n_docs""".stripMargin
+        |FROM gates, scenes ORDER BY n_docs""".stripMargin,
+
+    // Cross-modal match: one dHash table over every (video s, frame f)
+    // either side needs — all frames of even docs (the corpus) plus
+    // frame f* of odd docs' predecessors (the probes; computed even
+    // when the predecessor video is truncated, since the STILL's
+    // pixels exist regardless) — then the full probe×corpus Hamming
+    // join (band recall is pigeonhole-exact at radius 1).
+    "q357_crossmodal_match" ->
+      """WITH p2 AS (
+        |  SELECT doc_id AS s, unnest(range(doc_id % 6 + 4)) AS f
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION
+        |  SELECT doc_id - 1 AS s,
+        |    ((doc_id - 1) // 2) % ((doc_id - 1) % 6 + 4) AS f
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |pp AS (
+        |  SELECT s, f, s % 16 + 12 AS w, (s * 3) % 12 + 8 AS h FROM p2),
+        |lum AS (
+        |  SELECT s, f, w, h, u.x AS x, u.y AS y,
+        |    299 * u.p + 587 * ((u.p * 3) % 256)
+        |      + 114 * ((u.p * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT s, f, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + s % 29) * (y + s % 23)
+        |                 + 17 * f + s) % 256})))) AS u
+        |    FROM pp)),
+        |cells AS (
+        |  SELECT s, f, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.s, a.f, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.s = b.s AND a.f = b.f AND b.cy = a.cy
+        |      AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |dh AS (
+        |  SELECT pp.s, pp.f,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM pp LEFT JOIN (
+        |    SELECT s, f, sum(CAST(1 AS HUGEINT) << CAST(k AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1, 2) x ON x.s = pp.s AND x.f = pp.f),
+        |imgs AS (
+        |  SELECT d.doc_id AS img_doc, dh.dhash
+        |  FROM documents d JOIN dh ON dh.s = d.doc_id - 1
+        |    AND dh.f = ((d.doc_id - 1) // 2) % ((d.doc_id - 1) % 6 + 4)
+        |  WHERE d.doc_id % 2 = 1),
+        |frames AS (
+        |  SELECT d.doc_id AS vid_doc, dh.f, dh.dhash
+        |  FROM documents d JOIN dh ON dh.s = d.doc_id
+        |  WHERE d.doc_id % 2 = 0 AND d.doc_id % 10 <> 4)
+        |SELECT i.img_doc, fr.vid_doc, CAST(fr.f AS BIGINT) AS frame_idx,
+        |  CAST(bit_count(xor(i.dhash, fr.dhash)) AS BIGINT) AS hamming
+        |FROM imgs i JOIN frames fr
+        |  ON bit_count(xor(i.dhash, fr.dhash)) <= 1
+        |ORDER BY img_doc, vid_doc, frame_idx""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

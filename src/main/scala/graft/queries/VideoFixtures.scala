@@ -210,4 +210,48 @@ private[graft] object VideoFixtures {
     val full = avi(docId)
     if (docId % 10 == 7) full.take(240) else full
   }
+
+  /** A BMP STILL of the AVI's frame `f` — IDENTICAL pixels in a
+    * byte-unequal container (different header layout entirely), so the
+    * shared statsOf definition gives it the frame's exact dHash. The
+    * cross-modal "this image appears in that video" construction.
+    */
+  def stillOfFrame(s: Long, f: Int): Array[Byte] = {
+    val wd = aviWidth(s); val ht = aviHeight(s)
+    val stride = (wd * 3 + 3) / 4 * 4
+    val w = new W
+    w.tag("BM"); w.le32(54L + ht.toLong * stride)
+    w.le32(0L); w.le32(54L); w.le32(40L)
+    w.le32(wd.toLong); w.le32(ht.toLong) // positive = bottom-up
+    w.le16(1); w.le16(24)
+    w.le32(0L); w.le32((ht * stride).toLong)
+    w.zeros(16)
+    var row = ht - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < wd) {
+        val p = pix(x, row, f, s)
+        w.u8(p * 5 % 256); w.u8(p * 3 % 256); w.u8(p)
+        x += 1
+      }
+      w.zeros(stride - wd * 3)
+      row -= 1
+    }
+    w.bytes
+  }
+
+  /** q357's cross-modal corpus: even ids are DIB AVIs (the video
+    * corpus; %10==4 truncated to 240 bytes → no frames), odd ids are
+    * BMP stills rendering frame f* = (id−1)/2 mod F of their
+    * PREDECESSOR video's pixels — each still MUST match exactly that
+    * (video, frame) at Hamming 0 when the video decodes.
+    */
+  def crossModalPayload(docId: Long): Array[Byte] =
+    if (docId % 2 == 0) {
+      val full = avi(docId)
+      if (docId % 10 == 4) full.take(240) else full
+    } else {
+      val e = docId - 1
+      stillOfFrame(e, ((e / 2) % aviFrames(e)).toInt)
+    }
 }

@@ -79,7 +79,11 @@ object CorpusScaleAudit {
     // sample → per-doc lag window over fixed-width stats rows — the
     // one shuffle, ∝ sampled frames)
     "q352_video_headers", "q353_video_frames", "q354_pixel_resize",
-    "q355_mp3_headers", "q356_video_pipeline")
+    "q355_mp3_headers", "q356_video_pipeline",
+    // cross-modal banded match: probe AND corpus sides both grow with
+    // the replicated fixture, so band-bucket occupancy is the constant
+    // to watch (the q343 stress, across two tables)
+    "q357_crossmodal_match")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -156,6 +156,41 @@ class VideoKernelSpec extends SparkSpec {
       frame(9, 1, 0, mono = false)).isEmpty)
   }
 
+  test("cross-modal match: a BMP still is found at its exact (video, frame); banding loses nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.explode
+    // 6 videos (ids 0,2,..,10), one probe still per video at frame f*
+    val vids = (0L to 10L by 2).map(s => (s, VideoFixtures.avi(s)))
+      .toDF("vid", "__p")
+      .select($"vid", explode(
+        graft.functions.videoFrameStats($"__p", 1)).as("__f"))
+      .select(($"vid" * 16L + $"__f.frame_idx").as("fid"),
+        $"__f.dhash".as("dhash"))
+    val probes = (0L to 10L by 2).map { s =>
+      val fs = ((s / 2) % VideoFixtures.aviFrames(s)).toInt
+      (s + 1, VideoFixtures.stillOfFrame(s, fs), fs)
+    }
+    val img = probes.map(p => (p._1, p._2)).toDF("img", "__p")
+      .select($"img", graft.functions.pixelStats($"__p")
+        .getField("dhash").as("dhash"))
+    val got = graft.operators.Dedup.signatureMatches64(
+        img, "img", vids, "fid", "dhash", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (probe, video·16+f*) pair is found at Hamming 0
+    probes.foreach { case (imgId, _, fs) =>
+      assert(got.contains((imgId, (imgId - 1) * 16 + fs)),
+        s"planted match for probe $imgId missing")
+    }
+    // and the banded answer equals the brute-force answer (no recall
+    // loss — pigeonhole at radius 0 is trivially exact, but the band
+    // plumbing could still drop or duplicate rows)
+    val brute = img.as("a").crossJoin(vids.as("b"))
+      .filter($"a.dhash" === $"b.dhash")
+      .select($"a.img", $"b.fid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+  }
+
   test("pixel resize: corner cells, full-size identity, upscale NULL") {
     val s = 4L
     val w = graft.queries.PixelFixtures.width(s)
