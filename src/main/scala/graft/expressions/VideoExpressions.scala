@@ -11,8 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Codec-free VIDEO container header decode — the (format, width,
   * height, duration_ms, n_frames, codec) a multimodal training
   * pipeline gates on (resolution, duration, fps, codec allowlist)
-  * BEFORE any frame is touched. Pure byte arithmetic over the two
-  * ubiquitous container layouts; no codec libraries:
+  * BEFORE any frame is touched. Pure byte arithmetic over the three
+  * ubiquitous container layouts (Matroska/WebM documented at
+  * [[parseMkv]]); no codec libraries:
   *
   *  - MP4 / ISO-BMFF (ISO/IEC 14496-12): a box walk — each box is
   *    size(BE32) + fourcc, size 1 switching to a 64-bit largesize and
@@ -68,7 +69,9 @@ object VideoHeaderKernel {
       b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
 
   /** @return InternalRow(format, width, height, duration_ms, n_frames,
-    * codec) or null.
+    * codec) or null. Containers that declare no sample count
+    * (Matroska) report n_frames 0 — "undeclared", documented, never
+    * invented.
     */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
@@ -76,6 +79,8 @@ object VideoHeaderKernel {
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
       parseAvi(b)
     else if (b.length >= 8 && isType(b, 4, "ftyp")) parseMp4(b)
+    else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) parseMkv(b)
     else null
   }
 
@@ -169,6 +174,139 @@ object VideoHeaderKernel {
         }
       }
       i = trak._2 // advance past this (non-video) trak
+    }
+    null
+  }
+
+  // ------------------------------------------------------- Matroska/WebM
+
+  /** EBML varint (RFC 8794): the first byte's leading zeros give the
+    * width (1..8); element IDs keep the marker bit (matched against
+    * their stored form, e.g. Segment = 0x18538067), SIZES clear it.
+    * Returns value packed with width: (value << 4) | width, or −1 on
+    * malformation / truncation. An all-ones size value means "unknown
+    * size — runs to the end of the enclosing element".
+    */
+  private def vint(b: Array[Byte], i: Int, end: Int,
+                   keepMarker: Boolean): (Long, Int) = {
+    if (i >= end) return null
+    val first = b(i) & 0xFF
+    if (first == 0) return null // width > 8: out of EBML's domain
+    val width = java.lang.Integer.numberOfLeadingZeros(first) - 23
+    if (i + width > end) return null
+    var v = if (keepMarker) first.toLong
+    else first.toLong & ((1L << (8 - width)) - 1L)
+    var k = 1
+    while (k < width) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }
+    (v, width)
+  }
+
+  /** All-ones size payload for the given width = unknown size. */
+  private def unknownSize(v: Long, width: Int): Boolean =
+    v == (1L << (7 * width)) - 1L
+
+  /** Find the first child element with the given STORED id inside
+    * [from, end); returns (payloadStart, payloadEnd) or null.
+    */
+  private def findEl(b: Array[Byte], from: Int, end: Int,
+                     id: Long): (Int, Int) = {
+    var i = from
+    while (i < end) {
+      val idv = vint(b, i, end, keepMarker = true)
+      if (idv == null) return null
+      val sz = vint(b, i + idv._2, end, keepMarker = false)
+      if (sz == null) return null
+      val p0 = i + idv._2 + sz._2
+      val p1 = if (unknownSize(sz._1, sz._2)) end.toLong
+      else p0.toLong + sz._1
+      if (p1 > end) return null
+      if (idv._1 == id) return (p0, p1.toInt)
+      i = p1.toInt
+    }
+    null
+  }
+
+  /** Matroska / WebM (RFC 8794 EBML + the public Matroska element
+    * registry): EBML header (DocType 0x4282 → the reported format —
+    * "webm" or "matroska"), then Segment 0x18538067 (unknown-size
+    * tolerated — runs to EOF): Info 0x1549A966 carries TimestampScale
+    * 0x2AD7B1 (uint; spec default 1,000,000) and Duration 0x4489 (an
+    * IEEE float, 4 or 8 bytes, in timestamp-scale units —
+    * duration_ms = ⌊dur · ts / 10⁶⌋); Tracks 0x1654AE6B → the first
+    * TrackEntry 0xAE whose TrackType 0x83 is 1 (video) and which
+    * carries a Video element 0xE0 (PixelWidth 0xB0 / PixelHeight
+    * 0xBA) — audio entries are walked past; codec = CodecID 0x86
+    * verbatim (Matroska codec ids are strings, "V_VP9" et al.).
+    * Matroska headers declare no frame count → n_frames 0
+    * (undeclared). A missing Duration quarantines (a curation gate
+    * needs duration; live-stream files without one route to NULL),
+    * as do missing dims/codec, NaN/negative durations, and any
+    * truncated varint.
+    */
+  private def parseMkv(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    // EBML header: id(4) already matched; size, then DocType inside
+    val hsz = vint(b, 4, n, keepMarker = false)
+    if (hsz == null || unknownSize(hsz._1, hsz._2)) return null
+    val h0 = 4 + hsz._2
+    val h1 = h0.toLong + hsz._1
+    if (h1 > n) return null
+    val doct = findEl(b, h0, h1.toInt, 0x4282L)
+    if (doct == null) return null
+    val format = UTF8String.fromBytes(
+      java.util.Arrays.copyOfRange(b, doct._1, doct._2))
+    val seg = findEl(b, h1.toInt, n, 0x18538067L)
+    if (seg == null) return null
+    val info = findEl(b, seg._1, seg._2, 0x1549A966L)
+    if (info == null) return null
+    var ts = 1000000L // spec default
+    val tsEl = findEl(b, info._1, info._2, 0x2AD7B1L)
+    if (tsEl != null) {
+      if (tsEl._2 - tsEl._1 > 8) return null
+      var v = 0L
+      var k = tsEl._1
+      while (k < tsEl._2) { v = (v << 8) | (b(k) & 0xFFL); k += 1 }
+      if (v <= 0L) return null
+      ts = v
+    }
+    val durEl = findEl(b, info._1, info._2, 0x4489L)
+    if (durEl == null) return null
+    val dur = (durEl._2 - durEl._1) match {
+      case 4 => java.lang.Float.intBitsToFloat(be32(b, durEl._1).toInt)
+        .toDouble
+      case 8 => java.lang.Double.longBitsToDouble(be64(b, durEl._1))
+      case _ => return null
+    }
+    if (dur.isNaN || dur < 0.0 || dur > 9.0e15) return null
+    val durMs = math.floor(dur * ts / 1.0e6).toLong
+    val tracks = findEl(b, seg._1, seg._2, 0x1654AE6BL)
+    if (tracks == null) return null
+    var i = tracks._1
+    while (i < tracks._2) {
+      val entry = findEl(b, i, tracks._2, 0xAEL)
+      if (entry == null) return null // no video track anywhere
+      val typEl = findEl(b, entry._1, entry._2, 0x83L)
+      val video = findEl(b, entry._1, entry._2, 0xE0L)
+      if (typEl != null && typEl._2 - typEl._1 == 1 &&
+        b(typEl._1) == 1 && video != null) {
+        val wEl = findEl(b, video._1, video._2, 0xB0L)
+        val hEl = findEl(b, video._1, video._2, 0xBAL)
+        val cEl = findEl(b, entry._1, entry._2, 0x86L)
+        if (wEl == null || hEl == null || cEl == null) return null
+        def uintOf(el: (Int, Int)): Long = {
+          if (el._2 - el._1 > 8) return -1L
+          var v = 0L
+          var k = el._1
+          while (k < el._2) { v = (v << 8) | (b(k) & 0xFFL); k += 1 }
+          v
+        }
+        val w = uintOf(wEl); val h = uintOf(hEl)
+        if (w <= 0L || h <= 0L) return null
+        val codec = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(b, cEl._1, cEl._2))
+        return InternalRow(format, w, h, durMs, 0L, codec)
+      }
+      i = entry._2 // skip the (audio/subtitle) entry
     }
     null
   }

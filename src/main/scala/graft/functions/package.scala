@@ -273,7 +273,8 @@ package object functions {
     toColumn(graft.expressions.PcmStats(toExpression(content)))
 
   /** Codec-free VIDEO container header decode (MP4/ISO-BMFF box walk,
-    * AVI RIFF walk): STRUCT<format, width, height, duration_ms,
+    * AVI RIFF walk, Matroska/WebM EBML walk): STRUCT<format, width,
+    * height, duration_ms,
     * n_frames, codec>, NULL on corrupt. See
     * [[graft.expressions.VideoHeaderKernel]].
     */

@@ -224,7 +224,7 @@ object GraftExtensions {
         graft.expressions.PcmStats(c) }),
     (FunctionIdentifier("graft_video_header"),
       info("graft_video_header",
-        "graft_video_header(content) - codec-free MP4/AVI container header decode of a BINARY payload: struct<format,width,height,duration_ms,n_frames,codec>, NULL on corrupt/truncated/unknown"),
+        "graft_video_header(content) - codec-free MP4/AVI/Matroska(WebM) container header decode of a BINARY payload: struct<format,width,height,duration_ms,n_frames,codec>, NULL on corrupt/truncated/unknown"),
       es => { val Seq(c) = arity("graft_video_header", 1)(es)
         graft.expressions.VideoHeader(c) }),
     (FunctionIdentifier("graft_video_frame_stats"),

@@ -5067,6 +5067,33 @@ object LlmQueries {
           floor(col("j") / 16L).cast("long").as("vid_doc"),
           pmod(col("j"), lit(16L)).as("frame_idx"), col("hamming"))
         .orderBy("img_doc", "vid_doc", "frame_idx")
+    }),
+
+    // Matroska / WebM headers (the q352 walk's third container — EBML,
+    // RFC 8794): DocType out of the EBML header (webm vs matroska —
+    // BOTH doctypes planted), TimestampScale + an IEEE-FLOAT Duration
+    // (32-bit AND 64-bit widths planted; the fixture durations are
+    // integers < 2^24, exact in both, so duration_ms = d·(id%4+1) is
+    // plain oracle arithmetic), and the first VIDEO TrackEntry's
+    // dims + CodecID string — with an A_OPUS audio entry planted FIRST
+    // on the %3==0 slice that the walk must skip. Matroska declares no
+    // frame count → n_frames 0 (undeclared, documented — never
+    // invented). %7==5 truncates mid-Segment-header → NULL.
+    "q358_mkv_headers" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, VideoFixtures.mkvPayload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          graft.functions.videoHeader(col("__p")).as("__h"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__h.format").as("format"), col("__h.width").as("width"),
+          col("__h.height").as("height"),
+          col("__h.duration_ms").as("duration_ms"),
+          col("__h.n_frames").as("n_frames"),
+          col("__h.codec").as("codec"))
+        .orderBy("doc_id")
     })
   )
 
@@ -14935,7 +14962,40 @@ object LlmQueries {
         |  CAST(bit_count(xor(i.dhash, fr.dhash)) AS BIGINT) AS hamming
         |FROM imgs i JOIN frames fr
         |  ON bit_count(xor(i.dhash, fr.dhash)) <= 1
-        |ORDER BY img_doc, vid_doc, frame_idx""".stripMargin
+        |ORDER BY img_doc, vid_doc, frame_idx""".stripMargin,
+
+    // Matroska headers: pure doc_id arithmetic — element sizes from
+    // the fixed EBML layout (1-byte size varints, the Segment's
+    // 2-byte), duration_ms = d·(id%4+1) since the planted float
+    // durations are exact integers.
+    "q358_mkv_headers" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 < 2 THEN 7 ELSE 11 END AS hlen,
+        |    CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 8 END AS dlen,
+        |    [5, 5, 15][CAST(doc_id % 3 AS INT) + 1] AS clen,
+        |    CASE WHEN doc_id % 3 = 0 THEN 13 ELSE 0 END AS alen,
+        |    doc_id % 7 = 5 AS corrupt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN corrupt THEN 20
+        |    ELSE 5 + hlen + 6 + 10 + (11 + dlen) + (alen + 17 + clen)
+        |    END AS BIGINT) AS n_bytes,
+        |  CASE WHEN NOT corrupt THEN
+        |    CASE WHEN doc_id % 4 < 2 THEN 'webm' ELSE 'matroska' END
+        |    END AS format,
+        |  CASE WHEN NOT corrupt THEN CAST(doc_id % 1800 + 2 AS BIGINT)
+        |    END AS width,
+        |  CASE WHEN NOT corrupt THEN
+        |    CAST((doc_id * 7) % 1000 + 2 AS BIGINT) END AS height,
+        |  CASE WHEN NOT corrupt THEN
+        |    CAST((doc_id % 5000 + 100) * (doc_id % 4 + 1) AS BIGINT)
+        |    END AS duration_ms,
+        |  CASE WHEN NOT corrupt THEN CAST(0 AS BIGINT) END AS n_frames,
+        |  CASE WHEN NOT corrupt THEN
+        |    ['V_VP9', 'V_AV1', 'V_MPEG4/ISO/AVC']
+        |      [CAST(doc_id % 3 AS INT) + 1] END AS codec
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

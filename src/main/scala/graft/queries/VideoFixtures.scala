@@ -240,6 +240,74 @@ private[graft] object VideoFixtures {
     w.bytes
   }
 
+  /** Matroska / WebM (the q358 fixture — spec-true EBML): header with
+    * DocType, Segment with Info (TimestampScale as a 4-byte uint,
+    * Duration as an IEEE float — 32-bit on even s, 64-bit on odd; the
+    * value is an INTEGER d < 2^24, exact in both widths, so the oracle
+    * replays duration_ms = d · (s%4+1) with plain arithmetic) and
+    * Tracks (an A_OPUS audio entry FIRST on the s%3==0 slice — the
+    * walk must skip it — then the video entry: type 1, CodecID by
+    * s%3, PixelWidth/Height as 2-byte uints). All element sizes are
+    * 1-byte varints except the Segment's (2-byte), so n_bytes is
+    * doc_id arithmetic. Shared arithmetic:
+    *   w = s % 1800 + 2, h = (s·7) % 1000 + 2
+    *   ts = (s % 4 + 1) · 10⁶ → duration_ms = d · (s % 4 + 1)
+    *   d = s % 5000 + 100
+    *   doctype = s % 4 < 2 ? "webm" : "matroska"
+    *   codec = ["V_VP9", "V_AV1", "V_MPEG4/ISO/AVC"][s % 3]
+    */
+  def mkv(s: Long): Array[Byte] = {
+    val wd = s % 1800 + 2
+    val ht = (s * 7) % 1000 + 2
+    val tsMul = (s % 4 + 1)
+    val d = s % 5000 + 100
+    val doctype = if (s % 4 < 2) "webm" else "matroska"
+    val codec = Seq("V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")((s % 3).toInt)
+    val audio = s % 3 == 0
+    val dlen = if (s % 2 == 0) 4 else 8
+    val w = new W
+    def sz1(v: Int): Unit = w.u8(0x80 | v) // 1-byte EBML size
+    // EBML header: DocType only
+    w.u8(0x1A); w.u8(0x45); w.u8(0xDF); w.u8(0xA3)
+    sz1(2 + 1 + doctype.length)
+    w.u8(0x42); w.u8(0x82); sz1(doctype.length); w.tag(doctype)
+    // Segment (2-byte size)
+    val infoLen = 8 + 3 + dlen
+    val clen = codec.length
+    val trkLen = (if (audio) 13 else 0) + 17 + clen
+    val segSize = 5 + infoLen + 5 + trkLen
+    w.u8(0x18); w.u8(0x53); w.u8(0x80); w.u8(0x67)
+    w.u8(0x40 | (segSize >> 8)); w.u8(segSize & 0xFF)
+    // Info
+    w.u8(0x15); w.u8(0x49); w.u8(0xA9); w.u8(0x66); sz1(infoLen)
+    w.u8(0x2A); w.u8(0xD7); w.u8(0xB1); sz1(4); w.be32(tsMul * 1000000L)
+    w.u8(0x44); w.u8(0x89); sz1(dlen)
+    if (dlen == 4) w.be32(java.lang.Float.floatToIntBits(d.toFloat) & 0xFFFFFFFFL)
+    else w.be64(java.lang.Double.doubleToLongBits(d.toDouble))
+    // Tracks
+    w.u8(0x16); w.u8(0x54); w.u8(0xAE); w.u8(0x6B); sz1(trkLen)
+    if (audio) { // TrackEntry the walk must skip: type 2, A_OPUS
+      w.u8(0xAE); sz1(11)
+      w.u8(0x83); sz1(1); w.u8(2)
+      w.u8(0x86); sz1(6); w.tag("A_OPUS")
+    }
+    w.u8(0xAE); sz1(15 + clen)
+    w.u8(0x83); sz1(1); w.u8(1) // TrackType video
+    w.u8(0x86); sz1(clen); w.tag(codec)
+    w.u8(0xE0); sz1(8) // Video
+    w.u8(0xB0); sz1(2); w.u8((wd >> 8).toInt); w.u8(wd.toInt)
+    w.u8(0xBA); sz1(2); w.u8((ht >> 8).toInt); w.u8(ht.toInt)
+    w.bytes
+  }
+
+  /** q358's payload: the Matroska fixture, truncated to 20 bytes
+    * (mid-Segment-header) on the %7==5 slice → NULL.
+    */
+  def mkvPayload(docId: Long): Array[Byte] = {
+    val full = mkv(docId)
+    if (docId % 7 == 5) full.take(20) else full
+  }
+
   /** q357's cross-modal corpus: even ids are DIB AVIs (the video
     * corpus; %10==4 truncated to 240 bytes → no frames), odd ids are
     * BMP stills rendering frame f* = (id−1)/2 mod F of their

@@ -83,7 +83,7 @@ object CorpusScaleAudit {
     // cross-modal banded match: probe AND corpus sides both grow with
     // the replicated fixture, so band-bucket occupancy is the constant
     // to watch (the q343 stress, across two tables)
-    "q357_crossmodal_match")
+    "q357_crossmodal_match", "q358_mkv_headers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

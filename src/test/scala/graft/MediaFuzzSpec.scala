@@ -67,6 +67,7 @@ class MediaFuzzSpec extends SparkSpec {
       PixelFixtures.payload(2L), PixelFixtures.gif(3L),
       VideoFixtures.avi(1L), VideoFixtures.mp4(2L, 0, audioTrak = false),
       VideoFixtures.mp4(3L, 1, audioTrak = true), mp3,
+      VideoFixtures.mkv(5L), VideoFixtures.mkv(6L),
       wav, flac, tiff, webp, jpeg)
   }
 

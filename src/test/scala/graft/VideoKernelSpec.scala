@@ -156,6 +156,71 @@ class VideoKernelSpec extends SparkSpec {
       frame(9, 1, 0, mono = false)).isEmpty)
   }
 
+  test("Matroska/EBML: doctype, float widths, ts default, unknown-size segment, audio skip; corruption NULL") {
+    // fixture round trip across doctype / float-width / audio slices
+    for (s <- Seq(0L, 1L, 2L, 3L, 5L, 6L, 123L)) {
+      val got = header(VideoFixtures.mkv(s)).get
+      assert(got === ((if (s % 4 < 2) "webm" else "matroska",
+        s % 1800 + 2, (s * 7) % 1000 + 2,
+        (s % 5000 + 100) * (s % 4 + 1), 0L,
+        Seq("V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")((s % 3).toInt))), s"s=$s")
+    }
+    // unknown-size Segment (all-ones size varint) runs to EOF — same
+    // values must come out
+    val b = VideoFixtures.mkv(7L)
+    val hlen = 11 // s=7: %4=3 → "matroska"
+    b(9 + hlen) = 0x7F.toByte; b(10 + hlen) = 0xFF.toByte
+    assert(header(b).get._2 === 7L % 1800 + 2)
+
+    // spec-local hand-laid minimal files (independent construction)
+    def mini(tsEl: Boolean, durBits: Option[Long], durLen: Int,
+             trackType: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = o.write(v & 0xFF)
+      def sz(v: Int): Unit = u8(0x80 | v)
+      def be(v: Long, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(k => u8((v >> (8 * k)).toInt))
+      u8(0x1A); u8(0x45); u8(0xDF); u8(0xA3); sz(7)
+      u8(0x42); u8(0x82); sz(4); "webm".foreach(c => u8(c.toInt))
+      val infoLen = (if (tsEl) 8 else 0) +
+        durBits.map(_ => 2 + 1 + durLen).getOrElse(0)
+      val trkLen = 2 + 3 + 4 + 10 // entry: type + codec("V_X") + video
+      val segSize = 5 + infoLen + 5 + trkLen
+      u8(0x18); u8(0x53); u8(0x80); u8(0x67); u8(0x40 | (segSize >> 8))
+      u8(segSize & 0xFF)
+      u8(0x15); u8(0x49); u8(0xA9); u8(0x66); sz(infoLen)
+      if (tsEl) { u8(0x2A); u8(0xD7); u8(0xB1); sz(4); be(2000000L, 4) }
+      durBits.foreach { bits =>
+        u8(0x44); u8(0x89); sz(durLen); be(bits, durLen)
+      }
+      u8(0x16); u8(0x54); u8(0xAE); u8(0x6B); sz(trkLen)
+      u8(0xAE); sz(3 + 4 + 10)
+      u8(0x83); sz(1); u8(trackType)
+      u8(0x86); sz(2); u8('V'); u8('1')
+      u8(0xE0); sz(8)
+      u8(0xB0); sz(2); be(640L, 2); u8(0xBA); sz(2); be(480L, 2)
+      o.toByteArray
+    }
+    val f500 = java.lang.Float.floatToIntBits(500f).toLong & 0xFFFFFFFFL
+    // ts present (2e6): duration_ms = 500·2e6/1e6 = 1000
+    assert(header(mini(tsEl = true, Some(f500), 4, 1)).get._4 === 1000L)
+    // ts ABSENT → spec default 1e6 → 500 ms
+    assert(header(mini(tsEl = false, Some(f500), 4, 1)).get._4 === 500L)
+    // missing Duration → NULL (a curation gate needs duration)
+    assert(header(mini(tsEl = true, None, 4, 1)).isEmpty)
+    // NaN duration → NULL
+    val nan = java.lang.Float.floatToIntBits(Float.NaN).toLong & 0xFFFFFFFFL
+    assert(header(mini(tsEl = true, Some(nan), 4, 1)).isEmpty)
+    // no VIDEO track (type 2 only) → NULL
+    assert(header(mini(tsEl = true, Some(f500), 4, 2)).isEmpty)
+    // truncations never return wrong values
+    val full = VideoFixtures.mkv(9L)
+    (0 until full.length).foreach { n =>
+      val r = VideoHeaderKernel.parse(full.take(n))
+      if (r != null) assert(r.getLong(1) === 9L % 1800 + 2)
+    }
+  }
+
   test("cross-modal match: a BMP still is found at its exact (video, frame); banding loses nothing") {
     import spark.implicits._
     import org.apache.spark.sql.functions.explode
