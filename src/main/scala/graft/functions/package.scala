@@ -304,6 +304,15 @@ package object functions {
   def pixelResize(content: Column, tw: Int, th: Int): Column =
     toColumn(graft.expressions.PixelResize(toExpression(content), tw, th))
 
+  /** TAR member enumeration (the WebDataset ingest kernel):
+    * ARRAY<STRUCT<name, offset, size>> of regular-file members; slice
+    * payloads with `substring(content, offset + 1, size)`. NULL on
+    * corrupt / truncated / non-tar payloads. See
+    * [[graft.expressions.TarKernel]].
+    */
+  def tarMembers(content: Column): Column =
+    toColumn(graft.expressions.TarMembers(toExpression(content)))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

@@ -238,6 +238,11 @@ object GraftExtensions {
         "graft_mp3_header(content) - MP3 (MPEG Layer III) frame-walk decode of a BINARY payload: struct<sample_rate,channels,n_frames,duration_ms,bitrate_kbps>, NULL on corrupt/truncated/non-LayerIII"),
       es => { val Seq(c) = arity("graft_mp3_header", 1)(es)
         graft.expressions.Mp3Header(c) }),
+    (FunctionIdentifier("graft_tar_members"),
+      info("graft_tar_members",
+        "graft_tar_members(content) - POSIX-ustar member enumeration of a BINARY payload: array<struct<name,offset,size>> of regular files (offset = first data byte; slice with substring(content, offset+1, size)), NULL on corrupt/truncated/non-tar"),
+      es => { val Seq(c) = arity("graft_tar_members", 1)(es)
+        graft.expressions.TarMembers(c) }),
     (FunctionIdentifier("graft_pixel_resize"),
       info("graft_pixel_resize",
         "graft_pixel_resize(content, tw, th) - box-filter downscale of a decodable image payload to a tw x th milli-luminance grid (row-major array<bigint>), NULL on corrupt/unsupported/upscale"),

@@ -5094,6 +5094,68 @@ object LlmQueries {
           col("__h.n_frames").as("n_frames"),
           col("__h.codec").as("codec"))
         .orderBy("doc_id")
+    }),
+
+    // TAR member enumeration (the WebDataset shard layout — how
+    // large-scale multimodal training data actually ships): spec-true
+    // POSIX-ustar archives of paired {sample}.bmp / {sample}.txt
+    // members, enumerated by the native TarMembers kernel (512-block
+    // walk, octal sizes, zero-block EOF). The oracle re-derives every
+    // member's OFFSET as the cumulative 512-padded block sum and every
+    // SIZE from the q342 BMP size arithmetic — the whole archive
+    // layout is doc_id arithmetic. %9==8 truncates mid-first-member →
+    // NULL → the doc vanishes (loud).
+    "q359_tar_members" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, TarFixtures.payload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          explode(graft.functions.tarMembers(col("__p"))).as("__m"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("__m.name").as("name"), col("__m.offset").as("offset"),
+          col("__m.size").as("size"))
+        .orderBy("doc_id", "offset")
+    }),
+
+    // The WebDataset ingest pipeline COMPOSED end-to-end: enumerate
+    // tar members → SLICE payloads with the built-in substring
+    // (offset+1, size — bytes never leave the executor) → decode the
+    // image member through the REAL pixel kernel and the text member
+    // through the shared tokenizer → join the pair back into SAMPLES
+    // on (doc, sample key) → per-sample gate. Wrong offsets cannot
+    // pass: a misaligned slice fails the BMP magic and NULLs the
+    // stats, and the oracle re-derives lum_sum/dHash from pixel
+    // arithmetic (if the slice were shifted even one byte, every
+    // pixel statistic would diverge).
+    "q360_webdataset_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, TarFixtures.payload(id))))
+        .toDF("doc_id", "__p")
+      val m = media.select(col("doc_id"), col("__p"),
+          explode(graft.functions.tarMembers(col("__p"))).as("__m"))
+        .select(col("doc_id"), col("__p"), col("__m.name").as("name"),
+          col("__m.offset").as("offset"), col("__m.size").as("size"))
+        .withColumn("sample",
+          regexp_extract(col("name"), "_(\\d+)\\.", 1).cast("long"))
+      val imgs = m.filter(col("name").endsWith(".bmp"))
+        .select(col("doc_id"), col("sample"),
+          graft.functions.pixelStats(
+            col("__p").substr(col("offset") + 1L, col("size")))
+            .as("__s"))
+        .select(col("doc_id"), col("sample"),
+          col("__s.width").as("width"), col("__s.height").as("height"),
+          col("__s.lum_sum").as("lum_sum"), col("__s.dhash").as("dhash"))
+      val txts = m.filter(col("name").endsWith(".txt"))
+        .select(col("doc_id"), col("sample"),
+          size(graft.functions.tokens(
+            col("__p").substr(col("offset") + 1L, col("size"))
+              .cast("string"))).cast("long").as("n_tokens"))
+      imgs.join(txts, Seq("doc_id", "sample"))
+        .withColumn("keep", col("width") >= 12L && col("n_tokens") >= 3L)
+        .orderBy("doc_id", "sample")
     })
   )
 
@@ -14995,7 +15057,107 @@ object LlmQueries {
         |  CASE WHEN NOT corrupt THEN
         |    ['V_VP9', 'V_AV1', 'V_MPEG4/ISO/AVC']
         |      [CAST(doc_id % 3 AS INT) + 1] END AS codec
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Tar members: the archive layout replayed as arithmetic — member
+    // sizes from the q342 BMP size formula and the txt token count,
+    // offsets as the windowed cumulative 512-padded block sum.
+    "q359_tar_members" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS s
+        |  FROM documents WHERE doc_id % 9 <> 8),
+        |mem AS (
+        |  SELECT doc_id, u.j AS j, u.name AS name, u.size AS size
+        |  FROM (
+        |    SELECT doc_id, unnest(flatten(list_transform(range(s),
+        |      k -> [
+        |        {'j': 2 * k,
+        |         'name': CAST(doc_id AS VARCHAR) || '_'
+        |           || CAST(k AS VARCHAR) || '.bmp',
+        |         'size': 54 + (((4 * doc_id + k) * 5) % 24 + 8)
+        |           * (((3 * ((4 * doc_id + k) % 24 + 9) + 3) // 4) * 4)},
+        |        {'j': 2 * k + 1,
+        |         'name': CAST(doc_id AS VARCHAR) || '_'
+        |           || CAST(k AS VARCHAR) || '.txt',
+        |         'size': 2 * ((doc_id + k) % 7 + 1) - 1}]))) AS u
+        |    FROM d)),
+        |off AS (
+        |  SELECT doc_id, j, name, size,
+        |    512 * (j + 1) + coalesce(sum((size + 511) // 512 * 512)
+        |      OVER (PARTITION BY doc_id ORDER BY j
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM mem),
+        |tot AS (
+        |  SELECT doc_id,
+        |    CAST(sum(512 + (size + 511) // 512 * 512) + 1024 AS BIGINT)
+        |      AS n_bytes
+        |  FROM mem GROUP BY 1)
+        |SELECT o.doc_id, tot.n_bytes, o.name,
+        |  CAST(o.off AS BIGINT) AS "offset",
+        |  CAST(o.size AS BIGINT) AS size
+        |FROM off o JOIN tot USING (doc_id)
+        |ORDER BY doc_id, "offset"""".stripMargin,
+
+    // WebDataset pipeline: per-sample pixel statistics re-derived from
+    // the BMP pixel formula (s' = 4·doc + k — the q342 lum/dHash CTEs)
+    // joined to the arithmetic token count; offsets never appear — the
+    // engine's slices are proven by the stats matching.
+    "q360_webdataset_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS s
+        |  FROM documents WHERE doc_id % 9 <> 8),
+        |sm AS (
+        |  SELECT doc_id, unnest(range(s)) AS k FROM d),
+        |pp AS (
+        |  SELECT doc_id, k, 4 * doc_id + k AS sp,
+        |    (4 * doc_id + k) % 24 + 9 AS w,
+        |    ((4 * doc_id + k) * 5) % 24 + 8 AS h
+        |  FROM sm),
+        |lum AS (
+        |  SELECT doc_id, k, w, h, u.x AS x, u.y AS y,
+        |    299 * u.p + 587 * ((u.p * 3) % 256)
+        |      + 114 * ((u.p * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id, k, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + sp % 31) * (y + sp % 37) * 3 + sp)
+        |                % 256})))) AS u
+        |    FROM pp)),
+        |st AS (
+        |  SELECT doc_id, k, CAST(sum(lum) AS BIGINT) AS lum_sum
+        |  FROM lum GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT doc_id, k, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.doc_id, a.k, a.cy * 8 + a.cx AS kk
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.k = b.k AND b.cy = a.cy
+        |      AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |dh AS (
+        |  SELECT pp.doc_id, pp.k,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM pp LEFT JOIN (
+        |    SELECT doc_id, k, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1, 2) x
+        |    ON x.doc_id = pp.doc_id AND x.k = pp.k)
+        |SELECT pp.doc_id, CAST(pp.k AS BIGINT) AS sample,
+        |  CAST(pp.w AS BIGINT) AS width, CAST(pp.h AS BIGINT) AS height,
+        |  st.lum_sum, dh.dhash,
+        |  CAST((pp.doc_id + pp.k) % 7 + 1 AS BIGINT) AS n_tokens,
+        |  pp.w >= 12 AND (pp.doc_id + pp.k) % 7 + 1 >= 3 AS keep
+        |FROM pp JOIN st ON st.doc_id = pp.doc_id AND st.k = pp.k
+        |JOIN dh ON dh.doc_id = pp.doc_id AND dh.k = pp.k
+        |ORDER BY pp.doc_id, sample""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

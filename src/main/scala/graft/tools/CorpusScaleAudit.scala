@@ -83,7 +83,11 @@ object CorpusScaleAudit {
     // cross-modal banded match: probe AND corpus sides both grow with
     // the replicated fixture, so band-bucket occupancy is the constant
     // to watch (the q343 stress, across two tables)
-    "q357_crossmodal_match", "q358_mkv_headers")
+    "q357_crossmodal_match", "q358_mkv_headers",
+    // the WebDataset pair: tar enumeration (map-only) and the composed
+    // enumerate->slice->decode->join pipeline (the one shuffle is the
+    // per-sample img-txt join over fixed-width stats rows)
+    "q359_tar_members", "q360_webdataset_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

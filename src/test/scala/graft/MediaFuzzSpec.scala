@@ -24,7 +24,8 @@ class MediaFuzzSpec extends SparkSpec {
     ("PixelResize", (b: Array[Byte]) => PixelKernel.resizeBox(b, 4, 4)),
     ("VideoHeader", VideoHeaderKernel.parse _),
     ("VideoFrame", (b: Array[Byte]) => VideoFrameKernel.decode(b, 2)),
-    ("Mp3Header", Mp3HeaderKernel.parse _))
+    ("Mp3Header", Mp3HeaderKernel.parse _),
+    ("Tar", (b: Array[Byte]) => graft.expressions.TarKernel.parse(b)))
 
   private def mustNotThrow(label: String, b: Array[Byte]): Unit =
     kernels.foreach { case (k, f) =>
@@ -68,6 +69,7 @@ class MediaFuzzSpec extends SparkSpec {
       VideoFixtures.avi(1L), VideoFixtures.mp4(2L, 0, audioTrak = false),
       VideoFixtures.mp4(3L, 1, audioTrak = true), mp3,
       VideoFixtures.mkv(5L), VideoFixtures.mkv(6L),
+      graft.queries.TarFixtures.tar(4L),
       wav, flac, tiff, webp, jpeg)
   }
 
