@@ -313,6 +313,15 @@ package object functions {
   def tarMembers(content: Column): Column =
     toColumn(graft.expressions.TarMembers(toExpression(content)))
 
+  /** GZIP member decode (RFC 1952, multi-member concatenation, CRC-32 +
+    * ISIZE verified): BINARY → BINARY, NULL on corrupt framing / failed
+    * integrity / 64 MiB decode-bomb cap. Chains:
+    * `tarMembers(gzipDecode(c))` reads a .tar.gz WebDataset shard. See
+    * [[graft.expressions.GzipKernel]].
+    */
+  def gzipDecode(content: Column): Column =
+    toColumn(graft.expressions.GzipDecode(toExpression(content)))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

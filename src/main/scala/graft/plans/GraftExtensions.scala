@@ -243,6 +243,11 @@ object GraftExtensions {
         "graft_tar_members(content) - POSIX-ustar member enumeration of a BINARY payload: array<struct<name,offset,size>> of regular files (offset = first data byte; slice with substring(content, offset+1, size)), NULL on corrupt/truncated/non-tar"),
       es => { val Seq(c) = arity("graft_tar_members", 1)(es)
         graft.expressions.TarMembers(c) }),
+    (FunctionIdentifier("graft_gzip_decode"),
+      info("graft_gzip_decode",
+        "graft_gzip_decode(content) - RFC 1952 gzip decode of a BINARY payload (multi-member concatenation; CRC-32 + ISIZE verified; 64 MiB cap), NULL on corrupt framing or failed integrity"),
+      es => { val Seq(c) = arity("graft_gzip_decode", 1)(es)
+        graft.expressions.GzipDecode(c) }),
     (FunctionIdentifier("graft_pixel_resize"),
       info("graft_pixel_resize",
         "graft_pixel_resize(content, tw, th) - box-filter downscale of a decodable image payload to a tw x th milli-luminance grid (row-major array<bigint>), NULL on corrupt/unsupported/upscale"),

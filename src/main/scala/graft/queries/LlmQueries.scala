@@ -5156,6 +5156,51 @@ object LlmQueries {
       imgs.join(txts, Seq("doc_id", "sample"))
         .withColumn("keep", col("width") >= 12L && col("n_tokens") >= 3L)
         .orderBy("doc_id", "sample")
+    }),
+
+    // GZIP member decode (RFC 1952 — the decompression hop in front of
+    // .warc.gz / .jsonl.gz / .tar.gz ingest): hand-rolled stored-block
+    // gzip fixtures (bit-looped CRC-32, no Deflater — the construction
+    // shares no code with the Inflater-side kernel) across three
+    // framings — plain, FNAME-bearing (%4==2), and TWO CONCATENATED
+    // MEMBERS (%6==5, the spec's required concatenation semantics) —
+    // with a FLIPPED CRC byte on %10==3 that the kernel's integrity
+    // check must quarantine (a decompressor's output feeds parsers, so
+    // a silent bitflip is the failure mode that matters).
+    "q361_gzip_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, TarFixtures.gzPayload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          length(col("__p")).cast("long").as("gz_bytes"),
+          graft.functions.gzipDecode(col("__p")).as("__d"))
+        .select(col("doc_id"), col("gz_bytes"),
+          length(col("__d")).cast("long").as("n_bytes"),
+          size(graft.functions.tokens(col("__d").cast("string")))
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // The .tar.gz WebDataset shard read — THREE kernels chained in one
+    // codegen'd projection: gzip_decode → tar_members → explode. NULL
+    // propagates loudly through the chain: a gzip-level truncation
+    // (%11==7) kills the decompression hop, and the %9==8 tar
+    // truncation now hides INSIDE a valid gzip member (correct CRC
+    // over corrupt content) and must be caught by the tar walk.
+    "q362_webdataset_gz" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, TarFixtures.gzTarPayload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          length(col("__p")).cast("long").as("gz_bytes"),
+          explode(graft.functions.tarMembers(
+            graft.functions.gzipDecode(col("__p")))).as("__m"))
+        .select(col("doc_id"), col("gz_bytes"),
+          col("__m.name").as("name"), col("__m.offset").as("offset"),
+          col("__m.size").as("size"))
+        .orderBy("doc_id", "offset")
     })
   )
 
@@ -15157,7 +15202,64 @@ object LlmQueries {
         |  pp.w >= 12 AND (pp.doc_id + pp.k) % 7 + 1 >= 3 AS keep
         |FROM pp JOIN st ON st.doc_id = pp.doc_id AND st.k = pp.k
         |JOIN dh ON dh.doc_id = pp.doc_id AND dh.k = pp.k
-        |ORDER BY pp.doc_id, sample""".stripMargin
+        |ORDER BY pp.doc_id, sample""".stripMargin,
+
+    // Gzip decode: frame sizes are arithmetic — 23 bytes of overhead
+    // per plain member (10 header + 5 stored-block + 8 trailer), +6
+    // for the planted FNAME, ×2 members on the concatenation slice.
+    "q361_gzip_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 40 + 1 AS n,
+        |    2 * (doc_id % 40 + 1) - 1 AS sz,
+        |    doc_id % 10 = 3 AS corrupt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 6 = 5 THEN 46 + sz
+        |    WHEN doc_id % 4 = 2 THEN 29 + sz
+        |    ELSE 23 + sz END AS BIGINT) AS gz_bytes,
+        |  CASE WHEN NOT corrupt THEN CAST(sz AS BIGINT) END AS n_bytes,
+        |  CASE WHEN NOT corrupt THEN CAST(n AS BIGINT) END AS n_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // .tar.gz chain: the q359 layout arithmetic behind a 23-byte gzip
+    // envelope, minus both corruption slices (gzip-level %11==7 and
+    // the in-envelope tar truncation %9==8).
+    "q362_webdataset_gz" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS s
+        |  FROM documents WHERE doc_id % 9 <> 8 AND doc_id % 11 <> 7),
+        |mem AS (
+        |  SELECT doc_id, u.j AS j, u.name AS name, u.size AS size
+        |  FROM (
+        |    SELECT doc_id, unnest(flatten(list_transform(range(s),
+        |      k -> [
+        |        {'j': 2 * k,
+        |         'name': CAST(doc_id AS VARCHAR) || '_'
+        |           || CAST(k AS VARCHAR) || '.bmp',
+        |         'size': 54 + (((4 * doc_id + k) * 5) % 24 + 8)
+        |           * (((3 * ((4 * doc_id + k) % 24 + 9) + 3) // 4) * 4)},
+        |        {'j': 2 * k + 1,
+        |         'name': CAST(doc_id AS VARCHAR) || '_'
+        |           || CAST(k AS VARCHAR) || '.txt',
+        |         'size': 2 * ((doc_id + k) % 7 + 1) - 1}]))) AS u
+        |    FROM d)),
+        |off AS (
+        |  SELECT doc_id, j, name, size,
+        |    512 * (j + 1) + coalesce(sum((size + 511) // 512 * 512)
+        |      OVER (PARTITION BY doc_id ORDER BY j
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM mem),
+        |tot AS (
+        |  SELECT doc_id,
+        |    CAST(sum(512 + (size + 511) // 512 * 512) + 1024 AS BIGINT)
+        |      AS tar_bytes
+        |  FROM mem GROUP BY 1)
+        |SELECT o.doc_id, CAST(tot.tar_bytes + 23 AS BIGINT) AS gz_bytes,
+        |  o.name, CAST(o.off AS BIGINT) AS "offset",
+        |  CAST(o.size AS BIGINT) AS size
+        |FROM off o JOIN tot USING (doc_id)
+        |ORDER BY doc_id, "offset"""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

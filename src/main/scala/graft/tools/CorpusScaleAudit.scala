@@ -87,7 +87,10 @@ object CorpusScaleAudit {
     // the WebDataset pair: tar enumeration (map-only) and the composed
     // enumerate->slice->decode->join pipeline (the one shuffle is the
     // per-sample img-txt join over fixed-width stats rows)
-    "q359_tar_members", "q360_webdataset_pipeline")
+    "q359_tar_members", "q360_webdataset_pipeline",
+    // the gzip hop and the three-kernel .tar.gz chain (both map-only;
+    // the constant to watch is per-payload inflate cost)
+    "q361_gzip_decode", "q362_webdataset_gz")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

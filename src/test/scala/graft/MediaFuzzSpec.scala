@@ -25,7 +25,8 @@ class MediaFuzzSpec extends SparkSpec {
     ("VideoHeader", VideoHeaderKernel.parse _),
     ("VideoFrame", (b: Array[Byte]) => VideoFrameKernel.decode(b, 2)),
     ("Mp3Header", Mp3HeaderKernel.parse _),
-    ("Tar", (b: Array[Byte]) => graft.expressions.TarKernel.parse(b)))
+    ("Tar", (b: Array[Byte]) => graft.expressions.TarKernel.parse(b)),
+    ("Gzip", (b: Array[Byte]) => graft.expressions.GzipKernel.decode(b)))
 
   private def mustNotThrow(label: String, b: Array[Byte]): Unit =
     kernels.foreach { case (k, f) =>
@@ -70,6 +71,8 @@ class MediaFuzzSpec extends SparkSpec {
       VideoFixtures.mp4(3L, 1, audioTrak = true), mp3,
       VideoFixtures.mkv(5L), VideoFixtures.mkv(6L),
       graft.queries.TarFixtures.tar(4L),
+      graft.queries.TarFixtures.gzPayload(1L),
+      graft.queries.TarFixtures.gzTarPayload(2L),
       wav, flac, tiff, webp, jpeg)
   }
 
