@@ -322,6 +322,14 @@ package object functions {
   def gzipDecode(content: Column): Column =
     toColumn(graft.expressions.GzipDecode(toExpression(content)))
 
+  /** Image metadata STRIP (the multimodal privacy pass): JPEG
+    * APP1–APP15 + COM and PNG tEXt/zTXt/iTXt/eXIf/tIME removed, pixels
+    * byte-identical; BINARY → BINARY, NULL on non-JPEG/PNG or
+    * malformed payloads. See [[graft.expressions.MediaStripKernel]].
+    */
+  def mediaStrip(content: Column): Column =
+    toColumn(graft.expressions.MediaStrip(toExpression(content)))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

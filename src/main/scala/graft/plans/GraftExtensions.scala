@@ -248,6 +248,11 @@ object GraftExtensions {
         "graft_gzip_decode(content) - RFC 1952 gzip decode of a BINARY payload (multi-member concatenation; CRC-32 + ISIZE verified; 64 MiB cap), NULL on corrupt framing or failed integrity"),
       es => { val Seq(c) = arity("graft_gzip_decode", 1)(es)
         graft.expressions.GzipDecode(c) }),
+    (FunctionIdentifier("graft_media_strip"),
+      info("graft_media_strip",
+        "graft_media_strip(content) - image metadata strip (privacy): JPEG APP1-APP15 + COM and PNG tEXt/zTXt/iTXt/eXIf/tIME removed, pixels byte-identical; NULL on non-JPEG/PNG or malformed payloads"),
+      es => { val Seq(c) = arity("graft_media_strip", 1)(es)
+        graft.expressions.MediaStrip(c) }),
     (FunctionIdentifier("graft_pixel_resize"),
       info("graft_pixel_resize",
         "graft_pixel_resize(content, tw, th) - box-filter downscale of a decodable image payload to a tw x th milli-luminance grid (row-major array<bigint>), NULL on corrupt/unsupported/upscale"),

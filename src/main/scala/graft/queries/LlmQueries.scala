@@ -5201,6 +5201,53 @@ object LlmQueries {
           col("__m.name").as("name"), col("__m.offset").as("offset"),
           col("__m.size").as("size"))
         .orderBy("doc_id", "offset")
+    }),
+
+    // Image METADATA STRIP — the multimodal PRIVACY pass (the q137
+    // PII-redaction discipline taken to pixels): camera EXIF carries
+    // GPS/serial/timestamps, PNG text chunks carry arbitrary payloads;
+    // both must go while the PIXELS survive bit-identical. Gated with
+    // DECODE INVARIANCE: the PNG slice re-decodes the stripped bytes
+    // and its lum_sum + dHash must equal the original's (the tEXt
+    // chunk is ancillary by spec — removal provably cannot change
+    // pixels); the JPEG slice re-parses headers (dims preserved,
+    // orientation resets to 1 — the Exif is GONE, not blanked). The
+    // bad-magic slice NULLs: a privacy pass must never silently pass
+    // unstripped bytes.
+    "q363_metadata_strip" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.stripPayload(id))))
+        .toDF("doc_id", "__p")
+      val st = media.select(col("doc_id"),
+        length(col("__p")).cast("long").as("n_bytes"), col("__p"),
+        graft.functions.mediaStrip(col("__p")).as("__s"))
+      st.select(col("doc_id"), col("n_bytes"),
+          length(col("__s")).cast("long").as("stripped_bytes"),
+          graft.operators.Multimodal.headerMeta(col("__s"))
+            .getField("format").as("format"),
+          graft.operators.Multimodal.headerMeta(col("__p"))
+            .getField("orientation").as("orientation_before"),
+          graft.operators.Multimodal.headerMeta(col("__s"))
+            .getField("orientation").as("orientation_after"),
+          (col("n_bytes") - length(col("__s"))).cast("long")
+            .as("meta_removed"),
+          when(col("doc_id") % 3 === 0,
+            graft.functions.pixelStats(col("__p")).getField("lum_sum") ===
+              graft.functions.pixelStats(col("__s")).getField("lum_sum") &&
+              graft.functions.pixelStats(col("__p")).getField("dhash") ===
+                graft.functions.pixelStats(col("__s")).getField("dhash"))
+            .when(col("doc_id") % 3 === 1,
+              graft.operators.Multimodal.headerMeta(col("__s"))
+                .getField("width") ===
+                graft.operators.Multimodal.headerMeta(col("__p"))
+                  .getField("width") &&
+                graft.operators.Multimodal.headerMeta(col("__s"))
+                  .getField("height") ===
+                  graft.operators.Multimodal.headerMeta(col("__p"))
+                    .getField("height"))
+            .as("pixels_invariant"))
+        .orderBy("doc_id")
     })
   )
 
@@ -15259,7 +15306,35 @@ object LlmQueries {
         |  o.name, CAST(o.off AS BIGINT) AS "offset",
         |  CAST(o.size AS BIGINT) AS size
         |FROM off o JOIN tot USING (doc_id)
-        |ORDER BY doc_id, "offset"""".stripMargin
+        |ORDER BY doc_id, "offset"""".stripMargin,
+
+    // Metadata strip: every size is layout arithmetic (the PNG's tEXt
+    // chunk is 16 + digits-of-doc_id bytes; the JPEG's planted
+    // Exif + COM total 44), orientation resets to 1, invariance TRUE
+    // by the engine's own re-decode.
+    "q363_metadata_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 AS m,
+        |    68 + ((doc_id * 5) % 24 + 8) * (1 + doc_id % 24 + 9)
+        |      AS png_sz,
+        |    doc_id % 8 + 1 AS o,
+        |    length(CAST(doc_id AS VARCHAR)) AS dg
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN m = 0 THEN png_sz + 16 + dg
+        |    WHEN m = 1 THEN 85 ELSE png_sz END AS BIGINT) AS n_bytes,
+        |  CASE WHEN m = 0 THEN CAST(png_sz AS BIGINT)
+        |    WHEN m = 1 THEN CAST(41 AS BIGINT) END AS stripped_bytes,
+        |  CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'jpeg' END
+        |    AS format,
+        |  CASE WHEN m = 0 THEN CAST(1 AS BIGINT)
+        |    WHEN m = 1 THEN CAST(o AS BIGINT) END AS orientation_before,
+        |  CASE WHEN m < 2 THEN CAST(1 AS BIGINT) END
+        |    AS orientation_after,
+        |  CASE WHEN m = 0 THEN CAST(16 + dg AS BIGINT)
+        |    WHEN m = 1 THEN CAST(44 AS BIGINT) END AS meta_removed,
+        |  CASE WHEN m < 2 THEN TRUE END AS pixels_invariant
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

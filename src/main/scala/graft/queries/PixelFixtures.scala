@@ -176,6 +176,68 @@ private[graft] object PixelFixtures {
     if (docId % 10 == 7) full.take(40) else full
   }
 
+  /** q363's payloads — images CARRYING privacy metadata the strip pass
+    * must remove while pixels/dims come through intact:
+    * %3==0 a [[pngGray]] with a tEXt chunk ("gps\0<doc_id>") spliced
+    * after IHDR; %3==1 a JPEG with APP0 (JFIF — must be KEPT), an APP1
+    * Exif block carrying orientation o = doc%8+1 (q344's layout), and
+    * a 4-byte COM comment — both must go; %3==2 a bad-magic corruption
+    * → NULL (a privacy pass must never silently pass unstripped
+    * bytes).
+    */
+  def stripPayload(docId: Long): Array[Byte] = (docId % 3) match {
+    case 0 => pngWithText(docId)
+    case 1 => jpegWithExif(docId)
+    case _ =>
+      val g = pngGray(docId); g(0) = 0x00.toByte; g
+  }
+
+  def pngWithText(s: Long): Array[Byte] = {
+    val base = pngGray(s)
+    val data = ("gps " + s.toString)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 33) // signature + IHDR (8 + 25)
+    Seq(24, 16, 8, 0).foreach(sh => out.write((data.length >> sh) & 0xFF))
+    "tEXt".foreach(c => out.write(c.toInt))
+    out.write(data, 0, data.length)
+    (0 until 4).foreach(_ => out.write(0)) // CRC zeros
+    out.write(base, 33, base.length - 33)
+    out.toByteArray
+  }
+
+  /** SOI + APP0/JFIF(18) + APP1/Exif(36: "Exif\0\0" + the q344 26-byte
+    * MM TIFF whose IFD0 carries ONLY orientation) + COM(8) + SOF0(19)
+    * + EOI = 85 bytes; w/h/o from doc arithmetic.
+    */
+  def jpegWithExif(s: Long): Array[Byte] = {
+    val w = (s % 991 + 1).toInt
+    val h = ((s * 7) % 737 + 1).toInt
+    val o = (s % 8 + 1).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def be16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u8(0xFF); u8(0xD8)
+    u8(0xFF); u8(0xE0); be16(16) // APP0 JFIF (kept by the strip)
+    "JFIF".foreach(c => u8(c.toInt)); u8(0)
+    u8(1); u8(2); u8(0); be16(1); be16(1); u8(0); u8(0)
+    u8(0xFF); u8(0xE1); be16(0x22) // APP1 Exif (stripped)
+    "Exif".foreach(c => u8(c.toInt)); u8(0); u8(0)
+    "MM".foreach(c => u8(c.toInt)); be16(0x2A)
+    be16(0); be16(8) // IFD offset 8 (BE32)
+    be16(1) // one entry
+    be16(274); be16(3); be16(0); be16(1); be16(o); be16(0)
+    be16(0); be16(0) // next IFD 0
+    u8(0xFF); u8(0xFE); be16(6) // COM "note" (stripped)
+    "note".foreach(c => u8(c.toInt))
+    u8(0xFF); u8(0xC0); be16(0x11); u8(8) // SOF0
+    be16(h); be16(w)
+    u8(3)
+    Seq(1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1).foreach(u8)
+    u8(0xFF); u8(0xD9)
+    out.toByteArray
+  }
+
   /** Assemble a PNG: signature, IHDR, one IDAT (stored-mode zlib of the
     * FORWARD-filtered scanlines, filter type y % 5), IEND. Chunk CRCs
     * are zeros — the kernel's contract reads pixels, it does not

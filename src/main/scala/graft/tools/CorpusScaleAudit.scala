@@ -90,7 +90,9 @@ object CorpusScaleAudit {
     "q359_tar_members", "q360_webdataset_pipeline",
     // the gzip hop and the three-kernel .tar.gz chain (both map-only;
     // the constant to watch is per-payload inflate cost)
-    "q361_gzip_decode", "q362_webdataset_gz")
+    "q361_gzip_decode", "q362_webdataset_gz",
+    // the privacy strip (map-only; strip + invariance re-decode per row)
+    "q363_metadata_strip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

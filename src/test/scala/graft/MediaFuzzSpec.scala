@@ -26,7 +26,8 @@ class MediaFuzzSpec extends SparkSpec {
     ("VideoFrame", (b: Array[Byte]) => VideoFrameKernel.decode(b, 2)),
     ("Mp3Header", Mp3HeaderKernel.parse _),
     ("Tar", (b: Array[Byte]) => graft.expressions.TarKernel.parse(b)),
-    ("Gzip", (b: Array[Byte]) => graft.expressions.GzipKernel.decode(b)))
+    ("Gzip", (b: Array[Byte]) => graft.expressions.GzipKernel.decode(b)),
+    ("MediaStrip", (b: Array[Byte]) => graft.expressions.MediaStripKernel.strip(b)))
 
   private def mustNotThrow(label: String, b: Array[Byte]): Unit =
     kernels.foreach { case (k, f) =>
@@ -73,6 +74,7 @@ class MediaFuzzSpec extends SparkSpec {
       graft.queries.TarFixtures.tar(4L),
       graft.queries.TarFixtures.gzPayload(1L),
       graft.queries.TarFixtures.gzTarPayload(2L),
+      PixelFixtures.pngWithText(3L), PixelFixtures.jpegWithExif(4L),
       wav, flac, tiff, webp, jpeg)
   }
 
