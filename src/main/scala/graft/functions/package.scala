@@ -330,6 +330,23 @@ package object functions {
   def mediaStrip(content: Column): Column =
     toColumn(graft.expressions.MediaStrip(toExpression(content)))
 
+  /** ZIP member enumeration (central-directory walk): ARRAY<STRUCT<
+    * name, method, offset, csize, usize>>; slice compressed bytes with
+    * `substring(content, offset + 1, csize)` — stored members are the
+    * payload as-is, deflated members feed [[inflateRaw]]. NULL on
+    * corrupt. See [[graft.expressions.ZipKernel]].
+    */
+  def zipMembers(content: Column): Column =
+    toColumn(graft.expressions.ZipMembers(toExpression(content)))
+
+  /** RFC 1951 raw-deflate decode of an already-sliced payload to
+    * exactly `usize` bytes (NULL on corrupt/mismatch/64 MiB cap). See
+    * [[graft.expressions.InflateRawKernel]].
+    */
+  def inflateRaw(data: Column, usize: Column): Column =
+    toColumn(graft.expressions.InflateRaw(toExpression(data),
+      toExpression(usize)))
+
   /** Multi-reference clipped overlap — Σ_g min(count_cand(g), max over
     * refs of count_ref(g)) — of a SORTED string array against an array
     * of SORTED string arrays: the BLEU clipping rule as one codegen'd

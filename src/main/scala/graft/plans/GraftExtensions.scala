@@ -253,6 +253,16 @@ object GraftExtensions {
         "graft_media_strip(content) - image metadata strip (privacy): JPEG APP1-APP15 + COM and PNG tEXt/zTXt/iTXt/eXIf/tIME removed, pixels byte-identical; NULL on non-JPEG/PNG or malformed payloads"),
       es => { val Seq(c) = arity("graft_media_strip", 1)(es)
         graft.expressions.MediaStrip(c) }),
+    (FunctionIdentifier("graft_zip_members"),
+      info("graft_zip_members",
+        "graft_zip_members(content) - ZIP central-directory member enumeration of a BINARY payload: array<struct<name,method,offset,csize,usize>> (offset = first compressed data byte), NULL on corrupt/truncated/non-zip"),
+      es => { val Seq(c) = arity("graft_zip_members", 1)(es)
+        graft.expressions.ZipMembers(c) }),
+    (FunctionIdentifier("graft_inflate_raw"),
+      info("graft_inflate_raw",
+        "graft_inflate_raw(data, usize) - RFC 1951 raw-deflate decode of a sliced BINARY payload to exactly usize bytes, NULL on corrupt/mismatch/64 MiB cap"),
+      es => { val Seq(d, u) = arity("graft_inflate_raw", 2)(es)
+        graft.expressions.InflateRaw(d, u) }),
     (FunctionIdentifier("graft_pixel_resize"),
       info("graft_pixel_resize",
         "graft_pixel_resize(content, tw, th) - box-filter downscale of a decodable image payload to a tw x th milli-luminance grid (row-major array<bigint>), NULL on corrupt/unsupported/upscale"),

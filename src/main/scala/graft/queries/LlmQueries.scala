@@ -5248,6 +5248,40 @@ object LlmQueries {
                     .getField("height"))
             .as("pixels_invariant"))
         .orderBy("doc_id")
+    }),
+
+    // ZIP member enumeration + BOTH decompression paths (the other
+    // archive data ships in, completing tar/gzip/zip): the central
+    // directory is walked from the EOCD BACKWARD, every member's data
+    // offset resolved through its LOCAL header, and content is proven
+    // per member by `content_check` — STORED .bmp members slice
+    // straight into the pixel kernel (lum_sum), DEFLATED .txt members
+    // inflate (inflate_raw to exactly usize) and tokenize. The oracle
+    // re-derives the whole layout (no 512 padding here — zip packs
+    // tight) AND the content columns from the shared arithmetic.
+    // %8==6 truncates the EOCD → NULL.
+    "q364_zip_members" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, TarFixtures.zipPayload(id))))
+        .toDF("doc_id", "__p")
+      val m = media.select(col("doc_id"), col("__p"),
+          length(col("__p")).cast("long").as("n_bytes"),
+          explode(graft.functions.zipMembers(col("__p"))).as("__m"))
+        .select(col("doc_id"), col("__p"), col("n_bytes"),
+          col("__m.name").as("name"), col("__m.method").as("method"),
+          col("__m.offset").as("offset"), col("__m.csize").as("csize"),
+          col("__m.usize").as("usize"))
+      val slice = col("__p").substr(col("offset") + 1L, col("csize"))
+      m.withColumn("content_check",
+          when(col("name").endsWith(".txt"),
+            size(graft.functions.tokens(
+              graft.functions.inflateRaw(slice, col("usize"))
+                .cast("string"))).cast("long"))
+            .otherwise(graft.functions.pixelStats(slice)
+              .getField("lum_sum")))
+        .drop("__p")
+        .orderBy("doc_id", "offset")
     })
   )
 
@@ -15334,7 +15368,78 @@ object LlmQueries {
         |  CASE WHEN m = 0 THEN CAST(16 + dg AS BIGINT)
         |    WHEN m = 1 THEN CAST(44 AS BIGINT) END AS meta_removed,
         |  CASE WHEN m < 2 THEN TRUE END AS pixels_invariant
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Zip members: the tight-packed layout replayed as arithmetic
+    // (locals 30+nl, central entries 46+nl, EOCD 22; deflated csize =
+    // usize + 5 for the one stored block) + the q360 pixel CTEs for
+    // the stored .bmp content column.
+    "q364_zip_members" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS s,
+        |    length(CAST(doc_id AS VARCHAR)) + 6 AS nl
+        |  FROM documents WHERE doc_id % 8 <> 6),
+        |mem AS (
+        |  SELECT doc_id, nl, u.j AS j, u.k AS k, u.name AS name,
+        |    u.method AS method, u.csize AS csize, u.usize AS usize
+        |  FROM (
+        |    SELECT doc_id, nl, unnest(flatten(list_transform(range(s),
+        |      k -> [
+        |        {'j': 2 * k, 'k': k,
+        |         'name': CAST(doc_id AS VARCHAR) || '_'
+        |           || CAST(k AS VARCHAR) || '.bmp',
+        |         'method': 0,
+        |         'csize': 54 + (((4 * doc_id + k) * 5) % 24 + 8)
+        |           * (((3 * ((4 * doc_id + k) % 24 + 9) + 3) // 4) * 4),
+        |         'usize': 54 + (((4 * doc_id + k) * 5) % 24 + 8)
+        |           * (((3 * ((4 * doc_id + k) % 24 + 9) + 3) // 4) * 4)},
+        |        {'j': 2 * k + 1, 'k': k,
+        |         'name': CAST(doc_id AS VARCHAR) || '_'
+        |           || CAST(k AS VARCHAR) || '.txt',
+        |         'method': 8,
+        |         'csize': 2 * ((doc_id + k) % 7 + 1) - 1 + 5,
+        |         'usize': 2 * ((doc_id + k) % 7 + 1) - 1}]))) AS u
+        |    FROM d)),
+        |off AS (
+        |  SELECT *, coalesce(sum(30 + nl + csize)
+        |      OVER (PARTITION BY doc_id ORDER BY j
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + 30 + nl AS dataoff
+        |  FROM mem),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(30 + nl + csize) + sum(46 + nl) + 22
+        |    AS BIGINT) AS n_bytes
+        |  FROM mem GROUP BY 1),
+        |pp AS (
+        |  SELECT doc_id, k, 4 * doc_id + k AS sp,
+        |    (4 * doc_id + k) % 24 + 9 AS w,
+        |    ((4 * doc_id + k) * 5) % 24 + 8 AS h
+        |  FROM (SELECT doc_id, unnest(range(s)) AS k FROM d)),
+        |lum AS (
+        |  SELECT doc_id, k,
+        |    299 * u.p + 587 * ((u.p * 3) % 256)
+        |      + 114 * ((u.p * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id, k,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'p': ((x + sp % 31) * (y + sp % 37) * 3 + sp)
+        |                % 256})))) AS u
+        |    FROM pp)),
+        |st AS (
+        |  SELECT doc_id, k, CAST(sum(lum) AS BIGINT) AS lum_sum
+        |  FROM lum GROUP BY 1, 2)
+        |SELECT o.doc_id, tot.n_bytes, o.name,
+        |  CAST(o.method AS BIGINT) AS method,
+        |  CAST(o.dataoff AS BIGINT) AS "offset",
+        |  CAST(o.csize AS BIGINT) AS csize,
+        |  CAST(o.usize AS BIGINT) AS usize,
+        |  CASE WHEN o.method = 8
+        |    THEN CAST((o.doc_id + o.k) % 7 + 1 AS BIGINT)
+        |    ELSE st.lum_sum END AS content_check
+        |FROM off o JOIN tot USING (doc_id)
+        |LEFT JOIN st ON st.doc_id = o.doc_id AND st.k = o.k
+        |ORDER BY o.doc_id, "offset"""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

@@ -92,7 +92,9 @@ object CorpusScaleAudit {
     // the constant to watch is per-payload inflate cost)
     "q361_gzip_decode", "q362_webdataset_gz",
     // the privacy strip (map-only; strip + invariance re-decode per row)
-    "q363_metadata_strip")
+    "q363_metadata_strip",
+    // zip enumeration + inflate (map-only per-payload kernel work)
+    "q364_zip_members")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,7 +27,9 @@ class MediaFuzzSpec extends SparkSpec {
     ("Mp3Header", Mp3HeaderKernel.parse _),
     ("Tar", (b: Array[Byte]) => graft.expressions.TarKernel.parse(b)),
     ("Gzip", (b: Array[Byte]) => graft.expressions.GzipKernel.decode(b)),
-    ("MediaStrip", (b: Array[Byte]) => graft.expressions.MediaStripKernel.strip(b)))
+    ("MediaStrip", (b: Array[Byte]) => graft.expressions.MediaStripKernel.strip(b)),
+    ("Zip", (b: Array[Byte]) => graft.expressions.ZipKernel.parse(b)),
+    ("InflateRaw", (b: Array[Byte]) => graft.expressions.InflateRawKernel.decode(b, 64L)))
 
   private def mustNotThrow(label: String, b: Array[Byte]): Unit =
     kernels.foreach { case (k, f) =>
@@ -75,6 +77,7 @@ class MediaFuzzSpec extends SparkSpec {
       graft.queries.TarFixtures.gzPayload(1L),
       graft.queries.TarFixtures.gzTarPayload(2L),
       PixelFixtures.pngWithText(3L), PixelFixtures.jpegWithExif(4L),
+      graft.queries.TarFixtures.zip(5L),
       wav, flac, tiff, webp, jpeg)
   }
 
