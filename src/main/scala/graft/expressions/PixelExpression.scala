@@ -27,10 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ~60 lines of integer arithmetic, validated against the JDK's
   *    own GIF encoder's genuinely compressed streams.
   *
-  * JPEG/WebP pixel data is DCT/VP8-coded — that decode rides the JDK
-  * ImageIO fallback (JPEG) or stays stubbed (WebP) in
-  * [[graft.operators.Multimodal]]; their HEADERS are already real
-  * ([[MediaHeaderKernel]]).
+  * JPEG/WebP pixel data is DCT/VP8-coded — JPEG decode rides the JDK's
+  * own ImageIO plugin in [[graft.operators.Multimodal]]; WebP ships no
+  * JDK decoder, so its pixels stay undecodable here (headers are real,
+  * [[MediaHeaderKernel]]) and WebP payloads route to NULL like any
+  * unsupported layout.
   *
   * Emitted statistics (all integer — oracle-replayable exactly):
   *

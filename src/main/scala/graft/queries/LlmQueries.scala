@@ -1120,8 +1120,8 @@ object LlmQueries {
 
     // URL canonicalization + registrable domain (web-corpus curation).
     // The corpus has no URL column, so URLs are SYNTHESIZED
-    // deterministically from doc_id in BOTH engines (multimodal-stub
-    // precedent: fake input, real operator) — six shapes covering
+    // deterministically from doc_id in BOTH engines (the fixture
+    // discipline: fake input, real operator) — six shapes covering
     // fragments, default ports, utm params, uppercase hosts, multi-part
     // public suffixes, and trailing slashes. Domain counts come back via
     // a broadcast join of the tiny domain aggregate, not a window.
