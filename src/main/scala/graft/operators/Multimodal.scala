@@ -180,6 +180,33 @@ object Multimodal {
         .as("keep_duration_ms"))
   }
 
+  /** The WebDataset SHARD gate's aggregate columns over an enumerated
+    * member array ([[graft.functions.tarMembers]] output — the
+    * [[gateCounts]] discipline for the archive layer): shard / member
+    * / per-modality member counts and total member bytes. SHARED by
+    * the streaming twin
+    * ([[graft.streaming.CorpusStreams.windowedShardGate]]) and any
+    * batch read, so batch and stream can never gate differently.
+    * Unparseable shards count into n_shards but contribute no member
+    * mass (their members are NULL, loud upstream).
+    */
+  def shardGateCounts(members: Column): Seq[Column] = {
+    val parseable = members.isNotNull
+    def suffixCount(ext: String): Column =
+      coalesce(sum(when(parseable,
+        size(filter(members, m => m.getField("name").endsWith(ext))))),
+        lit(0)).cast(LongType)
+    Seq(count(lit(1)).as("n_shards"),
+      count(when(parseable, 1)).as("n_parseable"),
+      coalesce(sum(when(parseable, size(members))), lit(0))
+        .cast(LongType).as("n_members"),
+      suffixCount(".bmp").as("n_images"),
+      suffixCount(".txt").as("n_texts"),
+      coalesce(sum(when(parseable,
+        aggregate(members, lit(0L), (acc, m) =>
+          acc + m.getField("size")))), lit(0L)).as("member_bytes"))
+  }
+
   /** REAL image PIXEL decode (round 14 — the stub is dead for images):
     * the codec-free native kernel first
     * ([[graft.expressions.PixelKernel]] — PNG via JDK Inflater + filter

@@ -396,6 +396,40 @@ object CorpusStreams {
         col("keep_duration_ms"))
   }
 
+  /** Windowed WEBDATASET SHARD gate over a binary-payload stream — the
+    * archive-layer twin beside the image/audio/video gate triple: per
+    * event-time window, the shard / member / per-modality counts and
+    * member-byte mass out of the REAL tar enumeration
+    * ([[graft.functions.tarMembers]] — corrupt shards parse NULL and
+    * carry no member mass). Gate columns are
+    * [[graft.operators.Multimodal.shardGateCounts]], SHARED with the
+    * batch read, so a window's row equals the batch gate over that
+    * window's slice (parity test-locked). The monitoring read an
+    * ingest pipeline actually watches: arriving shard rate, members
+    * per shard, modality balance, corrupt fraction.
+    *
+    * Scale shape: one kernel call per payload (map-side; archive bytes
+    * never shuffle) into a windowed count/sum aggregate — state is one
+    * row per window.
+    *
+    * @return streaming (window_start, n_shards, n_parseable,
+    *         n_members, n_images, n_texts, member_bytes)
+    */
+  def windowedShardGate(media: org.apache.spark.sql.DataFrame,
+                        contentCol: String, tsCol: String,
+                        windowDur: String,
+                        watermark: String): org.apache.spark.sql.DataFrame = {
+    val cs = graft.operators.Multimodal.shardGateCounts(col("__m"))
+    media.select(col(tsCol),
+        graft.functions.tarMembers(col(contentCol)).as("__m"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("__win"))
+      .agg(cs.head, cs.tail: _*)
+      .select(col("__win.start").as("window_start"), col("n_shards"),
+        col("n_parseable"), col("n_members"), col("n_images"),
+        col("n_texts"), col("member_bytes"))
+  }
+
   /** Windowed heavy-hitter CANDIDATES over the token stream — streaming
     * twin of [[graft.operators.HeavyHitters.mgSummary]], and the second
     * bounded-state trending-terms path next to [[windowedTokenCountMin]]:

@@ -908,6 +908,59 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedShardGate: per-window scorecard equals the batch gate") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.TarFixtures
+    val docs = Seq(
+      // window 1: two shards (doc arithmetic: S=doc%4+2 samples, each
+      // a .bmp + .txt pair) and one corrupt (%9==8 truncation)
+      MediaDoc(1, ts(0), TarFixtures.tar(1L)), // 3 samples → 6 members
+      MediaDoc(2, ts(1), TarFixtures.tar(2L)), // 4 samples → 8 members
+      MediaDoc(3, ts(2), TarFixtures.payload(8L)), // truncated → NULL
+      // window 2: one shard
+      MediaDoc(4, ts(12), TarFixtures.tar(4L))) // 2 samples → 4 members
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedShardGate(input.toDF(), "content",
+        "ts", windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wsg").start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("wsg").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      // batch reference: the SAME shared shardGateCounts per window
+      val expected = Seq(ts(0) -> docs.take(3), ts(10) -> docs.drop(3))
+        .map { case (w0, slice) =>
+          val m = slice.toDF()
+            .select(graft.functions.tarMembers($"content").as("__m"))
+          val cs = graft.operators.Multimodal.shardGateCounts($"__m")
+          val r = m.agg(cs.head, cs.tail: _*).collect()(0)
+          (w0, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))
+        }.toSet
+      assert(got === expected)
+      // spot-pin so a jointly-wrong gate cannot pass: window 1 has 3
+      // shards, 2 parseable, 14 members (7 images + 7 texts)
+      val w1 = got.find(_._1 == ts(0)).get
+      assert((w1._2, w1._3, w1._4, w1._5, w1._6) ===
+        ((3L, 2L, 14L, 7L, 7L)))
+      // member bytes: Σ sizes over both parseable shards' members
+      val sizes = (0 until 3).flatMap { k =>
+        Seq(graft.queries.PixelFixtures.bmp(4 * 1 + k).length.toLong,
+          2L * TarFixtures.txtTokens(1L, k) - 1)
+      } ++ (0 until 4).flatMap { k =>
+        Seq(graft.queries.PixelFixtures.bmp(4 * 2 + k).length.toLong,
+          2L * TarFixtures.txtTokens(2L, k) - 1)
+      }
+      assert(w1._7 === sizes.sum)
+    } finally query.stop()
+  }
+
   test("windowedTokenCountMin: per-window sketch equals the batch countMinTable") {
     import graft.streaming.CorpusStreams
     import graft.streaming.CorpusStreams.Doc
