@@ -5282,6 +5282,53 @@ object LlmQueries {
               .getField("lum_sum")))
         .drop("__p")
         .orderBy("doc_id", "offset")
+    }),
+
+    // The SHARD-DEDUP capstone — the full chain a multimodal shard
+    // curation job actually runs, composed as ONE plan: enumerate tar
+    // members → slice → decode every image member's pixels → dHash →
+    // banded perceptual pairs ACROSS SHARDS (exact-match radius) →
+    // connected components → one verdict row. The fixture PLANTS
+    // cross-shard duplicates (shard pairs re-ship one identical
+    // picture under different member names — byte-equal pixels inside
+    // byte-unequal archives), so the duplicate mass is real and the
+    // oracle re-derives every dHash from pixel arithmetic and replays
+    // the CC as a recursive min-label flood. Truncated shards (%10==9)
+    // contribute no images and orphan their partner's planted dup.
+    "q365_shard_dedup_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, TarFixtures.dedupPayload(id))))
+        .toDF("doc_id", "__p")
+      val shards = media.select(col("doc_id"),
+        graft.functions.tarMembers(col("__p")).isNotNull.as("parsed"))
+      val imgs = media.select(col("doc_id"), col("__p"),
+          explode(graft.functions.tarMembers(col("__p"))).as("__m"))
+        .filter(col("__m.name").endsWith(".bmp"))
+        // img_id = doc·8 + k (k ≤ 4 < 8): collision-free across shards
+        .select((col("doc_id") * 8L +
+            regexp_extract(col("__m.name"), "_(\\d+)\\.", 1)
+              .cast("long")).as("img_id"),
+          graft.functions.pixelStats(
+            col("__p").substr(col("__m.offset") + 1L, col("__m.size")))
+            .getField("dhash").as("dhash"))
+        .transform(graft.operators.CacheScope.track)
+      val pairs = graft.operators.Dedup.signaturePairs64(imgs, "img_id",
+          "dhash", maxHamming = 0)
+        .transform(graft.operators.CacheScope.track)
+      val clusters = graft.operators.Components
+        .connectedComponents(pairs, "i", "j")
+      shards.agg(count(lit(1)).as("n_shards"),
+          count(when(col("parsed"), 1)).as("n_parseable"))
+        .crossJoin(imgs.agg(count(lit(1)).as("n_images"),
+          count(col("dhash")).as("n_hashed")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(clusters.agg(count(lit(1)).as("n_members"),
+          count_distinct(col("component")).as("n_clusters")))
+        .withColumn("n_dup_excess", col("n_members") - col("n_clusters"))
+        .withColumn("ship",
+          col("n_parseable") > 0L && col("n_dup_excess") >= 0L)
+        .orderBy("n_shards")
     })
   )
 
@@ -15439,7 +15486,82 @@ object LlmQueries {
         |    ELSE st.lum_sum END AS content_check
         |FROM off o JOIN tot USING (doc_id)
         |LEFT JOIN st ON st.doc_id = o.doc_id AND st.k = o.k
-        |ORDER BY o.doc_id, "offset"""".stripMargin
+        |ORDER BY o.doc_id, "offset"""".stripMargin,
+
+    // Shard dedup: every image dHash re-derived from pixel arithmetic
+    // (sample 0's pixels come from the PAIR-shared s'), exact-match
+    // pairs over the full image set, CC as the q349 recursive
+    // min-label flood, one verdict row.
+    "q365_shard_dedup_pipeline" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS s
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |pq AS (
+        |  SELECT doc_id, k, sp, sp % 24 + 9 AS w, (sp * 5) % 24 + 8 AS h
+        |  FROM (
+        |    SELECT doc_id, k,
+        |      CASE WHEN k = 0 THEN 4 * (doc_id - doc_id % 2)
+        |        ELSE 4 * doc_id + k END AS sp
+        |    FROM (SELECT doc_id, unnest(range(s)) AS k FROM d))),
+        |lum AS (
+        |  SELECT doc_id, k, w, h, u.x AS x, u.y AS y,
+        |    299 * u.p + 587 * ((u.p * 3) % 256)
+        |      + 114 * ((u.p * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id, k, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + sp % 31) * (y + sp % 37) * 3 + sp)
+        |                % 256})))) AS u
+        |    FROM pq)),
+        |cells AS (
+        |  SELECT doc_id, k, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.doc_id, a.k, a.cy * 8 + a.cx AS kk
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.k = b.k AND b.cy = a.cy
+        |      AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS (
+        |  SELECT pq.doc_id * 8 + pq.k AS img_id,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM pq LEFT JOIN (
+        |    SELECT doc_id, k, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1, 2) x
+        |    ON x.doc_id = pq.doc_id AND x.k = pq.k),
+        |p AS (
+        |  SELECT a.img_id AS i, b.img_id AS j
+        |  FROM sig a JOIN sig b
+        |    ON a.img_id < b.img_id AND a.dhash = b.dhash),
+        |symp AS (SELECT i AS u, j AS v FROM p UNION SELECT j, i FROM p),
+        |pn AS (SELECT DISTINCT u AS node FROM symp),
+        |r(node, comp) AS (
+        |  SELECT node, node FROM pn
+        |  UNION
+        |  SELECT e.v, r.comp FROM r JOIN symp e ON e.u = r.node),
+        |l AS (SELECT node, min(comp) AS component FROM r GROUP BY 1),
+        |ca AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(count(DISTINCT component) AS BIGINT) AS n_clusters
+        |  FROM l)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_shards,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_parseable,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_images,
+        |  (SELECT CAST(count(dhash) AS BIGINT) FROM sig) AS n_hashed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+        |  ca.n_members, ca.n_clusters,
+        |  ca.n_members - ca.n_clusters AS n_dup_excess,
+        |  (SELECT count(*) FROM d) > 0
+        |    AND ca.n_members - ca.n_clusters >= 0 AS ship
+        |FROM ca ORDER BY n_shards""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

@@ -94,7 +94,10 @@ object CorpusScaleAudit {
     // the privacy strip (map-only; strip + invariance re-decode per row)
     "q363_metadata_strip",
     // zip enumeration + inflate (map-only per-payload kernel work)
-    "q364_zip_members")
+    "q364_zip_members",
+    // the shard-dedup capstone (decode + banded cross-shard pairs + CC
+    // - pair/cluster volume must stay proportional to corpus)
+    "q365_shard_dedup_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
