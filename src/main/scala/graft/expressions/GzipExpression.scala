@@ -66,6 +66,12 @@ object GzipKernel {
         if (p > b.length) return null
       }
       val memberStart = out.size
+      // Per-member CRC is maintained INCREMENTALLY on each inflate
+      // buffer — a per-member out.toByteArray would cost
+      // O(members × total_output) copying, letting a crafted stream
+      // (one ~64 MiB member + 100k empty members) amplify a few MiB of
+      // input into terabytes of memcpy that the output cap can't bound.
+      val crc = new java.util.zip.CRC32()
       val inf = new java.util.zip.Inflater(true)
       var consumed = 0
       try {
@@ -79,21 +85,19 @@ object GzipKernel {
             (inf.needsInput() || inf.needsDictionary()))
             return null // truncated / preset-dictionary stream
           out.write(buf, 0, n)
+          crc.update(buf, 0, n)
           if (out.size > MaxOut) return null // decode-bomb guard
         }
         consumed = (b.length - p) - inf.getRemaining
       } finally inf.end()
       val t = p + consumed
       if (t + 8 > b.length) return null // trailer truncated
-      val member = out.toByteArray // grows per member; bounded by cap
-      val crc = new java.util.zip.CRC32()
-      crc.update(member, memberStart, member.length - memberStart)
       def le32(at: Int): Long =
         ((b(at + 3) & 0xFFL) << 24) | ((b(at + 2) & 0xFFL) << 16) |
           ((b(at + 1) & 0xFFL) << 8) | (b(at) & 0xFFL)
       if (le32(t) != crc.getValue) return null // CRC-32 mismatch
       if (le32(t + 4) !=
-        ((member.length - memberStart).toLong & 0xFFFFFFFFL)) return null
+        ((out.size - memberStart).toLong & 0xFFFFFFFFL)) return null
       i = t + 8
     }
     out.toByteArray

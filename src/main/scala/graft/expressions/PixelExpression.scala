@@ -108,10 +108,13 @@ object PixelKernel {
     val cnt = new Array[Long](tw * th)
     var y = 0
     while (y < h) {
-      val cy = th * y / h
+      // Long arithmetic: a degenerate-aspect image (e.g. 1×2^24) with a
+      // target dim >~128 overflows th*y in Int, yielding a negative cell
+      // index — the kernel must return a value or null, never throw.
+      val cy = (th.toLong * y / h).toInt
       var x = 0
       while (x < w) {
-        val c = cy * tw + tw * x / w
+        val c = cy * tw + (tw.toLong * x / w).toInt
         sum(c) += lum(x, y); cnt(c) += 1L
         x += 1
       }

@@ -167,6 +167,10 @@ object VideoHeaderKernel {
                 }
               }
               if (codec == null || frames < 0L) return null
+              // mvhd v1 carries a 64-bit duration: duration*1000 can
+              // overflow Long on adversarial headers — NULL, never a
+              // wrong/negative duration_ms.
+              if (duration > Long.MaxValue / 1000L) return null
               return InternalRow(FORMAT_MP4, w, h,
                 duration * 1000L / timescale, frames, codec)
             }
@@ -361,6 +365,10 @@ object VideoHeaderKernel {
     }
     if (w <= 0L || h <= 0L || us <= 0L || frames < 0L || codec == null)
       return null
+    // frames and us are both LE32 fields (each up to 2^32−1): their
+    // product can overflow Long on adversarial headers — NULL, never a
+    // wrong/negative duration_ms.
+    if (frames > Long.MaxValue / us) return null
     InternalRow(FORMAT_AVI, w, h, frames * us / 1000L, frames, codec)
   }
 }

@@ -122,6 +122,10 @@ object InflateRawKernel {
       // a size lie
       val probe = new Array[Byte](1)
       if (!inf.finished() && inf.inflate(probe) > 0) return null
+      // a deflate stream that TERMINATED before consuming the sliced
+      // csize bytes is also a size lie (csize overstated, trailing
+      // garbage) — reject it too, per the contract above
+      if (inf.finished() && inf.getRemaining > 0) return null
       out
     } catch {
       case _: java.util.zip.DataFormatException => null

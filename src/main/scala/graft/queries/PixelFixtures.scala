@@ -194,7 +194,7 @@ private[graft] object PixelFixtures {
 
   def pngWithText(s: Long): Array[Byte] = {
     val base = pngGray(s)
-    val data = ("gps " + s.toString)
+    val data = ("gps\u0000" + s.toString)
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new java.io.ByteArrayOutputStream()
     out.write(base, 0, 33) // signature + IHDR (8 + 25)

@@ -393,7 +393,7 @@ class GenerationEvalSpec extends SparkSpec {
     // (sort_array(charShingles) → multisetIntersectSorted), including
     // NUL bytes, combining marks, and repeated grams.
     val rnd = new scala.util.Random(20260812L)
-    val atoms = Seq("a", "b", " ", "é", "漢", "字", "🎉", "é")
+    val atoms = Seq("a", "b", "\u0000", "é", "漢", "字", "🎉", "é")
     def randText(): String =
       (0 until rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
     val cases = ((0 until 80).map(i => (i.toLong, randText(), randText())) ++

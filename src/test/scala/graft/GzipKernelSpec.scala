@@ -51,6 +51,22 @@ class GzipKernelSpec extends SparkSpec {
     assert(d(bodyFlip).isEmpty)
   }
 
+  test("member CRC is incremental: a large member followed by many tiny ones decodes linearly") {
+    // the old per-member out.toByteArray CRC pass cost
+    // O(members × total_output) copying — a crafted one-big+many-empty
+    // stream is the amplification shape; correctness must hold and the
+    // work must stay linear in output
+    val big = Array.tabulate(1 << 20)(i => (i * 31).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(TarFixtures.gzip(big))
+    (0 until 1000).foreach(_ => bos.write(TarFixtures.gzip(Array.empty[Byte])))
+    bos.write(TarFixtures.gzip("tail".getBytes))
+    val got = d(bos.toByteArray).get
+    assert(got.length === big.length + 4)
+    assert(got.take(big.length).toSeq === big.toSeq)
+    assert(new String(got.drop(big.length)) === "tail")
+  }
+
   test("decode-bomb cap: a tiny gzip expanding past 64 MiB is NULL, not an OOM") {
     val bos = new java.io.ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(bos)

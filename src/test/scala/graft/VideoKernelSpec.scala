@@ -275,4 +275,40 @@ class VideoKernelSpec extends SparkSpec {
     assert(PixelKernel.resizeBox(png, w + 1, h) == null) // upscale
     assert(PixelKernel.resizeBox(png.take(40), 2, 2) == null) // corrupt
   }
+
+  test("adversarial header arithmetic: duration products and resize cell indices never overflow") {
+    // MP4 mvhd v1 carries a 64-bit duration: Long.MaxValue would
+    // overflow duration*1000 into a negative duration_ms — the
+    // contract is NULL, never a wrong number
+    val mp4 = VideoFixtures.mp4(5L, 1, audioTrak = false)
+    assert(VideoHeaderKernel.parse(mp4) != null)
+    var t = 0
+    while (!(mp4(t) == 'm' && mp4(t + 1) == 'v' && mp4(t + 2) == 'h' &&
+      mp4(t + 3) == 'd')) t += 1
+    val evil = mp4.clone()
+    // v1 payload: ver/flags(4) ctime(8) mtime(8) ts(4) then dur be64
+    evil(t + 28) = 0x7F.toByte
+    (t + 29 until t + 36).foreach(i => evil(i) = 0xFF.toByte)
+    assert(VideoHeaderKernel.parse(evil) == null)
+    // AVI: dwMicroSecPerFrame and dwTotalFrames are both LE32 — at
+    // 2^32−1 each their product overflows Long
+    val avi = VideoFixtures.avi(3L)
+    assert(VideoHeaderKernel.parse(avi) != null)
+    var a = 0
+    while (!(avi(a) == 'a' && avi(a + 1) == 'v' && avi(a + 2) == 'i' &&
+      avi(a + 3) == 'h')) a += 1
+    val evilAvi = avi.clone()
+    (a + 8 until a + 12).foreach(i => evilAvi(i) = 0xFF.toByte) // us
+    (a + 24 until a + 28).foreach(i => evilAvi(i) = 0xFF.toByte) // frames
+    assert(VideoHeaderKernel.parse(evilAvi) == null)
+    // resizeGrid cell partition: a degenerate-aspect 1×2^24 source with
+    // a 256-cell target overflows th*y in Int arithmetic (2^32) — the
+    // kernel must partition in Long and return real values, not throw
+    val cells = PixelKernel.resizeGrid(1, 1 << 24, 1, 256,
+      (_, y) => (y & 0xFF).toLong)
+    assert(cells.length === 256)
+    // each cell averages 65536 consecutive y values; y & 0xFF cycles
+    // every 256, so every cell's average is the same full-cycle mean
+    assert(cells.forall(_ === (0 until 256).sum / 256))
+  }
 }

@@ -98,5 +98,9 @@ class ZipKernelSpec extends SparkSpec {
     assert(InflateRawKernel.decode(data, 2L) == null)
     assert(InflateRawKernel.decode(data, 4L) == null)
     assert(InflateRawKernel.decode(data.take(6), 3L) == null) // truncated
+    // csize overstated: the deflate stream TERMINATES before consuming
+    // the sliced bytes (trailing garbage inside the claimed csize) —
+    // also a size lie, also NULL
+    assert(InflateRawKernel.decode(data ++ Array[Byte](9, 9), 3L) == null)
   }
 }
