@@ -584,6 +584,67 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL 64-bit-signature matching — the IMAGE twin of
+    * [[simhashMatchesWideIncremental]], and the production pattern
+    * [[signaturePairs64]] stops short of: dedup an arriving shard
+    * batch against yesterday's corpus WITHOUT re-decoding (or
+    * re-pairing) the corpus. The corpus participates only through its
+    * persisted `(id, sig)` signature table — 16 bytes/image, so a
+    * 100-billion-image corpus is a ~1.6 TB table scan-able in seconds
+    * where re-decoding 100 TB of pixels is not. Matches the batch
+    * against the table (cross) AND within itself, with the same
+    * 4×16-bit banding as [[signaturePairs64]] (pigeonhole-exact recall
+    * at Hamming ≤ 3). NULL signatures drop on both sides.
+    *
+    * Output (i, j, hamming), distinct: cross rows oriented
+    * i = corpus id, j = batch id; within-batch rows i < j. With
+    * monotonically growing ids, feed the pairs to
+    * `Components.keepCanonical(batchSigs, …)` — over the BATCH only,
+    * per the [[simhashMatchesWideIncremental]] composition note: any
+    * component touching the corpus has an old id as its min, so every
+    * batch member of it drops, and corpus survivors stay immutable.
+    * Union-append the batch survivors' signatures to refresh the table
+    * for the next increment.
+    *
+    * Scale shape: both sides band to 4 rows each; only 16-byte
+    * signature rows shuffle (corpus pixels are never read). At scale,
+    * store the table bucketed by (band, nib)
+    * ([[graft.operators.Skew.writeBucketed]]) so the cross join
+    * co-locates without a corpus shuffle.
+    *
+    * @param existingSigs the persisted corpus signature table; its id
+    *        space should be disjoint from the batch's (an exact id
+    *        re-delivery emits nothing, matching the text twin).
+    */
+  def signatureMatches64Incremental(newSigs: DataFrame, idCol: String,
+                                    sigCol: String, existingSigs: DataFrame,
+                                    existingIdCol: String,
+                                    existingSigCol: String,
+                                    maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    val nib = (b: Int) =>
+      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL))
+    val newBands = explodeBands(
+      newSigs.filter(col(sigCol).isNotNull)
+        .select(col(idCol).as("__id"), col(sigCol).as("__sig")), nib)
+      .transform(CacheScope.track) // cross join AND within self-join
+    val oldBands = explodeBands(
+      existingSigs.filter(col(existingSigCol).isNotNull)
+        .select(col(existingIdCol).as("__id"),
+          col(existingSigCol).as("__sig")), nib)
+    val cross = oldBands
+      .select(col("__id").as("i"), col("__sig").as("__si"),
+        col("band"), col("nib"))
+      .join(newBands.select(col("__id").as("j"), col("__sig").as("__sj"),
+        col("band"), col("nib")), Seq("band", "nib"))
+      .filter(col("i") =!= col("j")) // id re-delivery never self-matches
+      .select(col("i"), col("j"),
+        bit_count(col("__si").bitwiseXOR(col("__sj")))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    cross.union(pairsFromBands(newBands, maxHamming)).distinct()
+  }
+
   // --------------------------------------- incremental (batch-vs-corpus)
 
   /** The persisted wide-signature table `(id, sig)` of a corpus — what a

@@ -98,6 +98,42 @@ private[graft] object TarFixtures {
     if (doc % 10 == 9) full.take(612) else full
   }
 
+  /** q366's corpus+batch shard: [[dedupPayload]]'s structure (sample
+    * 0's image shared across the (2m, 2m+1) pair — the CROSS
+    * corpus↔batch planted duplicate when even docs are yesterday's
+    * corpus and odd docs today's batch) plus a BATCH-INTERNAL plant:
+    * an odd doc ≡ 3 (mod 4) carries, as sample 1, the IDENTICAL image
+    * of doc − 2's sample 1 — a duplicate entirely inside the arriving
+    * batch, which the incremental pass must also catch. Sample count
+    * is doc%3+2 ∈ [2,4] (NOT [[samples]]' doc%4+2: capping k ≤ 3
+    * keeps every non-planted sp = 4·doc+k in a residue class mod 4
+    * that can collide with no other shard's, so the planted pairs are
+    * the ONLY duplicates — the recall denominator is exact). %10==9
+    * truncates mid-first-member as in [[dedupPayload]].
+    */
+  def incrementalPayload(doc: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def member(name: String, data: Array[Byte]): Unit = {
+      out.write(header(name, data.length.toLong), 0, 512)
+      out.write(data, 0, data.length)
+      val pad = (512 - data.length % 512) % 512
+      (0 until pad).foreach(_ => out.write(0))
+    }
+    (0 until (doc % 3 + 2).toInt).foreach { k =>
+      val sp =
+        if (k == 0) 4 * (doc - doc % 2)
+        else if (k == 1 && doc % 4 == 3) 4 * (doc - 2) + 1
+        else 4 * doc + k
+      member(s"${doc}_$k.bmp", PixelFixtures.bmp(sp))
+      member(s"${doc}_$k.txt",
+        Seq.fill(txtTokens(doc, k))("a").mkString(" ")
+          .getBytes("US-ASCII"))
+    }
+    (0 until 1024).foreach(_ => out.write(0))
+    val full = out.toByteArray
+    if (doc % 10 == 9) full.take(612) else full
+  }
+
   /** RFC 1952 gzip of `data`, HAND-ROLLED (the zlibStored discipline —
     * construction shares no code with the Inflater-side
     * [[graft.expressions.GzipKernel]]): minimal 10-byte header

@@ -97,7 +97,12 @@ object CorpusScaleAudit {
     "q364_zip_members",
     // the shard-dedup capstone (decode + banded cross-shard pairs + CC
     // - pair/cluster volume must stay proportional to corpus)
-    "q365_shard_dedup_pipeline")
+    "q365_shard_dedup_pipeline",
+    // round-15 incremental image dedup: batch-vs-corpus banded match —
+    // the constant to watch is band-bucket occupancy on BOTH sides
+    // (corpus signature table and batch both grow with the corpus),
+    // and the shuffle must stay 16-byte signature rows, never pixels
+    "q366_incremental_image_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -412,6 +412,62 @@ class OperatorsSpec extends SparkSpec {
     assert(redelivered === 0L)
   }
 
+  test("signatureMatches64Incremental: cross+within truth off the persisted table; corpus bytes never read") {
+    import org.apache.spark.sql.types._
+    // corpus known ONLY by its persisted (id, sig) table — the operator
+    // takes signatures, not pixels, so corpus re-decode is impossible
+    // by construction; the inputFiles assertion below additionally
+    // locks that the matcher's scan side is just the table's parquet
+    val corpusRows = Seq((10L, 0x00FF00FF00FF00FFL),
+      (11L, 0x1234567812345678L), (12L, -1L))
+    val batchRows = Seq[(Long, java.lang.Long)](
+      (100L, 0x00FF00FF00FF00FDL), // Hamming 1 from corpus 10
+      (101L, 0x1234567812345678L), // exact re-ship of corpus 11
+      (102L, 0x0F0F0F0F0F0F0F0FL), // unique vs corpus
+      (103L, 0x0F0F0F0F0F0F0F0DL), // Hamming 1 from 102: batch-internal
+      (104L, null)) // undecodable image — no perceptual identity
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_").toString
+    corpusRows.toDF("img_id", "dhash").write.mode("overwrite")
+      .parquet(s"$dir/sigs.parquet")
+    val corpusSigs = spark.read.parquet(s"$dir/sigs.parquet")
+    val batchSigs = spark.createDataFrame(
+      spark.sparkContext.parallelize(batchRows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2))),
+      StructType(Seq(StructField("img_id", LongType, nullable = false),
+        StructField("dhash", LongType, nullable = true))))
+    val matches = graft.operators.Dedup.signatureMatches64Incremental(
+      batchSigs, "img_id", "dhash", corpusSigs, "img_id", "dhash",
+      maxHamming = 2)
+    assert(matches.inputFiles.forall(_.contains("sigs.parquet")))
+    val got = matches.collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("hamming"))).toSet
+    // brute-force ground truth over the same signatures
+    val bm = batchRows.collect { case (id, s) if s != null => id -> s.longValue }.toMap
+    val cross = for {
+      (ci, cs) <- corpusRows; (bi, bs) <- bm
+      h = java.lang.Long.bitCount(cs ^ bs) if h <= 2
+    } yield (ci, bi, h.toLong)
+    val within = for {
+      (a, as) <- bm.toSeq; (b, bs) <- bm if a < b
+      h = java.lang.Long.bitCount(as ^ bs) if h <= 2
+    } yield (a, b, h.toLong)
+    assert(got === (cross ++ within).toSet)
+    assert(got === Set((10L, 100L, 1L), (11L, 101L, 0L), (102L, 103L, 1L)))
+    // the documented composition: keepCanonical over the BATCH only —
+    // corpus-matched and within-dominated batch images drop; the
+    // unique and the undecodable survive; survivors union-append
+    val kept = graft.operators.Components.keepCanonical(
+      batchSigs, "img_id", matches)
+    assert(kept.select("img_id").as[Long].collect().toSet === Set(102L, 104L))
+    assert(corpusSigs.unionByName(kept).count() === 5L)
+    // id re-delivery emits nothing for itself
+    val redeliver = Dedup.signatureMatches64Incremental(
+      corpusSigs.limit(1), "img_id", "dhash", corpusSigs, "img_id",
+      "dhash", maxHamming = 2).filter($"i" === $"j").count()
+    assert(redeliver === 0L)
+  }
+
   test("incremental dedup end-to-end contract on a seeded random corpus") {
     // The documented composition (keepCanonical over the BATCH, old
     // survivors immutable by construction), locked on a generated
