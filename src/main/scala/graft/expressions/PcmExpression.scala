@@ -76,11 +76,21 @@ object PcmKernel {
   private val CODEC_ULAW = UTF8String.fromString("ulaw")
   private val CODEC_ALAW = UTF8String.fromString("alaw")
 
-  /** @return InternalRow(codec, sample_rate, channels, bits, n_samples,
-    * duration_ms, sum_q, sq_sum, n_clipped, lead_silence,
-    * trail_silence) or null.
+  /** Parsed-and-bounds-checked decode view: everything [[parse]] and
+    * [[envelopeHash]] share — the RIFF walk, the layout checks, and the
+    * per-codec linear-sample accessor — so the statistics pass and the
+    * perceptual hash can never decode differently.
     */
-  def parse(b: Array[Byte]): InternalRow = {
+  private final class View(val tag: Long, val rate: Long, val ch: Long,
+                           val bits: Long, dataOff: Int, val n: Int,
+                           b: Array[Byte]) {
+    def at(k: Int): Long =
+      if (tag == 1L) le16(b, dataOff + 2 * k).toShort.toLong
+      else if (tag == 7L) ulaw2linear(b(dataOff + k) & 0xFF).toLong
+      else alaw2linear(b(dataOff + k) & 0xFF).toLong
+  }
+
+  private def view(b: Array[Byte]): View = {
     if (b == null || b.length < 12) return null
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
@@ -119,12 +129,19 @@ object PcmKernel {
     if (dataOff + dataLen > b.length) return null // mid-data truncation
     val bps = if (tag == 1L) 2 else 1
     if (dataLen % (bps.toLong * ch) != 0L) return null // frame alignment
-    val n = (dataLen / bps).toInt
-    // per-codec decoded value and full-scale clip rails
-    def at(k: Int): Long =
-      if (tag == 1L) le16(b, dataOff + 2 * k).toShort.toLong
-      else if (tag == 7L) ulaw2linear(b(dataOff + k) & 0xFF).toLong
-      else alaw2linear(b(dataOff + k) & 0xFF).toLong
+    new View(tag, rate, ch, bits, dataOff, (dataLen / bps).toInt, b)
+  }
+
+  /** @return InternalRow(codec, sample_rate, channels, bits, n_samples,
+    * duration_ms, sum_q, sq_sum, n_clipped, lead_silence,
+    * trail_silence) or null.
+    */
+  def parse(b: Array[Byte]): InternalRow = {
+    val v0 = view(b)
+    if (v0 == null) return null
+    val tag = v0.tag; val rate = v0.rate; val ch = v0.ch
+    val bits = v0.bits; val n = v0.n
+    def at(k: Int): Long = v0.at(k)
     val (railHi, railLo) =
       if (tag == 1L) (32767L, -32768L)
       else if (tag == 7L) (32124L, -32124L)
@@ -152,6 +169,38 @@ object PcmKernel {
       else CODEC_ALAW
     InternalRow(codec, rate, ch, bits, n.toLong,
       (n / ch) * 1000L / rate, s, sq, clipped, lead.toLong, trail.toLong)
+  }
+
+  /** 64-bit ENERGY-ENVELOPE sign hash — the image dHash idea on the
+    * time axis, for perceptual audio dedup: decode to linear samples
+    * (same codecs, framing, and bounds checks as [[parse]] — one shared
+    * [[View]]), partition the N samples into 65 windows by the integer
+    * cell rule w = ⌊65·k/N⌋ (Long arithmetic — the resizeGrid overflow
+    * lesson), sum ABSOLUTE amplitude per window, bit t = e(t+1) > e(t).
+    * Integer-exact and oracle-replayable. Re-encodes of the same
+    * signal hash identically when they decode to the same linear
+    * samples (a G.711 stream and the PCM-16 transcode of its
+    * expansion), and any uniform amplitude scaling preserves every
+    * comparison. NULL on corrupt/unsupported payloads or N < 65 —
+    * an empty window has no energy to compare.
+    */
+  def envelopeHash(b: Array[Byte]): java.lang.Long = {
+    val v = view(b)
+    if (v == null || v.n < 65) return null
+    val n = v.n
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < n) {
+      e((65L * k / n).toInt) += math.abs(v.at(k))
+      k += 1
+    }
+    var h = 0L
+    var t = 0
+    while (t < 64) {
+      if (e(t + 1) > e(t)) h |= 1L << t
+      t += 1
+    }
+    java.lang.Long.valueOf(h)
   }
 }
 
@@ -194,6 +243,50 @@ case class PcmStats(child: Expression) extends UnaryExpression {
         |if (!${cEv.isNull}) {
         |  ${ev.value} = graft.expressions.PcmKernel.parse(${cEv.value});
         |  ${ev.isNull} = (${ev.value} == null);
+        |}
+        """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `audio_hash(content BINARY)` → BIGINT — the 64-bit energy-envelope
+  * sign hash of [[PcmKernel.envelopeHash]], NULL on corrupt /
+  * unsupported / shorter-than-65-sample payloads. Feed the column to
+  * [[graft.operators.Dedup.signaturePairs64]] (or the incremental
+  * matcher) — the same banded machinery images use.
+  */
+case class AudioEnvelopeHash(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"AudioEnvelopeHash expects BINARY, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else PcmKernel.envelopeHash(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cEv = child.genCode(ctx)
+    val boxed = ctx.freshName("hash")
+    ev.copy(code = cEv.code +
+      code"""
+        |boolean ${ev.isNull} = true;
+        |long ${ev.value} = 0L;
+        |if (!${cEv.isNull}) {
+        |  java.lang.Long $boxed =
+        |    graft.expressions.PcmKernel.envelopeHash(${cEv.value});
+        |  if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
         |}
         """.stripMargin)
   }

@@ -272,6 +272,15 @@ package object functions {
   def pcmStats(content: Column): Column =
     toColumn(graft.expressions.PcmStats(toExpression(content)))
 
+  /** 64-bit energy-envelope sign hash of a WAV payload (PCM-16 and
+    * G.711 ulaw/alaw) — perceptual AUDIO dedup signature for
+    * [[graft.operators.Dedup.signaturePairs64]]; NULL on corrupt /
+    * unsupported / < 65-sample payloads. See
+    * [[graft.expressions.PcmKernel.envelopeHash]].
+    */
+  def audioHash(content: Column): Column =
+    toColumn(graft.expressions.AudioEnvelopeHash(toExpression(content)))
+
   /** Codec-free VIDEO container header decode (MP4/ISO-BMFF box walk,
     * AVI RIFF walk, Matroska/WebM EBML walk): STRUCT<format, width,
     * height, duration_ms,

@@ -222,6 +222,11 @@ object GraftExtensions {
         "graft_pcm_stats(content) - WAV sample statistics (PCM-16 and G.711 ulaw/alaw) of a BINARY payload: struct<codec,sample_rate,channels,bits,n_samples,duration_ms,sum_q,sq_sum,n_clipped,lead_silence,trail_silence>, NULL on corrupt/truncated/unsupported layouts"),
       es => { val Seq(c) = arity("graft_pcm_stats", 1)(es)
         graft.expressions.PcmStats(c) }),
+    (FunctionIdentifier("graft_audio_hash"),
+      info("graft_audio_hash",
+        "graft_audio_hash(content) - 64-bit energy-envelope sign hash of a WAV payload (PCM-16, G.711 ulaw/alaw): the perceptual audio-dedup signature; NULL on corrupt/unsupported/<65-sample payloads"),
+      es => { val Seq(c) = arity("graft_audio_hash", 1)(es)
+        graft.expressions.AudioEnvelopeHash(c) }),
     (FunctionIdentifier("graft_video_header"),
       info("graft_video_header",
         "graft_video_header(content) - codec-free MP4/AVI/Matroska(WebM) container header decode of a BINARY payload: struct<format,width,height,duration_ms,n_frames,codec>, NULL on corrupt/truncated/unknown"),

@@ -5385,6 +5385,35 @@ object LlmQueries {
         .crossJoin(survivors.agg(count(lit(1)).as("n_batch_survivors")))
         .crossJoin(refreshed.agg(count(lit(1)).as("n_total_sigs")))
         .orderBy("n_corpus_sigs")
+    }),
+
+    // q367: perceptual AUDIO dedup — the image dedup story's audio
+    // twin. A 64-bit energy-envelope sign hash over the decoded linear
+    // samples (graft_audio_hash: 65 integer windows, bit t =
+    // e(t+1) > e(t) — dHash on the time axis) rides the SAME
+    // signaturePairs64 banding images use. The fixture plants G.711
+    // μ-law streams next to their PCM-16 transcodes (byte-unequal
+    // payloads, different codecs, identical linear samples → identical
+    // hashes) in doc trios; the third member is unique ramp audio.
+    // Truncated docs hash NULL and drop from banding.
+    "q367_audio_dedup" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.audioHash(audioDedupPayload(col("doc_id")))
+            .as("ahash"))
+        .transform(graft.operators.CacheScope.track)
+      val pairs = graft.operators.Dedup.signaturePairs64(
+        sigs, "doc_id", "ahash", maxHamming = 2)
+        .transform(graft.operators.CacheScope.track)
+      val clusters = graft.operators.Components
+        .connectedComponents(pairs, "i", "j")
+      sigs.agg(count(lit(1)).as("n_docs"),
+          count(col("ahash")).as("n_hashed"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(clusters.agg(count(lit(1)).as("n_members"),
+          count_distinct(col("component")).as("n_clusters")))
+        .withColumn("n_dup_excess", col("n_members") - col("n_clusters"))
+        .orderBy("n_docs")
     })
   )
 
@@ -5444,6 +5473,88 @@ object LlmQueries {
       le32(rate), le32(rate * 2L), lit("0200" + "1000" + "64617461"),
       le32(n * 2L), dataHex))
     when(docId % 10 === 9, wav.substr(lit(1), lit(44L) + n))
+      .otherwise(wav)
+  }
+
+  /** q367's constructed WAV trio per doc family f = ⌊doc/3⌋ (mono,
+    * 8 kHz, n = f%90+80 samples — always ≥ 65 so the envelope hash is
+    * defined):
+    *   v=0 (doc ≡ 0 mod 3): G.711 μ-law, code bytes
+    *       c(i) = (i²·(f%13+3) + i·37 + (f//13)·(i%11) + f·11 + 1)
+    *       % 256 — the QUADRATIC term and the two independent f mixes
+    *       matter (q342 dHash-diversity lesson, relearned on audio: a
+    *       pure i·37+phase stream is one fixed cycle rotated, giving
+    *       ≤ 256·90 distinct streams whose envelope hashes cluster
+    *       within small Hamming balls — measured 3636 pairs at sf0.1
+    *       against ~1350 planted before this form);
+    *   v=1: the PCM-16 TRANSCODE of v=0 — samples are exactly
+    *       ulaw2linear(c(i)) (the decode-then-store round trip a
+    *       format-normalizing pipeline produces): byte-unequal
+    *       payloads, different codecs, IDENTICAL linear samples,
+    *       identical envelope hash — the planted re-encode duplicate;
+    *   v=2: PCM-16 s(i) = (i²·1997 + i·523 + (doc%251)·(i%17)·64 +
+    *       doc·31) % 65536 − 32768 — unique audio. Both non-linear
+    *       terms matter: a LINEAR ramp's |s| is piecewise monotone
+    *       (envelope = a few long sign runs), and without the
+    *       (doc%251)·(i%17) mix two docs differ by a CONSTANT offset
+    *       before the wrap — a value-space rotation that preserves
+    *       most window comparisons (measured: 511 chance v2–v2 pairs
+    *       at sf0.1 with the offset-only form, 0 with this one).
+    * The μ-law expansion here is the public CCITT formula re-spelled
+    * in Column arithmetic — construction shares no code with
+    * [[graft.expressions.PcmKernel]]'s decode side. doc%10==9
+    * truncates mid-data → NULL (the hash drops from banding).
+    */
+  private def audioDedupPayload(docId: Column): Column = {
+    val f = ((docId - pmod(docId, lit(3L))) / lit(3L)).cast("long")
+    val v = pmod(docId, lit(3L))
+    val n = pmod(f, lit(90L)) + 80L
+    def hxp(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+    def le16(c: Column) = {
+      val x = hxp(c, 4)
+      concat(substring(x, 3, 2), substring(x, 1, 2))
+    }
+    def le32(c: Column) = {
+      val x = hxp(c, 8)
+      concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2))
+    }
+    def code(i: Column): Column = pmod(
+      i * i * (pmod(f, lit(13L)) + 3L) + i * 37L +
+        ((f - pmod(f, lit(13L))) / lit(13L)).cast("long") * pmod(i, lit(11L)) +
+        f * 11L + 1L, lit(256L))
+    def ulawLin(c: Column): Column = {
+      val u = lit(255L) - c
+      val seg = pmod(shiftright(u, 4), lit(8L))
+      val pow2 = when(seg === 0, 1L).when(seg === 1, 2L)
+        .when(seg === 2, 4L).when(seg === 3, 8L).when(seg === 4, 16L)
+        .when(seg === 5, 32L).when(seg === 6, 64L).otherwise(128L)
+      val t = (pmod(u, lit(16L)) * 8L + 132L) * pow2
+      when(u >= 128L, lit(132L) - t).otherwise(t - 132L)
+    }
+    def ramp(i: Column): Column =
+      pmod(i * i * 1997L + i * 523L +
+        pmod(docId, lit(251L)) * pmod(i, lit(17L)) * 64L +
+        docId * 31L, lit(65536L)) - 32768L
+    def pcmHex(s: Column => Column): Column = array_join(
+      transform(sequence(lit(0L), n - 1),
+        i => le16(pmod(s(i), lit(65536L)))), "")
+    val dataHex = when(v === 0, array_join(
+        transform(sequence(lit(0L), n - 1), i => hxp(code(i), 2)), ""))
+      .when(v === 1, pcmHex(i => ulawLin(code(i))))
+      .otherwise(pcmHex(ramp))
+    val dataLen = when(v === 0, n).otherwise(n * 2L)
+    val wav = unhex(concat(
+      lit("52494646"), le32(dataLen + 36L),
+      lit("57415645" + "666D7420" + "10000000"),
+      when(v === 0, lit("0700")).otherwise(lit("0100")), lit("0100"),
+      le32(lit(8000L)),
+      le32(when(v === 0, lit(8000L)).otherwise(lit(16000L))),
+      when(v === 0, lit("0100")).otherwise(lit("0200")),
+      when(v === 0, lit("0800")).otherwise(lit("1000")),
+      lit("64617461"), le32(dataLen), dataHex))
+    when(pmod(docId, lit(10L)) === 9,
+      wav.substr(lit(1), lit(44L) + n - when(v === 0, 10L).otherwise(0L)))
       .otherwise(wav)
   }
 
@@ -15704,7 +15815,75 @@ object LlmQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM cor)
         |    + (SELECT CAST(count(*) AS BIGINT) FROM surv)
         |    AS n_total_sigs
-        |ORDER BY n_corpus_sigs""".stripMargin
+        |ORDER BY n_corpus_sigs""".stripMargin,
+
+    // Audio perceptual dedup: every doc's linear samples replayed
+    // arithmetically (μ-law expansion as the public CCITT formula in
+    // CASE arithmetic for the v≤1 trio members, the per-doc ramp for
+    // v=2), 65-window abs-energy envelope, sign bits to a
+    // two's-complement BIGINT hash, brute-force Hamming ≤ 2 pairs, CC
+    // flood, one verdict row.
+    "q367_audio_dedup" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 3 AS f, doc_id % 3 AS v,
+        |    (doc_id // 3) % 90 + 80 AS n
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |sm AS (
+        |  SELECT doc_id, n, i,
+        |    CASE WHEN v <= 1 THEN
+        |      CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END
+        |    ELSE (i * i * 1997 + i * 523
+        |      + (doc_id % 251) * (i % 17) * 64
+        |      + doc_id * 31) % 65536 - 32768
+        |    END AS s
+        |  FROM (
+        |    SELECT doc_id, v, n, i, u,
+        |      ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t
+        |    FROM (
+        |      SELECT doc_id, v, n, i,
+        |        255 - ((i * i * (f % 13 + 3) + i * 37
+        |          + (f // 13) * (i % 11) + f * 11 + 1) % 256) AS u
+        |      FROM (SELECT doc_id, f, v, n, unnest(range(n)) AS i
+        |            FROM d)))),
+        |we AS (
+        |  SELECT doc_id, (65 * i) // n AS w, sum(abs(s)) AS e
+        |  FROM sm GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS t
+        |  FROM we a JOIN we b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64 AND b.e > a.e),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS ahash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(t AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1) x ON x.doc_id = d.doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.ahash, b.ahash)) <= 2),
+        |symp AS (SELECT i AS u, j AS v FROM p UNION SELECT j, i FROM p),
+        |pn AS (SELECT DISTINCT u AS node FROM symp),
+        |r(node, comp) AS (
+        |  SELECT node, node FROM pn
+        |  UNION
+        |  SELECT e.v, r.comp FROM r JOIN symp e ON e.u = r.node),
+        |l AS (SELECT node, min(comp) AS component FROM r GROUP BY 1),
+        |ca AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(count(DISTINCT component) AS BIGINT) AS n_clusters
+        |  FROM l)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_hashed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+        |  ca.n_members, ca.n_clusters,
+        |  ca.n_members - ca.n_clusters AS n_dup_excess
+        |FROM ca ORDER BY n_docs""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

@@ -102,7 +102,11 @@ object CorpusScaleAudit {
     // the constant to watch is band-bucket occupancy on BOTH sides
     // (corpus signature table and batch both grow with the corpus),
     // and the shuffle must stay 16-byte signature rows, never pixels
-    "q366_incremental_image_dedup")
+    "q366_incremental_image_dedup",
+    // audio perceptual dedup: banded envelope-hash pairs — the q343
+    // stress on the audio axis; pair volume must stay ∝ corpus (the
+    // fixture's stream-diversity terms exist exactly for this probe)
+    "q367_audio_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -20,6 +20,7 @@ class MediaFuzzSpec extends SparkSpec {
     ("MediaHeader", MediaHeaderKernel.parse _),
     ("AudioHeader", AudioHeaderKernel.parse _),
     ("Pcm", PcmKernel.parse _),
+    ("AudioEnvelopeHash", (b: Array[Byte]) => PcmKernel.envelopeHash(b)),
     ("Pixel", (b: Array[Byte]) => PixelKernel.decode(b)),
     ("PixelResize", (b: Array[Byte]) => PixelKernel.resizeBox(b, 4, 4)),
     ("VideoHeader", VideoHeaderKernel.parse _),

@@ -146,4 +146,49 @@ class PcmKernelSpec extends SparkSpec {
     assert(df(0).getLong(1) === 2L && df(0).getLong(2) === 2000000L)
     assert(df(1).isNullAt(1))
   }
+
+  test("envelope hash: exact bits, transcode/scaling invariance, short/corrupt NULL") {
+    // deterministic pseudo-random samples, long enough for 65 windows
+    val n = 130
+    val samples = (0 until n).map(i => (i * 523 + 77) % 65536 - 32768)
+    val h = PcmKernel.envelopeHash(wav(8000, 1, samples))
+    assert(h != null)
+    // brute-force replay of the documented definition
+    val e = new Array[Long](65)
+    samples.zipWithIndex.foreach { case (s, k) =>
+      e((65L * k / n).toInt) += math.abs(s.toLong)
+    }
+    var expect = 0L
+    (0 until 64).foreach(t => if (e(t + 1) > e(t)) expect |= 1L << t)
+    assert(h.longValue === expect)
+    // a G.711 stream and the PCM-16 transcode of its expansion decode
+    // to the same linear samples → identical hash, byte-unequal files
+    val codes = (0 until n).map(i => (i * 37 + 11) % 256)
+    val ulaw = g711wav(7, 8000, codes)
+    val pcm = wav(8000, 1, codes.map(PcmKernel.ulaw2linear))
+    assert(!ulaw.sameElements(pcm))
+    val hu = PcmKernel.envelopeHash(ulaw)
+    assert(hu != null && hu === PcmKernel.envelopeHash(pcm))
+    // uniform volume scaling preserves every envelope comparison
+    val scaled = samples.map(s => math.max(-32768, math.min(32767, s / 2)))
+    // halving CAN flip a comparison on near-ties via flooring; this
+    // fixture's window energies are far apart, so the hash holds
+    assert(PcmKernel.envelopeHash(wav(8000, 1, scaled)).longValue === expect)
+    // fewer than 65 samples: an empty window has no energy to compare
+    assert(PcmKernel.envelopeHash(wav(8000, 1, samples.take(64))) == null)
+    assert(PcmKernel.envelopeHash(wav(8000, 1, samples.take(65))) != null)
+    // corrupt framing NULLs exactly like parse
+    assert(PcmKernel.envelopeHash(Array[Byte](1, 2, 3)) == null)
+    assert(PcmKernel.envelopeHash(
+      wav(8000, 1, samples, declaredLen = Some(2 * n + 2))) == null)
+    // expression surface incl. the SQL registration
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Seq((1L, wav(8000, 1, samples)), (2L, Array[Byte](9)))
+      .toDF("id", "p")
+      .select(col("id"), graft.functions.audioHash(col("p")).as("h"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) === expect)
+    assert(got(1).isNullAt(1))
+  }
 }
