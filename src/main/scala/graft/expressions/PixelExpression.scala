@@ -15,9 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ships the decompressor (`java.util.zip.Inflater`) — followed by
   *    the per-scanline filter inversion (§9: types 0 None, 1 Sub,
   *    2 Up, 3 Average, 4 Paeth). Supported pixel layouts: bit depth 8,
-  *    color type 0 (grayscale, 1 byte/px) or 2 (truecolor RGB,
-  *    3 bytes/px), non-interlaced. Anything else (palette, alpha,
-  *    16-bit, Adam7) returns NULL — loud, never a wrong statistic.
+  *    color types 0 (grayscale), 2 (truecolor RGB), 3 (palette — PLTE
+  *    lookup, out-of-range indices NULL), 4 (gray+alpha) and 6 (RGBA)
+  *    — alpha is IGNORED for luminance (compositing would need a
+  *    background choice; statistics must be deterministic), the GIF
+  *    transparency convention. 16-bit depths and Adam7 interlace
+  *    return NULL — loud, never a wrong statistic.
   *  - BMP (BITMAPINFOHEADER, biBitCount 24, BI_RGB): pixel rows are
   *    RAW BGR triples, 4-byte-aligned stride, bottom-up when biHeight
   *    is positive (top-down when negative). No decompression at all.
@@ -176,18 +179,29 @@ object PixelKernel {
     // compression(26)=0, filter(27)=0, interlace(28)=0 — §11.2.2
     if (depth != 8 || u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0)
       return null
+    // bytes per pixel by color type (§11.2.2, depth 8): 0 grayscale,
+    // 2 truecolor, 3 palette index, 4 gray+alpha, 6 RGBA. 16-bit and
+    // Adam7 stay NULL — loud, never a wrong statistic. Alpha is
+    // IGNORED for luminance (compositing would need a background
+    // choice; the statistics must be deterministic) — same contract as
+    // GIF's transparency flag.
     val bpp = colorType match {
-      case 0 => 1 // grayscale
-      case 2 => 3 // truecolor RGB
-      case _ => return null // palette/alpha/16-bit unsupported → loud
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case 4 => 2
+      case 6 => 4
+      case _ => return null
     }
     val rowBytes = w * bpp
     val rawLen = h * (1L + rowBytes)
     if (rawLen > MaxRawBytes) return null // decode-bomb guard
-    // chunk walk: concatenate IDAT payloads until IEND
+    // chunk walk: capture PLTE, concatenate IDAT payloads until IEND
     val idat = new java.io.ByteArrayOutputStream()
     var off = 33
     var sawEnd = false
+    var palOff = -1
+    var palEntries = 0
     while (!sawEnd) {
       if (off + 8 > b.length) return null
       val len = be32(b, off)
@@ -198,12 +212,19 @@ object PixelKernel {
       if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         idat.write(b, off + 8, len.toInt)
         if (idat.size() > MaxRawBytes) return null
+      } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+        // §11.2.3: length a multiple of 3, 1..256 entries, before IDAT
+        if (idat.size() > 0 || palOff >= 0) return null
+        if (len == 0L || len % 3L != 0L || len > 768L) return null
+        palOff = off + 8
+        palEntries = (len / 3L).toInt
       } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
         sawEnd = true
       }
       off += 12 + len.toInt // len + type + data + CRC (CRC not verified)
     }
     if (idat.size() == 0) return null
+    if (colorType == 3 && palOff < 0) return null // PLTE is mandatory
     // inflate exactly rawLen bytes; anything short is truncation.
     // Trailer (Adler-32) verification is BEST-EFFORT: when the
     // decompressor reaches the checksum inside the final inflate call
@@ -254,10 +275,40 @@ object PixelKernel {
       }
       y += 1
     }
-    LumView("png", wi, hi, bpp, (x, yy) => {
+    // a palette index past the PLTE's last entry is corrupt (§11.2.3)
+    // — validated UP FRONT so the lazy lum accessor can never read
+    // outside the palette (NULL, never a wrong statistic or a throw)
+    if (colorType == 3) {
+      var yy = 0
+      while (yy < hi) {
+        val base = yy * (1 + rb) + 1
+        var x = 0
+        while (x < wi) {
+          if (u8(raw, base + x) >= palEntries) return null
+          x += 1
+        }
+        yy += 1
+      }
+    }
+    // reported channels: palette pixels DECODE to RGB (3, the GIF
+    // convention); gray+alpha 2; RGBA 4
+    val channels = colorType match {
+      case 0 => 1
+      case 3 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => 3
+    }
+    LumView("png", wi, hi, channels, (x, yy) => {
       val p = yy * (1 + rb) + 1 + x * bpp
-      if (bpp == 1) 1000L * u8(raw, p)
-      else 299L * u8(raw, p) + 587L * u8(raw, p + 1) + 114L * u8(raw, p + 2)
+      colorType match {
+        case 0 | 4 => 1000L * u8(raw, p) // alpha (type 4) ignored
+        case 3 =>
+          val e = palOff + 3 * u8(raw, p)
+          299L * u8(b, e) + 587L * u8(b, e + 1) + 114L * u8(b, e + 2)
+        case _ => // 2 and 6; alpha (type 6) ignored
+          299L * u8(raw, p) + 587L * u8(raw, p + 1) + 114L * u8(raw, p + 2)
+      }
     })
   }
 

@@ -5414,6 +5414,33 @@ object LlmQueries {
           count_distinct(col("component")).as("n_clusters")))
         .withColumn("n_dup_excess", col("n_members") - col("n_clusters"))
         .orderBy("n_docs")
+    }),
+
+    // q368: PNG palette + alpha decode — the color types a web corpus
+    // actually ships beyond gray/RGB (palette PNGs are ubiquitous).
+    // v = doc%4: 256-entry palette / gray+alpha / RGBA / a CORRUPT
+    // 64-entry palette whose index stream overruns it (the kernel's
+    // up-front index validation must NULL, never read past the PLTE).
+    // Alpha bytes are present in the payloads and IGNORED by the
+    // luminance contract; the oracle re-derives every stat from the
+    // shared pixel + palette arithmetic.
+    "q368_png_palette_alpha" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, PixelFixtures.paletteAlphaPayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.format").as("format"), col("__s.width").as("width"),
+          col("__s.height").as("height"),
+          col("__s.channels").as("channels"),
+          col("__s.n_pixels").as("n_pixels"),
+          col("__s.lum_sum").as("lum_sum"),
+          col("__s.lum_sq_sum").as("lum_sq_sum"))
+        .orderBy("doc_id")
     })
   )
 
@@ -15883,7 +15910,52 @@ object LlmQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
         |  ca.n_members, ca.n_clusters,
         |  ca.n_members - ca.n_clusters AS n_dup_excess
-        |FROM ca ORDER BY n_docs""".stripMargin
+        |FROM ca ORDER BY n_docs""".stripMargin,
+
+    // PNG palette/alpha: stats re-derived from the shared pixel
+    // arithmetic; palette luminance through the GIF-shared palette
+    // formula (entry i = (i, 3i%256, 5i%256)); the corrupt variant's
+    // NULL-ness decided by the replayed max-index predicate.
+    "q368_png_palette_alpha" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS v,
+        |    doc_id % 24 + 9 AS w, (doc_id * 5) % 24 + 8 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, v,
+        |    ((u.x + doc_id % 31) * (u.y + doc_id % 37) * 3 + doc_id)
+        |      % 256 AS p
+        |  FROM (
+        |    SELECT doc_id, v,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x -> {'x': x, 'y': y})))) AS u
+        |    FROM d)),
+        |lm AS (
+        |  SELECT doc_id, v, p,
+        |    CASE WHEN v = 1 THEN 1000 * p
+        |      ELSE 299 * p + 587 * ((p * 3) % 256)
+        |        + 114 * ((p * 5) % 256) END AS lum
+        |  FROM px),
+        |agg AS (
+        |  SELECT doc_id, max(p) AS maxp,
+        |    CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |    CAST(sum(lum * lum) AS BIGINT) AS lum_sq_sum
+        |  FROM lm GROUP BY 1),
+        |ok AS (
+        |  SELECT d.doc_id, d.v, d.w, d.h, a.lum_sum, a.lum_sq_sum,
+        |    d.doc_id % 10 <> 7 AND NOT (d.v = 3 AND a.maxp >= 64)
+        |      AS parsed
+        |  FROM d JOIN agg a USING (doc_id))
+        |SELECT doc_id, parsed,
+        |  CASE WHEN parsed THEN 'png' END AS format,
+        |  CASE WHEN parsed THEN CAST(w AS BIGINT) END AS width,
+        |  CASE WHEN parsed THEN CAST(h AS BIGINT) END AS height,
+        |  CASE WHEN parsed THEN CAST(CASE v WHEN 0 THEN 3 WHEN 1 THEN 2
+        |    WHEN 2 THEN 4 ELSE 3 END AS BIGINT) END AS channels,
+        |  CASE WHEN parsed THEN CAST(w * h AS BIGINT) END AS n_pixels,
+        |  CASE WHEN parsed THEN lum_sum END AS lum_sum,
+        |  CASE WHEN parsed THEN lum_sq_sum END AS lum_sq_sum
+        |FROM ok ORDER BY doc_id""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

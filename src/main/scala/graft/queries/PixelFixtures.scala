@@ -243,9 +243,74 @@ private[graft] object PixelFixtures {
     * are zeros — the kernel's contract reads pixels, it does not
     * certify archives.
     */
+  /** q368's payload: the three round-15 PNG color types plus a CORRUPT
+    * short-palette plant. v = doc%4: 0 → 256-entry palette, 1 →
+    * gray+alpha, 2 → RGBA, 3 → a 64-entry palette whose index stream
+    * still ranges over 0..255 — corrupt exactly when any index ≥ 64
+    * (the oracle replays that predicate as max(p) ≥ 64). doc%10==7
+    * truncates to 40 bytes as in [[payload]].
+    */
+  def paletteAlphaPayload(docId: Long): Array[Byte] = {
+    val full = (docId % 4) match {
+      case 0 => pngPalette(docId)
+      case 1 => pngGrayAlpha(docId)
+      case 2 => pngRgba(docId)
+      case _ => pngPalette(docId, entries = 64)
+    }
+    if (docId % 10 == 7) full.take(40) else full
+  }
+
+  /** PNG color type 3 (palette): index stream = the shared p(x,y,s)
+    * arithmetic, PLTE entry i = (i, 3i%256, 5i%256) — the SAME palette
+    * arithmetic as the GIF fixture, so the oracle's RGB-luminance
+    * formula is shared. `entries` < 256 with an index ≥ entries
+    * present makes the payload CORRUPT (the kernel's up-front index
+    * validation must NULL it, never read past the PLTE).
+    */
+  def pngPalette(s: Long, entries: Int = 256): Array[Byte] = {
+    val w = width(s); val h = height(s)
+    val raw = Array.tabulate(h, w)((y, x) => pix(x, y, s))
+    val plte = Array.tabulate(entries * 3) { k =>
+      val i = k / 3
+      (k % 3 match { case 0 => i; case 1 => i * 3 % 256; case _ => i * 5 % 256 }).toByte
+    }
+    png(w, h, colorType = 3, raw, plte = Some(plte))
+  }
+
+  /** PNG color type 4 (gray+alpha): gray = p, alpha = (7p+13) % 256 —
+    * present in the bytes, IGNORED by the luminance contract.
+    */
+  def pngGrayAlpha(s: Long): Array[Byte] = {
+    val w = width(s); val h = height(s)
+    val rows = Array.tabulate(h) { y =>
+      (0 until w).flatMap { x =>
+        val p = pix(x, y, s)
+        Seq(p, (7 * p + 13) % 256)
+      }.toArray
+    }
+    png(w, h, colorType = 4, rows)
+  }
+
+  /** PNG color type 6 (RGBA): RGB = the shared (p, 3p%256, 5p%256),
+    * alpha = (7p+13) % 256 ignored.
+    */
+  def pngRgba(s: Long): Array[Byte] = {
+    val w = width(s); val h = height(s)
+    val rows = Array.tabulate(h) { y =>
+      (0 until w).flatMap { x =>
+        val p = pix(x, y, s)
+        Seq(p, p * 3 % 256, p * 5 % 256, (7 * p + 13) % 256)
+      }.toArray
+    }
+    png(w, h, colorType = 6, rows)
+  }
+
   private def png(w: Int, h: Int, colorType: Int,
-                  rows: Array[Array[Int]]): Array[Byte] = {
-    val bpp = if (colorType == 0) 1 else 3
+                  rows: Array[Array[Int]],
+                  plte: Option[Array[Byte]] = None): Array[Byte] = {
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
+    }
     val rb = w * bpp
     // forward filtering (PNG §9 encode direction): predictions read the
     // RAW bytes of the current and prior scanline
@@ -297,6 +362,7 @@ private[graft] object PixelFixtures {
       (h >> 24) & 0xFF, (h >> 16) & 0xFF, (h >> 8) & 0xFF, h & 0xFF,
       8, colorType, 0, 0, 0).foreach(ihdr.write)
     chunk("IHDR", ihdr.toByteArray)
+    plte.foreach(p => chunk("PLTE", p))
     chunk("IDAT", idat)
     chunk("IEND", Array.empty[Byte])
     out.toByteArray

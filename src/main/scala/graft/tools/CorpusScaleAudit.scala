@@ -106,7 +106,9 @@ object CorpusScaleAudit {
     // audio perceptual dedup: banded envelope-hash pairs — the q343
     // stress on the audio axis; pair volume must stay ∝ corpus (the
     // fixture's stream-diversity terms exist exactly for this probe)
-    "q367_audio_dedup")
+    "q367_audio_dedup",
+    // PNG palette/alpha decode (map-only; per-payload kernel constants)
+    "q368_png_palette_alpha")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

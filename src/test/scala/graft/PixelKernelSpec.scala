@@ -202,9 +202,85 @@ class PixelKernelSpec extends SparkSpec {
       assert(PixelKernel.decode(bmpFull.take(n)) == null, s"bmp prefix $n")
   }
 
+  test("PNG palette and alpha color types decode exactly; alpha is luminance-ignored") {
+    for (s <- Seq(0L, 5L, 123L)) {
+      val w = PixelFixtures.width(s); val h = PixelFixtures.height(s)
+      def pix(x: Int, y: Int): Int =
+        (((x + s % 31) * (y + s % 37) * 3 + s) % 256).toInt
+      def rgbLum(x: Int, y: Int): Long = {
+        val p = pix(x, y)
+        299L * p + 587L * (p * 3 % 256) + 114L * (p * 5 % 256)
+      }
+      // type 3: indices through the GIF-shared palette arithmetic
+      val st3 = PixelKernel.decode(PixelFixtures.pngPalette(s))
+      assert(st3 != null && st3.channels == 3, s"s=$s")
+      val (s3, q3, h3, d3) = statsOf(rgbLum, w, h)
+      assert((st3.lumSum, st3.lumSqSum, st3.hist.toSeq, st3.dhash) ===
+        ((s3, q3, h3, d3)))
+      // type 6 carries the SAME RGB as the palette entries — one
+      // cross-type lock: RGBA stats must equal palette-decoded stats
+      val st6 = PixelKernel.decode(PixelFixtures.pngRgba(s))
+      assert(st6 != null && st6.channels == 4)
+      assert((st6.lumSum, st6.lumSqSum, st6.hist.toSeq, st6.dhash) ===
+        ((s3, q3, h3, d3)))
+      // type 4: alpha-blind — stats equal the plain-gray fixture's
+      val st4 = PixelKernel.decode(PixelFixtures.pngGrayAlpha(s))
+      val g = PixelKernel.decode(PixelFixtures.pngGray(s))
+      assert(st4 != null && st4.channels == 2)
+      assert((st4.lumSum, st4.lumSqSum, st4.dhash) ===
+        ((g.lumSum, g.lumSqSum, g.dhash)))
+    }
+    // an index stream overrunning a short PLTE is corrupt — NULL from
+    // the up-front validation, never a read past the palette
+    assert(PixelKernel.decode(PixelFixtures.pngPalette(5L, entries = 64)) == null)
+    // JDK ImageIO cross-check (independent encoder, real deflate):
+    // TYPE_INT_ARGB writes PNG color type 6; varying alpha must not
+    // perturb the luminance statistics
+    import java.awt.image.BufferedImage
+    val w2 = 19; val h2 = 13
+    val img = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h2; x <- 0 until w2) {
+      val p = (x * 7 + y * 13) % 256
+      val a = (x * 29 + y * 3) % 256
+      img.setRGB(x, y,
+        (a << 24) | (p << 16) | ((p * 3 % 256) << 8) | (p * 5 % 256))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val st = PixelKernel.decode(bos.toByteArray)
+    assert(st != null && st.channels == 4 && st.width == w2)
+    def lum2(x: Int, y: Int): Long = {
+      val p = (x * 7 + y * 13) % 256
+      299L * p + 587L * (p * 3 % 256) + 114L * (p * 5 % 256)
+    }
+    val (se, qe, he, de) = statsOf(lum2, w2, h2)
+    assert((st.lumSum, st.lumSqSum, st.hist.toSeq, st.dhash) ===
+      ((se, qe, he, de)))
+    // ...and TYPE_BYTE_INDEXED with an explicit 200-entry palette
+    // writes PNG color type 3 (depth 8) — palette-lookup luminance
+    val pr = Array.tabulate(200)(i => (i * 5 % 256).toByte)
+    val pg = Array.tabulate(200)(i => (i * 11 % 256).toByte)
+    val pb = Array.tabulate(200)(i => (i * 3 % 256).toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 200, pr, pg, pb)
+    val pimg = new BufferedImage(15, 11, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 11; x <- 0 until 15)
+      pimg.getRaster.setSample(x, y, 0, (x * 13 + y * 7) % 200)
+    val pbs = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(pimg, "png", pbs))
+    val pst = PixelKernel.decode(pbs.toByteArray)
+    assert(pst != null && pst.channels == 3 && pst.width == 15)
+    def plum(x: Int, y: Int): Long = {
+      val i = (x * 13 + y * 7) % 200
+      299L * (i * 5 % 256) + 587L * (i * 11 % 256) + 114L * (i * 3 % 256)
+    }
+    val (ps, pq, ph, pd) = statsOf(plum, 15, 11)
+    assert((pst.lumSum, pst.lumSqSum, pst.hist.toSeq, pst.dhash) ===
+      ((ps, pq, ph, pd)))
+  }
+
   test("unsupported layouts and corrupt streams are NULL, never wrong") {
     val full = PixelFixtures.payload(0L)
-    // palette color type
+    // palette color type WITHOUT a PLTE (§11.2.3 makes it mandatory)
     val pal = full.clone(); pal(25) = 3; assert(PixelKernel.decode(pal) == null)
     // 16-bit depth
     val d16 = full.clone(); d16(24) = 16; assert(PixelKernel.decode(d16) == null)
