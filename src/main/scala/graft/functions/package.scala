@@ -281,6 +281,14 @@ package object functions {
   def audioHash(content: Column): Column =
     toColumn(graft.expressions.AudioEnvelopeHash(toExpression(content)))
 
+  /** RFC 8878 zstd frame decode (multi-frame concatenation; XXH64
+    * checksums verified by the library; declared-size + streaming
+    * 64 MiB decode-bomb caps), NULL on corrupt. See
+    * [[graft.expressions.ZstdKernel]].
+    */
+  def zstdDecode(content: Column): Column =
+    toColumn(graft.expressions.ZstdDecode(toExpression(content)))
+
   /** Codec-free VIDEO container header decode (MP4/ISO-BMFF box walk,
     * AVI RIFF walk, Matroska/WebM EBML walk): STRUCT<format, width,
     * height, duration_ms,

@@ -253,6 +253,11 @@ object GraftExtensions {
         "graft_gzip_decode(content) - RFC 1952 gzip decode of a BINARY payload (multi-member concatenation; CRC-32 + ISIZE verified; 64 MiB cap), NULL on corrupt framing or failed integrity"),
       es => { val Seq(c) = arity("graft_gzip_decode", 1)(es)
         graft.expressions.GzipDecode(c) }),
+    (FunctionIdentifier("graft_zstd_decode"),
+      info("graft_zstd_decode",
+        "graft_zstd_decode(content) - RFC 8878 zstd frame decode of a BINARY payload (multi-frame concatenation; XXH64 checksums verified; declared-size + streaming 64 MiB caps), NULL on corrupt frames or failed integrity"),
+      es => { val Seq(c) = arity("graft_zstd_decode", 1)(es)
+        graft.expressions.ZstdDecode(c) }),
     (FunctionIdentifier("graft_media_strip"),
       info("graft_media_strip",
         "graft_media_strip(content) - image metadata strip (privacy): JPEG APP1-APP15 + COM and PNG tEXt/zTXt/iTXt/eXIf/tIME removed, pixels byte-identical; NULL on non-JPEG/PNG or malformed payloads"),

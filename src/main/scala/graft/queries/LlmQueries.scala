@@ -5441,6 +5441,47 @@ object LlmQueries {
           col("__s.lum_sum").as("lum_sum"),
           col("__s.lum_sq_sum").as("lum_sq_sum"))
         .orderBy("doc_id")
+    }),
+
+    // q369: the ZSTD hop — the q361 contract for the OTHER compressor
+    // real corpora ship (.jsonl.zst). Multi-frame concatenation
+    // (%6==5), a planted payload bitflip the XXH64 checksum must
+    // quarantine (%10==3), and a frame truncation (%11==7). The
+    // compressed size is encoder-dependent (entropy coding) so, unlike
+    // gzip's stored blocks, it is NOT an oracle column — the oracle
+    // grades the DECODED side only.
+    "q369_zstd_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, TarFixtures.zstPayload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          graft.functions.zstdDecode(col("__p")).as("__d"))
+        .select(col("doc_id"), col("__d").isNotNull.as("parsed"),
+          length(col("__d")).cast("long").as("n_bytes"),
+          size(graft.functions.tokens(col("__d").cast("string")))
+            .cast("long").as("n_tokens"))
+        .withColumn("n_tokens",
+          when(col("parsed"), col("n_tokens"))) // size() is -1 on NULL
+        .orderBy("doc_id")
+    }),
+
+    // q370: the .tar.zst WebDataset chain — zstd_decode → tar_members
+    // → explode in one projection (the q362 shape with the zstd hop).
+    // The %9==8 tar truncation hides INSIDE a checksum-valid frame and
+    // must be caught by the tar walk; %11==7 kills the frame itself.
+    "q370_webdataset_zst" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, TarFixtures.zstTarPayload(id))))
+        .toDF("doc_id", "__p")
+      media.select(col("doc_id"),
+          explode(graft.functions.tarMembers(
+            graft.functions.zstdDecode(col("__p")))).as("__m"))
+        .select(col("doc_id"),
+          col("__m.name").as("name"), col("__m.offset").as("offset"),
+          col("__m.size").as("size"))
+        .orderBy("doc_id", "offset")
     })
   )
 
@@ -15955,7 +15996,48 @@ object LlmQueries {
         |  CASE WHEN parsed THEN CAST(w * h AS BIGINT) END AS n_pixels,
         |  CASE WHEN parsed THEN lum_sum END AS lum_sum,
         |  CASE WHEN parsed THEN lum_sq_sum END AS lum_sq_sum
-        |FROM ok ORDER BY doc_id""".stripMargin
+        |FROM ok ORDER BY doc_id""".stripMargin,
+
+    // zstd hop: decoded-side columns only (compressed size is
+    // encoder-dependent); corrupt = bitflip or truncation.
+    "q369_zstd_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 40 + 1 AS n,
+        |    2 * (doc_id % 40 + 1) - 1 AS sz,
+        |    doc_id % 10 = 3 OR doc_id % 11 = 7 AS corrupt
+        |  FROM documents)
+        |SELECT doc_id, NOT corrupt AS parsed,
+        |  CASE WHEN NOT corrupt THEN CAST(sz AS BIGINT) END AS n_bytes,
+        |  CASE WHEN NOT corrupt THEN CAST(n AS BIGINT) END AS n_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // .tar.zst chain: the q362 member layout behind the zstd hop.
+    "q370_webdataset_zst" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS s
+        |  FROM documents WHERE doc_id % 9 <> 8 AND doc_id % 11 <> 7),
+        |mem AS (
+        |  SELECT doc_id, u.j AS j, u.name AS name, u.size AS size
+        |  FROM (
+        |    SELECT doc_id, unnest(flatten(list_transform(range(s),
+        |      k -> [
+        |        {'j': 2 * k,
+        |         'name': CAST(doc_id AS VARCHAR) || '_'
+        |           || CAST(k AS VARCHAR) || '.bmp',
+        |         'size': 54 + (((4 * doc_id + k) * 5) % 24 + 8)
+        |           * (((3 * ((4 * doc_id + k) % 24 + 9) + 3) // 4) * 4)},
+        |        {'j': 2 * k + 1,
+        |         'name': CAST(doc_id AS VARCHAR) || '_'
+        |           || CAST(k AS VARCHAR) || '.txt',
+        |         'size': 2 * ((doc_id + k) % 7 + 1) - 1}]))) AS u
+        |    FROM d))
+        |SELECT doc_id, name,
+        |  CAST(512 * (j + 1) + coalesce(sum((size + 511) // 512 * 512)
+        |    OVER (PARTITION BY doc_id ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS "offset",
+        |  CAST(size AS BIGINT) AS size
+        |FROM mem ORDER BY doc_id, "offset"""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

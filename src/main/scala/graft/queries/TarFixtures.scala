@@ -272,4 +272,51 @@ private[graft] object TarFixtures {
     val gz = gzip(payload(doc))
     if (doc % 11 == 7) gz.take(gz.length - 4) else gz
   }
+
+  /** RFC 8878 zstd frame of `data`, WITH the XXH64 content checksum
+    * enabled (so planted bitflips quarantine at the decode hop).
+    * Construction rides zstd-jni's ENCODER — for an entropy-coded
+    * format (FSE + Huffman) that is the only practical independent
+    * direction (the [[gzip]] fixtures hand-roll stored blocks because
+    * deflate ALLOWS a no-compression mode; zstd has no equivalent
+    * byte-level escape hatch worth hand-writing). Encoder and decoder
+    * are distinct code paths within the library, corruption is planted
+    * at the BYTE level after encoding, and every decoded-content
+    * column is re-derived by the oracle from doc arithmetic — the
+    * round trip still breaks loudly on an offset or framing bug.
+    */
+  def zstd(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(bos, 3)
+    z.setChecksum(true)
+    z.write(data, 0, data.length)
+    z.close()
+    bos.toByteArray
+  }
+
+  /** q369's payload: the [[gzPayload]] content arithmetic behind the
+    * zstd hop. %6==5 → TWO concatenated frames (multi-frame
+    * semantics); %10==3 → a PAYLOAD bitflip inside the frame (the
+    * XXH64 checksum must quarantine); %11==7 → truncation.
+    */
+  def zstPayload(doc: Long): Array[Byte] = {
+    val n = (doc % 40 + 1).toInt
+    val data = Seq.fill(n)("a").mkString(" ").getBytes("US-ASCII")
+    val zs =
+      if (doc % 6 == 5) {
+        val h = data.length / 2
+        zstd(data.take(h)) ++ zstd(data.drop(h))
+      } else zstd(data)
+    if (doc % 10 == 3) zs(12 % zs.length) = (zs(12 % zs.length) ^ 0x5A).toByte
+    if (doc % 11 == 7) zs.take(zs.length - 4) else zs
+  }
+
+  /** The .tar.zst chain (q370): [[payload]]'s tar (with its own %9==8
+    * mid-member truncation hiding INSIDE a checksum-valid frame)
+    * behind one zstd frame; %11==7 truncates the frame itself.
+    */
+  def zstTarPayload(doc: Long): Array[Byte] = {
+    val zs = zstd(payload(doc))
+    if (doc % 11 == 7) zs.take(zs.length - 4) else zs
+  }
 }

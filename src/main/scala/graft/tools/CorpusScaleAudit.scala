@@ -108,7 +108,10 @@ object CorpusScaleAudit {
     // fixture's stream-diversity terms exist exactly for this probe)
     "q367_audio_dedup",
     // PNG palette/alpha decode (map-only; per-payload kernel constants)
-    "q368_png_palette_alpha")
+    "q368_png_palette_alpha",
+    // the zstd hop and the .tar.zst chain (map-only; per-payload
+    // native decompress cost is the constant to watch)
+    "q369_zstd_decode", "q370_webdataset_zst")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

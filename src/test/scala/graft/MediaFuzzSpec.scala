@@ -28,6 +28,7 @@ class MediaFuzzSpec extends SparkSpec {
     ("Mp3Header", Mp3HeaderKernel.parse _),
     ("Tar", (b: Array[Byte]) => graft.expressions.TarKernel.parse(b)),
     ("Gzip", (b: Array[Byte]) => graft.expressions.GzipKernel.decode(b)),
+    ("Zstd", (b: Array[Byte]) => graft.expressions.ZstdKernel.decode(b)),
     ("MediaStrip", (b: Array[Byte]) => graft.expressions.MediaStripKernel.strip(b)),
     ("Zip", (b: Array[Byte]) => graft.expressions.ZipKernel.parse(b)),
     ("InflateRaw", (b: Array[Byte]) => graft.expressions.InflateRawKernel.decode(b, 64L)))
