@@ -75,11 +75,24 @@ object TableIO {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int, format: String = "parquet",
-                    mode: String = "overwrite"): Unit =
+                    mode: String = "overwrite"): Unit = {
+    if (mode == "overwrite") {
+      // a FRESH in-memory catalog does not know about a prior
+      // session's managed-table directory, and CTAS refuses to reuse
+      // the location — overwrite semantics must hold across sessions,
+      // so drop the catalog entry AND clear a stale location
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
     df.write.format(format).mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Atomic snapshot publish WITHOUT a transactional table format — the
     * commit-marker protocol: data lands in `tableDir/v=N`, and only

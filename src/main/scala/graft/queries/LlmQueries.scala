@@ -4759,51 +4759,28 @@ object LlmQueries {
         graft.operators.Cooccur.coEngagementPairs(li,
           "l_orderkey", "l_partkey", maxDegree = 6)
           .select(col("item_a"), col("item_b")))
-      val nodes = edges.select(col("item_a").as("n"))
-        .unionByName(edges.select(col("item_b").as("n"))).distinct()
-      val counts = nodes.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-      val assort = graft.operators.Triangles.assortativity(edges,
-        "item_a", "item_b").select(col("corr").as("assortativity"))
-      def giant(e: DataFrame) = graft.operators.Components
-        .connectedComponents(e, "item_a", "item_b")
-        .groupBy("component").agg(count(lit(1)).as("__sz"))
-        .agg(coalesce(max(col("__sz")), lit(0L)).as("g"))
-      val before = giant(edges).select(col("g").as("giant_size"))
-      val sym = edges.union(edges.select(col("item_b"), col("item_a")))
-      val deg = sym.groupBy(col("item_a").as("node"))
-        .agg(count_distinct(col("item_b")).as("deg"))
-      val hubs = deg.orderBy(desc("deg"), col("node")).limit(5)
-        .select(col("node").as("__hub"))
-      val filtered = edges
-        .join(broadcast(hubs), col("item_a") === col("__hub"), "left_anti")
-        .join(broadcast(hubs), col("item_b") === col("__hub"), "left_anti")
-      val after = giant(filtered).select(col("g").as("giant_after"))
-      val items = li.select(col("l_partkey").as("item")).distinct()
-      val seeds = items.filter(col("item") % 97 === 0)
-      val hops = graft.operators.Components.boundedHops(edges, "item_a",
-        "item_b", seeds, "item", maxHops = 4)
-      val reach = hops.agg(count(lit(1)).as("n_reached"))
-        .crossJoin(items.join(hops, col("item") === col("node"),
-          "left_anti").agg(count(lit(1)).as("n_unreached")))
-      counts.crossJoin(assort).crossJoin(before).crossJoin(after)
-        .crossJoin(reach)
-        .withColumn("density",
-          when(col("n_nodes") > 1L,
-            (lit(2L) * col("n_edges")).cast("double") /
-              (col("n_nodes") * (col("n_nodes") - 1L)).cast("double")))
-        .withColumn("giant_share",
-          when(col("n_nodes") > 0L,
-            col("giant_size").cast("double") /
-              col("n_nodes").cast("double")))
-        .withColumn("retained",
-          when(col("giant_size") > 0L,
-            col("giant_after").cast("double") /
-              col("giant_size").cast("double")))
-        .select("n_nodes", "n_edges", "density", "assortativity",
-          "giant_size", "giant_share", "giant_after", "retained",
-          "n_reached", "n_unreached")
-        .orderBy("n_nodes")
+      graphHealthCheck(li, edges)
+    }),
+
+    // q371: the MATERIALIZED bucketed edge table — the 100-TB
+    // expression of the q348 shared-edge win (SCALE.md round-13/14
+    // adoption notes): a derived co-engagement edge table is a
+    // write-once ARTIFACT bucketed by node, not a session cache. The
+    // SAME edge build is written via TableIO.writeBucketed (bucketBy
+    // item_a — downstream equi-joins/aggs on the node key read
+    // co-located buckets with no exchange; SkewBucketSpec proves the
+    // plan shape), re-read from the catalog, and run through the SAME
+    // composed health-check. The oracle is the same SQL string as
+    // q348's, so the driver enforces hash IDENTITY between the cached
+    // and bucketed paths.
+    "q371_bucketed_graph" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val built = graft.operators.Cooccur.coEngagementPairs(li,
+        "l_orderkey", "l_partkey", maxDegree = 6)
+        .select(col("item_a"), col("item_b"))
+      graft.io.TableIO.writeBucketed(built, "graft_edges_by_node",
+        Seq("item_a"), numBuckets = 8)
+      graphHealthCheck(li, s.table("graft_edges_by_node"))
     }),
 
     // G.711 COMPANDED audio decode (μ-law tag 7 / A-law tag 6 — the
@@ -5484,6 +5461,62 @@ object LlmQueries {
         .orderBy("doc_id", "offset")
     })
   )
+
+  /** The q348/q371 SHARED composed graph health-check: datasheet
+    * counts + assortativity + hub-removal resilience + 4-hop seed
+    * reach off ONE edge table — the caller decides whether `edges` is
+    * a CacheScope-tracked session build (q348) or the materialized
+    * bucketed artifact (q371); everything downstream is identical, so
+    * the two gates hash identically (they grade against one oracle
+    * SQL string, oGraphPipelineSql).
+    */
+  private def graphHealthCheck(li: DataFrame, edges: DataFrame): DataFrame = {
+      val nodes = edges.select(col("item_a").as("n"))
+        .unionByName(edges.select(col("item_b").as("n"))).distinct()
+      val counts = nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      val assort = graft.operators.Triangles.assortativity(edges,
+        "item_a", "item_b").select(col("corr").as("assortativity"))
+      def giant(e: DataFrame) = graft.operators.Components
+        .connectedComponents(e, "item_a", "item_b")
+        .groupBy("component").agg(count(lit(1)).as("__sz"))
+        .agg(coalesce(max(col("__sz")), lit(0L)).as("g"))
+      val before = giant(edges).select(col("g").as("giant_size"))
+      val sym = edges.union(edges.select(col("item_b"), col("item_a")))
+      val deg = sym.groupBy(col("item_a").as("node"))
+        .agg(count_distinct(col("item_b")).as("deg"))
+      val hubs = deg.orderBy(desc("deg"), col("node")).limit(5)
+        .select(col("node").as("__hub"))
+      val filtered = edges
+        .join(broadcast(hubs), col("item_a") === col("__hub"), "left_anti")
+        .join(broadcast(hubs), col("item_b") === col("__hub"), "left_anti")
+      val after = giant(filtered).select(col("g").as("giant_after"))
+      val items = li.select(col("l_partkey").as("item")).distinct()
+      val seeds = items.filter(col("item") % 97 === 0)
+      val hops = graft.operators.Components.boundedHops(edges, "item_a",
+        "item_b", seeds, "item", maxHops = 4)
+      val reach = hops.agg(count(lit(1)).as("n_reached"))
+        .crossJoin(items.join(hops, col("item") === col("node"),
+          "left_anti").agg(count(lit(1)).as("n_unreached")))
+      counts.crossJoin(assort).crossJoin(before).crossJoin(after)
+        .crossJoin(reach)
+        .withColumn("density",
+          when(col("n_nodes") > 1L,
+            (lit(2L) * col("n_edges")).cast("double") /
+              (col("n_nodes") * (col("n_nodes") - 1L)).cast("double")))
+        .withColumn("giant_share",
+          when(col("n_nodes") > 0L,
+            col("giant_size").cast("double") /
+              col("n_nodes").cast("double")))
+        .withColumn("retained",
+          when(col("giant_size") > 0L,
+            col("giant_after").cast("double") /
+              col("giant_size").cast("double")))
+        .select("n_nodes", "n_edges", "density", "assortativity",
+          "giant_size", "giant_share", "giant_after", "retained",
+          "n_reached", "n_unreached")
+        .orderBy("n_nodes")
+  }
 
   /** q347's planted OOV word (shared engine/oracle literal — the q298
     * discipline): ü, ç, ß are 2-byte code points no vocab unit covers,
@@ -6534,6 +6567,96 @@ object LlmQueries {
       |  hist.h4, hist.h5, hist.h6, hist.h7
       |FROM d LEFT JOIN hist USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** The q348/q371 SHARED composed graph health-check oracle — the
+    * bucketed-table query must hash IDENTICALLY to the cached-edge
+    * one, so they grade against one SQL string.
+    */
+  private val oGraphPipelineSql: String =
+      """WITH RECURSIVE ai AS (
+        |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
+        |  FROM lineitem),
+        |deg0 AS (SELECT actor, count(*) AS dg FROM ai GROUP BY 1),
+        |cap AS (SELECT ai.actor, ai.item
+        |        FROM ai JOIN deg0 USING (actor) WHERE dg <= 6),
+        |pairs AS (
+        |  SELECT DISTINCT x.item AS i, y.item AS j
+        |  FROM cap x JOIN cap y ON x.actor = y.actor AND x.item < y.item),
+        |sym AS (SELECT i AS u, j AS v FROM pairs
+        |        UNION ALL SELECT j, i FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS node FROM sym),
+        |cnts AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges),
+        |dg AS (SELECT u, CAST(count(DISTINCT v) AS BIGINT) AS deg
+        |       FROM sym GROUP BY 1),
+        |arows AS (
+        |  SELECT du.deg AS x, dv.deg AS y
+        |  FROM sym JOIN dg du ON du.u = sym.u
+        |  JOIN dg dv ON dv.u = sym.v),
+        |ast AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM arows),
+        |assort AS (
+        |  SELECT CASE WHEN n * sxx - sx * sx <> 0 AND
+        |                   n * syy - sy * sy <> 0
+        |              THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                        CAST(n * syy - sy * sy AS DOUBLE))
+        |         END AS assortativity
+        |  FROM ast),
+        |r1(node, comp) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.v, r.comp FROM r1 r JOIN sym e ON e.u = r.node),
+        |l1 AS (SELECT node, min(comp) AS component FROM r1 GROUP BY 1),
+        |g1 AS (
+        |  SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_size
+        |  FROM (SELECT component, count(*) AS sz FROM l1 GROUP BY 1)),
+        |hubs AS (SELECT u AS node FROM dg ORDER BY deg DESC, u LIMIT 5),
+        |e2 AS (
+        |  SELECT u, v FROM sym
+        |  WHERE u NOT IN (SELECT node FROM hubs)
+        |    AND v NOT IN (SELECT node FROM hubs)),
+        |n2 AS (SELECT DISTINCT u AS node FROM e2),
+        |r2(node, comp) AS (
+        |  SELECT node, node FROM n2
+        |  UNION
+        |  SELECT e.v, r.comp FROM r2 r JOIN e2 e ON e.u = r.node),
+        |l2 AS (SELECT node, min(comp) AS component FROM r2 GROUP BY 1),
+        |g2 AS (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_after
+        |       FROM (SELECT component, count(*) AS sz FROM l2 GROUP BY 1)),
+        |items AS (SELECT DISTINCT l_partkey AS item FROM lineitem),
+        |rb(node, d) AS (
+        |  SELECT item, CAST(0 AS BIGINT) FROM items WHERE item % 97 = 0
+        |  UNION
+        |  SELECT e.v, r.d + 1 FROM rb r JOIN sym e ON e.u = r.node
+        |  WHERE r.d < 4),
+        |md AS (SELECT node, CAST(min(d) AS BIGINT) AS d
+        |       FROM rb GROUP BY 1),
+        |bfs AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM md) AS n_reached,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM items
+        |          WHERE item NOT IN (SELECT node FROM md)) AS n_unreached)
+        |SELECT cnts.n_nodes, cnts.n_edges,
+        |       CASE WHEN cnts.n_nodes > 1
+        |            THEN CAST(2 * cnts.n_edges AS DOUBLE) /
+        |                 CAST(cnts.n_nodes * (cnts.n_nodes - 1) AS DOUBLE)
+        |       END AS density,
+        |       assort.assortativity, g1.giant_size,
+        |       CASE WHEN cnts.n_nodes > 0
+        |            THEN CAST(g1.giant_size AS DOUBLE) /
+        |                 CAST(cnts.n_nodes AS DOUBLE) END AS giant_share,
+        |       g2.giant_after,
+        |       CASE WHEN g1.giant_size > 0
+        |            THEN CAST(g2.giant_after AS DOUBLE) /
+        |                 CAST(g1.giant_size AS DOUBLE) END AS retained,
+        |       bfs.n_reached, bfs.n_unreached
+        |FROM cnts, assort, g1, g2, bfs""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q39_embed_ann_lsh" -> oLsh,
@@ -14905,91 +15028,12 @@ object LlmQueries {
 
     // Composed graph health-check: the q281 + q269 + q251 oracle CTEs
     // over ONE shared sym edge table, closed to a single verdict row.
-    "q348_graph_pipeline" ->
-      """WITH RECURSIVE ai AS (
-        |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
-        |  FROM lineitem),
-        |deg0 AS (SELECT actor, count(*) AS dg FROM ai GROUP BY 1),
-        |cap AS (SELECT ai.actor, ai.item
-        |        FROM ai JOIN deg0 USING (actor) WHERE dg <= 6),
-        |pairs AS (
-        |  SELECT DISTINCT x.item AS i, y.item AS j
-        |  FROM cap x JOIN cap y ON x.actor = y.actor AND x.item < y.item),
-        |sym AS (SELECT i AS u, j AS v FROM pairs
-        |        UNION ALL SELECT j, i FROM pairs),
-        |nodes AS (SELECT DISTINCT u AS node FROM sym),
-        |cnts AS (
-        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
-        |         (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges),
-        |dg AS (SELECT u, CAST(count(DISTINCT v) AS BIGINT) AS deg
-        |       FROM sym GROUP BY 1),
-        |arows AS (
-        |  SELECT du.deg AS x, dv.deg AS y
-        |  FROM sym JOIN dg du ON du.u = sym.u
-        |  JOIN dg dv ON dv.u = sym.v),
-        |ast AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |         CAST(sum(x * y) AS BIGINT) AS sxy,
-        |         CAST(sum(x * x) AS BIGINT) AS sxx,
-        |         CAST(sum(y * y) AS BIGINT) AS syy
-        |  FROM arows),
-        |assort AS (
-        |  SELECT CASE WHEN n * sxx - sx * sx <> 0 AND
-        |                   n * syy - sy * sy <> 0
-        |              THEN CAST(n * sxy - sx * sy AS DOUBLE) /
-        |                   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |                        CAST(n * syy - sy * sy AS DOUBLE))
-        |         END AS assortativity
-        |  FROM ast),
-        |r1(node, comp) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT e.v, r.comp FROM r1 r JOIN sym e ON e.u = r.node),
-        |l1 AS (SELECT node, min(comp) AS component FROM r1 GROUP BY 1),
-        |g1 AS (
-        |  SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_size
-        |  FROM (SELECT component, count(*) AS sz FROM l1 GROUP BY 1)),
-        |hubs AS (SELECT u AS node FROM dg ORDER BY deg DESC, u LIMIT 5),
-        |e2 AS (
-        |  SELECT u, v FROM sym
-        |  WHERE u NOT IN (SELECT node FROM hubs)
-        |    AND v NOT IN (SELECT node FROM hubs)),
-        |n2 AS (SELECT DISTINCT u AS node FROM e2),
-        |r2(node, comp) AS (
-        |  SELECT node, node FROM n2
-        |  UNION
-        |  SELECT e.v, r.comp FROM r2 r JOIN e2 e ON e.u = r.node),
-        |l2 AS (SELECT node, min(comp) AS component FROM r2 GROUP BY 1),
-        |g2 AS (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_after
-        |       FROM (SELECT component, count(*) AS sz FROM l2 GROUP BY 1)),
-        |items AS (SELECT DISTINCT l_partkey AS item FROM lineitem),
-        |rb(node, d) AS (
-        |  SELECT item, CAST(0 AS BIGINT) FROM items WHERE item % 97 = 0
-        |  UNION
-        |  SELECT e.v, r.d + 1 FROM rb r JOIN sym e ON e.u = r.node
-        |  WHERE r.d < 4),
-        |md AS (SELECT node, CAST(min(d) AS BIGINT) AS d
-        |       FROM rb GROUP BY 1),
-        |bfs AS (
-        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM md) AS n_reached,
-        |         (SELECT CAST(count(*) AS BIGINT) FROM items
-        |          WHERE item NOT IN (SELECT node FROM md)) AS n_unreached)
-        |SELECT cnts.n_nodes, cnts.n_edges,
-        |       CASE WHEN cnts.n_nodes > 1
-        |            THEN CAST(2 * cnts.n_edges AS DOUBLE) /
-        |                 CAST(cnts.n_nodes * (cnts.n_nodes - 1) AS DOUBLE)
-        |       END AS density,
-        |       assort.assortativity, g1.giant_size,
-        |       CASE WHEN cnts.n_nodes > 0
-        |            THEN CAST(g1.giant_size AS DOUBLE) /
-        |                 CAST(cnts.n_nodes AS DOUBLE) END AS giant_share,
-        |       g2.giant_after,
-        |       CASE WHEN g1.giant_size > 0
-        |            THEN CAST(g2.giant_after AS DOUBLE) /
-        |                 CAST(g1.giant_size AS DOUBLE) END AS retained,
-        |       bfs.n_reached, bfs.n_unreached
-        |FROM cnts, assort, g1, g2, bfs""".stripMargin,
+    "q348_graph_pipeline" -> oGraphPipelineSql,
+
+    // The bucketed-edge-table twin grades against the IDENTICAL SQL:
+    // the driver's hash compare IS the cached-vs-materialized identity
+    // proof.
+    "q371_bucketed_graph" -> oGraphPipelineSql,
 
     // G.711 stats: the oracle replays the CCITT expansion formulas —
     // μ-law via the complemented byte's mantissa/exponent fields,
