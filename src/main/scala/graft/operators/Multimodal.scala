@@ -207,6 +207,58 @@ object Multimodal {
           acc + m.getField("size")))), lit(0L)).as("member_bytes"))
   }
 
+  /** Per-SAMPLE rows of a WebDataset shard derived from ONE payload
+    * column — NO img⋈txt join: both members of a sample live in the
+    * same archive, so the pairing is ARRAY arithmetic over the member
+    * list (the .txt twin of "{doc}_{k}.bmp" is name-derived). This is
+    * what makes a per-sample STREAMING gate possible without a
+    * stream-stream join, and at batch scale it trades q360's
+    * (doc, sample)-keyed shuffle join for per-row array work inside
+    * the scan. Returns array<struct<name, width, n_tokens>> — NULL
+    * for corrupt shards (explode drops them, loud upstream), NULL
+    * width for an undecodable image slice, NULL n_tokens for an
+    * unpaired image. The JOIN formulation must agree with this one —
+    * parity is test-locked in StreamingSpec.
+    */
+  def wdsSampleRows(payload: Column): Column = {
+    val members = graft.functions.tarMembers(payload)
+    val imgs = filter(members, m => m.getField("name").endsWith(".bmp"))
+    transform(imgs, m => {
+      val txtName =
+        regexp_replace(m.getField("name"), "\\.bmp$", ".txt")
+      // get() is 0-indexed and null-safe (element_at throws under ANSI)
+      val txt = get(filter(members,
+        t => t.getField("name") === txtName), lit(0))
+      struct(
+        m.getField("name").as("name"),
+        graft.functions.pixelStats(payload.substr(
+            m.getField("offset") + lit(1L), m.getField("size")))
+          .getField("width").as("width"),
+        when(txt.isNull, lit(null).cast(LongType))
+          .otherwise(size(graft.functions.tokens(payload.substr(
+            txt.getField("offset") + lit(1L), txt.getField("size"))
+            .cast("string"))).cast(LongType)).as("n_tokens"))
+    })
+  }
+
+  /** Per-sample KEEP / drop-reason gate columns over exploded
+    * WebDataset sample rows — the q360 keep predicate
+    * (width ≥ minW ∧ n_tokens ≥ minTokens) closed to counts, with the
+    * two failure reasons counted separately (non-exclusive: a sample
+    * failing both counts in both — reason columns answer "what do we
+    * lose if we tighten X", so they must not mask each other). SHARED
+    * by the streaming twin
+    * ([[graft.streaming.CorpusStreams.windowedSampleGate]]) and any
+    * batch read, so batch and stream can never gate differently.
+    */
+  def sampleGateCounts(width: Column, nTokens: Column,
+                       minW: Long = 12L, minTokens: Long = 3L): Seq[Column] =
+    Seq(count(lit(1)).as("n_samples"),
+      count(when(width >= minW && nTokens >= minTokens, 1)).as("n_keep"),
+      count(when(width.isNull || width < minW, 1)).as("n_img_drop"),
+      count(when(nTokens.isNull || nTokens < minTokens, 1))
+        .as("n_txt_drop"))
+
   /** REAL image PIXEL decode (round 14 — the stub is dead for images):
     * the codec-free native kernel first
     * ([[graft.expressions.PixelKernel]] — PNG via JDK Inflater + filter

@@ -430,6 +430,38 @@ object CorpusStreams {
         col("n_texts"), col("member_bytes"))
   }
 
+  /** Windowed per-SAMPLE WebDataset gate over a binary-payload stream —
+    * the sample-level twin beside [[windowedShardGate]]'s shard-level
+    * one, completing batch parity for the q360 path: per event-time
+    * window, the keep / drop-reason counts over every (image, text)
+    * SAMPLE inside the arriving shards. The per-sample rows come from
+    * [[graft.operators.Multimodal.wdsSampleRows]] — pairing is array
+    * arithmetic inside one payload projection, which is exactly what
+    * makes this possible as a stream: no stream-stream img⋈txt join,
+    * no extra state beyond one count row per window. Gate columns are
+    * [[graft.operators.Multimodal.sampleGateCounts]], SHARED with the
+    * batch read (and the q360 join formulation agrees with the array
+    * formulation — both locked in StreamingSpec).
+    *
+    * @return streaming (window_start, n_samples, n_keep, n_img_drop,
+    *         n_txt_drop)
+    */
+  def windowedSampleGate(media: org.apache.spark.sql.DataFrame,
+                         contentCol: String, tsCol: String,
+                         windowDur: String, watermark: String,
+                         minW: Long = 12L, minTokens: Long = 3L): org.apache.spark.sql.DataFrame = {
+    val cs = graft.operators.Multimodal.sampleGateCounts(
+      col("__s.width"), col("__s.n_tokens"), minW, minTokens)
+    media.select(col(tsCol),
+        explode(graft.operators.Multimodal.wdsSampleRows(
+          col(contentCol))).as("__s"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("__win"))
+      .agg(cs.head, cs.tail: _*)
+      .select(col("__win.start").as("window_start"), col("n_samples"),
+        col("n_keep"), col("n_img_drop"), col("n_txt_drop"))
+  }
+
   /** Windowed heavy-hitter CANDIDATES over the token stream — streaming
     * twin of [[graft.operators.HeavyHitters.mgSummary]], and the second
     * bounded-state trending-terms path next to [[windowedTokenCountMin]]:

@@ -961,6 +961,72 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedSampleGate: per-sample counts equal the batch JOIN formulation") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.TarFixtures
+    val docs = Seq(
+      MediaDoc(1, ts(0), TarFixtures.tar(1L)), // 3 samples
+      MediaDoc(2, ts(1), TarFixtures.tar(2L)), // 4 samples
+      MediaDoc(3, ts(2), TarFixtures.payload(8L)), // truncated → 0 rows
+      MediaDoc(4, ts(12), TarFixtures.tar(4L))) // 2 samples
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedSampleGate(input.toDF(), "content",
+        "ts", windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wsp").start()
+    try {
+      input.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("wsp").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // batch reference computed through the OTHER formulation — the
+      // q360-style img⋈txt JOIN — then the shared gate columns: the
+      // parity locks array-pairing ≡ join-pairing AND batch ≡ stream
+      val expected = Seq(ts(0) -> docs.take(3), ts(10) -> docs.drop(3))
+        .map { case (w0, slice) =>
+          val m = slice.toDF()
+            .select($"doc_id", $"content",
+              explode(graft.functions.tarMembers($"content")).as("__m"))
+            .select($"doc_id", $"content", $"__m.name".as("name"),
+              $"__m.offset".as("offset"), $"__m.size".as("size"))
+            .withColumn("sample",
+              regexp_extract($"name", "_(\\d+)\\.", 1).cast("long"))
+          val imgs = m.filter($"name".endsWith(".bmp"))
+            .select($"doc_id", $"sample",
+              graft.functions.pixelStats(
+                $"content".substr($"offset" + 1L, $"size"))
+                .getField("width").as("width"))
+          val txts = m.filter($"name".endsWith(".txt"))
+            .select($"doc_id", $"sample",
+              size(graft.functions.tokens(
+                $"content".substr($"offset" + 1L, $"size")
+                  .cast("string"))).cast("long").as("n_tokens"))
+          val cs = graft.operators.Multimodal.sampleGateCounts(
+            $"width", $"n_tokens")
+          val r = imgs.join(txts, Seq("doc_id", "sample"))
+            .agg(cs.head, cs.tail: _*).collect()(0)
+          (w0, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }.toSet
+      assert(got === expected)
+      // spot-pin so a jointly-wrong gate cannot pass: window 1 carries
+      // 7 samples from the two parseable shards (S = doc%4+2: 3 + 4);
+      // widths are (4·doc+k)%24+9 ≥ 9 — keep depends on width ≥ 12 and
+      // txt tokens (doc+k)%7+1 ≥ 3
+      val w1 = got.find(_._1 == ts(0)).get
+      assert(w1._2 === 7L)
+      val kept = (for {
+        (doc, s) <- Seq((1L, 3), (2L, 4)); k <- 0 until s
+        w = (4 * doc + k) % 24 + 9
+        tk = TarFixtures.txtTokens(doc, k)
+      } yield (w >= 12 && tk >= 3)).count(identity)
+      assert(w1._3 === kept.toLong)
+    } finally query.stop()
+  }
+
   test("windowedTokenCountMin: per-window sketch equals the batch countMinTable") {
     import graft.streaming.CorpusStreams
     import graft.streaming.CorpusStreams.Doc
