@@ -80,12 +80,19 @@ object PixelKernel {
   /** Raw-pixel-size cap (bytes): 64 MiB. */
   private val MaxRawBytes = 1L << 26
 
-  /** Decode to the luminance view — null on corrupt / unsupported. */
+  /** Decode to the luminance view — null on corrupt / unsupported.
+    * JPEG is native as of round 15 ([[JpegKernel]] — baseline
+    * sequential with the PINNED fixed-point IDCT); progressive and
+    * other exotic JPEGs still return null here and ride the ImageIO
+    * fallback in the mapPartitions feature pass.
+    */
   private[graft] def view(b: Array[Byte]): LumView = {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xFF) == 0x89 && b(1) == 0x50) decodePng(b)
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeGif(b)
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+      JpegKernel.decode(b)
     else null
   }
 

@@ -5459,6 +5459,37 @@ object LlmQueries {
           col("__m.name").as("name"), col("__m.offset").as("offset"),
           col("__m.size").as("size"))
         .orderBy("doc_id", "offset")
+    }),
+
+    // q372: ORACLE-GRADE JPEG pixels — the round-15 flagship: baseline
+    // sequential JPEG decodes through the native JpegKernel (markers,
+    // canonical Huffman, entropy layer with byte stuffing and restart
+    // lanes, dequant, and the PINNED fixed-point IDCT — T.81 does not
+    // pin an IDCT, so this kernel fixes one integer implementation as
+    // its contract and the oracle replays it). Fixture blocks are
+    // DC-only, collapsing the IDCT to a closed form
+    // (clamp(⌊(dc·8·1448²+2^23)/2^24⌋)+128) the oracle computes per
+    // block; variants cover grayscale, neutral-chroma 4:4:4 color
+    // (the integer JFIF matrix yields R=G=B=Y), and restart-marker
+    // lanes. JPEG rows now assert full pixel statistics INCLUDING the
+    // dHash — not just NULL-ness.
+    "q372_jpeg_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.jpegPayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.format").as("format"), col("__s.width").as("width"),
+          col("__s.height").as("height"),
+          col("__s.channels").as("channels"),
+          col("__s.n_pixels").as("n_pixels"),
+          col("__s.lum_sum").as("lum_sum"),
+          col("__s.lum_sq_sum").as("lum_sq_sum"),
+          col("__s.dhash").as("dhash"))
+        .orderBy("doc_id")
     })
   )
 
@@ -16081,7 +16112,88 @@ object LlmQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) AS "offset",
         |  CAST(size AS BIGINT) AS size
-        |FROM mem ORDER BY doc_id, "offset"""".stripMargin
+        |FROM mem ORDER BY doc_id, "offset"""".stripMargin,
+
+    // JPEG pixels: DC-only blocks replay the pinned IDCT's closed form
+    // per block (floor((dc·8·2096704 + 2^23)/2^24), clamped, +128);
+    // per-pixel luminance is the block value, the dHash the q365 cell
+    // flood over it. Gray, neutral-chroma color, and restart variants
+    // share one luminance formula; %10==7 truncation is NULL.
+    "q372_jpeg_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 AS v,
+        |    doc_id % 24 + 9 AS w, (doc_id * 5) % 24 + 8 AS h
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, u.bx AS bx, u.by AS by,
+        |    ((u.bx + doc_id % 31) * (u.by + doc_id % 37) * 3 + doc_id)
+        |      % 256 - 128 AS dc
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(flatten(list_transform(range((h + 7) // 8), by ->
+        |        list_transform(range((w + 7) // 8), bx ->
+        |          {'bx': bx, 'by': by})))) AS u
+        |    FROM d)),
+        |bv AS (
+        |  SELECT doc_id, bx, by,
+        |    CASE WHEN f < -128 THEN 0 WHEN f > 127 THEN 255
+        |      ELSE f + 128 END AS val
+        |  FROM (
+        |    SELECT doc_id, bx, by,
+        |      CAST(floor((dc * 8 * 2096704 + 8388608) / 16777216.0)
+        |        AS BIGINT) AS f
+        |    FROM blk)),
+        |px AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y
+        |  FROM (
+        |    SELECT doc_id, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x -> {'x': x, 'y': y})))) AS u
+        |    FROM d)),
+        |lum AS (
+        |  SELECT p.doc_id, p.w, p.h, p.x, p.y, 1000 * b.val AS lum
+        |  FROM px p JOIN bv b ON b.doc_id = p.doc_id
+        |    AND b.bx = p.x // 8 AND b.by = p.y // 8),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS kk
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1) x ON x.doc_id = d.doc_id),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |    CAST(sum(lum * lum) AS BIGINT) AS lum_sq_sum
+        |  FROM lum GROUP BY 1)
+        |SELECT d.doc_id, d.doc_id % 10 <> 7 AS parsed,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN 'jpeg' END AS format,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w AS BIGINT) END
+        |    AS width,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.h AS BIGINT) END
+        |    AS height,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN
+        |    CAST(CASE d.v WHEN 1 THEN 3 ELSE 1 END AS BIGINT) END
+        |    AS channels,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w * d.h AS BIGINT)
+        |    END AS n_pixels,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN a.lum_sum END AS lum_sum,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN a.lum_sq_sum END
+        |    AS lum_sq_sum,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN s.dhash END AS dhash
+        |FROM d JOIN agg a USING (doc_id) JOIN sig s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

@@ -243,6 +243,108 @@ private[graft] object PixelFixtures {
     * are zeros — the kernel's contract reads pixels, it does not
     * certify archives.
     */
+  /** Baseline JPEG ENCODER for the q372 fixtures — forward direction,
+    * shares no code with [[graft.expressions.JpegKernel]]: the marker
+    * layout, the CUSTOM canonical Huffman tables (12 DC categories at
+    * code length 4; a single length-1 AC code for EOB — spec-legal,
+    * and an encoder-side table the decoder must build canonically to
+    * read at all), the bit packing with 0xFF00 stuffing, and optional
+    * FFD0–D7 restart lanes are all hand-written here. Blocks are
+    * DC-ONLY (every AC coefficient EOBs away), so the kernel's PINNED
+    * fixed-point IDCT collapses to the closed form the oracle replays:
+    *   value(bx,by) = clamp(⌊(dc·8·1448² + 2^23)/2^24⌋, −128, 127) + 128
+    *   dc(bx,by)    = pix(bx,by,s) − 128   (the shared arithmetic)
+    * `color=true` writes a 4:4:4 three-component image with NEUTRAL
+    * chroma (Cb=Cr DC 0 → sample 128 → the integer JFIF matrix yields
+    * R=G=B=Y), so gray and color fixtures share one luminance formula.
+    */
+  def jpeg(s: Long, color: Boolean, rstInterval: Int): Array[Byte] = {
+    val w = width(s); val h = height(s)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xFFD8)
+    u16(0xFFDB); u16(2 + 1 + 64); u8(0x00) // DQT: Pq=0, Tq=0
+    u8(8); (1 until 64).foreach(_ => u8(16)) // q[0]=8 (zigzag first)
+    val nf = if (color) 3 else 1
+    u16(0xFFC0); u16(8 + 3 * nf); u8(8); u16(h); u16(w); u8(nf)
+    (1 to nf).foreach { cid => u8(cid); u8(0x11); u8(0) }
+    u16(0xFFC4); u16(2 + 1 + 16 + 12); u8(0x00) // DHT DC 0
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(u8)
+    u16(0xFFC4); u16(2 + 1 + 16 + 1); u8(0x10) // DHT AC 0: EOB only
+    (1 to 16).foreach(l => u8(if (l == 1) 1 else 0))
+    u8(0x00)
+    if (rstInterval > 0) { u16(0xFFDD); u16(4); u16(rstInterval) }
+    u16(0xFFDA); u16(6 + 2 * nf); u8(nf)
+    (1 to nf).foreach { cid => u8(cid); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    var acc = 0; var nb = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) {
+          u8(acc)
+          if (acc == 0xFF) u8(0x00) // entropy-data byte stuffing
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit = if (nb > 0) {
+      acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1) // pad with 1s
+      u8(acc); if (acc == 0xFF) u8(0x00)
+      acc = 0; nb = 0
+    }
+    val preds = new Array[Int](nf)
+    var rstCount = 0
+    var mcu = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (rstInterval > 0 && mcu > 0 && mcu % rstInterval == 0) {
+          flushBits(); u16(0xFFD0 + (rstCount & 7)); rstCount += 1
+          java.util.Arrays.fill(preds, 0)
+        }
+        var c = 0
+        while (c < nf) {
+          val dc = if (c == 0) pix(bx, by, s) - 128 else 0
+          val diff = dc - preds(c); preds(c) = dc
+          val ss =
+            if (diff == 0) 0
+            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          putBits(ss, 4) // DC category: canonical code = category
+          if (ss > 0)
+            putBits(if (diff >= 0) diff else diff + (1 << ss) - 1, ss)
+          putBits(0, 1) // AC: EOB immediately (DC-only block)
+          c += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    flushBits()
+    u16(0xFFD9)
+    out.toByteArray
+  }
+
+  /** q372's payload: gray / neutral-chroma 4:4:4 color / gray with
+    * restart lanes every 2 MCUs (v = doc%3); %10==7 truncates to 40
+    * bytes — mid-DQT, NULL.
+    */
+  def jpegPayload(docId: Long): Array[Byte] = {
+    val full = (docId % 3) match {
+      case 0 => jpeg(docId, color = false, rstInterval = 0)
+      case 1 => jpeg(docId, color = true, rstInterval = 0)
+      case _ => jpeg(docId, color = false, rstInterval = 2)
+    }
+    if (docId % 10 == 7) full.take(40) else full
+  }
+
   /** q368's payload: the three round-15 PNG color types plus a CORRUPT
     * short-palette plant. v = doc%4: 0 → 256-entry palette, 1 →
     * gray+alpha, 2 → RGBA, 3 → a 64-entry palette whose index stream

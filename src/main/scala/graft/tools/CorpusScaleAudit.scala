@@ -111,7 +111,9 @@ object CorpusScaleAudit {
     "q368_png_palette_alpha",
     // the zstd hop and the .tar.zst chain (map-only; per-payload
     // native decompress cost is the constant to watch)
-    "q369_zstd_decode", "q370_webdataset_zst")
+    "q369_zstd_decode", "q370_webdataset_zst",
+    // native baseline JPEG (map-only; the IDCT is the constant to watch)
+    "q372_jpeg_pixels")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -80,6 +80,11 @@ class MediaFuzzSpec extends SparkSpec {
       graft.queries.TarFixtures.gzTarPayload(2L),
       PixelFixtures.pngWithText(3L), PixelFixtures.jpegWithExif(4L),
       graft.queries.TarFixtures.zip(5L),
+      graft.queries.TarFixtures.zstPayload(1L),
+      graft.queries.TarFixtures.zstTarPayload(2L),
+      PixelFixtures.jpegPayload(0L), PixelFixtures.jpegPayload(1L),
+      PixelFixtures.jpegPayload(2L), PixelFixtures.pngPalette(3L),
+      PixelFixtures.pngGrayAlpha(4L), PixelFixtures.pngRgba(5L),
       wav, flac, tiff, webp, jpeg)
   }
 

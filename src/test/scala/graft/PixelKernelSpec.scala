@@ -320,6 +320,84 @@ class PixelKernelSpec extends SparkSpec {
     val rle = bmp.clone(); rle(30) = 1; assert(PixelKernel.decode(rle) == null)
   }
 
+  test("native baseline JPEG: fixture exactness, ImageIO agreement, unsupported NULLs") {
+    import graft.expressions.JpegKernel
+    // fixture round trips EXACTLY under the pinned IDCT's DC-only
+    // closed form — the q372 oracle contract
+    for (s <- Seq(0L, 5L, 123L); color <- Seq(false, true);
+         rst <- Seq(0, 2)) {
+      val bytes = PixelFixtures.jpeg(s, color, rst)
+      val st = PixelKernel.decode(bytes)
+      assert(st != null && st.format == "jpeg", s"s=$s c=$color r=$rst")
+      val w = PixelFixtures.width(s); val h = PixelFixtures.height(s)
+      assert(st.width == w && st.height == h)
+      assert(st.channels == (if (color) 3 else 1))
+      def blockVal(bx: Int, by: Int): Long = {
+        val dc = (((bx + s % 31) * (by + s % 37) * 3 + s) % 256) - 128
+        val f = (dc * 8L * 2096704L + 8388608L) >> 24
+        (if (f < -128L) 0L else if (f > 127L) 255L else f + 128L)
+      }
+      val (es, eq, eh, ed) =
+        statsOf((x, y) => 1000L * blockVal(x / 8, y / 8), w, h)
+      assert((st.lumSum, st.lumSqSum, st.hist.toSeq, st.dhash) ===
+        ((es, eq, eh, ed)), s"s=$s c=$color r=$rst")
+    }
+    // a REAL encoder's output (ImageIO: its own quant tables, real AC
+    // coefficients, optimized entropy) must agree with ImageIO's own
+    // decode to within T.81's IDCT tolerance — ±2 per gray sample
+    import java.awt.image.BufferedImage
+    val w2 = 37; val h2 = 29
+    val g = new BufferedImage(w2, h2, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h2; x <- 0 until w2)
+      g.getRaster.setSample(x, y, 0, ((x + 3) * (y + 7) * 5 + 11) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(g, "jpg", bos))
+    val v = JpegKernel.decode(bos.toByteArray)
+    assert(v != null && v.width == w2 && v.height == h2 && v.channels == 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    for (y <- 0 until h2; x <- 0 until w2) {
+      val d = math.abs(v.lum(x, y) / 1000 - ref.getRaster.getSample(x, y, 0))
+      assert(d <= 2, s"($x,$y) diff $d")
+    }
+    // 4:2:0 color (ImageIO's default subsampling): dims/channels exact;
+    // luminance agrees in the mean (upsampling conventions differ —
+    // nearest here vs the decoder's interpolating upsampler)
+    val c = new BufferedImage(33, 25, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 25; x <- 0 until 33) {
+      val p = (x * 7 + y * 13) % 256
+      c.setRGB(x, y, (p << 16) | ((p * 3 % 256) << 8) | (p * 5 % 256))
+    }
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(c, "jpg", bos2))
+    val v2 = JpegKernel.decode(bos2.toByteArray)
+    assert(v2 != null && v2.width == 33 && v2.channels == 3)
+    val ref2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos2.toByteArray))
+    var sumd = 0L
+    for (y <- 0 until 25; x <- 0 until 33) {
+      val rgb = ref2.getRGB(x, y)
+      val rl = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+        114L * (rgb & 0xFF)
+      sumd += math.abs(v2.lum(x, y) - rl)
+    }
+    assert(sumd / (33 * 25) < 2000L, s"mean milli-lum diff ${sumd / 825}")
+    // unsupported shapes are NULL, never wrong: progressive (SOF2),
+    // truncations, a stray RST, missing EOI
+    val fix = PixelFixtures.jpeg(5L, color = false, 0)
+    val prog = fix.clone()
+    // SOI(2) + DQT(2+67=69) → SOF marker at offset 71; C0 → C2
+    assert((prog(72) & 0xFF) == 0xC0)
+    prog(72) = 0xC2.toByte
+    assert(JpegKernel.decode(prog) == null)
+    (0 until fix.length).foreach { n =>
+      assert(JpegKernel.decode(fix.take(n)) == null,
+        s"truncation to $n must NULL")
+    }
+    assert(JpegKernel.decode(fix.dropRight(2)) == null) // no EOI
+    assert(PixelKernel.decode(PixelFixtures.jpegPayload(7L)) == null)
+  }
+
   test("decodeImage ImageIO fallback: real JPEG/GIF pixel decode") {
     import graft.operators.Multimodal
     import java.awt.image.BufferedImage
