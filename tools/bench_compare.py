@@ -15,7 +15,28 @@ sub-second queries and 30-47% on the >=1s band, so treat single-round
 movers as candidates to re-measure (best-of-5 probe), not verdicts.
 """
 import json
+import os
+import re
 import sys
+
+
+def shuffle_classes(audit_path, threshold_mb=1.0):
+    """Classify each query as shuffle-bound or cpu-bound from its LAST
+    SHUFFLE_AUDIT.md row (rows are appended per round; the newest
+    measurement wins). A query shuffling >= threshold_mb at sf0.1 rides
+    the machine's shuffle path; everything else (the map-only decode
+    tier, small aggregates) tracks per-core compute. The class picks
+    WHICH calibration probe normalizes that query's wall."""
+    classes = {}
+    if not os.path.exists(audit_path):
+        return classes
+    row = re.compile(r"^\| (q\d+_\w+) \| ([\d.]+) \| ([\d.]+) \|")
+    for line in open(audit_path):
+        m = row.match(line)
+        if m:
+            classes[m.group(1)] = (
+                "shuffle" if float(m.group(3)) >= threshold_mb else "cpu")
+    return classes
 
 
 def main(old_path, new_path, ratio=1.5):
@@ -28,18 +49,59 @@ def main(old_path, new_path, ratio=1.5):
     else:
         old, new = old_full["queries"], new_full["queries"]
     both = sorted(set(old) & set(new))
+    # Per-query CALIBRATION-NORMALIZED movers (round 15 — the applied
+    # protocol the r13/r14 drift adjudications did by hand): classify
+    # each query shuffle-bound vs cpu-bound from its SHUFFLE_AUDIT row,
+    # divide its raw ratio by the MATCHING calibration probe's ratio,
+    # and flag only what survives. A shuffle-bound query moving in
+    # lockstep with the shuffle probe (the q23/q97/q126/q243 quartet)
+    # normalizes back to ~1x — machine weather, not code; a cpu-bound
+    # query moving while the cpu probe stays flat stays flagged — code.
+    classes = shuffle_classes(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SHUFFLE_AUDIT.md"))
+    cal_r = None
+    if old_full.get("calibration_sec") and new_full.get("calibration_sec"):
+        cal_r = new_full["calibration_sec"] / old_full["calibration_sec"]
+    cpu_r = None
+    if (old_full.get("calibration_cpu_sec")
+            and new_full.get("calibration_cpu_sec")):
+        cpu_r = (new_full["calibration_cpu_sec"]
+                 / old_full["calibration_cpu_sec"])
     movers = []
+    exonerated = []
     for q in both:
         a, b = old[q], new[q]
         if a <= 0 or b <= 0:
             continue
         r = b / a
-        if r > ratio or r < 1 / ratio:
-            movers.append((r, q, a, b))
+        cls = classes.get(q, "cpu")
+        denom = cal_r if cls == "shuffle" else cpu_r
+        rn = r / denom if denom else r
+        # a query is a REAL mover only when the raw ratio and the
+        # calibration-normalized ratio agree in direction past the
+        # threshold — a raw mover whose normalized ratio collapses (or
+        # flips) moved WITH the machine, not with the code (a wall time
+        # is never 100% probe-shaped, so the normalized value alone
+        # over-corrects when the probe swings hard, e.g. r13->r14's
+        # 4.4x shuffle swing)
+        if r > ratio and rn > ratio:
+            movers.append((rn, r, q, a, b, cls))
+        elif r < 1 / ratio and rn < 1 / ratio:
+            movers.append((rn, r, q, a, b, cls))
+        elif r > ratio or r < 1 / ratio:
+            exonerated.append((r, q, cls))
     movers.sort(reverse=True)
-    for r, q, a, b in movers:
-        arrow = "SLOWER" if r > 1 else "faster"
-        print(f"{q}: {a:.3f}s -> {b:.3f}s ({r:.2f}x {arrow})")
+    for rn, r, q, a, b, cls in movers:
+        arrow = "SLOWER" if rn > 1 else "faster"
+        print(f"{q}: {a:.3f}s -> {b:.3f}s (raw {r:.2f}x, {cls}-normalized "
+              f"{rn:.2f}x {arrow})")
+    if exonerated:
+        names = ", ".join(
+            f"{q} (raw {r:.2f}x, {cls})" for r, q, cls in
+            sorted(exonerated, reverse=True))
+        print(f"moved WITH the machine, exonerated by the {'{'}shuffle,"
+              f"cpu{'}'} calibration pair ({len(exonerated)}): {names}")
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     if added:
