@@ -5469,8 +5469,10 @@ object LlmQueries {
     // its contract and the oracle replays it). Fixture blocks are
     // DC-only, collapsing the IDCT to a closed form
     // (clamp(⌊(dc·8·1448²+2^23)/2^24⌋)+128) the oracle computes per
-    // block; variants cover grayscale, neutral-chroma 4:4:4 color
-    // (the integer JFIF matrix yields R=G=B=Y), and restart-marker
+    // block; variants cover grayscale, neutral-chroma 4:4:4 AND
+    // 4:2:0 color (the integer JFIF matrix yields R=G=B=Y; 4:2:0
+    // exercises the four-Y-blocks-per-MCU interleave where a wrong
+    // walk scrambles every block assignment), and restart-marker
     // lanes. JPEG rows now assert full pixel statistics INCLUDING the
     // dHash — not just NULL-ness.
     "q372_jpeg_pixels" -> ((s, dir) => {
@@ -16121,7 +16123,7 @@ object LlmQueries {
     // share one luminance formula; %10==7 truncation is NULL.
     "q372_jpeg_pixels" ->
       """WITH d AS (
-        |  SELECT doc_id, doc_id % 3 AS v,
+        |  SELECT doc_id, doc_id % 4 AS v,
         |    doc_id % 24 + 9 AS w, (doc_id * 5) % 24 + 8 AS h
         |  FROM documents),
         |blk AS (
@@ -16184,8 +16186,8 @@ object LlmQueries {
         |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.h AS BIGINT) END
         |    AS height,
         |  CASE WHEN d.doc_id % 10 <> 7 THEN
-        |    CAST(CASE d.v WHEN 1 THEN 3 ELSE 1 END AS BIGINT) END
-        |    AS channels,
+        |    CAST(CASE WHEN d.v IN (1, 3) THEN 3 ELSE 1 END AS BIGINT)
+        |    END AS channels,
         |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w * d.h AS BIGINT)
         |    END AS n_pixels,
         |  CASE WHEN d.doc_id % 10 <> 7 THEN a.lum_sum END AS lum_sum,

@@ -254,13 +254,20 @@ private[graft] object PixelFixtures {
     * fixed-point IDCT collapses to the closed form the oracle replays:
     *   value(bx,by) = clamp(⌊(dc·8·1448² + 2^23)/2^24⌋, −128, 127) + 128
     *   dc(bx,by)    = pix(bx,by,s) − 128   (the shared arithmetic)
-    * `color=true` writes a 4:4:4 three-component image with NEUTRAL
-    * chroma (Cb=Cr DC 0 → sample 128 → the integer JFIF matrix yields
-    * R=G=B=Y), so gray and color fixtures share one luminance formula.
+    * `color=true` writes a three-component image with NEUTRAL chroma
+    * (Cb=Cr DC 0 → sample 128 → the integer JFIF matrix yields
+    * R=G=B=Y), so gray and color fixtures share one luminance formula;
+    * `subsample=true` makes it 4:2:0 — per MCU, FOUR Y blocks (the
+    * by-outer/bx-inner interleave order of A.2.3) plus one Cb and one
+    * Cr, the web's dominant chroma layout and the place a wrong MCU
+    * walk scrambles every block assignment (padding blocks past the
+    * visible area stay in the DC difference chain, so the walk cannot
+    * skip them either). Neutral constant chroma upsamples to itself
+    * under ANY convention, so the luminance formula is still shared.
     */
-  def jpeg(s: Long, color: Boolean, rstInterval: Int): Array[Byte] = {
+  def jpeg(s: Long, color: Boolean, rstInterval: Int,
+           subsample: Boolean = false): Array[Byte] = {
     val w = width(s); val h = height(s)
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xFF)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -268,8 +275,11 @@ private[graft] object PixelFixtures {
     u16(0xFFDB); u16(2 + 1 + 64); u8(0x00) // DQT: Pq=0, Tq=0
     u8(8); (1 until 64).foreach(_ => u8(16)) // q[0]=8 (zigzag first)
     val nf = if (color) 3 else 1
+    val yHV = if (subsample) 0x22 else 0x11
     u16(0xFFC0); u16(8 + 3 * nf); u8(8); u16(h); u16(w); u8(nf)
-    (1 to nf).foreach { cid => u8(cid); u8(0x11); u8(0) }
+    (1 to nf).foreach { cid =>
+      u8(cid); u8(if (cid == 1) yHV else 0x11); u8(0)
+    }
     u16(0xFFC4); u16(2 + 1 + 16 + 12); u8(0x00) // DHT DC 0
     (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
     (0 to 11).foreach(u8)
@@ -301,31 +311,44 @@ private[graft] object PixelFixtures {
     val preds = new Array[Int](nf)
     var rstCount = 0
     var mcu = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    def encodeBlock(c: Int, dc: Int): Unit = {
+      val diff = dc - preds(c); preds(c) = dc
+      val ss =
+        if (diff == 0) 0
+        else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(ss, 4) // DC category: canonical code = category
+      if (ss > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << ss) - 1, ss)
+      putBits(0, 1) // AC: EOB immediately (DC-only block)
+    }
+    val yH = if (subsample) 2 else 1
+    val mcusX = (w + 8 * yH - 1) / (8 * yH)
+    val mcusY = (h + 8 * yH - 1) / (8 * yH)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (rstInterval > 0 && mcu > 0 && mcu % rstInterval == 0) {
           flushBits(); u16(0xFFD0 + (rstCount & 7)); rstCount += 1
           java.util.Arrays.fill(preds, 0)
         }
-        var c = 0
-        while (c < nf) {
-          val dc = if (c == 0) pix(bx, by, s) - 128 else 0
-          val diff = dc - preds(c); preds(c) = dc
-          val ss =
-            if (diff == 0) 0
-            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-          putBits(ss, 4) // DC category: canonical code = category
-          if (ss > 0)
-            putBits(if (diff >= 0) diff else diff + (1 << ss) - 1, ss)
-          putBits(0, 1) // AC: EOB immediately (DC-only block)
-          c += 1
+        // Y blocks, by-outer/bx-inner (A.2.3); padding blocks past the
+        // visible block grid still carry the shared-formula DC
+        var by2 = 0
+        while (by2 < yH) {
+          var bx2 = 0
+          while (bx2 < yH) {
+            encodeBlock(0, pix(mx * yH + bx2, my * yH + by2, s) - 128)
+            bx2 += 1
+          }
+          by2 += 1
         }
+        var c = 1
+        while (c < nf) { encodeBlock(c, 0); c += 1 } // neutral chroma
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     flushBits()
     u16(0xFFD9)
@@ -333,14 +356,16 @@ private[graft] object PixelFixtures {
   }
 
   /** q372's payload: gray / neutral-chroma 4:4:4 color / gray with
-    * restart lanes every 2 MCUs (v = doc%3); %10==7 truncates to 40
-    * bytes — mid-DQT, NULL.
+    * restart lanes every 2 MCUs / 4:2:0 color (v = doc%4); %10==7
+    * truncates to 40 bytes — mid-DQT, NULL.
     */
   def jpegPayload(docId: Long): Array[Byte] = {
-    val full = (docId % 3) match {
+    val full = (docId % 4) match {
       case 0 => jpeg(docId, color = false, rstInterval = 0)
       case 1 => jpeg(docId, color = true, rstInterval = 0)
-      case _ => jpeg(docId, color = false, rstInterval = 2)
+      case 2 => jpeg(docId, color = false, rstInterval = 2)
+      case _ => jpeg(docId, color = true, rstInterval = 0,
+        subsample = true)
     }
     if (docId % 10 == 7) full.take(40) else full
   }

@@ -324,11 +324,11 @@ class PixelKernelSpec extends SparkSpec {
     import graft.expressions.JpegKernel
     // fixture round trips EXACTLY under the pinned IDCT's DC-only
     // closed form — the q372 oracle contract
-    for (s <- Seq(0L, 5L, 123L); color <- Seq(false, true);
-         rst <- Seq(0, 2)) {
-      val bytes = PixelFixtures.jpeg(s, color, rst)
+    for (s <- Seq(0L, 5L, 123L); (color, sub) <- Seq(
+      (false, false), (true, false), (true, true)); rst <- Seq(0, 2)) {
+      val bytes = PixelFixtures.jpeg(s, color, rst, subsample = sub)
       val st = PixelKernel.decode(bytes)
-      assert(st != null && st.format == "jpeg", s"s=$s c=$color r=$rst")
+      assert(st != null && st.format == "jpeg", s"s=$s c=$color sub=$sub r=$rst")
       val w = PixelFixtures.width(s); val h = PixelFixtures.height(s)
       assert(st.width == w && st.height == h)
       assert(st.channels == (if (color) 3 else 1))
@@ -340,7 +340,7 @@ class PixelKernelSpec extends SparkSpec {
       val (es, eq, eh, ed) =
         statsOf((x, y) => 1000L * blockVal(x / 8, y / 8), w, h)
       assert((st.lumSum, st.lumSqSum, st.hist.toSeq, st.dhash) ===
-        ((es, eq, eh, ed)), s"s=$s c=$color r=$rst")
+        ((es, eq, eh, ed)), s"s=$s c=$color sub=$sub r=$rst")
     }
     // a REAL encoder's output (ImageIO: its own quant tables, real AC
     // coefficients, optimized entropy) must agree with ImageIO's own
