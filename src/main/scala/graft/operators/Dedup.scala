@@ -645,6 +645,61 @@ object Dedup {
     cross.union(pairsFromBands(newBands, maxHamming)).distinct()
   }
 
+  /** `(id, sig)` → `(id, sig, band, nib)` — the PERSISTABLE pre-banded
+    * form of a 64-bit signature table. Store it bucketed by
+    * (band, nib) ([[graft.io.TableIO.writeBucketed]]) and the
+    * incremental cross join of
+    * [[signatureMatches64IncrementalBanded]] reads co-located buckets
+    * with NO corpus-side exchange — the banding shuffle is paid once
+    * at table publish, not per arriving batch. 4 rows × 24 bytes per
+    * image. NULL signatures drop (no perceptual identity).
+    */
+  def bandRows64(sigs: DataFrame, idCol: String, sigCol: String): DataFrame =
+    explodeBands(
+      sigs.filter(col(sigCol).isNotNull)
+        .select(col(idCol).as("__id"), col(sigCol).as("__sig")),
+      b => shiftrightunsigned(col("__sig"), 16 * b)
+        .bitwiseAND(lit(0xFFFFL)))
+      .select(col("__id").as(idCol), col("__sig").as(sigCol),
+        col("band"), col("nib"))
+
+  /** [[signatureMatches64Incremental]] against a PRE-BANDED corpus
+    * table (the [[bandRows64]] layout, ideally bucketed by
+    * (band, nib)): identical output contract — cross rows
+    * (i = corpus id, j = batch id) plus within-batch pairs (i < j),
+    * distinct, pigeonhole-exact at Hamming ≤ 3 — but the corpus side
+    * is consumed AS STORED: no re-banding, no corpus-side shuffle when
+    * the table is bucketed on the join key. The 100-TB shape: the
+    * signature table is published once (banded + bucketed), and every
+    * day's batch joins against it at the cost of banding the batch
+    * alone.
+    */
+  def signatureMatches64IncrementalBanded(newSigs: DataFrame, idCol: String,
+                                          sigCol: String,
+                                          existingBands: DataFrame,
+                                          existingIdCol: String,
+                                          existingSigCol: String,
+                                          maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    val nib = (b: Int) =>
+      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL))
+    val newBands = explodeBands(
+      newSigs.filter(col(sigCol).isNotNull)
+        .select(col(idCol).as("__id"), col(sigCol).as("__sig")), nib)
+      .transform(CacheScope.track)
+    val cross = existingBands
+      .select(col(existingIdCol).as("i"), col(existingSigCol).as("__si"),
+        col("band"), col("nib"))
+      .join(newBands.select(col("__id").as("j"), col("__sig").as("__sj"),
+        col("band"), col("nib")), Seq("band", "nib"))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("__si").bitwiseXOR(col("__sj")))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    cross.union(pairsFromBands(newBands, maxHamming)).distinct()
+  }
+
   // --------------------------------------- incremental (batch-vs-corpus)
 
   /** The persisted wide-signature table `(id, sig)` of a corpus — what a

@@ -5492,6 +5492,63 @@ object LlmQueries {
           col("__s.lum_sq_sum").as("lum_sq_sum"),
           col("__s.dhash").as("dhash"))
         .orderBy("doc_id")
+    }),
+
+    // q373: the incremental image dedup (q366) against a PUBLISHED
+    // signature artifact — the 100-TB shape the q366 scale notes
+    // called for: the corpus signature table is persisted PRE-BANDED
+    // (Dedup.bandRows64: 4 rows × 24 bytes per image) and BUCKETED by
+    // the join key (band, nib), so the daily batch-vs-corpus cross
+    // join reads co-located buckets with NO corpus-side exchange —
+    // the banding shuffle is paid once at table publish, not per
+    // arriving batch. Grades against q366's exact oracle SQL, so the
+    // driver's hash compare proves session-built ≡ published-artifact
+    // (the q348/q371 pattern).
+    "q373_bucketed_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, TarFixtures.incrementalPayload(id))))
+        .toDF("doc_id", "__p")
+      def sigs(shards: DataFrame): DataFrame = shards
+        .select(col("doc_id"), col("__p"),
+          explode(graft.functions.tarMembers(col("__p"))).as("__m"))
+        .filter(col("__m.name").endsWith(".bmp"))
+        .select((col("doc_id") * 8L +
+            regexp_extract(col("__m.name"), "_(\\d+)\\.", 1)
+              .cast("long")).as("img_id"),
+          graft.functions.pixelStats(
+            col("__p").substr(col("__m.offset") + 1L, col("__m.size")))
+            .getField("dhash").as("dhash"))
+      val corpusSigs = sigs(media.filter(col("doc_id") % 2 === 0))
+        .transform(graft.operators.CacheScope.track)
+      // PUBLISH: yesterday's job wrote this once; today reads it
+      graft.io.TableIO.writeBucketed(
+        graft.operators.Dedup.bandRows64(corpusSigs, "img_id", "dhash"),
+        "graft_image_sigs_banded", Seq("band", "nib"), numBuckets = 8)
+      val batchSigs = sigs(media.filter(col("doc_id") % 2 === 1))
+        .transform(graft.operators.CacheScope.track)
+      val matches =
+        graft.operators.Dedup.signatureMatches64IncrementalBanded(
+          batchSigs, "img_id", "dhash",
+          s.table("graft_image_sigs_banded"), "img_id", "dhash",
+          maxHamming = 0)
+        .transform(graft.operators.CacheScope.track)
+      val survivors = graft.operators.Components.keepCanonical(
+        batchSigs, "img_id", matches)
+        .transform(graft.operators.CacheScope.track)
+      val refreshed = corpusSigs.unionByName(survivors)
+      corpusSigs.agg(count(lit(1)).as("n_corpus_sigs"))
+        .crossJoin(batchSigs.agg(count(lit(1)).as("n_batch_images"),
+          count(col("dhash")).as("n_batch_hashed")))
+        .crossJoin(matches.agg(
+          count(when(col("i").bitwiseAND(lit(8L)) === 0L, 1))
+            .as("n_cross_pairs"),
+          count(when(col("i").bitwiseAND(lit(8L)) =!= 0L, 1))
+            .as("n_within_pairs")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_batch_survivors")))
+        .crossJoin(refreshed.agg(count(lit(1)).as("n_total_sigs")))
+        .orderBy("n_corpus_sigs")
     })
   )
 
@@ -6690,6 +6747,91 @@ object LlmQueries {
         |                 CAST(g1.giant_size AS DOUBLE) END AS retained,
         |       bfs.n_reached, bfs.n_unreached
         |FROM cnts, assort, g1, g2, bfs""".stripMargin
+
+  /** The q366/q373 SHARED incremental-image-dedup oracle — the
+    * bucketed-signature-table query must hash IDENTICALLY to the
+    * session-built one, so they grade against one SQL string.
+    */
+  private val oIncrementalImageDedupSql: String =
+    """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS s
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |pq AS (
+        |  SELECT doc_id, k, sp, sp % 24 + 9 AS w, (sp * 5) % 24 + 8 AS h
+        |  FROM (
+        |    SELECT doc_id, k,
+        |      CASE WHEN k = 0 THEN 4 * (doc_id - doc_id % 2)
+        |        WHEN k = 1 AND doc_id % 4 = 3 THEN 4 * (doc_id - 2) + 1
+        |        ELSE 4 * doc_id + k END AS sp
+        |    FROM (SELECT doc_id, unnest(range(s)) AS k FROM d))),
+        |lum AS (
+        |  SELECT doc_id, k, w, h, u.x AS x, u.y AS y,
+        |    299 * u.p + 587 * ((u.p * 3) % 256)
+        |      + 114 * ((u.p * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id, k, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x ->
+        |          {'x': x, 'y': y,
+        |           'p': ((x + sp % 31) * (y + sp % 37) * 3 + sp)
+        |                % 256})))) AS u
+        |    FROM pq)),
+        |cells AS (
+        |  SELECT doc_id, k, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.doc_id, a.k, a.cy * 8 + a.cx AS kk
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.k = b.k AND b.cy = a.cy
+        |      AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS (
+        |  SELECT pq.doc_id, pq.doc_id * 8 + pq.k AS img_id,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM pq LEFT JOIN (
+        |    SELECT doc_id, k, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1, 2) x
+        |    ON x.doc_id = pq.doc_id AND x.k = pq.k),
+        |cor AS (SELECT img_id, dhash FROM sig WHERE doc_id % 2 = 0),
+        |bat AS (SELECT img_id, dhash FROM sig WHERE doc_id % 2 = 1),
+        |cp AS (
+        |  SELECT c.img_id AS i, b.img_id AS j
+        |  FROM cor c JOIN bat b ON c.dhash = b.dhash
+        |  WHERE c.dhash IS NOT NULL),
+        |wp AS (
+        |  SELECT a.img_id AS i, b.img_id AS j
+        |  FROM bat a JOIN bat b
+        |    ON a.img_id < b.img_id AND a.dhash = b.dhash
+        |  WHERE a.dhash IS NOT NULL),
+        |p AS (SELECT i, j FROM cp UNION SELECT i, j FROM wp),
+        |symp AS (SELECT i AS u, j AS v FROM p UNION SELECT j, i FROM p),
+        |pn AS (SELECT DISTINCT u AS node FROM symp),
+        |r(node, comp) AS (
+        |  SELECT node, node FROM pn
+        |  UNION
+        |  SELECT e.v, r.comp FROM r JOIN symp e ON e.u = r.node),
+        |l AS (SELECT node, min(comp) AS component FROM r GROUP BY 1),
+        |surv AS (
+        |  SELECT b.img_id FROM bat b LEFT JOIN l ON l.node = b.img_id
+        |  WHERE l.node IS NULL OR l.component = b.img_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cor) AS n_corpus_sigs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bat) AS n_batch_images,
+        |  (SELECT CAST(count(dhash) AS BIGINT) FROM bat)
+        |    AS n_batch_hashed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_cross_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wp) AS n_within_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM surv)
+        |    AS n_batch_survivors,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cor)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM surv)
+        |    AS n_total_sigs
+        |ORDER BY n_corpus_sigs""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q39_embed_ann_lsh" -> oLsh,
@@ -15881,86 +16023,12 @@ object LlmQueries {
     // count doc%3+2), split even→corpus / odd→batch, exact-match cross
     // and within pair sets, keepCanonical over the batch (component ≠
     // id drops), survivors appended to the corpus signature table.
-    "q366_incremental_image_dedup" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, doc_id % 3 + 2 AS s
-        |  FROM documents WHERE doc_id % 10 <> 9),
-        |pq AS (
-        |  SELECT doc_id, k, sp, sp % 24 + 9 AS w, (sp * 5) % 24 + 8 AS h
-        |  FROM (
-        |    SELECT doc_id, k,
-        |      CASE WHEN k = 0 THEN 4 * (doc_id - doc_id % 2)
-        |        WHEN k = 1 AND doc_id % 4 = 3 THEN 4 * (doc_id - 2) + 1
-        |        ELSE 4 * doc_id + k END AS sp
-        |    FROM (SELECT doc_id, unnest(range(s)) AS k FROM d))),
-        |lum AS (
-        |  SELECT doc_id, k, w, h, u.x AS x, u.y AS y,
-        |    299 * u.p + 587 * ((u.p * 3) % 256)
-        |      + 114 * ((u.p * 5) % 256) AS lum
-        |  FROM (
-        |    SELECT doc_id, k, w, h,
-        |      unnest(flatten(list_transform(range(h), y ->
-        |        list_transform(range(w), x ->
-        |          {'x': x, 'y': y,
-        |           'p': ((x + sp % 31) * (y + sp % 37) * 3 + sp)
-        |                % 256})))) AS u
-        |    FROM pq)),
-        |cells AS (
-        |  SELECT doc_id, k, (9 * x) // w AS cx, (8 * y) // h AS cy,
-        |    sum(lum) // count(*) AS cavg
-        |  FROM lum GROUP BY 1, 2, 3, 4),
-        |bits AS (
-        |  SELECT a.doc_id, a.k, a.cy * 8 + a.cx AS kk
-        |  FROM cells a JOIN cells b
-        |    ON a.doc_id = b.doc_id AND a.k = b.k AND b.cy = a.cy
-        |      AND b.cx = a.cx + 1
-        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
-        |sig AS (
-        |  SELECT pq.doc_id, pq.doc_id * 8 + pq.k AS img_id,
-        |    CAST(coalesce(x.hraw, 0)
-        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
-        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
-        |      AS dhash
-        |  FROM pq LEFT JOIN (
-        |    SELECT doc_id, k, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
-        |      AS hraw
-        |    FROM bits GROUP BY 1, 2) x
-        |    ON x.doc_id = pq.doc_id AND x.k = pq.k),
-        |cor AS (SELECT img_id, dhash FROM sig WHERE doc_id % 2 = 0),
-        |bat AS (SELECT img_id, dhash FROM sig WHERE doc_id % 2 = 1),
-        |cp AS (
-        |  SELECT c.img_id AS i, b.img_id AS j
-        |  FROM cor c JOIN bat b ON c.dhash = b.dhash
-        |  WHERE c.dhash IS NOT NULL),
-        |wp AS (
-        |  SELECT a.img_id AS i, b.img_id AS j
-        |  FROM bat a JOIN bat b
-        |    ON a.img_id < b.img_id AND a.dhash = b.dhash
-        |  WHERE a.dhash IS NOT NULL),
-        |p AS (SELECT i, j FROM cp UNION SELECT i, j FROM wp),
-        |symp AS (SELECT i AS u, j AS v FROM p UNION SELECT j, i FROM p),
-        |pn AS (SELECT DISTINCT u AS node FROM symp),
-        |r(node, comp) AS (
-        |  SELECT node, node FROM pn
-        |  UNION
-        |  SELECT e.v, r.comp FROM r JOIN symp e ON e.u = r.node),
-        |l AS (SELECT node, min(comp) AS component FROM r GROUP BY 1),
-        |surv AS (
-        |  SELECT b.img_id FROM bat b LEFT JOIN l ON l.node = b.img_id
-        |  WHERE l.node IS NULL OR l.component = b.img_id)
-        |SELECT
-        |  (SELECT CAST(count(*) AS BIGINT) FROM cor) AS n_corpus_sigs,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM bat) AS n_batch_images,
-        |  (SELECT CAST(count(dhash) AS BIGINT) FROM bat)
-        |    AS n_batch_hashed,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_cross_pairs,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM wp) AS n_within_pairs,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM surv)
-        |    AS n_batch_survivors,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM cor)
-        |    + (SELECT CAST(count(*) AS BIGINT) FROM surv)
-        |    AS n_total_sigs
-        |ORDER BY n_corpus_sigs""".stripMargin,
+    "q366_incremental_image_dedup" -> oIncrementalImageDedupSql,
+
+    // The bucketed pre-banded signature-table twin grades against the
+    // IDENTICAL SQL: the driver's hash compare IS the session-built
+    // vs published-artifact identity proof (the q348/q371 pattern).
+    "q373_bucketed_image_dedup" -> oIncrementalImageDedupSql,
 
     // Audio perceptual dedup: every doc's linear samples replayed
     // arithmetically (μ-law expansion as the public CCITT formula in

@@ -32,6 +32,50 @@ class SkewBucketSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("pre-banded bucketed signature table: exact parity, no corpus-side exchange") {
+    import graft.operators.Dedup
+    val corpus = Seq((10L, 0x00FF00FF00FF00FFL),
+      (11L, 0x1234567812345678L), (12L, -1L)).toDF("img_id", "dhash")
+    TableIO.writeBucketed(Dedup.bandRows64(corpus, "img_id", "dhash"),
+      "sig_banded_test", Seq("band", "nib"), numBuckets = 8)
+    val batch = Seq[(Long, java.lang.Long)](
+      (100L, 0x00FF00FF00FF00FDL), (101L, 0x1234567812345678L),
+      (102L, 0x0F0F0F0F0F0F0F0FL), (103L, null))
+      .toDF("img_id", "dhash")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val banded = Dedup.signatureMatches64IncrementalBanded(batch,
+        "img_id", "dhash", spark.table("sig_banded_test"), "img_id",
+        "dhash", maxHamming = 2)
+      // output contract identical to the session-built matcher
+      val ref = Dedup.signatureMatches64Incremental(batch, "img_id",
+        "dhash", corpus.toDF("id", "sig").select($"id".as("img_id"),
+          $"sig".as("dhash")), "img_id", "dhash", maxHamming = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(banded) === rows(ref))
+      assert(rows(banded).contains((10L, 100L, 1L)))
+      // plan shape: the cross join's CORPUS side reads co-located
+      // buckets — exactly ONE (band, nib) exchange (the batch side),
+      // never two
+      val cross = spark.table("sig_banded_test")
+        .select($"img_id".as("i"), $"dhash".as("__si"), $"band", $"nib")
+        .join(Dedup.bandRows64(batch, "img_id", "dhash")
+          .select($"img_id".as("j"), $"dhash".as("__sj"),
+            $"band", $"nib"), Seq("band", "nib"))
+      val plan = cross.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val nExchanges =
+        "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+      assert(nExchanges == 1,
+        s"corpus side must not re-shuffle ($nExchanges band exchanges):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sig_banded_test")
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val a = (1 to 1000).map(i => (i.toLong % 100, i.toDouble)).toDF("k", "va")
