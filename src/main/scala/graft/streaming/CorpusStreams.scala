@@ -462,6 +462,48 @@ object CorpusStreams {
         col("n_keep"), col("n_img_drop"), col("n_txt_drop"))
   }
 
+  /** Windowed INCREMENTAL image-dedup gate over a binary-payload
+    * stream — the streaming face of the q366/q373 pattern: every
+    * arriving image is dHashed and checked against the PUBLISHED
+    * corpus signature table (a STATIC side — stream-static equi-join,
+    * no stream state beyond the window counts). Radius is EXACT match
+    * (Hamming 0 — the q366 batch radius): the corpus side is reduced
+    * to its DISTINCT dhash set with a hit marker, so the left join is
+    * multiplicity-free and each arriving image contributes exactly one
+    * row. Per event-time window: arrivals, decodable, corpus-dup, and
+    * new-signature counts. Batch-internal near-dups are deliberately
+    * NOT the stream's business — the daily batch job (q366) resolves
+    * those with the banded matcher; this gate answers the ingest-time
+    * question "is this image already in the corpus?" at wire speed.
+    *
+    * @param corpusSigs the persisted `(id, sig)` table
+    *        ([[graft.operators.Dedup.wideSignatures]]-shaped; the
+    *        image case stores (img_id, dhash))
+    * @return streaming (window_start, n_images, n_hashed,
+    *         n_corpus_dups, n_new)
+    */
+  def windowedImageDedupGate(media: org.apache.spark.sql.DataFrame,
+                             contentCol: String, tsCol: String,
+                             corpusSigs: org.apache.spark.sql.DataFrame,
+                             sigCol: String, windowDur: String,
+                             watermark: String): org.apache.spark.sql.DataFrame = {
+    val corpus = corpusSigs.select(col(sigCol).as("__sig")).distinct()
+      .withColumn("__hit", lit(1))
+    media.select(col(tsCol),
+        graft.functions.pixelStats(col(contentCol))
+          .getField("dhash").as("__sig"))
+      .join(corpus, Seq("__sig"), "left")
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("__win"))
+      .agg(count(lit(1)).as("n_images"),
+        count(col("__sig")).as("n_hashed"),
+        count(col("__hit")).as("n_corpus_dups"),
+        count(when(col("__sig").isNotNull && col("__hit").isNull, 1))
+          .as("n_new"))
+      .select(col("__win.start").as("window_start"), col("n_images"),
+        col("n_hashed"), col("n_corpus_dups"), col("n_new"))
+  }
+
   /** Windowed heavy-hitter CANDIDATES over the token stream — streaming
     * twin of [[graft.operators.HeavyHitters.mgSummary]], and the second
     * bounded-state trending-terms path next to [[windowedTokenCountMin]]:

@@ -1027,6 +1027,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedImageDedupGate: arrivals gate against the static corpus table") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.PixelFixtures
+    // corpus = the signatures of images 0 and 2 (as yesterday's job
+    // would have published them)
+    val corpus = Seq(0L, 2L).map { s =>
+      (s, graft.expressions.PixelKernel.decode(PixelFixtures.bmp(s))
+        .dhash.get)
+    }.toDF("img_id", "dhash")
+    val docs = Seq(
+      // window 1: a corpus dup (same pixels, different container — the
+      // BMP of 0 re-shipped as its PNG twin has identical dHash only
+      // if pixels match; use the same BMP bytes for exactness), a new
+      // image, and an undecodable payload
+      MediaDoc(1, ts(0), PixelFixtures.bmp(0L)),
+      MediaDoc(2, ts(1), PixelFixtures.bmp(7L)),
+      MediaDoc(3, ts(2), Array[Byte](1, 2, 3)),
+      // window 2: another corpus dup via the GIF twin (byte-unequal
+      // container, identical RGB pixels — the GIF palette arithmetic
+      // is the BMP pixel arithmetic — so identical dHash)
+      MediaDoc(4, ts(12), PixelFixtures.gif(2L)))
+    // the GIF twin really does share pixels with the corpus BMP
+    assert(graft.expressions.PixelKernel.decode(
+      PixelFixtures.gif(2L)).dhash ===
+      graft.expressions.PixelKernel.decode(PixelFixtures.bmp(2L)).dhash)
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedImageDedupGate(input.toDF(),
+        "content", "ts", corpus, "dhash",
+        windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("widg").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val got = spark.table("widg").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === Set(
+        (ts(0), 3L, 2L, 1L, 1L), // dup(img 0) + new(img 7) + undecodable
+        (ts(10), 1L, 1L, 1L, 0L))) // the PNG re-ship of corpus img 2
+    } finally query.stop()
+  }
+
   test("windowedTokenCountMin: per-window sketch equals the batch countMinTable") {
     import graft.streaming.CorpusStreams
     import graft.streaming.CorpusStreams.Doc
