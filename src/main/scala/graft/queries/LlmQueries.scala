@@ -5549,6 +5549,60 @@ object LlmQueries {
         .crossJoin(survivors.agg(count(lit(1)).as("n_batch_survivors")))
         .crossJoin(refreshed.agg(count(lit(1)).as("n_total_sigs")))
         .orderBy("n_corpus_sigs")
+    }),
+
+    // q374: the round-15 CAPSTONE — a compressed-shard curation
+    // increment as ONE plan, composing every piece the round built:
+    // .tar.zst shards (zstd_decode → tar_members, corruption planted
+    // at BOTH layers) carrying JPEG samples (the native JpegKernel's
+    // pinned-IDCT pixels → dHash), deduplicated INCREMENTALLY against
+    // yesterday's corpus (signatureMatches64Incremental: even docs =
+    // corpus known only by its signature table, odd docs = today's
+    // batch), keepCanonical over the batch, union-append refresh. The
+    // oracle replays the whole chain arithmetically: tar layout →
+    // closed-form JPEG block values → per-image dHash flood → pair
+    // sets → CC → survivors.
+    "q374_compressed_shard_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, TarFixtures.jpegShardPayload(id))))
+        .toDF("doc_id", "__p")
+      def sigs(shards: DataFrame): DataFrame = shards
+        .select(col("doc_id"),
+          graft.functions.zstdDecode(col("__p")).as("__t"))
+        .select(col("doc_id"), col("__t"),
+          explode(graft.functions.tarMembers(col("__t"))).as("__m"))
+        .filter(col("__m.name").endsWith(".jpg"))
+        .select((col("doc_id") * 8L +
+            regexp_extract(col("__m.name"), "_(\\d+)\\.", 1)
+              .cast("long")).as("img_id"),
+          graft.functions.pixelStats(
+            col("__t").substr(col("__m.offset") + 1L, col("__m.size")))
+            .getField("dhash").as("dhash"))
+      val corpusSigs = sigs(media.filter(col("doc_id") % 2 === 0))
+        .transform(graft.operators.CacheScope.track)
+      val batchSigs = sigs(media.filter(col("doc_id") % 2 === 1))
+        .transform(graft.operators.CacheScope.track)
+      val matches = graft.operators.Dedup.signatureMatches64Incremental(
+        batchSigs, "img_id", "dhash", corpusSigs, "img_id", "dhash",
+        maxHamming = 0)
+        .transform(graft.operators.CacheScope.track)
+      val survivors = graft.operators.Components.keepCanonical(
+        batchSigs, "img_id", matches)
+        .transform(graft.operators.CacheScope.track)
+      val refreshed = corpusSigs.unionByName(survivors)
+      corpusSigs.agg(count(lit(1)).as("n_corpus_sigs"))
+        .crossJoin(batchSigs.agg(count(lit(1)).as("n_batch_images"),
+          count(col("dhash")).as("n_batch_hashed")))
+        .crossJoin(matches.agg(
+          count(when(col("i").bitwiseAND(lit(8L)) === 0L, 1))
+            .as("n_cross_pairs"),
+          count(when(col("i").bitwiseAND(lit(8L)) =!= 0L, 1))
+            .as("n_within_pairs")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_batch_survivors")))
+        .crossJoin(refreshed.agg(count(lit(1)).as("n_total_sigs")))
+        .orderBy("n_corpus_sigs")
     })
   )
 
@@ -16263,7 +16317,112 @@ object LlmQueries {
         |    AS lum_sq_sum,
         |  CASE WHEN d.doc_id % 10 <> 7 THEN s.dhash END AS dhash
         |FROM d JOIN agg a USING (doc_id) JOIN sig s USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The compressed-shard capstone: q366's incremental structure with
+    // q372's closed-form JPEG block values, both corruption layers
+    // excluded up front (tar truncation %10==9, frame truncation
+    // %11==7 — a corrupt shard contributes no images).
+    "q374_compressed_shard_dedup" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS s
+        |  FROM documents
+        |  WHERE doc_id % 10 <> 9 AND doc_id % 11 <> 7),
+        |pq AS (
+        |  SELECT doc_id, k, sp,
+        |    sp % 24 + 72 AS w, (sp * 5) % 24 + 64 AS h
+        |  FROM (
+        |    SELECT doc_id, k,
+        |      CASE WHEN k = 0 THEN 4 * (doc_id - doc_id % 2)
+        |        WHEN k = 1 AND doc_id % 4 = 3 THEN 4 * (doc_id - 2) + 1
+        |        ELSE 4 * doc_id + k END AS sp
+        |    FROM (SELECT doc_id, unnest(range(s)) AS k FROM d))),
+        |bv AS (
+        |  SELECT doc_id, k, bx, by,
+        |    CASE WHEN f < -128 THEN 0 WHEN f > 127 THEN 255
+        |      ELSE f + 128 END AS val
+        |  FROM (
+        |    SELECT doc_id, k, bx, by,
+        |      CAST(floor((dc * 8 * 2096704 + 8388608) / 16777216.0)
+        |        AS BIGINT) AS f
+        |    FROM (
+        |      SELECT doc_id, k, u.bx AS bx, u.by AS by,
+        |        ((u.bx + sp % 31) * (u.by + sp % 37) * 3 + sp)
+        |          % 256 - 128 AS dc
+        |      FROM (
+        |        SELECT doc_id, k, sp,
+        |          unnest(flatten(list_transform(range((h + 7) // 8),
+        |            by -> list_transform(range((w + 7) // 8), bx ->
+        |              {'bx': bx, 'by': by})))) AS u
+        |        FROM pq)))),
+        |lum AS (
+        |  SELECT p.doc_id, p.k, p.w, p.h, p.x, p.y, 1000 * b.val AS lum
+        |  FROM (
+        |    SELECT doc_id, k, w, h, u.x AS x, u.y AS y
+        |    FROM (
+        |      SELECT doc_id, k, w, h,
+        |        unnest(flatten(list_transform(range(h), y ->
+        |          list_transform(range(w), x -> {'x': x, 'y': y}))))
+        |          AS u
+        |      FROM pq)) p
+        |  JOIN bv b ON b.doc_id = p.doc_id AND b.k = p.k
+        |    AND b.bx = p.x // 8 AND b.by = p.y // 8),
+        |cells AS (
+        |  SELECT doc_id, k, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.doc_id, a.k, a.cy * 8 + a.cx AS kk
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.k = b.k AND b.cy = a.cy
+        |      AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS (
+        |  SELECT pq.doc_id, pq.doc_id * 8 + pq.k AS img_id,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM pq LEFT JOIN (
+        |    SELECT doc_id, k, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1, 2) x
+        |    ON x.doc_id = pq.doc_id AND x.k = pq.k),
+        |cor AS (SELECT img_id, dhash FROM sig WHERE doc_id % 2 = 0),
+        |bat AS (SELECT img_id, dhash FROM sig WHERE doc_id % 2 = 1),
+        |cp AS (
+        |  SELECT c.img_id AS i, b.img_id AS j
+        |  FROM cor c JOIN bat b ON c.dhash = b.dhash
+        |  WHERE c.dhash IS NOT NULL),
+        |wp AS (
+        |  SELECT a.img_id AS i, b.img_id AS j
+        |  FROM bat a JOIN bat b
+        |    ON a.img_id < b.img_id AND a.dhash = b.dhash
+        |  WHERE a.dhash IS NOT NULL),
+        |p AS (SELECT i, j FROM cp UNION SELECT i, j FROM wp),
+        |symp AS (SELECT i AS u, j AS v FROM p UNION SELECT j, i FROM p),
+        |pn AS (SELECT DISTINCT u AS node FROM symp),
+        |r(node, comp) AS (
+        |  SELECT node, node FROM pn
+        |  UNION
+        |  SELECT e.v, r.comp FROM r JOIN symp e ON e.u = r.node),
+        |l AS (SELECT node, min(comp) AS component FROM r GROUP BY 1),
+        |surv AS (
+        |  SELECT b.img_id FROM bat b LEFT JOIN l ON l.node = b.img_id
+        |  WHERE l.node IS NULL OR l.component = b.img_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cor) AS n_corpus_sigs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bat) AS n_batch_images,
+        |  (SELECT CAST(count(dhash) AS BIGINT) FROM bat)
+        |    AS n_batch_hashed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_cross_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wp) AS n_within_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM surv)
+        |    AS n_batch_survivors,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cor)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM surv)
+        |    AS n_total_sigs
+        |ORDER BY n_corpus_sigs""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

@@ -263,11 +263,19 @@ private[graft] object PixelFixtures {
     * walk scrambles every block assignment (padding blocks past the
     * visible area stay in the DC difference chain, so the walk cannot
     * skip them either). Neutral constant chroma upsamples to itself
-    * under ANY convention, so the luminance formula is still shared.
+    * under ANY convention, so the luminance formula is still shared;
+    * `big=true` switches to w = s%24+72, h = (s·5)%24+64 — a block
+    * grid of ≥ 9×8, so every dHash CELL comparison crosses a block
+    * boundary and the hash carries full entropy (the q374 lesson:
+    * with the small dims, block-constant pixels leave most cell
+    * comparisons inside one block — ~10 informative bits, and a
+    * 12k-image corpus collapsed into ~925k chance pairs; the q342
+    * diversity lesson at BLOCK granularity).
     */
   def jpeg(s: Long, color: Boolean, rstInterval: Int,
-           subsample: Boolean = false): Array[Byte] = {
-    val w = width(s); val h = height(s)
+           subsample: Boolean = false, big: Boolean = false): Array[Byte] = {
+    val w = if (big) (s % 24 + 72).toInt else width(s)
+    val h = if (big) ((s * 5) % 24 + 64).toInt else height(s)
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xFF)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }

@@ -134,6 +134,44 @@ private[graft] object TarFixtures {
     if (doc % 10 == 9) full.take(612) else full
   }
 
+  /** q374's COMPRESSED shard: [[incrementalPayload]]'s planted-dup
+    * plan (sample 0 shared across (2m, 2m+1) pairs — the cross
+    * corpus↔batch duplicate; odd (4m+1, 4m+3) pairs share sample 1 —
+    * the batch-internal one; sample count doc%3+2 keeps every
+    * non-planted sp collision-free) with JPEG samples
+    * ([[PixelFixtures.jpeg]] grayscale DC-only — the q372 closed-form
+    * pixels) behind the ZSTD hop. Corruption at BOTH layers: %10==9
+    * truncates the TAR mid-first-member INSIDE a checksum-valid frame
+    * (the tar walk must catch it); %11==7 truncates the frame itself
+    * (the zstd walk must).
+    */
+  def jpegShardPayload(doc: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def member(name: String, data: Array[Byte]): Unit = {
+      out.write(header(name, data.length.toLong), 0, 512)
+      out.write(data, 0, data.length)
+      val pad = (512 - data.length % 512) % 512
+      (0 until pad).foreach(_ => out.write(0))
+    }
+    (0 until (doc % 3 + 2).toInt).foreach { k =>
+      val sp =
+        if (k == 0) 4 * (doc - doc % 2)
+        else if (k == 1 && doc % 4 == 3) 4 * (doc - 2) + 1
+        else 4 * doc + k
+      member(s"${doc}_$k.jpg",
+        PixelFixtures.jpeg(sp, color = false, rstInterval = 0,
+          big = true))
+      member(s"${doc}_$k.txt",
+        Seq.fill(txtTokens(doc, k))("a").mkString(" ")
+          .getBytes("US-ASCII"))
+    }
+    (0 until 1024).foreach(_ => out.write(0))
+    val full = out.toByteArray
+    val tarBytes = if (doc % 10 == 9) full.take(612) else full
+    val zs = zstd(tarBytes)
+    if (doc % 11 == 7) zs.take(zs.length - 4) else zs
+  }
+
   /** RFC 1952 gzip of `data`, HAND-ROLLED (the zlibStored discipline —
     * construction shares no code with the Inflater-side
     * [[graft.expressions.GzipKernel]]): minimal 10-byte header

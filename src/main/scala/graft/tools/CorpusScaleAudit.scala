@@ -113,7 +113,12 @@ object CorpusScaleAudit {
     // native decompress cost is the constant to watch)
     "q369_zstd_decode", "q370_webdataset_zst",
     // native baseline JPEG (map-only; the IDCT is the constant to watch)
-    "q372_jpeg_pixels")
+    "q372_jpeg_pixels",
+    // incremental dedup against the published pre-banded bucketed
+    // table (batch-side banding is the only per-increment shuffle),
+    // and the compressed-shard capstone (zstd + tar + JPEG decode
+    // map-side, banded incremental pairs the only shuffle)
+    "q373_bucketed_image_dedup", "q374_compressed_shard_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
