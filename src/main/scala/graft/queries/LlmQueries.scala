@@ -5603,6 +5603,42 @@ object LlmQueries {
         .crossJoin(survivors.agg(count(lit(1)).as("n_batch_survivors")))
         .crossJoin(refreshed.agg(count(lit(1)).as("n_total_sigs")))
         .orderBy("n_corpus_sigs")
+    }),
+
+    // q375: INCREMENTAL audio dedup — the same batch-vs-corpus
+    // machinery as images (signatureMatches64Incremental is 64-bit-
+    // signature-generic), driven by the envelope hash: even docs are
+    // yesterday's corpus (known only by its (doc_id, ahash) table),
+    // odd docs today's batch. The q367 fixture's planted transcode
+    // pairs (3f, 3f+1) are consecutive ids — ALWAYS opposite parity —
+    // so every planted duplicate is a CROSS corpus↔batch pair, the
+    // shape an ingest increment actually deduplicates.
+    "q375_incremental_audio_dedup" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.audioHash(audioDedupPayload(col("doc_id")))
+            .as("ahash"))
+      val corpusSigs = sigs.filter(col("doc_id") % 2 === 0)
+        .transform(graft.operators.CacheScope.track)
+      val batchSigs = sigs.filter(col("doc_id") % 2 === 1)
+        .transform(graft.operators.CacheScope.track)
+      val matches = graft.operators.Dedup.signatureMatches64Incremental(
+        batchSigs, "doc_id", "ahash", corpusSigs, "doc_id", "ahash",
+        maxHamming = 2)
+        .transform(graft.operators.CacheScope.track)
+      val survivors = graft.operators.Components.keepCanonical(
+        batchSigs.filter(col("ahash").isNotNull), "doc_id", matches)
+      corpusSigs.agg(count(lit(1)).as("n_corpus_rows"),
+          count(col("ahash")).as("n_corpus_sigs"))
+        .crossJoin(batchSigs.agg(count(lit(1)).as("n_batch_rows"),
+          count(col("ahash")).as("n_batch_sigs")))
+        .crossJoin(matches.agg(
+          count(when(pmod(col("i"), lit(2L)) === 0L, 1))
+            .as("n_cross_pairs"),
+          count(when(pmod(col("i"), lit(2L)) =!= 0L, 1))
+            .as("n_within_pairs")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_batch_survivors")))
+        .orderBy("n_corpus_rows")
     })
   )
 
@@ -16422,7 +16458,84 @@ object LlmQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM cor)
         |    + (SELECT CAST(count(*) AS BIGINT) FROM surv)
         |    AS n_total_sigs
-        |ORDER BY n_corpus_sigs""".stripMargin
+        |ORDER BY n_corpus_sigs""".stripMargin,
+
+    // Incremental audio dedup: the q367 envelope-hash replay split
+    // even→corpus / odd→batch, Hamming-≤2 cross and within pair sets,
+    // survivors over the HASHED batch (an undecodable clip has no
+    // perceptual identity — quarantined upstream, never "kept").
+    "q375_incremental_audio_dedup" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 3 AS f, doc_id % 3 AS v,
+        |    (doc_id // 3) % 90 + 80 AS n
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |sm AS (
+        |  SELECT doc_id, n, i,
+        |    CASE WHEN v <= 1 THEN
+        |      CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END
+        |    ELSE (i * i * 1997 + i * 523
+        |      + (doc_id % 251) * (i % 17) * 64
+        |      + doc_id * 31) % 65536 - 32768
+        |    END AS s
+        |  FROM (
+        |    SELECT doc_id, v, n, i, u,
+        |      ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t
+        |    FROM (
+        |      SELECT doc_id, v, n, i,
+        |        255 - ((i * i * (f % 13 + 3) + i * 37
+        |          + (f // 13) * (i % 11) + f * 11 + 1) % 256) AS u
+        |      FROM (SELECT doc_id, f, v, n, unnest(range(n)) AS i
+        |            FROM d)))),
+        |we AS (
+        |  SELECT doc_id, (65 * i) // n AS w, sum(abs(s)) AS e
+        |  FROM sm GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS t
+        |  FROM we a JOIN we b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64 AND b.e > a.e),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS ahash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(t AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1) x ON x.doc_id = d.doc_id),
+        |cor AS (SELECT doc_id, ahash FROM sig WHERE doc_id % 2 = 0),
+        |bat AS (SELECT doc_id, ahash FROM sig WHERE doc_id % 2 = 1),
+        |cp AS (
+        |  SELECT c.doc_id AS i, b.doc_id AS j
+        |  FROM cor c JOIN bat b
+        |    ON bit_count(xor(c.ahash, b.ahash)) <= 2),
+        |wp AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM bat a JOIN bat b ON a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.ahash, b.ahash)) <= 2),
+        |p AS (SELECT i, j FROM cp UNION SELECT i, j FROM wp),
+        |symp AS (SELECT i AS u, j AS v FROM p UNION SELECT j, i FROM p),
+        |pn AS (SELECT DISTINCT u AS node FROM symp),
+        |r(node, comp) AS (
+        |  SELECT node, node FROM pn
+        |  UNION
+        |  SELECT e.v, r.comp FROM r JOIN symp e ON e.u = r.node),
+        |l AS (SELECT node, min(comp) AS component FROM r GROUP BY 1),
+        |surv AS (
+        |  SELECT b.doc_id FROM bat b LEFT JOIN l ON l.node = b.doc_id
+        |  WHERE l.node IS NULL OR l.component = b.doc_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 0) AS n_corpus_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cor) AS n_corpus_sigs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 1) AS n_batch_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bat) AS n_batch_sigs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_cross_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wp) AS n_within_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM surv)
+        |    AS n_batch_survivors
+        |ORDER BY n_corpus_rows""".stripMargin
   )
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),

@@ -118,7 +118,9 @@ object CorpusScaleAudit {
     // table (batch-side banding is the only per-increment shuffle),
     // and the compressed-shard capstone (zstd + tar + JPEG decode
     // map-side, banded incremental pairs the only shuffle)
-    "q373_bucketed_image_dedup", "q374_compressed_shard_dedup")
+    "q373_bucketed_image_dedup", "q374_compressed_shard_dedup",
+    // incremental audio dedup (the generic matcher on envelope hashes)
+    "q375_incremental_audio_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
