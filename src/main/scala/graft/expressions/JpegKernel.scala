@@ -298,9 +298,18 @@ object JpegKernel {
             // ---- one 8×8 block: DC, AC run-length, dequant ----
             java.util.Arrays.fill(coef, 0L)
             val s = r.huff(dcTabs(c.dcTab))
-            if (s < 0 || s > 15) return null
+            // 8-bit baseline caps the DC size category at 11 (T.81
+            // Table F.1); accepting the Huffman-expressible 12–15 would
+            // let an adversarial stream of max-magnitude diffs wrap the
+            // Int predictor into deterministic-but-meaningless pixels.
+            if (s < 0 || s > 11) return null
             val diff = extend(r.bits(s), s)
             c.pred += diff
+            // a conforming 8-bit stream keeps the accumulated DC value
+            // inside the 11-bit coefficient range (diff categories ≤ 11
+            // ⇒ |DC| < 2^11); outside it the stream is non-conforming —
+            // NULL, loud not wrong, never a wrapped predictor
+            if (c.pred < -2048 || c.pred > 2047) return null
             coef(0) = c.pred.toLong * q(0)
             var k = 1
             var done = false

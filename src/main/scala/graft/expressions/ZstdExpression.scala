@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   * shuffle and parquet codecs link it — no new dependency). What this
   * kernel ADDS is the ingest contract the raw library call lacks:
   *
-  *  - magic check (frame magic 0xFD2FB528, little-endian on disk)
-  *    before any native call — random bytes never reach the decoder;
+  *  - magic check (frame magic 0xFD2FB528 or a leading RFC 8878 §3.1.2
+  *    skippable frame 0x184D2A5x, little-endian on disk) before any
+  *    native call — random bytes never reach the decoder;
   *  - a DECLARED-content-size guard: a frame header advertising more
   *    than the 64 MiB cap rejects before any allocation;
   *  - a STREAMING decode-bomb cap: output beyond 64 MiB → NULL even
@@ -32,8 +33,15 @@ object ZstdKernel {
 
   def decode(b: Array[Byte]): Array[Byte] = {
     if (b == null || b.length < 5) return null
-    if ((b(0) & 0xFF) != 0x28 || (b(1) & 0xFF) != 0xB5 ||
-      (b(2) & 0xFF) != 0x2F || (b(3) & 0xFF) != 0xFD) return null
+    // leading magic: the standard frame 0xFD2FB528 or an RFC 8878 §3.1.2
+    // skippable frame 0x184D2A5x (both little-endian on disk) — a legal
+    // stream may open with skippable frames; the frame walk below still
+    // validates every frame's structure either way
+    val std = (b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
+      (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD
+    val skippable = (b(0) & 0xF0) == 0x50 && (b(1) & 0xFF) == 0x2A &&
+      (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18
+    if (!std && !skippable) return null
     // declared-size guard (first frame): negative means unknown/error —
     // the streaming cap below still bounds those
     val declared =

@@ -80,13 +80,43 @@ object TableIO {
       // a FRESH in-memory catalog does not know about a prior
       // session's managed-table directory, and CTAS refuses to reuse
       // the location — overwrite semantics must hold across sessions,
-      // so drop the catalog entry AND clear a stale location
+      // so drop the catalog entry AND clear a stale location. The
+      // stale-location delete is convention-path (warehouse/<name>),
+      // so it is guarded three ways: the name must be unqualified
+      // (db.tbl would map to the wrong path AND be mis-quoted in the
+      // DROP), the path must not belong to a live EXTERNAL table
+      // (user data this writer does not own), and an untracked dir is
+      // only removed when its contents look like a Spark table dump
+      // (part-*/_* files only) — anything else fails loudly instead
+      // of being silently rm -rf'd.
       val spark = df.sparkSession
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      require(!table.exists(c => c == '.' || c == '/' || c == '`'),
+        s"writeBucketed overwrite requires an unqualified table name, got '$table'")
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      if (spark.catalog.tableExists(table)) {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        val isExternal =
+          meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+        require(!(isExternal &&
+            new org.apache.hadoop.fs.Path(meta.location) == fs.makeQualified(loc)),
+          s"refusing to overwrite external table '$table' at ${meta.location}")
+        // dropping a MANAGED table removes its data dir via the catalog's
+        // own location — no convention-path delete needed for this case
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      }
+      if (fs.exists(loc)) {
+        val entries = fs.listStatus(loc).map(_.getPath.getName)
+        val sparkish = entries.forall(n =>
+          n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
+        require(sparkish,
+          s"stale dir $loc contains non-table files " +
+            s"(${entries.filterNot(n => n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")).take(3).mkString(", ")}); " +
+            "refusing to delete — remove it manually if it is yours")
+        fs.delete(loc, true); ()
+      }
     }
     df.write.format(format).mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

@@ -6487,9 +6487,17 @@ object LlmQueries {
       |    list_transform(range(64), b -> m[a+1][b+1] * v[b+1])),
       |  (x, y) -> x + y))""".stripMargin
 
-  /** Shared spectral CTEs (q179/q181): fixed-point Gram `mm`, the
+  /** Shared spectral CTEs (q179/q181/q185): fixed-point Gram `mm`, the
     * 20-round power iteration `it`, and `fin(v)` — the engine's exact
     * driver-side fold order as a recursive CTE.
+    *
+    * ORACLE BUDGET (round 16): `mm` is MATERIALIZED because DuckDB 1.0
+    * inlines multi-referenced CTEs — each of the 20 recursive `it`
+    * steps (and q185's second, deflated iteration) otherwise re-builds
+    * the whole Gram matrix, which is what made q185 a 53 s oracle. The
+    * Gram sum itself is a zipped-unnest self-join (N×64 rows) instead
+    * of per-row list extracts over a row × 64 × 64 cross product —
+    * identical BIGINT sums, an order of magnitude cheaper.
     */
   private val oTopComponentCtes =
     s"""qv AS (
@@ -6497,11 +6505,15 @@ object LlmQueries {
        |    x -> greatest(CAST(-67108864 AS BIGINT), least(CAST(67108864 AS BIGINT),
        |      CAST(floor(x * CAST(1048576 AS DOUBLE)) AS BIGINT)))) AS q
        |  FROM embeddings),
+       |qx AS MATERIALIZED (
+       |  SELECT rid, unnest(range(64)) AS i, unnest(q) AS qval
+       |  FROM (SELECT row_number() OVER () AS rid, q FROM qv)),
        |mr AS (
-       |  SELECT a, b, CAST(sum(q[a+1] * q[b+1]) AS BIGINT) AS mval
-       |  FROM qv, range(64) ra(a), range(64) rb(b)
-       |  GROUP BY a, b),
-       |mm AS (
+       |  SELECT x.i AS a, y.i AS b,
+       |    CAST(sum(x.qval * y.qval) AS BIGINT) AS mval
+       |  FROM qx x JOIN qx y USING (rid)
+       |  GROUP BY 1, 2),
+       |mm AS MATERIALIZED (
        |  SELECT list(mrow ORDER BY a) AS m FROM (
        |    SELECT a, list(mval ORDER BY b) AS mrow FROM mr GROUP BY a)),
        |it(t, v) AS (
@@ -6752,8 +6764,74 @@ object LlmQueries {
     * bucketed-table query must hash IDENTICALLY to the cached-edge
     * one, so they grade against one SQL string.
     */
+  /** Non-recursive connected-components CTE chain for the graph
+    * oracles (round-16 oracle-budget work): the recursive
+    * `r(node, comp) AS (… UNION SELECT e.v, r.comp …)` form
+    * enumerates every (node, reachable-label) pair — O(|component|²)
+    * rows with global dedup, 30–70 s per CC on the sf0.01
+    * co-engagement graph, exactly the shape that can blow the
+    * driver's per-oracle budget. This emits `rounds` unrolled
+    * hook + pointer-jump min-label steps instead (each an edge-size
+    * join + group-by, ~0.2 s per CC):
+    *
+    *   hook:  h_k(v) = min(p_{k-1}(v), min over edges (u,v) of
+    *          p_{k-1}(u)) — one-hop label pull;
+    *   jump:  p_k(v) = min(h_k(v), h_k(h_k(v))) — labels are node
+    *          ids, so a label's own label is a valid (and provably
+    *          smaller-or-equal) label; reach roughly doubles per
+    *          round.
+    *
+    * Exactness is not asymptotic hand-waving: labels are stable under
+    * one hook round iff every edge has equal labels on both ends
+    * (edges are symmetric), i.e. labels are constant per component;
+    * a node's label is always a node id of its own component and
+    * min(component) only ever maps to itself — so stability implies
+    * the exact min-label CC. The emitted `<prefix>chg` CTE runs one
+    * EXTRA hook round and counts changed labels × 1,000,000; callers
+    * add that poison to an output count, so a non-converged unroll
+    * (cannot happen at ≤ 2^rounds-hop diameters, but the guard is
+    * structural, not probabilistic) turns the row loudly red instead
+    * of silently wrong. All emitted CTEs are MATERIALIZED — DuckDB
+    * 1.0 inlines multi-referenced CTEs, and the chained rounds would
+    * otherwise re-expand exponentially.
+    *
+    * Emits: `<prefix>p0 … <prefix>p<rounds>`, `<prefix>h*`,
+    * `<prefix>lab(node, component)`, `<prefix>chg(poison)`.
+    */
+  private def oUnrolledCcCtes(prefix: String, nodesCte: String,
+                              edgesCte: String, rounds: Int = 16): String = {
+    val sb = new StringBuilder
+    sb ++= s"${prefix}p0 AS MATERIALIZED (SELECT node, node AS lbl FROM $nodesCte)"
+    def hook(name: String, prev: String): String =
+      s""",
+         |$name AS MATERIALIZED (
+         |  SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.u AS node, min(p.lbl) AS mn
+         |    FROM $edgesCte e JOIN $prev p ON p.node = e.v
+         |    GROUP BY 1) m ON m.node = n.node)""".stripMargin
+    (1 to rounds).foreach { k =>
+      sb ++= hook(s"${prefix}h$k", s"${prefix}p${k - 1}")
+      sb ++=
+        s""",
+           |${prefix}p$k AS MATERIALIZED (
+           |  SELECT a.node, least(a.lbl, b.lbl) AS lbl
+           |  FROM ${prefix}h$k a JOIN ${prefix}h$k b ON b.node = a.lbl)""".stripMargin
+    }
+    val last = s"${prefix}p$rounds"
+    sb ++= hook(s"${prefix}hx", last)
+    sb ++=
+      s""",
+         |${prefix}lab AS MATERIALIZED (SELECT node, lbl AS component FROM $last),
+         |${prefix}chg AS (
+         |  SELECT CAST(1000000 * count(*) AS BIGINT) AS poison
+         |  FROM $last a JOIN ${prefix}hx b ON b.node = a.node
+         |  WHERE b.lbl <> a.lbl)""".stripMargin
+    sb.toString
+  }
+
   private val oGraphPipelineSql: String =
-      """WITH RECURSIVE ai AS (
+      s"""WITH RECURSIVE ai AS (
         |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
         |  FROM lineitem),
         |deg0 AS (SELECT actor, count(*) AS dg FROM ai GROUP BY 1),
@@ -6762,7 +6840,7 @@ object LlmQueries {
         |pairs AS (
         |  SELECT DISTINCT x.item AS i, y.item AS j
         |  FROM cap x JOIN cap y ON x.actor = y.actor AND x.item < y.item),
-        |sym AS (SELECT i AS u, j AS v FROM pairs
+        |sym AS MATERIALIZED (SELECT i AS u, j AS v FROM pairs
         |        UNION ALL SELECT j, i FROM pairs),
         |nodes AS (SELECT DISTINCT u AS node FROM sym),
         |cnts AS (
@@ -6789,27 +6867,21 @@ object LlmQueries {
         |                        CAST(n * syy - sy * sy AS DOUBLE))
         |         END AS assortativity
         |  FROM ast),
-        |r1(node, comp) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT e.v, r.comp FROM r1 r JOIN sym e ON e.u = r.node),
-        |l1 AS (SELECT node, min(comp) AS component FROM r1 GROUP BY 1),
+        |${oUnrolledCcCtes("a", "nodes", "sym")},
         |g1 AS (
-        |  SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_size
-        |  FROM (SELECT component, count(*) AS sz FROM l1 GROUP BY 1)),
+        |  SELECT CAST(COALESCE(max(sz), 0) + (SELECT poison FROM achg)
+        |           AS BIGINT) AS giant_size
+        |  FROM (SELECT component, count(*) AS sz FROM alab GROUP BY 1)),
         |hubs AS (SELECT u AS node FROM dg ORDER BY deg DESC, u LIMIT 5),
-        |e2 AS (
+        |e2 AS MATERIALIZED (
         |  SELECT u, v FROM sym
         |  WHERE u NOT IN (SELECT node FROM hubs)
         |    AND v NOT IN (SELECT node FROM hubs)),
         |n2 AS (SELECT DISTINCT u AS node FROM e2),
-        |r2(node, comp) AS (
-        |  SELECT node, node FROM n2
-        |  UNION
-        |  SELECT e.v, r.comp FROM r2 r JOIN e2 e ON e.u = r.node),
-        |l2 AS (SELECT node, min(comp) AS component FROM r2 GROUP BY 1),
-        |g2 AS (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_after
-        |       FROM (SELECT component, count(*) AS sz FROM l2 GROUP BY 1)),
+        |${oUnrolledCcCtes("b", "n2", "e2")},
+        |g2 AS (SELECT CAST(COALESCE(max(sz), 0) + (SELECT poison FROM bchg)
+        |         AS BIGINT) AS giant_after
+        |       FROM (SELECT component, count(*) AS sz FROM blab GROUP BY 1)),
         |items AS (SELECT DISTINCT l_partkey AS item FROM lineitem),
         |rb(node, d) AS (
         |  SELECT item, CAST(0 AS BIGINT) FROM items WHERE item % 97 = 0
@@ -10224,7 +10296,7 @@ object LlmQueries {
          |    list_transform(range(64), a -> v[a+1] * w[a+1])),
          |    (x, y) -> x + y) AS lambda
          |  FROM wf),
-         |m2 AS (
+         |m2 AS MATERIALIZED (
          |  SELECT list_transform(range(64), a -> list_transform(range(64),
          |    b -> CAST(m[a+1][b+1] AS DOUBLE) - lambda * v[a+1] * v[b+1]))
          |    AS m
@@ -12954,8 +13026,9 @@ object LlmQueries {
          |FROM srm, jain, ad, conf, gini""".stripMargin,
 
     // Capped pair graph; density/giant/assortativity one-row card.
+    // CC via the unrolled hook+jump chain (oUnrolledCcCtes).
     "q281_graph_datasheet" ->
-      """WITH RECURSIVE ai AS (
+      s"""WITH ai AS (
         |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
         |  FROM lineitem),
         |deg0 AS (SELECT actor, count(*) AS dg FROM ai GROUP BY 1),
@@ -12964,7 +13037,7 @@ object LlmQueries {
         |pairs AS (
         |  SELECT DISTINCT x.item AS i, y.item AS j
         |  FROM cap x JOIN cap y ON x.actor = y.actor AND x.item < y.item),
-        |sym AS (SELECT i AS u, j AS v FROM pairs
+        |sym AS MATERIALIZED (SELECT i AS u, j AS v FROM pairs
         |        UNION ALL SELECT j, i FROM pairs),
         |nodes AS (SELECT DISTINCT u AS node FROM sym),
         |cnts AS (
@@ -12991,14 +13064,11 @@ object LlmQueries {
         |                        CAST(n * syy - sy * sy AS DOUBLE))
         |         END AS assortativity
         |  FROM ast),
-        |reach(node, comp) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT e.v, r.comp FROM reach r JOIN sym e ON e.u = r.node),
-        |lab AS (SELECT node, min(comp) AS component FROM reach GROUP BY 1),
+        |${oUnrolledCcCtes("a", "nodes", "sym")},
         |giant AS (
-        |  SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_size
-        |  FROM (SELECT component, count(*) AS sz FROM lab GROUP BY 1))
+        |  SELECT CAST(COALESCE(max(sz), 0) + (SELECT poison FROM achg)
+        |           AS BIGINT) AS giant_size
+        |  FROM (SELECT component, count(*) AS sz FROM alab GROUP BY 1))
         |SELECT cnts.n_nodes, cnts.n_edges,
         |       CASE WHEN cnts.n_nodes > 1
         |            THEN CAST(2 * cnts.n_edges AS DOUBLE) /
@@ -13436,10 +13506,11 @@ object LlmQueries {
         |       END AS corr
         |FROM st""".stripMargin,
 
-    // Two recursive CCs (full graph, hub-filtered graph); giant = max
-    // component size, nodes = labeled nodes.
+    // Two CCs (full graph, hub-filtered graph) via the unrolled
+    // hook+jump chain (oUnrolledCcCtes — the recursive form was a
+    // 68 s oracle); giant = max component size, nodes = labeled nodes.
     "q269_hub_removal" ->
-      """WITH RECURSIVE ai AS (
+      s"""WITH ai AS (
         |  SELECT DISTINCT l_orderkey AS actor, l_partkey AS item
         |  FROM lineitem),
         |deg0 AS (SELECT actor, count(*) AS dg FROM ai GROUP BY 1),
@@ -13448,33 +13519,27 @@ object LlmQueries {
         |pairs AS (
         |  SELECT DISTINCT x.item AS i, y.item AS j
         |  FROM cap x JOIN cap y ON x.actor = y.actor AND x.item < y.item),
-        |sym AS (SELECT i AS u, j AS v FROM pairs
+        |sym AS MATERIALIZED (SELECT i AS u, j AS v FROM pairs
         |        UNION ALL SELECT j, i FROM pairs),
         |dg AS (SELECT u AS node, CAST(count(DISTINCT v) AS BIGINT) AS deg
         |       FROM sym GROUP BY 1),
         |hubs AS (SELECT node FROM dg ORDER BY deg DESC, node LIMIT 5),
-        |e1 AS (SELECT u, v FROM sym),
+        |e1 AS MATERIALIZED (SELECT u, v FROM sym),
         |n1 AS (SELECT DISTINCT u AS node FROM e1),
-        |r1(node, comp) AS (
-        |  SELECT node, node FROM n1
-        |  UNION
-        |  SELECT e.v, r.comp FROM r1 r JOIN e1 e ON e.u = r.node),
-        |l1 AS (SELECT node, min(comp) AS component FROM r1 GROUP BY 1),
-        |g1 AS (SELECT CAST(max(sz) AS BIGINT) AS giant_before FROM (
-        |         SELECT component, count(*) AS sz FROM l1 GROUP BY 1)),
-        |e2 AS (
+        |${oUnrolledCcCtes("a", "n1", "e1")},
+        |g1 AS (SELECT CAST(max(sz) + (SELECT poison FROM achg) AS BIGINT)
+        |         AS giant_before FROM (
+        |         SELECT component, count(*) AS sz FROM alab GROUP BY 1)),
+        |e2 AS MATERIALIZED (
         |  SELECT u, v FROM sym
         |  WHERE u NOT IN (SELECT node FROM hubs)
         |    AND v NOT IN (SELECT node FROM hubs)),
         |n2 AS (SELECT DISTINCT u AS node FROM e2),
-        |r2(node, comp) AS (
-        |  SELECT node, node FROM n2
-        |  UNION
-        |  SELECT e.v, r.comp FROM r2 r JOIN e2 e ON e.u = r.node),
-        |l2 AS (SELECT node, min(comp) AS component FROM r2 GROUP BY 1),
-        |g2 AS (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS giant_after
-        |       FROM (SELECT component, count(*) AS sz FROM l2 GROUP BY 1))
-        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM l1) AS n_nodes,
+        |${oUnrolledCcCtes("b", "n2", "e2")},
+        |g2 AS (SELECT CAST(COALESCE(max(sz), 0) + (SELECT poison FROM bchg)
+        |         AS BIGINT) AS giant_after
+        |       FROM (SELECT component, count(*) AS sz FROM blab GROUP BY 1))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM alab) AS n_nodes,
         |       g1.giant_before, g2.giant_after,
         |       CASE WHEN g1.giant_before > 0
         |            THEN CAST(g2.giant_after AS DOUBLE) /
@@ -16359,8 +16424,26 @@ object LlmQueries {
     // q372's closed-form JPEG block values, both corruption layers
     // excluded up front (tar truncation %10==9, frame truncation
     // %11==7 — a corrupt shard contributes no images).
+    //
+    // ORACLE BUDGET (round 16): the round-15 form materialized one row
+    // per PIXEL (w×h ≈ 8,000/image) and ran a recursive
+    // connected-components CTE — measured >15 min / ~45 GB in DuckDB
+    // for 500 docs, which zeroed the driver's whole CORRECTNESS_r15
+    // artifact. This form is arithmetically identical (verified equal
+    // on 24/60/120-doc subsets) but closed-form:
+    //  * blocks are DC-only constant, so each 9×8 dHash cell average
+    //    is the area-weighted average of the ≤9 overlapping blocks —
+    //    the xm/ym axis maps carry pixel-overlap counts (nx, ny) and
+    //    cell totals (tx, ty), so sum(lum)//count(*) becomes
+    //    1000·Σ val·nx·ny // (tx·ty) over ~648 rows/image, never w×h;
+    //  * maxHamming = 0 makes hash equality the edge relation, which
+    //    is transitive — a connected component IS an equal-dhash
+    //    group, so pair counts and canonical survivors come from one
+    //    GROUP BY dhash (cross = nc·nb, within = C(nb,2), survivor =
+    //    isolated batch row or group-min img_id), no recursion.
+    // Full 500-doc runtime: ~1 s.
     "q374_compressed_shard_dedup" ->
-      """WITH RECURSIVE d AS (
+      """WITH d AS (
         |  SELECT doc_id, doc_id % 3 + 2 AS s
         |  FROM documents
         |  WHERE doc_id % 10 <> 9 AND doc_id % 11 <> 7),
@@ -16391,22 +16474,41 @@ object LlmQueries {
         |            by -> list_transform(range((w + 7) // 8), bx ->
         |              {'bx': bx, 'by': by})))) AS u
         |        FROM pq)))),
-        |lum AS (
-        |  SELECT p.doc_id, p.k, p.w, p.h, p.x, p.y, 1000 * b.val AS lum
+        |xm AS (
+        |  SELECT doc_id, k, cx, bx,
+        |    least(x1, 8 * bx + 7) - greatest(x0, 8 * bx) + 1 AS nx,
+        |    x1 - x0 + 1 AS tx
         |  FROM (
-        |    SELECT doc_id, k, w, h, u.x AS x, u.y AS y
+        |    SELECT doc_id, k, u.cx AS cx, u.bx AS bx,
+        |      (u.cx * w + 8) // 9 AS x0, ((u.cx + 1) * w - 1) // 9 AS x1
         |    FROM (
-        |      SELECT doc_id, k, w, h,
-        |        unnest(flatten(list_transform(range(h), y ->
-        |          list_transform(range(w), x -> {'x': x, 'y': y}))))
-        |          AS u
-        |      FROM pq)) p
-        |  JOIN bv b ON b.doc_id = p.doc_id AND b.k = p.k
-        |    AND b.bx = p.x // 8 AND b.by = p.y // 8),
+        |      SELECT doc_id, k, w,
+        |        unnest(flatten(list_transform(range(9), cx ->
+        |          list_transform(range((w + 7) // 8), bx ->
+        |            {'cx': cx, 'bx': bx})))) AS u
+        |      FROM pq))
+        |  WHERE least(x1, 8 * bx + 7) >= greatest(x0, 8 * bx)),
+        |ym AS (
+        |  SELECT doc_id, k, cy, by,
+        |    least(y1, 8 * by + 7) - greatest(y0, 8 * by) + 1 AS ny,
+        |    y1 - y0 + 1 AS ty
+        |  FROM (
+        |    SELECT doc_id, k, u.cy AS cy, u.by AS by,
+        |      (u.cy * h + 7) // 8 AS y0, ((u.cy + 1) * h - 1) // 8 AS y1
+        |    FROM (
+        |      SELECT doc_id, k, h,
+        |        unnest(flatten(list_transform(range(8), cy ->
+        |          list_transform(range((h + 7) // 8), by ->
+        |            {'cy': cy, 'by': by})))) AS u
+        |      FROM pq))
+        |  WHERE least(y1, 8 * by + 7) >= greatest(y0, 8 * by)),
         |cells AS (
-        |  SELECT doc_id, k, (9 * x) // w AS cx, (8 * y) // h AS cy,
-        |    sum(lum) // count(*) AS cavg
-        |  FROM lum GROUP BY 1, 2, 3, 4),
+        |  SELECT b.doc_id, b.k, x.cx, y.cy,
+        |    (1000 * sum(b.val * x.nx * y.ny)) // (x.tx * y.ty) AS cavg
+        |  FROM bv b
+        |  JOIN xm x ON x.doc_id = b.doc_id AND x.k = b.k AND x.bx = b.bx
+        |  JOIN ym y ON y.doc_id = b.doc_id AND y.k = b.k AND y.by = b.by
+        |  GROUP BY 1, 2, 3, 4, x.tx, y.ty),
         |bits AS (
         |  SELECT a.doc_id, a.k, a.cy * 8 + a.cx AS kk
         |  FROM cells a JOIN cells b
@@ -16424,38 +16526,28 @@ object LlmQueries {
         |      AS hraw
         |    FROM bits GROUP BY 1, 2) x
         |    ON x.doc_id = pq.doc_id AND x.k = pq.k),
-        |cor AS (SELECT img_id, dhash FROM sig WHERE doc_id % 2 = 0),
+        |g AS (
+        |  SELECT dhash, min(img_id) AS mn, count(*) AS n,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS nc,
+        |    sum(doc_id % 2) AS nb
+        |  FROM sig GROUP BY dhash),
         |bat AS (SELECT img_id, dhash FROM sig WHERE doc_id % 2 = 1),
-        |cp AS (
-        |  SELECT c.img_id AS i, b.img_id AS j
-        |  FROM cor c JOIN bat b ON c.dhash = b.dhash
-        |  WHERE c.dhash IS NOT NULL),
-        |wp AS (
-        |  SELECT a.img_id AS i, b.img_id AS j
-        |  FROM bat a JOIN bat b
-        |    ON a.img_id < b.img_id AND a.dhash = b.dhash
-        |  WHERE a.dhash IS NOT NULL),
-        |p AS (SELECT i, j FROM cp UNION SELECT i, j FROM wp),
-        |symp AS (SELECT i AS u, j AS v FROM p UNION SELECT j, i FROM p),
-        |pn AS (SELECT DISTINCT u AS node FROM symp),
-        |r(node, comp) AS (
-        |  SELECT node, node FROM pn
-        |  UNION
-        |  SELECT e.v, r.comp FROM r JOIN symp e ON e.u = r.node),
-        |l AS (SELECT node, min(comp) AS component FROM r GROUP BY 1),
         |surv AS (
-        |  SELECT b.img_id FROM bat b LEFT JOIN l ON l.node = b.img_id
-        |  WHERE l.node IS NULL OR l.component = b.img_id)
+        |  SELECT b.img_id FROM bat b JOIN g ON g.dhash = b.dhash
+        |  WHERE g.n = 1 OR b.img_id = g.mn)
         |SELECT
-        |  (SELECT CAST(count(*) AS BIGINT) FROM cor) AS n_corpus_sigs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE doc_id % 2 = 0)
+        |    AS n_corpus_sigs,
         |  (SELECT CAST(count(*) AS BIGINT) FROM bat) AS n_batch_images,
         |  (SELECT CAST(count(dhash) AS BIGINT) FROM bat)
         |    AS n_batch_hashed,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_cross_pairs,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM wp) AS n_within_pairs,
+        |  (SELECT CAST(coalesce(sum(nc * nb), 0) AS BIGINT) FROM g)
+        |    AS n_cross_pairs,
+        |  (SELECT CAST(coalesce(sum(nb * (nb - 1) // 2), 0) AS BIGINT)
+        |   FROM g) AS n_within_pairs,
         |  (SELECT CAST(count(*) AS BIGINT) FROM surv)
         |    AS n_batch_survivors,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM cor)
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE doc_id % 2 = 0)
         |    + (SELECT CAST(count(*) AS BIGINT) FROM surv)
         |    AS n_total_sigs
         |ORDER BY n_corpus_sigs""".stripMargin,

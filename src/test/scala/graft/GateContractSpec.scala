@@ -84,6 +84,68 @@ class GateContractSpec extends SparkSpec {
     assert(stale.isEmpty, s"oracles with no query: ${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every oracle fits the driver budget per the committed ORACLE_BUDGET.json") {
+    // ORACLE AFFORDABILITY — the round-15 zeroing, mechanized: one
+    // oracle the driver's checker couldn't afford (q374's per-pixel
+    // form, >15 min / ~45 GB for 500 docs) emptied the whole round's
+    // CORRECTNESS artifact. tools/oracle_budget.py runs every oracle
+    // standalone at sf0.01 under a 30 s / 2 GB budget and writes the
+    // report this test enforces: full coverage of the CURRENT oracle
+    // set (a new query without a re-run is a failure), zero over-budget
+    // rows, budgets not loosened.
+    val f = new java.io.File("ORACLE_BUDGET.json")
+    assert(f.isFile,
+      "ORACLE_BUDGET.json missing - run tools/oracle_budget.py " +
+        "<sfDir> <verifyOut>/oracle_sql.json --out ORACLE_BUDGET.json")
+    val report = graft.tools.OracleBudgetReport.parse(
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val bad = graft.tools.OracleBudgetReport.violations(
+      report, SparkEntry.oracleSql.keySet)
+    assert(bad.isEmpty, s"\noracle budget violations:\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("budget-report validation catches the saboteurs (over-budget, stale, loosened)") {
+    import graft.tools.OracleBudgetReport._
+    val ok = Report(30.0, 2048L, "sf0.01", Seq(
+      Row("q1_a", "OK", 1.0, 100.0), Row("q2_b", "OK", 2.0, 200.0)))
+    assert(violations(ok, Set("q1_a", "q2_b")).isEmpty)
+    // the round-15 shape: a 10-minute oracle must be named, not averaged away
+    val slow = ok.copy(rows = ok.rows :+
+      Row("q3_c", "OVER_BUDGET: wall 600.0s > 30.0s", 600.0, 500.0))
+    assert(violations(slow, Set("q1_a", "q2_b", "q3_c"))
+      .exists(_.startsWith("q3_c: OVER_BUDGET")))
+    // a TIMEOUT/ERROR row (killed child) is equally fatal
+    assert(violations(ok.copy(rows = ok.rows :+ Row("q3_c", "TIMEOUT", 60.0, -1.0)),
+      Set("q1_a", "q2_b", "q3_c")).exists(_.contains("TIMEOUT")))
+    // a query added without re-running the sweep
+    assert(violations(ok, Set("q1_a", "q2_b", "q9_new"))
+      .exists(_.contains("no budget-report row")))
+    // budgets quietly raised to make a heavy oracle 'fit'
+    assert(violations(ok.copy(budgetSec = 300.0), Set("q1_a", "q2_b"))
+      .exists(_.contains("loosened")))
+  }
+
+  test("oracle_sql.json escaping round-trips sabotaged SQL (tabs, CR, control chars)") {
+    // the OTHER way a round zeroes: a raw control char in one oracle
+    // string breaks the driver's json.load for the WHOLE file. Verify's
+    // escaper must round-trip every such saboteur through a strict JSON
+    // parser, and no committed oracle may rely on anything but \n.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val saboteurs = Seq("tab\there", "cr\rhere", "quote\"back\\slash",
+      "ctrl", "multi\nline\nsql")
+    saboteurs.foreach { s =>
+      val parsed = mapper.readTree("{" + Verify.jsonEscape("k") + ": " +
+        Verify.jsonEscape(s) + "}").get("k").asText()
+      assert(parsed == s, s"escape round-trip broke for ${s.getBytes.toSeq}")
+    }
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.exists(c => c < ' ' && c != '\n') => name
+    }
+    assert(offenders.isEmpty,
+      s"oracles with control chars besides newline: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every gated query has its SURVEY and SHUFFLE_AUDIT artifact rows") {
     // ARTIFACT COVERAGE — the round-11 process defect, mechanized: six
     // queries landed driver-green with no SURVEY §2.13 entry and no

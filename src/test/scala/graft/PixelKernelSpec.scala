@@ -398,6 +398,45 @@ class PixelKernelSpec extends SparkSpec {
     assert(PixelKernel.decode(PixelFixtures.jpegPayload(7L)) == null)
   }
 
+  test("JPEG DC guards: size category > 11 and wrapped predictor NULL") {
+    import graft.expressions.JpegKernel
+    // hand-built minimal 16×8 grayscale baseline JPEG whose DC Huffman
+    // table can express categories 0–12, so the entropy payload can
+    // drive the two guards T.81 Table F.1 implies for 8-bit precision:
+    // a size category above 11, and an accumulated predictor outside
+    // the 11-bit coefficient range
+    def seg(m: Int, p: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, m.toByte,
+        (((p.length + 2) >> 8) & 0xFF).toByte,
+        ((p.length + 2) & 0xFF).toByte) ++ p
+    def jpeg(entropy: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, 0xD8.toByte) ++
+        seg(0xDB, Array(0x00.toByte) ++ Array.fill(64)(1.toByte)) ++
+        seg(0xC4, Array(0x00.toByte) ++
+          (1 to 16).map(l => if (l == 4) 13.toByte else 0.toByte) ++
+          (0 to 12).map(_.toByte)) ++ // DC cats 0..12, all 4-bit codes
+        seg(0xC4, Array(0x10.toByte) ++
+          (1 to 16).map(l => if (l == 1) 1.toByte else 0.toByte) ++
+          Array(0x00.toByte)) ++ // AC: single 1-bit EOB code
+        seg(0xC0, Array[Byte](8, 0, 8, 0, 16, 1, 1, 0x11, 0)) ++
+        seg(0xDA, Array[Byte](1, 1, 0x00, 0, 0x3F, 0)) ++
+        entropy ++ Array(0xFF.toByte, 0xD9.toByte)
+    // block: [4-bit cat][cat magnitude bits][1-bit EOB]
+    // cat 12 (code 1100) in block 1 → reject at the category check
+    assert(JpegKernel.decode(jpeg(Array(0xCA.toByte, 0xAA.toByte,
+      0x7F.toByte))) == null)
+    // two max-magnitude cat-11 blocks (1011 11111111111 0 ×2): each
+    // diff = +2047, predictor 2047 → 4094 leaves the spec range — NULL,
+    // not deterministic garbage from a wrapped predictor
+    assert(JpegKernel.decode(jpeg(Array(0xBF.toByte, 0xFE.toByte,
+      0xBF.toByte, 0xFE.toByte))) == null)
+    // control: the same envelope with two cat-1 blocks (0001 1 0 ×2,
+    // then pad 1s) decodes — the guards fire on the payload, not the
+    // hand-built structure
+    val ok = JpegKernel.decode(jpeg(Array(0x18.toByte, 0x6F.toByte)))
+    assert(ok != null && ok.width == 16 && ok.height == 8)
+  }
+
   test("decodeImage ImageIO fallback: real JPEG/GIF pixel decode") {
     import graft.operators.Multimodal
     import java.awt.image.BufferedImage

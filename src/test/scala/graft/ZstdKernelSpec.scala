@@ -41,6 +41,21 @@ class ZstdKernelSpec extends SparkSpec {
     assert(d(Array[Byte]()).isEmpty && ZstdKernel.decode(null) == null)
   }
 
+  test("a legal stream opening with a skippable frame decodes") {
+    // RFC 8878 §3.1.2: magic 0x184D2A5x LE + 4-byte LE length + payload;
+    // such frames carry metadata and may legally precede the content
+    // frame — the leading-magic check must not reject them
+    val data = (0 until 500).map(i => ((i * 7 + 3) % 256).toByte).toArray
+    val meta = Array[Byte](1, 2, 3, 4, 5)
+    val skip = Array[Byte](0x50, 0x2A, 0x4D, 0x18,
+      meta.length.toByte, 0, 0, 0) ++ meta
+    assert(d(skip ++ TarFixtures.zstd(data)).get.toSeq === data.toSeq)
+    // a truncated skippable frame is still structurally invalid
+    assert(d(skip.take(6)).isEmpty)
+    // skippable-only stream: zero content frames → empty output
+    assert(d(skip).exists(_.isEmpty))
+  }
+
   test("decode-bomb caps: declared size and streaming output both bound") {
     // a ~70 MiB zero buffer compresses tiny; the frame DECLARES its
     // content size (single-shot compress), so the declared guard
