@@ -32,14 +32,27 @@ import scala.util.control.NonFatal
   * (unit-locked at ±2/sample), while FIXTURE JPEGs gate exactly.
   *
   * Supported: SOF0/SOF1 (baseline + extended sequential, Huffman,
-  * 8-bit), 1 or 3 components, sampling factors 1–2, DRI/RST intervals,
-  * multi-segment DQT/DHT, 16-bit DQT entries, APPn/COM skip. Anything
-  * else — progressive (SOF2), arithmetic coding, 12-bit, 4-component
-  * CMYK — returns NULL, loud not wrong; the ImageIO fallback upstream
+  * 8-bit), SOF2 (PROGRESSIVE, Huffman, 8-bit — round 16: the web's
+  * second-most-common JPEG shape), 1 or 3 components, sampling factors
+  * 1–2, DRI/RST intervals, multi-segment DQT/DHT, 16-bit DQT entries,
+  * APPn/COM skip. Anything else — arithmetic coding, 12-bit,
+  * 4-component CMYK, lossless/hierarchical — returns NULL, loud not
+  * wrong; the ImageIO fallback upstream
   * ([[graft.operators.Multimodal.decodeImage]]) still covers those for
   * the unit-tested feature pass. Corrupt/truncated streams, a scan
   * hitting an unexpected marker, or planes past the 64 MiB cap → NULL,
   * never a throw (fuzz-swept).
+  *
+  * PROGRESSIVE decode (T.81 §G): scans accumulate into per-component
+  * coefficient buffers — DC first/refinement scans (interleaved or
+  * single-component), AC spectral-selection bands (single-component by
+  * G.1.1.1.1), successive-approximation first passes (point-transformed
+  * values << Al) and refinement passes (correction bits + EOBRUN runs,
+  * the G.1.2.3 algorithm) — and ONE dequantize + pinned-IDCT pass at
+  * EOI renders the planes. The IDCT contract is IDENTICAL to the
+  * sequential path (same formula, same fixed point), so a progressive
+  * and a baseline encoding of the same coefficients decode to the same
+  * pixels, and the q372 oracle closed forms carry over unchanged.
   */
 object JpegKernel {
 
@@ -127,6 +140,71 @@ object JpegKernel {
     var planeW = 0
     var planeH = 0
     var plane: Array[Byte] = null
+    // progressive state: the full interleaved block grid (bw × bh) of
+    // 64-coefficient buffers, and the component's OWN block dims
+    // (cw × ch — the walk order of non-interleaved scans, A.2.2)
+    var bw = 0
+    var bh = 0
+    var cw = 0
+    var ch = 0
+    var coefs: Array[Int] = null
+  }
+
+  /** The pinned IDCT as a separable two-pass sum (round 16):
+    * t(v,x) = Σ_u K(u)(x)·F(u,v), then acc(x,y) = Σ_v K(v)(y)·t(v,x).
+    * Every intermediate is the exact integer the direct double sum
+    * would produce (integer ·/+ are associative — this is a
+    * re-bracketing of the SAME sum, not an approximation), so the
+    * contract formula and every gated hash are bit-identical while the
+    * dense-block cost drops from 64 to 16 multiplies per sample.
+    * Zero coefficient rows are skipped in both passes, which keeps the
+    * DC-only fast path (fixtures, flat regions) at ~72 multiplies per
+    * block. No overflow: |K| ≤ 2009, |F| ≤ 2047·65535 ⇒
+    * |t| < 2.2·10^12, |acc| < 3.5·10^16 — Long-safe.
+    */
+  private def idctBlock(coef: Array[Long], plane: Array[Byte],
+                        planeW: Int, px0: Int, py0: Int): Unit = {
+    val t = new Array[Long](64)
+    var nzRows = 0
+    var v = 0
+    while (v < 8) {
+      val row = v * 8
+      var any = false
+      var u = 0
+      while (u < 8) { if (coef(row + u) != 0L) any = true; u += 1 }
+      if (any) {
+        nzRows |= 1 << v
+        var x = 0
+        while (x < 8) {
+          var acc = 0L
+          var u2 = 0
+          while (u2 < 8) {
+            val f = coef(row + u2)
+            if (f != 0L) acc += K(u2)(x) * f
+            u2 += 1
+          }
+          t(row + x) = acc
+          x += 1
+        }
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0L
+        var v2 = 0
+        while (v2 < 8) {
+          if ((nzRows & (1 << v2)) != 0) acc += K(v2)(y) * t(v2 * 8 + x)
+          v2 += 1
+        }
+        plane((py0 + y) * planeW + px0 + x) =
+          clampByte((acc + (1L << 23)) >> 24).toByte
+        x += 1
+      }
+      y += 1
+    }
   }
 
   def decode(b: Array[Byte]): PixelKernel.LumView =
@@ -147,6 +225,8 @@ object JpegKernel {
     var width = 0
     var height = 0
     var restart = 0
+    var progressive = false
+    var sawScan = false
     var i = 2
     while (true) {
       // markers may be preceded by fill FFs
@@ -156,7 +236,10 @@ object JpegKernel {
       val m = u8(i + 1)
       i += 2
       m match {
-        case 0xD9 => return null // EOI before any scan
+        case 0xD9 => // EOI: for progressive, scans are done — render
+          if (progressive && sawScan)
+            return finishProgressive(width, height, comps, qt)
+          return null // EOI before any (sequential) scan
         case 0xDB => // DQT: one or more tables
           if (i + 2 > b.length) return null
           val end = i + u16(i)
@@ -195,7 +278,9 @@ object JpegKernel {
             p += 17 + total
           }
           i = end
-        case 0xC0 | 0xC1 => // SOF0/SOF1: baseline / extended sequential
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0/SOF1 sequential, SOF2 progressive
+          if (comps != null) return null // second frame header
+          progressive = m == 0xC2
           if (i + 2 > b.length) return null
           val end = i + u16(i)
           if (end > b.length || i + 8 > b.length) return null
@@ -212,35 +297,82 @@ object JpegKernel {
               comp.tq > 3) return null
             comp
           }
+          if (progressive) {
+            // allocate the coefficient grids once, with the same
+            // decode-bomb cap as the sequential planes (coefficient
+            // storage is 4 bytes per sample, so the same sample cap
+            // bounds it at 4× — still bounded)
+            val maxH = comps.map(_.h).max
+            val maxV = comps.map(_.v).max
+            val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+            val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+            var planeBytes = 0L
+            comps.foreach { c =>
+              c.bw = mcusX * c.h
+              c.bh = mcusY * c.v
+              c.cw = ((width * c.h + maxH - 1) / maxH + 7) / 8
+              c.ch = ((height * c.v + maxV - 1) / maxV + 7) / 8
+              planeBytes += c.bw.toLong * c.bh * 64L
+              if (planeBytes > MaxPlaneBytes) return null
+              c.coefs = new Array[Int](c.bw * c.bh * 64)
+            }
+          }
           i = end
-        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
              0xCD | 0xCE | 0xCF =>
-          return null // progressive / arithmetic / lossless: unsupported
+          return null // arithmetic / lossless / hierarchical: unsupported
         case 0xDD => // DRI
           if (i + 4 > b.length || u16(i) != 4) return null
           restart = u16(i + 2)
           i += 4
-        case 0xDA => // SOS: decode the scan, then finish
+        case 0xDA => // SOS
           if (comps == null) return null
           if (i + 2 > b.length) return null
           val end = i + u16(i)
           if (end > b.length) return null
           val ns = u8(i + 2)
-          if (ns != comps.length || i + 3 + 2 * ns + 3 > end) return null
+          if (ns < 1 || ns > comps.length ||
+            i + 3 + 2 * ns + 3 > end) return null
+          val scanComps = new Array[Comp](ns)
           var c = 0
           while (c < ns) {
             val cid = u8(i + 3 + 2 * c)
             val tt = u8(i + 4 + 2 * c)
             val comp = comps.find(_.id == cid).getOrElse(return null)
+            scanComps(c) = comp
             comp.dcTab = tt >> 4
             comp.acTab = tt & 0x0F
-            if (comp.dcTab > 3 || comp.acTab > 3 ||
-              dcTabs(comp.dcTab) == null || acTabs(comp.acTab) == null)
-              return null
+            if (comp.dcTab > 3 || comp.acTab > 3) return null
             c += 1
           }
-          return decodeScan(b, end, width, height, comps, qt,
-            dcTabs, acTabs, restart)
+          if (!progressive) {
+            // sequential: exactly one scan covering every component,
+            // both table kinds required — unchanged legacy path
+            if (ns != comps.length) return null
+            if (comps.exists(cc => dcTabs(cc.dcTab) == null ||
+              acTabs(cc.acTab) == null)) return null
+            return decodeScan(b, end, width, height, comps, qt,
+              dcTabs, acTabs, restart)
+          }
+          // progressive: spectral selection + successive approximation
+          val ss = u8(i + 3 + 2 * ns)
+          val se = u8(i + 4 + 2 * ns)
+          val ahAl = u8(i + 5 + 2 * ns)
+          val ah = ahAl >> 4
+          val al = ahAl & 0x0F
+          // G.1.1.1.1: DC scans are Ss=Se=0; AC scans are a band in
+          // 1..63 and single-component; point transforms ≤ 13
+          if (ss == 0 && se != 0) return null
+          if (ss > 0 && (ns != 1 || se < ss || se > 63)) return null
+          if (ah > 13 || al > 13 || (ah != 0 && ah != al + 1)) return null
+          if (ss == 0 && ah == 0 &&
+            scanComps.exists(cc => dcTabs(cc.dcTab) == null)) return null
+          if (ss > 0 && acTabs(scanComps(0).acTab) == null) return null
+          val next = decodeProgressiveScan(b, end, scanComps, comps,
+            width, height, ss, se, ah, al, restart, dcTabs, acTabs)
+          if (next < 0) return null
+          sawScan = true
+          i = next
         case x if x >= 0xD0 && x <= 0xD7 => return null // stray RST
         case 0x01 => () // TEM: parameterless
         case _ => // APPn / COM / DNL / anything length-prefixed: skip
@@ -330,32 +462,10 @@ object JpegKernel {
               }
             }
             if (r.bad) return null
-            // ---- the pinned fixed-point IDCT ----
-            val px0 = (mx * c.h + bx) * 8
-            val py0 = (my * c.v + by) * 8
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0L
-                var v = 0
-                while (v < 8) {
-                  var u = 0
-                  val kvy = K(v)(y)
-                  val row = v * 8
-                  while (u < 8) {
-                    val f = coef(row + u)
-                    if (f != 0L) acc += K(u)(x) * kvy * f
-                    u += 1
-                  }
-                  v += 1
-                }
-                c.plane((py0 + y) * c.planeW + px0 + x) =
-                  clampByte((acc + (1L << 23)) >> 24).toByte
-                x += 1
-              }
-              y += 1
-            }
+            // ---- the pinned fixed-point IDCT (separable two-pass;
+            // bit-identical re-bracketing of the contract sum) ----
+            idctBlock(coef, c.plane, c.planeW,
+              (mx * c.h + bx) * 8, (my * c.v + by) * 8)
             bx += 1
           }
           by += 1
@@ -374,6 +484,223 @@ object JpegKernel {
     if (p + 1 >= b.length || (b(p) & 0xFF) != 0xFF ||
       (b(p + 1) & 0xFF) != 0xD9) return null
 
+    assemble(width, height, comps)
+  }
+
+  /** One progressive scan into the coefficient grids; returns the byte
+    * position after the entropy segment (the next marker's 0xFF), or
+    * -1 on any malformation. T.81 §G.1.2: four scan kinds — DC first
+    * (Huffman diff, values << Al), DC refinement (one raw bit per
+    * block ORed at Al), AC first (run-length over the Ss..Se band with
+    * EOBRUN), AC refinement (correction bits + new ±1<<Al
+    * coefficients, G.1.2.3). DC scans with ns > 1 walk the interleaved
+    * MCU grid; single-component scans walk the component's own cw × ch
+    * block raster (A.2.2). Restart lanes reset predictors AND EOBRUN.
+    */
+  private def decodeProgressiveScan(b: Array[Byte], start: Int,
+                                    scanComps: Array[Comp],
+                                    all: Array[Comp],
+                                    width: Int, height: Int,
+                                    ss: Int, se: Int, ah: Int, al: Int,
+                                    restart: Int, dcTabs: Array[Huff],
+                                    acTabs: Array[Huff]): Int = {
+    val r = new Reader(b, start)
+    var eobrun = 0
+    scanComps.foreach(_.pred = 0)
+    val interleaved = scanComps.length > 1
+    val maxH = all.map(_.h).max
+    val maxV = all.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val nUnits =
+      if (interleaved) mcusX * mcusY
+      else scanComps(0).cw * scanComps(0).ch
+
+    def dcBlock(c: Comp, off: Int): Boolean = {
+      if (ah == 0) {
+        val s = r.huff(dcTabs(c.dcTab))
+        if (s < 0 || s > 11) return false
+        val diff = extend(r.bits(s), s)
+        c.pred += diff
+        if (c.pred < -2048 || c.pred > 2047) return false
+        c.coefs(off) = c.pred << al
+      } else if (r.bit() == 1) {
+        c.coefs(off) = c.coefs(off) | (1 << al)
+      }
+      !r.bad
+    }
+
+    def acFirstBlock(c: Comp, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val tab = acTabs(c.acTab)
+      var k = ss
+      while (k <= se) {
+        val rs = r.huff(tab)
+        if (rs < 0) return false
+        val run = rs >> 4
+        val s = rs & 0x0F
+        if (s == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1
+            if (run > 0) eobrun += r.bits(run)
+            k = 64 // EOB for this block
+          }
+        } else {
+          if (s > 10) return false // 8-bit AC categories cap at 10
+          k += run
+          if (k > se) return false
+          c.coefs(off + ZZ(k)) = extend(r.bits(s), s) << al
+          k += 1
+        }
+      }
+      !r.bad
+    }
+
+    def acRefineBlock(c: Comp, off: Int): Boolean = {
+      val tab = acTabs(c.acTab)
+      val p1 = 1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = r.huff(tab)
+          if (rs < 0) return false
+          var run = rs >> 4
+          val s = rs & 0x0F
+          var newval = 0
+          if (s == 0) {
+            if (run != 15) {
+              // EOBn: the run INCLUDES this block (its remaining
+              // nonzeros still take correction bits below)
+              eobrun = 1 << run
+              if (run > 0) eobrun += r.bits(run)
+              atEob = true
+            } // run == 15: ZRL — skip 16 zero-history positions
+          } else {
+            if (s != 1) return false // refinement codes only ±1
+            newval = if (r.bit() == 1) p1 else -p1
+          }
+          if (!atEob) {
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = off + ZZ(k)
+              val cur = c.coefs(idx)
+              if (cur != 0) {
+                if (r.bit() == 1 && (cur & p1) == 0)
+                  c.coefs(idx) = cur + (if (cur >= 0) p1 else -p1)
+              } else if (run == 0) {
+                if (newval != 0) c.coefs(idx) = newval
+                placed = true
+              } else run -= 1
+              k += 1
+            }
+            if (!placed && newval != 0) return false
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val idx = off + ZZ(k)
+          val cur = c.coefs(idx)
+          if (cur != 0) {
+            if (r.bit() == 1 && (cur & p1) == 0)
+              c.coefs(idx) = cur + (if (cur >= 0) p1 else -p1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      !r.bad
+    }
+
+    def oneBlock(c: Comp, bx: Int, by: Int): Boolean = {
+      val off = (by * c.bw + bx) * 64
+      if (ss == 0) dcBlock(c, off)
+      else if (ah == 0) acFirstBlock(c, off)
+      else acRefineBlock(c, off)
+    }
+
+    var unit = 0
+    var rstCount = 0
+    while (unit < nUnits) {
+      if (restart > 0 && unit > 0 && unit % restart == 0) {
+        r.align()
+        if (r.pos + 1 >= b.length || (b(r.pos) & 0xFF) != 0xFF ||
+          (b(r.pos + 1) & 0xFF) != 0xD0 + (rstCount & 7)) return -1
+        r.pos += 2
+        rstCount += 1
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+      if (interleaved) {
+        val mx = unit % mcusX
+        val my = unit / mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              if (!oneBlock(c, mx * c.h + bx, my * c.v + by)) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+      } else {
+        val c = scanComps(0)
+        if (!oneBlock(c, unit % c.cw, unit / c.cw)) return -1
+      }
+      if (r.bad) return -1
+      unit += 1
+    }
+    r.align()
+    r.pos
+  }
+
+  /** Dequantize + pinned IDCT of every accumulated block, then the
+    * shared plane assembly. Quantization applies the tables as defined
+    * at EOI (encoders emit DQT before the first scan; per-scan
+    * redefinition is not a shape real progressive encoders produce).
+    */
+  private def finishProgressive(width: Int, height: Int,
+                                comps: Array[Comp],
+                                qt: Array[Array[Int]]): PixelKernel.LumView = {
+    val coef = new Array[Long](64)
+    comps.foreach { c =>
+      c.planeW = c.bw * 8
+      c.planeH = c.bh * 8
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      val q = qt(c.tq)
+      var by = 0
+      while (by < c.bh) {
+        var bx = 0
+        while (bx < c.bw) {
+          val off = (by * c.bw + bx) * 64
+          var k = 0
+          while (k < 64) {
+            coef(k) = c.coefs(off + k).toLong * q(k)
+            k += 1
+          }
+          idctBlock(coef, c.plane, c.planeW, bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    assemble(width, height, comps)
+  }
+
+  /** Shared gray / YCbCr plane-to-LumView assembly (sequential and
+    * progressive render identically once planes exist).
+    */
+  private def assemble(width: Int, height: Int,
+                       comps: Array[Comp]): PixelKernel.LumView = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
     if (comps.length == 1) {
       val c = comps(0)
       PixelKernel.LumView("jpeg", width, height, 1,

@@ -14,13 +14,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - PNG (ISO/IEC 15948): IDAT is zlib (RFC 1950/1951) — the JDK
   *    ships the decompressor (`java.util.zip.Inflater`) — followed by
   *    the per-scanline filter inversion (§9: types 0 None, 1 Sub,
-  *    2 Up, 3 Average, 4 Paeth). Supported pixel layouts: bit depth 8,
-  *    color types 0 (grayscale), 2 (truecolor RGB), 3 (palette — PLTE
-  *    lookup, out-of-range indices NULL), 4 (gray+alpha) and 6 (RGBA)
-  *    — alpha is IGNORED for luminance (compositing would need a
-  *    background choice; statistics must be deterministic), the GIF
-  *    transparency convention. 16-bit depths and Adam7 interlace
-  *    return NULL — loud, never a wrong statistic.
+  *    2 Up, 3 Average, 4 Paeth). Supported pixel layouts: bit depths
+  *    8 AND 16 (round 16 — 16-bit big-endian samples reduce to their
+  *    high byte, v >> 8: deterministic and oracle-replayable), color
+  *    types 0 (grayscale), 2 (truecolor RGB), 3 (palette — PLTE
+  *    lookup, out-of-range indices NULL, depth 8 only per §11.2.2),
+  *    4 (gray+alpha) and 6 (RGBA) — alpha is IGNORED for luminance
+  *    (compositing would need a background choice; statistics must be
+  *    deterministic), the GIF transparency convention — and BOTH
+  *    interlace methods (round 16: Adam7's seven passes reconstruct
+  *    per pass and scatter through the §8.2 pixel permutation; the
+  *    non-interlaced image is the degenerate single pass). Sub-byte
+  *    depths (1/2/4) return NULL — loud, never a wrong statistic.
   *  - BMP (BITMAPINFOHEADER, biBitCount 24, BI_RGB): pixel rows are
   *    RAW BGR triples, 4-byte-aligned stride, bottom-up when biHeight
   *    is positive (top-down when negative). No decompression at all.
@@ -82,9 +87,10 @@ object PixelKernel {
 
   /** Decode to the luminance view — null on corrupt / unsupported.
     * JPEG is native as of round 15 ([[JpegKernel]] — baseline
-    * sequential with the PINNED fixed-point IDCT); progressive and
-    * other exotic JPEGs still return null here and ride the ImageIO
-    * fallback in the mapPartitions feature pass.
+    * sequential with the PINNED fixed-point IDCT; PROGRESSIVE joined
+    * in round 16); only arithmetic-coded / 12-bit / CMYK JPEGs still
+    * return null here and ride the ImageIO fallback in the
+    * mapPartitions feature pass.
     */
   private[graft] def view(b: Array[Byte]): LumView = {
     if (b == null || b.length < 4) return null
@@ -170,6 +176,16 @@ object PixelKernel {
 
   // ------------------------------------------------------------------ PNG
 
+  /** Adam7 pass origins and strides (§8.2): (x0, y0, dx, dy). The
+    * non-interlaced image is the degenerate single pass (0,0,1,1), so
+    * one reconstruction path serves both layouts.
+    */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+  private val SinglePass: Array[(Int, Int, Int, Int)] =
+    Array((0, 0, 1, 1))
+
   private def decodePng(b: Array[Byte]): LumView = {
     if (b.length < 33) return null
     var i = 0
@@ -183,16 +199,20 @@ object PixelKernel {
       return null
     val depth = u8(b, 24)
     val colorType = u8(b, 25)
-    // compression(26)=0, filter(27)=0, interlace(28)=0 — §11.2.2
-    if (depth != 8 || u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0)
-      return null
-    // bytes per pixel by color type (§11.2.2, depth 8): 0 grayscale,
-    // 2 truecolor, 3 palette index, 4 gray+alpha, 6 RGBA. 16-bit and
-    // Adam7 stay NULL — loud, never a wrong statistic. Alpha is
+    val interlace = u8(b, 28)
+    // compression(26)=0, filter(27)=0 — §11.2.2; depth 8 or 16
+    // (round 16 — 16-bit samples reduce to their HIGH byte, v >> 8:
+    // deterministic, scale-preserving, oracle-replayable); interlace
+    // 0 (none) or 1 (Adam7, round 16)
+    if ((depth != 8 && depth != 16) || u8(b, 26) != 0 ||
+      u8(b, 27) != 0 || interlace > 1) return null
+    if (depth == 16 && colorType == 3) return null // §11.2.2 forbids
+    // samples per pixel by color type (§11.2.2): 0 grayscale,
+    // 2 truecolor, 3 palette index, 4 gray+alpha, 6 RGBA. Alpha is
     // IGNORED for luminance (compositing would need a background
     // choice; the statistics must be deterministic) — same contract as
     // GIF's transparency flag.
-    val bpp = colorType match {
+    val samples = colorType match {
       case 0 => 1
       case 2 => 3
       case 3 => 1
@@ -200,9 +220,17 @@ object PixelKernel {
       case 6 => 4
       case _ => return null
     }
-    val rowBytes = w * bpp
-    val rawLen = h * (1L + rowBytes)
-    if (rawLen > MaxRawBytes) return null // decode-bomb guard
+    val sampleBytes = depth / 8
+    val bpp = samples * sampleBytes // the §9 filter unit
+    val passes = if (interlace == 0) SinglePass else Adam7
+    var rawLen = 0L
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wp = if (w <= x0) 0L else (w - x0 + dx - 1) / dx
+      val hp = if (h <= y0) 0L else (h - y0 + dy - 1) / dy
+      if (wp > 0L && hp > 0L) rawLen += hp * (1L + wp * bpp)
+    }
+    if (rawLen == 0L || rawLen > MaxRawBytes ||
+      w * h * samples > MaxRawBytes) return null // decode-bomb guard
     // chunk walk: capture PLTE, concatenate IDAT payloads until IEND
     val idat = new java.io.ByteArrayOutputStream()
     var off = 33
@@ -254,47 +282,66 @@ object PixelKernel {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // per-scanline filter inversion (§9), in place: after row y is
-    // processed, raw holds its RECONSTRUCTED bytes — the prior-row
-    // reads below therefore see reconstructed values, as the spec
-    // requires.
-    val wi = w.toInt; val hi = h.toInt; val rb = rowBytes.toInt
-    var y = 0
-    while (y < hi) {
-      val base = y * (1 + rb)
-      val f = u8(raw, base)
-      if (f > 4) return null
-      var k = 0
-      while (k < rb) {
-        val cur = u8(raw, base + 1 + k)
-        val left = if (k >= bpp) u8(raw, base + 1 + k - bpp) else 0
-        val up = if (y > 0) u8(raw, base - rb + k) else 0
-        val ul = if (y > 0 && k >= bpp) u8(raw, base - rb + k - bpp) else 0
-        val v = f match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + ((left + up) >> 1)
-          case 4 => cur + paeth(left, up, ul)
+    // per-scanline filter inversion (§9) per PASS, in place — prior
+    // rows within a pass read RECONSTRUCTED bytes, as the spec
+    // requires — then SCATTER into a compact 8-bit sample buffer at
+    // the pass's (x0 + i·dx, y0 + j·dy) pixel positions (the Adam7
+    // inversion; the non-interlaced single pass scatters 1:1). For
+    // depth 16 the scatter keeps each big-endian sample's FIRST byte —
+    // the high-byte reduction.
+    val wi = w.toInt; val hi = h.toInt
+    val out = new Array[Byte](wi * hi * samples)
+    var base = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wp = if (wi <= x0) 0 else (wi - x0 + dx - 1) / dx
+      val hp = if (hi <= y0) 0 else (hi - y0 + dy - 1) / dy
+      if (wp > 0 && hp > 0) {
+        val rb = wp * bpp
+        var j = 0
+        while (j < hp) {
+          val rowBase = base + j * (1 + rb)
+          val f = u8(raw, rowBase)
+          if (f > 4) return null
+          var k = 0
+          while (k < rb) {
+            val cur = u8(raw, rowBase + 1 + k)
+            val left = if (k >= bpp) u8(raw, rowBase + 1 + k - bpp) else 0
+            val up = if (j > 0) u8(raw, rowBase - rb + k) else 0
+            val ul =
+              if (j > 0 && k >= bpp) u8(raw, rowBase - rb + k - bpp) else 0
+            val v = f match {
+              case 0 => cur
+              case 1 => cur + left
+              case 2 => cur + up
+              case 3 => cur + ((left + up) >> 1)
+              case 4 => cur + paeth(left, up, ul)
+            }
+            raw(rowBase + 1 + k) = (v & 0xFF).toByte
+            k += 1
+          }
+          var ix = 0
+          while (ix < wp) {
+            val dst = ((y0 + j * dy) * wi + x0 + ix * dx) * samples
+            var sm = 0
+            while (sm < samples) {
+              out(dst + sm) = raw(rowBase + 1 + ix * bpp + sm * sampleBytes)
+              sm += 1
+            }
+            ix += 1
+          }
+          j += 1
         }
-        raw(base + 1 + k) = (v & 0xFF).toByte
-        k += 1
+        base += hp * (1 + rb)
       }
-      y += 1
     }
     // a palette index past the PLTE's last entry is corrupt (§11.2.3)
     // — validated UP FRONT so the lazy lum accessor can never read
     // outside the palette (NULL, never a wrong statistic or a throw)
     if (colorType == 3) {
-      var yy = 0
-      while (yy < hi) {
-        val base = yy * (1 + rb) + 1
-        var x = 0
-        while (x < wi) {
-          if (u8(raw, base + x) >= palEntries) return null
-          x += 1
-        }
-        yy += 1
+      var p = 0
+      while (p < out.length) {
+        if (u8(out, p) >= palEntries) return null
+        p += 1
       }
     }
     // reported channels: palette pixels DECODE to RGB (3, the GIF
@@ -307,14 +354,14 @@ object PixelKernel {
       case _ => 3
     }
     LumView("png", wi, hi, channels, (x, yy) => {
-      val p = yy * (1 + rb) + 1 + x * bpp
+      val p = (yy * wi + x) * samples
       colorType match {
-        case 0 | 4 => 1000L * u8(raw, p) // alpha (type 4) ignored
+        case 0 | 4 => 1000L * u8(out, p) // alpha (type 4) ignored
         case 3 =>
-          val e = palOff + 3 * u8(raw, p)
+          val e = palOff + 3 * u8(out, p)
           299L * u8(b, e) + 587L * u8(b, e + 1) + 114L * u8(b, e + 2)
         case _ => // 2 and 6; alpha (type 6) ignored
-          299L * u8(raw, p) + 587L * u8(raw, p + 1) + 114L * u8(raw, p + 2)
+          299L * u8(out, p) + 587L * u8(out, p + 1) + 114L * u8(out, p + 2)
       }
     })
   }

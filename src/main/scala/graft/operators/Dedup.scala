@@ -779,6 +779,83 @@ object Dedup {
     * every banded-LSH join consumes. `nib` builds band b's key from
     * `__sig`.
     */
+  /** Per-band bucket saturation report for a 64-bit signature set —
+    * the LOUD half of the occupancy guard (round 16): one row per
+    * band with total buckets, buckets over `maxOccupancy`, and the
+    * signature-row mass sitting in them. Real corpora pile
+    * near-constant images (logos, solid fills — any flat image
+    * dHashes to 0) into a handful of (band, nib) buckets; this is the
+    * monitoring read that says the quadratic hazard exists BEFORE a
+    * pair join hits it.
+    */
+  def bandSaturation(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxOccupancy: Int = 32): DataFrame = {
+    require(maxOccupancy >= 1, "occupancy cap must be positive")
+    val bands = bandRows64(sigs, idCol, sigCol)
+    bands.groupBy(col("band"), col("nib"))
+      .agg(count(lit(1)).as("__occ"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        count(when(col("__occ") > maxOccupancy, 1))
+          .as("n_saturated_buckets"),
+        coalesce(sum(when(col("__occ") > maxOccupancy, col("__occ"))),
+          lit(0L)).as("n_sigs_in_saturated"))
+  }
+
+  /** [[signaturePairs64]] with a bucket-OCCUPANCY guard — the round-16
+    * response to the q374 fixture incident, which is also a production
+    * hazard: a corpus full of near-constant images (every solid fill
+    * dHashes to 0) piles into few (band, nib) buckets and the banded
+    * self-join explodes quadratically. The guard makes the plan degrade
+    * LOUDLY, never quadratically:
+    *
+    *  - Hamming-0 (exact) duplicates are matched via per-signature-group
+    *    STAR edges — (group-min id, member) rows from one groupBy —
+    *    which connect exactly the same components as the all-pairs form
+    *    at LINEAR cost, regardless of how big the flood is. Exact
+    *    recall is therefore unconditional.
+    *  - Near pairs (1 ≤ hamming ≤ maxHamming) come from the banded join
+    *    restricted to buckets with ≤ `maxOccupancy` members. The
+    *    pigeonhole guarantee becomes conditional: a near pair is found
+    *    iff SOME shared band's bucket is unsaturated — recall degrades
+    *    only inside saturated regions, and [[bandSaturation]] reports
+    *    exactly where (run it alongside; the gated query does).
+    *
+    * Output: (i, j, hamming) with i < j — hamming 0 rows are the star
+    * edges, 1..maxHamming rows the guarded banded pairs.
+    */
+  def signaturePairs64Guarded(sigs: DataFrame, idCol: String,
+                              sigCol: String, maxHamming: Int = 2,
+                              maxOccupancy: Int = 32): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      "4 bands only guarantee recall for hamming <= 3")
+    require(maxOccupancy >= 1, "occupancy cap must be positive")
+    val withSig = sigs.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .transform(CacheScope.track)
+    val star = withSig
+      .groupBy(col("__sig"))
+      .agg(min(col("__id")).as("__mn"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2L)
+      .join(withSig, "__sig")
+      .filter(col("__id") =!= col("__mn"))
+      .select(col("__mn").as("i"), col("__id").as("j"),
+        lit(0L).as("hamming"))
+    val bands = explodeBands(withSig, b =>
+      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL)))
+      .transform(CacheScope.track)
+    val okBuckets = bands.groupBy(col("band"), col("nib"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") <= maxOccupancy)
+      .select(col("band"), col("nib"))
+    val near = pairsFromBands(
+      bands.join(okBuckets, Seq("band", "nib"), "left_semi")
+        .transform(CacheScope.track), maxHamming)
+      .filter(col("hamming") >= 1L)
+      .distinct()
+    star.unionByName(near)
+  }
+
   private def explodeBands(sigs: DataFrame, nib: Int => Column): DataFrame =
     sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>

@@ -540,6 +540,12 @@ object Profiling {
       .groupBy("idx")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("__h").cast(DecimalType(38, 0))).as("__sum"))
+    // CACHED: the union below materializes every tree level, and each
+    // level's lineage starts here — without the cache the CORPUS pass
+    // behind leavesRaw re-runs once per level (log₂(nShards)+1 scans;
+    // measured as q195's 2×+ wall inflation in rounds 14–15). The
+    // cached frame is nShards tiny rows; levels above re-derive from
+    // it for pennies.
     var cur = spark.range(nShards).select(col("id").as("idx"))
       .join(leavesRaw, Seq("idx"), "left")
       .select(col("idx"),
@@ -547,6 +553,7 @@ object Profiling {
         TextAnalysis.polyHash(md5(
           coalesce((col("__sum") % lit(1000000000000000L)).cast(LongType),
             lit(0L)).cast("string").cast("binary"))).as("digest"))
+      .transform(CacheScope.track)
     val levels = scala.collection.mutable.Buffer(
       cur.withColumn("level", lit(0)))
     var size = nShards

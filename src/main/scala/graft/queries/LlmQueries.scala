@@ -5420,6 +5420,34 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q377: PNG 16-bit depth + Adam7 interlace (round 16 — completes
+    // the PNG layout matrix). v = doc%4: 16-bit gray / 16-bit RGB /
+    // Adam7-interlaced gray / the 16-bit+Adam7 COMBINATION. 16-bit
+    // samples reduce to their high byte (low bytes carry a DIFFERENT
+    // arithmetic the reduction must ignore); Adam7's seven passes are
+    // reconstructed per pass and scattered through the §8.2
+    // permutation — the oracle replays the LOGICAL pixels, proving the
+    // wire-layout reassembly changed nothing.
+    "q377_png_deep_interlace" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, PixelFixtures.pngDeepPayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.format").as("format"), col("__s.width").as("width"),
+          col("__s.height").as("height"),
+          col("__s.channels").as("channels"),
+          col("__s.n_pixels").as("n_pixels"),
+          col("__s.lum_sum").as("lum_sum"),
+          col("__s.lum_sq_sum").as("lum_sq_sum"),
+          col("__s.dhash").as("dhash"))
+        .orderBy("doc_id")
+    }),
+
     // q369: the ZSTD hop — the q361 contract for the OTHER compressor
     // real corpora ship (.jsonl.zst). Multi-frame concatenation
     // (%6==5), a planted payload bitflip the XXH64 checksum must
@@ -5492,6 +5520,76 @@ object LlmQueries {
           col("__s.lum_sq_sum").as("lum_sq_sum"),
           col("__s.dhash").as("dhash"))
         .orderBy("doc_id")
+    }),
+
+    // q376: PROGRESSIVE JPEG pixels (round 16) — SOF2 through the
+    // native kernel: multi-scan marker walk, DC first + refinement
+    // scans (successive approximation, Al=1→0), AC spectral-selection
+    // band scans with EOBRUN and ZRL, AC refinement with correction
+    // bits (T.81 §G), restart lanes resetting predictors AND EOBRUN,
+    // and the 4:2:0 grid mismatch (interleaved DC walk vs per-component
+    // AC rasters). Fixture blocks carry DC plus TWO AC coefficients
+    // (zigzag 1 and 20), so the oracle replays the pinned IDCT's
+    // three-term closed form per pixel — same contract as q372, now
+    // with AC base functions in play.
+    "q376_progressive_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, PixelFixtures.progressiveJpegPayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.format").as("format"), col("__s.width").as("width"),
+          col("__s.height").as("height"),
+          col("__s.channels").as("channels"),
+          col("__s.n_pixels").as("n_pixels"),
+          col("__s.lum_sum").as("lum_sum"),
+          col("__s.lum_sq_sum").as("lum_sq_sum"),
+          col("__s.dhash").as("dhash"))
+        .orderBy("doc_id")
+    }),
+
+    // q378: the band-bucket OCCUPANCY GUARD under a constant-image
+    // flood (round 16 — the q374 fixture incident as a production
+    // hazard): 60% of the corpus is the SAME solid fill (any flat
+    // image dHashes to 0), piling one exact group into all four of its
+    // (band, nib) buckets. signaturePairs64Guarded degrades LOUDLY,
+    // never quadratically: exact duplicates match via linear STAR
+    // edges (same components as all-pairs), near pairs only through
+    // unsaturated buckets, and bandSaturation reports the flood. The
+    // near-dup slice (q343's edited pairs) still matches through its
+    // unsaturated buckets.
+    "q378_occupancy_guard" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.floodPayload(id))))
+        .toDF("doc_id", "__p")
+      val sigs = media
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p"))
+            .getField("dhash").as("dhash"))
+        .transform(graft.operators.CacheScope.track)
+      val sat = graft.operators.Dedup.bandSaturation(
+        sigs, "doc_id", "dhash", maxOccupancy = 32)
+      val pairs = graft.operators.Dedup.signaturePairs64Guarded(
+        sigs, "doc_id", "dhash", maxHamming = 2, maxOccupancy = 32)
+        .transform(graft.operators.CacheScope.track)
+      val survivors = graft.operators.Components.keepCanonical(
+        sigs.filter(col("dhash").isNotNull), "doc_id", pairs)
+      sigs.agg(count(lit(1)).as("n_images"),
+          count(col("dhash")).as("n_hashed"),
+          count(when(col("dhash") === 0L, 1)).as("n_flat"))
+        .crossJoin(sat.agg(
+          sum(col("n_saturated_buckets")).as("n_saturated_buckets"),
+          sum(col("n_sigs_in_saturated")).as("n_rows_saturated")))
+        .crossJoin(pairs.agg(
+          count(when(col("hamming") === 0L, 1)).as("n_exact_edges"),
+          count(when(col("hamming") >= 1L, 1)).as("n_near_pairs")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+        .orderBy("n_images")
     }),
 
     // q373: the incremental image dedup (q366) against a PUBLISHED
@@ -15269,6 +15367,103 @@ object LlmQueries {
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
         |ORDER BY i, j""".stripMargin,
 
+    // Occupancy guard under the constant-image flood: flood docs all
+    // dHash to 0 (flat image — no cell comparison fires); non-flood
+    // docs replay q343's pixel arithmetic. Bands come from the
+    // UNSIGNED hash (HUGEINT division by 2^16b), saturation is the
+    // occ > 32 rule, exact groups become star edges, near pairs only
+    // through unsaturated buckets, survivors via the unrolled CC.
+    "q378_occupancy_guard" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, doc_id % 5 <= 2 AS flood,
+        |    doc_id - (doc_id % 2) AS pid, doc_id % 2 = 1 AS edited,
+        |    (doc_id - (doc_id % 2)) % 24 + 9 AS w,
+        |    ((doc_id - (doc_id % 2)) * 5) % 24 + 8 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y,
+        |    (CASE WHEN edited AND u.x = 0 AND u.y = 0
+        |      THEN (((u.x + pid % 31) * (u.y + pid % 37) * 3 + pid)
+        |            % 256 + 128) % 256
+        |      ELSE ((u.x + pid % 31) * (u.y + pid % 37) * 3 + pid)
+        |           % 256 END) * 1000 AS lum
+        |  FROM (
+        |    SELECT doc_id, pid, edited, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x -> {'x': x, 'y': y})))) AS u
+        |    FROM d WHERE NOT flood)),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.flood THEN CAST(0 AS HUGEINT)
+        |      ELSE coalesce(dh.hraw, 0) END AS hraw,
+        |    CAST(CASE WHEN d.flood THEN CAST(0 AS HUGEINT)
+        |        ELSE coalesce(dh.hraw, 0) END
+        |      - CASE WHEN (CASE WHEN d.flood THEN CAST(0 AS HUGEINT)
+        |          ELSE coalesce(dh.hraw, 0) END) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id,
+        |      sum(CAST(1 AS HUGEINT) << CAST(k AS INT)) AS hraw
+        |    FROM bits GROUP BY 1) dh USING (doc_id)),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, dhash, b.band AS band,
+        |    CAST((hraw // CAST([1, 65536, 4294967296, 281474976710656]
+        |      [CAST(b.band AS INT) + 1] AS HUGEINT)) % 65536 AS BIGINT)
+        |      AS nib
+        |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+        |occ AS (
+        |  SELECT band, nib, count(*) AS occ
+        |  FROM bands GROUP BY 1, 2),
+        |okb AS (SELECT band, nib FROM occ WHERE occ <= 32),
+        |bandok AS MATERIALIZED (
+        |  SELECT b.doc_id, b.band, b.nib, b.dhash
+        |  FROM bands b JOIN okb USING (band, nib)),
+        |near AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bandok a JOIN bandok b
+        |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 2),
+        |grp AS (
+        |  SELECT dhash, min(doc_id) AS mn, count(*) AS n
+        |  FROM sig GROUP BY 1),
+        |star AS MATERIALIZED (
+        |  SELECT g.mn AS i, s.doc_id AS j
+        |  FROM grp g JOIN sig s ON s.dhash = g.dhash
+        |  WHERE g.n >= 2 AND s.doc_id <> g.mn),
+        |esym AS MATERIALIZED (
+        |  SELECT i AS u, j AS v FROM star
+        |  UNION ALL SELECT j, i FROM star
+        |  UNION ALL SELECT i, j FROM near
+        |  UNION ALL SELECT j, i FROM near),
+        |enodes AS (SELECT DISTINCT u AS node FROM esym),
+        |${oUnrolledCcCtes("a", "enodes", "esym")}
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_images,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_hashed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE dhash = 0)
+        |    AS n_flat,
+        |  (SELECT CAST(count(CASE WHEN occ > 32 THEN 1 END) AS BIGINT)
+        |   FROM occ) AS n_saturated_buckets,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN occ > 32 THEN occ END), 0)
+        |     AS BIGINT) FROM occ) AS n_rows_saturated,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM star) AS n_exact_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM near) AS n_near_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM alab)
+        |    + (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM alab)
+        |    + (SELECT poison FROM achg) AS n_survivors
+        |ORDER BY n_images""".stripMargin,
+
     // TIFF/EXIF headers: pure doc_id arithmetic — sizes from the fixed
     // container layouts, the rotation gate's display dims swapped when
     // orientation is in the 90°-family (5..8).
@@ -16298,6 +16493,70 @@ object LlmQueries {
         |  CASE WHEN parsed THEN lum_sq_sum END AS lum_sq_sum
         |FROM ok ORDER BY doc_id""".stripMargin,
 
+    // PNG 16-bit + Adam7: the wire layout (depth, interlace) changes
+    // NOTHING about the logical pixels — the oracle replays the shared
+    // pixel arithmetic (gray 1000·p; RGB 299p+587(3p%256)+114(5p%256))
+    // per pixel and re-derives sums + dHash; %10==7 truncation NULLs.
+    "q377_png_deep_interlace" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS v,
+        |    doc_id % 24 + 9 AS w, (doc_id * 5) % 24 + 8 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    CASE WHEN v IN (0, 2) THEN 1000 * p
+        |      ELSE 299 * p + 587 * ((p * 3) % 256) + 114 * ((p * 5) % 256)
+        |    END AS lum
+        |  FROM (
+        |    SELECT doc_id, v, w, h, u.x AS x, u.y AS y,
+        |      ((u.x + doc_id % 31) * (u.y + doc_id % 37) * 3 + doc_id)
+        |        % 256 AS p
+        |    FROM (
+        |      SELECT doc_id, v, w, h,
+        |        unnest(flatten(list_transform(range(h), y ->
+        |          list_transform(range(w), x -> {'x': x, 'y': y})))) AS u
+        |      FROM d))),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS kk
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1) x ON x.doc_id = d.doc_id),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |    CAST(sum(lum * lum) AS BIGINT) AS lum_sq_sum
+        |  FROM lum GROUP BY 1)
+        |SELECT d.doc_id, d.doc_id % 10 <> 7 AS parsed,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN 'png' END AS format,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w AS BIGINT) END
+        |    AS width,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.h AS BIGINT) END
+        |    AS height,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN
+        |    CAST(CASE WHEN d.v IN (0, 2) THEN 1 ELSE 3 END AS BIGINT)
+        |    END AS channels,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w * d.h AS BIGINT)
+        |    END AS n_pixels,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN a.lum_sum END AS lum_sum,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN a.lum_sq_sum END
+        |    AS lum_sq_sum,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN s.dhash END AS dhash
+        |FROM d JOIN agg a USING (doc_id) JOIN sig s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // zstd hop: decoded-side columns only (compressed size is
     // encoder-dependent); corrupt = bitflip or truncation.
     "q369_zstd_decode" ->
@@ -16379,6 +16638,84 @@ object LlmQueries {
         |  SELECT p.doc_id, p.w, p.h, p.x, p.y, 1000 * b.val AS lum
         |  FROM px p JOIN bv b ON b.doc_id = p.doc_id
         |    AND b.bx = p.x // 8 AND b.by = p.y // 8),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS kk
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1) x ON x.doc_id = d.doc_id),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |    CAST(sum(lum * lum) AS BIGINT) AS lum_sq_sum
+        |  FROM lum GROUP BY 1)
+        |SELECT d.doc_id, d.doc_id % 10 <> 7 AS parsed,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN 'jpeg' END AS format,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w AS BIGINT) END
+        |    AS width,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.h AS BIGINT) END
+        |    AS height,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN
+        |    CAST(CASE WHEN d.v IN (1, 3) THEN 3 ELSE 1 END AS BIGINT)
+        |    END AS channels,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w * d.h AS BIGINT)
+        |    END AS n_pixels,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN a.lum_sum END AS lum_sum,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN a.lum_sq_sum END
+        |    AS lum_sq_sum,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN s.dhash END AS dhash
+        |FROM d JOIN agg a USING (doc_id) JOIN sig s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Progressive JPEG pixels: q372's replay with the AC base
+    // functions live — per-pixel value is the pinned IDCT's three-term
+    // closed form (DC + zigzag-1 horizontal + zigzag-20 vertical), the
+    // K1/K5 basis rows inlined as literal lists. Small dims keep the
+    // per-pixel CTE inside the oracle budget (q372's shape).
+    "q376_progressive_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS v,
+        |    doc_id % 24 + 9 AS w, (doc_id * 5) % 24 + 8 AS h
+        |  FROM documents),
+        |kb AS (SELECT
+        |  [2009, 1703, 1138, 400, -400, -1138, -1703, -2009] AS k1,
+        |  [1138, -2009, 400, 1703, -1703, -400, 2009, -1138] AS k5),
+        |px AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y
+        |  FROM (
+        |    SELECT doc_id, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x -> {'x': x, 'y': y})))) AS u
+        |    FROM d)),
+        |lum AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    1000 * (CASE WHEN f < -128 THEN 0 WHEN f > 127 THEN 255
+        |      ELSE f + 128 END) AS lum
+        |  FROM (
+        |    SELECT doc_id, w, h, x, y,
+        |      CAST(floor((2096704 * 8 * dc
+        |        + 23168 * (k1[x % 8 + 1] * a1 + k5[y % 8 + 1] * a2)
+        |        + 8388608) / 16777216.0) AS BIGINT) AS f
+        |    FROM (
+        |      SELECT doc_id, w, h, x, y,
+        |        ((x // 8 + doc_id % 31) * (y // 8 + doc_id % 37) * 3
+        |          + doc_id) % 256 - 128 AS dc,
+        |        (x // 8 + 2 * (y // 8) + doc_id) % 9 - 4 AS a1,
+        |        (3 * (x // 8) + y // 8 + 2 * doc_id) % 7 - 3 AS a2,
+        |        k1, k5
+        |      FROM px, kb))),
         |cells AS (
         |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
         |    sum(lum) // count(*) AS cavg

@@ -363,6 +363,319 @@ private[graft] object PixelFixtures {
     out.toByteArray
   }
 
+  /** PROGRESSIVE JPEG ENCODER for the q376 fixtures (round 16) —
+    * forward direction, shares no code with
+    * [[graft.expressions.JpegKernel]]. Emits an SOF2 frame whose
+    * blocks carry the shared DC formula PLUS two AC coefficients —
+    * zigzag 1 (u=1: horizontal base function) and zigzag 20 (v=5:
+    * vertical) — so every progressive scan kind actually carries
+    * signal, and the 18-position zero gap between them forces ZRL
+    * codes through both AC passes:
+    *
+    *   scan 1: DC first, interleaved, Al=1   (diffs of dc >> 1)
+    *   per component: AC first, band 1..63, Al=1
+    *     (point-transformed magnitudes; blocks whose band shifts to
+    *     zero join EOBRUN runs — exercised across blocks)
+    *   scan: DC refinement, Ah=1 → Al=0      (raw low bit per block)
+    *   per component: AC refinement, band 1..63, Ah=1 → Al=0
+    *     (G.1.2.2 encoder: newly-significant ±1 codes, correction
+    *     bits emitted in the decoder's inner-loop span order, EOBRUN
+    *     accumulation with per-block tail bits — flushed before any
+    *     symbol, restart lane, or scan end)
+    *
+    * The AC Huffman table holds 64 seven-bit codes (EOBn 0..14, ZRL,
+    * run 0–15 × size 1–3) — canonical, Kraft-safe, no all-ones code.
+    * With quant q(zz1)=q(zz20)=16, the pinned IDCT gives the closed
+    * form the oracle replays per pixel:
+    *   acc = 2096704·8·dc + 23168·(K1(x%8)·a1 + K5(y%8)·a2)
+    *   val = clamp(⌊(acc + 2^23)/2^24⌋, −128, 127) + 128
+    * with K1 = [2009,1703,1138,400,−400,−1138,−1703,−2009] and
+    * K5 = [1138,−2009,400,1703,−1703,−400,2009,−1138] (u=1 and u=5
+    * fixed-point IDCT basis rows — public constants of the contract).
+    * Variants: gray, neutral-chroma 4:4:4 (chroma all-zero → its AC
+    * scans are pure EOBRUN streams), gray with restart lanes (RSTn in
+    * every scan, predictor AND EOBRUN reset), and 4:2:0 color (DC
+    * scan interleaved over the padded MCU grid, AC scans over each
+    * component's OWN cw×ch raster — the grid-mismatch walk).
+    */
+  def progressiveJpeg(s: Long, color: Boolean, rstInterval: Int,
+                      subsample: Boolean = false): Array[Byte] = {
+    val w = width(s)
+    val h = height(s)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xFFD8)
+    u16(0xFFDB); u16(2 + 1 + 64); u8(0x00)
+    u8(8); (1 until 64).foreach(_ => u8(16)) // q[0]=8, rest 16
+    val nf = if (color) 3 else 1
+    val yH = if (subsample) 2 else 1
+    u16(0xFFC2); u16(8 + 3 * nf); u8(8); u16(h); u16(w); u8(nf)
+    (1 to nf).foreach { cid =>
+      u8(cid); u8(if (cid == 1) yH * 16 + yH else 0x11); u8(0)
+    }
+    u16(0xFFC4); u16(2 + 1 + 16 + 12); u8(0x00) // DHT DC 0
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(u8)
+    // DHT AC 0: 64 values, all code length 7 (canonical order below)
+    val acVals: Array[Int] =
+      (0 to 14).map(_ << 4).toArray ++ Array(0xF0) ++
+        (for (run <- 0 to 15; sz <- 1 to 3) yield (run << 4) | sz)
+    val acIdx: Map[Int, Int] = acVals.zipWithIndex.toMap
+    u16(0xFFC4); u16(2 + 1 + 16 + acVals.length); u8(0x10)
+    (1 to 16).foreach(l => u8(if (l == 7) acVals.length else 0))
+    acVals.foreach(u8)
+    if (rstInterval > 0) { u16(0xFFDD); u16(4); u16(rstInterval) }
+
+    var acc = 0; var nb = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) {
+          u8(acc); if (acc == 0xFF) u8(0x00)
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit = if (nb > 0) {
+      acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
+      u8(acc); if (acc == 0xFF) u8(0x00)
+      acc = 0; nb = 0
+    }
+    def putAc(rs: Int): Unit = putBits(acIdx(rs), 7)
+
+    // per-block coefficients: Y carries signal, chroma is neutral zero
+    def dcOf(ci: Int, bx: Int, by: Int): Int =
+      if (ci == 0) pix(bx, by, s) - 128 else 0
+    def a1Of(ci: Int, bx: Int, by: Int): Int =
+      if (ci == 0) ((bx + 2 * by + s) % 9 - 4).toInt else 0
+    def a2Of(ci: Int, bx: Int, by: Int): Int =
+      if (ci == 0) ((3 * bx + by + 2 * s) % 7 - 3).toInt else 0
+
+    val mcusX = (w + 8 * yH - 1) / (8 * yH)
+    val mcusY = (h + 8 * yH - 1) / (8 * yH)
+    def cwOf(ci: Int): Int = // component's own block raster width
+      if (ci == 0) (w + 7) / 8
+      else ((w + yH - 1) / yH + 7) / 8
+    def chOf(ci: Int): Int =
+      if (ci == 0) (h + 7) / 8
+      else ((h + yH - 1) / yH + 7) / 8
+
+    var rstCount = 0
+    def sos(compIds: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      u16(0xFFDA); u16(6 + 2 * compIds.length); u8(compIds.length)
+      compIds.foreach { cid => u8(cid); u8(0x00) }
+      u8(ss); u8(se); u8((ah << 4) | al)
+      rstCount = 0 // the RSTn modulo-8 sequence restarts at every scan
+    }
+    def lane(unit: Int, onReset: () => Unit): Unit =
+      if (rstInterval > 0 && unit > 0 && unit % rstInterval == 0) {
+        flushBits(); u16(0xFFD0 + (rstCount & 7)); rstCount += 1
+        onReset()
+      }
+
+    // ---- scan 1: DC first (Al=1), every component ----
+    sos(1 to nf, 0, 0, 0, 1)
+    val preds = new Array[Int](nf)
+    def encDcDiff(ci: Int, v: Int): Unit = {
+      val diff = v - preds(ci); preds(ci) = v
+      val cat =
+        if (diff == 0) 0
+        else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(cat, 4)
+      if (cat > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+    }
+    if (nf > 1) {
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        lane(mcu, () => java.util.Arrays.fill(preds, 0))
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var by = 0
+        while (by < yH) {
+          var bx = 0
+          while (bx < yH) {
+            encDcDiff(0, dcOf(0, mx * yH + bx, my * yH + by) >> 1)
+            bx += 1
+          }
+          by += 1
+        }
+        (1 until nf).foreach(ci => encDcDiff(ci, 0))
+        mcu += 1
+      }
+    } else {
+      val cw = cwOf(0); val n = cw * chOf(0)
+      var unit = 0
+      while (unit < n) {
+        lane(unit, () => java.util.Arrays.fill(preds, 0))
+        encDcDiff(0, dcOf(0, unit % cw, unit / cw) >> 1)
+        unit += 1
+      }
+    }
+    flushBits()
+
+    // ---- AC scans: per component, band 1..63 ----
+    // The Y band is sparse: a1 at zigzag 1, a2 at zigzag 20 — the
+    // 18-position zero gap makes ZRL codes appear in both the first
+    // pass and the refinement (run > 15), and the tail past zigzag 20
+    // keeps EOBRUN live on every block.
+    val bandLo = 1; val bandHi = 63
+    def bandVal(ci: Int, bx: Int, by: Int)(k: Int): Int =
+      if (k == 1) a1Of(ci, bx, by)
+      else if (k == 20) a2Of(ci, bx, by)
+      else 0
+
+    // EOBRUN machinery: eobBits are the correction bits of blocks the
+    // pending EOB run covers, emitted right after the EOBn code — the
+    // order the decoder consumes them in (G.1.2.3)
+    var eobrun = 0
+    val eobBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushEob(): Unit = {
+      if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        putAc(n << 4)
+        if (n > 0) putBits(eobrun - (1 << n), n)
+        eobrun = 0
+        eobBits.foreach(putBits(_, 1)); eobBits.clear()
+      }
+    }
+
+    // first pass (Al=1): plain run-length over point-transformed values
+    def acFirstBlock(vals: Int => Int): Unit = {
+      def pt(a: Int): Int = if (a >= 0) a >> 1 else -((-a) >> 1)
+      var k = bandLo
+      var done = false
+      while (!done) {
+        var p = k
+        while (p <= bandHi && pt(vals(p)) == 0) p += 1
+        if (p > bandHi) { eobrun += 1; done = true } // zero tail → EOB
+        else {
+          flushEob()
+          var zeros = p - k
+          while (zeros > 15) { putAc(0xF0); zeros -= 16 }
+          val v = pt(vals(p))
+          val cat = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+          putAc((zeros << 4) | cat)
+          putBits(if (v >= 0) v else v + (1 << cat) - 1, cat)
+          k = p + 1
+          if (k > bandHi) done = true // band ended ON a symbol: no EOB
+        }
+      }
+    }
+
+    // refinement (Ah=1→Al=0): mirrors the decoder's inner-loop walk so
+    // every correction bit lands in the span of the symbol during
+    // which the decoder reads it (ZRL spans consume 16 zero-history
+    // positions, correcting old coefficients along the way)
+    def acRefineBlock(vals: Int => Int): Unit = {
+      def hist(k: Int): Int = math.abs(vals(k)) >> 1
+      def low(k: Int): Int = math.abs(vals(k)) & 1
+      var k = bandLo
+      var done = false
+      while (!done) {
+        var p = k
+        while (p <= bandHi && !(hist(p) == 0 && low(p) == 1)) p += 1
+        if (p > bandHi) {
+          var j = k
+          while (j <= bandHi) { if (hist(j) != 0) eobBits += low(j); j += 1 }
+          eobrun += 1
+          done = true
+        } else {
+          flushEob()
+          var zeros = 0
+          var j = k
+          while (j < p) { if (hist(j) == 0) zeros += 1; j += 1 }
+          while (zeros > 15) {
+            putAc(0xF0)
+            var consumed = 0
+            while (consumed < 16) {
+              if (hist(k) != 0) putBits(low(k), 1) else consumed += 1
+              k += 1
+            }
+            zeros -= 16
+          }
+          putAc((zeros << 4) | 1)
+          putBits(if (vals(p) > 0) 1 else 0, 1)
+          while (k < p) { if (hist(k) != 0) putBits(low(k), 1); k += 1 }
+          k = p + 1
+          if (k > bandHi) done = true // band ended ON the new coefficient
+        }
+      }
+    }
+
+    def acScan(ci: Int, refine: Boolean): Unit = {
+      sos(Seq(ci + 1), bandLo, bandHi, if (refine) 1 else 0, if (refine) 0 else 1)
+      eobrun = 0; eobBits.clear()
+      val cw = cwOf(ci); val n = cw * chOf(ci)
+      var unit = 0
+      while (unit < n) {
+        if (rstInterval > 0 && unit > 0 && unit % rstInterval == 0) {
+          flushEob(); flushBits()
+          u16(0xFFD0 + (rstCount & 7)); rstCount += 1
+        }
+        val vals = bandVal(ci, unit % cw, unit / cw) _
+        if (refine) acRefineBlock(vals) else acFirstBlock(vals)
+        unit += 1
+      }
+      flushEob(); flushBits()
+    }
+
+    (0 until nf).foreach(acScan(_, refine = false))
+
+    // ---- DC refinement (Ah=1, Al=0): raw low bit per block ----
+    sos(1 to nf, 0, 0, 1, 0)
+    if (nf > 1) {
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        lane(mcu, () => ())
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var by = 0
+        while (by < yH) {
+          var bx = 0
+          while (bx < yH) {
+            putBits(dcOf(0, mx * yH + bx, my * yH + by) & 1, 1)
+            bx += 1
+          }
+          by += 1
+        }
+        (1 until nf).foreach(_ => putBits(0, 1))
+        mcu += 1
+      }
+    } else {
+      val cw = cwOf(0); val n = cw * chOf(0)
+      var unit = 0
+      while (unit < n) {
+        lane(unit, () => ())
+        putBits(dcOf(0, unit % cw, unit / cw) & 1, 1)
+        unit += 1
+      }
+    }
+    flushBits()
+
+    // ---- AC refinement (Ah=1, Al=0): per component, band 1..63 ----
+    (0 until nf).foreach(acScan(_, refine = true))
+
+    u16(0xFFD9)
+    out.toByteArray
+  }
+
+  /** q376's payload: gray / neutral-chroma 4:4:4 / gray with restart
+    * lanes every 3 units / 4:2:0 color (v = doc%4); %10==7 truncates
+    * to 40 bytes — mid-DQT, NULL.
+    */
+  def progressiveJpegPayload(docId: Long): Array[Byte] = {
+    val full = (docId % 4) match {
+      case 0 => progressiveJpeg(docId, color = false, rstInterval = 0)
+      case 1 => progressiveJpeg(docId, color = true, rstInterval = 0)
+      case 2 => progressiveJpeg(docId, color = false, rstInterval = 3)
+      case _ => progressiveJpeg(docId, color = true, rstInterval = 0,
+        subsample = true)
+    }
+    if (docId % 10 == 7) full.take(40) else full
+  }
+
   /** q372's payload: gray / neutral-chroma 4:4:4 color / gray with
     * restart lanes every 2 MCUs / 4:2:0 color (v = doc%4); %10==7
     * truncates to 40 bytes — mid-DQT, NULL.
@@ -438,6 +751,151 @@ private[graft] object PixelFixtures {
       }.toArray
     }
     png(w, h, colorType = 6, rows)
+  }
+
+  /** Generalized PNG builder (round 16): any depth (8/16), any
+    * interlace method (0 none / 1 Adam7), pixel bytes supplied per
+    * (x, y) in wire order (big-endian samples for depth 16). Forward
+    * direction like [[png]]: each pass's scanlines are
+    * forward-filtered independently (filter type cycles with the
+    * GLOBAL row counter so all five types appear in every pass chain),
+    * stored-mode zlib, CRC-zero chunks. The Adam7 pass split and the
+    * §9 filtering here are the ENCODE direction — no code shared with
+    * the kernel's reconstruct-and-scatter.
+    */
+  private def pngMulti(w: Int, h: Int, colorType: Int, depth: Int,
+                       interlace: Int,
+                       pixelBytes: (Int, Int) => Array[Int]): Array[Byte] = {
+    val samples = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
+    }
+    val bpp = samples * (depth / 8)
+    val passes =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val filtered = new java.io.ByteArrayOutputStream()
+    var globalRow = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wp = if (w <= x0) 0 else (w - x0 + dx - 1) / dx
+      val hp = if (h <= y0) 0 else (h - y0 + dy - 1) / dy
+      if (wp > 0 && hp > 0) {
+        val rb = wp * bpp
+        val rows = Array.tabulate(hp) { j =>
+          (0 until wp).flatMap(i =>
+            pixelBytes(x0 + i * dx, y0 + j * dy)).toArray
+        }
+        var j = 0
+        while (j < hp) {
+          val f = globalRow % 5
+          filtered.write(f)
+          var k = 0
+          while (k < rb) {
+            val cur = rows(j)(k)
+            val left = if (k >= bpp) rows(j)(k - bpp) else 0
+            val up = if (j > 0) rows(j - 1)(k) else 0
+            val ul = if (j > 0 && k >= bpp) rows(j - 1)(k - bpp) else 0
+            val v = f match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - up
+              case 3 => cur - ((left + up) >> 1)
+              case 4 =>
+                val p = left + up - ul
+                val pa = math.abs(p - left); val pb = math.abs(p - up)
+                val pc = math.abs(p - ul)
+                val pred = if (pa <= pb && pa <= pc) left
+                else if (pb <= pc) up else ul
+                cur - pred
+            }
+            filtered.write(v & 0xFF)
+            k += 1
+          }
+          globalRow += 1
+          j += 1
+        }
+      }
+    }
+    val idat = zlibStored(filtered.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), 0, 8)
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      typ.foreach(c => out.write(c.toInt))
+      out.write(data, 0, data.length)
+      be32(0L)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    Seq((w >> 24) & 0xFF, (w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF,
+      (h >> 24) & 0xFF, (h >> 16) & 0xFF, (h >> 8) & 0xFF, h & 0xFF,
+      depth, colorType, 0, 0, interlace).foreach(ihdr.write)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** q377 fixture slices: 16-bit depths (high byte = the shared pixel
+    * arithmetic, LOW byte a different arithmetic the high-byte
+    * reduction must ignore) and Adam7 interlace, both gray and RGB,
+    * including the 16-bit+Adam7 combination.
+    */
+  def png16Gray(s: Long): Array[Byte] =
+    pngMulti(width(s), height(s), 0, 16, 0,
+      (x, y) => Array(pix(x, y, s), (x * 7 + y * 3 + s % 256).toInt % 256))
+
+  def png16Rgb(s: Long): Array[Byte] =
+    pngMulti(width(s), height(s), 2, 16, 0, (x, y) => {
+      val p = pix(x, y, s)
+      Array(p, (x + y) % 256, p * 3 % 256, (x * 5 + s % 251).toInt % 256,
+        p * 5 % 256, (y * 11 + 3) % 256)
+    })
+
+  def pngAdam7Gray(s: Long): Array[Byte] =
+    pngMulti(width(s), height(s), 0, 8, 1,
+      (x, y) => Array(pix(x, y, s)))
+
+  def png16Adam7Rgb(s: Long): Array[Byte] =
+    pngMulti(width(s), height(s), 2, 16, 1, (x, y) => {
+      val p = pix(x, y, s)
+      Array(p, (x * 3 + y) % 256, p * 3 % 256, (y * 7 + s % 97).toInt % 256,
+        p * 5 % 256, (x + 2 * y + 5) % 256)
+    })
+
+  /** Solid-fill grayscale PNG — every pixel `v`. ANY flat image
+    * dHashes to 0 (all cell averages equal, no comparison fires), so a
+    * corpus slice of these is the constant-image FLOOD that saturates
+    * every (band, nib=0) bucket — the q378 occupancy-guard hazard.
+    */
+  def pngSolid(s: Long, v: Int): Array[Byte] =
+    pngMulti(width(s), height(s), 0, 8, 0, (_, _) => Array(v))
+
+  /** q378's payload: doc%5 ∈ {0,1,2} → the SAME solid fill (the
+    * logo/flat-fill pile-up — 60% of the corpus in one dHash-0 exact
+    * group, saturating all four of its band buckets), else the q343
+    * near-dup payload (pairs (2m, 2m+1) within Hamming ≤ 2, exercising
+    * the guarded banded path outside the flood).
+    */
+  def floodPayload(docId: Long): Array[Byte] =
+    if (docId % 5 <= 2) pngSolid(docId, 200)
+    else nearDupPayload(docId)
+
+  /** q377's payload: 16-bit gray / 16-bit RGB / Adam7 gray /
+    * 16-bit+Adam7 RGB (v = doc%4); %10==7 truncates to 40 bytes.
+    */
+  def pngDeepPayload(docId: Long): Array[Byte] = {
+    val full = (docId % 4) match {
+      case 0 => png16Gray(docId)
+      case 1 => png16Rgb(docId)
+      case 2 => pngAdam7Gray(docId)
+      case _ => png16Adam7Rgb(docId)
+    }
+    if (docId % 10 == 7) full.take(40) else full
   }
 
   private def png(w: Int, h: Int, colorType: Int,

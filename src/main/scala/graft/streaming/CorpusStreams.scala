@@ -504,6 +504,74 @@ object CorpusStreams {
         col("n_hashed"), col("n_corpus_dups"), col("n_new"))
   }
 
+  /** Windowed INCREMENTAL audio-dedup gate over a binary-payload
+    * stream — the audio twin of [[windowedImageDedupGate]], restoring
+    * the modality symmetry at the newest feature, and at the FULL
+    * q375 batch radius (Hamming ≤ `maxHamming` over the 64-bit
+    * envelope hash) rather than exact-match: every arriving clip is
+    * envelope-hashed ([[graft.functions.audioHash]] — the q367/q375
+    * signature) and checked against the persisted corpus signature
+    * table via FOUR chained stream-static LEFT joins, one per 16-bit
+    * band of the banded machinery. The static side is pre-reduced to
+    * one row per (band-nib → distinct-signature set) bucket, so every
+    * join is multiplicity-free BY CONSTRUCTION — each arriving clip
+    * stays exactly one row end to end (the property the image gate got
+    * from exact-hash joins, kept here at radius > 0 without per-clip
+    * re-aggregation, which streaming would refuse). Pigeonhole gives
+    * exact recall: at Hamming ≤ 3 over 4 bands, some band matches
+    * verbatim, so the 4 bucket lookups cannot miss; each bucket's
+    * candidate set is Hamming-VERIFIED (`exists` + bit_count) before
+    * counting. No stream state beyond the window counts.
+    *
+    * Callers should `.persist()` the bucketed static side (it is
+    * re-evaluated per micro-batch otherwise) — the production shape is
+    * the PUBLISHED pre-banded table (q373's layout) grouped once.
+    *
+    * @param corpusSigs the persisted `(id, sig)` table ((doc_id,
+    *        ahash) for audio — any 64-bit signature column works)
+    * @return streaming (window_start, n_clips, n_hashed,
+    *         n_corpus_dups, n_new)
+    */
+  def windowedAudioDedupGate(media: org.apache.spark.sql.DataFrame,
+                             contentCol: String, tsCol: String,
+                             corpusSigs: org.apache.spark.sql.DataFrame,
+                             sigCol: String, windowDur: String,
+                             watermark: String,
+                             maxHamming: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4 bands only guarantee recall for hamming <= 3")
+    val distinctSigs = corpusSigs
+      .select(col(sigCol).as("__csig")).filter(col("__csig").isNotNull)
+      .distinct()
+    def nibOf(sig: org.apache.spark.sql.Column, b: Int) =
+      shiftrightunsigned(sig, 16 * b).bitwiseAND(lit(0xFFFFL))
+    var s = media.select(col(tsCol),
+      graft.functions.audioHash(col(contentCol)).as("__sig"))
+    (0 until 4).foreach { b =>
+      val bucket = distinctSigs
+        .groupBy(nibOf(col("__csig"), b).as(s"__nib$b"))
+        .agg(collect_set(col("__csig")).as(s"__cands$b"))
+      s = s.withColumn(s"__nib$b", nibOf(col("__sig"), b))
+        .join(bucket, Seq(s"__nib$b"), "left")
+    }
+    val dup = (0 until 4).map { b =>
+      coalesce(exists(col(s"__cands$b"),
+        c => bit_count(c.bitwiseXOR(col("__sig"))) <= lit(maxHamming)),
+        lit(false))
+    }.reduce(_ || _)
+    s.withColumn("__dup", dup)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("__win"))
+      .agg(count(lit(1)).as("n_clips"),
+        count(col("__sig")).as("n_hashed"),
+        count(when(col("__sig").isNotNull && col("__dup"), 1))
+          .as("n_corpus_dups"),
+        count(when(col("__sig").isNotNull && !col("__dup"), 1))
+          .as("n_new"))
+      .select(col("__win.start").as("window_start"), col("n_clips"),
+        col("n_hashed"), col("n_corpus_dups"), col("n_new"))
+  }
+
   /** Windowed heavy-hitter CANDIDATES over the token stream — streaming
     * twin of [[graft.operators.HeavyHitters.mgSummary]], and the second
     * bounded-state trending-terms path next to [[windowedTokenCountMin]]:

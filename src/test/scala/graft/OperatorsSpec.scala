@@ -468,6 +468,55 @@ class OperatorsSpec extends SparkSpec {
     assert(redeliver === 0L)
   }
 
+  test("signaturePairs64Guarded: flood stays linear-star, saturation loud, unsaturated recall intact") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // 50 identical signatures (the solid-fill flood — all dHash 0),
+    // one near pair sharing three unsaturated bands, one near pair
+    // whose ONLY shared bands sit inside the saturated nib-0 buckets,
+    // and a singleton
+    val a = 0x0123456789ABCDEFL
+    val rows: Seq[(Long, Long)] =
+      (0L until 50L).map(i => i -> 0L) ++
+        Seq(100L -> a, 101L -> (a ^ 1L), // near pair, bands 1-3 clear
+          200L -> 1L, 201L -> 2L, // near pair hiding in the flood's buckets
+          300L -> 0x7777000011110000L)
+    val sigs = rows.toDF("id", "sig")
+    val guarded = Dedup.signaturePairs64Guarded(sigs, "id", "sig",
+      maxHamming = 2, maxOccupancy = 8)
+    val got = guarded.collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("hamming"))).toSet
+    // the flood matches as a STAR — 49 edges to the min id, never
+    // C(50,2) = 1225 pairs
+    val star = (1L until 50L).map(j => (0L, j, 0L)).toSet
+    // (100, 101) is found through its unsaturated shared bands;
+    // (200, 201) shares ONLY nib-0 bands with the 52-member flood
+    // buckets (occupancy > 8), so the guard drops it — degraded
+    // near-recall inside saturated regions, the documented trade
+    assert(got === star + ((100L, 101L, 1L)))
+    assert(ham(1L, 2L) === 2) // the dropped pair IS within radius
+    // ...and the saturation report says exactly where the hazard is
+    val sat = Dedup.bandSaturation(sigs, "id", "sig", maxOccupancy = 8)
+      .orderBy("band").collect()
+      .map(r => (r.getAs[Long]("n_saturated_buckets"),
+        r.getAs[Long]("n_sigs_in_saturated")))
+    // every band has exactly its nib-0 bucket saturated (flood 50 +
+    // the 1L/2L stowaways that share zero nibs in upper bands)
+    assert(sat.forall(_._1 === 1L))
+    assert(sat.map(_._2).forall(n => n >= 50L))
+    // with no saturation (cap above the flood), guarded components
+    // EQUAL the unguarded signaturePairs64 components — star edges
+    // re-bracket the exact groups, never re-shape them
+    val loose = Dedup.signaturePairs64Guarded(sigs, "id", "sig",
+      maxHamming = 2, maxOccupancy = 64)
+    def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Components.connectedComponents(pairs, "i", "j")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+        .toMap
+    assert(comps(loose) ===
+      comps(Dedup.signaturePairs64(sigs, "id", "sig", maxHamming = 2)))
+  }
+
   test("incremental dedup end-to-end contract on a seeded random corpus") {
     // The documented composition (keepCanonical over the BATCH, old
     // survivors immutable by construction), locked on a generated

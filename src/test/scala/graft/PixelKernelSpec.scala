@@ -398,6 +398,136 @@ class PixelKernelSpec extends SparkSpec {
     assert(PixelKernel.decode(PixelFixtures.jpegPayload(7L)) == null)
   }
 
+  test("PNG 16-bit + Adam7: wire layout changes nothing, low bytes ignored") {
+    // layout identity: Adam7 and 16-bit re-encodings of the SAME
+    // logical pixels must produce stats identical to the plain 8-bit
+    // stream — the q377 contract (16-bit low bytes carry a different
+    // arithmetic the high-byte reduction must ignore)
+    for (s <- Seq(3L, 8L, 21L, 40L)) {
+      val base = PixelKernel.decode(PixelFixtures.pngGray(s))
+      val a7 = PixelKernel.decode(PixelFixtures.pngAdam7Gray(s))
+      val d16 = PixelKernel.decode(PixelFixtures.png16Gray(s))
+      assert(base != null && a7 != null && d16 != null, s"s=$s")
+      Seq(a7, d16).foreach { v =>
+        assert(v.lumSum == base.lumSum && v.lumSqSum == base.lumSqSum &&
+          v.dhash == base.dhash && v.hist.toSeq == base.hist.toSeq, s"s=$s")
+      }
+      val rgbBase = PixelKernel.decode(PixelFixtures.pngRgb(s))
+      val rgb16 = PixelKernel.decode(PixelFixtures.png16Rgb(s))
+      val combo = PixelKernel.decode(PixelFixtures.png16Adam7Rgb(s))
+      Seq(rgb16, combo).foreach { v =>
+        assert(v != null && v.lumSum == rgbBase.lumSum &&
+          v.dhash == rgbBase.dhash && v.channels == 3, s"s=$s")
+      }
+    }
+    // the JDK's OWN 16-bit PNG encoder (TYPE_USHORT_GRAY — independent
+    // code path): the kernel's high-byte reduction vs the raster
+    val w = 19; val h = 13
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, ((x * 31 + y * 7) * 257 + 123) % 65536)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val jdk = bos.toByteArray
+    assert((jdk(24) & 0xFF) == 16, "JDK did not emit depth 16")
+    val v = PixelKernel.decode(jdk)
+    assert(v != null && v.width == w && v.height == h && v.channels == 1)
+    var es = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      es += 1000L * (img.getRaster.getSample(x, y, 0) >> 8)
+    assert(v.lumSum == es)
+    // sub-byte depths stay NULL; 16-bit palette is spec-invalid
+    val fix = PixelFixtures.pngGray(3L)
+    val d4 = fix.clone(); d4(24) = 4
+    assert(PixelKernel.decode(d4) == null)
+    // truncations of the 16-bit+Adam7 combo NULL, never throw
+    val combo = PixelFixtures.png16Adam7Rgb(5L)
+    (0 until combo.length).foreach { n =>
+      assert(PixelKernel.decode(combo.take(n)) == null, s"trunc $n")
+    }
+  }
+
+  test("progressive JPEG: fixture exactness, ImageIO agreement, truncation NULLs") {
+    import graft.expressions.JpegKernel
+    // the pinned IDCT's three-term closed form (DC + two AC base
+    // functions) — the q376 oracle contract, across all four variants:
+    // gray, 4:4:4 color, restart lanes, 4:2:0
+    val K1 = Array(2009, 1703, 1138, 400, -400, -1138, -1703, -2009)
+    val K5 = Array(1138, -2009, 400, 1703, -1703, -400, 2009, -1138)
+    for (s <- Seq(0L, 5L, 123L); (color, sub, rst) <- Seq(
+      (false, false, 0), (true, false, 0), (false, false, 3),
+      (true, true, 0))) {
+      val bytes = PixelFixtures.progressiveJpeg(s, color, rst, subsample = sub)
+      val v = JpegKernel.decode(bytes)
+      assert(v != null && v.format == "jpeg", s"s=$s c=$color sub=$sub r=$rst")
+      val w = PixelFixtures.width(s); val h = PixelFixtures.height(s)
+      assert(v.width == w && v.height == h &&
+        v.channels == (if (color) 3 else 1))
+      for (y <- 0 until h; x <- 0 until w) {
+        val bx = x / 8; val by = y / 8
+        val dc = (((bx + s % 31) * (by + s % 37) * 3 + s) % 256 - 128).toInt
+        val a1 = ((bx + 2 * by + s) % 9 - 4).toInt
+        val a2 = ((3 * bx + by + 2 * s) % 7 - 3).toInt
+        val acc = 2096704L * 8L * dc +
+          23168L * (K1(x % 8).toLong * a1 + K5(y % 8).toLong * a2)
+        val f = (acc + 8388608L) >> 24
+        val e = (if (f < -128) 0L else if (f > 127) 255L else f + 128L) * 1000L
+        assert(v.lum(x, y) == e, s"s=$s ($x,$y)")
+      }
+    }
+    // a REAL progressive encoder (ImageIO with MODE_DEFAULT writes
+    // SOF2) must agree with ImageIO's own decode within T.81's IDCT
+    // tolerance — the wild-stream gate
+    import java.awt.image.BufferedImage
+    def progressiveBytes(img: BufferedImage): Array[Byte] = {
+      val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = wtr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wtr.setOutput(ios)
+      wtr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wtr.dispose()
+      bos.toByteArray
+    }
+    val g = new BufferedImage(37, 29, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 29; x <- 0 until 37)
+      g.getRaster.setSample(x, y, 0, ((x + 3) * (y + 7) * 5 + 11) % 256)
+    val gb = progressiveBytes(g)
+    assert(gb.sliding(2).exists(p => (p(0) & 0xFF) == 0xFF &&
+      (p(1) & 0xFF) == 0xC2), "ImageIO did not emit SOF2")
+    val gv = JpegKernel.decode(gb)
+    assert(gv != null && gv.width == 37 && gv.height == 29)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gb))
+    for (y <- 0 until 29; x <- 0 until 37)
+      assert(math.abs(gv.lum(x, y) / 1000 -
+        ref.getRaster.getSample(x, y, 0)) <= 2, s"($x,$y)")
+    val c = new BufferedImage(33, 25, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 25; x <- 0 until 33) {
+      val p = (x * 7 + y * 13) % 256
+      c.setRGB(x, y, (p << 16) | ((p * 3 % 256) << 8) | (p * 5 % 256))
+    }
+    val cb = progressiveBytes(c)
+    val cv = JpegKernel.decode(cb)
+    assert(cv != null && cv.width == 33 && cv.channels == 3)
+    val ref2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cb))
+    var sumd = 0L
+    for (y <- 0 until 25; x <- 0 until 33) {
+      val rgb = ref2.getRGB(x, y)
+      sumd += math.abs(cv.lum(x, y) - (299L * ((rgb >> 16) & 0xFF) +
+        587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)))
+    }
+    assert(sumd / 825 < 2000L, s"mean milli-lum diff ${sumd / 825}")
+    // every truncation NULLs (multi-scan streams cut mid-scan, between
+    // scans, mid-marker — none may throw or return partial stats)
+    val fix = PixelFixtures.progressiveJpeg(5L, color = true, 0)
+    (0 until fix.length).foreach { n =>
+      assert(JpegKernel.decode(fix.take(n)) == null, s"truncation to $n")
+    }
+    assert(JpegKernel.decode(fix.dropRight(2)) == null) // missing EOI
+  }
+
   test("JPEG DC guards: size category > 11 and wrapped predictor NULL") {
     import graft.expressions.JpegKernel
     // hand-built minimal 16×8 grayscale baseline JPEG whose DC Huffman

@@ -1071,6 +1071,80 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedAudioDedupGate: radius-2 banded lookups match the q375 batch semantics") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      out.write("RIFF".getBytes, 0, 4); le32(36 + samples.length * 2)
+      out.write("WAVE".getBytes, 0, 4)
+      out.write("fmt ".getBytes, 0, 4); le32(16)
+      le16(1); le16(1); le32(16000); le32(32000); le16(2); le16(16)
+      out.write("data".getBytes, 0, 4); le32(samples.length * 2)
+      samples.foreach(s => le16(s & 0xFFFF))
+      out.toByteArray
+    }
+    def hashOf(b: Array[Byte]): Long =
+      graft.expressions.PcmKernel.envelopeHash(b).longValue
+    // clip A: strictly increasing window energies (every envelope bit
+    // set); its near-dup silences the LAST window — exactly one bit
+    // flips, inside the gate's radius 2
+    val n = 130
+    val a = (0 until n).map(k => (if (k % 2 == 0) 1 else -1) * (100 + 10 * k))
+    val aNear = a.take(128) ++ Seq(1, -1)
+    // clip B and its byte-unequal volume-doubled re-encode: energies
+    // are far apart, so scaling preserves every comparison → hash 0
+    val bSamp = (0 until n).map(k => (1 + (k * 13) % 97) * ((k / 2) % 9 + 1))
+    val b2 = bSamp.map(_ * 2)
+    assert(hashOf(wav(bSamp)) === hashOf(wav(b2)))
+    assert(!wav(bSamp).sameElements(wav(b2)))
+    // a genuinely new clip: alternating loud/quiet windows, far from
+    // both corpus hashes
+    val nw = (0 until n).map(k => if ((k / 2) % 2 == 0) 30000 else 10)
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hashOf(wav(a)), hashOf(wav(aNear))) <= 2)
+    assert(ham(hashOf(wav(a)), hashOf(wav(nw))) > 2 &&
+      ham(hashOf(wav(bSamp)), hashOf(wav(nw))) > 2)
+    val corpus = Seq(10L -> hashOf(wav(a)), 11L -> hashOf(wav(bSamp)))
+      .toDF("doc_id", "ahash")
+    val docs = Seq(
+      MediaDoc(1, ts(0), wav(a)), // exact corpus dup
+      MediaDoc(2, ts(1), wav(aNear)), // radius-1 near-dup → dup
+      MediaDoc(3, ts(2), wav(nw)), // new signature
+      MediaDoc(4, ts(3), Array[Byte](1, 2, 3)), // undecodable
+      MediaDoc(5, ts(12), wav(b2))) // window 2: transcode dup
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedAudioDedupGate(input.toDF(),
+        "content", "ts", corpus, "ahash",
+        windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wadg").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val got = spark.table("wadg").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // batch reference — the q375 semantics: a batch clip is a corpus
+      // dup iff SOME corpus signature is within Hamming ≤ 2
+      val sigs = Seq(hashOf(wav(a)), hashOf(wav(bSamp)))
+      def dup(p: Array[Byte]): Option[Boolean] =
+        Option(graft.expressions.PcmKernel.envelopeHash(p))
+          .map(h => sigs.exists(s => ham(s, h.longValue) <= 2))
+      val expected = Seq(ts(0) -> docs.take(4), ts(10) -> docs.drop(4))
+        .map { case (w0, slice) =>
+          val ds = slice.map(d => dup(d.content))
+          (w0, slice.size.toLong, ds.count(_.isDefined).toLong,
+            ds.count(_.contains(true)).toLong,
+            ds.count(_.contains(false)).toLong)
+        }.toSet
+      assert(got === expected)
+      assert(got === Set((ts(0), 4L, 3L, 2L, 1L), (ts(10), 1L, 1L, 1L, 0L)))
+    } finally query.stop()
+  }
+
   test("windowedTokenCountMin: per-window sketch equals the batch countMinTable") {
     import graft.streaming.CorpusStreams
     import graft.streaming.CorpusStreams.Doc
