@@ -25,7 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    interlace methods (round 16: Adam7's seven passes reconstruct
   *    per pass and scatter through the §8.2 pixel permutation; the
   *    non-interlaced image is the degenerate single pass). Sub-byte
-  *    depths (1/2/4) return NULL — loud, never a wrong statistic.
+  *    depths 1/2/4 (gray and palette, §11.2.2's legal combinations)
+  *    unpack MSB-first with the spec's v·255/(2^d−1) gray value
+  *    mapping (round 16) — the FULL PNG layout matrix decodes.
   *  - BMP (BITMAPINFOHEADER, biBitCount 24, BI_RGB): pixel rows are
   *    RAW BGR triples, 4-byte-aligned stride, bottom-up when biHeight
   *    is positive (top-down when negative). No decompression at all.
@@ -202,11 +204,15 @@ object PixelKernel {
     val interlace = u8(b, 28)
     // compression(26)=0, filter(27)=0 — §11.2.2; depth 8 or 16
     // (round 16 — 16-bit samples reduce to their HIGH byte, v >> 8:
-    // deterministic, scale-preserving, oracle-replayable); interlace
-    // 0 (none) or 1 (Adam7, round 16)
-    if ((depth != 8 && depth != 16) || u8(b, 26) != 0 ||
-      u8(b, 27) != 0 || interlace > 1) return null
+    // deterministic, scale-preserving, oracle-replayable) or SUB-BYTE
+    // 1/2/4 for grayscale and palette (round 16 — gray samples scale
+    // by 255/(2^d−1), the spec's value mapping; palette samples are
+    // indices); interlace 0 (none) or 1 (Adam7, round 16)
+    if ((depth != 1 && depth != 2 && depth != 4 && depth != 8 &&
+      depth != 16) || u8(b, 26) != 0 || u8(b, 27) != 0 ||
+      interlace > 1) return null
     if (depth == 16 && colorType == 3) return null // §11.2.2 forbids
+    if (depth < 8 && colorType != 0 && colorType != 3) return null
     // samples per pixel by color type (§11.2.2): 0 grayscale,
     // 2 truecolor, 3 palette index, 4 gray+alpha, 6 RGBA. Alpha is
     // IGNORED for luminance (compositing would need a background
@@ -220,14 +226,17 @@ object PixelKernel {
       case 6 => 4
       case _ => return null
     }
-    val sampleBytes = depth / 8
-    val bpp = samples * sampleBytes // the §9 filter unit
+    // the §9 filter unit: whole pixels at depth ≥ 8, ONE byte for
+    // sub-byte depths (filters always operate on bytes)
+    val bpp = if (depth >= 8) samples * (depth / 8) else 1
+    def rowBytesOf(wp: Long): Long =
+      if (depth >= 8) wp * bpp else (wp * depth + 7L) / 8L
     val passes = if (interlace == 0) SinglePass else Adam7
     var rawLen = 0L
     passes.foreach { case (x0, y0, dx, dy) =>
       val wp = if (w <= x0) 0L else (w - x0 + dx - 1) / dx
       val hp = if (h <= y0) 0L else (h - y0 + dy - 1) / dy
-      if (wp > 0L && hp > 0L) rawLen += hp * (1L + wp * bpp)
+      if (wp > 0L && hp > 0L) rawLen += hp * (1L + rowBytesOf(wp))
     }
     if (rawLen == 0L || rawLen > MaxRawBytes ||
       w * h * samples > MaxRawBytes) return null // decode-bomb guard
@@ -290,13 +299,18 @@ object PixelKernel {
     // depth 16 the scatter keeps each big-endian sample's FIRST byte —
     // the high-byte reduction.
     val wi = w.toInt; val hi = h.toInt
+    val sampleBytes = if (depth == 16) 2 else 1
+    // sub-byte gray scales to 8 bits by the spec's value mapping
+    // v·255/(2^d−1) — exactly v·(255/(2^d−1)) since the factor is
+    // integer for d ∈ {1,2,4}; palette samples stay raw indices
+    val scale = if (depth >= 8 || colorType == 3) 1 else 255 / ((1 << depth) - 1)
     val out = new Array[Byte](wi * hi * samples)
     var base = 0
     passes.foreach { case (x0, y0, dx, dy) =>
       val wp = if (wi <= x0) 0 else (wi - x0 + dx - 1) / dx
       val hp = if (hi <= y0) 0 else (hi - y0 + dy - 1) / dy
       if (wp > 0 && hp > 0) {
-        val rb = wp * bpp
+        val rb = rowBytesOf(wp.toLong).toInt
         var j = 0
         while (j < hp) {
           val rowBase = base + j * (1 + rb)
@@ -322,10 +336,19 @@ object PixelKernel {
           var ix = 0
           while (ix < wp) {
             val dst = ((y0 + j * dy) * wi + x0 + ix * dx) * samples
-            var sm = 0
-            while (sm < samples) {
-              out(dst + sm) = raw(rowBase + 1 + ix * bpp + sm * sampleBytes)
-              sm += 1
+            if (depth >= 8) {
+              var sm = 0
+              while (sm < samples) {
+                out(dst + sm) = raw(rowBase + 1 + ix * bpp + sm * sampleBytes)
+                sm += 1
+              }
+            } else {
+              // MSB-first bit unpacking (§7.2); trailing pad bits of
+              // each scanline's last byte are never addressed
+              val bitPos = ix * depth
+              val v = (u8(raw, rowBase + 1 + (bitPos >> 3)) >>
+                (8 - depth - (bitPos & 7))) & ((1 << depth) - 1)
+              out(dst) = (v * scale).toByte
             }
             ix += 1
           }

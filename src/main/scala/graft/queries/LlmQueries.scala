@@ -5448,6 +5448,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q379: SUB-BYTE PNG depths (round 16 — closes the PNG layout
+    // matrix completely). v = doc%4: 1-bit gray / 2-bit gray
+    // Adam7-INTERLACED (bit packing composed with the pass scatter) /
+    // 4-bit gray / 4-bit 16-entry palette. Gray samples display per
+    // the spec's v·255/(2^d−1) mapping; the oracle replays the scaled
+    // values arithmetically.
+    "q379_png_subbyte" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, PixelFixtures.pngSubBytePayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.format").as("format"), col("__s.width").as("width"),
+          col("__s.height").as("height"),
+          col("__s.channels").as("channels"),
+          col("__s.n_pixels").as("n_pixels"),
+          col("__s.lum_sum").as("lum_sum"),
+          col("__s.lum_sq_sum").as("lum_sq_sum"),
+          col("__s.dhash").as("dhash"))
+        .orderBy("doc_id")
+    }),
+
     // q369: the ZSTD hop — the q361 contract for the OTHER compressor
     // real corpora ship (.jsonl.zst). Multi-frame concatenation
     // (%6==5), a planted payload bitflip the XXH64 checksum must
@@ -16547,6 +16573,73 @@ object LlmQueries {
         |    AS height,
         |  CASE WHEN d.doc_id % 10 <> 7 THEN
         |    CAST(CASE WHEN d.v IN (0, 2) THEN 1 ELSE 3 END AS BIGINT)
+        |    END AS channels,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w * d.h AS BIGINT)
+        |    END AS n_pixels,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN a.lum_sum END AS lum_sum,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN a.lum_sq_sum END
+        |    AS lum_sq_sum,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN s.dhash END AS dhash
+        |FROM d JOIN agg a USING (doc_id) JOIN sig s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Sub-byte PNG: per-pixel lum from the depth's value mapping —
+    // 1-bit (p%2)·255, 2-bit (p%4)·85, 4-bit (p%16)·17, palette
+    // 4-bit via the shared palette arithmetic over index p%16.
+    "q379_png_subbyte" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS v,
+        |    doc_id % 24 + 9 AS w, (doc_id * 5) % 24 + 8 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    CASE v
+        |      WHEN 0 THEN 1000 * ((p % 2) * 255)
+        |      WHEN 1 THEN 1000 * ((p % 4) * 85)
+        |      WHEN 2 THEN 1000 * ((p % 16) * 17)
+        |      ELSE 299 * (p % 16) + 587 * ((p % 16) * 3 % 256)
+        |        + 114 * ((p % 16) * 5 % 256)
+        |    END AS lum
+        |  FROM (
+        |    SELECT doc_id, v, w, h, u.x AS x, u.y AS y,
+        |      ((u.x + doc_id % 31) * (u.y + doc_id % 37) * 3 + doc_id)
+        |        % 256 AS p
+        |    FROM (
+        |      SELECT doc_id, v, w, h,
+        |        unnest(flatten(list_transform(range(h), y ->
+        |          list_transform(range(w), x -> {'x': x, 'y': y})))) AS u
+        |      FROM d))),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS kk
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1) x ON x.doc_id = d.doc_id),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lum) AS BIGINT) AS lum_sum,
+        |    CAST(sum(lum * lum) AS BIGINT) AS lum_sq_sum
+        |  FROM lum GROUP BY 1)
+        |SELECT d.doc_id, d.doc_id % 10 <> 7 AS parsed,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN 'png' END AS format,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w AS BIGINT) END
+        |    AS width,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.h AS BIGINT) END
+        |    AS height,
+        |  CASE WHEN d.doc_id % 10 <> 7 THEN
+        |    CAST(CASE WHEN d.v = 3 THEN 3 ELSE 1 END AS BIGINT)
         |    END AS channels,
         |  CASE WHEN d.doc_id % 10 <> 7 THEN CAST(d.w * d.h AS BIGINT)
         |    END AS n_pixels,

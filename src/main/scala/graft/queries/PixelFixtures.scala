@@ -765,11 +765,14 @@ private[graft] object PixelFixtures {
     */
   private def pngMulti(w: Int, h: Int, colorType: Int, depth: Int,
                        interlace: Int,
-                       pixelBytes: (Int, Int) => Array[Int]): Array[Byte] = {
+                       pixelBytes: (Int, Int) => Array[Int],
+                       plte: Option[Array[Byte]] = None): Array[Byte] = {
     val samples = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
     }
-    val bpp = samples * (depth / 8)
+    // sub-byte rows pack `pixelBytes`' single SAMPLE VALUE per pixel
+    // MSB-first (§7.2); byte depths lay samples out verbatim
+    val bpp = if (depth >= 8) samples * (depth / 8) else 1
     val passes =
       if (interlace == 0) Array((0, 0, 1, 1))
       else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -780,10 +783,21 @@ private[graft] object PixelFixtures {
       val wp = if (w <= x0) 0 else (w - x0 + dx - 1) / dx
       val hp = if (h <= y0) 0 else (h - y0 + dy - 1) / dy
       if (wp > 0 && hp > 0) {
-        val rb = wp * bpp
+        val rb = if (depth >= 8) wp * bpp else (wp * depth + 7) / 8
         val rows = Array.tabulate(hp) { j =>
-          (0 until wp).flatMap(i =>
-            pixelBytes(x0 + i * dx, y0 + j * dy)).toArray
+          if (depth >= 8)
+            (0 until wp).flatMap(i =>
+              pixelBytes(x0 + i * dx, y0 + j * dy)).toArray
+          else {
+            val packed = new Array[Int](rb)
+            (0 until wp).foreach { i =>
+              val v = pixelBytes(x0 + i * dx, y0 + j * dy)(0)
+              val bit = i * depth
+              packed(bit >> 3) |= (v & ((1 << depth) - 1)) <<
+                (8 - depth - (bit & 7))
+            }
+            packed
+          }
         }
         var j = 0
         while (j < hp) {
@@ -835,9 +849,43 @@ private[graft] object PixelFixtures {
       (h >> 24) & 0xFF, (h >> 16) & 0xFF, (h >> 8) & 0xFF, h & 0xFF,
       depth, colorType, 0, 0, interlace).foreach(ihdr.write)
     chunk("IHDR", ihdr.toByteArray)
+    plte.foreach(p => chunk("PLTE", p))
     chunk("IDAT", idat)
     chunk("IEND", Array.empty[Byte])
     out.toByteArray
+  }
+
+  /** q379 fixture slices — the SUB-BYTE PNG layouts: gray at depths
+    * 1/2/4 (sample = pix % 2^d, displayed per the spec's
+    * v·255/(2^d−1) mapping) and a 4-bit 16-entry palette (index =
+    * pix % 16, entry i = (i, 3i%256, 5i%256) — the shared palette
+    * arithmetic), the 2-bit variant Adam7-INTERLACED so bit packing
+    * and the pass scatter compose.
+    */
+  def pngSubGray(s: Long, depth: Int, interlace: Int = 0): Array[Byte] =
+    pngMulti(width(s), height(s), 0, depth, interlace,
+      (x, y) => Array(pix(x, y, s) % (1 << depth)))
+
+  def pngSub4Palette(s: Long): Array[Byte] =
+    pngMulti(width(s), height(s), 3, 4, 0,
+      (x, y) => Array(pix(x, y, s) % 16),
+      plte = Some(Array.tabulate(48)(i => (i / 3 match {
+        case e if i % 3 == 0 => e
+        case e if i % 3 == 1 => e * 3 % 256
+        case e => e * 5 % 256
+      }).toByte)))
+
+  /** q379's payload: 1-bit gray / 2-bit gray Adam7 / 4-bit gray /
+    * 4-bit palette (v = doc%4); %10==7 truncates to 40 bytes.
+    */
+  def pngSubBytePayload(docId: Long): Array[Byte] = {
+    val full = (docId % 4) match {
+      case 0 => pngSubGray(docId, 1)
+      case 1 => pngSubGray(docId, 2, interlace = 1)
+      case 2 => pngSubGray(docId, 4)
+      case _ => pngSub4Palette(docId)
+    }
+    if (docId % 10 == 7) full.take(40) else full
   }
 
   /** q377 fixture slices: 16-bit depths (high byte = the shared pixel

@@ -448,6 +448,51 @@ class PixelKernelSpec extends SparkSpec {
     }
   }
 
+  test("PNG sub-byte depths: value mapping, packing+Adam7 compose, palette indices") {
+    // the spec's v·255/(2^d−1) gray mapping, replayed per pixel
+    for (s <- Seq(3L, 8L, 21L); d <- Seq(1, 2, 4)) {
+      val v = PixelKernel.decode(PixelFixtures.pngSubGray(s, d))
+      assert(v != null && v.channels == 1, s"s=$s d=$d")
+      val w = PixelFixtures.width(s); val h = PixelFixtures.height(s)
+      val scale = 255 / ((1 << d) - 1)
+      var es = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (((x + s % 31) * (y + s % 37) * 3 + s) % 256).toInt
+        es += 1000L * ((p % (1 << d)) * scale)
+      }
+      assert(v.lumSum == es, s"s=$s d=$d")
+      // interlacing the same logical pixels changes nothing
+      val a7 = PixelKernel.decode(PixelFixtures.pngSubGray(s, d, interlace = 1))
+      assert(a7 != null && a7.lumSum == es && a7.dhash == v.dhash)
+    }
+    // 4-bit palette: indices look up the shared palette arithmetic
+    val s = 11L
+    val pv = PixelKernel.decode(PixelFixtures.pngSub4Palette(s))
+    assert(pv != null && pv.channels == 3)
+    var es = 0L
+    for (y <- 0 until PixelFixtures.height(s);
+         x <- 0 until PixelFixtures.width(s)) {
+      val i = ((((x + s % 31) * (y + s % 37) * 3 + s) % 256) % 16).toInt
+      es += 299L * i + 587L * (i * 3 % 256) + 114L * (i * 5 % 256)
+    }
+    assert(pv.lumSum == es)
+    // an out-of-palette 4-bit index is impossible (16 entries cover the
+    // value space), but a SHORT palette is not: 8 entries + index 15
+    val bad = graft.queries.PixelFixtures.pngSub4Palette(s)
+    // shrink the declared PLTE to 8 entries (24 bytes): patch the chunk
+    // length and drop the tail — the kernel's up-front index check NULLs
+    val lenOff = bad.indexOfSlice("PLTE".getBytes) - 4
+    val cut = bad.take(lenOff) ++ Array[Byte](0, 0, 0, 24) ++
+      bad.slice(lenOff + 4, lenOff + 8 + 24) ++ // type + 8 entries
+      bad.drop(lenOff + 8 + 48) // CRC + the rest, 40 entry bytes gone
+    assert(PixelKernel.decode(cut) == null)
+    // truncation fuzz on the interlaced 2-bit variant
+    val fix = PixelFixtures.pngSubGray(5L, 2, interlace = 1)
+    (0 until fix.length).foreach { n =>
+      assert(PixelKernel.decode(fix.take(n)) == null, s"trunc $n")
+    }
+  }
+
   test("progressive JPEG: fixture exactness, ImageIO agreement, truncation NULLs") {
     import graft.expressions.JpegKernel
     // the pinned IDCT's three-term closed form (DC + two AC base
