@@ -645,6 +645,96 @@ object Dedup {
     cross.union(pairsFromBands(newBands, maxHamming)).distinct()
   }
 
+  /** [[signatureMatches64Incremental]] with the bucket-OCCUPANCY guard
+    * (round 16) — the guard at the PRODUCTION shape: an ingest
+    * increment meeting a solid-fill flood on either side (or both —
+    * yesterday's corpus already holds the logo pile, today's batch
+    * ships more of it) would explode the (band, nib) cross join
+    * quadratically. Guarded behavior:
+    *
+    *  - Exact CROSS matches: each batch signature equi-joins the
+    *    corpus's per-signature MIN id — one representative edge per
+    *    matched batch id, never |corpus-dups| × |batch-dups| rows.
+    *  - Exact WITHIN-batch: per-signature-group star edges
+    *    ([[signaturePairs64Guarded]]'s form).
+    *  - Near matches (1..maxHamming), cross and within: the banded
+    *    joins run only through buckets whose COMBINED (corpus + batch)
+    *    occupancy is ≤ `maxOccupancy` — one saturation rule across
+    *    both sides, reported by running [[bandSaturation]] on the
+    *    union of the two signature tables.
+    *
+    * [[graft.operators.Components.keepCanonical]] over the batch
+    * yields IDENTICAL survivors to the unguarded matcher whenever the
+    * near pairs are unaffected: the representative/star re-bracketing
+    * preserves each equal-signature group's component and its minimum
+    * (the exact-match component min is the min corpus holder or min
+    * batch member, both of which the representative edges reach).
+    * Exact recall is unconditional; near recall degrades only inside
+    * saturated buckets — loudly, never quadratically.
+    */
+  def signatureMatches64IncrementalGuarded(newSigs: DataFrame, idCol: String,
+                                           sigCol: String,
+                                           existingSigs: DataFrame,
+                                           existingIdCol: String,
+                                           existingSigCol: String,
+                                           maxHamming: Int = 2,
+                                           maxOccupancy: Int = 32): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      "4 bands only guarantee recall for hamming <= 3")
+    require(maxOccupancy >= 1, "occupancy cap must be positive")
+    val nib = (b: Int) =>
+      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL))
+    val batch = newSigs.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .transform(CacheScope.track)
+    val corpus = existingSigs.filter(col(existingSigCol).isNotNull)
+      .select(col(existingIdCol).as("__id"),
+        col(existingSigCol).as("__sig"))
+    // exact cross: one representative edge per matched batch id
+    val corpusMin = corpus.groupBy(col("__sig"))
+      .agg(min(col("__id")).as("__cmin"))
+    val exactCross = batch.join(corpusMin, "__sig")
+      .filter(col("__cmin") =!= col("__id")) // id re-delivery
+      .select(col("__cmin").as("i"), col("__id").as("j"),
+        lit(0L).as("hamming"))
+    // exact within-batch: star edges per signature group
+    val star = batch.groupBy(col("__sig"))
+      .agg(min(col("__id")).as("__mn"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2L)
+      .join(batch, "__sig")
+      .filter(col("__id") =!= col("__mn"))
+      .select(col("__mn").as("i"), col("__id").as("j"),
+        lit(0L).as("hamming"))
+    // near matches through unsaturated buckets only (combined rule)
+    val batchBands = explodeBands(batch, nib).transform(CacheScope.track)
+    val corpusBands = explodeBands(corpus, nib).transform(CacheScope.track)
+    val okBuckets = batchBands.select(col("band"), col("nib"))
+      .unionAll(corpusBands.select(col("band"), col("nib")))
+      .groupBy(col("band"), col("nib"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") <= maxOccupancy)
+      .select(col("band"), col("nib"))
+    val batchOk = batchBands.join(okBuckets, Seq("band", "nib"), "left_semi")
+      .transform(CacheScope.track)
+    val corpusOk = corpusBands.join(okBuckets, Seq("band", "nib"), "left_semi")
+    val nearCross = corpusOk
+      .select(col("__id").as("i"), col("__sig").as("__si"),
+        col("band"), col("nib"))
+      .join(batchOk.select(col("__id").as("j"), col("__sig").as("__sj"),
+        col("band"), col("nib")), Seq("band", "nib"))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("__si").bitwiseXOR(col("__sj")))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") >= 1L && col("hamming") <= maxHamming)
+      .distinct()
+    val nearWithin = pairsFromBands(batchOk, maxHamming)
+      .filter(col("hamming") >= 1L)
+      .distinct()
+    exactCross.unionByName(star).unionByName(nearCross)
+      .unionByName(nearWithin)
+  }
+
   /** `(id, sig)` → `(id, sig, band, nib)` — the PERSISTABLE pre-banded
     * form of a 64-bit signature table. Store it bucketed by
     * (band, nib) ([[graft.io.TableIO.writeBucketed]]) and the

@@ -5618,6 +5618,52 @@ object LlmQueries {
         .orderBy("n_images")
     }),
 
+    // q380: the occupancy guard at the INCREMENTAL (production) shape
+    // — yesterday's corpus already holds half the solid-fill flood and
+    // today's batch ships the other half, the case where the unguarded
+    // batch-vs-corpus band join would emit |corpus dups|×|batch dups|
+    // rows. Guarded: one representative cross edge per matched batch
+    // id, star edges within the batch, near matches only through
+    // buckets under the COMBINED occupancy cap; survivors identical to
+    // the unguarded matcher outside saturated near-recall regions.
+    "q380_incremental_guard" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.floodPayload(id))))
+        .toDF("doc_id", "__p")
+      val sigs = media
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p"))
+            .getField("dhash").as("dhash"))
+        .transform(graft.operators.CacheScope.track)
+      val corpusSigs = sigs.filter(col("doc_id") % 2 === 0)
+      val batchSigs = sigs.filter(col("doc_id") % 2 === 1)
+      val sat = graft.operators.Dedup.bandSaturation(
+        sigs, "doc_id", "dhash", maxOccupancy = 32)
+      val matches = graft.operators.Dedup.signatureMatches64IncrementalGuarded(
+        batchSigs, "doc_id", "dhash", corpusSigs, "doc_id", "dhash",
+        maxHamming = 2, maxOccupancy = 32)
+        .transform(graft.operators.CacheScope.track)
+      val survivors = graft.operators.Components.keepCanonical(
+        batchSigs.filter(col("dhash").isNotNull), "doc_id", matches)
+      corpusSigs.agg(count(col("dhash")).as("n_corpus_sigs"))
+        .crossJoin(batchSigs.agg(count(col("dhash")).as("n_batch_sigs")))
+        .crossJoin(sat.agg(
+          sum(col("n_saturated_buckets")).as("n_saturated_buckets"),
+          sum(col("n_sigs_in_saturated")).as("n_rows_saturated")))
+        .crossJoin(matches.agg(
+          count(when(col("hamming") === 0L && col("i") % 2 === 0, 1))
+            .as("n_exact_cross"),
+          count(when(col("hamming") === 0L && col("i") % 2 =!= 0, 1))
+            .as("n_exact_star"),
+          count(when(col("hamming") >= 1L && col("i") % 2 === 0, 1))
+            .as("n_near_cross"),
+          count(when(col("hamming") >= 1L && col("i") % 2 =!= 0, 1))
+            .as("n_near_within")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+        .orderBy("n_corpus_sigs")
+    }),
+
     // q373: the incremental image dedup (q366) against a PUBLISHED
     // signature artifact — the 100-TB shape the q366 scale notes
     // called for: the corpus signature table is persisted PRE-BANDED
@@ -15489,6 +15535,121 @@ object LlmQueries {
         |    + (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM alab)
         |    + (SELECT poison FROM achg) AS n_survivors
         |ORDER BY n_images""".stripMargin,
+
+    // Incremental occupancy guard: q378's sig/band/occupancy replay
+    // split even→corpus / odd→batch; representative cross edges (min
+    // corpus holder per matched batch id), batch star edges, near
+    // matches through combined-unsaturated buckets, survivors via the
+    // unrolled CC over all four edge sets.
+    "q380_incremental_guard" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, doc_id % 5 <= 2 AS flood,
+        |    doc_id - (doc_id % 2) AS pid, doc_id % 2 = 1 AS edited,
+        |    (doc_id - (doc_id % 2)) % 24 + 9 AS w,
+        |    ((doc_id - (doc_id % 2)) * 5) % 24 + 8 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h, u.x AS x, u.y AS y,
+        |    (CASE WHEN edited AND u.x = 0 AND u.y = 0
+        |      THEN (((u.x + pid % 31) * (u.y + pid % 37) * 3 + pid)
+        |            % 256 + 128) % 256
+        |      ELSE ((u.x + pid % 31) * (u.y + pid % 37) * 3 + pid)
+        |           % 256 END) * 1000 AS lum
+        |  FROM (
+        |    SELECT doc_id, pid, edited, w, h,
+        |      unnest(flatten(list_transform(range(h), y ->
+        |        list_transform(range(w), x -> {'x': x, 'y': y})))) AS u
+        |    FROM d WHERE NOT flood)),
+        |cells AS (
+        |  SELECT doc_id, (9 * x) // w AS cx, (8 * y) // h AS cy,
+        |    sum(lum) // count(*) AS cavg
+        |  FROM lum GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS k
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.flood THEN CAST(0 AS HUGEINT)
+        |      ELSE coalesce(dh.hraw, 0) END AS hraw,
+        |    CAST(CASE WHEN d.flood THEN CAST(0 AS HUGEINT)
+        |        ELSE coalesce(dh.hraw, 0) END
+        |      - CASE WHEN (CASE WHEN d.flood THEN CAST(0 AS HUGEINT)
+        |          ELSE coalesce(dh.hraw, 0) END) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id,
+        |      sum(CAST(1 AS HUGEINT) << CAST(k AS INT)) AS hraw
+        |    FROM bits GROUP BY 1) dh USING (doc_id)),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, dhash, b.band AS band,
+        |    CAST((hraw // CAST([1, 65536, 4294967296, 281474976710656]
+        |      [CAST(b.band AS INT) + 1] AS HUGEINT)) % 65536 AS BIGINT)
+        |      AS nib
+        |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+        |occ AS (
+        |  SELECT band, nib, count(*) AS occ
+        |  FROM bands GROUP BY 1, 2),
+        |okb AS (SELECT band, nib FROM occ WHERE occ <= 32),
+        |bandok AS MATERIALIZED (
+        |  SELECT b.doc_id, b.band, b.nib, b.dhash
+        |  FROM bands b JOIN okb USING (band, nib)),
+        |cmin AS (
+        |  SELECT dhash, min(doc_id) AS cm
+        |  FROM sig WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ec AS MATERIALIZED (
+        |  SELECT c.cm AS i, s.doc_id AS j
+        |  FROM sig s JOIN cmin c USING (dhash)
+        |  WHERE s.doc_id % 2 = 1),
+        |bgrp AS (
+        |  SELECT dhash, min(doc_id) AS mn, count(*) AS n
+        |  FROM sig WHERE doc_id % 2 = 1 GROUP BY 1),
+        |st AS MATERIALIZED (
+        |  SELECT g.mn AS i, s.doc_id AS j
+        |  FROM bgrp g JOIN sig s USING (dhash)
+        |  WHERE s.doc_id % 2 = 1 AND g.n >= 2 AND s.doc_id <> g.mn),
+        |nc AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bandok a JOIN bandok b
+        |    ON a.band = b.band AND a.nib = b.nib
+        |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 2),
+        |nw AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bandok a JOIN bandok b
+        |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+        |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 2),
+        |esym AS MATERIALIZED (
+        |  SELECT i AS u, j AS v FROM (
+        |    SELECT i, j FROM ec UNION ALL SELECT i, j FROM st
+        |    UNION ALL SELECT i, j FROM nc UNION ALL SELECT i, j FROM nw)
+        |  UNION ALL
+        |  SELECT j, i FROM (
+        |    SELECT i, j FROM ec UNION ALL SELECT i, j FROM st
+        |    UNION ALL SELECT i, j FROM nc UNION ALL SELECT i, j FROM nw)),
+        |enodes AS (SELECT DISTINCT u AS node FROM esym),
+        |${oUnrolledCcCtes("a", "enodes", "esym")}
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE doc_id % 2 = 0)
+        |    AS n_corpus_sigs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE doc_id % 2 = 1)
+        |    AS n_batch_sigs,
+        |  (SELECT CAST(count(CASE WHEN occ > 32 THEN 1 END) AS BIGINT)
+        |   FROM occ) AS n_saturated_buckets,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN occ > 32 THEN occ END), 0)
+        |     AS BIGINT) FROM occ) AS n_rows_saturated,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ec) AS n_exact_cross,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_exact_star,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nc) AS n_near_cross,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nw) AS n_near_within,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE doc_id % 2 = 1)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM alab
+        |       WHERE node % 2 = 1 AND component <> node)
+        |    + (SELECT poison FROM achg) AS n_survivors
+        |ORDER BY n_corpus_sigs""".stripMargin,
 
     // TIFF/EXIF headers: pure doc_id arithmetic — sizes from the fixed
     // container layouts, the rotation gate's display dims swapped when

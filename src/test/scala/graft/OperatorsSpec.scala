@@ -517,6 +517,57 @@ class OperatorsSpec extends SparkSpec {
       comps(Dedup.signaturePairs64(sigs, "id", "sig", maxHamming = 2)))
   }
 
+  test("signatureMatches64IncrementalGuarded: representative edges, combined occupancy, survivor identity") {
+    // corpus holds half a solid-fill flood (sig 0), batch ships the
+    // other half plus a near pair and a fresh image
+    val corpus = ((0L until 20L by 2L).map(_ -> 0L) ++
+      Seq(50L -> 0x1111222233334444L)).toDF("id", "sig")
+    val batch = ((1L until 20L by 2L).map(_ -> 0L) ++
+      Seq(61L -> (0x1111222233334444L ^ 2L), // near the corpus sig
+        63L -> 0x7777000011110000L)).toDF("id", "sig")
+    val got = Dedup.signatureMatches64IncrementalGuarded(
+      batch, "id", "sig", corpus, "id", "sig",
+      maxHamming = 2, maxOccupancy = 6).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("hamming"))).toSet
+    // flood: each batch copy gets ONE representative cross edge to the
+    // min corpus holder (id 0) plus a within-batch star to id 1 —
+    // 10 + 9 rows, never 10×10 cross pairs; the near pair rides its
+    // unsaturated bands; the fresh image matches nothing
+    val cross = (1L until 20L by 2L).map(j => (0L, j, 0L)).toSet
+    val star = (3L until 20L by 2L).map(j => (1L, j, 0L)).toSet
+    assert(got === cross ++ star + ((50L, 61L, 1L)))
+    // combined-occupancy rule: corpus 10 + batch 10 rows share the
+    // nib-0 buckets, so occupancy 20 > 6 saturates them even though
+    // NEITHER side alone is capped at 10 > 6... lower the corpus to 4
+    // rows and the batch to 4: combined 8 still > 6 → near recall
+    // through those buckets stays off (the one rule across both sides)
+    val c4 = ((0L until 8L by 2L).map(_ -> 1L)).toDF("id", "sig")
+    val b4 = ((1L until 8L by 2L).map(_ -> 2L)).toDF("id", "sig")
+    val comb = Dedup.signatureMatches64IncrementalGuarded(
+      b4, "id", "sig", c4, "id", "sig", maxHamming = 2, maxOccupancy = 6)
+      .collect()
+    // sigs 1 and 2 are Hamming-2 apart and share bands 1-3 (nib 0),
+    // each with combined occupancy 8 > 6 → no near-cross edges; the
+    // within-batch sig-2 group still stars (exact recall unconditional)
+    assert(comb.forall(_.getAs[Long]("hamming") == 0L))
+    assert(comb.length === 3) // star of the 4 batch copies
+    // survivor identity with the unguarded matcher when nothing is
+    // saturated
+    val cs = Seq(10L -> 0x00FF00FF00FF00FFL, 11L -> 0x1234567812345678L)
+      .toDF("id", "sig")
+    val bs = Seq(100L -> 0x00FF00FF00FF00FDL, 101L -> 0x1234567812345678L,
+      102L -> 0x0F0F0F0F0F0F0F0FL, 103L -> 0x0F0F0F0F0F0F0F0DL)
+      .toDF("id", "sig")
+    def surv(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Components.keepCanonical(bs, "id", pairs)
+        .select("id").as[Long].collect().toSet
+    assert(surv(Dedup.signatureMatches64IncrementalGuarded(
+        bs, "id", "sig", cs, "id", "sig", 2, 64)) ===
+      surv(Dedup.signatureMatches64Incremental(
+        bs, "id", "sig", cs, "id", "sig", 2)))
+  }
+
   test("incremental dedup end-to-end contract on a seeded random corpus") {
     // The documented composition (keepCanonical over the BATCH, old
     // survivors immutable by construction), locked on a generated
