@@ -17,7 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    discipline — every read bounds-checked) to BOTH the "fmt " chunk
   *    and the "data" chunk. Supported layouts: format tag 1 (linear
   *    PCM, 16 bits/sample), tag 7 (G.711 μ-law, 8 bits), tag 6
-  *    (G.711 A-law, 8 bits) — anything else → NULL, loud not wrong;
+  *    (G.711 A-law, 8 bits), and tag 0x11 (mono IMA/DVI ADPCM,
+  *    4 bits — round 16: the telephony/game-corpus block codec; the
+  *    public step/index tables, per-block int16 predictor + step-index
+  *    headers emitted as the block's first sample, low-nibble-first
+  *    packing, partial final blocks allowed, a step index past 88 is
+  *    corrupt) — anything else → NULL, loud not wrong;
   *  - samples: PCM-16 is signed little-endian; μ-law/A-law bytes
   *    expand through the public G.711/CCITT formulas (the Sun
   *    reference implementation's arithmetic): μ-law u = ~c,
@@ -75,18 +80,104 @@ object PcmKernel {
   private val CODEC_PCM16 = UTF8String.fromString("pcm16")
   private val CODEC_ULAW = UTF8String.fromString("ulaw")
   private val CODEC_ALAW = UTF8String.fromString("alaw")
+  private val CODEC_IMA = UTF8String.fromString("ima_adpcm")
+
+  /** IMA/DVI ADPCM step-size table (the public 89-entry table from the
+    * IMA Digital Audio compatibility spec — also RFC 3551 §4.5.1's
+    * DVI4 reference).
+    */
+  private[graft] val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+
+  /** Index adjustment per nibble magnitude (low 3 bits). */
+  private[graft] val ImaIndex: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA nibble step: returns the new packed (pred, idx) state and
+    * leaves the decoded sample in `pred`. Public arithmetic only:
+    * diff = step/8 (+ step/4 if bit0, + step/2 if bit1, + step if
+    * bit2), sign bit3, predictor clamped to int16, index clamped 0..88.
+    */
+  private def imaStep(pred0: Int, idx0: Int, nib: Int): (Int, Int) = {
+    val step = ImaStep(idx0)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    var pred = if ((nib & 8) != 0) pred0 - diff else pred0 + diff
+    if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+    var idx = idx0 + ImaIndex(nib & 7)
+    if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+    (pred, idx)
+  }
+
+  /** Decode a mono IMA ADPCM `data` payload (sequence of blockAlign-
+    * sized blocks; final block may be partial but must keep its 4-byte
+    * header plus at least one nibble byte) to linear samples, or null
+    * on any malformation — a step index past 88 in any block header is
+    * corrupt, loud not wrong. Block layout (mono): int16 LE predictor
+    * (emitted as the block's first sample), uint8 step index, one
+    * reserved byte, then nibble bytes — LOW nibble first, two samples
+    * per byte.
+    */
+  private def imaDecode(b: Array[Byte], dataOff: Int, dataLen: Int,
+                        blockAlign: Int): Array[Short] = {
+    if (blockAlign < 8 || blockAlign % 4 != 0) return null
+    var off = 0
+    var total = 0
+    while (off < dataLen) { // size pass (exact allocation, no growth)
+      val bl = math.min(blockAlign, dataLen - off)
+      if (bl < 5) return null // a header with no samples is malformed
+      total += 1 + (bl - 4) * 2
+      off += bl
+    }
+    if (total == 0) return null
+    val out = new Array[Short](total)
+    var w = 0
+    off = 0
+    while (off < dataLen) {
+      val bl = math.min(blockAlign, dataLen - off)
+      var pred = le16(b, dataOff + off).toShort.toInt
+      var idx = b(dataOff + off + 2) & 0xFF
+      if (idx > 88) return null // corrupt header
+      out(w) = pred.toShort; w += 1
+      var k = 4
+      while (k < bl) {
+        val byte = b(dataOff + off + k) & 0xFF
+        val (p1, i1) = imaStep(pred, idx, byte & 0x0F)
+        out(w) = p1.toShort; w += 1
+        val (p2, i2) = imaStep(p1, i1, byte >> 4)
+        out(w) = p2.toShort; w += 1
+        pred = p2; idx = i2
+        k += 1
+      }
+      off += bl
+    }
+    out
+  }
 
   /** Parsed-and-bounds-checked decode view: everything [[parse]] and
     * [[envelopeHash]] share — the RIFF walk, the layout checks, and the
     * per-codec linear-sample accessor — so the statistics pass and the
-    * perceptual hash can never decode differently.
+    * perceptual hash can never decode differently. IMA ADPCM (tag
+    * 0x11) decodes its blocks eagerly (the codec is sequential-state;
+    * random access needs the materialized samples), bounded by the
+    * same data-size guard.
     */
   private final class View(val tag: Long, val rate: Long, val ch: Long,
                            val bits: Long, dataOff: Int, val n: Int,
-                           b: Array[Byte]) {
+                           b: Array[Byte],
+                           ima: Array[Short] = null) {
     def at(k: Int): Long =
       if (tag == 1L) le16(b, dataOff + 2 * k).toShort.toLong
       else if (tag == 7L) ulaw2linear(b(dataOff + k) & 0xFF).toLong
+      else if (tag == 0x11L) ima(k).toLong
       else alaw2linear(b(dataOff + k) & 0xFF).toLong
   }
 
@@ -96,6 +187,7 @@ object PcmKernel {
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return null
     var tag = -1L; var rate = -1L; var ch = -1L; var bits = -1L
+    var blockAlign = -1L
     var dataOff = -1; var dataLen = -1L
     var i = 12
     while (i + 8 <= b.length && (rate < 0L || dataOff < 0)) {
@@ -107,11 +199,14 @@ object PcmKernel {
         tag = le16(b, i + 8)
         ch = le16(b, i + 10)
         rate = le32(b, i + 12)
+        blockAlign = le16(b, i + 20)
         bits = le16(b, i + 22)
         if (ch == 0L || rate == 0L) return null
-        // linear PCM-16, G.711 A-law (6), G.711 mu-law (7) only
+        // linear PCM-16, G.711 A-law (6) / mu-law (7), and mono
+        // IMA/DVI ADPCM (0x11, round 16) only
         if (!((tag == 1L && bits == 16L) ||
-          ((tag == 6L || tag == 7L) && bits == 8L))) return null
+          ((tag == 6L || tag == 7L) && bits == 8L) ||
+          (tag == 0x11L && bits == 4L && ch == 1L))) return null
       } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
         b(i + 3) == 'a') {
         dataOff = i + 8
@@ -127,6 +222,11 @@ object PcmKernel {
     if (rate < 0L || dataOff < 0) return null
     if (dataLen > MaxDataBytes) return null // decode-bomb guard
     if (dataOff + dataLen > b.length) return null // mid-data truncation
+    if (tag == 0x11L) {
+      val ima = imaDecode(b, dataOff, dataLen.toInt, blockAlign.toInt)
+      if (ima == null) return null
+      return new View(tag, rate, ch, bits, dataOff, ima.length, b, ima)
+    }
     val bps = if (tag == 1L) 2 else 1
     if (dataLen % (bps.toLong * ch) != 0L) return null // frame alignment
     new View(tag, rate, ch, bits, dataOff, (dataLen / bps).toInt, b)
@@ -143,7 +243,7 @@ object PcmKernel {
     val bits = v0.bits; val n = v0.n
     def at(k: Int): Long = v0.at(k)
     val (railHi, railLo) =
-      if (tag == 1L) (32767L, -32768L)
+      if (tag == 1L || tag == 0x11L) (32767L, -32768L)
       else if (tag == 7L) (32124L, -32124L)
       else (32256L, -32256L)
     // ONE decode pass: sums, clip rails, and the first/last non-silent
@@ -166,6 +266,7 @@ object PcmKernel {
     val trail = if (firstLoud < 0) n else n - 1 - lastLoud
     val codec =
       if (tag == 1L) CODEC_PCM16 else if (tag == 7L) CODEC_ULAW
+      else if (tag == 0x11L) CODEC_IMA
       else CODEC_ALAW
     InternalRow(codec, rate, ch, bits, n.toLong,
       (n / ch) * 1000L / rate, s, sq, clipped, lead.toLong, trail.toLong)

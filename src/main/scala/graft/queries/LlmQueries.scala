@@ -5578,6 +5578,36 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q381: IMA/DVI ADPCM sample statistics (round 16 — the fourth
+    // WAV codec, the telephony/game-corpus block format): per-block
+    // int16 predictor + step-index headers, the public 89-entry
+    // step/index tables, low-nibble-first packing, a partial final
+    // block, and two corruption plants (step index past the table;
+    // mid-data truncation). The oracle replays the ADPCM recursion —
+    // per-nibble predictor/step-index state — in a recursive CTE over
+    // the same doc_id arithmetic.
+    "q381_ima_adpcm" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, AudioFixtures.imaPayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pcmStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.codec").as("codec"),
+          col("__s.sample_rate").as("sample_rate"),
+          col("__s.bits").as("bits"),
+          col("__s.n_samples").as("n_samples"),
+          col("__s.duration_ms").as("duration_ms"),
+          col("__s.sum_q").as("sum_q"),
+          col("__s.sq_sum").as("sq_sum"),
+          col("__s.n_clipped").as("n_clipped"),
+          col("__s.lead_silence").as("lead_silence"),
+          col("__s.trail_silence").as("trail_silence"))
+        .orderBy("doc_id")
+    }),
+
     // q378: the band-bucket OCCUPANCY GUARD under a constant-image
     // flood (round 16 — the q374 fixture incident as a production
     // hazard): 60% of the corpus is the SAME solid fill (any flat
@@ -15438,6 +15468,84 @@ object LlmQueries {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
         |ORDER BY i, j""".stripMargin,
+
+    // IMA ADPCM: the oracle replays the per-nibble predictor/step
+    // recursion — step table literal, diff = step/8 (+step/4 bit0,
+    // +step/2 bit1, +step bit2), sign bit3, int16 clamp, index clamp
+    // 0..88 — over the same doc_id-derived block headers and nibble
+    // bytes, then the q345/q350 statistic shapes over (pos, value).
+    "q381_ima_adpcm" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS nb, doc_id % 4 = 1 AS part,
+        |    8000 + (doc_id % 3) * 4000 AS rate,
+        |    NOT (doc_id % 10 = 3 OR doc_id % 11 = 7) AS ok
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN part AND b = nb - 1 THEN 6 ELSE 12 END AS nbytes,
+        |    b * 25 AS pos0,
+        |    (doc_id * 7 + b * 131) % 65536 - 32768 AS pred0,
+        |    (doc_id + 3 * b) % 89 AS idx0,
+        |    rate
+        |  FROM (SELECT doc_id, nb, part, rate, unnest(range(nb)) AS b
+        |        FROM d WHERE ok)),
+        |r(doc_id, b, j, pred, idx, nbytes, pos0) AS (
+        |  SELECT doc_id, b, -1, pred0, idx0, nbytes, pos0 FROM blk
+        |  UNION ALL
+        |  SELECT doc_id, b, j + 1,
+        |    greatest(-32768, least(32767,
+        |      pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+        |    greatest(0, least(88,
+        |      idx + [-1,-1,-1,-1,2,4,6,8][CAST(nib % 8 AS INT) + 1])),
+        |    nbytes, pos0
+        |  FROM (
+        |    SELECT doc_id, b, j, pred, idx, nbytes, pos0, nib,
+        |      step // 8
+        |        + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+        |        + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+        |        + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+        |        AS diff
+        |    FROM (
+        |      SELECT r.*,
+        |        CASE WHEN (j + 1) % 2 = 0
+        |          THEN ((doc_id + b * 5 + ((j + 1) // 2) * 7 + 3) % 256) % 16
+        |          ELSE ((doc_id + b * 5 + ((j + 1) // 2) * 7 + 3) % 256) // 16
+        |        END AS nib,
+        |        [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,
+        |         37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+        |         157,173,190,209,230,253,279,307,337,371,408,449,494,
+        |         544,598,658,724,796,876,963,1060,1166,1282,1411,1552,
+        |         1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,
+        |         4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,
+        |         12635,13899,15289,16818,18500,20350,22385,24623,27086,
+        |         29794,32767][CAST(idx AS INT) + 1] AS step
+        |      FROM r WHERE j + 1 < nbytes * 2))),
+        |smp AS (
+        |  SELECT doc_id, pos0 + j + 1 AS pos, pred AS v FROM r),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sum_q,
+        |    CAST(sum(v * v) AS BIGINT) AS sq_sum,
+        |    CAST(count(CASE WHEN v = 32767 OR v = -32768 THEN 1 END)
+        |      AS BIGINT) AS n_clipped,
+        |    CAST(coalesce(min(CASE WHEN abs(v) > 256 THEN pos END),
+        |      count(*)) AS BIGINT) AS lead_silence,
+        |    CAST(coalesce(max(pos) - max(CASE WHEN abs(v) > 256 THEN pos
+        |      END), count(*)) AS BIGINT) AS trail_silence
+        |  FROM smp GROUP BY 1)
+        |SELECT d.doc_id, d.ok AS parsed,
+        |  CASE WHEN d.ok THEN 'ima_adpcm' END AS codec,
+        |  CASE WHEN d.ok THEN CAST(d.rate AS BIGINT) END AS sample_rate,
+        |  CASE WHEN d.ok THEN CAST(4 AS BIGINT) END AS bits,
+        |  CASE WHEN d.ok THEN st.n END AS n_samples,
+        |  CASE WHEN d.ok THEN st.n * 1000 // d.rate END AS duration_ms,
+        |  CASE WHEN d.ok THEN st.sum_q END AS sum_q,
+        |  CASE WHEN d.ok THEN st.sq_sum END AS sq_sum,
+        |  CASE WHEN d.ok THEN st.n_clipped END AS n_clipped,
+        |  CASE WHEN d.ok THEN st.lead_silence END AS lead_silence,
+        |  CASE WHEN d.ok THEN st.trail_silence END AS trail_silence
+        |FROM d LEFT JOIN st USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Occupancy guard under the constant-image flood: flood docs all
     // dHash to 0 (flat image — no cell comparison fires); non-flood

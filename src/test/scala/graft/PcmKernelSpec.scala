@@ -147,6 +147,82 @@ class PcmKernelSpec extends SparkSpec {
     assert(df(1).isNullAt(1))
   }
 
+  test("IMA ADPCM: hand-pinned steps, PCM transcode identity, corrupt NULLs") {
+    def ima(blocks: Seq[(Int, Int, Seq[Int])], rate: Int = 8000,
+            blockAlign: Int = 16,
+            truncate: Int = 0): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      val dataLen = blocks.map(b => 4 + b._3.length).sum
+      out.write("RIFF".getBytes, 0, 4); le32(4 + 28 + 8 + dataLen)
+      out.write("WAVE".getBytes, 0, 4)
+      out.write("fmt ".getBytes, 0, 4); le32(20)
+      le16(0x11); le16(1); le32(rate); le32(rate)
+      le16(blockAlign); le16(4); le16(2)
+      le16(1 + (blockAlign - 4) * 2)
+      out.write("data".getBytes, 0, 4); le32(dataLen)
+      blocks.foreach { case (pred0, idx0, bytes) =>
+        le16(pred0 & 0xFFFF); out.write(idx0); out.write(0)
+        bytes.foreach(out.write)
+      }
+      val full = out.toByteArray
+      if (truncate > 0) full.take(full.length - truncate) else full
+    }
+    // hand-pinned nibble walk from (pred 0, index 0, step 7):
+    //   nib 4 (bit2): diff = 0+7 = 7 → pred 7, index 0+2 = 2 (step 9)
+    //   nib 0: diff = 9>>3 = 1 → pred 8, index 2-1 = 1
+    // byte 0x04 packs them low-first; the header emits sample 0 = 0
+    val b1 = ima(Seq((0, 0, Seq(0x04) ++ Seq.fill(11)(0x00))))
+    val r1 = Option(PcmKernel.parse(b1)).get
+    assert(r1.getString(0) === "ima_adpcm")
+    assert(r1.getLong(4) === 25L) // 1 header + 12 bytes × 2 nibbles
+    // replay the full block with the documented recursion and compare
+    // the aggregate statistics exactly
+    def replay(pred0: Int, idx0: Int, bytes: Seq[Int]): Seq[Int] = {
+      var pred = pred0; var idx = idx0
+      pred0 +: bytes.flatMap { byte =>
+        Seq(byte & 0x0F, byte >> 4).map { nib =>
+          val step = PcmKernel.ImaStep(idx)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = math.max(-32768,
+            math.min(32767, if ((nib & 8) != 0) pred - diff else pred + diff))
+          idx = math.max(0, math.min(88, idx + PcmKernel.ImaIndex(nib & 7)))
+          pred
+        }
+      }
+    }
+    val bytes2 = (0 until 12).map(k => (k * 37 + 11) % 256)
+    val blocks2 = Seq((1234, 40, bytes2), (-2000, 88, bytes2.reverse),
+      (-31000, 0, bytes2.map(b => 255 - b)), // clamp exercise at the rails
+      (500, 3, (0 until 6).map(k => (k * 91 + 5) % 256))) // partial tail
+    val b2 = ima(blocks2)
+    val samples2 = blocks2.flatMap { case (p, i, bs) => replay(p, i, bs) }
+    val r2 = Option(PcmKernel.parse(b2)).get
+    assert(r2.getLong(4) === samples2.length.toLong)
+    assert(r2.getLong(6) === samples2.map(_.toLong).sum)
+    assert(r2.getLong(7) === samples2.map(v => v.toLong * v).sum)
+    // ...and the SAME samples shipped as a PCM-16 WAV give identical
+    // stats and envelope hash (the shared-View transcode identity the
+    // dedup tier rests on)
+    val pcmTwin = wav(8000, 1, samples2)
+    val rt = Option(PcmKernel.parse(pcmTwin)).get
+    assert((6 to 10).forall(i => rt.getLong(i) === r2.getLong(i)))
+    assert(PcmKernel.envelopeHash(b2) != null &&
+      PcmKernel.envelopeHash(b2) === PcmKernel.envelopeHash(pcmTwin))
+    // corrupt: step index past the table, truncation, header-only block
+    assert(PcmKernel.parse(ima(Seq((0, 89, Seq(0x04))))) == null)
+    assert(PcmKernel.parse(ima(blocks2, truncate = 3)) == null)
+    assert(PcmKernel.parse(ima(Seq((0, 0, Seq.empty)))) == null)
+    // stereo IMA is out of contract — NULL, never wrong interleaving
+    val st = ima(Seq((0, 0, Seq(0x04))))
+    st(22) = 2 // channels field
+    assert(PcmKernel.parse(st) == null)
+  }
+
   test("envelope hash: exact bits, transcode/scaling invariance, short/corrupt NULL") {
     // deterministic pseudo-random samples, long enough for 65 windows
     val n = 130
