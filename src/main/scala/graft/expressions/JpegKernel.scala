@@ -519,13 +519,21 @@ object JpegKernel {
     def dcBlock(c: Comp, off: Int): Boolean = {
       if (ah == 0) {
         val s = r.huff(dcTabs(c.dcTab))
-        if (s < 0 || s > 11) return false
+        // s + al <= 11: the RECONSTRUCTED coefficient (pred << al) must
+        // stay within the 8-bit DC range ±2047, or idctBlock's
+        // |F| <= 2047*65535 overflow bound no longer holds — the
+        // progressive twin of the sequential DC-pred clamp.
+        if (s < 0 || s > 11 || s + al > 11) return false
         val diff = extend(r.bits(s), s)
         c.pred += diff
         if (c.pred < -2048 || c.pred > 2047) return false
-        c.coefs(off) = c.pred << al
+        val v = c.pred << al
+        if (v < -2048 || v > 2047) return false
+        c.coefs(off) = v
       } else if (r.bit() == 1) {
-        c.coefs(off) = c.coefs(off) | (1 << al)
+        val v = c.coefs(off) | (1 << al)
+        if (v < -2048 || v > 2047) return false
+        c.coefs(off) = v
       }
       !r.bad
     }
@@ -547,10 +555,15 @@ object JpegKernel {
             k = 64 // EOB for this block
           }
         } else {
-          if (s > 10) return false // 8-bit AC categories cap at 10
+          // 8-bit AC categories cap at 10, and s + al <= 10 keeps the
+          // reconstructed magnitude within the ±1023 AC range the IDCT
+          // overflow bound assumes (cf. dcBlock's s + al <= 11).
+          if (s > 10 || s + al > 10) return false
           k += run
           if (k > se) return false
-          c.coefs(off + ZZ(k)) = extend(r.bits(s), s) << al
+          val v = extend(r.bits(s), s) << al
+          if (v < -1023 || v > 1023) return false
+          c.coefs(off + ZZ(k)) = v
           k += 1
         }
       }
@@ -558,6 +571,9 @@ object JpegKernel {
     }
 
     def acRefineBlock(c: Comp, off: Int): Boolean = {
+      // A refinement scan introduces new ±(1 << al) coefficients; al > 9
+      // would mint magnitudes past the ±1023 AC range (see acFirstBlock).
+      if (al > 9) return false
       val tab = acTabs(c.acTab)
       val p1 = 1 << al
       var k = ss
@@ -587,8 +603,11 @@ object JpegKernel {
               val idx = off + ZZ(k)
               val cur = c.coefs(idx)
               if (cur != 0) {
-                if (r.bit() == 1 && (cur & p1) == 0)
-                  c.coefs(idx) = cur + (if (cur >= 0) p1 else -p1)
+                if (r.bit() == 1 && (cur & p1) == 0) {
+                  val nv = cur + (if (cur >= 0) p1 else -p1)
+                  if (nv < -1023 || nv > 1023) return false
+                  c.coefs(idx) = nv
+                }
               } else if (run == 0) {
                 if (newval != 0) c.coefs(idx) = newval
                 placed = true
@@ -604,8 +623,11 @@ object JpegKernel {
           val idx = off + ZZ(k)
           val cur = c.coefs(idx)
           if (cur != 0) {
-            if (r.bit() == 1 && (cur & p1) == 0)
-              c.coefs(idx) = cur + (if (cur >= 0) p1 else -p1)
+            if (r.bit() == 1 && (cur & p1) == 0) {
+              val nv = cur + (if (cur >= 0) p1 else -p1)
+              if (nv < -1023 || nv > 1023) return false
+              c.coefs(idx) = nv
+            }
           }
           k += 1
         }

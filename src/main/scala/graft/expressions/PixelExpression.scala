@@ -96,12 +96,18 @@ object PixelKernel {
     */
   private[graft] def view(b: Array[Byte]): LumView = {
     if (b == null || b.length < 4) return null
-    if ((b(0) & 0xFF) == 0x89 && b(1) == 0x50) decodePng(b)
-    else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
-    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeGif(b)
-    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
-      JpegKernel.decode(b)
-    else null
+    // try/NonFatal: the never-throw contract (corrupt bytes quarantine
+    // as NULL, they never fail the task) must hold even for a walker
+    // bug on adversarial input — JpegKernel.decode wraps itself the
+    // same way.
+    try {
+      if ((b(0) & 0xFF) == 0x89 && b(1) == 0x50) decodePng(b)
+      else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeGif(b)
+      else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+        JpegKernel.decode(b)
+      else null
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   def decode(b: Array[Byte]): Stats = {
@@ -199,6 +205,14 @@ object PixelKernel {
     val h = be32(b, 20)
     if (w <= 0L || h <= 0L || w > 0x7FFFFFFFL || h > 0x7FFFFFFFL)
       return null
+    // Early dimension cap BEFORE any products: w > MaxRawBytes implies
+    // w*h*samples > MaxRawBytes and h > MaxRawBytes implies
+    // rawLen >= h > MaxRawBytes, so rejecting here is value-identical
+    // to the guards below — but with w, h <= 2^26 every product those
+    // guards compute stays far inside Long range (a crafted
+    // 0x7FFFFFFF x 0x7FFFFFFF IHDR would otherwise wrap both rawLen
+    // and w*h*samples negative and slip past them).
+    if (w > MaxRawBytes || h > MaxRawBytes) return null
     val depth = u8(b, 24)
     val colorType = u8(b, 25)
     val interlace = u8(b, 28)

@@ -100,8 +100,13 @@ object TableIO {
           org.apache.spark.sql.catalyst.TableIdentifier(table))
         val isExternal =
           meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+        // qualify BOTH sides: an unqualified catalog location (or a
+        // file:/ vs file:/// authority difference) would otherwise
+        // defeat the equality and let the convention-path branch below
+        // delete an external table's data dir
         require(!(isExternal &&
-            new org.apache.hadoop.fs.Path(meta.location) == fs.makeQualified(loc)),
+            fs.makeQualified(new org.apache.hadoop.fs.Path(meta.location)) ==
+              fs.makeQualified(loc)),
           s"refusing to overwrite external table '$table' at ${meta.location}")
         // dropping a MANAGED table removes its data dir via the catalog's
         // own location — no convention-path delete needed for this case

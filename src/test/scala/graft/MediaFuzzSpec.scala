@@ -162,5 +162,34 @@ class MediaFuzzSpec extends SparkSpec {
       Array[Byte](2, 0, 16, 0) ++
       "data".getBytes ++ le32(1L << 27) ++ Array.fill(8)(0.toByte)
     assert(PcmKernel.parse(wavBig) == null)
+    // PNG IHDR advertising 0x7FFFFFFF × 0x7FFFFFFF RGBA: both rawLen
+    // and w*h*samples would wrap negative in Long and slip past the
+    // decode-bomb guard without the early dimension cap — must be
+    // NULL, never NegativeArraySizeException (round-17 ADVICE fix)
+    val pngWrap = PixelFixtures.payload(0L).clone()
+    for (k <- 16 until 24) pngWrap(k) = 0xFF.toByte
+    pngWrap(16) = 0x7F.toByte; pngWrap(20) = 0x7F.toByte
+    pngWrap(25) = 6 // RGBA
+    assert(PixelKernel.decode(pngWrap) == null)
+  }
+
+  test("progressive JPEG successive-approximation bounds: Al=13 quarantines") {
+    // Mutate the first SOS's Ah/Al byte to Al=13: a DC-first scan then
+    // reconstructs pred << 13, past the ±2047 coefficient range the
+    // pinned IDCT's overflow proof assumes — the kernel must reject
+    // (NULL), not emit deterministic-but-wrong pixels.
+    val base = PixelFixtures.progressiveJpeg(5L, color = true, rstInterval = 0)
+    var sos = -1
+    var k = 2
+    while (sos < 0 && k + 1 < base.length) {
+      if ((base(k) & 0xFF) == 0xFF && (base(k + 1) & 0xFF) == 0xDA) sos = k
+      else k += 1
+    }
+    assert(sos > 0)
+    val ns = base(sos + 4) & 0xFF
+    val mutated = base.clone()
+    mutated(sos + 5 + 2 * ns + 2) = 0x0D // Ah=0, Al=13
+    assert(PixelKernel.decode(mutated) == null)
+    assert(PixelKernel.decode(base) != null) // the unmutated stream still decodes
   }
 }
