@@ -5751,6 +5751,62 @@ object LlmQueries {
         .orderBy("n_corpus_sigs")
     }),
 
+    // q382: the occupancy guard at the PUBLISHED-artifact shape (round
+    // 17 — closes round 16's #1 weak mark): q380's flood split, but
+    // the corpus side is the PERSISTED pre-banded bucketed signature
+    // table (bandRows64 + writeBucketed), consumed AS STORED by
+    // signatureMatches64IncrementalBandedGuarded — the per-(band, nib,
+    // sig) corpus reduction aggregates in place with no corpus-side
+    // exchange (SkewBucketSpec pins the plan), so a logo flood stored
+    // IN the published table collapses to one row per bucket before
+    // any join sees it. Grades against q380's exact oracle SQL: the
+    // driver's hash compare proves published-artifact ≡ session-built
+    // guard.
+    "q382_published_banded_guard" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PixelFixtures.floodPayload(id))))
+        .toDF("doc_id", "__p")
+      val sigs = media
+        .select(col("doc_id"),
+          graft.functions.pixelStats(col("__p"))
+            .getField("dhash").as("dhash"))
+        .transform(graft.operators.CacheScope.track)
+      val corpusSigs = sigs.filter(col("doc_id") % 2 === 0)
+      val batchSigs = sigs.filter(col("doc_id") % 2 === 1)
+      // PUBLISH: yesterday's job banded + bucketed the corpus once
+      graft.io.TableIO.writeBucketed(
+        graft.operators.Dedup.bandRows64(corpusSigs, "doc_id", "dhash"),
+        "graft_image_sigs_banded_guard", Seq("band", "nib"),
+        numBuckets = 8)
+      val sat = graft.operators.Dedup.bandSaturation(
+        sigs, "doc_id", "dhash", maxOccupancy = 32)
+      val matches =
+        graft.operators.Dedup.signatureMatches64IncrementalBandedGuarded(
+          batchSigs, "doc_id", "dhash",
+          s.table("graft_image_sigs_banded_guard"), "doc_id", "dhash",
+          maxHamming = 2, maxOccupancy = 32)
+        .transform(graft.operators.CacheScope.track)
+      val survivors = graft.operators.Components.keepCanonical(
+        batchSigs.filter(col("dhash").isNotNull), "doc_id", matches)
+      corpusSigs.agg(count(col("dhash")).as("n_corpus_sigs"))
+        .crossJoin(batchSigs.agg(count(col("dhash")).as("n_batch_sigs")))
+        .crossJoin(sat.agg(
+          sum(col("n_saturated_buckets")).as("n_saturated_buckets"),
+          sum(col("n_sigs_in_saturated")).as("n_rows_saturated")))
+        .crossJoin(matches.agg(
+          count(when(col("hamming") === 0L && col("i") % 2 === 0, 1))
+            .as("n_exact_cross"),
+          count(when(col("hamming") === 0L && col("i") % 2 =!= 0, 1))
+            .as("n_exact_star"),
+          count(when(col("hamming") >= 1L && col("i") % 2 === 0, 1))
+            .as("n_near_cross"),
+          count(when(col("hamming") >= 1L && col("i") % 2 =!= 0, 1))
+            .as("n_near_within")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+        .orderBy("n_corpus_sigs")
+    }),
+
     // q374: the round-15 CAPSTONE — a compressed-shard curation
     // increment as ONE plan, composing every piece the round built:
     // .tar.zst shards (zstd_decode → tar_members, corruption planted
@@ -7195,7 +7251,7 @@ object LlmQueries {
         |    AS n_total_sigs
         |ORDER BY n_corpus_sigs""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q39_embed_ann_lsh" -> oLsh,
 
     "q40_dedup_digest" ->
@@ -17328,6 +17384,17 @@ object LlmQueries {
         |    AS n_batch_survivors
         |ORDER BY n_corpus_rows""".stripMargin
   )
+
+  /** q382 grades against q380's EXACT oracle string — the guarded
+    * matcher over the PUBLISHED pre-banded bucketed table must hash
+    * identically to the session-built guard on the same flood fixture
+    * (the q366/q373 identity-proof pattern), so the driver's hash
+    * compare IS the proof that the published-artifact path re-brackets
+    * nothing.
+    */
+  val oracles: Map[String, String] = oraclesBase +
+    ("q382_published_banded_guard" ->
+      oraclesBase("q380_incremental_guard"))
 
   /** The q345/q346 shared sample-replay CTEs: d (per-doc parameters),
     * st (per-doc integer statistics over the replayed samples).

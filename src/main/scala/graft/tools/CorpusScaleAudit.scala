@@ -120,7 +120,11 @@ object CorpusScaleAudit {
     // map-side, banded incremental pairs the only shuffle)
     "q373_bucketed_image_dedup", "q374_compressed_shard_dedup",
     // incremental audio dedup (the generic matcher on envelope hashes)
-    "q375_incremental_audio_dedup")
+    "q375_incremental_audio_dedup",
+    // round-17 published-banded occupancy guard: the flood is stored
+    // IN the bucketed table — the probe must stay linear where the
+    // unguarded banded cross join is quadratic in flood size
+    "q382_published_banded_guard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

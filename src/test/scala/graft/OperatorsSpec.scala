@@ -568,6 +568,38 @@ class OperatorsSpec extends SparkSpec {
         bs, "id", "sig", cs, "id", "sig", 2)))
   }
 
+  test("signatureMatches64IncrementalBandedGuarded: row-identical to the session-built guard") {
+    // the published-artifact guard must emit EXACTLY the rows of
+    // signatureMatches64IncrementalGuarded when fed bandRows64(corpus)
+    // — representative cross edges, stars, combined-occupancy near
+    // pruning — across flood, near-pair, and fresh-image cases
+    val corpus = ((0L until 20L by 2L).map(_ -> 0L) ++
+      Seq(50L -> 0x1111222233334444L)).toDF("id", "sig")
+    val batch = ((1L until 20L by 2L).map(_ -> 0L) ++
+      Seq(61L -> (0x1111222233334444L ^ 2L),
+        63L -> 0x7777000011110000L)).toDF("id", "sig")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("hamming"))).toSet
+    for (cap <- Seq(6, 64)) {
+      val banded = Dedup.signatureMatches64IncrementalBandedGuarded(
+        batch, "id", "sig", Dedup.bandRows64(corpus, "id", "sig"),
+        "id", "sig", maxHamming = 2, maxOccupancy = cap)
+      val ref = Dedup.signatureMatches64IncrementalGuarded(
+        batch, "id", "sig", corpus, "id", "sig",
+        maxHamming = 2, maxOccupancy = cap)
+      assert(rows(banded) === rows(ref), s"cap=$cap")
+    }
+    // flood shape sanity at cap=6: one representative cross edge per
+    // batch copy, stars within, the near pair through clear bands
+    val got = rows(Dedup.signatureMatches64IncrementalBandedGuarded(
+      batch, "id", "sig", Dedup.bandRows64(corpus, "id", "sig"),
+      "id", "sig", maxHamming = 2, maxOccupancy = 6))
+    val cross = (1L until 20L by 2L).map(j => (0L, j, 0L)).toSet
+    val star = (3L until 20L by 2L).map(j => (1L, j, 0L)).toSet
+    assert(got === cross ++ star + ((50L, 61L, 1L)))
+  }
+
   test("incremental dedup end-to-end contract on a seeded random corpus") {
     // The documented composition (keepCanonical over the BATCH, old
     // survivors immutable by construction), locked on a generated

@@ -76,6 +76,46 @@ class SkewBucketSpec extends SparkSpec {
     }
   }
 
+  test("guarded banded matcher: corpus reduction aggregates in place on the bucketed table") {
+    import graft.operators.Dedup
+    val corpus = ((0L until 40L).map(i => (i, i / 10L)) :+
+      ((99L, 0x1234567812345678L))).toDF("img_id", "dhash")
+    TableIO.writeBucketed(Dedup.bandRows64(corpus, "img_id", "dhash"),
+      "sig_banded_guard_test", Seq("band", "nib"), numBuckets = 8)
+    val batch = Seq[(Long, java.lang.Long)](
+      (100L, 0L), (101L, 0x1234567812345679L), (102L, null))
+      .toDF("img_id", "dhash")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the per-(band, nib, sig) reduction groups by a SUPERSET of the
+      // bucket keys — it must aggregate with NO exchange, so a stored
+      // flood collapses to one row per bucket before any join sees it
+      val reps = spark.table("sig_banded_guard_test")
+        .groupBy($"band", $"nib", $"dhash")
+        .agg(min($"img_id"), count(lit(1)))
+      val plan = reps.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed reduction must not shuffle:\n$plan")
+      // and the guarded banded matcher matches the session-built guard
+      // on the published table end-to-end
+      val got = Dedup.signatureMatches64IncrementalBandedGuarded(
+        batch, "img_id", "dhash", spark.table("sig_banded_guard_test"),
+        "img_id", "dhash", maxHamming = 2, maxOccupancy = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ref = Dedup.signatureMatches64IncrementalGuarded(
+        batch, "img_id", "dhash", corpus, "img_id", "dhash",
+        maxHamming = 2, maxOccupancy = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === ref)
+      assert(got.contains((0L, 100L, 0L))) // representative, min corpus holder
+      assert(got.contains((99L, 101L, 1L))) // near pair through clear buckets
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sig_banded_guard_test")
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val a = (1 to 1000).map(i => (i.toLong % 100, i.toDouble)).toDF("k", "va")
