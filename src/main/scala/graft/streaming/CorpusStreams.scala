@@ -511,55 +511,88 @@ object CorpusStreams {
     * envelope hash) rather than exact-match: every arriving clip is
     * envelope-hashed ([[graft.functions.audioHash]] — the q367/q375
     * signature) and checked against the persisted corpus signature
-    * table via FOUR chained stream-static LEFT joins, one per 16-bit
-    * band of the banded machinery. The static side is pre-reduced to
-    * one row per (band-nib → distinct-signature set) bucket, so every
-    * join is multiplicity-free BY CONSTRUCTION — each arriving clip
-    * stays exactly one row end to end (the property the image gate got
-    * from exact-hash joins, kept here at radius > 0 without per-clip
-    * re-aggregation, which streaming would refuse). Pigeonhole gives
-    * exact recall: at Hamming ≤ 3 over 4 bands, some band matches
-    * verbatim, so the 4 bucket lookups cannot miss; each bucket's
-    * candidate set is Hamming-VERIFIED (`exists` + bit_count) before
-    * counting. No stream state beyond the window counts.
+    * table via chained stream-static LEFT joins — one EXACT-signature
+    * membership join (the image gate's shape — bounded, multiplicity-
+    * free, unconditional exact recall) plus one per 16-bit band of the
+    * banded machinery for the near radius. Every static side is
+    * pre-reduced to one row per key, so every join is multiplicity-
+    * free BY CONSTRUCTION — each arriving clip stays exactly one row
+    * end to end. Pigeonhole gives near recall: at Hamming ≤ 3 over 4
+    * bands, some band matches verbatim; each bucket's candidate list
+    * is Hamming-VERIFIED (`exists` + bit_count) before counting. No
+    * stream state beyond the window counts.
     *
-    * Callers should `.persist()` the bucketed static side (it is
+    * OCCUPANCY GUARD (round 17 — the batch matchers' q378 discipline,
+    * here per micro-batch): an unguarded bucket join would carry a
+    * flood bucket's ENTIRE distinct-signature set on every matching
+    * stream row — ~12 MB/bucket row AVERAGE at 10^11 corpus
+    * signatures, unbounded under a silence/logo flood. Instead each
+    * band's candidate list is capped at `maxOccupancy` BEFORE
+    * collection (a per-bucket rank filter — no unbounded array is
+    * ever materialized, so the static-side build itself is flood-
+    * safe), with the bucket's true occupancy kept alongside. Exact
+    * duplicates stay unconditionally caught by the exact-membership
+    * join; NEAR recall degrades only inside saturated buckets — and
+    * LOUDLY: `n_saturated` counts the hashed non-dup clips whose
+    * lookups touched a saturated bucket, i.e. exactly the "new"
+    * verdicts that passed through degraded near-recall.
+    *
+    * Callers should `.persist()` the bucketed static sides (they are
     * re-evaluated per micro-batch otherwise) — the production shape is
     * the PUBLISHED pre-banded table (q373's layout) grouped once.
     *
     * @param corpusSigs the persisted `(id, sig)` table ((doc_id,
     *        ahash) for audio — any 64-bit signature column works)
     * @return streaming (window_start, n_clips, n_hashed,
-    *         n_corpus_dups, n_new)
+    *         n_corpus_dups, n_new, n_saturated)
     */
   def windowedAudioDedupGate(media: org.apache.spark.sql.DataFrame,
                              contentCol: String, tsCol: String,
                              corpusSigs: org.apache.spark.sql.DataFrame,
                              sigCol: String, windowDur: String,
                              watermark: String,
-                             maxHamming: Int = 2): org.apache.spark.sql.DataFrame = {
+                             maxHamming: Int = 2,
+                             maxOccupancy: Int = 32): org.apache.spark.sql.DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4 bands only guarantee recall for hamming <= 3")
+    require(maxOccupancy >= 1, "occupancy cap must be positive")
     val distinctSigs = corpusSigs
       .select(col(sigCol).as("__csig")).filter(col("__csig").isNotNull)
       .distinct()
     def nibOf(sig: org.apache.spark.sql.Column, b: Int) =
       shiftrightunsigned(sig, 16 * b).bitwiseAND(lit(0xFFFFL))
+    // exact membership — the bounded join saturation cannot touch
     var s = media.select(col(tsCol),
-      graft.functions.audioHash(col(contentCol)).as("__sig"))
+        graft.functions.audioHash(col(contentCol)).as("__sig"))
+      .join(distinctSigs.select(col("__csig").as("__sig"))
+        .withColumn("__exact", lit(1)), Seq("__sig"), "left")
     (0 until 4).foreach { b =>
-      val bucket = distinctSigs
-        .groupBy(nibOf(col("__csig"), b).as(s"__nib$b"))
-        .agg(collect_set(col("__csig")).as(s"__cands$b"))
+      val withNib = distinctSigs.withColumn(s"__nib$b", nibOf(col("__csig"), b))
+      // rank-then-collect: the candidate list is capped BEFORE any
+      // array exists, so a flooded nib never materializes its pile
+      val capped = withNib
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(s"__nib$b")).orderBy(col("__csig"))))
+        .filter(col("__rk") <= maxOccupancy)
+        .groupBy(col(s"__nib$b"))
+        .agg(collect_list(col("__csig")).as(s"__cands$b"))
+      val bucket = capped.join(
+        withNib.groupBy(col(s"__nib$b"))
+          .agg(count(lit(1)).as("__occ")), Seq(s"__nib$b"))
+        .select(col(s"__nib$b"), col(s"__cands$b"),
+          (col("__occ") > maxOccupancy).as(s"__sat$b"))
       s = s.withColumn(s"__nib$b", nibOf(col("__sig"), b))
         .join(bucket, Seq(s"__nib$b"), "left")
     }
-    val dup = (0 until 4).map { b =>
+    val dup = col("__exact").isNotNull || (0 until 4).map { b =>
       coalesce(exists(col(s"__cands$b"),
         c => bit_count(c.bitwiseXOR(col("__sig"))) <= lit(maxHamming)),
         lit(false))
     }.reduce(_ || _)
-    s.withColumn("__dup", dup)
+    val touchedSat = (0 until 4)
+      .map(b => coalesce(col(s"__sat$b"), lit(false))).reduce(_ || _)
+    s.withColumn("__dup", dup).withColumn("__touched_sat", touchedSat)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur).as("__win"))
       .agg(count(lit(1)).as("n_clips"),
@@ -567,9 +600,12 @@ object CorpusStreams {
         count(when(col("__sig").isNotNull && col("__dup"), 1))
           .as("n_corpus_dups"),
         count(when(col("__sig").isNotNull && !col("__dup"), 1))
-          .as("n_new"))
+          .as("n_new"),
+        count(when(col("__sig").isNotNull && !col("__dup") &&
+          col("__touched_sat"), 1)).as("n_saturated"))
       .select(col("__win.start").as("window_start"), col("n_clips"),
-        col("n_hashed"), col("n_corpus_dups"), col("n_new"))
+        col("n_hashed"), col("n_corpus_dups"), col("n_new"),
+        col("n_saturated"))
   }
 
   /** Windowed heavy-hitter CANDIDATES over the token stream — streaming

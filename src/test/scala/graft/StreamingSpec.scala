@@ -1126,9 +1126,11 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       val got = spark.table("wadg").collect()
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4))).toSet
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
       // batch reference — the q375 semantics: a batch clip is a corpus
-      // dup iff SOME corpus signature is within Hamming ≤ 2
+      // dup iff SOME corpus signature is within Hamming ≤ 2; nothing
+      // saturates (2 corpus sigs, cap 32), so n_saturated is 0 and the
+      // guarded gate's verdicts equal the unguarded batch semantics
       val sigs = Seq(hashOf(wav(a)), hashOf(wav(bSamp)))
       def dup(p: Array[Byte]): Option[Boolean] =
         Option(graft.expressions.PcmKernel.envelopeHash(p))
@@ -1138,11 +1140,96 @@ class StreamingSpec extends SparkSpec {
           val ds = slice.map(d => dup(d.content))
           (w0, slice.size.toLong, ds.count(_.isDefined).toLong,
             ds.count(_.contains(true)).toLong,
-            ds.count(_.contains(false)).toLong)
+            ds.count(_.contains(false)).toLong, 0L)
         }.toSet
       assert(got === expected)
-      assert(got === Set((ts(0), 4L, 3L, 2L, 1L), (ts(10), 1L, 1L, 1L, 0L)))
+      assert(got === Set((ts(0), 4L, 3L, 2L, 1L, 0L), (ts(10), 1L, 1L, 1L, 0L, 0L)))
     } finally query.stop()
+  }
+
+  test("windowedAudioDedupGate: occupancy cap bounds flood buckets, exact recall survives, misses are loud") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      out.write("RIFF".getBytes, 0, 4); le32(36 + samples.length * 2)
+      out.write("WAVE".getBytes, 0, 4)
+      out.write("fmt ".getBytes, 0, 4); le32(16)
+      le16(1); le16(1); le32(16000); le32(32000); le16(2); le16(16)
+      out.write("data".getBytes, 0, 4); le32(samples.length * 2)
+      samples.foreach(s => le16(s & 0xFFFF))
+      out.toByteArray
+    }
+    def hashOf(b: Array[Byte]): Long =
+      graft.expressions.PcmKernel.envelopeHash(b).longValue
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    def nib(s: Long, b: Int): Long = (s >>> (16 * b)) & 0xFFFFL
+    val n = 130
+    val a = (0 until n).map(k => (if (k % 2 == 0) 1 else -1) * (100 + 10 * k))
+    val aNear = a.take(128) ++ Seq(1, -1)
+    val nw = (0 until n).map(k => if ((k / 2) % 2 == 0) 30000 else 10)
+    val hA = hashOf(wav(a))
+    val hNear = hashOf(wav(aNear))
+    val hNw = hashOf(wav(nw))
+    assert(ham(hA, hNear) >= 1 && ham(hA, hNear) <= 2)
+    // the flip lives in one band; flood sigs share hA's nibs in every
+    // OTHER band — one pile saturates all of hA's agreeing buckets
+    val bandFlip = (0 until 4).find(b => nib(hA, b) != nib(hNear, b)).get
+    val ks = Seq(15L, 23L, 27L, 29L, 30L, 39L, 43L, 45L, 46L, 51L, 53L, 54L)
+    val flood = ks.map(k => hA ^ (k << (16 * bandFlip)))
+    // fixture sanity: floods are far from every stream hash (never a
+    // legitimate near-dup), and enough of them sort below hA that the
+    // rank-capped candidate list (4 smallest) crowds hA out everywhere
+    assert(flood.forall(s => ham(s, hA) > 2 && ham(s, hNear) > 2 && ham(s, hNw) > 2))
+    assert(flood.count(_ < hA) >= 4)
+    // ...and the genuinely-new clip shares no flooded bucket with hA
+    assert((0 until 4).filter(_ != bandFlip).forall(b => nib(hNw, b) != nib(hA, b)))
+    val corpus = (Seq(hA) ++ flood).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "ahash")
+    val docs = Seq(
+      MediaDoc(1, ts(0), wav(a)), // exact dup — every bucket saturated
+      MediaDoc(2, ts(1), wav(aNear)), // near-dup, target crowded out
+      MediaDoc(3, ts(2), wav(nw))) // genuinely new, clear buckets
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedAudioDedupGate(input.toDF(),
+        "content", "ts", corpus, "ahash",
+        windowDur = "10 minutes", watermark = "5 minutes",
+        maxHamming = 2, maxOccupancy = 4)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wadg_flood").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val got = spark.table("wadg_flood").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      // exact recall is UNCONDITIONAL (clip a caught through the
+      // exact-membership join despite 13-deep buckets); the near-dup
+      // is missed — its target is crowded out of every capped
+      // candidate list — and the miss is LOUD: it is exactly the
+      // n_saturated count; the new clip's verdict went through clear
+      // buckets, so it is new-and-certain
+      assert(got === Set((ts(0), 3L, 3L, 1L, 2L, 1L)))
+    } finally query.stop()
+    // raising the cap above the flood restores near recall — the miss
+    // was the documented degradation, not a matching bug
+    val input2 = MemoryStream[MediaDoc]
+    val query2 = CorpusStreams.windowedAudioDedupGate(input2.toDF(),
+        "content", "ts", corpus, "ahash",
+        windowDur = "10 minutes", watermark = "5 minutes",
+        maxHamming = 2, maxOccupancy = 64)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wadg_flood2").start()
+    try {
+      input2.addData(docs: _*)
+      query2.processAllAvailable()
+      val got2 = spark.table("wadg_flood2").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got2 === Set((3L, 3L, 2L, 1L, 0L)))
+    } finally query2.stop()
   }
 
   test("windowedTokenCountMin: per-window sketch equals the batch countMinTable") {
