@@ -682,14 +682,62 @@ object Dedup {
     require(maxHamming >= 1 && maxHamming <= 3,
       "4 bands only guarantee recall for hamming <= 3")
     require(maxOccupancy >= 1, "occupancy cap must be positive")
-    val nib = (b: Int) =>
-      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL))
     val batch = newSigs.filter(col(sigCol).isNotNull)
       .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
       .transform(CacheScope.track)
     val corpus = existingSigs.filter(col(existingSigCol).isNotNull)
       .select(col(existingIdCol).as("__id"),
         col(existingSigCol).as("__sig"))
+    guardedIncremental(batch, corpus, b =>
+      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL)),
+      maxHamming, maxOccupancy)
+  }
+
+  /** [[simhashMatchesWideIncremental]] with the bucket-OCCUPANCY guard
+    * (round 17) — the text tier's batch-vs-corpus flood: yesterday's
+    * corpus already holds the boilerplate pile (cookie banners,
+    * license headers, near-empty documents — one wide simhash each)
+    * and today's batch ships more of it; the unguarded banded cross
+    * join would emit |corpus dups| × |batch dups| rows through the
+    * shared buckets. Same contract as
+    * [[signatureMatches64IncrementalGuarded]]: one representative
+    * cross edge per matched batch id (min corpus holder), batch star
+    * edges, near matches only through COMBINED-occupancy-capped
+    * buckets; `Components.keepCanonical` over the batch yields
+    * identical survivors to the unguarded matcher outside saturated
+    * near-recall regions. Output is pair-DISTINCT (cf. the unguarded
+    * matcher's parallel edges — star/representative edges have no
+    * duplicates to tolerate).
+    *
+    * @param existingSigs `(id, sig)` as produced by [[wideSignatures]].
+    */
+  def simhashMatchesWideIncrementalGuarded(newDocs: DataFrame, idCol: String,
+                                           textCol: String,
+                                           existingSigs: DataFrame,
+                                           maxHamming: Int = 2,
+                                           maxOccupancy: Int = 32): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      "4 bands only guarantee recall for hamming <= 3")
+    require(maxOccupancy >= 1, "occupancy cap must be positive")
+    val batch = newDocs.select(col(idCol).as("__id"),
+      TextAnalysis.simHashWide(col(textCol)).as("__sig"))
+      .transform(CacheScope.track)
+    val corpus = existingSigs
+      .select(col("id").as("__id"), col("sig").as("__sig"))
+    guardedIncremental(batch, corpus, b => wideBandNib(col("__sig"), b),
+      maxHamming, maxOccupancy)
+  }
+
+  /** The guarded batch-vs-corpus core — the q380 discipline
+    * parameterized by the band-key function, shared by the 64-bit
+    * image tier and the wide-simhash text tier. Both inputs must be
+    * (__id, __sig) and null-free; `batch` must already be
+    * CacheScope-tracked (it feeds the exact joins AND its own banded
+    * self-join).
+    */
+  private def guardedIncremental(batch: DataFrame, corpus: DataFrame,
+                                 nib: Int => Column, maxHamming: Int,
+                                 maxOccupancy: Int): DataFrame = {
     // exact cross: one representative edge per matched batch id
     val corpusMin = corpus.groupBy(col("__sig"))
       .agg(min(col("__id")).as("__cmin"))
@@ -991,7 +1039,14 @@ object Dedup {
   def bandSaturation(sigs: DataFrame, idCol: String, sigCol: String,
                      maxOccupancy: Int = 32): DataFrame = {
     require(maxOccupancy >= 1, "occupancy cap must be positive")
-    val bands = bandRows64(sigs, idCol, sigCol)
+    saturationReport(bandRows64(sigs, idCol, sigCol), maxOccupancy)
+  }
+
+  /** The saturation-report aggregation over any exploded banded frame
+    * (needs only `band` and `nib` columns) — shared by the 64-bit and
+    * wide-simhash reports.
+    */
+  private def saturationReport(bands: DataFrame, maxOccupancy: Int): DataFrame =
     bands.groupBy(col("band"), col("nib"))
       .agg(count(lit(1)).as("__occ"))
       .groupBy(col("band"))
@@ -1000,7 +1055,6 @@ object Dedup {
           .as("n_saturated_buckets"),
         coalesce(sum(when(col("__occ") > maxOccupancy, col("__occ"))),
           lit(0L)).as("n_sigs_in_saturated"))
-  }
 
   /** [[signaturePairs64]] with a bucket-OCCUPANCY guard — the round-16
     * response to the q374 fixture incident, which is also a production
@@ -1033,6 +1087,61 @@ object Dedup {
     val withSig = sigs.filter(col(sigCol).isNotNull)
       .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
       .transform(CacheScope.track)
+    guardedSelfPairs(withSig, b =>
+      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL)),
+      maxHamming, maxOccupancy)
+  }
+
+  /** [[simhashPairsWide]] with the bucket-OCCUPANCY guard — the text
+    * tier's flood is BOILERPLATE: cookie banners, license headers,
+    * empty/near-empty documents all hash to the same wide simhash, so
+    * a scraped corpus piles one exact group into few 14-bit band
+    * buckets exactly the way solid fills pile dHash-0 (round 17,
+    * closing the q378/q380 discipline's text gap). Identical contract
+    * to [[signaturePairs64Guarded]]: exact duplicates match via
+    * per-signature-group STAR edges (same components as all-pairs at
+    * linear cost — exact recall unconditional), near pairs only
+    * through buckets within `maxOccupancy`, degradation reported by
+    * [[bandSaturationWide]]. Output (i, j, hamming), i < j, distinct.
+    */
+  def simhashPairsWideGuarded(docs: DataFrame, idCol: String,
+                              textCol: String, maxHamming: Int = 2,
+                              maxOccupancy: Int = 32): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      "4 bands only guarantee recall for hamming <= 3")
+    require(maxOccupancy >= 1, "occupancy cap must be positive")
+    val withSig = docs.select(col(idCol).as("__id"),
+      TextAnalysis.simHashWide(col(textCol)).as("__sig"))
+      .transform(CacheScope.track)
+    guardedSelfPairs(withSig, b => wideBandNib(col("__sig"), b),
+      maxHamming, maxOccupancy)
+  }
+
+  /** Per-band bucket saturation over the WIDE text signatures — the
+    * [[bandSaturation]] report for the simhash tier: run it wherever
+    * [[simhashPairsWideGuarded]] runs, so the boilerplate-flood region
+    * (where near recall is degraded) is a number in a monitoring
+    * table, not a surprise in a shuffle.
+    */
+  def bandSaturationWide(docs: DataFrame, idCol: String, textCol: String,
+                         maxOccupancy: Int = 32): DataFrame = {
+    require(maxOccupancy >= 1, "occupancy cap must be positive")
+    saturationReport(explodeBands(
+      docs.select(col(idCol).as("__id"),
+        TextAnalysis.simHashWide(col(textCol)).as("__sig")),
+      b => wideBandNib(col("__sig"), b)), maxOccupancy)
+  }
+
+  /** The guarded self-pair core — the q378 discipline parameterized by
+    * the band-key function, shared verbatim by the 64-bit image tier
+    * ([[signaturePairs64Guarded]]) and the 56-bit wide-simhash text
+    * tier ([[simhashPairsWideGuarded]]) so the two can never guard
+    * differently. `withSig` must be (__id, __sig), null-free, and
+    * already CacheScope-tracked (it is consumed by the star groupBy
+    * AND the banded self-join).
+    */
+  private def guardedSelfPairs(withSig: DataFrame, nib: Int => Column,
+                               maxHamming: Int, maxOccupancy: Int): DataFrame = {
     val star = withSig
       .groupBy(col("__sig"))
       .agg(min(col("__id")).as("__mn"), count(lit(1)).as("__n"))
@@ -1041,9 +1150,7 @@ object Dedup {
       .filter(col("__id") =!= col("__mn"))
       .select(col("__mn").as("i"), col("__id").as("j"),
         lit(0L).as("hamming"))
-    val bands = explodeBands(withSig, b =>
-      shiftrightunsigned(col("__sig"), 16 * b).bitwiseAND(lit(0xFFFFL)))
-      .transform(CacheScope.track)
+    val bands = explodeBands(withSig, nib).transform(CacheScope.track)
     val okBuckets = bands.groupBy(col("band"), col("nib"))
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") <= maxOccupancy)

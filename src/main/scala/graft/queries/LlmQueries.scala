@@ -5807,6 +5807,86 @@ object LlmQueries {
         .orderBy("n_corpus_sigs")
     }),
 
+    // q383: the occupancy guard at the TEXT tier (round 17 —
+    // boilerplate is the text twin of the logo flood: cookie banners,
+    // license headers, near-empty documents all fold to ONE wide
+    // simhash). 60% of the corpus is the same cookie-banner string;
+    // simhashPairsWideGuarded stars the exact group linearly (never
+    // C(300,2) pairs), near pairs ride unsaturated buckets only, and
+    // bandSaturationWide reports the flood per band. Oracle replays
+    // the wide simhash over the flooded text, the 14-bit banding, the
+    // occupancy rule, star/near edge sets, and the CC survivors.
+    "q383_simhash_flood_guard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 <= 2, lit(BoilerplateText))
+            .otherwise(col("text")).as("text"))
+        .transform(graft.operators.CacheScope.track)
+      val sat = graft.operators.Dedup.bandSaturationWide(
+        docs, "doc_id", "text", maxOccupancy = 32)
+      val pairs = graft.operators.Dedup.simhashPairsWideGuarded(
+        docs, "doc_id", "text", maxHamming = 2, maxOccupancy = 32)
+        .transform(graft.operators.CacheScope.track)
+      val survivors = graft.operators.Components.keepCanonical(
+        docs, "doc_id", pairs)
+      docs.agg(count(lit(1)).as("n_docs"),
+          count(when(col("doc_id") % 5 <= 2, 1)).as("n_flood"))
+        .crossJoin(sat.agg(
+          sum(col("n_saturated_buckets")).as("n_saturated_buckets"),
+          sum(col("n_sigs_in_saturated")).as("n_rows_saturated")))
+        .crossJoin(pairs.agg(
+          count(when(col("hamming") === 0L, 1)).as("n_exact_edges"),
+          count(when(col("hamming") >= 1L, 1)).as("n_near_pairs")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+        .orderBy("n_docs")
+    }),
+
+    // q384: the text guard at the INCREMENTAL (production) shape —
+    // yesterday's corpus already holds half the boilerplate pile
+    // (even ids, known only by its wideSignatures table) and today's
+    // batch ships the other half (odd ids): representative cross
+    // edges, batch stars, near matches through COMBINED-occupancy
+    // buckets, survivors via keepCanonical over the batch.
+    "q384_incremental_text_guard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 <= 2, lit(BoilerplateText))
+            .otherwise(col("text")).as("text"))
+        .transform(graft.operators.CacheScope.track)
+      val corpusDocs = docs.filter(col("doc_id") % 2 === 0)
+      val batchDocs = docs.filter(col("doc_id") % 2 === 1)
+        .transform(graft.operators.CacheScope.track)
+      val corpusSigs = graft.operators.Dedup.wideSignatures(
+        corpusDocs, "doc_id", "text")
+      val sat = graft.operators.Dedup.bandSaturationWide(
+        docs, "doc_id", "text", maxOccupancy = 32)
+      val matches =
+        graft.operators.Dedup.simhashMatchesWideIncrementalGuarded(
+          batchDocs, "doc_id", "text", corpusSigs,
+          maxHamming = 2, maxOccupancy = 32)
+        .transform(graft.operators.CacheScope.track)
+      val survivors = graft.operators.Components.keepCanonical(
+        batchDocs, "doc_id", matches)
+      corpusDocs.agg(count(lit(1)).as("n_corpus_sigs"))
+        .crossJoin(batchDocs.agg(count(lit(1)).as("n_batch_sigs")))
+        .crossJoin(sat.agg(
+          sum(col("n_saturated_buckets")).as("n_saturated_buckets"),
+          sum(col("n_sigs_in_saturated")).as("n_rows_saturated")))
+        .crossJoin(matches.agg(
+          count(when(col("hamming") === 0L && col("i") % 2 === 0, 1))
+            .as("n_exact_cross"),
+          count(when(col("hamming") === 0L && col("i") % 2 =!= 0, 1))
+            .as("n_exact_star"),
+          count(when(col("hamming") >= 1L && col("i") % 2 === 0, 1))
+            .as("n_near_cross"),
+          count(when(col("hamming") >= 1L && col("i") % 2 =!= 0, 1))
+            .as("n_near_within")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+        .orderBy("n_corpus_sigs")
+    }),
+
     // q374: the round-15 CAPSTONE — a compressed-shard curation
     // increment as ONE plan, composing every piece the round built:
     // .tar.zst shards (zstd_decode → tar_members, corruption planted
@@ -7165,6 +7245,46 @@ object LlmQueries {
         |                 CAST(g1.giant_size AS DOUBLE) END AS retained,
         |       bfs.n_reached, bfs.n_unreached
         |FROM cnts, assort, g1, g2, bfs""".stripMargin
+
+  /** The q383/q384 boilerplate flood text — one constant string 60% of
+    * the corpus is rewritten to, so the whole flood folds to a single
+    * wide simhash (lowercase letters + spaces only: tokenizes
+    * identically in both engines).
+    */
+  private val BoilerplateText: String =
+    "this website uses cookies to improve your experience please " +
+      "accept our cookie policy to continue browsing"
+
+  /** Shared q383/q384 oracle CTE chain: flooded documents → the two
+    * 28-bit simhash halves → wide 56-bit signature → 14-bit band rows
+    * → per-bucket occupancy and the ≤ 32 rule. Ends with `bandok`
+    * (band rows through unsaturated buckets only).
+    */
+  private def oWideFloodCtes: String =
+    s"""fd AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 5 <= 2
+       |    THEN '$BoilerplateText'
+       |    ELSE text END AS text
+       |  FROM documents),
+       |${oSimhashCte("sh31", 31, src = "fd")},
+       |${oSimhashCte("sh37", 37, seed = 1, src = "fd")},
+       |wide AS MATERIALIZED (
+       |  SELECT a.doc_id,
+       |    a.sig + b.sig * ${1L << graft.operators.TextAnalysis.SimHashBits}
+       |      AS sig
+       |  FROM sh31 a JOIN sh37 b USING (doc_id)),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, sig, b.band AS band,
+       |    (sig // [1, 16384, 268435456, 4398046511104]
+       |      [CAST(b.band AS INT) + 1]) % 16384 AS nib
+       |  FROM wide, (SELECT unnest(range(4)) AS band) b),
+       |occ AS (
+       |  SELECT band, nib, count(*) AS occ
+       |  FROM bands GROUP BY 1, 2),
+       |okb AS (SELECT band, nib FROM occ WHERE occ <= 32),
+       |bandok AS MATERIALIZED (
+       |  SELECT b.doc_id, b.band, b.nib, b.sig
+       |  FROM bands b JOIN okb USING (band, nib))""".stripMargin
 
   /** The q366/q373 SHARED incremental-image-dedup oracle — the
     * bucketed-signature-table query must hash IDENTICALLY to the
@@ -15810,6 +15930,108 @@ object LlmQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM nc) AS n_near_cross,
         |  (SELECT CAST(count(*) AS BIGINT) FROM nw) AS n_near_within,
         |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE doc_id % 2 = 1)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM alab
+        |       WHERE node % 2 = 1 AND component <> node)
+        |    + (SELECT poison FROM achg) AS n_survivors
+        |ORDER BY n_corpus_sigs""".stripMargin,
+
+    // Text-tier occupancy guard: wide simhash replayed over the
+    // boilerplate-flooded corpus, 14-bit banding, occ > 32 rule, star
+    // edges per exact group, near pairs through unsaturated buckets,
+    // survivors via the unrolled CC.
+    "q383_simhash_flood_guard" ->
+      s"""WITH ${oWideFloodCtes},
+        |near AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bandok a JOIN bandok b
+        |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) BETWEEN 1 AND 2),
+        |grp AS (
+        |  SELECT sig, min(doc_id) AS mn, count(*) AS n
+        |  FROM wide GROUP BY 1),
+        |star AS MATERIALIZED (
+        |  SELECT g.mn AS i, s.doc_id AS j
+        |  FROM grp g JOIN wide s ON s.sig = g.sig
+        |  WHERE g.n >= 2 AND s.doc_id <> g.mn),
+        |esym AS MATERIALIZED (
+        |  SELECT i AS u, j AS v FROM star
+        |  UNION ALL SELECT j, i FROM star
+        |  UNION ALL SELECT i, j FROM near
+        |  UNION ALL SELECT j, i FROM near),
+        |enodes AS (SELECT DISTINCT u AS node FROM esym),
+        |${oUnrolledCcCtes("a", "enodes", "esym")}
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wide) AS n_docs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 5 <= 2) AS n_flood,
+        |  (SELECT CAST(count(CASE WHEN occ > 32 THEN 1 END) AS BIGINT)
+        |   FROM occ) AS n_saturated_buckets,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN occ > 32 THEN occ END), 0)
+        |     AS BIGINT) FROM occ) AS n_rows_saturated,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM star) AS n_exact_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM near) AS n_near_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wide)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM alab)
+        |    + (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM alab)
+        |    + (SELECT poison FROM achg) AS n_survivors
+        |ORDER BY n_docs""".stripMargin,
+
+    // Incremental text guard: q383's sig/band/occupancy replay split
+    // even→corpus / odd→batch; representative cross edges, batch
+    // stars, near matches through combined-unsaturated buckets,
+    // survivors via the unrolled CC over all four edge sets.
+    "q384_incremental_text_guard" ->
+      s"""WITH ${oWideFloodCtes},
+        |cmin AS (
+        |  SELECT sig, min(doc_id) AS cm
+        |  FROM wide WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ec AS MATERIALIZED (
+        |  SELECT c.cm AS i, s.doc_id AS j
+        |  FROM wide s JOIN cmin c USING (sig)
+        |  WHERE s.doc_id % 2 = 1),
+        |bgrp AS (
+        |  SELECT sig, min(doc_id) AS mn, count(*) AS n
+        |  FROM wide WHERE doc_id % 2 = 1 GROUP BY 1),
+        |st AS MATERIALIZED (
+        |  SELECT g.mn AS i, s.doc_id AS j
+        |  FROM bgrp g JOIN wide s USING (sig)
+        |  WHERE s.doc_id % 2 = 1 AND g.n >= 2 AND s.doc_id <> g.mn),
+        |nc AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bandok a JOIN bandok b
+        |    ON a.band = b.band AND a.nib = b.nib
+        |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  WHERE bit_count(xor(a.sig, b.sig)) BETWEEN 1 AND 2),
+        |nw AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bandok a JOIN bandok b
+        |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+        |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+        |  WHERE bit_count(xor(a.sig, b.sig)) BETWEEN 1 AND 2),
+        |esym AS MATERIALIZED (
+        |  SELECT i AS u, j AS v FROM (
+        |    SELECT i, j FROM ec UNION ALL SELECT i, j FROM st
+        |    UNION ALL SELECT i, j FROM nc UNION ALL SELECT i, j FROM nw)
+        |  UNION ALL
+        |  SELECT j, i FROM (
+        |    SELECT i, j FROM ec UNION ALL SELECT i, j FROM st
+        |    UNION ALL SELECT i, j FROM nc UNION ALL SELECT i, j FROM nw)),
+        |enodes AS (SELECT DISTINCT u AS node FROM esym),
+        |${oUnrolledCcCtes("a", "enodes", "esym")}
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wide WHERE doc_id % 2 = 0)
+        |    AS n_corpus_sigs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wide WHERE doc_id % 2 = 1)
+        |    AS n_batch_sigs,
+        |  (SELECT CAST(count(CASE WHEN occ > 32 THEN 1 END) AS BIGINT)
+        |   FROM occ) AS n_saturated_buckets,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN occ > 32 THEN occ END), 0)
+        |     AS BIGINT) FROM occ) AS n_rows_saturated,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ec) AS n_exact_cross,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_exact_star,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nc) AS n_near_cross,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nw) AS n_near_within,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wide WHERE doc_id % 2 = 1)
         |    - (SELECT CAST(count(*) AS BIGINT) FROM alab
         |       WHERE node % 2 = 1 AND component <> node)
         |    + (SELECT poison FROM achg) AS n_survivors

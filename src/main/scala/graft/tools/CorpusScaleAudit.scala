@@ -124,7 +124,12 @@ object CorpusScaleAudit {
     // round-17 published-banded occupancy guard: the flood is stored
     // IN the bucketed table — the probe must stay linear where the
     // unguarded banded cross join is quadratic in flood size
-    "q382_published_banded_guard")
+    "q382_published_banded_guard",
+    // round-17 text-tier guards: the boilerplate flood grows ×KREP
+    // with the corpus (every replica's 60% slice is the SAME string),
+    // so the star-edge volume must grow linearly while the unguarded
+    // pair join would grow quadratically in the flood
+    "q383_simhash_flood_guard", "q384_incremental_text_guard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -568,6 +568,85 @@ class OperatorsSpec extends SparkSpec {
         bs, "id", "sig", cs, "id", "sig", 2)))
   }
 
+  test("simhashPairsWideGuarded: boilerplate flood stars linearly, parity off-flood, saturation loud") {
+    // 40 copies of the same cookie-banner boilerplate (one wide
+    // simhash) + 10 genuinely distinct docs
+    val boiler = "this website uses cookies to improve your experience " +
+      "please accept our cookie policy to continue browsing"
+    val docs = ((0L until 40L).map(i => (i, boiler)) ++
+      (100L until 110L).map(i => (i, s"distinct document number $i with " +
+        s"unique words alpha$i beta$i gamma$i delta$i epsilon$i")))
+      .toDF("doc_id", "text")
+    val guarded = Dedup.simhashPairsWideGuarded(docs, "doc_id", "text",
+      maxHamming = 2, maxOccupancy = 8)
+    val got = guarded.collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("hamming"))).toSet
+    // the flood matches as a STAR — 39 edges to doc 0, never
+    // C(40,2) = 780 pairs; other exact groups (the fixture's 103/104
+    // happen to sign-fold to the same wide sig) star independently,
+    // and near pairs ride their unsaturated buckets
+    val star = (1L until 40L).map(j => (0L, j, 0L)).toSet
+    assert(got.filter(e => e._3 == 0L && e._1 == 0L) === star)
+    assert(got.size < 60) // linear, not quadratic
+    // saturation report: the flood's 4 buckets are over the cap
+    val sat = Dedup.bandSaturationWide(docs, "doc_id", "text",
+      maxOccupancy = 8).orderBy("band").collect()
+      .map(r => (r.getAs[Long]("n_saturated_buckets"),
+        r.getAs[Long]("n_sigs_in_saturated")))
+    assert(sat.length === 4)
+    assert(sat.forall(_._1 >= 1L))
+    assert(sat.forall(_._2 >= 40L))
+    // with no saturation, guarded components EQUAL the unguarded
+    // simhashPairsWide components
+    def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Components.connectedComponents(pairs, "i", "j")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+        .toMap
+    val loose = Dedup.simhashPairsWideGuarded(docs, "doc_id", "text",
+      maxHamming = 2, maxOccupancy = 1000)
+    assert(comps(loose) ===
+      comps(Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 2)))
+  }
+
+  test("simhashMatchesWideIncrementalGuarded: representative edges, survivor identity off-flood") {
+    val boiler = "copyright notice all rights reserved redistribution " +
+      "prohibited without prior written permission of the publisher"
+    // corpus holds half the boilerplate flood (even ids), batch ships
+    // the other half (odd ids) plus two distinct docs
+    val corpusDocs = ((0L until 20L by 2L).map(i => (i, boiler)) :+
+      ((50L, "a singular corpus document about medieval falconry " +
+        "techniques and the training of raptors"))).toDF("doc_id", "text")
+    val batchDocs = ((1L until 20L by 2L).map(i => (i, boiler)) ++
+      Seq((61L, "an entirely different batch document concerning deep " +
+        "sea hydrothermal vent ecosystems and chemosynthesis"),
+        (63L, "final fresh document on the history of mechanical " +
+          "clockmaking in early modern europe")))
+      .toDF("doc_id", "text")
+    val corpusSigs = Dedup.wideSignatures(corpusDocs, "doc_id", "text")
+    val got = Dedup.simhashMatchesWideIncrementalGuarded(
+      batchDocs, "doc_id", "text", corpusSigs,
+      maxHamming = 2, maxOccupancy = 6).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+        r.getAs[Long]("hamming"))).toSet
+    // flood: ONE representative cross edge per batch copy (to corpus
+    // min id 0) plus a within-batch star to id 1 — 10 + 9 exact rows,
+    // never 10×10 cross pairs
+    val cross = (1L until 20L by 2L).map(j => (0L, j, 0L)).toSet
+    val star = (3L until 20L by 2L).map(j => (1L, j, 0L)).toSet
+    assert(got.filter(_._3 == 0L) === cross ++ star)
+    assert(got.size < 30)
+    // survivor identity with the unguarded matcher when nothing
+    // saturates
+    def surv(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Components.keepCanonical(batchDocs, "doc_id", pairs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv(Dedup.simhashMatchesWideIncrementalGuarded(
+        batchDocs, "doc_id", "text", corpusSigs, 2, 1000)) ===
+      surv(Dedup.simhashMatchesWideIncremental(
+        batchDocs, "doc_id", "text", corpusSigs, 2)))
+  }
+
   test("signatureMatches64IncrementalBandedGuarded: row-identical to the session-built guard") {
     // the published-artifact guard must emit EXACTLY the rows of
     // signatureMatches64IncrementalGuarded when fed bandRows64(corpus)
