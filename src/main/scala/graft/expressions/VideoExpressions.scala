@@ -414,8 +414,17 @@ object VideoFrameKernel {
   final case class FrameStats(frameIdx: Long, lumSum: Long,
                               lumSqSum: Long, dhash: Option[Long])
 
+  /** biCompression fourcc 'MJPG' as the LE32 the strf stores. */
+  private val FourccMjpg = 0x47504A4DL
+
   /** Scala-side decode (shared by the expression and
-    * [[graft.operators.Multimodal]]): None on corrupt / non-DIB AVIs.
+    * [[graft.operators.Multimodal]]): None on corrupt AVIs or frame
+    * layouts with no available decode path (the two supported layouts
+    * are uncompressed 24bpp BI_RGB DIB, and — round 17 — MJPEG, whose
+    * frame chunks are baseline JPEGs handed to [[JpegKernel]]; a still
+    * image and a video frame of the same pixels hash identically in
+    * BOTH layouts because all three paths reduce through
+    * [[PixelKernel.statsOf]]).
     */
   def decode(b: Array[Byte], stride: Int): Option[Seq[FrameStats]] = {
     if (b == null || b.length < 12 || stride <= 0) return None
@@ -425,6 +434,7 @@ object VideoFrameKernel {
     val n = b.length
     // pass 1: strf BITMAPINFOHEADER of the vids stream (hdrl/strl)
     var w = -1; var h = -1
+    var mjpeg = false
     var i = 12
     while (i + 8 <= n) {
       val size = le32(b, i + 4)
@@ -447,11 +457,15 @@ object VideoFrameKernel {
               val f0 = f0Long.toInt
               if (f0 + 8 <= end && isType(b, f0, "strf") &&
                 le32(b, f0 + 4) >= 40L && f0 + 48 <= end) {
-                // biCompression BI_RGB(0) + biBitCount 24 only
-                if (le16(b, f0 + 22) != 24L || le32(b, f0 + 24) != 0L)
-                  return None
-                w = le32(b, f0 + 12).toInt
-                h = le32(b, f0 + 16).toInt // positive = bottom-up
+                val compression = le32(b, f0 + 24)
+                if (compression == FourccMjpg) {
+                  mjpeg = true // dims come from each frame's own SOF
+                  w = le32(b, f0 + 12).toInt
+                  h = le32(b, f0 + 16).toInt
+                } else if (le16(b, f0 + 22) == 24L && compression == 0L) {
+                  w = le32(b, f0 + 12).toInt
+                  h = le32(b, f0 + 16).toInt // positive = bottom-up
+                } else return None // no decode path for this layout
               }
             }
           }
@@ -470,7 +484,9 @@ object VideoFrameKernel {
     val rowStride = (w * 3 + 3) / 4 * 4
     val frameBytes = rowStride.toLong * ah
     if (frameBytes > MaxFrameBytes) return None
-    // pass 2: movi walk, decoding every stride-th 00db chunk
+    // pass 2: movi walk, decoding every stride-th frame chunk (DIB
+    // frames live in 00db; MJPEG muxers write 00dc or 00db — both are
+    // JPEG payloads in that layout)
     val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
     var frameIdx = 0L
     i = 12
@@ -483,18 +499,27 @@ object VideoFrameKernel {
         while (j + 8 <= end) {
           val csize = le32(b, j + 4)
           if (csize < 0L || j + 8L + csize > end) return None
-          if (isType(b, j, "00dc")) return None // compressed: no codec
-          if (isType(b, j, "00db")) {
+          if (!mjpeg && isType(b, j, "00dc")) return None // compressed: no codec
+          if (isType(b, j, "00db") || (mjpeg && isType(b, j, "00dc"))) {
             if (frameIdx % stride == 0L) {
-              if (csize < frameBytes) return None // short frame chunk
               val p = j + 8
-              val st = PixelKernel.statsOf("avi", w, ah, 3, (x, yy) => {
-                val diskRow = if (topDown) yy else ah - 1 - yy
-                val o = p + diskRow * rowStride + x * 3
-                299L * (b(o + 2) & 0xFF) + 587L * (b(o + 1) & 0xFF) +
-                  114L * (b(o) & 0xFF)
-              })
-              out += FrameStats(frameIdx, st.lumSum, st.lumSqSum, st.dhash)
+              if (mjpeg) {
+                val v = JpegKernel.decode(
+                  java.util.Arrays.copyOfRange(b, p, p + csize.toInt))
+                if (v == null) return None // corrupt frame: loud, not wrong
+                val st = PixelKernel.statsOf("avi", v.width, v.height,
+                  v.channels, v.lum)
+                out += FrameStats(frameIdx, st.lumSum, st.lumSqSum, st.dhash)
+              } else {
+                if (csize < frameBytes) return None // short frame chunk
+                val st = PixelKernel.statsOf("avi", w, ah, 3, (x, yy) => {
+                  val diskRow = if (topDown) yy else ah - 1 - yy
+                  val o = p + diskRow * rowStride + x * 3
+                  299L * (b(o + 2) & 0xFF) + 587L * (b(o + 1) & 0xFF) +
+                    114L * (b(o) & 0xFF)
+                })
+                out += FrameStats(frameIdx, st.lumSum, st.lumSqSum, st.dhash)
+              }
             }
             frameIdx += 1L
           }

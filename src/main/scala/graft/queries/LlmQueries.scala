@@ -5887,6 +5887,53 @@ object LlmQueries {
         .orderBy("n_corpus_sigs")
     }),
 
+    // q385: VIDEO perceptual dedup — the FOURTH modality (round 17):
+    // AVI MJPEG frames are baseline JPEGs, so VideoFrameKernel hands
+    // each sampled frame chunk to the native JpegKernel and the frame
+    // dHash rides the guarded batch-vs-corpus matcher UNCHANGED. The
+    // fixture plants byte-unequal RE-MUXED duplicates — the pair
+    // (2m, 2m+1) shares its first frame's JPEG bytes but odd docs mux
+    // behind a JUNK chunk with 00db ids — the duplicate class only
+    // frame-PIXEL hashing catches (byte/digest dedup sees two distinct
+    // files). Oracle replays the closed-form DC-only JPEG block
+    // values, the area-weighted dHash cells, the 4×16-bit banding +
+    // occupancy rule, and the CC survivors arithmetically.
+    "q385_mjpeg_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, VideoFixtures.mjpegAvi(id))))
+        .toDF("doc_id", "__p")
+      val sigs = media
+        .select(col("doc_id"),
+          element_at(graft.functions.videoFrameStats(col("__p"), 1000), 1)
+            .getField("dhash").as("dhash"))
+        .transform(graft.operators.CacheScope.track)
+      val corpusSigs = sigs.filter(col("doc_id") % 2 === 0)
+      val batchSigs = sigs.filter(col("doc_id") % 2 === 1)
+      val matches =
+        graft.operators.Dedup.signatureMatches64IncrementalGuarded(
+          batchSigs, "doc_id", "dhash", corpusSigs, "doc_id", "dhash",
+          maxHamming = 2, maxOccupancy = 32)
+        .transform(graft.operators.CacheScope.track)
+      val survivors = graft.operators.Components.keepCanonical(
+        batchSigs.filter(col("dhash").isNotNull), "doc_id", matches)
+      corpusSigs.agg(count(lit(1)).as("n_corpus_rows"),
+          count(col("dhash")).as("n_corpus_sigs"))
+        .crossJoin(batchSigs.agg(count(lit(1)).as("n_batch_rows"),
+          count(col("dhash")).as("n_batch_sigs")))
+        .crossJoin(matches.agg(
+          count(when(col("hamming") === 0L && col("i") % 2 === 0, 1))
+            .as("n_exact_cross"),
+          count(when(col("hamming") === 0L && col("i") % 2 =!= 0, 1))
+            .as("n_exact_star"),
+          count(when(col("hamming") >= 1L && col("i") % 2 === 0, 1))
+            .as("n_near_cross"),
+          count(when(col("hamming") >= 1L && col("i") % 2 =!= 0, 1))
+            .as("n_near_within")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+        .orderBy("n_corpus_rows")
+    }),
+
     // q374: the round-15 CAPSTONE — a compressed-shard curation
     // increment as ONE plan, composing every piece the round built:
     // .tar.zst shards (zstd_decode → tar_members, corruption planted
@@ -16036,6 +16083,157 @@ object LlmQueries {
         |       WHERE node % 2 = 1 AND component <> node)
         |    + (SELECT poison FROM achg) AS n_survivors
         |ORDER BY n_corpus_sigs""".stripMargin,
+
+    // MJPEG video dedup: first-frame dHash replayed from the DC-only
+    // JPEG closed form (q372's pinned-IDCT contract) over the shared
+    // pair seed sp = doc_id - doc_id % 2, area-weighted 9×8 cells,
+    // guarded batch-vs-corpus matching (representative cross edges,
+    // batch stars, combined-occupancy near rule), unrolled-CC
+    // survivors. Truncated payloads (doc % 10 = 9) have no signature.
+    "q385_mjpeg_video_dedup" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, sp, sp % 24 + 72 AS w, (sp * 5) % 24 + 64 AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 12 IN (4, 5, 8, 10) THEN 5000011 + doc_id
+        |        WHEN doc_id % 12 IN (9, 11) THEN 7000019 + doc_id // 12
+        |        ELSE doc_id - doc_id % 2 END AS sp
+        |    FROM documents WHERE doc_id % 10 <> 9)),
+        |bv AS (
+        |  SELECT doc_id, bx, by,
+        |    CASE WHEN f < -128 THEN 0 WHEN f > 127 THEN 255
+        |      ELSE f + 128 END AS val
+        |  FROM (
+        |    SELECT doc_id, bx, by,
+        |      CAST(floor((dc * 8 * 2096704 + 8388608) / 16777216.0)
+        |        AS BIGINT) AS f
+        |    FROM (
+        |      SELECT doc_id, u.bx AS bx, u.by AS by,
+        |        ((u.bx + sp % 31) * (u.by + sp % 37) * 3 + sp)
+        |          % 256 - 128 AS dc
+        |      FROM (
+        |        SELECT doc_id, sp,
+        |          unnest(flatten(list_transform(range((h + 7) // 8),
+        |            by -> list_transform(range((w + 7) // 8), bx ->
+        |              {'bx': bx, 'by': by})))) AS u
+        |        FROM d)))),
+        |xm AS (
+        |  SELECT doc_id, cx, bx,
+        |    least(x1, 8 * bx + 7) - greatest(x0, 8 * bx) + 1 AS nx,
+        |    x1 - x0 + 1 AS tx
+        |  FROM (
+        |    SELECT doc_id, u.cx AS cx, u.bx AS bx,
+        |      (u.cx * w + 8) // 9 AS x0, ((u.cx + 1) * w - 1) // 9 AS x1
+        |    FROM (
+        |      SELECT doc_id, w,
+        |        unnest(flatten(list_transform(range(9), cx ->
+        |          list_transform(range((w + 7) // 8), bx ->
+        |            {'cx': cx, 'bx': bx})))) AS u
+        |      FROM d))
+        |  WHERE least(x1, 8 * bx + 7) >= greatest(x0, 8 * bx)),
+        |ym AS (
+        |  SELECT doc_id, cy, by,
+        |    least(y1, 8 * by + 7) - greatest(y0, 8 * by) + 1 AS ny,
+        |    y1 - y0 + 1 AS ty
+        |  FROM (
+        |    SELECT doc_id, u.cy AS cy, u.by AS by,
+        |      (u.cy * h + 7) // 8 AS y0, ((u.cy + 1) * h - 1) // 8 AS y1
+        |    FROM (
+        |      SELECT doc_id, h,
+        |        unnest(flatten(list_transform(range(8), cy ->
+        |          list_transform(range((h + 7) // 8), by ->
+        |            {'cy': cy, 'by': by})))) AS u
+        |      FROM d))
+        |  WHERE least(y1, 8 * by + 7) >= greatest(y0, 8 * by)),
+        |cells AS (
+        |  SELECT b.doc_id, x.cx, y.cy,
+        |    (1000 * sum(b.val * x.nx * y.ny)) // (x.tx * y.ty) AS cavg
+        |  FROM bv b
+        |  JOIN xm x ON x.doc_id = b.doc_id AND x.bx = b.bx
+        |  JOIN ym y ON y.doc_id = b.doc_id AND y.by = b.by
+        |  GROUP BY 1, 2, 3, x.tx, y.ty),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS kk
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 AND b.cavg > a.cavg),
+        |sig AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(x.hraw, 0) AS hraw,
+        |    CAST(coalesce(x.hraw, 0)
+        |      - CASE WHEN coalesce(x.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |      AS dhash
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id, sum(CAST(1 AS HUGEINT) << CAST(kk AS INT))
+        |      AS hraw
+        |    FROM bits GROUP BY 1) x USING (doc_id)),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, dhash, b.band AS band,
+        |    CAST((hraw // CAST([1, 65536, 4294967296, 281474976710656]
+        |      [CAST(b.band AS INT) + 1] AS HUGEINT)) % 65536 AS BIGINT)
+        |      AS nib
+        |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+        |occ AS (
+        |  SELECT band, nib, count(*) AS occ
+        |  FROM bands GROUP BY 1, 2),
+        |okb AS (SELECT band, nib FROM occ WHERE occ <= 32),
+        |bandok AS MATERIALIZED (
+        |  SELECT b.doc_id, b.band, b.nib, b.dhash
+        |  FROM bands b JOIN okb USING (band, nib)),
+        |cmin AS (
+        |  SELECT dhash, min(doc_id) AS cm
+        |  FROM sig WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ec AS MATERIALIZED (
+        |  SELECT c.cm AS i, s.doc_id AS j
+        |  FROM sig s JOIN cmin c USING (dhash)
+        |  WHERE s.doc_id % 2 = 1),
+        |bgrp AS (
+        |  SELECT dhash, min(doc_id) AS mn, count(*) AS n
+        |  FROM sig WHERE doc_id % 2 = 1 GROUP BY 1),
+        |st AS MATERIALIZED (
+        |  SELECT g.mn AS i, s.doc_id AS j
+        |  FROM bgrp g JOIN sig s USING (dhash)
+        |  WHERE s.doc_id % 2 = 1 AND g.n >= 2 AND s.doc_id <> g.mn),
+        |nc AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bandok a JOIN bandok b
+        |    ON a.band = b.band AND a.nib = b.nib
+        |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 2),
+        |nw AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM bandok a JOIN bandok b
+        |    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+        |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 2),
+        |esym AS MATERIALIZED (
+        |  SELECT i AS u, j AS v FROM (
+        |    SELECT i, j FROM ec UNION ALL SELECT i, j FROM st
+        |    UNION ALL SELECT i, j FROM nc UNION ALL SELECT i, j FROM nw)
+        |  UNION ALL
+        |  SELECT j, i FROM (
+        |    SELECT i, j FROM ec UNION ALL SELECT i, j FROM st
+        |    UNION ALL SELECT i, j FROM nc UNION ALL SELECT i, j FROM nw)),
+        |enodes AS (SELECT DISTINCT u AS node FROM esym),
+        |${oUnrolledCcCtes("a", "enodes", "esym")}
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 0) AS n_corpus_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE doc_id % 2 = 0)
+        |    AS n_corpus_sigs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 2 = 1) AS n_batch_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE doc_id % 2 = 1)
+        |    AS n_batch_sigs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ec) AS n_exact_cross,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_exact_star,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nc) AS n_near_cross,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nw) AS n_near_within,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sig WHERE doc_id % 2 = 1)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM alab
+        |       WHERE node % 2 = 1 AND component <> node)
+        |    + (SELECT poison FROM achg) AS n_survivors
+        |ORDER BY n_corpus_rows""".stripMargin,
 
     // TIFF/EXIF headers: pure doc_id arithmetic — sizes from the fixed
     // container layouts, the rotation gate's display dims swapped when

@@ -113,6 +113,94 @@ private[graft] object VideoFixtures {
     w.bytes
   }
 
+  /** MJPEG AVI for the q385 video-dedup gate (round 17): same RIFF
+    * skeleton as [[avi]] but strf biCompression = 'MJPG' and every
+    * frame chunk holds a BASELINE JPEG from [[PixelFixtures.jpeg]]
+    * (big mode — the dHash-entropy dims; the encoder is the forward
+    * direction, independent of [[graft.expressions.JpegKernel]]).
+    * Shared arithmetic (the oracle's contract):
+    *
+    *   frame-0 seed sp(s) by s % 12 — the three duplicate classes an
+    *     ingest increment meets:
+    *       {4,5,8,10} → 5000011 + s            (unique: NEW content)
+    *       {9,11}     → 7000019 + s/12         (the odd pair (12m+9,
+    *                     12m+11): BATCH-internal duplicates)
+    *       else       → s − s % 2              (the pair (2m, 2m+1):
+    *                     CROSS even↔odd duplicates)
+    *     the three seed ranges are disjoint from each other and from
+    *     the f ≥ 1 seeds 1000003 + 7s + f (unique per (s, f), f < 7);
+    *   frame dims/pixels: [[PixelFixtures.jpeg]] big mode —
+    *     w = sp % 24 + 72, h = (sp·5) % 24 + 64, DC-only blocks with
+    *     dc(bx,by) = pix(bx,by,sp) − 128 and the pinned-IDCT closed
+    *     form value = clamp(⌊(dc·8·1448² + 2^23)/2^24⌋,−128,127)+128;
+    *   n_frames = s % 3 + 2; color (neutral chroma) when s % 3 = 0;
+    *   RE-MUX variance: even docs write plain `00dc` chunks; odd docs
+    *     write `00db` chunks behind a JUNK chunk of s % 7 + 4 bytes —
+    *     byte-UNEQUAL containers around byte-identical first frames,
+    *     the duplicate class only frame-pixel hashing catches;
+    *   s % 10 = 9 → the payload is truncated 7 bytes short (the RIFF
+    *     walk overruns → NULL, the quarantine row).
+    */
+  /** Frame-0 seed of [[mjpegAvi]] — the shared oracle arithmetic. */
+  def mjpegSeed0(s: Long): Long = (s % 12) match {
+    case 4 | 5 | 8 | 10 => 5000011L + s
+    case 9 | 11 => 7000019L + s / 12
+    case _ => s - s % 2
+  }
+
+  def mjpegAvi(s: Long): Array[Byte] = {
+    val nf = (s % 3 + 2).toInt
+    val frames = (0 until nf).map { f =>
+      val sp = if (f == 0) mjpegSeed0(s) else 1000003L + 7L * s + f
+      PixelFixtures.jpeg(sp, color = s % 3 == 0, rstInterval = 0,
+        big = true)
+    }
+    val junkLen = if (s % 2 == 1) (s % 7 + 4).toInt else 0
+    val chunkId = if (s % 2 == 1) "00db" else "00dc"
+    val moviPayload = frames.map(fr => 8L + fr.length + (fr.length & 1)).sum +
+      (if (junkLen > 0) 8L + junkLen + (junkLen & 1) else 0L)
+    val moviSize = 4L + moviPayload
+    val w = new W
+    val wd = (mjpegSeed0(s) % 24 + 72).toInt
+    val ht = ((mjpegSeed0(s) * 5) % 24 + 64).toInt
+    w.tag("RIFF")
+    w.le32(4L + (8L + 192L) + (8L + moviSize)) // 'AVI ' + hdrl + movi
+    w.tag("AVI ")
+    // ---- LIST hdrl (192 = avih(64) + strl LIST(124) + 4)
+    w.tag("LIST"); w.le32(192L); w.tag("hdrl")
+    w.tag("avih"); w.le32(56L)
+    w.le32((s % 30 + 10) * 1000L)
+    w.le32(0L); w.le32(0L); w.le32(0L)
+    w.le32(nf.toLong)
+    w.le32(0L); w.le32(1L); w.le32(0L)
+    w.le32(wd.toLong); w.le32(ht.toLong)
+    w.zeros(16)
+    w.tag("LIST"); w.le32(116L); w.tag("strl")
+    w.tag("strh"); w.le32(56L)
+    w.tag("vids"); w.tag("MJPG")
+    w.zeros(48)
+    w.tag("strf"); w.le32(40L)
+    w.le32(40L); w.le32(wd.toLong); w.le32(ht.toLong)
+    w.le16(1); w.le16(24)
+    w.tag("MJPG") // biCompression fourcc
+    w.le32(0L) // biSizeImage (variable for MJPEG)
+    w.zeros(16)
+    // ---- LIST movi
+    w.tag("LIST"); w.le32(moviSize); w.tag("movi")
+    if (junkLen > 0) {
+      w.tag("JUNK"); w.le32(junkLen.toLong)
+      w.zeros(junkLen + (junkLen & 1))
+    }
+    frames.foreach { fr =>
+      w.tag(chunkId); w.le32(fr.length.toLong)
+      fr.foreach(byte => w.u8(byte & 0xFF))
+      if ((fr.length & 1) == 1) w.u8(0) // RIFF word padding
+    }
+    val full = w.bytes
+    if (s % 10 == 9) java.util.Arrays.copyOfRange(full, 0, full.length - 7)
+    else full
+  }
+
   /** Minimal spec-true MP4: ftyp(16) + moov(mvhd + [audio trak] +
     * video trak(tkhd + mdia/minf/stbl(stsd + stsz))). `version` 0 or 1
     * selects the mvhd/tkhd time-field width; `audioTrak` prepends a

@@ -129,7 +129,11 @@ object CorpusScaleAudit {
     // with the corpus (every replica's 60% slice is the SAME string),
     // so the star-edge volume must grow linearly while the unguarded
     // pair join would grow quadratically in the flood
-    "q383_simhash_flood_guard", "q384_incremental_text_guard")
+    "q383_simhash_flood_guard", "q384_incremental_text_guard",
+    // round-17 MJPEG video dedup: per-payload JPEG frame decode is the
+    // constant to watch (map-only); only 16-byte signature rows and
+    // guarded pair edges shuffle
+    "q385_mjpeg_video_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

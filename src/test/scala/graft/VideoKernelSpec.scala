@@ -102,6 +102,45 @@ class VideoKernelSpec extends SparkSpec {
     assert(VideoFrameKernel.decode(VideoFixtures.framePayload(7L), 2).isEmpty)
   }
 
+  test("MJPEG AVI: frame decode rides JpegKernel, still↔frame hash identity, re-mux invariance") {
+    import graft.queries.PixelFixtures
+    // frame 0 of doc s decodes to the SAME stats as the standalone
+    // baseline JPEG of the same seed — the still↔video identity that
+    // makes image↔video dedup joins well-defined
+    for (s <- Seq(4L, 7L, 12L, 21L)) {
+      val sp0 = VideoFixtures.mjpegSeed0(s)
+      val frames = VideoFrameKernel.decode(VideoFixtures.mjpegAvi(s), 1000).get
+      assert(frames.size === 1 && frames.head.frameIdx === 0L)
+      val still = PixelKernel.decode(
+        PixelFixtures.jpeg(sp0, color = s % 3 == 0, rstInterval = 0,
+          big = true))
+      assert(frames.head.lumSum === still.lumSum, s"s=$s")
+      assert(frames.head.lumSqSum === still.lumSqSum)
+      assert(frames.head.dhash === still.dhash)
+    }
+    // the re-muxed pair (2m, 2m+1): byte-UNEQUAL payloads (JUNK chunk,
+    // 00db vs 00dc ids), identical first-frame dHash
+    val even = VideoFixtures.mjpegAvi(6L)
+    val odd = VideoFixtures.mjpegAvi(7L)
+    assert(!even.sameElements(odd))
+    val he = VideoFrameKernel.decode(even, 1000).get.head.dhash
+    val ho = VideoFrameKernel.decode(odd, 1000).get.head.dhash
+    assert(he.isDefined && he === ho)
+    // stride 1 decodes every frame; n_frames = s % 3 + 2
+    assert(VideoFrameKernel.decode(VideoFixtures.mjpegAvi(7L), 1).get.size === 3)
+    // truncated payload (s % 10 = 9) and a corrupted frame SOI both
+    // quarantine as None — loud, never wrong pixels
+    assert(VideoFrameKernel.decode(VideoFixtures.mjpegAvi(9L), 1000).isEmpty)
+    val mangled = VideoFixtures.mjpegAvi(6L)
+    val fi = indexOfChunk(mangled, "00dc")
+    mangled(fi + 8) = 0x00 // first frame's SOI first byte
+    assert(VideoFrameKernel.decode(mangled, 1000).isEmpty)
+    // a 00dc chunk in a NON-MJPEG (DIB) AVI still refuses
+    val dib = VideoFixtures.avi(11L)
+    val di = indexOfChunk(dib, "00db"); dib(di + 3) = 'c'.toByte
+    assert(VideoFrameKernel.decode(dib, 2).isEmpty)
+  }
+
   private def indexOfChunk(b: Array[Byte], t: String): Int = {
     var i = 0
     while (i + 4 <= b.length) {
