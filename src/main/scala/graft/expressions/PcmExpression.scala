@@ -17,11 +17,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    discipline — every read bounds-checked) to BOTH the "fmt " chunk
   *    and the "data" chunk. Supported layouts: format tag 1 (linear
   *    PCM, 16 bits/sample), tag 7 (G.711 μ-law, 8 bits), tag 6
-  *    (G.711 A-law, 8 bits), and tag 0x11 (mono IMA/DVI ADPCM,
-  *    4 bits — round 16: the telephony/game-corpus block codec; the
-  *    public step/index tables, per-block int16 predictor + step-index
-  *    headers emitted as the block's first sample, low-nibble-first
-  *    packing, partial final blocks allowed, a step index past 88 is
+  *    (G.711 A-law, 8 bits), tag 0x11 (IMA/DVI ADPCM, 4 bits — mono
+  *    round 16, STEREO round 17 with per-channel headers and
+  *    alternating 4-byte channel chunks; the public step/index
+  *    tables, per-block int16 predictor + step-index headers emitted
+  *    as the block's first sample(s), low-nibble-first packing,
+  *    partial final blocks allowed, a step index past 88 is corrupt),
+  *    and tag 0x02 (MS-ADPCM, 4 bits, mono/stereo — round 17: the
+  *    other ubiquitous legacy WAV codec; 7·ch-byte block headers
+  *    carrying bPredictor/iDelta/iSamp1/iSamp2 per channel, HIGH
+  *    nibble first, channels alternating per nibble, the public
+  *    adaptation + coefficient tables, a bPredictor past 6 is
   *    corrupt) — anything else → NULL, loud not wrong;
   *  - samples: PCM-16 is signed little-endian; μ-law/A-law bytes
   *    expand through the public G.711/CCITT formulas (the Sun
@@ -81,6 +87,18 @@ object PcmKernel {
   private val CODEC_ULAW = UTF8String.fromString("ulaw")
   private val CODEC_ALAW = UTF8String.fromString("alaw")
   private val CODEC_IMA = UTF8String.fromString("ima_adpcm")
+  private val CODEC_MS = UTF8String.fromString("ms_adpcm")
+
+  /** MS-ADPCM adaptation table (the public Microsoft WAVE spec),
+    * indexed by the unsigned nibble.
+    */
+  private[graft] val MsAdapt: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** MS-ADPCM predictor coefficient pairs (×256), bPredictor 0..6. */
+  private[graft] val MsCoef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  private[graft] val MsCoef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
 
   /** IMA/DVI ADPCM step-size table (the public 89-entry table from the
     * IMA Digital Audio compatibility spec — also RFC 3551 §4.5.1's
@@ -162,6 +180,138 @@ object PcmKernel {
     out
   }
 
+  /** Decode a STEREO IMA ADPCM `data` payload (round 17): per block,
+    * a 4-byte header per channel (left then right), then the data in
+    * 4-byte PER-CHANNEL CHUNKS — 4 bytes (8 nibbles) of left, 4 bytes
+    * of right, alternating. Output is frame-interleaved L R L R …
+    * starting with the two header predictors. A partial final block
+    * must keep both headers and whole 8-byte chunk pairs (a left chunk
+    * with no right partner has no frame alignment) — else null.
+    */
+  private def imaDecodeStereo(b: Array[Byte], dataOff: Int, dataLen: Int,
+                              blockAlign: Int): Array[Short] = {
+    if (blockAlign < 16 || blockAlign % 8 != 0) return null
+    var off = 0
+    var total = 0
+    while (off < dataLen) { // size pass
+      val bl = math.min(blockAlign, dataLen - off)
+      if (bl < 8 || (bl - 8) % 8 != 0) return null
+      total += 2 + (bl - 8) * 2 // 2 header samples + 2 per data byte
+      off += bl
+    }
+    if (total == 0) return null
+    val out = new Array[Short](total)
+    var w = 0
+    off = 0
+    while (off < dataLen) {
+      val bl = math.min(blockAlign, dataLen - off)
+      var predL = le16(b, dataOff + off).toShort.toInt
+      var idxL = b(dataOff + off + 2) & 0xFF
+      var predR = le16(b, dataOff + off + 4).toShort.toInt
+      var idxR = b(dataOff + off + 6) & 0xFF
+      if (idxL > 88 || idxR > 88) return null // corrupt header
+      out(w) = predL.toShort; out(w + 1) = predR.toShort; w += 2
+      var g = 8 // 8-byte chunk-pair cursor within the block
+      while (g < bl) {
+        var k = 0
+        while (k < 4) { // 8 frames per chunk pair
+          val lByte = b(dataOff + off + g + k) & 0xFF
+          val rByte = b(dataOff + off + g + 4 + k) & 0xFF
+          val (pl1, il1) = imaStep(predL, idxL, lByte & 0x0F)
+          val (pr1, ir1) = imaStep(predR, idxR, rByte & 0x0F)
+          out(w) = pl1.toShort; out(w + 1) = pr1.toShort; w += 2
+          val (pl2, il2) = imaStep(pl1, il1, lByte >> 4)
+          val (pr2, ir2) = imaStep(pr1, ir1, rByte >> 4)
+          out(w) = pl2.toShort; out(w + 1) = pr2.toShort; w += 2
+          predL = pl2; idxL = il2; predR = pr2; idxR = ir2
+          k += 1
+        }
+        g += 8
+      }
+      off += bl
+    }
+    out
+  }
+
+  /** Decode an MS-ADPCM (tag 0x02) `data` payload (round 17 — the
+    * other ubiquitous legacy WAV codec). Per block: one bPredictor
+    * byte per channel (0..6 — past the 7-entry coefficient tables is
+    * corrupt), one int16 iDelta per channel, one int16 iSamp1 per
+    * channel, one int16 iSamp2 per channel (7·ch header bytes), then
+    * nibble data HIGH nibble first (the opposite of IMA), channels
+    * alternating per nibble in stereo. The first two output samples
+    * per channel are iSamp2 then iSamp1 (iSamp2 is the OLDER sample).
+    * Per nibble: pred = trunc((samp1·c1 + samp2·c2)/256), sample =
+    * clamp(pred + signed4(nib)·delta), delta = clamp(
+    * trunc(Adapt[nib]·delta/256), 16, 32767) — the public Microsoft
+    * arithmetic with delta pinned to its int16 storage range,
+    * every intermediate an integer, so the oracle replays it. A
+    * partial final block keeps its full header; any data byte count
+    * is legal in stereo (one L+R frame per byte) while mono bytes
+    * carry two samples.
+    */
+  private def msDecode(b: Array[Byte], dataOff: Int, dataLen: Int,
+                       blockAlign: Int, ch: Int): Array[Short] = {
+    val hdr = 7 * ch
+    if (blockAlign < hdr + 1) return null
+    var off = 0
+    var total = 0
+    while (off < dataLen) { // size pass
+      val bl = math.min(blockAlign, dataLen - off)
+      if (bl < hdr) return null
+      total += 2 * ch + (bl - hdr) * 2
+      off += bl
+    }
+    if (total == 0) return null
+    val out = new Array[Short](total)
+    var w = 0
+    off = 0
+    val coef1 = new Array[Int](ch); val coef2 = new Array[Int](ch)
+    val delta = new Array[Int](ch)
+    val samp1 = new Array[Int](ch); val samp2 = new Array[Int](ch)
+    while (off < dataLen) {
+      val bl = math.min(blockAlign, dataLen - off)
+      val p = dataOff + off
+      var c = 0
+      while (c < ch) {
+        val pred = b(p + c) & 0xFF
+        if (pred > 6) return null // corrupt predictor index
+        coef1(c) = MsCoef1(pred); coef2(c) = MsCoef2(pred)
+        delta(c) = le16(b, p + ch + 2 * c).toShort.toInt
+        if (delta(c) < 16) delta(c) = 16
+        samp1(c) = le16(b, p + 3 * ch + 2 * c).toShort.toInt
+        samp2(c) = le16(b, p + 5 * ch + 2 * c).toShort.toInt
+        c += 1
+      }
+      c = 0
+      while (c < ch) { out(w) = samp2(c).toShort; w += 1; c += 1 }
+      c = 0
+      while (c < ch) { out(w) = samp1(c).toShort; w += 1; c += 1 }
+      var nibIdx = 0
+      val nNibs = (bl - hdr) * 2
+      while (nibIdx < nNibs) {
+        val byte = b(p + hdr + (nibIdx >> 1)) & 0xFF
+        val nib = if ((nibIdx & 1) == 0) byte >> 4 else byte & 0x0F
+        val c0 = nibIdx % ch
+        val sNib = if (nib >= 8) nib - 16 else nib
+        var pred = (samp1(c0) * coef1(c0) + samp2(c0) * coef2(c0)) / 256
+        pred += sNib * delta(c0)
+        if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+        out(w) = pred.toShort; w += 1
+        samp2(c0) = samp1(c0); samp1(c0) = pred
+        // delta pinned to the int16 range its block-header storage
+        // implies (16..32767): unbounded growth (up to 3x per nibble)
+        // would overflow 32-bit arithmetic into wrapped-but-wrong
+        // deltas — the clamp keeps every intermediate exact and
+        // oracle-replayable
+        delta(c0) = math.max(16, math.min(32767, MsAdapt(nib) * delta(c0) / 256))
+        nibIdx += 1
+      }
+      off += bl
+    }
+    out
+  }
+
   /** Parsed-and-bounds-checked decode view: everything [[parse]] and
     * [[envelopeHash]] share — the RIFF walk, the layout checks, and the
     * per-codec linear-sample accessor — so the statistics pass and the
@@ -173,11 +323,11 @@ object PcmKernel {
   private final class View(val tag: Long, val rate: Long, val ch: Long,
                            val bits: Long, dataOff: Int, val n: Int,
                            b: Array[Byte],
-                           ima: Array[Short] = null) {
+                           dec: Array[Short] = null) {
     def at(k: Int): Long =
       if (tag == 1L) le16(b, dataOff + 2 * k).toShort.toLong
       else if (tag == 7L) ulaw2linear(b(dataOff + k) & 0xFF).toLong
-      else if (tag == 0x11L) ima(k).toLong
+      else if (tag == 0x11L || tag == 2L) dec(k).toLong
       else alaw2linear(b(dataOff + k) & 0xFF).toLong
   }
 
@@ -202,11 +352,13 @@ object PcmKernel {
         blockAlign = le16(b, i + 20)
         bits = le16(b, i + 22)
         if (ch == 0L || rate == 0L) return null
-        // linear PCM-16, G.711 A-law (6) / mu-law (7), and mono
-        // IMA/DVI ADPCM (0x11, round 16) only
+        // linear PCM-16, G.711 A-law (6) / mu-law (7), IMA/DVI ADPCM
+        // (0x11 — mono round 16, stereo round 17), and MS-ADPCM
+        // (0x02 mono/stereo, round 17) only
         if (!((tag == 1L && bits == 16L) ||
           ((tag == 6L || tag == 7L) && bits == 8L) ||
-          (tag == 0x11L && bits == 4L && ch == 1L))) return null
+          (tag == 0x11L && bits == 4L && (ch == 1L || ch == 2L)) ||
+          (tag == 2L && bits == 4L && (ch == 1L || ch == 2L)))) return null
       } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
         b(i + 3) == 'a') {
         dataOff = i + 8
@@ -223,9 +375,16 @@ object PcmKernel {
     if (dataLen > MaxDataBytes) return null // decode-bomb guard
     if (dataOff + dataLen > b.length) return null // mid-data truncation
     if (tag == 0x11L) {
-      val ima = imaDecode(b, dataOff, dataLen.toInt, blockAlign.toInt)
-      if (ima == null) return null
-      return new View(tag, rate, ch, bits, dataOff, ima.length, b, ima)
+      val dec =
+        if (ch == 2L) imaDecodeStereo(b, dataOff, dataLen.toInt, blockAlign.toInt)
+        else imaDecode(b, dataOff, dataLen.toInt, blockAlign.toInt)
+      if (dec == null) return null
+      return new View(tag, rate, ch, bits, dataOff, dec.length, b, dec)
+    }
+    if (tag == 2L) {
+      val dec = msDecode(b, dataOff, dataLen.toInt, blockAlign.toInt, ch.toInt)
+      if (dec == null) return null
+      return new View(tag, rate, ch, bits, dataOff, dec.length, b, dec)
     }
     val bps = if (tag == 1L) 2 else 1
     if (dataLen % (bps.toLong * ch) != 0L) return null // frame alignment
@@ -243,7 +402,7 @@ object PcmKernel {
     val bits = v0.bits; val n = v0.n
     def at(k: Int): Long = v0.at(k)
     val (railHi, railLo) =
-      if (tag == 1L || tag == 0x11L) (32767L, -32768L)
+      if (tag == 1L || tag == 0x11L || tag == 2L) (32767L, -32768L)
       else if (tag == 7L) (32124L, -32124L)
       else (32256L, -32256L)
     // ONE decode pass: sums, clip rails, and the first/last non-silent
@@ -267,6 +426,7 @@ object PcmKernel {
     val codec =
       if (tag == 1L) CODEC_PCM16 else if (tag == 7L) CODEC_ULAW
       else if (tag == 0x11L) CODEC_IMA
+      else if (tag == 2L) CODEC_MS
       else CODEC_ALAW
     InternalRow(codec, rate, ch, bits, n.toLong,
       (n / ch) * 1000L / rate, s, sq, clipped, lead.toLong, trail.toLong)

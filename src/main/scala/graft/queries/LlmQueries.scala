@@ -5608,6 +5608,68 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q386: MS-ADPCM sample statistics (round 17 — the fifth WAV
+    // codec, the other ubiquitous legacy block format): 7·ch-byte
+    // block headers (bPredictor/iDelta/iSamp1/iSamp2 per channel),
+    // HIGH-nibble-first packing with channels alternating per nibble
+    // in stereo, the public adaptation + coefficient tables, partial
+    // final blocks, and two corruption plants (bPredictor past the
+    // 7-entry tables; mid-data truncation). The oracle replays the
+    // per-nibble predictor/delta recursion — per-channel state in one
+    // recursive CTE — over the same doc_id arithmetic.
+    "q386_ms_adpcm" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, AudioFixtures.msPayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pcmStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.codec").as("codec"),
+          col("__s.sample_rate").as("sample_rate"),
+          col("__s.channels").as("channels"),
+          col("__s.n_samples").as("n_samples"),
+          col("__s.duration_ms").as("duration_ms"),
+          col("__s.sum_q").as("sum_q"),
+          col("__s.sq_sum").as("sq_sum"),
+          col("__s.n_clipped").as("n_clipped"),
+          col("__s.lead_silence").as("lead_silence"),
+          col("__s.trail_silence").as("trail_silence"))
+        .orderBy("doc_id")
+    }),
+
+    // q387: STEREO IMA ADPCM (round 17 — the interleave layout mono
+    // q381 stops short of): per-block 4-byte headers for EACH channel,
+    // then alternating 4-byte per-channel chunks, output
+    // frame-interleaved. Corruption plants: right-channel step index
+    // past the table; a truncation that breaks the chunk-pair rule.
+    // The oracle runs q381's recursion once per LANE with the chunk
+    // byte mapping k = (t//4)·8 + lane·4 + t%4 and interleaves by
+    // position arithmetic.
+    "q387_stereo_ima_adpcm" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, AudioFixtures.imaStereoPayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pcmStats(col("__p")).as("__s"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.codec").as("codec"),
+          col("__s.sample_rate").as("sample_rate"),
+          col("__s.channels").as("channels"),
+          col("__s.n_samples").as("n_samples"),
+          col("__s.duration_ms").as("duration_ms"),
+          col("__s.sum_q").as("sum_q"),
+          col("__s.sq_sum").as("sq_sum"),
+          col("__s.n_clipped").as("n_clipped"),
+          col("__s.lead_silence").as("lead_silence"),
+          col("__s.trail_silence").as("trail_silence"))
+        .orderBy("doc_id")
+    }),
+
     // q378: the band-bucket OCCUPANCY GUARD under a constant-image
     // flood (round 16 — the q374 fixture incident as a production
     // hazard): 60% of the corpus is the SAME solid fill (any flat
@@ -15762,6 +15824,195 @@ object LlmQueries {
         |  CASE WHEN d.ok THEN CAST(4 AS BIGINT) END AS bits,
         |  CASE WHEN d.ok THEN st.n END AS n_samples,
         |  CASE WHEN d.ok THEN st.n * 1000 // d.rate END AS duration_ms,
+        |  CASE WHEN d.ok THEN st.sum_q END AS sum_q,
+        |  CASE WHEN d.ok THEN st.sq_sum END AS sq_sum,
+        |  CASE WHEN d.ok THEN st.n_clipped END AS n_clipped,
+        |  CASE WHEN d.ok THEN st.lead_silence END AS lead_silence,
+        |  CASE WHEN d.ok THEN st.trail_silence END AS trail_silence
+        |FROM d LEFT JOIN st USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // MS-ADPCM: the per-nibble predictor/delta recursion with
+    // PER-CHANNEL state carried in one recursive CTE (channel-1
+    // columns idle for mono); header samples (iSamp2 then iSamp1 per
+    // channel) emitted by position arithmetic; // truncates toward
+    // zero in DuckDB exactly as Scala's integer division does.
+    "q386_ms_adpcm" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch,
+        |    11025 * (doc_id % 2 + 1) AS rate,
+        |    doc_id % 3 + 2 AS nb, doc_id % 4 = 1 AS part,
+        |    NOT (doc_id % 10 = 3 OR doc_id % 11 = 7) AS ok
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, ch, b,
+        |    CASE WHEN part AND b = nb - 1 THEN 6 ELSE 12 END AS nd,
+        |    b * (2 * ch + 24) AS pos0,
+        |    [256,512,0,192,240,460,392]
+        |      [CAST((doc_id + b) % 7 AS INT) + 1] AS c1_0,
+        |    [0,-256,0,64,0,-208,-232]
+        |      [CAST((doc_id + b) % 7 AS INT) + 1] AS c2_0,
+        |    (doc_id * 3 + b * 17) % 1000 + 16 AS d0_0,
+        |    (doc_id * 7 + b * 131) % 65536 - 32768 AS is1_0,
+        |    (doc_id * 11 + b * 57) % 65536 - 32768 AS is2_0,
+        |    [256,512,0,192,240,460,392]
+        |      [CAST((doc_id + b + 1) % 7 AS INT) + 1] AS c1_1,
+        |    [0,-256,0,64,0,-208,-232]
+        |      [CAST((doc_id + b + 1) % 7 AS INT) + 1] AS c2_1,
+        |    (doc_id * 3 + b * 17 + 29) % 1000 + 16 AS d0_1,
+        |    (doc_id * 7 + b * 131 + 37) % 65536 - 32768 AS is1_1,
+        |    (doc_id * 11 + b * 57 + 73) % 65536 - 32768 AS is2_1
+        |  FROM (SELECT doc_id, ch, nb, part, unnest(range(nb)) AS b
+        |        FROM d WHERE ok)),
+        |r(doc_id, b, j, ch, nd, pos0, s1_0, s2_0, dl_0, c1_0, c2_0,
+        |  s1_1, s2_1, dl_1, c1_1, c2_1, v) AS (
+        |  SELECT doc_id, b, -1, ch, nd, pos0, is1_0, is2_0, d0_0, c1_0,
+        |    c2_0, is1_1, is2_1, d0_1, c1_1, c2_1, CAST(NULL AS BIGINT)
+        |  FROM blk
+        |  UNION ALL
+        |  SELECT doc_id, b, j + 1, ch, nd, pos0,
+        |    CASE WHEN c = 0 THEN pred ELSE s1_0 END,
+        |    CASE WHEN c = 0 THEN s1_0 ELSE s2_0 END,
+        |    CASE WHEN c = 0
+        |      THEN greatest(16, least(32767, (adapt * dl_0) // 256))
+        |      ELSE dl_0 END,
+        |    c1_0, c2_0,
+        |    CASE WHEN c = 1 THEN pred ELSE s1_1 END,
+        |    CASE WHEN c = 1 THEN s1_1 ELSE s2_1 END,
+        |    CASE WHEN c = 1
+        |      THEN greatest(16, least(32767, (adapt * dl_1) // 256))
+        |      ELSE dl_1 END,
+        |    c1_1, c2_1,
+        |    pred
+        |  FROM (
+        |    SELECT doc_id, b, j, ch, nd, pos0, s1_0, s2_0, dl_0, c1_0,
+        |      c2_0, s1_1, s2_1, dl_1, c1_1, c2_1, c, nib,
+        |      [230,230,230,230,307,409,512,614,768,614,512,409,307,
+        |       230,230,230][CAST(nib AS INT) + 1] AS adapt,
+        |      greatest(-32768, least(32767,
+        |        CASE WHEN c = 0
+        |          THEN (s1_0 * c1_0 + s2_0 * c2_0) // 256
+        |            + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END) * dl_0
+        |          ELSE (s1_1 * c1_1 + s2_1 * c2_1) // 256
+        |            + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END) * dl_1
+        |        END)) AS pred
+        |    FROM (
+        |      SELECT r.*, (j + 1) % ch AS c,
+        |        CASE WHEN (j + 1) % 2 = 0
+        |          THEN ((doc_id + b * 5 + ((j + 1) // 2) * 7 + 3) % 256) // 16
+        |          ELSE ((doc_id + b * 5 + ((j + 1) // 2) * 7 + 3) % 256) % 16
+        |        END AS nib
+        |      FROM r WHERE j + 1 < nd * 2))),
+        |smp AS (
+        |  SELECT doc_id, pos0 AS pos, is2_0 AS v FROM blk
+        |  UNION ALL SELECT doc_id, pos0 + ch, is1_0 FROM blk
+        |  UNION ALL SELECT doc_id, pos0 + 1, is2_1 FROM blk WHERE ch = 2
+        |  UNION ALL SELECT doc_id, pos0 + 3, is1_1 FROM blk WHERE ch = 2
+        |  UNION ALL SELECT doc_id, pos0 + 2 * ch + j, v FROM r WHERE j >= 0),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sum_q,
+        |    CAST(sum(v * v) AS BIGINT) AS sq_sum,
+        |    CAST(count(CASE WHEN v = 32767 OR v = -32768 THEN 1 END)
+        |      AS BIGINT) AS n_clipped,
+        |    CAST(coalesce(min(CASE WHEN abs(v) > 256 THEN pos END),
+        |      count(*)) AS BIGINT) AS lead_silence,
+        |    CAST(coalesce(max(pos) - max(CASE WHEN abs(v) > 256 THEN pos
+        |      END), count(*)) AS BIGINT) AS trail_silence
+        |  FROM smp GROUP BY 1)
+        |SELECT d.doc_id, d.ok AS parsed,
+        |  CASE WHEN d.ok THEN 'ms_adpcm' END AS codec,
+        |  CASE WHEN d.ok THEN CAST(d.rate AS BIGINT) END AS sample_rate,
+        |  CASE WHEN d.ok THEN CAST(d.ch AS BIGINT) END AS channels,
+        |  CASE WHEN d.ok THEN st.n END AS n_samples,
+        |  CASE WHEN d.ok THEN (st.n // d.ch) * 1000 // d.rate
+        |    END AS duration_ms,
+        |  CASE WHEN d.ok THEN st.sum_q END AS sum_q,
+        |  CASE WHEN d.ok THEN st.sq_sum END AS sq_sum,
+        |  CASE WHEN d.ok THEN st.n_clipped END AS n_clipped,
+        |  CASE WHEN d.ok THEN st.lead_silence END AS lead_silence,
+        |  CASE WHEN d.ok THEN st.trail_silence END AS trail_silence
+        |FROM d LEFT JOIN st USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Stereo IMA ADPCM: q381's per-nibble recursion run once per LANE
+    // (left/right), the chunk byte mapping k = (t//4)·8 + lane·4 +
+    // t%4 picking each lane's bytes out of the alternating 4-byte
+    // channel chunks, frame interleave by position arithmetic
+    // pos = pos0 + 2·(j+1) + lane.
+    "q387_stereo_ima_adpcm" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS nb, doc_id % 4 = 1 AS part,
+        |    8000 + (doc_id % 3) * 4000 AS rate,
+        |    NOT (doc_id % 10 = 3 OR doc_id % 11 = 7) AS ok
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, b, lane,
+        |    CASE WHEN part AND b = nb - 1 THEN 4 ELSE 8 END AS nbytes,
+        |    b * 34 AS pos0,
+        |    CASE WHEN lane = 0 THEN (doc_id * 7 + b * 131) % 65536 - 32768
+        |      ELSE (doc_id * 13 + b * 59) % 65536 - 32768 END AS pred0,
+        |    CASE WHEN lane = 0 THEN (doc_id + 3 * b) % 89
+        |      ELSE (doc_id * 5 + 7 * b) % 89 END AS idx0
+        |  FROM (SELECT doc_id, nb, part, unnest(range(nb)) AS b
+        |        FROM d WHERE ok),
+        |    (SELECT unnest(range(2)) AS lane)),
+        |r(doc_id, b, lane, j, pred, idx, nbytes, pos0) AS (
+        |  SELECT doc_id, b, lane, -1, pred0, idx0, nbytes, pos0 FROM blk
+        |  UNION ALL
+        |  SELECT doc_id, b, lane, j + 1,
+        |    greatest(-32768, least(32767,
+        |      pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+        |    greatest(0, least(88,
+        |      idx + [-1,-1,-1,-1,2,4,6,8][CAST(nib % 8 AS INT) + 1])),
+        |    nbytes, pos0
+        |  FROM (
+        |    SELECT doc_id, b, lane, j, pred, idx, nbytes, pos0, nib,
+        |      step // 8
+        |        + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+        |        + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+        |        + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+        |        AS diff
+        |    FROM (
+        |      SELECT r.*,
+        |        CASE WHEN (j + 1) % 2 = 0
+        |          THEN ((doc_id + b * 5
+        |            + ((((j + 1) // 2) // 4) * 8 + lane * 4
+        |               + ((j + 1) // 2) % 4) * 7 + 3) % 256) % 16
+        |          ELSE ((doc_id + b * 5
+        |            + ((((j + 1) // 2) // 4) * 8 + lane * 4
+        |               + ((j + 1) // 2) % 4) * 7 + 3) % 256) // 16
+        |        END AS nib,
+        |        [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,
+        |         37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+        |         157,173,190,209,230,253,279,307,337,371,408,449,494,
+        |         544,598,658,724,796,876,963,1060,1166,1282,1411,1552,
+        |         1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,
+        |         4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,
+        |         12635,13899,15289,16818,18500,20350,22385,24623,27086,
+        |         29794,32767][CAST(idx AS INT) + 1] AS step
+        |      FROM r WHERE j + 1 < nbytes * 2))),
+        |smp AS (
+        |  SELECT doc_id, pos0 + 2 * (j + 1) + lane AS pos, pred AS v
+        |  FROM r),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sum_q,
+        |    CAST(sum(v * v) AS BIGINT) AS sq_sum,
+        |    CAST(count(CASE WHEN v = 32767 OR v = -32768 THEN 1 END)
+        |      AS BIGINT) AS n_clipped,
+        |    CAST(coalesce(min(CASE WHEN abs(v) > 256 THEN pos END),
+        |      count(*)) AS BIGINT) AS lead_silence,
+        |    CAST(coalesce(max(pos) - max(CASE WHEN abs(v) > 256 THEN pos
+        |      END), count(*)) AS BIGINT) AS trail_silence
+        |  FROM smp GROUP BY 1)
+        |SELECT d.doc_id, d.ok AS parsed,
+        |  CASE WHEN d.ok THEN 'ima_adpcm' END AS codec,
+        |  CASE WHEN d.ok THEN CAST(d.rate AS BIGINT) END AS sample_rate,
+        |  CASE WHEN d.ok THEN CAST(2 AS BIGINT) END AS channels,
+        |  CASE WHEN d.ok THEN st.n END AS n_samples,
+        |  CASE WHEN d.ok THEN (st.n // 2) * 1000 // d.rate
+        |    END AS duration_ms,
         |  CASE WHEN d.ok THEN st.sum_q END AS sum_q,
         |  CASE WHEN d.ok THEN st.sq_sum END AS sq_sum,
         |  CASE WHEN d.ok THEN st.n_clipped END AS n_clipped,

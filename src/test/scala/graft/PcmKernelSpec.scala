@@ -217,10 +217,177 @@ class PcmKernelSpec extends SparkSpec {
     assert(PcmKernel.parse(ima(Seq((0, 89, Seq(0x04))))) == null)
     assert(PcmKernel.parse(ima(blocks2, truncate = 3)) == null)
     assert(PcmKernel.parse(ima(Seq((0, 0, Seq.empty)))) == null)
-    // stereo IMA is out of contract — NULL, never wrong interleaving
+    // a MONO-laid-out payload relabeled stereo is malformed (its
+    // 5-byte block cannot hold the two 4-byte channel headers) — NULL,
+    // never wrong interleaving
     val st = ima(Seq((0, 0, Seq(0x04))))
     st(22) = 2 // channels field
     assert(PcmKernel.parse(st) == null)
+  }
+
+  test("stereo IMA ADPCM: channel-chunk interleave, transcode identity, corrupt NULLs") {
+    // block: 4-byte L header, 4-byte R header, then alternating 4-byte
+    // channel chunks
+    def imaSt(blocks: Seq[(Int, Int, Int, Int, Seq[Int])],
+              blockAlign: Int = 24, truncate: Int = 0): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      val dataLen = blocks.map(b => 8 + b._5.length).sum
+      out.write("RIFF".getBytes, 0, 4); le32(4 + 28 + 8 + dataLen)
+      out.write("WAVE".getBytes, 0, 4)
+      out.write("fmt ".getBytes, 0, 4); le32(20)
+      le16(0x11); le16(2); le32(8000); le32(8000)
+      le16(blockAlign); le16(4); le16(2)
+      le16(1 + (blockAlign - 8)) // samples per block per channel
+      out.write("data".getBytes, 0, 4); le32(dataLen)
+      blocks.foreach { case (pl, il, pr, ir, bytes) =>
+        le16(pl & 0xFFFF); out.write(il); out.write(0)
+        le16(pr & 0xFFFF); out.write(ir); out.write(0)
+        bytes.foreach(out.write)
+      }
+      val full = out.toByteArray
+      if (truncate > 0) full.take(full.length - truncate) else full
+    }
+    // independent per-channel replay (the mono recursion, de-chunked)
+    def lane(pred0: Int, idx0: Int, bytes: Seq[Int]): Seq[Int] = {
+      var pred = pred0; var idx = idx0
+      pred0 +: bytes.flatMap { byte =>
+        Seq(byte & 0x0F, byte >> 4).map { nib =>
+          val step = PcmKernel.ImaStep(idx)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = math.max(-32768,
+            math.min(32767, if ((nib & 8) != 0) pred - diff else pred + diff))
+          idx = math.max(0, math.min(88, idx + PcmKernel.ImaIndex(nib & 7)))
+          pred
+        }
+      }
+    }
+    val dataBytes = (0 until 16).map(k => (k * 53 + 9) % 256) // 2 chunk pairs
+    val blocks = Seq((900, 10, -1200, 30, dataBytes),
+      (-5000, 0, 7000, 88, dataBytes.reverse))
+    val b = imaSt(blocks)
+    val r = Option(PcmKernel.parse(b)).get
+    assert(r.getString(0) === "ima_adpcm")
+    assert(r.getLong(2) === 2L) // channels
+    // interleave the two replayed lanes frame-by-frame per block
+    val samples = blocks.flatMap { case (pl, il, pr, ir, bytes) =>
+      val lBytes = bytes.grouped(8).flatMap(_.take(4)).toSeq
+      val rBytes = bytes.grouped(8).flatMap(_.drop(4)).toSeq
+      lane(pl, il, lBytes).zip(lane(pr, ir, rBytes))
+        .flatMap { case (l, rr) => Seq(l, rr) }
+    }
+    assert(r.getLong(4) === samples.length.toLong)
+    assert(r.getLong(6) === samples.map(_.toLong).sum)
+    assert(r.getLong(7) === samples.map(v => v.toLong * v).sum)
+    // duration uses frames (n / ch)
+    assert(r.getLong(5) === samples.length / 2 * 1000L / 8000L)
+    // shared-View transcode identity: the same interleaved samples as
+    // a stereo PCM-16 WAV give identical stats and envelope hash
+    val pcmTwin = wav(8000, 2, samples)
+    val rt = Option(PcmKernel.parse(pcmTwin)).get
+    assert((6 to 10).forall(i => rt.getLong(i) === r.getLong(i)))
+    assert(PcmKernel.envelopeHash(b) != null &&
+      PcmKernel.envelopeHash(b) === PcmKernel.envelopeHash(pcmTwin))
+    // corrupt: right-channel step index past the table; a dangling
+    // left chunk with no right partner; mid-data truncation
+    assert(PcmKernel.parse(imaSt(Seq((0, 0, 0, 89, dataBytes)))) == null)
+    assert(PcmKernel.parse(imaSt(Seq((0, 0, 0, 0, dataBytes.take(4))),
+      blockAlign = 24)) == null)
+    assert(PcmKernel.parse(imaSt(blocks, truncate = 3)) == null)
+  }
+
+  test("MS-ADPCM: public adaptation arithmetic, mono + stereo, transcode identity, corrupt NULLs") {
+    def ms(ch: Int, blocks: Seq[(Seq[Int], Seq[Int], Seq[Int], Seq[Int], Seq[Int])],
+           blockAlign: Int, truncate: Int = 0): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      val dataLen = blocks.map(b => 7 * ch + b._5.length).sum
+      out.write("RIFF".getBytes, 0, 4); le32(4 + 28 + 8 + dataLen)
+      out.write("WAVE".getBytes, 0, 4)
+      out.write("fmt ".getBytes, 0, 4); le32(20)
+      le16(0x02); le16(ch); le32(11025); le32(11025)
+      le16(blockAlign); le16(4); le16(2); le16(0)
+      out.write("data".getBytes, 0, 4); le32(dataLen)
+      blocks.foreach { case (preds, deltas, s1s, s2s, bytes) =>
+        preds.foreach(out.write)
+        deltas.foreach(d => le16(d & 0xFFFF))
+        s1s.foreach(s => le16(s & 0xFFFF))
+        s2s.foreach(s => le16(s & 0xFFFF))
+        bytes.foreach(out.write)
+      }
+      val full = out.toByteArray
+      if (truncate > 0) full.take(full.length - truncate) else full
+    }
+    // independent replay of the documented arithmetic
+    def replay(ch: Int,
+               blocks: Seq[(Seq[Int], Seq[Int], Seq[Int], Seq[Int], Seq[Int])]): Seq[Int] =
+      blocks.flatMap { case (preds, deltas0, s1s, s2s, bytes) =>
+        val c1 = preds.map(PcmKernel.MsCoef1)
+        val c2 = preds.map(PcmKernel.MsCoef2)
+        val delta = deltas0.map(d => math.max(16, d.toShort.toInt)).toArray
+        val s1 = s1s.map(_.toShort.toInt).toArray
+        val s2 = s2s.map(_.toShort.toInt).toArray
+        val head = s2.toSeq ++ s1.toSeq
+        val nibs = bytes.flatMap(byte => Seq(byte >> 4, byte & 0x0F))
+        head ++ nibs.zipWithIndex.map { case (nib, i) =>
+          val c = i % ch
+          val sNib = if (nib >= 8) nib - 16 else nib
+          var pred = (s1(c) * c1(c) + s2(c) * c2(c)) / 256
+          pred = math.max(-32768, math.min(32767, pred + sNib * delta(c)))
+          s2(c) = s1(c); s1(c) = pred
+          delta(c) = math.max(16,
+            math.min(32767, PcmKernel.MsAdapt(nib) * delta(c) / 256))
+          pred
+        }
+      }
+    // mono: two blocks exercising all 7 predictors-worth of state and
+    // a partial final block
+    val monoBytes = (0 until 12).map(k => (k * 71 + 13) % 256)
+    val monoBlocks = Seq(
+      (Seq(0), Seq(32), Seq(1000), Seq(-800), monoBytes),
+      (Seq(5), Seq(700), Seq(-30000), Seq(31000), monoBytes.reverse),
+      (Seq(3), Seq(16), Seq(40), Seq(-40), monoBytes.take(6))) // partial
+    val mb = ms(1, monoBlocks, blockAlign = 7 + 12)
+    val mr = Option(PcmKernel.parse(mb)).get
+    assert(mr.getString(0) === "ms_adpcm")
+    val monoSamples = replay(1, monoBlocks)
+    assert(mr.getLong(4) === monoSamples.length.toLong)
+    assert(mr.getLong(6) === monoSamples.map(_.toLong).sum)
+    assert(mr.getLong(7) === monoSamples.map(v => v.toLong * v).sum)
+    val monoTwin = wav(11025, 1, monoSamples)
+    val mt = Option(PcmKernel.parse(monoTwin)).get
+    assert((6 to 10).forall(i => mt.getLong(i) === mr.getLong(i)))
+    assert(PcmKernel.envelopeHash(mb) != null &&
+      PcmKernel.envelopeHash(mb) === PcmKernel.envelopeHash(monoTwin))
+    // stereo: high nibble = left, low = right, per-channel state
+    val stBytes = (0 until 16).map(k => (k * 37 + 200) % 256)
+    val stBlocks = Seq(
+      (Seq(1, 4), Seq(50, 90), Seq(500, -500), Seq(250, -250), stBytes),
+      (Seq(6, 2), Seq(17, 1), Seq(-12345, 23456), Seq(100, -100),
+        stBytes.reverse))
+    val sb = ms(2, stBlocks, blockAlign = 14 + 16)
+    val sr = Option(PcmKernel.parse(sb)).get
+    assert(sr.getLong(2) === 2L)
+    val stSamples = replay(2, stBlocks)
+    assert(sr.getLong(4) === stSamples.length.toLong)
+    assert(sr.getLong(6) === stSamples.map(_.toLong).sum)
+    assert(sr.getLong(7) === stSamples.map(v => v.toLong * v).sum)
+    val stTwin = wav(11025, 2, stSamples)
+    assert(PcmKernel.envelopeHash(sb) != null &&
+      PcmKernel.envelopeHash(sb) === PcmKernel.envelopeHash(stTwin))
+    // corrupt: bPredictor past the 7-entry tables; header-short final
+    // block; mid-data truncation
+    assert(PcmKernel.parse(ms(1,
+      Seq((Seq(7), Seq(32), Seq(0), Seq(0), monoBytes)), 19)) == null)
+    assert(PcmKernel.parse(ms(2, stBlocks, blockAlign = 24,
+      truncate = 11)) == null) // leaves a 13-byte block < 14-byte header
+    assert(PcmKernel.parse(ms(1, monoBlocks, blockAlign = 19,
+      truncate = 3)) == null)
   }
 
   test("envelope hash: exact bits, transcode/scaling invariance, short/corrupt NULL") {
