@@ -88,6 +88,10 @@ object PcmKernel {
   private val CODEC_ALAW = UTF8String.fromString("alaw")
   private val CODEC_IMA = UTF8String.fromString("ima_adpcm")
   private val CODEC_MS = UTF8String.fromString("ms_adpcm")
+  private val CODEC_FLAC = UTF8String.fromString("flac")
+
+  /** Sentinel `tag` for FLAC containers (no WAV format tag exists). */
+  private val TagFlac = 0xF1ACL
 
   /** MS-ADPCM adaptation table (the public Microsoft WAVE spec),
     * indexed by the unsigned nibble.
@@ -327,12 +331,21 @@ object PcmKernel {
     def at(k: Int): Long =
       if (tag == 1L) le16(b, dataOff + 2 * k).toShort.toLong
       else if (tag == 7L) ulaw2linear(b(dataOff + k) & 0xFF).toLong
-      else if (tag == 0x11L || tag == 2L) dec(k).toLong
+      else if (tag == 0x11L || tag == 2L || tag == TagFlac) dec(k).toLong
       else alaw2linear(b(dataOff + k) & 0xFF).toLong
   }
 
   private def view(b: Array[Byte]): View = {
     if (b == null || b.length < 12) return null
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+      // FLAC (round 17 — the archival lossless format): the fixed-
+      // predictor subset reconstructs exact PCM-16, so stats and the
+      // envelope hash see through the compression via the same View
+      val d = FlacKernel.decode(b)
+      if (d == null) return null
+      return new View(TagFlac, d.rate, d.ch.toLong, 16L, 0,
+        d.samples.length, b, d.samples)
+    }
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return null
@@ -402,7 +415,8 @@ object PcmKernel {
     val bits = v0.bits; val n = v0.n
     def at(k: Int): Long = v0.at(k)
     val (railHi, railLo) =
-      if (tag == 1L || tag == 0x11L || tag == 2L) (32767L, -32768L)
+      if (tag == 1L || tag == 0x11L || tag == 2L || tag == TagFlac)
+        (32767L, -32768L)
       else if (tag == 7L) (32124L, -32124L)
       else (32256L, -32256L)
     // ONE decode pass: sums, clip rails, and the first/last non-silent
@@ -427,6 +441,7 @@ object PcmKernel {
       if (tag == 1L) CODEC_PCM16 else if (tag == 7L) CODEC_ULAW
       else if (tag == 0x11L) CODEC_IMA
       else if (tag == 2L) CODEC_MS
+      else if (tag == TagFlac) CODEC_FLAC
       else CODEC_ALAW
     InternalRow(codec, rate, ch, bits, n.toLong,
       (n / ch) * 1000L / rate, s, sq, clipped, lead.toLong, trail.toLong)

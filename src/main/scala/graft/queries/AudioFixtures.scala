@@ -106,6 +106,118 @@ private[graft] object AudioFixtures {
     if (docId % 11 == 7) full.take(full.length - 3) else full
   }
 
+  /** q388's FLAC payload — a FORWARD-direction fixed-predictor-subset
+    * FLAC encoder (independent of [[graft.expressions.FlacKernel]]):
+    * mono 16-bit, rate 8000 + (doc%5)·4000, TWO frames of
+    * n1 = 2·(doc%20) + 40 and n2 = doc%30 + 30 samples. Frame f's
+    * subframe kind = (doc + f) % 4:
+    *   0 constant  v = (doc·11 + f·17) % 4000 − 2000
+    *   1 verbatim  s_i = (doc·3 + i·257 + f·29) % 4096 − 2048
+    *   2 fixed o1  s_0 = (doc + f·31) % 1000 − 500,
+    *               r_i = (doc + i·7 + f·13) % 16 − 8   (rice param 4)
+    *   3 fixed o2  s_0 = (doc + f·37) % 600 − 300,
+    *               s_1 = s_0 + (doc + f) % 20 − 10,
+    *               r_i = (doc + i·7 + f·13) % 5 − 2    (rice param 2)
+    * Fixed subframes on frame 0 use partition order 1 (n1 is even),
+    * frame 1 partition order 0. CRC bytes are zeros (the kernel reads
+    * samples, it does not certify archives). Corruption plants:
+    * doc%10==3 writes an LPC subframe type (out of the stated subset
+    * — the kernel must NULL, loud not wrong); doc%11==7 truncates 4
+    * bytes mid-frame.
+    */
+  def flacPayload(docId: Long): Array[Byte] = {
+    val rate = 8000 + (docId % 5).toInt * 4000
+    val n1 = 2 * (docId % 20).toInt + 40
+    val n2 = (docId % 30).toInt + 30
+    val bw = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nb = 0
+    def putBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1L).toInt; nb += 1
+        if (nb == 8) { bw.write(acc); acc = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (nb > 0) putBits(0L, 8 - nb)
+    // fLaC + STREAMINFO (last-metadata flag set)
+    "fLaC".foreach(c => putBits(c.toLong, 8))
+    putBits(1L, 1); putBits(0L, 7); putBits(34L, 24)
+    putBits(n2.toLong, 16); putBits(n1.toLong, 16) // min/max blocksize
+    putBits(0L, 24); putBits(0L, 24) // min/max framesize (unknown)
+    putBits(rate.toLong, 20); putBits(0L, 3) // channels − 1 = 0
+    putBits(15L, 5) // bps − 1 = 15
+    putBits((n1 + n2).toLong, 36)
+    (0 until 16).foreach(_ => putBits(0L, 8)) // MD5 (not certified)
+    def rice(v: Long, param: Int): Unit = {
+      val u = if (v < 0) -2 * v - 1 else 2 * v // zigzag
+      val q = (u >> param).toInt
+      (0 until q).foreach(_ => putBits(0L, 1)); putBits(1L, 1)
+      putBits(u & ((1L << param) - 1), param)
+    }
+    def frame(f: Int, n: Int): Unit = {
+      putBits(0x3FFEL, 14); putBits(0L, 1); putBits(0L, 1)
+      putBits(6L, 4) // block size: 8-bit at end of header
+      putBits(0L, 4) // rate from STREAMINFO
+      putBits(0L, 4) // mono independent
+      putBits(4L, 3) // 16-bit
+      putBits(0L, 1)
+      putBits(f.toLong, 8) // coded frame number (< 0x80: one byte)
+      putBits((n - 1).toLong, 8)
+      putBits(0L, 8) // CRC-8 (zeros)
+      putBits(0L, 1) // subframe zero pad
+      val kind = ((docId + f) % 4).toInt
+      if (docId % 10 == 3 && f == 0) {
+        // corruption plant: an LPC subframe (type 32 + order-1)
+        putBits(32L, 6); putBits(0L, 1)
+        putBits(0L, 16)
+      } else kind match {
+        case 0 =>
+          putBits(0L, 6); putBits(0L, 1)
+          putBits(((docId * 11 + f * 17) % 4000 - 2000) & 0xFFFFL, 16)
+        case 1 =>
+          putBits(1L, 6); putBits(0L, 1)
+          (0 until n).foreach(i =>
+            putBits(((docId * 3 + i * 257 + f * 29) % 4096 - 2048) & 0xFFFFL, 16))
+        case 2 =>
+          putBits(9L, 6); putBits(0L, 1) // fixed order 1
+          putBits(((docId + f * 31) % 1000 - 500) & 0xFFFFL, 16)
+          val po = if (f == 0) 1 else 0
+          putBits(0L, 2); putBits(po.toLong, 4)
+          var i = 1
+          (0 until (1 << po)).foreach { p =>
+            putBits(4L, 4)
+            val count = (n >> po) - (if (p == 0) 1 else 0)
+            (0 until count).foreach { _ =>
+              rice((docId + i * 7 + f * 13) % 16 - 8, 4); i += 1
+            }
+          }
+        case _ =>
+          putBits(10L, 6); putBits(0L, 1) // fixed order 2
+          val s0 = (docId + f * 37) % 600 - 300
+          putBits(s0 & 0xFFFFL, 16)
+          putBits((s0 + (docId + f) % 20 - 10) & 0xFFFFL, 16)
+          val po = if (f == 0) 1 else 0
+          putBits(0L, 2); putBits(po.toLong, 4)
+          var i = 2
+          (0 until (1 << po)).foreach { p =>
+            putBits(2L, 4)
+            val count = (n >> po) - (if (p == 0) 2 else 0)
+            (0 until count).foreach { _ =>
+              rice((docId + i * 7 + f * 13) % 5 - 2, 2); i += 1
+            }
+          }
+      }
+      align()
+      putBits(0L, 16) // CRC-16 (zeros)
+    }
+    frame(0, n1)
+    frame(1, n2)
+    align()
+    val full = bw.toByteArray
+    if (docId % 11 == 7) full.take(full.length - 4) else full
+  }
+
   /** q387's STEREO IMA ADPCM payload: blockAlign 24 (8 header bytes +
     * 2 alternating 4-byte channel chunk pairs → 34 interleaved samples
     * per full block), rate = 8000 + (doc%3)·4000, nblocks = doc%3 + 2;

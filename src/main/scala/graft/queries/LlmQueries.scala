@@ -5670,6 +5670,40 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q388: FLAC sample decode, fixed-predictor subset (round 17 —
+    // the sixth codec, the archival lossless format: without sample
+    // reconstruction the envelope hash cannot see through FLAC
+    // compression). Two sequential frames per payload covering all
+    // four subset subframe kinds (constant / verbatim / fixed order
+    // 1 / fixed order 2) with Rice-coded partitioned residuals; the
+    // oracle replays the fixed predictors as ITERATED PREFIX SUMS
+    // (order 1 = one windowed sum of the residuals, order 2 = two) —
+    // no recursion needed. Corruption plants: an LPC subframe (out of
+    // the stated subset → NULL, loud) and mid-frame truncation.
+    "q388_flac_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, AudioFixtures.flacPayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pcmStats(col("__p")).as("__s"),
+          graft.functions.audioHash(col("__p")).as("ahash"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.codec").as("codec"),
+          col("__s.sample_rate").as("sample_rate"),
+          col("__s.channels").as("channels"),
+          col("__s.n_samples").as("n_samples"),
+          col("__s.duration_ms").as("duration_ms"),
+          col("__s.sum_q").as("sum_q"),
+          col("__s.sq_sum").as("sq_sum"),
+          col("__s.n_clipped").as("n_clipped"),
+          col("__s.lead_silence").as("lead_silence"),
+          col("__s.trail_silence").as("trail_silence"),
+          col("ahash"))
+        .orderBy("doc_id")
+    }),
+
     // q378: the band-bucket OCCUPANCY GUARD under a constant-image
     // flood (round 16 — the q374 fixture incident as a production
     // hazard): 60% of the corpus is the SAME solid fill (any flat
@@ -15830,6 +15864,96 @@ object LlmQueries {
         |  CASE WHEN d.ok THEN st.lead_silence END AS lead_silence,
         |  CASE WHEN d.ok THEN st.trail_silence END AS trail_silence
         |FROM d LEFT JOIN st USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // FLAC subset: per-frame samples replayed from the fixture
+    // formulas, fixed predictors as ITERATED PREFIX SUMS (two
+    // windowed sums), envelope hash via the 65-window abs-energy
+    // sign-bit replay (q367's machinery).
+    "q388_flac_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8000 + (doc_id % 5) * 4000 AS rate,
+        |    2 * (doc_id % 20) + 40 AS n1, doc_id % 30 + 30 AS n2,
+        |    NOT (doc_id % 10 = 3 OR doc_id % 11 = 7) AS ok
+        |  FROM documents),
+        |fx AS (
+        |  SELECT doc_id, f, n, kind, n1, unnest(range(n)) AS i
+        |  FROM (
+        |    SELECT doc_id, u.f AS f, n1,
+        |      CASE WHEN u.f = 0 THEN n1 ELSE n2 END AS n,
+        |      (doc_id + u.f) % 4 AS kind
+        |    FROM d, (SELECT unnest(range(2)) AS f) u
+        |    WHERE ok)),
+        |rr AS (
+        |  SELECT doc_id, f, n, kind, n1, i,
+        |    CASE WHEN kind = 2 AND i >= 1
+        |        THEN (doc_id + i * 7 + f * 13) % 16 - 8
+        |      WHEN kind = 3 AND i >= 2
+        |        THEN (doc_id + i * 7 + f * 13) % 5 - 2
+        |      ELSE 0 END AS r
+        |  FROM fx),
+        |w1 AS (
+        |  SELECT *, sum(r) OVER (PARTITION BY doc_id, f ORDER BY i)
+        |    AS cum1
+        |  FROM rr),
+        |w2 AS (
+        |  SELECT *, sum(cum1) OVER (PARTITION BY doc_id, f ORDER BY i)
+        |    AS cum2
+        |  FROM w1),
+        |smp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN f = 0 THEN i ELSE n1 + i END AS pos,
+        |    CASE WHEN kind = 0 THEN (doc_id * 11 + f * 17) % 4000 - 2000
+        |      WHEN kind = 1
+        |        THEN (doc_id * 3 + i * 257 + f * 29) % 4096 - 2048
+        |      WHEN kind = 2
+        |        THEN (doc_id + f * 31) % 1000 - 500 + cum1
+        |      WHEN i = 0 THEN (doc_id + f * 37) % 600 - 300
+        |      WHEN i = 1
+        |        THEN (doc_id + f * 37) % 600 - 300 + (doc_id + f) % 20 - 10
+        |      ELSE (doc_id + f * 37) % 600 - 300 + (doc_id + f) % 20 - 10
+        |        + (i - 1) * ((doc_id + f) % 20 - 10) + cum2
+        |    END AS v
+        |  FROM w2),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sum_q,
+        |    CAST(sum(v * v) AS BIGINT) AS sq_sum,
+        |    CAST(count(CASE WHEN v = 32767 OR v = -32768 THEN 1 END)
+        |      AS BIGINT) AS n_clipped,
+        |    CAST(coalesce(min(CASE WHEN abs(v) > 256 THEN pos END),
+        |      count(*)) AS BIGINT) AS lead_silence,
+        |    CAST(coalesce(max(pos) - max(CASE WHEN abs(v) > 256 THEN pos
+        |      END), count(*)) AS BIGINT) AS trail_silence
+        |  FROM smp GROUP BY 1),
+        |env AS (
+        |  SELECT s.doc_id, (65 * s.pos) // t.n AS t, sum(abs(s.v)) AS e
+        |  FROM smp s JOIN st t USING (doc_id)
+        |  GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT a.doc_id,
+        |    sum(CAST(1 AS HUGEINT) << CAST(a.t AS INT)) AS hraw
+        |  FROM env a JOIN env b
+        |    ON b.doc_id = a.doc_id AND b.t = a.t + 1
+        |  WHERE a.t < 64 AND b.e > a.e
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.ok AS parsed,
+        |  CASE WHEN d.ok THEN 'flac' END AS codec,
+        |  CASE WHEN d.ok THEN CAST(d.rate AS BIGINT) END AS sample_rate,
+        |  CASE WHEN d.ok THEN CAST(1 AS BIGINT) END AS channels,
+        |  CASE WHEN d.ok THEN st.n END AS n_samples,
+        |  CASE WHEN d.ok THEN st.n * 1000 // d.rate END AS duration_ms,
+        |  CASE WHEN d.ok THEN st.sum_q END AS sum_q,
+        |  CASE WHEN d.ok THEN st.sq_sum END AS sq_sum,
+        |  CASE WHEN d.ok THEN st.n_clipped END AS n_clipped,
+        |  CASE WHEN d.ok THEN st.lead_silence END AS lead_silence,
+        |  CASE WHEN d.ok THEN st.trail_silence END AS trail_silence,
+        |  CASE WHEN d.ok THEN
+        |    CAST(coalesce(hb.hraw, 0)
+        |      - CASE WHEN coalesce(hb.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |  END AS ahash
+        |FROM d LEFT JOIN st USING (doc_id) LEFT JOIN hb USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // MS-ADPCM: the per-nibble predictor/delta recursion with

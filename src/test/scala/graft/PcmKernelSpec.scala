@@ -390,6 +390,137 @@ class PcmKernelSpec extends SparkSpec {
       truncate = 3)) == null)
   }
 
+  test("FLAC fixed-predictor subset: all four subframe kinds, transcode identity, corrupt NULLs") {
+    // replay the fixture's documented sample formulas independently
+    def frameSamples(doc: Long, f: Int, n: Int): Seq[Int] = ((doc + f) % 4).toInt match {
+      case 0 => Seq.fill(n)(((doc * 11 + f * 17) % 4000 - 2000).toInt)
+      case 1 => (0 until n).map(i => ((doc * 3 + i * 257 + f * 29) % 4096 - 2048).toInt)
+      case 2 =>
+        var s = ((doc + f * 31) % 1000 - 500).toInt
+        s +: (1 until n).map { i =>
+          s += ((doc + i * 7 + f * 13) % 16 - 8).toInt; s
+        }
+      case _ =>
+        val s0 = ((doc + f * 37) % 600 - 300).toInt
+        val s1 = s0 + ((doc + f) % 20 - 10).toInt
+        var a = s0; var b = s1
+        Seq(s0, s1) ++ (2 until n).map { i =>
+          val s = 2 * b - a + ((doc + i * 7 + f * 13) % 5 - 2).toInt
+          a = b; b = s; s
+        }
+    }
+    for (doc <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 10L, 15L, 21L, 26L)) {
+      val p = graft.queries.AudioFixtures.flacPayload(doc)
+      val r = Option(PcmKernel.parse(p)).getOrElse(fail(s"doc $doc NULL"))
+      val n1 = 2 * (doc % 20).toInt + 40
+      val n2 = (doc % 30).toInt + 30
+      val samples = frameSamples(doc, 0, n1) ++ frameSamples(doc, 1, n2)
+      assert(r.getString(0) === "flac", s"doc $doc")
+      assert(r.getLong(1) === 8000L + (doc % 5) * 4000)
+      assert(r.getLong(2) === 1L)
+      assert(r.getLong(4) === samples.length.toLong, s"doc $doc")
+      assert(r.getLong(6) === samples.map(_.toLong).sum, s"doc $doc")
+      assert(r.getLong(7) === samples.map(v => v.toLong * v).sum, s"doc $doc")
+      // transcode identity: the SAME samples as PCM-16 WAV — identical
+      // stats and envelope hash (the compression-transparency contract
+      // the audio dedup tier needs for archival corpora)
+      val twin = wav(r.getLong(1).toInt, 1, samples)
+      val rt = Option(PcmKernel.parse(twin)).get
+      assert((6 to 10).forall(i => rt.getLong(i) === r.getLong(i)), s"doc $doc")
+      assert(PcmKernel.envelopeHash(p) != null &&
+        PcmKernel.envelopeHash(p) === PcmKernel.envelopeHash(twin))
+    }
+    // corruption plants: LPC subframe (out of subset), truncation
+    assert(PcmKernel.parse(graft.queries.AudioFixtures.flacPayload(3L)) == null)
+    assert(PcmKernel.parse(graft.queries.AudioFixtures.flacPayload(7L)) == null)
+    // every truncation prefix of a healthy payload: NULL, never wrong
+    val healthy = graft.queries.AudioFixtures.flacPayload(4L)
+    val want = Option(PcmKernel.parse(healthy)).get.getLong(7)
+    (0 until healthy.length).foreach { n =>
+      val got = Option(PcmKernel.parse(healthy.take(n)))
+      assert(got.isEmpty || got.get.getLong(7) == want, s"prefix $n")
+    }
+  }
+
+  test("FLAC decoder corners: escape partitions, wasted bits, out-of-subset NULLs") {
+    // test-local bit writer (independent of both fixture and kernel)
+    class BW {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0; var nb = 0
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1L).toInt; nb += 1
+          if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+          i -= 1
+        }
+      }
+      def align(): Unit = if (nb > 0) put(0L, 8 - nb)
+      def bytes: Array[Byte] = { align(); out.toByteArray }
+    }
+    def stream(total: Int, rate: Int = 8000)(body: BW => Unit): Array[Byte] = {
+      val w = new BW
+      "fLaC".foreach(c => w.put(c.toLong, 8))
+      w.put(1L, 1); w.put(0L, 7); w.put(34L, 24)
+      w.put(total.toLong, 16); w.put(total.toLong, 16)
+      w.put(0L, 24); w.put(0L, 24)
+      w.put(rate.toLong, 20); w.put(0L, 3); w.put(15L, 5)
+      w.put(total.toLong, 36)
+      (0 until 16).foreach(_ => w.put(0L, 8))
+      body(w)
+      w.bytes
+    }
+    def frameHeader(w: BW, n: Int): Unit = {
+      w.put(0x3FFEL, 14); w.put(0L, 2)
+      w.put(6L, 4); w.put(0L, 4); w.put(0L, 4); w.put(4L, 3); w.put(0L, 1)
+      w.put(0L, 8); w.put((n - 1).toLong, 8); w.put(0L, 8)
+    }
+    // ESCAPE partition: order-0 fixed subframe, po 0, param 15 →
+    // 5-bit raw residuals; raw width 6 encodes values −32..31
+    val esc = stream(4) { w =>
+      frameHeader(w, 4)
+      w.put(0L, 1); w.put(8L, 6); w.put(0L, 1) // fixed order 0
+      w.put(0L, 2); w.put(0L, 4) // rice4, po 0
+      w.put(15L, 4) // escape
+      w.put(6L, 5) // raw width 6
+      Seq(-32L, 31L, -1L, 0L).foreach(v => w.put(v & 0x3FL, 6))
+      w.align(); w.put(0L, 16)
+    }
+    val er = Option(PcmKernel.parse(esc)).get
+    assert(er.getLong(4) === 4L)
+    assert(er.getLong(6) === (-32L + 31 - 1 + 0))
+    assert(er.getLong(7) === (32L * 32 + 31 * 31 + 1))
+    // WASTED BITS: constant subframe, 2 wasted bits (unary "01" = 2),
+    // 14-bit value 100 → samples 100 << 2 = 400
+    val wasted = stream(3) { w =>
+      frameHeader(w, 3)
+      w.put(0L, 1); w.put(0L, 6); w.put(1L, 1) // wasted flag
+      w.put(1L, 2) // unary: one 0 then 1 → count 2
+      w.put(100L, 14) // bps − wasted = 14 bits
+      w.align(); w.put(0L, 16)
+    }
+    val wr = Option(PcmKernel.parse(wasted)).get
+    assert(wr.getLong(4) === 3L && wr.getLong(6) === 1200L)
+    // out of subset: mid/side stereo (chan code 10), LPC, 8-bit bps
+    val midSide = stream(4) { w =>
+      w.put(0x3FFEL, 14); w.put(0L, 2)
+      w.put(6L, 4); w.put(0L, 4); w.put(10L, 4); w.put(4L, 3); w.put(0L, 1)
+      w.put(0L, 8); w.put(3L, 8); w.put(0L, 8)
+    }
+    assert(PcmKernel.parse(midSide) == null)
+    val bps8 = {
+      val w = new BW
+      "fLaC".foreach(c => w.put(c.toLong, 8))
+      w.put(1L, 1); w.put(0L, 7); w.put(34L, 24)
+      w.put(4L, 16); w.put(4L, 16); w.put(0L, 24); w.put(0L, 24)
+      w.put(8000L, 20); w.put(0L, 3); w.put(7L, 5) // bps 8
+      w.put(4L, 36)
+      (0 until 16).foreach(_ => w.put(0L, 8))
+      w.bytes
+    }
+    assert(PcmKernel.parse(bps8) == null)
+  }
+
   test("envelope hash: exact bits, transcode/scaling invariance, short/corrupt NULL") {
     // deterministic pseudo-random samples, long enough for 65 windows
     val n = 130
