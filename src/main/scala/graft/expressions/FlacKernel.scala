@@ -6,9 +6,11 @@ package graft.expressions
   * perceptual-audio-dedup pass most needs to see through (lossless
   * compression hides the payload from the envelope hash unless the
   * samples are reconstructed). Deliberately OUT of the subset — NULL,
-  * loud not wrong: LPC subframes (type 32+), decorrelated stereo
-  * (left/side, right/side, mid/side channel assignments), sample
-  * sizes other than 16 bits, and unknown-total-sample streams.
+  * loud not wrong: LPC subframes (type 32+), sample sizes other than
+  * 16 bits, and unknown-total-sample streams. Decorrelated stereo
+  * (left/side, right/side, mid/side) IS decoded: the side channel
+  * carries one extra bit per sample and all three reconstructions
+  * are integer-exact.
   *
   * What IS decoded (all pure integer arithmetic, oracle-replayable):
   *  - "fLaC" magic + metadata walk (STREAMINFO mandatory first; all
@@ -137,7 +139,13 @@ object FlacKernel {
     val chanCode = r.bits(4).toInt
     val sizeCode = r.bits(3).toInt
     r.bits(1) // reserved
-    if (chanCode != ch - 1) return -1 // independent channels only
+    // channel layouts: independent (code = ch − 1), or — for stereo —
+    // the three decorrelated assignments (round 17): 8 left/side,
+    // 9 right/side, 10 mid/side; the SIDE channel carries one extra
+    // bit per sample and decorrelation is integer-exact
+    val decor = chanCode >= 8 && chanCode <= 10
+    if (decor && ch != 2) return -1
+    if (!decor && chanCode != ch - 1) return -1
     if (!(sizeCode == 0 || sizeCode == 4)) return -1 // 16-bit subset
     // UTF-8-style coded number: leading-ones count gives the width
     val first = r.bits(8).toInt
@@ -166,28 +174,66 @@ object FlacKernel {
     }
     r.bits(8) // CRC-8 (not certified)
     if (r.bad || blockSize <= 0 || blockSize > remaining) return -1
+    val chans = new Array[Array[Long]](ch)
     var c = 0
     while (c < ch) {
-      if (!decodeSubframe(r, bps, blockSize, out, at + c, ch)) return -1
+      // left/side: ch1 is the side; right/side: ch0; mid/side: ch1
+      val side = (chanCode == 8 && c == 1) || (chanCode == 9 && c == 0) ||
+        (chanCode == 10 && c == 1)
+      val buf = decodeSubframe(r, bps + (if (side) 1 else 0), blockSize)
+      if (buf == null) return -1
+      chans(c) = buf
       c += 1
+    }
+    if (chanCode == 8) { // left/side: R = L − S
+      var i = 0
+      while (i < blockSize) {
+        chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1
+      }
+    } else if (chanCode == 9) { // right/side: L = R + S
+      var i = 0
+      while (i < blockSize) {
+        val s = chans(0)(i)
+        chans(0)(i) = chans(1)(i) + s; i += 1
+      }
+    } else if (chanCode == 10) { // mid/side, lossless reconstruction
+      var i = 0
+      while (i < blockSize) {
+        val s = chans(1)(i)
+        val m2 = (chans(0)(i) << 1) | (s & 1L)
+        chans(0)(i) = (m2 + s) >> 1
+        chans(1)(i) = (m2 - s) >> 1
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < blockSize) {
+      c = 0
+      while (c < ch) {
+        val v = chans(c)(i)
+        if (v < -32768L || v > 32767L) return -1 // corrupt stream
+        out(at + i * ch + c) = v.toShort
+        c += 1
+      }
+      i += 1
     }
     r.alignByte()
     r.bits(16) // CRC-16 (not certified)
     if (r.bad) -1 else blockSize
   }
 
-  /** Decode one subframe, writing its `n` samples into `out` at
-    * stride `ch` starting from `at`.
+  /** Decode one subframe to its raw (post-wasted-shift, pre-
+    * decorrelation) channel signal, or null on corruption /
+    * out-of-subset layouts.
     */
-  private def decodeSubframe(r: Reader, bps: Int, n: Int,
-                             out: Array[Short], at: Int, ch: Int): Boolean = {
-    if (r.bits(1) != 0L) return false // zero-pad bit
+  private def decodeSubframe(r: Reader, bps: Int, n: Int): Array[Long] = {
+    if (r.bits(1) != 0L) return null // zero-pad bit
     val tpe = r.bits(6).toInt
     val wasted =
       if (r.bits(1) == 1L) r.unary() + 1
       else 0
     val eb = bps - wasted // effective bits
-    if (eb <= 0 || r.bad) return false
+    if (eb <= 0 || r.bad) return null
     val s = new Array[Long](n)
     if (tpe == 0) { // constant
       val v = r.signedBits(eb)
@@ -197,10 +243,10 @@ object FlacKernel {
       while (i < n) { s(i) = r.signedBits(eb); i += 1 }
     } else if (tpe >= 8 && tpe <= 12) { // fixed, order 0..4
       val order = tpe - 8
-      if (order > n) return false
+      if (order > n) return null
       var i = 0
       while (i < order) { s(i) = r.signedBits(eb); i += 1 }
-      if (!readResidual(r, n, order, s)) return false
+      if (!readResidual(r, n, order, s)) return null
       i = order
       while (i < n) {
         val p = order match {
@@ -213,16 +259,13 @@ object FlacKernel {
         s(i) += p
         i += 1
       }
-    } else return false // LPC and reserved types: out of subset
-    if (r.bad) return false
-    var i = 0
-    while (i < n) {
-      val v = s(i) << wasted
-      if (v < -32768L || v > 32767L) return false // corrupt stream
-      out(at + i * ch) = v.toShort
-      i += 1
+    } else return null // LPC and reserved types: out of subset
+    if (r.bad) return null
+    if (wasted > 0) {
+      var i = 0
+      while (i < n) { s(i) = s(i) << wasted; i += 1 }
     }
-    true
+    s
   }
 
   /** Rice-coded residual section into s[order..n). */

@@ -218,6 +218,80 @@ private[graft] object AudioFixtures {
     if (docId % 11 == 7) full.take(full.length - 4) else full
   }
 
+  /** q389's STEREO FLAC payload — verbatim subframes through all four
+    * channel assignments (independent / left-side / right-side /
+    * mid-side by doc % 4), two frames of n1 = doc%40 + 40 and
+    * n2 = doc%20 + 33 samples per channel, target signals
+    *   L_i = (doc·3 + i·257 + f·71) % 3000 − 1500
+    *   R_i = (doc·5 + i·193 + f·101) % 3000 − 1500
+    * encoded as the assignment's channel signals (side = L − R at 17
+    * bits, mid = (L+R) >> 1 — arithmetic shift, the lossless
+    * convention both directions share), so the DECODED output is
+    * exactly L/R interleaved and the oracle replays the formulas with
+    * no decorrelation model. Corruption plants: doc%10==3 writes the
+    * reserved channel code 11; doc%11==7 truncates 4 bytes.
+    */
+  def flacStereoPayload(docId: Long): Array[Byte] = {
+    val rate = 16000 + (docId % 3).toInt * 8000
+    val n1 = (docId % 40).toInt + 40
+    val n2 = (docId % 20).toInt + 33
+    val bw = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nb = 0
+    def putBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1L).toInt; nb += 1
+        if (nb == 8) { bw.write(acc); acc = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (nb > 0) putBits(0L, 8 - nb)
+    "fLaC".foreach(c => putBits(c.toLong, 8))
+    putBits(1L, 1); putBits(0L, 7); putBits(34L, 24)
+    putBits(n2.toLong, 16); putBits(n1.toLong, 16)
+    putBits(0L, 24); putBits(0L, 24)
+    putBits(rate.toLong, 20); putBits(1L, 3) // channels − 1 = 1
+    putBits(15L, 5)
+    putBits((n1 + n2).toLong, 36)
+    (0 until 16).foreach(_ => putBits(0L, 8))
+    val chanCode =
+      if (docId % 10 == 3) 11L // reserved: the corruption plant
+      else Seq(1L, 8L, 9L, 10L)((docId % 4).toInt)
+    def frame(f: Int, n: Int): Unit = {
+      putBits(0x3FFEL, 14); putBits(0L, 2)
+      putBits(6L, 4); putBits(0L, 4)
+      putBits(chanCode, 4); putBits(4L, 3); putBits(0L, 1)
+      putBits(f.toLong, 8)
+      putBits((n - 1).toLong, 8)
+      putBits(0L, 8) // CRC-8
+      def l(i: Int) = (docId * 3 + i * 257 + f * 71) % 3000 - 1500
+      def rr(i: Int) = (docId * 5 + i * 193 + f * 101) % 3000 - 1500
+      // the two channel signals + their bit widths per assignment
+      val (s0, w0, s1, w1): (Int => Long, Int, Int => Long, Int) =
+        chanCode match {
+          case 8L => (l _, 16, i => l(i) - rr(i), 17)
+          case 9L => ((i => l(i) - rr(i)): Int => Long, 17, rr _, 16)
+          case 10L =>
+            ((i => (l(i) + rr(i)) >> 1): Int => Long, 16,
+              i => l(i) - rr(i), 17)
+          case _ => (l _, 16, rr _, 16)
+        }
+      def verbatim(sig: Int => Long, w: Int): Unit = {
+        putBits(0L, 1); putBits(1L, 6); putBits(0L, 1)
+        (0 until n).foreach(i => putBits(sig(i) & ((1L << w) - 1), w))
+      }
+      verbatim(s0, w0)
+      verbatim(s1, w1)
+      align()
+      putBits(0L, 16)
+    }
+    frame(0, n1)
+    frame(1, n2)
+    align()
+    val full = bw.toByteArray
+    if (docId % 11 == 7) full.take(full.length - 4) else full
+  }
+
   /** q387's STEREO IMA ADPCM payload: blockAlign 24 (8 header bytes +
     * 2 alternating 4-byte channel chunk pairs → 34 interleaved samples
     * per full block), rate = 8000 + (doc%3)·4000, nblocks = doc%3 + 2;

@@ -5704,6 +5704,39 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // q389: FLAC STEREO DECORRELATION (round 17, closing q388's named
+    // exclusion): left/side, right/side, and mid/side channel
+    // assignments — the side channel carries one extra bit per sample
+    // and every reconstruction is integer-exact, so the decoded
+    // output is the ORIGINAL L/R and the oracle replays the target
+    // formulas with NO decorrelation model (losslessness IS the
+    // contract being graded). Corruption plants: the reserved channel
+    // code 11; mid-frame truncation.
+    "q389_flac_stereo" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, AudioFixtures.flacStereoPayload(id))))
+        .toDF("doc_id", "__p")
+      media
+        .select(col("doc_id"),
+          graft.functions.pcmStats(col("__p")).as("__s"),
+          graft.functions.audioHash(col("__p")).as("ahash"))
+        .select(col("doc_id"), col("__s").isNotNull.as("parsed"),
+          col("__s.codec").as("codec"),
+          col("__s.sample_rate").as("sample_rate"),
+          col("__s.channels").as("channels"),
+          col("__s.n_samples").as("n_samples"),
+          col("__s.duration_ms").as("duration_ms"),
+          col("__s.sum_q").as("sum_q"),
+          col("__s.sq_sum").as("sq_sum"),
+          col("__s.n_clipped").as("n_clipped"),
+          col("__s.lead_silence").as("lead_silence"),
+          col("__s.trail_silence").as("trail_silence"),
+          col("ahash"))
+        .orderBy("doc_id")
+    }),
+
     // q378: the band-bucket OCCUPANCY GUARD under a constant-image
     // flood (round 16 — the q374 fixture incident as a production
     // hazard): 60% of the corpus is the SAME solid fill (any flat
@@ -15943,6 +15976,72 @@ object LlmQueries {
         |  CASE WHEN d.ok THEN CAST(1 AS BIGINT) END AS channels,
         |  CASE WHEN d.ok THEN st.n END AS n_samples,
         |  CASE WHEN d.ok THEN st.n * 1000 // d.rate END AS duration_ms,
+        |  CASE WHEN d.ok THEN st.sum_q END AS sum_q,
+        |  CASE WHEN d.ok THEN st.sq_sum END AS sq_sum,
+        |  CASE WHEN d.ok THEN st.n_clipped END AS n_clipped,
+        |  CASE WHEN d.ok THEN st.lead_silence END AS lead_silence,
+        |  CASE WHEN d.ok THEN st.trail_silence END AS trail_silence,
+        |  CASE WHEN d.ok THEN
+        |    CAST(coalesce(hb.hraw, 0)
+        |      - CASE WHEN coalesce(hb.hraw, 0) >= 9223372036854775808
+        |          THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+        |  END AS ahash
+        |FROM d LEFT JOIN st USING (doc_id) LEFT JOIN hb USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // FLAC stereo: decorrelation is lossless, so the oracle replays
+    // the target L/R formulas directly (interleaved positions), the
+    // q381-style stats, and the 65-window envelope hash.
+    "q389_flac_stereo" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16000 + (doc_id % 3) * 8000 AS rate,
+        |    doc_id % 40 + 40 AS n1, doc_id % 20 + 33 AS n2,
+        |    NOT (doc_id % 10 = 3 OR doc_id % 11 = 7) AS ok
+        |  FROM documents),
+        |fx AS (
+        |  SELECT doc_id, f, n1, unnest(range(n)) AS i
+        |  FROM (
+        |    SELECT doc_id, u.f AS f, n1,
+        |      CASE WHEN u.f = 0 THEN n1 ELSE n2 END AS n
+        |    FROM d, (SELECT unnest(range(2)) AS f) u
+        |    WHERE ok)),
+        |smp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    2 * (CASE WHEN f = 0 THEN i ELSE n1 + i END) + c AS pos,
+        |    CASE WHEN c = 0
+        |      THEN (doc_id * 3 + i * 257 + f * 71) % 3000 - 1500
+        |      ELSE (doc_id * 5 + i * 193 + f * 101) % 3000 - 1500
+        |    END AS v
+        |  FROM fx, (SELECT unnest(range(2)) AS c)),
+        |st AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sum_q,
+        |    CAST(sum(v * v) AS BIGINT) AS sq_sum,
+        |    CAST(count(CASE WHEN v = 32767 OR v = -32768 THEN 1 END)
+        |      AS BIGINT) AS n_clipped,
+        |    CAST(coalesce(min(CASE WHEN abs(v) > 256 THEN pos END),
+        |      count(*)) AS BIGINT) AS lead_silence,
+        |    CAST(coalesce(max(pos) - max(CASE WHEN abs(v) > 256 THEN pos
+        |      END), count(*)) AS BIGINT) AS trail_silence
+        |  FROM smp GROUP BY 1),
+        |env AS (
+        |  SELECT s.doc_id, (65 * s.pos) // t.n AS t, sum(abs(s.v)) AS e
+        |  FROM smp s JOIN st t USING (doc_id)
+        |  GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT a.doc_id,
+        |    sum(CAST(1 AS HUGEINT) << CAST(a.t AS INT)) AS hraw
+        |  FROM env a JOIN env b
+        |    ON b.doc_id = a.doc_id AND b.t = a.t + 1
+        |  WHERE a.t < 64 AND b.e > a.e
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.ok AS parsed,
+        |  CASE WHEN d.ok THEN 'flac' END AS codec,
+        |  CASE WHEN d.ok THEN CAST(d.rate AS BIGINT) END AS sample_rate,
+        |  CASE WHEN d.ok THEN CAST(2 AS BIGINT) END AS channels,
+        |  CASE WHEN d.ok THEN st.n END AS n_samples,
+        |  CASE WHEN d.ok THEN (st.n // 2) * 1000 // d.rate
+        |    END AS duration_ms,
         |  CASE WHEN d.ok THEN st.sum_q END AS sum_q,
         |  CASE WHEN d.ok THEN st.sq_sum END AS sq_sum,
         |  CASE WHEN d.ok THEN st.n_clipped END AS n_clipped,

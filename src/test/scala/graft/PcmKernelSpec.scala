@@ -501,7 +501,8 @@ class PcmKernelSpec extends SparkSpec {
     }
     val wr = Option(PcmKernel.parse(wasted)).get
     assert(wr.getLong(4) === 3L && wr.getLong(6) === 1200L)
-    // out of subset: mid/side stereo (chan code 10), LPC, 8-bit bps
+    // a MONO stream claiming mid/side (decorrelation needs 2 declared
+    // channels) is corrupt; 8-bit bps is out of subset
     val midSide = stream(4) { w =>
       w.put(0x3FFEL, 14); w.put(0L, 2)
       w.put(6L, 4); w.put(0L, 4); w.put(10L, 4); w.put(4L, 3); w.put(0L, 1)
@@ -519,6 +520,37 @@ class PcmKernelSpec extends SparkSpec {
       w.bytes
     }
     assert(PcmKernel.parse(bps8) == null)
+  }
+
+  test("FLAC stereo decorrelation: all four assignments reconstruct exact L/R") {
+    // the fixture's decoded output must be the ORIGINAL L/R signals
+    // for every assignment — decorrelation is lossless by construction
+    def lr(doc: Long, f: Int, n: Int): Seq[Int] =
+      (0 until n).flatMap { i =>
+        Seq(((doc * 3 + i * 257 + f * 71) % 3000 - 1500).toInt,
+          ((doc * 5 + i * 193 + f * 101) % 3000 - 1500).toInt)
+      }
+    for (doc <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 10L, 11L, 15L)) { // %4 covers all
+      val p = graft.queries.AudioFixtures.flacStereoPayload(doc)
+      val r = Option(PcmKernel.parse(p))
+        .getOrElse(fail(s"doc $doc (assignment ${doc % 4}) NULL"))
+      val n1 = (doc % 40).toInt + 40
+      val n2 = (doc % 20).toInt + 33
+      val samples = lr(doc, 0, n1) ++ lr(doc, 1, n2)
+      assert(r.getString(0) === "flac")
+      assert(r.getLong(2) === 2L)
+      assert(r.getLong(4) === samples.length.toLong, s"doc $doc")
+      assert(r.getLong(6) === samples.map(_.toLong).sum, s"doc $doc")
+      assert(r.getLong(7) === samples.map(v => v.toLong * v).sum, s"doc $doc")
+      // transcode identity against the interleaved stereo PCM-16 WAV
+      val twin = wav(r.getLong(1).toInt, 2, samples)
+      assert(PcmKernel.envelopeHash(p) != null &&
+        PcmKernel.envelopeHash(p) === PcmKernel.envelopeHash(twin),
+        s"doc $doc")
+    }
+    // reserved channel code 11 and truncation quarantine
+    assert(PcmKernel.parse(graft.queries.AudioFixtures.flacStereoPayload(3L)) == null)
+    assert(PcmKernel.parse(graft.queries.AudioFixtures.flacStereoPayload(7L)) == null)
   }
 
   test("envelope hash: exact bits, transcode/scaling invariance, short/corrupt NULL") {
