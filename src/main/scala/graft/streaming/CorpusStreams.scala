@@ -608,6 +608,47 @@ object CorpusStreams {
         col("n_saturated"))
   }
 
+  /** Windowed INCREMENTAL video-dedup gate over a binary-payload
+    * stream (round 17 — completing the image/audio/video gate-twin
+    * triple at the dedup tier): every arriving clip's FIRST sampled
+    * frame is decoded (DIB or MJPEG AVIs — [[graft.functions
+    * .videoFrameStats]] with a stride past any real frame count, so
+    * exactly one frame's pixels are ever touched per clip) and its
+    * dHash checked against the persisted corpus signature table by
+    * exact-membership equi-join — the image gate's bounded,
+    * multiplicity-free shape, which a byte-unequal RE-MUX of a corpus
+    * video still hits because container bytes never enter the hash
+    * (q385's duplicate class, at wire speed). Undecodable clips count
+    * as arrivals but carry no signature. No stream state beyond the
+    * window counts.
+    *
+    * @param corpusSigs the persisted `(id, sig)` table (the q385 job
+    *        stores (doc_id, first-frame dhash))
+    * @return streaming (window_start, n_clips, n_hashed,
+    *         n_corpus_dups, n_new)
+    */
+  def windowedVideoDedupGate(media: org.apache.spark.sql.DataFrame,
+                             contentCol: String, tsCol: String,
+                             corpusSigs: org.apache.spark.sql.DataFrame,
+                             sigCol: String, windowDur: String,
+                             watermark: String): org.apache.spark.sql.DataFrame = {
+    val corpus = corpusSigs.select(col(sigCol).as("__sig")).distinct()
+      .withColumn("__hit", lit(1))
+    media.select(col(tsCol),
+        element_at(graft.functions.videoFrameStats(col(contentCol),
+          1000000), 1).getField("dhash").as("__sig"))
+      .join(corpus, Seq("__sig"), "left")
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("__win"))
+      .agg(count(lit(1)).as("n_clips"),
+        count(col("__sig")).as("n_hashed"),
+        count(col("__hit")).as("n_corpus_dups"),
+        count(when(col("__sig").isNotNull && col("__hit").isNull, 1))
+          .as("n_new"))
+      .select(col("__win.start").as("window_start"), col("n_clips"),
+        col("n_hashed"), col("n_corpus_dups"), col("n_new"))
+  }
+
   /** Windowed heavy-hitter CANDIDATES over the token stream — streaming
     * twin of [[graft.operators.HeavyHitters.mgSummary]], and the second
     * bounded-state trending-terms path next to [[windowedTokenCountMin]]:

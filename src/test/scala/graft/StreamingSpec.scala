@@ -1071,6 +1071,92 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedVideoDedupGate: re-muxed arrivals gate against the corpus frame-hash table") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.VideoFixtures
+    // corpus = first-frame dHashes of even MJPEG AVIs (yesterday's
+    // q385 job published these)
+    val corpus = Seq(0L, 2L, 6L).map { s =>
+      (s, graft.expressions.VideoFrameKernel
+        .decode(VideoFixtures.mjpegAvi(s), 1000).get.head.dhash.get)
+    }.toDF("doc_id", "dhash")
+    val docs = Seq(
+      // window 1: doc 7 is the byte-unequal RE-MUX partner of corpus
+      // doc 6 (same frame-0 JPEG behind different chunk ids + JUNK) —
+      // the duplicate class only frame-pixel hashing catches; doc 4
+      // is genuinely new; doc 9 is the truncated plant (undecodable)
+      MediaDoc(1, ts(0), VideoFixtures.mjpegAvi(7L)),
+      MediaDoc(2, ts(1), VideoFixtures.mjpegAvi(4L)),
+      MediaDoc(3, ts(2), VideoFixtures.mjpegAvi(9L)),
+      // window 2: an uncompressed-DIB re-ship of nothing in corpus —
+      // new — plus corpus doc 0's own bytes (trivial dup)
+      MediaDoc(4, ts(12), VideoFixtures.avi(11L)),
+      MediaDoc(5, ts(13), VideoFixtures.mjpegAvi(0L)))
+    assert(!VideoFixtures.mjpegAvi(7L).sameElements(VideoFixtures.mjpegAvi(6L)))
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedVideoDedupGate(input.toDF(),
+        "content", "ts", corpus, "dhash",
+        windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wvdg").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val got = spark.table("wvdg").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === Set(
+        (ts(0), 3L, 2L, 1L, 1L), // re-mux dup + new + undecodable
+        (ts(10), 2L, 2L, 1L, 1L)))
+    } finally query.stop()
+  }
+
+  test("windowedAudioDedupGate: a FLAC transcode of a corpus WAV is caught at the gate") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    // the corpus knows a clip only by the envelope hash of its WAV
+    // form; the SAME samples arrive re-encoded as FLAC — byte-unequal,
+    // different container family entirely — and must gate as a dup
+    // because the shared View reconstructs identical linear samples
+    def wav(rate: Int, samples: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+      out.write("RIFF".getBytes, 0, 4); le32(36 + samples.length * 2)
+      out.write("WAVE".getBytes, 0, 4)
+      out.write("fmt ".getBytes, 0, 4); le32(16)
+      le16(1); le16(1); le32(rate); le32(rate * 2); le16(2); le16(16)
+      out.write("data".getBytes, 0, 4); le32(samples.length * 2)
+      samples.foreach(s => le16(s & 0xFFFF))
+      out.toByteArray
+    }
+    // doc 4's fixture decodes to known samples (the q388 replay); its
+    // WAV twin is what yesterday's corpus hashed
+    val flac = graft.queries.AudioFixtures.flacPayload(4L)
+    val dec = graft.expressions.FlacKernel.decode(flac)
+    val wavTwin = wav(dec.rate.toInt, dec.samples.map(_.toInt).toSeq)
+    assert(!flac.sameElements(wavTwin))
+    val corpus = Seq(
+      (10L, graft.expressions.PcmKernel.envelopeHash(wavTwin).longValue))
+      .toDF("doc_id", "ahash")
+    val input = MemoryStream[MediaDoc]
+    val query = CorpusStreams.windowedAudioDedupGate(input.toDF(),
+        "content", "ts", corpus, "ahash",
+        windowDur = "10 minutes", watermark = "5 minutes",
+        maxHamming = 2, maxOccupancy = 32)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wadg_flac").start()
+    try {
+      input.addData(Seq(MediaDoc(1, ts(0), flac)): _*)
+      query.processAllAvailable()
+      val r = spark.table("wadg_flac").collect()(0)
+      // one clip, hashed, corpus dup (the FLAC-vs-WAV transcode), not new
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((1L, 1L, 1L, 0L)))
+    } finally query.stop()
+  }
+
   test("windowedAudioDedupGate: radius-2 banded lookups match the q375 batch semantics") {
     import graft.streaming.CorpusStreams
     implicit val sqlCtx = spark.sqlContext
