@@ -85,6 +85,17 @@ class MediaFuzzSpec extends SparkSpec {
       PixelFixtures.jpegPayload(0L), PixelFixtures.jpegPayload(1L),
       PixelFixtures.jpegPayload(2L), PixelFixtures.pngPalette(3L),
       PixelFixtures.pngGrayAlpha(4L), PixelFixtures.pngRgba(5L),
+      // round-17 formats: MS-ADPCM, stereo IMA, FLAC mono/stereo,
+      // MJPEG AVI — mutations drive the block walks, Rice decode,
+      // predictor recursions, and the per-frame JPEG hop
+      graft.queries.AudioFixtures.msPayload(0L),
+      graft.queries.AudioFixtures.msPayload(6L),
+      graft.queries.AudioFixtures.imaStereoPayload(1L),
+      graft.queries.AudioFixtures.flacPayload(2L),
+      graft.queries.AudioFixtures.flacPayload(5L),
+      graft.queries.AudioFixtures.flacStereoPayload(1L),
+      graft.queries.AudioFixtures.flacStereoPayload(2L),
+      VideoFixtures.mjpegAvi(4L), VideoFixtures.mjpegAvi(7L),
       wav, flac, tiff, webp, jpeg)
   }
 
