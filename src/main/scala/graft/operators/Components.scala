@@ -56,6 +56,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Row cap under which a label table is BROADCAST into its lookup
+    * joins (guide §3.1). Label maps here are localCheckpoint'd RDDs,
+    * whose leaves carry no size statistics — the planner assumes
+    * "huge" and picks sort-merge, shuffling the full edge set per
+    * lookup, and AQE cannot rescue a join whose build side is a
+    * stats-less leaf. The row counts, however, are KNOWN exactly at
+    * runtime (the checkpoint is materialized; counting it is a cheap
+    * cache scan), so the strategy choice is made from measured size,
+    * not estimates — the same decision AQE makes where it can see.
+    * Default 4M rows ≈ 64 MB of (long, long) pairs, well under the
+    * broadcast cap; tune `graft.cc.broadcastMaxRows` per deployment
+    * (0 disables). Above the cap the plan is exactly the previous
+    * sort-merge shape — no regression at 100-TB node counts.
+    */
+  private def bcastMaxRows(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.graph.broadcastMaxRows", "4000000").toLong
+
+  private[operators] def maybeBcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= bcastMaxRows(df)) broadcast(df) else df
+
   /** label(u) = min(u, min neighbor): one combinable hash aggregate. */
   private def starMin(g: DataFrame): DataFrame =
     g.groupBy(col("u"))
@@ -65,20 +85,23 @@ object Components {
   /** Edges relabeled through `m` (checkpointed, so the two lookups don't
     * recompute anything), self-loops dropped, deduped — the distinct is
     * what makes the remnant SHRINK: a contracted clique is thousands of
-    * copies of the same few super-edges.
+    * copies of the same few super-edges. `mRows` = m's materialized row
+    * count, for the measured-size broadcast decision.
     */
-  private def contract(g: DataFrame, m: DataFrame): DataFrame =
-    g.join(m.select(col("node").as("__nu"), col("comp").as("__cu")),
-        col("u") === col("__nu"))
-      .join(m.select(col("node").as("__nv"), col("comp").as("__cv")),
-        col("v") === col("__nv"))
+  private def contract(g: DataFrame, m: DataFrame, mRows: Long): DataFrame =
+    g.join(maybeBcast(m.select(col("node").as("__nu"),
+        col("comp").as("__cu")), mRows), col("u") === col("__nu"))
+      .join(maybeBcast(m.select(col("node").as("__nv"),
+        col("comp").as("__cv")), mRows), col("v") === col("__nv"))
       .select(col("__cu").as("u"), col("__cv").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
 
   /** comp' = m(comp) where defined, else comp. */
-  private def applyMap(base: DataFrame, m: DataFrame): DataFrame =
-    base.join(m.select(col("node").as("__n"), col("comp").as("__c")),
+  private def applyMap(base: DataFrame, m: DataFrame,
+                       mRows: Long): DataFrame =
+    base.join(maybeBcast(m.select(col("node").as("__n"),
+        col("comp").as("__c")), mRows),
         base("comp") === col("__n"), "left")
       .select(base("node").as("node"),
         coalesce(col("__c"), base("comp")).as("comp"))
@@ -94,7 +117,7 @@ object Components {
     */
   private def propagateToFixpoint(g: DataFrame, maxRounds: Int,
                                   dbg: (String, Long) => Unit,
-                                  eagerControl: Boolean = false): DataFrame = {
+                                  eagerControl: Boolean = false): (DataFrame, Long) = {
     // LAZY localCheckpoint throughout the loop. Under AQE the checkpoint
     // call still materializes the plan's shuffle stages (execute() on an
     // adaptive plan runs its query stages), so laziness does NOT defer
@@ -111,8 +134,13 @@ object Components {
     // ceiling to one Spark version's scheduler behavior.
     var labels = starMin(g).localCheckpoint(eager = eagerControl)
     var prevSum = labelSum(labels) // materializes the checkpoint
+    // The node set is CONSTANT across rounds (starMin emits every node
+    // of the symmetric remnant; offers only re-target existing nodes),
+    // so one count of the materialized checkpoint prices the broadcast
+    // decision for every lookup join in the loop (see bcastMaxRows).
+    val nNodes = labels.count()
     var round = 0
-    var converged = labels.isEmpty // reads the checkpointed blocks
+    var converged = nNodes == 0L
     while (!converged) {
       val tr = System.nanoTime()
       if (round >= maxRounds)
@@ -121,7 +149,8 @@ object Components {
       // fresh aliases on BOTH union branches: `offers` derives from
       // `labels`, so without re-aliasing the branches share attribute ids
       // and Union's constraint rewrite trips over the self-reference
-      val offers = g.join(labels, g("u") === labels("node"))
+      val bl = maybeBcast(labels, nNodes)
+      val offers = g.join(bl, g("u") === bl("node"))
         .select(col("v").as("node"), col("comp").as("comp"))
       // persisted for the pointer-jump self-join: Spark does not reuse
       // the exchange across differently-aliased self-join sides, so an
@@ -130,7 +159,8 @@ object Components {
         .union(offers)
         .groupBy("node").agg(min("comp").as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val jumped = applyMap(merged, merged).localCheckpoint(eager = eagerControl)
+      val jumped = applyMap(merged, merged, nNodes)
+        .localCheckpoint(eager = eagerControl)
       val s = labelSum(jumped) // ONE action: checkpoint fill + probe
       // unpersist AFTER the sum: it is the job that materializes
       // `jumped`; dropping `merged` first would recompute it twice there
@@ -141,7 +171,7 @@ object Components {
       round += 1
       dbg(s"remnant round$round", tr)
     }
-    labels
+    (labels, nNodes)
   }
 
   /** (id, component) for every node that appears in `edges`; `component`
@@ -182,12 +212,18 @@ object Components {
     try {
       val t0 = System.nanoTime()
       val m0 = starMin(sym).localCheckpoint()
-      val remnant = contract(sym, m0).localCheckpoint()
+      // materialized by the checkpoint, so this is a cheap cache scan;
+      // it prices the broadcast decision for the two contract lookups
+      val nNodes = m0.count()
+      val remnant = contract(sym, m0, nNodes).localCheckpoint()
       dbg("star-merge + contract", t0)
       val labels =
         if (remnant.isEmpty) m0
-        else applyMap(m0,
-          propagateToFixpoint(remnant, maxRounds, dbg, eagerControl))
+        else {
+          val (fix, nRem) =
+            propagateToFixpoint(remnant, maxRounds, dbg, eagerControl)
+          applyMap(m0, fix, nRem)
+        }
       labels.select(col("node").as("id"), col("comp").as("component"))
     } finally e.unpersist()
   }
@@ -287,16 +323,29 @@ object Components {
                   seeds: DataFrame, seedCol: String,
                   maxHops: Int): DataFrame = {
     require(maxHops >= 0, "negative hop bound")
+    // ONE exchange for the adjacency, partitioned by the probe key u
+    // (hash(u) co-locates every (u, v) copy, so the dedup aggregate
+    // needs no second exchange — ClusteredDistribution(u, v) is
+    // satisfied by HashPartitioning(u)), and the cached partitioning is
+    // what every round's frontier⋈e join then reuses: without it the
+    // planner re-exchanged the FULL edge set by u once per hop (the
+    // dominant shuffle of the 4-hop reach, measured 58 MB/round-set at
+    // sf0.1), where the frontier is the small, changing side.
     val e = CacheScope.track(
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-        .filter(col("u") =!= col("v")).distinct())
+        .filter(col("u") =!= col("v"))
+        .repartition(col("u"))
+        .dropDuplicates("u", "v"))
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("d", lit(0L))
     for (h <- 1 to maxHops) {
       // only the PREVIOUS round's frontier can discover new nodes — any
-      // node at distance h is adjacent to one at h−1
-      val frontier = dist.filter(col("d") === lit(h - 1L))
+      // node at distance h is adjacent to one at h−1. SHUFFLE_HASH on
+      // the frontier: the build side is the frontier slice, so the big
+      // cached adjacency is neither re-exchanged (co-partitioned) nor
+      // sorted (no sort-merge), guide §3.1.
+      val frontier = dist.filter(col("d") === lit(h - 1L)).hint("SHUFFLE_HASH")
       val offers = frontier.join(e, frontier("node") === e("u"))
         .select(col("v").as("node"), lit(h.toLong).as("d"))
       dist = CacheScope.track(

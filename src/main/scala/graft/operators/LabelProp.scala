@@ -47,15 +47,27 @@ object LabelProp {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
+    // The adjacency is checkpointed PRE-PARTITIONED by the join key
+    // (localCheckpoint preserves the partitioning in its LogicalRDD —
+    // the PageRank ewd pattern), so each round's adj⋈labels join
+    // re-exchanges neither side: adj is hash(nbr) from this one-time
+    // repartition, labels is hash(nbr) via the alias-preserved
+    // partitioning of its own groupBy. The measured-size broadcast of
+    // the label table (Components.maybeBcast; node count is constant
+    // across rounds) additionally drops the join to a broadcast-hash
+    // where the labels fit — no sort of the message stream either way.
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+      .repartition(col("nbr"))
       .localCheckpoint(eager = true)
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = true)
+    val nNodes = labels.count() // materialized: cheap cache scan
     for (_ <- 1 to rounds) {
       labels = adj
-        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .join(Components.maybeBcast(
+          labels.withColumnRenamed("node", "nbr"), nNodes), "nbr")
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("node"))
         // argmax by (count DESC, label ASC) in one aggregate: min_by over
@@ -97,7 +109,14 @@ object LabelProp {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-    val lab = labels.select(col("node"), col("label"))
+    // Measured-size broadcast of the label table into its three lookup
+    // joins (Components.maybeBcast): callers pass a checkpointed LPA
+    // labeling whose leaf carries no stats, so the planner would
+    // otherwise sort-merge the full edge set against it three times.
+    // The count is a cheap scan of the materialized labeling.
+    val lab0 = labels.select(col("node"), col("label"))
+    val nLab = lab0.count()
+    val lab = Components.maybeBcast(lab0, nLab)
     val dsum = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("__deg"))

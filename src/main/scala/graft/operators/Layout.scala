@@ -188,7 +188,11 @@ object Layout {
       .agg(count(lit(1)).as("__dummy"),
         cols.map(c => count(when(
           !(col(s"l.__l_$c") <=> col(s"r.__f_$c")), 1L)).as(s"__xb_$c")): _*)
-    val one = inner.crossJoin(cross)
+    // ONE row — cached because the per-column union below selects from
+    // it k times, and uncached each branch would re-run the window +
+    // both block aggregates over the full table (k× the plan's cost;
+    // measured 5× lineitem-scan inflation on q265 before this).
+    val one = CacheScope.track(inner.crossJoin(cross))
     val perCol = cols.map { c =>
       one.select(lit(c).as("column"), col("n_rows"),
         when(col("n_rows") > 0L,

@@ -26,6 +26,40 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The doc-id spine for payload-EXPANSION queries (fixture
+    * construct → kernel decode), spread across the session's default
+    * parallelism BEFORE the expensive stage. Scan splits are
+    * input-byte-proportional, and an id projection of the documents
+    * table is sub-MB — one split — so without this the whole
+    * construct+decode tier runs in ONE task on a 32-core machine
+    * (measured: q360 wall ≈ its single-task CPU time). The exchange
+    * moves 8-byte ids — the cheapest possible shuffle (guide §8:
+    * distribute by the WORK, not the input layout). The partition
+    * count is pinned to defaultParallelism (cores locally, cluster
+    * width on a deployment — scale-adaptive, not a constant) because
+    * AQE's size-based coalescing prices the 8-byte input rows, not
+    * the ~100 KB/row expansion, and would re-serialize the stage.
+    */
+  private def spreadIds(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id")).repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** Adaptive scan-parallelism floor for CPU-heavy text stages
+    * (tokenization, hashing, BPE pre-splits): when the source scan
+    * yields fewer partitions than the session's parallelism (a sub-MB
+    * single-row-group parquet file is ONE split, so the per-row work
+    * of every downstream expression runs serially), rebalance by id
+    * across defaultParallelism; when the source already provides
+    * enough splits (any real deployment), this is a NO-OP — no
+    * exchange is added at 100-TB layouts, where shuffling text bytes
+    * pre-tokenization would be exactly the wrong trade (guide §2.3).
+    */
+  private def spreadDocs(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, col(idCol))
+  }
+
   private def queriesSubset(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").filter(col("vec_id") < 20)
 
@@ -48,7 +82,7 @@ object LlmQueries {
 
     // Exact bigram-Jaccard near-dup pairs via inverted-index join.
     "q23_dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
         n = 2, threshold = 0.6).orderBy("i", "j")
     }),
 
@@ -57,7 +91,7 @@ object LlmQueries {
     // symmetric Jaccard threshold cannot see. Probe prefixes against a
     // full inverted index; exact verification on the cached sets.
     "q126_containment" -> ((s, dir) => {
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.containmentPairs(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
         n = 2, threshold = 0.8).orderBy("i", "j")
     }),
 
@@ -70,13 +104,13 @@ object LlmQueries {
     // With a corpus whose pair similarities crowd the threshold, widen
     // recall with more/shorter bands at the cost of more candidates.
     "q24_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashLshPairs(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
         n = 3, threshold = 0.5, numHashes = 48, bandRows = 6).orderBy("i", "j")
     }),
 
     // SimHash banding (portable simhash, 4 equal bit-bands).
     "q25_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashPairs(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
         maxHamming = 2).orderBy("i", "j")
     }),
 
@@ -86,7 +120,7 @@ object LlmQueries {
     // recall for hamming <= 3 holds identically, so the oracle is again
     // brute-force all-pairs Hamming over the (two-multiplier) signature.
     "q69_dedup_simhash_wide" -> ((s, dir) => {
-      Dedup.simhashPairsWide(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashPairsWide(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
         maxHamming = 2).orderBy("i", "j")
     }),
 
@@ -318,7 +352,7 @@ object LlmQueries {
     // doc labeled with its cluster id, cluster size, and whether it is
     // the canonical (min-id) survivor a dedup pass keeps.
     "q47_dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       // simhashMatches, not simhashPairs: CC's min-aggregate absorbs the
       // per-band duplicate edges, so the pair-distinct shuffle is skipped.
       val pairs = Dedup.simhashMatches(docs, "doc_id", "text", maxHamming = 2)
@@ -379,7 +413,7 @@ object LlmQueries {
       // broadcastVocab: the distinct vocabulary is orders of magnitude
       // smaller than the (doc, term) rows (Heaps' law), so the df stats
       // broadcast and the dominant side never shuffles for the join-back
-      TfIdf.termWeights(t(s, dir, "documents"), "doc_id", "text",
+      TfIdf.termWeights(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
         broadcastVocab = true)
         .filter(col("rank") <= 3).orderBy("doc_id", "rank")
     }),
@@ -388,7 +422,7 @@ object LlmQueries {
     // engines; see TfIdf.bm25). Length-saturated term weighting is the
     // production retrieval scorer; top-3 terms per doc like q53.
     "q72_bm25" -> ((s, dir) => {
-      TfIdf.bm25(t(s, dir, "documents"), "doc_id", "text",
+      TfIdf.bm25(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
         broadcastVocab = true)
         .filter(col("rank") <= 3).orderBy("doc_id", "rank")
     }),
@@ -457,7 +491,7 @@ object LlmQueries {
     // df-capped, exact-Jaccard verified — the long-quote detector.
     "q135_winnow_pairs" -> ((s, dir) => {
       graft.operators.Dedup.winnowPairs(
-        t(s, dir, "documents"), "doc_id", "text",
+        spreadDocs(t(s, dir, "documents")), "doc_id", "text",
         n = 3, w = 8, threshold = 0.5, maxDf = 100)
         .orderBy("i", "j")
     }),
@@ -494,7 +528,7 @@ object LlmQueries {
     // End-to-end corpus dedup: SimHash pairs → connected components →
     // keep the canonical (min-id) doc per cluster, one anti-join.
     "q63_dedup_corpus" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val pairs = Dedup.simhashMatches(docs, "doc_id", "text", maxHamming = 2)
       graft.operators.Components.keepCanonical(docs, "doc_id", pairs)
         .select("doc_id", "lang", "source", "n_chars")
@@ -507,7 +541,7 @@ object LlmQueries {
     // sub-quadratic (SHUFFLE_AUDIT.md: 24× less candidate traffic than
     // the 28-bit demo on the same corpus).
     "q70_dedup_corpus_wide" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val pairs = Dedup.simhashMatchesWide(docs, "doc_id", "text", maxHamming = 2)
       graft.operators.Components.keepCanonical(docs, "doc_id", pairs)
         .select("doc_id", "lang", "source", "n_chars")
@@ -520,7 +554,7 @@ object LlmQueries {
     // re-pairing the corpus. Cross pairs orient (existing, new) so the
     // min-id canonical stays the already-kept corpus doc.
     "q71_dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val existing = Dedup.wideSignatures(
         docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
       Dedup.simhashPairsWideIncremental(
@@ -624,21 +658,21 @@ object LlmQueries {
     // the distinct-word table — the tokenizer-training step; merge list
     // is cross-engine exact (tie-break + greedy rewrite mirrored).
     "q92_bpe_merges" -> ((s, dir) => {
-      graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text",
+      graft.operators.Bpe.trainMerges(spreadDocs(t(s, dir, "documents")), "text",
         numMerges = 8).orderBy("step")
     }),
 
     // The learned subword vocabulary after those 8 merges — train +
     // apply, the table a tokenizer ships with.
     "q93_bpe_vocab" -> ((s, dir) => {
-      graft.operators.Bpe.subwordVocab(t(s, dir, "documents"), "text",
+      graft.operators.Bpe.subwordVocab(spreadDocs(t(s, dir, "documents")), "text",
         numMerges = 8).orderBy(desc("freq"), col("subword"))
     }),
 
     // Per-doc token counts under that learned tokenizer — the packing
     // budget metric (train once, tokenize by word-key join).
     "q94_bpe_doc_tokens" -> ((s, dir) => {
-      graft.operators.Bpe.bpeTokenCount(t(s, dir, "documents"), "doc_id",
+      graft.operators.Bpe.bpeTokenCount(spreadDocs(t(s, dir, "documents")), "doc_id",
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
@@ -667,7 +701,7 @@ object LlmQueries {
     // is what makes the distance portable (DuckDB's levenshtein counts
     // BYTES, Spark's counts codepoints; they agree on pure ASCII).
     "q112_dedup_edit_verify" -> ((s, dir) => {
-      Dedup.editVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.editVerifiedPairs(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
         maxHamming = 2, maxEdits = 40, window = 160).orderBy("i", "j")
     }),
 
@@ -833,7 +867,7 @@ object LlmQueries {
     // the dedup family): wide-simhash recall against the exact J≥0.6
     // bigram-Jaccard ground truth, plus the candidate-volume price.
     "q97_dedup_recall" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val exact = graft.operators.CacheScope.track(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.6)
           .select("i", "j"))
@@ -865,7 +899,7 @@ object LlmQueries {
     // corpus-trained tokenizer → context-window packing of the sampled
     // docs, as one lazy plan — what a mixture-construction run executes.
     "q95_sample_pack_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val sampled = Sampling.temperatureQuota(docs, "source", "doc_id",
         totalTarget = 600)
       val counts = graft.operators.Bpe.bpeTokenCount(docs, "doc_id", "text",
@@ -1062,7 +1096,7 @@ object LlmQueries {
     // ordinals + shards. Each stage is an already-gated operator; the
     // composition is what a production run executes.
     "q84_corpus_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       // gate and filter in ONE pass (keepInputCols — a verdict join-back
       // would re-run the metric set through a self-join), and cache:
       // `kept` feeds the signature stage, the survivor anti-join, and
@@ -1193,7 +1227,7 @@ object LlmQueries {
         queriesSubset(s, dir), t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 10)
       val lex = graft.operators.Fusion.tokenOverlapTopK(
-        t(s, dir, "documents").filter(col("doc_id") < 20),
+        spreadDocs(t(s, dir, "documents")).filter(col("doc_id") < 20),
         t(s, dir, "documents"), "doc_id", "text", k = 10)
       graft.operators.Fusion.rrf(
         Seq("dense" -> dense, "lex" -> lex), c = 60, topK = 5)
@@ -1339,7 +1373,7 @@ object LlmQueries {
         queriesSubset(s, dir), t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 10)
       val lex = graft.operators.Fusion.tokenOverlapTopK(
-        t(s, dir, "documents").filter(col("doc_id") < 20),
+        spreadDocs(t(s, dir, "documents")).filter(col("doc_id") < 20),
         t(s, dir, "documents"), "doc_id", "text", k = 10)
       val fused = graft.operators.Fusion.rrf(
         Seq("dense" -> dense, "lex" -> lex), c = 60, topK = 8)
@@ -1529,7 +1563,7 @@ object LlmQueries {
     // training-pair counts. Probe-offset equi-join — fan-out hard-capped
     // at 2·window per token, never the L² of a doc-keyed self-join.
     "q160_skipgram" -> ((s, dir) => {
-      graft.operators.Cooccur.skipgramPairs(t(s, dir, "documents"),
+      graft.operators.Cooccur.skipgramPairs(spreadDocs(t(s, dir, "documents")),
         "doc_id", "text", window = 2, minCount = 5L, topK = 50)
     }),
 
@@ -1644,7 +1678,7 @@ object LlmQueries {
     // crossing-pair count vs the cluster-keyed split's (0 by
     // construction — split is a function of the component id).
     "q168_leakage_split" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val pairs = graft.operators.CacheScope.track(
         Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 2))
       // labels only — dedupClusters' size/canonical columns are unused
@@ -1909,7 +1943,7 @@ object LlmQueries {
     // chars/token and tokens/word from exact sums - the audit that
     // shows which languages a vocabulary under-serves.
     "q191_bpe_fertility" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       graft.operators.Bpe.bpeTokenCount(docs, "doc_id", "text", numMerges = 8)
         .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
         .groupBy("lang")
@@ -1942,7 +1976,7 @@ object LlmQueries {
     // particular? Cross pairs from the incremental dedup (i = corpus,
     // j = batch) joined to the corpus split; one-row verdict.
     "q193_incremental_leakage" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val oldDocs = docs.filter(col("doc_id") % 7 =!= 0)
       val newDocs = docs.filter(col("doc_id") % 7 === 0)
       val pairs = Dedup.simhashPairsWideIncremental(newDocs, "doc_id",
@@ -2155,7 +2189,7 @@ object LlmQueries {
     // within each one via the histogram-offset prefix-sum plan (no
     // per-source window funnel). Summary per source.
     "q206_domain_cap" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(
+      val base = spreadDocs(t(s, dir, "documents")).select(
         col("doc_id"), col("source"),
         TextAnalysis.tokenCount(col("text")).as("ntok"),
         floor(TextAnalysis.qualityScore(col("text")) * lit(1048576L))
@@ -2232,7 +2266,7 @@ object LlmQueries {
     // score, exact rational — no log, no float accumulation); lift > 1
     // means the pair beats independence. Top-20 with a count floor.
     "q213_bigram_lift" -> ((s, dir) =>
-      graft.operators.Cooccur.bigramLift(t(s, dir, "documents"),
+      graft.operators.Cooccur.bigramLift(spreadDocs(t(s, dir, "documents")),
         "doc_id", "text", discount = 2L, minCount = 10L, topK = 20)),
 
     // Error bars on the AUC itself: 32 deterministic Poisson replicates
@@ -2611,7 +2645,7 @@ object LlmQueries {
     // token pairs with support, both directed confidences, and lift —
     // set co-occurrence, where q213's bigram lift is adjacency.
     "q242_assoc_rules" -> ((s, dir) =>
-      graft.operators.Cooccur.assocRules(t(s, dir, "documents"),
+      graft.operators.Cooccur.assocRules(spreadDocs(t(s, dir, "documents")),
         "doc_id", "text", minDf = 50L, minPair = 25L, topK = 30)),
 
     // Blocking-quality audit of the wide-simhash candidate generator vs
@@ -2619,7 +2653,7 @@ object LlmQueries {
     // (q97 measured recall only) + their harmonic mean — the standard
     // entity-resolution blocking scorecard.
     "q243_blocking_quality" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val truth = graft.operators.CacheScope.track(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
           threshold = 0.6).select("i", "j"))
@@ -2768,7 +2802,7 @@ object LlmQueries {
     // same query terms: the top-weighted ranker-similarity coefficient,
     // p-power weights as driver literals, exact (W·X) DIV d terms.
     "q256_rbo" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val qterms = Seq("fast", "table", "value")
       val w20 = org.apache.spark.sql.expressions.Window
         .orderBy(desc("s"), col("doc_id"))
@@ -3321,7 +3355,7 @@ object LlmQueries {
     // preserves pre-dedup mass (a 50-copy template counts as 50, not
     // 1) while never emitting a duplicate.
     "q275_dedup_aware_sample" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val pairs = Dedup.simhashPairsWide(docs, "doc_id", "text",
         maxHamming = 3).select("i", "j")
       val clusters = graft.operators.Components.dedupClusters(docs,
@@ -3421,7 +3455,7 @@ object LlmQueries {
     // maintained under a NEW edge batch via star edges — work ∝ batch,
     // never the historical pair set; gate = the full-recompute labels.
     "q273_incr_cc" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val all = graft.operators.CacheScope.track(
         Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 3)
           .select("i", "j"))
@@ -3651,7 +3685,7 @@ object LlmQueries {
     // the longest-wins decision, not just membership; per-doc token/
     // UNK counts are exact integers, fertility one division.
     "q292_maxmatch_tokens" -> ((s, dir) =>
-      graft.operators.Bpe.maxMatchTokenCount(t(s, dir, "documents"),
+      graft.operators.Bpe.maxMatchTokenCount(spreadDocs(t(s, dir, "documents")),
         "doc_id", "text", maxMatchVocab)
         .withColumn("fertility", when(col("n_words") > 0,
           col("n_tokens").cast("double") / col("n_words").cast("double")))
@@ -3751,7 +3785,7 @@ object LlmQueries {
       import s.implicits._
       val vocabDf = maxMatchVocab5k.toDF("unit")
       val nv = broadcast(vocabDf.agg(count(lit(1)).as("n_vocab")))
-      graft.operators.Bpe.maxMatchTokenCountJoined(t(s, dir, "documents"),
+      graft.operators.Bpe.maxMatchTokenCountJoined(spreadDocs(t(s, dir, "documents")),
         "doc_id", "text", vocabDf, "unit")
         .withColumn("fertility", when(col("n_words") > 0,
           col("n_tokens").cast("double") / col("n_words").cast("double")))
@@ -3828,7 +3862,7 @@ object LlmQueries {
     // standard serving approximation — counts are NOT q94's exact BPE
     // segmentation, and that's the point: this is what serving pays.
     "q301_tokenizer_lifecycle" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val vocab = graft.operators.Bpe.subwordVocab(docs, "text",
         numMerges = 8).select(col("subword").as("unit"))
       graft.operators.Bpe.maxMatchTokenCountJoined(docs, "doc_id",
@@ -4254,7 +4288,7 @@ object LlmQueries {
     // oracle's own list_reduce rewrite (equivalent to the kernel's
     // min-rank loop on the well-formed trained list).
     "q329_bpe_rank_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val merges = graft.operators.Bpe.trainMerges(
         docs.filter(col("doc_id") % 3 === 0), "text", numMerges = 8)
       graft.operators.Bpe.bpeRankSegment(
@@ -4386,7 +4420,7 @@ object LlmQueries {
     // through the same table literal, and unrolls the 8 merge ranks
     // with the q329 list_reduce stages.
     "q334_bytelevel_bpe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val merges = graft.operators.Bpe.trainMergesByteLevel(
         docs.filter(col("doc_id") % 3 === 0), "text", numMerges = 8)
       graft.operators.Bpe.bpeRankSegmentByteLevel(
@@ -4473,7 +4507,7 @@ object LlmQueries {
     // unrolled chain and joins each doc's pretokens to the applied
     // segmentation's symbol counts.
     "q338_bytelevel_budget" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadDocs(t(s, dir, "documents"))
       val merges = graft.operators.Bpe.trainMergesByteLevel(
         docs.filter(col("doc_id") % 3 === 0), "text", numMerges = 8)
       graft.operators.Bpe.bpeRankTokenCountByteLevel(
@@ -4600,7 +4634,7 @@ object LlmQueries {
     // plan; payload bytes never shuffle.
     "q342_pixel_stats" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, PixelFixtures.payload(id))))
         .toDF("doc_id", "__p")
       media.select(col("doc_id"),
@@ -4682,7 +4716,7 @@ object LlmQueries {
     // alone. %10==9 plants a mid-data truncation (declared data size
     // not fully present) → NULL.
     "q345_pcm_stats" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadIds(t(s, dir, "documents"))
       docs.select(col("doc_id"), pcmPayload(col("doc_id")).as("__p"))
         .select(col("doc_id"),
           length(col("__p")).cast("long").as("n_bytes"),
@@ -4792,6 +4826,8 @@ object LlmQueries {
     // reports the same integer statistics as q345; the oracle replays
     // the expansion formulas in SQL CASE arithmetic over range(n).
     "q350_g711_stats" -> ((s, dir) => {
+      // not spread: 30–120 companded code bytes per doc — construction
+      // is lighter than the exchange (measured regression when spread)
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"), g711Payload(col("doc_id")).as("__p"))
         .select(col("doc_id"),
@@ -4821,7 +4857,7 @@ object LlmQueries {
     // %10==7 truncates inside the color table → NULL.
     "q351_gif_pixels" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, PixelFixtures.gifPayload(id))))
         .toDF("doc_id", "__p")
       media.select(col("doc_id"),
@@ -4848,6 +4884,9 @@ object LlmQueries {
     // a recursive min-label flood over the qualifying pairs.
     "q349_image_dedup_pipeline" -> ((s, dir) => {
       import s.implicits._
+      // not spread: BMP payloads decode in microseconds and the wall is
+      // the banding+CC tail — inflating every downstream stage of the
+      // 32-partition signature cache measured slower than the serial scan
       val sigs = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, PixelFixtures.nearDupPayload(id))))
         .toDF("doc_id", "__p")
@@ -4883,7 +4922,7 @@ object LlmQueries {
     // map-only projection; payload bytes never shuffle.
     "q352_video_headers" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, VideoFixtures.headerPayload(id))))
         .toDF("doc_id", "__p")
       media.select(col("doc_id"),
@@ -4910,7 +4949,7 @@ object LlmQueries {
     // (never decoded); only fixed-width stats rows leave the scan.
     "q353_video_frames" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, VideoFixtures.framePayload(id))))
         .toDF("doc_id", "__p")
       media.select(col("doc_id"),
@@ -4932,7 +4971,7 @@ object LlmQueries {
     // corrupt payloads (%10==7) yield NULL grids → no rows.
     "q354_pixel_resize" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, PixelFixtures.payload(id))))
         .toDF("doc_id", "__p")
       media.select(col("doc_id"),
@@ -4953,7 +4992,7 @@ object LlmQueries {
     // Layer III tables as SQL literals. %10==6 truncates the last
     // frame → NULL.
     "q355_mp3_headers" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spreadIds(t(s, dir, "documents"))
       docs.select(col("doc_id"), mp3Payload(col("doc_id")).as("__p"))
         .select(col("doc_id"),
           length(col("__p")).cast("long").as("n_bytes"),
@@ -5023,7 +5062,7 @@ object LlmQueries {
     // re-derived dHashes.
     "q357_crossmodal_match" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id =>
           (id, VideoFixtures.crossModalPayload(id))))
         .toDF("doc_id", "__p")
@@ -5084,7 +5123,7 @@ object LlmQueries {
     // NULL → the doc vanishes (loud).
     "q359_tar_members" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, TarFixtures.payload(id))))
         .toDF("doc_id", "__p")
       media.select(col("doc_id"),
@@ -5108,7 +5147,7 @@ object LlmQueries {
     // pixel statistic would diverge).
     "q360_webdataset_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, TarFixtures.payload(id))))
         .toDF("doc_id", "__p")
       val m = media.select(col("doc_id"), col("__p"),
@@ -5167,7 +5206,7 @@ object LlmQueries {
     // over corrupt content) and must be caught by the tar walk.
     "q362_webdataset_gz" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, TarFixtures.gzTarPayload(id))))
         .toDF("doc_id", "__p")
       media.select(col("doc_id"),
@@ -5239,7 +5278,7 @@ object LlmQueries {
     // %8==6 truncates the EOCD → NULL.
     "q364_zip_members" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, TarFixtures.zipPayload(id))))
         .toDF("doc_id", "__p")
       val m = media.select(col("doc_id"), col("__p"),
@@ -5274,7 +5313,7 @@ object LlmQueries {
     // contribute no images and orphan their partner's planted dup.
     "q365_shard_dedup_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, TarFixtures.dedupPayload(id))))
         .toDF("doc_id", "__p")
       val shards = media.select(col("doc_id"),
@@ -5323,7 +5362,7 @@ object LlmQueries {
     // (odd pairs (4m+1, 4m+3) share sample 1) — and nothing else.
     "q366_incremental_image_dedup" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, TarFixtures.incrementalPayload(id))))
         .toDF("doc_id", "__p")
       def sigs(shards: DataFrame): DataFrame = shards
@@ -5374,7 +5413,7 @@ object LlmQueries {
     // hashes) in doc trios; the third member is unique ramp audio.
     // Truncated docs hash NULL and drop from banding.
     "q367_audio_dedup" -> ((s, dir) => {
-      val sigs = t(s, dir, "documents")
+      val sigs = spreadIds(t(s, dir, "documents"))
         .select(col("doc_id"),
           graft.functions.audioHash(audioDedupPayload(col("doc_id")))
             .as("ahash"))
@@ -5403,7 +5442,7 @@ object LlmQueries {
     // shared pixel + palette arithmetic.
     "q368_png_palette_alpha" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id =>
           (id, PixelFixtures.paletteAlphaPayload(id))))
         .toDF("doc_id", "__p")
@@ -5430,7 +5469,7 @@ object LlmQueries {
     // wire-layout reassembly changed nothing.
     "q377_png_deep_interlace" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id =>
           (id, PixelFixtures.pngDeepPayload(id))))
         .toDF("doc_id", "__p")
@@ -5483,7 +5522,7 @@ object LlmQueries {
     // grades the DECODED side only.
     "q369_zstd_decode" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, TarFixtures.zstPayload(id))))
         .toDF("doc_id", "__p")
       media.select(col("doc_id"),
@@ -5503,7 +5542,7 @@ object LlmQueries {
     // must be caught by the tar walk; %11==7 kills the frame itself.
     "q370_webdataset_zst" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id => (id, TarFixtures.zstTarPayload(id))))
         .toDF("doc_id", "__p")
       media.select(col("doc_id"),
@@ -5531,6 +5570,8 @@ object LlmQueries {
     // dHash — not just NULL-ness.
     "q372_jpeg_pixels" -> ((s, dir) => {
       import s.implicits._
+      // not spread: 8×8 single-block JPEGs — the construct+decode stage
+      // is lighter than the exchange it would take to parallelize it
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, PixelFixtures.jpegPayload(id))))
         .toDF("doc_id", "__p")
@@ -5560,7 +5601,7 @@ object LlmQueries {
     // with AC base functions in play.
     "q376_progressive_jpeg" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id =>
           (id, PixelFixtures.progressiveJpegPayload(id))))
         .toDF("doc_id", "__p")
@@ -5835,7 +5876,7 @@ object LlmQueries {
     // (the q348/q371 pattern).
     "q373_bucketed_image_dedup" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id =>
           (id, TarFixtures.incrementalPayload(id))))
         .toDF("doc_id", "__p")
@@ -6076,7 +6117,7 @@ object LlmQueries {
     // sets → CC → survivors.
     "q374_compressed_shard_dedup" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spreadIds(t(s, dir, "documents")).as[Long]
         .mapPartitions(_.map(id =>
           (id, TarFixtures.jpegShardPayload(id))))
         .toDF("doc_id", "__p")
@@ -6126,7 +6167,7 @@ object LlmQueries {
     // so every planted duplicate is a CROSS corpus↔batch pair, the
     // shape an ingest increment actually deduplicates.
     "q375_incremental_audio_dedup" -> ((s, dir) => {
-      val sigs = t(s, dir, "documents")
+      val sigs = spreadIds(t(s, dir, "documents"))
         .select(col("doc_id"),
           graft.functions.audioHash(audioDedupPayload(col("doc_id")))
             .as("ahash"))
@@ -6648,7 +6689,7 @@ object LlmQueries {
     * group keys integer), label = the gate's keep verdict.
     */
   private def distillScored(s: SparkSession, dir: String): DataFrame = {
-    val gated = TextAnalysis.qualityGate(t(s, dir, "documents"),
+    val gated = TextAnalysis.qualityGate(spreadDocs(t(s, dir, "documents")),
       "doc_id", "text", keepInputCols = true)
     val feats = gated.select(
       col("doc_id"), col("lang"), col("keep"),
