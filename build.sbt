@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra forked-JVM flags for local experiments (e.g. A/B-ing a
+  // spark.graft.* conf via -D without a rebuild); empty by default.
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split("\\s+"))
+    .filter(_.nonEmpty)

@@ -66,12 +66,13 @@ object Components {
     * cache scan), so the strategy choice is made from measured size,
     * not estimates — the same decision AQE makes where it can see.
     * Default 4M rows ≈ 64 MB of (long, long) pairs, well under the
-    * broadcast cap; tune `graft.cc.broadcastMaxRows` per deployment
+    * broadcast cap; tune `spark.graft.graph.broadcastMaxRows` per deployment
     * (0 disables). Above the cap the plan is exactly the previous
     * sort-merge shape — no regression at 100-TB node counts.
     */
   private def bcastMaxRows(df: DataFrame): Long =
-    df.sparkSession.conf.get("graft.graph.broadcastMaxRows", "4000000").toLong
+    df.sparkSession.conf.get("spark.graft.graph.broadcastMaxRows",
+      "4000000").toLong
 
   private[operators] def maybeBcast(df: DataFrame, rows: Long): DataFrame =
     if (rows <= bcastMaxRows(df)) broadcast(df) else df

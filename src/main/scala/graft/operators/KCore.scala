@@ -67,9 +67,16 @@ object KCore {
     while (!converged && round < rounds) {
       val keep = degrees(und).filter(col("deg") >= k)
         .select(col("node"))
+      // keep has at most 2·edgeCount nodes, and edgeCount is already
+      // materialized this round — so the broadcast decision is free
+      // (Components.maybeBcast): under the cap the two semi-joins stop
+      // re-exchanging the full edge set against a stats-less aggregate
+      // (und is a checkpointed leaf, so the planner's estimates are
+      // blind here); above it the plan is the previous sort-merge.
+      val keepB = Components.maybeBcast(keep, 2 * edgeCount)
       val next = und
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .join(keepB.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keepB.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint(eager = false)
       val nextCount = next.count() // materializes the checkpoint

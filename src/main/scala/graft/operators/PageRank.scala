@@ -120,8 +120,14 @@ object PageRank {
       val dRow = pr.filter(col("odeg") === 0L).agg(sum(col("pr"))).head()
       val dangling = if (dRow.isNullAt(0)) 0L else dRow.getLong(0)
       val dShare = dangling / n
+      // The rank table is a checkpointed leaf (stats-less), so without
+      // a hint the join sort-merges — sorting the co-partitioned edge
+      // table every iteration. Node count n is exact and already on the
+      // driver: broadcast the rank side when it fits
+      // (Components.maybeBcast; above the cap the old shape returns).
       val contrib = ewd
-        .join(pr.select(col("node").as("src"), col("pr").as("__p")), "src")
+        .join(Components.maybeBcast(
+          pr.select(col("node").as("src"), col("pr").as("__p")), n), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("__p DIV odeg")).as("__c"))
       pr = nd

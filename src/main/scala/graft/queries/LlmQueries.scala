@@ -82,7 +82,7 @@ object LlmQueries {
 
     // Exact bigram-Jaccard near-dup pairs via inverted-index join.
     "q23_dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 2, threshold = 0.6).orderBy("i", "j")
     }),
 
@@ -91,7 +91,7 @@ object LlmQueries {
     // symmetric Jaccard threshold cannot see. Probe prefixes against a
     // full inverted index; exact verification on the cached sets.
     "q126_containment" -> ((s, dir) => {
-      Dedup.containmentPairs(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 2, threshold = 0.8).orderBy("i", "j")
     }),
 
@@ -104,7 +104,7 @@ object LlmQueries {
     // With a corpus whose pair similarities crowd the threshold, widen
     // recall with more/shorter bands at the cost of more candidates.
     "q24_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashLshPairs(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, numHashes = 48, bandRows = 6).orderBy("i", "j")
     }),
 
@@ -120,7 +120,7 @@ object LlmQueries {
     // recall for hamming <= 3 holds identically, so the oracle is again
     // brute-force all-pairs Hamming over the (two-multiplier) signature.
     "q69_dedup_simhash_wide" -> ((s, dir) => {
-      Dedup.simhashPairsWide(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
+      Dedup.simhashPairsWide(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 2).orderBy("i", "j")
     }),
 
@@ -352,7 +352,7 @@ object LlmQueries {
     // doc labeled with its cluster id, cluster size, and whether it is
     // the canonical (min-id) survivor a dedup pass keeps.
     "q47_dedup_clusters" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       // simhashMatches, not simhashPairs: CC's min-aggregate absorbs the
       // per-band duplicate edges, so the pair-distinct shuffle is skipped.
       val pairs = Dedup.simhashMatches(docs, "doc_id", "text", maxHamming = 2)
@@ -413,7 +413,7 @@ object LlmQueries {
       // broadcastVocab: the distinct vocabulary is orders of magnitude
       // smaller than the (doc, term) rows (Heaps' law), so the df stats
       // broadcast and the dominant side never shuffles for the join-back
-      TfIdf.termWeights(spreadDocs(t(s, dir, "documents")), "doc_id", "text",
+      TfIdf.termWeights(t(s, dir, "documents"), "doc_id", "text",
         broadcastVocab = true)
         .filter(col("rank") <= 3).orderBy("doc_id", "rank")
     }),
@@ -491,7 +491,7 @@ object LlmQueries {
     // df-capped, exact-Jaccard verified — the long-quote detector.
     "q135_winnow_pairs" -> ((s, dir) => {
       graft.operators.Dedup.winnowPairs(
-        spreadDocs(t(s, dir, "documents")), "doc_id", "text",
+        t(s, dir, "documents"), "doc_id", "text",
         n = 3, w = 8, threshold = 0.5, maxDf = 100)
         .orderBy("i", "j")
     }),
@@ -528,7 +528,7 @@ object LlmQueries {
     // End-to-end corpus dedup: SimHash pairs → connected components →
     // keep the canonical (min-id) doc per cluster, one anti-join.
     "q63_dedup_corpus" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val pairs = Dedup.simhashMatches(docs, "doc_id", "text", maxHamming = 2)
       graft.operators.Components.keepCanonical(docs, "doc_id", pairs)
         .select("doc_id", "lang", "source", "n_chars")
@@ -541,7 +541,7 @@ object LlmQueries {
     // sub-quadratic (SHUFFLE_AUDIT.md: 24× less candidate traffic than
     // the 28-bit demo on the same corpus).
     "q70_dedup_corpus_wide" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val pairs = Dedup.simhashMatchesWide(docs, "doc_id", "text", maxHamming = 2)
       graft.operators.Components.keepCanonical(docs, "doc_id", pairs)
         .select("doc_id", "lang", "source", "n_chars")
@@ -554,7 +554,7 @@ object LlmQueries {
     // re-pairing the corpus. Cross pairs orient (existing, new) so the
     // min-id canonical stays the already-kept corpus doc.
     "q71_dedup_incremental" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val existing = Dedup.wideSignatures(
         docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
       Dedup.simhashPairsWideIncremental(
@@ -658,21 +658,21 @@ object LlmQueries {
     // the distinct-word table — the tokenizer-training step; merge list
     // is cross-engine exact (tie-break + greedy rewrite mirrored).
     "q92_bpe_merges" -> ((s, dir) => {
-      graft.operators.Bpe.trainMerges(spreadDocs(t(s, dir, "documents")), "text",
+      graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text",
         numMerges = 8).orderBy("step")
     }),
 
     // The learned subword vocabulary after those 8 merges — train +
     // apply, the table a tokenizer ships with.
     "q93_bpe_vocab" -> ((s, dir) => {
-      graft.operators.Bpe.subwordVocab(spreadDocs(t(s, dir, "documents")), "text",
+      graft.operators.Bpe.subwordVocab(t(s, dir, "documents"), "text",
         numMerges = 8).orderBy(desc("freq"), col("subword"))
     }),
 
     // Per-doc token counts under that learned tokenizer — the packing
     // budget metric (train once, tokenize by word-key join).
     "q94_bpe_doc_tokens" -> ((s, dir) => {
-      graft.operators.Bpe.bpeTokenCount(spreadDocs(t(s, dir, "documents")), "doc_id",
+      graft.operators.Bpe.bpeTokenCount(t(s, dir, "documents"), "doc_id",
         "text", numMerges = 8).orderBy("doc_id")
     }),
 
@@ -867,7 +867,7 @@ object LlmQueries {
     // the dedup family): wide-simhash recall against the exact J≥0.6
     // bigram-Jaccard ground truth, plus the candidate-volume price.
     "q97_dedup_recall" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val exact = graft.operators.CacheScope.track(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.6)
           .select("i", "j"))
@@ -899,7 +899,7 @@ object LlmQueries {
     // corpus-trained tokenizer → context-window packing of the sampled
     // docs, as one lazy plan — what a mixture-construction run executes.
     "q95_sample_pack_pipeline" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val sampled = Sampling.temperatureQuota(docs, "source", "doc_id",
         totalTarget = 600)
       val counts = graft.operators.Bpe.bpeTokenCount(docs, "doc_id", "text",
@@ -1096,7 +1096,7 @@ object LlmQueries {
     // ordinals + shards. Each stage is an already-gated operator; the
     // composition is what a production run executes.
     "q84_corpus_pipeline" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       // gate and filter in ONE pass (keepInputCols — a verdict join-back
       // would re-run the metric set through a self-join), and cache:
       // `kept` feeds the signature stage, the survivor anti-join, and
@@ -1227,7 +1227,7 @@ object LlmQueries {
         queriesSubset(s, dir), t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 10)
       val lex = graft.operators.Fusion.tokenOverlapTopK(
-        spreadDocs(t(s, dir, "documents")).filter(col("doc_id") < 20),
+        t(s, dir, "documents").filter(col("doc_id") < 20),
         t(s, dir, "documents"), "doc_id", "text", k = 10)
       graft.operators.Fusion.rrf(
         Seq("dense" -> dense, "lex" -> lex), c = 60, topK = 5)
@@ -1373,7 +1373,7 @@ object LlmQueries {
         queriesSubset(s, dir), t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 10)
       val lex = graft.operators.Fusion.tokenOverlapTopK(
-        spreadDocs(t(s, dir, "documents")).filter(col("doc_id") < 20),
+        t(s, dir, "documents").filter(col("doc_id") < 20),
         t(s, dir, "documents"), "doc_id", "text", k = 10)
       val fused = graft.operators.Fusion.rrf(
         Seq("dense" -> dense, "lex" -> lex), c = 60, topK = 8)
@@ -1563,7 +1563,7 @@ object LlmQueries {
     // training-pair counts. Probe-offset equi-join — fan-out hard-capped
     // at 2·window per token, never the L² of a doc-keyed self-join.
     "q160_skipgram" -> ((s, dir) => {
-      graft.operators.Cooccur.skipgramPairs(spreadDocs(t(s, dir, "documents")),
+      graft.operators.Cooccur.skipgramPairs(t(s, dir, "documents"),
         "doc_id", "text", window = 2, minCount = 5L, topK = 50)
     }),
 
@@ -1678,7 +1678,7 @@ object LlmQueries {
     // crossing-pair count vs the cluster-keyed split's (0 by
     // construction — split is a function of the component id).
     "q168_leakage_split" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val pairs = graft.operators.CacheScope.track(
         Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 2))
       // labels only — dedupClusters' size/canonical columns are unused
@@ -1943,7 +1943,7 @@ object LlmQueries {
     // chars/token and tokens/word from exact sums - the audit that
     // shows which languages a vocabulary under-serves.
     "q191_bpe_fertility" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       graft.operators.Bpe.bpeTokenCount(docs, "doc_id", "text", numMerges = 8)
         .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
         .groupBy("lang")
@@ -1976,7 +1976,7 @@ object LlmQueries {
     // particular? Cross pairs from the incremental dedup (i = corpus,
     // j = batch) joined to the corpus split; one-row verdict.
     "q193_incremental_leakage" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val oldDocs = docs.filter(col("doc_id") % 7 =!= 0)
       val newDocs = docs.filter(col("doc_id") % 7 === 0)
       val pairs = Dedup.simhashPairsWideIncremental(newDocs, "doc_id",
@@ -2189,7 +2189,7 @@ object LlmQueries {
     // within each one via the histogram-offset prefix-sum plan (no
     // per-source window funnel). Summary per source.
     "q206_domain_cap" -> ((s, dir) => {
-      val base = spreadDocs(t(s, dir, "documents")).select(
+      val base = t(s, dir, "documents").select(
         col("doc_id"), col("source"),
         TextAnalysis.tokenCount(col("text")).as("ntok"),
         floor(TextAnalysis.qualityScore(col("text")) * lit(1048576L))
@@ -2266,7 +2266,7 @@ object LlmQueries {
     // score, exact rational — no log, no float accumulation); lift > 1
     // means the pair beats independence. Top-20 with a count floor.
     "q213_bigram_lift" -> ((s, dir) =>
-      graft.operators.Cooccur.bigramLift(spreadDocs(t(s, dir, "documents")),
+      graft.operators.Cooccur.bigramLift(t(s, dir, "documents"),
         "doc_id", "text", discount = 2L, minCount = 10L, topK = 20)),
 
     // Error bars on the AUC itself: 32 deterministic Poisson replicates
@@ -2645,7 +2645,7 @@ object LlmQueries {
     // token pairs with support, both directed confidences, and lift —
     // set co-occurrence, where q213's bigram lift is adjacency.
     "q242_assoc_rules" -> ((s, dir) =>
-      graft.operators.Cooccur.assocRules(spreadDocs(t(s, dir, "documents")),
+      graft.operators.Cooccur.assocRules(t(s, dir, "documents"),
         "doc_id", "text", minDf = 50L, minPair = 25L, topK = 30)),
 
     // Blocking-quality audit of the wide-simhash candidate generator vs
@@ -2653,7 +2653,7 @@ object LlmQueries {
     // (q97 measured recall only) + their harmonic mean — the standard
     // entity-resolution blocking scorecard.
     "q243_blocking_quality" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val truth = graft.operators.CacheScope.track(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
           threshold = 0.6).select("i", "j"))
@@ -2802,7 +2802,7 @@ object LlmQueries {
     // same query terms: the top-weighted ranker-similarity coefficient,
     // p-power weights as driver literals, exact (W·X) DIV d terms.
     "q256_rbo" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val qterms = Seq("fast", "table", "value")
       val w20 = org.apache.spark.sql.expressions.Window
         .orderBy(desc("s"), col("doc_id"))
@@ -3355,7 +3355,7 @@ object LlmQueries {
     // preserves pre-dedup mass (a 50-copy template counts as 50, not
     // 1) while never emitting a duplicate.
     "q275_dedup_aware_sample" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val pairs = Dedup.simhashPairsWide(docs, "doc_id", "text",
         maxHamming = 3).select("i", "j")
       val clusters = graft.operators.Components.dedupClusters(docs,
@@ -3455,7 +3455,7 @@ object LlmQueries {
     // maintained under a NEW edge batch via star edges — work ∝ batch,
     // never the historical pair set; gate = the full-recompute labels.
     "q273_incr_cc" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val all = graft.operators.CacheScope.track(
         Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming = 3)
           .select("i", "j"))
@@ -3685,7 +3685,7 @@ object LlmQueries {
     // the longest-wins decision, not just membership; per-doc token/
     // UNK counts are exact integers, fertility one division.
     "q292_maxmatch_tokens" -> ((s, dir) =>
-      graft.operators.Bpe.maxMatchTokenCount(spreadDocs(t(s, dir, "documents")),
+      graft.operators.Bpe.maxMatchTokenCount(t(s, dir, "documents"),
         "doc_id", "text", maxMatchVocab)
         .withColumn("fertility", when(col("n_words") > 0,
           col("n_tokens").cast("double") / col("n_words").cast("double")))
@@ -3785,7 +3785,7 @@ object LlmQueries {
       import s.implicits._
       val vocabDf = maxMatchVocab5k.toDF("unit")
       val nv = broadcast(vocabDf.agg(count(lit(1)).as("n_vocab")))
-      graft.operators.Bpe.maxMatchTokenCountJoined(spreadDocs(t(s, dir, "documents")),
+      graft.operators.Bpe.maxMatchTokenCountJoined(t(s, dir, "documents"),
         "doc_id", "text", vocabDf, "unit")
         .withColumn("fertility", when(col("n_words") > 0,
           col("n_tokens").cast("double") / col("n_words").cast("double")))
@@ -3862,7 +3862,7 @@ object LlmQueries {
     // standard serving approximation — counts are NOT q94's exact BPE
     // segmentation, and that's the point: this is what serving pays.
     "q301_tokenizer_lifecycle" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val vocab = graft.operators.Bpe.subwordVocab(docs, "text",
         numMerges = 8).select(col("subword").as("unit"))
       graft.operators.Bpe.maxMatchTokenCountJoined(docs, "doc_id",
@@ -4288,7 +4288,7 @@ object LlmQueries {
     // oracle's own list_reduce rewrite (equivalent to the kernel's
     // min-rank loop on the well-formed trained list).
     "q329_bpe_rank_encode" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.trainMerges(
         docs.filter(col("doc_id") % 3 === 0), "text", numMerges = 8)
       graft.operators.Bpe.bpeRankSegment(
@@ -4420,7 +4420,7 @@ object LlmQueries {
     // through the same table literal, and unrolls the 8 merge ranks
     // with the q329 list_reduce stages.
     "q334_bytelevel_bpe" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.trainMergesByteLevel(
         docs.filter(col("doc_id") % 3 === 0), "text", numMerges = 8)
       graft.operators.Bpe.bpeRankSegmentByteLevel(
@@ -4507,7 +4507,7 @@ object LlmQueries {
     // unrolled chain and joins each doc's pretokens to the applied
     // segmentation's symbol counts.
     "q338_bytelevel_budget" -> ((s, dir) => {
-      val docs = spreadDocs(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.trainMergesByteLevel(
         docs.filter(col("doc_id") % 3 === 0), "text", numMerges = 8)
       graft.operators.Bpe.bpeRankTokenCountByteLevel(
@@ -5147,9 +5147,12 @@ object LlmQueries {
     // pixel statistic would diverge).
     "q360_webdataset_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val media = spreadIds(t(s, dir, "documents")).as[Long]
-        .mapPartitions(_.map(id => (id, TarFixtures.payload(id))))
-        .toDF("doc_id", "__p")
+      // cached: the image and caption branches below both scan `m`,
+      // which would otherwise re-run the shard constructor per branch
+      val media = graft.operators.CacheScope.track(
+        spreadIds(t(s, dir, "documents")).as[Long]
+          .mapPartitions(_.map(id => (id, TarFixtures.payload(id))))
+          .toDF("doc_id", "__p"))
       val m = media.select(col("doc_id"), col("__p"),
           explode(graft.functions.tarMembers(col("__p"))).as("__m"))
         .select(col("doc_id"), col("__p"), col("__m.name").as("name"),
@@ -5313,9 +5316,12 @@ object LlmQueries {
     // contribute no images and orphan their partner's planted dup.
     "q365_shard_dedup_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val media = spreadIds(t(s, dir, "documents")).as[Long]
-        .mapPartitions(_.map(id => (id, TarFixtures.dedupPayload(id))))
-        .toDF("doc_id", "__p")
+      // cached: two consumers (shard parse-audit + image explode) would
+      // otherwise each re-run the shard constructor for every doc
+      val media = graft.operators.CacheScope.track(
+        spreadIds(t(s, dir, "documents")).as[Long]
+          .mapPartitions(_.map(id => (id, TarFixtures.dedupPayload(id))))
+          .toDF("doc_id", "__p"))
       val shards = media.select(col("doc_id"),
         graft.functions.tarMembers(col("__p")).isNotNull.as("parsed"))
       val imgs = media.select(col("doc_id"), col("__p"),
@@ -5362,9 +5368,14 @@ object LlmQueries {
     // (odd pairs (4m+1, 4m+3) share sample 1) — and nothing else.
     "q366_incremental_image_dedup" -> ((s, dir) => {
       import s.implicits._
-      val media = spreadIds(t(s, dir, "documents")).as[Long]
-        .mapPartitions(_.map(id => (id, TarFixtures.incrementalPayload(id))))
-        .toDF("doc_id", "__p")
+      // parity filter BEFORE the mapPartitions barrier: a filter cannot
+      // push through the opaque constructor, so filtering `media` would
+      // build every payload twice (once per side)
+      def media(par: Int): DataFrame =
+        spreadIds(t(s, dir, "documents").filter(col("doc_id") % 2 === par))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, TarFixtures.incrementalPayload(id))))
+          .toDF("doc_id", "__p")
       def sigs(shards: DataFrame): DataFrame = shards
         .select(col("doc_id"), col("__p"),
           explode(graft.functions.tarMembers(col("__p"))).as("__m"))
@@ -5375,9 +5386,9 @@ object LlmQueries {
           graft.functions.pixelStats(
             col("__p").substr(col("__m.offset") + 1L, col("__m.size")))
             .getField("dhash").as("dhash"))
-      val corpusSigs = sigs(media.filter(col("doc_id") % 2 === 0))
+      val corpusSigs = sigs(media(0))
         .transform(graft.operators.CacheScope.track)
-      val batchSigs = sigs(media.filter(col("doc_id") % 2 === 1))
+      val batchSigs = sigs(media(1))
         .transform(graft.operators.CacheScope.track)
       val matches = graft.operators.Dedup.signatureMatches64Incremental(
         batchSigs, "img_id", "dhash", corpusSigs, "img_id", "dhash",
@@ -5876,10 +5887,13 @@ object LlmQueries {
     // (the q348/q371 pattern).
     "q373_bucketed_image_dedup" -> ((s, dir) => {
       import s.implicits._
-      val media = spreadIds(t(s, dir, "documents")).as[Long]
-        .mapPartitions(_.map(id =>
-          (id, TarFixtures.incrementalPayload(id))))
-        .toDF("doc_id", "__p")
+      // parity filter BEFORE the mapPartitions barrier (see q366)
+      def media(par: Int): DataFrame =
+        spreadIds(t(s, dir, "documents").filter(col("doc_id") % 2 === par))
+          .as[Long]
+          .mapPartitions(_.map(id =>
+            (id, TarFixtures.incrementalPayload(id))))
+          .toDF("doc_id", "__p")
       def sigs(shards: DataFrame): DataFrame = shards
         .select(col("doc_id"), col("__p"),
           explode(graft.functions.tarMembers(col("__p"))).as("__m"))
@@ -5890,13 +5904,13 @@ object LlmQueries {
           graft.functions.pixelStats(
             col("__p").substr(col("__m.offset") + 1L, col("__m.size")))
             .getField("dhash").as("dhash"))
-      val corpusSigs = sigs(media.filter(col("doc_id") % 2 === 0))
+      val corpusSigs = sigs(media(0))
         .transform(graft.operators.CacheScope.track)
       // PUBLISH: yesterday's job wrote this once; today reads it
       graft.io.TableIO.writeBucketed(
         graft.operators.Dedup.bandRows64(corpusSigs, "img_id", "dhash"),
         "graft_image_sigs_banded", Seq("band", "nib"), numBuckets = 8)
-      val batchSigs = sigs(media.filter(col("doc_id") % 2 === 1))
+      val batchSigs = sigs(media(1))
         .transform(graft.operators.CacheScope.track)
       val matches =
         graft.operators.Dedup.signatureMatches64IncrementalBanded(
@@ -6117,10 +6131,13 @@ object LlmQueries {
     // sets → CC → survivors.
     "q374_compressed_shard_dedup" -> ((s, dir) => {
       import s.implicits._
-      val media = spreadIds(t(s, dir, "documents")).as[Long]
-        .mapPartitions(_.map(id =>
-          (id, TarFixtures.jpegShardPayload(id))))
-        .toDF("doc_id", "__p")
+      // parity filter BEFORE the mapPartitions barrier (see q366)
+      def media(par: Int): DataFrame =
+        spreadIds(t(s, dir, "documents").filter(col("doc_id") % 2 === par))
+          .as[Long]
+          .mapPartitions(_.map(id =>
+            (id, TarFixtures.jpegShardPayload(id))))
+          .toDF("doc_id", "__p")
       def sigs(shards: DataFrame): DataFrame = shards
         .select(col("doc_id"),
           graft.functions.zstdDecode(col("__p")).as("__t"))
@@ -6133,9 +6150,9 @@ object LlmQueries {
           graft.functions.pixelStats(
             col("__t").substr(col("__m.offset") + 1L, col("__m.size")))
             .getField("dhash").as("dhash"))
-      val corpusSigs = sigs(media.filter(col("doc_id") % 2 === 0))
+      val corpusSigs = sigs(media(0))
         .transform(graft.operators.CacheScope.track)
-      val batchSigs = sigs(media.filter(col("doc_id") % 2 === 1))
+      val batchSigs = sigs(media(1))
         .transform(graft.operators.CacheScope.track)
       val matches = graft.operators.Dedup.signatureMatches64Incremental(
         batchSigs, "img_id", "dhash", corpusSigs, "img_id", "dhash",
@@ -6689,7 +6706,7 @@ object LlmQueries {
     * group keys integer), label = the gate's keep verdict.
     */
   private def distillScored(s: SparkSession, dir: String): DataFrame = {
-    val gated = TextAnalysis.qualityGate(spreadDocs(t(s, dir, "documents")),
+    val gated = TextAnalysis.qualityGate(t(s, dir, "documents"),
       "doc_id", "text", keepInputCols = true)
     val feats = gated.select(
       col("doc_id"), col("lang"), col("keep"),
