@@ -123,7 +123,15 @@ object TableIO {
         fs.delete(loc, true); ()
       }
     }
-    df.write.format(format).mode(mode)
+    // One exchange to the bucket layout BEFORE the write: without it a
+    // bucketed save emits one file per (input task × bucket) — 32
+    // upstream partitions × 8 buckets = 256 splinter files per publish,
+    // paying footer+open cost on every downstream read (guide §6).
+    // Repartitioning by the bucket columns into exactly numBuckets
+    // partitions puts each bucket's rows in one task → one file per
+    // bucket, and the per-file sortBy sort happens once per bucket.
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write.format(format).mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)

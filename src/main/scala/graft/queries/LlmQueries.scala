@@ -3516,8 +3516,10 @@ object LlmQueries {
           "l_orderkey", "l_partkey", maxDegree = 6)
           .select(col("item_a"), col("item_b")))
       val sym = edges.union(edges.select(col("item_b"), col("item_a")))
+      // count ≡ count_distinct here: unique a<b pairs symmetrized (see
+      // the graphHealthCheck note) — saves the second dedup shuffle
       val deg = sym.groupBy(col("item_a").as("node"))
-        .agg(count_distinct(col("item_b")).as("deg"))
+        .agg(count(col("item_b")).as("deg"))
       val hubs = deg.orderBy(desc("deg"), col("node")).limit(5)
         .select(col("node").as("__hub"))
       def giant(e: DataFrame) = graft.operators.Components
@@ -6233,8 +6235,13 @@ object LlmQueries {
         .agg(coalesce(max(col("__sz")), lit(0L)).as("g"))
       val before = giant(edges).select(col("g").as("giant_size"))
       val sym = edges.union(edges.select(col("item_b"), col("item_a")))
+      // count, not count_distinct: `edges` is the coEngagementPairs
+      // output (unique pairs, item_a < item_b), so the symmetrized
+      // (node, nbr) rows are distinct by construction — the two-level
+      // distinct aggregate would re-shuffle the 2|E| rows a second
+      // time to deduplicate a set that has no duplicates
       val deg = sym.groupBy(col("item_a").as("node"))
-        .agg(count_distinct(col("item_b")).as("deg"))
+        .agg(count(col("item_b")).as("deg"))
       val hubs = deg.orderBy(desc("deg"), col("node")).limit(5)
         .select(col("node").as("__hub"))
       val filtered = edges
